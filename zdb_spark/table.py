@@ -1,0 +1,280 @@
+"""Table: zdb's time-partitioned columnar table on Parquet + Spark.
+
+Reference semantics re-expressed (SURVEY.md §1, §2.1, §2.2):
+- create/open/create_or_open + ``_meta`` sidecar:
+  /root/reference/src/table/mod.rs:93-141, /root/reference/src/table/meta.rs:8-37
+- partition dir naming (all/%Y/%Y-%m/%Y-%m-%d):
+  /root/reference/src/table/write.rs:26-36
+- out-of-order append panic ("Timestamp {} is out of order"):
+  /root/reference/src/table/write.rs:79-84 → raised ``OutOfOrderError`` here,
+  enforced against persisted per-table max-ts metadata (late rows can't sneak
+  into already-sealed time ranges).
+- partition-pruned time-range scan + projection:
+  /root/reference/src/table/scan.rs:43-89
+- table min/max ts from metadata: /root/reference/src/table/meta.rs:39-67
+
+Physical design for scale:
+- Data lands as Parquet partitioned by a derived ``dt`` string column
+  (hive-style ``dt=2024-01-01`` dirs), so Catalyst partition-prunes the same
+  way zdb's interval-overlap test prunes partition dirs
+  (/root/reference/src/table/scan.rs:67-74).
+- Rows are sorted by ``ts`` *within* each written file
+  (``sortWithinPartitions``) so Parquet row-group min/max stats make the
+  time predicate nearly as selective as zdb's binary-search seek
+  (/root/reference/src/table/scan.rs:174-213) — at 100 TB this is the
+  difference between reading one row group and reading a whole partition.
+- ``scan()`` rewrites the single logical time predicate into BOTH the
+  partition filter (on ``dt``) and the row filter (on ``ts``) so pruning
+  happens at the directory level AND the row-group level (SURVEY.md §4
+  conclusion item 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schema import PartitionBy, Schema
+
+__all__ = ["Table", "TableExistsError", "TableNotFoundError", "OutOfOrderError",
+           "zdb_home"]
+
+NANOS_PER_MICRO = 1_000
+
+
+class TableExistsError(RuntimeError):
+    pass
+
+
+class TableNotFoundError(RuntimeError):
+    pass
+
+
+class OutOfOrderError(RuntimeError):
+    """Mirror of the reference's out-of-order panic
+    (/root/reference/src/table/write.rs:79-84)."""
+
+
+def zdb_home() -> str:
+    """Root data dir, like $ZDB_HOME (/root/reference/src/lib.rs)."""
+    return os.environ.get("ZDB_SPARK_HOME", os.path.join(os.getcwd(), "zdb_data"))
+
+
+@dataclass
+class _Meta:
+    """Sidecar `_meta` payload (/root/reference/src/table/meta.rs:25-37)."""
+
+    schema: dict
+    row_count: int = 0
+    min_ts: int | None = None  # first ts ever written (nanos)
+    max_ts: int | None = None  # last ts ever written (nanos)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "_Meta":
+        return cls(**json.loads(s))
+
+
+class Table:
+    """Append-only, timestamp-ordered, time-partitioned table."""
+
+    def __init__(self, spark: SparkSession, schema: Schema, path: str,
+                 meta: _Meta) -> None:
+        self.spark = spark
+        self.schema = schema
+        self.path = path
+        self._meta = meta
+
+    # ------------------------------------------------------------------ #
+    # lifecycle: create / open (/root/reference/src/table/mod.rs:93-141)  #
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def _table_path(cls, name: str, home: str | None) -> str:
+        return os.path.join(home or zdb_home(), "data", name)
+
+    @classmethod
+    def create(cls, spark: SparkSession, schema: Schema,
+               home: str | None = None) -> "Table":
+        path = cls._table_path(schema.name, home)
+        meta_path = os.path.join(path, "_meta")
+        if os.path.exists(meta_path):
+            raise TableExistsError(f"table {schema.name!r} already exists")
+        os.makedirs(path, exist_ok=True)
+        meta = _Meta(schema=schema.to_dict())
+        with open(meta_path, "w") as f:
+            f.write(meta.to_json())
+        return cls(spark, schema, path, meta)
+
+    @classmethod
+    def open(cls, spark: SparkSession, name: str,
+             home: str | None = None) -> "Table":
+        path = cls._table_path(name, home)
+        meta_path = os.path.join(path, "_meta")
+        if not os.path.exists(meta_path):
+            raise TableNotFoundError(f"table {name!r} does not exist")
+        with open(meta_path) as f:
+            meta = _Meta.from_json(f.read())
+        return cls(spark, Schema.from_dict(meta.schema), path, meta)
+
+    @classmethod
+    def create_or_open(cls, spark: SparkSession, schema: Schema,
+                       home: str | None = None) -> "Table":
+        try:
+            return cls.open(spark, schema.name, home)
+        except TableNotFoundError:
+            return cls.create(spark, schema, home)
+
+    @classmethod
+    def drop(cls, name: str, home: str | None = None) -> None:
+        path = cls._table_path(name, home)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    # ------------------------------------------------------------------ #
+    # write path (/root/reference/src/table/write.rs:62-121)             #
+    # ------------------------------------------------------------------ #
+    def _with_partition_col(self, df: DataFrame) -> DataFrame:
+        """Derive the ``dt`` partition column from epoch-nanos ``ts``
+        (W3, /root/reference/src/table/write.rs:26-36)."""
+        ts = self.schema.ts_col
+        fmt = self.schema.partition_by.date_format
+        ts_utc = F.timestamp_micros((F.col(ts) / NANOS_PER_MICRO).cast("long"))
+        if fmt is None:
+            return df.withColumn("dt", F.lit("all"))
+        return df.withColumn("dt", F.date_format(ts_utc, fmt))
+
+    def write(self, df: DataFrame, enforce_order: bool = True) -> int:
+        """Append a batch. Validates schema, enforces the monotonic-append
+        invariant against recorded max_ts, derives ``dt``, sorts by ts
+        within files, appends Parquet, updates the sidecar.
+
+        Returns the number of rows appended.
+        """
+        ts = self.schema.ts_col
+        expected = [c.name for c in self.schema.columns]
+        missing = [c for c in expected if c not in df.columns]
+        if missing:
+            raise ValueError(f"batch missing columns {missing}")
+        df = df.select(*[
+            F.col(c.name).cast(c.spark_type(self.schema.strict_u64))
+            for c in self.schema.columns
+        ])
+
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(ts).alias("lo"),
+            F.max(ts).alias("hi"),
+        ).collect()[0]
+        n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+        if n == 0:
+            return 0
+        if enforce_order and self._meta.max_ts is not None and lo < self._meta.max_ts:
+            raise OutOfOrderError(
+                f"Timestamp {lo} is out of order (table max_ts "
+                f"{self._meta.max_ts})")
+
+        out = self._with_partition_col(df)
+        # Sort by ts within each output file so Parquet row-group min/max
+        # stats stay selective (zdb's binary-search analogue, SURVEY.md §4).
+        (out.repartition("dt")
+            .sortWithinPartitions(ts)
+            .write.mode("append")
+            .partitionBy("dt")
+            .parquet(os.path.join(self.path, "parquet")))
+
+        self._meta.row_count += n
+        self._meta.min_ts = lo if self._meta.min_ts is None else min(self._meta.min_ts, lo)
+        self._meta.max_ts = hi if self._meta.max_ts is None else max(self._meta.max_ts, hi)
+        self._flush_meta()
+        return n
+
+    def _flush_meta(self) -> None:
+        """Persist sidecar (W7/W8, /root/reference/src/table/meta.rs:17-37)."""
+        with open(os.path.join(self.path, "_meta"), "w") as f:
+            f.write(self._meta.to_json())
+
+    # ------------------------------------------------------------------ #
+    # scan path (/root/reference/src/table/scan.rs:43-89)                #
+    # ------------------------------------------------------------------ #
+    def df(self) -> DataFrame:
+        p = os.path.join(self.path, "parquet")
+        if not os.path.exists(p):
+            return self.spark.createDataFrame([], self.schema.spark_schema()
+                                              .add("dt", "string"))
+        return self.spark.read.parquet(p)
+
+    def scan(self, from_ts: int | None = None, to_ts: int | None = None,
+             columns: list[str] | None = None) -> DataFrame:
+        """Time-range scan with dual predicate rewrite + projection.
+
+        ``[from_ts, to_ts]`` is inclusive like the reference's interval
+        overlap test (/root/reference/src/table/scan.rs:67-74).  The single
+        logical predicate lands on BOTH ``dt`` (directory pruning) and
+        ``ts`` (row-group pruning).
+        """
+        df = self.df()
+        ts = self.schema.ts_col
+        fmt = self.schema.partition_by.date_format
+        if from_ts is not None:
+            df = df.where(F.col(ts) >= F.lit(from_ts))
+            if fmt is not None:
+                dt_lo = _dt_str_for(from_ts, fmt)
+                df = df.where(F.col("dt") >= F.lit(dt_lo))
+        if to_ts is not None:
+            df = df.where(F.col(ts) <= F.lit(to_ts))
+            if fmt is not None:
+                dt_hi = _dt_str_for(to_ts, fmt)
+                df = df.where(F.col("dt") <= F.lit(dt_hi))
+        if columns is not None:
+            # unknown columns raise, mirroring get_union's panic
+            # (/root/reference/src/table/scan.rs:43-59)
+            for c in columns:
+                self.schema.column(c)
+            df = df.select(*columns)
+        else:
+            df = df.select(*[c.name for c in self.schema.columns])
+        return df
+
+    # ------------------------------------------------------------------ #
+    # metadata queries (/root/reference/src/table/meta.rs:39-67)         #
+    # ------------------------------------------------------------------ #
+    def get_first_ts(self) -> int | None:
+        return self._meta.min_ts
+
+    def get_last_ts(self) -> int | None:
+        return self._meta.max_ts
+
+    @property
+    def row_count(self) -> int:
+        return self._meta.row_count
+
+    # ------------------------------------------------------------------ #
+    # dictionary endpoint (§2.4, /root/reference/src/server/mod.rs:84-122)
+    # ------------------------------------------------------------------ #
+    def symbols(self, column: str) -> list[str]:
+        """Distinct values of a symbol column, sorted.  The reference dumps
+        its in-memory dictionary; Parquet's dictionary is internal, so we
+        compute distinct — at scale this is a column-pruned scan of
+        dictionary-encoded pages, cheap relative to the data."""
+        col = self.schema.column(column)
+        if not col.is_symbol:
+            raise ValueError(f"column {column!r} is not a symbol column")
+        rows = (self.df().select(column).distinct()
+                .orderBy(column).collect())
+        return [r[0] for r in rows]
+
+
+def _dt_str_for(ts_nanos: int, fmt: str) -> str:
+    """Python-side mirror of get_partition_dir
+    (/root/reference/src/table/write.rs:26-36) for predicate rewrite."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromtimestamp(ts_nanos / 1e9, tz=_dt.timezone.utc)
+    pyfmt = {"yyyy": "%Y", "yyyy-MM": "%Y-%m", "yyyy-MM-dd": "%Y-%m-%d"}[fmt]
+    return d.strftime(pyfmt)

@@ -31,6 +31,11 @@ __all__ = ["get_spark", "stop"]
 _DEFAULTS = {
     # --- correctness-critical ---
     "spark.sql.session.timeZone": "UTC",
+    # Parquet INT64 TIMESTAMP(NANOS) columns (e.g. the testdata events
+    # table) are read as LongType epoch-nanos — which IS our canonical
+    # timestamp model (SURVEY.md §1.2); without this Spark refuses the file
+    # with PARQUET_TYPE_ILLEGAL.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.pyspark.fallback.enabled": "true",
     # --- scale-first planning ---

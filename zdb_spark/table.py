@@ -144,7 +144,8 @@ class Table:
         (W3, /root/reference/src/table/write.rs:26-36)."""
         ts = self.schema.ts_col
         fmt = self.schema.partition_by.date_format
-        ts_utc = F.timestamp_micros((F.col(ts) / NANOS_PER_MICRO).cast("long"))
+        from .functions.scalar import nanos_to_ts
+        ts_utc = nanos_to_ts(F.col(ts))
         if fmt is None:
             return df.withColumn("dt", F.lit("all"))
         return df.withColumn("dt", F.date_format(ts_utc, fmt))

@@ -1,38 +1,590 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps one entry per implemented operator family (SURVEY.md §2
+plus the LLM-pipeline operators) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for each.  Columns are
+aliased identically on both sides; computed floating-point aggregates are
+rounded identically on both sides so the order-insensitive value-hash is
+stable across engines.
+
+Query entries without an oracle (minhash/simhash/LSH families) are
+intentionally non-SQL-expressible — the driver records a rows-only check
+for those (see stub docstring contract).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+NS_PER_HOUR = 3_600_000_000_000
 
 
+# --------------------------------------------------------------------- #
+# loading helpers                                                        #
+# --------------------------------------------------------------------- #
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.  The events table stores Parquet
+    TIMESTAMP(NANOS); Spark needs nanosAsLong (read as LongType epoch
+    nanos — our canonical timestamp model).  Set defensively because the
+    driver owns the SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived µs-timestamp/date columns (ts stays nanos long).
+
+    ``ts div 1000`` is JVM integer division — exact at any epoch (a
+    double-division route loses precision above 2^53 ns).
+    """
+    ev = _load(spark, sf_dir, "events")
+    return (ev.withColumn("ts_us", F.expr("ts div 1000"))
+              .withColumn("ts_utc", F.timestamp_micros(F.col("ts_us")))
+              .withColumn("d", F.to_date("ts_utc")))
+
+
+# --------------------------------------------------------------------- #
+# zdb core surface (SURVEY.md §2.1-§2.6)                                 #
+# --------------------------------------------------------------------- #
+def q_scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S4: partition/row time-range scan + predicate + projection."""
+    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z in nanos
+    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z
+    ev = _events_with_ts(spark, sf_dir)
+    return (ev.where((F.col("ts") >= lo) & (F.col("ts") < hi)
+                     & (F.col("event_type") != "error")
+                     & (F.col("value") > 10.0))
+              .select("event_id", "ts_us", "event_type", "value"))
+
+
+def q_symbols_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 dictionary endpoint: distinct symbol values."""
+    return (_load(spark, sf_dir, "events")
+            .select(F.col("event_type").alias("symbol"))
+            .distinct())
+
+
+def q_ohlcv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 OHLCV aggregation: events as ticks (sym=event_type,
+    price=value), daily bars via min_by/max_by."""
+    ev = _events_with_ts(spark, sf_dir)
+    return (ev.groupBy(F.date_format("d", "yyyy-MM-dd").alias("bar_date"),
+                       F.col("event_type").alias("sym"))
+            .agg(F.min_by("value", "ts").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "ts").alias("close"),
+                 F.round(F.sum("value"), 4).alias("volume"),
+                 F.count(F.lit(1)).alias("n_ticks")))
+
+
+def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 TODO-resample: tumbling 1-hour buckets."""
+    ev = _events_with_ts(spark, sf_dir)
+    bucket = F.expr(f"ts div {NS_PER_HOUR}")
+    return (ev.groupBy(bucket.alias("hour_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg("value"), 4).alias("avg_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value")))
+
+
+def q_udf_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 /q semantics: pandas partial fold over Arrow batches +
+    Spark-side final combine (partial+final aggregation contract)."""
+    import pandas as pd
+
+    li = _load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def partial(batches):
+        for pdf in batches:
+            yield (pdf.groupby("l_returnflag", as_index=False)["l_quantity"]
+                   .sum().rename(columns={"l_quantity": "partial_qty"}))
+
+    partials = li.mapInPandas(partial, "l_returnflag string, partial_qty double")
+    return (partials.groupBy("l_returnflag")
+            .agg(F.round(F.sum("partial_qty"), 4).alias("sum_qty")))
+
+
+def q_market_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 F4 trading calendar as broadcast holiday join."""
+    from zdb_spark.calendar import with_market_open
+
+    ev = _events_with_ts(spark, sf_dir)
+    return (with_market_open(ev, "ts_utc")
+            .where(F.col("market_open"))
+            .groupBy(F.date_format("d", "yyyy-MM-dd").alias("open_day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# --------------------------------------------------------------------- #
+# relational surface (§2.7 — joins/sorts/windows/set-ops via Catalyst)   #
+# --------------------------------------------------------------------- #
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy aggregation."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: orders→customer→nation→region (dims broadcast)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: per-partition heap (TakeOrdered), no full sort shuffle."""
+    o = _load(spark, sf_dir, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.col("o_custkey"))
+            .limit(10))
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-customer order sequence + running revenue."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("order_seq", F.row_number().over(w))
+            .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 4))
+            .where(F.col("order_seq") <= 3)
+            .select("o_custkey", "o_orderkey", "order_seq", "running_spend"))
+
+
+def q_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: purchasers who never hit an error (EXCEPT DISTINCT)."""
+    ev = _load(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    errs = ev.where(F.col("event_type") == "error").select("user_id")
+    return buyers.subtract(errs)  # EXCEPT DISTINCT semantics
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: region/nation rollup of customer account balances."""
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    j = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats aggregates incl. distinct-count and stddev."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"))
+
+
+# --------------------------------------------------------------------- #
+# LLM-pipeline operators (BASELINE.json north star)                      #
+# --------------------------------------------------------------------- #
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zdb_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (no SQL oracle — rows-only check)."""
+    from zdb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id",
+                             num_hashes=64, bands=16, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (no SQL oracle — rows-only check)."""
+    from zdb_spark.operators.dedup import simhash_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard pairs >= 0.8 via inverted shingle index."""
+    from zdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.8)
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zdb_spark.operators.text import token_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_counts(docs, "text").select("doc_id", "n_ws_tokens",
+                                             "n_bpe_tokens")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zdb_spark.operators.text import quality_features
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_features(docs, "text").select(
+        "doc_id", "n_words", "avg_word_len", "punct_ratio",
+        "stopword_ratio", "quality_score")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zdb_spark.operators.text import language_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zdb_spark.operators.text import fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return fingerprint(docs, "text", k=8).select("doc_id", "fp_min_hash",
+                                                 "n_shingles")
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zdb_spark.operators.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_force_topk(emb, list(qvec), k=10)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (no SQL oracle — rows-only check; recall vs
+    brute force is asserted in tests/)."""
+    from zdb_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(emb, list(qvec), k=10, num_bits=8, num_tables=8)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return (emb.withColumn("norm", norm)
+            .groupBy("label")
+            .agg(F.round(F.avg("norm"), 6).alias("avg_norm"),
+                 F.count(F.lit(1)).alias("n_vecs")))
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→blob→JVM-side metadata extraction."""
+    from zdb_spark.operators.multimodal import blob_metadata
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    return (blob_metadata(docs, "blob", "doc_id")
+            .select("doc_id", "byte_len"))
+
+
+# --------------------------------------------------------------------- #
+# driver contract                                                        #
+# --------------------------------------------------------------------- #
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: daily OHLCV over events."""
+    return q_ohlcv_daily(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # zdb core surface
+        "scan_time_range": q_scan_time_range,
+        "symbols_dict": q_symbols_dict,
+        "ohlcv_daily": q_ohlcv_daily,
+        "resample_1h": q_resample_1h,
+        "udf_fold_sum": q_udf_fold_sum,
+        "market_calendar": q_market_calendar,
+        # relational surface
+        "pricing_summary": q_pricing_summary,
+        "join_enrich": q_join_enrich,
+        "topk_customers": q_topk_customers,
+        "window_running": q_window_running,
+        "setops_except": q_setops_except,
+        "rollup_revenue": q_rollup_revenue,
+        "agg_stats": q_agg_stats,
+        # LLM-pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "embedding_norms": q_embedding_norms,
+        "multimodal_bytes": q_multimodal_bytes,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lo = 1704412800 * 10**9
+    hi = 1705017600 * 10**9
+    return {
+        "scan_time_range": f"""
+            SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+            FROM events
+            WHERE epoch_ns(ts) >= {lo} AND epoch_ns(ts) < {hi}
+              AND event_type <> 'error' AND value > 10.0
+        """,
+        "symbols_dict": """
+            SELECT DISTINCT event_type AS symbol FROM events
+        """,
+        "ohlcv_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS bar_date, event_type AS sym,
+                   arg_min(value, ts) AS open, max(value) AS high,
+                   min(value) AS low, arg_max(value, ts) AS close,
+                   round(sum(value), 4) AS volume,
+                   count(*) AS n_ticks
+            FROM events GROUP BY 1, 2
+        """,
+        "resample_1h": """
+            SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1
+        """,
+        "udf_fold_sum": """
+            SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "market_calendar": """
+            SELECT strftime(ts, '%Y-%m-%d') AS open_day, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE dayofweek(CAST(ts AS DATE)) NOT IN (0, 6)
+              AND CAST(ts AS DATE) NOT IN (DATE '2024-01-01', DATE '2024-01-15')
+            GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "join_enrich": """
+            SELECT r_name, round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "topk_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1
+            ORDER BY revenue DESC, o_custkey LIMIT 10
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey, order_seq, running_spend FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER w AS order_seq,
+                       round(sum(o_totalprice) OVER w, 4) AS running_spend
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ) WHERE order_seq <= 3
+        """,
+        "setops_except": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(c_acctbal), 4) AS total_acctbal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "agg_stats": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   min(l_shipdate) AS min_ship,
+                   max(l_shipdate) AS max_ship
+            FROM lineitem
+        """,
+        "dedup_exact": """
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                       AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), f AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_words,
+                       list_sum(list_transform(toks, x -> length(x))) AS sum_wl,
+                       n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                           AS n_punct,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','and','of','to','in','is','you','that','it','for'],
+                           x))) AS n_stop
+                FROM t
+            )
+            SELECT doc_id, n_words,
+                   round(CAST(sum_wl AS DOUBLE) / n_words, 4) AS avg_word_len,
+                   round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                   round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+                   round(0.4 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
+                       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+                       + 0.3 * least(CAST(n_stop AS DOUBLE) / n_words * 5, 1.0), 6)
+                       AS quality_score
+            FROM f
+        """,
+        "text_langid": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','and','of','to','in','is','you','that','it','for'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(
+                           ['el','la','de','que','y','en','los','se','del','las'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(
+                           ['der','die','und','das','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains(
+                           ['le','la','les','et','des','un','une','est','dans','que'], x))) AS s_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 7, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 8))) AS shingles
+                FROM t
+            )
+            SELECT doc_id,
+                   list_aggregate(list_transform(shingles, s -> md5(s)), 'min')
+                       AS fp_min_hash,
+                   len(shingles) AS n_shingles
+            FROM sh
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ), e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                FROM embeddings
+            )
+            SELECT vec_id, round(
+                list_sum(list_transform(range(1, len(ve) + 1),
+                                        i -> ve[CAST(i AS INT)] * qe[CAST(i AS INT)]))
+                / (sqrt(list_sum(list_transform(ve, x -> x * x)))
+                   * sqrt(list_sum(list_transform(qe, x -> x * x)))), 6)
+                AS cosine_sim
+            FROM e, q
+            ORDER BY cosine_sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_norms": """
+            SELECT label,
+                   round(avg(sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x)))), 6) AS avg_norm,
+                   count(*) AS n_vecs
+            FROM embeddings GROUP BY 1
+        """,
+        "multimodal_bytes": """
+            SELECT doc_id, octet_length(encode(text)) AS byte_len
+            FROM documents
+        """,
+        "dedup_ngram": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.8
+        """,
+    }

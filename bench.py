@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's representative queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() (not collect) so timing measures the
+distributed plan, not driver materialization of wide results.  A warmup
+query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "scan_time_range",    # pruned scan
+    "ohlcv_daily",        # fixed agg endpoint
+    "resample_1h",        # time-bucket resample
+    "pricing_summary",    # TPC-H Q1 shape
+    "join_enrich",        # star join (broadcast dims)
+    "topk_customers",     # agg + top-k
+    "window_running",     # window functions
+    "udf_fold_sum",       # pandas-over-Arrow /q path
+    "dedup_exact",        # hash dedup
+    "dedup_minhash",      # MinHash LSH near-dup
+    "text_quality",       # text feature pack
+    "knn_bruteforce",     # similarity search
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from zdb_spark.session import get_spark
+
+    spark = get_spark("zdb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # Warmup: spin the JVM, codegen, and parquet footer caches.
+    qs["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""OHLCV endpoint + resample tests: golden values on a tiny deterministic
+tick set (the reference's own strategy — seeded synthetic → exact asserts,
+/root/reference/tests/main.rs:122-151)."""
+
+import pytest
+
+from pyspark.sql import Row
+
+from zdb_spark.ohlcv import ohlcv, ohlcv_frame, resample
+from zdb_spark.schema import ColumnType, PartitionBy, Schema
+from zdb_spark.table import Table
+
+NS = 1_000_000_000
+MIN = 60 * NS
+T0 = 1704067200 * NS  # 2024-01-01T00:00:00Z
+
+
+def bar_schema(name="bars"):
+    return (Schema(name)
+            .add_col("sym", ColumnType.SYMBOL16)
+            .add_col("open", ColumnType.F64)
+            .add_col("high", ColumnType.F64)
+            .add_col("low", ColumnType.F64)
+            .add_col("close", ColumnType.F64)
+            .add_col("volume", ColumnType.U64)
+            .with_partition_by(PartitionBy.DAY))
+
+
+@pytest.fixture()
+def bar_table(spark, tmp_home):
+    t = Table.create(spark, bar_schema(), home=tmp_home)
+    rows = []
+    for i in range(4):  # 4 one-minute bars, 2 symbols interleaved
+        for sym, base in (("AAPL", 100.0), ("MSFT", 200.0)):
+            rows.append(Row(ts=T0 + i * MIN, sym=sym,
+                            open=base + i, high=base + i + 1.0,
+                            low=base + i - 1.0, close=base + i + 0.5,
+                            volume=10 * (i + 1)))
+    t.write(spark.createDataFrame(rows))
+    return t
+
+
+class TestOhlcvEndpoint:
+    def test_frame_symbol_filter(self, bar_table):
+        df = ohlcv_frame(bar_table, T0, T0 + 10 * MIN, symbols=["AAPL"])
+        assert df.count() == 4
+        assert {r["sym"] for r in df.select("sym").collect()} == {"AAPL"}
+
+    def test_frame_all_symbols(self, bar_table):
+        assert ohlcv_frame(bar_table, T0, T0 + 10 * MIN).count() == 8
+
+    def test_reversed_range_swapped(self, bar_table):
+        # reference swaps from>to (/root/reference/src/server/ohlcv.rs:64-66)
+        assert ohlcv_frame(bar_table, T0 + 10 * MIN, T0).count() == 8
+
+    def test_api_shape(self, bar_table):
+        out = ohlcv(bar_table, T0, T0 + 10 * MIN, symbols=["AAPL", "MSFT"])
+        assert set(out) == {"results", "min_date", "max_date"}
+        assert out["min_date"] == "2024-01-01"
+        a = out["results"]["AAPL"]
+        assert a["t"] == [T0 + i * MIN for i in range(4)]
+        assert a["o"] == [100.0, 101.0, 102.0, 103.0]
+        assert a["h"] == [101.0, 102.0, 103.0, 104.0]
+        assert a["v"] == [10, 20, 30, 40]
+
+
+class TestResample:
+    def test_bars_to_coarser_bars(self, bar_table):
+        out = (resample(bar_table.scan(), "2 minutes")
+               .orderBy("sym", "bucket_start").collect())
+        assert len(out) == 4  # 2 syms × 2 buckets
+        first_aapl = [r for r in out if r["sym"] == "AAPL"][0]
+        assert first_aapl["open"] == 100.0   # open at min ts
+        assert first_aapl["close"] == 101.5  # close at max ts
+        assert first_aapl["high"] == 102.0   # max high over bucket
+        assert first_aapl["low"] == 99.0     # min low
+        assert first_aapl["volume"] == 30    # 10 + 20
+
+    def test_ticks_to_bars(self, spark):
+        ticks = spark.createDataFrame(
+            [Row(ts=T0 + i * 10 * NS, sym="X", price=float(i), size=1)
+             for i in range(12)])  # 2 minutes of 10s ticks
+        out = (resample(ticks, "1 minute", price_col="price",
+                        volume_col="size")
+               .orderBy("bucket_start").collect())
+        assert len(out) == 2
+        assert out[0]["open"] == 0.0 and out[0]["close"] == 5.0
+        assert out[1]["open"] == 6.0 and out[1]["close"] == 11.0
+        assert out[0]["high"] == 5.0 and out[0]["low"] == 0.0
+        assert out[0]["volume"] == 6

@@ -1,0 +1,203 @@
+"""LLM-pipeline operator tests: dedup (exact / minhash-LSH / simhash /
+n-gram), text analysis, similarity search (brute force vs LSH recall),
+and multimodal binary plumbing — on small deterministic corpora with
+hand-checkable truths."""
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from zdb_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="The quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the  quick brown fox jumps over the lazy dog "),  # ws/case dup of 1
+        Row(doc_id=3, text="The quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        Row(doc_id=4, text="Completely different content about databases"),
+        Row(doc_id=5, text="El rapido zorro marron salta sobre el perro"),
+        Row(doc_id=6, text="The quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        out = dedup.exact_dedup(docs, "text", "doc_id").collect()
+        assert len(out) == 4  # {1,2,6} collapse, 3/4/5 distinct
+        grp = {r["keep_id"]: r["dup_count"] for r in out}
+        assert grp[1] == 3
+        assert grp[3] == 1
+
+    def test_unnormalized(self, docs):
+        out = dedup.exact_dedup(docs, "text", "doc_id", normalized=False).collect()
+        assert len(out) == 5  # only the byte-identical pair {1,6} collapses
+
+
+class TestMinhashLSH:
+    def test_near_dups_found(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id",
+                                        num_hashes=64, bands=16,
+                                        threshold=0.5).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # all pairs among {1,2,6} are jaccard 1.0; 3 is a near-dup of each
+        assert (1, 2) in got and (1, 6) in got and (2, 6) in got
+        assert (1, 3) in got
+        # unrelated docs must not pair
+        assert not any(4 in p or 5 in p for p in got)
+
+    def test_exact_dup_jaccard_one(self, docs):
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()}
+        assert pairs[(1, 6)] == 1.0
+
+    def test_est_tracks_exact(self, docs):
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect():
+            assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35
+
+
+class TestSimhash:
+    def test_pairs(self, docs):
+        pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+        assert got[(1, 2)] == 0   # normalization-identical
+        assert got[(1, 6)] == 0
+        assert (1, 4) not in got and (1, 5) not in got
+
+    def test_hamming_bound(self, docs):
+        for r in dedup.simhash_pairs(docs, "text", "doc_id", 3).collect():
+            assert r["hamming"] <= 3
+
+
+class TestNgramJaccard:
+    def test_exact_pairs(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                          k=5, threshold=0.8)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+        assert got[(1, 2)] == 1.0
+        assert got[(1, 6)] == 1.0
+        assert (1, 3) in got  # one-word change at 5-gram granularity
+        assert all(v >= 0.8 for v in got.values())
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! Two")])
+        r = text.token_counts(df, "text").collect()[0]
+        assert r["n_ws_tokens"] == 3
+        # hello , world ! two
+        assert r["n_bpe_tokens"] == 5
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="the cat and the dog in the house"),
+            Row(doc_id=2, text="el perro y la casa de los gatos"),
+            Row(doc_id=3, text="der Hund und die Katze ist nicht da"),
+            Row(doc_id=4, text="le chat et les chiens dans une maison"),
+            Row(doc_id=5, text="xyzzy plugh"),
+        ])
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in text.language_id(df, "text").collect()}
+        assert out == {1: "en", 2: "es", 3: "de", 4: "fr", 5: "und"}
+
+    def test_quality_features(self, spark):
+        df = spark.createDataFrame([Row(doc_id=1, text="the cat sat")])
+        r = text.quality_features(df, "text").collect()[0]
+        assert r["n_words"] == 3
+        assert r["punct_ratio"] == 0.0
+        assert abs(r["stopword_ratio"] - 1 / 3) < 1e-6
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+    def test_fingerprint_deterministic(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="some repeated content here"),
+            Row(doc_id=2, text="some  Repeated content HERE"),  # normalizes same
+        ])
+        out = text.fingerprint(df, "text", k=8).collect()
+        fps = {r["doc_id"]: r["fp_min_hash"] for r in out}
+        assert fps[1] == fps[2]
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(40, 16)
+        base[1] = base[0] + 0.01 * rng.randn(16)  # vec 1 ≈ vec 0
+        rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]])
+                for i in range(40)]
+        return spark.createDataFrame(rows).cache()
+
+    def test_brute_force_self_first(self, emb):
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        top = similarity.brute_force_topk(emb, qv, k=3).collect()
+        assert top[0]["vec_id"] == 0
+        assert abs(top[0]["cosine_sim"] - 1.0) < 1e-6
+        assert top[1]["vec_id"] == 1  # the planted near-neighbor
+
+    def test_lsh_recall(self, emb):
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        exact = [r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, qv, k=5).collect()]
+        approx = [r["vec_id"] for r in
+                  similarity.lsh_topk(emb, qv, k=5, num_bits=6,
+                                      num_tables=8, dim=16).collect()]
+        # recall@5 >= 0.6 with 8 tables on 40 vectors
+        assert len(set(exact) & set(approx)) >= 3
+        assert 0 in approx and 1 in approx
+
+    def test_knn_join(self, emb):
+        left = emb.where(F.col("vec_id") < 3)
+        out = similarity.knn_join_bruteforce(left, emb, k=2,
+                                             left_id="vec_id").collect()
+        by_left = {}
+        for r in out:
+            by_left.setdefault(r["vec_id"], []).append(r)
+        assert set(by_left) == {0, 1, 2}
+        for vid, rows in by_left.items():
+            assert rows[0]["neighbor_id"] == vid  # self is rank 1
+            assert len(rows) == 2
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def blobs(self, spark):
+        rows = [
+            Row(id=1, blob=b"\x89PNG\r\n\x1a\n" + b"x" * 100),
+            Row(id=2, blob=b"\xff\xd8\xff\xe0" + b"y" * 50),
+            Row(id=3, blob=b"plain bytes payload"),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_blob_metadata(self, blobs):
+        out = {r["id"]: r for r in
+               multimodal.blob_metadata(blobs, "blob", "id").collect()}
+        assert out[1]["sniffed_fmt"] == "png"
+        assert out[2]["sniffed_fmt"] == "jpeg"
+        assert out[3]["sniffed_fmt"] == "unknown"
+        assert out[1]["byte_len"] == 108
+
+    def test_decode_stub_deterministic(self, blobs):
+        a = sorted(multimodal.decode_images(blobs, "blob", "id").collect())
+        b = sorted(multimodal.decode_images(blobs, "blob", "id").collect())
+        assert a == b
+        assert all(r["fmt"] == "fake" for r in a)
+        assert all(16 <= r["width"] < 80 for r in a)
+
+    def test_decode_pil_raises(self, blobs):
+        with pytest.raises(Exception):
+            multimodal.decode_images(blobs, "blob", "id",
+                                     decoder="pil").collect()
+
+    def test_sample_frames_shape(self, blobs):
+        out = multimodal.sample_frames(blobs, "blob", "id",
+                                       every_nth=1, max_frames=2).collect()
+        assert all(len(r) == 3 for r in out)
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["id"], []).append(r)
+        assert by_id[1][0]["frame_idx"] == 0

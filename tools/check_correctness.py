@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 (or --sf-dir) AND its
+oracle_sql() through DuckDB, then compares: row count, column names
+(sorted), and order-insensitive values.  Values compare exactly for
+strings/ints/dates and to 1e-9 abs/rel for floats (both sides already
+round computed floats, so any real mismatch shows up far above this).
+
+Usage: python tools/check_correctness.py [--sf-dir DIR] [--only name,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell types, sort rows."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if hasattr(v, "date") and not isinstance(v, str):  # ts-like
+            return str(v)
+        if isinstance(v, float):
+            return v
+        return v
+
+    out = pdf.copy()
+    for c in out.columns:
+        out[c] = out[c].map(canon)
+    return out.sort_values(by=list(out.columns), na_position="first",
+                           kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    errs: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        errs.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        errs.append(f"columns: spark={sc} duck={dc}")
+        return errs
+    if errs:
+        return errs
+    s, d = normalize_pdf(spark_pdf), normalize_pdf(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if abs(a - b) <= 1e-9 + 1e-9 * max(abs(a), abs(b)):
+                    continue
+            if a == b:
+                continue
+            errs.append(f"col {c} row {i}: spark={a!r} duck={b!r}")
+            if len(errs) > 5:
+                return errs
+    return errs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from zdb_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{args.sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_pdf)} rows (no oracle), "
+                  f"{time.time()-t0:.1f}s")
+            n_rows_only += 1
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, spark_pdf, duck_pdf)
+        if errs:
+            print(f"FAIL  {name} ({len(spark_pdf)} vs {len(duck_pdf)} rows):")
+            for e in errs[:6]:
+                print(f"      {e}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(spark_pdf)} rows, {time.time()-t0:.1f}s")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,14 +104,14 @@ def nanos_to_ts(col: Column | str) -> Column:
 def _int_div(c: Column, divisor: int) -> Column:
     """Exact truncating integer division for long columns.
 
-    Naive ``(c / 1000).cast("long")`` routes through double division,
-    which is inexact once the quotient nears 2^53 and can land an
-    off-by-one µs at 2024-era epochs.  Subtracting the remainder first
-    makes the numerator exactly divisible, so the double quotient is an
-    exactly-representable integer (|q| < 2^53) and the cast is exact.
+    Any route through ``/`` on longs converts the NUMERATOR to double
+    first; at 2024-era epoch-nanos (~1.7e18 ≫ 2^53) that alone loses up
+    to ~128 ns and lands off-by-one results.  Decimal(38,0) division is
+    exact at any epoch; floor+cast recovers the truncated quotient.
+    (For negative values floor ≠ truncate-toward-zero; epoch values
+    here are post-1970 by contract.)
     """
-    d = F.lit(divisor)
-    return ((c - c % d) / d).cast("long")
+    return F.floor(c.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
 
 
 def ts_to_nanos(col: Column | str) -> Column:

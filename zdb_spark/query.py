@@ -73,10 +73,15 @@ def q(table: Table, scan: Callable, from_ts, to_ts,
     """
     lo, hi = to_nanos(from_ts), to_nanos(to_ts)
     cols = _projection_for(scan, table)
-    df = table.scan(lo, hi, cols)
 
     if ordered:
-        return _run_ordered(table, df, scan, cols)
+        # the sequential fold needs ts to derive/visit time partitions even
+        # when the scan function doesn't reference it
+        ts = table.schema.ts_col
+        proj = cols if ts in cols else [ts, *cols]
+        return _run_ordered(table, table.scan(lo, hi, proj), scan, cols)
+
+    df = table.scan(lo, hi, cols)
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []

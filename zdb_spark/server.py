@@ -1,0 +1,168 @@
+"""Thin HTTP layer reproducing the reference's API surface (SURVEY.md §2.8)
+in front of one long-lived SparkSession.
+
+Contracts (same URL shapes, JSON bodies, error style as
+/root/reference/src/server/mod.rs:71-153):
+- ``GET  /``                                → hello page
+- ``GET  /symbols/{table}/{column}``        → JSON array of symbol strings
+- ``GET  /ohlcv/{table}/{from}/{to}?symbols=A,B`` →
+  ``{results: {SYM: {t,o,h,l,c,v}}, min_date, max_date}``
+- ``POST /q`` ``{table, query, from, to}``  → query result as JSON
+
+Differences, by design:
+- ``/q`` bodies contain PYTHON defining ``def scan(colA, colB...)``
+  (pandas Series args) instead of Julia — the same
+  "scripting-language-as-query-language" thesis with Spark owning the
+  parallelism (SURVEY.md §2.5 mapping).  Executing request bodies is
+  exactly as trusting as the reference's embedded-Julia endpoint; bind to
+  localhost and front with auth in any real deployment.
+- Results serialize as JSON (not Julia Serialization).
+- Errors are 400s with text messages mirroring the reference's
+  (table missing / column missing / must-define-scan).
+
+The handler is intentionally framework-free (http.server) — the container
+has no Flask; concurrency comes from ThreadingHTTPServer + Spark's FAIR
+scheduler, replacing the reference's fork-per-connection workers
+(/root/reference/src/main.rs:16-49).
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from .functions.scalar import string_to_nanoseconds
+from .ohlcv import ohlcv
+from .query import q
+from .table import Table, TableNotFoundError
+
+__all__ = ["make_server", "serve"]
+
+_HELLO = b"<html><body><h1>zdb-spark</h1><p>PySpark-native analytics engine" \
+         b"</p></body></html>"
+
+
+def _json_default(v):
+    import datetime as dt
+
+    if isinstance(v, (dt.date, dt.datetime)):
+        return str(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    if hasattr(v, "tolist"):  # numpy array / pandas Series
+        return v.tolist()
+    if hasattr(v, "to_dict"):  # pandas DataFrame
+        return v.to_dict(orient="list")
+    return str(v)
+
+
+def make_server(spark: SparkSession, home: str | None = None,
+                host: str = "127.0.0.1", port: int = 7878) -> ThreadingHTTPServer:
+    """Build (don't start) the HTTP server bound to the given session."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        # -- plumbing ---------------------------------------------------- #
+        def _send(self, code: int, body: bytes,
+                  ctype: str = "application/json") -> None:
+            self.send_response(code)
+            self.send_header("content-type", ctype)
+            self.send_header("content-length", str(len(body)))
+            # same CORS header the reference adds
+            # (/root/reference/src/server/mod.rs:25)
+            self.send_header("access-control-allow-origin", "*")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _err(self, msg: str) -> None:
+            self._send(400, msg.encode(), "text/plain")
+
+        # -- routes ------------------------------------------------------ #
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            try:
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                if not parts:
+                    self._send(200, _HELLO, "text/html")
+                elif parts[0] == "symbols" and len(parts) == 3:
+                    self._symbols(parts[1], parts[2])
+                elif parts[0] == "ohlcv" and len(parts) == 4:
+                    qs = parse_qs(url.query)
+                    syms = [s for s in
+                            qs.get("symbols", [""])[0].split(",") if s]
+                    self._ohlcv(parts[1], parts[2], parts[3], syms)
+                else:
+                    self._err(f"unknown path {url.path}")
+            except TableNotFoundError as e:
+                self._err(str(e))
+            except Exception as e:
+                self._err(f"{type(e).__name__}: {e}")
+
+        def do_POST(self) -> None:  # noqa: N802
+            try:
+                if urlparse(self.path).path != "/q":
+                    self._err("unknown path")
+                    return
+                n = int(self.headers.get("content-length", 0))
+                body = json.loads(self.rfile.read(n))
+                self._q(body)
+            except TableNotFoundError as e:
+                self._err(str(e))
+            except Exception as e:
+                traceback.print_exc()
+                self._err(f"{type(e).__name__}: {e}")
+
+        # -- endpoint impls ---------------------------------------------- #
+        def _symbols(self, table: str, column: str) -> None:
+            t = Table.open(spark, table, home)
+            self._send(200, json.dumps(t.symbols(column)).encode())
+
+        def _ohlcv(self, table: str, from_s: str, to_s: str,
+                   symbols: list[str]) -> None:
+            t = Table.open(spark, table, home)
+            out = ohlcv(t, string_to_nanoseconds(from_s),
+                        string_to_nanoseconds(to_s), symbols or None)
+            self._send(200, json.dumps(out, default=_json_default).encode())
+
+        def _q(self, body: dict) -> None:
+            for k in ("table", "query"):
+                if k not in body:
+                    self._err(f"missing field {k!r}")
+                    return
+            t = Table.open(spark, body["table"], home)
+            from_ts = body.get("from", t.get_first_ts() or 0)
+            to_ts = body.get("to", t.get_last_ts() or 0)
+            if isinstance(from_ts, str):
+                from_ts = string_to_nanoseconds(from_ts)
+            if isinstance(to_ts, str):
+                to_ts = string_to_nanoseconds(to_ts)
+            # reference contract: the query text must define `scan`
+            # (/root/reference/src/server/query.rs:156-165); evaluated in a
+            # throwaway namespace so repeated queries reset state.
+            ns: dict = {}
+            exec(compile(body["query"], "<query>", "exec"), ns)  # noqa: S102
+            if "scan" not in ns:
+                self._err("query must define a function named scan")
+                return
+            res = q(t, ns["scan"], from_ts, to_ts,
+                    ordered=bool(body.get("ordered", False)))
+            self._send(200, json.dumps({"result": res},
+                                       default=_json_default).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve(spark: SparkSession, home: str | None = None,
+          host: str = "127.0.0.1", port: int = 7878) -> None:
+    """Blocking serve loop."""
+    srv = make_server(spark, home, host, port)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()

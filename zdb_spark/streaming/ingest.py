@@ -1,0 +1,154 @@
+"""Structured Streaming ingest: the reference's append-only ordered write
+path (/root/reference/src/table/write.rs:62-121) re-expressed as a stream.
+
+zdb's ingest contract: rows arrive in non-decreasing timestamp order;
+out-of-order rows panic (/root/reference/src/table/write.rs:79-84).  A
+distributed stream cannot promise a global order, so the Spark-native
+contract is event-time + watermark: late rows within the watermark are
+still placed in their correct time partition; rows later than the
+watermark are dropped by windowed aggregations (the explicit late-data
+policy SURVEY.md §7 calls for where zdb simply panicked).
+
+Pieces:
+- ``stream_writer``  — readStream → derive dt → partitionBy(dt) Parquet
+  append sink with checkpoint (exactly-once file sink).
+- ``stream_resample`` — windowed OHLCV aggregation with watermark: the
+  streaming version of ohlcv.resample (same operator; BASELINE.json's
+  stated approach).
+- ``SessionizeState`` / ``sessionize`` — applyInPandasWithState custom
+  stateful operator (session windows by inactivity gap), the pattern for
+  operators Spark's built-in windows can't express.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from ..functions.scalar import nanos_to_ts
+from ..schema import PartitionBy
+
+__all__ = ["stream_writer", "stream_resample", "sessionize"]
+
+
+def stream_writer(stream_df: DataFrame, path: str, checkpoint: str,
+                  ts_col: str = "ts",
+                  partition_by: PartitionBy = PartitionBy.DAY,
+                  ts_is_nanos: bool = True,
+                  trigger_seconds: int | None = None):
+    """Append-mode Parquet sink partitioned by derived ``dt``.
+
+    The checkpoint gives exactly-once semantics over the file sink — the
+    streaming stand-in for zdb's flush/truncate durability step
+    (/root/reference/src/table/write.rs:212-234).  Returns the started
+    StreamingQuery.
+    """
+    ts_utc = nanos_to_ts(ts_col) if ts_is_nanos else F.col(ts_col)
+    fmt = partition_by.date_format
+    out = stream_df.withColumn(
+        "dt", F.date_format(ts_utc, fmt) if fmt else F.lit("all"))
+    writer = (out.writeStream.format("parquet")
+              .option("path", path)
+              .option("checkpointLocation", checkpoint)
+              .partitionBy("dt")
+              .outputMode("append"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_resample(stream_df: DataFrame, every: str,
+                    ts_col: str = "ts", symbol_col: str | None = "sym",
+                    price_col: str = "price", volume_col: str | None = None,
+                    watermark: str = "10 minutes",
+                    ts_is_nanos: bool = True) -> DataFrame:
+    """Streaming tumbling-window OHLCV with late-data watermark.
+
+    Same aggregation as ohlcv.resample (min_by/max_by single-pass bars)
+    over an unbounded stream; rows later than ``watermark`` are dropped —
+    the explicit policy replacing the reference's out-of-order panic.
+    Emits in append mode once windows close.
+    """
+    ts_utc = nanos_to_ts(ts_col) if ts_is_nanos else F.col(ts_col)
+    src = (stream_df.withColumn("_ts_utc", ts_utc)
+           .withWatermark("_ts_utc", watermark))
+    keys = [F.window("_ts_utc", every).alias("w")]
+    if symbol_col:
+        keys.append(F.col(symbol_col))
+    p = F.col(price_col)
+    aggs = [
+        F.min_by(p, F.col("_ts_utc")).alias("open"),
+        F.max(p).alias("high"),
+        F.min(p).alias("low"),
+        F.max_by(p, F.col("_ts_utc")).alias("close"),
+    ]
+    if volume_col:
+        aggs.append(F.sum(volume_col).alias("volume"))
+    out = src.groupBy(*keys).agg(*aggs)
+    return out.select(F.col("w.start").alias("bucket_start"),
+                      *([symbol_col] if symbol_col else []),
+                      "open", "high", "low", "close",
+                      *(["volume"] if volume_col else []))
+
+
+_SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", LongType()),
+    StructField("session_end", LongType()),
+    StructField("n_events", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start", LongType()),
+    StructField("last", LongType()),
+    StructField("count", LongType()),
+])
+
+
+def sessionize(stream_df: DataFrame, gap_nanos: int,
+               key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Custom stateful operator: inactivity-gap session windows via
+    ``applyInPandasWithState`` — the template for stateful semantics the
+    built-in windows can't express (SURVEY.md §2.7 streaming surface).
+
+    Emits one row per closed session: (key, session_start, session_end,
+    n_events), timestamps in epoch nanos.  State per key is (start, last,
+    count); a batch whose first event is more than ``gap_nanos`` after
+    the stored ``last`` closes the old session.
+    """
+    import pandas as pd
+
+    def fn(key: Tuple[Any, ...], pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator["pd.DataFrame"]:
+        (uid,) = key
+        if state.exists:
+            start, last, count = state.get
+        else:
+            start = last = None
+            count = 0
+        closed = []
+        for pdf in pdfs:
+            for t in sorted(pdf[ts_col].tolist()):
+                t = int(t)
+                if start is None:
+                    start, last, count = t, t, 1
+                elif t - last > gap_nanos:
+                    closed.append((uid, start, last, count))
+                    start, last, count = t, t, 1
+                else:
+                    last = t
+                    count += 1
+        if start is not None:
+            state.update((start, last, count))
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "session_start",
+                                                "session_end", "n_events"])
+
+    return (stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout))

@@ -32,7 +32,16 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # These land as ONE small parquet file → one input partition, which
+        # serializes every compute-heavy operator downstream.  Spread to the
+        # session's parallelism (a real cluster gets this from many input
+        # splits; the tiny shuffle is noise next to the per-row compute).
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:

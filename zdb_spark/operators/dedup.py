@@ -38,6 +38,20 @@ def normalize_text(text: Column | str) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
+def let(expr: Column, fn) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``expr`` ONCE per row
+    and pass it to ``fn`` as a lambda variable.
+
+    Higher-order-function lambda bodies re-evaluate their whole captured
+    subtree per array element — embedding a regexp in a ``transform``
+    lambda over n elements runs the regexp n times per row, and nesting
+    multiplies.  Binding through a one-element ``transform`` makes the
+    subtree a lambda variable, evaluated once.  (Catalyst has no native
+    let/common-subexpression node for HOF bodies.)
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 normalized: bool = True) -> DataFrame:
     """Exact (optionally normalization-invariant) duplicate groups.
@@ -54,10 +68,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def shingle_col(text: Column | str, k: int = 5) -> Column:
-    """Distinct k-char shingles of normalized text (JVM-side)."""
-    c = normalize_text(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, F.lit(k))))
+    """Distinct k-char shingles of normalized text (JVM-side).
+
+    The normalized string is let-bound so the regexp runs once per row,
+    not once per shingle.
+    """
+    def mk(n: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(n) - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.substring(n, i, F.lit(k))))
+
+    return let(normalize_text(text), mk)
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
@@ -66,18 +87,20 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """num_hashes-wide MinHash signature over k-char shingles.
 
     Permutation *i* is ``xxhash64(shingle, i)`` (seeded 64-bit hash);
-    signature element *i* is the min over the doc's shingles.  All inside
-    codegen — no Python per row.
+    signature element *i* is the min over the doc's shingles.
+
+    Built as ONE nested higher-order expression over a let-bound shingle
+    array — ``transform(sequence(0, n-1), i -> array_min(transform(sh,
+    s -> xxhash64(s, i))))`` — rather than n separate array expressions:
+    the naive form re-computes the shingle array (and its regexp) once
+    per permutation per row; this form evaluates shingles once and scales
+    O(|shingles|·n) with a tiny plan.
     """
-    sh = shingle_col(text_col, k)
-
-    # NB: the lambda must take exactly ONE positional arg — pyspark treats
-    # a second parameter (even defaulted) as the (element, index) lambda
-    # variant and binds it to the array-index Column.
-    def perm_min(i: int):
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
-
-    sig = F.array(*[perm_min(i) for i in range(num_hashes)])
+    sig = let(
+        shingle_col(text_col, k),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i)))))
     return df.withColumn(out_col, sig)
 
 
@@ -115,23 +138,35 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     cand = (a.join(b, ["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").dropDuplicates())
 
-    # Fetch per-doc data once per unique candidate pair.
-    pa = base.select(F.col("_id").alias("id_a"), F.col("minhash").alias("sig_a"),
-                     F.col("_sh").alias("sh_a"))
-    pb = base.select(F.col("_id").alias("id_b"), F.col("minhash").alias("sig_b"),
-                     F.col("_sh").alias("sh_b"))
-    pairs = cand.join(pa, "id_a").join(pb, "id_b")
-
+    # Two-stage verify.  Banding at these (bands, rows) settings floods the
+    # candidate set with false positives from one shared boilerplate band
+    # (template-heavy corpora produce 100×-over-true candidate counts), so
+    # verifying every candidate against the full shingle sets shuffles
+    # |cand| × 2·|shingles| strings.  Stage 1 screens on the 64-long
+    # SIGNATURE estimate (cheap, already materialized) with a 3σ margin so
+    # true pairs pass; stage 2 exact-verifies only the survivors.
+    sigs_a = base.select(F.col("_id").alias("id_a"),
+                         F.col("minhash").alias("sig_a"))
+    sigs_b = base.select(F.col("_id").alias("id_b"),
+                         F.col("minhash").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y),
                            lambda m: m))
            .cast("double") / F.lit(num_hashes))
+    margin = 3.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5
+    screened = (cand.join(sigs_a, "id_a").join(sigs_b, "id_b")
+                .withColumn("est_jaccard", F.round(est, 6))
+                .where(F.col("est_jaccard") >= threshold - margin)
+                .select("id_a", "id_b", "est_jaccard"))
+
+    pa = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    pb = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (pairs.withColumn("est_jaccard", F.round(est, 6))
-                 .withColumn("jaccard", F.round(inter / union, 6))
-                 .where(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "est_jaccard", "jaccard"))
+    return (screened.join(pa, "id_a").join(pb, "id_b")
+                    .withColumn("jaccard", F.round(inter / union, 6))
+                    .where(F.col("jaccard") >= threshold)
+                    .select("id_a", "id_b", "est_jaccard", "jaccard"))
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -145,20 +180,29 @@ def simhash(df: DataFrame, text_col: str = "text",
     toks = F.split(normalize_text(text_col), " ")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def bit_mask(i: int):
-        # bit 63 must be the long's sign bit, not a Python bignum
-        return F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))
-
-    def bit_vote(i: int):
-        mask = bit_mask(i)
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1))
-                                  .otherwise(F.lit(-1)))
-
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        fp = fp + F.when(bit_vote(i) > 0, bit_mask(i)).otherwise(F.lit(0))
+    # Single pass over the token hashes: fold into a 64-wide vote vector
+    # (votes[i] += hash bit i ? +1 : -1), then OR the positive-vote bit
+    # masks together.  One aggregate instead of 64 — the naive per-bit
+    # form walks the token array 64 times and breaks codegen with a
+    # 64-aggregate expression tree.  Bit masks are a literal array (bit 63
+    # is the long's sign bit, not a Python bignum); OR (not +) assembles
+    # the fingerprint so it can't overflow under ANSI arithmetic.
+    mask_lits = F.array(*[
+        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        for i in range(64)
+    ])
+    zeros = F.array_repeat(F.lit(0), 64)
+    votes = F.aggregate(
+        hashes, zeros,
+        lambda acc, h: F.zip_with(
+            acc, mask_lits,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                              .otherwise(F.lit(-1))))
+    masks = F.zip_with(
+        votes, mask_lits,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    fp = F.aggregate(masks, F.lit(0).cast("long"),
+                     lambda acc, m: acc.bitwiseOR(m))
     return df.withColumn(out_col, fp)
 
 
@@ -196,30 +240,68 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        threshold: float = 0.8,
-                        max_shingle_freq: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a prefix-filtered inverted
+    index (PPJoin-style set-similarity join).
 
-    explode(shingles) → frequency-cap boilerplate shingles
-    (``max_shingle_freq``) → self-join on shingle → count shared →
-    Jaccard from per-doc shingle counts.  The frequency cap is what keeps
-    the join product bounded at corpus scale (a stopword-like shingle
-    otherwise pairs everything with everything).
+    Prefix filter: order each doc's shingles by a global total order; if
+    J(a,b) >= t, a and b MUST share a shingle among each one's first
+    ``floor((1-t)·n)+1`` shingles.  Only that prefix is exploded into the
+    inverted index.  The canonical order is ASCENDING GLOBAL FREQUENCY
+    (ties by hash) — the PPJoin choice — so prefixes hold each doc's
+    RAREST shingles and hot boilerplate shingles (present in most docs)
+    never reach the index; a random/hash order instead sprays hot
+    shingles across prefixes and the candidate count explodes
+    quadratically on template-heavy corpora.  A length-ratio filter
+    (J <= min/max sizes) prunes inside the join; survivors are verified
+    EXACTLY with array_intersect on the raw shingle sets, so the output
+    matches the brute-force oracle bit-for-bit.  Costs one extra linear
+    groupBy+join pass to count shingle frequencies — shuffle-heavy but
+    O(corpus), vs the O(pairs²) it prevents.
     """
     sh = (df.select(F.col(id_col).alias("_id"),
                     shingle_col(text_col, k).alias("_sh"))
-            .withColumn("n_sh", F.size("_sh")))
-    inv = sh.select("_id", "n_sh", F.explode("_sh").alias("g"))
-    freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df_"))
-    inv = (inv.join(freq.where(F.col("df_") <= max_shingle_freq), "g")
-              .drop("df_"))
+            .withColumn("n_sh", F.size("_sh"))
+            # hashed shingle set for the verify stage: intersecting sorted
+            # long arrays is several× cheaper than string arrays, and the
+            # 64-bit hash keeps the Jaccard exact in practice
+            .withColumn("_shh", F.sort_array(
+                F.transform("_sh", lambda s: F.xxhash64(s))))
+            .drop("_sh")
+            .cache())
+    allinv = sh.select("_id", F.explode("_shh").alias("s"))
+    freq = allinv.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+    # per-doc prefix of the (freq, hash)-ordered shingle list
+    ranked = (allinv.join(freq, "s")
+              .groupBy("_id")
+              .agg(F.array_sort(F.collect_list(
+                  F.struct(F.col("f"), F.col("s").alias("h"))))
+                  .alias("_ord")))
+    prefixed = (sh.join(ranked, "_id")
+                .withColumn("_pref", let(
+                    F.col("_ord"),
+                    lambda o: F.transform(
+                        F.slice(o, 1,
+                                F.floor(F.lit(1.0 - threshold)
+                                        * F.size(o)).cast("int") + 1),
+                        lambda e: e["h"]))))
+    inv = prefixed.select("_id", "n_sh", F.explode("_pref").alias("g"))
     a = inv.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"), "g")
     b = inv.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
-    shared = (a.join(b, ["g"]).where(F.col("id_a") < F.col("id_b"))
-               .groupBy("id_a", "id_b", "na", "nb")
-               .agg(F.count(F.lit(1)).alias("shared")))
-    jac = (F.col("shared").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("shared")))
-    return (shared.withColumn("jaccard", F.round(jac, 6))
-                  .where(F.col("jaccard") >= threshold)
-                  .select("id_a", "id_b", "jaccard"))
+    cand = (a.join(b, ["g"]).where(
+                (F.col("id_a") < F.col("id_b"))
+                & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+                & (F.col("nb") >= F.lit(threshold) * F.col("na")))
+             .select("id_a", "id_b").dropDuplicates())
+    # exact verify on the (broadcastable) hashed sets; union derived from
+    # sizes (|a∪b| = na+nb-|a∩b|) so only ONE array op runs per pair
+    pa = sh.select(F.col("_id").alias("id_a"), F.col("_shh").alias("sh_a"),
+                   F.col("n_sh").alias("na"))
+    pb = sh.select(F.col("_id").alias("id_b"), F.col("_shh").alias("sh_b"),
+                   F.col("n_sh").alias("nb"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (cand.join(pa, "id_a").join(pb, "id_b")
+                .withColumn("jaccard", F.round(jac, 6))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))

@@ -109,12 +109,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     distinct-shingle count.  Rolling-hash flavored but built on md5 so the
     DuckDB oracle can reproduce it bit-for-bit.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    shingles = F.array_distinct(F.expr(
-        f"transform(sequence(1, greatest(length("
-        f"regexp_replace(trim(lower({text_col})), '\\\\s+', ' ')) - {k - 1}, 1)), "
-        f"i -> substring(regexp_replace(trim(lower({text_col})), '\\\\s+', ' '), i, {k}))"))
-    return df.withColumns({
-        "fp_min_hash": F.array_min(F.transform(shingles, lambda s: F.md5(s.cast("binary")))),
-        "n_shingles": F.size(shingles),
-    })
+    from .dedup import let, shingle_col
+
+    out = let(
+        shingle_col(text_col, k),
+        lambda sh: F.struct(
+            F.array_min(F.transform(
+                sh, lambda s: F.md5(s.cast("binary")))).alias("fp"),
+            F.size(sh).alias("n")))
+    return (df.withColumn("_fp", out)
+              .withColumns({"fp_min_hash": F.col("_fp.fp"),
+                            "n_shingles": F.col("_fp.n")})
+              .drop("_fp"))

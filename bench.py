@@ -54,6 +54,9 @@ def main() -> int:
         t0 = time.time()
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        # drop per-query caches (operators cache intermediates internally)
+        # so one query's retained blocks don't skew the next measurement
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -215,6 +215,80 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_ship"))
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers who have at least one urgent order."""
+    c = _load(spark, sf_dir, "customer")
+    o = (_load(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders at all."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_acctbal"))
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over order status × priority."""
+    o = _load(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per return flag."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                  .alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                  .alias("p90"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4)
+                  .alias("p99")))
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function pack over part names: substr/upper/length/concat."""
+    p = _load(spark, sf_dir, "part")
+    return (p.groupBy(F.upper(F.substring("p_name", 1, 3)).alias("prefix"))
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
+                 F.min(F.concat_ws("|", "p_brand", "p_type"))
+                  .alias("min_brand_type")))
+
+
+def q_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month buckets (F5 partition-unit truncation analogue)."""
+    o = _load(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                    "yyyy-MM-dd").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user session count at a 1h inactivity gap
+    (lag + cumulative gap-count window — the batch form of the streaming
+    applyInPandasWithState sessionizer)."""
+    from pyspark.sql import Window
+
+    gap = 3600 * 10**9  # 1h in nanos
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = ev.withColumn(
+        "new_session",
+        (F.col("ts") - F.lag("ts", 1).over(w) > gap).cast("int"))
+    return (with_gap.groupBy("user_id")
+            .agg((F.coalesce(F.sum("new_session"), F.lit(0)) + 1)
+                 .alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 # --------------------------------------------------------------------- #
 # LLM-pipeline operators (BASELINE.json north star)                      #
 # --------------------------------------------------------------------- #
@@ -290,6 +364,28 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(qvec), k=10)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: sampled spherical-kmeans coarse quantizer + probe
+    (no SQL oracle — rows-only; recall asserted in tests/)."""
+    from zdb_spark.operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(emb, list(qvec), k=10, n_centroids=16, n_probe=4)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (no SQL oracle — rows-only)."""
+    from zdb_spark.operators.similarity import embedding_dedup_pairs
+
+    emb = _load(spark, sf_dir, "embeddings")
+    # testdata embeddings are near-orthogonal (max pairwise cosine ~0.51),
+    # so the "near-dup" threshold is set low enough to exercise the
+    # verify path; bits/tables sized for ~80% recall at cos 0.4
+    return embedding_dedup_pairs(emb, "embedding", "vec_id",
+                                 threshold=0.4, num_bits=4, num_tables=8)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (no SQL oracle — rows-only check; recall vs
     brute force is asserted in tests/)."""
@@ -346,6 +442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_except": q_setops_except,
         "rollup_revenue": q_rollup_revenue,
         "agg_stats": q_agg_stats,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "cube_orders": q_cube_orders,
+        "percentiles": q_percentiles,
+        "string_funcs": q_string_funcs,
+        "month_rollup": q_month_rollup,
+        "sessionize_batch": q_sessionize_batch,
         # LLM-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -357,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
+        "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         "multimodal_bytes": q_multimodal_bytes,
     }
@@ -460,6 +565,60 @@ def oracle_sql() -> dict[str, str]:
                    min(l_shipdate) AS min_ship,
                    max(l_shipdate) AS max_ship
             FROM lineitem
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY 1
+        """,
+        "string_funcs": """
+            SELECT upper(substr(p_name, 1, 3)) AS prefix,
+                   count(*) AS n_parts,
+                   round(avg(length(p_name)), 6) AS avg_name_len,
+                   min(p_brand || '|' || p_type) AS min_brand_type
+            FROM part GROUP BY 1
+        """,
+        "month_rollup": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                       AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "sessionize_batch": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch_ns(ts)
+                                 - lag(epoch_ns(ts)) OVER (
+                                     PARTITION BY user_id ORDER BY ts)
+                                 > 3600000000000
+                            THEN 1 END AS new_session
+                FROM events
+            )
+            SELECT user_id,
+                   coalesce(sum(new_session), 0) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY 1
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))

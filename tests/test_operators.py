@@ -150,6 +150,25 @@ class TestSimilarity:
         assert len(set(exact) & set(approx)) >= 3
         assert 0 in approx and 1 in approx
 
+    def test_ivf_recall(self, emb):
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        exact = [r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, qv, k=5).collect()]
+        approx = [r["vec_id"] for r in
+                  similarity.ivf_topk(emb, qv, k=5, n_centroids=4,
+                                      n_probe=2).collect()]
+        assert len(set(exact) & set(approx)) >= 3
+        assert 0 in approx
+
+    def test_embedding_dedup_finds_planted_pair(self, emb):
+        pairs = similarity.embedding_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.95,
+            num_bits=6, num_tables=6, dim=16).collect()
+        got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in pairs}
+        assert (0, 1) in got  # the planted near-duplicate
+        assert got[(0, 1)] > 0.99
+        assert all(v >= 0.95 for v in got.values())
+
     def test_knn_join(self, emb):
         left = emb.where(F.col("vec_id") < 3)
         out = similarity.knn_join_bruteforce(left, emb, k=2,

@@ -1,0 +1,94 @@
+"""Tests for plan introspection (the scale discipline: filters must reach
+the scan) and the source connectors."""
+
+import os
+
+import pytest
+
+from pyspark.sql import Row
+
+from zdb_spark.plans.inspect import assert_pushdown, scan_report
+from zdb_spark.schema import ColumnType, PartitionBy, Schema
+from zdb_spark.sources.readers import (convert_column_type, ingest_csv,
+                                       ingest_json, rows)
+from zdb_spark.table import Table
+
+NS = 1_000_000_000
+DAY = 86_400 * NS
+T0 = 1704067200 * NS
+
+
+def make_table(spark, home, name="src1"):
+    schema = (Schema(name)
+              .add_col("sym", ColumnType.SYMBOL16)
+              .add_col("price", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    return Table.create(spark, schema, home=home)
+
+
+class TestPlanInspect:
+    def test_scan_report_shows_pruning(self, spark, tmp_home):
+        t = make_table(spark, tmp_home)
+        rows(t, [(T0 + i * DAY, "A", float(i)) for i in range(5)])
+        rep = scan_report(t.scan(T0 + DAY, T0 + 2 * DAY, ["ts", "price"]))
+        assert rep.has_partition_pruning
+        assert rep.has_pushed_filters
+        assert "price" in rep.read_schema
+        assert "sym" not in rep.read_schema  # projection pruned
+
+    def test_assert_pushdown_passes(self, spark, tmp_home):
+        t = make_table(spark, tmp_home)
+        rows(t, [(T0, "A", 1.0)])
+        assert_pushdown(t.scan(T0, T0 + DAY), want_columns=["ts"])
+
+    def test_assert_pushdown_catches_missing(self, spark, tmp_home):
+        t = make_table(spark, tmp_home)
+        rows(t, [(T0, "A", 1.0)])
+        with pytest.raises(AssertionError):
+            assert_pushdown(t.df())  # no filters at all
+
+    def test_no_shuffle_in_pure_scan(self, spark, tmp_home):
+        t = make_table(spark, tmp_home)
+        rows(t, [(T0, "A", 1.0)])
+        rep = scan_report(t.scan(T0, T0 + DAY))
+        assert rep.exchanges == 0
+
+
+class TestSources:
+    def test_rows_append(self, spark, tmp_home):
+        t = make_table(spark, tmp_home)
+        assert rows(t, [(T0, "A", 1.0), (T0 + 1, "B", 2.0)]) == 2
+        assert t.row_count == 2
+
+    def test_ingest_csv(self, spark, tmp_home, tmp_path):
+        t = make_table(spark, tmp_home)
+        p = tmp_path / "in.csv"
+        p.write_text("ts,sym,price\n"
+                     f"{T0},AAPL,10.5\n{T0 + 1},MSFT,20.25\n")
+        assert ingest_csv(t, str(p)) == 2
+        got = {r["sym"]: r["price"] for r in t.scan().collect()}
+        assert got == {"AAPL": 10.5, "MSFT": 20.25}
+
+    def test_ingest_json(self, spark, tmp_home, tmp_path):
+        t = make_table(spark, tmp_home)
+        p = tmp_path / "in.jsonl"
+        p.write_text(f'{{"ts": {T0}, "sym": "GOOG", "price": 5.5}}\n')
+        assert ingest_json(t, str(p)) == 1
+
+    def test_ingest_enforces_order(self, spark, tmp_home):
+        from zdb_spark.table import OutOfOrderError
+
+        t = make_table(spark, tmp_home)
+        rows(t, [(T0 + DAY, "A", 1.0)])
+        with pytest.raises(OutOfOrderError):
+            rows(t, [(T0, "B", 2.0)])
+
+    def test_convert_column_type(self, spark, tmp_home):
+        t = make_table(spark, tmp_home)
+        rows(t, [(T0, "A", 1.5), (T0 + 1, "B", 2.5)])
+        convert_column_type(spark, "src1", "price", ColumnType.F32,
+                            home=tmp_home)
+        t2 = Table.open(spark, "src1", home=tmp_home)
+        assert t2.schema.column("price").ctype is ColumnType.F32
+        assert t2.df().schema["price"].dataType.typeName() == "float"
+        assert t2.df().count() == 2

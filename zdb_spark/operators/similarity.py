@@ -22,7 +22,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
-           "lsh_topk", "knn_join_bruteforce"]
+           "lsh_topk", "knn_join_bruteforce", "ivf_index", "ivf_topk",
+           "embedding_dedup_pairs"]
 
 
 def _as_double(c: Column) -> Column:
@@ -111,6 +112,121 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         cand = hits if cand is None else cand.unionByName(hits)
     cand = cand.dropDuplicates([id_col])
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_index(df: DataFrame, vec_col: str = "embedding",
+              n_centroids: int = 16, sample_size: int = 4096,
+              iters: int = 10, seed: int = 42,
+              out_col: str = "centroid_id") -> tuple[DataFrame, "np.ndarray"]:
+    """IVF coarse quantizer: k-means centroids trained on a driver-side
+    SAMPLE, assignment fully distributed.
+
+    Training on a bounded sample (not the corpus) is the standard IVF
+    recipe — at 100 TB the sample is a single ``df.sample`` scan and the
+    k-means runs in milliseconds on the driver; assignment is one
+    narrow map with the centroid matrix broadcast by value.  Returns
+    (df + centroid_id column, centroids ndarray).
+    """
+    rows = (df.select(vec_col).sample(False, 1.0, seed)
+            .limit(sample_size).collect())
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                         replace=False)]
+    for _ in range(iters):  # spherical k-means on the sample
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            m = X[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    assigned = df.withColumn(out_col, _nearest_centroid_col(vec_col, cents))
+    return assigned, cents
+
+
+def _nearest_centroid_col(vec_col: str, cents: "np.ndarray") -> Column:
+    """argmax_c (v·c) as a JVM-side expression; centroid matrix inlined as
+    a literal array-of-arrays (broadcast-by-value, no Python at execution
+    time).
+
+    Linear-size expression: dots per centroid via one ``transform``, then
+    ``array_position(dots, array_max(dots))``.  (A running-argmax
+    ``when``-chain would reference the previous best TWICE per step —
+    exponential tree growth that hangs the planner past ~12 centroids.)
+    """
+    from .dedup import let
+
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    dots = let(
+        _as_double(F.col(vec_col)),
+        lambda v: F.transform(
+            cents_arr,
+            lambda c: F.aggregate(F.zip_with(v, c, lambda x, y: x * y),
+                                  F.lit(0.0), lambda acc, x: acc + x)))
+    return let(dots,
+               lambda d: (F.array_position(d, F.array_max(d)) - 1)
+               .cast("int"))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_centroids: int = 16, n_probe: int = 4,
+             sample_size: int = 4096, seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` centroids nearest to
+    the query and exact-rerank only their members.
+
+    The scale path: with ``centroid_id`` persisted as a partition/bucket
+    column, a query scans ``n_probe/n_centroids`` of the corpus —
+    partition pruning does the candidate selection.
+    """
+    assigned, cents = ivf_index(df, vec_col, n_centroids, sample_size,
+                                seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(cents @ q))[:n_probe].tolist()
+    cand = assigned.where(F.col("centroid_id").isin(probe)).drop("centroid_id")
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", threshold: float = 0.95,
+                          num_bits: int = 8, num_tables: int = 4,
+                          dim: int = 64, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the 4th dedup family):
+    random-hyperplane bucketing for candidates + exact cosine verify.
+
+    A pair lands in the candidate set if any of ``num_tables``
+    hyperplane tables gives both vectors the same ``num_bits``-bit sign
+    signature (collision probability per table ``(1-θ/π)^bits`` — high
+    for near-parallel vectors).  The self-join is per (table, signature)
+    bucket, never all-pairs; exact cosine filters to ``>= threshold``.
+    """
+    tagged = df.select(F.col(id_col).alias("_id"), F.col(vec_col))
+    sigs = []
+    for t in range(num_tables):
+        tagged = hyperplane_signature(tagged, vec_col, num_bits, dim,
+                                      seed + 1000 * t, out_col=f"_sig{t}")
+        sigs.append(f"_sig{t}")
+    tagged = tagged.withColumn(
+        "_tb", F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(s).alias("sig"))
+            for t, s in enumerate(sigs)
+        ]))).select("_id", vec_col, "_tb.t", "_tb.sig")
+
+    a = tagged.select(F.col("_id").alias("id_a"),
+                      F.col(vec_col).alias("_va"), "t", "sig")
+    b = tagged.select(F.col("_id").alias("id_b"),
+                      F.col(vec_col).alias("_vb"), "t", "sig")
+    pairs = (a.join(b, ["t", "sig"]).where(F.col("id_a") < F.col("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
+    sim = cosine_sim(F.col("_va"), F.col("_vb"))
+    return (pairs.withColumn("cosine_sim", F.round(sim, 6))
+                 .where(F.col("cosine_sim") >= threshold)
+                 .select("id_a", "id_b", "cosine_sim"))
 
 
 def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int = 5,

@@ -119,6 +119,28 @@ def q_udf_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("partial_qty"), 4).alias("sum_qty")))
 
 
+def q_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 grouped-map form of the /q surface: applyInPandas per group
+    (OLS slope of value over time per event_type), oracle = regr_slope."""
+    import pandas as pd
+
+    ev = _load(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # seconds since epoch as the x axis; float64 OLS matches
+        # regr_slope's covariance/variance definition
+        x = pdf["ts"].to_numpy("float64") / 1e9
+        y = pdf["value"].to_numpy("float64")
+        xc = x - x.mean()
+        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        return pd.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                             "slope": [round(slope, 6)],
+                             "n_obs": [len(pdf)]})
+
+    return (ev.groupBy("event_type")
+            .applyInPandas(fit, "event_type string, slope double, n_obs long"))
+
+
 def q_market_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 F4 trading calendar as broadcast holiday join."""
     from zdb_spark.calendar import with_market_open
@@ -433,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlcv_daily": q_ohlcv_daily,
         "resample_1h": q_resample_1h,
         "udf_fold_sum": q_udf_fold_sum,
+        "grouped_pandas": q_grouped_pandas,
         "market_calendar": q_market_calendar,
         # relational surface
         "pricing_summary": q_pricing_summary,
@@ -498,6 +521,12 @@ def oracle_sql() -> dict[str, str]:
         "udf_fold_sum": """
             SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty
             FROM lineitem GROUP BY 1
+        """,
+        "grouped_pandas": """
+            SELECT event_type,
+                   round(regr_slope(value, epoch_ns(ts) / 1e9), 6) AS slope,
+                   count(*) AS n_obs
+            FROM events GROUP BY 1
         """,
         "market_calendar": """
             SELECT strftime(ts, '%Y-%m-%d') AS open_day, count(*) AS n_events,

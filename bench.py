@@ -29,10 +29,13 @@ HEADLINE = [
     "topk_customers",     # agg + top-k
     "window_running",     # window functions
     "udf_fold_sum",       # pandas-over-Arrow /q path
+    "grouped_pandas",     # applyInPandas grouped map
+    "sessionize_batch",   # window-function sessionization
     "dedup_exact",        # hash dedup
     "dedup_minhash",      # MinHash LSH near-dup
     "text_quality",       # text feature pack
     "knn_bruteforce",     # similarity search
+    "knn_ivf",            # IVF approximate ANN
 ]
 
 

@@ -44,11 +44,14 @@ def scan_report(df: DataFrame) -> ScanReport:
     plan = df._jdf.queryExecution().executedPlan().toString()
     rep = ScanReport()
 
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # NB: plan strings truncate long metadata lists at
+    # spark.sql.maxMetadataStringLength with "...", so the bracket may
+    # never close — accept either terminator.
+    m = re.search(r"PartitionFilters: \[([^\]\n]*?)(?:\]|\.\.\.)", plan)
     if m:
         rep.partition_filters = [s.strip() for s in m.group(1).split(",") if s.strip()]
         rep.has_partition_pruning = bool(rep.partition_filters)
-    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    m = re.search(r"PushedFilters: \[([^\]\n]*?)(?:\]|\.\.\.)", plan)
     if m:
         rep.pushed_filters = [s.strip() for s in m.group(1).split(",") if s.strip()]
         rep.has_pushed_filters = bool(rep.pushed_filters)

@@ -1,0 +1,107 @@
+"""HTTP layer tests: the reference's URL + JSON contracts (§2.8) served
+from one SparkSession — hello page, symbols dump, OHLCV shape, /q with a
+Python scan body, and the 400 error style."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from pyspark.sql import Row
+
+from zdb_spark.schema import ColumnType, PartitionBy, Schema
+from zdb_spark.server import make_server
+from zdb_spark.table import Table
+
+NS = 1_000_000_000
+MIN = 60 * NS
+T0 = 1704067200 * NS
+PORT = 17979
+
+
+@pytest.fixture(scope="module")
+def server(spark, tmp_path_factory):
+    home = str(tmp_path_factory.mktemp("srv_home"))
+    schema = (Schema("bars")
+              .add_col("sym", ColumnType.SYMBOL16)
+              .add_col("open", ColumnType.F64)
+              .add_col("high", ColumnType.F64)
+              .add_col("low", ColumnType.F64)
+              .add_col("close", ColumnType.F64)
+              .add_col("volume", ColumnType.U64)
+              .with_partition_by(PartitionBy.DAY))
+    t = Table.create(spark, schema, home=home)
+    rows = [Row(ts=T0 + i * MIN, sym=s, open=100.0 + i, high=101.0 + i,
+                low=99.0 + i, close=100.5 + i, volume=10 + i)
+            for i in range(5) for s in ("AAPL", "MSFT")]
+    t.write(spark.createDataFrame(rows))
+    srv = make_server(spark, home=home, port=PORT)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{PORT}"
+    srv.shutdown()
+
+
+def get(url):
+    return urllib.request.urlopen(url, timeout=120)
+
+
+class TestEndpoints:
+    def test_hello(self, server):
+        body = get(f"{server}/").read()
+        assert b"zdb-spark" in body
+
+    def test_favicon_cached(self, server):
+        r = get(f"{server}/favicon.ico")
+        assert r.status == 200
+        assert "max-age" in r.headers.get("cache-control", "")
+
+    def test_cors_header(self, server):
+        r = get(f"{server}/")
+        assert r.headers["access-control-allow-origin"] == "*"
+
+    def test_symbols(self, server):
+        assert json.loads(get(f"{server}/symbols/bars/sym").read()) \
+            == ["AAPL", "MSFT"]
+
+    def test_ohlcv_shape(self, server):
+        out = json.loads(get(
+            f"{server}/ohlcv/bars/{T0}/{T0 + 10 * MIN}?symbols=AAPL").read())
+        assert set(out) == {"results", "min_date", "max_date"}
+        a = out["results"]["AAPL"]
+        assert set(a) == {"t", "o", "h", "l", "c", "v"}
+        assert a["o"] == [100.0 + i for i in range(5)]
+        assert "MSFT" not in out["results"]
+
+    def test_ohlcv_date_strings(self, server):
+        # 3-format date parsing: %Y-%m-%d path
+        out = json.loads(get(
+            f"{server}/ohlcv/bars/2024-01-01/2024-01-02").read())
+        assert len(out["results"]) == 2
+
+    def test_q_python_scan(self, server):
+        body = json.dumps({
+            "table": "bars",
+            "query": "def scan(close, volume):\n"
+                     "    return [float(close.sum()), int(volume.sum())]",
+            "from": "2024-01-01", "to": "2024-01-02",
+        }).encode()
+        req = urllib.request.Request(f"{server}/q", data=body, method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert out["result"] == [1025.0, 120]
+
+    def test_unknown_table_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get(f"{server}/symbols/nope/sym")
+        assert ei.value.code == 400
+        assert "does not exist" in ei.value.read().decode()
+
+    def test_q_requires_scan_fn(self, server):
+        body = json.dumps({"table": "bars", "query": "x = 1"}).encode()
+        req = urllib.request.Request(f"{server}/q", data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+        assert "scan" in ei.value.read().decode()

@@ -90,6 +90,15 @@ def make_server(spark: SparkSession, home: str | None = None,
                 parts = [p for p in url.path.split("/") if p]
                 if not parts:
                     self._send(200, _HELLO, "text/html")
+                elif parts[0] == "favicon.ico":
+                    # parity with the reference's cached static icon
+                    # (/root/reference/src/server/mod.rs:71-81)
+                    self.send_response(200)
+                    self.send_header("content-type", "image/x-icon")
+                    self.send_header("cache-control",
+                                     "public, max-age=31536000")
+                    self.send_header("content-length", "0")
+                    self.end_headers()
                 elif parts[0] == "symbols" and len(parts) == 3:
                     self._symbols(parts[1], parts[2])
                 elif parts[0] == "ohlcv" and len(parts) == 4:

@@ -285,14 +285,31 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 F.floor(F.lit(1.0 - threshold)
                                         * F.size(o)).cast("int") + 1),
                         lambda e: e["h"]))))
-    inv = prefixed.select("_id", "n_sh", F.explode("_pref").alias("g"))
-    a = inv.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"), "g")
-    b = inv.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"), "g")
+    # posexplode: keep each prefix token's position for the POSITIONAL
+    # filter below (PPJoin): the globally-first common token of a pair
+    # has the smallest positions (pa, pb) in both sorted arrays, and all
+    # other common tokens sit after both — so overlap <= 1 + min(na-pa-1,
+    # nb-pb-1) = min(na-pa, nb-pb), and the max of this bound over shared
+    # prefix tokens is exactly the bound at that first common token.
+    inv = prefixed.select("_id", "n_sh",
+                          F.posexplode("_pref").alias("p", "g"))
+    a = inv.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"),
+                   F.col("p").alias("pa"), "g")
+    b = inv.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"),
+                   F.col("p").alias("pb"), "g")
+    # Jaccard >= t  ⟺  overlap >= t/(1+t) · (na+nb); prune any pair whose
+    # best positional overlap bound can't reach that.
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("na") + F.col("nb")))
+    ubound = F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
     cand = (a.join(b, ["g"]).where(
                 (F.col("id_a") < F.col("id_b"))
                 & (F.col("na") >= F.lit(threshold) * F.col("nb"))
                 & (F.col("nb") >= F.lit(threshold) * F.col("na")))
-             .select("id_a", "id_b").dropDuplicates())
+             .groupBy("id_a", "id_b")
+             .agg(F.max(ubound).alias("_ub"), F.max(alpha).alias("_alpha"))
+             .where(F.col("_ub") >= F.col("_alpha"))
+             .select("id_a", "id_b"))
     # exact verify on the (broadcastable) hashed sets; union derived from
     # sizes (|a∪b| = na+nb-|a∩b|) so only ONE array op runs per pair
     pa = sh.select(F.col("_id").alias("id_a"), F.col("_shh").alias("sh_a"),

@@ -429,6 +429,19 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_vecs")))
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode plumbing over mapInPandas (STUB codec —
+    deterministic; no SQL oracle, rows-only check)."""
+    from zdb_spark.operators.multimodal import decode_images
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    return (decode_images(docs, "blob", "doc_id")
+            .groupBy("channels")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("mean_luma"), 6).alias("avg_luma")))
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text→blob→JVM-side metadata extraction."""
     from zdb_spark.operators.multimodal import blob_metadata
@@ -487,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 

@@ -55,6 +55,15 @@ class TestFormatCurrency:
         out = format_currency(1_000_000.0, 5)
         assert "e" in out
 
+    def test_column_form_matches_scalar(self, spark):
+        from zdb_spark.functions.scalar import format_currency_col
+
+        vals = [1.5, 2.0, 123.456, 0.5]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = [r["s"] for r in
+               df.select(format_currency_col("v").alias("s")).collect()]
+        assert got == [format_currency(v) for v in vals]
+
 
 class TestToNanos:
     def test_int_passthrough(self):

@@ -20,8 +20,8 @@ import datetime as dt
 
 from pyspark.sql import Column, functions as F
 
-__all__ = ["string_to_nanoseconds", "format_currency", "to_nanos",
-           "nanos_to_ts", "ts_to_nanos"]
+__all__ = ["string_to_nanoseconds", "format_currency", "format_currency_col",
+           "to_nanos", "nanos_to_ts", "ts_to_nanos"]
 
 _NICE_FORMAT = "%Y-%m-%d"
 NANOS_PER_MICRO = 1_000
@@ -59,6 +59,22 @@ def string_to_nanoseconds(value: str) -> int:
     except ValueError:
         raise ValueError(
             f"Could not parse {value} in RFC3339 or {_NICE_FORMAT} format")
+
+
+def format_currency_col(col: Column | str, sig_figs: int = 5) -> Column:
+    """Vectorized column form of ``format_currency`` (Arrow pandas UDF —
+    string sig-fig formatting has no exact pyspark.sql.functions
+    composition, and a per-batch vectorized UDF keeps it off the
+    row-at-a-time path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fmt(s):  # type: ignore[no-untyped-def]
+        return s.map(lambda v: None if v is None
+                     else format_currency(float(v), sig_figs))
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _fmt(c)
 
 
 def format_currency(value: float, sig_figs: int = 5) -> str:

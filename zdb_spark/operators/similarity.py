@@ -68,19 +68,37 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
                          seed: int = 42, out_col: str = "lsh_sig") -> DataFrame:
     """Random-hyperplane signature: bit i = sign(v · h_i).
 
-    Hyperplanes are a seeded ``numpy.RandomState`` draw materialized as
-    literal arrays — broadcast by value into the plan, no Python at
-    execution time.
+    Hyperplanes are a seeded ``numpy.RandomState`` draw materialized as a
+    literal array-of-arrays — broadcast by value into the plan, no Python
+    at execution time.  One let-bound pass: dots for all planes via a
+    single ``transform``, then an OR-fold against literal bit masks
+    (num_bits separate dot expressions would re-evaluate the vector cast
+    per bit and bloat the tree).
     """
+    from .dedup import let
+
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_bits, dim)
-    sig = F.lit(0).cast("long")
-    v = _as_double(F.col(vec_col))
-    for i in range(num_bits):
-        h = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.aggregate(F.zip_with(v, h, lambda x, y: x * y),
-                          F.lit(0.0), lambda acc, x: acc + x)
-        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    planes_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in planes
+    ])
+    masks = F.array(*[
+        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        for i in range(num_bits)
+    ])
+    sig = let(
+        _as_double(F.col(vec_col)),
+        lambda v: let(
+            F.transform(planes_arr,
+                        lambda p: F.aggregate(
+                            F.zip_with(v, p, lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x)),
+            lambda dots: F.aggregate(
+                F.zip_with(dots, masks,
+                           lambda d, m: F.when(d > 0, m)
+                           .otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc.bitwiseOR(m))))
     return df.withColumn(out_col, sig)
 
 
@@ -104,7 +122,8 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         rng_seed = seed + 1000 * t
         rng = np.random.RandomState(rng_seed)
         planes = rng.randn(num_bits, dim)
-        q_sig = int(sum((1 << i) for i in range(num_bits)
+        q_sig = int(sum((1 << i if i < 63 else -(1 << 63))
+                        for i in range(num_bits)
                         if float(planes[i] @ q) > 0))
         tagged = hyperplane_signature(df, vec_col, num_bits, dim, rng_seed,
                                       out_col="_sig")

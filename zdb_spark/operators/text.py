@@ -63,14 +63,24 @@ def language_id(df: DataFrame, text_col: str = "text",
     Deterministic tie-break: strict argmax in fixed order en>es>de>fr;
     all-zero → 'und'.  CJK codepoints short-circuit to 'zh'.
     """
-    toks = tokenize(text_col)
-    scores = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    pred = (F.when(F.col(text_col).rlike(r"[一-鿿]"), F.lit("zh"))
-            .when(best == 0, F.lit("und")))
-    for lang in LANG_MARKERS:  # fixed order = deterministic tie-break
-        pred = pred.when(scores[lang] == best, F.lit(lang))
-    return df.withColumn(out_col, pred)
+    from .dedup import let
+
+    def pick(toks: Column) -> Column:
+        scores = {lang: _marker_hits(toks, m)
+                  for lang, m in LANG_MARKERS.items()}
+        return let(
+            F.struct(*[scores[lang].alias(lang) for lang in LANG_MARKERS]),
+            lambda s: _argmax_lang(s))
+
+    def _argmax_lang(s: Column) -> Column:
+        best = F.greatest(*[s[lang] for lang in LANG_MARKERS])
+        pred = (F.when(F.col(text_col).rlike(r"[一-鿿]"), F.lit("zh"))
+                .when(best == 0, F.lit("und")))
+        for lang in LANG_MARKERS:  # fixed order = deterministic tie-break
+            pred = pred.when(s[lang] == best, F.lit(lang))
+        return pred
+
+    return df.withColumn(out_col, let(tokenize(text_col), pick))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -78,29 +88,41 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     score = 0.4·min(n_words/100, 1) + 0.3·(1 − punct_ratio)
           + 0.3·min(stopword_ratio·5, 1)   — bounded to [0, 1].
+
+    The token array is let-bound into one struct so the split/regex runs
+    once per row, not once per derived feature.
     """
-    toks = tokenize(text_col)
-    n_chars = F.length(text_col)
-    n_words = F.size(toks)
-    sum_word_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0), lambda acc, x: acc + x)
-    n_punct = n_chars - F.length(
-        F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
-    n_stop = _marker_hits(toks, EN_STOPWORDS)
-    punct_ratio = n_punct.cast("double") / n_chars
-    stop_ratio = n_stop.cast("double") / n_words
-    score = (F.lit(0.4) * F.least(n_words.cast("double") / 100, F.lit(1.0))
-             + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-             + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)))
-    return df.withColumns({
-        "n_chars_c": n_chars,
-        "n_words": n_words,
-        "avg_word_len": F.round(sum_word_len.cast("double") / n_words, 4),
-        "punct_ratio": F.round(punct_ratio, 6),
-        "stopword_ratio": F.round(stop_ratio, 6),
-        "quality_score": F.round(score, 6),
-    })
+    from .dedup import let
+
+    def feats(toks: Column) -> Column:
+        n_chars = F.length(text_col)
+        n_words = F.size(toks)
+        sum_word_len = F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0), lambda acc, x: acc + x)
+        n_punct = n_chars - F.length(
+            F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
+        n_stop = _marker_hits(toks, EN_STOPWORDS)
+        punct_ratio = n_punct.cast("double") / n_chars
+        stop_ratio = n_stop.cast("double") / n_words
+        score = (F.lit(0.4) * F.least(n_words.cast("double") / 100, F.lit(1.0))
+                 + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+                 + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)))
+        return F.struct(
+            n_chars.alias("n_chars_c"),
+            n_words.alias("n_words"),
+            F.round(sum_word_len.cast("double") / n_words, 4)
+             .alias("avg_word_len"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(score, 6).alias("quality_score"))
+
+    out = let(tokenize(text_col), feats)
+    df = df.withColumn("_qf", out)
+    for f in ("n_chars_c", "n_words", "avg_word_len", "punct_ratio",
+              "stopword_ratio", "quality_score"):
+        df = df.withColumn(f, F.col(f"_qf.{f}"))
+    return df.drop("_qf")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:

@@ -48,8 +48,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # Warmup: spin the JVM, codegen, and parquet footer caches.
+    # Warmup: spin the JVM and codegen, and touch every input table so
+    # the first timed query per table isn't paying OS page-cache misses
+    # for the whole file (observed 8x swings on cold cache).
     qs["pricing_summary"](spark, sf_dir).count()
+    for t in ("events", "orders", "customer", "nation", "region",
+              "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

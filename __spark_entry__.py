@@ -237,6 +237,49 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").alias("max_ship"))
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: shipping-priority top-10 (3-way join + agg + top-k)."""
+    c = _load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("orderdate"),
+                     "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+            .limit(10))
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region."""
+    r = _load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _load(spark, sf_dir, "nation")
+    c = _load(spark, sf_dir, "customer")
+    s = _load(spark, sf_dir, "supplier")
+    o = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(c),
+                  (o.o_custkey == c.c_custkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue")))
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join: customers who have at least one urgent order."""
     c = _load(spark, sf_dir, "customer")
@@ -478,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setops_except": q_setops_except,
         "rollup_revenue": q_rollup_revenue,
         "agg_stats": q_agg_stats,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "cube_orders": q_cube_orders,
@@ -608,6 +653,37 @@ def oracle_sql() -> dict[str, str]:
                    min(l_shipdate) AS min_ship,
                    max(l_shipdate) AS max_ship
             FROM lineitem
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1
         """,
         "semi_join": """
             SELECT c_custkey, c_name FROM customer

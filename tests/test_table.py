@@ -113,6 +113,45 @@ class TestScan:
         assert t.scan(T0, T0 + DAY).count() == 0
 
 
+class TestCompaction:
+    def test_compact_merges_small_files(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        # 5 tiny appends into the same day → >= 5 files in one partition
+        for i in range(5):
+            t.write(rows_df(spark, [T0 + i]))
+        import glob
+        import os
+        part_files = glob.glob(os.path.join(t.path, "parquet", "dt=*",
+                                            "*.parquet"))
+        assert len(part_files) >= 5
+        assert t.compact() == 1
+        part_files = glob.glob(os.path.join(t.path, "parquet", "dt=*",
+                                            "*.parquet"))
+        assert len(part_files) == 1
+        got = t.scan().select("ts").collect()
+        assert sorted(r["ts"] for r in got) == [T0 + i for i in range(5)]
+
+    def test_compact_preserves_meta_and_scan(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        t.write(rows_df(spark, [T0, T0 + DAY]))
+        t.write(rows_df(spark, [T0 + 2 * DAY]))
+        t.compact()
+        assert t.row_count == 3
+        assert t.scan(T0 + DAY, T0 + 2 * DAY).count() == 2
+
+    def test_cluster_by_write(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        df = spark.createDataFrame(
+            [Row(ts=T0 + i, sym=s, price=1.0, size=1)
+             for i, s in enumerate(["B", "A", "B", "A"])])
+        t.write(df, cluster_by=["sym"])
+        # files are sorted by (sym, ts): within the single day-partition
+        # file, all A rows precede all B rows
+        rows = t.df().select("sym").collect()
+        syms = [r["sym"] for r in rows]
+        assert syms == sorted(syms)
+
+
 class TestSymbols:
     def test_distinct_sorted(self, spark, tmp_home):
         t = Table.create(spark, make_schema(), home=tmp_home)

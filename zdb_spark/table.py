@@ -150,10 +150,16 @@ class Table:
             return df.withColumn("dt", F.lit("all"))
         return df.withColumn("dt", F.date_format(ts_utc, fmt))
 
-    def write(self, df: DataFrame, enforce_order: bool = True) -> int:
+    def write(self, df: DataFrame, enforce_order: bool = True,
+              cluster_by: list[str] | None = None) -> int:
         """Append a batch. Validates schema, enforces the monotonic-append
         invariant against recorded max_ts, derives ``dt``, sorts by ts
         within files, appends Parquet, updates the sidecar.
+
+        ``cluster_by`` prepends secondary sort columns (e.g. ``["sym"]``)
+        ahead of ``ts`` inside each file: Parquet column stats then skip
+        row groups on those predicates too — the poor-man's Z-order, and
+        the right layout when queries are usually per-symbol.
 
         Returns the number of rows appended.
         """
@@ -183,8 +189,12 @@ class Table:
         out = self._with_partition_col(df)
         # Sort by ts within each output file so Parquet row-group min/max
         # stats stay selective (zdb's binary-search analogue, SURVEY.md §4).
+        # ``dt`` leads the sort: FileFormatWriter requires ordering by the
+        # partition columns and inserts its OWN (order-destroying) sort if
+        # the incoming order doesn't already start with them.
+        sort_cols = ["dt", *(cluster_by or []), ts]
         (out.repartition("dt")
-            .sortWithinPartitions(ts)
+            .sortWithinPartitions(*sort_cols)
             .write.mode("append")
             .partitionBy("dt")
             .parquet(os.path.join(self.path, "parquet")))
@@ -241,6 +251,40 @@ class Table:
         else:
             df = df.select(*[c.name for c in self.schema.columns])
         return df
+
+    def compact(self, target_file_mb: int = 128,
+                cluster_by: list[str] | None = None) -> int:
+        """Rewrite each ``dt`` partition into size-targeted, ts-sorted
+        files and return the partition count rewritten.
+
+        Streaming ingest (micro-batches) and frequent small appends leave
+        many small files per partition; at scale that means footer-read
+        storms and tiny row groups with useless stats.  Compaction
+        restores ~``target_file_mb`` files and re-establishes the sort
+        (optionally with ``cluster_by`` secondary clustering).  Writes to
+        a sibling dir then swaps, so a mid-rewrite failure leaves the
+        original intact.
+        """
+        src = os.path.join(self.path, "parquet")
+        if not os.path.exists(src):
+            return 0
+        df = self.spark.read.parquet(src)
+        ts = self.schema.ts_col
+        total_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(src) for f in files)
+        n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+        n_parts = df.select("dt").distinct().count()
+        sort_cols = ["dt", *(cluster_by or []), ts]
+        tmp = src + ".compacting"
+        (df.repartition(int(max(n_files, n_parts)), "dt")
+           .sortWithinPartitions(*sort_cols)
+           .write.mode("overwrite").partitionBy("dt").parquet(tmp))
+        backup = src + ".old"
+        os.rename(src, backup)
+        os.rename(tmp, src)
+        shutil.rmtree(backup)
+        return n_parts
 
     # ------------------------------------------------------------------ #
     # metadata queries (/root/reference/src/table/meta.rs:39-67)         #

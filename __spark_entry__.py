@@ -213,6 +213,14 @@ def q_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers.subtract(errs)  # EXCEPT DISTINCT semantics
 
 
+def q_setops_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: users who both purchased and clicked (INTERSECT DISTINCT)."""
+    ev = _load(spark, sf_dir, "events")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    return buyers.intersect(clickers)
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping sets: region/nation rollup of customer account balances."""
     c = _load(spark, sf_dir, "customer")
@@ -519,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_customers": q_topk_customers,
         "window_running": q_window_running,
         "setops_except": q_setops_except,
+        "setops_intersect": q_setops_intersect,
         "rollup_revenue": q_rollup_revenue,
         "agg_stats": q_agg_stats,
         "tpch_q3": q_tpch_q3,
@@ -635,6 +644,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "setops_intersect": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         """,
         "rollup_revenue": """
             SELECT r_name, n_name,

@@ -749,7 +749,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   coalesce(sum(new_session), 0) + 1 AS n_sessions,
+                   CAST(coalesce(sum(new_session), 0) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY 1
         """,

@@ -139,6 +139,32 @@ class TestCompaction:
         assert t.row_count == 3
         assert t.scan(T0 + DAY, T0 + 2 * DAY).count() == 2
 
+    def test_skewed_day_fans_out_and_stays_sorted(self, spark, tmp_home):
+        # A hot day must NOT serialize into one task/file: with
+        # repartitionByRange + maxRecordsPerFile the hot day splits into
+        # several files, and each file is still internally ts-sorted
+        # (the row-group-stats invariant the scan path relies on).
+        import glob
+        import os
+
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        hot = [T0 + i * 1000 for i in range(30_000)]
+        cold = [T0 + DAY + i * 1000 for i in range(100)]
+        df = spark.createDataFrame(
+            [Row(ts=ts, sym="AAPL", price=1.0, size=1)
+             for ts in hot + cold])
+        t.write(df, max_records_per_file=10_000)
+
+        hot_files = glob.glob(os.path.join(
+            t.path, "parquet", "dt=2024-01-01", "*.parquet"))
+        assert len(hot_files) >= 3  # 30k rows / 10k cap
+        for f in hot_files:
+            ts_vals = [r["ts"] for r in
+                       spark.read.parquet(f).select("ts").collect()]
+            assert ts_vals == sorted(ts_vals), f"unsorted file {f}"
+        # scan correctness unaffected by the fan-out
+        assert t.scan(T0, T0 + DAY).count() == 30_001
+
     def test_cluster_by_write(self, spark, tmp_home):
         t = Table.create(spark, make_schema(), home=tmp_home)
         df = spark.createDataFrame(

@@ -146,7 +146,13 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     narrow map with the centroid matrix broadcast by value.  Returns
     (df + centroid_id column, centroids ndarray).
     """
-    rows = (df.select(vec_col).sample(False, 1.0, seed)
+    # A real sample fraction (not 1.0): fraction-1.0 keeps input order, so
+    # the limit would take an arbitrary prefix (typically the first
+    # partitions) and bias centroid training on any non-random corpus.
+    # 4x oversample then limit bounds the driver transfer at sample_size.
+    total = df.count()
+    frac = min(1.0, (4.0 * sample_size) / max(total, 1))
+    rows = (df.select(vec_col).sample(False, frac, seed)
             .limit(sample_size).collect())
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -61,8 +61,20 @@ def _json_default(v):
 
 
 def make_server(spark: SparkSession, home: str | None = None,
-                host: str = "127.0.0.1", port: int = 7878) -> ThreadingHTTPServer:
-    """Build (don't start) the HTTP server bound to the given session."""
+                host: str = "127.0.0.1", port: int = 7878,
+                allow_remote: bool = False) -> ThreadingHTTPServer:
+    """Build (don't start) the HTTP server bound to the given session.
+
+    SECURITY: ``POST /q`` executes Python from the request body (reference
+    parity with zdb's embedded Julia — /root/reference/src/server/query.rs).
+    Binding to a non-loopback host therefore exposes unauthenticated remote
+    code execution; it is refused unless ``allow_remote=True`` is passed
+    explicitly.
+    """
+    if not allow_remote and host not in ("127.0.0.1", "localhost", "::1"):
+        raise ValueError(
+            f"refusing to bind {host!r}: /q executes request bodies; "
+            "pass allow_remote=True only behind auth you trust")
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -168,9 +180,14 @@ def make_server(spark: SparkSession, home: str | None = None,
 
 
 def serve(spark: SparkSession, home: str | None = None,
-          host: str = "127.0.0.1", port: int = 7878) -> None:
-    """Blocking serve loop."""
-    srv = make_server(spark, home, host, port)
+          host: str = "127.0.0.1", port: int = 7878,
+          allow_remote: bool = False) -> None:
+    """Blocking serve loop.
+
+    ``/q`` executes request bodies — keep ``host`` loopback (the default)
+    unless fronted by auth; see ``make_server`` for the guard.
+    """
+    srv = make_server(spark, home, host, port, allow_remote)
     try:
         srv.serve_forever()
     finally:

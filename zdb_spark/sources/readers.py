@@ -106,7 +106,13 @@ def convert_column_type(spark: SparkSession, name: str, column: str,
             column,
             F.col(column).cast(new_schema.column(column)
                                .spark_type(new_schema.strict_u64)))
-        df.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+        # Same trap Table.write guards against: FileFormatWriter inserts
+        # its own dt-only sort when the incoming order doesn't lead with
+        # the partition column, destroying the within-file ts order the
+        # row-group pruning relies on.  Re-establish it explicitly.
+        (df.repartition("dt")
+           .sortWithinPartitions("dt", t.schema.ts_col)
+           .write.mode("overwrite").partitionBy("dt").parquet(tmp))
         backup = src + ".old"
         os.rename(src, backup)
         os.rename(tmp, src)

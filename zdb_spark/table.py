@@ -151,7 +151,8 @@ class Table:
         return df.withColumn("dt", F.date_format(ts_utc, fmt))
 
     def write(self, df: DataFrame, enforce_order: bool = True,
-              cluster_by: list[str] | None = None) -> int:
+              cluster_by: list[str] | None = None,
+              max_records_per_file: int | None = None) -> int:
         """Append a batch. Validates schema, enforces the monotonic-append
         invariant against recorded max_ts, derives ``dt``, sorts by ts
         within files, appends Parquet, updates the sidecar.
@@ -160,6 +161,10 @@ class Table:
         ahead of ``ts`` inside each file: Parquet column stats then skip
         row groups on those predicates too — the poor-man's Z-order, and
         the right layout when queries are usually per-symbol.
+
+        ``max_records_per_file`` caps file size (maps to Spark's
+        ``maxRecordsPerFile``); each split file stays sorted because the
+        writer splits a sorted task stream sequentially.
 
         Returns the number of rows appended.
         """
@@ -193,11 +198,21 @@ class Table:
         # partition columns and inserts its OWN (order-destroying) sort if
         # the incoming order doesn't already start with them.
         sort_cols = ["dt", *(cluster_by or []), ts]
-        (out.repartition("dt")
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("append")
-            .partitionBy("dt")
-            .parquet(os.path.join(self.path, "parquet")))
+        # repartitionByRange, NOT repartition("dt"): hash-partitioning on
+        # dt alone funnels every row of a day into ONE task writing ONE
+        # file — a single-task bottleneck (and an unsplittable giant file)
+        # for any hot day at scale.  Range partitioning on the full sort
+        # key lets a hot day fan out across tasks while keeping each
+        # task's slice contiguous in (dt, cluster, ts), so files stay
+        # disjoint in the sort key and row-group stats stay selective.
+        # No explicit N: AQE coalesces the range shuffle for small
+        # batches, so tiny appends still produce few files.
+        writer = (out.repartitionByRange(*sort_cols)
+                  .sortWithinPartitions(*sort_cols)
+                  .write.mode("append"))
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy("dt").parquet(os.path.join(self.path, "parquet"))
 
         self._meta.row_count += n
         self._meta.min_ts = lo if self._meta.min_ts is None else min(self._meta.min_ts, lo)
@@ -277,9 +292,16 @@ class Table:
         n_parts = df.select("dt").distinct().count()
         sort_cols = ["dt", *(cluster_by or []), ts]
         tmp = src + ".compacting"
-        (df.repartition(int(max(n_files, n_parts)), "dt")
+        # Range-partition on the sort key so a hot dt can split across
+        # tasks — repartition(n, "dt") hash-routes a whole day to one task
+        # and silently ignores target_file_mb for skewed days.
+        avg_bytes_per_row = total_bytes / max(df.count(), 1)
+        cap = max(1, int(target_file_mb * 1024 * 1024 / max(avg_bytes_per_row, 1)))
+        (df.repartitionByRange(int(max(n_files, n_parts)), *sort_cols)
            .sortWithinPartitions(*sort_cols)
-           .write.mode("overwrite").partitionBy("dt").parquet(tmp))
+           .write.mode("overwrite")
+           .option("maxRecordsPerFile", cap)
+           .partitionBy("dt").parquet(tmp))
         backup = src + ".old"
         os.rename(src, backup)
         os.rename(tmp, src)
@@ -320,6 +342,9 @@ def _dt_str_for(ts_nanos: int, fmt: str) -> str:
     (/root/reference/src/table/write.rs:26-36) for predicate rewrite."""
     import datetime as _dt
 
-    d = _dt.datetime.fromtimestamp(ts_nanos / 1e9, tz=_dt.timezone.utc)
+    # Integer floor-division: float division loses ~240ns of precision at
+    # 2024-era epochs, enough to misclassify a boundary ts into the wrong
+    # partition string and silently exclude a partition from the scan.
+    d = _dt.datetime.fromtimestamp(ts_nanos // 1_000_000_000, tz=_dt.timezone.utc)
     pyfmt = {"yyyy": "%Y", "yyyy-MM": "%Y-%m", "yyyy-MM-dd": "%Y-%m-%d"}[fmt]
     return d.strftime(pyfmt)

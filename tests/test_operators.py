@@ -160,6 +160,50 @@ class TestSimilarity:
         assert len(set(exact) & set(approx)) >= 3
         assert 0 in approx
 
+    def test_persisted_lsh_index(self, emb, tmp_path):
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        path = str(tmp_path / "lsh")
+        similarity.build_lsh_index(emb, path, num_bits=6, num_tables=8,
+                                   dim=16)
+        exact = [r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, qv, k=5).collect()]
+        spark = emb.sparkSession
+        approx = [r["vec_id"] for r in
+                  similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        assert len(set(exact) & set(approx)) >= 3
+        assert 0 in approx and 1 in approx
+        # probing again hits the same persisted files — no rebuild
+        again = [r["vec_id"] for r in
+                 similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        assert again == approx
+
+    def test_persisted_ivf_index(self, emb, tmp_path):
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        path = str(tmp_path / "ivf")
+        similarity.build_ivf_index(emb, path, n_centroids=4)
+        spark = emb.sparkSession
+        approx = [r["vec_id"] for r in
+                  similarity.ivf_index_topk(spark, path, qv, k=5,
+                                            n_probe=2).collect()]
+        exact = [r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, qv, k=5).collect()]
+        assert len(set(exact) & set(approx)) >= 3
+        assert 0 in approx
+
+    def test_simhash_portable_matches_default_pairs(self, docs):
+        # portable hash changes fingerprints but near-dup structure holds
+        out = dedup.simhash_pairs(docs, max_hamming=3,
+                                  portable=True).collect()
+        assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in out)
+
+    def test_release_unpersists(self, docs):
+        res = dedup.simhash_pairs(docs, max_hamming=3)
+        res.collect()
+        handles = res._zdb_cache_handles
+        assert handles and handles[0].is_cached
+        dedup.release(res)
+        assert not handles[0].is_cached
+
     def test_embedding_dedup_finds_planted_pair(self, emb):
         pairs = similarity.embedding_dedup_pairs(
             emb, "embedding", "vec_id", threshold=0.95,

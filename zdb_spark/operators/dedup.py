@@ -29,7 +29,38 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "minhash_signature", "minhash_lsh_pairs", "simhash",
-           "simhash_pairs", "ngram_jaccard_pairs"]
+           "simhash_pairs", "ngram_jaccard_pairs", "release",
+           "portable_hash64"]
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the intermediates an operator cached internally.
+
+    The pair operators cache signature/shingle frames that the lazy
+    result still references, so they can't unpersist before the caller
+    consumes the result.  Long-lived sessions (the HTTP server) should
+    call ``release(result)`` after materializing; otherwise retained
+    blocks accumulate across repeated dedup calls.
+    """
+    for h in getattr(df, "_zdb_cache_handles", []):
+        h.unpersist()
+
+
+def portable_hash64(c: Column) -> Column:
+    """64-bit token hash derivable in ANSI-ish SQL on other engines:
+    the first 16 hex chars of md5, as a signed long.
+
+    ``xxhash64`` is faster and is the default everywhere; this exists so
+    hash-dependent outputs (SimHash fingerprints) can be cross-checked
+    bit-for-bit against a DuckDB oracle, which lacks xxhash64.  Built as
+    two 32-bit ``conv`` halves combined with shift/or — bit ops, so the
+    sign bit lands naturally and nothing overflows.
+    """
+    return let(
+        F.md5(c.cast("binary")),
+        lambda m: F.shiftleft(
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long"), 32
+        ).bitwiseOR(F.conv(F.substring(m, 9, 8), 16, 10).cast("long")))
 
 
 def normalize_text(text: Column | str) -> Column:
@@ -167,22 +198,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     pb = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (screened.join(pa, "id_a").join(pb, "id_b")
-                    .withColumn("jaccard", F.round(inter / union, 6))
-                    .where(F.col("jaccard") >= threshold)
-                    .select("id_a", "id_b", "est_jaccard", "jaccard"))
+    out = (screened.join(pa, "id_a").join(pb, "id_b")
+                   .withColumn("jaccard", F.round(inter / union, 6))
+                   .where(F.col("jaccard") >= threshold)
+                   .select("id_a", "id_b", "est_jaccard", "jaccard"))
+    out._zdb_cache_handles = [base]
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text",
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash", portable: bool = False) -> DataFrame:
     """64-bit SimHash over whitespace tokens.
 
     Bit *i* of the fingerprint is the sign of Σ_tokens ±1 where the sign
     is bit *i* of ``xxhash64(token)``.  Built as 64 JVM aggregate
     expressions over the token array — wide plan, zero Python.
+
+    ``portable=True`` swaps the token hash for ``portable_hash64`` (md5
+    16-hex-chars) so the fingerprints are reproducible on engines without
+    xxhash64 — the correctness-gate configuration; default stays xxhash64
+    for speed.
     """
     toks = F.split(normalize_text(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hfn = portable_hash64 if portable else F.xxhash64
+    hashes = F.transform(toks, lambda t: hfn(t))
 
     # Single pass over the token hashes: fold into a 64-wide vote vector
     # (votes[i] += hash bit i ? +1 : -1), then OR the positive-vote bit
@@ -211,18 +250,23 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  portable: bool = False) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole: split 64 bits into (max_hamming+1) chunks; any pair within
     distance d shares at least one identical chunk → equi-join per chunk,
-    exact ``bit_count(a xor b)`` verify.
+    exact ``bit_count(a xor b)`` verify.  Recall is EXACTLY 1.0 (the
+    pigeonhole bound is combinatorial, not probabilistic), so the output
+    is the complete hamming-ball pair set — with ``portable=True`` it is
+    bit-reproducible by a SQL oracle.
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     # cache: the 64-bit-vote expression tree is expensive; the self-join
     # below would otherwise evaluate it twice per side.
-    sh = (simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    sh = (simhash(df, text_col, portable=portable)
+          .select(F.col(id_col).alias("_id"), "simhash")
           .cache())
     chunks = sh.select(
         "_id", "simhash",
@@ -234,12 +278,14 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("ck"))
     a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("h_a"), "ck")
     b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("h_b"), "ck")
-    return (a.join(b, ["ck"]).where(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
-             .withColumn("hamming", F.bit_count(
-                 F.col("h_a").bitwiseXOR(F.col("h_b"))))
-             .where(F.col("hamming") <= max_hamming)
-             .select("id_a", "id_b", "hamming"))
+    out = (a.join(b, ["ck"]).where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .withColumn("hamming", F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+    out._zdb_cache_handles = [sh]
+    return out
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -322,7 +368,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    F.col("n_sh").alias("nb"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     jac = inter / (F.col("na") + F.col("nb") - inter)
-    return (cand.join(pa, "id_a").join(pb, "id_b")
-                .withColumn("jaccard", F.round(jac, 6))
-                .where(F.col("jaccard") >= threshold)
-                .select("id_a", "id_b", "jaccard"))
+    out = (cand.join(pa, "id_a").join(pb, "id_b")
+               .withColumn("jaccard", F.round(jac, 6))
+               .where(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+    out._zdb_cache_handles = [sh]
+    return out

@@ -17,13 +17,17 @@ training pass.
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "knn_join_bruteforce", "ivf_index", "ivf_topk",
-           "embedding_dedup_pairs"]
+           "embedding_dedup_pairs", "build_lsh_index", "lsh_index_topk",
+           "build_ivf_index", "ivf_index_topk"]
 
 
 def _as_double(c: Column) -> Column:
@@ -155,6 +159,10 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     rows = (df.select(vec_col).sample(False, frac, seed)
             .limit(sample_size).collect())
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    # Arrival order depends on partitioning; sort lexicographically so
+    # training (init choice + mean accumulation order) is reproducible
+    # across parallelism settings.
+    X = X[np.lexsort(X.T[::-1])]
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)),
@@ -217,6 +225,107 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def _qsig_for(query_vec: list[float], num_bits: int, dim: int,
+              seed: int) -> int:
+    """Driver-side signature of one query vector for table ``seed`` —
+    must mirror ``hyperplane_signature``'s bit/mask convention exactly."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_bits, dim)
+    q = np.asarray(query_vec, dtype=np.float64)
+    return int(sum((1 << i if i < 63 else -(1 << 63))
+                   for i in range(num_bits) if float(planes[i] @ q) > 0))
+
+
+def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", num_bits: int = 8,
+                    num_tables: int = 8, dim: int = 64,
+                    seed: int = 42) -> None:
+    """Persist an LSH index: ONE pass computes every table's signature,
+    explodes to (t, sig, id, vec) rows, and writes parquet partitioned by
+    ``t`` with files sorted by ``sig``.
+
+    The storage layout IS the index (the reference's thesis for its
+    time-sorted partitions — /root/reference/README.md:4-6, re-applied to
+    ANN): a probe reads one table-partition directory and row-group
+    min/max stats on the sorted ``sig`` column skip everything but the
+    matching bucket.  Queries pay zero signature recomputation — the
+    round-1 ``lsh_topk`` re-scanned the corpus 8× per query instead.
+    """
+    tagged = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    for t in range(num_tables):
+        tagged = hyperplane_signature(tagged, vec_col, num_bits, dim,
+                                      seed + 1000 * t, out_col=f"_s{t}")
+    rows = tagged.select(
+        "vec_id", vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
+            for t in range(num_tables)
+        ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col)
+    (rows.repartition("t").sortWithinPartitions("t", "sig")
+         .write.mode("overwrite").partitionBy("t")
+         .parquet(os.path.join(path, "data")))
+    with open(os.path.join(path, "_meta"), "w") as f:
+        json.dump({"kind": "lsh", "num_bits": num_bits,
+                   "num_tables": num_tables, "dim": dim, "seed": seed,
+                   "vec_col": vec_col}, f)
+
+
+def lsh_index_topk(spark: SparkSession, path: str, query_vec: list[float],
+                   k: int = 10) -> DataFrame:
+    """Probe a persisted LSH index: driver-side query signatures (a few
+    numpy dot products), then ONE scan filtered to the matching
+    (t, sig) buckets — partition-pruned on ``t``, row-group-pruned on the
+    sorted ``sig`` — and an exact rerank of the candidates."""
+    with open(os.path.join(path, "_meta")) as f:
+        meta = json.load(f)
+    idx = spark.read.parquet(os.path.join(path, "data"))
+    cond = None
+    for t in range(meta["num_tables"]):
+        qsig = _qsig_for(query_vec, meta["num_bits"], meta["dim"],
+                         meta["seed"] + 1000 * t)
+        c = (F.col("t") == t) & (F.col("sig") == F.lit(qsig))
+        cond = c if cond is None else cond | c
+    cand = idx.where(cond).dropDuplicates(["vec_id"])
+    return brute_force_topk(cand, query_vec, k, meta["vec_col"], "vec_id")
+
+
+def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_centroids: int = 16,
+                    sample_size: int = 4096, seed: int = 42) -> None:
+    """Persist an IVF index: train the coarse quantizer ONCE, write the
+    corpus parquet partitioned by ``centroid_id``, store centroids in the
+    sidecar.  A probe then touches ``n_probe/n_centroids`` of the
+    directories — candidate selection is partition pruning, the cheapest
+    mechanism Spark has.  Round-1 ``ivf_topk`` retrained k-means per
+    query; at 100 TB that is a full training scan per lookup."""
+    assigned, cents = ivf_index(df, vec_col, n_centroids, sample_size,
+                                seed=seed)
+    (assigned.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
+                     "centroid_id")
+             .repartition("centroid_id")
+             .write.mode("overwrite").partitionBy("centroid_id")
+             .parquet(os.path.join(path, "data")))
+    with open(os.path.join(path, "_meta"), "w") as f:
+        json.dump({"kind": "ivf", "centroids": cents.tolist(),
+                   "vec_col": vec_col}, f)
+
+
+def ivf_index_topk(spark: SparkSession, path: str, query_vec: list[float],
+                   k: int = 10, n_probe: int = 4) -> DataFrame:
+    """Probe a persisted IVF index: nearest ``n_probe`` centroids on the
+    driver (tiny matmul), partition-pruned scan of just those centroid
+    directories, exact rerank."""
+    with open(os.path.join(path, "_meta")) as f:
+        meta = json.load(f)
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in np.argsort(-(cents @ q))[:n_probe]]
+    idx = spark.read.parquet(os.path.join(path, "data"))
+    cand = idx.where(F.col("centroid_id").isin(probe))
+    return brute_force_topk(cand, query_vec, k, meta["vec_col"], "vec_id")
+
+
 def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                           id_col: str = "vec_id", threshold: float = 0.95,
                           num_bits: int = 8, num_tables: int = 4,
@@ -229,6 +338,11 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     signature (collision probability per table ``(1-θ/π)^bits`` — high
     for near-parallel vectors).  The self-join is per (table, signature)
     bucket, never all-pairs; exact cosine filters to ``>= threshold``.
+
+    The candidate join carries BARE IDS only — at 1k-dim embeddings a
+    vector-laden (table × row) shuffle would be dominated by payload, so
+    vectors are re-attached to the (much smaller, deduplicated) pair set
+    by two id-joins just before the exact verify.
     """
     tagged = df.select(F.col(id_col).alias("_id"), F.col(vec_col))
     sigs = []
@@ -236,20 +350,24 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
         tagged = hyperplane_signature(tagged, vec_col, num_bits, dim,
                                       seed + 1000 * t, out_col=f"_sig{t}")
         sigs.append(f"_sig{t}")
-    tagged = tagged.withColumn(
+    slim = tagged.withColumn(
         "_tb", F.explode(F.array(*[
             F.struct(F.lit(t).alias("t"), F.col(s).alias("sig"))
             for t, s in enumerate(sigs)
-        ]))).select("_id", vec_col, "_tb.t", "_tb.sig")
+        ]))).select("_id", "_tb.t", "_tb.sig")
 
-    a = tagged.select(F.col("_id").alias("id_a"),
-                      F.col(vec_col).alias("_va"), "t", "sig")
-    b = tagged.select(F.col("_id").alias("id_b"),
-                      F.col(vec_col).alias("_vb"), "t", "sig")
+    a = slim.select(F.col("_id").alias("id_a"), "t", "sig")
+    b = slim.select(F.col("_id").alias("id_b"), "t", "sig")
     pairs = (a.join(b, ["t", "sig"]).where(F.col("id_a") < F.col("id_b"))
-              .dropDuplicates(["id_a", "id_b"]))
+              .select("id_a", "id_b").dropDuplicates())
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col))
+    va = vecs.select(F.col("_vid").alias("id_a"),
+                     F.col(vec_col).alias("_va"))
+    vb = vecs.select(F.col("_vid").alias("id_b"),
+                     F.col(vec_col).alias("_vb"))
     sim = cosine_sim(F.col("_va"), F.col("_vb"))
-    return (pairs.withColumn("cosine_sim", F.round(sim, 6))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+                 .withColumn("cosine_sim", F.round(sim, 6))
                  .where(F.col("cosine_sim") >= threshold)
                  .select("id_a", "id_b", "cosine_sim"))
 

@@ -464,6 +464,55 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, list(qvec), k=10)
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2E stream→table→query parity (the Structured-Streaming ingest
+    north star): an ``availableNow`` file stream over the events parquet
+    runs through ``stream_writer`` into a real Table's storage (derived
+    ``dt`` partitions + checkpointed exactly-once file sink — the
+    streaming analogue of the reference's ordered-append contract,
+    /root/reference/src/table/write.rs:62-121), then ``Table.scan`` with
+    a time range reads it BACK through the partition-pruned batch path
+    and aggregates.  The oracle aggregates the original events directly —
+    a hash match proves the stream path loses/duplicates/mangles nothing.
+
+    Idempotent across calls: the checkpoint makes re-running a no-op and
+    the read-back honors the sink's transaction log.
+    """
+    import hashlib
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.streaming.ingest import stream_writer
+    from zdb_spark.table import Table
+
+    ev = _load(spark, sf_dir, "events")  # sets nanosAsLong conf
+    key = hashlib.md5(f"{sf_dir}|v1".encode()).hexdigest()[:12]
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_ingest", key)
+    schema = (Schema("events_stream")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    t = Table.create_or_open(spark, schema, home=home)
+
+    src = (spark.readStream.schema(ev.schema)
+           .option("pathGlobFilter", "events.parquet")  # dir source, one file
+           .parquet(sf_dir)
+           .select("ts", "event_id", "user_id", "event_type", "value"))
+    q = stream_writer(src, os.path.join(t.path, "parquet"),
+                      os.path.join(home, "ckpt"),
+                      partition_by=PartitionBy.DAY)
+    q.awaitTermination()
+
+    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
+    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
+    return (t.scan(lo, hi)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def _emb_double(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id",
                       F.col("embedding").cast("array<double>")
@@ -639,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "month_rollup": q_month_rollup,
         "sessionize_batch": q_sessionize_batch,
+        "stream_ingest": q_stream_ingest,
         # LLM-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -987,6 +1037,17 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.8
+        """,
+        # Stream→table→scan parity: oracle aggregates the source events
+        # directly over the same inclusive time range Table.scan used.
+        "stream_ingest": f"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+              AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1
         """,
         # Brute-force all-pairs exact Jaccard — the operator's exact-verify
         # stage makes its output equal this set (candidate recall 1.0 at

@@ -40,8 +40,42 @@ class TestQ:
         assert res == 44.0  # 8 rows + sum 36
 
     def test_unknown_column_raises(self, ticks):
-        with pytest.raises(KeyError):
+        from zdb_spark.query import QueryError
+
+        with pytest.raises(QueryError, match="column nope does not exist"):
             q(ticks, lambda nope: nope.sum(), T0, T0 + DAY)
+
+    def test_param_type_checked_before_launch(self, ticks):
+        # wrong annotation → reference-shaped error, no job runs
+        from zdb_spark.query import QueryError
+
+        def scan(price: str):
+            return price.sum()
+
+        with pytest.raises(QueryError,
+                           match=r"expected parameter price to be of type "
+                                 r"Vector\{Float64\}"):
+            q(ticks, scan, T0, T0 + DAY)
+
+    def test_param_type_accepted_spellings(self, ticks):
+        # zdb name, numpy dtype name, and python builtin all validate
+        def s1(price: "f64"):  # noqa: F821
+            return float(price.sum())
+
+        def s2(price: "float64"):  # noqa: F821
+            return float(price.sum())
+
+        def s3(price: float):
+            return float(price.sum())
+
+        for fn in (s1, s2, s3):
+            assert q(ticks, fn, T0, T0 + 10 * DAY) == 36.0
+
+    def test_ts_param_accepts_int_annotation(self, ticks):
+        def scan(ts: "i64"):  # noqa: F821
+            return int(len(ts))
+
+        assert q(ticks, scan, T0, T0 + 10 * DAY) == 8
 
     def test_custom_combine(self, ticks):
         res = q(ticks, lambda price: float(price.max()), T0, T0 + 10 * DAY,

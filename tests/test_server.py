@@ -105,3 +105,29 @@ class TestEndpoints:
             urllib.request.urlopen(req, timeout=120)
         assert ei.value.code == 400
         assert "scan" in ei.value.read().decode()
+
+    def test_q_unknown_column_400_text(self, server):
+        # reference message shape: query.rs:166-214
+        body = json.dumps({
+            "table": "bars",
+            "query": "def scan(nope):\n    return 1",
+        }).encode()
+        req = urllib.request.Request(f"{server}/q", data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+        assert ei.value.read().decode() \
+            == "column nope does not exist on table bars"
+
+    def test_q_wrong_type_400_text(self, server):
+        body = json.dumps({
+            "table": "bars",
+            "query": "def scan(volume: 'f64'):\n"
+                     "    return float(volume.sum())",
+        }).encode()
+        req = urllib.request.Request(f"{server}/q", data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+        assert ei.value.read().decode() \
+            == "expected parameter volume to be of type Vector{UInt64}"

@@ -139,6 +139,21 @@ class TestCompaction:
         assert t.row_count == 3
         assert t.scan(T0 + DAY, T0 + 2 * DAY).count() == 2
 
+    def test_resolution_rounding_on_write(self, spark, tmp_home):
+        # W2 reference contract (write.rs:62-65): declared 1-minute
+        # resolution floors every incoming ts to the minute on write, so
+        # round-tripped data matches the reference's storage semantics.
+        MIN_NS = 60 * NS
+        sch = make_schema("t_res").with_resolution(MIN_NS)
+        t = Table.create(spark, sch, home=tmp_home)
+        raw = [T0 + 1, T0 + MIN_NS - 1, T0 + MIN_NS + 30 * NS, T0 + 2 * MIN_NS]
+        t.write(rows_df(spark, raw))
+        got = sorted(r["ts"] for r in t.scan().select("ts").collect())
+        assert got == [T0, T0, T0 + MIN_NS, T0 + 2 * MIN_NS]
+        # sidecar min/max reflect the ROUNDED values
+        assert t.get_first_ts() == T0
+        assert t.get_last_ts() == T0 + 2 * MIN_NS
+
     def test_skewed_day_fans_out_and_stays_sorted(self, spark, tmp_home):
         # A hot day must NOT serialize into one task/file: with
         # repartitionByRange + maxRecordsPerFile the hot day splits into

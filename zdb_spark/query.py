@@ -41,20 +41,76 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions.scalar import to_nanos
+from .schema import ColumnType
 from .table import Table
 
-__all__ = ["q", "Engine"]
+__all__ = ["q", "Engine", "QueryError"]
+
+
+class QueryError(ValueError):
+    """/q validation failure carrying the reference's exact message shape
+    (/root/reference/src/server/query.rs:166-214); the HTTP layer returns
+    it verbatim as a 400 body."""
+
+
+# The reference validates each scan parameter against the column's
+# physical type and names the expected Julia vector type in the error
+# (query.rs:28-44).  Same table here — symbols differ because this engine
+# decodes them to native strings (SURVEY §2: symbol decode is native)
+# rather than exposing dictionary codes.
+_JULIA_TYPE = {
+    ColumnType.I8: "Int8", ColumnType.I16: "Int16",
+    ColumnType.I32: "Int32", ColumnType.I64: "Int64",
+    ColumnType.U8: "UInt8", ColumnType.U16: "UInt16",
+    ColumnType.U32: "UInt32", ColumnType.U64: "UInt64",
+    ColumnType.F32: "Float32", ColumnType.F64: "Float64",
+    ColumnType.TIMESTAMP: "Int64",
+    ColumnType.SYMBOL8: "String", ColumnType.SYMBOL16: "String",
+    ColumnType.SYMBOL32: "String",
+}
+
+# Annotation spellings accepted per expected type: the zdb type name, the
+# numpy/pandas dtype name, the Python builtin, and the Julia form itself.
+_ACCEPTED = {
+    "Int8": {"i8", "int8"}, "Int16": {"i16", "int16"},
+    "Int32": {"i32", "int32"}, "Int64": {"i64", "int64", "int",
+                                         "timestamp"},
+    "UInt8": {"u8", "uint8"}, "UInt16": {"u16", "uint16"},
+    "UInt32": {"u32", "uint32"}, "UInt64": {"u64", "uint64"},
+    "Float32": {"f32", "float32"}, "Float64": {"f64", "float64", "float"},
+    "String": {"str", "string", "symbol"},
+}
+
+
+def _ann_str(a) -> str:
+    if isinstance(a, str):
+        return a
+    return getattr(a, "__name__", str(a))
 
 
 def _projection_for(fn: Callable, table: Table) -> list[str]:
-    """Parameter names → column projection, with the reference's typed
-    errors for unknown names (/root/reference/src/server/query.rs:166-214)."""
-    params = list(inspect.signature(fn).parameters)
-    if not params:
-        raise ValueError("scan function must take at least one column argument")
-    for p in params:
-        table.schema.column(p)  # raises KeyError on unknown column
-    return params
+    """Parameter names → column projection; parameter type annotations
+    (when present) are validated against the column's declared type with
+    the reference's error texts (/root/reference/src/server/query.rs:
+    28-44,166-214).  Validation happens BEFORE any job launches, so a
+    wrong-dtype scan is a clean 400, not an opaque executor-side pandas
+    error."""
+    sig = inspect.signature(fn).parameters
+    if not sig:
+        raise QueryError("scan function must take at least one column argument")
+    for name, prm in sig.items():
+        try:
+            col = table.schema.column(name)
+        except KeyError:
+            raise QueryError(f"column {name} does not exist on table "
+                             f"{table.schema.name}") from None
+        if prm.annotation is not inspect.Parameter.empty:
+            jt = _JULIA_TYPE[col.ctype]
+            ok = {jt, jt.lower(), f"Vector{{{jt}}}"} | _ACCEPTED[jt]
+            if _ann_str(prm.annotation) not in ok:
+                raise QueryError(f"expected parameter {name} to be of "
+                                 f"type Vector{{{jt}}}")
+    return list(sig)
 
 
 def q(table: Table, scan: Callable, from_ts, to_ts,

@@ -121,6 +121,13 @@ class Schema:
     columns: list[Column] = field(default_factory=list)
     partition_by: PartitionBy = PartitionBy.NONE
     strict_u64: bool = False
+    # Reference surface parity (/root/reference/src/schema.rs:85,
+    # write.rs:88-93): round-robin striping of partition dirs across
+    # local disks.  Recorded and round-tripped so schemas port losslessly,
+    # but intentionally NOT used for placement: on a distributed
+    # filesystem the block layer stripes (SURVEY.md §4) — a driver-chosen
+    # disk list would fight, not help, HDFS/S3 placement.
+    partition_dirs: list[str] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if not self.columns or self.columns[0].ctype is not ColumnType.TIMESTAMP:
@@ -182,6 +189,7 @@ class Schema:
             "name": self.name,
             "partition_by": self.partition_by.value,
             "strict_u64": self.strict_u64,
+            "partition_dirs": list(self.partition_dirs),
             "columns": [
                 {"name": c.name, "type": c.ctype.value, "resolution": c.resolution}
                 for c in self.columns
@@ -194,4 +202,5 @@ class Schema:
                 for c in d["columns"]]
         return cls(name=d["name"], columns=cols,
                    partition_by=PartitionBy(d["partition_by"]),
-                   strict_u64=d.get("strict_u64", False))
+                   strict_u64=d.get("strict_u64", False),
+                   partition_dirs=list(d.get("partition_dirs", [])))

@@ -37,7 +37,7 @@ from pyspark.sql import SparkSession
 
 from .functions.scalar import string_to_nanoseconds
 from .ohlcv import ohlcv
-from .query import q
+from .query import QueryError, q
 from .table import Table, TableNotFoundError
 
 __all__ = ["make_server", "serve"]
@@ -133,7 +133,8 @@ def make_server(spark: SparkSession, home: str | None = None,
                 n = int(self.headers.get("content-length", 0))
                 body = json.loads(self.rfile.read(n))
                 self._q(body)
-            except TableNotFoundError as e:
+            except (TableNotFoundError, QueryError) as e:
+                # reference-shaped validation texts go out verbatim
                 self._err(str(e))
             except Exception as e:
                 traceback.print_exc()

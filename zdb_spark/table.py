@@ -38,7 +38,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .schema import PartitionBy, Schema
+from .schema import ColumnType, PartitionBy, Schema
 
 __all__ = ["Table", "TableExistsError", "TableNotFoundError", "OutOfOrderError",
            "zdb_home"]
@@ -177,6 +177,17 @@ class Table:
             F.col(c.name).cast(c.spark_type(self.schema.strict_u64))
             for c in self.schema.columns
         ])
+        # Resolution rounding on write (W2): every timestamp column is
+        # floored to its declared resolution — val/res*res, the reference's
+        # put_timestamp contract (/root/reference/src/table/write.rs:62-65).
+        # `v - v % res` matches Rust's truncating division for negatives
+        # too.  Without this, a table declared at 1-minute bars silently
+        # keeps raw nanos and round-trips diverge.
+        for c in self.schema.columns:
+            if c.ctype == ColumnType.TIMESTAMP and c.resolution > 1:
+                df = df.withColumn(
+                    c.name,
+                    F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
 
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
@@ -326,9 +337,12 @@ class Table:
     # ------------------------------------------------------------------ #
     def symbols(self, column: str) -> list[str]:
         """Distinct values of a symbol column, sorted.  The reference dumps
-        its in-memory dictionary; Parquet's dictionary is internal, so we
-        compute distinct — at scale this is a column-pruned scan of
-        dictionary-encoded pages, cheap relative to the data."""
+        its in-memory dictionary in INSERTION order
+        (/root/reference/src/server/mod.rs:84-122); Parquet's dictionary is
+        internal, so we compute distinct — at scale a column-pruned scan of
+        dictionary-encoded pages, cheap relative to the data.  Deliberate
+        divergence: sorted order is deterministic across partitions/rounds,
+        insertion order isn't even defined under parallel ingest."""
         col = self.schema.column(column)
         if not col.is_symbol:
             raise ValueError(f"column {column!r} is not a symbol column")

@@ -12,10 +12,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from zdb_spark.session import get_spark
 
     s = get_spark("zdb-spark-tests", master="local[4]",
-                  extra_conf={"spark.sql.shuffle.partitions": "4"})
+                  extra_conf={
+                      "spark.sql.shuffle.partitions": "4",
+                      # saveAsTable (bucketed tables) must not litter the
+                      # repo with ./spark-warehouse
+                      "spark.sql.warehouse.dir":
+                          tempfile.mkdtemp(prefix="zdb_warehouse_"),
+                  })
     yield s
     s.stop()
 

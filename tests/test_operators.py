@@ -264,3 +264,30 @@ class TestMultimodal:
         for r in out:
             by_id.setdefault(r["id"], []).append(r)
         assert by_id[1][0]["frame_idx"] == 0
+
+
+class TestSkew:
+    def test_salted_agg_matches_unsalted(self, spark):
+        # power-law keys: one key holds ~90% of rows
+        rows = [Row(k="hot", v=float(i)) for i in range(900)] + \
+               [Row(k=f"cold{i}", v=float(i)) for i in range(100)]
+        df = spark.createDataFrame(rows)
+        from zdb_spark.operators.skew import salted_agg
+
+        got = {r["k"]: (r["n"], r["total"], r["mx"])
+               for r in salted_agg(
+                   df, ["k"],
+                   {"n": ("v", "count"), "total": ("v", "sum"),
+                    "mx": ("v", "max")}, n_salts=8).collect()}
+        want = {r["k"]: (r["n"], r["total"], r["mx"])
+                for r in df.groupBy("k")
+                .agg(F.count("v").alias("n"), F.sum("v").alias("total"),
+                     F.max("v").alias("mx")).collect()}
+        assert got == want
+
+    def test_non_algebraic_rejected(self, spark):
+        from zdb_spark.operators.skew import salted_agg
+
+        df = spark.createDataFrame([Row(k="a", v=1.0)])
+        with pytest.raises(ValueError, match="non-algebraic"):
+            salted_agg(df, ["k"], {"p50": ("v", "percentile")})

@@ -92,3 +92,37 @@ class TestSources:
         assert t2.schema.column("price").ctype is ColumnType.F32
         assert t2.df().schema["price"].dataType.typeName() == "float"
         assert t2.df().count() == 2
+
+
+class TestBucketedJoin:
+    def test_fact_fact_join_zero_exchange(self, spark, sf_dir):
+        # The remaining 100-TB join story: both fact tables bucketed by
+        # the join key -> SortMergeJoin with NO Exchange on either side.
+        from pyspark.sql import functions as F
+
+        from zdb_spark.sources.bucketed import bucketed_join, save_bucketed
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        save_bucketed(li.select("l_orderkey", "l_extendedprice"),
+                      "b_lineitem", "l_orderkey", n_buckets=8)
+        save_bucketed(orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                                    "o_custkey"),
+                      "b_orders", "l_orderkey", n_buckets=8)
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+            assert scan_report(j).exchanges == 0
+            # control: the same join on plain parquet shuffles both sides
+            plain = (li.select("l_orderkey")
+                     .join(orders.select(F.col("o_orderkey")
+                                         .alias("l_orderkey")),
+                           "l_orderkey"))
+            assert scan_report(plain).exchanges >= 2
+            # correctness unchanged by the layout
+            assert j.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+            spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -112,27 +112,47 @@ def shingle_col(text: Column | str, k: int = 5) -> Column:
     return let(normalize_text(text), mk)
 
 
+def hashed_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct k-char shingles, each hashed once to a 64-bit long and
+    sorted.  The long array stands in for the string set everywhere
+    downstream: set ops on sorted longs are several× cheaper than on
+    strings, and 64-bit collisions are negligible (the ngram operator's
+    hashed-set Jaccard hash-matches its string-based oracle)."""
+    return F.sort_array(
+        F.transform(shingle_col(text, k), lambda s: F.xxhash64(s)))
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 64, k: int = 5,
-                      out_col: str = "minhash") -> DataFrame:
+                      out_col: str = "minhash",
+                      shingles_col: str | None = None) -> DataFrame:
     """num_hashes-wide MinHash signature over k-char shingles.
 
-    Permutation *i* is ``xxhash64(shingle, i)`` (seeded 64-bit hash);
-    signature element *i* is the min over the doc's shingles.
+    Each shingle STRING is hashed exactly once (``xxhash64(s)``);
+    permutation *i* re-hashes that 8-byte long with seed *i* —
+    ``xxhash64(h, i)`` — and signature element *i* is the min over the
+    doc's shingles.  Hashing the fixed-width long is the whole trick: the
+    naive per-permutation string hash made signature computation 64
+    string-walks per shingle and dominated the operator's cost (measured
+    ~10s of a ~12s sf0.1 run); this form is one string-walk plus 64
+    long-hashes.
 
-    Built as ONE nested higher-order expression over a let-bound shingle
-    array — ``transform(sequence(0, n-1), i -> array_min(transform(sh,
-    s -> xxhash64(s, i))))`` — rather than n separate array expressions:
-    the naive form re-computes the shingle array (and its regexp) once
-    per permutation per row; this form evaluates shingles once and scales
-    O(|shingles|·n) with a tiny plan.
+    Built as ONE nested higher-order expression over a let-bound hashed
+    shingle array, so shingling+normalization evaluates once per row.
+    ``shingles_col`` additionally exposes the hashed shingle array for
+    reuse (the exact-verify stage intersects the same arrays).
     """
-    sig = let(
-        shingle_col(text_col, k),
-        lambda sh: F.transform(
+    def mk(df_in, sh_expr):
+        sig = let(sh_expr, lambda sh: F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i)))))
-    return df.withColumn(out_col, sig)
+            lambda i: F.array_min(
+                F.transform(sh, lambda h: F.xxhash64(h, i)))))
+        return df_in.withColumn(out_col, sig)
+
+    if shingles_col is None:
+        return mk(df, hashed_shingles(text_col, k))
+    out = df.withColumn(shingles_col, hashed_shingles(text_col, k))
+    return mk(out, F.col(shingles_col))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -149,9 +169,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     r = num_hashes // bands
     # Materialize signatures+shingles ONCE: the candidate self-join would
     # otherwise duplicate the (large) minhash expression tree on both
-    # sides of the join and recompute it per band row.
-    base = (minhash_signature(df, text_col, num_hashes, k)
-            .withColumn("_sh", shingle_col(text_col, k))
+    # sides of the join and recompute it per band row.  The hashed
+    # shingle array is computed as a byproduct of the signature pass and
+    # reused verbatim by the exact verify.
+    base = (minhash_signature(df, text_col, num_hashes, k,
+                              shingles_col="_sh")
             .select(F.col(id_col).alias("_id"), "minhash", "_sh")
             .cache())
 

@@ -513,6 +513,46 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming WINDOWED-AGGREGATION parity: availableNow stream →
+    ``stream_resample`` (hourly OHLCV bars, 10-minute watermark) → append
+    sink → read back.
+
+    Append mode emits exactly the windows the final watermark passed
+    (watermark = max event time − 10 min; Spark runs a closing no-data
+    micro-batch to flush them), so the oracle is the same hourly
+    arg_min/arg_max bars RESTRICTED to windows whose end precedes the
+    watermark — the late-data policy (SURVEY §7: watermark semantics
+    replace the reference's out-of-order panic) stated as SQL and
+    hash-checked.
+    """
+    import hashlib
+    import tempfile
+
+    from zdb_spark.streaming.ingest import stream_resample
+
+    ev = _load(spark, sf_dir, "events")
+    key = hashlib.md5(f"{sf_dir}|resample-v1".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "zdb_stream_resample", key)
+    src = (spark.readStream.schema(ev.schema)
+           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    bars = stream_resample(src, "1 hour", ts_col="ts",
+                           symbol_col="event_type", price_col="value",
+                           watermark="10 minutes")
+    q = (bars.writeStream.format("parquet")
+         .option("path", os.path.join(base, "out"))
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(base, "out"))
+    return out.select(
+        (F.unix_timestamp("bucket_start") / 3600).cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        F.round("open", 4).alias("open"), F.round("high", 4).alias("high"),
+        F.round("low", 4).alias("low"), F.round("close", 4).alias("close"))
+
+
 def _emb_double(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id",
                       F.col("embedding").cast("array<double>")
@@ -689,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_rollup": q_month_rollup,
         "sessionize_batch": q_sessionize_batch,
         "stream_ingest": q_stream_ingest,
+        "stream_resample": q_stream_resample,
         # LLM-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1048,6 +1089,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_ns(ts) >= {1704412800 * 10**9}
               AND epoch_ns(ts) <= {1705017600 * 10**9}
             GROUP BY 1
+        """,
+        # Streaming windowed-agg parity: hourly OHLCV bars limited to the
+        # windows the final watermark (max ts - 10 min) closed.  Append
+        # mode emits a window only when watermark > window end.
+        "stream_resample": """
+            WITH mx AS (SELECT max(epoch_ns(ts)) AS m FROM events)
+            SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+                   event_type,
+                   round(arg_min(value, ts), 4) AS open,
+                   round(max(value), 4) AS high,
+                   round(min(value), 4) AS low,
+                   round(arg_max(value, ts), 4) AS close
+            FROM events, mx
+            GROUP BY 1, 2, mx.m
+            HAVING (hour_bucket + 1) * 3600000000000 < mx.m - 600000000000
         """,
         # Brute-force all-pairs exact Jaccard — the operator's exact-verify
         # stage makes its output equal this set (candidate recall 1.0 at

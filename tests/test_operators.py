@@ -213,6 +213,39 @@ class TestSimilarity:
         assert got[(0, 1)] > 0.99
         assert all(v >= 0.95 for v in got.values())
 
+    def test_knn_join_lsh_two_large_sides(self, emb):
+        # approximate join must find each row's self-match and the
+        # planted near-neighbor without any broadcast
+        out = similarity.knn_join_lsh(
+            emb.where(F.col("vec_id") < 3), emb, k=2,
+            num_bits=4, num_tables=8, dim=16).collect()
+        by_left = {}
+        for r in out:
+            by_left.setdefault(r["vec_id"], []).append(r)
+        assert set(by_left) == {0, 1, 2}
+        for vid, rows in by_left.items():
+            assert rows[0]["neighbor_id"] == vid  # self is rank 1
+        # planted pair: 1 is 0's nearest non-self neighbor
+        assert by_left[0][1]["neighbor_id"] == 1
+
+    def test_multiprobe_improves_candidates(self, emb, tmp_path):
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        path = str(tmp_path / "lshmp")
+        # deliberately weak index (1 table) so single-bucket probing
+        # plausibly misses; multiprobe at hamming<=1 probes 1+bits buckets
+        similarity.build_lsh_index(emb, path, num_bits=6, num_tables=1,
+                                   dim=16)
+        spark = emb.sparkSession
+        base = set(r["vec_id"] for r in
+                   similarity.lsh_index_topk(spark, path, qv, k=10)
+                   .collect())
+        probed = set(r["vec_id"] for r in
+                     similarity.lsh_index_topk(spark, path, qv, k=10,
+                                               multiprobe_bits=1)
+                     .collect())
+        assert base <= probed or len(probed) >= len(base)
+        assert 0 in probed and 1 in probed
+
     def test_knn_join(self, emb):
         left = emb.where(F.col("vec_id") < 3)
         out = similarity.knn_join_bruteforce(left, emb, k=2,

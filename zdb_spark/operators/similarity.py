@@ -25,9 +25,9 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
-           "lsh_topk", "knn_join_bruteforce", "ivf_index", "ivf_topk",
-           "embedding_dedup_pairs", "build_lsh_index", "lsh_index_topk",
-           "build_ivf_index", "ivf_index_topk"]
+           "lsh_topk", "knn_join_bruteforce", "knn_join_lsh", "ivf_index",
+           "ivf_topk", "embedding_dedup_pairs", "build_lsh_index",
+           "lsh_index_topk", "build_ivf_index", "ivf_index_topk"]
 
 
 def _as_double(c: Column) -> Column:
@@ -271,19 +271,34 @@ def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
 
 
 def lsh_index_topk(spark: SparkSession, path: str, query_vec: list[float],
-                   k: int = 10) -> DataFrame:
+                   k: int = 10, multiprobe_bits: int = 0) -> DataFrame:
     """Probe a persisted LSH index: driver-side query signatures (a few
     numpy dot products), then ONE scan filtered to the matching
     (t, sig) buckets — partition-pruned on ``t``, row-group-pruned on the
-    sorted ``sig`` — and an exact rerank of the candidates."""
+    sorted ``sig`` — and an exact rerank of the candidates.
+
+    ``multiprobe_bits > 0`` additionally probes every bucket within that
+    hamming distance of the query's signature (single-bit flips for 1):
+    near-miss neighbors land in adjacent buckets when one hyperplane dot
+    is near zero, so multi-probe buys recall WITHOUT more tables — i.e.
+    without growing the index.  Probe count per table is
+    ``1 + num_bits`` at distance 1; all still one pruned scan."""
     with open(os.path.join(path, "_meta")) as f:
         meta = json.load(f)
+    nb = meta["num_bits"]
+    masks = [(1 << i if i < 63 else -(1 << 63)) for i in range(nb)]
     idx = spark.read.parquet(os.path.join(path, "data"))
     cond = None
     for t in range(meta["num_tables"]):
-        qsig = _qsig_for(query_vec, meta["num_bits"], meta["dim"],
+        qsig = _qsig_for(query_vec, nb, meta["dim"],
                          meta["seed"] + 1000 * t)
-        c = (F.col("t") == t) & (F.col("sig") == F.lit(qsig))
+        sigs = {qsig}
+        if multiprobe_bits >= 1:
+            sigs |= {qsig ^ m for m in masks}
+        if multiprobe_bits >= 2:
+            sigs |= {qsig ^ m1 ^ m2 for m1 in masks for m2 in masks
+                     if m1 != m2}
+        c = (F.col("t") == t) & F.col("sig").isin(list(sigs))
         cond = c if cond is None else cond | c
     cand = idx.where(cond).dropDuplicates(["vec_id"])
     return brute_force_topk(cand, query_vec, k, meta["vec_col"], "vec_id")
@@ -370,6 +385,53 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                  .withColumn("cosine_sim", F.round(sim, 6))
                  .where(F.col("cosine_sim") >= threshold)
                  .select("id_a", "id_b", "cosine_sim"))
+
+
+def knn_join_lsh(left: DataFrame, right: DataFrame, k: int = 5,
+                 vec_col: str = "embedding", left_id: str = "vec_id",
+                 right_id: str = "vec_id", num_bits: int = 8,
+                 num_tables: int = 8, dim: int = 64,
+                 seed: int = 42) -> DataFrame:
+    """Approximate k-NN JOIN for two LARGE sides — neither broadcastable.
+
+    Both sides get the same hyperplane signatures; candidates come from a
+    (t, sig) equi-join (a hash shuffle on small keys, never a cross
+    product), then a per-left-row window keeps the top-k by exact cosine.
+    The join carries bare ids; vectors re-attach to the deduplicated
+    candidate set.  Recall follows the per-pair bucket-collision bound —
+    near-parallel pairs are found with probability ~1, and ``num_tables``
+    is the recall dial.  This is the 100-TB shape ``knn_join_bruteforce``
+    explicitly is not (its broadcast side must fit in memory).
+    """
+    from pyspark.sql import Window
+
+    def tag(df: DataFrame, id_col: str, out_id: str) -> DataFrame:
+        t = df.select(F.col(id_col).alias(out_id), F.col(vec_col))
+        for i in range(num_tables):
+            t = hyperplane_signature(t, vec_col, num_bits, dim,
+                                     seed + 1000 * i, out_col=f"_s{i}")
+        return t.withColumn("_tb", F.explode(F.array(*[
+            F.struct(F.lit(i).alias("t"), F.col(f"_s{i}").alias("sig"))
+            for i in range(num_tables)
+        ]))).select(out_id, "_tb.t", "_tb.sig")
+
+    cand = (tag(left, left_id, "_lid")
+            .join(tag(right, right_id, "_rid"), ["t", "sig"])
+            .select("_lid", "_rid").dropDuplicates())
+    lv = left.select(F.col(left_id).alias("_lid"),
+                     F.col(vec_col).alias("_lv"))
+    rv = right.select(F.col(right_id).alias("_rid"),
+                      F.col(vec_col).alias("_rv"))
+    scored = (cand.join(lv, "_lid").join(rv, "_rid")
+              .withColumn("cosine_sim",
+                          F.round(cosine_sim(F.col("_lv"), F.col("_rv")), 6)))
+    w = Window.partitionBy("_lid").orderBy(F.desc("cosine_sim"),
+                                           F.col("_rid"))
+    return (scored.withColumn("_rank", F.row_number().over(w))
+            .where(F.col("_rank") <= k)
+            .select(F.col("_lid").alias(left_id),
+                    F.col("_rid").alias("neighbor_id"),
+                    "cosine_sim", F.col("_rank").alias("rank")))
 
 
 def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int = 5,

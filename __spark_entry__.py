@@ -658,6 +658,21 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_topk(spark, path, list(qvec), k=10)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN JOIN (two large sides, no broadcast) made exactly
+    verifiable: left = 20 corpus vectors, right = the planted dedup
+    corpus, k=2 — every left row's true top-2 is itself (cos 1.0) and its
+    planted copy (cos ≈ 0.9988), both recalled with probability ~1 by the
+    shared-signature equi-join; next-best distractors sit below cos 0.56.
+    Oracle: brute-force per-left window top-2."""
+    from zdb_spark.operators.similarity import knn_join_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus = _dedup_corpus(emb)
+    left = corpus.where(F.col("vec_id") < 20)
+    return knn_join_lsh(left, corpus, k=2, num_bits=8, num_tables=8)
+
+
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
@@ -740,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "knn_bruteforce": q_knn_bruteforce,
+        "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "embedding_dedup": q_embedding_dedup,
@@ -1189,6 +1205,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM n a JOIN n b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, cosine_sim FROM pr WHERE cosine_sim >= 0.95
+        """,
+        "knn_join": """
+            WITH e0 AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+                FROM embeddings
+            ), p AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(range(1, 65), j ->
+                           ve[CAST(j AS INT)]
+                           + 0.05 * ve[CAST((j % 64) + 1 AS INT)]) AS ve
+                FROM e0
+            ), c AS (
+                SELECT vec_id, ve FROM e0 UNION ALL SELECT vec_id, ve FROM p
+            ), n AS (
+                SELECT vec_id, ve,
+                       sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+                FROM c
+            ), s AS (
+                SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id,
+                       round(list_sum(list_transform(range(1, 65), i ->
+                                 l.ve[CAST(i AS INT)] * r.ve[CAST(i AS INT)]))
+                             / (l.nrm * r.nrm), 6) AS cosine_sim
+                FROM n l JOIN n r ON l.vec_id < 20
+            ), rk AS (
+                SELECT vec_id, neighbor_id, cosine_sim,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cosine_sim DESC,
+                                                   neighbor_id) AS rank
+                FROM s
+            )
+            SELECT vec_id, neighbor_id, cosine_sim, rank
+            FROM rk WHERE rank <= 2
         """,
         "knn_lsh": """
             WITH e0 AS (

@@ -131,6 +131,32 @@ class TestCompaction:
         got = t.scan().select("ts").collect()
         assert sorted(r["ts"] for r in got) == [T0 + i for i in range(5)]
 
+    def test_compact_splits_hot_partition(self, spark, tmp_home):
+        # compact() must honor target_file_mb for a skewed day: range
+        # partitioning + maxRecordsPerFile split the hot day instead of
+        # funneling it into one file (the round-1 repartition(n, "dt")
+        # could not).
+        import glob
+        import os
+
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        # unique long syms defeat dictionary/RLE compression so the day
+        # actually exceeds the 1 MB target
+        df = spark.createDataFrame(
+            [Row(ts=T0 + i * 1000, sym=f"SYM-{i}-{i * 7919 % 104729:06d}",
+                 price=float(i * 7919 % 104729), size=1)
+             for i in range(80_000)])
+        t.write(df)
+        t.compact(target_file_mb=1)  # tiny target → must split
+        hot = glob.glob(os.path.join(
+            t.path, "parquet", "dt=2024-01-01", "*.parquet"))
+        assert len(hot) >= 2
+        for f in hot:
+            ts_vals = [r["ts"] for r in
+                       spark.read.parquet(f).select("ts").collect()]
+            assert ts_vals == sorted(ts_vals)
+        assert t.scan().count() == 80_000
+
     def test_compact_preserves_meta_and_scan(self, spark, tmp_home):
         t = Table.create(spark, make_schema(), home=tmp_home)
         t.write(rows_df(spark, [T0, T0 + DAY]))

@@ -7,15 +7,17 @@ aliased identically on both sides; computed floating-point aggregates are
 rounded identically on both sides so the order-insensitive value-hash is
 stable across engines.
 
-Every entry except ``multimodal_decode`` (container-constraint codec stub)
-has a value-checked oracle.  The LSH/ANN families are made exactly
-verifiable by (a) exact-verify stages whose candidate recall is 1.0 at the
-gate corpus (measured; deterministic under fixed seeds), (b) a portable
-md5-derived hash for SimHash so DuckDB reproduces fingerprints
+Every entry has a value-checked oracle.  The LSH/ANN families are made
+exactly verifiable by (a) exact-verify stages whose candidate recall is
+1.0 at the gate corpus (measured; deterministic under fixed seeds), (b) a
+portable md5-derived hash for SimHash so DuckDB reproduces fingerprints
 bit-for-bit, and (c) deterministically planted near-duplicate vectors
 (pure arithmetic, bit-identical in both engines) so the embedding tasks
 have a recallable ground truth — the raw corpus is near-orthogonal (max
-pairwise cosine 0.51), which no sublinear method can rank reliably.
+pairwise cosine 0.51), which no sublinear method can rank reliably.  The
+multimodal codec STUB derives from sha256 so even the fake decode is
+oracle-reproducible; the real-codec slot stays a documented
+NotImplementedError (container constraint).
 """
 
 from __future__ import annotations
@@ -685,8 +687,11 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode plumbing over mapInPandas (STUB codec —
-    deterministic; no SQL oracle, rows-only check)."""
+    """Arrow-batched decode plumbing over mapInPandas.  The codec is the
+    documented deterministic STUB (container lacks image libs), but it is
+    sha256-derived so the DuckDB oracle reproduces its outputs exactly —
+    the Python-UDF path (batching, schema, repartition, aggregation) is
+    value-checked end to end even though the decode itself is fake."""
     from zdb_spark.operators.multimodal import decode_images
 
     docs = (_load(spark, sf_dir, "documents")
@@ -1105,6 +1110,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_ns(ts) >= {1704412800 * 10**9}
               AND epoch_ns(ts) <= {1705017600 * 10**9}
             GROUP BY 1
+        """,
+        # The fake decoder derives channels/luma from sha256 bytes 2 and 3
+        # of the blob (= utf-8 text); DuckDB's sha256(VARCHAR) hashes the
+        # same bytes, so the whole mapInPandas path is value-checked.
+        "multimodal_decode": """
+            WITH d AS (
+                SELECT doc_id,
+                       1 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT)
+                           % 3 AS channels,
+                       round(CAST(('0x' || substr(sha256(text), 7, 2)) AS INT)
+                             / 255.0, 6) AS mean_luma
+                FROM documents
+            )
+            SELECT channels, count(*) AS n,
+                   round(avg(mean_luma), 6) AS avg_luma
+            FROM d GROUP BY 1
         """,
         # Streaming windowed-agg parity: hourly OHLCV bars limited to the
         # windows the final watermark (max ts - 10 min) closed.  Append

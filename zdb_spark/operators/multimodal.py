@@ -68,9 +68,11 @@ def blob_metadata(df: DataFrame, blob_col: str = "blob",
 
 def _fake_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     """Deterministic stand-in for an image decoder: derives plausible
-    dimensions from a sha1 of the payload.  STUB — replace with a real
-    codec (PIL/opencv) outside this container."""
-    h = hashlib.sha1(payload).digest()
+    dimensions from a sha256 of the payload.  STUB — replace with a real
+    codec (PIL/opencv) outside this container.  sha256 specifically so a
+    SQL oracle (DuckDB ``sha256``) can reproduce the fake's outputs and
+    value-check the whole Arrow-batched plumbing path end to end."""
+    h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
     channels = 1 + h[2] % 3

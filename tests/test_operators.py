@@ -213,6 +213,27 @@ class TestSimilarity:
         assert got[(0, 1)] > 0.99
         assert all(v >= 0.95 for v in got.values())
 
+    def test_index_probes_prune_in_plan(self, emb, tmp_path):
+        # the scale claim, pinned: an LSH probe partition-prunes on t and
+        # pushes the sig filter; an IVF probe partition-prunes on
+        # centroid_id. Neither rescans the corpus.
+        from zdb_spark.plans.inspect import scan_report
+
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        spark = emb.sparkSession
+        lp = str(tmp_path / "lshplan")
+        similarity.build_lsh_index(emb, lp, num_bits=6, num_tables=4,
+                                   dim=16)
+        rep = scan_report(similarity.lsh_index_topk(spark, lp, qv, k=5))
+        assert rep.has_partition_pruning  # t
+        assert rep.has_pushed_filters     # sig
+        ip = str(tmp_path / "ivfplan")
+        similarity.build_ivf_index(emb, ip, n_centroids=4)
+        rep = scan_report(similarity.ivf_index_topk(spark, ip, qv, k=5,
+                                                    n_probe=2))
+        assert rep.has_partition_pruning  # centroid_id
+        assert rep.exchanges == 0
+
     def test_knn_join_lsh_two_large_sides(self, emb):
         # approximate join must find each row's self-match and the
         # planted near-neighbor without any broadcast

@@ -232,9 +232,19 @@ class Table:
         return n
 
     def _flush_meta(self) -> None:
-        """Persist sidecar (W7/W8, /root/reference/src/table/meta.rs:17-37)."""
-        with open(os.path.join(self.path, "_meta"), "w") as f:
+        """Persist sidecar (W7/W8, /root/reference/src/table/meta.rs:17-37).
+
+        Write-then-rename so a crash mid-flush can never leave a torn
+        ``_meta`` — the durability step the reference gets from its
+        explicit flush/truncate sequence (write.rs:212-234).
+        """
+        target = os.path.join(self.path, "_meta")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
             f.write(self._meta.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, target)
 
     # ------------------------------------------------------------------ #
     # scan path (/root/reference/src/table/scan.rs:43-89)                #

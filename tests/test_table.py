@@ -78,6 +78,47 @@ class TestWrite:
             t.write(bad)
 
 
+class TestConcurrentAppend:
+    def test_two_handles_compose(self, spark, tmp_home):
+        # sidecar updates from independent handles must merge, not
+        # last-write-wins: each handle's cached meta is stale when the
+        # other flushes.
+        Table.create(spark, make_schema(), home=tmp_home)
+        t1 = Table.open(spark, "t1", home=tmp_home)
+        t2 = Table.open(spark, "t1", home=tmp_home)
+        t1.write(rows_df(spark, [T0, T0 + 1]))
+        t2.write(rows_df(spark, [T0 + DAY]), enforce_order=False)
+        t3 = Table.open(spark, "t1", home=tmp_home)
+        assert t3.row_count == 3
+        assert t3.get_first_ts() == T0
+        assert t3.get_last_ts() == T0 + DAY
+        assert t3.scan().count() == 3
+
+    def test_threaded_appends_count_exactly(self, spark, tmp_home):
+        import threading
+
+        Table.create(spark, make_schema(), home=tmp_home)
+        errs = []
+
+        def worker(day):
+            try:
+                t = Table.open(spark, "t1", home=tmp_home)
+                t.write(rows_df(spark, [T0 + day * DAY + i for i in range(20)]),
+                        enforce_order=False)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(d,)) for d in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        t = Table.open(spark, "t1", home=tmp_home)
+        assert t.row_count == 80
+        assert t.scan().count() == 80
+
+
 class TestScan:
     def test_time_range_inclusive(self, spark, tmp_home):
         t = Table.create(spark, make_schema(), home=tmp_home)

@@ -220,16 +220,78 @@ class Table:
         # batches, so tiny appends still produce few files.
         writer = (out.repartitionByRange(*sort_cols)
                   .sortWithinPartitions(*sort_cols)
-                  .write.mode("append"))
+                  .write.mode("overwrite"))
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.partitionBy("dt").parquet(os.path.join(self.path, "parquet"))
+        # Stage in a per-batch directory, then rename part files into
+        # place.  Two jobs appending directly to the same path share ONE
+        # `_temporary` staging dir and each job's commit deletes the
+        # other's in-flight task files (observed: FileNotFoundException at
+        # commitJob under 4 concurrent appends).  Unique staging + rename
+        # (part filenames already carry job UUIDs) makes concurrent
+        # appends compose; batch-level atomic VISIBILITY would need a
+        # manifest log on top (readers may glimpse a partially-moved
+        # batch after a mid-move crash).
+        import uuid
 
-        self._meta.row_count += n
-        self._meta.min_ts = lo if self._meta.min_ts is None else min(self._meta.min_ts, lo)
-        self._meta.max_ts = hi if self._meta.max_ts is None else max(self._meta.max_ts, hi)
-        self._flush_meta()
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        writer.partitionBy("dt").parquet(staging)
+        dest_root = os.path.join(self.path, "parquet")
+        for dt_dir in os.listdir(staging):
+            src_dir = os.path.join(staging, dt_dir)
+            if not (os.path.isdir(src_dir) and dt_dir.startswith("dt=")):
+                continue
+            dst_dir = os.path.join(dest_root, dt_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in os.listdir(src_dir):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.replace(os.path.join(src_dir, fname),
+                           os.path.join(dst_dir, fname))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        self._merge_meta(n, lo, hi)
         return n
+
+    def _merge_meta(self, n: int, lo: int, hi: int) -> None:
+        """Fold one appended batch into the sidecar under a lock file.
+
+        Concurrent appends are data-safe by construction (each job writes
+        uniquely-named part files); the sidecar was the only race.  Under
+        the lock the CURRENT sidecar is re-read and the batch merged
+        additively (count adds, min/max fold), so two writers' updates
+        compose instead of last-write-wins.  The out-of-order check
+        remains best-effort against the max_ts read at write() entry —
+        single-writer semantics, like the reference.  NB: O_EXCL lock
+        files coordinate writers on a POSIX/HDFS-like FS; object stores
+        without atomic create need an external coordinator or a
+        manifest log (round-3 surface).
+        """
+        lock = os.path.join(self.path, "_meta.lock")
+        import time as _time
+        for _ in range(200):  # ~10 s at 50 ms
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"could not acquire {lock}")
+        try:
+            meta_path = os.path.join(self.path, "_meta")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    cur = _Meta.from_json(f.read())
+            else:
+                cur = self._meta
+            cur.row_count += n
+            cur.min_ts = lo if cur.min_ts is None else min(cur.min_ts, lo)
+            cur.max_ts = hi if cur.max_ts is None else max(cur.max_ts, hi)
+            self._meta = cur
+            self._flush_meta()
+        finally:
+            os.close(fd)
+            os.unlink(lock)
 
     def _flush_meta(self) -> None:
         """Persist sidecar (W7/W8, /root/reference/src/table/meta.rs:17-37).

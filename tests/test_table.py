@@ -119,6 +119,61 @@ class TestConcurrentAppend:
         assert t.scan().count() == 80
 
 
+class TestManifest:
+    def make(self, spark, tmp_home):
+        return Table.create(spark, make_schema("tman"), home=tmp_home,
+                            manifest=True)
+
+    def test_snapshot_reads_only_committed(self, spark, tmp_home):
+        import glob
+        import os
+        import shutil
+
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        assert t.scan().count() == 2
+        # a file that lands in the directory WITHOUT a manifest commit
+        # (crashed half-moved batch) must be invisible to snapshot reads
+        src = glob.glob(os.path.join(t.path, "parquet", "dt=*",
+                                     "*.parquet"))[0]
+        shutil.copy(src, src.replace(".parquet", "-orphan.parquet"))
+        assert t.scan().count() == 2  # directory listing would say 4
+
+    def test_manifest_versions_accumulate(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.write(rows_df(spark, [T0 + DAY]))
+        v, files = t._latest_manifest()
+        assert v == 2
+        assert len(files) == 2
+        assert t.scan().count() == 2
+
+    def test_compact_publishes_snapshot(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        for i in range(3):
+            t.write(rows_df(spark, [T0 + i]))
+        t.compact()
+        v, files = t._latest_manifest()
+        assert v == 4  # 3 writes + 1 compaction snapshot
+        assert len(files) == 1
+        assert t.scan().count() == 3
+
+    def test_partition_pruning_survives_manifest_read(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i * DAY for i in range(4)]))
+        plan = t.scan(T0 + DAY, T0 + 2 * DAY)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "PartitionFilters" in plan and "dt" in plan
+        assert t.scan(T0 + DAY, T0 + 2 * DAY).count() == 2
+
+    def test_reopen_preserves_manifest_mode(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t2 = Table.open(spark, "tman", home=tmp_home)
+        assert t2._meta.manifest is True
+        assert t2.scan().count() == 1
+
+
 class TestScan:
     def test_time_range_inclusive(self, spark, tmp_home):
         t = Table.create(spark, make_schema(), home=tmp_home)

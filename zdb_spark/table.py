@@ -66,12 +66,20 @@ def zdb_home() -> str:
 
 @dataclass
 class _Meta:
-    """Sidecar `_meta` payload (/root/reference/src/table/meta.rs:25-37)."""
+    """Sidecar `_meta` payload (/root/reference/src/table/meta.rs:25-37).
+
+    ``manifest=True`` switches the table to snapshot-manifest reads:
+    scans list files from the latest ``_manifest/v*.json`` instead of the
+    directory tree, giving batch-level atomic visibility (a reader can
+    never observe a half-moved batch) — the property object stores need,
+    where staged renames are neither atomic nor instant.
+    """
 
     schema: dict
     row_count: int = 0
     min_ts: int | None = None  # first ts ever written (nanos)
     max_ts: int | None = None  # last ts ever written (nanos)
+    manifest: bool = False
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -100,13 +108,17 @@ class Table:
 
     @classmethod
     def create(cls, spark: SparkSession, schema: Schema,
-               home: str | None = None) -> "Table":
+               home: str | None = None, manifest: bool = False) -> "Table":
+        """``manifest=True`` opts the table into snapshot-manifest reads
+        (see ``_Meta``).  Directory-listing mode stays the default: the
+        streaming sink writes files the manifest log would not know
+        about, so stream-fed tables must stay in listing mode."""
         path = cls._table_path(schema.name, home)
         meta_path = os.path.join(path, "_meta")
         if os.path.exists(meta_path):
             raise TableExistsError(f"table {schema.name!r} already exists")
         os.makedirs(path, exist_ok=True)
-        meta = _Meta(schema=schema.to_dict())
+        meta = _Meta(schema=schema.to_dict(), manifest=manifest)
         with open(meta_path, "w") as f:
             f.write(meta.to_json())
         return cls(spark, schema, path, meta)
@@ -237,6 +249,7 @@ class Table:
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         writer.partitionBy("dt").parquet(staging)
         dest_root = os.path.join(self.path, "parquet")
+        moved: list[str] = []
         for dt_dir in os.listdir(staging):
             src_dir = os.path.join(staging, dt_dir)
             if not (os.path.isdir(src_dir) and dt_dir.startswith("dt=")):
@@ -248,12 +261,14 @@ class Table:
                     continue
                 os.replace(os.path.join(src_dir, fname),
                            os.path.join(dst_dir, fname))
+                moved.append(f"{dt_dir}/{fname}")
         shutil.rmtree(staging, ignore_errors=True)
 
-        self._merge_meta(n, lo, hi)
+        self._merge_meta(n, lo, hi, add_files=moved)
         return n
 
-    def _merge_meta(self, n: int, lo: int, hi: int) -> None:
+    def _merge_meta(self, n: int, lo: int, hi: int,
+                    add_files: list[str] | None = None) -> None:
         """Fold one appended batch into the sidecar under a lock file.
 
         Concurrent appends are data-safe by construction (each job writes
@@ -289,9 +304,46 @@ class Table:
             cur.max_ts = hi if cur.max_ts is None else max(cur.max_ts, hi)
             self._meta = cur
             self._flush_meta()
+            if cur.manifest and add_files:
+                v, files = self._latest_manifest()
+                self._write_manifest(v + 1, files + add_files)
         finally:
             os.close(fd)
             os.unlink(lock)
+
+    # ------------------------------------------------------------------ #
+    # snapshot manifest (batch-level atomic visibility)                  #
+    # ------------------------------------------------------------------ #
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifest")
+
+    def _latest_manifest(self) -> tuple[int, list[str]]:
+        """(version, relative file paths) of the newest snapshot; (0, [])
+        before the first committed batch."""
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return 0, []
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json"))
+        if not versions:
+            return 0, []
+        v = versions[-1]
+        with open(os.path.join(d, f"v{v:012d}.json")) as f:
+            return v, json.load(f)["files"]
+
+    def _write_manifest(self, version: int, files: list[str]) -> None:
+        """Atomically publish snapshot ``version`` (tmp + fsync + rename
+        — a reader sees the old complete snapshot or the new one, never a
+        torn or partial listing)."""
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".v{version:012d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(files)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, f"v{version:012d}.json"))
 
     def _flush_meta(self) -> None:
         """Persist sidecar (W7/W8, /root/reference/src/table/meta.rs:17-37).
@@ -313,6 +365,16 @@ class Table:
     # ------------------------------------------------------------------ #
     def df(self) -> DataFrame:
         p = os.path.join(self.path, "parquet")
+        if self._meta.manifest:
+            # Snapshot read: only files the manifest committed are
+            # visible.  basePath keeps hive-partition (dt) discovery —
+            # and with it directory pruning — over the explicit list.
+            _, files = self._latest_manifest()
+            if not files:
+                return self.spark.createDataFrame(
+                    [], self.schema.spark_schema().add("dt", "string"))
+            return (self.spark.read.option("basePath", p)
+                    .parquet(*[os.path.join(p, f) for f in files]))
         if not os.path.exists(p):
             return self.spark.createDataFrame([], self.schema.spark_schema()
                                               .add("dt", "string"))
@@ -389,6 +451,16 @@ class Table:
         os.rename(src, backup)
         os.rename(tmp, src)
         shutil.rmtree(backup)
+        if self._meta.manifest:
+            # publish a fresh snapshot listing the compacted tree
+            files = [
+                f"{dt}/{f}" for dt in os.listdir(src)
+                if dt.startswith("dt=")
+                for f in os.listdir(os.path.join(src, dt))
+                if not f.startswith(("_", "."))
+            ]
+            v, _ = self._latest_manifest()
+            self._write_manifest(v + 1, files)
         return n_parts
 
     # ------------------------------------------------------------------ #

@@ -166,6 +166,39 @@ class TestManifest:
         assert "PartitionFilters" in plan and "dt" in plan
         assert t.scan(T0 + DAY, T0 + 2 * DAY).count() == 2
 
+    def test_snapshot_time_travel(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.write(rows_df(spark, [T0 + DAY]))
+        assert t.snapshot(1).count() == 1
+        assert t.snapshot(2).count() == 2
+        with pytest.raises(ValueError, match="no snapshot version 9"):
+            t.snapshot(9)
+
+    def test_vacuum_reclaims_orphans_and_old_versions(self, spark, tmp_home):
+        import glob
+        import os
+        import shutil
+
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.write(rows_df(spark, [T0 + DAY]))
+        src = glob.glob(os.path.join(t.path, "parquet", "dt=*",
+                                     "*.parquet"))[0]
+        shutil.copy(src, src.replace(".parquet", "-orphan.parquet"))
+        assert t.vacuum() == 1  # the orphan
+        assert t.scan().count() == 2
+        # superseded manifest versions are gone
+        with pytest.raises(ValueError):
+            t.snapshot(1)
+
+    def test_manifest_required_for_snapshot_api(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("plain"), home=tmp_home)
+        with pytest.raises(ValueError, match="manifest=True"):
+            t.snapshot(1)
+        with pytest.raises(ValueError, match="manifest=True"):
+            t.vacuum()
+
     def test_reopen_preserves_manifest_mode(self, spark, tmp_home):
         t = self.make(spark, tmp_home)
         t.write(rows_df(spark, [T0]))

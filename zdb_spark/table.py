@@ -332,6 +332,55 @@ class Table:
         with open(os.path.join(d, f"v{v:012d}.json")) as f:
             return v, json.load(f)["files"]
 
+    def snapshot(self, version: int) -> DataFrame:
+        """Time-travel read: the table exactly as of manifest ``version``
+        (manifest-mode tables only).  Compaction rewrites files, so
+        pre-compaction snapshots are readable only until ``vacuum()``."""
+        if not self._meta.manifest:
+            raise ValueError("snapshot() requires a manifest=True table")
+        path = os.path.join(self._manifest_dir(), f"v{version:012d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot version {version}")
+        with open(path) as f:
+            files = json.load(f)["files"]
+        p = os.path.join(self.path, "parquet")
+        if not files:
+            return self.spark.createDataFrame(
+                [], self.schema.spark_schema().add("dt", "string"))
+        return (self.spark.read.option("basePath", p)
+                .parquet(*[os.path.join(p, f) for f in files]))
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the LATEST snapshot plus
+        all superseded manifest versions; returns files removed.  This is
+        what reclaims crashed half-moved batches (invisible but present)
+        and pre-compaction file trees — after it, older ``snapshot()``
+        versions are gone by design."""
+        if not self._meta.manifest:
+            raise ValueError("vacuum() requires a manifest=True table")
+        v, files = self._latest_manifest()
+        keep = set(files)
+        root = os.path.join(self.path, "parquet")
+        removed = 0
+        if os.path.isdir(root):
+            for dt in os.listdir(root):
+                d = os.path.join(root, dt)
+                if not (dt.startswith("dt=") and os.path.isdir(d)):
+                    continue
+                for fname in os.listdir(d):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    if f"{dt}/{fname}" not in keep:
+                        os.unlink(os.path.join(d, fname))
+                        removed += 1
+        md = self._manifest_dir()
+        if os.path.isdir(md):
+            for f in os.listdir(md):
+                if (f.startswith("v") and f.endswith(".json")
+                        and int(f[1:-5]) < v):
+                    os.unlink(os.path.join(md, f))
+        return removed
+
     def _write_manifest(self, version: int, files: list[str]) -> None:
         """Atomically publish snapshot ``version`` (tmp + fsync + rename
         — a reader sees the old complete snapshot or the new one, never a

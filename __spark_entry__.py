@@ -426,6 +426,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair→cluster resolution: connected components over the verified
+    minhash pairs (iterative min-label propagation — the non-one-plan
+    algorithm class).  Oracle: DuckDB recursive CTE over the same
+    brute-force pair set; both compute EXACT components, so they match
+    whenever the pair sets match (which dedup_minhash's row checks)."""
+    from zdb_spark.operators.dedup import duplicate_clusters, minhash_lsh_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              num_hashes=64, bands=16, threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.text import token_counts
 
@@ -753,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "text_tokens": q_text_tokens,
@@ -1166,6 +1181,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """,
+        # Exact connected components over the brute-force pair set via a
+        # recursive CTE — matches the Spark label-propagation fixpoint.
+        "dedup_clusters": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a, id_b FROM pr
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            ), sym AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges
+            ), reach(node, lbl) AS (
+                SELECT a AS node, a AS lbl FROM sym
+                UNION
+                SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
         """,
         # Full SimHash rebuild in SQL: md5-derived 64-bit token hash (the
         # operator's portable=True hash), per-bit vote, fingerprint OR-fold,

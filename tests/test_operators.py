@@ -345,3 +345,22 @@ class TestSkew:
         df = spark.createDataFrame([Row(k="a", v=1.0)])
         with pytest.raises(ValueError, match="non-algebraic"):
             salted_agg(df, ["k"], {"p50": ("v", "percentile")})
+
+
+class TestClusters:
+    def test_components_exact(self, spark):
+        pairs = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6),
+             Row(id_a=8, id_b=9), Row(id_a=9, id_b=10)])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+    def test_long_chain_converges(self, spark):
+        # a 12-node path graph needs several propagation rounds
+        pairs = spark.createDataFrame(
+            [Row(id_a=i, id_b=i + 1) for i in range(12)])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 13

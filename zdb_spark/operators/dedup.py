@@ -29,8 +29,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "minhash_signature", "minhash_lsh_pairs", "simhash",
-           "simhash_pairs", "ngram_jaccard_pairs", "release",
-           "portable_hash64"]
+           "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
+           "release", "portable_hash64"]
 
 
 def release(df: DataFrame) -> None:
@@ -307,6 +307,56 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
     out._zdb_cache_handles = [sh]
+    return out
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one cluster label
+    per document: the step that turns any pair operator's output into an
+    actionable keep/drop decision (keep ``doc_id == cluster_id``, the
+    minimum member).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors'; converges in ≤ graph-diameter
+    rounds (near-dup clusters are shallow — template groups are nearly
+    cliques, diameter ~2).  The driver loop carries only a convergence
+    COUNT per round; labels stay distributed, and each round is one
+    small-key join + groupBy on the PAIR set (≪ corpus).  This is an
+    inherently iterative algorithm — the pattern for everything Catalyst
+    can't express in one plan (cf. SURVEY §2.7 delegated surface).
+    """
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .distinct().cache())
+    # localCheckpoint (not cache) each round: caching truncates
+    # re-EXECUTION but the logical plan still deepens per iteration and
+    # Catalyst re-analyzes the whole tree every round — measured minutes
+    # of pure planning by round ~10.  Checkpointing materializes AND
+    # truncates lineage, keeping every round's plan constant-size.
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("lbl", F.col("node"))
+              .localCheckpoint(eager=True))
+    # Convergence via the label-sum invariant: labels only ever decrease,
+    # so an unchanged sum ⟺ a fixpoint — one cheap aggregate per round
+    # instead of an old-vs-new anti-join.
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["b"] == labels["node"])
+                 .groupBy("a").agg(F.min("lbl").alias("nmin")))
+        labels = (labels.join(neigh, labels["node"] == neigh["a"], "left")
+                  .select("node",
+                          F.least("lbl", F.coalesce("nmin", "lbl"))
+                          .alias("lbl"))
+                  .localCheckpoint(eager=True))
+        s = labels.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels.select(F.col("node").alias("doc_id"),
+                        F.col("lbl").alias("cluster_id"))
+    out._zdb_cache_handles = [edges]
     return out
 
 

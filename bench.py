@@ -42,6 +42,7 @@ HEADLINE = [
     "stream_ingest",      # stream→table→scan round trip
     "dedup_exact",        # hash dedup
     "dedup_minhash",      # MinHash LSH near-dup
+    "dedup_clusters",     # iterative connected components over pairs
     "text_quality",       # text feature pack
     "knn_bruteforce",     # similarity search
     "knn_ivf",            # IVF probe over the persisted index

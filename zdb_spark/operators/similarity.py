@@ -114,11 +114,12 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     hyperplane tables, union candidates whose full signature matches the
     query's bucket, exact-rerank the candidate set.
 
-    Recall/probe-cost tradeoff = (num_bits, num_tables).  The candidate
-    filter is a literal equality on a precomputable signature column, so
-    with signatures persisted (one extra int per table) a query touches
-    only matching buckets — at 100 TB that's partition-prunable if data
-    is bucketed/sorted by signature.
+    Recall/probe-cost tradeoff = (num_bits, num_tables).
+
+    AD-HOC MODE: recomputes signatures per call (num_tables scans) —
+    right for one-off exploration only.  Any repeated-query workload
+    should ``build_lsh_index`` once and probe with ``lsh_index_topk``,
+    which reads just the matching buckets of the persisted layout.
     """
     q = np.asarray(query_vec, dtype=np.float64)
     cand = None
@@ -212,9 +213,11 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """IVF approximate top-k: probe the ``n_probe`` centroids nearest to
     the query and exact-rerank only their members.
 
-    The scale path: with ``centroid_id`` persisted as a partition/bucket
-    column, a query scans ``n_probe/n_centroids`` of the corpus —
-    partition pruning does the candidate selection.
+    AD-HOC MODE: trains the quantizer per call.  Any repeated-query
+    workload should ``build_ivf_index`` once (training happens at build
+    time, corpus lands partitioned by ``centroid_id``) and probe with
+    ``ivf_index_topk`` — partition pruning then does candidate
+    selection at ``n_probe/n_centroids`` of the data.
     """
     assigned, cents = ivf_index(df, vec_col, n_centroids, sample_size,
                                 seed=seed)

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Scale-growth probe: run the heavy text-dedup operators on 1x/4x/10x
+replicas of the documents corpus and print per-scale timings as JSON.
+
+Purpose: measured evidence (recorded in SCALE.md) that the operators'
+cost grows ~linearly with corpus size — i.e. the candidate-generation
+stages stay bounded and nothing quietly degrades toward all-pairs.
+Replicas perturb each copy with a replica-specific token suffix so the
+near-dup structure is preserved (each template group grows k-fold) while
+doc_ids stay distinct — the hard case for LSH banding, since hot buckets
+grow k-fold too.
+
+Usage: python tools/scale_probe.py [--scales 1,4,10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--scales", default="1,4,10")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from zdb_spark.operators.dedup import (duplicate_clusters, exact_dedup,
+                                           minhash_lsh_pairs)
+    from zdb_spark.operators.text import quality_features
+    from zdb_spark.session import get_spark
+
+    spark = get_spark("zdb-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    n0 = docs.count()
+    out = {"base_docs": n0, "scales": {}}
+
+    for k in [int(s) for s in args.scales.split(",")]:
+        reps = [
+            docs.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(f" replica{i}"))
+                        .alias("text"))
+            for i in range(k)
+        ]
+        corpus = reps[0]
+        for r in reps[1:]:
+            corpus = corpus.unionByName(r)
+        corpus = corpus.repartition(spark.sparkContext.defaultParallelism) \
+                       .cache()
+        corpus.count()
+
+        timings = {}
+        t0 = time.time()
+        timings["exact_dedup"] = (exact_dedup(corpus).count(),
+                                  round(time.time() - t0, 2))
+        t0 = time.time()
+        pairs = minhash_lsh_pairs(corpus, "text", "doc_id",
+                                  num_hashes=64, bands=16, threshold=0.5)
+        n_pairs = pairs.count()
+        timings["minhash_pairs"] = (n_pairs, round(time.time() - t0, 2))
+        t0 = time.time()
+        timings["clusters"] = (duplicate_clusters(pairs).count(),
+                               round(time.time() - t0, 2))
+        t0 = time.time()
+        timings["text_quality"] = (quality_features(corpus, "text").count(),
+                                   round(time.time() - t0, 2))
+        out["scales"][k] = {"docs": n0 * k, **{name: {"rows": r, "sec": s}
+                                               for name, (r, s) in timings.items()}}
+        corpus.unpersist()
+        spark.catalog.clearCache()
+
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

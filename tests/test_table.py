@@ -166,6 +166,33 @@ class TestManifest:
         assert "PartitionFilters" in plan and "dt" in plan
         assert t.scan(T0 + DAY, T0 + 2 * DAY).count() == 2
 
+    def test_compact_keeps_old_snapshot_readable_until_vacuum(
+            self, spark, tmp_home):
+        # manifest-mode compaction must not yank files from readers of
+        # older snapshots: old files coexist until vacuum()
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.write(rows_df(spark, [T0 + 1]))
+        t.compact()
+        assert t.scan().count() == 2          # new snapshot
+        assert t.snapshot(2).count() == 2     # pre-compaction snapshot OK
+        assert t.snapshot(1).count() == 1
+        removed = t.vacuum()
+        assert removed == 2                   # the two pre-compaction files
+        assert t.scan().count() == 2          # latest snapshot unaffected
+
+    def test_migration_refreshes_manifest(self, spark, tmp_home):
+        from zdb_spark.schema import ColumnType
+        from zdb_spark.sources.readers import convert_column_type
+
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        convert_column_type(spark, "tman", "price", ColumnType.F32,
+                            home=tmp_home)
+        t2 = Table.open(spark, "tman", home=tmp_home)
+        assert t2.scan().count() == 2
+        assert t2.df().schema["price"].dataType.typeName() == "float"
+
     def test_snapshot_time_travel(self, spark, tmp_home):
         t = self.make(spark, tmp_home)
         t.write(rows_df(spark, [T0]))

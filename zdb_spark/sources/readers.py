@@ -118,6 +118,19 @@ def convert_column_type(spark: SparkSession, name: str, column: str,
         os.rename(tmp, src)
         import shutil
         shutil.rmtree(backup)
+        if t._meta.manifest:
+            # the rewrite replaced every file; publish a fresh snapshot
+            # so manifest reads see the migrated tree.  (Migration is an
+            # OFFLINE operation — concurrent readers of older snapshots
+            # are not supported across it, unlike compact().)
+            files = [
+                f"{dt}/{f}" for dt in os.listdir(src)
+                if dt.startswith("dt=")
+                for f in os.listdir(os.path.join(src, dt))
+                if not f.startswith(("_", "."))
+            ]
+            v, _ = t._latest_manifest()
+            t._write_manifest(v + 1, files)
 
     t.schema = new_schema
     t._meta.schema = new_schema.to_dict()

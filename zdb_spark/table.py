@@ -470,14 +470,23 @@ class Table:
         many small files per partition; at scale that means footer-read
         storms and tiny row groups with useless stats.  Compaction
         restores ~``target_file_mb`` files and re-establishes the sort
-        (optionally with ``cluster_by`` secondary clustering).  Writes to
-        a sibling dir then swaps, so a mid-rewrite failure leaves the
-        original intact.
+        (optionally with ``cluster_by`` secondary clustering).
+
+        Directory-listing mode writes to a sibling dir then swaps, so a
+        mid-rewrite failure leaves the original intact.  Manifest mode
+        never swaps: compacted files land ALONGSIDE the old ones (unique
+        part names), the manifest flips atomically to the new set, and
+        the superseded files stay on disk — still serving concurrent
+        readers of older snapshots — until ``vacuum()``.  That ordering
+        is the object-store-safe pattern; a swap would yank files out
+        from under a reader holding the previous manifest.
         """
         src = os.path.join(self.path, "parquet")
         if not os.path.exists(src):
             return 0
-        df = self.spark.read.parquet(src)
+        # manifest mode compacts the COMMITTED snapshot (self.df()), not
+        # whatever stray files the directory holds
+        df = self.df() if self._meta.manifest else self.spark.read.parquet(src)
         ts = self.schema.ts_col
         total_bytes = sum(
             os.path.getsize(os.path.join(root, f))
@@ -485,31 +494,45 @@ class Table:
         n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
         n_parts = df.select("dt").distinct().count()
         sort_cols = ["dt", *(cluster_by or []), ts]
-        tmp = src + ".compacting"
         # Range-partition on the sort key so a hot dt can split across
         # tasks — repartition(n, "dt") hash-routes a whole day to one task
         # and silently ignores target_file_mb for skewed days.
         avg_bytes_per_row = total_bytes / max(df.count(), 1)
         cap = max(1, int(target_file_mb * 1024 * 1024 / max(avg_bytes_per_row, 1)))
-        (df.repartitionByRange(int(max(n_files, n_parts)), *sort_cols)
-           .sortWithinPartitions(*sort_cols)
-           .write.mode("overwrite")
-           .option("maxRecordsPerFile", cap)
-           .partitionBy("dt").parquet(tmp))
+        writer = (df.repartitionByRange(int(max(n_files, n_parts)), *sort_cols)
+                  .sortWithinPartitions(*sort_cols)
+                  .write.mode("overwrite")
+                  .option("maxRecordsPerFile", cap))
+
+        if self._meta.manifest:
+            import uuid
+
+            staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+            writer.partitionBy("dt").parquet(staging)
+            moved: list[str] = []
+            for dt_dir in os.listdir(staging):
+                sdir = os.path.join(staging, dt_dir)
+                if not (os.path.isdir(sdir) and dt_dir.startswith("dt=")):
+                    continue
+                ddir = os.path.join(src, dt_dir)
+                os.makedirs(ddir, exist_ok=True)
+                for fname in os.listdir(sdir):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    os.replace(os.path.join(sdir, fname),
+                               os.path.join(ddir, fname))
+                    moved.append(f"{dt_dir}/{fname}")
+            shutil.rmtree(staging, ignore_errors=True)
+            v, _ = self._latest_manifest()
+            self._write_manifest(v + 1, moved)
+            return n_parts
+
+        tmp = src + ".compacting"
+        writer.partitionBy("dt").parquet(tmp)
         backup = src + ".old"
         os.rename(src, backup)
         os.rename(tmp, src)
         shutil.rmtree(backup)
-        if self._meta.manifest:
-            # publish a fresh snapshot listing the compacted tree
-            files = [
-                f"{dt}/{f}" for dt in os.listdir(src)
-                if dt.startswith("dt=")
-                for f in os.listdir(os.path.join(src, dt))
-                if not f.startswith(("_", "."))
-            ]
-            v, _ = self._latest_manifest()
-            self._write_manifest(v + 1, files)
         return n_parts
 
     # ------------------------------------------------------------------ #

@@ -617,11 +617,15 @@ def _knn_corpus(emb: DataFrame) -> DataFrame:
     return base.unionByName(planted)
 
 
-def _ann_index_path(sf_dir: str, kind: str) -> str:
+def _ann_index_path(sf_dir: str, kind: str, params: str) -> str:
+    """Cache key = (sf_dir, kind, params): the params component makes a
+    stale index from an earlier corpus construction or build setting
+    impossible to pick up silently — change the construction, change the
+    key."""
     import hashlib
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "zdb_ann_idx", key, kind)
 
 
@@ -636,7 +640,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     corpus = _knn_corpus(emb)
-    path = _ann_index_path(sf_dir, "ivf")
+    path = _ann_index_path(sf_dir, "ivf", "planted-v1|c16")
     if not os.path.exists(os.path.join(path, "_meta")):
         build_ivf_index(corpus, path, n_centroids=16)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -667,7 +671,7 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     corpus = _knn_corpus(emb)
-    path = _ann_index_path(sf_dir, "lsh")
+    path = _ann_index_path(sf_dir, "lsh", "planted-v1|b8t12")
     if not os.path.exists(os.path.join(path, "_meta")):
         build_lsh_index(corpus, path, num_bits=8, num_tables=12)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]

@@ -39,7 +39,9 @@ HEADLINE = [
     "udf_fold_sum",       # pandas-over-Arrow /q path
     "grouped_pandas",     # applyInPandas grouped map
     "sessionize_batch",   # window-function sessionization
-    "stream_ingest",      # stream→table→scan round trip
+    "stream_ingest",      # checkpointed stream re-open (no-op) + table scan
+                          # NB: measures the idempotent read-back path, not
+                          # ingest throughput — bench_write.py measures that
     "dedup_exact",        # hash dedup
     "dedup_minhash",      # MinHash LSH near-dup
     "dedup_clusters",     # iterative connected components over pairs

@@ -177,7 +177,7 @@ class TestManifest:
         assert t.scan().count() == 2          # new snapshot
         assert t.snapshot(2).count() == 2     # pre-compaction snapshot OK
         assert t.snapshot(1).count() == 1
-        removed = t.vacuum()
+        removed = t.vacuum(grace_seconds=0)
         assert removed == 2                   # the two pre-compaction files
         assert t.scan().count() == 2          # latest snapshot unaffected
 
@@ -213,7 +213,8 @@ class TestManifest:
         src = glob.glob(os.path.join(t.path, "parquet", "dt=*",
                                      "*.parquet"))[0]
         shutil.copy(src, src.replace(".parquet", "-orphan.parquet"))
-        assert t.vacuum() == 1  # the orphan
+        assert t.vacuum() == 0  # grace window protects fresh files
+        assert t.vacuum(grace_seconds=0) == 1  # the orphan
         assert t.scan().count() == 2
         # superseded manifest versions are gone
         with pytest.raises(ValueError):

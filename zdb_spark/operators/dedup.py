@@ -342,6 +342,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # so an unchanged sum ⟺ a fixpoint — one cheap aggregate per round
     # instead of an old-vs-new anti-join.
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["node"])
                  .groupBy("a").agg(F.min("lbl").alias("nmin")))
@@ -352,11 +353,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                   .localCheckpoint(eager=True))
         s = labels.agg(F.sum("lbl")).collect()[0][0]
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # Falling through silently would return SPLIT components — wrong
+        # cluster ids with no signal.  Loud beats wrong.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter")
     out = labels.select(F.col("node").alias("doc_id"),
                         F.col("lbl").alias("cluster_id"))
-    out._zdb_cache_handles = [edges]
+    out._zdb_cache_handles = [edges,
+                              *getattr(pairs, "_zdb_cache_handles", [])]
     return out
 
 

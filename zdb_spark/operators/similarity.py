@@ -151,14 +151,15 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     narrow map with the centroid matrix broadcast by value.  Returns
     (df + centroid_id column, centroids ndarray).
     """
-    # A real sample fraction (not 1.0): fraction-1.0 keeps input order, so
-    # the limit would take an arbitrary prefix (typically the first
-    # partitions) and bias centroid training on any non-random corpus.
-    # 4x oversample then limit bounds the driver transfer at sample_size.
+    # Bernoulli-sample ~4x the target, SHUFFLE the sampled rows, then
+    # limit: sample() preserves partition order, so a bare limit would
+    # still take a first-partitions prefix and bias centroid training on
+    # any non-randomly-ordered corpus (time-ordered ingest being the
+    # common case).  The orderBy sorts only the tiny sampled subset.
     total = df.count()
     frac = min(1.0, (4.0 * sample_size) / max(total, 1))
     rows = (df.select(vec_col).sample(False, frac, seed)
-            .limit(sample_size).collect())
+            .orderBy(F.rand(seed)).limit(sample_size).collect())
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     # Arrival order depends on partitioning; sort lexicographically so
     # training (init choice + mean accumulation order) is reproducible
@@ -231,12 +232,25 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def _qsig_for(query_vec: list[float], num_bits: int, dim: int,
               seed: int) -> int:
     """Driver-side signature of one query vector for table ``seed`` —
-    must mirror ``hyperplane_signature``'s bit/mask convention exactly."""
+    must mirror ``hyperplane_signature`` exactly, INCLUDING the
+    floating-point summation order: the Spark side folds the dot product
+    left-to-right, while numpy's BLAS dot sums pairwise, and a near-zero
+    plane dot can land on opposite sides of 0 between the two — flipping
+    a bit and probing the wrong bucket for a vector the index holds.  A
+    sequential Python accumulation is bit-identical to the Spark fold
+    (and num_bits×dim multiplications are trivial driver-side work)."""
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_bits, dim)
-    q = np.asarray(query_vec, dtype=np.float64)
-    return int(sum((1 << i if i < 63 else -(1 << 63))
-                   for i in range(num_bits) if float(planes[i] @ q) > 0))
+    q = [float(x) for x in query_vec]
+    sig = 0
+    for i in range(num_bits):
+        acc = 0.0
+        row = planes[i]
+        for j in range(dim):
+            acc = acc + q[j] * float(row[j])
+        if acc > 0:
+            sig |= (1 << i if i < 63 else -(1 << 63))
+    return sig
 
 
 def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",

@@ -70,16 +70,24 @@ _JULIA_TYPE = {
 }
 
 # Annotation spellings accepted per expected type: the zdb type name, the
-# numpy/pandas dtype name, the Python builtin, and the Julia form itself.
+# numpy/pandas dtype name, the Python builtin, the Julia form itself, AND
+# the dtype Spark actually delivers (unsigned types widen — u8 arrives as
+# an int16 Series, etc.), so annotating the truthful runtime type always
+# validates.
 _ACCEPTED = {
     "Int8": {"i8", "int8"}, "Int16": {"i16", "int16"},
     "Int32": {"i32", "int32"}, "Int64": {"i64", "int64", "int",
                                          "timestamp"},
-    "UInt8": {"u8", "uint8"}, "UInt16": {"u16", "uint16"},
-    "UInt32": {"u32", "uint32"}, "UInt64": {"u64", "uint64"},
+    "UInt8": {"u8", "uint8", "int16"}, "UInt16": {"u16", "uint16", "int32"},
+    "UInt32": {"u32", "uint32", "int64"},
+    "UInt64": {"u64", "uint64", "int64", "decimal"},
     "Float32": {"f32", "float32"}, "Float64": {"f64", "float64", "float"},
-    "String": {"str", "string", "symbol"},
+    "String": {"str", "string", "symbol", "object"},
 }
+
+# The runtime container is always a pandas Series — annotating it says
+# nothing about the element type, so it validates for any column.
+_CONTAINER_ANNOTATIONS = {"Series", "pd.Series", "pandas.Series", "Any"}
 
 
 def _ann_str(a) -> str:
@@ -106,7 +114,8 @@ def _projection_for(fn: Callable, table: Table) -> list[str]:
                              f"{table.schema.name}") from None
         if prm.annotation is not inspect.Parameter.empty:
             jt = _JULIA_TYPE[col.ctype]
-            ok = {jt, jt.lower(), f"Vector{{{jt}}}"} | _ACCEPTED[jt]
+            ok = ({jt, jt.lower(), f"Vector{{{jt}}}"}
+                  | _ACCEPTED[jt] | _CONTAINER_ANNOTATIONS)
             if _ann_str(prm.annotation) not in ok:
                 raise QueryError(f"expected parameter {name} to be of "
                                  f"type Vector{{{jt}}}")

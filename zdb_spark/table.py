@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -282,17 +283,7 @@ class Table:
         without atomic create need an external coordinator or a
         manifest log (round-3 surface).
         """
-        lock = os.path.join(self.path, "_meta.lock")
-        import time as _time
-        for _ in range(200):  # ~10 s at 50 ms
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                _time.sleep(0.05)
-        else:
-            raise TimeoutError(f"could not acquire {lock}")
-        try:
+        with self._meta_lock():
             meta_path = os.path.join(self.path, "_meta")
             if os.path.exists(meta_path):
                 with open(meta_path) as f:
@@ -307,6 +298,24 @@ class Table:
             if cur.manifest and add_files:
                 v, files = self._latest_manifest()
                 self._write_manifest(v + 1, files + add_files)
+
+    @contextmanager
+    def _meta_lock(self):
+        """O_EXCL lock file serializing every sidecar/manifest mutation
+        (append merge, compaction flip, vacuum)."""
+        import time as _time
+
+        lock = os.path.join(self.path, "_meta.lock")
+        for _ in range(200):  # ~10 s at 50 ms
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                _time.sleep(0.05)
+        else:
+            raise TimeoutError(f"could not acquire {lock}")
+        try:
+            yield
         finally:
             os.close(fd)
             os.unlink(lock)
@@ -350,15 +359,27 @@ class Table:
         return (self.spark.read.option("basePath", p)
                 .parquet(*[os.path.join(p, f) for f in files]))
 
-    def vacuum(self) -> int:
+    def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files not referenced by the LATEST snapshot plus
         all superseded manifest versions; returns files removed.  This is
         what reclaims crashed half-moved batches (invisible but present)
         and pre-compaction file trees — after it, older ``snapshot()``
-        versions are gone by design."""
+        versions are gone by design.
+
+        ``grace_seconds`` protects in-flight appends: a concurrent
+        ``write()`` moves part files into place BEFORE committing them to
+        the manifest, so an unreferenced file younger than the grace
+        window may simply not be committed yet and is left alone (the
+        same reason Delta's VACUUM has a retention period).  The manifest
+        flip itself is read under the table lock.
+        """
         if not self._meta.manifest:
             raise ValueError("vacuum() requires a manifest=True table")
-        v, files = self._latest_manifest()
+        import time as _time
+
+        now = _time.time()
+        with self._meta_lock():
+            v, files = self._latest_manifest()
         keep = set(files)
         root = os.path.join(self.path, "parquet")
         removed = 0
@@ -370,8 +391,10 @@ class Table:
                 for fname in os.listdir(d):
                     if fname.startswith(("_", ".")):
                         continue
-                    if f"{dt}/{fname}" not in keep:
-                        os.unlink(os.path.join(d, fname))
+                    full = os.path.join(d, fname)
+                    if (f"{dt}/{fname}" not in keep
+                            and now - os.path.getmtime(full) >= grace_seconds):
+                        os.unlink(full)
                         removed += 1
         md = self._manifest_dir()
         if os.path.isdir(md):
@@ -485,12 +508,24 @@ class Table:
         if not os.path.exists(src):
             return 0
         # manifest mode compacts the COMMITTED snapshot (self.df()), not
-        # whatever stray files the directory holds
-        df = self.df() if self._meta.manifest else self.spark.read.parquet(src)
+        # whatever stray files the directory holds; remember which files
+        # that snapshot held so the flip below can preserve concurrent
+        # appends committed while the rewrite job ran
+        base_files: list[str] = []
+        if self._meta.manifest:
+            _, base_files = self._latest_manifest()
+            df = self.df()
+            # size from the snapshot's files — a directory walk would
+            # count superseded/orphan files and over-split the output
+            total_bytes = sum(
+                os.path.getsize(os.path.join(src, f)) for f in base_files
+                if os.path.exists(os.path.join(src, f)))
+        else:
+            df = self.spark.read.parquet(src)
+            total_bytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(src) for f in files)
         ts = self.schema.ts_col
-        total_bytes = sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _, files in os.walk(src) for f in files)
         n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
         n_parts = df.select("dt").distinct().count()
         sort_cols = ["dt", *(cluster_by or []), ts]
@@ -523,8 +558,15 @@ class Table:
                                os.path.join(ddir, fname))
                     moved.append(f"{dt_dir}/{fname}")
             shutil.rmtree(staging, ignore_errors=True)
-            v, _ = self._latest_manifest()
-            self._write_manifest(v + 1, moved)
+            # Flip under the lock, REPLACING only the snapshot we
+            # compacted: batches committed while the rewrite job ran are
+            # in (latest − base) and must survive — without this a
+            # concurrent append's files silently vanish from the table
+            # (and the next vacuum deletes them).
+            with self._meta_lock():
+                v, latest = self._latest_manifest()
+                survivors = [f for f in latest if f not in set(base_files)]
+                self._write_manifest(v + 1, moved + survivors)
             return n_parts
 
         tmp = src + ".compacting"

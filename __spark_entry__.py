@@ -440,6 +440,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flow, composed from the
+    operator families and value-checked as ONE query: keep a document iff
+    (a) language-ID says English, (b) rounded quality score ≥ 0.55,
+    (c) it is the canonical survivor of its exact-duplicate group, and
+    (d) it is not a near-duplicate cluster loser (doc == cluster min).
+    The oracle assembles the same four rules from the individual
+    entries' SQL — a hash match certifies the operators compose, not
+    just that each works alone."""
+    from zdb_spark.operators.dedup import (duplicate_clusters, exact_dedup,
+                                           minhash_lsh_pairs)
+    from zdb_spark.operators.text import language_id, quality_features
+
+    docs = _load(spark, sf_dir, "documents")
+    lang = (language_id(docs, "text")
+            .where(F.col("lang_pred") == "en").select("doc_id"))
+    qual = (quality_features(docs, "text")
+            .where(F.col("quality_score") >= 0.55)
+            .select("doc_id", "quality_score"))
+    canon = exact_dedup(docs, "text", "doc_id").select("keep_id")
+    clusters = duplicate_clusters(
+        minhash_lsh_pairs(docs, "text", "doc_id",
+                          num_hashes=64, bands=16, threshold=0.5))
+    losers = (clusters.where(F.col("doc_id") != F.col("cluster_id"))
+              .select("doc_id"))
+    return (qual.join(lang, "doc_id")
+            .join(canon, qual["doc_id"] == canon["keep_id"], "semi")
+            .join(losers, "doc_id", "anti")
+            .select("doc_id", "quality_score"))
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.text import token_counts
 
@@ -774,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "curation_pipeline": q_curation_pipeline,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1185,6 +1217,81 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """,
+        # The four curation rules assembled from the individual entries'
+        # SQL: en language-ID, quality >= 0.55 (on the ROUNDED score,
+        # both engines), exact-dup canonical, near-dup cluster winner.
+        "curation_pipeline": r"""
+            WITH RECURSIVE t AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks,
+                       length(text) AS n_chars
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
+                           + 0.3 * (1.0 - CAST(n_chars - length(
+                                 regexp_replace(text, '[.,!?;:]', '', 'g'))
+                                 AS DOUBLE) / n_chars)
+                           + 0.3 * least(CAST(len(list_filter(toks,
+                                 x -> list_contains(['the','and','of','to','in',
+                                 'is','you','that','it','for'], x)))
+                                 AS DOUBLE) / len(toks) * 5, 1.0), 6)
+                           AS quality_score
+                FROM t
+            ), lang AS (
+                SELECT doc_id,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','and','of','to','in','is','you','that','it','for'], x))) AS s_en,
+                       len(list_filter(toks, x -> list_contains(
+                           ['el','la','de','que','y','en','los','se','del','las'], x))) AS s_es,
+                       len(list_filter(toks, x -> list_contains(
+                           ['der','die','und','das','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+                       len(list_filter(toks, x -> list_contains(
+                           ['le','la','les','et','des','un','une','est','dans','que'], x))) AS s_fr,
+                       regexp_matches(text, '[一-鿿]') AS zh
+                FROM t
+            ), en AS (
+                SELECT doc_id FROM lang
+                WHERE NOT zh AND greatest(s_en, s_es, s_de, s_fr) > 0
+                  AND s_en = greatest(s_en, s_es, s_de, s_fr)
+            ), canon AS (
+                SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+            ), norm AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS n
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, list_distinct(list_transform(
+                    range(1, greatest(length(n) - 4, 1) + 1),
+                    i -> substr(n, CAST(i AS INT), 5))) AS shingles
+                FROM norm
+            ), pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a, id_b FROM pr
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            ), sym AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges
+            ), reach(node, lbl) AS (
+                SELECT a AS node, a AS lbl FROM sym
+                UNION
+                SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+            ), losers AS (
+                SELECT node AS doc_id FROM reach
+                GROUP BY node HAVING node <> min(lbl)
+            )
+            SELECT q.doc_id, q.quality_score
+            FROM q
+            JOIN en USING (doc_id)
+            WHERE q.quality_score >= 0.55
+              AND q.doc_id IN (SELECT doc_id FROM canon)
+              AND q.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         # Exact connected components over the brute-force pair set via a
         # recursive CTE — matches the Spark label-propagation fixpoint.

@@ -124,6 +124,35 @@ class TestManifest:
         return Table.create(spark, make_schema("tman"), home=tmp_home,
                             manifest=True)
 
+    def test_threaded_manifest_appends_compose(self, spark, tmp_home):
+        import threading
+
+        self.make(spark, tmp_home)
+        errs = []
+
+        def worker(day):
+            try:
+                t = Table.open(spark, "tman", home=tmp_home)
+                t.write(rows_df(spark, [T0 + day * DAY + i
+                                        for i in range(10)]),
+                        enforce_order=False)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(d,))
+                   for d in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        t = Table.open(spark, "tman", home=tmp_home)
+        v, files = t._latest_manifest()
+        assert v == 4              # every append published a snapshot
+        assert len(files) >= 4     # no writer's files were dropped
+        assert t.scan().count() == 40
+        assert t.row_count == 40
+
     def test_snapshot_reads_only_committed(self, spark, tmp_home):
         import glob
         import os

@@ -364,3 +364,16 @@ class TestClusters:
                for r in dedup.duplicate_clusters(pairs).collect()}
         assert set(got.values()) == {0}
         assert len(got) == 13
+
+    def test_string_ids_multi_round(self, spark):
+        # Regression: sum('lbl')-based convergence implicitly cast string
+        # labels to NULL, declared convergence after round one, and
+        # returned SPLIT components for any diameter>1 graph of UUID-ish
+        # ids.  A path graph of string ids must still fully converge.
+        ids = [f"doc-{c}" for c in "abcdefgh"]
+        pairs = spark.createDataFrame(
+            [Row(id_a=ids[i], id_b=ids[i + 1]) for i in range(len(ids) - 1)])
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        assert set(got.values()) == {"doc-a"}
+        assert len(got) == len(ids)

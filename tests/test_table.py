@@ -249,6 +249,47 @@ class TestManifest:
         with pytest.raises(ValueError):
             t.snapshot(1)
 
+    def test_vacuum_sweeps_orphan_manifest_tmp(self, spark, tmp_home):
+        import os
+
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        md = os.path.join(t.path, "_manifest")
+        orphan = os.path.join(md, ".v000000000099.tmp")
+        with open(orphan, "w") as f:
+            f.write("{}")
+        t.vacuum()  # young tmp survives the grace window
+        assert os.path.exists(orphan)
+        t.vacuum(grace_seconds=0)
+        assert not os.path.exists(orphan)
+        assert t.scan().count() == 1
+
+    def test_stale_lock_is_stolen(self, spark, tmp_home):
+        # a crashed writer's leftover lock must not block appends forever
+        import os
+
+        t = Table.create(spark, make_schema("stale"), home=tmp_home)
+        lock = os.path.join(t.path, "_meta.lock")
+        with open(lock, "w") as f:
+            f.write("99999 0")
+        old = 1_000_000.0
+        os.utime(lock, (old, old))  # epoch-ancient ⇒ stale
+        t.write(rows_df(spark, [T0]))  # steals the lock and proceeds
+        assert t.row_count == 1
+        assert not os.path.exists(lock)
+
+    def test_fresh_lock_blocks_until_timeout(self, spark, tmp_home):
+        import os
+
+        t = Table.create(spark, make_schema("fresh"), home=tmp_home)
+        lock = os.path.join(t.path, "_meta.lock")
+        with open(lock, "w") as f:
+            f.write(f"{os.getpid()} now")
+        with pytest.raises(TimeoutError):
+            with t._meta_lock(timeout_s=0.3):
+                pass
+        os.unlink(lock)
+
     def test_manifest_required_for_snapshot_api(self, spark, tmp_home):
         t = Table.create(spark, make_schema("plain"), home=tmp_home)
         with pytest.raises(ValueError, match="manifest=True"):

@@ -338,24 +338,28 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))
               .localCheckpoint(eager=True))
-    # Convergence via the label-sum invariant: labels only ever decrease,
-    # so an unchanged sum ⟺ a fixpoint — one cheap aggregate per round
-    # instead of an old-vs-new anti-join.
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    # Convergence = zero labels changed this round, counted exactly on the
+    # checkpointed (old, new) pair.  NOT a sum over the label column: with
+    # string doc ids (UUIDs) sum()'s implicit numeric cast yields NULL,
+    # None == None declares convergence after round one, and components
+    # with diameter > 1 silently come back split — the changed-count is
+    # type-agnostic and costs the same single aggregate per round.
     converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["node"])
                  .groupBy("a").agg(F.min("lbl").alias("nmin")))
-        labels = (labels.join(neigh, labels["node"] == neigh["a"], "left")
-                  .select("node",
-                          F.least("lbl", F.coalesce("nmin", "lbl"))
-                          .alias("lbl"))
-                  .localCheckpoint(eager=True))
-        s = labels.agg(F.sum("lbl")).collect()[0][0]
-        if s == prev_sum:
+        upd = (labels.join(neigh, labels["node"] == neigh["a"], "left")
+               .select("node", F.col("lbl").alias("_prev"),
+                       F.least("lbl", F.coalesce("nmin", "lbl"))
+                       .alias("lbl"))
+               .localCheckpoint(eager=True))
+        changed = (upd.agg(F.sum((F.col("lbl") != F.col("_prev"))
+                                 .cast("long")).alias("c"))
+                   .collect()[0]["c"]) or 0
+        labels = upd.drop("_prev")
+        if changed == 0:
             converged = True
             break
-        prev_sum = s
     if not converged:
         # Falling through silently would return SPLIT components — wrong
         # cluster ids with no signal.  Loud beats wrong.

@@ -151,15 +151,15 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     narrow map with the centroid matrix broadcast by value.  Returns
     (df + centroid_id column, centroids ndarray).
     """
-    # Bernoulli-sample ~4x the target, SHUFFLE the sampled rows, then
-    # limit: sample() preserves partition order, so a bare limit would
-    # still take a first-partitions prefix and bias centroid training on
-    # any non-randomly-ordered corpus (time-ordered ingest being the
-    # common case).  The orderBy sorts only the tiny sampled subset.
-    total = df.count()
-    frac = min(1.0, (4.0 * sample_size) / max(total, 1))
-    rows = (df.select(vec_col).sample(False, frac, seed)
-            .orderBy(F.rand(seed)).limit(sample_size).collect())
+    # ONE-pass uniform sample: tag every row with a seeded iid uniform
+    # key and take the smallest sample_size — orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition k-heap + driver merge, no full
+    # sort, no shuffle of the corpus), and the top-k of iid keys is a
+    # uniform sample without replacement.  No count() pre-pass (the old
+    # count+Bernoulli form scanned the corpus twice and could race with a
+    # changing source between the passes), no partition-prefix bias.
+    rows = (df.select(vec_col).orderBy(F.rand(seed))
+            .limit(sample_size).collect())
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     # Arrival order depends on partitioning; sort lexicographically so
     # training (init choice + mean accumulation order) is reproducible

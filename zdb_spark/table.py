@@ -251,26 +251,34 @@ class Table:
         writer.partitionBy("dt").parquet(staging)
         dest_root = os.path.join(self.path, "parquet")
         moved: list[str] = []
-        for dt_dir in os.listdir(staging):
-            src_dir = os.path.join(staging, dt_dir)
-            if not (os.path.isdir(src_dir) and dt_dir.startswith("dt=")):
-                continue
-            dst_dir = os.path.join(dest_root, dt_dir)
-            os.makedirs(dst_dir, exist_ok=True)
-            for fname in os.listdir(src_dir):
-                if fname.startswith(("_", ".")):
-                    continue
-                os.replace(os.path.join(src_dir, fname),
-                           os.path.join(dst_dir, fname))
-                moved.append(f"{dt_dir}/{fname}")
-        shutil.rmtree(staging, ignore_errors=True)
-
-        self._merge_meta(n, lo, hi, add_files=moved)
+        # Take the table lock BEFORE moving files into the data tree: a
+        # lock timeout then aborts with the batch still in _staging
+        # (invisible, cleaned below) instead of leaving visible rows with
+        # a stale sidecar.  The moves are renames — microseconds — so
+        # holding the lock across them costs concurrent appends nothing.
+        try:
+            with self._meta_lock():
+                for dt_dir in os.listdir(staging):
+                    src_dir = os.path.join(staging, dt_dir)
+                    if not (os.path.isdir(src_dir)
+                            and dt_dir.startswith("dt=")):
+                        continue
+                    dst_dir = os.path.join(dest_root, dt_dir)
+                    os.makedirs(dst_dir, exist_ok=True)
+                    for fname in os.listdir(src_dir):
+                        if fname.startswith(("_", ".")):
+                            continue
+                        os.replace(os.path.join(src_dir, fname),
+                                   os.path.join(dst_dir, fname))
+                        moved.append(f"{dt_dir}/{fname}")
+                self._merge_meta_locked(n, lo, hi, add_files=moved)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return n
 
-    def _merge_meta(self, n: int, lo: int, hi: int,
-                    add_files: list[str] | None = None) -> None:
-        """Fold one appended batch into the sidecar under a lock file.
+    def _merge_meta_locked(self, n: int, lo: int, hi: int,
+                           add_files: list[str] | None = None) -> None:
+        """Fold one appended batch into the sidecar; caller HOLDS the lock.
 
         Concurrent appends are data-safe by construction (each job writes
         uniquely-named part files); the sidecar was the only race.  Under
@@ -280,45 +288,79 @@ class Table:
         remains best-effort against the max_ts read at write() entry —
         single-writer semantics, like the reference.  NB: O_EXCL lock
         files coordinate writers on a POSIX/HDFS-like FS; object stores
-        without atomic create need an external coordinator or a
-        manifest log (round-3 surface).
+        without atomic create should use the CAS manifest commit
+        (``_commit_manifest``) as the source of truth instead.
         """
-        with self._meta_lock():
-            meta_path = os.path.join(self.path, "_meta")
-            if os.path.exists(meta_path):
-                with open(meta_path) as f:
-                    cur = _Meta.from_json(f.read())
-            else:
-                cur = self._meta
-            cur.row_count += n
-            cur.min_ts = lo if cur.min_ts is None else min(cur.min_ts, lo)
-            cur.max_ts = hi if cur.max_ts is None else max(cur.max_ts, hi)
-            self._meta = cur
-            self._flush_meta()
-            if cur.manifest and add_files:
-                v, files = self._latest_manifest()
-                self._write_manifest(v + 1, files + add_files)
+        meta_path = os.path.join(self.path, "_meta")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                cur = _Meta.from_json(f.read())
+        else:
+            cur = self._meta
+        cur.row_count += n
+        cur.min_ts = lo if cur.min_ts is None else min(cur.min_ts, lo)
+        cur.max_ts = hi if cur.max_ts is None else max(cur.max_ts, hi)
+        self._meta = cur
+        self._flush_meta()
+        if cur.manifest and add_files:
+            v, files = self._latest_manifest()
+            self._write_manifest(v + 1, files + add_files)
 
     @contextmanager
-    def _meta_lock(self):
+    def _meta_lock(self, timeout_s: float = 10.0, stale_s: float = 60.0):
         """O_EXCL lock file serializing every sidecar/manifest mutation
-        (append merge, compaction flip, vacuum)."""
+        (append merge, compaction flip, vacuum).
+
+        The lock file records ``pid started_at`` so operators can see the
+        holder.  A lock whose mtime is older than ``stale_s`` is presumed
+        abandoned by a crashed writer (every legitimate hold is
+        milliseconds — renames + one json write) and is STOLEN: rename to
+        a unique grave name (atomic — exactly one stealer wins), re-check
+        age on the renamed file (if a fresh lock slipped into the window
+        it is renamed straight back), then retry acquisition.  Without
+        reclamation one crashed writer blocks every future append/compact
+        /vacuum forever.
+        """
         import time as _time
+        import uuid as _uuid
 
         lock = os.path.join(self.path, "_meta.lock")
-        for _ in range(200):  # ~10 s at 50 ms
+        deadline = _time.time() + timeout_s
+        while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {_time.time():.3f}".encode())
                 break
             except FileExistsError:
+                try:
+                    age = _time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder released between open and stat
+                if age >= stale_s:
+                    grave = f"{lock}.stale.{_uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, grave)
+                    except OSError:
+                        continue  # another stealer (or release) won
+                    try:
+                        if _time.time() - os.path.getmtime(grave) >= stale_s:
+                            os.unlink(grave)
+                        else:  # renamed a FRESH lock: restore it
+                            os.rename(grave, lock)
+                    except OSError:
+                        pass
+                    continue
+                if _time.time() >= deadline:
+                    raise TimeoutError(f"could not acquire {lock}")
                 _time.sleep(0.05)
-        else:
-            raise TimeoutError(f"could not acquire {lock}")
         try:
             yield
         finally:
             os.close(fd)
-            os.unlink(lock)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass  # stolen mid-hold (pathological stale_s); harmless
 
     # ------------------------------------------------------------------ #
     # snapshot manifest (batch-level atomic visibility)                  #
@@ -399,9 +441,15 @@ class Table:
         md = self._manifest_dir()
         if os.path.isdir(md):
             for f in os.listdir(md):
+                full = os.path.join(md, f)
                 if (f.startswith("v") and f.endswith(".json")
                         and int(f[1:-5]) < v):
-                    os.unlink(os.path.join(md, f))
+                    os.unlink(full)
+                elif (f.endswith(".tmp")
+                      and now - os.path.getmtime(full) >= grace_seconds):
+                    # crashed _write_manifest leaves .vNNN.tmp orphans
+                    # nothing else ever sweeps
+                    os.unlink(full)
         return removed
 
     def _write_manifest(self, version: int, files: list[str]) -> None:
@@ -507,14 +555,22 @@ class Table:
         src = os.path.join(self.path, "parquet")
         if not os.path.exists(src):
             return 0
-        # manifest mode compacts the COMMITTED snapshot (self.df()), not
-        # whatever stray files the directory holds; remember which files
-        # that snapshot held so the flip below can preserve concurrent
-        # appends committed while the rewrite job ran
+        # manifest mode compacts ONE committed snapshot, read ONCE: the
+        # rewrite DataFrame is built from the same file list remembered
+        # as base_files for the flip.  (Reading the manifest a second
+        # time via self.df() would race: an append committed between the
+        # two reads gets compacted into the rewrite AND preserved as a
+        # survivor at the flip — duplicated rows.)
         base_files: list[str] = []
         if self._meta.manifest:
-            _, base_files = self._latest_manifest()
-            df = self.df()
+            with self._meta_lock():
+                _, base_files = self._latest_manifest()
+            if base_files:
+                df = (self.spark.read.option("basePath", src)
+                      .parquet(*[os.path.join(src, f) for f in base_files]))
+            else:
+                df = self.spark.createDataFrame(
+                    [], self.schema.spark_schema().add("dt", "string"))
             # size from the snapshot's files — a directory walk would
             # count superseded/orphan files and over-split the output
             total_bytes = sum(

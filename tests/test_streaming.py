@@ -50,6 +50,102 @@ class TestStreamWriter:
         assert spark.read.parquet(out).count() == 60
 
 
+def _tick_table(spark, tmp_path, name="ticks", manifest=True):
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    schema = (Schema(name)
+              .add_col("sym", ColumnType.SYMBOL16)
+              .add_col("price", ColumnType.F64)
+              .add_col("user_id", ColumnType.I64)
+              .with_partition_by(PartitionBy.DAY))
+    return Table.create(spark, schema, home=str(tmp_path / "home"),
+                        manifest=manifest)
+
+
+class TestStreamWriterTable:
+    def test_stream_into_manifest_table(self, spark, tick_dir, tmp_path):
+        from zdb_spark.streaming.ingest import stream_writer_table
+
+        t = _tick_table(spark, tmp_path)
+        q = stream_writer_table(_stream(spark, tick_dir), t,
+                                str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        assert t.df().count() == 60
+        # snapshot isolation covers the streamed data: time travel works
+        assert t.snapshot(1).count() > 0
+        assert t.scan(T0, T0 + 9 * MIN).count() == 55
+        # txn high-water mark landed inside the manifest
+        _, _, txns = t._latest_manifest_full()
+        assert txns == {"ckpt": 0}
+
+    def test_checkpoint_loss_replay_is_noop(self, spark, tick_dir,
+                                            tmp_path):
+        # foreachBatch is at-least-once: losing the checkpoint replays
+        # batch 0.  The (app_id, batch_id) txn recorded in the manifest
+        # must turn the replay into a no-op.
+        from zdb_spark.streaming.ingest import stream_writer_table
+
+        t = _tick_table(spark, tmp_path)
+        q = stream_writer_table(_stream(spark, tick_dir), t,
+                                str(tmp_path / "c1"), app_id="app")
+        q.awaitTermination(120)
+        assert t.df().count() == 60
+        q2 = stream_writer_table(_stream(spark, tick_dir), t,
+                                 str(tmp_path / "c2"), app_id="app")
+        q2.awaitTermination(120)
+        assert t.df().count() == 60
+        assert t.row_count == 60
+
+    def test_txn_write_idempotent_batch_api(self, spark, tmp_path):
+        t = _tick_table(spark, tmp_path)
+        df = spark.createDataFrame(
+            [Row(ts=T0 + i * NS, sym="X", price=1.0, user_id=1)
+             for i in range(5)])
+        assert t.write(df, txn=("app", 0)) == 5
+        assert t.write(df, txn=("app", 0)) == 0  # replay skipped
+        assert t.row_count == 5
+        assert t.write(df, enforce_order=False, txn=("app", 1)) == 5
+        assert t.row_count == 10
+
+    def test_reader_never_sees_partial_batch(self, spark, tmp_path):
+        # split the source into 4 files, stream one file per micro-batch,
+        # and poll the table mid-stream: every observed count must equal
+        # a committed snapshot's count — whole batches or nothing.
+        import threading
+
+        from zdb_spark.streaming.ingest import stream_writer_table
+
+        rows = [Row(ts=T0 + i * 10 * NS, sym="X", price=float(i),
+                    user_id=i % 3) for i in range(200)]
+        src = str(tmp_path / "multi_src")
+        spark.createDataFrame(rows).repartition(4).write.parquet(src)
+        t = _tick_table(spark, tmp_path)
+
+        observed, stop = set(), threading.Event()
+
+        def poll():
+            while not stop.is_set():
+                observed.add(t.df().count())
+
+        th = threading.Thread(target=poll, daemon=True)
+        th.start()
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = stream_writer_table(stream, t, str(tmp_path / "mckpt"))
+        q.awaitTermination(240)
+        observed.add(t.df().count())  # final state
+        stop.set()
+        th.join(10)
+
+        v, _, _ = t._latest_manifest_full()
+        valid = {0} | {t.snapshot(i).count() for i in range(1, v + 1)}
+        assert t.df().count() == 200
+        assert observed <= valid, f"partial batch seen: {observed - valid}"
+        assert v >= 2  # genuinely multi-batch
+
+
 class TestStreamResample:
     def test_windowed_bars(self, spark, tick_dir, tmp_path):
         from zdb_spark.streaming.ingest import stream_resample

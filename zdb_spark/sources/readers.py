@@ -129,8 +129,8 @@ def convert_column_type(spark: SparkSession, name: str, column: str,
                 for f in os.listdir(os.path.join(src, dt))
                 if not f.startswith(("_", "."))
             ]
-            v, _ = t._latest_manifest()
-            t._write_manifest(v + 1, files)
+            v, _, txns = t._latest_manifest_full()
+            t._write_manifest(v + 1, files, txns)
 
     t.schema = new_schema
     t._meta.schema = new_schema.to_dict()

@@ -22,6 +22,7 @@ Pieces:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Iterator, Tuple
 
 from pyspark.sql import DataFrame, functions as F
@@ -31,7 +32,8 @@ from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 from ..functions.scalar import nanos_to_ts
 from ..schema import PartitionBy
 
-__all__ = ["stream_writer", "stream_resample", "sessionize"]
+__all__ = ["stream_writer", "stream_writer_table", "stream_resample",
+           "sessionize"]
 
 
 def stream_writer(stream_df: DataFrame, path: str, checkpoint: str,
@@ -54,6 +56,45 @@ def stream_writer(stream_df: DataFrame, path: str, checkpoint: str,
               .option("path", path)
               .option("checkpointLocation", checkpoint)
               .partitionBy("dt")
+              .outputMode("append"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_writer_table(stream_df: DataFrame, table, checkpoint: str,
+                        trigger_seconds: int | None = None,
+                        app_id: str | None = None,
+                        enforce_order: bool = False):
+    """Stream into a ``Table`` THROUGH its transactional write path:
+    ``foreachBatch`` → ``Table.write(txn=(app, batch_id))`` → manifest
+    commit.
+
+    This is what unifies streaming with manifest-mode snapshot isolation:
+    the raw parquet file sink (``stream_writer``) drops files the
+    manifest log never hears about, so stream-fed tables used to be
+    restricted to directory-listing reads.  Routing each micro-batch
+    through ``Table.write`` instead means every batch stages, moves, and
+    commits exactly like a batch append — a concurrent reader sees
+    whole batches or nothing, ``snapshot()``/time travel work over
+    streamed data, and the (app_id, batch_id) txn recorded inside the
+    manifest makes post-failure batch replays no-ops (foreachBatch is
+    at-least-once; the txn check upgrades it to exactly-once visibility).
+
+    ``app_id`` defaults to the checkpoint basename — keep it stable
+    across restarts or replay protection resets.  Returns the started
+    StreamingQuery.
+    """
+    app = app_id or os.path.basename(os.path.normpath(checkpoint))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.write(batch_df, enforce_order=enforce_order,
+                    txn=(app, int(batch_id)))
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
               .outputMode("append"))
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")

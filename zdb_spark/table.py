@@ -81,6 +81,14 @@ class _Meta:
     min_ts: int | None = None  # first ts ever written (nanos)
     max_ts: int | None = None  # last ts ever written (nanos)
     manifest: bool = False
+    # last committed batch id per streaming writer app (listing-mode
+    # fallback; manifest mode records txns INSIDE the manifest json so
+    # the batch-id advance and the file-list flip are one atomic rename)
+    txns: dict = None
+
+    def __post_init__(self):
+        if self.txns is None:
+            self.txns = {}
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -111,9 +119,11 @@ class Table:
     def create(cls, spark: SparkSession, schema: Schema,
                home: str | None = None, manifest: bool = False) -> "Table":
         """``manifest=True`` opts the table into snapshot-manifest reads
-        (see ``_Meta``).  Directory-listing mode stays the default: the
-        streaming sink writes files the manifest log would not know
-        about, so stream-fed tables must stay in listing mode."""
+        (see ``_Meta``).  Stream-fed manifest tables are supported via
+        ``streaming.ingest.stream_writer_table`` (foreachBatch →
+        ``write(txn=...)`` → manifest commit); the raw parquet file sink
+        (``stream_writer``) bypasses the manifest log and is for
+        listing-mode tables only."""
         path = cls._table_path(schema.name, home)
         meta_path = os.path.join(path, "_meta")
         if os.path.exists(meta_path):
@@ -165,7 +175,8 @@ class Table:
 
     def write(self, df: DataFrame, enforce_order: bool = True,
               cluster_by: list[str] | None = None,
-              max_records_per_file: int | None = None) -> int:
+              max_records_per_file: int | None = None,
+              txn: tuple[str, int] | None = None) -> int:
         """Append a batch. Validates schema, enforces the monotonic-append
         invariant against recorded max_ts, derives ``dt``, sorts by ts
         within files, appends Parquet, updates the sidecar.
@@ -179,8 +190,20 @@ class Table:
         ``maxRecordsPerFile``); each split file stays sorted because the
         writer splits a sorted task stream sequentially.
 
-        Returns the number of rows appended.
+        ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT per
+        (app, batch): a batch id ≤ the last committed id for that app is
+        skipped (returns 0).  This is the streaming exactly-once hook —
+        ``foreachBatch`` retries after a failure re-deliver the same
+        batch id, and in manifest mode the txn high-water mark is stored
+        INSIDE the manifest json, so the id advance and the file-list
+        flip commit in one atomic rename (the Delta txn-appId pattern).
+        Listing mode records it in the sidecar — best-effort, since file
+        visibility there isn't transactional to begin with.
+
+        Returns the number of rows appended (0 for a replayed txn).
         """
+        if txn is not None and self._last_txn(txn[0]) >= txn[1]:
+            return 0  # fast path: replay detected before the write job
         ts = self.schema.ts_col
         expected = [c.name for c in self.schema.columns]
         missing = [c for c in expected if c not in df.columns]
@@ -258,6 +281,8 @@ class Table:
         # holding the lock across them costs concurrent appends nothing.
         try:
             with self._meta_lock():
+                if txn is not None and self._last_txn(txn[0]) >= txn[1]:
+                    return 0  # lost the race to a concurrent replay
                 for dt_dir in os.listdir(staging):
                     src_dir = os.path.join(staging, dt_dir)
                     if not (os.path.isdir(src_dir)
@@ -271,13 +296,14 @@ class Table:
                         os.replace(os.path.join(src_dir, fname),
                                    os.path.join(dst_dir, fname))
                         moved.append(f"{dt_dir}/{fname}")
-                self._merge_meta_locked(n, lo, hi, add_files=moved)
+                self._merge_meta_locked(n, lo, hi, add_files=moved, txn=txn)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return n
 
     def _merge_meta_locked(self, n: int, lo: int, hi: int,
-                           add_files: list[str] | None = None) -> None:
+                           add_files: list[str] | None = None,
+                           txn: tuple[str, int] | None = None) -> None:
         """Fold one appended batch into the sidecar; caller HOLDS the lock.
 
         Concurrent appends are data-safe by construction (each job writes
@@ -300,11 +326,15 @@ class Table:
         cur.row_count += n
         cur.min_ts = lo if cur.min_ts is None else min(cur.min_ts, lo)
         cur.max_ts = hi if cur.max_ts is None else max(cur.max_ts, hi)
+        if txn is not None and not cur.manifest:
+            cur.txns[txn[0]] = txn[1]  # listing-mode fallback record
         self._meta = cur
         self._flush_meta()
         if cur.manifest and add_files:
-            v, files = self._latest_manifest()
-            self._write_manifest(v + 1, files + add_files)
+            v, files, txns = self._latest_manifest_full()
+            if txn is not None:
+                txns = {**txns, txn[0]: txn[1]}
+            self._write_manifest(v + 1, files + add_files, txns)
 
     @contextmanager
     def _meta_lock(self, timeout_s: float = 10.0, stale_s: float = 60.0):
@@ -371,17 +401,39 @@ class Table:
     def _latest_manifest(self) -> tuple[int, list[str]]:
         """(version, relative file paths) of the newest snapshot; (0, [])
         before the first committed batch."""
+        v, files, _ = self._latest_manifest_full()
+        return v, files
+
+    def _latest_manifest_full(self) -> tuple[int, list[str], dict]:
+        """(version, files, streaming txn high-water marks).  Txns live
+        inside the manifest json so a batch's file-list flip and its
+        batch-id advance are one atomic rename — a replay after a crash
+        either sees both (skips) or neither (safely re-commits)."""
         d = self._manifest_dir()
         if not os.path.isdir(d):
-            return 0, []
+            return 0, [], {}
         versions = sorted(
             int(f[1:-5]) for f in os.listdir(d)
             if f.startswith("v") and f.endswith(".json"))
         if not versions:
-            return 0, []
+            return 0, [], {}
         v = versions[-1]
         with open(os.path.join(d, f"v{v:012d}.json")) as f:
-            return v, json.load(f)["files"]
+            m = json.load(f)
+        return v, m["files"], m.get("txns", {})
+
+    def _last_txn(self, app_id: str) -> int:
+        """Last committed streaming batch id for ``app_id`` (-1 if none)."""
+        if self._meta.manifest:
+            _, _, txns = self._latest_manifest_full()
+        else:
+            meta_path = os.path.join(self.path, "_meta")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    txns = _Meta.from_json(f.read()).txns
+            else:
+                txns = self._meta.txns
+        return int(txns.get(app_id, -1))
 
     def snapshot(self, version: int) -> DataFrame:
         """Time-travel read: the table exactly as of manifest ``version``
@@ -452,15 +504,18 @@ class Table:
                     os.unlink(full)
         return removed
 
-    def _write_manifest(self, version: int, files: list[str]) -> None:
+    def _write_manifest(self, version: int, files: list[str],
+                        txns: dict | None = None) -> None:
         """Atomically publish snapshot ``version`` (tmp + fsync + rename
         — a reader sees the old complete snapshot or the new one, never a
-        torn or partial listing)."""
+        torn or partial listing).  ``txns`` carries the streaming batch
+        high-water marks forward; every writer of a new version must pass
+        the previous version's txns through or replay protection is lost."""
         d = self._manifest_dir()
         os.makedirs(d, exist_ok=True)
         tmp = os.path.join(d, f".v{version:012d}.tmp")
         with open(tmp, "w") as f:
-            json.dump({"files": sorted(files)}, f)
+            json.dump({"files": sorted(files), "txns": txns or {}}, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(d, f"v{version:012d}.json"))
@@ -620,9 +675,9 @@ class Table:
             # concurrent append's files silently vanish from the table
             # (and the next vacuum deletes them).
             with self._meta_lock():
-                v, latest = self._latest_manifest()
+                v, latest, txns = self._latest_manifest_full()
                 survivors = [f for f in latest if f not in set(base_files)]
-                self._write_manifest(v + 1, moved + survivors)
+                self._write_manifest(v + 1, moved + survivors, txns)
             return n_parts
 
         tmp = src + ".compacting"

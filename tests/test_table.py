@@ -153,6 +153,56 @@ class TestManifest:
         assert t.scan().count() == 40
         assert t.row_count == 40
 
+    def test_cas_commit_is_lock_free_under_contention(self, spark,
+                                                      tmp_home):
+        # The multi-writer manifest protocol is optimistic CAS: N
+        # writers race version creates, losers retry, zero batches are
+        # lost and NO lock file is ever taken on the commit path.
+        import os
+        import threading
+
+        self.make(spark, tmp_home)
+        errs, lock_seen = [], []
+        stop = threading.Event()
+        lock_path = os.path.join(tmp_home, "data", "tman", "_meta.lock")
+
+        def watch():
+            while not stop.is_set():
+                if os.path.exists(lock_path):  # pragma: no cover
+                    lock_seen.append(True)
+                    return
+
+        w = threading.Thread(target=watch, daemon=True)
+        w.start()
+
+        def worker(day):
+            try:
+                t = Table.open(spark, "tman", home=tmp_home)
+                t.write(rows_df(spark, [T0 + day * DAY + i
+                                        for i in range(5)]),
+                        enforce_order=False)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(d,))
+                   for d in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        stop.set()
+        w.join(5)
+        assert not errs
+        assert not lock_seen, "CAS path must not create a lock file"
+        t = Table.open(spark, "tman", home=tmp_home)
+        v, doc = t._latest_manifest_doc()
+        assert v == 8                       # every batch won a version
+        assert doc["row_count"] == 40
+        assert t.scan().count() == 40
+        # monotonic contiguous history: v1..v8 all exist (CAS can't skip)
+        for i in range(1, 9):
+            assert t.snapshot(i).count() == 5 * i
+
     def test_snapshot_reads_only_committed(self, spark, tmp_home):
         import glob
         import os

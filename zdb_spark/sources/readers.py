@@ -129,8 +129,7 @@ def convert_column_type(spark: SparkSession, name: str, column: str,
                 for f in os.listdir(os.path.join(src, dt))
                 if not f.startswith(("_", "."))
             ]
-            v, _, txns = t._latest_manifest_full()
-            t._write_manifest(v + 1, files, txns)
+            t._commit_manifest(lambda doc: {**doc, "files": sorted(files)})
 
     t.schema = new_schema
     t._meta.schema = new_schema.to_dict()

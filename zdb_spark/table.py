@@ -233,10 +233,11 @@ class Table:
         n, lo, hi = stats["n"], stats["lo"], stats["hi"]
         if n == 0:
             return 0
-        if enforce_order and self._meta.max_ts is not None and lo < self._meta.max_ts:
+        cur_max = self.get_last_ts()
+        if enforce_order and cur_max is not None and lo < cur_max:
             raise OutOfOrderError(
                 f"Timestamp {lo} is out of order (table max_ts "
-                f"{self._meta.max_ts})")
+                f"{cur_max})")
 
         out = self._with_partition_col(df)
         # Sort by ts within each output file so Parquet row-group min/max
@@ -273,38 +274,97 @@ class Table:
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         writer.partitionBy("dt").parquet(staging)
         dest_root = os.path.join(self.path, "parquet")
-        moved: list[str] = []
-        # Take the table lock BEFORE moving files into the data tree: a
-        # lock timeout then aborts with the batch still in _staging
-        # (invisible, cleaned below) instead of leaving visible rows with
-        # a stale sidecar.  The moves are renames — microseconds — so
-        # holding the lock across them costs concurrent appends nothing.
         try:
+            if self._meta.manifest:
+                # LOCK-FREE commit: part filenames are unique, so moves
+                # need no coordination; visibility + stats + txn marks
+                # all flip in ONE optimistic CAS manifest publish.
+                return self._commit_append_cas(staging, dest_root,
+                                               n, lo, hi, txn)
+            # Listing mode: take the table lock BEFORE moving files into
+            # the data tree — a lock timeout then aborts with the batch
+            # still in _staging (invisible, cleaned below) instead of
+            # leaving visible rows with a stale sidecar.  The moves are
+            # renames (microseconds), so holding the lock across them
+            # costs concurrent appends nothing.
+            moved: list[str] = []
             with self._meta_lock():
                 if txn is not None and self._last_txn(txn[0]) >= txn[1]:
                     return 0  # lost the race to a concurrent replay
-                for dt_dir in os.listdir(staging):
-                    src_dir = os.path.join(staging, dt_dir)
-                    if not (os.path.isdir(src_dir)
-                            and dt_dir.startswith("dt=")):
-                        continue
-                    dst_dir = os.path.join(dest_root, dt_dir)
-                    os.makedirs(dst_dir, exist_ok=True)
-                    for fname in os.listdir(src_dir):
-                        if fname.startswith(("_", ".")):
-                            continue
-                        os.replace(os.path.join(src_dir, fname),
-                                   os.path.join(dst_dir, fname))
-                        moved.append(f"{dt_dir}/{fname}")
-                self._merge_meta_locked(n, lo, hi, add_files=moved, txn=txn)
+                self._move_staged(staging, dest_root, moved)
+                self._merge_meta_locked(n, lo, hi, txn=txn)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return n
 
+    @staticmethod
+    def _move_staged(staging: str, dest_root: str,
+                     moved: list[str]) -> None:
+        """Rename staged part files into the data tree, appending their
+        table-relative paths to ``moved``."""
+        for dt_dir in os.listdir(staging):
+            src_dir = os.path.join(staging, dt_dir)
+            if not (os.path.isdir(src_dir) and dt_dir.startswith("dt=")):
+                continue
+            dst_dir = os.path.join(dest_root, dt_dir)
+            os.makedirs(dst_dir, exist_ok=True)
+            for fname in os.listdir(src_dir):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.replace(os.path.join(src_dir, fname),
+                           os.path.join(dst_dir, fname))
+                moved.append(f"{dt_dir}/{fname}")
+
+    def _commit_append_cas(self, staging: str, dest_root: str, n: int,
+                           lo: int, hi: int,
+                           txn: tuple[str, int] | None) -> int:
+        """Manifest-mode append commit — optimistic, NO lock file.
+
+        Uniquely-named part files move into the data tree without
+        coordination (invisible until committed); then one CAS manifest
+        publish flips the file list, row stats, and streaming txn mark
+        together.  Two concurrent writers can both move, both attempt
+        ``v+1``; the loser's exclusive create fails, it re-reads ``v+1``
+        and publishes ``v+2`` — zero lost batches, no lock to leak or
+        steal.  This is the object-store-safe protocol (exclusive create
+        maps to a conditional PUT); the O_EXCL lock file survives only
+        for listing-mode sidecar merges.
+
+        A replayed streaming txn detected inside the CAS loop aborts:
+        its already-moved files are unlinked (they were never visible).
+        """
+        moved: list[str] = []
+        self._move_staged(staging, dest_root, moved)
+
+        def upd(doc: dict) -> dict | None:
+            if (txn is not None
+                    and int(doc["txns"].get(txn[0], -1)) >= txn[1]):
+                return None
+            ndoc = dict(doc)
+            ndoc["files"] = doc["files"] + moved
+            if txn is not None:
+                ndoc["txns"] = {**doc["txns"], txn[0]: txn[1]}
+            ndoc["row_count"] = doc["row_count"] + n
+            ndoc["min_ts"] = (lo if doc["min_ts"] is None
+                              else min(doc["min_ts"], lo))
+            ndoc["max_ts"] = (hi if doc["max_ts"] is None
+                              else max(doc["max_ts"], hi))
+            return ndoc
+
+        if self._commit_manifest(upd) is None:
+            for rel in moved:  # replay abort: files were never visible
+                try:
+                    os.unlink(os.path.join(dest_root, rel))
+                except OSError:
+                    pass
+            return 0
+        return n
+
     def _merge_meta_locked(self, n: int, lo: int, hi: int,
-                           add_files: list[str] | None = None,
                            txn: tuple[str, int] | None = None) -> None:
-        """Fold one appended batch into the sidecar; caller HOLDS the lock.
+        """Fold one appended batch into the sidecar; caller HOLDS the
+        lock.  LISTING-MODE ONLY — manifest tables commit everything
+        (files, stats, txns) through the lock-free CAS path instead.
 
         Concurrent appends are data-safe by construction (each job writes
         uniquely-named part files); the sidecar was the only race.  Under
@@ -314,8 +374,7 @@ class Table:
         remains best-effort against the max_ts read at write() entry —
         single-writer semantics, like the reference.  NB: O_EXCL lock
         files coordinate writers on a POSIX/HDFS-like FS; object stores
-        without atomic create should use the CAS manifest commit
-        (``_commit_manifest``) as the source of truth instead.
+        should use manifest mode, whose CAS commit needs no lock.
         """
         meta_path = os.path.join(self.path, "_meta")
         if os.path.exists(meta_path):
@@ -326,15 +385,10 @@ class Table:
         cur.row_count += n
         cur.min_ts = lo if cur.min_ts is None else min(cur.min_ts, lo)
         cur.max_ts = hi if cur.max_ts is None else max(cur.max_ts, hi)
-        if txn is not None and not cur.manifest:
+        if txn is not None:
             cur.txns[txn[0]] = txn[1]  # listing-mode fallback record
         self._meta = cur
         self._flush_meta()
-        if cur.manifest and add_files:
-            v, files, txns = self._latest_manifest_full()
-            if txn is not None:
-                txns = {**txns, txn[0]: txn[1]}
-            self._write_manifest(v + 1, files + add_files, txns)
 
     @contextmanager
     def _meta_lock(self, timeout_s: float = 10.0, stale_s: float = 60.0):
@@ -401,31 +455,44 @@ class Table:
     def _latest_manifest(self) -> tuple[int, list[str]]:
         """(version, relative file paths) of the newest snapshot; (0, [])
         before the first committed batch."""
-        v, files, _ = self._latest_manifest_full()
-        return v, files
+        v, doc = self._latest_manifest_doc()
+        return v, doc["files"]
 
     def _latest_manifest_full(self) -> tuple[int, list[str], dict]:
-        """(version, files, streaming txn high-water marks).  Txns live
-        inside the manifest json so a batch's file-list flip and its
-        batch-id advance are one atomic rename — a replay after a crash
-        either sees both (skips) or neither (safely re-commits)."""
+        """(version, files, streaming txn high-water marks)."""
+        v, doc = self._latest_manifest_doc()
+        return v, doc["files"], doc["txns"]
+
+    _EMPTY_DOC = {"files": [], "txns": {}, "row_count": 0,
+                  "min_ts": None, "max_ts": None}
+
+    def _latest_manifest_doc(self) -> tuple[int, dict]:
+        """(version, manifest document) of the newest snapshot.
+
+        The document is the manifest-mode table's SINGLE source of truth:
+        file list, streaming txn high-water marks, and row stats
+        (count/min_ts/max_ts) all live in one json, so an append's
+        visibility, replay protection, and stats advance in one atomic
+        publish — a reader/replayer sees all of a commit or none of it.
+        """
         d = self._manifest_dir()
         if not os.path.isdir(d):
-            return 0, [], {}
+            return 0, dict(self._EMPTY_DOC)
         versions = sorted(
             int(f[1:-5]) for f in os.listdir(d)
             if f.startswith("v") and f.endswith(".json"))
         if not versions:
-            return 0, [], {}
+            return 0, dict(self._EMPTY_DOC)
         v = versions[-1]
         with open(os.path.join(d, f"v{v:012d}.json")) as f:
             m = json.load(f)
-        return v, m["files"], m.get("txns", {})
+        return v, {**self._EMPTY_DOC, **m}
 
     def _last_txn(self, app_id: str) -> int:
         """Last committed streaming batch id for ``app_id`` (-1 if none)."""
         if self._meta.manifest:
-            _, _, txns = self._latest_manifest_full()
+            _, doc = self._latest_manifest_doc()
+            txns = doc["txns"]
         else:
             meta_path = os.path.join(self.path, "_meta")
             if os.path.exists(meta_path):
@@ -434,6 +501,65 @@ class Table:
             else:
                 txns = self._meta.txns
         return int(txns.get(app_id, -1))
+
+    def _commit_manifest(self, update_fn, max_retries: int = 200):
+        """Optimistic version-check commit (the multi-writer protocol).
+
+        Read the latest (version, doc), apply ``update_fn(doc) -> new
+        doc`` (or ``None`` to abort), then publish ``v+1`` by EXCLUSIVE
+        create: if another writer already published ``v+1``, the create
+        fails, the loop re-reads and re-applies — classic CAS.  No lock
+        file exists to leak, block, or be stolen; abandoned writers cost
+        nothing.  On an object store the exclusive create maps to a
+        conditional PUT (S3 ``If-None-Match: *``, GCS
+        ``ifGenerationMatch=0``); on POSIX it is ``os.link`` from a
+        private tmp (atomic even over NFS, and it can never silently
+        OVERWRITE a concurrent winner the way ``rename`` would).
+
+        Returns the committed version, or None if ``update_fn`` aborted.
+        """
+        import random
+        import time as _time
+
+        for attempt in range(max_retries):
+            v, doc = self._latest_manifest_doc()
+            ndoc = update_fn(doc)
+            if ndoc is None:
+                return None
+            if self._try_publish_manifest(v + 1, ndoc):
+                return v + 1
+            # jittered backoff so N colliding writers spread out
+            _time.sleep(random.random() * 0.002 * min(attempt + 1, 25))
+        raise RuntimeError(
+            f"manifest CAS failed after {max_retries} attempts "
+            f"(pathological write contention on {self.path})")
+
+    def _try_publish_manifest(self, version: int, doc: dict) -> bool:
+        """Publish ``v{version}.json`` iff it does not exist yet.
+
+        Write a uniquely-named tmp (fsync'd), then ``os.link`` it to the
+        version name — hard-link creation fails with EEXIST if another
+        writer won the version, which IS the compare-and-swap.  The tmp
+        is always unlinked; a crash between write and link leaves only a
+        ``.tmp`` orphan that ``vacuum()`` sweeps.
+        """
+        import uuid as _uuid
+
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".v{version:012d}.{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+            f.flush()
+            os.fsync(f.fileno())
+        target = os.path.join(d, f"v{version:012d}.json")
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def snapshot(self, version: int) -> DataFrame:
         """Time-travel read: the table exactly as of manifest ``version``
@@ -472,8 +598,9 @@ class Table:
         import time as _time
 
         now = _time.time()
-        with self._meta_lock():
-            v, files = self._latest_manifest()
+        # no lock: manifest versions are immutable once published (CAS
+        # protocol), so a plain read of the latest is always consistent
+        v, files = self._latest_manifest()
         keep = set(files)
         root = os.path.join(self.path, "parquet")
         removed = 0
@@ -503,22 +630,6 @@ class Table:
                     # nothing else ever sweeps
                     os.unlink(full)
         return removed
-
-    def _write_manifest(self, version: int, files: list[str],
-                        txns: dict | None = None) -> None:
-        """Atomically publish snapshot ``version`` (tmp + fsync + rename
-        — a reader sees the old complete snapshot or the new one, never a
-        torn or partial listing).  ``txns`` carries the streaming batch
-        high-water marks forward; every writer of a new version must pass
-        the previous version's txns through or replay protection is lost."""
-        d = self._manifest_dir()
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".v{version:012d}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"files": sorted(files), "txns": txns or {}}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(d, f"v{version:012d}.json"))
 
     def _flush_meta(self) -> None:
         """Persist sidecar (W7/W8, /root/reference/src/table/meta.rs:17-37).
@@ -669,15 +780,19 @@ class Table:
                                os.path.join(ddir, fname))
                     moved.append(f"{dt_dir}/{fname}")
             shutil.rmtree(staging, ignore_errors=True)
-            # Flip under the lock, REPLACING only the snapshot we
-            # compacted: batches committed while the rewrite job ran are
-            # in (latest − base) and must survive — without this a
-            # concurrent append's files silently vanish from the table
-            # (and the next vacuum deletes them).
-            with self._meta_lock():
-                v, latest, txns = self._latest_manifest_full()
-                survivors = [f for f in latest if f not in set(base_files)]
-                self._write_manifest(v + 1, moved + survivors, txns)
+            # CAS flip, REPLACING only the snapshot we compacted: batches
+            # committed while the rewrite job ran are in (latest − base)
+            # and must survive — without this a concurrent append's files
+            # silently vanish from the table (and the next vacuum deletes
+            # them).  The CAS loop re-reads the latest doc on conflict,
+            # so an append that wins a version mid-flip is preserved.
+            base_set = set(base_files)
+
+            def flip(doc: dict) -> dict:
+                survivors = [f for f in doc["files"] if f not in base_set]
+                return {**doc, "files": moved + survivors}
+
+            self._commit_manifest(flip)
             return n_parts
 
         tmp = src + ".compacting"
@@ -692,13 +807,22 @@ class Table:
     # metadata queries (/root/reference/src/table/meta.rs:39-67)         #
     # ------------------------------------------------------------------ #
     def get_first_ts(self) -> int | None:
+        if self._meta.manifest:
+            return self._latest_manifest_doc()[1]["min_ts"]
         return self._meta.min_ts
 
     def get_last_ts(self) -> int | None:
+        if self._meta.manifest:
+            return self._latest_manifest_doc()[1]["max_ts"]
         return self._meta.max_ts
 
     @property
     def row_count(self) -> int:
+        # manifest tables keep stats IN the manifest (single atomic
+        # source of truth for the CAS protocol); the sidecar only holds
+        # schema + mode flags there
+        if self._meta.manifest:
+            return self._latest_manifest_doc()[1]["row_count"]
         return self._meta.row_count
 
     # ------------------------------------------------------------------ #

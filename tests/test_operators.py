@@ -213,6 +213,30 @@ class TestSimilarity:
         assert got[(0, 1)] > 0.99
         assert all(v >= 0.95 for v in got.values())
 
+    def test_embedding_dedup_caches_signature_frame(self, emb):
+        # the candidate self-join must read the hyperplane signatures
+        # from ONE materialized frame (InMemoryRelation on both sides),
+        # not re-evaluate the dot-product tree per side
+        res = similarity.embedding_dedup_pairs(
+            emb, "embedding", "vec_id", threshold=0.95,
+            num_bits=6, num_tables=4, dim=16)
+        plan = res._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" in plan
+        handles = res._zdb_cache_handles
+        assert handles and handles[0].is_cached
+        from zdb_spark.operators import dedup
+        dedup.release(res)
+        assert not handles[0].is_cached
+
+    def test_knn_join_lsh_caches_both_tag_frames(self, emb):
+        res = similarity.knn_join_lsh(emb, emb, k=2, num_bits=6,
+                                      num_tables=4, dim=16)
+        handles = res._zdb_cache_handles
+        assert len(handles) == 2 and all(h.is_cached for h in handles)
+        from zdb_spark.operators import dedup
+        dedup.release(res)
+        assert not any(h.is_cached for h in handles)
+
     def test_index_probes_prune_in_plan(self, emb, tmp_path):
         # the scale claim, pinned: an LSH probe partition-prunes on t and
         # pushes the sig filter; an IVF probe partition-prunes on

@@ -131,3 +131,25 @@ class TestEndpoints:
         assert ei.value.code == 400
         assert ei.value.read().decode() \
             == "expected parameter volume to be of type Vector{UInt64}"
+
+    def test_q_sweeps_request_caches(self, server, spark):
+        # release() discipline: a request body that caches intermediates
+        # and never unpersists must not grow the session's retained
+        # blocks across requests (VERDICT r2 item 10).
+        from zdb_spark.server import _persisted_rdd_ids
+        body = json.dumps({
+            "table": "bars",
+            "query": "from pyspark.sql import SparkSession\n"
+                     "_sp = SparkSession.builder.getOrCreate()\n"
+                     "_leak = _sp.range(1000).cache()\n"
+                     "_leak.count()\n"
+                     "def scan(volume):\n"
+                     "    return int(volume.sum())",
+        }).encode()
+        before = _persisted_rdd_ids(spark)
+        for _ in range(3):
+            req = urllib.request.Request(f"{server}/q", data=body,
+                                         method="POST")
+            out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+            assert out["result"] == 120
+        assert _persisted_rdd_ids(spark) <= before

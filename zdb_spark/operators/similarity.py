@@ -382,11 +382,18 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
         tagged = hyperplane_signature(tagged, vec_col, num_bits, dim,
                                       seed + 1000 * t, out_col=f"_sig{t}")
         sigs.append(f"_sig{t}")
-    slim = tagged.withColumn(
+    # cache the slim (id, t, sig) frame: the candidate self-join below
+    # puts it on BOTH sides, and without materialization Catalyst
+    # re-evaluates the (num_tables × num_bits dot products) signature
+    # expression tree once per side — 2× the dominant scan at scale.
+    # Mirrors minhash_lsh_pairs' cached `base`; caller releases via
+    # dedup.release().
+    slim = (tagged.withColumn(
         "_tb", F.explode(F.array(*[
             F.struct(F.lit(t).alias("t"), F.col(s).alias("sig"))
             for t, s in enumerate(sigs)
         ]))).select("_id", "_tb.t", "_tb.sig")
+        .cache())
 
     a = slim.select(F.col("_id").alias("id_a"), "t", "sig")
     b = slim.select(F.col("_id").alias("id_b"), "t", "sig")
@@ -398,10 +405,12 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     vb = vecs.select(F.col("_vid").alias("id_b"),
                      F.col(vec_col).alias("_vb"))
     sim = cosine_sim(F.col("_va"), F.col("_vb"))
-    return (pairs.join(va, "id_a").join(vb, "id_b")
-                 .withColumn("cosine_sim", F.round(sim, 6))
-                 .where(F.col("cosine_sim") >= threshold)
-                 .select("id_a", "id_b", "cosine_sim"))
+    out = (pairs.join(va, "id_a").join(vb, "id_b")
+                .withColumn("cosine_sim", F.round(sim, 6))
+                .where(F.col("cosine_sim") >= threshold)
+                .select("id_a", "id_b", "cosine_sim"))
+    out._zdb_cache_handles = [slim]
+    return out
 
 
 def knn_join_lsh(left: DataFrame, right: DataFrame, k: int = 5,
@@ -427,13 +436,19 @@ def knn_join_lsh(left: DataFrame, right: DataFrame, k: int = 5,
         for i in range(num_tables):
             t = hyperplane_signature(t, vec_col, num_bits, dim,
                                      seed + 1000 * i, out_col=f"_s{i}")
-        return t.withColumn("_tb", F.explode(F.array(*[
+        # cache the slim signature frame (ids + 2 longs, no vectors):
+        # the equi-join shuffles it, and AQE re-optimization / stage
+        # retries re-evaluate uncached expression trees — for the
+        # signature tree that's num_tables × num_bits dot products over
+        # the full corpus.  Materializing pins the cost to one pass.
+        return (t.withColumn("_tb", F.explode(F.array(*[
             F.struct(F.lit(i).alias("t"), F.col(f"_s{i}").alias("sig"))
             for i in range(num_tables)
         ]))).select(out_id, "_tb.t", "_tb.sig")
+            .cache())
 
-    cand = (tag(left, left_id, "_lid")
-            .join(tag(right, right_id, "_rid"), ["t", "sig"])
+    lt, rt = tag(left, left_id, "_lid"), tag(right, right_id, "_rid")
+    cand = (lt.join(rt, ["t", "sig"])
             .select("_lid", "_rid").dropDuplicates())
     lv = left.select(F.col(left_id).alias("_lid"),
                      F.col(vec_col).alias("_lv"))
@@ -444,11 +459,13 @@ def knn_join_lsh(left: DataFrame, right: DataFrame, k: int = 5,
                           F.round(cosine_sim(F.col("_lv"), F.col("_rv")), 6)))
     w = Window.partitionBy("_lid").orderBy(F.desc("cosine_sim"),
                                            F.col("_rid"))
-    return (scored.withColumn("_rank", F.row_number().over(w))
-            .where(F.col("_rank") <= k)
-            .select(F.col("_lid").alias(left_id),
-                    F.col("_rid").alias("neighbor_id"),
-                    "cosine_sim", F.col("_rank").alias("rank")))
+    out = (scored.withColumn("_rank", F.row_number().over(w))
+           .where(F.col("_rank") <= k)
+           .select(F.col("_lid").alias(left_id),
+                   F.col("_rid").alias("neighbor_id"),
+                   "cosine_sim", F.col("_rank").alias("rank")))
+    out._zdb_cache_handles = [lt, rt]
+    return out
 
 
 def knn_join_bruteforce(left: DataFrame, right: DataFrame, k: int = 5,

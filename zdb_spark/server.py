@@ -46,6 +46,22 @@ _HELLO = b"<html><body><h1>zdb-spark</h1><p>PySpark-native analytics engine" \
          b"</p></body></html>"
 
 
+def _persisted_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently-persisted RDDs (cached DataFrames appear here
+    once materialized)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _sweep_new_caches(spark: SparkSession, before: set[int]) -> None:
+    """Unpersist every RDD cached since ``before`` was snapshotted —
+    the backstop for request bodies that cache and never release."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for entry in jmap.entrySet().toArray():
+        if int(entry.getKey()) not in before:
+            entry.getValue().unpersist()
+
+
 def _json_default(v):
     import datetime as dt
 
@@ -164,18 +180,30 @@ def make_server(spark: SparkSession, home: str | None = None,
                 from_ts = string_to_nanoseconds(from_ts)
             if isinstance(to_ts, str):
                 to_ts = string_to_nanoseconds(to_ts)
-            # reference contract: the query text must define `scan`
-            # (/root/reference/src/server/query.rs:156-165); evaluated in a
-            # throwaway namespace so repeated queries reset state.
-            ns: dict = {}
-            exec(compile(body["query"], "<query>", "exec"), ns)  # noqa: S102
-            if "scan" not in ns:
-                self._err("query must define a function named scan")
-                return
-            res = q(t, ns["scan"], from_ts, to_ts,
-                    ordered=bool(body.get("ordered", False)))
-            self._send(200, json.dumps({"result": res},
-                                       default=_json_default).encode())
+            # Cache-release discipline: request bodies are arbitrary code
+            # and may run operators that cache intermediates (the pair
+            # operators' signature frames) without calling
+            # dedup.release() — in a long-lived server session those
+            # retained blocks accumulate forever.  Snapshot the persisted
+            # RDD ids before, sweep anything NEW after serialize.  (A
+            # concurrent request's fresh cache may be swept early — that
+            # only costs recompute, never correctness.)
+            before = _persisted_rdd_ids(spark)
+            try:
+                # reference contract: the query text must define `scan`
+                # (/root/reference/src/server/query.rs:156-165); evaluated
+                # in a throwaway namespace so repeated queries reset state.
+                ns: dict = {}
+                exec(compile(body["query"], "<query>", "exec"), ns)  # noqa: S102
+                if "scan" not in ns:
+                    self._err("query must define a function named scan")
+                    return
+                res = q(t, ns["scan"], from_ts, to_ts,
+                        ordered=bool(body.get("ordered", False)))
+                self._send(200, json.dumps({"result": res},
+                                           default=_json_default).encode())
+            finally:
+                _sweep_new_caches(spark, before)
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -237,6 +237,71 @@ class TestSimilarity:
         dedup.release(res)
         assert not any(h.is_cached for h in handles)
 
+    def test_lsh_append_equals_rebuild(self, emb, tmp_path):
+        # hyperplanes derive from the sidecar seed, so build(half1) +
+        # append(half2) must probe identically to build(full)
+        spark = emb.sparkSession
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        half1 = emb.where(F.col("vec_id") < 20)
+        half2 = emb.where(F.col("vec_id") >= 20)
+        inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+        similarity.build_lsh_index(half1, inc, num_bits=6, num_tables=8,
+                                   dim=16)
+        similarity.append_lsh_index(half2, inc)
+        similarity.build_lsh_index(emb, full, num_bits=6, num_tables=8,
+                                   dim=16)
+        got = [(r["vec_id"], r["cosine_sim"]) for r in
+               similarity.lsh_index_topk(spark, inc, qv, k=5).collect()]
+        want = [(r["vec_id"], r["cosine_sim"]) for r in
+                similarity.lsh_index_topk(spark, full, qv, k=5).collect()]
+        assert got == want
+
+    def test_ivf_append_equals_rebuild_same_quantizer(self, emb, tmp_path):
+        # append assigns with the sidecar centroids (never retrains), so
+        # the comparison rebuild must reuse the same quantizer
+        import json as _json
+
+        spark = emb.sparkSession
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        half1 = emb.where(F.col("vec_id") < 20)
+        half2 = emb.where(F.col("vec_id") >= 20)
+        inc, full = str(tmp_path / "iinc"), str(tmp_path / "ifull")
+        similarity.build_ivf_index(half1, inc, n_centroids=4)
+        similarity.append_ivf_index(half2, inc)
+        with open(f"{inc}/_meta") as f:
+            cents = _json.load(f)["centroids"]
+        similarity.build_ivf_index(emb, full, centroids=cents)
+        got = [(r["vec_id"], r["cosine_sim"]) for r in
+               similarity.ivf_index_topk(spark, inc, qv, k=5,
+                                         n_probe=2).collect()]
+        want = [(r["vec_id"], r["cosine_sim"]) for r in
+                similarity.ivf_index_topk(spark, full, qv, k=5,
+                                          n_probe=2).collect()]
+        assert got == want
+
+    def test_compact_merges_append_files(self, emb, tmp_path):
+        spark = emb.sparkSession
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        path = str(tmp_path / "cmp")
+        similarity.build_lsh_index(
+            emb.where(F.col("vec_id") < 20), path, num_bits=6,
+            num_tables=4, dim=16)
+        for lo in (20, 30):  # two appends -> extra file per partition each
+            similarity.append_lsh_index(
+                emb.where((F.col("vec_id") >= lo) &
+                          (F.col("vec_id") < lo + 10)), path)
+        before_files = similarity.index_data_files(path)
+        want = [(r["vec_id"], r["cosine_sim"]) for r in
+                similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        after_count = similarity.compact_ann_index(spark, path)
+        assert after_count < len(before_files)
+        got = [(r["vec_id"], r["cosine_sim"]) for r in
+               similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        assert got == want
+        # appending to the wrong index kind is an error, not corruption
+        with pytest.raises(ValueError):
+            similarity.append_ivf_index(emb, path)
+
     def test_index_probes_prune_in_plan(self, emb, tmp_path):
         # the scale claim, pinned: an LSH probe partition-prunes on t and
         # pushes the sig filter; an IVF probe partition-prunes on

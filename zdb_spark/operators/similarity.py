@@ -27,7 +27,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "knn_join_bruteforce", "knn_join_lsh", "ivf_index",
            "ivf_topk", "embedding_dedup_pairs", "build_lsh_index",
-           "lsh_index_topk", "build_ivf_index", "ivf_index_topk"]
+           "lsh_index_topk", "build_ivf_index", "ivf_index_topk",
+           "append_lsh_index", "append_ivf_index", "compact_ann_index",
+           "index_data_files"]
 
 
 def _as_double(c: Column) -> Column:
@@ -323,15 +325,26 @@ def lsh_index_topk(spark: SparkSession, path: str, query_vec: list[float],
 
 def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_centroids: int = 16,
-                    sample_size: int = 4096, seed: int = 42) -> None:
+                    sample_size: int = 4096, seed: int = 42,
+                    centroids: "np.ndarray | None" = None) -> None:
     """Persist an IVF index: train the coarse quantizer ONCE, write the
     corpus parquet partitioned by ``centroid_id``, store centroids in the
     sidecar.  A probe then touches ``n_probe/n_centroids`` of the
     directories — candidate selection is partition pruning, the cheapest
     mechanism Spark has.  Round-1 ``ivf_topk`` retrained k-means per
-    query; at 100 TB that is a full training scan per lookup."""
-    assigned, cents = ivf_index(df, vec_col, n_centroids, sample_size,
-                                seed=seed)
+    query; at 100 TB that is a full training scan per lookup.
+
+    Pass ``centroids`` to reuse a pre-trained quantizer (e.g. another
+    index's ``_meta["centroids"]``) instead of training — the path that
+    makes a rebuild comparable to ``append_ivf_index``, which by design
+    never retrains."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        assigned = df.withColumn(
+            "centroid_id", _nearest_centroid_col(vec_col, cents))
+    else:
+        assigned, cents = ivf_index(df, vec_col, n_centroids, sample_size,
+                                    seed=seed)
     (assigned.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
                      "centroid_id")
              .repartition("centroid_id")
@@ -356,6 +369,99 @@ def ivf_index_topk(spark: SparkSession, path: str, query_vec: list[float],
     idx = spark.read.parquet(os.path.join(path, "data"))
     cand = idx.where(F.col("centroid_id").isin(probe))
     return brute_force_topk(cand, query_vec, k, meta["vec_col"], "vec_id")
+
+
+def append_lsh_index(df: DataFrame, path: str,
+                     id_col: str = "vec_id") -> None:
+    """Incrementally add a batch to a persisted LSH index — signs and
+    explodes ONLY the new rows (hyperplanes are data-independent, derived
+    from the sidecar seed), then appends files into the same
+    ``t``-partitioned layout.  The result is byte-for-byte the index a
+    full rebuild over old+new would produce, minus file merging — at
+    100 TB an append touches O(batch), a rebuild O(corpus).
+
+    Appended files are sig-sorted like the originals, so row-group
+    pruning on ``sig`` keeps working; they are however one-file-per-batch
+    — run ``compact_ann_index`` periodically to merge the accumulation
+    back to one file per table partition."""
+    with open(os.path.join(path, "_meta")) as f:
+        meta = json.load(f)
+    if meta["kind"] != "lsh":
+        raise ValueError(f"not an LSH index: {path}")
+    vec_col = meta["vec_col"]
+    tagged = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    for t in range(meta["num_tables"]):
+        tagged = hyperplane_signature(tagged, vec_col, meta["num_bits"],
+                                      meta["dim"], meta["seed"] + 1000 * t,
+                                      out_col=f"_s{t}")
+    rows = tagged.select(
+        "vec_id", vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
+            for t in range(meta["num_tables"])
+        ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col)
+    (rows.repartition("t").sortWithinPartitions("t", "sig")
+         .write.mode("append").partitionBy("t")
+         .parquet(os.path.join(path, "data")))
+
+
+def append_ivf_index(df: DataFrame, path: str,
+                     id_col: str = "vec_id") -> None:
+    """Incrementally add a batch to a persisted IVF index — assigns the
+    new rows with the SIDECAR centroids (the quantizer is deliberately
+    not retrained: probe routing must stay consistent with the data
+    already on disk) and appends into the ``centroid_id`` partitions.
+
+    Equivalent to ``build_ivf_index(old+new, centroids=sidecar)`` modulo
+    file merging.  Quantizer drift is the operator's responsibility: if
+    the data distribution shifts far from the training sample, rebuild —
+    the index records only centroid geometry, so drift shows up as
+    imbalanced partition sizes (``index_data_files`` per directory)."""
+    with open(os.path.join(path, "_meta")) as f:
+        meta = json.load(f)
+    if meta["kind"] != "ivf":
+        raise ValueError(f"not an IVF index: {path}")
+    vec_col = meta["vec_col"]
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    (df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+       .withColumn("centroid_id", _nearest_centroid_col(vec_col, cents))
+       .repartition("centroid_id")
+       .write.mode("append").partitionBy("centroid_id")
+       .parquet(os.path.join(path, "data")))
+
+
+def index_data_files(path: str) -> list[str]:
+    """Data files of a persisted index (for compaction bookkeeping)."""
+    out = []
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".parquet"))
+    return sorted(out)
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> int:
+    """Merge the per-append small files back to one sorted file per
+    partition (LSH: per ``t``, sig-sorted so row-group stats prune again
+    at full strength; IVF: per ``centroid_id``).  Offline maintenance:
+    the swap is two directory renames, not atomic for concurrent probes —
+    schedule alongside table ``vacuum``.  Returns the file count after.
+    """
+    import shutil
+
+    with open(os.path.join(path, "_meta")) as f:
+        meta = json.load(f)
+    key = "t" if meta["kind"] == "lsh" else "centroid_id"
+    src = os.path.join(path, "data")
+    rows = spark.read.parquet(src).repartition(key)
+    if meta["kind"] == "lsh":
+        rows = rows.sortWithinPartitions("t", "sig")
+    tmp = src + ".compacting"
+    rows.write.mode("overwrite").partitionBy(key).parquet(tmp)
+    backup = src + ".old"
+    os.rename(src, backup)
+    os.rename(tmp, src)
+    shutil.rmtree(backup)
+    return len(index_data_files(path))
 
 
 def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",

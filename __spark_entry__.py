@@ -372,6 +372,104 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling salted aggregation, value-checked: the two-phase
+    (key, salt) partial + merge must EXACTLY equal the plain GROUP BY
+    (algebraic decomposition — only the shuffle distribution changes).
+    l_returnflag has 3 values over all of lineitem: the canonical
+    hot-key shape where one reducer would own ~half the table.
+    Aggregates chosen integer-valued-in-double (sum of 1..50 quantities,
+    min/max) so salted vs unsalted vs DuckDB summation order is exact.
+    """
+    from zdb_spark.operators.skew import salted_agg
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "n_rows": ("l_orderkey", "count"),
+        "min_price": ("l_extendedprice", "min"),
+        "max_price": ("l_extendedprice", "max"),
+    }, n_salts=16)
+    return out.select("l_returnflag",
+                      F.round("sum_qty", 4).alias("sum_qty"),
+                      "n_rows",
+                      F.round("min_price", 4).alias("min_price"),
+                      F.round("max_price", 4).alias("max_price"))
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed fact-fact join, value-checked: both facts land in the
+    catalog bucketed by the join key (the write pays the shuffle ONCE),
+    then the join plans as a SortMergeJoin with NO Exchange on either
+    side (plan pinned in tests/test_plans_sources.py) and must equal the
+    plain join.  External-table data under a tempdir keyed by sf_dir;
+    the in-memory catalog re-registers per session.
+    """
+    import hashlib
+    import tempfile
+
+    from zdb_spark.sources.bucketed import bucketed_join, save_bucketed
+
+    key = hashlib.md5(f"{sf_dir}|bucketed-v1".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), "zdb_bucketed", key)
+    ob, lb = f"zdb_ob_{key}", f"zdb_lb_{key}"
+    o = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority")
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        "l_extendedprice", "l_discount")
+    save_bucketed(o, ob, "orderkey", n_buckets=8,
+                  path=os.path.join(base, "orders"))
+    save_bucketed(li, lb, "orderkey", n_buckets=8,
+                  path=os.path.join(base, "lineitem"))
+    j = bucketed_join(spark, ob, lb, "orderkey")
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 4)
+                   .alias("revenue")))
+
+
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionize (applyInPandasWithState), value-checked: an
+    availableNow stream over the events parquet runs through the custom
+    stateful operator; emitted rows are exactly the CLOSED sessions —
+    every session except each user's last, which stays in state awaiting
+    more data.  The oracle mirrors that contract in SQL: gap-windowed
+    sessions minus each user's final one.  Deterministic because the
+    single source file arrives as one micro-batch and the operator sorts
+    each user's events before folding.
+    """
+    import hashlib
+    import tempfile
+
+    from zdb_spark.streaming.ingest import sessionize
+
+    ev = _load(spark, sf_dir, "events")  # sets nanosAsLong conf
+    key = hashlib.md5(f"{sf_dir}|sessionize-v1".encode()).hexdigest()[:12]
+    home = os.path.join(tempfile.gettempdir(), "zdb_sessionize", key)
+    src = (spark.readStream.schema(ev.schema)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir)
+           .select("user_id", "ts"))
+    sessions = sessionize(src, gap_nanos=NS_PER_HOUR)
+    out = os.path.join(home, "out")
+    q = (sessions.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # session bounds reported at µs: DuckDB materializes TIMESTAMP_NS
+    # parquet as µs-truncated TIMESTAMP, so ns-precision longs can never
+    # hash-match — `div 1000` is the same floor the oracle's epoch_us
+    # applies.  (Gap decisions still happen at full ns on the Spark side.)
+    return (spark.read.parquet(out)
+            .select("user_id",
+                    F.expr("session_start div 1000").alias("session_start"),
+                    F.expr("session_end div 1000").alias("session_end"),
+                    "n_events"))
+
+
 # --------------------------------------------------------------------- #
 # LLM-pipeline operators (BASELINE.json north star)                      #
 # --------------------------------------------------------------------- #
@@ -849,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "month_rollup": q_month_rollup,
         "sessionize_batch": q_sessionize_batch,
+        "salted_agg": q_salted_agg,
+        "bucketed_join": q_bucketed_join,
+        "sessionize_stream": q_sessionize_stream,
         "stream_ingest": q_stream_ingest,
         "stream_ingest_manifest": q_stream_ingest_manifest,
         "stream_resample": q_stream_resample,
@@ -1068,6 +1169,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(new_session), 0) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY 1
+        """,
+        "salted_agg": """
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(l_orderkey) AS n_rows,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem GROUP BY 1
+        """,
+        "bucketed_join": """
+            SELECT o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
+        "sessionize_stream": """
+            WITH g AS (
+                SELECT user_id, epoch_us(ts) AS t,
+                       CASE WHEN epoch_us(ts)
+                                 - lag(epoch_us(ts)) OVER (
+                                     PARTITION BY user_id ORDER BY ts)
+                                 > 3600000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), s AS (
+                SELECT user_id, t,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            ), sess AS (
+                SELECT user_id, sid,
+                       min(t) AS session_start,
+                       max(t) AS session_end,
+                       count(*) AS n_events
+                FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, session_start, session_end, n_events
+            FROM sess
+            WHERE sid < (SELECT max(s2.sid) FROM sess s2
+                         WHERE s2.user_id = sess.user_id)
         """,
         "dedup_exact": """
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))

@@ -28,20 +28,28 @@ __all__ = ["save_bucketed", "bucketed_join"]
 
 def save_bucketed(df: DataFrame, name: str, key: str | list[str],
                   n_buckets: int = 32,
-                  sort_by: str | list[str] | None = None) -> None:
+                  sort_by: str | list[str] | None = None,
+                  path: str | None = None) -> None:
     """Write ``df`` into the session catalog bucketed (and bucket-sorted)
     by the join key.
 
     ``sortBy`` inside each bucket file lets the SortMergeJoin skip its
     per-partition sort as well (plan shows no Sort above the scan when
     the bucket sort matches the join key).
+
+    ``path`` makes it an EXTERNAL table at that location (the data
+    outlives the in-memory catalog; re-registering after a session
+    restart is this same call).  Default is a managed table under the
+    session warehouse dir.
     """
     keys = [key] if isinstance(key, str) else list(key)
     sort_cols = ([sort_by] if isinstance(sort_by, str)
                  else list(sort_by or keys))
-    (df.write.mode("overwrite").format("parquet")
-       .bucketBy(n_buckets, *keys).sortBy(*sort_cols)
-       .saveAsTable(name))
+    w = (df.write.mode("overwrite").format("parquet")
+           .bucketBy(n_buckets, *keys).sortBy(*sort_cols))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
 
 
 def bucketed_join(spark: SparkSession, left_name: str, right_name: str,

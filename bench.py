@@ -89,12 +89,23 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Ingest throughput (mirrors the reference's only bench,
+    # benches/write.rs) — recorded here so BENCH_r{N}.json catches
+    # write-path regressions, not just read-side ones.  1M rows keeps it
+    # a ~5s add-on; bench_write.py remains the standalone 2M-row run.
+    from bench_write import measure_write_throughput
+    wt = measure_write_throughput(
+        spark, int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 1_000_000)))
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "write_throughput": {k: wt[k] for k in
+                             ("batch_write", "stream_sink", "rows", "unit")},
     }))
     spark.stop()
     return 0

@@ -38,17 +38,16 @@ DAY = 86_400 * NS
 T0 = 1704067200 * NS  # 2024-01-01T00:00:00Z
 
 
-def main() -> int:
+def measure_write_throughput(spark, n_rows: int) -> dict:
+    """Time both ingest routes; returns the metric dict (also reused by
+    bench.py so the driver-recorded BENCH_r{N}.json tracks ingest
+    regressions round-over-round, not just read-side queries)."""
     from pyspark.sql import functions as F
 
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
-    from zdb_spark.session import get_spark
     from zdb_spark.streaming.ingest import stream_writer
     from zdb_spark.table import Table
 
-    n_rows = int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 2_000_000))
-    spark = get_spark("zdb-spark-bench-write")
-    spark.sparkContext.setLogLevel("ERROR")
     home = tempfile.mkdtemp(prefix="zdb_bench_write_")
 
     def ohlcv_schema(name: str) -> Schema:
@@ -82,34 +81,46 @@ def main() -> int:
     src = gen_rows().cache()
     src.count()  # materialize the generator outside the timed region
 
-    # -- batch route: Table.write ------------------------------------- #
-    t = Table.create(spark, ohlcv_schema("agg1d_bench"), home=home)
-    t0 = time.time()
-    t.write(src)
-    batch_secs = time.time() - t0
+    try:
+        # -- batch route: Table.write --------------------------------- #
+        t = Table.create(spark, ohlcv_schema("agg1d_bench"), home=home)
+        t0 = time.time()
+        t.write(src)
+        batch_secs = time.time() - t0
 
-    # -- streaming route: checkpointed availableNow file sink --------- #
-    stage = os.path.join(home, "stage")
-    src.write.mode("overwrite").parquet(stage)  # file source input
-    ts_schema = spark.read.parquet(stage).schema
-    sink = os.path.join(home, "stream_sink")
-    t0 = time.time()
-    q = stream_writer(
-        spark.readStream.schema(ts_schema).parquet(stage),
-        os.path.join(sink, "parquet"), os.path.join(sink, "ckpt"),
-        partition_by=PartitionBy.DAY)
-    q.awaitTermination()
-    stream_secs = time.time() - t0
+        # -- streaming route: checkpointed availableNow file sink ----- #
+        stage = os.path.join(home, "stage")
+        src.write.mode("overwrite").parquet(stage)  # file source input
+        ts_schema = spark.read.parquet(stage).schema
+        sink = os.path.join(home, "stream_sink")
+        t0 = time.time()
+        q = stream_writer(
+            spark.readStream.schema(ts_schema).parquet(stage),
+            os.path.join(sink, "parquet"), os.path.join(sink, "ckpt"),
+            partition_by=PartitionBy.DAY)
+        q.awaitTermination()
+        stream_secs = time.time() - t0
+    finally:
+        src.unpersist()
+        shutil.rmtree(home, ignore_errors=True)
 
-    print(json.dumps({
+    return {
         "metric": "write_throughput",
         "unit": "rows_per_sec",
         "batch_write": int(n_rows / batch_secs),
         "stream_sink": int(n_rows / stream_secs),
         "rows": n_rows,
-    }))
+    }
+
+
+def main() -> int:
+    from zdb_spark.session import get_spark
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 2_000_000))
+    spark = get_spark("zdb-spark-bench-write")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure_write_throughput(spark, n_rows)))
     spark.stop()
-    shutil.rmtree(home, ignore_errors=True)
     return 0
 
 

@@ -49,6 +49,7 @@ HEADLINE = [
     "knn_bruteforce",     # similarity search
     "knn_ivf",            # IVF probe over the persisted index
     "knn_lsh",            # LSH probe over the persisted index
+    "knn_lsh_multiprobe",  # hamming-1 probe, 1-table index (12x smaller)
 ]
 
 

@@ -335,23 +335,7 @@ class Table:
         """
         moved: list[str] = []
         self._move_staged(staging, dest_root, moved)
-
-        def upd(doc: dict) -> dict | None:
-            if (txn is not None
-                    and int(doc["txns"].get(txn[0], -1)) >= txn[1]):
-                return None
-            ndoc = dict(doc)
-            ndoc["files"] = doc["files"] + moved
-            if txn is not None:
-                ndoc["txns"] = {**doc["txns"], txn[0]: txn[1]}
-            ndoc["row_count"] = doc["row_count"] + n
-            ndoc["min_ts"] = (lo if doc["min_ts"] is None
-                              else min(doc["min_ts"], lo))
-            ndoc["max_ts"] = (hi if doc["max_ts"] is None
-                              else max(doc["max_ts"], hi))
-            return ndoc
-
-        if self._commit_manifest(upd) is None:
+        if self._commit_append_manifest(moved, n, lo, hi, txn) is None:
             for rel in moved:  # replay abort: files were never visible
                 try:
                     os.unlink(os.path.join(dest_root, rel))
@@ -359,6 +343,53 @@ class Table:
                     pass
             return 0
         return n
+
+    def _commit_append_manifest(self, moved: list[str], n: int, lo: int,
+                                hi: int,
+                                txn: tuple[str, int] | None) -> int | None:
+        """CAS-publish one appended batch into the chunked manifest.
+
+        The commit is O(head), NOT O(file-count): new files extend the
+        head's ``tail``; when the tail reaches ``_SEAL_TAIL`` entries it
+        is sealed into an immutable ``seg-*.json`` segment and the head
+        keeps only the segment's name+count.  When ``_MERGE_SEGMENTS``
+        segments accumulate they coalesce into one (the Delta-checkpoint
+        analogue — O(file-count) once per ~``_SEAL_TAIL·_MERGE_SEGMENTS``
+        commits, amortized to nothing).  So at 10⁶ files the per-commit
+        head rewrite stays KBs where the round-3 single-doc layout
+        rewrote a multi-MB file list every micro-batch.
+
+        Segments written by a CAS attempt that loses the race become
+        unreferenced orphans; ``vacuum()`` sweeps them past the grace
+        window.  Returns the committed version, or None on txn replay.
+        """
+        def upd(head: dict) -> dict | None:
+            if (txn is not None
+                    and int(head["txns"].get(txn[0], -1)) >= txn[1]):
+                return None
+            segs = list(head["segments"])
+            tail = head["tail"] + moved
+            if len(tail) >= self._SEAL_TAIL:
+                segs.append({"name": self._write_segment(tail),
+                             "count": len(tail)})
+                tail = []
+                if len(segs) >= self._MERGE_SEGMENTS:
+                    merged = [f for s in segs
+                              for f in self._load_segment(s["name"])]
+                    segs = [{"name": self._write_segment(merged),
+                             "count": len(merged)}]
+            nh = dict(head)
+            nh["segments"], nh["tail"] = segs, tail
+            if txn is not None:
+                nh["txns"] = {**head["txns"], txn[0]: txn[1]}
+            nh["row_count"] = head["row_count"] + n
+            nh["min_ts"] = (lo if head["min_ts"] is None
+                            else min(head["min_ts"], lo))
+            nh["max_ts"] = (hi if head["max_ts"] is None
+                            else max(head["max_ts"], hi))
+            return nh
+
+        return self._commit_manifest_head(upd)
 
     def _merge_meta_locked(self, n: int, lo: int, hi: int,
                            txn: tuple[str, int] | None = None) -> None:
@@ -463,36 +494,126 @@ class Table:
         v, doc = self._latest_manifest_doc()
         return v, doc["files"], doc["txns"]
 
-    _EMPTY_DOC = {"files": [], "txns": {}, "row_count": 0,
-                  "min_ts": None, "max_ts": None}
+    # Chunked-manifest layout knobs.  The head json carries at most
+    # _SEAL_TAIL inline file paths (a few KB); beyond that the tail seals
+    # into an immutable segment file.  _MERGE_SEGMENTS bounds the head's
+    # segment list by coalescing — together they keep every head rewrite
+    # O(KB) no matter how many files the table owns.
+    _SEAL_TAIL = 256
+    _MERGE_SEGMENTS = 64
 
-    def _latest_manifest_doc(self) -> tuple[int, dict]:
-        """(version, manifest document) of the newest snapshot.
+    _EMPTY_HEAD = {"segments": [], "tail": [], "txns": {}, "row_count": 0,
+                   "min_ts": None, "max_ts": None}
 
-        The document is the manifest-mode table's SINGLE source of truth:
-        file list, streaming txn high-water marks, and row stats
-        (count/min_ts/max_ts) all live in one json, so an append's
-        visibility, replay protection, and stats advance in one atomic
-        publish — a reader/replayer sees all of a commit or none of it.
+    @classmethod
+    def _normalize_head(cls, raw: dict) -> dict:
+        """Accept both head layouts: the chunked form ({segments, tail})
+        and the legacy round-3 single-doc form ({files}) — a legacy doc's
+        whole file list is treated as the tail, so the first commit on
+        top of it seals it into a segment and the table converts in
+        place, no migration step."""
+        if "segments" not in raw:
+            h = {**cls._EMPTY_HEAD,
+                 **{k: v for k, v in raw.items() if k != "files"}}
+            h["tail"] = list(raw.get("files", []))
+            h["segments"] = []
+            return h
+        return {**cls._EMPTY_HEAD, **raw}
+
+    def _latest_head(self) -> tuple[int, dict]:
+        """(version, normalized head doc) of the newest snapshot.
+
+        The head is the manifest table's SINGLE atomically-published
+        source of truth: segment refs + tail files, streaming txn
+        high-water marks, and row stats all flip in one CAS publish.
+        Heads are immutable once published, so the parse is memoized on
+        version — hot metadata reads (row_count/get_last_ts per append)
+        parse each snapshot exactly once.
         """
         d = self._manifest_dir()
         if not os.path.isdir(d):
-            return 0, dict(self._EMPTY_DOC)
-        versions = sorted(
+            return 0, dict(self._EMPTY_HEAD, segments=[], tail=[], txns={})
+        versions = [
             int(f[1:-5]) for f in os.listdir(d)
-            if f.startswith("v") and f.endswith(".json"))
+            if f.startswith("v") and f.endswith(".json")]
         if not versions:
-            return 0, dict(self._EMPTY_DOC)
-        v = versions[-1]
-        with open(os.path.join(d, f"v{v:012d}.json")) as f:
-            m = json.load(f)
-        return v, {**self._EMPTY_DOC, **m}
+            return 0, dict(self._EMPTY_HEAD, segments=[], tail=[], txns={})
+        v = max(versions)
+        cached = getattr(self, "_head_cache", None)
+        if cached is None or cached[0] != v:
+            with open(os.path.join(d, f"v{v:012d}.json")) as f:
+                cached = (v, self._normalize_head(json.load(f)))
+            self._head_cache = cached
+        head = cached[1]
+        # defensive copy: update fns build new dicts but must never
+        # mutate the memoized head through shared list/dict refs
+        return v, {**head, "segments": list(head["segments"]),
+                   "tail": list(head["tail"]), "txns": dict(head["txns"])}
+
+    def _load_segment(self, name: str) -> list[str]:
+        """File list of one immutable segment; memoized (segments are
+        write-once, uuid-named — a name can never mean different bytes)."""
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            cache = self._seg_cache = {}
+        if name not in cache:
+            with open(os.path.join(self._manifest_dir(), name)) as f:
+                cache[name] = json.load(f)["files"]
+        return cache[name]
+
+    def _write_segment(self, files: list[str]) -> str:
+        """Write an immutable uuid-named segment; returns its name.
+        Unique names need no CAS — losers of the head race just orphan
+        their segment for vacuum."""
+        import uuid as _uuid
+
+        d = self._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        name = f"seg-{_uuid.uuid4().hex}.json"
+        tmp = os.path.join(d, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"files": files}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, name))
+        return name
+
+    def _files_of_head(self, head: dict) -> list[str]:
+        """Materialize the full file list (segment order, then tail)."""
+        out: list[str] = []
+        for seg in head["segments"]:
+            out.extend(self._load_segment(seg["name"]))
+        out.extend(head["tail"])
+        return out
+
+    def _head_from_files(self, files: list[str], head: dict) -> dict:
+        """Head doc for a WHOLESALE file-list replacement (compaction,
+        migration): small lists ride inline in the tail; large ones seal
+        into one fresh segment so the head stays O(KB)."""
+        nh = {k: head[k] for k in ("txns", "row_count", "min_ts", "max_ts")}
+        if len(files) <= self._SEAL_TAIL:
+            nh.update(segments=[], tail=list(files))
+        else:
+            nh.update(segments=[{"name": self._write_segment(list(files)),
+                                 "count": len(files)}], tail=[])
+        return nh
+
+    def _latest_manifest_doc(self) -> tuple[int, dict]:
+        """(version, manifest document with the MATERIALIZED file list).
+
+        Reader-side view over the chunked layout; commit paths work on
+        heads (``_latest_head``) and never pay this materialization.
+        """
+        v, head = self._latest_head()
+        return v, {"files": self._files_of_head(head), "txns": head["txns"],
+                   "row_count": head["row_count"], "min_ts": head["min_ts"],
+                   "max_ts": head["max_ts"]}
 
     def _last_txn(self, app_id: str) -> int:
         """Last committed streaming batch id for ``app_id`` (-1 if none)."""
         if self._meta.manifest:
-            _, doc = self._latest_manifest_doc()
-            txns = doc["txns"]
+            _, head = self._latest_head()
+            txns = head["txns"]
         else:
             meta_path = os.path.join(self.path, "_meta")
             if os.path.exists(meta_path):
@@ -502,11 +623,11 @@ class Table:
                 txns = self._meta.txns
         return int(txns.get(app_id, -1))
 
-    def _commit_manifest(self, update_fn, max_retries: int = 200):
+    def _commit_manifest_head(self, update_fn, max_retries: int = 200):
         """Optimistic version-check commit (the multi-writer protocol).
 
-        Read the latest (version, doc), apply ``update_fn(doc) -> new
-        doc`` (or ``None`` to abort), then publish ``v+1`` by EXCLUSIVE
+        Read the latest (version, head), apply ``update_fn(head) -> new
+        head`` (or ``None`` to abort), then publish ``v+1`` by EXCLUSIVE
         create: if another writer already published ``v+1``, the create
         fails, the loop re-reads and re-applies — classic CAS.  No lock
         file exists to leak, block, or be stolen; abandoned writers cost
@@ -522,17 +643,38 @@ class Table:
         import time as _time
 
         for attempt in range(max_retries):
-            v, doc = self._latest_manifest_doc()
-            ndoc = update_fn(doc)
-            if ndoc is None:
+            v, head = self._latest_head()
+            nh = update_fn(head)
+            if nh is None:
                 return None
-            if self._try_publish_manifest(v + 1, ndoc):
+            if self._try_publish_manifest(v + 1, nh):
+                # memoize the winner: the next metadata read needs no parse
+                self._head_cache = (v + 1, self._normalize_head(nh))
                 return v + 1
             # jittered backoff so N colliding writers spread out
             _time.sleep(random.random() * 0.002 * min(attempt + 1, 25))
         raise RuntimeError(
             f"manifest CAS failed after {max_retries} attempts "
             f"(pathological write contention on {self.path})")
+
+    def _commit_manifest(self, update_fn, max_retries: int = 200):
+        """Full-doc CAS commit: ``update_fn`` sees/returns a doc with the
+        MATERIALIZED ``files`` list.  For wholesale rewrites (compaction
+        flip, migration) where O(file-count) work is inherent anyway;
+        appends use the O(head) ``_commit_append_manifest`` path."""
+        def head_fn(head: dict):
+            doc = {"files": self._files_of_head(head), "txns": head["txns"],
+                   "row_count": head["row_count"], "min_ts": head["min_ts"],
+                   "max_ts": head["max_ts"]}
+            ndoc = update_fn(doc)
+            if ndoc is None:
+                return None
+            nh = self._head_from_files(ndoc["files"], head)
+            for k in ("txns", "row_count", "min_ts", "max_ts"):
+                nh[k] = ndoc[k]
+            return nh
+
+        return self._commit_manifest_head(head_fn, max_retries)
 
     def _try_publish_manifest(self, version: int, doc: dict) -> bool:
         """Publish ``v{version}.json`` iff it does not exist yet.
@@ -571,7 +713,7 @@ class Table:
         if not os.path.exists(path):
             raise ValueError(f"no snapshot version {version}")
         with open(path) as f:
-            files = json.load(f)["files"]
+            files = self._files_of_head(self._normalize_head(json.load(f)))
         p = os.path.join(self.path, "parquet")
         if not files:
             return self.spark.createDataFrame(
@@ -600,8 +742,9 @@ class Table:
         now = _time.time()
         # no lock: manifest versions are immutable once published (CAS
         # protocol), so a plain read of the latest is always consistent
-        v, files = self._latest_manifest()
-        keep = set(files)
+        v, head = self._latest_head()
+        keep = set(self._files_of_head(head))
+        live_segs = {s["name"] for s in head["segments"]}
         root = os.path.join(self.path, "parquet")
         removed = 0
         if os.path.isdir(root):
@@ -623,6 +766,14 @@ class Table:
                 full = os.path.join(md, f)
                 if (f.startswith("v") and f.endswith(".json")
                         and int(f[1:-5]) < v):
+                    os.unlink(full)
+                elif (f.startswith("seg-") and f.endswith(".json")
+                      and f not in live_segs
+                      and now - os.path.getmtime(full) >= grace_seconds):
+                    # segments orphaned by a lost CAS race, a coalescing
+                    # merge, or a superseded head deleted above; grace
+                    # protects a concurrent committer that wrote its
+                    # segment but hasn't published its head yet
                     os.unlink(full)
                 elif (f.endswith(".tmp")
                       and now - os.path.getmtime(full) >= grace_seconds):

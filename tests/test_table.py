@@ -509,3 +509,124 @@ class TestSymbols:
         t = Table.create(spark, make_schema(), home=tmp_home)
         with pytest.raises(ValueError, match="not a symbol"):
             t.symbols("price")
+
+
+class TestChunkedManifest:
+    """The head json must stay O(KB) regardless of table file count
+    (VERDICT r3 item 1): appends extend a bounded inline tail, sealed
+    tails become immutable segments, and segments coalesce so the head's
+    segment list is bounded too."""
+
+    def make(self, spark, tmp_home):
+        return Table.create(spark, make_schema("tchunk"), home=tmp_home,
+                            manifest=True)
+
+    def drive_appends(self, t, total_files, batch=50):
+        # Drive the commit protocol directly with synthetic file names —
+        # the invariant under test is manifest layout, not parquet IO,
+        # and 10k real writes would take minutes for no extra coverage.
+        import os
+        head_sizes = []
+        fid = 0
+        while fid < total_files:
+            moved = [f"dt=2024-01-01/part-{fid + i:08d}.parquet"
+                     for i in range(min(batch, total_files - fid))]
+            fid += len(moved)
+            assert t._commit_append_manifest(
+                moved, len(moved), T0, T0 + fid, None) is not None
+            v, _ = t._latest_head()
+            head_sizes.append(os.path.getsize(os.path.join(
+                t._manifest_dir(), f"v{v:012d}.json")))
+        return head_sizes
+
+    def test_head_stays_o_kb_at_10k_files(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        head_sizes = self.drive_appends(t, 10_000)
+        # every head rewrite — including the last at 10k files — is KBs,
+        # where the round-3 single-doc layout would be ~500KB by the end
+        assert max(head_sizes) < 32_768, max(head_sizes)
+        v, head = t._latest_head()
+        assert len(head["tail"]) < Table._SEAL_TAIL
+        assert len(head["segments"]) < Table._MERGE_SEGMENTS
+        files = t._files_of_head(head)
+        assert len(files) == 10_000
+        assert len(set(files)) == 10_000          # no dup, no loss
+        assert head["row_count"] == 10_000
+
+    def test_segments_coalesce(self, spark, tmp_home):
+        # enough commits to trigger at least one seal + merge cycle
+        t = self.make(spark, tmp_home)
+        n = Table._SEAL_TAIL * Table._MERGE_SEGMENTS + Table._SEAL_TAIL
+        self.drive_appends(t, n, batch=Table._SEAL_TAIL)
+        v, head = t._latest_head()
+        # the merge collapsed _MERGE_SEGMENTS segments into one
+        assert len(head["segments"]) < Table._MERGE_SEGMENTS
+        assert len(t._files_of_head(head)) == n
+
+    def test_legacy_single_doc_head_converts_in_place(self, spark,
+                                                      tmp_home):
+        import json, os
+        t = self.make(spark, tmp_home)
+        # hand-write a round-3 layout head: flat {"files": [...]} doc
+        legacy_files = [f"dt=2024-01-01/legacy-{i}.parquet"
+                        for i in range(300)]
+        d = t._manifest_dir()
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "v000000000001.json"), "w") as f:
+            json.dump({"files": legacy_files, "txns": {"app": 7},
+                       "row_count": 300, "min_ts": T0, "max_ts": T0 + 1},
+                      f)
+        t._head_cache = None
+        v, doc = t._latest_manifest_doc()
+        assert v == 1 and doc["files"] == legacy_files
+        assert doc["txns"] == {"app": 7} and doc["row_count"] == 300
+        # first commit on top of the legacy doc seals it into a segment
+        assert t._commit_append_manifest(
+            ["dt=2024-01-02/new-0.parquet"], 1, T0 + 2, T0 + 2,
+            ("app", 8)) is not None
+        v2, head = t._latest_head()
+        assert v2 == 2
+        files = t._files_of_head(head)
+        assert files[:300] == legacy_files       # order preserved
+        assert files[-1] == "dt=2024-01-02/new-0.parquet"
+        assert head["txns"]["app"] == 8
+        assert head["row_count"] == 301
+
+    def test_vacuum_keeps_live_segments_sweeps_orphans(self, spark,
+                                                       tmp_home):
+        import json, os, time
+        t = self.make(spark, tmp_home)
+        self.drive_appends(t, Table._SEAL_TAIL * 2, batch=Table._SEAL_TAIL)
+        v, head = t._latest_head()
+        live = {s["name"] for s in head["segments"]}
+        assert live                                # at least one sealed
+        # plant an orphan segment (lost CAS race) older than the grace
+        d = t._manifest_dir()
+        orphan = os.path.join(d, "seg-deadbeef.json")
+        with open(orphan, "w") as f:
+            json.dump({"files": ["dt=2024-01-01/ghost.parquet"]}, f)
+        old = time.time() - 7200
+        os.utime(orphan, (old, old))
+        t.vacuum(grace_seconds=3600)
+        assert not os.path.exists(orphan)
+        for name in live:
+            assert os.path.exists(os.path.join(d, name))
+        # file list still fully readable after the sweep
+        assert len(t._files_of_head(t._latest_head()[1])) == \
+            Table._SEAL_TAIL * 2
+
+    def test_real_write_scan_roundtrip_chunked(self, spark, tmp_home):
+        # end-to-end: real parquet writes crossing the seal threshold;
+        # scan must see every row through segments + tail
+        t = self.make(spark, tmp_home)
+        t._SEAL_TAIL = 4  # instance-level override to cross thresholds
+        t._MERGE_SEGMENTS = 3
+        total = 0
+        for day in range(10):
+            t.write(rows_df(spark, [T0 + day * DAY + i for i in range(5)]),
+                    enforce_order=False)
+            total += 5
+        v, head = t._latest_head()
+        assert head["segments"], "seal threshold was crossed"
+        assert t.scan().count() == total
+        assert t.row_count == total

@@ -19,8 +19,20 @@ Four families, cheapest first:
 Scale notes: every operator is expressed as DataFrame ops (shuffle-by-key,
 no driver collects, no Python in the hot path).  The LSH joins are
 self-equi-joins whose key cardinality grows with corpus size, so AQE
-handles skew; extremely hot buckets (boilerplate docs) can be frequency-
-capped upstream with one groupBy-count filter.
+handles skew; extremely hot buckets (boilerplate docs) are bounded by the
+``max_bucket_size`` option on ``minhash_lsh_pairs`` /
+``ngram_jaccard_pairs``: buckets whose row count exceeds the cap are
+dropped from candidate generation BEFORE the self-join (one extra
+groupBy-count + anti-join on the same key — O(corpus)), turning a
+worst-case quadratic bucket into zero join work.  Dropped buckets are
+surfaced on the result as ``result._zdb_dropped_buckets`` (a DataFrame of
+the capped keys with their sizes) so pipelines can alert on what was
+skipped.  Recall note: a true pair is lost only if EVERY band/prefix
+token it shares is capped — for minhash, near-dups collide in most of the
+16 bands while boilerplate floods isolated ones, so a cap ≥ the largest
+legitimate duplicate-group size preserves the true-pair set (gate entry
+``dedup_minhash_capped`` proves this against the brute-force oracle with
+a planted pathological bucket).
 """
 
 from __future__ import annotations
@@ -155,14 +167,42 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return mk(out, F.col(shingles_col))
 
 
+def _cap_buckets(rows: DataFrame, keys: list[str],
+                 max_bucket_size: int) -> tuple[DataFrame, DataFrame]:
+    """Drop LSH buckets holding more than ``max_bucket_size`` rows.
+
+    Returns (surviving rows, dropped-bucket DataFrame with
+    ``bucket_size``).  The hot-bucket set is computed with one
+    groupBy-count on the bucket key and removed with a LEFT ANTI join on
+    the same key — both shuffle on the key the candidate join shuffles on
+    anyway, and the anti join's build side is only the (tiny) hot-key
+    set, so the cap costs one cheap extra pass while preventing the
+    |bucket|² blowup a single boilerplate bucket would otherwise feed
+    into the self-join."""
+    hot = (rows.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("bucket_size"))
+               .where(F.col("bucket_size") > max_bucket_size))
+    return rows.join(hot.select(*keys), keys, "left_anti"), hot
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, k: int = 5,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact-Jaccard verify.
 
     rows out: (id_a, id_b, est_jaccard, jaccard) with id_a < id_b and
     exact shingle Jaccard >= threshold.
+
+    ``max_bucket_size`` caps pathological (band, band_hash) buckets —
+    boilerplate shingle runs that minhash into one shared band value for
+    thousands of otherwise-unrelated docs.  Buckets above the cap are
+    dropped before the self-join and surfaced on the result as
+    ``._zdb_dropped_buckets``; a true pair survives unless ALL of its
+    colliding bands are capped (near-identical docs collide in ~all
+    ``bands`` bands, so a cap above the largest real duplicate-group
+    size does not cost recall — see the module docstring).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -185,6 +225,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                      F.xxhash64(F.slice("minhash", b * r + 1, r)).alias("bh"))
             for b in range(bands)
         ])).alias("bb")).select("_id", "bb.band", "bb.bh")
+
+    dropped = None
+    if max_bucket_size is not None:
+        banded, dropped = _cap_buckets(banded, ["band", "bh"],
+                                       max_bucket_size)
 
     a = banded.select(F.col("_id").alias("id_a"), "band", "bh")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bh")
@@ -225,6 +270,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                    .where(F.col("jaccard") >= threshold)
                    .select("id_a", "id_b", "est_jaccard", "jaccard"))
     out._zdb_cache_handles = [base]
+    if dropped is not None:
+        out._zdb_dropped_buckets = dropped
     return out
 
 
@@ -375,7 +422,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a prefix-filtered inverted
     index (PPJoin-style set-similarity join).
 
@@ -393,6 +441,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     matches the brute-force oracle bit-for-bit.  Costs one extra linear
     groupBy+join pass to count shingle frequencies — shuffle-heavy but
     O(corpus), vs the O(pairs²) it prevents.
+
+    ``max_bucket_size`` caps inverted-index postings lists: a prefix
+    token indexed by more than the cap docs is dropped from the index
+    (surfaced as ``._zdb_dropped_buckets``).  The frequency-ascending
+    prefix order already keeps globally-hot boilerplate tokens out of
+    prefixes, so the cap is a backstop for adversarial mid-frequency
+    tokens; a true pair is lost only if EVERY prefix token it shares is
+    capped, and prefixes hold each doc's rarest tokens by construction.
     """
     sh = (df.select(F.col(id_col).alias("_id"),
                     shingle_col(text_col, k).alias("_sh"))
@@ -428,6 +484,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # prefix tokens is exactly the bound at that first common token.
     inv = prefixed.select("_id", "n_sh",
                           F.posexplode("_pref").alias("p", "g"))
+    dropped = None
+    if max_bucket_size is not None:
+        inv, dropped = _cap_buckets(inv, ["g"], max_bucket_size)
     a = inv.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"),
                    F.col("p").alias("pa"), "g")
     b = inv.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"),
@@ -458,4 +517,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                .where(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
     out._zdb_cache_handles = [sh]
+    if dropped is not None:
+        out._zdb_dropped_buckets = dropped
     return out

@@ -34,15 +34,39 @@ NS_PER_HOUR = 3_600_000_000_000
 # --------------------------------------------------------------------- #
 # loading helpers                                                        #
 # --------------------------------------------------------------------- #
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize ``ts`` to LongType epoch-nanoseconds, whatever the
+    parquet delivered.
+
+    The canonical timestamp model is i64 nanos (reference:
+    /root/reference/src/schema.rs:28-29); every downstream expression,
+    streaming state schema, and oracle (``epoch_ns``) assumes it.  The
+    driver's testdata has shipped ``ts`` both as Parquet TIMESTAMP(NANOS)
+    (→ LongType via ``nanosAsLong``) and as ``timestamp[us]``
+    (→ TIMESTAMP_NTZ), so branch on the loaded dtype instead of assuming
+    either.  ``unix_micros(cast(ts as timestamp))`` is exact under the
+    UTC session TZ — pure integer math, no double round-trip.  Works on
+    batch and streaming frames alike.
+    """
+    dt = df.schema["ts"].dataType.typeName()
+    if dt in ("timestamp", "timestamp_ntz"):
+        df = df.withColumn(
+            "ts",
+            F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table.  The events table stores Parquet
-    TIMESTAMP(NANOS); Spark needs nanosAsLong (read as LongType epoch
-    nanos — our canonical timestamp model).  Set defensively because the
-    driver owns the SparkSession."""
+    """Read one testdata table (the single dtype choke point: every query
+    — batch via here, streaming via ``_stream_events`` — sees ``events.ts``
+    as LongType epoch-nanos regardless of the parquet's physical type).
+    Confs set defensively because the driver owns the SparkSession."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_ts(df)
     if name in ("documents", "embeddings"):
         # These land as ONE small parquet file → one input partition, which
         # serializes every compute-heavy operator downstream.  Spread to the
@@ -52,6 +76,46 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     return df
+
+
+def _stream_key(sf_dir: str, tag: str) -> str:
+    """Checkpoint-directory key for the streaming gate entries.
+
+    Keyed on (sf_dir, tag, events-file fingerprint): Structured Streaming
+    checkpoints make replays no-ops, which is the durability contract we
+    want — but if the driver REGENERATES the testdata (round 4 changed
+    ts's physical type in place), a source-path-only key would silently
+    serve the previous dataset's output.  mtime+size in the key retires
+    stale checkpoints the moment the input file changes.
+    """
+
+    return _key_for(sf_dir, tag, ("events",))
+
+
+def _key_for(sf_dir: str, tag: str, tables: tuple[str, ...]) -> str:
+    """md5 over (sf_dir, tag, per-table mtime+size fingerprints)."""
+    import hashlib
+
+    parts = [sf_dir, tag]
+    for t in tables:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow-style file source over the events parquet with the
+    same ts canonicalization as ``_load`` (streaming twin of the choke
+    point).  The readStream schema must be the file's RAW schema — the
+    normalized one would mis-decode a timestamp column — so read it
+    fresh, then project."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "events.parquet")  # dir source, one file
+           .parquet(sf_dir))
+    return _normalize_ts(src)
 
 
 def _events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,12 +469,11 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain join.  External-table data under a tempdir keyed by sf_dir;
     the in-memory catalog re-registers per session.
     """
-    import hashlib
     import tempfile
 
     from zdb_spark.sources.bucketed import bucketed_join, save_bucketed
 
-    key = hashlib.md5(f"{sf_dir}|bucketed-v1".encode()).hexdigest()[:12]
+    key = _key_for(sf_dir, "bucketed-v1", ("orders", "lineitem"))
     base = os.path.join(tempfile.gettempdir(), "zdb_bucketed", key)
     ob, lb = f"zdb_ob_{key}", f"zdb_lb_{key}"
     o = _load(spark, sf_dir, "orders").select(
@@ -440,18 +503,13 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     single source file arrives as one micro-batch and the operator sorts
     each user's events before folding.
     """
-    import hashlib
     import tempfile
 
     from zdb_spark.streaming.ingest import sessionize
 
-    ev = _load(spark, sf_dir, "events")  # sets nanosAsLong conf
-    key = hashlib.md5(f"{sf_dir}|sessionize-v1".encode()).hexdigest()[:12]
+    key = _stream_key(sf_dir, "sessionize-v1")
     home = os.path.join(tempfile.gettempdir(), "zdb_sessionize", key)
-    src = (spark.readStream.schema(ev.schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
-           .select("user_id", "ts"))
+    src = _stream_events(spark, sf_dir).select("user_id", "ts")
     sessions = sessionize(src, gap_nanos=NS_PER_HOUR)
     out = os.path.join(home, "out")
     q = (sessions.writeStream.format("parquet")
@@ -497,6 +555,70 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id",
                               num_hashes=64, bands=16, threshold=0.5)
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+# Fixed boilerplate for the hot-bucket-cap gate: ~250 shared 5-char
+# shingles per planted doc.  With five 32-hex-char md5 blocks as the
+# unique tail (~160 shingles), planted pairwise Jaccard lands in
+# [0.435, 0.442] (measured) — BELOW the 0.5 threshold, so planted docs
+# are never true pairs — while ~61% of minhash permutations take their
+# min from the shared shingles, flooding each band's "pure-boilerplate"
+# bucket with ~20 of the 150 planted docs.
+_CAP_BOILERPLATE = (
+    "this content is provided as is without warranty of any kind either "
+    "express or implied including but not limited to the implied warranties "
+    "of merchantability fitness for a particular purpose and noninfringement "
+    "in no event shall the authors be liable for any claim")
+
+
+def _capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 150 planted boilerplate docs (ids 900001..900150).
+
+    The planted text is ``BOILERPLATE || ' ' || md5(i)||..||md5(i+4000)``
+    — pure deterministic string arithmetic both engines evaluate
+    identically, the same construction trick as the planted-embedding
+    corpora."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("id")
+    uniq = F.concat(*[
+        F.md5(F.encode((i + j * 1000).cast("string"), "UTF-8"))
+        for j in range(5)])
+    planted = spark.range(1, 151).select(
+        (F.lit(900000) + i).alias("doc_id"),
+        F.concat(F.lit(_CAP_BOILERPLATE), F.lit(" "), uniq).alias("text"))
+    return docs.unionByName(planted)
+
+
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket cap under a planted pathological bucket.
+
+    150 planted docs share a long boilerplate prefix: below-threshold
+    pairwise Jaccard (never true pairs) but their minhash bands collide
+    into ~20-doc buckets — the |bucket|² candidate blowup the cap
+    exists to stop.  With ``max_bucket_size=10`` those buckets are
+    dropped BEFORE the self-join; the oracle is the same brute-force
+    all-pairs Jaccard as ``dedup_minhash`` over the extended corpus, so
+    a hash match proves the capped run still returns the complete
+    true-pair set (recall preserved: real near-dups collide in ~all 16
+    bands, the flood floods only the pure-boilerplate bucket per band).
+    The run also asserts the cap ENGAGED — at least one bucket dropped,
+    every dropped bucket flood-sized — so a silently inert cap fails
+    the gate rather than vacuously matching.
+    """
+    from zdb_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = _capped_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, "text", "doc_id",
+                              num_hashes=64, bands=16, threshold=0.5,
+                              max_bucket_size=10)
+    dropped = pairs._zdb_dropped_buckets.collect()
+    if not dropped:
+        raise AssertionError("hot-bucket cap did not engage: "
+                             "no buckets dropped at max_bucket_size=10")
+    if max(r["bucket_size"] for r in dropped) < 15:
+        raise AssertionError(
+            f"no flood-sized bucket among dropped: {dropped}")
     return pairs.select("id_a", "id_b", "jaccard")
 
 
@@ -623,15 +745,13 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Idempotent across calls: the checkpoint makes re-running a no-op and
     the read-back honors the sink's transaction log.
     """
-    import hashlib
     import tempfile
 
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
     from zdb_spark.streaming.ingest import stream_writer
     from zdb_spark.table import Table
 
-    ev = _load(spark, sf_dir, "events")  # sets nanosAsLong conf
-    key = hashlib.md5(f"{sf_dir}|v1".encode()).hexdigest()[:12]
+    key = _stream_key(sf_dir, "ingest-v1")
     home = os.path.join(tempfile.gettempdir(), "zdb_stream_ingest", key)
     schema = (Schema("events_stream")
               .add_col("event_id", ColumnType.I64)
@@ -641,9 +761,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
               .with_partition_by(PartitionBy.DAY))
     t = Table.create_or_open(spark, schema, home=home)
 
-    src = (spark.readStream.schema(ev.schema)
-           .option("pathGlobFilter", "events.parquet")  # dir source, one file
-           .parquet(sf_dir)
+    src = (_stream_events(spark, sf_dir)
            .select("ts", "event_id", "user_id", "event_type", "value"))
     q = stream_writer(src, os.path.join(t.path, "parquet"),
                       os.path.join(home, "ckpt"),
@@ -670,15 +788,13 @@ def q_stream_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same SQL as ``stream_ingest``) — a hash match certifies the
     transactional stream path loses/duplicates nothing.
     """
-    import hashlib
     import tempfile
 
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
     from zdb_spark.streaming.ingest import stream_writer_table
     from zdb_spark.table import Table
 
-    ev = _load(spark, sf_dir, "events")
-    key = hashlib.md5(f"{sf_dir}|manifest-v1".encode()).hexdigest()[:12]
+    key = _stream_key(sf_dir, "manifest-v1")
     home = os.path.join(tempfile.gettempdir(), "zdb_stream_manifest", key)
     schema = (Schema("events_stream_m")
               .add_col("event_id", ColumnType.I64)
@@ -691,9 +807,7 @@ def q_stream_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         t = Table.open(spark, schema.name, home=home)
 
-    src = (spark.readStream.schema(ev.schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir)
+    src = (_stream_events(spark, sf_dir)
            .select("ts", "event_id", "user_id", "event_type", "value"))
     q = stream_writer_table(src, t, os.path.join(home, "ckpt"),
                             app_id="gate")
@@ -723,16 +837,13 @@ def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace the reference's out-of-order panic) stated as SQL and
     hash-checked.
     """
-    import hashlib
     import tempfile
 
     from zdb_spark.streaming.ingest import stream_resample
 
-    ev = _load(spark, sf_dir, "events")
-    key = hashlib.md5(f"{sf_dir}|resample-v1".encode()).hexdigest()[:12]
+    key = _stream_key(sf_dir, "resample-v1")
     base = os.path.join(tempfile.gettempdir(), "zdb_stream_resample", key)
-    src = (spark.readStream.schema(ev.schema)
-           .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    src = _stream_events(spark, sf_dir)
     bars = stream_resample(src, "1 hour", ts_col="ts",
                            symbol_col="event_type", price_col="value",
                            watermark="10 minutes")
@@ -803,10 +914,9 @@ def _ann_index_path(sf_dir: str, kind: str, params: str) -> str:
     stale index from an earlier corpus construction or build setting
     impossible to pick up silently — change the construction, change the
     key."""
-    import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}|{params}".encode()).hexdigest()[:12]
+    key = _key_for(sf_dir, params, ("embeddings",))
     return os.path.join(tempfile.gettempdir(), "zdb_ann_idx", key, kind)
 
 
@@ -978,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LLM-pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
@@ -1450,6 +1561,46 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
         """,
+        # Same brute force over documents ∪ the planted boilerplate flood
+        # (md5-derived unique tails — deterministic in both engines).
+        # Planted pairwise Jaccard is 0.435-0.442 < 0.5, so the oracle's
+        # true-pair set is UNCHANGED by the flood; a hash match proves the
+        # capped Spark run (which drops the flooded buckets pre-join)
+        # loses no true pair.
+        "dedup_minhash_capped": r"""
+            WITH planted AS (
+                SELECT 900000 + i AS doc_id,
+                       '__CAP_BOILERPLATE__' || ' '
+                       || md5(CAST(i AS VARCHAR))
+                       || md5(CAST(i + 1000 AS VARCHAR))
+                       || md5(CAST(i + 2000 AS VARCHAR))
+                       || md5(CAST(i + 3000 AS VARCHAR))
+                       || md5(CAST(i + 4000 AS VARCHAR)) AS text
+                FROM range(1, 151) r(i)
+            ), corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM planted
+            ), t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM corpus
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """.replace('__CAP_BOILERPLATE__', _CAP_BOILERPLATE),
         # The four curation rules assembled from the individual entries'
         # SQL: en language-ID, quality >= 0.55 (on the ROUNDED score,
         # both engines), exact-dup canonical, near-dup cluster winner.

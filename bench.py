@@ -65,24 +65,37 @@ def main() -> int:
     # Warmup: spin the JVM and codegen, and touch every input table so
     # the first timed query per table isn't paying OS page-cache misses
     # for the whole file (observed 8x swings on cold cache).
-    qs["pricing_summary"](spark, sf_dir).count()
-    for t in ("events", "orders", "customer", "nation", "region",
-              "documents", "embeddings"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    try:
+        qs["pricing_summary"](spark, sf_dir).count()
+        for t in ("events", "orders", "customer", "nation", "region",
+                  "documents", "embeddings"):
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    except Exception as exc:  # warmup failure must not kill the run
+        print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    # Per-query isolation: one erroring query must not abort the run —
+    # round 4 lost its entire perf signal to a single entry regression.
+    # Errors land in a parallel "errors" map; the headline total sums
+    # only queries that ran.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = None
-        for _ in range(2):
-            # drop caches BEFORE each run (operators cache intermediates
-            # internally) so neither sample is served from retained blocks
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                # drop caches BEFORE each run (operators cache
+                # intermediates internally) so neither sample is served
+                # from retained blocks
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"query {name} failed: {exc!r}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -95,19 +108,27 @@ def main() -> int:
     # benches/write.rs) — recorded here so BENCH_r{N}.json catches
     # write-path regressions, not just read-side ones.  1M rows keeps it
     # a ~5s add-on; bench_write.py remains the standalone 2M-row run.
-    from bench_write import measure_write_throughput
-    wt = measure_write_throughput(
-        spark, int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 1_000_000)))
+    try:
+        from bench_write import measure_write_throughput
+        wt = measure_write_throughput(
+            spark, int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 1_000_000)))
+        write_tp = {k: wt[k] for k in
+                    ("batch_write", "stream_sink", "rows", "unit")}
+    except Exception as exc:
+        write_tp = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+        print(f"write bench failed: {exc!r}", file=sys.stderr)
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "write_throughput": {k: wt[k] for k in
-                             ("batch_write", "stream_sink", "rows", "unit")},
-    }))
+        "write_throughput": write_tp,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
     return 0
 

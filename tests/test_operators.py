@@ -58,6 +58,82 @@ class TestMinhashLSH:
             assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35
 
 
+class TestBucketCap:
+    """max_bucket_size: the hot-bucket bound on both LSH-join operators."""
+
+    @pytest.fixture(scope="class")
+    def flood_docs(self, spark):
+        """Base corpus + 80 planted boilerplate docs: shared prefix ~61%
+        of each planted doc's shingles (floods the pure-boilerplate
+        minhash bucket in each band) while pairwise Jaccard stays below
+        the 0.5 threshold (unique md5 tails) — hot buckets with no true
+        pairs in them."""
+        import hashlib
+
+        boiler = ("this content is provided as is without warranty of any "
+                  "kind either express or implied including but not limited "
+                  "to the implied warranties of merchantability fitness for "
+                  "a particular purpose and noninfringement in no event "
+                  "shall the authors be liable for any claim")
+        rows = [
+            Row(doc_id=1, text="The quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the  quick brown fox jumps over the lazy dog "),
+            Row(doc_id=3, text="Completely different content about databases"),
+        ]
+        for i in range(1, 81):
+            tail = "".join(
+                hashlib.md5(f"{i + j * 1000}".encode()).hexdigest()
+                for j in range(5))
+            rows.append(Row(doc_id=9000 + i, text=f"{boiler} {tail}"))
+        return spark.createDataFrame(rows).cache()
+
+    def test_minhash_cap_engages_without_losing_true_pairs(self, flood_docs):
+        uncapped = dedup.minhash_lsh_pairs(
+            flood_docs, "text", "doc_id", num_hashes=64, bands=16,
+            threshold=0.5)
+        capped = dedup.minhash_lsh_pairs(
+            flood_docs, "text", "doc_id", num_hashes=64, bands=16,
+            threshold=0.5, max_bucket_size=8)
+        want = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert (1, 2) in want          # the one true pair
+        assert got == want             # cap costs no recall here
+        dropped = capped._zdb_dropped_buckets.collect()
+        assert dropped, "cap did not engage on the planted flood"
+        assert all(r["bucket_size"] > 8 for r in dropped)
+        assert not hasattr(uncapped, "_zdb_dropped_buckets")
+
+    def test_ngram_cap_drops_clique_postings(self, spark):
+        """With freq-ascending prefixes, a flooded postings list is
+        nearly always a true-dup clique (identical docs share identical
+        prefixes), so the ngram cap is explicitly a recall trade: the
+        clique's pairs go, unrelated pairs stay.  Pin both halves."""
+        rows = [
+            Row(doc_id=1, text="The quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the  quick brown fox jumps over the lazy dog "),
+            Row(doc_id=3, text="Completely different content about databases"),
+        ]
+        clique_text = ("identical boilerplate paragraph repeated verbatim "
+                       "across many scraped pages of the same template")
+        rows += [Row(doc_id=100 + i, text=clique_text) for i in range(30)]
+        docs = spark.createDataFrame(rows)
+
+        capped = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                           k=5, threshold=0.8,
+                                           max_bucket_size=10)
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        dropped = capped._zdb_dropped_buckets.collect()
+        assert dropped, "cap did not engage on the 30-doc clique"
+        assert all(r["bucket_size"] > 10 for r in dropped)
+        assert (1, 2) in got                        # unrelated pair survives
+        assert not any(a >= 100 for a, _ in got)    # clique pairs dropped
+
+        uncapped = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                             k=5, threshold=0.8)
+        n_clique_pairs = 30 * 29 // 2
+        assert len(uncapped.collect()) == len(got) + n_clique_pairs
+
+
 class TestSimhash:
     def test_pairs(self, docs):
         pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)

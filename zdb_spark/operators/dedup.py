@@ -28,11 +28,17 @@ worst-case quadratic bucket into zero join work.  Dropped buckets are
 surfaced on the result as ``result._zdb_dropped_buckets`` (a DataFrame of
 the capped keys with their sizes) so pipelines can alert on what was
 skipped.  Recall note: a true pair is lost only if EVERY band/prefix
-token it shares is capped — for minhash, near-dups collide in most of the
-16 bands while boilerplate floods isolated ones, so a cap ≥ the largest
-legitimate duplicate-group size preserves the true-pair set (gate entry
-``dedup_minhash_capped`` proves this against the brute-force oracle with
-a planted pathological bucket).
+token it shares is capped.  For minhash that makes the cap safe in the
+common case — near-identical docs collide in most of the 16 bands while
+boilerplate floods isolated ones — but it is probabilistic, not a
+guarantee: a borderline pair (J near threshold) may collide in a single
+band, and if boilerplate floods exactly that bucket past the cap the
+pair is lost even though its duplicate group is tiny.  Size the cap for
+"recall preserved for near-identical docs; borderline pairs may be
+lost".  Gate entry ``dedup_minhash_capped`` exercises the near-identical
+case against the brute-force oracle with a planted pathological bucket
+(``tests/test_operators.py::TestBucketCap`` pins both operators' cap
+mechanics, including the ngram recall trade).
 """
 
 from __future__ import annotations
@@ -200,9 +206,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     thousands of otherwise-unrelated docs.  Buckets above the cap are
     dropped before the self-join and surfaced on the result as
     ``._zdb_dropped_buckets``; a true pair survives unless ALL of its
-    colliding bands are capped (near-identical docs collide in ~all
-    ``bands`` bands, so a cap above the largest real duplicate-group
-    size does not cost recall — see the module docstring).
+    colliding bands are capped.  Near-identical docs collide in ~all
+    ``bands`` bands, so for them a cap above the largest real
+    duplicate-group size preserves recall; a BORDERLINE pair (J near
+    threshold) may collide in only one band and can be lost if
+    boilerplate floods that one bucket — see the module docstring for
+    how to size the cap.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -437,18 +446,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     shingles across prefixes and the candidate count explodes
     quadratically on template-heavy corpora.  A length-ratio filter
     (J <= min/max sizes) prunes inside the join; survivors are verified
-    EXACTLY with array_intersect on the raw shingle sets, so the output
-    matches the brute-force oracle bit-for-bit.  Costs one extra linear
-    groupBy+join pass to count shingle frequencies — shuffle-heavy but
-    O(corpus), vs the O(pairs²) it prevents.
+    EXACTLY with array_intersect on the raw shingle sets, so with
+    ``max_bucket_size=None`` (the default) the output matches the
+    brute-force oracle bit-for-bit.  A set cap can drop postings and
+    with them true pairs (below).  Costs one extra linear groupBy+join
+    pass to count shingle frequencies — shuffle-heavy but O(corpus), vs
+    the O(pairs²) it prevents.
 
     ``max_bucket_size`` caps inverted-index postings lists: a prefix
     token indexed by more than the cap docs is dropped from the index
     (surfaced as ``._zdb_dropped_buckets``).  The frequency-ascending
     prefix order already keeps globally-hot boilerplate tokens out of
     prefixes, so the cap is a backstop for adversarial mid-frequency
-    tokens; a true pair is lost only if EVERY prefix token it shares is
-    capped, and prefixes hold each doc's rarest tokens by construction.
+    tokens — and here a flooded postings list is nearly always a
+    LARGE TRUE-DUP CLIQUE (identical docs share identical prefixes), so
+    engaging the cap deliberately trades that clique's pairs for
+    bounded join work (pinned in ``TestBucketCap``).  Run
+    ``exact_dedup`` first so identical docs never reach this operator.
     """
     sh = (df.select(F.col(id_col).alias("_id"),
                     shingle_col(text_col, k).alias("_sh"))

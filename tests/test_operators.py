@@ -378,6 +378,100 @@ class TestSimilarity:
         with pytest.raises(ValueError):
             similarity.append_ivf_index(emb, path)
 
+    def test_compact_generations_atomic(self, emb, tmp_path):
+        """Compaction publishes a fresh immutable generation via CAS
+        pointer flip: probes see old-complete or new-complete, never a
+        mix; the previous generation survives one cycle for in-flight
+        probes; older ones are vacuumed."""
+        import os
+
+        spark = emb.sparkSession
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        path = str(tmp_path / "gen")
+        similarity.build_lsh_index(
+            emb.where(F.col("vec_id") < 30), path, num_bits=6,
+            num_tables=4, dim=16)
+        similarity.append_lsh_index(emb.where(F.col("vec_id") >= 30), path)
+        want = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in
+                similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+
+        assert similarity.current_generation(path) == (
+            0, os.path.join(path, "data"))
+        similarity.compact_ann_index(spark, path)
+        g, d = similarity.current_generation(path)
+        assert g == 1 and d.endswith("data-g1")
+        # previous generation kept for the grace cycle
+        assert os.path.isdir(os.path.join(path, "data"))
+        got = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in
+               similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        assert got == want
+
+        # a second cycle vacuums generation 0 but keeps generation 1
+        similarity.append_lsh_index(emb.limit(0), path)  # no-op append
+        similarity.compact_ann_index(spark, path)
+        assert similarity.current_generation(path)[0] == 2
+        assert not os.path.isdir(os.path.join(path, "data"))
+        assert os.path.isdir(os.path.join(path, "data-g1"))
+        got = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in
+               similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        assert got == want
+
+    def test_compact_cas_loser_cleans_up(self, emb, tmp_path, monkeypatch):
+        """A compactor that loses the generation CAS discards its output
+        and raises; the index stays on the winner's generation."""
+        spark = emb.sparkSession
+        path = str(tmp_path / "cas")
+        similarity.build_lsh_index(emb, path, num_bits=6, num_tables=4,
+                                   dim=16)
+        # the CAS primitive itself: second publisher of a generation loses
+        assert similarity._publish_generation(path, 7, "data-g7") is True
+        assert similarity._publish_generation(path, 7, "other") is False
+        similarity._reset_generations(path)
+
+        monkeypatch.setattr(similarity, "_publish_generation",
+                            lambda *a, **k: False)
+        import os
+        with pytest.raises(RuntimeError, match="concurrent compaction"):
+            similarity.compact_ann_index(spark, path)
+        assert not os.path.isdir(os.path.join(path, "data-g1"))
+        assert similarity.current_generation(path)[0] == 0
+
+    def test_probe_during_compaction_never_mixed(self, emb, tmp_path):
+        """Drive probes concurrently with a compaction flip; every probe
+        must return the full-index result — no half-swapped reads."""
+        import threading
+
+        spark = emb.sparkSession
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        path = str(tmp_path / "conc")
+        similarity.build_lsh_index(
+            emb.where(F.col("vec_id") < 30), path, num_bits=6,
+            num_tables=4, dim=16)
+        similarity.append_lsh_index(emb.where(F.col("vec_id") >= 30), path)
+        want = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in
+                similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+
+        err: list[BaseException] = []
+
+        def compact():
+            try:
+                similarity.compact_ann_index(spark, path)
+            except BaseException as e:  # surfaced on join
+                err.append(e)
+
+        th = threading.Thread(target=compact)
+        th.start()
+        while th.is_alive():
+            got = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in
+                   similarity.lsh_index_topk(spark, path, qv,
+                                             k=5).collect()]
+            assert got == want
+        th.join()
+        assert not err, err
+        got = [(r["vec_id"], round(r["cosine_sim"], 9)) for r in
+               similarity.lsh_index_topk(spark, path, qv, k=5).collect()]
+        assert got == want
+
     def test_index_probes_prune_in_plan(self, emb, tmp_path):
         # the scale claim, pinned: an LSH probe partition-prunes on t and
         # pushes the sig filter; an IVF probe partition-prunes on

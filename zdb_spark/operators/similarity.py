@@ -29,7 +29,7 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "ivf_topk", "embedding_dedup_pairs", "build_lsh_index",
            "lsh_index_topk", "build_ivf_index", "ivf_index_topk",
            "append_lsh_index", "append_ivf_index", "compact_ann_index",
-           "index_data_files"]
+           "index_data_files", "current_generation"]
 
 
 def _as_double(c: Column) -> Column:
@@ -280,6 +280,7 @@ def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
             F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
             for t in range(num_tables)
         ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col)
+    _reset_generations(path)
     (rows.repartition("t").sortWithinPartitions("t", "sig")
          .write.mode("overwrite").partitionBy("t")
          .parquet(os.path.join(path, "data")))
@@ -306,7 +307,7 @@ def lsh_index_topk(spark: SparkSession, path: str, query_vec: list[float],
         meta = json.load(f)
     nb = meta["num_bits"]
     masks = [(1 << i if i < 63 else -(1 << 63)) for i in range(nb)]
-    idx = spark.read.parquet(os.path.join(path, "data"))
+    idx = spark.read.parquet(_index_data_dir(path))
     cond = None
     for t in range(meta["num_tables"]):
         qsig = _qsig_for(query_vec, nb, meta["dim"],
@@ -345,6 +346,7 @@ def build_ivf_index(df: DataFrame, path: str, vec_col: str = "embedding",
     else:
         assigned, cents = ivf_index(df, vec_col, n_centroids, sample_size,
                                     seed=seed)
+    _reset_generations(path)
     (assigned.select(F.col(id_col).alias("vec_id"), F.col(vec_col),
                      "centroid_id")
              .repartition("centroid_id")
@@ -366,7 +368,7 @@ def ivf_index_topk(spark: SparkSession, path: str, query_vec: list[float],
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(i) for i in np.argsort(-(cents @ q))[:n_probe]]
-    idx = spark.read.parquet(os.path.join(path, "data"))
+    idx = spark.read.parquet(_index_data_dir(path))
     cand = idx.where(F.col("centroid_id").isin(probe))
     return brute_force_topk(cand, query_vec, k, meta["vec_col"], "vec_id")
 
@@ -402,7 +404,7 @@ def append_lsh_index(df: DataFrame, path: str,
         ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col)
     (rows.repartition("t").sortWithinPartitions("t", "sig")
          .write.mode("append").partitionBy("t")
-         .parquet(os.path.join(path, "data")))
+         .parquet(_index_data_dir(path)))
 
 
 def append_ivf_index(df: DataFrame, path: str,
@@ -427,13 +429,108 @@ def append_ivf_index(df: DataFrame, path: str,
        .withColumn("centroid_id", _nearest_centroid_col(vec_col, cents))
        .repartition("centroid_id")
        .write.mode("append").partitionBy("centroid_id")
-       .parquet(os.path.join(path, "data")))
+       .parquet(_index_data_dir(path)))
+
+
+def _gen_pointer_dir(path: str) -> str:
+    return os.path.join(path, "_gen")
+
+
+def _reset_generations(path: str) -> None:
+    """Full rebuild: clear generation pointers and compacted dirs so the
+    freshly-written ``data/`` (generation 0) is what readers resolve —
+    otherwise a rebuild over a compacted index would leave a stale
+    pointer at the old generation."""
+    import shutil
+
+    shutil.rmtree(_gen_pointer_dir(path), ignore_errors=True)
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name.startswith("data-g"):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def current_generation(path: str) -> tuple[int, str]:
+    """(generation, data directory) of a persisted index.
+
+    Generation 0 is the legacy layout (``data/`` with no ``_gen``
+    pointers — every index built before generations existed resolves
+    unchanged).  Each compaction publishes generation N as a pointer
+    file ``_gen/vN.json`` naming an immutable ``data-gN/`` directory;
+    the highest published pointer wins.  Readers resolve the pointer
+    once per probe, so a probe runs wholly against one complete
+    generation — never a half-swapped mix."""
+    d = _gen_pointer_dir(path)
+    try:
+        gens = [int(f[1:13]) for f in os.listdir(d)
+                if f.startswith("v") and f.endswith(".json")]
+    except FileNotFoundError:
+        gens = []
+    if not gens:
+        return 0, os.path.join(path, "data")
+    g = max(gens)
+    with open(os.path.join(d, f"v{g:012d}.json")) as f:
+        return g, os.path.join(path, json.load(f)["data_dir"])
+
+
+def _index_data_dir(path: str) -> str:
+    return current_generation(path)[1]
+
+
+def _publish_generation(path: str, gen: int, data_dir_name: str) -> bool:
+    """CAS-publish generation ``gen`` (the table manifest's protocol,
+    table.py ``_try_publish_manifest``): write a private fsync'd tmp,
+    then ``os.link`` it to the generation name — link creation fails
+    with EEXIST iff another compactor already won this generation, and
+    it can never overwrite a winner the way rename would."""
+    import uuid as _uuid
+
+    d = _gen_pointer_dir(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".v{gen:012d}.{_uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"data_dir": data_dir_name}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(d, f"v{gen:012d}.json"))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _vacuum_generations(path: str, current: int) -> None:
+    """Delete data directories more than one generation behind.
+
+    The previous generation is kept so probes that resolved the pointer
+    just before the flip finish against a complete directory; anything
+    older has had a full compaction cycle to drain (same grace contract
+    as table snapshot + vacuum)."""
+    import shutil
+
+    for name in os.listdir(path):
+        if name == "data":
+            g = 0
+        elif name.startswith("data-g"):
+            try:
+                g = int(name[6:])
+            except ValueError:
+                continue
+        else:
+            continue
+        if g < current - 1:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def index_data_files(path: str) -> list[str]:
-    """Data files of a persisted index (for compaction bookkeeping)."""
+    """Data files of the CURRENT generation (for compaction bookkeeping)."""
     out = []
-    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+    for root, _dirs, files in os.walk(_index_data_dir(path)):
         out.extend(os.path.join(root, f) for f in files
                    if f.endswith(".parquet"))
     return sorted(out)
@@ -442,25 +539,37 @@ def index_data_files(path: str) -> list[str]:
 def compact_ann_index(spark: SparkSession, path: str) -> int:
     """Merge the per-append small files back to one sorted file per
     partition (LSH: per ``t``, sig-sorted so row-group stats prune again
-    at full strength; IVF: per ``centroid_id``).  Offline maintenance:
-    the swap is two directory renames, not atomic for concurrent probes —
-    schedule alongside table ``vacuum``.  Returns the file count after.
-    """
+    at full strength; IVF: per ``centroid_id``).
+
+    Atomic for concurrent PROBES: the compacted copy is written to a
+    fresh immutable ``data-g{N+1}/`` directory and becomes visible only
+    when the generation pointer CAS-publishes (exclusive create — the
+    table manifest's protocol); a concurrent probe reads either the old
+    complete generation or the new one, never a mix, and losing a
+    concurrent-compactor race cleans up and raises instead of
+    corrupting.  Old generations beyond the previous one are vacuumed.
+    Appends remain single-maintainer: an append racing the compactor's
+    read can land files in the outgoing generation and be dropped by the
+    flip — serialize appends and compaction in one maintenance queue.
+    Returns the file count after."""
     import shutil
 
     with open(os.path.join(path, "_meta")) as f:
         meta = json.load(f)
     key = "t" if meta["kind"] == "lsh" else "centroid_id"
-    src = os.path.join(path, "data")
+    gen, src = current_generation(path)
     rows = spark.read.parquet(src).repartition(key)
     if meta["kind"] == "lsh":
         rows = rows.sortWithinPartitions("t", "sig")
-    tmp = src + ".compacting"
-    rows.write.mode("overwrite").partitionBy(key).parquet(tmp)
-    backup = src + ".old"
-    os.rename(src, backup)
-    os.rename(tmp, src)
-    shutil.rmtree(backup)
+    new_name = f"data-g{gen + 1}"
+    dst = os.path.join(path, new_name)
+    rows.write.mode("overwrite").partitionBy(key).parquet(dst)
+    if not _publish_generation(path, gen + 1, new_name):
+        shutil.rmtree(dst, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent compaction won generation {gen + 1} on {path}; "
+            "this run's output was discarded")
+    _vacuum_generations(path, gen + 1)
     return len(index_data_files(path))
 
 

@@ -569,6 +569,27 @@ class TestMultimodal:
             multimodal.decode_images(blobs, "blob", "id",
                                      decoder="pil").collect()
 
+    def test_decoder_contract_schema_identical(self, blobs):
+        """The stub↔real contract: both decoder slots declare the SAME
+        output schema (plan-time, no execution), so wiring a real codec
+        cannot drift the downstream pipeline's shape.  The pil slot must
+        fail at EXECUTION with NotImplementedError — not at plan time —
+        since schema declaration is exactly what downstream planning
+        consumes."""
+        fake = multimodal.decode_images(blobs, "blob", "id", decoder="fake")
+        pil = multimodal.decode_images(blobs, "blob", "id", decoder="pil")
+        assert fake.schema == pil.schema          # the contract
+        assert [f.name for f in fake.schema] == [
+            "id", "fmt", "width", "height", "channels", "mean_luma"]
+        # pil slot: planning succeeded above; execution raises the
+        # documented NotImplementedError (surfaced via PythonException)
+        with pytest.raises(Exception, match="NotImplementedError|PIL"):
+            pil.collect()
+
+    def test_decoder_unknown_rejected(self, blobs):
+        with pytest.raises(ValueError, match="unknown decoder"):
+            multimodal.decode_images(blobs, "blob", "id", decoder="ffmpeg")
+
     def test_sample_frames_shape(self, blobs):
         out = multimodal.sample_frames(blobs, "blob", "id",
                                        every_nth=1, max_frames=2).collect()

@@ -153,6 +153,63 @@ class TestManifest:
         assert t.scan().count() == 40
         assert t.row_count == 40
 
+    def test_two_ordered_writers_best_effort(self, spark, tmp_home):
+        """The documented enforce_order contract under TWO concurrent
+        ordered writers on a manifest table (single-writer semantics are
+        best-effort for concurrency): the out-of-order check reads
+        ``get_last_ts()`` BEFORE the write job, outside the CAS commit.
+
+        Interleavings:
+        - writer B starts after A's commit → B's overlapping batch
+          RAISES OutOfOrderError (the serial contract);
+        - both writers pass the check before either commits (the normal
+          concurrent case) → BOTH batches land — admitted even though a
+          serial schedule would reject one.
+
+        The invariant that must hold in EVERY interleaving: no batch is
+        half-applied and no rows are lost — the manifest row_count, the
+        scan count, and the committed writers' batch sizes agree.
+        """
+        import threading
+
+        self.make(spark, tmp_home)
+        # overlapping in ts: serially, whichever commits second raises
+        batch_a = [T0 + i for i in range(20)]
+        batch_b = [T0 + 10 + i for i in range(20)]
+        start = threading.Barrier(2)
+        out_of_order: list[str] = []
+        errs: list[Exception] = []
+        committed: list[int] = []
+
+        def worker(name, ts_list):
+            try:
+                t = Table.open(spark, "tman", home=tmp_home)
+                start.wait()
+                n = t.write(rows_df(spark, ts_list))  # enforce_order=True
+                committed.append(n)
+            except OutOfOrderError:
+                out_of_order.append(name)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=("a", batch_a)),
+                   threading.Thread(target=worker, args=("b", batch_b))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs
+        # every committed batch is wholly visible; rejected ones wholly
+        # invisible — regardless of which interleaving happened
+        assert len(committed) + len(out_of_order) == 2
+        assert len(committed) >= 1
+        t = Table.open(spark, "tman", home=tmp_home)
+        assert t.row_count == sum(committed)
+        assert t.scan().count() == sum(committed)
+        # serial replay of an overlapping batch always raises
+        with pytest.raises(OutOfOrderError):
+            t.write(rows_df(spark, [T0 + 5]))
+
     def test_cas_commit_is_lock_free_under_contention(self, spark,
                                                       tmp_home):
         # The multi-writer manifest protocol is optimistic CAS: N

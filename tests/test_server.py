@@ -153,3 +153,62 @@ class TestEndpoints:
             out = json.loads(urllib.request.urlopen(req, timeout=120).read())
             assert out["result"] == 120
         assert _persisted_rdd_ids(spark) <= before
+
+    def test_q_concurrent_requests_keep_each_others_caches(self, server,
+                                                           spark):
+        """The sweep is group-refcounted: while any /q is in flight, a
+        finishing request must NOT unpersist a concurrent request's
+        fresh cache; the LAST request out sweeps everything.  Request A
+        caches, then blocks until request B (which finishes fast) has
+        come and gone; A then proves its cache is still materialized
+        before returning."""
+        from zdb_spark.server import _persisted_rdd_ids
+
+        slow = json.dumps({
+            "table": "bars",
+            "query": "import time\n"
+                     "from pyspark.sql import SparkSession\n"
+                     "_sp = SparkSession.builder.getOrCreate()\n"
+                     "_mine = _sp.range(500).cache()\n"
+                     "_mine.count()\n"
+                     "time.sleep(3)\n"  # let the fast request enter+exit
+                     "assert _mine.is_cached, 'swept by concurrent request'\n"
+                     "assert _mine.storageLevel.useMemory, 'swept early'\n"
+                     "def scan(volume):\n"
+                     "    return int(volume.sum())",
+        }).encode()
+        fast = json.dumps({
+            "table": "bars",
+            "query": "def scan(volume):\n    return int(volume.sum())",
+        }).encode()
+
+        before = _persisted_rdd_ids(spark)
+        results, errors = [], []
+
+        def post(body):
+            try:
+                req = urllib.request.Request(f"{server}/q", data=body,
+                                             method="POST")
+                r = urllib.request.urlopen(req, timeout=120)
+                results.append(json.loads(r.read())["result"])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        ta = threading.Thread(target=post, args=(slow,))
+        ta.start()
+        import time
+        time.sleep(1.0)  # slow request is inside its body's sleep
+        tb = threading.Thread(target=post, args=(fast,))
+        tb.start()
+        ta.join()
+        tb.join()
+        assert not errors, errors
+        assert results.count(120) == 2   # the in-body asserts held
+        # after the group drains, the leaked cache is swept.  The
+        # response is sent before the handler's finally-sweep runs, so
+        # give the server thread a moment.
+        for _ in range(50):
+            if _persisted_rdd_ids(spark) <= before:
+                break
+            time.sleep(0.1)
+        assert _persisted_rdd_ids(spark) <= before

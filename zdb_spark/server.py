@@ -92,6 +92,32 @@ def make_server(spark: SparkSession, home: str | None = None,
             f"refusing to bind {host!r}: /q executes request bodies; "
             "pass allow_remote=True only behind auth you trust")
 
+    import threading
+
+    # /q cache-sweep coordination: RDD ids are session-global, so a
+    # per-request before/after sweep can unpersist a CONCURRENT request's
+    # fresh intermediates (recompute-only, but a real slowdown under
+    # load).  Reference-count in-flight /q requests instead: the FIRST
+    # request of an overlapping group snapshots the baseline, and only
+    # the LAST one out sweeps everything newer — no in-flight request
+    # ever loses a cache.  Under continuous overlap the sweep defers to
+    # the next idle gap; leaked blocks are bounded by the overlap window,
+    # not the server lifetime.
+    sweep_lock = threading.Lock()
+    sweep_state = {"inflight": 0, "baseline": set()}
+
+    def _enter_q() -> None:
+        with sweep_lock:
+            if sweep_state["inflight"] == 0:
+                sweep_state["baseline"] = _persisted_rdd_ids(spark)
+            sweep_state["inflight"] += 1
+
+    def _exit_q() -> None:
+        with sweep_lock:
+            sweep_state["inflight"] -= 1
+            if sweep_state["inflight"] == 0:
+                _sweep_new_caches(spark, sweep_state["baseline"])
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -184,11 +210,10 @@ def make_server(spark: SparkSession, home: str | None = None,
             # and may run operators that cache intermediates (the pair
             # operators' signature frames) without calling
             # dedup.release() — in a long-lived server session those
-            # retained blocks accumulate forever.  Snapshot the persisted
-            # RDD ids before, sweep anything NEW after serialize.  (A
-            # concurrent request's fresh cache may be swept early — that
-            # only costs recompute, never correctness.)
-            before = _persisted_rdd_ids(spark)
+            # retained blocks accumulate forever.  Group-refcounted
+            # sweep: last in-flight /q out unpersists everything cached
+            # since the group began (see _enter_q/_exit_q above).
+            _enter_q()
             try:
                 # reference contract: the query text must define `scan`
                 # (/root/reference/src/server/query.rs:156-165); evaluated
@@ -203,7 +228,7 @@ def make_server(spark: SparkSession, home: str | None = None,
                 self._send(200, json.dumps({"result": res},
                                            default=_json_default).encode())
             finally:
-                _sweep_new_caches(spark, before)
+                _exit_q()
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -58,6 +58,17 @@ class TestEndpoints:
         assert r.status == 200
         assert "max-age" in r.headers.get("cache-control", "")
 
+    def test_ui_page(self, server):
+        r = get(f"{server}/ui")
+        assert r.status == 200
+        assert "text/html" in r.headers.get("content-type", "")
+        body = r.read().decode()
+        # the page is a real /ohlcv consumer: form fields + fetch + the
+        # payload keys it renders
+        for marker in ("/ohlcv/", "results", "min_date", "canvas",
+                       'id="symbols"'):
+            assert marker in body, marker
+
     def test_cors_header(self, server):
         r = get(f"{server}/")
         assert r.headers["access-control-allow-origin"] == "*"

@@ -144,6 +144,13 @@ def make_server(spark: SparkSession, home: str | None = None,
                 parts = [p for p in url.path.split("/") if p]
                 if not parts:
                     self._send(200, _HELLO, "text/html")
+                elif parts[0] == "ui":
+                    # candlestick UI — the reference ships a React+uPlot
+                    # frontend (frontend/src/entry.jsx); same form →
+                    # /ohlcv fetch → per-symbol candlestick+volume
+                    # render, as one dependency-free page
+                    from .frontend import UI_HTML
+                    self._send(200, UI_HTML, "text/html")
                 elif parts[0] == "favicon.ico":
                     # parity with the reference's cached static icon
                     # (/root/reference/src/server/mod.rs:71-81)

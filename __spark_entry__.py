@@ -1044,6 +1044,100 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
+# temporal joins (§2.7 capability surface the reference reaches only     #
+# through Julia-in-/q; kdb `aj` / DuckDB ASOF parity)                    #
+# --------------------------------------------------------------------- #
+# Promo windows for the range-join entry: (promo_id, [lo, hi) nanos).
+# Jan 2024 UTC day boundaries; windows 2 and 3 overlap so one event can
+# legitimately match two intervals.
+_PROMOS = [(1, "2024-01-03", "2024-01-06"),
+           (2, "2024-01-10", "2024-01-13"),
+           (3, "2024-01-12", "2024-01-18"),
+           (4, "2024-01-25", "2024-01-27")]
+
+
+def _day_ns(day: str) -> int:
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(day).replace(tzinfo=_dt.timezone.utc)
+    return int(d.timestamp()) * 10**9
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks the user's most recent
+    prior-or-equal click (backward inclusive).  Single-shuffle
+    union+window plan — no join node (operators/temporal.py).  The right
+    side is pre-deduplicated on (user_id, ts) so the match is
+    deterministic in both engines."""
+    from zdb_spark.operators.temporal import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("value")))
+    out = asof_join(purchases, clicks, on="ts", by="user_id",
+                    prefix="click_")
+    return out.select("event_id", "user_id", "ts", "value",
+                      "click_ts", "click_value")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via bucketized equi-join (no
+    nested-loop/cartesian node): events inside literal promo windows,
+    aggregated per window.  Windows 2/3 overlap — a correct plan counts
+    shared events twice."""
+    from zdb_spark.operators.temporal import range_join
+
+    promos = spark.createDataFrame(
+        [(p, _day_ns(lo), _day_ns(hi)) for p, lo, hi in _PROMOS],
+        "promo_id int, lo long, hi long")
+    ev = _load(spark, sf_dir, "events").select("ts", "user_id", "value")
+    hits = range_join(ev, promos, on="ts", lo="lo", hi="hi",
+                      bounds="[)", bucket=24 * NS_PER_HOUR)
+    return (hits.groupBy("promo_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per order priority: the rank-within-
+    partition pattern (window row_number, no global sort; ties broken by
+    orderkey for engine-independent determinism)."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice"))
+
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event_type: each observation is
+    held until the next one (weight = lead(ts) - ts inside the symbol's
+    own timeline; the final open-ended observation drops out).  Window
+    ordered by (ts, event_id) so duplicate timestamps cannot flip the
+    weights between engines."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (F.lead("ts").over(w) - F.col("ts")).cast("double")
+    return (ev.withColumn("w", gap)
+            .where(F.col("w").isNotNull())
+            .groupBy(F.col("event_type").alias("sym"))
+            .agg(F.round(
+                F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6)
+                .alias("twap"),
+                F.count(F.lit(1)).alias("n_obs")))
+
+
+# --------------------------------------------------------------------- #
 # driver contract                                                        #
 # --------------------------------------------------------------------- #
 def entry(spark: SparkSession) -> DataFrame:
@@ -1106,6 +1200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
+        # temporal joins + rank/TWAP patterns
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "topn_per_group": q_topn_per_group,
+        "twap": q_twap,
     }
 
 
@@ -1854,4 +1953,54 @@ def oracle_sql() -> dict[str, str]:
     # Multi-probe answers the SAME question as the 12-table index — the
     # whole point is identical output from 1/12th the index bytes.
     sqls["knn_lsh_multiprobe"] = sqls["knn_lsh"]
+
+    # Temporal joins: DuckDB's native ASOF JOIN is the independent
+    # implementation of the same point-in-time semantics our
+    # union+window plan produces — a value-hash match is a strong
+    # cross-engine proof.
+    sqls["asof_join"] = """
+        SELECT p.event_id, p.user_id, epoch_ns(p.ts) AS ts, p.value,
+               c.cts AS click_ts, c.cv AS click_value
+        FROM (SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, epoch_ns(ts) AS cts,
+                               max(value) AS cv
+                        FROM events WHERE event_type = 'click'
+                        GROUP BY 1, 2) c
+          ON p.user_id = c.user_id AND epoch_ns(p.ts) >= c.cts
+    """
+    promo_rows = ", ".join(f"({p}, {_day_ns(lo)}, {_day_ns(hi)})"
+                           for p, lo, hi in _PROMOS)
+    sqls["range_join"] = f"""
+        SELECT promo_id, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(avg(value), 4) AS avg_value
+        FROM (VALUES {promo_rows}) promos(promo_id, lo, hi)
+        JOIN events e ON epoch_ns(e.ts) >= lo AND epoch_ns(e.ts) < hi
+        GROUP BY 1
+    """
+    sqls["topn_per_group"] = """
+        SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3
+    """
+    sqls["twap"] = """
+        WITH g AS (
+            SELECT event_type, value,
+                   CAST(lead(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                                 ORDER BY epoch_ns(ts),
+                                                          event_id)
+                        - epoch_ns(ts) AS DOUBLE) AS w
+            FROM events
+        )
+        SELECT event_type AS sym,
+               round(sum(value * w) / sum(w), 6) AS twap,
+               count(*) AS n_obs
+        FROM g WHERE w IS NOT NULL
+        GROUP BY 1
+    """
     return sqls

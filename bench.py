@@ -50,6 +50,8 @@ HEADLINE = [
     "knn_ivf",            # IVF probe over the persisted index
     "knn_lsh",            # LSH probe over the persisted index
     "knn_lsh_multiprobe",  # hamming-1 probe, 1-table index (12x smaller)
+    "asof_join",          # point-in-time join (union+window, no join node)
+    "range_join",         # interval containment (bucketized equi-join)
 ]
 
 

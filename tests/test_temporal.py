@@ -1,0 +1,197 @@
+"""asof_join / range_join vs independent references (pandas.merge_asof
+and a naive cross-filter) on seeded random data, plus semantics edges:
+direction, inclusivity, tolerance, tiebreak, keyless bucket-carry, bounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zdb_spark.operators.temporal import asof_join, range_join
+
+
+def _mk(spark, seed=7, n_left=400, n_right=300, n_keys=5):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": rng.integers(0, 100_000, n_left),
+        "lv": rng.normal(size=n_left).round(3),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "ts": rng.integers(0, 100_000, n_right),
+        "rv": rng.normal(size=n_right).round(3),
+    })
+    # merge_asof demands unique-ish ordering; drop (k, ts) dupes on the
+    # right so "latest right row" is well-defined in both engines.
+    right = right.drop_duplicates(["k", "ts"])
+    return left, right
+
+
+def _pandas_asof(left, right, by, direction, exact, tolerance=None):
+    lp = left.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    rp = (right.sort_values("ts", kind="mergesort").reset_index(drop=True)
+          .rename(columns={"ts": "r_ts", "rv": "r_rv"}))
+    out = pd.merge_asof(
+        lp, rp, left_on="ts", right_on="r_ts",
+        by=by if by else None, direction=direction,
+        allow_exact_matches=exact,
+        tolerance=tolerance)
+    return out
+
+
+def _canon(pdf):
+    cols = sorted(pdf.columns)
+    return (pdf.reindex(cols, axis=1)
+            .sort_values(cols, kind="mergesort", na_position="first")
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_keyed_matches_pandas(spark, direction, exact):
+    left, right = _mk(spark)
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="ts", by="k", direction=direction,
+                    allow_exact_matches=exact).toPandas()
+    want = _pandas_asof(left, right, "k", direction, exact)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, atol=1e-9)
+
+
+def test_asof_tolerance_and_inner(spark):
+    left, right = _mk(spark, seed=11)
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="ts", by="k", tolerance=500).toPandas()
+    want = _pandas_asof(left, right, "k", "backward", True, tolerance=500)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, atol=1e-9)
+
+    inner = asof_join(spark.createDataFrame(left),
+                      spark.createDataFrame(right),
+                      on="ts", by="k", tolerance=500,
+                      how="inner").toPandas()
+    assert len(inner) == want["r_ts"].notna().sum()
+    assert inner["r_ts"].notna().all()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_global_bucket_carry(spark, direction):
+    """Keyless path with a bucket far smaller than the span, so matches
+    must cross many bucket boundaries (exercises the carry-in rows)."""
+    left, right = _mk(spark, seed=23)
+    left, right = left.drop(columns="k"), right.drop(columns="k")
+    right = right.drop_duplicates(["ts"])
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="ts", direction=direction,
+                    bucket=1000).toPandas()
+    want = _pandas_asof(left, right, None, direction, True)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, atol=1e-9)
+
+
+def test_asof_global_sparse_buckets(spark):
+    """Carry-in must survive LONG gaps: empty buckets between the only
+    right row and the left rows."""
+    left = pd.DataFrame({"ts": [10, 5_000_000, 9_999_999], "lv": [1., 2., 3.]})
+    right = pd.DataFrame({"ts": [5], "rv": [42.0]})
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right),
+                     on="ts", bucket=100)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    assert got["r_rv"].tolist() == [42.0, 42.0, 42.0]
+    assert got["r_ts"].tolist() == [5, 5, 5]
+
+
+def test_asof_tiebreak_deterministic(spark):
+    """Two right rows share (k, ts): the larger tiebreak column wins."""
+    left = pd.DataFrame({"k": [1], "ts": [100], "lv": [0.0]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [90, 90], "rv": [1.0, 9.0]})
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="ts", by="k", tiebreak="rv").toPandas()
+    assert got["r_rv"].tolist() == [9.0]
+
+
+def test_asof_null_right_payload_not_skipped(spark):
+    """A right row whose PAYLOAD is null is still the match (struct-last,
+    not per-column last)."""
+    left = pd.DataFrame({"k": [1], "ts": [100], "lv": [0.0]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [50, 90],
+                          "rv": [7.0, None]})
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="ts", by="k").toPandas()
+    assert got["r_ts"].tolist() == [90]
+    assert pd.isna(got["r_rv"]).all()
+
+
+def _mk_range(seed=5, n_points=500, n_iv=60, n_keys=4):
+    rng = np.random.default_rng(seed)
+    points = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_points),
+        "ts": rng.integers(0, 50_000, n_points),
+        "pv": np.arange(n_points),
+    })
+    lo = rng.integers(0, 45_000, n_iv)
+    intervals = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_iv),
+        "lo": lo,
+        "hi": lo + rng.integers(0, 8_000, n_iv),
+        "iv_id": np.arange(n_iv),
+    })
+    return points, intervals
+
+
+def _naive_range(points, intervals, by, bounds):
+    out = points.merge(intervals, on=by, how="inner") if by else \
+        points.merge(intervals, how="cross")
+    lo_ok = out.ts >= out.lo if bounds[0] == "[" else out.ts > out.lo
+    hi_ok = out.ts <= out.hi if bounds[1] == "]" else out.ts < out.hi
+    return out[lo_ok & hi_ok].reset_index(drop=True)
+
+
+@pytest.mark.parametrize("bounds", ["[]", "[)", "(]", "()"])
+def test_range_join_matches_naive(spark, bounds):
+    points, intervals = _mk_range()
+    got = range_join(spark.createDataFrame(points),
+                     spark.createDataFrame(intervals),
+                     on="ts", by="k", bucket=1000,
+                     bounds=bounds).toPandas()
+    want = _naive_range(points, intervals, ["k"], bounds)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False)
+
+
+def test_range_join_keyless_and_left(spark):
+    points, intervals = _mk_range(seed=9)
+    points, intervals = points.drop(columns="k"), intervals.drop(columns="k")
+    got = range_join(spark.createDataFrame(points),
+                     spark.createDataFrame(intervals),
+                     on="ts", bucket=700).toPandas()
+    want = _naive_range(points, intervals, None, "[]")
+    pd.testing.assert_frame_equal(
+        _canon(got[want.columns]), _canon(want), check_dtype=False)
+
+    left = range_join(spark.createDataFrame(points),
+                      spark.createDataFrame(intervals),
+                      on="ts", bucket=700, how="left").toPandas()
+    # every point survives at least once; uncovered points carry nulls
+    assert set(left["pv"]) == set(points["pv"])
+    uncovered = set(points["pv"]) - set(want["pv"])
+    assert set(left.loc[left["iv_id"].isna(), "pv"]) == uncovered
+
+
+def test_range_join_no_cartesian_plan(spark):
+    points, intervals = _mk_range()
+    df = range_join(spark.createDataFrame(points),
+                    spark.createDataFrame(intervals),
+                    on="ts", by="k", bucket=1000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

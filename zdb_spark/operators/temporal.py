@@ -1,0 +1,258 @@
+"""Temporal joins: as-of (point-in-time) join and interval/range join.
+
+The reference engine is a tick store — its users' canonical cross-table
+question is "for each trade, what was the prevailing quote?", i.e. an
+as-of join.  zdb itself has no join operator at all (SURVEY.md §2.7; the
+only escape hatch is Julia inside `/q`, reference
+/root/reference/src/server/query.rs:183-243), so these operators are part
+of the capability-parity surface, expressed Spark-first.
+
+Why not a sort-merge inequality join: Spark compiles a raw
+``l.ts >= r.ts`` theta-join to BroadcastNestedLoopJoin (small side) or a
+cartesian product (two big sides) — O(|L|·|R|) at 100 TB.  Both operators
+here avoid inequality joins entirely:
+
+* ``asof_join`` is the classic union-then-window formulation: tag both
+  inputs, union them, and take ``last(<right payload>, ignorenulls)``
+  over a window partitioned by the join keys and ordered by time.  Cost
+  is ONE shuffle of |L|+|R| rows on the by-keys — no join node at all,
+  no candidate blowup, and the window's running-``last`` is O(1) per row
+  (UnboundedPreceding..CurrentRow over a monotone frame).  This is the
+  same trick Flink's temporal table join and kdb's ``aj`` play.
+* For the keyless (global) as-of, a single window partition would
+  serialize the world, so ``asof_join`` switches to a bucket-carry plan:
+  hash-partition by a coarse time bucket, resolve in-bucket matches with
+  the same window, and close over bucket boundaries by precomputing each
+  bucket's carry-in row (the latest right row at or before the bucket's
+  start) from a per-bucket aggregate that is O(#buckets), not O(|R|).
+* ``range_join`` (points-in-intervals) bucketizes the time axis:
+  intervals explode to the coarse buckets they overlap, points carry
+  their single bucket, and the match becomes an equi-join on
+  (by-keys, bucket) + an exact residual filter.  Shuffle keys are
+  uniform in time, so AQE has no skew to fight; replication factor is
+  ``1 + span/bucket`` per interval, tunable via ``bucket``.
+
+Both are exact (pytest-verified against naive formulations; the gate
+verifies ``asof_join`` value-for-value against DuckDB's native ASOF
+JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join"]
+
+_SIDE = "_zdb_side"
+_MATCH = "_zdb_match"
+_BUCKET = "_zdb_bucket"
+
+
+def _as_list(v) -> list[str]:
+    if v is None:
+        return []
+    return [v] if isinstance(v, str) else list(v)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by=None, *, direction: str = "backward",
+              allow_exact_matches: bool = True,
+              tolerance: int | None = None,
+              how: str = "left", prefix: str = "r_",
+              tiebreak: str | None = None,
+              bucket: int = 3_600_000_000_000) -> DataFrame:
+    """Point-in-time join: for each ``left`` row, attach the single
+    ``right`` row with the largest ``on`` ≤ left's ``on`` (direction
+    "backward"; smallest ≥ for "forward"), optionally within the same
+    ``by`` keys and within ``tolerance`` units.
+
+    Semantics match ``pandas.merge_asof`` / DuckDB ``ASOF JOIN``:
+    * ``allow_exact_matches=False`` makes the inequality strict.
+    * ``tolerance`` (same units as ``on``; for the canonical nanosecond
+      timestamps, nanoseconds) null-outs matches farther than the bound —
+      unmatched left rows survive under ``how="left"``, drop under
+      ``how="inner"``.
+    * Right payload columns arrive as ``prefix + name`` (including
+      ``prefix + on`` = the matched timestamp) so self-joins of a table
+      with itself can't collide.
+    * ``tiebreak``: optional right column breaking ties between right
+      rows sharing one ``on`` value (the larger wins); without it, equal
+      right timestamps within a key are matched nondeterministically —
+      pre-deduplicate or pass a tiebreak for a stable result.
+
+    Execution: see module docstring.  With ``by`` keys: one shuffle, no
+    join.  Keyless: three shuffles, all bounded (coarse ``bucket``-width
+    time partitions + O(#buckets) carry-in aggregate), never a single
+    global sort partition.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left/inner, got {how!r}")
+    by = _as_list(by)
+    payload = [c for c in right.columns if c not in by and c != on]
+
+    # Right rows collapse to ONE struct column so ``last(ignorenulls)``
+    # skips only left rows, never a legitimately-null right field.
+    r_struct = F.struct(F.col(on).alias(on),
+                        *[F.col(c) for c in payload]).alias(_MATCH)
+    # Sort position at equal timestamps decides inclusivity: right-before-
+    # left ⇒ a right row at the exact left ts is visible (inclusive).
+    r_side, l_side = (0, 1) if allow_exact_matches else (1, 0)
+
+    l_tag = left.select(*[F.col(c) for c in left.columns],
+                        F.lit(l_side).alias(_SIDE),
+                        F.lit(None).cast("double").alias("_zdb_tb"),
+                        F.lit(None).cast(
+                            "struct<" + ",".join(
+                                f"{f.name}:{f.dataType.simpleString()}"
+                                for f in right.select(r_struct)
+                                               .schema[_MATCH].dataType.fields)
+                            + ">").alias(_MATCH))
+    r_tag = right.select(*[F.col(c) for c in by],
+                         F.col(on),
+                         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                           for c in left.columns if c not in by and c != on],
+                         F.lit(r_side).alias(_SIDE),
+                         (F.col(tiebreak).cast("double") if tiebreak
+                          else F.lit(0.0)).alias("_zdb_tb"),
+                         r_struct)
+    both = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    order = [F.col(on), F.col(_SIDE), F.col("_zdb_tb")]
+    if direction == "forward":
+        # Mirror: scan time backwards; "side" tags keep their meaning
+        # (right visible at equal ts iff inclusive) because only the time
+        # axis flips, not the tag order.
+        order = [F.col(on).desc(), F.col(_SIDE), F.col("_zdb_tb")]
+
+    if by:
+        w = (Window.partitionBy(*by).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (both
+                   .withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(w))
+                   .where(F.col(_SIDE) == l_side))
+    else:
+        matched = _asof_global(both, right, on, payload, order,
+                               l_side, direction, bucket)
+
+    m_on = F.col(f"{_MATCH}.{on}")
+    if tolerance is not None:
+        dist = (F.col(on) - m_on) if direction == "backward" else (m_on - F.col(on))
+        matched = matched.withColumn(
+            _MATCH, F.when(dist <= F.lit(tolerance), F.col(_MATCH)))
+
+    out_cols = ([F.col(c) for c in left.columns]
+                + [m_on.alias(f"{prefix}{on}")]
+                + [F.col(f"{_MATCH}.{c}").alias(f"{prefix}{c}")
+                   for c in payload])
+    out = matched.select(*out_cols)
+    if how == "inner":
+        out = out.where(F.col(f"{prefix}{on}").isNotNull())
+    return out
+
+
+def _asof_global(both: DataFrame, right: DataFrame, on: str,
+                 payload: list[str], order: list[Column], l_side: int,
+                 direction: str, bucket: int) -> DataFrame:
+    """Keyless as-of: coarse time buckets + carry-in rows.
+
+    In-bucket matches resolve with the same window as the keyed path,
+    partitioned by bucket.  A left row whose predecessor lives in an
+    EARLIER bucket is covered by the bucket's carry-in: per right-bucket
+    ``max_by(match-struct, (on, tb))`` (one aggregate row per bucket —
+    O(#buckets)), a running ``last`` over the tiny bucket table (window
+    over #buckets rows, not data rows), shifted one bucket ahead and
+    unioned in as a synthetic right row that sorts before everything in
+    the bucket.  Total: shuffles on the uniform bucket key only.
+    """
+    sign = 1 if direction == "backward" else -1
+    bexpr = F.floor(F.col(on) * sign / F.lit(bucket))
+    both = both.withColumn(_BUCKET, bexpr)
+
+    # Per-bucket best right row, outer-joined onto EVERY populated bucket
+    # (left or right — gaps of empty buckets between a right row and much
+    # later left rows must still see the carry), then a running-last over
+    # STRICTLY PRECEDING buckets = the carry-in.  #populated buckets ≈
+    # time-span/bucket: tiny, so the single-partition window over the
+    # bucket table is deliberate and cheap — it never touches data rows.
+    rb = right.select(bexpr.alias(_BUCKET), F.col(on), *payload)
+    rank = F.struct((F.col(on) * sign).alias("o")).alias("_r")
+    per_bucket = (rb.groupBy(_BUCKET)
+                  .agg(F.max_by(F.struct(F.col(on).alias(on),
+                                         *[F.col(c) for c in payload]),
+                                rank).alias(_MATCH)))
+    wb = (Window.orderBy(_BUCKET)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (both.select(_BUCKET).distinct()
+             .join(per_bucket, _BUCKET, "left")
+             .withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(wb))
+             .where(F.col(_MATCH).isNotNull())
+             .select(F.col(_BUCKET),
+                     F.col(f"{_MATCH}.{on}").alias(on),
+                     *[F.col(f"{_MATCH}.{c}").alias(c) for c in payload]))
+
+    # Synthetic carry-in rows re-enter through the same tagging shape as
+    # real right rows: side/tb forced to sort FIRST inside the bucket
+    # (their true `on` is before the bucket start by construction, so the
+    # natural time order already puts them first; side -1 guards the
+    # degenerate equal-ts edge).
+    carry_struct = F.struct(F.col(on).alias(on),
+                            *[F.col(c) for c in payload]).alias(_MATCH)
+    carry_tag = carry.select(
+        *[F.lit(None).cast(both.schema[c].dataType).alias(c)
+          for c in both.columns
+          if c not in (_BUCKET, _SIDE, "_zdb_tb", _MATCH, on)],
+        F.col(on), F.lit(-1).alias(_SIDE), F.lit(0.0).alias("_zdb_tb"),
+        carry_struct, F.col(_BUCKET))
+
+    all_rows = both.unionByName(carry_tag.select(*both.columns))
+    w = (Window.partitionBy(_BUCKET).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (all_rows
+            .withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(w))
+            .where(F.col(_SIDE) == l_side)
+            .drop(_BUCKET))
+
+
+def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",
+               lo: str = "lo", hi: str = "hi", by=None, *,
+               bucket: int = 3_600_000_000_000,
+               bounds: str = "[]", how: str = "inner") -> DataFrame:
+    """Join each ``points`` row to every ``intervals`` row whose
+    [lo, hi] range contains its ``on`` value (plus equal ``by`` keys).
+
+    ``bounds`` picks interval closedness: "[]", "[)", "(]", "()".
+
+    Execution: intervals explode to the coarse ``bucket``-width time
+    buckets they overlap (``sequence(lo div b, hi div b)`` — replication
+    1 + span/bucket per interval), points compute their single bucket,
+    and the match is an equi-join on (by..., bucket) with the exact
+    range predicate as a residual filter.  Each (point, interval) pair
+    meets in EXACTLY one bucket (the point's), so no post-join dedup is
+    needed.  Never a nested-loop/cartesian plan; shuffle keys are time
+    buckets (uniform) plus by-keys.  ``how="left"`` keeps pointless—
+    uncovered—points with null interval columns.
+    """
+    if bounds not in ("[]", "[)", "(]", "()"):
+        raise ValueError(f"bounds must be one of [] [) (] (), got {bounds!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    by = _as_list(by)
+
+    p = points.withColumn(_BUCKET, F.floor(F.col(on) / F.lit(bucket)))
+    iv = (intervals
+          .withColumn(_BUCKET, F.explode(F.sequence(
+              F.floor(F.col(lo) / F.lit(bucket)),
+              F.floor(F.col(hi) / F.lit(bucket))))))
+
+    lo_ok = F.col(on) >= F.col(lo) if bounds[0] == "[" else F.col(on) > F.col(lo)
+    hi_ok = F.col(on) <= F.col(hi) if bounds[1] == "]" else F.col(on) < F.col(hi)
+    cond = [p[_BUCKET] == iv[_BUCKET], lo_ok, hi_ok]
+    for k in by:
+        cond.append(p[k] == iv[k])
+
+    joined = p.join(iv, cond, how)
+    keep = ([p[c] for c in points.columns]
+            + [iv[c] for c in intervals.columns if c not in by])
+    return joined.select(*keep)

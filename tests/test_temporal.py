@@ -187,6 +187,19 @@ def test_range_join_keyless_and_left(spark):
     assert set(left.loc[left["iv_id"].isna(), "pv"]) == uncovered
 
 
+def test_asof_plan_no_join_single_exchange(spark):
+    """The keyed as-of plan must contain NO join node and exactly one
+    Exchange (the by-key hash partitioning) — the whole point of the
+    union+window formulation."""
+    left, right = _mk(spark)
+    df = asof_join(spark.createDataFrame(left),
+                   spark.createDataFrame(right), on="ts", by="k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
 def test_range_join_no_cartesian_plan(spark):
     points, intervals = _mk_range()
     df = range_join(spark.createDataFrame(points),

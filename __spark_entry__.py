@@ -1102,6 +1102,50 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily bars: the complete (sym × trading-day) grid with
+    missing days synthesized as zero-volume bars whose O/H/L/C all carry
+    the last known close (standard candlestick continuity rule; days
+    before a sym's first bar stay null).  The grid is dims-sized — a
+    broadcast cross join of two tiny aggregates — and the forward fill
+    is one running last(ignorenulls) window per sym, so the plan adds no
+    data-sized shuffle beyond the bar aggregation itself.  Ticks are
+    thinned to value > 200 so the grid genuinely has holes at the gate
+    scale (~1/3 of sym-days empty at sf0.01) — otherwise the fill path
+    would never execute."""
+    ev = _events_with_ts(spark, sf_dir)
+    ticks = ev.where(F.col("value") > 200.0)
+    bars = (ticks.groupBy(F.col("d").alias("bar_date"),
+                       F.col("event_type").alias("sym"))
+            .agg(F.min_by("value", "ts").alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", "ts").alias("close"),
+                 F.round(F.sum("value"), 4).alias("volume"),
+                 F.count(F.lit(1)).alias("n_ticks")))
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("bar_date"))
+    syms = ev.select(F.col("event_type").alias("sym")).distinct()
+    grid = F.broadcast(syms).crossJoin(F.broadcast(days))
+
+    from pyspark.sql import Window
+    w = (Window.partitionBy("sym").orderBy("bar_date")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (grid.join(bars, ["sym", "bar_date"], "left")
+              .withColumn("ffill_close",
+                          F.last("close", ignorenulls=True).over(w)))
+    fc = F.col("ffill_close")
+    return (filled.select(
+        "sym",
+        F.date_format("bar_date", "yyyy-MM-dd").alias("bar_date"),
+        F.coalesce("open", fc).alias("open"),
+        F.coalesce("high", fc).alias("high"),
+        F.coalesce("low", fc).alias("low"),
+        fc.alias("close"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks")))
+
+
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by totalprice per order priority: the rank-within-
     partition pattern (window row_number, no global sort; ties broken by
@@ -1203,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins + rank/TWAP patterns
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "ohlcv_gapfill": q_ohlcv_gapfill,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
     }
@@ -1978,6 +2023,48 @@ def oracle_sql() -> dict[str, str]:
         FROM (VALUES {promo_rows}) promos(promo_id, lo, hi)
         JOIN events e ON epoch_ns(e.ts) >= lo AND epoch_ns(e.ts) < hi
         GROUP BY 1
+    """
+    sqls["ohlcv_gapfill"] = """
+        WITH eall AS (
+            SELECT CAST(ts AS DATE) AS d, event_type AS sym, value,
+                   epoch_ns(ts) AS tsn
+            FROM events
+        ), e AS (
+            SELECT * FROM eall WHERE value > 200.0
+        ), bars AS (
+            SELECT d AS bar_date, sym,
+                   min_by(value, tsn) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max_by(value, tsn) AS close,
+                   round(sum(value), 4) AS volume,
+                   count(*) AS n_ticks
+            FROM e GROUP BY 1, 2
+        ), days AS (
+            SELECT unnest(generate_series(min(d), max(d),
+                                          INTERVAL 1 DAY))::DATE AS bar_date
+            FROM eall
+        ), grid AS (
+            SELECT sym, bar_date
+            FROM (SELECT DISTINCT sym FROM eall), days
+        ), filled AS (
+            SELECT g.sym, g.bar_date, b.open, b.high, b.low,
+                   b.volume, b.n_ticks,
+                   last_value(b.close IGNORE NULLS)
+                       OVER (PARTITION BY g.sym ORDER BY g.bar_date
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS close
+            FROM grid g LEFT JOIN bars b
+              ON g.sym = b.sym AND g.bar_date = b.bar_date
+        )
+        SELECT sym, strftime(bar_date, '%Y-%m-%d') AS bar_date,
+               coalesce(open, close) AS open,
+               coalesce(high, close) AS high,
+               coalesce(low, close) AS low,
+               close,
+               coalesce(volume, 0.0) AS volume,
+               coalesce(n_ticks, 0) AS n_ticks
+        FROM filled
     """
     sqls["topn_per_group"] = """
         SELECT o_orderpriority, rn, o_orderkey, o_totalprice

@@ -1102,6 +1102,40 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING point-in-time enrichment: purchases arrive as a stream
+    and pick up the user's most recent prior-or-equal click from a
+    static broadcast dim (asof_enrich — stateless stream-static join,
+    no window, no state store).  Output is written through a parquet
+    sink and read back; the oracle is the same DuckDB ASOF JOIN as the
+    batch entry, so this proves the streaming path computes the
+    identical point-in-time answer."""
+    import tempfile
+
+    from zdb_spark.operators.temporal import asof_enrich
+
+    key = _stream_key(sf_dir, "asof-enrich-v1")
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_asof", key)
+    purchases = (_stream_events(spark, sf_dir)
+                 .where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    clicks = (_load(spark, sf_dir, "events")
+              .where(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("value")))
+    enriched = asof_enrich(purchases, clicks, on="ts", by="user_id",
+                           prefix="click_")
+    out = os.path.join(home, "out")
+    q = (enriched.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(out)
+            .select("event_id", "user_id", "ts", "value",
+                    "click_ts", "click_value"))
+
+
 def q_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily bars: the complete (sym × trading-day) grid with
     missing days synthesized as zero-volume bars whose O/H/L/C all carry
@@ -1248,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "ohlcv_gapfill": q_ohlcv_gapfill,
+        "stream_asof": q_stream_asof,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
     }
@@ -2014,6 +2049,10 @@ def oracle_sql() -> dict[str, str]:
                         GROUP BY 1, 2) c
           ON p.user_id = c.user_id AND epoch_ns(p.ts) >= c.cts
     """
+    # The streaming enrichment answers the SAME point-in-time question —
+    # a hash match against the identical ASOF oracle proves stream/batch
+    # parity.
+    sqls["stream_asof"] = sqls["asof_join"]
     promo_rows = ", ".join(f"({p}, {_day_ns(lo)}, {_day_ns(hi)})"
                            for p, lo, hi in _PROMOS)
     sqls["range_join"] = f"""

@@ -9,7 +9,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from zdb_spark.operators.temporal import asof_join, range_join
+from zdb_spark.operators.temporal import asof_enrich, asof_join, range_join
 
 
 def _mk(spark, seed=7, n_left=400, n_right=300, n_keys=5):
@@ -129,6 +129,50 @@ def test_asof_null_right_payload_not_skipped(spark):
                     on="ts", by="k").toPandas()
     assert got["r_ts"].tolist() == [90]
     assert pd.isna(got["r_rv"]).all()
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_asof_enrich_agrees_with_asof_join(spark, exact):
+    """The broadcast-array formulation and the union+window formulation
+    are independent implementations of the same semantics."""
+    left, right = _mk(spark, seed=31)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = asof_enrich(l, r, on="ts", by="k",
+                      allow_exact_matches=exact).toPandas()
+    want = asof_join(l, r, on="ts", by="k",
+                     allow_exact_matches=exact).toPandas()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, atol=1e-9)
+
+
+def test_asof_enrich_keyless(spark):
+    left, right = _mk(spark, seed=37)
+    left, right = left.drop(columns="k"), right.drop(columns="k").drop_duplicates(["ts"])
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = asof_enrich(l, r, on="ts").toPandas()
+    want = asof_join(l, r, on="ts", bucket=5000).toPandas()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, atol=1e-9)
+
+
+def test_asof_enrich_streaming(spark, tmp_path):
+    """The SAME operator call runs on a readStream source (stateless
+    stream-static broadcast join) and matches the batch result."""
+    left, right = _mk(spark, seed=41, n_left=200)
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    src = str(tmp_path / "src")
+    l.write.parquet(src)
+    stream = spark.readStream.schema(l.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (asof_enrich(stream, r, on="ts", by="k")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out).toPandas()
+    want = asof_enrich(l, r, on="ts", by="k").toPandas()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False, atol=1e-9)
 
 
 def _mk_range(seed=5, n_points=500, n_iv=60, n_keys=4):

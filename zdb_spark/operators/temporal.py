@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "asof_enrich", "range_join"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -213,6 +213,46 @@ def _asof_global(both: DataFrame, right: DataFrame, on: str,
             .withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(w))
             .where(F.col(_SIDE) == l_side)
             .drop(_BUCKET))
+
+
+def asof_enrich(df: DataFrame, right: DataFrame, on: str = "ts",
+                by=None, *, prefix: str = "r_",
+                allow_exact_matches: bool = True) -> DataFrame:
+    """Stateless as-of ENRICHMENT against a broadcastable right side —
+    the streaming-friendly sibling of :func:`asof_join`.
+
+    The right table collapses to ONE row per ``by`` key holding a
+    ts-sorted array of (ts, payload) structs; that dim broadcast-joins
+    onto ``df`` and the point-in-time match is ``try_element_at(
+    filter(arr, x -> x.ts <= ts), -1)`` — pure Catalyst higher-order
+    functions, zero Python, no window, no state.  Because nothing here
+    needs a sort or shuffle of the LEFT side, the exact same expression
+    tree runs on a Structured Streaming DataFrame (stream–static
+    broadcast joins are stateless), which the window-based
+    :func:`asof_join` cannot.
+
+    Use when the right side fits a broadcast (reference data, quote
+    snapshots, config history): per-key match cost is O(right rows in
+    that key) — linear scan, fine for the dim sizes broadcasting implies.
+    For two large sides use :func:`asof_join`.
+    """
+    by = _as_list(by)
+    payload = [c for c in right.columns if c not in by and c != on]
+    arr = F.sort_array(F.collect_list(
+        F.struct(F.col(on).alias(on), *[F.col(c) for c in payload])))
+    dim = (right.groupBy(*by) if by else right.groupBy()) \
+        .agg(arr.alias("_zdb_arr"))
+    joined = (df.join(F.broadcast(dim), on=by, how="left") if by
+              else df.crossJoin(F.broadcast(dim)))
+
+    left_ts = F.col(on)
+    cmp = ((lambda x: x[on] <= left_ts) if allow_exact_matches
+           else (lambda x: x[on] < left_ts))
+    m = F.try_element_at(F.filter(F.col("_zdb_arr"), cmp), F.lit(-1))
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        m[on].alias(f"{prefix}{on}"),
+        *[m[c].alias(f"{prefix}{c}") for c in payload])
 
 
 def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",

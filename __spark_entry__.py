@@ -1102,6 +1102,54 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by md5(salt:doc_id) — the
+    reproducible, append-stable, shuffle-free alternative to
+    randomSplit a 100 TB corpus needs (operators/curation.py).  Output
+    aggregates per split so the oracle cross-checks both the assignment
+    and the bucketing arithmetic."""
+    from zdb_spark.operators.curation import hash_split
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(F.size(tokenize("text"))), 4)
+                 .alias("avg_ws_tokens")))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: shard by hashed doc_id (shards are
+    independent — embarrassingly parallel), pack each shard in id order
+    with the cumulative-sum rule, report per-shard bin statistics."""
+    from zdb_spark.operators.curation import pack_sequences
+    from zdb_spark.operators.text import tokenize
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", F.size(tokenize("text")).alias("toks")))
+    packed = pack_sequences(docs, "doc_id", "toks", 2048, n_shards=8)
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("bin").alias("n_bins"),
+                 F.sum("toks").alias("sum_tokens")))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 whitespace tokens by frequency.  Token
+    frequencies are power-law — the exact shape salted_agg exists for —
+    so the count aggregates through the two-phase salted path and the
+    final top-k is a TakeOrdered heap, never a global sort."""
+    from zdb_spark.operators.skew import salted_agg
+    from zdb_spark.operators.text import tokenize
+
+    toks = (_load(spark, sf_dir, "documents")
+            .select(F.explode(tokenize("text")).alias("token")))
+    counts = salted_agg(toks.withColumn("one", F.lit(1)), ["token"],
+                        {"n": ("one", "sum")})
+    return counts.orderBy(F.col("n").desc(), "token").limit(20)
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING point-in-time enrichment: purchases arrive as a stream
     and pick up the user's most recent prior-or-equal click from a
@@ -1283,6 +1331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "ohlcv_gapfill": q_ohlcv_gapfill,
         "stream_asof": q_stream_asof,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "vocab_topk": q_vocab_topk,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
     }
@@ -2048,6 +2099,53 @@ def oracle_sql() -> dict[str, str]:
                         FROM events WHERE event_type = 'click'
                         GROUP BY 1, 2) c
           ON p.user_id = c.user_id AND epoch_ns(p.ts) >= c.cts
+    """
+    # Curation ops: the oracle re-derives the md5 bucket arithmetic from
+    # first principles, so a hash match proves cross-engine (and
+    # cross-rerun) reproducibility of the split/shard assignment itself.
+    sqls["hash_split"] = r"""
+        WITH b AS (
+            SELECT doc_id, text,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               round(avg(len(regexp_split_to_array(trim(lower(text)),
+                                                   '\s+'))), 4)
+                   AS avg_ws_tokens
+        FROM b GROUP BY 1
+    """
+    sqls["pack_sequences"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS toks,
+                   (('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 10000) % 8 AS shard
+            FROM documents
+        ), p AS (
+            SELECT shard, toks,
+                   (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                    - toks) // 2048 AS bin
+            FROM d
+        )
+        SELECT shard, count(*) AS n_docs,
+               count(DISTINCT bin) AS n_bins,
+               sum(toks) AS sum_tokens
+        FROM p GROUP BY 1
+    """
+    sqls["vocab_topk"] = r"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+              FROM documents)
+        GROUP BY 1 ORDER BY n DESC, token LIMIT 20
     """
     # The streaming enrichment answers the SAME point-in-time question —
     # a hash match against the identical ASOF oracle proves stream/batch

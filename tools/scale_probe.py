@@ -74,6 +74,8 @@ def main() -> int:
                                    round(time.time() - t0, 2))
         out["scales"][k] = {"docs": n0 * k, **{name: {"rows": r, "sec": s}
                                                for name, (r, s) in timings.items()}}
+        # flush per scale: a crash at 100x must not lose the 50x numbers
+        print(json.dumps({"scale": k, **out["scales"][k]}), flush=True)
         corpus.unpersist()
         spark.catalog.clearCache()
 

@@ -1102,6 +1102,36 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup through the state store: the event stream
+    unioned with a second copy of itself (every row planted twice)
+    passes through dropDuplicates on event_id; the sink must receive
+    exactly the original table back.  The oracle aggregates the source
+    directly — a hash match proves the stateful dedup removed precisely
+    the planted copies and nothing else.  At scale this is the
+    keep-first ingest-dedup shape: state is one entry per key, sharded
+    by the state store across executors."""
+    import tempfile
+
+    key = _stream_key(sf_dir, "stream-dedup-v1")
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_dedup", key)
+    cols = ["event_id", "event_type", "ts", "value"]
+    doubled = (_stream_events(spark, sf_dir).select(*cols)
+               .unionByName(_stream_events(spark, sf_dir).select(*cols)))
+    deduped = doubled.dropDuplicates(["event_id"])
+    out = os.path.join(home, "out")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("event_id").alias("n_ids"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5(salt:doc_id) — the
     reproducible, append-stable, shuffle-free alternative to
@@ -1334,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "stream_dedup": q_stream_dedup,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
     }
@@ -2099,6 +2130,14 @@ def oracle_sql() -> dict[str, str]:
                         FROM events WHERE event_type = 'click'
                         GROUP BY 1, 2) c
           ON p.user_id = c.user_id AND epoch_ns(p.ts) >= c.cts
+    """
+    # Streaming dedup restores exactly the source table from a doubled
+    # stream — the oracle aggregates the source directly.
+    sqls["stream_dedup"] = """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT event_id) AS n_ids,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
     """
     # Curation ops: the oracle re-derives the md5 bucket arithmetic from
     # first principles, so a hash match proves cross-engine (and

@@ -539,6 +539,60 @@ class TestSimilarity:
             assert len(rows) == 2
 
 
+
+class TestPQ:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(60, 16)
+        base[1] = base[0] + 0.01 * rng.randn(16)
+        base[2] = base[0] + 0.02 * rng.randn(16)
+        rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]])
+                for i in range(60)]
+        return spark.createDataFrame(rows).cache()
+
+    def test_train_deterministic(self, emb):
+        a = similarity.pq_train(emb, m=4, k=8, sample_size=60)
+        b = similarity.pq_train(emb, m=4, k=8, sample_size=60)
+        assert (a == b).all()
+        assert a.shape == (4, 8, 4)
+
+    def test_encode_shape_and_determinism(self, emb):
+        books = similarity.pq_train(emb, m=4, k=8, sample_size=60)
+        a = similarity.pq_encode(emb, books).toPandas().sort_values("vec_id")
+        b = similarity.pq_encode(emb, books).toPandas().sort_values("vec_id")
+        assert (a.pq_codes.map(len) == 4).all()
+        assert a.pq_codes.map(max).max() < 8
+        assert [list(x) for x in a.pq_codes] == [list(x) for x in b.pq_codes]
+
+    def test_topk_matches_brute_force_with_rerank(self, emb):
+        books = similarity.pq_train(emb, m=4, k=8, sample_size=60)
+        codes = similarity.pq_encode(emb, books)
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        got = similarity.pq_topk(codes, qv, books, emb, k=5,
+                                 rerank=30).toPandas()
+        want = similarity.brute_force_topk(emb, qv, k=5).toPandas()
+        # rerank=half the corpus: exact parity expected
+        assert got.vec_id.tolist() == want.vec_id.tolist()
+        assert got.cosine_sim.tolist() == want.cosine_sim.tolist()
+
+    def test_adc_scan_is_jvm_only(self, emb, tmp_path):
+        """Scoring over MATERIALIZED codes must not re-enter Python:
+        the ADC aggregate is pure codegen (the compressed-domain scan is
+        the whole point at 100 TB)."""
+        books = similarity.pq_train(emb, m=4, k=8, sample_size=60)
+        p = str(tmp_path / "codes")
+        similarity.pq_encode(emb, books).write.parquet(p)
+        codes = emb.sparkSession.read.parquet(p)
+        qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+        df = similarity.pq_topk(codes, qv, books, emb, k=5, rerank=30)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 class TestMultimodal:
     @pytest.fixture(scope="class")
     def blobs(self, spark):

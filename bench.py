@@ -52,6 +52,7 @@ HEADLINE = [
     "knn_lsh_multiprobe",  # hamming-1 probe, 1-table index (12x smaller)
     "asof_join",          # point-in-time join (union+window, no join node)
     "range_join",         # interval containment (bucketized equi-join)
+    "knn_pq",             # compressed-domain ADC scan + exact rerank
 ]
 
 

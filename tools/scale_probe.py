@@ -28,6 +28,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scales", default="1,4,10")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="max_bucket_size for minhash (measures the "
+                         "hot-bucket cap's effect on the growth curve)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -63,7 +66,8 @@ def main() -> int:
                                   round(time.time() - t0, 2))
         t0 = time.time()
         pairs = minhash_lsh_pairs(corpus, "text", "doc_id",
-                                  num_hashes=64, bands=16, threshold=0.5)
+                                  num_hashes=64, bands=16, threshold=0.5,
+                                  max_bucket_size=args.cap)
         n_pairs = pairs.count()
         timings["minhash_pairs"] = (n_pairs, round(time.time() - t0, 2))
         t0 = time.time()

@@ -682,6 +682,27 @@ class TestSkew:
 
 
 class TestClusters:
+    def test_checkpoint_blocks_bounded(self, spark):
+        """Superseded per-round localCheckpoints must be freed as the
+        loop advances: a chain graph forcing ~11 rounds may leave at
+        most the edges cache + the final checkpoint persisted (before
+        the fix, every round's checkpoint stayed pinned — measured disk
+        exhaustion on the 100x pair graph)."""
+        def persistent_ids():
+            m = spark.sparkContext._jsc.getPersistentRDDs()
+            return {k for k in m.keySet().toArray()}
+
+        pairs = spark.createDataFrame(
+            [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)],
+            "id_a string, id_b string")
+        before = persistent_ids()
+        out = dedup.duplicate_clusters(pairs)
+        assert out.where(F.col("cluster_id") == "d00").count() == 13
+        leaked = persistent_ids() - before
+        assert len(leaked) <= 2, f"{len(leaked)} persisted RDDs leaked"
+        for h in getattr(out, "_zdb_cache_handles", []):
+            h.unpersist()
+
     def test_components_exact(self, spark):
         pairs = spark.createDataFrame(
             [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6),

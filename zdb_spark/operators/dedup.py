@@ -366,6 +366,21 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     return out
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release a superseded localCheckpoint's persisted blocks.
+
+    A checkpointed DataFrame's analyzed plan is a LogicalRDD wrapping the
+    persisted RDD; unpersisting THAT rdd (non-blocking) frees its
+    memory/disk blocks immediately instead of waiting for the JVM
+    ContextCleaner.  Best-effort: a plan that is not a LogicalRDD (e.g.
+    a projection over one) is left to the cleaner.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
     """Connected components over near-duplicate PAIRS → one cluster label
@@ -401,6 +416,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # with diameter > 1 silently come back split — the changed-count is
     # type-agnostic and costs the same single aggregate per round.
     converged = False
+    ckpt = labels  # the live checkpointed frame (labels may be a
+    #                projection over it in later rounds)
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["node"])
                  .groupBy("a").agg(F.min("lbl").alias("nmin")))
@@ -412,6 +429,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         changed = (upd.agg(F.sum((F.col("lbl") != F.col("_prev"))
                                  .cast("long")).alias("c"))
                    .collect()[0]["c"]) or 0
+        # The new checkpoint fully replaces the old one — free the
+        # superseded blocks NOW.  Waiting for the JVM ContextCleaner
+        # leaves every round's checkpoint pinned; on a big pair graph
+        # that is rounds × |nodes| of storage and has filled a disk
+        # (measured: 100x probe died spilling with all rounds resident).
+        _unpersist_checkpoint(ckpt)
+        ckpt = upd
         labels = upd.drop("_prev")
         if changed == 0:
             converged = True

@@ -366,6 +366,26 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     return out
 
 
+def _release_round_debris(spark) -> None:
+    """Ask the JVM to GC so ContextCleaner reclaims the PREVIOUS round's
+    shuffle files.
+
+    Spark deletes a round's shuffle files only after the JVM
+    garbage-collects the RDDs referencing them; with a large driver heap
+    GC may not fire for the whole loop, so per-round shuffles ACCUMULATE
+    on disk (measured: the 100x pair-graph probe filled an 80 GB disk in
+    the label-propagation rounds while the live working set was ~1 GB).
+    One System.gc() per round is bounded driver cost and keeps disk at
+    ~one round's footprint — the standard countermeasure for iterative
+    Spark jobs (spark.cleaner.periodicGC.interval defaults to 30min,
+    far slower than a round).
+    """
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def _unpersist_checkpoint(df: DataFrame) -> None:
     """Release a superseded localCheckpoint's persisted blocks.
 
@@ -435,6 +455,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         # that is rounds × |nodes| of storage and has filled a disk
         # (measured: 100x probe died spilling with all rounds resident).
         _unpersist_checkpoint(ckpt)
+        _release_round_debris(pairs.sparkSession)
         ckpt = upd
         labels = upd.drop("_prev")
         if changed == 0:

@@ -723,6 +723,46 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  "n_shingles")
 
 
+def _planted_pii_docs(docs: DataFrame) -> DataFrame:
+    """documents with deterministic line structure + PII appended to even
+    doc_ids (the raw corpus has neither newlines nor PII, so the
+    repetition and redaction entries plant their own signal — mirrored
+    verbatim in the oracle SQL)."""
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("\nfooter line\nfooter line\ncontact: user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com or 555-867-5309 ip 10.0.0.1 "
+                               "ssn 123-45-6789")))
+             .otherwise(F.lit(""))))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line / dup-paragraph
+    fractions, top bigram/trigram occupancy) — row-local codegen'd
+    expressions, no shuffle (text.py:repetition_features)."""
+    from zdb_spark.operators.text import repetition_features
+
+    docs = _planted_pii_docs(_load(spark, sf_dir, "documents"))
+    return repetition_features(docs, "text").select(
+        "doc_id", "dup_line_frac", "dup_para_frac",
+        "top_bigram_frac", "top_trigram_frac")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + per-kind counts over planted emails/SSNs/phones/IPs;
+    chained regexp_replace in one projection (text.py:redact_pii)."""
+    from zdb_spark.operators.text import redact_pii
+
+    docs = _planted_pii_docs(_load(spark, sf_dir, "documents"))
+    return redact_pii(docs, "text").select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "redacted")
+
+
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.similarity import brute_force_topk
 
@@ -1376,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_join": q_knn_join,
         "knn_lsh": q_knn_lsh,
@@ -1721,6 +1763,92 @@ def oracle_sql() -> dict[str, str]:
                        AS fp_min_hash,
                    len(shingles) AS n_shingles
             FROM sh
+        """,
+        # planted corpus shared by text_repetition / pii_redact: line
+        # structure + PII on even doc_ids (raw docs have neither)
+        "text_repetition": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0 THEN
+                         chr(10) || 'footer line' || chr(10) ||
+                         'footer line' || chr(10) || 'contact: user' ||
+                         CAST(doc_id AS VARCHAR) ||
+                         '@example.com or 555-867-5309 ip 10.0.0.1 ssn 123-45-6789'
+                       ELSE '' END AS text
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks,
+                       string_split_regex(text, '\n') AS lines,
+                       string_split_regex(text, '\n\n') AS paras
+                FROM planted
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN len(lines) <= 0 THEN 0.0 ELSE
+                         1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                               / len(lines) END AS dlf,
+                       CASE WHEN len(paras) <= 0 THEN 0.0 ELSE
+                         1.0 - CAST(len(list_distinct(paras)) AS DOUBLE)
+                               / len(paras) END AS dpf,
+                       list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i + 1]) AS bg,
+                       list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                                toks[i + 2]) AS tg
+                FROM t
+            ), c2 AS (
+                SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(bg) AS gram FROM g)
+                      GROUP BY 1, 2)
+                GROUP BY 1
+            ), c3 AS (
+                SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, unnest(tg) AS gram FROM g)
+                      GROUP BY 1, 2)
+                GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   round(dlf, 6) AS dup_line_frac,
+                   round(dpf, 6) AS dup_para_frac,
+                   round(coalesce(CAST(c2.mx AS DOUBLE) / c2.tot, 0.0), 6)
+                       AS top_bigram_frac,
+                   round(coalesce(CAST(c3.mx AS DOUBLE) / c3.tot, 0.0), 6)
+                       AS top_trigram_frac
+            FROM g LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        """,
+        "pii_redact": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 2 = 0 THEN
+                         chr(10) || 'footer line' || chr(10) ||
+                         'footer line' || chr(10) || 'contact: user' ||
+                         CAST(doc_id AS VARCHAR) ||
+                         '@example.com or 555-867-5309 ip 10.0.0.1 ssn 123-45-6789'
+                       ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS redacted
+            FROM planted
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -186,6 +186,39 @@ class TestText:
         assert abs(r["stopword_ratio"] - 1 / 3) < 1e-6
         assert 0.0 <= r["quality_score"] <= 1.0
 
+    def test_repetition_features(self, spark):
+        df = spark.createDataFrame([
+            # 4 lines, "dup dup" twice; bigrams of "a b a b a b":
+            # "a b" x3, "b a" x2 -> top bigram 3/5
+            Row(doc_id=1, text="dup dup\nunique one\ndup dup\na b a b a b"),
+            Row(doc_id=2, text="x"),           # 1 token: no bigrams
+            Row(doc_id=3, text="p1\n\np1"),    # duplicate paragraphs
+        ])
+        out = {r["doc_id"]: r
+               for r in text.repetition_features(df, "text").collect()}
+        assert abs(out[1]["dup_line_frac"] - 0.25) < 1e-6   # 4 lines, 3 uniq
+        assert out[2]["top_bigram_frac"] == 0.0
+        assert out[2]["top_trigram_frac"] == 0.0
+        assert abs(out[3]["dup_para_frac"] - 0.5) < 1e-6
+        # doc 1 tokens (\s+ split crosses lines): 12 -> 11 bigrams,
+        # top is "a b" x3
+        assert abs(out[1]["top_bigram_frac"] - 3 / 11) < 1e-4
+
+    def test_redact_pii(self, spark):
+        df = spark.createDataFrame([Row(
+            doc_id=1,
+            text="mail a@b.com and c.d@e.org ssn 123-45-6789 "
+                 "phone 555-123-4567 ip 10.0.0.1 end")])
+        r = text.redact_pii(df, "text").collect()[0]
+        assert r["n_email"] == 2
+        assert r["n_ssn"] == 1
+        # the SSN's 2-digit middle group does NOT match the phone
+        # pattern's {3} — only the real phone counts
+        assert r["n_phone"] == 1
+        assert r["n_ipv4"] == 1
+        assert r["redacted"] == ("mail <EMAIL> and <EMAIL> ssn <SSN> "
+                                 "phone <PHONE> ip <IP> end")
+
     def test_fingerprint_deterministic(self, spark):
         df = spark.createDataFrame([
             Row(doc_id=1, text="some repeated content here"),

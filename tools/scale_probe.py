@@ -71,13 +71,17 @@ def main() -> int:
         n_pairs = pairs.count()
         timings["minhash_pairs"] = (n_pairs, round(time.time() - t0, 2))
         t0 = time.time()
-        timings["clusters"] = (duplicate_clusters(pairs).count(),
+        clusters = duplicate_clusters(pairs)
+        timings["clusters"] = (clusters.count(),
                                round(time.time() - t0, 2))
+        cluster_rounds = getattr(clusters, "_zdb_rounds", None)
         t0 = time.time()
         timings["text_quality"] = (quality_features(corpus, "text").count(),
                                    round(time.time() - t0, 2))
-        out["scales"][k] = {"docs": n0 * k, **{name: {"rows": r, "sec": s}
-                                               for name, (r, s) in timings.items()}}
+        out["scales"][k] = {"docs": n0 * k,
+                            "cluster_rounds": cluster_rounds,
+                            **{name: {"rows": r, "sec": s}
+                               for name, (r, s) in timings.items()}}
         # flush per scale: a crash at 100x must not lose the 50x numbers
         print(json.dumps({"scale": k, **out["scales"][k]}), flush=True)
         corpus.unpersist()

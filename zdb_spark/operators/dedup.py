@@ -436,9 +436,11 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # with diameter > 1 silently come back split — the changed-count is
     # type-agnostic and costs the same single aggregate per round.
     converged = False
+    rounds = 0
     ckpt = labels  # the live checkpointed frame (labels may be a
     #                projection over it in later rounds)
     for _ in range(max_iter):
+        rounds += 1
         neigh = (edges.join(labels, edges["b"] == labels["node"])
                  .groupBy("a").agg(F.min("lbl").alias("nmin")))
         upd = (labels.join(neigh, labels["node"] == neigh["a"], "left")
@@ -471,6 +473,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                         F.col("lbl").alias("cluster_id"))
     out._zdb_cache_handles = [edges,
                               *getattr(pairs, "_zdb_cache_handles", [])]
+    # rounds-to-convergence == observed component diameter bound; the
+    # scale probe records this so SCALE.md can show the iteration count
+    # stays flat (~diameter 2-3 for template groups) as the corpus grows.
+    out._zdb_rounds = rounds
     return out
 
 

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
-           "fingerprint", "LANG_MARKERS", "EN_STOPWORDS"]
+           "fingerprint", "repetition_features", "redact_pii",
+           "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
 # heuristic.  Chosen from the top closed-class words of each language;
@@ -123,6 +124,123 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
               "stopword_ratio", "quality_score"):
         df = df.withColumn(f, F.col(f"_qf.{f}"))
     return df.drop("_qf")
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array == the count of the most frequent element.  One O(n) fold over
+    the array (after the O(n log n) sort) — per-row, JVM-side, zero
+    shuffle, vs. the explode + groupBy(doc, gram) alternative whose
+    shuffle is keyed on every gram occurrence in the corpus.  At 100 TB
+    the per-row form wins outright: documents are bounded (MBs), so the
+    row-local n log n is trivial next to a corpus-wide shuffle."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+             .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)))
+             .alias("best")),
+        lambda acc: acc["best"])
+
+
+def _ngram_col(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings (empty array
+    when the doc has fewer than n tokens)."""
+    if n == 1:
+        return toks
+    grams = F.transform(
+        toks,
+        lambda x, i: F.concat_ws(
+            " ", x,
+            # try_: the last n-1 positions run past the end (NULL); those
+            # truncated grams are sliced off below
+            *[F.try_element_at(toks, i + j + 1) for j in range(1, n)]))
+    # the last n-1 entries are truncated grams — slice them off
+    return F.slice(grams, F.lit(1),
+                   F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family): heavy
+    within-document repetition is the strongest cheap predictor of
+    boilerplate / spam / generation loops in web-scale corpora.
+
+    Adds per row:
+      dup_line_frac    — 1 − distinct(lines)/lines, lines split on \n
+      dup_para_frac    — same over paragraphs (split on blank line)
+      top_bigram_frac  — share of all word-bigram occurrences taken by
+                         the single most frequent bigram
+      top_trigram_frac — same for trigrams
+
+    All four are row-local ``pyspark.sql.functions`` expressions (no
+    Python, no shuffle): the mode count is a fold over the SORTED gram
+    array (see ``_max_run``), so cost is O(len log len) per document and
+    the operator scales embarrassingly with executors.  Fractions are 0.0
+    for degenerate docs (no lines / fewer than n tokens).  Mirrored
+    bit-for-bit by a DuckDB oracle (gate entry ``text_repetition``).
+    """
+    from .dedup import let
+
+    def line_frac(parts: Column) -> Column:
+        n = F.size(parts)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(parts)).cast("double") / n)
+
+    def gram_frac(toks: Column, n: int) -> Column:
+        return let(
+            _ngram_col(toks, n),
+            lambda grams: F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+                _max_run(F.array_sort(grams)).cast("double")
+                / F.size(grams)))
+
+    toks = tokenize(text_col)
+    return df.withColumns({
+        "dup_line_frac": F.round(
+            line_frac(F.split(F.col(text_col), r"\n")), 6),
+        "dup_para_frac": F.round(
+            line_frac(F.split(F.col(text_col), r"\n\n")), 6),
+        "top_bigram_frac": F.round(let(toks, lambda t: gram_frac(t, 2)), 6),
+        "top_trigram_frac": F.round(let(toks, lambda t: gram_frac(t, 3)), 6),
+    })
+
+
+# PII patterns: ASCII-only, no lookaround, no backrefs — the subset where
+# Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte, so the oracle
+# reproduces redaction exactly.  Order matters: SSN before phone (a
+# US SSN also matches loose phone shapes).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Mask emails / SSNs / phone numbers / IPv4s and count each kind.
+
+    Chained ``regexp_replace`` — one codegen'd projection, no UDF.  The
+    counts are taken BEFORE any replacement (on the original text) so
+    ``n_email``..``n_ipv4`` report true occurrences even when patterns
+    overlap; the redaction chain itself applies in ``PII_PATTERNS`` order
+    so overlapping matches resolve deterministically (SSN wins over
+    phone).  A curation pipeline filters on the counts and ships
+    ``redacted``.
+    """
+    out = F.col(text_col)
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumns({**counts, out_col: out})
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:

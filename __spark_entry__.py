@@ -1249,6 +1249,49 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), "token").limit(20)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling by hashed doc_id (keep 100%
+    of src0, 50% of src1, 10% of src2, 25% of everything else) — a pure
+    projection, no shuffle, stable under appends
+    (curation.py:stratified_sample)."""
+    from zdb_spark.operators.curation import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.1},
+        default_fraction=0.25).select("doc_id", "source")
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted data mixture: per-source token targets realized by
+    taking documents in hashed-id order until the budget is spent;
+    2 hash shards with the budget split across them (the 100 TB
+    formulation — shards select independently in parallel)
+    (curation.py:token_budget_mix)."""
+    from zdb_spark.operators.curation import token_budget_mix
+    from zdb_spark.operators.text import tokenize
+
+    docs = (_load(spark, sf_dir, "documents")
+            .withColumn("n_toks", F.size(tokenize("text"))))
+    picked = token_budget_mix(docs, "source", "n_toks", "doc_id",
+                              {"src0": 2000, "src1": 5000, "src3": 800},
+                              n_shards=2)
+    return picked.select("doc_id", "source", "shard", "n_toks")
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 8-word-gram overlap of every
+    document against a benchmark set (docs 0-19 stand in for an eval
+    suite).  Benchmark grams broadcast; the corpus is never shuffled
+    (curation.py:contamination)."""
+    from zdb_spark.operators.curation import contamination
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return contamination(docs, bench, "text", "doc_id", n=8)
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING point-in-time enrichment: purchases arrive as a stream
     and pick up the user's most recent prior-or-equal click from a
@@ -1436,6 +1479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_mix": q_token_budget_mix,
+        "contamination": q_contamination,
         "stream_dedup": q_stream_dedup,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
@@ -2345,6 +2391,68 @@ def oracle_sql() -> dict[str, str]:
                                                   '\s+')) AS token
               FROM documents)
         GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+    """
+    sqls["stratified_sample"] = r"""
+        WITH b AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source
+        FROM b
+        WHERE bucket < CASE source WHEN 'src0' THEN 10000
+                                   WHEN 'src1' THEN 5000
+                                   WHEN 'src2' THEN 1000
+                                   ELSE 2500 END
+    """
+    sqls["token_budget_mix"] = r"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS n_toks,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h,
+                   (('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 10000) % 2 AS shard
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src3')
+        ), c AS (
+            SELECT doc_id, source, shard, n_toks,
+                   sum(n_toks) OVER (PARTITION BY source, shard ORDER BY h
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum,
+                   CASE source WHEN 'src0' THEN 2000 / 2.0
+                               WHEN 'src1' THEN 5000 / 2.0
+                               ELSE 800 / 2.0 END AS budget
+            FROM d
+        )
+        SELECT doc_id, source, shard, n_toks
+        FROM c WHERE cum - n_toks < budget
+    """
+    # 8-word-gram join as in the Spark operator: distinct grams per side
+    gram8 = ("list_distinct(list_transform("
+             "range(1, greatest(len(toks) - 7, 0) + 1), i -> "
+             + " || ' ' || ".join(f"toks[i + {j}]" for j in range(8))
+             + "))").replace("toks[i + 0]", "toks[i]")
+    sqls["contamination"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, {gram8} AS grams FROM t
+        ), bg AS (
+            SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20
+        ), dg AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+        ), hits AS (
+            SELECT dg.doc_id, count(*) AS n
+            FROM dg JOIN bg USING (gram) GROUP BY 1
+        )
+        SELECT g.doc_id,
+               coalesce(hits.n, 0) AS n_contaminated,
+               coalesce(hits.n, 0) > 0 AS contaminated
+        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
     """
     # The streaming enrichment answers the SAME point-in-time question —
     # a hash match against the identical ASOF oracle proves stream/batch

@@ -94,3 +94,85 @@ def test_pack_sequences_oversize_doc_blocks_bin(spark):
 def test_pack_sequences_validation(spark):
     with pytest.raises(ValueError):
         pack_sequences(_docs(spark, 10), "doc_id", "toks", 0)
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from zdb_spark.operators.curation import stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"))
+    out = stratified_sample(df, "src", "doc_id",
+                            {"s0": 1.0, "s1": 0.5, "s2": 0.0},
+                            default_fraction=0.25).toPandas()
+    # exact membership from the same md5 bucket rule
+    for _, row in out.iterrows():
+        b = _py_bucket("v1", row.doc_id)
+        cap = {"s0": 10000, "s1": 5000, "s2": 0}.get(row.src, 2500)
+        assert b < cap
+    kept = out.groupby("src").size()
+    assert kept.get("s0", 0) == 500          # 100% of s0
+    assert "s2" not in kept                  # 0% stratum fully dropped
+    assert 150 < kept.get("s1", 0) < 350     # ~50% of 500
+    # stable under repartition
+    again = stratified_sample(df.repartition(7), "src", "doc_id",
+                              {"s0": 1.0, "s1": 0.5, "s2": 0.0},
+                              default_fraction=0.25).toPandas()
+    assert sorted(out.doc_id) == sorted(again.doc_id)
+
+
+def test_stratified_sample_validation(spark):
+    from zdb_spark.operators.curation import stratified_sample
+
+    with pytest.raises(ValueError):
+        stratified_sample(_docs(spark, 10), "doc_id", "doc_id", {"x": 1.5})
+
+
+def test_token_budget_mix_budget_and_determinism(spark):
+    from zdb_spark.operators.curation import token_budget_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("src"),
+        (F.col("id") % 50 + 10).alias("toks"))
+    out = token_budget_mix(df, "src", "toks", "doc_id",
+                           {"s0": 3000, "s1": 500}, n_shards=1).toPandas()
+    # unknown sources dropped; per-source totals within one straddler
+    sums = out.groupby("src")["toks"].sum()
+    assert 3000 <= sums["s0"] < 3000 + 60
+    assert 500 <= sums["s1"] < 500 + 60
+    # hashed-id order: re-derive the expected pick set in pandas
+    pdf = df.toPandas()
+    pdf["h"] = [hashlib.md5(f"v1:{i}".encode()).hexdigest()
+                for i in pdf.doc_id]
+    pdf = pdf.sort_values(["src", "h"])
+    pdf["cum"] = pdf.groupby("src")["toks"].cumsum()
+    budget = pdf["src"].map({"s0": 3000.0, "s1": 500.0})
+    want = pdf[pdf["cum"] - pdf["toks"] < budget]
+    assert sorted(out.doc_id) == sorted(want.doc_id)
+    # sharded: per-source total still within n_shards straddlers
+    sharded = token_budget_mix(df, "src", "toks", "doc_id",
+                               {"s0": 3000, "s1": 500}, n_shards=4).toPandas()
+    ssum = sharded.groupby("src")["toks"].sum()
+    assert 3000 - 60 * 4 < ssum["s0"] < 3000 + 60 * 4
+    assert sharded.shard.nunique() == 4
+
+
+def test_contamination_detects_planted_overlap(spark):
+    from zdb_spark.operators.curation import contamination
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base),                                   # == bench doc: all grams hit
+        (2, "completely different words " * 5),      # clean
+        (3, "prefix words then " + base),            # contains bench grams
+        (4, "alpha bravo charlie delta echo"),       # < 8 tokens of overlap only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           contamination(df, bench, "text", "doc_id", n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 3
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    assert out[3]["contaminated"] and out[3]["n_contaminated"] == 3
+    assert not out[4]["contaminated"]  # shares words but no 8-gram

@@ -33,6 +33,13 @@ def main() -> int:
                          "hot-bucket cap's effect on the growth curve)")
     args = ap.parse_args()
 
+    # Heavy scales (50x/100x) need real executor memory: the 8g default
+    # heap shared by 32 task threads exhausts the unified pool during the
+    # cluster rounds' sort-merge joins (measured: UNABLE_TO_ACQUIRE_MEMORY
+    # at 50x).  On a real cluster this is per-executor memory; locally the
+    # one JVM stands in for the whole fleet, so size it like one.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from pyspark.sql import functions as F
 
     from zdb_spark.operators.dedup import (duplicate_clusters, exact_dedup,
@@ -47,6 +54,10 @@ def main() -> int:
     out = {"base_docs": n0, "scales": {}}
 
     for k in [int(s) for s in args.scales.split(",")]:
+        # Keep per-partition shuffle volume ~constant as the corpus grows
+        # — the same spark.sql.shuffle.partitions scaling a 100 TB
+        # deployment applies (AQE still coalesces small stages down).
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, 4 * k)))
         reps = [
             docs.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
                         F.concat(F.col("text"), F.lit(f" replica{i}"))

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "pack_sequences"]
+__all__ = ["hash_split", "pack_sequences", "stratified_sample",
+           "token_budget_mix", "contamination"]
 
 _BUCKETS = 10_000
 
@@ -92,3 +93,110 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
             .withColumn("bin",
                         F.floor((cum - F.col(tokens_col))
                                 / F.lit(max_tokens)).cast("long")))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      salt: str = "v1") -> DataFrame:
+    """Deterministic per-stratum downsampling by hashed id.
+
+    Keeps a row iff its md5 bucket falls under its stratum's fraction
+    (strata absent from ``fractions`` get ``default_fraction``).  Same
+    contract as ``hash_split``: a pure shuffle-free projection,
+    reproducible across engines/reruns, and stable under appends — a
+    kept document stays kept as the corpus grows.  This is the sampling
+    primitive for corpus mixing ("keep 10% of crawl, 100% of books"):
+    unlike ``df.sampleBy`` it needs no RNG seed plumbing and never
+    reshuffles the selection when partitioning changes.
+    """
+    if any(v < 0 or v > 1 for v in fractions.values()) or \
+            not 0 <= default_fraction <= 1:
+        raise ValueError("fractions must be in [0, 1]")
+    bucket = _hash_bucket(id_col, salt)
+    thresh = F.lit(int(round(default_fraction * _BUCKETS)))
+    for name, frac in fractions.items():
+        thresh = F.when(F.col(strata_col) == name,
+                        F.lit(int(round(frac * _BUCKETS)))).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def token_budget_mix(df: DataFrame, source_col: str, tokens_col: str,
+                     id_col: str, budgets: dict[str, int],
+                     n_shards: int = 1, salt: str = "v1") -> DataFrame:
+    """Select documents per source up to a token budget — the "data
+    mixture" step that turns per-source token targets (e.g. 30% web,
+    20% code, ...) into a concrete document set.
+
+    Documents are taken in hashed-id order (deterministic, unbiased by
+    ingest order) until the source's budget is exhausted; the straddling
+    document is included, so each source overshoots by < 1 document.
+    Sources absent from ``budgets`` are dropped.
+
+    Scale: one window per (source, shard).  With ``n_shards=1`` the
+    cumulative sum over a popular source is a single-partition scan —
+    exact, but the partition must fit one executor.  For 100 TB set
+    ``n_shards`` so each shard is executor-sized: the budget divides
+    evenly across shards (shard = hash(id) % n_shards, per-shard budget
+    = budget/n_shards) and shards select independently in parallel.
+    Sharding changes WHICH documents are picked (still deterministically)
+    but keeps each source's total within n_shards straddling documents
+    of the target.
+    """
+    if any(v < 0 for v in budgets.values()):
+        raise ValueError("budgets must be non-negative")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    src = F.col(source_col)
+    budget_expr = None
+    for name, b in budgets.items():
+        per_shard = F.lit(b / n_shards)
+        budget_expr = (F.when(src == name, per_shard) if budget_expr is None
+                       else budget_expr.when(src == name, per_shard))
+    budget_expr = budget_expr.otherwise(F.lit(-1.0))  # unknown source: drop
+    h = F.md5(F.concat(F.lit(f"{salt}:"),
+                       F.col(id_col).cast("string")))
+    shard = _hash_bucket(id_col, salt) % F.lit(n_shards)
+    w = (Window.partitionBy(source_col, "shard").orderBy(h)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(tokens_col).over(w)
+    return (df.withColumn("shard", shard)
+            .withColumn("_cum", cum)
+            .withColumn("_budget", budget_expr)
+            .where((F.col("_budget") >= 0)
+                   & (F.col("_cum") - F.col(tokens_col) < F.col("_budget")))
+            .drop("_cum", "_budget"))
+
+
+def contamination(df: DataFrame, bench: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Benchmark decontamination: count each document's distinct word
+    ``n``-grams that appear anywhere in the benchmark set ``bench``
+    (same ``text_col``).  Returns (id, n_contaminated, contaminated).
+
+    The standard eval-leakage check (n=8..13 word grams).  Shape at
+    scale: benchmark suites are tiny (10^5-10^6 grams) next to a 100 TB
+    corpus, so the gram join broadcasts the benchmark side — the corpus
+    is never shuffled, only flatMap'd to (id, gram) and partially
+    aggregated back to one row per doc; the post-join groupBy moves hit
+    rows only (rare by construction).  Distinct grams per side, so a
+    phrase repeated inside one document counts once.
+    """
+    from .text import _ngram_col, tokenize
+
+    def grams(frame: DataFrame, *cols: str) -> DataFrame:
+        g = F.array_distinct(_ngram_col(tokenize(text_col), n))
+        return frame.select(*cols, F.explode(g).alias("gram"))
+
+    bench_grams = grams(bench).distinct()
+    doc_grams = grams(df, id_col)
+    hits = (doc_grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated")))
+    return (df.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                     .alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))

@@ -1280,6 +1280,17 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "source", "shard", "n_toks")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for a three-term query: one partial-agg stats scan
+    (N, avgdl, per-term docfreq) + one scoring scan into a TakeOrdered
+    heap — no explode, no inverted-index shuffle
+    (search.py:bm25_topk)."""
+    from zdb_spark.operators.search import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk(docs, "table scan fast", "text", "doc_id", k=15)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -1482,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_mix": q_token_budget_mix,
         "contamination": q_contamination,
+        "bm25_search": q_bm25_search,
         "stream_dedup": q_stream_dedup,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
@@ -2428,6 +2440,34 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, shard, n_toks
         FROM c WHERE cum - n_toks < budget
+    """
+    # BM25 with the same Robertson/Lucene idf and tie-break; terms fixed
+    # to the entry's query ('fast','scan','table' after sort/dedup)
+    bm25_term = ("ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * tf{i} * 2.2"
+                 " / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+    bm25_score = " + ".join(bm25_term.format(i=i) for i in range(3))
+    sqls["bm25_search"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, x -> x = 'fast')) AS tf0,
+                   len(list_filter(toks, x -> x = 'scan')) AS tf1,
+                   len(list_filter(toks, x -> x = 'table')) AS tf2
+            FROM t
+        ), s AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl,
+                   sum((tf0 > 0)::INT) AS df0,
+                   sum((tf1 > 0)::INT) AS df1,
+                   sum((tf2 > 0)::INT) AS df2
+            FROM d
+        )
+        SELECT doc_id, round({bm25_score}, 6) AS bm25
+        FROM d, s
+        WHERE round({bm25_score}, 6) > 0
+        ORDER BY bm25 DESC, doc_id LIMIT 15
     """
     # 8-word-gram join as in the Spark operator: distinct grams per side
     gram8 = ("list_distinct(list_transform("

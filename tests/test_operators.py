@@ -765,3 +765,44 @@ class TestClusters:
                for r in dedup.duplicate_clusters(pairs).collect()}
         assert set(got.values()) == {"doc-a"}
         assert len(got) == len(ids)
+
+
+class TestSearch:
+    def test_bm25_hand_computed(self, spark):
+        from zdb_spark.operators.search import bm25_topk, corpus_term_stats
+
+        rows = [(1, "cat dog"), (2, "cat cat cat"), (3, "bird"),
+                (4, "dog dog cat fish")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, "cat", "text", "doc_id", k=10)
+        got = {r["doc_id"]: r["bm25"] for r in out.collect()}
+        # N=4, df(cat)=3, avgdl=10/4=2.5; idf=ln(1+1.5/3.5)
+        import math
+        idf = math.log(1 + 1.5 / 3.5)
+        def score(tf, dl):
+            return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5)), 6)
+        assert got == {1: score(1, 2), 2: score(3, 3), 4: score(1, 4)}
+        assert 3 not in got  # no match -> excluded
+        # doc 2 (tf=3, short) must outrank the single-mention docs
+        assert max(got, key=got.get) == 2
+
+    def test_bm25_stats_reuse_and_ordering(self, spark):
+        from zdb_spark.operators.search import bm25_topk, corpus_term_stats
+
+        rows = [(i, "alpha beta " + "gamma " * (i % 3)) for i in range(20)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = corpus_term_stats(df, ["alpha", "gamma"], "text")
+        assert stats["n"] == 20 and stats["docfreq"]["alpha"] == 20
+        a = bm25_topk(df, "gamma alpha", "text", "doc_id", k=5).collect()
+        b = bm25_topk(df, "gamma alpha", "text", "doc_id", k=5,
+                      stats=stats).collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+        scores = [r["bm25"] for r in a]
+        assert scores == sorted(scores, reverse=True) and len(a) == 5
+
+    def test_bm25_validation(self, spark):
+        from zdb_spark.operators.search import bm25_topk
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            bm25_topk(df, "   ", "text", "doc_id")

@@ -558,6 +558,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED signature store: docs
+    0-399 are the already-indexed corpus (store built once per testdata
+    fingerprint), docs 400+ arrive as the new batch; output is every
+    near-dup pair touching a new doc — without re-shingling the corpus
+    (dedup.py:build_minhash_store / incremental_minhash_pairs).  The
+    oracle is brute-force all-pairs Jaccard restricted to pairs with a
+    new-doc side, so a hash match proves the incremental path finds
+    exactly what a full re-run would."""
+    import tempfile
+
+    from zdb_spark.operators.dedup import (build_minhash_store,
+                                           incremental_minhash_pairs)
+
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 400)
+    new = docs.where(F.col("doc_id") >= 400)
+    key = _key_for(sf_dir, "mh-store-v1", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_mh_store", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        build_minhash_store(old, store, "text", "doc_id",
+                            num_hashes=64, bands=16, k=5)
+    pairs = incremental_minhash_pairs(new, old, store, "text", "doc_id",
+                                      threshold=0.5)
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
 # Fixed boilerplate for the hot-bucket-cap gate: ~250 shared 5-char
 # shingles per planted doc.  With five 32-hex-char md5 blocks as the
 # unique tail (~160 shingles), planted pairwise Jaccard lands in
@@ -1462,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_capped": q_dedup_minhash_capped,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
@@ -2032,6 +2060,31 @@ def oracle_sql() -> dict[str, str]:
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """,
+        # same brute-force truth, restricted to pairs touching the
+        # "new batch" (doc_id >= 400) — what the incremental path owes
+        "dedup_incremental": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE a.doc_id >= 400 OR b.doc_id >= 400
             )
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard

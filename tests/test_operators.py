@@ -806,3 +806,50 @@ class TestSearch:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             bm25_topk(df, "   ", "text", "doc_id")
+
+
+class TestIncrementalDedup:
+    def test_matches_full_rerun_and_append_lifecycle(self, spark, tmp_path):
+        """incremental(new) == full-batch pairs restricted to new docs;
+        after append, a SECOND batch pairs against first-batch docs."""
+        rows = [
+            Row(doc_id=1, text="The quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="Completely different content about databases"),
+            Row(doc_id=3, text="Another unrelated document entirely here"),
+            # batch 1: near-dup of corpus doc 1 + a fresh doc
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog "),
+            Row(doc_id=11, text="fresh content with no duplicate anywhere"),
+            # batch 2: dup of BATCH-1 doc 11 (only findable post-append)
+            Row(doc_id=20, text="fresh content with no duplicate anywhere!"),
+        ]
+        df = spark.createDataFrame(rows)
+        corpus0 = df.where(F.col("doc_id") <= 3)
+        batch1 = df.where(F.col("doc_id").isin(10, 11))
+        batch2 = df.where(F.col("doc_id") == 20)
+        store = str(tmp_path / "store")
+
+        dedup.build_minhash_store(corpus0, store)
+        inc1 = dedup.incremental_minhash_pairs(batch1, corpus0, store)
+        got1 = {(r["id_a"], r["id_b"]) for r in inc1.collect()}
+        full = dedup.minhash_lsh_pairs(df.where(F.col("doc_id") < 20))
+        want1 = {(r["id_a"], r["id_b"]) for r in full.collect()
+                 if r["id_a"] >= 10 or r["id_b"] >= 10}
+        assert got1 == want1 and (1, 10) in got1
+
+        dedup.append_minhash_store(batch1, store)
+        corpus1 = df.where(F.col("doc_id") < 20)
+        inc2 = dedup.incremental_minhash_pairs(batch2, corpus1, store)
+        got2 = {(r["id_a"], r["id_b"]) for r in inc2.collect()}
+        assert got2 == {(11, 20)}  # found against an APPENDED doc
+
+    def test_version_mismatch_refuses(self, spark, tmp_path):
+        import json
+        rows = [Row(doc_id=1, text="some corpus document text")]
+        df = spark.createDataFrame(rows)
+        store = str(tmp_path / "store")
+        dedup.build_minhash_store(df, store)
+        p = json.load(open(f"{store}/params.json"))
+        p["version"] = "mh0"
+        json.dump(p, open(f"{store}/params.json", "w"))
+        with pytest.raises(ValueError, match="recipe"):
+            dedup.incremental_minhash_pairs(df, df, store)

@@ -48,7 +48,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "minhash_signature", "minhash_lsh_pairs", "simhash",
            "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
-           "release", "portable_hash64"]
+           "release", "portable_hash64", "build_minhash_store",
+           "append_minhash_store", "incremental_minhash_pairs"]
 
 
 def release(df: DataFrame) -> None:
@@ -191,6 +192,20 @@ def _cap_buckets(rows: DataFrame, keys: list[str],
     return rows.join(hot.select(*keys), keys, "left_anti"), hot
 
 
+def _banded_rows(base: DataFrame, bands: int, r: int) -> DataFrame:
+    """Explode a signature frame (_id, minhash) into slim
+    (_id, band, bh) rows — one xxhash64 per band over its signature
+    slice.  Shared by the batch self-join and the incremental store so
+    stored and freshly-computed band hashes are bit-identical."""
+    return base.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.slice("minhash", b * r + 1, r)).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb")).select("_id", "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, k: int = 5,
@@ -227,13 +242,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .cache())
 
     # Slim (id, band, band_hash) rows — 16 small rows per doc, no arrays.
-    banded = base.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.slice("minhash", b * r + 1, r)).alias("bh"))
-            for b in range(bands)
-        ])).alias("bb")).select("_id", "bb.band", "bb.bh")
+    banded = _banded_rows(base, bands, r)
 
     dropped = None
     if max_bucket_size is not None:
@@ -582,6 +591,178 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                .where(F.col("jaccard") >= threshold)
                .select("id_a", "id_b", "jaccard"))
     out._zdb_cache_handles = [sh]
+    if dropped is not None:
+        out._zdb_dropped_buckets = dropped
+    return out
+
+
+# --------------------------------------------------------------------- #
+# incremental dedup: persisted MinHash signature store                    #
+# --------------------------------------------------------------------- #
+_STORE_VERSION = "mh1"  # bump when the hash recipe changes
+
+
+def _store_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    if p.get("version") != _STORE_VERSION:
+        raise ValueError(
+            f"signature store at {path} was built by recipe "
+            f"{p.get('version')!r}; this code computes {_STORE_VERSION!r} — "
+            "rebuild the store (stored and fresh hashes would not collide)")
+    return p
+
+
+def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
+                      bands: int, k: int, text_col: str, id_col: str,
+                      mode: str) -> None:
+    base = (minhash_signature(df, text_col, num_hashes, k)
+            .select(F.col(id_col).alias("_id"), "minhash"))
+    base.select(F.col("_id").alias(id_col), "minhash") \
+        .write.mode(mode).parquet(f"{path}/sigs")
+    (_banded_rows(base, bands, num_hashes // bands)
+     .select(F.col("_id").alias(id_col), "band", "bh")
+     .write.mode(mode).parquet(f"{path}/banded"))
+
+
+def build_minhash_store(df: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_hashes: int = 64,
+                        bands: int = 16, k: int = 5) -> None:
+    """Persist the corpus's MinHash index: ``sigs/`` (id, 64-long
+    signature) and ``banded/`` (id, band, band-hash) parquet plus a
+    params file pinning the hash recipe.
+
+    This is what makes dedup INCREMENTAL at 100 TB: the expensive part
+    of LSH dedup is shingling + signing the corpus, and it never has to
+    be repeated — new batches sign only themselves and equi-join the
+    stored band rows (``incremental_minhash_pairs``).  Store size is
+    ~(num_hashes + 2·bands)·8 bytes per document (~0.5 KB/doc at the
+    defaults), independent of document length.
+    """
+    import json
+    import os
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    _write_store_rows(df, path, num_hashes, bands, k, text_col, id_col,
+                      mode="errorifexists")
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": _STORE_VERSION, "num_hashes": num_hashes,
+                   "bands": bands, "k": k}, f)
+
+
+def append_minhash_store(df: DataFrame, path: str, text_col: str = "text",
+                         id_col: str = "doc_id") -> None:
+    """Add a batch's signatures to an existing store (O(batch), the
+    corpus is untouched).  Caller feeds each ingested batch through here
+    after pairing it with ``incremental_minhash_pairs``."""
+    p = _store_params(path)
+    _write_store_rows(df, path, p["num_hashes"], p["bands"], p["k"],
+                      text_col, id_col, mode="append")
+
+
+def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
+                              path: str, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.5,
+                              max_bucket_size: int | None = None
+                              ) -> DataFrame:
+    """Near-duplicate pairs INVOLVING AT LEAST ONE NEW DOCUMENT, without
+    re-processing the corpus: new-vs-corpus and new-vs-new, same output
+    schema and semantics as ``minhash_lsh_pairs`` (id_a < id_b, exact
+    Jaccard >= threshold).
+
+    Cost model — the whole point: shingling/signing touches only the new
+    batch; the corpus contributes (a) its stored band rows to one
+    equi-join keyed on (band, bh) and (b) the TEXT of candidate-matched
+    corpus docs only (semi-join pushdown on ``corpus_df``), re-shingled
+    for the exact verify.  Candidates are rare by construction, so at
+    100 TB the corpus-side work is point lookups, not a scan.  Appending
+    the batch afterwards (``append_minhash_store``) keeps the store
+    complete for the next batch.
+
+    ``max_bucket_size`` caps hot buckets over the COMBINED (stored +
+    new) band rows — a boilerplate bucket is hot corpus-wide, not
+    per-batch.
+    """
+    spark = new_df.sparkSession
+    p = _store_params(path)
+    num_hashes, bands, k = p["num_hashes"], p["bands"], p["k"]
+    r = num_hashes // bands
+
+    new_base = (minhash_signature(new_df, text_col, num_hashes, k,
+                                  shingles_col="_sh")
+                .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+                .cache())
+    new_banded = _banded_rows(new_base, bands, r)
+    old_banded = (spark.read.parquet(f"{path}/banded")
+                  .select(F.col(id_col).alias("_id"), "band", "bh"))
+    all_banded = new_banded.unionByName(old_banded)
+
+    dropped = None
+    if max_bucket_size is not None:
+        all_banded, dropped = _cap_buckets(all_banded, ["band", "bh"],
+                                           max_bucket_size)
+        # the cap filters the probe side through the same hot-key set
+        hot = dropped.select("band", "bh")
+        new_banded = new_banded.join(hot, ["band", "bh"], "left_anti")
+
+    cand = (new_banded.select(F.col("_id").alias("id_n"), "band", "bh")
+            .join(all_banded.select(F.col("_id").alias("id_o"),
+                                    "band", "bh"),
+                  ["band", "bh"])
+            .where(F.col("id_n") != F.col("id_o"))
+            .select(F.least("id_n", "id_o").alias("id_a"),
+                    F.greatest("id_n", "id_o").alias("id_b"))
+            .dropDuplicates())
+
+    new_sigs = new_base.select(F.col("_id"), "minhash")
+    old_sigs = (spark.read.parquet(f"{path}/sigs")
+                .select(F.col(id_col).alias("_id"), "minhash"))
+    # a doc re-submitted in the new batch keeps ONE signature (they are
+    # identical by construction; dropDuplicates on id)
+    sigs = new_sigs.unionByName(old_sigs).dropDuplicates(["_id"])
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda m: m))
+           .cast("double") / F.lit(num_hashes))
+    margin = 3.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5
+    screened = (cand
+                .join(sigs.select(F.col("_id").alias("id_a"),
+                                  F.col("minhash").alias("sig_a")), "id_a")
+                .join(sigs.select(F.col("_id").alias("id_b"),
+                                  F.col("minhash").alias("sig_b")), "id_b")
+                .withColumn("est_jaccard", F.round(est, 6))
+                .where(F.col("est_jaccard") >= threshold - margin)
+                .select("id_a", "id_b", "est_jaccard"))
+
+    # Exact verify: new docs' shingles are in hand; corpus docs'
+    # shingles are recomputed for CANDIDATE ids only (semi-join keeps
+    # the corpus scan prunable to the matched rows).
+    cand_ids = (screened.select(F.col("id_a").alias("cid"))
+                .unionByName(screened.select(F.col("id_b").alias("cid")))
+                .dropDuplicates())
+    old_sh = (corpus_df
+              .join(cand_ids, corpus_df[id_col] == cand_ids["cid"],
+                    "left_semi")
+              .select(F.col(id_col).alias("_id"),
+                      hashed_shingles(text_col, k).alias("_sh")))
+    sh = (new_base.select("_id", "_sh").unionByName(old_sh)
+          .dropDuplicates(["_id"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (screened
+           .join(sh.select(F.col("_id").alias("id_a"),
+                           F.col("_sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col("_id").alias("id_b"),
+                           F.col("_sh").alias("sh_b")), "id_b")
+           .withColumn("jaccard", F.round(inter / union, 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "est_jaccard", "jaccard"))
+    out._zdb_cache_handles = [new_base]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
     return out

@@ -53,6 +53,11 @@ HEADLINE = [
     "asof_join",          # point-in-time join (union+window, no join node)
     "range_join",         # interval containment (bucketized equi-join)
     "knn_pq",             # compressed-domain ADC scan + exact rerank
+    "text_repetition",    # Gopher-style repetition signals (row-local fold)
+    "bm25_search",        # 2-scan BM25 top-k, no inverted-index shuffle
+    "contamination",      # 8-gram overlap vs broadcast benchmark set
+    "dedup_incremental",  # batch-vs-signature-store pairs (store cached
+                          # across runs by testdata fingerprint)
 ]
 
 

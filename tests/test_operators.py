@@ -853,3 +853,39 @@ class TestIncrementalDedup:
         json.dump(p, open(f"{store}/params.json", "w"))
         with pytest.raises(ValueError, match="recipe"):
             dedup.incremental_minhash_pairs(df, df, store)
+
+
+class TestAssignCentroids:
+    def test_nearest_and_ties(self, spark):
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        rows = [(1, [2.0, 0.1]), (2, [0.1, 3.0]),
+                (3, [1.0, 1.0]),   # equal dots -> tie -> lowest index
+                (4, [0.0, 0.0])]   # all dots 0 -> tie -> lowest index
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["centroid_id"] for r in
+               similarity.assign_centroids(df, cents, "embedding").collect()}
+        assert out == {1: 0, 2: 1, 3: 0, 4: 0}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, [1.0])],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            similarity.assign_centroids(df, [], "embedding")
+
+    def test_composes_with_ivf_training(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(7)
+        blob = lambda c, n: (rng.randn(n, 4) * 0.05 + c).tolist()
+        rows = [(i, v) for i, v in enumerate(
+            blob([1, 0, 0, 0], 40) + blob([0, 1, 0, 0], 40))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assigned, cents = similarity.ivf_index(df, "embedding",
+                                               n_centroids=2, iters=5)
+        relabeled = similarity.assign_centroids(df, cents, "embedding")
+        a = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+        b = {r["vec_id"]: r["centroid_id"] for r in relabeled.collect()}
+        assert a == b  # assign_centroids IS ivf's assignment half
+        # the two planted blobs land in two distinct clusters
+        g0 = {a[i] for i in range(40)}
+        g1 = {a[i] for i in range(40, 80)}
+        assert len(g0) == 1 and len(g1) == 1 and g0 != g1

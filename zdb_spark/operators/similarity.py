@@ -30,7 +30,7 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "lsh_index_topk", "build_ivf_index", "ivf_index_topk",
            "append_lsh_index", "append_ivf_index", "compact_ann_index",
            "index_data_files", "current_generation",
-           "pq_train", "pq_encode", "pq_topk"]
+           "pq_train", "pq_encode", "pq_topk", "assign_centroids"]
 
 
 def _as_double(c: Column) -> Column:
@@ -208,6 +208,26 @@ def _nearest_centroid_col(vec_col: str, cents: "np.ndarray") -> Column:
     return let(dots,
                lambda d: (F.array_position(d, F.array_max(d)) - 1)
                .cast("int"))
+
+
+def assign_centroids(df: DataFrame, centroids, vec_col: str = "embedding",
+                     out_col: str = "centroid_id") -> DataFrame:
+    """Assign every vector to its max-dot-product centroid — the
+    distributed half of corpus clustering, exposed on its own.
+
+    ``centroids`` is a small (n, d) array-like; it inlines into the plan
+    as a literal (broadcast-by-value), so assignment is one narrow
+    codegen'd map over the corpus: no shuffle, no Python, linear in
+    rows × n·d.  Compose with ``ivf_index`` (which trains centroids on a
+    bounded sample) for end-to-end k-means clustering, or pass fixed
+    seed vectors for reproducible semantic bucketing of a corpus (mix
+    balancing, per-cluster quota sampling).  Ties break toward the
+    LOWEST centroid index (first max), which the gate oracle mirrors.
+    """
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or not len(cents):
+        raise ValueError("centroids must be a non-empty 2-D array")
+    return df.withColumn(out_col, _nearest_centroid_col(vec_col, cents))
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,

@@ -31,7 +31,13 @@ def main() -> int:
     ap.add_argument("--cap", type=int, default=None,
                     help="max_bucket_size for minhash (measures the "
                          "hot-bucket cap's effect on the growth curve)")
+    ap.add_argument("--workdir", default=None,
+                    help="dir for per-scale pair parquet artifacts "
+                         "(default: a fresh temp dir)")
     args = ap.parse_args()
+    if args.workdir is None:
+        import tempfile
+        args.workdir = tempfile.mkdtemp(prefix="zdb_scale_probe_")
 
     # Heavy scales (50x/100x) need real executor memory: the 8g default
     # heap shared by 32 task threads exhausts the unified pool during the
@@ -43,7 +49,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from zdb_spark.operators.dedup import (duplicate_clusters, exact_dedup,
-                                           minhash_lsh_pairs)
+                                           minhash_lsh_pairs, release)
     from zdb_spark.operators.text import quality_features
     from zdb_spark.session import get_spark
 
@@ -76,19 +82,41 @@ def main() -> int:
         timings["exact_dedup"] = (exact_dedup(corpus).count(),
                                   round(time.time() - t0, 2))
         t0 = time.time()
+        timings["text_quality"] = (quality_features(corpus, "text").count(),
+                                   round(time.time() - t0, 2))
+
+        # Pair stage MATERIALIZES to parquet, then the pair pipeline is
+        # hard-released before clustering.  At 50x the exact-verify join
+        # legitimately shuffles tens of GB of shingle arrays (6M+ true
+        # pairs × ~2.4KB/side); those shuffle files stay on disk as long
+        # as Python holds the pair plan, so clustering straight off the
+        # live plan stacks BOTH footprints and filled this box's disk
+        # twice (measured).  Persisting the pair artifact and clustering
+        # from the compact parquet is also the production shape: the
+        # pair set is a reusable output, not a transient.
+        pairs_path = os.path.join(args.workdir, f"pairs_{k}.parquet")
+        t0 = time.time()
         pairs = minhash_lsh_pairs(corpus, "text", "doc_id",
                                   num_hashes=64, bands=16, threshold=0.5,
                                   max_bucket_size=args.cap)
-        n_pairs = pairs.count()
-        timings["minhash_pairs"] = (n_pairs, round(time.time() - t0, 2))
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        timings_minhash_sec = round(time.time() - t0, 2)
+        release(pairs)
+        del pairs
+        import gc as _gc
+        _gc.collect()                      # drop py4j refs to the plan
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()  # reclaim verify shuffles NOW
+        pairs_df = spark.read.parquet(pairs_path)
+        n_pairs = pairs_df.count()
+        timings["minhash_pairs"] = (n_pairs, timings_minhash_sec)
+
         t0 = time.time()
-        clusters = duplicate_clusters(pairs)
+        clusters = duplicate_clusters(pairs_df)
         timings["clusters"] = (clusters.count(),
                                round(time.time() - t0, 2))
         cluster_rounds = getattr(clusters, "_zdb_rounds", None)
-        t0 = time.time()
-        timings["text_quality"] = (quality_features(corpus, "text").count(),
-                                   round(time.time() - t0, 2))
+        release(clusters)
         out["scales"][k] = {"docs": n0 * k,
                             "cluster_rounds": cluster_rounds,
                             **{name: {"rows": r, "sec": s}
@@ -97,6 +125,7 @@ def main() -> int:
         print(json.dumps({"scale": k, **out["scales"][k]}), flush=True)
         corpus.unpersist()
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     print(json.dumps(out))
     spark.stop()

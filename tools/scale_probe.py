@@ -101,6 +101,13 @@ def main() -> int:
                                   max_bucket_size=args.cap)
         pairs.write.mode("overwrite").parquet(pairs_path)
         timings_minhash_sec = round(time.time() - t0, 2)
+        dropped_stats = None
+        if args.cap is not None:
+            db = pairs._zdb_dropped_buckets
+            drow = db.agg(F.count(F.lit(1)).alias("n"),
+                          F.max("bucket_size").alias("mx")).collect()[0]
+            dropped_stats = {"n_buckets": drow["n"],
+                             "max_bucket": drow["mx"]}
         release(pairs)
         del pairs
         import gc as _gc
@@ -119,6 +126,8 @@ def main() -> int:
         release(clusters)
         out["scales"][k] = {"docs": n0 * k,
                             "cluster_rounds": cluster_rounds,
+                            **({"dropped": dropped_stats}
+                               if dropped_stats else {}),
                             **{name: {"rows": r, "sec": s}
                                for name, (r, s) in timings.items()}}
         # flush per scale: a crash at 100x must not lose the 50x numbers

@@ -737,7 +737,13 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
                                   F.col("minhash").alias("sig_b")), "id_b")
                 .withColumn("est_jaccard", F.round(est, 6))
                 .where(F.col("est_jaccard") >= threshold - margin)
-                .select("id_a", "id_b", "est_jaccard"))
+                .select("id_a", "id_b", "est_jaccard")
+                # cached: screened feeds BOTH the candidate-id semi-join
+                # and the final verify joins — without this the whole
+                # band-join + screen pipeline runs twice (measured: the
+                # uncached diamond made the incremental path slower than
+                # the full re-run it replaces)
+                .cache())
 
     # Exact verify: new docs' shingles are in hand; corpus docs'
     # shingles are recomputed for CANDIDATE ids only (semi-join keeps
@@ -750,8 +756,10 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
                     "left_semi")
               .select(F.col(id_col).alias("_id"),
                       hashed_shingles(text_col, k).alias("_sh")))
+    # cached for the same reason as screened: sh is joined once per pair
+    # side, and the corpus-side shingle recompute should run once
     sh = (new_base.select("_id", "_sh").unionByName(old_sh)
-          .dropDuplicates(["_id"]))
+          .dropDuplicates(["_id"]).cache())
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     out = (screened
@@ -762,7 +770,7 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
            .withColumn("jaccard", F.round(inter / union, 6))
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "est_jaccard", "jaccard"))
-    out._zdb_cache_handles = [new_base]
+    out._zdb_cache_handles = [new_base, screened, sh]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
     return out

@@ -1275,6 +1275,79 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup detection against a growing signature store:
+    documents arrive in two ordered micro-batches (ids 300-399, then
+    400+) over a store seeded with ids < 300; each ``foreachBatch`` runs
+    ``incremental_minhash_pairs`` for the batch, emits its pairs, and
+    ``append_minhash_store``s the batch so the NEXT batch dedups against
+    it.  The union of emitted pairs must equal brute-force all-pairs
+    Jaccard restricted to pairs whose larger id is >= 300 (batch-vs-
+    corpus ∪ batch-vs-earlier-batch ∪ batch-internal) — a hash match
+    proves the streamed store path finds exactly what one big batch run
+    would.  At scale this is continuous ingest dedup: per-trigger cost
+    is O(batch + candidates), state is the 0.5 KB/doc store, and the
+    text of prior docs is touched only for candidate ids."""
+    import tempfile
+
+    from zdb_spark.operators.dedup import (append_minhash_store,
+                                           build_minhash_store,
+                                           incremental_minhash_pairs,
+                                           release)
+
+    key = _key_for(sf_dir, "stream-inc-dedup-v1", ("documents",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_inc", key)
+    docs = _load(spark, sf_dir, "documents")
+    store = os.path.join(home, "store")
+    src_dir = os.path.join(home, "src")
+    out = os.path.join(home, "pairs")
+
+    if not os.path.exists(os.path.join(store, "params.json")):
+        build_minhash_store(docs.where(F.col("doc_id") < 300), store,
+                            "text", "doc_id")
+    if not os.path.exists(src_dir):
+        tmp = src_dir + ".tmp"
+        (docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+         .coalesce(1).write.parquet(os.path.join(tmp, "b0")))
+        (docs.where(F.col("doc_id") >= 400)
+         .coalesce(1).write.parquet(os.path.join(tmp, "b1")))
+        # one flat dir of files; mtimes force b0 before b1 under
+        # maxFilesPerTrigger's oldest-first ordering
+        import glob
+        import shutil
+        import time as _t
+        os.makedirs(tmp + ".flat")
+        for i, b in enumerate(("b0", "b1")):
+            for j, f in enumerate(sorted(glob.glob(f"{tmp}/{b}/part-*"))):
+                dst = os.path.join(tmp + ".flat", f"batch{i}-{j}.parquet")
+                shutil.copy(f, dst)
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        shutil.rmtree(tmp)
+        os.rename(tmp + ".flat", src_dir)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bmin = batch_df.agg(F.min("doc_id")).collect()[0][0]
+        corpus = docs.where(F.col("doc_id") < bmin)
+        pairs = incremental_minhash_pairs(batch_df, corpus, store,
+                                          "text", "doc_id", threshold=0.5)
+        (pairs.select("id_a", "id_b", "jaccard")
+         .write.mode("append").parquet(out))
+        release(pairs)
+        append_minhash_store(batch_df, store, "text", "doc_id")
+
+    schema = docs.select("doc_id", "text").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src_dir))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out).select("id_a", "id_b", "jaccard")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5(salt:doc_id) — the
     reproducible, append-stable, shuffle-free alternative to
@@ -1590,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "cluster_assign": q_cluster_assign,
         "stream_dedup": q_stream_dedup,
+        "stream_dedup_incremental": q_stream_dedup_incremental,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
     }
@@ -2138,6 +2212,31 @@ def oracle_sql() -> dict[str, str]:
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """,
+        # streamed store path: brute-force truth for every pair whose
+        # LARGER id is >= 300 (everything except corpus0-internal)
+        "stream_dedup_incremental": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE b.doc_id >= 300
             )
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard

@@ -1445,6 +1445,18 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id"))
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking into overlapping 32-token windows (8-token
+    overlap): one row-local explode, no shuffle; chunk ids derive from
+    the start offset so both engines reproduce them without ordinality
+    (curation.py:chunk_documents)."""
+    from zdb_spark.operators.curation import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id",
+                           max_tokens=32, overlap=8)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 for a three-term query: one partial-agg stats scan
     (N, avgdl, per-term docfreq) + one scoring scan into a TakeOrdered
@@ -1661,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "contamination": q_contamination,
         "bm25_search": q_bm25_search,
+        "chunk_docs": q_chunk_docs,
         "cluster_assign": q_cluster_assign,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_incremental": q_stream_dedup_incremental,
@@ -2670,6 +2683,20 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, shard, n_toks
         FROM c WHERE cum - n_toks < budget
+    """
+    sqls["chunk_docs"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, toks, len(toks) AS n FROM t
+        )
+        SELECT doc_id,
+               s // 24 AS chunk_idx,
+               array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
+               least(n - s, 32) AS n_chunk_tokens
+        FROM g, unnest(range(0, greatest(n - 8, 1), 24)) AS u(s)
     """
     sqls["cluster_assign"] = """
         WITH c AS (

@@ -176,3 +176,40 @@ def test_contamination_detects_planted_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
     assert out[3]["contaminated"] and out[3]["n_contaminated"] == 3
     assert not out[4]["contaminated"]  # shares words but no 8-gram
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from zdb_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))   # 25 tokens
+    df = spark.createDataFrame([(1, words), (2, "short doc")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id",
+                          max_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 6: starts 0,6,12,18 (start<=n-overlap-1=20)
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"].split() == [f"w{i}" for i in range(10)]
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(6, 16)]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-4:] == c1[1]["chunk_text"].split()[:4]
+    assert c1[3]["n_chunk_tokens"] == 25 - 18
+    # short doc: one whole chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    # every source token appears in some chunk (coverage)
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words.split())
+
+
+def test_chunk_documents_validation(spark):
+    from zdb_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", max_tokens=8, overlap=8)

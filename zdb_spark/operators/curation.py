@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "pack_sequences", "stratified_sample",
-           "token_budget_mix", "contamination"]
+           "token_budget_mix", "contamination", "chunk_documents"]
 
 _BUCKETS = 10_000
 
@@ -166,6 +166,50 @@ def token_budget_mix(df: DataFrame, source_col: str, tokens_col: str,
             .where((F.col("_budget") >= 0)
                    & (F.col("_cum") - F.col(tokens_col) < F.col("_budget")))
             .drop("_cum", "_budget"))
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", max_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split documents into overlapping ~context-window chunks.
+
+    One row per chunk: (id, chunk_idx, chunk_text, n_chunk_tokens).
+    Chunk *i* starts at token ``i·(max_tokens − overlap)`` and carries up
+    to ``max_tokens`` tokens, so consecutive chunks share ``overlap``
+    tokens (the standard long-document → training-sequence split).  The
+    whole operator is a row-local expression + ``explode`` — no shuffle,
+    no Python; output size is corpus tokens × (1 + overlap/stride), the
+    unavoidable duplication cost of overlap.  ``chunk_idx = start/stride``
+    so the id is derivable (and oracle-reproducible) without ordinality.
+    """
+    if max_tokens <= 0 or not 0 <= overlap < max_tokens:
+        raise ValueError("need max_tokens > 0 and 0 <= overlap < max_tokens")
+    from .text import tokenize
+
+    from .dedup import let
+
+    stride = max_tokens - overlap
+
+    def chunks(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(0), F.greatest(n - overlap - 1, F.lit(0)),
+                            F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / stride).cast("long").alias("chunk_idx"),
+                F.array_join(F.slice(toks, s + 1, max_tokens), " ")
+                 .alias("chunk_text"),
+                F.least(n - s, F.lit(max_tokens)).alias("n_chunk_tokens")))
+
+    exploded = (df.select(id_col,
+                          F.explode(let(tokenize(text_col), chunks))
+                           .alias("_c")))
+    return exploded.select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"))
 
 
 def contamination(df: DataFrame, bench: DataFrame, text_col: str = "text",

@@ -729,7 +729,7 @@ class TestClusters:
             [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)],
             "id_a string, id_b string")
         before = persistent_ids()
-        out = dedup.duplicate_clusters(pairs)
+        out = dedup.duplicate_clusters(pairs, driver_threshold=0)
         assert out.where(F.col("cluster_id") == "d00").count() == 13
         leaked = persistent_ids() - before
         assert len(leaked) <= 2, f"{len(leaked)} persisted RDDs leaked"
@@ -741,15 +741,21 @@ class TestClusters:
             [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6),
              Row(id_a=8, id_b=9), Row(id_a=9, id_b=10)])
         got = {r["doc_id"]: r["cluster_id"]
-               for r in dedup.duplicate_clusters(pairs).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, driver_threshold=0).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+        # the driver union-find fast path must give the identical answer
+        fast = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.duplicate_clusters(pairs).collect()}
+        assert fast == got
 
     def test_long_chain_converges(self, spark):
         # a 12-node path graph needs several propagation rounds
         pairs = spark.createDataFrame(
             [Row(id_a=i, id_b=i + 1) for i in range(12)])
         got = {r["doc_id"]: r["cluster_id"]
-               for r in dedup.duplicate_clusters(pairs).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, driver_threshold=0).collect()}
         assert set(got.values()) == {0}
         assert len(got) == 13
 
@@ -762,9 +768,14 @@ class TestClusters:
         pairs = spark.createDataFrame(
             [Row(id_a=ids[i], id_b=ids[i + 1]) for i in range(len(ids) - 1)])
         got = {r["doc_id"]: r["cluster_id"]
-               for r in dedup.duplicate_clusters(pairs).collect()}
+               for r in dedup.duplicate_clusters(
+                   pairs, driver_threshold=0).collect()}
         assert set(got.values()) == {"doc-a"}
         assert len(got) == len(ids)
+        # fast path: same components, rounds reported as 0
+        fast_df = dedup.duplicate_clusters(pairs)
+        fast = {r["doc_id"]: r["cluster_id"] for r in fast_df.collect()}
+        assert fast == got and fast_df._zdb_rounds == 0
 
 
 class TestSearch:

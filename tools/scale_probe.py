@@ -119,7 +119,10 @@ def main() -> int:
         timings["minhash_pairs"] = (n_pairs, timings_minhash_sec)
 
         t0 = time.time()
-        clusters = duplicate_clusters(pairs_df)
+        # driver_threshold=0: always measure the DISTRIBUTED path — the
+        # one a 100 TB pair graph takes (the driver union-find fast path
+        # would otherwise absorb the small scales)
+        clusters = duplicate_clusters(pairs_df, driver_threshold=0)
         timings["clusters"] = (clusters.count(),
                                round(time.time() - t0, 2))
         cluster_rounds = getattr(clusters, "_zdb_rounds", None)

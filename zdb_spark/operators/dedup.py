@@ -411,25 +411,73 @@ def _unpersist_checkpoint(df: DataFrame) -> None:
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
-                       id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                       id_b: str = "id_b", max_iter: int = 20,
+                       driver_threshold: int = 200_000) -> DataFrame:
     """Connected components over near-duplicate PAIRS → one cluster label
     per document: the step that turns any pair operator's output into an
     actionable keep/drop decision (keep ``doc_id == cluster_id``, the
     minimum member).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors'; converges in ≤ graph-diameter
-    rounds (near-dup clusters are shallow — template groups are nearly
-    cliques, diameter ~2).  The driver loop carries only a convergence
-    COUNT per round; labels stay distributed, and each round is one
-    small-key join + groupBy on the PAIR set (≪ corpus).  This is an
-    inherently iterative algorithm — the pattern for everything Catalyst
-    can't express in one plan (cf. SURVEY §2.7 delegated surface).
+    Two physical paths behind one contract (cluster_id = min member id):
+
+    - **Small graphs** (≤ ``driver_threshold`` directed edges, counted on
+      the already-cached edge frame): collect and union-find on the
+      driver.  A 500-pair graph should not pay multi-round join+
+      checkpoint fixed costs (measured ~5 s of overhead for ~0.1 s of
+      work); the collect is bounded by the threshold (~MBs), the same
+      bounded-driver-step pattern as IVF's sample-trained centroids.
+      Pass ``driver_threshold=0`` to force the distributed path (the
+      scale probe does, so its curve measures the path a 100 TB pair
+      graph takes).
+    - **Large graphs**: iterative min-label propagation — each round
+      every node takes the min of its own label and its neighbors';
+      converges in ≤ graph-diameter rounds (near-dup clusters are
+      shallow — template groups are nearly cliques, diameter ~2).  The
+      driver loop carries only a convergence COUNT per round; labels
+      stay distributed, and each round is one small-key join + groupBy
+      on the PAIR set (≪ corpus).  This is an inherently iterative
+      algorithm — the pattern for everything Catalyst can't express in
+      one plan (cf. SURVEY §2.7 delegated surface).
     """
     edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
              .unionByName(pairs.select(F.col(id_b).alias("a"),
                                        F.col(id_a).alias("b")))
              .distinct().cache())
+
+    if driver_threshold > 0:
+        # limit+1 collect sizes the graph without a full count; if it
+        # comes back under the threshold we already hold the whole edge
+        # set and union-find it on the driver (bounded: threshold rows)
+        erows = edges.limit(driver_threshold + 1).collect()
+        if len(erows) <= driver_threshold:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:       # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in erows:
+                a, b = r["a"], r["b"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-id root keeps the public contract exact
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out_rows = [(n, find(n)) for n in parent]
+            spark = pairs.sparkSession
+            schema = edges.select(F.col("a").alias("doc_id"),
+                                  F.col("a").alias("cluster_id")).schema
+            out = spark.createDataFrame(out_rows, schema)
+            out._zdb_cache_handles = [
+                edges, *getattr(pairs, "_zdb_cache_handles", [])]
+            out._zdb_rounds = 0  # driver union-find path
+            return out
     # localCheckpoint (not cache) each round: caching truncates
     # re-EXECUTION but the logical plan still deepens per iteration and
     # Catalyst re-analyzes the whole tree every round — measured minutes

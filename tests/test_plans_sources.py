@@ -5,7 +5,7 @@ import os
 
 import pytest
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from zdb_spark.plans.inspect import assert_pushdown, scan_report
 from zdb_spark.schema import ColumnType, PartitionBy, Schema
@@ -126,3 +126,59 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
             spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+class TestPipelineOperatorPlans:
+    """Pin the shuffle/broadcast claims SCALE.md makes for the newer
+    pipeline operators: row-local ops must plan with ZERO Exchanges;
+    the benchmark side of decontamination must broadcast."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"alpha beta gamma delta token{i} epsilon zeta")
+             for i in range(50)], "doc_id long, text string")
+
+    def test_repetition_features_zero_shuffle(self, docs):
+        from zdb_spark.operators.text import repetition_features
+
+        rep = scan_report(repetition_features(docs, "text"))
+        assert rep.exchanges == 0
+
+    def test_chunk_documents_zero_shuffle(self, docs):
+        from zdb_spark.operators.curation import chunk_documents
+
+        rep = scan_report(chunk_documents(docs, "text", "doc_id",
+                                          max_tokens=4, overlap=1))
+        assert rep.exchanges == 0
+
+    def test_stratified_sample_zero_shuffle(self, docs):
+        from zdb_spark.operators.curation import stratified_sample
+
+        df = docs.withColumn("src", F.lit("a"))
+        rep = scan_report(stratified_sample(df, "src", "doc_id",
+                                            {"a": 0.5}))
+        assert rep.exchanges == 0
+
+    def test_redact_pii_zero_shuffle(self, docs):
+        from zdb_spark.operators.text import redact_pii
+
+        assert scan_report(redact_pii(docs, "text")).exchanges == 0
+
+    def test_assign_centroids_zero_shuffle(self, spark):
+        from zdb_spark.operators.similarity import assign_centroids
+
+        df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(20)],
+                                   "vec_id long, embedding array<double>")
+        rep = scan_report(assign_centroids(df, [[1.0, 0.0], [0.0, 1.0]],
+                                           "embedding"))
+        assert rep.exchanges == 0
+
+    def test_contamination_broadcasts_benchmark(self, spark, docs):
+        from zdb_spark.operators.curation import contamination
+
+        bench = docs.where(F.col("doc_id") < 5)
+        out = contamination(docs, bench, "text", "doc_id", n=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan

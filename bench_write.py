@@ -82,24 +82,35 @@ def measure_write_throughput(spark, n_rows: int) -> dict:
     src.count()  # materialize the generator outside the timed region
 
     try:
+        # Each route runs TWICE (fresh table/sink per run) and the faster
+        # run is recorded — same environment-noise policy as the read
+        # bench: a shared box has produced 4x swings on single samples,
+        # and min-of-two keeps the number an algorithm measurement.
         # -- batch route: Table.write --------------------------------- #
-        t = Table.create(spark, ohlcv_schema("agg1d_bench"), home=home)
-        t0 = time.time()
-        t.write(src)
-        batch_secs = time.time() - t0
+        batch_secs = None
+        for i in range(2):
+            t = Table.create(spark, ohlcv_schema(f"agg1d_bench_{i}"),
+                             home=os.path.join(home, f"b{i}"))
+            t0 = time.time()
+            t.write(src)
+            dt = time.time() - t0
+            batch_secs = dt if batch_secs is None else min(batch_secs, dt)
 
         # -- streaming route: checkpointed availableNow file sink ----- #
         stage = os.path.join(home, "stage")
         src.write.mode("overwrite").parquet(stage)  # file source input
         ts_schema = spark.read.parquet(stage).schema
-        sink = os.path.join(home, "stream_sink")
-        t0 = time.time()
-        q = stream_writer(
-            spark.readStream.schema(ts_schema).parquet(stage),
-            os.path.join(sink, "parquet"), os.path.join(sink, "ckpt"),
-            partition_by=PartitionBy.DAY)
-        q.awaitTermination()
-        stream_secs = time.time() - t0
+        stream_secs = None
+        for i in range(2):
+            sink = os.path.join(home, f"stream_sink_{i}")
+            t0 = time.time()
+            q = stream_writer(
+                spark.readStream.schema(ts_schema).parquet(stage),
+                os.path.join(sink, "parquet"), os.path.join(sink, "ckpt"),
+                partition_by=PartitionBy.DAY)
+            q.awaitTermination()
+            dt = time.time() - t0
+            stream_secs = dt if stream_secs is None else min(stream_secs, dt)
     finally:
         src.unpersist()
         shutil.rmtree(home, ignore_errors=True)

@@ -1445,6 +1445,27 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id"))
 
 
+def _demo_quality_weights(n: int = 256) -> list[float]:
+    """Deterministic stand-in for a trained quality-model weight vector:
+    exact decimal literals (rationals over 101) so the Spark array
+    literal and the DuckDB list literal are the same doubles."""
+    return [round((i * 37) % 101 / 101 - 0.5, 6) for i in range(n)]
+
+
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: linear classifier over hashing-trick
+    token features (fastText-style filter shape).  Weights inline as an
+    array literal; scoring is one codegen'd fold per row, no shuffle
+    (text.py:quality_score_linear).  The md5 feature hash makes scores
+    engine-portable — the oracle recomputes them bit-for-bit."""
+    from zdb_spark.operators.text import quality_score_linear
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_score_linear(
+        docs, _demo_quality_weights(), bias=0.1).select(
+        "doc_id", "model_score")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-document chunking into overlapping 32-token windows (8-token
     overlap): one row-local explode, no shuffle; chunk ids derive from
@@ -1674,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "bm25_search": q_bm25_search,
         "chunk_docs": q_chunk_docs,
+        "quality_model": q_quality_model,
         "cluster_assign": q_cluster_assign,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_incremental": q_stream_dedup_incremental,
@@ -2683,6 +2705,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, shard, n_toks
         FROM c WHERE cum - n_toks < budget
+    """
+    w_lit = "[" + ", ".join(repr(w) for w in _demo_quality_weights()) + "]"
+    sqls["quality_model"] = f"""
+        WITH w AS (SELECT {w_lit} AS wv),
+        t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               round(0.1 + list_sum(list_transform(toks, tok ->
+                       wv[CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                          % 256 + 1]))
+                     / greatest(len(toks), 1), 6) AS model_score
+        FROM t, w
     """
     sqls["chunk_docs"] = r"""
         WITH t AS (

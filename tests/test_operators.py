@@ -900,3 +900,32 @@ class TestAssignCentroids:
         g0 = {a[i] for i in range(40)}
         g1 = {a[i] for i in range(40, 80)}
         assert len(g0) == 1 and len(g1) == 1 and g0 != g1
+
+
+class TestQualityModel:
+    def test_linear_score_hand_computed(self, spark):
+        import hashlib
+
+        w = [0.5] * 4  # uniform weights -> score = bias + 0.5 regardless
+        df = spark.createDataFrame([(1, "any tokens at all")],
+                                   "doc_id long, text string")
+        r = text.quality_score_linear(df, w, bias=0.25).collect()[0]
+        assert abs(r["model_score"] - 0.75) < 1e-6
+
+        # non-uniform: recompute via the same md5 hash in Python
+        w2 = [0.1, 0.2, 0.3, 0.4]
+        toks = "alpha beta beta".split()
+        want = 0.0
+        for t in toks:
+            idx = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4
+            want += w2[idx]
+        want = round(want / len(toks), 6)
+        df2 = spark.createDataFrame([(1, "alpha beta beta")],
+                                    "doc_id long, text string")
+        r2 = text.quality_score_linear(df2, w2).collect()[0]
+        assert abs(r2["model_score"] - want) < 1e-9
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            text.quality_score_linear(df, [])

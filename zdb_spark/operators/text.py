@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "fingerprint", "repetition_features", "redact_pii",
+           "quality_score_linear",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
@@ -241,6 +242,43 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
         out = F.regexp_replace(out, pat, repl)
     return df.withColumns({**counts, out_col: out})
+
+
+def quality_score_linear(df: DataFrame, weights: list[float],
+                         bias: float = 0.0, text_col: str = "text",
+                         out_col: str = "model_score") -> DataFrame:
+    """Model-based quality scoring: a linear classifier over
+    hashing-trick token features (the fastText-style quality-filter
+    shape used to grade web corpora).
+
+    ``weights`` is the trained weight vector (dimension = feature-space
+    size); each token maps to ``md5(token)[:8] % len(weights)`` and the
+    document score is ``bias + mean(weights[feature(token)])``.  The
+    weight vector inlines into the plan as an array literal
+    (broadcast-by-value; fastText-scale quality models are a few
+    hundred KB) and scoring is one codegen'd fold per row — no shuffle,
+    no Python, linear in corpus tokens.  The md5-based feature hash is
+    engine-portable, so the DuckDB gate oracle reproduces scores
+    bit-for-bit; rounded to 6 decimals.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    from .dedup import let
+
+    n = len(weights)
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+
+    def idx(tok: Column) -> Column:
+        h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        return (h % n + 1).cast("int")  # 1-based for element_at
+
+    score = let(
+        tokenize(text_col),
+        lambda toks: F.lit(bias)
+        + F.aggregate(F.transform(toks, lambda t: F.element_at(warr, idx(t))),
+                      F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size(toks), F.lit(1)))
+    return df.withColumn(out_col, F.round(score, 6))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:

@@ -1445,6 +1445,27 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id"))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality report — the composite 'dashboard'
+    query a curation run ends with: doc counts, token mass, mean
+    heuristic quality, mean repetition, predicted-language split.  One
+    pass over the corpus (all signals are row-local projections from
+    the text pack) + one partial-aggregated groupBy on source."""
+    from zdb_spark.operators.text import (language_id, quality_features,
+                                          repetition_features, token_counts)
+
+    docs = _load(spark, sf_dir, "documents")
+    sig = language_id(repetition_features(quality_features(
+        token_counts(docs))))
+    return (sig.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_ws_tokens").alias("total_tokens"),
+                 F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+                 F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram"),
+                 F.sum((F.col("lang_pred") == "en").cast("long"))
+                  .alias("n_en")))
+
+
 def _demo_quality_weights(n: int = 256) -> list[float]:
     """Deterministic stand-in for a trained quality-model weight vector:
     exact decimal literals (rationals over 101) so the Spark array
@@ -1696,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "chunk_docs": q_chunk_docs,
         "quality_model": q_quality_model,
+        "corpus_report": q_corpus_report,
         "cluster_assign": q_cluster_assign,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_incremental": q_stream_dedup_incremental,
@@ -2705,6 +2727,60 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, shard, n_toks
         FROM c WHERE cum - n_toks < budget
+    """
+    sqls["corpus_report"] = r"""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   length(text) AS n_chars
+            FROM documents
+        ), q AS (
+            SELECT doc_id, source, toks, text,
+                   len(toks) AS n_words,
+                   n_chars,
+                   n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS n_punct,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','in','is','you','that','it','for'], x))) AS s_en,
+                   len(list_filter(toks, x -> list_contains(
+                       ['el','la','de','que','y','en','los','se','del','las'], x))) AS s_es,
+                   len(list_filter(toks, x -> list_contains(
+                       ['der','die','und','das','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+                   len(list_filter(toks, x -> list_contains(
+                       ['le','la','les','et','des','un','une','est','dans','que'], x))) AS s_fr
+            FROM t
+        ), bg AS (
+            SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot
+            FROM (SELECT doc_id, gram, count(*) AS cnt
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(
+                                   range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                        FROM t)
+                  GROUP BY 1, 2)
+            GROUP BY 1
+        ), per_doc AS (
+            SELECT q.doc_id, q.source, q.n_words,
+                   round(0.4 * least(CAST(q.n_words AS DOUBLE) / 100, 1.0)
+                   + 0.3 * (1.0 - CAST(q.n_punct AS DOUBLE) / q.n_chars)
+                   + 0.3 * least(CAST(q.s_en AS DOUBLE) / q.n_words * 5, 1.0),
+                       6) AS qscore,
+                   round(coalesce(CAST(bg.mx AS DOUBLE) / bg.tot, 0.0), 6)
+                       AS tbf,
+                   CASE WHEN regexp_matches(q.text, '[一-鿿]') THEN 'zh'
+                        WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM q LEFT JOIN bg ON q.doc_id = bg.doc_id
+        )
+        SELECT source, count(*) AS n_docs,
+               sum(n_words) AS total_tokens,
+               round(avg(qscore), 6) AS avg_quality,
+               round(avg(tbf), 6) AS avg_top_bigram,
+               sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS n_en
+        FROM per_doc GROUP BY 1
     """
     w_lit = "[" + ", ".join(repr(w) for w in _demo_quality_weights()) + "]"
     sqls["quality_model"] = f"""

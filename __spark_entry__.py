@@ -1176,6 +1176,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("mean_luma"), 6).alias("avg_luma")))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing: every-3rd pseudo-frame (cap 4) per
+    blob through the Arrow-batched mapInPandas sampler; the sha256-
+    derived stub fingerprint is engine-portable so the oracle re-derives
+    every emitted (frame_idx, frame_hash) row exactly
+    (multimodal.py:sample_frames)."""
+    from zdb_spark.operators.multimodal import sample_frames
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", F.encode("text", "utf-8").alias("blob")))
+    out = sample_frames(docs, "blob", "doc_id", every_nth=3, max_frames=4)
+    return out.select(F.col("id").alias("doc_id"), "frame_idx",
+                      "frame_hash")
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text→blob→JVM-side metadata extraction."""
     from zdb_spark.operators.multimodal import blob_metadata
@@ -1702,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "embedding_norms": q_embedding_norms,
         "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_frames": q_multimodal_frames,
         "multimodal_decode": q_multimodal_decode,
         # temporal joins + rank/TWAP patterns
         "asof_join": q_asof_join,
@@ -2810,6 +2826,16 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
                least(n - s, 32) AS n_chunk_tokens
         FROM g, unnest(range(0, greatest(n - 8, 1), 24)) AS u(s)
+    """
+    sqls["multimodal_frames"] = r"""
+        WITH t AS (
+            SELECT doc_id, text, greatest(strlen(text) // 32, 1) AS nf
+            FROM documents
+        )
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+               substr(sha256(text || ':' || CAST(fi AS VARCHAR)), 1, 16)
+                   AS frame_hash
+        FROM t, unnest((range(0, nf, 3))[1:4]) AS u(fi)
     """
     sqls["cluster_assign"] = """
         WITH c AS (

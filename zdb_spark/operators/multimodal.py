@@ -129,7 +129,9 @@ def sample_frames(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
     frame index with a deterministic frame fingerprint (STUB decode).
 
     Output: (id, frame_idx, frame_hash) — the explode-shaped contract a
-    real ffmpeg-backed sampler would honor.
+    real ffmpeg-backed sampler would honor.  The stub fingerprint is
+    ``sha256(blob || ':' || frame_idx)[:16]`` so an engine with only
+    string sha256 (the DuckDB gate oracle) reproduces it exactly.
     """
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,7 +141,8 @@ def sample_frames(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
                 n_pseudo_frames = max(1, len(data) // 32)
                 picked = list(range(0, n_pseudo_frames, every_nth))[:max_frames]
                 for fi in picked:
-                    fh = hashlib.sha1(data + fi.to_bytes(4, "little")).hexdigest()[:16]
+                    fh = hashlib.sha256(
+                        data + f":{fi}".encode()).hexdigest()[:16]
                     rows.append((int(i), fi, fh))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_hash"])
 

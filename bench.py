@@ -58,6 +58,8 @@ HEADLINE = [
     "contamination",      # 8-gram overlap vs broadcast benchmark set
     "dedup_incremental",  # batch-vs-signature-store pairs (store cached
                           # across runs by testdata fingerprint)
+    "quality_model",      # hashing-trick linear scorer (codegen'd fold)
+    "chunk_docs",         # overlapping context-window explode
 ]
 
 

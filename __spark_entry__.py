@@ -566,16 +566,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.py:build_minhash_store / incremental_minhash_pairs).  The
     oracle is brute-force all-pairs Jaccard restricted to pairs with a
     new-doc side, so a hash match proves the incremental path finds
-    exactly what a full re-run would."""
+    exactly what a full re-run would.
+
+    The split threshold is 80% of the corpus (doc_ids are dense from 0),
+    which at the sf0.01 GATE corpus (500 docs) is exactly the oracle's
+    hard-coded 400; at bench scale it keeps the realistic
+    small-batch-vs-big-corpus shape instead of inverting it."""
     import tempfile
 
     from zdb_spark.operators.dedup import (build_minhash_store,
                                            incremental_minhash_pairs)
 
     docs = _load(spark, sf_dir, "documents")
-    old = docs.where(F.col("doc_id") < 400)
-    new = docs.where(F.col("doc_id") >= 400)
-    key = _key_for(sf_dir, "mh-store-v1", ("documents",))
+    thr = int(docs.count() * 0.8)
+    old = docs.where(F.col("doc_id") < thr)
+    new = docs.where(F.col("doc_id") >= thr)
+    key = _key_for(sf_dir, f"mh-store-v2-t{thr}", ("documents",))
     store = os.path.join(tempfile.gettempdir(), "zdb_mh_store", key)
     if not os.path.exists(os.path.join(store, "params.json")):
         build_minhash_store(old, store, "text", "doc_id",

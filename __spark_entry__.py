@@ -1466,6 +1466,20 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id"))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filtering: add-k bigram LM trained on
+    the corpus itself scores each doc's mean transition log-prob.  Train
+    = two partially-aggregated groupBys over the exploded bigram stream;
+    score = the stream joined back on its natural keys (no broadcast
+    assumption — a 100 TB corpus's count table is itself large)
+    (text.py:bigram_logprob)."""
+    from zdb_spark.operators.text import bigram_logprob
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "text", "doc_id", k=0.1).select(
+        "doc_id", "n_bigrams", "avg_logprob")
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus quality report — the composite 'dashboard'
     query a curation run ends with: doc counts, token mass, mean
@@ -1740,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "quality_model": q_quality_model,
         "corpus_report": q_corpus_report,
+        "lm_score": q_lm_score,
         "cluster_assign": q_cluster_assign,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_incremental": q_stream_dedup_incremental,
@@ -2749,6 +2764,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, shard, n_toks
         FROM c WHERE cum - n_toks < budget
+    """
+    sqls["lm_score"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        ), ex AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM t
+        ), e2 AS (
+            SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM ex
+        ), cbg AS (
+            SELECT bg, count(*) AS c_bg FROM e2 GROUP BY 1
+        ), cw1 AS (
+            SELECT w1, count(*) AS c_w1 FROM e2 GROUP BY 1
+        ), v AS (
+            SELECT count(DISTINCT u.tok) AS vocab
+            FROM (SELECT unnest(toks) AS tok FROM t) u
+        ), sc AS (
+            SELECT doc_id,
+                   ln((c_bg + 0.1) / (c_w1 + 0.1 * vocab)) AS lp
+            FROM e2 JOIN cbg USING (bg) JOIN cw1 USING (w1), v
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 6) AS avg_logprob
+            FROM sc GROUP BY 1
+        )
+        SELECT t.doc_id, agg.n_bigrams, agg.avg_logprob
+        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
     """
     sqls["corpus_report"] = r"""
         WITH t AS (

@@ -929,3 +929,33 @@ class TestQualityModel:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError):
             text.quality_score_linear(df, [])
+
+
+class TestBigramLM:
+    def test_hand_computed_logprob(self, spark):
+        import math
+
+        # corpus: "a b a b" and "a b c"
+        # bigrams: d1: (a b) (b a) (a b); d2: (a b) (b c)
+        # c(a b)=3, c(b a)=1, c(b c)=1; prefix c(a)=3, c(b)=2; V={a,b,c}=3
+        df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               text.bigram_logprob(df, "text", "doc_id", k=0.1).collect()}
+        k, V = 0.1, 3
+        lp_ab = math.log((3 + k) / (3 + k * V))
+        lp_ba = math.log((1 + k) / (2 + k * V))
+        lp_bc = math.log((1 + k) / (2 + k * V))
+        want1 = round((lp_ab + lp_ba + lp_ab) / 3, 6)
+        want2 = round((lp_ab + lp_bc) / 2, 6)
+        assert out[1]["n_bigrams"] == 3
+        assert abs(out[1]["avg_logprob"] - want1) < 1e-6
+        assert abs(out[2]["avg_logprob"] - want2) < 1e-6
+
+    def test_short_doc_null(self, spark):
+        df = spark.createDataFrame([(1, "single"), (2, "two words")],
+                                   "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               text.bigram_logprob(df, "text", "doc_id").collect()}
+        assert out[1]["avg_logprob"] is None
+        assert out[2]["n_bigrams"] == 1

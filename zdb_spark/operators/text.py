@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "fingerprint", "repetition_features", "redact_pii",
-           "quality_score_linear",
+           "quality_score_linear", "bigram_logprob",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
@@ -242,6 +242,42 @@ def redact_pii(df: DataFrame, text_col: str = "text",
             F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
         out = F.regexp_replace(out, pat, repl)
     return df.withColumns({**counts, out_col: out})
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: float = 0.1,
+                   out_col: str = "avg_logprob") -> DataFrame:
+    """Corpus-trained bigram language model score per document — the
+    perplexity-filtering shape (KenLM-style): documents whose word
+    transitions are improbable under the corpus's own statistics are
+    boilerplate/garble candidates.
+
+    Model: add-k smoothed bigram LM trained on the SAME corpus;
+    ``logp(w2|w1) = ln((c(w1 w2) + k) / (c(w1·) + k·V))`` with ``c(w1·)``
+    the bigram-prefix count and ``V`` the distinct-unigram vocabulary.
+    Output: (id, n_bigrams, avg_logprob) — mean transition log-prob.
+
+    Shape at scale: train = two partially-aggregated groupBys over the
+    exploded bigram stream (map-side combine shrinks both); score = the
+    same stream joined back to the count tables on their natural keys —
+    sort-merge joins AQE handles, no broadcast assumption (the count
+    table of a 100 TB corpus is itself large).  V is one scalar agg.
+    Docs with fewer than 2 tokens get NULL (no transitions to score).
+    """
+    toks = tokenize(text_col)
+    ex = (df.select(F.col(id_col), F.explode(_ngram_col(toks, 2))
+                    .alias("bg"))
+          .withColumn("w1", F.split("bg", " ").getItem(0)))
+    bg_counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    w1_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    vocab = (df.select(F.explode(toks).alias("t")).distinct().count())
+    logp = F.log((F.col("c_bg") + F.lit(k))
+                 / (F.col("c_w1") + F.lit(k * vocab)))
+    scored = (ex.join(bg_counts, "bg").join(w1_counts, "w1")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg(logp), 6).alias(out_col)))
+    return df.select(id_col).join(scored, id_col, "left")
 
 
 def quality_score_linear(df: DataFrame, weights: list[float],

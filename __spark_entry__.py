@@ -1369,6 +1369,37 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("id_a", "id_b", "jaccard")
 
 
+def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation filter: documents flow through the text pack's
+    quality + repetition signals as a stateless streaming projection and
+    only docs passing the thresholds reach the sink — the shape of a
+    continuous ingest-side quality gate (no state store, no watermark:
+    row-local signals).  Oracle = the same thresholds in batch SQL over
+    the source; a hash match proves the streamed filter admits exactly
+    the batch-selected set."""
+    import tempfile
+
+    from zdb_spark.operators.text import (quality_features,
+                                          repetition_features)
+
+    key = _key_for(sf_dir, "stream-qfilter-v1", ("documents",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_qf", key)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    sig = repetition_features(quality_features(src))
+    kept = (sig.where((F.col("quality_score") >= 0.5)
+                      & (F.col("top_bigram_frac") <= 0.08))
+            .select("doc_id", "quality_score", "top_bigram_frac"))
+    out = os.path.join(home, "out")
+    q = (kept.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5(salt:doc_id) — the
     reproducible, append-stable, shuffle-free alternative to
@@ -1758,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": q_cluster_assign,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_incremental": q_stream_dedup_incremental,
+        "stream_quality_filter": q_stream_quality_filter,
         "topn_per_group": q_topn_per_group,
         "twap": q_twap,
     }
@@ -2764,6 +2796,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, source, shard, n_toks
         FROM c WHERE cum - n_toks < budget
+    """
+    sqls["stream_quality_filter"] = r"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   length(text) AS n_chars
+            FROM documents
+        ), f AS (
+            SELECT doc_id, toks,
+                   len(toks) AS n_words,
+                   n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS n_punct,
+                   n_chars,
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','and','of','to','in','is','you','that','it','for'],
+                       x))) AS n_stop
+            FROM t
+        ), q AS (
+            SELECT doc_id, toks,
+                   round(0.4 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
+                       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+                       + 0.3 * least(CAST(n_stop AS DOUBLE) / n_words * 5,
+                                     1.0), 6) AS quality_score
+            FROM f
+        ), c2 AS (
+            SELECT doc_id, max(cnt) AS mx, sum(cnt) AS tot
+            FROM (SELECT doc_id, gram, count(*) AS cnt
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(
+                                   range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+                        FROM q)
+                  GROUP BY 1, 2)
+            GROUP BY 1
+        ), sig AS (
+            SELECT q.doc_id, q.quality_score,
+                   round(coalesce(CAST(c2.mx AS DOUBLE) / c2.tot, 0.0), 6)
+                       AS top_bigram_frac
+            FROM q LEFT JOIN c2 ON q.doc_id = c2.doc_id
+        )
+        SELECT doc_id, quality_score, top_bigram_frac
+        FROM sig
+        WHERE quality_score >= 0.5 AND top_bigram_frac <= 0.08
     """
     sqls["lm_score"] = r"""
         WITH t AS (

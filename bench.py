@@ -60,6 +60,7 @@ HEADLINE = [
                           # across runs by testdata fingerprint)
     "quality_model",      # hashing-trick linear scorer (codegen'd fold)
     "chunk_docs",         # overlapping context-window explode
+    "lm_score",           # corpus-trained bigram LM train+score
 ]
 
 

@@ -687,3 +687,57 @@ class TestChunkedManifest:
         assert head["segments"], "seal threshold was crossed"
         assert t.scan().count() == total
         assert t.row_count == total
+
+
+class TestSchemaEvolution:
+    """add_column: metadata-only evolution — old files never rewritten."""
+
+    def test_add_column_null_and_default(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+
+        t.add_column("venue", ColumnType.SYMBOL8, default="UNK")
+        t.add_column("fee", ColumnType.F64)          # no default -> NULL
+
+        # old rows: default applied at read, NULL where none declared
+        got = {r["ts"]: r for r in t.scan().collect()}
+        assert got[T0]["venue"] == "UNK" and got[T0]["fee"] is None
+
+        # new write carrying the columns
+        new = spark.createDataFrame(
+            [Row(ts=T0 + DAY, sym="MSFT", price=2.0, size=5,
+                 venue="XNAS", fee=0.1)])
+        t.write(new)
+        # new write OMITTING them: default fills venue; fee (no default)
+        # is a caller error
+        t.write(rows_df(spark, [T0 + 2 * DAY]).withColumn(
+            "fee", __import__("pyspark.sql.functions", fromlist=["lit"])
+            .lit(0.0)))
+        got = {r["ts"]: r for r in t.scan().collect()}
+        assert got[T0 + DAY]["venue"] == "XNAS"
+        assert got[T0 + DAY]["fee"] == 0.1
+        assert got[T0 + 2 * DAY]["venue"] == "UNK"
+        with pytest.raises(ValueError, match="missing columns"):
+            t.write(rows_df(spark, [T0 + 3 * DAY]))
+
+        # evolution survives re-open; projection sees the new column
+        t2 = Table.open(spark, "t1", home=tmp_home)
+        assert [c.name for c in t2.schema.columns][-2:] == ["venue", "fee"]
+        assert t2.scan(columns=["ts", "venue"]).count() == 4
+
+    def test_add_existing_column_rejected(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        with pytest.raises(ValueError, match="already exists"):
+            t.add_column("sym", ColumnType.SYMBOL8)
+        with pytest.raises(ValueError, match="already exists"):
+            t.add_column("dt", ColumnType.I64)
+
+    def test_add_column_manifest_table(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("tm"), home=tmp_home,
+                         manifest=True)
+        t.write(rows_df(spark, [T0]))
+        t.add_column("venue", ColumnType.SYMBOL8, default="UNK")
+        t.write(spark.createDataFrame(
+            [Row(ts=T0 + DAY, sym="A", price=1.0, size=1, venue="X")]))
+        got = {r["ts"]: r["venue"] for r in t.scan().collect()}
+        assert got == {T0: "UNK", T0 + DAY: "X"}

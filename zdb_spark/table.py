@@ -85,10 +85,16 @@ class _Meta:
     # fallback; manifest mode records txns INSIDE the manifest json so
     # the batch-id advance and the file-list flip are one atomic rename)
     txns: dict = None
+    # schema-evolution state: columns added AFTER data existed, mapped to
+    # their read-time default (None → NULL).  Non-empty ⇒ reads supply an
+    # explicit schema so pre-evolution files surface the new columns.
+    added_defaults: dict = None
 
     def __post_init__(self):
         if self.txns is None:
             self.txns = {}
+        if self.added_defaults is None:
+            self.added_defaults = {}
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -207,6 +213,13 @@ class Table:
         ts = self.schema.ts_col
         expected = [c.name for c in self.schema.columns]
         missing = [c for c in expected if c not in df.columns]
+        # evolution-added columns with a declared default are fillable;
+        # anything else missing is a caller error
+        for c in list(missing):
+            if c in self._meta.added_defaults and \
+                    self._meta.added_defaults[c] is not None:
+                df = df.withColumn(c, F.lit(self._meta.added_defaults[c]))
+                missing.remove(c)
         if missing:
             raise ValueError(f"batch missing columns {missing}")
         df = df.select(*[
@@ -800,8 +813,34 @@ class Table:
     # ------------------------------------------------------------------ #
     # scan path (/root/reference/src/table/scan.rs:43-89)                #
     # ------------------------------------------------------------------ #
+    def _read_schema(self):
+        """Explicit read schema (nullable, + dt partition column) for
+        evolved tables: files written BEFORE a column was added lack it,
+        and footer-derived inference would either miss the column or
+        make the scan depend on which file Spark sampled."""
+        from pyspark.sql import types as T
+
+        fields = [T.StructField(c.name,
+                                c.spark_type(self.schema.strict_u64), True)
+                  for c in self.schema.columns]
+        if self.schema.partition_by.date_format is not None:
+            fields.append(T.StructField("dt", T.StringType(), True))
+        return T.StructType(fields)
+
+    def _apply_added_defaults(self, df: DataFrame) -> DataFrame:
+        for name, default in self._meta.added_defaults.items():
+            if default is not None:
+                df = df.withColumn(name, F.coalesce(
+                    F.col(name),
+                    F.lit(default).cast(df.schema[name].dataType)))
+        return df
+
     def df(self) -> DataFrame:
         p = os.path.join(self.path, "parquet")
+        evolved = bool(self._meta.added_defaults)
+        reader = self.spark.read
+        if evolved:
+            reader = reader.schema(self._read_schema())
         if self._meta.manifest:
             # Snapshot read: only files the manifest committed are
             # visible.  basePath keeps hive-partition (dt) discovery —
@@ -810,12 +849,44 @@ class Table:
             if not files:
                 return self.spark.createDataFrame(
                     [], self.schema.spark_schema().add("dt", "string"))
-            return (self.spark.read.option("basePath", p)
-                    .parquet(*[os.path.join(p, f) for f in files]))
+            out = (reader.option("basePath", p)
+                   .parquet(*[os.path.join(p, f) for f in files]))
+            return self._apply_added_defaults(out) if evolved else out
         if not os.path.exists(p):
             return self.spark.createDataFrame([], self.schema.spark_schema()
                                               .add("dt", "string"))
-        return self.spark.read.parquet(p)
+        out = reader.parquet(p)
+        return self._apply_added_defaults(out) if evolved else out
+
+    def add_column(self, name: str, col_type: ColumnType,
+                   default=None) -> None:
+        """METADATA-ONLY schema evolution: add a column without touching
+        a single data file — the only add-column that works at 100 TB
+        (a rewrite is petabytes of IO; this is one sidecar update).
+
+        Existing files surface the column as NULL, or as ``default``
+        when given (applied at read time via coalesce, so the files stay
+        byte-identical and the default can be changed by a later
+        migration).  New writes must carry the column — or omit it and
+        have ``default`` filled in (write-time fill uses the same
+        default).  Runs under the meta lock; on manifest tables the
+        sidecar schema is still the single schema authority, so the CAS
+        file-list flips are unaffected.
+        """
+        if any(c.name == name for c in self.schema.columns) or name == "dt":
+            raise ValueError(f"column {name!r} already exists")
+        with self._meta_lock():
+            meta_path = os.path.join(self.path, "_meta")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    self._meta = _Meta.from_json(f.read())
+                self.schema = Schema.from_dict(self._meta.schema)
+                if any(c.name == name for c in self.schema.columns):
+                    raise ValueError(f"column {name!r} already exists")
+            self.schema.add_col(name, col_type)
+            self._meta.schema = self.schema.to_dict()
+            self._meta.added_defaults[name] = default
+            self._flush_meta()
 
     def scan(self, from_ts: int | None = None, to_ts: int | None = None,
              columns: list[str] | None = None) -> DataFrame:

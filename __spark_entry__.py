@@ -587,7 +587,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_minhash_store(old, store, "text", "doc_id",
                             num_hashes=64, bands=16, k=5)
     pairs = incremental_minhash_pairs(new, old, store, "text", "doc_id",
-                                      threshold=0.5)
+                                      threshold=0.5, assume_disjoint=True)
     return pairs.select("id_a", "id_b", "jaccard")
 
 

@@ -716,7 +716,8 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
                               path: str, text_col: str = "text",
                               id_col: str = "doc_id",
                               threshold: float = 0.5,
-                              max_bucket_size: int | None = None
+                              max_bucket_size: int | None = None,
+                              assume_disjoint: bool = False
                               ) -> DataFrame:
     """Near-duplicate pairs INVOLVING AT LEAST ONE NEW DOCUMENT, without
     re-processing the corpus: new-vs-corpus and new-vs-new, same output
@@ -771,8 +772,13 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
     old_sigs = (spark.read.parquet(f"{path}/sigs")
                 .select(F.col(id_col).alias("_id"), "minhash"))
     # a doc re-submitted in the new batch keeps ONE signature (they are
-    # identical by construction; dropDuplicates on id)
-    sigs = new_sigs.unionByName(old_sigs).dropDuplicates(["_id"])
+    # identical by construction; dropDuplicates on id).  When the caller
+    # GUARANTEES batch ids are new (assume_disjoint — the normal ingest
+    # contract), the dedup shuffles here and on the shingle frame are
+    # skipped.
+    sigs = new_sigs.unionByName(old_sigs)
+    if not assume_disjoint:
+        sigs = sigs.dropDuplicates(["_id"])
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y),
                            lambda m: m))
@@ -806,8 +812,10 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
                       hashed_shingles(text_col, k).alias("_sh")))
     # cached for the same reason as screened: sh is joined once per pair
     # side, and the corpus-side shingle recompute should run once
-    sh = (new_base.select("_id", "_sh").unionByName(old_sh)
-          .dropDuplicates(["_id"]).cache())
+    sh = new_base.select("_id", "_sh").unionByName(old_sh)
+    if not assume_disjoint:
+        sh = sh.dropDuplicates(["_id"])
+    sh = sh.cache()
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     out = (screened

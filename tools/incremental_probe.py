@@ -66,7 +66,8 @@ def main() -> int:
     t_build = round(time.time() - t0, 2)
 
     t0 = time.time()
-    inc = incremental_minhash_pairs(batch, corpus, store)
+    inc = incremental_minhash_pairs(batch, corpus, store,
+                                    assume_disjoint=True)
     n_inc = inc.count()
     t_inc = round(time.time() - t0, 2)
     release(inc)

@@ -741,3 +741,35 @@ class TestSchemaEvolution:
             [Row(ts=T0 + DAY, sym="A", price=1.0, size=1, venue="X")]))
         got = {r["ts"]: r["venue"] for r in t.scan().collect()}
         assert got == {T0: "UNK", T0 + DAY: "X"}
+
+
+class TestDropColumn:
+    def test_drop_and_guards(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.drop_column("size")
+        # data files untouched; reads project the column away
+        assert "size" not in t.scan().columns
+        got = t.scan().collect()[0]
+        assert got["sym"] == "AAPL" and got["price"] == 1.0
+        # writes may still carry it (conformance drops it)
+        t.write(rows_df(spark, [T0 + DAY]))
+        assert t.scan().count() == 2
+        # survives re-open
+        t2 = Table.open(spark, "t1", home=tmp_home)
+        assert "size" not in [c.name for c in t2.schema.columns]
+        with pytest.raises(KeyError):
+            t2.drop_column("nope")
+        with pytest.raises(ValueError, match="cannot drop"):
+            t2.drop_column("ts")
+        # re-adding a dropped name needs a rewrite (stale bytes in files)
+        with pytest.raises(ValueError, match="previously dropped"):
+            t2.add_column("size", ColumnType.U32)
+
+    def test_add_then_drop_then_scan(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("t2"), home=tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.add_column("venue", ColumnType.SYMBOL8, default="UNK")
+        t.drop_column("venue")
+        assert "venue" not in t.scan().columns
+        assert t.scan().count() == 1

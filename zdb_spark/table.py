@@ -86,15 +86,20 @@ class _Meta:
     # the batch-id advance and the file-list flip are one atomic rename)
     txns: dict = None
     # schema-evolution state: columns added AFTER data existed, mapped to
-    # their read-time default (None → NULL).  Non-empty ⇒ reads supply an
-    # explicit schema so pre-evolution files surface the new columns.
+    # their read-time default (None → NULL), and columns dropped (their
+    # bytes stay in old files; reads project them away).  Either
+    # non-empty ⇒ reads supply an explicit schema instead of footer
+    # inference.
     added_defaults: dict = None
+    dropped_columns: list = None
 
     def __post_init__(self):
         if self.txns is None:
             self.txns = {}
         if self.added_defaults is None:
             self.added_defaults = {}
+        if self.dropped_columns is None:
+            self.dropped_columns = []
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -837,7 +842,8 @@ class Table:
 
     def df(self) -> DataFrame:
         p = os.path.join(self.path, "parquet")
-        evolved = bool(self._meta.added_defaults)
+        evolved = bool(self._meta.added_defaults
+                       or self._meta.dropped_columns)
         reader = self.spark.read
         if evolved:
             reader = reader.schema(self._read_schema())
@@ -883,9 +889,43 @@ class Table:
                 self.schema = Schema.from_dict(self._meta.schema)
                 if any(c.name == name for c in self.schema.columns):
                     raise ValueError(f"column {name!r} already exists")
+            if name in self._meta.dropped_columns:
+                # old files still hold the dropped column, possibly with
+                # a different type — an explicit-schema read over them
+                # would then fail; re-use is the rewrite's job
+                raise ValueError(
+                    f"column {name!r} was previously dropped; re-adding "
+                    "requires an offline rewrite (convert_column_type)")
             self.schema.add_col(name, col_type)
             self._meta.schema = self.schema.to_dict()
             self._meta.added_defaults[name] = default
+            self._flush_meta()
+
+    def drop_column(self, name: str) -> None:
+        """METADATA-ONLY column drop: the sidecar schema shrinks; data
+        files are untouched (their bytes for the column become dead and
+        are reclaimed whenever ``compact()`` rewrites a partition).
+        Reads project the column away via the explicit evolved schema;
+        writes carrying it have it dropped by schema conformance; the
+        name cannot be re-added without an offline rewrite (old files
+        would resurface the stale values).  ``ts`` cannot be dropped.
+        """
+        if name == self.schema.ts_col or name == "dt":
+            raise ValueError(f"cannot drop {name!r}")
+        with self._meta_lock():
+            meta_path = os.path.join(self.path, "_meta")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    self._meta = _Meta.from_json(f.read())
+                self.schema = Schema.from_dict(self._meta.schema)
+            if not any(c.name == name for c in self.schema.columns):
+                raise KeyError(f"no such column {name!r}")
+            self.schema.columns = [c for c in self.schema.columns
+                                   if c.name != name]
+            self._meta.schema = self.schema.to_dict()
+            self._meta.added_defaults.pop(name, None)
+            if name not in self._meta.dropped_columns:
+                self._meta.dropped_columns.append(name)
             self._flush_meta()
 
     def scan(self, from_ts: int | None = None, to_ts: int | None = None,

@@ -1266,6 +1266,18 @@ def _day_ns(day: str) -> int:
     return int(d.timestamp()) * 10**9
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step ordered funnel (view → click → purchase, each within 48h
+    of its most recent prior anchor): one asof_join shuffle per step
+    transition, no self-joins (temporal.py:funnel).  Oracle: chained
+    DuckDB ASOF JOINs with the same most-recent-anchor semantics."""
+    from zdb_spark.operators.temporal import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"], "ts", "user_id",
+                  within=48 * NS_PER_HOUR)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks the user's most recent
     prior-or-equal click (backward inclusive).  Single-shuffle
@@ -1812,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # temporal joins + rank/TWAP patterns
         "asof_join": q_asof_join,
+        "funnel": q_funnel,
         "range_join": q_range_join,
         "ohlcv_gapfill": q_ohlcv_gapfill,
         "stream_asof": q_stream_asof,
@@ -3090,6 +3103,33 @@ def oracle_sql() -> dict[str, str]:
     # The streaming enrichment answers the SAME point-in-time question —
     # a hash match against the identical ASOF oracle proves stream/batch
     # parity.
+    sqls["funnel"] = """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events
+        ), s0 AS (
+            SELECT DISTINCT user_id, tsn FROM e WHERE event_type = 'view'
+        ), s1 AS (
+            SELECT DISTINCT c.user_id, c.tsn
+            FROM (SELECT DISTINCT user_id, tsn FROM e
+                  WHERE event_type = 'click') c
+            ASOF JOIN s0 p
+              ON c.user_id = p.user_id AND c.tsn >= p.tsn
+            WHERE c.tsn - p.tsn <= 172800000000000
+        ), s2 AS (
+            SELECT DISTINCT c.user_id, c.tsn
+            FROM (SELECT DISTINCT user_id, tsn FROM e
+                  WHERE event_type = 'purchase') c
+            ASOF JOIN s1 p
+              ON c.user_id = p.user_id AND c.tsn >= p.tsn
+            WHERE c.tsn - p.tsn <= 172800000000000
+        )
+        SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users FROM s0
+        UNION ALL
+        SELECT 1, 'click', count(*), count(DISTINCT user_id) FROM s1
+        UNION ALL
+        SELECT 2, 'purchase', count(*), count(DISTINCT user_id) FROM s2
+    """
     sqls["stream_asof"] = sqls["asof_join"]
     promo_rows = ", ".join(f"({p}, {_day_ns(lo)}, {_day_ns(hi)})"
                            for p, lo, hi in _PROMOS)

@@ -252,3 +252,49 @@ def test_range_join_no_cartesian_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestFunnel:
+    def test_three_step_hand_built(self, spark):
+        from zdb_spark.operators.temporal import funnel
+
+        rows = [
+            # u1 full funnel inside windows
+            (1, "view", 100), (1, "click", 150), (1, "purchase", 180),
+            # u2 clicks too late after view (window 40)
+            (2, "view", 100), (2, "click", 200), (2, "purchase", 210),
+            # u3 purchase BEFORE click: order violated
+            (3, "view", 100), (3, "purchase", 110), (3, "click", 120),
+            # u4 most-recent-anchor: old view in window, NEWER view also
+            # in window -> still qualifies via the newer anchor
+            (4, "view", 100), (4, "view", 130), (4, "click", 160),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        out = {r["step"]: r for r in
+               funnel(df, ["view", "click", "purchase"], "ts", "user_id",
+                      within=40).collect()}
+        assert out["view"]["n_users"] == 4 and out["view"]["n_events"] == 5
+        # qualifying clicks: u1@150 (view@100 is 50 away? NO -> check),
+        # window 40: u1 click 150 - view 100 = 50 > 40 -> u1 fails!
+        # u4 click 160 - view 130 = 30 <= 40 qualifies; u3 click 120 - 100
+        # = 20 qualifies
+        assert out["click"]["n_users"] == 2          # u3, u4
+        assert out["purchase"]["n_users"] == 0       # u3's purchase precedes
+        out2 = {r["step"]: r for r in
+                funnel(df, ["view", "click", "purchase"], "ts", "user_id",
+                       within=60).collect()}
+        # u2's click is 100 after its view — outside even the 60 window
+        assert out2["click"]["n_users"] == 3
+        assert out2["purchase"]["n_users"] == 1      # only u1 in order
+
+    def test_validation_and_no_window(self, spark):
+        from zdb_spark.operators.temporal import funnel
+
+        df = spark.createDataFrame([(1, "a", 1)],
+                                   "user_id long, event_type string, ts long")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            funnel(df, [], "ts", "user_id")
+        out = funnel(df, ["a", "b"], "ts", "user_id").collect()
+        got = {r["step"]: r["n_events"] for r in out}
+        assert got == {"a": 1, "b": 0}

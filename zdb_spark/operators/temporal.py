@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "asof_enrich", "range_join"]
+__all__ = ["asof_join", "asof_enrich", "range_join", "funnel"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -296,3 +296,55 @@ def range_join(points: DataFrame, intervals: DataFrame, on: str = "ts",
     keep = ([p[c] for c in points.columns]
             + [iv[c] for c in intervals.columns if c not in by])
     return joined.select(*keep)
+
+
+def funnel(df: DataFrame, steps: list, ts_col: str = "ts",
+           user_col: str = "user_id", step_col: str = "event_type",
+           within: int | None = None) -> DataFrame:
+    """Ordered N-step funnel — the event-analytics staple ("view →
+    click → purchase within 2h each").
+
+    An event qualifies for step *i* if its ``step_col`` matches
+    ``steps[i]`` and its MOST RECENT prior-or-equal qualifying step-
+    *i−1* event (same user) lies within ``within`` time units (always
+    true when ``within`` is None).  Most-recent-anchor semantics — an
+    event whose latest anchor is outside the window does NOT qualify
+    even if an older anchor would — match DuckDB's chained ``ASOF
+    JOIN``s, which the gate oracle uses.  Qualifying sets are distinct
+    (user, ts) pairs, so same-instant duplicates count once.
+
+    Returns one row per step: (step_idx, step, n_events, n_users).
+    Cost: one ``asof_join`` per step transition — i.e. one shuffle of
+    (step events + anchors) on the user key per step, each input
+    already filtered to its step's rows; no self-joins, no cartesian
+    products.  The per-step aggregates are tiny unions.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    qual = (df.where(F.col(step_col) == steps[0])
+            .select(user_col, ts_col).distinct())
+    outs = []
+    counts = qual.agg(F.count(F.lit(1)).alias("n_events"),
+                      F.countDistinct(user_col).alias("n_users"))
+    outs.append(counts.select(F.lit(0).alias("step_idx"),
+                              F.lit(steps[0]).alias("step"),
+                              "n_events", "n_users"))
+    for i, step in enumerate(steps[1:], start=1):
+        cur = (df.where(F.col(step_col) == step)
+               .select(user_col, ts_col).distinct())
+        joined = asof_join(cur, qual, on=ts_col, by=user_col,
+                           prefix="_anchor_")
+        cond = F.col(f"_anchor_{ts_col}").isNotNull()
+        if within is not None:
+            cond = cond & (F.col(ts_col) - F.col(f"_anchor_{ts_col}")
+                           <= F.lit(within))
+        qual = joined.where(cond).select(user_col, ts_col).distinct()
+        counts = qual.agg(F.count(F.lit(1)).alias("n_events"),
+                          F.countDistinct(user_col).alias("n_users"))
+        outs.append(counts.select(F.lit(i).alias("step_idx"),
+                                  F.lit(step).alias("step"),
+                                  "n_events", "n_users"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

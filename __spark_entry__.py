@@ -1278,6 +1278,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   within=48 * NS_PER_HOUR)
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream: users
+    bucketed by first-seen week, counted in each later week they stay
+    active — two keyed aggregates + one user-key join, no broadcast
+    assumption (temporal.py:retention)."""
+    from zdb_spark.operators.temporal import retention
+
+    ev = _load(spark, sf_dir, "events")
+    return retention(ev, "ts", "user_id")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase picks the user's most recent
     prior-or-equal click (backward inclusive).  Single-shuffle
@@ -1825,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal joins + rank/TWAP patterns
         "asof_join": q_asof_join,
         "funnel": q_funnel,
+        "retention": q_retention,
         "range_join": q_range_join,
         "ohlcv_gapfill": q_ohlcv_gapfill,
         "stream_asof": q_stream_asof,
@@ -3129,6 +3141,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1, 'click', count(*), count(DISTINCT user_id) FROM s1
         UNION ALL
         SELECT 2, 'purchase', count(*), count(DISTINCT user_id) FROM s2
+    """
+    sqls["retention"] = """
+        WITH e AS (
+            SELECT user_id, epoch_ns(ts) AS tsn FROM events
+        ), first AS (
+            SELECT user_id, min(tsn) AS ft FROM e GROUP BY 1
+        ), g AS (
+            SELECT DISTINCT e.user_id,
+                   ft // 604800000000000 AS cohort,
+                   tsn // 604800000000000 - ft // 604800000000000 AS period_offset
+            FROM e JOIN first USING (user_id)
+        )
+        SELECT cohort, period_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM g GROUP BY 1, 2
     """
     sqls["stream_asof"] = sqls["asof_join"]
     promo_rows = ", ".join(f"({p}, {_day_ns(lo)}, {_day_ns(hi)})"

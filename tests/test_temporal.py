@@ -298,3 +298,21 @@ class TestFunnel:
         out = funnel(df, ["a", "b"], "ts", "user_id").collect()
         got = {r["step"]: r["n_events"] for r in out}
         assert got == {"a": 1, "b": 0}
+
+
+class TestRetention:
+    def test_hand_built_cohorts(self, spark):
+        from zdb_spark.operators.temporal import retention
+
+        P = 10  # tiny period for hand-checkable buckets
+        rows = [
+            (1, 5), (1, 12), (1, 25),   # cohort 0, offsets {0,1,2}
+            (2, 15), (2, 17),           # cohort 1, offset {0} (same period)
+            (3, 21), (3, 45),           # cohort 2, offsets {0,2}
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long")
+        got = {(r["cohort"], r["period_offset"]): r["n_active"]
+               for r in retention(df, "ts", "user_id", period=P).collect()}
+        assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1,
+                       (1, 0): 1,
+                       (2, 0): 1, (2, 2): 1}

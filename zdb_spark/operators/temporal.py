@@ -41,7 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "asof_enrich", "range_join", "funnel"]
+__all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
+           "retention"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -348,3 +349,37 @@ def funnel(df: DataFrame, steps: list, ts_col: str = "ts",
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def retention(df: DataFrame, ts_col: str = "ts",
+              user_col: str = "user_id",
+              period: int = 7 * 24 * 3_600_000_000_000) -> DataFrame:
+    """Cohort retention: users grouped by first-seen period, counted in
+    every later period they remain active.
+
+    Output: (cohort, period_offset, n_active) — cohort = the user's
+    first event's period index (epoch // period), offset = how many
+    periods after that the user was active (0 = the cohort period
+    itself).  The classic retention-matrix query.
+
+    Shape at scale: one partial-aggregated groupBy to get each user's
+    first event, one join of events to that per-user scalar on the user
+    key (sort-merge under AQE; at 100 TB the first-seen table is big,
+    so no broadcast assumption), then one distinct + groupBy on
+    (cohort, offset).  All keys are user-derived — skew only if one
+    user dominates the event stream, which the same salting story as
+    any keyed aggregate covers.
+    """
+    first = (df.groupBy(user_col)
+             .agg(F.min(ts_col).alias("_first_ts")))
+    ev = (df.select(user_col, ts_col)
+          .join(first, user_col)
+          .select(user_col,
+                  F.floor(F.col("_first_ts") / period).cast("long")
+                   .alias("cohort"),
+                  (F.floor(F.col(ts_col) / period)
+                   - F.floor(F.col("_first_ts") / period)).cast("long")
+                   .alias("period_offset"))
+          .distinct())
+    return (ev.groupBy("cohort", "period_offset")
+            .agg(F.countDistinct(user_col).alias("n_active")))

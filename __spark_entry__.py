@@ -1278,6 +1278,18 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   within=48 * NS_PER_HOUR)
 
 
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 first-5-event user paths: one partial-aggregated
+    collect_list per user, row-local (ts, step) struct sort — no window,
+    no second shuffle — then a TakeOrdered top-k on path counts
+    (temporal.py:user_paths)."""
+    from zdb_spark.operators.temporal import user_paths
+
+    ev = _load(spark, sf_dir, "events")
+    return user_paths(ev, "ts", "user_id", "event_type",
+                      max_len=5, top=20)
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the event stream: users
     bucketed by first-seen week, counted in each later week they stay
@@ -1837,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "funnel": q_funnel,
         "retention": q_retention,
+        "user_paths": q_user_paths,
         "range_join": q_range_join,
         "ohlcv_gapfill": q_ohlcv_gapfill,
         "stream_asof": q_stream_asof,
@@ -3141,6 +3154,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT 1, 'click', count(*), count(DISTINCT user_id) FROM s1
         UNION ALL
         SELECT 2, 'purchase', count(*), count(DISTINCT user_id) FROM s2
+    """
+    sqls["user_paths"] = """
+        WITH seq AS (
+            SELECT user_id,
+                   array_to_string(
+                       (list_transform(
+                           list_sort(list({'t': epoch_ns(ts),
+                                           's': event_type})),
+                           e -> e.s))[1:5], '>') AS path
+            FROM events GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM seq GROUP BY 1
+        ORDER BY n_users DESC, path LIMIT 20
     """
     sqls["retention"] = """
         WITH e AS (

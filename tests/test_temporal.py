@@ -316,3 +316,27 @@ class TestRetention:
         assert got == {(0, 0): 1, (0, 1): 1, (0, 2): 1,
                        (1, 0): 1,
                        (2, 0): 1, (2, 2): 1}
+
+
+class TestUserPaths:
+    def test_paths_and_truncation(self, spark):
+        from zdb_spark.operators.temporal import user_paths
+
+        rows = [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+                (2, "a", 5), (2, "b", 9),
+                (3, "a", 1), (3, "b", 2), (3, "c", 3), (3, "d", 4)]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+        got = {r["path"]: r["n_users"] for r in
+               user_paths(df, "ts", "user_id", "event_type",
+                          max_len=3).collect()}
+        # u3's 4th event truncates away -> same path as u1
+        assert got == {"a>b>c": 2, "a>b": 1}
+
+    def test_tie_break_deterministic(self, spark):
+        from zdb_spark.operators.temporal import user_paths
+
+        # two events at the SAME ts: step value orders them
+        df = spark.createDataFrame([(1, "z", 5), (1, "a", 5)],
+                                   "user_id long, event_type string, ts long")
+        out = user_paths(df, "ts", "user_id", "event_type").collect()
+        assert out[0]["path"] == "a>z"

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
-           "retention"]
+           "retention", "user_paths"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -383,3 +383,34 @@ def retention(df: DataFrame, ts_col: str = "ts",
           .distinct())
     return (ev.groupBy("cohort", "period_offset")
             .agg(F.countDistinct(user_col).alias("n_active")))
+
+
+def user_paths(df: DataFrame, ts_col: str = "ts",
+               user_col: str = "user_id", step_col: str = "event_type",
+               max_len: int = 5, top: int = 20) -> DataFrame:
+    """Top event paths: each user's first ``max_len`` events (time
+    order, ties broken by the step value) joined into a ``a>b>c`` path,
+    counted across users — "what do users actually do first", the
+    product-analytics path query.
+
+    One groupBy(user) with map-side partial ``collect_list`` (bounded:
+    each user contributes at most its events, and the path truncates to
+    ``max_len``), the ordering done ROW-LOCALLY by sorting the collected
+    (ts, step) structs — no window, no secondary shuffle; then one small
+    groupBy on the path string and a TakeOrdered top-k.  Deterministic:
+    the struct sort is total (ts, then step), so same-instant events
+    order identically in any engine.
+    """
+    if max_len <= 0:
+        raise ValueError("max_len must be positive")
+    collected = (df.groupBy(user_col)
+                 .agg(F.sort_array(F.collect_list(
+                     F.struct(F.col(ts_col).alias("t"),
+                              F.col(step_col).alias("s")))).alias("evs")))
+    path = F.array_join(
+        F.transform(F.slice("evs", 1, max_len), lambda e: e["s"]), ">")
+    return (collected.select(path.alias("path"))
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy(F.col("n_users").desc(), "path")
+            .limit(top))

@@ -1784,68 +1784,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Declaration order is load-bearing: the driver oracles only the FIRST
+    # 50 entries per round, so the entries with the least driver-side
+    # correctness history come first (never-verified, then verified only in
+    # an old round, then this round's new gates), and a representative
+    # sample of the repeatedly-green set fills out the window.  Entries
+    # past position 50 all have green rows in CORRECTNESS_r04/r05.
     return {
-        # zdb core surface
-        "scan_time_range": q_scan_time_range,
-        "symbols_dict": q_symbols_dict,
-        "ohlcv_daily": q_ohlcv_daily,
-        "resample_1h": q_resample_1h,
-        "udf_fold_sum": q_udf_fold_sum,
-        "grouped_pandas": q_grouped_pandas,
-        "market_calendar": q_market_calendar,
-        # relational surface
-        "pricing_summary": q_pricing_summary,
-        "join_enrich": q_join_enrich,
-        "topk_customers": q_topk_customers,
-        "window_running": q_window_running,
-        "setops_except": q_setops_except,
-        "setops_intersect": q_setops_intersect,
-        "rollup_revenue": q_rollup_revenue,
-        "agg_stats": q_agg_stats,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "cube_orders": q_cube_orders,
-        "percentiles": q_percentiles,
-        "string_funcs": q_string_funcs,
-        "month_rollup": q_month_rollup,
-        "sessionize_batch": q_sessionize_batch,
-        "salted_agg": q_salted_agg,
-        "bucketed_join": q_bucketed_join,
-        "sessionize_stream": q_sessionize_stream,
-        "stream_ingest": q_stream_ingest,
-        "ingest_csv": q_ingest_csv,
-        "schema_evolution": q_schema_evolution,
-        "stream_ingest_manifest": q_stream_ingest_manifest,
-        "stream_resample": q_stream_resample,
-        # LLM-pipeline operators
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_minhash_capped": q_dedup_minhash_capped,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram": q_dedup_ngram,
-        "curation_pipeline": q_curation_pipeline,
-        "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_join": q_knn_join,
-        "knn_lsh": q_knn_lsh,
-        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
-        "knn_ivf": q_knn_ivf,
-        "knn_pq": q_knn_pq,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_norms": q_embedding_norms,
-        "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_decode": q_multimodal_decode,
-        # temporal joins + rank/TWAP patterns
+        # -- never driver-verified before round 6 ------------------------
         "asof_join": q_asof_join,
         "funnel": q_funnel,
         "retention": q_retention,
@@ -1853,6 +1799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "ohlcv_gapfill": q_ohlcv_gapfill,
         "stream_asof": q_stream_asof,
+        "topn_per_group": q_topn_per_group,
+        "twap": q_twap,
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "vocab_topk": q_vocab_topk,
@@ -1865,11 +1813,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "lm_score": q_lm_score,
         "cluster_assign": q_cluster_assign,
+        "knn_pq": q_knn_pq,
+        "multimodal_frames": q_multimodal_frames,
         "stream_dedup": q_stream_dedup,
         "stream_dedup_incremental": q_stream_dedup_incremental,
         "stream_quality_filter": q_stream_quality_filter,
-        "topn_per_group": q_topn_per_group,
-        "twap": q_twap,
+        # -- last verified in round 4 (rotated out of r5's window) --------
+        "knn_ivf": q_knn_ivf,
+        "embedding_dedup": q_embedding_dedup,
+        "embedding_norms": q_embedding_norms,
+        "multimodal_bytes": q_multimodal_bytes,
+        "multimodal_decode": q_multimodal_decode,
+        # -- new gates this round -----------------------------------------
+        # (added below as they are built)
+        # -- representative repeatedly-green sample ----------------------
+        "scan_time_range": q_scan_time_range,
+        "ohlcv_daily": q_ohlcv_daily,
+        "resample_1h": q_resample_1h,
+        "pricing_summary": q_pricing_summary,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_incremental": q_dedup_incremental,
+        "curation_pipeline": q_curation_pipeline,
+        "stream_ingest": q_stream_ingest,
+        "schema_evolution": q_schema_evolution,
+        "sessionize_stream": q_sessionize_stream,
+        "text_quality": q_text_quality,
+        # -- beyond position 50: green in r4/r5, cycled out of window ----
+        "symbols_dict": q_symbols_dict,
+        "udf_fold_sum": q_udf_fold_sum,
+        "grouped_pandas": q_grouped_pandas,
+        "market_calendar": q_market_calendar,
+        "join_enrich": q_join_enrich,
+        "topk_customers": q_topk_customers,
+        "window_running": q_window_running,
+        "setops_except": q_setops_except,
+        "setops_intersect": q_setops_intersect,
+        "rollup_revenue": q_rollup_revenue,
+        "agg_stats": q_agg_stats,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "cube_orders": q_cube_orders,
+        "percentiles": q_percentiles,
+        "string_funcs": q_string_funcs,
+        "month_rollup": q_month_rollup,
+        "sessionize_batch": q_sessionize_batch,
+        "salted_agg": q_salted_agg,
+        "bucketed_join": q_bucketed_join,
+        "ingest_csv": q_ingest_csv,
+        "stream_ingest_manifest": q_stream_ingest_manifest,
+        "stream_resample": q_stream_resample,
+        "dedup_minhash_capped": q_dedup_minhash_capped,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "text_tokens": q_text_tokens,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "pii_redact": q_pii_redact,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_join": q_knn_join,
+        "knn_lsh": q_knn_lsh,
+        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
     }
 
 

@@ -1278,11 +1278,51 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                   within=48 * NS_PER_HOUR)
 
 
+_FUNNEL6_STEPS = ["signup", "view", "click", "view", "click", "purchase"]
+
+
+def q_funnel6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-step funnel with a repeated step pair (signup → view → click →
+    view → click → purchase, 7d windows): exercises the union-at-the-end
+    counting plan — 5 transition shuffles + ONE final aggregate, with
+    each step's distinct() exchange reused between its union branch and
+    the next step's anchor input (temporal.py:funnel)."""
+    from zdb_spark.operators.temporal import funnel
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel(ev, _FUNNEL6_STEPS, "ts", "user_id",
+                  within=7 * 24 * NS_PER_HOUR)
+
+
+def _funnel_oracle_sql(steps: list, within_ns: int) -> str:
+    """Chained DuckDB ASOF JOINs with most-recent-anchor semantics —
+    the same construction as the hand-written 3-step funnel oracle,
+    generated for arbitrary step lists (repeats allowed)."""
+    ctes = ["e AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn "
+            "FROM events)",
+            f"s0 AS (SELECT DISTINCT user_id, tsn FROM e "
+            f"WHERE event_type = '{steps[0]}')"]
+    for i in range(1, len(steps)):
+        ctes.append(f"""s{i} AS (
+            SELECT DISTINCT c.user_id, c.tsn
+            FROM (SELECT DISTINCT user_id, tsn FROM e
+                  WHERE event_type = '{steps[i]}') c
+            ASOF JOIN s{i - 1} p
+              ON c.user_id = p.user_id AND c.tsn >= p.tsn
+            WHERE c.tsn - p.tsn <= {within_ns})""")
+    selects = [f"SELECT {i} AS step_idx, '{s}' AS step, "
+               f"count(*) AS n_events, "
+               f"count(DISTINCT user_id) AS n_users FROM s{i}"
+               for i, s in enumerate(steps)]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 first-5-event user paths: one partial-aggregated
-    collect_list per user, row-local (ts, step) struct sort — no window,
-    no second shuffle — then a TakeOrdered top-k on path counts
-    (temporal.py:user_paths)."""
+    """Top-20 first-5-event user paths: row_number window bounds each
+    user to max_len events BEFORE any array exists (hot users spill to
+    an external sort, never a giant aggregation buffer), the groupBy
+    reuses the window's hash(user) partitioning, then a TakeOrdered
+    top-k on path counts (temporal.py:user_paths)."""
     from zdb_spark.operators.temporal import user_paths
 
     ev = _load(spark, sf_dir, "events")
@@ -1825,7 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": q_multimodal_bytes,
         "multimodal_decode": q_multimodal_decode,
         # -- new gates this round -----------------------------------------
-        # (added below as they are built)
+        "funnel6": q_funnel6,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3163,6 +3203,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 2, 'purchase', count(*), count(DISTINCT user_id) FROM s2
     """
+    sqls["funnel6"] = _funnel_oracle_sql(_FUNNEL6_STEPS,
+                                         7 * 24 * NS_PER_HOUR)
     sqls["user_paths"] = """
         WITH seq AS (
             SELECT user_id,

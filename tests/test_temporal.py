@@ -340,3 +340,28 @@ class TestUserPaths:
                                    "user_id long, event_type string, ts long")
         out = user_paths(df, "ts", "user_id", "event_type").collect()
         assert out[0]["path"] == "a>z"
+
+    def test_hot_user_bounded(self, spark):
+        from zdb_spark.operators.temporal import user_paths
+
+        # One bot account with 100k events: the row_number pre-filter
+        # must keep only max_len rows per user before any collect_list,
+        # so no 100k-element aggregation buffer ever exists.  The first
+        # three events (ts 0,1,2) are a,b,c; the 99,997-event tail is
+        # noise that must not appear in the path.
+        hot = (spark.range(100_000)
+               .selectExpr("1 AS user_id",
+                           "CASE id WHEN 0 THEN 'a' WHEN 1 THEN 'b' "
+                           "WHEN 2 THEN 'c' ELSE 'noise' END AS event_type",
+                           "id AS ts"))
+        cold = spark.createDataFrame([(2, "a", 7)],
+                                     "user_id long, event_type string, ts long")
+        out = user_paths(hot.unionByName(cold), "ts", "user_id",
+                         "event_type", max_len=3)
+        got = {r["path"]: r["n_users"] for r in out.collect()}
+        assert got == {"a>b>c": 1, "a": 1}
+        # the plan must contain the bounding filter on the row number,
+        # i.e. a Window node BELOW the aggregate, not a bare collect of
+        # every event
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "row_number" in plan

@@ -318,18 +318,23 @@ def funnel(df: DataFrame, steps: list, ts_col: str = "ts",
     Cost: one ``asof_join`` per step transition — i.e. one shuffle of
     (step events + anchors) on the user key per step, each input
     already filtered to its step's rows; no self-joins, no cartesian
-    products.  The per-step aggregates are tiny unions.
+    products.  Counting is ONE union-at-the-end plan: every step's
+    qualifying (user, ts) set is tagged with its step literal, unioned,
+    and aggregated in a single groupBy(step) pass — N steps cost N
+    transition shuffles + 1 count aggregate, not 2N separate aggregate
+    job chains.  Step *i*'s qualifying subtree appears both in the
+    union branch and as step *i+1*'s anchor input; its terminal
+    distinct() exchange canonicalizes identically in both places, so
+    Spark's ReuseExchange evaluates it once per query, not once per
+    consumer.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
     qual = (df.where(F.col(step_col) == steps[0])
             .select(user_col, ts_col).distinct())
-    outs = []
-    counts = qual.agg(F.count(F.lit(1)).alias("n_events"),
-                      F.countDistinct(user_col).alias("n_users"))
-    outs.append(counts.select(F.lit(0).alias("step_idx"),
-                              F.lit(steps[0]).alias("step"),
-                              "n_events", "n_users"))
+    tagged = [qual.select(F.lit(0).alias("step_idx"),
+                          F.lit(steps[0]).alias("step"),
+                          F.col(user_col), F.col(ts_col))]
     for i, step in enumerate(steps[1:], start=1):
         cur = (df.where(F.col(step_col) == step)
                .select(user_col, ts_col).distinct())
@@ -340,15 +345,24 @@ def funnel(df: DataFrame, steps: list, ts_col: str = "ts",
             cond = cond & (F.col(ts_col) - F.col(f"_anchor_{ts_col}")
                            <= F.lit(within))
         qual = joined.where(cond).select(user_col, ts_col).distinct()
-        counts = qual.agg(F.count(F.lit(1)).alias("n_events"),
-                          F.countDistinct(user_col).alias("n_users"))
-        outs.append(counts.select(F.lit(i).alias("step_idx"),
+        tagged.append(qual.select(F.lit(i).alias("step_idx"),
                                   F.lit(step).alias("step"),
-                                  "n_events", "n_users"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+                                  F.col(user_col), F.col(ts_col)))
+    all_steps = tagged[0]
+    for t in tagged[1:]:
+        all_steps = all_steps.unionByName(t)
+    counts = (all_steps.groupBy("step_idx", "step")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.countDistinct(user_col).alias("n_users")))
+    # A step nobody reaches has no rows to group — join the counts back
+    # onto a literal step spine so it still reports (n_events=0,
+    # n_users=0), like the old per-step global aggregates did.
+    spine = df.sparkSession.createDataFrame(
+        list(enumerate(steps)), "step_idx int, step string")
+    return (spine.join(counts, ["step_idx", "step"], "left")
+            .select("step_idx", "step",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.coalesce("n_users", F.lit(0)).alias("n_users")))
 
 
 def retention(df: DataFrame, ts_col: str = "ts",
@@ -393,22 +407,29 @@ def user_paths(df: DataFrame, ts_col: str = "ts",
     counted across users — "what do users actually do first", the
     product-analytics path query.
 
-    One groupBy(user) with map-side partial ``collect_list`` (bounded:
-    each user contributes at most its events, and the path truncates to
-    ``max_len``), the ordering done ROW-LOCALLY by sorting the collected
-    (ts, step) structs — no window, no secondary shuffle; then one small
-    groupBy on the path string and a TakeOrdered top-k.  Deterministic:
-    the struct sort is total (ts, then step), so same-instant events
-    order identically in any engine.
+    A ``row_number() OVER (PARTITION BY user ORDER BY ts, step)`` filter
+    keeps only each user's first ``max_len`` events BEFORE any array is
+    built, so the per-user aggregation buffer holds at most ``max_len``
+    structs — a 10M-event bot account costs a disk-spillable external
+    sort inside its window partition, never a 10M-element in-memory
+    array.  The following groupBy(user) reuses the window's
+    hash(user) partitioning (no second shuffle); the collected ≤max_len
+    structs are ordered ROW-LOCALLY by a total (ts, step) sort so
+    same-instant events order identically in any engine; then one small
+    groupBy on the path string and a TakeOrdered top-k.
     """
     if max_len <= 0:
         raise ValueError("max_len must be positive")
-    collected = (df.groupBy(user_col)
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(step_col))
+    bounded = (df.select(user_col, ts_col, step_col)
+               .withColumn("_zdb_rn", F.row_number().over(w))
+               .where(F.col("_zdb_rn") <= max_len))
+    collected = (bounded.groupBy(user_col)
                  .agg(F.sort_array(F.collect_list(
                      F.struct(F.col(ts_col).alias("t"),
                               F.col(step_col).alias("s")))).alias("evs")))
     path = F.array_join(
-        F.transform(F.slice("evs", 1, max_len), lambda e: e["s"]), ">")
+        F.transform(F.col("evs"), lambda e: e["s"]), ">")
     return (collected.select(path.alias("path"))
             .groupBy("path")
             .agg(F.count(F.lit(1)).alias("n_users"))

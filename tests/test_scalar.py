@@ -64,6 +64,31 @@ class TestFormatCurrency:
                df.select(format_currency_col("v").alias("s")).collect()]
         assert got == [format_currency(v) for v in vals]
 
+    def test_expression_parity_sweep(self, spark):
+        """The Catalyst-expression column form must match the scalar
+        across magnitudes, signs, powers of ten, the fixed/sci boundary,
+        sci carries, and the exponent-zero-trim quirk."""
+        from zdb_spark.functions.scalar import format_currency_col
+
+        vals = [0.0, 0.0001, 0.5, 1.0, 1.5, 2.0, 3.14159, 9.999,
+                10.0, 10.5, 99.99, 100.0, 123.456, 999.999, 1000.0,
+                9999.5, 12345.6, 99999.0, 99999.9,
+                100000.0, 123456.0, 999999.5, 1e6, 9.87e8, 1e9,
+                1.23e10,  # '1.2e+10' -> trailing-zero trim eats exp zero
+                -0.5, -5.0, -123.456, -123456.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = [r["s"] for r in
+               df.select(format_currency_col("v").alias("s")).collect()]
+        assert got == [format_currency(v) for v in vals]
+
+    def test_no_python_in_plan(self, spark):
+        from zdb_spark.functions.scalar import format_currency_col
+
+        df = spark.createDataFrame([(1.5,)], "v double") \
+            .select(format_currency_col("v").alias("s"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "ArrowEval" not in plan
+
 
 class TestToNanos:
     def test_int_passthrough(self):

@@ -62,19 +62,62 @@ def string_to_nanoseconds(value: str) -> int:
 
 
 def format_currency_col(col: Column | str, sig_figs: int = 5) -> Column:
-    """Vectorized column form of ``format_currency`` (Arrow pandas UDF —
-    string sig-fig formatting has no exact pyspark.sql.functions
-    composition, and a per-batch vectorized UDF keeps it off the
-    row-at-a-time path)."""
-    from pyspark.sql.functions import pandas_udf
+    """Column form of ``format_currency`` as a pure Catalyst expression —
+    zero Python anywhere in the path (the earlier pandas-UDF form was the
+    repo's only per-row Python; this stays inside whole-stage codegen).
 
-    @pandas_udf("string")
-    def _fmt(s):  # type: ignore[no-untyped-def]
-        return s.map(lambda v: None if v is None
-                     else format_currency(float(v), sig_figs))
+    Fixed-point branch (integer part < 10^sig_figs): ``format_number``
+    (HALF_EVEN, like CPython's float formatting) at the same
+    ``max(sig_figs - int_digits, 1)`` decimals as the scalar — the
+    int-digit count only disagrees with the scalar's divide-by-10 loop at
+    exact powers of ten, where the fraction is zero and the trailing-zero
+    trim erases the difference.  Scientific branch (integer part >=
+    10^sig_figs, reference scan.rs:7-34): mantissa digits come from
+    ``bround`` (half-even) of ``v / 10^floor(log10 v)`` with an explicit
+    9.99→10.0 carry, exponent zero-padded to two digits like ``%e``.
+    Both branches then trim trailing zeros and a trailing '.' exactly
+    like the scalar — including its quirk of eating a final exponent
+    zero (``1.2e+10`` → ``1.2e+1``), which is reference behavior.
 
+    Known divergence: JVM decimal formatting rounds a double's SHORTEST
+    decimal representation, CPython rounds the exact binary value; the
+    two differ only for adversarially constructed exact decimal ties
+    (e.g. 2.675 at 2 decimals), not for values that survive arithmetic.
+    """
+    if sig_figs < 4:
+        raise ValueError("sig_figs must be >= 4")
     c = F.col(col) if isinstance(col, str) else col
-    return _fmt(c)
+
+    # ---- fixed-point branch: v's integer part has nd digits ---------- #
+    nd = (F.when(c > F.lit(1.0),
+                 F.length(c.cast("long").cast("string")))
+          .otherwise(F.lit(0)))
+    fixed = None
+    for n in range(sig_figs, -1, -1):   # nd <= sig_figs in this branch
+        d = max(sig_figs - n, 1)
+        s = F.regexp_replace(F.format_number(c, d), ",", "")
+        fixed = s if fixed is None else \
+            F.when(nd == F.lit(n), s).otherwise(fixed)
+
+    # ---- scientific branch ------------------------------------------- #
+    dm = sig_figs - 4                       # mantissa decimals, like %.{dm}e
+    exp = F.floor(F.log10(c)).cast("long")
+    scaled = c / F.power(F.lit(10.0), exp.cast("double"))
+    digits0 = F.bround(scaled * F.lit(float(10 ** dm)), 0).cast("long")
+    carry = digits0 >= F.lit(10 ** (dm + 1))
+    digits = F.when(carry, F.lit(10 ** dm)).otherwise(digits0)
+    exp2 = F.when(carry, exp + 1).otherwise(exp)
+    ds = digits.cast("string")
+    mantissa = (F.concat(F.substring(ds, 1, 1), F.lit("."),
+                         F.substring(ds, 2, dm))
+                if dm > 0 else F.substring(ds, 1, 1))
+    sci = F.concat(mantissa, F.lit("e+"),
+                   F.lpad(exp2.cast("string"), 2, "0"))
+
+    raw = F.when(F.floor(c) >= F.lit(float(10 ** sig_figs)), sci) \
+        .otherwise(fixed)
+    # scalar's res.rstrip("0").rstrip(".")
+    return F.regexp_replace(F.regexp_replace(raw, "0+$", ""), r"\.$", "")
 
 
 def format_currency(value: float, sig_figs: int = 5) -> str:

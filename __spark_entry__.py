@@ -584,8 +584,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _key_for(sf_dir, f"mh-store-v2-t{thr}", ("documents",))
     store = os.path.join(tempfile.gettempdir(), "zdb_mh_store", key)
     if not os.path.exists(os.path.join(store, "params.json")):
-        build_minhash_store(old, store, "text", "doc_id",
+        # Build in a scratch dir and atomically rename: a crash mid-build
+        # leaves only the scratch (cleared on retry), never a half-store
+        # at the final path that would make every retry errorifexists.
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_minhash_store(old, scratch, "text", "doc_id",
                             num_hashes=64, bands=16, k=5)
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        os.rename(scratch, store)
     pairs = incremental_minhash_pairs(new, old, store, "text", "doc_id",
                                       threshold=0.5, assume_disjoint=True)
     return pairs.select("id_a", "id_b", "jaccard")
@@ -917,20 +926,85 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
               .add_col("event_id", ColumnType.I64)
               .add_col("value", ColumnType.F64)
               .with_partition_by(PartitionBy.DAY))
-    t = Table.create_or_open(spark, schema, home=os.path.join(root, "home"))
-    marker = os.path.join(root, "_done")
-    if not os.path.exists(marker):
+    home = os.path.join(root, "home")
+    if not os.path.exists(home):
+        # Scratch-home + atomic rename: the write→evolve→write sequence
+        # is not rerunnable against a half-built table (second attempt
+        # would hit add_column 'already exists' / OutOfOrderError), so a
+        # crash must never leave partial state at the final path.
+        import shutil
+
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create_or_open(spark, schema, home=scratch)
         ev = _load(spark, sf_dir, "events").select("ts", "event_id", "value")
         t.write(ev.where(F.col("ts") < mid))
         t.add_column("batch_tag", ColumnType.SYMBOL8, default="v1")
         t.write(ev.where(F.col("ts") >= mid)
                 .withColumn("batch_tag", F.lit("v2")))
-        with open(marker, "w") as f:
-            f.write("done")
-    else:
-        t = Table.open(spark, "events_evo", home=os.path.join(root, "home"))
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_evo", home=home)
     return (t.scan()
             .groupBy("batch_tag")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full manifest lifecycle end-to-end: three ordered appends into a
+    manifest table (small-file buildup), ``compact`` (files rewritten
+    alongside the old set, manifest flipped atomically), ``vacuum(0)``
+    (superseded files + manifest versions reclaimed), then a fresh
+    ``Table.open`` and a partition-pruned ``scan`` over the same range
+    as the stream_ingest gate.  The oracle aggregates the source parquet
+    directly — a hash match proves no rows were lost, duplicated, or
+    mangled by compaction+vacuum (table.py:compact/vacuum/snapshot)."""
+    import shutil
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "lifecycle-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_lifecycle", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_lc")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch, manifest=True)
+        ev = (_load(spark, sf_dir, "events")
+              .select("ts", "event_id", "user_id", "event_type", "value"))
+        cut1 = 1704672000 * 10**9    # 2024-01-08
+        cut2 = 1705276800 * 10**9    # 2024-01-15
+        t.write(ev.where(F.col("ts") < cut1))
+        t.write(ev.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)))
+        t.write(ev.where(F.col("ts") >= cut2))
+        pre_v, _, _ = t._latest_manifest_full()
+        t.compact(target_file_mb=1)
+        post_v, _, _ = t._latest_manifest_full()
+        if post_v <= pre_v:
+            raise RuntimeError("compact did not flip the manifest")
+        # pre-compaction snapshot still readable until vacuum...
+        t.snapshot(pre_v)
+        t.vacuum(grace_seconds=0.0)
+        # ...and reclaimed after
+        try:
+            t.snapshot(pre_v)
+            raise RuntimeError("vacuum left the superseded snapshot")
+        except ValueError:
+            pass
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_lc", home=home)
+    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
+    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
+    return (t.scan(lo, hi)
+            .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
@@ -1866,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         # -- new gates this round -----------------------------------------
         "funnel6": q_funnel6,
+        "table_lifecycle": q_table_lifecycle,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -2382,6 +2457,17 @@ def oracle_sql() -> dict[str, str]:
         # Stream→table→scan parity: oracle aggregates the source events
         # directly over the same inclusive time range Table.scan used.
         "stream_ingest": f"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+              AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1
+        """,
+        # Lifecycle round-trip: same source aggregation as stream_ingest —
+        # append->compact->vacuum->scan must be lossless.
+        "table_lifecycle": f"""
             SELECT event_type,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value

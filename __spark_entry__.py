@@ -1295,6 +1295,37 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("mean_luma"), 6).alias("avg_luma")))
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no imaging library: per doc a solid-color PNG
+    (dimensions/colortype/color all closed-form in doc_id) is ENCODED
+    with the stdlib writer, then decode_images(decoder='png') inflates
+    IDAT, reverses scanline filters, and recovers width/height/channels/
+    mean-luma.  The oracle computes those same values directly from
+    doc_id — a hash match proves the bytes really round-tripped through
+    a spec-conformant decode, not a stub (multimodal.py:png_decode)."""
+    from zdb_spark.operators.multimodal import decode_images, png_encode
+
+    def encode(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 13, 4 + (i * 3) % 11
+                r, g, b = ((i * 37 + 11) % 256, (i * 57 + 23) % 256,
+                           (i * 77 + 31) % 256)
+                ct = (0, 2, 6)[i % 3]
+                color = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[ct]
+                rows.append((i, png_encode(w, h, color, ct)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(encode, "doc_id long, blob binary"))
+    out = decode_images(docs, "blob", "doc_id", decoder="png")
+    return out.select(F.col("id").alias("doc_id"), "fmt", "width",
+                      "height", "channels", "mean_luma")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: every-3rd pseudo-frame (cap 4) per
     blob through the Arrow-batched mapInPandas sampler; the sha256-
@@ -1941,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new gates this round -----------------------------------------
         "funnel6": q_funnel6,
         "table_lifecycle": q_table_lifecycle,
+        "multimodal_png": q_multimodal_png,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3176,6 +3208,25 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
                least(n - s, 32) AS n_chunk_tokens
         FROM g, unnest(range(0, greatest(n - 8, 1), 24)) AS u(s)
+    """
+    # Real-PNG gate: the oracle re-derives the closed-form image params
+    # from doc_id; Spark must recover them by actually decoding bytes.
+    # Luma uses the same Rec.601-over-255 expression as png_decode, whose
+    # integer-exact channel means make both sides bit-identical.
+    sqls["multimodal_png"] = """
+        SELECT doc_id,
+               'png' AS fmt,
+               CAST(4 + doc_id % 13 AS INT) AS width,
+               CAST(4 + (doc_id * 3) % 11 AS INT) AS height,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    ELSE 4 END AS INT) AS channels,
+               round(CASE WHEN doc_id % 3 = 0
+                          THEN ((doc_id * 37 + 11) % 256) / 255.0
+                          ELSE (0.299 * ((doc_id * 37 + 11) % 256)
+                                + 0.587 * ((doc_id * 57 + 23) % 256)
+                                + 0.114 * ((doc_id * 77 + 31) % 256))
+                               / 255.0 END, 6) AS mean_luma
+        FROM documents
     """
     sqls["multimodal_frames"] = r"""
         WITH t AS (

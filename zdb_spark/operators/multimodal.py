@@ -9,12 +9,15 @@ Design (BASELINE.json north star):
   over Arrow batches: the batch shape (pandas Series of bytes) is the
   unit of vectorization, and output schemas are fixed up front so the
   pipeline is plan-able.
-- The actual codec calls are STUBBED: the image/audio libraries are not
-  in this container.  ``decoder="fake"`` (default) produces a
-  deterministic hash-derived decode so the Spark-side plumbing — schema,
-  partitioning, UDF signature, batch shape — is real and testable;
-  ``decoder="pil"`` shows where the real import goes and raises
-  ``NotImplementedError`` if PIL is absent.
+- Codecs come in three tiers.  ``decoder="png"`` is a REAL decoder built
+  on nothing but the stdlib (``zlib`` inflate + scanline unfiltering per
+  the PNG spec), so genuine image decoding is testable in this container
+  with zero extra dependencies.  ``decoder="pil"`` is the wired
+  general-format slot (JPEG/GIF/…): real PIL code, raising
+  ``NotImplementedError`` only when PIL is absent (it is not installed
+  in this container).  ``decoder="fake"`` (default) is a deterministic
+  hash-derived stand-in kept so the plumbing path stays oracle-checkable
+  by engines that can hash but not decode.
 
 Scale notes: blobs dominate bytes, so the decode stage repartitions by a
 size-aware key before ``mapInPandas`` to even out Arrow batch payloads;
@@ -24,6 +27,8 @@ metadata-only paths never touch the blob bytes beyond the scan.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -31,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
-           "sample_frames"]
+           "sample_frames", "png_encode", "png_decode"]
 
 # (prefix bytes, format name) — standard public file signatures.
 MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
@@ -80,17 +85,176 @@ def _fake_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     return ("fake", width, height, channels, mean_luma)
 
 
+# ---------------------------------------------------------------------- #
+# real PNG codec — stdlib only (zlib inflate + spec scanline filters)     #
+# ---------------------------------------------------------------------- #
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def png_encode(width: int, height: int, color: tuple,
+               colortype: int) -> bytes:
+    """Minimal spec-conformant PNG writer (8-bit, non-interlaced,
+    filter-0 scanlines): solid-``color`` test/fixture images for driving
+    the real decode path without any imaging library.  ``colortype``:
+    0 grey, 2 RGB, 4 grey+alpha, 6 RGBA; ``color`` has one byte per
+    sample."""
+    nch = _PNG_CHANNELS[colortype]
+    if len(color) != nch:
+        raise ValueError(f"colortype {colortype} needs {nch} samples")
+    raw = b"".join(b"\x00" + bytes(color) * width for _ in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """REAL image decode with zero non-stdlib dependencies: parse PNG
+    chunks, inflate IDAT, reverse the five scanline filters (None / Sub /
+    Up / Average / Paeth, PNG spec §9), optionally expand a PLTE palette,
+    and return ('png', width, height, channels, mean_luma).
+
+    ``mean_luma`` is Rec.601 (0.299 R + 0.587 G + 0.114 B) / 255 over
+    every pixel, computed from exact integer channel sums so the result
+    is bit-reproducible by a SQL oracle that knows the expected pixel
+    values.  Supports 8-bit non-interlaced images of every colortype;
+    anything else raises ``ValueError`` (honest failure, not a guess).
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    w, h, depth, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth} ct={ct} "
+                         f"interlace={interlace})")
+    nch = _PNG_CHANNELS[ct]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG (scanline size mismatch)")
+
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        row = bytearray(raw[p + 1:p + 1 + stride])
+        p += 1 + stride
+        if f == 1:                                       # Sub
+            for x in range(nch, stride):
+                row[x] = (row[x] + row[x - nch]) & 255
+        elif f == 2:                                     # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 255
+        elif f == 3:                                     # Average
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:                                     # Paeth
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"bad filter byte {f}")
+        out += row
+        prev = row
+
+    if ct == 3:                                          # palette expand
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        out = bytearray(b for i in out for b in plte[3 * i:3 * i + 3])
+        nch = 3
+    # exact integer channel sums -> float only at the final division, so
+    # the luma matches an oracle computing the same formula on expected
+    # channel means bit-for-bit
+    n = w * h
+    sums = [0] * nch
+    for i in range(0, len(out), nch):
+        for c in range(nch):
+            sums[c] += out[i + c]
+    means = [s / n for s in sums]
+    if nch <= 2:                                         # grey / grey+A
+        luma = means[0] / 255.0
+    else:                                                # RGB / RGBA
+        luma = (0.299 * means[0] + 0.587 * means[1]
+                + 0.114 * means[2]) / 255.0
+    return ("png", w, h, nch, round(luma, 6))
+
+
+def _pil_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """General-format decode via PIL (the only non-stdlib codec path).
+    Raises NotImplementedError when PIL is not installed — this container
+    doesn't ship it; the PNG path above needs no library at all."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "decoder='pil' requires PIL, which is not installed in this "
+            "container; decoder='png' is the dependency-free real path "
+            "and decoder='fake' the oracle-checkable stub") from e
+    with Image.open(io.BytesIO(payload)) as im:
+        im.load()
+        w, h = im.size
+        bands = im.getbands()
+        nch = len(bands)
+        hist = im.histogram()              # nch blocks of 256 counts
+        sums = [sum(v * cnt for v, cnt in enumerate(hist[256 * c:256 * (c + 1)]))
+                for c in range(nch)]
+        n = w * h
+        means = [s / n for s in sums]
+        if nch <= 2:
+            luma = means[0] / 255.0
+        else:
+            luma = (0.299 * means[0] + 0.587 * means[1]
+                    + 0.114 * means[2]) / 255.0
+        fmt = (im.format or "unknown").lower()
+        return (fmt, w, h, nch, round(luma, 6))
+
+
+_DECODERS = {"fake": _fake_decode, "png": png_decode, "pil": _pil_decode}
+
+
 def decode_images(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
                   decoder: str = "fake",
                   target_partitions: int | None = None) -> DataFrame:
     """Decode blobs to (fmt, width, height, channels, mean_luma) via
     ``mapInPandas`` over Arrow batches.
 
-    ``decoder="fake"`` is the deterministic stub; ``decoder="pil"`` is the
-    real-codec slot (raises NotImplementedError when PIL is missing —
-    intentionally, per container constraints).
+    ``decoder="png"`` really decodes (stdlib zlib + unfiltering);
+    ``decoder="pil"`` really decodes any PIL-supported format when PIL is
+    installed (NotImplementedError here — it isn't); ``decoder="fake"``
+    is the deterministic hash stub for engine-agnostic oracle checks.
     """
-    if decoder not in ("fake", "pil"):
+    if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
 
     src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
@@ -99,23 +263,13 @@ def decode_images(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
         # concentrate the biggest payloads.
         src = src.repartition(target_partitions, "id")
 
-    use_pil = decoder == "pil"
+    decode = _DECODERS[decoder]
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if use_pil:
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decoding requires PIL, which is not "
-                    "installed in this container; use decoder='fake' for "
-                    "the plumbing path") from e
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["blob"]):
-                if use_pil:  # pragma: no cover — real-codec slot
-                    raise NotImplementedError("wire PIL decode here")
-                fmt, w, h, c, luma = _fake_decode(bytes(payload))
+                fmt, w, h, c, luma = decode(bytes(payload))
                 rows.append((int(i), fmt, w, h, c, luma))
             yield pd.DataFrame(rows, columns=["id", "fmt", "width", "height",
                                               "channels", "mean_luma"])

@@ -76,6 +76,55 @@ class TestResample:
         assert first_aapl["low"] == 99.0     # min low
         assert first_aapl["volume"] == 30    # 10 + 20
 
+    def test_resolution_default_matches_explicit(self, bar_table):
+        explicit = (resample(bar_table.scan(), "2 minutes")
+                    .orderBy("sym", "bucket_start").collect())
+        defaulted = (resample(bar_table.scan(), None,
+                              resolution_ns=2 * MIN)
+                     .orderBy("sym", "bucket_start").collect())
+        assert explicit == defaulted
+
+    def test_table_resample_uses_declared_resolution(self, spark, tmp_path):
+        # a "1-minute bars" table: t.resample() re-emits 1-minute buckets
+        # without the caller restating the width; explicit every overrides
+        t = Table.create(spark,
+                         bar_schema("bars_res").with_resolution(MIN),
+                         home=str(tmp_path / "res"))
+        rows = [Row(ts=T0 + i * MIN, sym="AAPL", open=100.0 + i,
+                    high=101.0 + i, low=99.0 + i, close=100.5 + i,
+                    volume=10) for i in range(4)]
+        t.write(spark.createDataFrame(rows))
+        out = t.resample().orderBy("bucket_start").collect()
+        assert len(out) == 4                      # identity at declared res
+        assert [r["open"] for r in out] == [100.0, 101.0, 102.0, 103.0]
+        coarser = t.resample(every="2 minutes").orderBy("bucket_start") \
+            .collect()
+        assert len(coarser) == 2
+        assert coarser[0]["open"] == 100.0 and coarser[0]["close"] == 101.5
+
+    def test_no_resolution_no_every_raises(self, bar_table):
+        import pytest as _pytest
+
+        # default resolution is 1 ns (raw ticks): no meaningful default
+        with _pytest.raises(ValueError, match="raw ticks"):
+            bar_table.resample()
+        with _pytest.raises(ValueError, match="every"):
+            resample(bar_table.scan(), None)
+
+    def test_duration_of_nanos_units(self):
+        from zdb_spark.ohlcv import duration_of_nanos
+        import pytest as _pytest
+
+        assert duration_of_nanos(60 * NS) == "1 minutes"
+        assert duration_of_nanos(90 * NS) == "90 seconds"
+        assert duration_of_nanos(86_400 * NS) == "1 days"
+        assert duration_of_nanos(5_000_000) == "5 milliseconds"
+        assert duration_of_nanos(1_000) == "1 microseconds"
+        with _pytest.raises(ValueError, match="sub-microsecond"):
+            duration_of_nanos(500)
+        with _pytest.raises(ValueError, match="positive"):
+            duration_of_nanos(0)
+
     def test_ticks_to_bars(self, spark):
         ticks = spark.createDataFrame(
             [Row(ts=T0 + i * 10 * NS, sym="X", price=float(i), size=1)

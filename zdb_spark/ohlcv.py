@@ -94,11 +94,28 @@ def ohlcv(table: Table, from_ts, to_ts, symbols: list[str] | None = None,
     }
 
 
-def resample(df: DataFrame, every: str, ts_col: str = "ts",
+def duration_of_nanos(ns: int) -> str:
+    """Render a nanosecond resolution as a Spark window duration string,
+    in the largest unit that divides it evenly ("60000000000 → 1 minutes").
+    Sub-microsecond resolutions cannot form a Spark window and raise."""
+    if ns <= 0:
+        raise ValueError(f"resolution must be positive, got {ns}")
+    for unit, width in (("days", 86_400 * 10**9), ("hours", 3_600 * 10**9),
+                        ("minutes", 60 * 10**9), ("seconds", 10**9),
+                        ("milliseconds", 10**6), ("microseconds", 10**3)):
+        if ns % width == 0:
+            return f"{ns // width} {unit}"
+    raise ValueError(
+        f"resolution {ns}ns is sub-microsecond; Spark window durations "
+        "bottom out at 1 microsecond — pass an explicit `every`")
+
+
+def resample(df: DataFrame, every: str | None = None, ts_col: str = "ts",
              symbol_col: str | None = "sym",
              price_col: str | None = None,
              volume_col: str | None = "volume",
-             ts_is_nanos: bool = True) -> DataFrame:
+             ts_is_nanos: bool = True,
+             resolution_ns: int | None = None) -> DataFrame:
     """Tumbling time-bucket OHLCV — the reference's unimplemented
     ``TODO: duration like 5Minutes`` (/root/reference/src/server/ohlcv.rs:56).
 
@@ -110,9 +127,22 @@ def resample(df: DataFrame, every: str, ts_col: str = "ts",
       high; low = min low; volume = sum.
 
     ``every`` is any Spark window duration ("5 minutes", "1 hour", "1 day").
-    Output columns: bucket_start (TimestampType), symbol (if given),
-    open/high/low/close/volume.
+    When omitted, the bucket defaults to ``resolution_ns`` — the table's
+    declared ts resolution (SURVEY §1.3: resolution survives as a semantic
+    fact; ``Table.resample`` passes it automatically).  A 1 ns resolution
+    (raw ticks, no declared bar width) has no meaningful default and
+    raises.  Output columns: bucket_start (TimestampType), symbol (if
+    given), open/high/low/close/volume.
     """
+    if every is None:
+        if resolution_ns is None:
+            raise ValueError("pass `every`, or `resolution_ns` for the "
+                             "declared-resolution default")
+        if resolution_ns == 1:
+            raise ValueError(
+                "table resolution is 1 ns (raw ticks) — there is no "
+                "declared bar width to default to; pass `every`")
+        every = duration_of_nanos(resolution_ns)
     ts_utc = nanos_to_ts(ts_col) if ts_is_nanos else F.col(ts_col)
     w = F.window(ts_utc, every)
     keys = [w.alias("w")] + ([F.col(symbol_col)] if symbol_col else [])

@@ -960,6 +960,21 @@ class Table:
             df = df.select(*[c.name for c in self.schema.columns])
         return df
 
+    def resample(self, from_ts: int | None = None, to_ts: int | None = None,
+                 every: str | None = None, **kwargs) -> DataFrame:
+        """Pruned scan + OHLCV resample, defaulting the bucket to the
+        table's DECLARED ts resolution (SURVEY §1.3: resolution survives
+        as a semantic fact — a table created ``with_resolution(60s)`` is
+        "1-minute bars", so ``t.resample()`` re-emits 1-minute buckets
+        without the caller restating the width).  An explicit ``every``
+        overrides; kwargs pass through to :func:`zdb_spark.ohlcv.resample`
+        (``price_col``, ``symbol_col``, ``volume_col``)."""
+        from .ohlcv import resample as _resample
+
+        return _resample(self.scan(from_ts, to_ts), every,
+                         ts_col=self.schema.ts_col,
+                         resolution_ns=self.schema.resolution, **kwargs)
+
     def compact(self, target_file_mb: int = 128,
                 cluster_by: list[str] | None = None) -> int:
         """Rewrite each ``dt`` partition into size-targeted, ts-sorted

@@ -885,6 +885,15 @@ class TestSearch:
         scores = [r["bm25"] for r in a]
         assert scores == sorted(scores, reverse=True) and len(a) == 5
 
+    def test_empty_corpus_raises_cleanly(self, spark):
+        from zdb_spark.operators.search import bm25_topk, corpus_term_stats
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty corpus"):
+            corpus_term_stats(empty, ["cat"], "text")
+        with pytest.raises(ValueError, match="empty corpus"):
+            bm25_topk(empty, "cat", "text", "doc_id")
+
     def test_bm25_validation(self, spark):
         from zdb_spark.operators.search import bm25_topk
 

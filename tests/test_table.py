@@ -732,6 +732,27 @@ class TestSchemaEvolution:
         with pytest.raises(ValueError, match="already exists"):
             t.add_column("dt", ColumnType.I64)
 
+    def test_add_column_default_type_validated(self, spark, tmp_home):
+        """A type-mismatched default must fail AT EVOLUTION TIME, not
+        silently cast to NULL at every later read."""
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        with pytest.raises(ValueError, match="must be an integer"):
+            t.add_column("n_fills", ColumnType.I64, default="lots")
+        with pytest.raises(ValueError, match="must be a string"):
+            t.add_column("venue2", ColumnType.SYMBOL8, default=7)
+        with pytest.raises(ValueError, match="must be numeric"):
+            t.add_column("fee2", ColumnType.F64, default="free")
+        with pytest.raises(ValueError, match="overflows"):
+            t.add_column("tiny", ColumnType.U8, default=300)
+        with pytest.raises(ValueError, match="overflows"):
+            t.add_column("count", ColumnType.U32, default=-1)
+        # nothing above may have mutated the schema
+        assert [c.name for c in t.schema.columns] == \
+            [c.name for c in make_schema().columns]
+        # valid ones still work
+        t.add_column("n_fills", ColumnType.I64, default=0)
+        t.add_column("ratio", ColumnType.F64, default=1)  # int ok for float
+
     def test_add_column_manifest_table(self, spark, tmp_home):
         t = Table.create(spark, make_schema("tm"), home=tmp_home,
                          manifest=True)

@@ -142,6 +142,12 @@ def token_budget_mix(df: DataFrame, source_col: str, tokens_col: str,
     Sharding changes WHICH documents are picked (still deterministically)
     but keeps each source's total within n_shards straddling documents
     of the target.
+
+    The output carries a ``shard`` column (the document's hash shard,
+    constant 0 when ``n_shards=1``): it is load-bearing for the sharded
+    formulation — downstream writers partition on it to keep each
+    selection stream independent — and is part of the public schema the
+    gate oracle selects.
     """
     if any(v < 0 for v in budgets.values()):
         raise ValueError("budgets must be non-negative")

@@ -669,11 +669,18 @@ def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
                       mode: str) -> None:
     base = (minhash_signature(df, text_col, num_hashes, k)
             .select(F.col(id_col).alias("_id"), "minhash"))
-    base.select(F.col("_id").alias(id_col), "minhash") \
-        .write.mode(mode).parquet(f"{path}/sigs")
-    (_banded_rows(base, bands, num_hashes // bands)
-     .select(F.col("_id").alias(id_col), "band", "bh")
-     .write.mode(mode).parquet(f"{path}/banded"))
+    # Two sinks consume base (sigs/ and banded/): cache it so the corpus
+    # is shingled+signed ONCE, not once per write — the same recomputation
+    # minhash_lsh_pairs documents caching its base to avoid.
+    base.persist()
+    try:
+        base.select(F.col("_id").alias(id_col), "minhash") \
+            .write.mode(mode).parquet(f"{path}/sigs")
+        (_banded_rows(base, bands, num_hashes // bands)
+         .select(F.col("_id").alias(id_col), "band", "bh")
+         .write.mode(mode).parquet(f"{path}/banded"))
+    finally:
+        base.unpersist()
 
 
 def build_minhash_store(df: DataFrame, path: str, text_col: str = "text",

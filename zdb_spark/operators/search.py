@@ -56,6 +56,10 @@ def corpus_term_stats(df: DataFrame, terms: list[str],
     aggs += [F.sum((c > 0).cast("long")).alias(f"df{i}")
              for i, c in enumerate(tf.values())]
     row = df.agg(*aggs).collect()[0]  # bounded: 2 + |terms| scalars
+    if row["n"] == 0:
+        # avg() over zero rows is NULL; surface the real condition
+        # instead of a float(None) TypeError
+        raise ValueError("empty corpus: no documents to index")
     return {"n": row["n"], "avgdl": float(row["avgdl"]),
             "docfreq": {t: row[f"df{i}"] for i, t in enumerate(terms)}}
 

@@ -881,6 +881,7 @@ class Table:
         """
         if any(c.name == name for c in self.schema.columns) or name == "dt":
             raise ValueError(f"column {name!r} already exists")
+        _validate_default(name, col_type, default)
         with self._meta_lock():
             meta_path = os.path.join(self.path, "_meta")
             if os.path.exists(meta_path):
@@ -1119,6 +1120,46 @@ class Table:
         rows = (self.df().select(column).distinct()
                 .orderBy(column).collect())
         return [r[0] for r in rows]
+
+
+_INT_BOUNDS: dict[ColumnType, tuple[int, int]] = {
+    ColumnType.TIMESTAMP: (-2**63, 2**63 - 1),
+    ColumnType.I8: (-128, 127), ColumnType.I16: (-2**15, 2**15 - 1),
+    ColumnType.I32: (-2**31, 2**31 - 1), ColumnType.I64: (-2**63, 2**63 - 1),
+    ColumnType.U8: (0, 255), ColumnType.U16: (0, 2**16 - 1),
+    ColumnType.U32: (0, 2**32 - 1), ColumnType.U64: (0, 2**64 - 1),
+}
+
+
+def _validate_default(name: str, col_type: ColumnType, default) -> None:
+    """Reject a type-mismatched ``add_column`` default AT EVOLUTION TIME.
+
+    Without this, a string default on an I64 column would silently cast
+    to NULL at every later read/write — a schema mistake that should
+    fail loudly once, not corrupt quietly forever."""
+    if default is None:
+        return
+    if col_type in (ColumnType.SYMBOL8, ColumnType.SYMBOL16,
+                    ColumnType.SYMBOL32):
+        if not isinstance(default, str):
+            raise ValueError(
+                f"default for {col_type.value} column {name!r} must be a "
+                f"string, got {type(default).__name__}: {default!r}")
+    elif col_type in (ColumnType.F32, ColumnType.F64):
+        if isinstance(default, bool) or not isinstance(default, (int, float)):
+            raise ValueError(
+                f"default for {col_type.value} column {name!r} must be "
+                f"numeric, got {type(default).__name__}: {default!r}")
+    else:
+        lo, hi = _INT_BOUNDS[col_type]
+        if isinstance(default, bool) or not isinstance(default, int):
+            raise ValueError(
+                f"default for {col_type.value} column {name!r} must be an "
+                f"integer, got {type(default).__name__}: {default!r}")
+        if not lo <= default <= hi:
+            raise ValueError(
+                f"default {default} overflows {col_type.value} "
+                f"column {name!r} (range [{lo}, {hi}])")
 
 
 def _dt_str_for(ts_nanos: int, fmt: str) -> str:

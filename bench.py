@@ -61,6 +61,8 @@ HEADLINE = [
     "quality_model",      # hashing-trick linear scorer (codegen'd fold)
     "chunk_docs",         # overlapping context-window explode
     "lm_score",           # corpus-trained bigram LM train+score
+    "funnel6",            # 6-step funnel: 5 asof transitions, 1 final agg
+    "multimodal_png",     # REAL stdlib PNG decode over mapInPandas
 ]
 
 

@@ -103,6 +103,40 @@ class TestEndpoints:
         out = json.loads(urllib.request.urlopen(req, timeout=120).read())
         assert out["result"] == [1025.0, 120]
 
+    def test_q_pickle_format_roundtrip(self, server):
+        """Julia-Serialization parity mode: format=pickle returns
+        language-native binary of the RAW result — numpy dtypes survive
+        where JSON would coerce them."""
+        import pickle
+
+        body = json.dumps({
+            "table": "bars",
+            "query": "import numpy as np\n"
+                     "def scan(close, volume):\n"
+                     "    return np.array([close.sum(), volume.sum()])",
+            "from": "2024-01-01", "to": "2024-01-02",
+            "format": "pickle",
+        }).encode()
+        req = urllib.request.Request(f"{server}/q", data=body, method="POST")
+        resp = urllib.request.urlopen(req, timeout=120)
+        assert resp.headers["content-type"] == "application/octet-stream"
+        res = pickle.loads(resp.read())
+        import numpy as np
+        assert isinstance(res, np.ndarray)
+        assert res.tolist() == [1025.0, 120.0]
+
+    def test_q_unknown_format_400(self, server):
+        body = json.dumps({
+            "table": "bars",
+            "query": "def scan(close):\n    return float(close.sum())",
+            "format": "msgpack",
+        }).encode()
+        req = urllib.request.Request(f"{server}/q", data=body, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=120)
+        assert ei.value.code == 400
+        assert "unknown format" in ei.value.read().decode()
+
     def test_unknown_table_400(self, server):
         with pytest.raises(urllib.error.HTTPError) as ei:
             get(f"{server}/symbols/nope/sym")

@@ -567,6 +567,16 @@ class TestSymbols:
         with pytest.raises(ValueError, match="not a symbol"):
             t.symbols("price")
 
+    def test_symbol_codes_one_based_zero_absent(self, spark, tmp_home):
+        # reference contract (read.rs:71-73): 1-based codes, 0 = absent
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        t.write(spark.createDataFrame(
+            [Row(ts=T0 + i, sym=s, price=1.0, size=1)
+             for i, s in enumerate(["MSFT", "AAPL", "GOOG"])]))
+        codes = t.symbol_codes("sym")
+        assert codes == {0: None, 1: "AAPL", 2: "GOOG", 3: "MSFT"}
+        assert min(c for c in codes if codes[c] is not None) == 1
+
 
 class TestChunkedManifest:
     """The head json must stay O(KB) regardless of table file count

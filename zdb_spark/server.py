@@ -16,7 +16,13 @@ Differences, by design:
   parallelism (SURVEY.md §2.5 mapping).  Executing request bodies is
   exactly as trusting as the reference's embedded-Julia endpoint; bind to
   localhost and front with auth in any real deployment.
-- Results serialize as JSON (not Julia Serialization).
+- Results serialize as JSON by default.  The reference returns Julia
+  ``Serialization`` binary (/root/reference/src/server/query.rs:234-246);
+  the language-native-binary parity mode here is ``"format": "pickle"``
+  in the request body → ``application/octet-stream`` pickle of the raw
+  result object (exact dtypes, no JSON coercion).  Same trust model as
+  the endpoint itself: /q already executes request bodies, so a
+  pickle-consuming CLIENT of this loopback server adds no new exposure.
 - Errors are 400s with text messages mirroring the reference's
   (table missing / column missing / must-define-scan).
 
@@ -232,8 +238,21 @@ def make_server(spark: SparkSession, home: str | None = None,
                     return
                 res = q(t, ns["scan"], from_ts, to_ts,
                         ordered=bool(body.get("ordered", False)))
-                self._send(200, json.dumps({"result": res},
-                                           default=_json_default).encode())
+                fmt = body.get("format", "json")
+                if fmt == "pickle":
+                    # Julia-Serialization parity: language-native binary
+                    # of the RAW result (query.rs:234-246) — dtypes
+                    # survive exactly (ndarray stays ndarray), unlike the
+                    # JSON coercion below.
+                    import pickle as _pickle
+
+                    self._send(200, _pickle.dumps(res),
+                               ctype="application/octet-stream")
+                elif fmt == "json":
+                    self._send(200, json.dumps({"result": res},
+                                               default=_json_default).encode())
+                else:
+                    self._err(f"unknown format {fmt!r} (json|pickle)")
             finally:
                 _exit_q()
 

@@ -1121,6 +1121,24 @@ class Table:
                 .orderBy(column).collect())
         return [r[0] for r in rows]
 
+    def symbol_codes(self, column: str) -> dict[int, str | None]:
+        """The reference's symbol-code CONTRACT, surfaced explicitly:
+        codes are 1-BASED and code 0 means "absent" (a row written
+        before the column existed / a null symbol) — the reference
+        decodes ``code - 1`` into its dictionary and treats 0 as no
+        value (/root/reference/src/table/read.rs:71-73).
+
+        Storage here is native strings (Parquet dictionary pages do the
+        encoding; see :meth:`symbols` for why), so codes are a DERIVED
+        view: ``{0: None, 1: first_symbol, 2: ...}`` over the sorted
+        distinct symbols.  Stable across calls as long as the symbol set
+        doesn't change; callers exchanging compact codes (the use case
+        the reference's u8/u16/u32 symbol widths serve) should pin one
+        snapshot of this dict, exactly as they would pin the reference's
+        dictionary file."""
+        return {0: None, **{i: s for i, s in
+                            enumerate(self.symbols(column), start=1)}}
+
 
 _INT_BOUNDS: dict[ColumnType, tuple[int, int]] = {
     ColumnType.TIMESTAMP: (-2**63, 2**63 - 1),

@@ -287,6 +287,24 @@ class TestFunnel:
         assert out2["click"]["n_users"] == 3
         assert out2["purchase"]["n_users"] == 1      # only u1 in order
 
+    def test_runtime_exchange_reuse(self, spark):
+        """Pin the union-at-the-end counting plan's runtime behavior:
+        step i's qualifying subtree feeds BOTH its union branch and step
+        i+1's anchor; AQE must evaluate the shared exchanges once
+        (ReusedExchange in the final adaptive plan), so an N-step funnel
+        does not re-run the whole chain per consumer."""
+        from zdb_spark.operators.temporal import funnel
+
+        rows = [(u, t, ts) for u in range(20) for t, ts in
+                [("a", u), ("b", u + 100), ("a", u + 200)]]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts long")
+        out = funnel(df, ["a", "b", "a"], "ts", "user_id", within=1000)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan          # AQE finalized
+        assert plan.count("ReusedExchange") >= 1   # shared quals reused
+
     def test_validation_and_no_window(self, spark):
         from zdb_spark.operators.temporal import funnel
 
@@ -340,6 +358,22 @@ class TestUserPaths:
                                    "user_id long, event_type string, ts long")
         out = user_paths(df, "ts", "user_id", "event_type").collect()
         assert out[0]["path"] == "a>z"
+
+    def test_plan_two_exchanges_and_group_limit(self, spark):
+        """Pin the scale plan: ONE shuffle on user (shared by the window
+        and the collect_list aggregate) + ONE on the path aggregate, and
+        Spark's WindowGroupLimit enforcing max_len map-side BEFORE the
+        shuffle — a hot user is bounded on the mapper, not after the
+        network."""
+        from zdb_spark.operators.temporal import user_paths
+
+        df = spark.createDataFrame([(1, "a", 1), (1, "b", 2), (2, "a", 3)],
+                                   "user_id long, event_type string, ts long")
+        plan = (user_paths(df, "ts", "user_id", "event_type", max_len=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "WindowGroupLimit" in plan
+        assert "TakeOrderedAndProject" in plan    # top-k, not global sort
 
     def test_hot_user_bounded(self, spark):
         from zdb_spark.operators.temporal import user_paths

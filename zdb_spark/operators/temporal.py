@@ -323,10 +323,10 @@ def funnel(df: DataFrame, steps: list, ts_col: str = "ts",
     and aggregated in a single groupBy(step) pass — N steps cost N
     transition shuffles + 1 count aggregate, not 2N separate aggregate
     job chains.  Step *i*'s qualifying subtree appears both in the
-    union branch and as step *i+1*'s anchor input; its terminal
-    distinct() exchange canonicalizes identically in both places, so
-    Spark's ReuseExchange evaluates it once per query, not once per
-    consumer.
+    union branch and as step *i+1*'s anchor input; the shared exchanges
+    canonicalize identically and AQE's runtime stage reuse evaluates
+    them once per query, not once per consumer (ReusedExchange nodes in
+    the final adaptive plan — pinned by test_runtime_exchange_reuse).
     """
     if not steps:
         raise ValueError("steps must be non-empty")

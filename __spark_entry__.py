@@ -1636,6 +1636,37 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_ws_tokens")))
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export round trip: documents are written as 8
+    deterministic hash shards of JSONL (``shard=K/`` dirs + manifest,
+    sources/writers.py:export_shards), then read BACK through Spark's
+    json reader with partition discovery and aggregated per shard.  The
+    oracle recomputes the md5 shard assignment closed-form from the
+    source table — a hash match proves both the assignment arithmetic
+    and that the JSONL round trip lost nothing."""
+    import tempfile
+
+    from zdb_spark.sources.writers import export_shards
+
+    key = _key_for(sf_dir, "export-shards-v1", ("documents",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_export", key)
+    out = os.path.join(root, "jsonl")
+    if not os.path.exists(out):
+        import shutil
+
+        scratch = out + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+        export_shards(docs, scratch, n_shards=8, id_col="doc_id",
+                      fmt="jsonl")
+        os.rename(scratch, out)
+    back = spark.read.json(out)
+    return (back.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("sum_id"),
+                 F.sum(F.length("text")).alias("sum_chars")))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: shard by hashed doc_id (shards are
     independent — embarrassingly parallel), pack each shard in id order
@@ -1973,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel6": q_funnel6,
         "table_lifecycle": q_table_lifecycle,
         "multimodal_png": q_multimodal_png,
+        "export_shards": q_export_shards,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -2970,6 +3002,18 @@ def oracle_sql() -> dict[str, str]:
     # Curation ops: the oracle re-derives the md5 bucket arithmetic from
     # first principles, so a hash match proves cross-engine (and
     # cross-rerun) reproducibility of the split/shard assignment itself.
+    # Sharded-export round trip: the oracle recomputes the shard
+    # assignment (same md5 recipe as hash_split) straight from the
+    # source table; Spark must recover it from re-read JSONL dirs.
+    sqls["export_shards"] = r"""
+        SELECT CAST(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                    1, 8))::BIGINT % 10000 % 8 AS INT)
+                   AS shard,
+               count(*) AS n_docs,
+               sum(doc_id) AS sum_id,
+               sum(len(text)) AS sum_chars
+        FROM documents GROUP BY 1
+    """
     sqls["hash_split"] = r"""
         WITH b AS (
             SELECT doc_id, text,

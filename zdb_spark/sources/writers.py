@@ -1,0 +1,79 @@
+"""Sink connectors: get Table/DataFrame data OUT, shaped for training.
+
+The reference has no export path at all (its one consumer is the HTTP
+API); a training-data engine needs the opposite end of the pipeline too:
+deterministic, resumable, shard-addressed exports that a dataloader
+fleet can consume without coordination.  ``export_shards`` is that sink:
+
+- Shard assignment is ``md5(salt:id) % 10000 % n_shards`` — the exact
+  recipe every curation operator here uses (`operators/curation.py:
+  _hash_bucket`), so it is reproducible in ANY engine with md5 (the
+  DuckDB gate oracle recomputes it closed-form) and stable across runs,
+  Spark versions, and cluster sizes.  Ingest order never leaks into
+  shard membership.
+- One ``repartition(shard)`` shuffle co-locates each shard, then a
+  single ``partitionBy("shard")`` write emits ``shard=K/`` directories —
+  at 100 TB that is the layout object stores and dataloaders want
+  (list one prefix per worker), and the shuffle is the only network
+  pass.
+- ``fmt="jsonl"`` uses Spark's json writer (one JSON object per line —
+  the lingua franca of LLM training corpora); parquet/csv pass through.
+- A ``_manifest.json`` records n_shards/fmt/salt/row counts so a
+  consumer can checksum completeness without listing files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.curation import _BUCKETS, _hash_bucket
+
+__all__ = ["export_shards"]
+
+_FMT_WRITERS = {"jsonl": "json", "json": "json", "parquet": "parquet",
+                "csv": "csv"}
+
+
+def export_shards(df: DataFrame, path: str, n_shards: int, id_col: str,
+                  fmt: str = "jsonl", salt: str = "v1",
+                  mode: str = "errorifexists") -> dict:
+    """Write ``df`` as ``n_shards`` deterministic hash shards under
+    ``path/shard=K/`` and return a manifest dict (also persisted as
+    ``path/_manifest.json``).
+
+    Returns ``{"n_shards", "fmt", "salt", "rows", "per_shard": {k: n}}``.
+    Empty shards are legal (small inputs) and appear with count 0 in the
+    manifest, so consumers can distinguish "empty" from "missing".
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if fmt not in _FMT_WRITERS:
+        raise ValueError(f"unknown fmt {fmt!r} "
+                         f"(one of {sorted(_FMT_WRITERS)})")
+    if n_shards > _BUCKETS:
+        raise ValueError(f"n_shards must be <= {_BUCKETS} "
+                         "(the hash-bucket domain)")
+
+    shard = (_hash_bucket(id_col, salt) % F.lit(n_shards)).alias("shard")
+    out = df.select("*", shard)
+    # count per shard BEFORE the write consumes the frame; this is the
+    # manifest's completeness checksum.  One small aggregate job.
+    counts = {int(r["shard"]): r["n"] for r in
+              out.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    per_shard = {k: counts.get(k, 0) for k in range(n_shards)}
+
+    (out.repartition(n_shards, "shard")
+        .write.mode(mode).partitionBy("shard")
+        .format(_FMT_WRITERS[fmt]).save(path))
+
+    manifest = {"n_shards": n_shards, "fmt": fmt, "salt": salt,
+                "rows": sum(per_shard.values()), "per_shard": per_shard}
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest

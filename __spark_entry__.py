@@ -1185,6 +1185,27 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=0.95, num_bits=8, num_tables=8)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped cluster-local dedup over the planted corpus:
+    fixed seed centroids (vectors 0-15) make the cell assignment
+    oracle-reproducible; within each cell, any doc with a smaller-id
+    neighbor at cosine >= 0.95 is dropped.  The oracle recomputes cells
+    (argmax dot, ties to lowest centroid), in-cell pairs, and the
+    min-smaller-neighbor rule entirely in SQL — including any planted
+    pair that straddles a cell boundary, which BOTH engines must then
+    keep (similarity.py:semantic_dedup)."""
+    from zdb_spark.operators.similarity import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [r["embedding"] for r in
+             emb.where(F.col("vec_id") < 16).orderBy("vec_id")
+                .select("embedding").collect()]
+    corpus = _dedup_corpus(emb)
+    return semantic_dedup(corpus, "embedding", "vec_id",
+                          threshold=0.95, centroids=cents).select(
+        "vec_id", "cell", "keep", "dup_of")
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH ANN over a PERSISTED index: signatures computed once at build
     time, written partitioned by table and sorted by signature — a query
@@ -2005,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_lifecycle": q_table_lifecycle,
         "multimodal_png": q_multimodal_png,
         "export_shards": q_export_shards,
+        "semantic_dedup": q_semantic_dedup,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3281,6 +3303,49 @@ def oracle_sql() -> dict[str, str]:
                substr(sha256(text || ':' || CAST(fi AS VARCHAR)), 1, 16)
                    AS frame_hash
         FROM t, unnest((range(0, nf, 3))[1:4]) AS u(fi)
+    """
+    # SemDeDup gate: cells, in-cell pairs, and the min-smaller-neighbor
+    # drop rule recomputed wholly in SQL over the planted corpus.
+    sqls["semantic_dedup"] = """
+        WITH e0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+            FROM embeddings
+        ), p AS (
+            SELECT vec_id + 100000 AS vec_id,
+                   list_transform(range(1, 65), j ->
+                       ve[CAST(j AS INT)]
+                       + 0.05 * ve[CAST((j % 64) + 1 AS INT)]) AS ve
+            FROM e0
+        ), corpus AS (
+            SELECT vec_id, ve FROM e0 UNION ALL SELECT vec_id, ve FROM p
+        ), cents AS (
+            SELECT vec_id AS cid, ve AS ce FROM e0 WHERE vec_id < 16
+        ), d AS (
+            SELECT corpus.vec_id, cents.cid,
+                   list_dot_product(ve, ce) AS dot
+            FROM corpus, cents
+        ), cell AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, cid) AS rn
+                FROM d) WHERE rn = 1
+        ), n AS (
+            SELECT corpus.vec_id, ve, cell,
+                   sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+            FROM corpus JOIN cell USING (vec_id)
+        ), pr AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.ve, b.ve)
+                         / (a.nrm * b.nrm), 6) AS cs
+            FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ), dup AS (
+            SELECT id_b, min(id_a) AS dup_of
+            FROM pr WHERE cs >= 0.95 GROUP BY 1
+        )
+        SELECT cell.vec_id, CAST(cell.cell AS INT) AS cell,
+               dup.dup_of IS NULL AS keep, dup.dup_of
+        FROM cell LEFT JOIN dup ON cell.vec_id = dup.id_b
     """
     sqls["cluster_assign"] = """
         WITH c AS (

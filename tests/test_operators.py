@@ -985,6 +985,71 @@ class TestAssignCentroids:
         assert len(g0) == 1 and len(g1) == 1 and g0 != g1
 
 
+class TestSemanticDedup:
+    def test_hand_built_cells_and_drops(self, spark):
+        # two fixed cells; docs 1,2,3 near-parallel in cell 0 (complete
+        # sim group -> keep 1, drop 2 and 3 pointing at 1); doc 4 alone
+        # in cell 1; doc 5 in cell 0 but orthogonal-ish -> kept
+        cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        rows = [(1, [1.0, 0.0, 0.0]),
+                (2, [1.0, 0.01, 0.0]),
+                (3, [1.0, 0.0, 0.01]),
+                (4, [0.0, 1.0, 0.0]),
+                (5, [0.6, 0.0, 0.55])]   # cell 0, cos to 1 ~ 0.74
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: (r["cell"], r["keep"], r["dup_of"]) for r in
+               similarity.semantic_dedup(df, "embedding", "vec_id",
+                                         threshold=0.95,
+                                         centroids=cents).collect()}
+        assert out == {1: (0, True, None), 2: (0, False, 1),
+                       3: (0, False, 1), 4: (1, True, None),
+                       5: (0, True, None)}
+
+    def test_cross_cell_pairs_not_candidates(self, spark):
+        # identical vectors forced into DIFFERENT cells by centroids:
+        # cell-local semantics keeps both (the documented approximation)
+        cents = [[1.0, 0.0], [1.0, 0.001]]
+        rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["keep"] for r in
+               similarity.semantic_dedup(df, "embedding", "vec_id",
+                                         threshold=0.95,
+                                         centroids=cents).collect()}
+        assert out == {1: True, 2: True}
+
+    def test_oversize_cell_guard(self, spark):
+        cents = [[1.0, 0.0]]
+        rows = [(i, [1.0, 0.0001 * i]) for i in range(10)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = similarity.semantic_dedup(df, "embedding", "vec_id",
+                                        threshold=0.95, centroids=cents,
+                                        max_cluster_size=5)
+        got = {r["vec_id"]: r["keep"] for r in out.collect()}
+        assert all(got.values())                  # nobody deduped
+        assert out._zdb_skipped_cells == {0: 10}  # and it says why
+
+    def test_trained_path_and_validation(self, spark):
+        import numpy as np
+        rng = np.random.RandomState(3)
+        blob = lambda c, n: (rng.randn(n, 4) * 0.01 + c).tolist()
+        rows = [(i, v) for i, v in enumerate(
+            blob([1, 0, 0, 0], 20) + blob([0, 1, 0, 0], 20))]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = similarity.semantic_dedup(df, "embedding", "vec_id",
+                                        threshold=0.999, n_clusters=2,
+                                        sample_size=40, iters=5)
+        rows_out = out.collect()
+        assert len(rows_out) == 40                # one row per doc
+        assert sum(1 for r in rows_out if r["keep"]) < 40  # tight blobs dedup
+        with pytest.raises(ValueError, match="threshold"):
+            similarity.semantic_dedup(df, "embedding", "vec_id",
+                                      threshold=0.0)
+
+
 class TestQualityModel:
     def test_linear_score_hand_computed(self, spark):
         import hashlib

@@ -30,7 +30,8 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "lsh_index_topk", "build_ivf_index", "ivf_index_topk",
            "append_lsh_index", "append_ivf_index", "compact_ann_index",
            "index_data_files", "current_generation",
-           "pq_train", "pq_encode", "pq_topk", "assign_centroids"]
+           "pq_train", "pq_encode", "pq_topk", "assign_centroids",
+           "semantic_dedup"]
 
 
 def _as_double(c: Column) -> Column:
@@ -645,6 +646,75 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                 .withColumn("cosine_sim", F.round(sim, 6))
                 .where(F.col("cosine_sim") >= threshold)
                 .select("id_a", "id_b", "cosine_sim"))
+    out._zdb_cache_handles = [slim]
+    return out
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", *, threshold: float = 0.95,
+                   centroids=None, n_clusters: int = 16,
+                   sample_size: int = 4096, iters: int = 10,
+                   seed: int = 42,
+                   max_cluster_size: int = 100_000) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: cluster the corpus, then
+    drop every document that has a SMALLER-ID neighbor at cosine >=
+    ``threshold`` within its cluster cell.
+
+    Output: one row per input doc — ``(id, cell, keep, dup_of)`` where
+    ``dup_of`` is the smallest in-cell neighbor above threshold (NULL for
+    kept docs).  Cell-LOCAL by design, like SemDeDup: near-dups that
+    straddle a cluster boundary are not candidates — that is the
+    approximation that removes the all-pairs O(n²); recall is tuned by
+    cluster count/size, not by widening the join.  For exact component
+    resolution of the survivors, feed the implied pairs through
+    ``dedup.duplicate_clusters``.
+
+    Execution at 100 TB: centroid training is a bounded driver sample
+    (``ivf_index``) or caller-fixed ``centroids`` (deterministic,
+    oracle-checkable); assignment is a narrow codegen'd map (no
+    shuffle); the candidate self-join shuffles BARE IDS on the cell key
+    only, vectors re-attach to the (far smaller) pair set by two
+    id-joins before the exact cosine verify — the same payload
+    discipline as ``embedding_dedup_pairs``.  Cells larger than
+    ``max_cluster_size`` are excluded from pairing (their members come
+    back ``keep=true``) and surfaced on the result as
+    ``_zdb_skipped_cells`` — a hot-cell quadratic blowup is refused
+    loudly, mirroring the MinHash hot-bucket cap.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if centroids is not None:
+        assigned = assign_centroids(df, centroids, vec_col, "_cell")
+    else:
+        assigned, _ = ivf_index(df, vec_col, n_clusters, sample_size,
+                                iters, seed, out_col="_cell")
+    slim = assigned.select(F.col(id_col).alias("_id"), "_cell").cache()
+
+    sizes = slim.groupBy("_cell").agg(F.count(F.lit(1)).alias("n"))
+    big = {int(r["_cell"]): int(r["n"]) for r in
+           sizes.where(F.col("n") > max_cluster_size).collect()}
+    cand = slim.where(~F.col("_cell").isin(*big)) if big else slim
+
+    a = cand.select(F.col("_id").alias("id_a"), "_cell")
+    b = cand.select(F.col("_id").alias("id_b"), "_cell")
+    pairs = (a.join(b, "_cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("_vb"))
+    sim = cosine_sim(F.col("_va"), F.col("_vb"))
+    dup = (pairs.join(va, "id_a").join(vb, "id_b")
+           .where(F.round(sim, 6) >= F.lit(threshold))
+           .groupBy("id_b").agg(F.min("id_a").alias("dup_of")))
+
+    out = (assigned
+           .join(dup, assigned[id_col] == dup["id_b"], "left")
+           .select(F.col(id_col), F.col("_cell").cast("int").alias("cell"),
+                   F.col("dup_of").isNull().alias("keep"),
+                   F.col("dup_of")))
+    out._zdb_skipped_cells = big
     out._zdb_cache_handles = [slim]
     return out
 

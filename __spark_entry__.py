@@ -688,6 +688,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.8)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-paste span detection: docs sharing >= 2 sampled 24-char
+    fingerprint hashes (0-mod-8 sketch) — the verbatim-substring overlap
+    signal token-level dedup misses.  Sampling, hashing, and the pair
+    join are all md5-exact, so the oracle recomputes the identical
+    fingerprints in SQL (dedup.py:char_fingerprint_pairs)."""
+    from zdb_spark.operators.dedup import char_fingerprint_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return char_fingerprint_pairs(docs, "text", "doc_id",
+                                  n=24, mod=8, min_shared=2)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair→cluster resolution: connected components over the verified
     minhash pairs (iterative min-label propagation — the non-one-plan
@@ -2027,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": q_multimodal_png,
         "export_shards": q_export_shards,
         "semantic_dedup": q_semantic_dedup,
+        "dedup_spans": q_dedup_spans,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3303,6 +3317,25 @@ def oracle_sql() -> dict[str, str]:
                substr(sha256(text || ':' || CAST(fi AS VARCHAR)), 1, 16)
                    AS frame_hash
         FROM t, unnest((range(0, nf, 3))[1:4]) AS u(fi)
+    """
+    # Span-dedup gate: identical 0-mod-8 fingerprint construction in SQL.
+    sqls["dedup_spans"] = """
+        WITH g AS (
+            SELECT doc_id, list_distinct(list_filter(
+                list_transform(range(1, greatest(len(text) - 23, 0) + 1),
+                               i -> ('0x' || substr(md5(substr(text,
+                                        CAST(i AS INT), 24)), 1, 8))::BIGINT),
+                h -> h % 8 = 0)) AS hs
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(hs) AS h FROM g
+        ), p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
     """
     # SemDeDup gate: cells, in-cell pairs, and the min-smaller-neighbor
     # drop rule recomputed wholly in SQL over the planted corpus.

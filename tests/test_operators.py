@@ -134,6 +134,48 @@ class TestBucketCap:
         assert len(uncapped.collect()) == len(got) + n_clique_pairs
 
 
+class TestCharFingerprints:
+    def test_planted_shared_span_found(self, spark):
+        span = "THE EXACT SAME LICENSE BLOCK PASTED VERBATIM " * 4
+        rows = [(1, "alpha " * 30 + span),
+                (2, span + " omega " * 30),
+                (3, "completely different text with no overlap " * 8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.char_fingerprint_pairs(df, "text", "doc_id",
+                                           n=24, mod=4, min_shared=1)
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)
+
+    def test_no_false_pairs_on_disjoint_text(self, spark):
+        rows = [(i, f"doc {i} " + f"unique{i} " * 50) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.char_fingerprint_pairs(df, "text", "doc_id",
+                                           n=24, mod=2, min_shared=1)
+        # "unique{i}" repeats WITHIN a doc but never across docs
+        assert out.count() == 0
+
+    def test_hot_fingerprint_cap(self, spark):
+        boiler = "COMMON HEADER EVERY DOC CARRIES IN FULL " * 3
+        rows = [(i, boiler + f"tail{i} " * 20) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = dedup.char_fingerprint_pairs(df, "text", "doc_id",
+                                              n=24, mod=4, min_shared=1,
+                                              max_bucket_size=5)
+        # every cross-doc fingerprint is the 10-doc boilerplate -> all
+        # buckets capped -> no pairs, and the drop is surfaced
+        assert capped.count() == 0
+        assert capped._zdb_dropped_buckets.count() > 0
+        uncapped = dedup.char_fingerprint_pairs(df, "text", "doc_id",
+                                                n=24, mod=4, min_shared=1)
+        assert uncapped.count() == 45              # all C(10,2) pairs
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="positive"):
+            dedup.char_fingerprint_pairs(df, "text", "doc_id", n=0)
+
+
 class TestSimhash:
     def test_pairs(self, docs):
         pairs = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)

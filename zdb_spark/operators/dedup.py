@@ -49,7 +49,8 @@ __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "minhash_signature", "minhash_lsh_pairs", "simhash",
            "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
            "release", "portable_hash64", "build_minhash_store",
-           "append_minhash_store", "incremental_minhash_pairs"]
+           "append_minhash_store", "incremental_minhash_pairs",
+           "char_fingerprint_pairs"]
 
 
 def release(df: DataFrame) -> None:
@@ -288,6 +289,63 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                    .where(F.col("jaccard") >= threshold)
                    .select("id_a", "id_b", "est_jaccard", "jaccard"))
     out._zdb_cache_handles = [base]
+    if dropped is not None:
+        out._zdb_dropped_buckets = dropped
+    return out
+
+
+def char_fingerprint_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", *, n: int = 24,
+                           mod: int = 8, min_shared: int = 2,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """Copy-paste span detection: documents sharing verbatim character
+    runs — the substring-level dedup signal n-gram/MinHash token methods
+    miss (a 200-char license block pasted into otherwise-unrelated docs),
+    the problem exact-substring dedup à la Lee et al.'s suffix-array
+    pipeline targets, re-expressed as a distributed fingerprint join.
+
+    Every character ``n``-gram is hashed and the hashes with
+    ``h % mod == 0`` are kept as the doc's FINGERPRINTS — the classic
+    0-mod-p sketch: deterministic, position-independent, samples ~1/mod
+    of positions, and any shared run of length >= n + mod·E[gap] shares
+    a fingerprint with high probability.  Docs sharing >= ``min_shared``
+    fingerprints come back as (id_a, id_b, n_shared).
+
+    Execution: gram hashing + sampling happens INSIDE array expressions
+    (transform → filter → array_distinct), so only the sampled ~len/mod
+    fingerprints are ever exploded into rows — the full gram stream
+    never hits the shuffle.  All hashing is md5-based and byte-exact
+    reproducible in any engine (the gate oracle recomputes it in SQL);
+    swap a codegen'd polynomial rolling hash here if oracle portability
+    ever stops being worth the md5 cost.  ``max_bucket_size`` drops
+    fingerprints shared by more than that many docs (ubiquitous
+    boilerplate) before the self-join, surfaced as
+    ``._zdb_dropped_buckets`` — same refusal-over-blowup contract as the
+    MinHash cap.
+    """
+    if n < 1 or mod < 1 or min_shared < 1:
+        raise ValueError("n, mod and min_shared must be positive")
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+        lambda i: F.substring(t, i, n))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    sampled = F.array_distinct(
+        F.filter(hashes, lambda h: h % F.lit(mod) == 0))
+    fp = (df.select(F.col(id_col).alias("_id"), F.explode(sampled).alias("h")))
+
+    dropped = None
+    if max_bucket_size is not None:
+        fp, dropped = _cap_buckets(fp, ["h"], max_bucket_size)
+
+    a = fp.select(F.col("_id").alias("id_a"), "h")
+    b = fp.select(F.col("_id").alias("id_b"), "h")
+    out = (a.join(b, "h").where(F.col("id_a") < F.col("id_b"))
+           .groupBy("id_a", "id_b")
+           .agg(F.count(F.lit(1)).alias("n_shared"))
+           .where(F.col("n_shared") >= min_shared))
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
     return out

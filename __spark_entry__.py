@@ -1360,6 +1360,39 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "channels", "mean_luma")
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no audio library: per doc a constant-amplitude
+    16-bit PCM WAV (rate/channels/frames/amplitude all closed-form in
+    doc_id) is written with the stdlib RIFF encoder, then
+    decode_audio(decoder='wav') parses chunks and computes frame count,
+    duration, and integer-exact RMS.  The oracle re-derives every field
+    from doc_id alone — only a spec-conformant RIFF/PCM parse can match
+    (multimodal.py:wav_decode)."""
+    from zdb_spark.operators.multimodal import decode_audio, wav_encode
+
+    def encode(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sr = 8000 + (i % 4) * 4000
+                ch = 1 + i % 2
+                nf = 64 + i % 32
+                # ODD amplitude: v/32768 then can never be an exact
+                # 6-decimal rounding tie (needs 256 | v), so CPython's
+                # half-even and the oracle's half-up agree on every row
+                v = ((i * 500) % 16384) * 2 + 1
+                rows.append((i, wav_encode(sr, ch, [v] * (nf * ch))))
+            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(encode, "doc_id long, blob binary"))
+    out = decode_audio(docs, "blob", "doc_id", decoder="wav")
+    return out.select(F.col("id").alias("doc_id"), "fmt", "sample_rate",
+                      "channels", "n_frames", "duration_s", "rms")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: every-3rd pseudo-frame (cap 4) per
     blob through the Arrow-batched mapInPandas sampler; the sha256-
@@ -2041,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": q_export_shards,
         "semantic_dedup": q_semantic_dedup,
         "dedup_spans": q_dedup_spans,
+        "multimodal_wav": q_multimodal_wav,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3306,6 +3340,20 @@ def oracle_sql() -> dict[str, str]:
                                 + 0.587 * ((doc_id * 57 + 23) % 256)
                                 + 0.114 * ((doc_id * 77 + 31) % 256))
                                / 255.0 END, 6) AS mean_luma
+        FROM documents
+    """
+    # Real-WAV gate: every decoded field re-derived closed-form from
+    # doc_id; constant-amplitude PCM makes the RMS integer-exact.
+    sqls["multimodal_wav"] = """
+        SELECT doc_id,
+               'wav' AS fmt,
+               CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS INT) AS channels,
+               CAST(64 + doc_id % 32 AS BIGINT) AS n_frames,
+               round(CAST(64 + doc_id % 32 AS DOUBLE)
+                     / (8000 + (doc_id % 4) * 4000), 6) AS duration_s,
+               round((((doc_id * 500) % 16384) * 2 + 1) / 32768.0, 6)
+                   AS rms
         FROM documents
     """
     sqls["multimodal_frames"] = r"""

@@ -788,6 +788,53 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             png_decode(png_encode(4, 4, (1, 2, 3), 2)[:20])
 
+    def test_wav_roundtrip_mono_stereo(self):
+        from zdb_spark.operators.multimodal import wav_decode, wav_encode
+
+        got = wav_decode(wav_encode(16000, 1, [1000] * 96))
+        assert got == ("wav", 16000, 1, 96, round(96 / 16000, 6),
+                       round(1000 / 32768, 6))
+        # stereo, alternating sign: same RMS magnitude, frames = n/2
+        f, sr, ch, nf, dur, rms = wav_decode(
+            wav_encode(8000, 2, [500, -500] * 64))
+        assert (sr, ch, nf) == (8000, 2, 64)
+        assert rms == round(500 / 32768, 6)
+
+    def test_wav_decode_rejects_garbage(self):
+        import struct
+
+        from zdb_spark.operators.multimodal import wav_decode, wav_encode
+
+        with pytest.raises(ValueError, match="RIFF"):
+            wav_decode(b"not audio")
+        with pytest.raises(ValueError, match="truncated"):
+            wav_decode(wav_encode(8000, 1, [0, 0])[:20])
+        # 8-bit PCM is honestly unsupported, not silently misread
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 2) + b"\x00\x00")
+        with pytest.raises(ValueError, match="only 16-bit PCM"):
+            wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+        with pytest.raises(ValueError, match="whole number of frames"):
+            wav_encode(8000, 2, [1, 2, 3])
+
+    def test_decode_audio_distributed(self, spark):
+        from zdb_spark.operators.multimodal import decode_audio, wav_encode
+
+        rows = [Row(id=i, blob=wav_encode(8000 * (i + 1), 1,
+                                          [2001 + 2 * i] * 80))
+                for i in range(3)]
+        out = {r["id"]: r for r in
+               decode_audio(spark.createDataFrame(rows), "blob", "id",
+                            decoder="wav").collect()}
+        for i in range(3):
+            assert out[i]["sample_rate"] == 8000 * (i + 1)
+            assert out[i]["n_frames"] == 80
+            assert out[i]["rms"] == round((2001 + 2 * i) / 32768, 6)
+        with pytest.raises(ValueError, match="unknown decoder"):
+            decode_audio(spark.createDataFrame(rows), "blob", "id",
+                         decoder="mp3")
+
     def test_decode_images_png_distributed(self, spark):
         from zdb_spark.operators.multimodal import png_encode
 

@@ -36,7 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
-           "sample_frames", "png_encode", "png_decode"]
+           "sample_frames", "png_encode", "png_decode",
+           "wav_encode", "wav_decode", "decode_audio"]
 
 # (prefix bytes, format name) — standard public file signatures.
 MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
@@ -206,6 +207,111 @@ def png_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         luma = (0.299 * means[0] + 0.587 * means[1]
                 + 0.114 * means[2]) / 255.0
     return ("png", w, h, nch, round(luma, 6))
+
+
+# ---------------------------------------------------------------------- #
+# real WAV codec — stdlib only (RIFF chunk parse + PCM sample math)       #
+# ---------------------------------------------------------------------- #
+def wav_encode(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE writer (16-bit PCM, interleaved) for
+    fixture/test audio without any audio library.  ``samples`` is the
+    flat interleaved int16 stream (len must divide by channels)."""
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("samples must be a whole number of frames")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(payload: bytes) -> tuple[str, int, int, int, float, float]:
+    """REAL audio decode with zero non-stdlib dependencies: parse RIFF
+    chunks, require 16-bit PCM, and compute
+    ('wav', sample_rate, channels, n_frames, duration_s, rms).
+
+    ``rms`` is over ALL interleaved samples normalized to [-1, 1]
+    (int16 / 32768), computed from an exact integer sum of squares so
+    constant-amplitude fixtures reproduce closed-form in a SQL oracle.
+    Non-PCM/non-16-bit/truncated input raises ``ValueError`` — honest
+    failure, not a guess.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        chunk = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)            # chunks are word-aligned
+        if typ == b"fmt ":
+            fmt = chunk
+        elif typ == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_fmt, channels, sample_rate, _br, _ba, bits = \
+        struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits}; "
+                         "only 16-bit PCM)")
+    if len(data) % (channels * 2):
+        raise ValueError("corrupt WAV (data not a whole number of frames)")
+    n_samples = len(data) // 2
+    samples = struct.unpack(f"<{n_samples}h", data)
+    n_frames = n_samples // channels
+    sum_sq = sum(s * s for s in samples)     # exact integer
+    rms = (sum_sq / n_samples) ** 0.5 / 32768.0 if n_samples else 0.0
+    duration = n_frames / sample_rate
+    return ("wav", sample_rate, channels, n_frames,
+            round(duration, 6), round(rms, 6))
+
+
+_AUDIO_SCHEMA = ("id long, fmt string, sample_rate int, channels int, "
+                 "n_frames long, duration_s double, rms double")
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[str, int, int, int,
+                                                float, float]:
+    """Deterministic hash-derived stand-in (sha256, same rationale as
+    ``_fake_decode``): keeps the audio plumbing oracle-checkable by
+    engines that can hash but not parse RIFF."""
+    h = hashlib.sha256(payload).digest()
+    sr = 8000 * (1 + h[0] % 6)
+    ch = 1 + h[1] % 2
+    nf = 64 + h[2]
+    return ("fake", sr, ch, nf, round(nf / sr, 6),
+            round(h[3] / 255.0, 6))
+
+
+_AUDIO_DECODERS = {"wav": wav_decode, "fake": _fake_audio_decode}
+
+
+def decode_audio(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
+                 decoder: str = "wav") -> DataFrame:
+    """Decode audio blobs to (fmt, sample_rate, channels, n_frames,
+    duration_s, rms) via ``mapInPandas`` over Arrow batches — the audio
+    sibling of :func:`decode_images`.  ``decoder="wav"`` really parses
+    RIFF/PCM (stdlib only); ``decoder="fake"`` is the deterministic
+    plumbing stub."""
+    if decoder not in _AUDIO_DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}")
+    decode = _AUDIO_DECODERS[decoder]
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                fmt, sr, ch, nf, dur, rms = decode(bytes(payload))
+                rows.append((int(i), fmt, sr, ch, nf, dur, rms))
+            yield pd.DataFrame(rows, columns=[
+                "id", "fmt", "sample_rate", "channels", "n_frames",
+                "duration_s", "rms"])
+
+    return src.mapInPandas(mapper, _AUDIO_SCHEMA)
 
 
 def _pil_decode(payload: bytes) -> tuple[str, int, int, int, float]:

@@ -63,6 +63,8 @@ HEADLINE = [
     "lm_score",           # corpus-trained bigram LM train+score
     "funnel6",            # 6-step funnel: 5 asof transitions, 1 final agg
     "multimodal_png",     # REAL stdlib PNG decode over mapInPandas
+    "dedup_spans",        # 0-mod-p char-fingerprint span overlap
+    "semantic_dedup",     # SemDeDup cluster-local embedding dedup
 ]
 
 

@@ -594,6 +594,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_minhash_store(old, scratch, "text", "doc_id",
                             num_hashes=64, bands=16, k=5)
         os.makedirs(os.path.dirname(store), exist_ok=True)
+        # a legacy half-built store (params.json written last, crash
+        # before it) may occupy the final path; clear it or the rename
+        # below fails with ENOTEMPTY on every retry
+        shutil.rmtree(store, ignore_errors=True)
         os.rename(scratch, store)
     pairs = incremental_minhash_pairs(new, old, store, "text", "doc_id",
                                       threshold=0.5, assume_disjoint=True)
@@ -932,7 +936,10 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
     from zdb_spark.table import Table
 
-    key = _key_for(sf_dir, "schema-evo-v1", ("events",))
+    # v2: the build moved to scratch-home + atomic rename; the key bump
+    # retires any legacy half-built home a pre-rename crash left behind
+    # (which os.path.exists(home) would otherwise open as complete)
+    key = _key_for(sf_dir, "schema-evo-v2", ("events",))
     root = os.path.join(tempfile.gettempdir(), "zdb_schema_evo", key)
     mid = 1704672000 * 10**9  # 2024-01-08T00:00:00Z
     schema = (Schema("events_evo")
@@ -1214,9 +1221,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              emb.where(F.col("vec_id") < 16).orderBy("vec_id")
                 .select("embedding").collect()]
     corpus = _dedup_corpus(emb)
-    return semantic_dedup(corpus, "embedding", "vec_id",
-                          threshold=0.95, centroids=cents).select(
-        "vec_id", "cell", "keep", "dup_of")
+    res = semantic_dedup(corpus, "embedding", "vec_id",
+                         threshold=0.95, centroids=cents)
+    out = res.select("vec_id", "cell", "keep", "dup_of")
+    # .select() returns a new DataFrame: carry the unpersist handle so
+    # dedup.release() still works in a long-lived session
+    out._zdb_cache_handles = res._zdb_cache_handles
+    return out
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2082,16 +2093,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "schema_evolution": q_schema_evolution,   # build logic rewritten r6
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_incremental": q_dedup_incremental,
         "curation_pipeline": q_curation_pipeline,
+        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "stream_ingest": q_stream_ingest,
-        "schema_evolution": q_schema_evolution,
         "sessionize_stream": q_sessionize_stream,
         "text_quality": q_text_quality,
-        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "symbols_dict": q_symbols_dict,
         "udf_fold_sum": q_udf_fold_sum,
         "grouped_pandas": q_grouped_pandas,

@@ -175,6 +175,24 @@ class TestCharFingerprints:
         with pytest.raises(ValueError, match="positive"):
             dedup.char_fingerprint_pairs(df, "text", "doc_id", n=0)
 
+    def test_short_texts_emit_no_fingerprints(self, spark):
+        """Texts shorter than n must produce ZERO fingerprints — the
+        sequence(1, 0)-is-descending trap would otherwise fingerprint
+        the whole short text and pair identical short docs as sharing a
+        >= n-char span."""
+        rows = [(1, "tiny"), (2, "tiny"), (3, ""), (4, "x" * 23)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.char_fingerprint_pairs(df, "text", "doc_id",
+                                           n=24, mod=1, min_shared=1)
+        assert out.count() == 0
+        # exactly-n text emits exactly its one gram
+        df2 = spark.createDataFrame([(1, "y" * 24), (2, "y" * 24)],
+                                    "doc_id long, text string")
+        out2 = dedup.char_fingerprint_pairs(df2, "text", "doc_id",
+                                            n=24, mod=1, min_shared=1)
+        assert [(r["id_a"], r["id_b"], r["n_shared"])
+                for r in out2.collect()] == [(1, 2, 1)]
+
 
 class TestSimhash:
     def test_pairs(self, docs):

@@ -326,9 +326,17 @@ def char_fingerprint_pairs(df: DataFrame, text_col: str = "text",
     if n < 1 or mod < 1 or min_shared < 1:
         raise ValueError("n, mod and min_shared must be positive")
     t = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
-        lambda i: F.substring(t, i, n))
+    # End the position sequence at >= 1 (sequence(1, 0) is DESCENDING
+    # [1, 0] in Spark, not empty — same trap shingle_col guards), then
+    # drop the short-gram a sub-n-char text produces at position 1: such
+    # docs must emit NO fingerprints, exactly like the SQL oracle's
+    # empty range().
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: F.substring(t, i, n)),
+        lambda g: F.length(g) == n)
     hashes = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))

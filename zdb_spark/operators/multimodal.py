@@ -290,16 +290,22 @@ _AUDIO_DECODERS = {"wav": wav_decode, "fake": _fake_audio_decode}
 
 
 def decode_audio(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
-                 decoder: str = "wav") -> DataFrame:
+                 decoder: str = "wav",
+                 target_partitions: int | None = None) -> DataFrame:
     """Decode audio blobs to (fmt, sample_rate, channels, n_frames,
     duration_s, rms) via ``mapInPandas`` over Arrow batches — the audio
-    sibling of :func:`decode_images`.  ``decoder="wav"`` really parses
-    RIFF/PCM (stdlib only); ``decoder="fake"`` is the deterministic
-    plumbing stub."""
+    sibling of :func:`decode_images`, including its
+    ``target_partitions`` spread knob (audio blobs are even more
+    size-skewed than images; co-located large WAVs would otherwise
+    concentrate decode cost and Arrow batch memory in one task).
+    ``decoder="wav"`` really parses RIFF/PCM (stdlib only);
+    ``decoder="fake"`` is the deterministic plumbing stub."""
     if decoder not in _AUDIO_DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")
     decode = _AUDIO_DECODERS[decoder]
     src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -236,9 +236,14 @@ def make_server(spark: SparkSession, home: str | None = None,
                 if "scan" not in ns:
                     self._err("query must define a function named scan")
                     return
+                fmt = body.get("format", "json")
+                if fmt not in ("json", "pickle"):
+                    # reject BEFORE executing the (arbitrarily expensive)
+                    # query, not after
+                    self._err(f"unknown format {fmt!r} (json|pickle)")
+                    return
                 res = q(t, ns["scan"], from_ts, to_ts,
                         ordered=bool(body.get("ordered", False)))
-                fmt = body.get("format", "json")
                 if fmt == "pickle":
                     # Julia-Serialization parity: language-native binary
                     # of the RAW result (query.rs:234-246) — dtypes
@@ -248,11 +253,9 @@ def make_server(spark: SparkSession, home: str | None = None,
 
                     self._send(200, _pickle.dumps(res),
                                ctype="application/octet-stream")
-                elif fmt == "json":
+                else:
                     self._send(200, json.dumps({"result": res},
                                                default=_json_default).encode())
-                else:
-                    self._err(f"unknown format {fmt!r} (json|pickle)")
             finally:
                 _exit_q()
 

@@ -58,17 +58,23 @@ def export_shards(df: DataFrame, path: str, n_shards: int, id_col: str,
                          "(the hash-bucket domain)")
 
     shard = (_hash_bucket(id_col, salt) % F.lit(n_shards)).alias("shard")
-    out = df.select("*", shard)
-    # count per shard BEFORE the write consumes the frame; this is the
-    # manifest's completeness checksum.  One small aggregate job.
-    counts = {int(r["shard"]): r["n"] for r in
-              out.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
-                 .collect()}
-    per_shard = {k: counts.get(k, 0) for k in range(n_shards)}
+    # Persist the sharded frame across its two consumers (the manifest
+    # count and the write): one source scan + hash pass instead of two,
+    # and both jobs see the SAME evaluation — without this, a
+    # nondeterministic upstream (sample/rand) could produce a manifest
+    # asserting counts the written shards don't contain.
+    out = df.select("*", shard).persist()
+    try:
+        counts = {int(r["shard"]): r["n"] for r in
+                  out.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                     .collect()}
+        per_shard = {k: counts.get(k, 0) for k in range(n_shards)}
 
-    (out.repartition(n_shards, "shard")
-        .write.mode(mode).partitionBy("shard")
-        .format(_FMT_WRITERS[fmt]).save(path))
+        (out.repartition(n_shards, "shard")
+            .write.mode(mode).partitionBy("shard")
+            .format(_FMT_WRITERS[fmt]).save(path))
+    finally:
+        out.unpersist()
 
     manifest = {"n_shards": n_shards, "fmt": fmt, "salt": salt,
                 "rows": sum(per_shard.values()), "per_shard": per_shard}

@@ -2029,6 +2029,26 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_obs")))
 
 
+_DECAY_AT = 1706745600 * 10**9        # 2024-02-01T00:00:00Z
+_DECAY_HL = 7 * 24 * NS_PER_HOUR      # 7-day half-life
+
+
+def q_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed average value per event_type as of
+    2024-02-01 (7-day half-life): the closed order-independent form of
+    the tick-store EMA — one partial-aggregated groupBy, no sort, no
+    window, no sequential state (temporal.py:decayed_avg).  Oracle:
+    the same sum(v·2^((t-at)/hl))/sum(2^...) in SQL; float compare is
+    within the checker's 1e-9 tolerance."""
+    from zdb_spark.operators.temporal import decayed_avg
+
+    ev = _load(spark, sf_dir, "events")
+    return (decayed_avg(ev, "ts", "event_type", "value",
+                        half_life=_DECAY_HL, at=_DECAY_AT)
+            .select(F.col("event_type").alias("sym"),
+                    "decayed_avg", "decayed_sum", "w_sum", "n"))
+
+
 # --------------------------------------------------------------------- #
 # driver contract                                                        #
 # --------------------------------------------------------------------- #
@@ -2086,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_spans": q_dedup_spans,
         "multimodal_wav": q_multimodal_wav,
+        "decay_avg": q_decay_avg,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3633,6 +3654,23 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 3
+    """
+    # Decayed average: identical weight expression; the lambda literal
+    # is repr()'d so both engines parse the exact same double.
+    _lam = __import__("math").log(2.0) / float(_DECAY_HL)
+    sqls["decay_avg"] = f"""
+        WITH e AS (
+            SELECT event_type, value,
+                   exp({-_lam!r} * ({_DECAY_AT} - epoch_ns(ts))) AS w
+            FROM events
+            WHERE epoch_ns(ts) <= {_DECAY_AT}
+        )
+        SELECT event_type AS sym,
+               round(sum(value * w) / sum(w), 6) AS decayed_avg,
+               round(sum(value * w), 6) AS decayed_sum,
+               round(sum(w), 6) AS w_sum,
+               count(*) AS n
+        FROM e GROUP BY 1
     """
     sqls["twap"] = """
         WITH g AS (

@@ -318,6 +318,52 @@ class TestFunnel:
         assert got == {"a": 1, "b": 0}
 
 
+class TestDecayedAvg:
+    def test_hand_computed(self, spark):
+        import math
+
+        from zdb_spark.operators.temporal import decayed_avg
+
+        hl, at = 10, 100
+        rows = [("A", 100, 4.0),   # weight 1
+                ("A", 90, 8.0),    # weight 0.5
+                ("A", 80, 16.0),   # weight 0.25
+                ("A", 110, 999.0),  # after `at` -> excluded
+                ("B", 100, 7.0)]
+        df = spark.createDataFrame(rows, "sym string, ts long, value double")
+        got = {r["sym"]: r for r in
+               decayed_avg(df, "ts", "sym", "value",
+                           half_life=hl, at=at).collect()}
+        # A: (4*1 + 8*.5 + 16*.25) / 1.75 = 12/1.75
+        assert got["A"]["decayed_avg"] == round(12 / 1.75, 6)
+        assert got["A"]["w_sum"] == 1.75 and got["A"]["n"] == 3
+        assert got["B"]["decayed_avg"] == 7.0 and got["B"]["n"] == 1
+        assert math.isclose(got["A"]["decayed_sum"], 12.0)
+
+    def test_order_independent(self, spark):
+        from zdb_spark.operators.temporal import decayed_avg
+
+        rows = [("A", t, float(t % 7)) for t in range(0, 1000, 3)]
+        df = spark.createDataFrame(rows, "sym string, ts long, value double")
+        a = decayed_avg(df, "ts", "sym", "value",
+                        half_life=100, at=999).collect()
+        b = decayed_avg(df.orderBy("ts", ascending=False).repartition(7),
+                        "ts", "sym", "value",
+                        half_life=100, at=999).collect()
+        assert a == b
+
+    def test_validation_and_global(self, spark):
+        from zdb_spark.operators.temporal import decayed_avg
+
+        df = spark.createDataFrame([("A", 1, 2.0)],
+                                   "sym string, ts long, value double")
+        with pytest.raises(ValueError, match="half_life"):
+            decayed_avg(df, "ts", "sym", "value", half_life=0, at=10)
+        out = decayed_avg(df, "ts", None, "value",
+                          half_life=10, at=1).collect()
+        assert len(out) == 1 and out[0]["decayed_avg"] == 2.0
+
+
 class TestRetention:
     def test_hand_built_cohorts(self, spark):
         from zdb_spark.operators.temporal import retention

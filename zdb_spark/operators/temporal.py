@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
-           "retention", "user_paths"]
+           "retention", "user_paths", "decayed_avg"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -435,3 +435,40 @@ def user_paths(df: DataFrame, ts_col: str = "ts",
             .agg(F.count(F.lit(1)).alias("n_users"))
             .orderBy(F.col("n_users").desc(), "path")
             .limit(top))
+
+
+def decayed_avg(df: DataFrame, ts_col: str = "ts", by=None,
+                value_col: str = "value", *, half_life: int,
+                at: int) -> DataFrame:
+    """Exponentially time-decayed aggregate — "what is the decayed
+    average price as of T, half-life 7 days" — the kdb-style recency
+    weighting tick analytics express with sequential EMAs.
+
+    Uses the CLOSED (order-independent) form rather than the recursive
+    update: weight(t) = 2^((t - at)/half_life) = exp(-ln2·(at-t)/hl) for
+    every event at t <= ``at``.  Mathematically identical to folding the
+    standard EMA update over the sorted stream, but each row's weight
+    depends only on its own timestamp, so the whole thing is ONE
+    partial-aggregated groupBy — no sort, no window, no sequential
+    state, safe at any scale and any partitioning.  Events after ``at``
+    are excluded (a look-ahead guard, not an error).
+
+    Returns per ``by`` group: (decayed_avg, decayed_sum, w_sum, n).
+    ``half_life`` and ``at`` are in ``ts_col`` units (canonical: nanos).
+    """
+    import math
+
+    if half_life <= 0:
+        raise ValueError(f"half_life must be positive, got {half_life}")
+    by = _as_list(by)
+    lam = math.log(2.0) / float(half_life)
+    w = F.exp(F.lit(-lam)
+              * (F.lit(at) - F.col(ts_col)).cast("double"))
+    v = F.col(value_col).cast("double")
+    filtered = df.where(F.col(ts_col) <= F.lit(at))
+    g = filtered.groupBy(*by) if by else filtered.groupBy()
+    return g.agg(
+        F.round(F.sum(v * w) / F.sum(w), 6).alias("decayed_avg"),
+        F.round(F.sum(v * w), 6).alias("decayed_sum"),
+        F.round(F.sum(w), 6).alias("w_sum"),
+        F.count(F.lit(1)).alias("n"))

@@ -705,6 +705,42 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n=24, mod=8, min_shared=2)
 
 
+def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup against a PERSISTED fingerprint store:
+    docs below the 80% threshold are the indexed corpus (store built
+    once per testdata fingerprint), the rest arrive as the new batch;
+    output is every span-overlap pair touching a new doc — WITHOUT
+    re-fingerprinting (or even re-reading the text of) the corpus
+    (dedup.py:build_fingerprint_store / incremental_fingerprint_pairs).
+    Oracle: the full-batch fingerprint construction restricted to pairs
+    with a new-doc side (threshold hard-coded to 400 = 80% of the
+    sf0.01 gate corpus)."""
+    import tempfile
+
+    from zdb_spark.operators.dedup import (build_fingerprint_store,
+                                           incremental_fingerprint_pairs)
+
+    docs = _load(spark, sf_dir, "documents")
+    thr = int(docs.count() * 0.8)
+    old = docs.where(F.col("doc_id") < thr)
+    new = docs.where(F.col("doc_id") >= thr)
+    key = _key_for(sf_dir, f"fp-store-v1-t{thr}", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_fp_store", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_fingerprint_store(old, scratch, "text", "doc_id",
+                                n=24, mod=8)
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
+    return incremental_fingerprint_pairs(
+        new, store, "text", "doc_id", min_shared=2, assume_disjoint=True
+    ).select("id_a", "id_b", "n_shared")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair→cluster resolution: connected components over the verified
     minhash pairs (iterative min-label propagation — the non-one-plan
@@ -2107,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "multimodal_wav": q_multimodal_wav,
         "decay_avg": q_decay_avg,
+        "dedup_spans_incremental": q_dedup_spans_incremental,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -2118,9 +2155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "dedup_incremental": q_dedup_incremental,
         "curation_pipeline": q_curation_pipeline,
-        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "stream_ingest": q_stream_ingest,
         "sessionize_stream": q_sessionize_stream,
         "text_quality": q_text_quality,
@@ -3416,6 +3453,27 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+    """
+    # Incremental span gate: full construction, restricted to pairs
+    # involving a new (>= 400, the 80% threshold) doc.
+    sqls["dedup_spans_incremental"] = """
+        WITH g AS (
+            SELECT doc_id, list_distinct(list_filter(
+                list_transform(range(1, greatest(len(text) - 23, 0) + 1),
+                               i -> ('0x' || substr(md5(substr(text,
+                                        CAST(i AS INT), 24)), 1, 8))::BIGINT),
+                h -> h % 8 = 0)) AS hs
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(hs) AS h FROM g
+        ), p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, n_shared FROM p
+        WHERE n_shared >= 2 AND (id_a >= 400 OR id_b >= 400)
     """
     # SemDeDup gate: cells, in-cell pairs, and the min-smaller-neighbor
     # drop rule recomputed wholly in SQL over the planted corpus.

@@ -175,6 +175,74 @@ class TestCharFingerprints:
         with pytest.raises(ValueError, match="positive"):
             dedup.char_fingerprint_pairs(df, "text", "doc_id", n=0)
 
+    def test_incremental_matches_full_run(self, spark, tmp_path):
+        span = "SHARED BOILERPLATE SPAN FOR EVERYONE TO COPY " * 3
+        rows = [(i, (span if i % 2 == 0 else "solo ") + f"tail{i} " * 30)
+                for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        old = df.where("doc_id < 6")
+        new = df.where("doc_id >= 6")
+        store = str(tmp_path / "fp_store")
+        dedup.build_fingerprint_store(old, store, "text", "doc_id",
+                                      n=24, mod=2)
+        inc = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+               dedup.incremental_fingerprint_pairs(
+                   new, store, "text", "doc_id", min_shared=1,
+                   assume_disjoint=True).collect()}
+        full = {(r["id_a"], r["id_b"]): r["n_shared"] for r in
+                dedup.char_fingerprint_pairs(df, "text", "doc_id",
+                                             n=24, mod=2,
+                                             min_shared=1).collect()}
+        want = {p: c for p, c in full.items()
+                if p[0] >= 6 or p[1] >= 6}
+        assert inc == want and len(inc) > 0
+
+    def test_incremental_resubmission_excluded(self, spark, tmp_path):
+        rows = [(i, "THE SAME LONG REPEATED CONTENT BLOCK " * 4)
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        store = str(tmp_path / "fp_store2")
+        dedup.build_fingerprint_store(df, store, "text", "doc_id",
+                                      n=24, mod=1)
+        # re-submit doc 0: must NOT pair with its own stored rows
+        out = dedup.incremental_fingerprint_pairs(
+            df.where("doc_id = 0"), store, "text", "doc_id",
+            min_shared=1).collect()
+        got = {(r["id_a"], r["id_b"]) for r in out}
+        assert got == {(0, 1), (0, 2), (0, 3)}
+
+    def test_append_extends_store(self, spark, tmp_path):
+        rows = [(i, "APPEND STORE SHARED SPAN CONTENT HERE " * 3)
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        store = str(tmp_path / "fp_store3")
+        dedup.build_fingerprint_store(df.where("doc_id < 2"), store,
+                                      "text", "doc_id", n=24, mod=1)
+        dedup.append_fingerprint_store(df.where("doc_id = 2"), store,
+                                       "text", "doc_id")
+        out = dedup.incremental_fingerprint_pairs(
+            df.where("doc_id = 3"), store, "text", "doc_id",
+            min_shared=1, assume_disjoint=True).collect()
+        assert {(r["id_a"], r["id_b"]) for r in out} \
+            == {(0, 3), (1, 3), (2, 3)}
+
+    def test_store_version_pinned(self, spark, tmp_path):
+        import json
+        import os
+
+        df = spark.createDataFrame([(1, "x" * 40)],
+                                   "doc_id long, text string")
+        store = str(tmp_path / "fp_store4")
+        dedup.build_fingerprint_store(df, store, "text", "doc_id")
+        with open(os.path.join(store, "params.json")) as f:
+            p = json.load(f)
+        p["version"] = "fp0"
+        with open(os.path.join(store, "params.json"), "w") as f:
+            json.dump(p, f)
+        with pytest.raises(ValueError, match="rebuild the store"):
+            dedup.incremental_fingerprint_pairs(df, store, "text",
+                                                "doc_id")
+
     def test_short_texts_emit_no_fingerprints(self, spark):
         """Texts shorter than n must produce ZERO fingerprints — the
         sequence(1, 0)-is-descending trap would otherwise fingerprint

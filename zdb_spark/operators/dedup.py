@@ -50,7 +50,8 @@ __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
            "release", "portable_hash64", "build_minhash_store",
            "append_minhash_store", "incremental_minhash_pairs",
-           "char_fingerprint_pairs"]
+           "char_fingerprint_pairs", "build_fingerprint_store",
+           "append_fingerprint_store", "incremental_fingerprint_pairs"]
 
 
 def release(df: DataFrame) -> None:
@@ -294,6 +295,34 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return out
 
 
+def _fingerprint_rows(df: DataFrame, text_col: str, id_col: str,
+                      n: int, mod: int) -> DataFrame:
+    """Slim (_id, h) fingerprint rows: every char ``n``-gram hashed, the
+    0-mod-``mod`` sketch kept, deduped per doc — all inside array
+    expressions so only ~len/mod fingerprints per doc ever explode into
+    rows.  Shared by the batch self-join and the persisted store so
+    stored and fresh fingerprints are bit-identical."""
+    t = F.col(text_col)
+    # End the position sequence at >= 1 (sequence(1, 0) is DESCENDING
+    # [1, 0] in Spark, not empty — same trap shingle_col guards), then
+    # drop the short-gram a sub-n-char text produces at position 1: such
+    # docs must emit NO fingerprints, exactly like the SQL oracle's
+    # empty range().
+    grams = F.filter(
+        F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(t) - (n - 1), F.lit(1))),
+            lambda i: F.substring(t, i, n)),
+        lambda g: F.length(g) == n)
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
+    sampled = F.array_distinct(
+        F.filter(hashes, lambda h: h % F.lit(mod) == 0))
+    return df.select(F.col(id_col).alias("_id"),
+                     F.explode(sampled).alias("h"))
+
+
 def char_fingerprint_pairs(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", *, n: int = 24,
                            mod: int = 8, min_shared: int = 2,
@@ -325,24 +354,7 @@ def char_fingerprint_pairs(df: DataFrame, text_col: str = "text",
     """
     if n < 1 or mod < 1 or min_shared < 1:
         raise ValueError("n, mod and min_shared must be positive")
-    t = F.col(text_col)
-    # End the position sequence at >= 1 (sequence(1, 0) is DESCENDING
-    # [1, 0] in Spark, not empty — same trap shingle_col guards), then
-    # drop the short-gram a sub-n-char text produces at position 1: such
-    # docs must emit NO fingerprints, exactly like the SQL oracle's
-    # empty range().
-    grams = F.filter(
-        F.transform(
-            F.sequence(F.lit(1),
-                       F.greatest(F.length(t) - (n - 1), F.lit(1))),
-            lambda i: F.substring(t, i, n)),
-        lambda g: F.length(g) == n)
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"))
-    sampled = F.array_distinct(
-        F.filter(hashes, lambda h: h % F.lit(mod) == 0))
-    fp = (df.select(F.col(id_col).alias("_id"), F.explode(sampled).alias("h")))
+    fp = _fingerprint_rows(df, text_col, id_col, n, mod)
 
     dropped = None
     if max_bucket_size is not None:
@@ -900,6 +912,118 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b", "est_jaccard", "jaccard"))
     out._zdb_cache_handles = [new_base, screened, sh]
+    if dropped is not None:
+        out._zdb_dropped_buckets = dropped
+    return out
+
+
+# --------------------------------------------------------------------- #
+# incremental span dedup: persisted char-fingerprint store               #
+# --------------------------------------------------------------------- #
+_FP_STORE_VERSION = "fp1"  # bump when the fingerprint recipe changes
+
+
+def _fp_store_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    if p.get("version") != _FP_STORE_VERSION:
+        raise ValueError(
+            f"fingerprint store at {path} was built by recipe "
+            f"{p.get('version')!r}; this code computes "
+            f"{_FP_STORE_VERSION!r} — rebuild the store")
+    return p
+
+
+def build_fingerprint_store(df: DataFrame, path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", *, n: int = 24,
+                            mod: int = 8) -> None:
+    """Persist the corpus's span fingerprints: ``fp/`` (id, hash)
+    parquet plus a params file pinning the recipe.
+
+    The span-dedup analogue of ``build_minhash_store``: gram hashing is
+    the expensive part (one md5 per char position) and it never has to
+    be repeated — new batches fingerprint only themselves and equi-join
+    the stored rows (``incremental_fingerprint_pairs``).  Store size is
+    ~len/mod × 8 bytes per doc; no text is stored, because span pairs
+    need no exact-verify stage (shared fingerprints ARE the signal).
+    """
+    import json
+    import os
+
+    (_fingerprint_rows(df, text_col, id_col, n, mod)
+     .select(F.col("_id").alias(id_col), "h")
+     .write.mode("errorifexists").parquet(f"{path}/fp"))
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": _FP_STORE_VERSION, "n": n, "mod": mod}, f)
+
+
+def append_fingerprint_store(df: DataFrame, path: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> None:
+    """Add a batch's fingerprints to an existing store (O(batch))."""
+    p = _fp_store_params(path)
+    (_fingerprint_rows(df, text_col, id_col, p["n"], p["mod"])
+     .select(F.col("_id").alias(id_col), "h")
+     .write.mode("append").parquet(f"{path}/fp"))
+
+
+def incremental_fingerprint_pairs(new_df: DataFrame, path: str,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id", *,
+                                  min_shared: int = 2,
+                                  max_bucket_size: int | None = None,
+                                  assume_disjoint: bool = False
+                                  ) -> DataFrame:
+    """Span-overlap pairs INVOLVING AT LEAST ONE NEW DOCUMENT, without
+    re-fingerprinting the corpus: new-vs-stored and new-vs-new, same
+    output schema as ``char_fingerprint_pairs`` (id_a < id_b,
+    n_shared >= min_shared).
+
+    Cost: fingerprinting touches only the new batch; the corpus
+    contributes stored (id, hash) rows to one equi-join on the hash.
+    Unlike incremental MinHash there is NO text lookback — shared
+    fingerprints are the whole signal — so the corpus text is never
+    read at all.  ``assume_disjoint=True`` skips the stored-side
+    exclusion of re-submitted new ids.  ``max_bucket_size`` caps hot
+    hashes over the COMBINED rows, same contract as the batch form.
+    """
+    p = _fp_store_params(path)
+    spark = new_df.sparkSession
+    new_fp = _fingerprint_rows(new_df, text_col, id_col,
+                               p["n"], p["mod"]).cache()
+    stored = spark.read.parquet(f"{path}/fp") \
+        .select(F.col(id_col).alias("_id"), "h")
+    if not assume_disjoint:
+        # a re-submitted doc must not pair with its own stored rows
+        stored = stored.join(new_fp.select("_id").distinct(),
+                             "_id", "left_anti")
+
+    combined = (new_fp.withColumn("_new", F.lit(True))
+                .unionByName(stored.withColumn("_new", F.lit(False))))
+    if max_bucket_size is not None:
+        combined, dropped = _cap_buckets(combined, ["h"], max_bucket_size)
+    else:
+        dropped = None
+
+    left = (combined.where("_new")
+            .select(F.col("_id").alias("id_l"), "h"))
+    right = combined.select(F.col("_id").alias("id_r"), "h", "_new")
+    # keep each pair once: new-vs-stored from the new side only;
+    # new-vs-new in ascending-id orientation
+    joined = (left.join(right, "h")
+              .where((~F.col("_new")) | (F.col("id_l") < F.col("id_r")))
+              .where(F.col("id_l") != F.col("id_r")))
+    out = (joined
+           .select(F.least("id_l", "id_r").alias("id_a"),
+                   F.greatest("id_l", "id_r").alias("id_b"))
+           .groupBy("id_a", "id_b")
+           .agg(F.count(F.lit(1)).alias("n_shared"))
+           .where(F.col("n_shared") >= min_shared))
+    out._zdb_cache_handles = [new_fp]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
     return out

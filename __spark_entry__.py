@@ -1781,6 +1781,26 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).alias("sum_chars")))
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (count^0.5) over a skewed
+    3-way source split derived from doc_id (250/150/100 docs): small
+    sources get proportionally higher inclusion probability, membership
+    decided by the deterministic md5 bucket.  The oracle recomputes the
+    weights, thresholds, and exact per-doc membership in SQL
+    (curation.py:temperature_sample)."""
+    from zdb_spark.operators.curation import temperature_sample
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.when(F.col("doc_id") < 250, "big")
+                    .when(F.col("doc_id") < 400, "mid")
+                    .otherwise("small").alias("src")))
+    out = temperature_sample(docs, "src", "doc_id",
+                             alpha=0.5, target_docs=200)
+    return out.select("doc_id", "src",
+                      F.round("sample_p", 6).alias("sample_p"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: shard by hashed doc_id (shards are
     independent — embarrassingly parallel), pack each shard in id order
@@ -2144,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav": q_multimodal_wav,
         "decay_avg": q_decay_avg,
         "dedup_spans_incremental": q_dedup_spans_incremental,
+        "temperature_sample": q_temperature_sample,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3453,6 +3474,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+    """
+    # Temperature sampling: weights, thresholds, and per-doc membership
+    # recomputed in SQL with the same md5 bucket.
+    sqls["temperature_sample"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id < 250 THEN 'big'
+                        WHEN doc_id < 400 THEN 'mid'
+                        ELSE 'small' END AS src
+            FROM documents
+        ), c AS (
+            SELECT src, count(*) AS n FROM d GROUP BY 1
+        ), z AS (
+            SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c
+        ), p AS (
+            SELECT src,
+                   least(1.0, 200 * pow(CAST(n AS DOUBLE), 0.5) / z / n)
+                       AS sample_p
+            FROM c, z
+        )
+        SELECT d.doc_id, d.src, round(p.sample_p, 6) AS sample_p
+        FROM d JOIN p USING (src)
+        WHERE ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT % 10000
+              < floor(p.sample_p * 10000)
     """
     # Incremental span gate: full construction, restricted to pairs
     # involving a new (>= 400, the 80% threshold) doc.

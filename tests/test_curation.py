@@ -213,3 +213,56 @@ def test_chunk_documents_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", max_tokens=8, overlap=8)
+
+
+def test_temperature_sample_weights_and_determinism(spark):
+    import math
+
+    from zdb_spark.operators.curation import temperature_sample
+
+    rows = ([(i, "big") for i in range(400)]
+            + [(i, "small") for i in range(400, 500)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_sample(df, "src", "doc_id",
+                             alpha=0.5, target_docs=200)
+    rows_out = out.collect()
+    p = {r["src"]: r["sample_p"] for r in rows_out}
+    z = math.sqrt(400) + math.sqrt(100)
+    assert math.isclose(p["big"], 200 * math.sqrt(400) / z / 400)
+    assert math.isclose(p["small"], 200 * math.sqrt(100) / z / 100)
+    # alpha<1 up-weights the small source's inclusion probability
+    assert p["small"] > p["big"]
+    # deterministic: same membership on rerun and after repartitioning
+    again = temperature_sample(df.repartition(7), "src", "doc_id",
+                               alpha=0.5, target_docs=200)
+    assert sorted(r["doc_id"] for r in rows_out) \
+        == sorted(r["doc_id"] for r in again.collect())
+    # realized counts within hash-bucket noise of expectation
+    got = {}
+    for r in rows_out:
+        got[r["src"]] = got.get(r["src"], 0) + 1
+    assert abs(got["big"] - 400 * p["big"]) < 30
+    assert abs(got["small"] - 100 * p["small"]) < 20
+
+
+def test_temperature_sample_small_source_taken_whole(spark):
+    from zdb_spark.operators.curation import temperature_sample
+
+    rows = ([(i, "huge") for i in range(500)]
+            + [(500 + i, "tiny") for i in range(5)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_sample(df, "src", "doc_id",
+                             alpha=0.0, target_docs=400)
+    # alpha=0: both sources target 200 docs; tiny has 5 -> p=1, all kept
+    tiny = [r for r in out.collect() if r["src"] == "tiny"]
+    assert len(tiny) == 5 and all(r["sample_p"] == 1.0 for r in tiny)
+
+
+def test_temperature_sample_validation(spark):
+    from zdb_spark.operators.curation import temperature_sample
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "src", "doc_id", alpha=-1, target_docs=1)
+    with pytest.raises(ValueError, match="target_docs"):
+        temperature_sample(df, "src", "doc_id", target_docs=0)

@@ -27,7 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "pack_sequences", "stratified_sample",
-           "token_budget_mix", "contamination", "chunk_documents"]
+           "token_budget_mix", "contamination", "chunk_documents",
+           "temperature_sample"]
 
 _BUCKETS = 10_000
 
@@ -250,3 +251,48 @@ def contamination(df: DataFrame, bench: DataFrame, text_col: str = "text",
                     F.coalesce("n_contaminated", F.lit(0)).cast("long")
                      .alias("n_contaminated"))
             .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def temperature_sample(df: DataFrame, source_col: str, id_col: str, *,
+                       alpha: float = 0.5, target_docs: int,
+                       salt: str = "v1") -> DataFrame:
+    """Temperature-weighted mixture sampling: draw ~``target_docs``
+    documents with per-source allocation ∝ ``count^alpha`` — the
+    standard rebalance that up-weights small sources relative to
+    proportional sampling (alpha=1 is proportional, alpha=0 is uniform
+    across sources; multilingual/multi-corpus recipes typically use
+    0.3–0.7).
+
+    Deterministic, not random: a doc is kept iff its md5 hash bucket
+    falls below ``floor(p_source · 10000)``, where
+    ``p_source = min(1, target·w_s / n_s)`` and ``w_s = n_s^alpha / Σ
+    n_t^alpha``.  Same hash recipe as every other curation operator, so
+    membership is stable under ingest order, re-runs, and engine — and
+    an engine with md5 can reproduce the exact sample, which the gate
+    oracle does.  Sources with p=1 are taken whole (target beyond their
+    size); each source's realized count differs from expectation only
+    by hash-bucket granularity (±n_s/10000).
+
+    Execution: one tiny groupBy for counts, weights computed ON the
+    counts frame (one row per source — the cross join against its own
+    1-row sum is trivial), broadcast back, then a narrow filter over
+    the corpus.  One shuffle (the counts), one broadcast, no sort.
+
+    Output: the sampled rows with ``sample_p`` (the source's inclusion
+    probability) attached.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_docs <= 0:
+        raise ValueError(f"target_docs must be positive, got {target_docs}")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    z = counts.agg(F.sum(w).alias("_z"))
+    p = F.least(F.lit(1.0),
+                F.lit(float(target_docs)) * w / F.col("_z") / F.col("_n"))
+    probs = (counts.crossJoin(z)
+             .select(source_col, p.alias("sample_p"),
+                     F.floor(p * F.lit(_BUCKETS)).cast("long").alias("_thr")))
+    return (df.join(F.broadcast(probs), source_col)
+            .where(_hash_bucket(id_col, salt) < F.col("_thr"))
+            .drop("_thr"))

@@ -1781,6 +1781,44 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).alias("sum_chars")))
 
 
+def _synth_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic messy URLs (uppercase scheme/host, www, default
+    port, tracking param, fragment) derived from doc_id — both engines
+    build the identical strings, so normalization is value-checkable."""
+    d = F.col("doc_id").cast("string")
+    return docs.select("doc_id", F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".com:443/p/"), d,
+        F.lit("?utm_source=x&id="), d,
+        F.lit("#frag")).alias("url"))
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus curation: lowercase
+    scheme/host, strip www/default port/fragment/tracking params via a
+    pure regexp chain whose patterns avoid lookaround so the DuckDB
+    oracle runs the literally-same regexes (text.py:normalize_url)."""
+    from zdb_spark.operators.text import extract_domain, normalize_url
+
+    u = _synth_urls(_load(spark, sf_dir, "documents"))
+    return u.select("doc_id",
+                    normalize_url("url").alias("url_norm"),
+                    extract_domain("url").alias("domain"))
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (≤5 docs per site, hash-ordered so the kept set is
+    an unbiased sample, not the first-crawled prefix): the WindowGroupLimit
+    plan bounds hot domains map-side (curation.py:cap_per_group).  Oracle:
+    the same row_number rule over (md5 bucket, doc_id) in SQL."""
+    from zdb_spark.operators.curation import cap_per_group
+    from zdb_spark.operators.text import extract_domain
+
+    u = _synth_urls(_load(spark, sf_dir, "documents"))
+    d = u.select("doc_id", extract_domain("url").alias("domain"))
+    return cap_per_group(d, "domain", "doc_id", max_per_group=5)
+
+
 def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted mixture sampling (count^0.5) over a skewed
     3-way source split derived from doc_id (250/150/100 docs): small
@@ -2165,6 +2203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_avg": q_decay_avg,
         "dedup_spans_incremental": q_dedup_spans_incremental,
         "temperature_sample": q_temperature_sample,
+        "url_normalize": q_url_normalize,
+        "domain_cap": q_domain_cap,
         # -- representative repeatedly-green sample ----------------------
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
@@ -3474,6 +3514,55 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         )
         SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+    """
+    # URL gates: identical synthetic construction + the literally-same
+    # regex chain (RE2-compatible by design; DuckDB needs the 'g' flag
+    # where multiple matches occur).
+    _url_expr = ("'HTTPS://WWW.Site' || (doc_id % 37) || '.com:443/p/' "
+                 "|| doc_id || '?utm_source=x&id=' || doc_id || '#frag'")
+    sqls["url_normalize"] = rf"""
+        WITH u AS (SELECT doc_id, {_url_expr} AS url FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(
+                    regexp_replace(
+                     regexp_replace(
+                      lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
+                        || regexp_replace(url, '^[a-zA-Z]+://[^/]*', ''),
+                      '^([a-z]+://)www\.', '\1'),
+                     '^([a-z]+://[^/:]*):(80|443)([/?#]|$)', '\1\3'),
+                    '#.*$', ''),
+                   '([?&])(utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*',
+                   '\1', 'g'),
+                  '\?&+', '?'),
+                 '&&+', '&'),
+                '[?&]+$', '') AS url_norm,
+               regexp_replace(lower(regexp_extract(
+                   url, '^[a-zA-Z]+://([^/:?#]*)', 1)),
+                   '^www\.', '') AS domain
+        FROM u
+    """
+    sqls["domain_cap"] = rf"""
+        WITH u AS (SELECT doc_id, {_url_expr} AS url FROM documents),
+        d AS (
+            SELECT doc_id,
+                   regexp_replace(lower(regexp_extract(
+                       url, '^[a-zA-Z]+://([^/:?#]*)', 1)),
+                       '^www\.', '') AS domain
+            FROM u
+        ), r AS (
+            SELECT doc_id, domain,
+                   row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY ('0x' || substr(md5('v1:' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                % 10000, doc_id) AS rn
+            FROM d
+        )
+        SELECT doc_id, domain FROM r WHERE rn <= 5
     """
     # Temperature sampling: weights, thresholds, and per-doc membership
     # recomputed in SQL with the same md5 bucket.

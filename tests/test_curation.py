@@ -266,3 +266,55 @@ def test_temperature_sample_validation(spark):
         temperature_sample(df, "src", "doc_id", alpha=-1, target_docs=1)
     with pytest.raises(ValueError, match="target_docs"):
         temperature_sample(df, "src", "doc_id", target_docs=0)
+
+
+def test_cap_per_group_unbiased_and_bounded(spark):
+    from zdb_spark.operators.curation import cap_per_group
+
+    rows = [(i, "hot" if i < 80 else f"cold{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_per_group(df, "domain", "doc_id", max_per_group=5)
+    got = out.collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert len(by_dom["hot"]) == 5
+    # hash-first order: the kept set is NOT simply ids 0-4
+    assert sorted(by_dom["hot"]) != [0, 1, 2, 3, 4]
+    assert all(len(v) == 1 for d, v in by_dom.items() if d != "hot")
+    # deterministic under repartitioning
+    again = cap_per_group(df.repartition(7), "domain", "doc_id",
+                          max_per_group=5)
+    assert sorted(r["doc_id"] for r in again.collect()) \
+        == sorted(r["doc_id"] for r in got)
+    # map-side group limit in the plan (hot groups bounded pre-shuffle)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    with pytest.raises(ValueError, match="max_per_group"):
+        cap_per_group(df, "domain", "doc_id", max_per_group=0)
+
+
+def test_normalize_url_cases(spark):
+    from zdb_spark.operators.text import extract_domain, normalize_url
+
+    cases = {
+        "HTTPS://WWW.Site3.com:443/p/9?utm_source=x&id=9#s":
+            ("https://site3.com/p/9?id=9", "site3.com"),
+        "http://example.com:80/a?a=1&utm_a=1&utm_b=2&b=2":
+            ("http://example.com/a?a=1&b=2", "example.com"),
+        # href= must NOT be stripped by the ref= rule
+        "https://sub.Host.org/Path?href=keep&gclid=zzz":
+            ("https://sub.host.org/Path?href=keep", "sub.host.org"),
+        "https://www.x.com/?utm_only=1": ("https://x.com/", "x.com"),
+        "http://plain.net/path": ("http://plain.net/path", "plain.net"),
+        # non-default port survives; ref= as a real param is stripped
+        "https://h.com:8080/keepport?ref=camp":
+            ("https://h.com:8080/keepport", "h.com"),
+    }
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: (r["n"], r["d"]) for r in
+           df.select("i", normalize_url("url").alias("n"),
+                     extract_domain("url").alias("d")).collect()}
+    for i, u in enumerate(cases):
+        assert got[i] == cases[u], (u, got[i])

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "pack_sequences", "stratified_sample",
            "token_budget_mix", "contamination", "chunk_documents",
-           "temperature_sample"]
+           "temperature_sample", "cap_per_group"]
 
 _BUCKETS = 10_000
 
@@ -296,3 +296,28 @@ def temperature_sample(df: DataFrame, source_col: str, id_col: str, *,
     return (df.join(F.broadcast(probs), source_col)
             .where(_hash_bucket(id_col, salt) < F.col("_thr"))
             .drop("_thr"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str, *,
+                  max_per_group: int, salt: str = "v1") -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen
+    deterministically — the per-domain cap every web-corpus pipeline
+    applies ("no more than k pages per site") so one mega-domain cannot
+    dominate the mixture.
+
+    Selection order inside a group is (md5 bucket, id): hash-first makes
+    the kept subset an unbiased sample of the group rather than its
+    first-crawled prefix, and the id tiebreak makes it total — stable
+    under reruns, repartitioning, and engines.  One
+    ``row_number() OVER (PARTITION BY group)`` window; Spark's
+    WindowGroupLimit pushes the k-bound map-side (same plan shape the
+    user_paths test pins), so a billion-page domain costs a spillable
+    partial top-k, never a full materialized group.
+    """
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    w = (Window.partitionBy(group_col)
+         .orderBy(_hash_bucket(id_col, salt), F.col(id_col)))
+    return (df.withColumn("_zdb_rn", F.row_number().over(w))
+            .where(F.col("_zdb_rn") <= max_per_group)
+            .drop("_zdb_rn"))

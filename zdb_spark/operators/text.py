@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "fingerprint", "repetition_features", "redact_pii",
            "quality_score_linear", "bigram_logprob",
+           "normalize_url", "extract_domain",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
@@ -335,3 +336,54 @@ def fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
               .withColumns({"fp_min_hash": F.col("_fp.fp"),
                             "n_shingles": F.col("_fp.n")})
               .drop("_fp"))
+
+
+# --------------------------------------------------------------------- #
+# URL canonicalization (web-corpus curation)                             #
+# --------------------------------------------------------------------- #
+# Tracking parameters stripped by normalize_url.  The leading [?&]
+# capture anchors the match at a real parameter boundary (a bare
+# "ref=..." pattern would also fire inside "...href=...").  ASCII-only,
+# no lookaround — identical semantics in Spark (Java regex) and DuckDB
+# (RE2); keep the SQL oracle in sync when editing.
+TRACKING_PARAM_PATTERN = r"([?&])(utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL for dedup/grouping: lowercase scheme+host,
+    strip ``www.``, strip default ports (:80/:443), drop the fragment,
+    drop tracking parameters (utm_*, fbclid, gclid, ref), and tidy the
+    leftover ``?``/``&`` punctuation.  Two URLs that differ only in
+    these never-semantic ways normalize identically — the key for
+    URL-level exact dedup and per-domain grouping of a web corpus.
+
+    Pure regexp_replace chain (codegen'd, no Python); NOT a full RFC
+    3986 resolver — paths and non-tracking query params pass through
+    byte-exact, on purpose (aggressive rewrites merge genuinely
+    different pages).  Every pattern avoids lookaround so the DuckDB
+    (RE2) oracle runs the literally-same regexes.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    # lowercase ONLY scheme://host[:port] — path/query stay case-exact
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([a-zA-Z]+://[^/]*)", 1)),
+        F.regexp_replace(c, r"^[a-zA-Z]+://[^/]*", ""))
+    c = F.regexp_replace(c, r"^([a-z]+://)www\.", r"$1")
+    c = F.regexp_replace(c, r"^([a-z]+://[^/:]*):(80|443)([/?#]|$)",
+                         r"$1$3")
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, TRACKING_PARAM_PATTERN, r"$1")
+    c = F.regexp_replace(c, r"\?&+", "?")      # ?&id=1  -> ?id=1
+    c = F.regexp_replace(c, r"&&+", "&")       # a=1&&b -> a=1&b
+    c = F.regexp_replace(c, r"[?&]+$", "")     # trailing separators
+    return c
+
+
+def extract_domain(url: Column | str) -> Column:
+    """Registrable host of a URL, lowercased, ``www.``/port stripped —
+    the grouping key for per-domain caps and domain-level stats.  (No
+    public-suffix-list logic: that is a lookup table a deployment
+    broadcasts and joins; this returns the full host.)"""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(c, r"^[a-zA-Z]+://([^/:?#]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")

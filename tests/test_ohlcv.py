@@ -76,6 +76,29 @@ class TestResample:
         assert first_aapl["low"] == 99.0     # min low
         assert first_aapl["volume"] == 30    # 10 + 20
 
+    def test_parse_every_aliases(self):
+        from zdb_spark.ohlcv import parse_every
+        import pytest as _pytest
+
+        assert parse_every("5m") == "5 minutes"
+        assert parse_every("5Minutes") == "5 minutes"   # the TODO spelling
+        assert parse_every("1h") == "1 hours"
+        assert parse_every("30 s") == "30 seconds"
+        assert parse_every("2 days") == "2 days"
+        for bad in ("", "fast", "5x", "m5", None):
+            with _pytest.raises(ValueError, match="cannot parse"):
+                parse_every(bad)
+
+    def test_api_every_resamples(self, bar_table):
+        out = ohlcv(bar_table, T0, T0 + 10 * MIN, symbols=["AAPL"],
+                    every="2m")
+        a = out["results"]["AAPL"]
+        assert a["t"] == [T0, T0 + 2 * MIN]      # bucket-start nanos
+        assert a["o"] == [100.0, 102.0]          # open at bucket min ts
+        assert a["h"] == [102.0, 104.0]          # max high over bucket
+        assert a["c"] == [101.5, 103.5]          # close at bucket max ts
+        assert a["v"] == [30, 70]                # summed volume
+
     def test_resolution_default_matches_explicit(self, bar_table):
         explicit = (resample(bar_table.scan(), "2 minutes")
                     .orderBy("sym", "bucket_start").collect())

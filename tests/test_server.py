@@ -86,6 +86,23 @@ class TestEndpoints:
         assert a["o"] == [100.0 + i for i in range(5)]
         assert "MSFT" not in out["results"]
 
+    def test_ohlcv_every_resample(self, server):
+        # the reference's ohlcv.rs:56 "TODO: duration like 5Minutes",
+        # implemented: 5 one-minute bars collapse into one 5m bucket
+        out = json.loads(get(
+            f"{server}/ohlcv/bars/{T0}/{T0 + 10 * MIN}"
+            f"?symbols=AAPL&every=5Minutes").read())
+        a = out["results"]["AAPL"]
+        assert a["t"] == [T0]
+        assert a["o"] == [100.0]          # open of the first minute bar
+        assert len(a["c"]) == 1
+
+    def test_ohlcv_bad_every_400(self, server):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            get(f"{server}/ohlcv/bars/{T0}/{T0 + MIN}?every=fast")
+        assert ei.value.code == 400
+        assert "cannot parse duration" in ei.value.read().decode()
+
     def test_ohlcv_date_strings(self, server):
         # 3-format date parsing: %Y-%m-%d path
         out = json.loads(get(

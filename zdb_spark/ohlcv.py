@@ -34,7 +34,35 @@ from pyspark.sql import DataFrame, functions as F
 from .functions.scalar import nanos_to_ts, to_nanos
 from .table import Table
 
-__all__ = ["ohlcv_frame", "ohlcv", "resample"]
+__all__ = ["ohlcv_frame", "ohlcv", "resample", "parse_every",
+           "duration_of_nanos"]
+
+# URL-friendly duration aliases for the /ohlcv `every` parameter —
+# accepts the reference TODO's "5Minutes" shape, compact "5m"/"1h", and
+# full Spark duration words.
+_EVERY_UNITS = {
+    "ms": "milliseconds", "millisecond": "milliseconds",
+    "milliseconds": "milliseconds",
+    "s": "seconds", "sec": "seconds", "second": "seconds",
+    "seconds": "seconds",
+    "m": "minutes", "min": "minutes", "minute": "minutes",
+    "minutes": "minutes",
+    "h": "hours", "hour": "hours", "hours": "hours",
+    "d": "days", "day": "days", "days": "days",
+}
+
+
+def parse_every(every: str) -> str:
+    """Normalize a user/URL duration ("5m", "1h", "5Minutes",
+    "30 seconds") to a Spark window duration string."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", every or "")
+    if not m or m.group(2).lower() not in _EVERY_UNITS:
+        raise ValueError(
+            f"cannot parse duration {every!r} "
+            "(want e.g. '5m', '1h', '30s', '5 minutes')")
+    return f"{int(m.group(1))} {_EVERY_UNITS[m.group(2).lower()]}"
 
 OHLCV_COLS = ("open", "high", "low", "close", "volume")
 
@@ -58,16 +86,28 @@ def ohlcv_frame(table: Table, from_ts, to_ts, symbols: list[str] | None = None,
 
 
 def ohlcv(table: Table, from_ts, to_ts, symbols: list[str] | None = None,
-          symbol_col: str = "sym") -> dict:
+          symbol_col: str = "sym", every: str | None = None) -> dict:
     """API-shape result: ``{results: {SYM: {t,o,h,l,c,v}}, min_date,
     max_date}`` (/root/reference/src/server/ohlcv.rs:30-45).
 
-    Grouping into per-symbol parallel arrays happens in ONE aggregation
-    (sort_array over collected structs), so Spark still does the heavy
-    lifting; only the final per-symbol arrays hit the driver.
+    ``every`` resamples the stored bars to coarser buckets first — the
+    reference's unimplemented ``TODO: duration like 5Minutes``
+    (/root/reference/src/server/ohlcv.rs:56), accepted in that spelling
+    plus "5m"/"1h"/Spark duration words; ``t`` then holds bucket-start
+    nanos.  Grouping into per-symbol parallel arrays happens in ONE
+    aggregation (sort_array over collected structs), so Spark still does
+    the heavy lifting; only the final per-symbol arrays hit the driver.
     """
     ts = table.schema.ts_col
     df = ohlcv_frame(table, from_ts, to_ts, symbols, symbol_col)
+    if every is not None:
+        from .functions.scalar import ts_to_nanos
+
+        df = (resample(df, parse_every(every), ts_col=ts,
+                       symbol_col=symbol_col)
+              .select(ts_to_nanos(F.col("bucket_start")).alias(ts),
+                      F.col(symbol_col), *OHLCV_COLS)
+              .withColumn("volume", F.col("volume").cast("long")))
     grouped = (df.groupBy(symbol_col)
                .agg(F.sort_array(F.collect_list(F.struct(
                    ts, *OHLCV_COLS))).alias("bars"),

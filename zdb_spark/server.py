@@ -172,7 +172,8 @@ def make_server(spark: SparkSession, home: str | None = None,
                     qs = parse_qs(url.query)
                     syms = [s for s in
                             qs.get("symbols", [""])[0].split(",") if s]
-                    self._ohlcv(parts[1], parts[2], parts[3], syms)
+                    self._ohlcv(parts[1], parts[2], parts[3], syms,
+                                qs.get("every", [None])[0])
                 else:
                     self._err(f"unknown path {url.path}")
             except TableNotFoundError as e:
@@ -201,10 +202,13 @@ def make_server(spark: SparkSession, home: str | None = None,
             self._send(200, json.dumps(t.symbols(column)).encode())
 
         def _ohlcv(self, table: str, from_s: str, to_s: str,
-                   symbols: list[str]) -> None:
+                   symbols: list[str], every: str | None = None) -> None:
+            # ?every=5m resamples stored bars — the reference's
+            # "TODO: duration like 5Minutes" (ohlcv.rs:56), implemented
             t = Table.open(spark, table, home)
             out = ohlcv(t, string_to_nanoseconds(from_s),
-                        string_to_nanoseconds(to_s), symbols or None)
+                        string_to_nanoseconds(to_s), symbols or None,
+                        every=every)
             self._send(200, json.dumps(out, default=_json_default).encode())
 
         def _q(self, body: dict) -> None:

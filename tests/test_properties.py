@@ -86,3 +86,33 @@ def test_chunk_coverage_and_bounds(spark, word_lens, max_tokens, overlap):
                         words[i * stride:i * stride + len(toks)]]
         seen = seen[:i * stride] + toks
     assert seen == [w.lower() for w in words]
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 8),          # user
+              st.sampled_from(["a", "b", "c"]),
+              st.integers(0, 50)),        # ts
+    min_size=1, max_size=60))
+@settings(**_SETTINGS)
+def test_funnel_users_monotone_and_bounded(spark, events):
+    """Structural invariants on random event streams: qualifying USERS
+    never increase along the funnel (a step-i+1 user must have qualified
+    at step i), and each step's event count is bounded by that step
+    type's distinct (user, ts) events.  (Event counts are NOT monotone:
+    one anchor can qualify many later events — which random streams
+    exercise.)"""
+    from zdb_spark.operators.temporal import funnel
+
+    df = spark.createDataFrame(events,
+                               "user_id long, event_type string, ts long")
+    out = {r["step_idx"]: r for r in
+           funnel(df, ["a", "b", "c"], "ts", "user_id",
+                  within=20).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[1]["n_users"] <= out[0]["n_users"]
+    assert out[2]["n_users"] <= out[1]["n_users"]
+    for i, step in enumerate(["a", "b", "c"]):
+        cap = (df.where(F.col("event_type") == step)
+               .select("user_id", "ts").distinct().count())
+        assert out[i]["n_events"] <= cap
+        assert out[i]["n_users"] <= cap

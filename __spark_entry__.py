@@ -1733,6 +1733,52 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal decode — decode-at-ingest: the documents
+    stream is encoded to per-doc solid-color PNGs and REALLY decoded
+    (stdlib codec) inside the streaming pipeline via the same
+    Arrow-batched ``mapInPandas`` the batch path uses (stateless, so it
+    runs unchanged on a streaming DataFrame), landing decoded metadata
+    in a checkpointed sink.  Oracle = the multimodal_png closed form —
+    a hash match proves stream and batch decode agree byte-for-byte."""
+    import tempfile
+
+    from zdb_spark.operators.multimodal import decode_images, png_encode
+
+    key = _key_for(sf_dir, "stream-decode-v1", ("documents",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_decode", key)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+
+    def encode(batches):
+        import pandas as _pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + i % 13, 4 + (i * 3) % 11
+                r, g, b = ((i * 37 + 11) % 256, (i * 57 + 23) % 256,
+                           (i * 77 + 31) % 256)
+                ct = (0, 2, 6)[i % 3]
+                color = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[ct]
+                rows.append((i, png_encode(w, h, color, ct)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    blobs = (src.select("doc_id")
+             .mapInPandas(encode, "doc_id long, blob binary"))
+    decoded = decode_images(blobs, "blob", "doc_id", decoder="png")
+    out = os.path.join(home, "out")
+    q = (decoded.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(out)
+            .select(F.col("id").alias("doc_id"), "fmt", "width",
+                    "height", "channels", "mean_luma"))
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5(salt:doc_id) — the
     reproducible, append-stable, shuffle-free alternative to
@@ -2205,18 +2251,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "url_normalize": q_url_normalize,
         "domain_cap": q_domain_cap,
+        "stream_decode": q_stream_decode,
         # -- representative repeatedly-green sample ----------------------
+        "schema_evolution": q_schema_evolution,   # build logic rewritten r6
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
         "resample_1h": q_resample_1h,
         "pricing_summary": q_pricing_summary,
         "tpch_q3": q_tpch_q3,
+        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "tpch_q5": q_tpch_q5,
-        "schema_evolution": q_schema_evolution,   # build logic rewritten r6
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
-        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "dedup_incremental": q_dedup_incremental,
         "curation_pipeline": q_curation_pipeline,
         "stream_ingest": q_stream_ingest,
@@ -3486,6 +3533,9 @@ def oracle_sql() -> dict[str, str]:
                    AS rms
         FROM documents
     """
+    # Streaming decode answers the SAME closed-form question — a hash
+    # match proves stream/batch decode parity.
+    sqls["stream_decode"] = sqls["multimodal_png"]
     sqls["multimodal_frames"] = r"""
         WITH t AS (
             SELECT doc_id, text, greatest(strlen(text) // 32, 1) AS nf

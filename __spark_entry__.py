@@ -736,9 +736,12 @@ def q_dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(os.path.dirname(store), exist_ok=True)
         shutil.rmtree(store, ignore_errors=True)
         os.rename(scratch, store)
-    return incremental_fingerprint_pairs(
-        new, store, "text", "doc_id", min_shared=2, assume_disjoint=True
-    ).select("id_a", "id_b", "n_shared")
+    res = incremental_fingerprint_pairs(
+        new, store, "text", "doc_id", min_shared=2, assume_disjoint=True)
+    out = res.select("id_a", "id_b", "n_shared")
+    # carry the unpersist handle through .select() for dedup.release()
+    out._zdb_cache_handles = res._zdb_cache_handles
+    return out
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1376,6 +1379,28 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("mean_luma"), 6).alias("avg_luma")))
 
 
+def _synth_png_batches(batches):
+    """Per-doc solid-color PNG fixtures, closed-form in doc_id.  ONE
+    shared encoder for the batch (multimodal_png) and streaming
+    (stream_decode) gates — both compare against the SAME closed-form
+    oracle, so the construction must stay byte-identical between them."""
+    import pandas as _pd
+
+    from zdb_spark.operators.multimodal import png_encode
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            w, h = 4 + i % 13, 4 + (i * 3) % 11
+            r, g, b = ((i * 37 + 11) % 256, (i * 57 + 23) % 256,
+                       (i * 77 + 31) % 256)
+            ct = (0, 2, 6)[i % 3]
+            color = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[ct]
+            rows.append((i, png_encode(w, h, color, ct)))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
 def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, no imaging library: per doc a solid-color PNG
     (dimensions/colortype/color all closed-form in doc_id) is ENCODED
@@ -1384,24 +1409,10 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-luma.  The oracle computes those same values directly from
     doc_id — a hash match proves the bytes really round-tripped through
     a spec-conformant decode, not a stub (multimodal.py:png_decode)."""
-    from zdb_spark.operators.multimodal import decode_images, png_encode
-
-    def encode(batches):
-        import pandas as _pd
-        for pdf in batches:
-            rows = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                w, h = 4 + i % 13, 4 + (i * 3) % 11
-                r, g, b = ((i * 37 + 11) % 256, (i * 57 + 23) % 256,
-                           (i * 77 + 31) % 256)
-                ct = (0, 2, 6)[i % 3]
-                color = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[ct]
-                rows.append((i, png_encode(w, h, color, ct)))
-            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+    from zdb_spark.operators.multimodal import decode_images
 
     docs = (_load(spark, sf_dir, "documents").select("doc_id")
-            .mapInPandas(encode, "doc_id long, blob binary"))
+            .mapInPandas(_synth_png_batches, "doc_id long, blob binary"))
     out = decode_images(docs, "blob", "doc_id", decoder="png")
     return out.select(F.col("id").alias("doc_id"), "fmt", "width",
                       "height", "channels", "mean_luma")
@@ -1743,30 +1754,15 @@ def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash match proves stream and batch decode agree byte-for-byte."""
     import tempfile
 
-    from zdb_spark.operators.multimodal import decode_images, png_encode
+    from zdb_spark.operators.multimodal import decode_images
 
     key = _key_for(sf_dir, "stream-decode-v1", ("documents",))
     home = os.path.join(tempfile.gettempdir(), "zdb_stream_decode", key)
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
-
-    def encode(batches):
-        import pandas as _pd
-        for pdf in batches:
-            rows = []
-            for i in pdf["doc_id"]:
-                i = int(i)
-                w, h = 4 + i % 13, 4 + (i * 3) % 11
-                r, g, b = ((i * 37 + 11) % 256, (i * 57 + 23) % 256,
-                           (i * 77 + 31) % 256)
-                ct = (0, 2, 6)[i % 3]
-                color = {0: (r,), 2: (r, g, b), 6: (r, g, b, 255)}[ct]
-                rows.append((i, png_encode(w, h, color, ct)))
-            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
-
     blobs = (src.select("doc_id")
-             .mapInPandas(encode, "doc_id long, blob binary"))
+             .mapInPandas(_synth_png_batches, "doc_id long, blob binary"))
     decoded = decode_images(blobs, "blob", "doc_id", decoder="png")
     out = os.path.join(home, "out")
     q = (decoded.writeStream.format("parquet")
@@ -3587,8 +3583,8 @@ def oracle_sql() -> dict[str, str]:
                     '#.*$', ''),
                    '([?&])(utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*',
                    '\1', 'g'),
-                  '\?&+', '?'),
-                 '&&+', '&'),
+                  '\?&+', '?', 'g'),
+                 '&&+', '&', 'g'),
                 '[?&]+$', '') AS url_norm,
                regexp_replace(lower(regexp_extract(
                    url, '^[a-zA-Z]+://([^/:?#]*)', 1)),

@@ -85,7 +85,7 @@ class TestResample:
         assert parse_every("1h") == "1 hours"
         assert parse_every("30 s") == "30 seconds"
         assert parse_every("2 days") == "2 days"
-        for bad in ("", "fast", "5x", "m5", None):
+        for bad in ("", "fast", "5x", "m5", "0m", "0 seconds", None):
             with _pytest.raises(ValueError, match="cannot parse"):
                 parse_every(bad)
 

@@ -211,6 +211,23 @@ class TestCharFingerprints:
         got = {(r["id_a"], r["id_b"]) for r in out}
         assert got == {(0, 1), (0, 2), (0, 3)}
 
+    def test_resubmitted_short_text_retires_stale_fingerprints(
+            self, spark, tmp_path):
+        """A doc resubmitted with text now SHORTER than n emits no new
+        fingerprints — but its STALE stored rows must still be excluded,
+        or it pairs on content it no longer contains."""
+        long_text = "THE SAME LONG REPEATED CONTENT BLOCK " * 4
+        df = spark.createDataFrame([(0, long_text), (1, long_text)],
+                                   "doc_id long, text string")
+        store = str(tmp_path / "fp_store_stale")
+        dedup.build_fingerprint_store(df, store, "text", "doc_id",
+                                      n=24, mod=1)
+        resub = spark.createDataFrame([(0, "now tiny")],
+                                      "doc_id long, text string")
+        out = dedup.incremental_fingerprint_pairs(
+            resub, store, "text", "doc_id", min_shared=1).collect()
+        assert out == []    # no fingerprints from 8 chars; none stale
+
     def test_append_extends_store(self, spark, tmp_path):
         rows = [(i, "APPEND STORE SHARED SPAN CONTENT HERE " * 3)
                 for i in range(4)]

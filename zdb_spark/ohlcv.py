@@ -58,7 +58,8 @@ def parse_every(every: str) -> str:
     import re
 
     m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", every or "")
-    if not m or m.group(2).lower() not in _EVERY_UNITS:
+    if not m or m.group(2).lower() not in _EVERY_UNITS \
+            or int(m.group(1)) == 0:
         raise ValueError(
             f"cannot parse duration {every!r} "
             "(want e.g. '5m', '1h', '30s', '5 minutes')")

@@ -998,9 +998,12 @@ def incremental_fingerprint_pairs(new_df: DataFrame, path: str,
     stored = spark.read.parquet(f"{path}/fp") \
         .select(F.col(id_col).alias("_id"), "h")
     if not assume_disjoint:
-        # a re-submitted doc must not pair with its own stored rows
-        stored = stored.join(new_fp.select("_id").distinct(),
-                             "_id", "left_anti")
+        # a re-submitted doc must not pair with its own stored rows —
+        # keyed on ALL new-batch ids (not just those that emitted
+        # fingerprints: a doc resubmitted with sub-n text emits none,
+        # and its STALE stored fingerprints must still be retired)
+        new_ids = new_df.select(F.col(id_col).alias("_id")).distinct()
+        stored = stored.join(new_ids, "_id", "left_anti")
 
     combined = (new_fp.withColumn("_new", F.lit(True))
                 .unionByName(stored.withColumn("_new", F.lit(False))))

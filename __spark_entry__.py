@@ -2165,6 +2165,21 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_obs")))
 
 
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate z-scores per event_type against a trailing-24h
+    baseline: one bucket-count groupBy + one RANGE-framed window — the
+    monitoring query a tick/event store answers continuously
+    (temporal.py:rate_anomaly).  Oracle: identical window arithmetic in
+    SQL (avg/stddev_samp over the same RANGE frame)."""
+    from zdb_spark.operators.temporal import rate_anomaly
+
+    ev = _load(spark, sf_dir, "events")
+    return (rate_anomaly(ev, "ts", "event_type",
+                         bucket=NS_PER_HOUR, trailing=24, min_periods=4)
+            .select(F.col("event_type").alias("sym"), "bucket",
+                    "n_events", "baseline_mean", "zscore"))
+
+
 _DECAY_AT = 1706745600 * 10**9        # 2024-02-01T00:00:00Z
 _DECAY_HL = 7 * 24 * NS_PER_HOUR      # 7-day half-life
 
@@ -2248,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_cap": q_domain_cap,
         "stream_decode": q_stream_decode,
+        "rate_anomaly": q_rate_anomaly,
         # -- representative repeatedly-green sample ----------------------
         "schema_evolution": q_schema_evolution,   # build logic rewritten r6
         "scan_time_range": q_scan_time_range,
@@ -3893,6 +3909,28 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 3
+    """
+    # Rate anomaly: identical RANGE-framed window arithmetic in SQL.
+    sqls["rate_anomaly"] = """
+        WITH c AS (
+            SELECT event_type AS sym,
+                   epoch_ns(ts) // 3600000000000 AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), w AS (
+            SELECT sym, bucket, n_events,
+                   avg(n_events) OVER tw AS m,
+                   stddev_samp(n_events) OVER tw AS s,
+                   count(*) OVER tw AS n_obs
+            FROM c
+            WINDOW tw AS (PARTITION BY sym ORDER BY bucket
+                          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT sym, bucket, n_events,
+               round(m, 6) AS baseline_mean,
+               round(CASE WHEN n_obs >= 4 AND s > 0
+                          THEN (n_events - m) / s END, 6) AS zscore
+        FROM w
     """
     # Decayed average: identical weight expression; the lambda literal
     # is repr()'d so both engines parse the exact same double.

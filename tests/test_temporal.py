@@ -364,6 +364,47 @@ class TestDecayedAvg:
         assert len(out) == 1 and out[0]["decayed_avg"] == 2.0
 
 
+class TestRateAnomaly:
+    def test_hand_computed_zscores(self, spark):
+        import math
+
+        from zdb_spark.operators.temporal import rate_anomaly
+
+        counts = [8, 12, 9, 11, 10, 30]   # bucket b gets counts[b] events
+        rows = [("A", b * 100 + i) for b, c in enumerate(counts)
+                for i in range(c)]
+        df = spark.createDataFrame(rows, "event_type string, ts long")
+        out = {r["bucket"]: r for r in
+               rate_anomaly(df, "ts", "event_type", bucket=100,
+                            trailing=24, min_periods=4).collect()}
+        assert [out[b]["n_events"] for b in range(6)] == counts
+        # first 4 buckets: < min_periods trailing obs -> NULL z
+        assert all(out[b]["zscore"] is None for b in range(4))
+        m4, s4 = 10.0, math.sqrt((4 + 4 + 1 + 1) / 3)
+        assert out[4]["baseline_mean"] == 10.0
+        assert out[4]["zscore"] == round((10 - m4) / s4, 6)
+        m5 = sum(counts[:5]) / 5
+        s5 = math.sqrt(sum((c - m5) ** 2 for c in counts[:5]) / 4)
+        assert out[5]["zscore"] == round((30 - m5) / s5, 6)
+
+    def test_constant_rate_and_gaps(self, spark):
+        from zdb_spark.operators.temporal import rate_anomaly
+
+        # constant counts -> std 0 -> NULL z, never a divide-by-zero;
+        # a bucket gap NARROWS the trailing sample (no silent slide-in)
+        rows = [("A", b * 10 + i) for b in [0, 1, 2, 3, 4, 9]
+                for i in range(5)]
+        df = spark.createDataFrame(rows, "event_type string, ts long")
+        out = {r["bucket"]: r for r in
+               rate_anomaly(df, "ts", "event_type", bucket=10,
+                            trailing=3, min_periods=2).collect()}
+        assert out[4]["zscore"] is None          # std == 0
+        # bucket 9's trailing 3 range [6,8] is empty -> no baseline
+        assert out[9]["baseline_mean"] is None
+        with pytest.raises(ValueError, match="trailing"):
+            rate_anomaly(df, "ts", "event_type", trailing=0)
+
+
 class TestRetention:
     def test_hand_built_cohorts(self, spark):
         from zdb_spark.operators.temporal import retention

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
-           "retention", "user_paths", "decayed_avg"]
+           "retention", "user_paths", "decayed_avg", "rate_anomaly"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -472,3 +472,43 @@ def decayed_avg(df: DataFrame, ts_col: str = "ts", by=None,
         F.round(F.sum(v * w), 6).alias("decayed_sum"),
         F.round(F.sum(w), 6).alias("w_sum"),
         F.count(F.lit(1)).alias("n"))
+
+
+def rate_anomaly(df: DataFrame, ts_col: str = "ts",
+                 by: str = "event_type", *,
+                 bucket: int = 3_600_000_000_000,
+                 trailing: int = 24,
+                 min_periods: int = 4) -> DataFrame:
+    """Per-key event-rate anomaly scores: each time bucket's count
+    z-scored against the key's TRAILING ``trailing``-bucket window — the
+    "did error rates spike this hour" monitoring staple.
+
+    The trailing frame is RANGE-based on the bucket index (a gap of
+    empty buckets narrows the sample rather than silently sliding older
+    data in; absent buckets are absent, not zero — callers who want
+    zero-filled baselines gap-fill first).  Buckets with fewer than
+    ``min_periods`` trailing observations report NULL z (insufficient
+    history ≠ anomalous).
+
+    One groupBy (bucket counting) + one window partitioned by key and
+    range-ordered by bucket — two keyed shuffles total, no self-joins;
+    baseline and score are computed in the same pass.  Output:
+    (by, bucket, n_events, baseline_mean, zscore).
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    counts = (df.groupBy(F.col(by),
+                         F.floor(F.col(ts_col) / F.lit(bucket))
+                         .cast("long").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy(by).orderBy("bucket")
+         .rangeBetween(-trailing, -1))
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    n_obs = F.count(F.lit(1)).over(w)
+    z = F.when((n_obs >= min_periods) & (std > 0),
+               (F.col("n_events") - mean) / std)
+    return counts.select(
+        F.col(by), "bucket", "n_events",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(z, 6).alias("zscore"))

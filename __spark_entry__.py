@@ -2270,8 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlcv_daily": q_ohlcv_daily,
         "resample_1h": q_resample_1h,
         "pricing_summary": q_pricing_summary,
-        "tpch_q3": q_tpch_q3,
         # -- beyond position 50: green in r4/r5, cycled out of window ----
+        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,

@@ -2165,6 +2165,41 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_obs")))
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts spread into one column per event type
+    (explicit value list, so the output schema is static and plan-able —
+    the form that scales: Spark's value-inference pivot needs an extra
+    collect).  Oracle: conditional aggregation, which is exactly what
+    PIVOT compiles to."""
+    ev = _load(spark, sf_dir, "events")
+    day = F.to_date(F.timestamp_micros(
+        (F.col("ts") / 1000).cast("long"))).alias("day")
+    out = (ev.select(day, "event_type")
+           .groupBy("day").pivot("event_type", _EVENT_TYPES).count()
+           .na.fill(0, _EVENT_TYPES))
+    return out.select(F.col("day").cast("string").alias("day"),
+                      *_EVENT_TYPES)
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: lineitem's three measures stacked to long form then
+    re-aggregated per measure — the wide→long reshape feature stores
+    need (Spark's native unpivot node, no explode-of-structs).  Oracle:
+    the equivalent UNION ALL."""
+    li = _load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure", valueColumnName="val")
+    return (long.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("val"), 4).alias("total"),
+                 F.round(F.avg("val"), 6).alias("avg_val")))
+
+
 def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event-rate z-scores per event_type against a trailing-24h
     baseline: one bucket-count groupBy + one RANGE-framed window — the
@@ -2264,13 +2299,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "stream_decode": q_stream_decode,
         "rate_anomaly": q_rate_anomaly,
+        "pivot_events": q_pivot_events,
+        "unpivot_lineitem": q_unpivot_lineitem,
         # -- representative repeatedly-green sample ----------------------
         "schema_evolution": q_schema_evolution,   # build logic rewritten r6
         "scan_time_range": q_scan_time_range,
         "ohlcv_daily": q_ohlcv_daily,
+        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "resample_1h": q_resample_1h,
         "pricing_summary": q_pricing_summary,
-        # -- beyond position 50: green in r4/r5, cycled out of window ----
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "dedup_exact": q_dedup_exact,
@@ -3909,6 +3946,30 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 3
+    """
+    # PIVOT/UNPIVOT: conditional aggregation / UNION ALL equivalents.
+    sqls["pivot_events"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'error') AS error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'signup') AS signup,
+               count(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events GROUP BY 1
+    """
+    sqls["unpivot_lineitem"] = """
+        WITH long AS (
+            SELECT 'l_quantity' AS measure, l_quantity AS val
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', l_discount FROM lineitem
+        )
+        SELECT measure, count(*) AS n,
+               round(sum(val), 4) AS total,
+               round(avg(val), 6) AS avg_val
+        FROM long GROUP BY 1
     """
     # Rate anomaly: identical RANGE-framed window arithmetic in SQL.
     sqls["rate_anomaly"] = """

@@ -552,6 +552,79 @@ class TestCompaction:
         syms = [r["sym"] for r in rows]
         assert syms == sorted(syms)
 
+    @staticmethod
+    def _sym_stats_per_file(table_path):
+        """Parquet footer (min, max) of the sym column per data file —
+        the statistics row-group pruning actually consults."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = []
+        for f in glob.glob(f"{table_path}/parquet/dt=*/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("sym")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    def test_table_compression_pinned_and_applied(self, spark, tmp_home):
+        """compression='zstd' at create time is persisted in the sidecar,
+        survives reopen, and every data file's footer really carries the
+        codec; compact() re-encodes with it too; bad codecs are rejected
+        at create."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        def codecs(table):
+            out = set()
+            for f in glob.glob(f"{table.path}/parquet/dt=*/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    out.add(md.row_group(rg).column(0).compression)
+            return out
+
+        t = Table.create(spark, make_schema("zst"),
+                         home=tmp_home + "/zst", compression="zstd")
+        t.write(spark.createDataFrame(
+            [Row(ts=T0 + i, sym="A", price=1.0, size=1)
+             for i in range(100)]))
+        assert codecs(t) == {"ZSTD"}
+        t2 = Table.open(spark, "zst", home=tmp_home + "/zst")
+        assert t2._meta.compression == "zstd"       # survives reopen
+        t2.compact(target_file_mb=128)
+        assert codecs(t2) == {"ZSTD"}               # re-encode keeps it
+        with pytest.raises(ValueError, match="unknown compression"):
+            Table.create(spark, make_schema("bad"),
+                         home=tmp_home + "/bad", compression="7zip")
+
+    def test_cluster_by_stats_enable_pruning(self, spark, tmp_home):
+        """The pruning CLAIM, checked at the mechanism: after a
+        clustered write, (min==max) sym stats make per-symbol predicates
+        skip whole row groups; the same interleaved write WITHOUT
+        clustering produces full-range stats that can skip nothing."""
+        rows = [Row(ts=T0 + i, sym=("AAA", "ZZZ")[i % 2],
+                    price=1.0, size=1) for i in range(8000)]
+        df = spark.createDataFrame(rows)
+
+        t1 = Table.create(spark, make_schema("clu"),
+                          home=tmp_home + "/clu")
+        t1.write(df, cluster_by=["sym"], max_records_per_file=2000)
+        stats = self._sym_stats_per_file(t1.path)
+        assert len(stats) >= 4                     # file split happened
+        homogeneous = sum(1 for lo, hi in stats if lo == hi)
+        # at most one straddling chunk at the A|Z boundary
+        assert homogeneous >= len(stats) - 1
+
+        t2 = Table.create(spark, make_schema("unclu"),
+                          home=tmp_home + "/unclu")
+        t2.write(df, max_records_per_file=2000)
+        stats2 = self._sym_stats_per_file(t2.path)
+        # interleaved: every chunk spans the full AAA..ZZZ range
+        assert all(lo == "AAA" and hi == "ZZZ" for lo, hi in stats2)
+
 
 class TestSymbols:
     def test_distinct_sorted(self, spark, tmp_home):

@@ -92,6 +92,10 @@ class _Meta:
     # inference.
     added_defaults: dict = None
     dropped_columns: list = None
+    # parquet codec for this table's data files (None = session default,
+    # i.e. snappy).  Applied by write() and compact(), so a re-compaction
+    # after changing it re-encodes the whole table.
+    compression: str = None
 
     def __post_init__(self):
         if self.txns is None:
@@ -107,6 +111,10 @@ class _Meta:
     @classmethod
     def from_json(cls, s: str) -> "_Meta":
         return cls(**json.loads(s))
+
+
+_PARQUET_CODECS = {"snappy", "zstd", "gzip", "lz4", "brotli",
+                   "uncompressed", "none"}
 
 
 class Table:
@@ -128,19 +136,31 @@ class Table:
 
     @classmethod
     def create(cls, spark: SparkSession, schema: Schema,
-               home: str | None = None, manifest: bool = False) -> "Table":
+               home: str | None = None, manifest: bool = False,
+               compression: str | None = None) -> "Table":
         """``manifest=True`` opts the table into snapshot-manifest reads
         (see ``_Meta``).  Stream-fed manifest tables are supported via
         ``streaming.ingest.stream_writer_table`` (foreachBatch →
         ``write(txn=...)`` → manifest commit); the raw parquet file sink
         (``stream_writer``) bypasses the manifest log and is for
-        listing-mode tables only."""
+        listing-mode tables only.
+
+        ``compression`` pins the table's parquet codec (zstd for cold
+        archival tables, lz4/snappy for hot scan paths — the per-table
+        knob the reference gets from choosing column-file layouts);
+        persisted in the sidecar, honored by every write and compact."""
+        if compression is not None and \
+                compression not in _PARQUET_CODECS:
+            raise ValueError(
+                f"unknown compression {compression!r} "
+                f"(one of {sorted(_PARQUET_CODECS)})")
         path = cls._table_path(schema.name, home)
         meta_path = os.path.join(path, "_meta")
         if os.path.exists(meta_path):
             raise TableExistsError(f"table {schema.name!r} already exists")
         os.makedirs(path, exist_ok=True)
-        meta = _Meta(schema=schema.to_dict(), manifest=manifest)
+        meta = _Meta(schema=schema.to_dict(), manifest=manifest,
+                     compression=compression)
         with open(meta_path, "w") as f:
             f.write(meta.to_json())
         return cls(spark, schema, path, meta)
@@ -278,6 +298,8 @@ class Table:
                   .write.mode("overwrite"))
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        if self._meta.compression:
+            writer = writer.option("compression", self._meta.compression)
         # Stage in a per-batch directory, then rename part files into
         # place.  Two jobs appending directly to the same path share ONE
         # `_temporary` staging dir and each job's commit deletes the
@@ -1038,6 +1060,8 @@ class Table:
                   .sortWithinPartitions(*sort_cols)
                   .write.mode("overwrite")
                   .option("maxRecordsPerFile", cap))
+        if self._meta.compression:
+            writer = writer.option("compression", self._meta.compression)
 
         if self._meta.manifest:
             import uuid

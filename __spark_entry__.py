@@ -1744,6 +1744,58 @@ def q_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+def q_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized rollup (the ClickHouse
+    materialized-view pattern on an append-only store): the events
+    stream arrives in 4 micro-batches (maxFilesPerTrigger=1), each
+    appending its PARTIAL aggregate to a rollup Table through the
+    transactional write path; the reader merges partials (sum of
+    counts/sums).  Oracle aggregates the raw events directly — a hash
+    match proves partial-merge ≡ direct aggregation
+    (streaming/ingest.py:rollup_sink/read_rollup)."""
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.streaming.ingest import read_rollup, rollup_sink
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "rollup-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_rollup", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_rollup")
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("n_rows", ColumnType.I64)
+              .add_col("sum_value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        import shutil
+
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        src_dir = os.path.join(root, "src")
+        if not os.path.exists(src_dir):
+            tmp = src_dir + ".tmp"
+            (_load(spark, sf_dir, "events")
+             .select("ts", "event_type", "value")
+             .repartition(4).write.mode("overwrite").parquet(tmp))
+            os.rename(tmp, src_dir)
+        t = Table.create(spark, schema, home=scratch, manifest=True)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src_dir).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = rollup_sink(stream, t, os.path.join(root, "ckpt"),
+                        ["event_type"], ["value"], app_id="gate")
+        q.awaitTermination()
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_rollup", home=home)
+    # multiple partials per key must exist — this IS the incremental claim
+    if t.scan().count() <= 5:
+        raise RuntimeError("rollup has no per-batch partials to merge")
+    return (read_rollup(t, ["event_type"], ["value"])
+            .select("event_type", "n_rows",
+                    F.round("sum_value", 4).alias("sum_value")))
+
+
 def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING multimodal decode — decode-at-ingest: the documents
     stream is encoded to per-doc solid-color PNGs and REALLY decoded
@@ -2301,11 +2353,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomaly": q_rate_anomaly,
         "pivot_events": q_pivot_events,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "rollup_maintain": q_rollup_maintain,
         # -- representative repeatedly-green sample ----------------------
         "schema_evolution": q_schema_evolution,   # build logic rewritten r6
         "scan_time_range": q_scan_time_range,
-        "ohlcv_daily": q_ohlcv_daily,
         # -- beyond position 50: green in r4/r5, cycled out of window ----
+        "ohlcv_daily": q_ohlcv_daily,
         "resample_1h": q_resample_1h,
         "pricing_summary": q_pricing_summary,
         "tpch_q3": q_tpch_q3,
@@ -3946,6 +3999,12 @@ def oracle_sql() -> dict[str, str]:
                                                  o_orderkey) AS rn
               FROM orders)
         WHERE rn <= 3
+    """
+    # Materialized rollup: partial-merge must equal direct aggregation.
+    sqls["rollup_maintain"] = """
+        SELECT event_type, count(*) AS n_rows,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
     """
     # PIVOT/UNPIVOT: conditional aggregation / UNION ALL equivalents.
     sqls["pivot_events"] = """

@@ -1451,6 +1451,51 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "channels", "n_frames", "duration_s", "rms")
 
 
+def _synth_gif_batches(batches):
+    """Per-doc animated-GIF fixtures, closed-form in doc_id: 2–5 solid-
+    color frames, each with its own local color table, delay, and LZW-
+    compressed data (runs of one index exercise the decoder's KwKwK
+    path).  Frame colors/delays/dims mirror the multimodal_video oracle
+    exactly."""
+    import pandas as _pd
+
+    from zdb_spark.operators.multimodal import gif_encode
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            w, h = 3 + i % 12, 3 + (i * 5) % 9
+            frames = []
+            for f in range(2 + i % 4):
+                color = ((i * 37 + f * 91 + 11) % 256,
+                         (i * 57 + f * 53 + 23) % 256,
+                         (i * 77 + f * 29 + 31) % 256)
+                frames.append((color, 4 + (i + f) % 7))
+            rows.append((i, gif_encode(w, h, frames)))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, no media library: per doc an animated GIF89a
+    (frame count/dims/colors/delays all closed-form in doc_id) is encoded
+    with the stdlib writer — real LZW compression, local color tables,
+    graphic-control + Netscape + comment extensions — then
+    decode_video_frames walks the block structure, LZW-decompresses each
+    frame (dynamic code widths, KwKwK), maps palette indices, and
+    recovers per-frame dims/delay/mean-luma.  The oracle re-derives every
+    field from doc_id alone, so a hash match proves a spec-conformant
+    GIF decode (multimodal.py:gif_decode; also validated against 30
+    third-party system GIFs in tests)."""
+    from zdb_spark.operators.multimodal import decode_video_frames
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(_synth_gif_batches, "doc_id long, blob binary"))
+    out = decode_video_frames(docs, "blob", "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "frame_idx", "width",
+                      "height", "delay_cs", "mean_luma")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: every-3rd pseudo-frame (cap 4) per
     blob through the Arrow-batched mapInPandas sampler; the sha256-
@@ -2295,118 +2340,132 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_ohlcv_daily(spark, "/root/testdata/sf0.001")
 
 
+# The driver oracles only the FIRST `WINDOW` queries() entries per round,
+# so declaration order is load-bearing.  Rotation policy (round 7 onward):
+#   1. anything whose implementation or oracle changed since its last green
+#      driver row comes first,
+#   2. then this round's brand-new gates,
+#   3. then the stalest previously-green gates (see tools/verified_age.py),
+#   4. repeatedly-green gates cycle out past position WINDOW.
+# The registry is a LIST of (name, fn) pairs — unlike a dict literal, a
+# duplicated name cannot silently shadow; queries() asserts uniqueness and
+# tests/test_operators.py pins it.
+WINDOW = 50
+
+_QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
+    # -- oracle SQL fixed this round (r6 red rows: HUGEINT cast) ---------
+    ("pack_sequences", q_pack_sequences),
+    ("corpus_report", q_corpus_report),
+    ("export_shards", q_export_shards),
+    # -- new gates this round --------------------------------------------
+    ("multimodal_video", q_multimodal_video),
+    # -- stale: last driver-green in round 5 (rotated back in) -----------
+    ("ohlcv_daily", q_ohlcv_daily),
+    ("resample_1h", q_resample_1h),
+    ("pricing_summary", q_pricing_summary),
+    ("tpch_q3", q_tpch_q3),
+    ("tpch_q5", q_tpch_q5),
+    ("join_enrich", q_join_enrich),
+    ("topk_customers", q_topk_customers),
+    ("window_running", q_window_running),
+    ("setops_except", q_setops_except),
+    ("setops_intersect", q_setops_intersect),
+    ("rollup_revenue", q_rollup_revenue),
+    ("cube_orders", q_cube_orders),
+    ("percentiles", q_percentiles),
+    ("market_calendar", q_market_calendar),
+    ("symbols_dict", q_symbols_dict),
+    ("udf_fold_sum", q_udf_fold_sum),
+    ("grouped_pandas", q_grouped_pandas),
+    ("sessionize_batch", q_sessionize_batch),
+    ("sessionize_stream", q_sessionize_stream),
+    ("salted_agg", q_salted_agg),
+    ("bucketed_join", q_bucketed_join),
+    ("ingest_csv", q_ingest_csv),
+    ("stream_ingest", q_stream_ingest),
+    ("stream_ingest_manifest", q_stream_ingest_manifest),
+    ("stream_resample", q_stream_resample),
+    ("curation_pipeline", q_curation_pipeline),
+    ("text_quality", q_text_quality),
+    ("text_tokens", q_text_tokens),
+    ("text_langid", q_text_langid),
+    ("text_fingerprint", q_text_fingerprint),
+    ("text_repetition", q_text_repetition),
+    ("pii_redact", q_pii_redact),
+    ("dedup_exact", q_dedup_exact),
+    ("dedup_minhash", q_dedup_minhash),
+    ("dedup_minhash_capped", q_dedup_minhash_capped),
+    ("dedup_simhash", q_dedup_simhash),
+    ("dedup_ngram", q_dedup_ngram),
+    ("dedup_clusters", q_dedup_clusters),
+    ("dedup_incremental", q_dedup_incremental),
+    ("knn_bruteforce", q_knn_bruteforce),
+    ("knn_join", q_knn_join),
+    ("knn_lsh", q_knn_lsh),
+    ("knn_lsh_multiprobe", q_knn_lsh_multiprobe),
+    # -- stale r5 gates deferred to the NEXT rotation (thin wrappers over
+    #    Catalyst paths shared with retained gates; 2+ historical greens) --
+    ("semi_join", q_semi_join),
+    ("anti_join", q_anti_join),
+    ("month_rollup", q_month_rollup),
+    ("string_funcs", q_string_funcs),
+    ("agg_stats", q_agg_stats),
+    # -- beyond position WINDOW: driver-green in round 6 ------------------
+    ("asof_join", q_asof_join),
+    ("funnel", q_funnel),
+    ("retention", q_retention),
+    ("user_paths", q_user_paths),
+    ("range_join", q_range_join),
+    ("ohlcv_gapfill", q_ohlcv_gapfill),
+    ("stream_asof", q_stream_asof),
+    ("topn_per_group", q_topn_per_group),
+    ("twap", q_twap),
+    ("hash_split", q_hash_split),
+    ("vocab_topk", q_vocab_topk),
+    ("stratified_sample", q_stratified_sample),
+    ("token_budget_mix", q_token_budget_mix),
+    ("contamination", q_contamination),
+    ("bm25_search", q_bm25_search),
+    ("chunk_docs", q_chunk_docs),
+    ("quality_model", q_quality_model),
+    ("lm_score", q_lm_score),
+    ("cluster_assign", q_cluster_assign),
+    ("knn_pq", q_knn_pq),
+    ("multimodal_frames", q_multimodal_frames),
+    ("stream_dedup", q_stream_dedup),
+    ("stream_dedup_incremental", q_stream_dedup_incremental),
+    ("stream_quality_filter", q_stream_quality_filter),
+    ("knn_ivf", q_knn_ivf),
+    ("embedding_dedup", q_embedding_dedup),
+    ("embedding_norms", q_embedding_norms),
+    ("multimodal_bytes", q_multimodal_bytes),
+    ("multimodal_decode", q_multimodal_decode),
+    ("funnel6", q_funnel6),
+    ("table_lifecycle", q_table_lifecycle),
+    ("multimodal_png", q_multimodal_png),
+    ("semantic_dedup", q_semantic_dedup),
+    ("dedup_spans", q_dedup_spans),
+    ("multimodal_wav", q_multimodal_wav),
+    ("decay_avg", q_decay_avg),
+    ("dedup_spans_incremental", q_dedup_spans_incremental),
+    ("temperature_sample", q_temperature_sample),
+    ("url_normalize", q_url_normalize),
+    ("domain_cap", q_domain_cap),
+    ("stream_decode", q_stream_decode),
+    ("rate_anomaly", q_rate_anomaly),
+    ("pivot_events", q_pivot_events),
+    ("unpivot_lineitem", q_unpivot_lineitem),
+    ("rollup_maintain", q_rollup_maintain),
+    ("schema_evolution", q_schema_evolution),
+    ("scan_time_range", q_scan_time_range),
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Declaration order is load-bearing: the driver oracles only the FIRST
-    # 50 entries per round, so the entries with the least driver-side
-    # correctness history come first (never-verified, then verified only in
-    # an old round, then this round's new gates), and a representative
-    # sample of the repeatedly-green set fills out the window.  Entries
-    # past position 50 all have green rows in CORRECTNESS_r04/r05.
-    return {
-        # -- never driver-verified before round 6 ------------------------
-        "asof_join": q_asof_join,
-        "funnel": q_funnel,
-        "retention": q_retention,
-        "user_paths": q_user_paths,
-        "range_join": q_range_join,
-        "ohlcv_gapfill": q_ohlcv_gapfill,
-        "stream_asof": q_stream_asof,
-        "topn_per_group": q_topn_per_group,
-        "twap": q_twap,
-        "hash_split": q_hash_split,
-        "pack_sequences": q_pack_sequences,
-        "vocab_topk": q_vocab_topk,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_mix": q_token_budget_mix,
-        "contamination": q_contamination,
-        "bm25_search": q_bm25_search,
-        "chunk_docs": q_chunk_docs,
-        "quality_model": q_quality_model,
-        "corpus_report": q_corpus_report,
-        "lm_score": q_lm_score,
-        "cluster_assign": q_cluster_assign,
-        "knn_pq": q_knn_pq,
-        "multimodal_frames": q_multimodal_frames,
-        "stream_dedup": q_stream_dedup,
-        "stream_dedup_incremental": q_stream_dedup_incremental,
-        "stream_quality_filter": q_stream_quality_filter,
-        # -- last verified in round 4 (rotated out of r5's window) --------
-        "knn_ivf": q_knn_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "embedding_norms": q_embedding_norms,
-        "multimodal_bytes": q_multimodal_bytes,
-        "multimodal_decode": q_multimodal_decode,
-        # -- new gates this round -----------------------------------------
-        "funnel6": q_funnel6,
-        "table_lifecycle": q_table_lifecycle,
-        "multimodal_png": q_multimodal_png,
-        "export_shards": q_export_shards,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_spans": q_dedup_spans,
-        "multimodal_wav": q_multimodal_wav,
-        "decay_avg": q_decay_avg,
-        "dedup_spans_incremental": q_dedup_spans_incremental,
-        "temperature_sample": q_temperature_sample,
-        "url_normalize": q_url_normalize,
-        "domain_cap": q_domain_cap,
-        "stream_decode": q_stream_decode,
-        "rate_anomaly": q_rate_anomaly,
-        "pivot_events": q_pivot_events,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "rollup_maintain": q_rollup_maintain,
-        # -- representative repeatedly-green sample ----------------------
-        "schema_evolution": q_schema_evolution,   # build logic rewritten r6
-        "scan_time_range": q_scan_time_range,
-        # -- beyond position 50: green in r4/r5, cycled out of window ----
-        "ohlcv_daily": q_ohlcv_daily,
-        "resample_1h": q_resample_1h,
-        "pricing_summary": q_pricing_summary,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_incremental": q_dedup_incremental,
-        "curation_pipeline": q_curation_pipeline,
-        "stream_ingest": q_stream_ingest,
-        "sessionize_stream": q_sessionize_stream,
-        "text_quality": q_text_quality,
-        "symbols_dict": q_symbols_dict,
-        "udf_fold_sum": q_udf_fold_sum,
-        "grouped_pandas": q_grouped_pandas,
-        "market_calendar": q_market_calendar,
-        "join_enrich": q_join_enrich,
-        "topk_customers": q_topk_customers,
-        "window_running": q_window_running,
-        "setops_except": q_setops_except,
-        "setops_intersect": q_setops_intersect,
-        "rollup_revenue": q_rollup_revenue,
-        "agg_stats": q_agg_stats,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
-        "cube_orders": q_cube_orders,
-        "percentiles": q_percentiles,
-        "string_funcs": q_string_funcs,
-        "month_rollup": q_month_rollup,
-        "sessionize_batch": q_sessionize_batch,
-        "salted_agg": q_salted_agg,
-        "bucketed_join": q_bucketed_join,
-        "ingest_csv": q_ingest_csv,
-        "stream_ingest_manifest": q_stream_ingest_manifest,
-        "stream_resample": q_stream_resample,
-        "dedup_minhash_capped": q_dedup_minhash_capped,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram": q_dedup_ngram,
-        "text_tokens": q_text_tokens,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "pii_redact": q_pii_redact,
-        "knn_bruteforce": q_knn_bruteforce,
-        "knn_join": q_knn_join,
-        "knn_lsh": q_knn_lsh,
-        "knn_lsh_multiprobe": q_knn_lsh_multiprobe,
-    }
+    names = [n for n, _ in _QUERY_REGISTRY]
+    dup = sorted({n for n in names if names.count(n) > 1})
+    assert not dup, f"duplicate queries() names: {dup}"
+    return dict(_QUERY_REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3359,8 +3418,8 @@ def oracle_sql() -> dict[str, str]:
                                     1, 8))::BIGINT % 10000 % 8 AS INT)
                    AS shard,
                count(*) AS n_docs,
-               sum(doc_id) AS sum_id,
-               sum(len(text)) AS sum_chars
+               CAST(sum(doc_id) AS BIGINT) AS sum_id,
+               CAST(sum(len(text)) AS BIGINT) AS sum_chars
         FROM documents GROUP BY 1
     """
     sqls["hash_split"] = r"""
@@ -3397,7 +3456,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT shard, count(*) AS n_docs,
                count(DISTINCT bin) AS n_bins,
-               sum(toks) AS sum_tokens
+               CAST(sum(toks) AS BIGINT) AS sum_tokens
         FROM p GROUP BY 1
     """
     sqls["vocab_topk"] = r"""
@@ -3567,10 +3626,11 @@ def oracle_sql() -> dict[str, str]:
             FROM q LEFT JOIN bg ON q.doc_id = bg.doc_id
         )
         SELECT source, count(*) AS n_docs,
-               sum(n_words) AS total_tokens,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
                round(avg(qscore), 6) AS avg_quality,
                round(avg(tbf), 6) AS avg_top_bigram,
-               sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS n_en
+               CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en
         FROM per_doc GROUP BY 1
     """
     w_lit = "[" + ", ".join(repr(w) for w in _demo_quality_weights()) + "]"
@@ -3620,6 +3680,21 @@ def oracle_sql() -> dict[str, str]:
                                 + 0.114 * ((doc_id * 77 + 31) % 256))
                                / 255.0 END, 6) AS mean_luma
         FROM documents
+    """
+    # Real-GIF video gate: one row per animated-GIF frame, every field
+    # re-derived closed-form from doc_id; Spark must recover them by a
+    # spec-conformant LZW decode.  Same Rec.601-over-255 luma family as
+    # multimodal_png (solid frames -> integer-exact channel means).
+    sqls["multimodal_video"] = """
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+               CAST(3 + doc_id % 12 AS INT) AS width,
+               CAST(3 + (doc_id * 5) % 9 AS INT) AS height,
+               CAST(4 + (doc_id + fi) % 7 AS INT) AS delay_cs,
+               round((0.299 * ((doc_id * 37 + fi * 91 + 11) % 256)
+                      + 0.587 * ((doc_id * 57 + fi * 53 + 23) % 256)
+                      + 0.114 * ((doc_id * 77 + fi * 29 + 31) % 256))
+                     / 255.0, 6) AS mean_luma
+        FROM documents, unnest(range(0, 2 + doc_id % 4)) AS u(fi)
     """
     # Real-WAV gate: every decoded field re-derived closed-form from
     # doc_id; constant-amplitude PCM makes the RMS integer-exact.

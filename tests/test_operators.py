@@ -952,6 +952,82 @@ class TestMultimodal:
             assert out[i]["channels"] == 1
             assert out[i]["mean_luma"] == round(i * 40 % 256 / 255.0, 6)
 
+    def test_lzw_roundtrip_growth_reset_kwkwk(self):
+        import random
+
+        from zdb_spark.operators.multimodal import (_lzw_compress,
+                                                    _lzw_decompress)
+
+        rng = random.Random(7)
+        for mcs in (2, 4, 8):
+            for n in (0, 1, 5, 300, 20000):   # 20000 forces 12-bit + reset
+                data = bytes(rng.randrange(1 << mcs) for _ in range(n))
+                assert _lzw_decompress(_lzw_compress(data, mcs),
+                                       mcs) == data
+        # long single-symbol runs hit the KwKwK (code == next entry) path
+        data = b"\x01" * 10000 + b"\x00\x01\x00" * 500
+        assert _lzw_decompress(_lzw_compress(data, 2), 2) == data
+
+    def test_gif_roundtrip_animated(self):
+        from zdb_spark.operators.multimodal import (gif_decode, gif_encode,
+                                                    gif_frames)
+
+        frames = [((10, 200, 30), 5), ((250, 0, 9), 11), ((1, 2, 3), 7)]
+        blob = gif_encode(13, 9, frames)
+        assert blob[:6] == b"GIF89a"
+        assert gif_decode(blob) == ("gif", 13, 9, 3, round(23 / 100, 6))
+        for (idx, w, h, d, luma), ((r, g, b), dly) in zip(gif_frames(blob),
+                                                          frames):
+            assert (w, h, d) == (13, 9, dly)
+            assert luma == round((0.299 * r + 0.587 * g + 0.114 * b)
+                                 / 255.0, 6)
+
+    def test_gif_decodes_third_party_files(self):
+        """Spec conformance beyond round-trip: system doc GIFs (written by
+        real encoders; global color tables, interlace, 8-bit LZW) must
+        parse with pixel counts matching the frame dimensions."""
+        import glob
+
+        from zdb_spark.operators.multimodal import _gif_parse, gif_decode
+
+        paths = sorted(glob.glob("/usr/share/doc/*/html/*.gif"))[:10]
+        if not paths:
+            pytest.skip("no system GIFs available")
+        for p in paths:
+            blob = open(p, "rb").read()
+            fmt, w, h, nf, _dur = gif_decode(blob)
+            assert fmt == "gif" and w > 0 and h > 0 and nf >= 1
+            for fr in _gif_parse(blob)[2]:
+                assert len(fr["pixels"]) == fr["w"] * fr["h"]
+
+    def test_gif_decode_rejects_garbage(self):
+        from zdb_spark.operators.multimodal import gif_decode, gif_encode
+
+        with pytest.raises(ValueError, match="not a GIF"):
+            gif_decode(b"definitely not a gif")
+        with pytest.raises(Exception):
+            gif_decode(gif_encode(4, 4, [((1, 2, 3), 5)])[:24])
+
+    def test_decode_video_frames_distributed(self, spark):
+        from zdb_spark.operators.multimodal import (decode_video,
+                                                    decode_video_frames,
+                                                    gif_encode)
+
+        rows = [Row(id=i, blob=gif_encode(
+                    4 + i, 5, [((i * 50 % 256, 0, 0), 3 + f)
+                               for f in range(1 + i)]))
+                for i in range(1, 4)]
+        df = spark.createDataFrame(rows)
+        vid = {r["id"]: r for r in
+               decode_video(df, "blob", "id", decoder="gif").collect()}
+        for i in range(1, 4):
+            assert vid[i]["width"] == 4 + i
+            assert vid[i]["n_frames"] == 1 + i
+        fr = decode_video_frames(df, "blob", "id").collect()
+        assert len(fr) == sum(1 + i for i in range(1, 4))
+        with pytest.raises(ValueError, match="unknown decoder"):
+            decode_video(df, "blob", "id", decoder="mp4")
+
 
 class TestSkew:
     def test_salted_agg_matches_unsalted(self, spark):

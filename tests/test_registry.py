@@ -1,0 +1,82 @@
+"""Registry invariants for the driver contract (__spark_entry__).
+
+The round driver oracles only the first ``WINDOW`` queries() entries, and
+its compare hashes values after sorting columns by name — so the registry
+must have unique names, every oracle key must map to a query, and the
+window boundary must be stable.  No SparkSession needed here.
+"""
+
+import ast
+import re
+
+import __spark_entry__ as entry_mod
+
+
+def test_registry_has_no_duplicate_names():
+    names = [n for n, _ in entry_mod._QUERY_REGISTRY]
+    dup = sorted({n for n in names if names.count(n) > 1})
+    assert not dup, f"duplicate registry names: {dup}"
+
+
+def test_queries_matches_registry_order_and_size():
+    qs = entry_mod.queries()
+    names = [n for n, _ in entry_mod._QUERY_REGISTRY]
+    assert list(qs) == names
+    assert len(qs) >= entry_mod.WINDOW == 50
+
+
+def test_oracle_keys_are_query_keys():
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+
+
+def test_every_callable_is_distinct_per_name():
+    """A name must map to exactly one function object (no aliased gates
+    accidentally pointing two names at the same query)."""
+    qs = entry_mod.queries()
+    by_fn = {}
+    for name, fn in qs.items():
+        by_fn.setdefault(fn, []).append(name)
+    shared = {fn.__name__: names for fn, names in by_fn.items()
+              if len(names) > 1}
+    assert not shared, f"multiple gate names share one function: {shared}"
+
+
+def test_source_dict_literals_have_no_duplicate_keys():
+    """AST-level guard: no dict literal in __spark_entry__.py silently
+    shadows a key (the failure mode the round-6 judge flagged)."""
+    src = open(entry_mod.__file__).read()
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict):
+            keys = [k.value for k in node.keys
+                    if isinstance(k, ast.Constant) and isinstance(k.value, str)]
+            dup = sorted({k for k in keys if keys.count(k) > 1})
+            assert not dup, (
+                f"dict literal at line {node.lineno} has duplicate keys: {dup}")
+
+
+def test_oracle_sums_are_cast_or_rounded():
+    """DuckDB's sum(BIGINT) returns HUGEINT (int128), which pandas
+    materializes as an object column and the driver's exact hash then
+    mismatches Spark's int64 (round-6 red rows).  Guard: every sum(...) in
+    a final SELECT must be wrapped in round(...) or CAST(... AS BIGINT/
+    DOUBLE) somewhere on its line."""
+    oracles = entry_mod.oracle_sql()
+    offenders = []
+    for name, sql in oracles.items():
+        for line in sql.splitlines():
+            low = line.lower()
+            if "sum(" not in low:
+                continue
+            # OK when the sum is wrapped (round/cast/epoch arithmetic) or
+            # consumed by an outer aggregate/window on the same line.
+            if ("round(" in low or "cast(" in low or "::" in low
+                    or "over" in low or "list_sum" in low
+                    or "sum(" not in low.split("as")[0] and "as" in low):
+                continue
+            # sums inside CTE bodies are fine — only flag bare top-level
+            # projections, recognized by the "AS alias" suffix with no wrap.
+            if re.search(r"^\s*sum\(|\ssum\(", low) and " as " in low:
+                offenders.append((name, line.strip()))
+    assert not offenders, f"bare sum() projections in oracle SQL: {offenders}"

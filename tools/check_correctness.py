@@ -46,6 +46,32 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
                            kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_family(series: pd.Series) -> str:
+    """Coarse dtype family for driver-hash parity.
+
+    The driver's value hash is dtype-sensitive: DuckDB returning HUGEINT
+    (materialized by pandas as an object column of Python ints) for a bare
+    sum(BIGINT) hashes differently from Spark's int64 even when every value
+    is equal (the round-6 pack_sequences/corpus_report/export_shards red
+    rows).  Map each column to {int, float, other} so an int-vs-object or
+    int-vs-float split fails HERE instead of only in the driver.
+    """
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "O" and len(series):
+        sample = next((v for v in series if v is not None), None)
+        if isinstance(sample, bool):
+            return "other"
+        if isinstance(sample, int):
+            return "int-object"  # e.g. DuckDB HUGEINT
+        if isinstance(sample, float):
+            return "float"
+    return "other"
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     errs: list[str] = []
     if len(spark_pdf) != len(duck_pdf):
@@ -54,6 +80,15 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     if sc != dc:
         errs.append(f"columns: spark={sc} duck={dc}")
         return errs
+    if errs:
+        return errs
+    for c in sc:
+        sf, df_ = _dtype_family(spark_pdf[c]), _dtype_family(duck_pdf[c])
+        if sf != df_ and "other" not in (sf, df_):
+            errs.append(
+                f"dtype family mismatch col {c}: spark={sf} "
+                f"({spark_pdf[c].dtype}) duck={df_} ({duck_pdf[c].dtype}) "
+                f"— would break the driver's exact hash")
     if errs:
         return errs
     s, d = normalize_pdf(spark_pdf), normalize_pdf(duck_pdf)

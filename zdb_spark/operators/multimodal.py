@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "sample_frames", "png_encode", "png_decode",
-           "wav_encode", "wav_decode", "decode_audio"]
+           "wav_encode", "wav_decode", "decode_audio",
+           "gif_encode", "gif_decode", "gif_frames",
+           "decode_video", "decode_video_frames"]
 
 # (prefix bytes, format name) — standard public file signatures.
 MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
@@ -414,3 +416,329 @@ def sample_frames(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
 
     src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
     return src.mapInPandas(mapper, "id long, frame_idx int, frame_hash string")
+
+
+# ---------------------------------------------------------------------- #
+# real GIF (87a/89a) video codec — stdlib only (full LZW both ways)       #
+# ---------------------------------------------------------------------- #
+# An animated GIF is the one real VIDEO container decodable with zero
+# dependencies, closing the reference-parity video stub the honest way:
+# gif_decode/gif_frames below parse the logical screen descriptor, global
+# and local color tables, graphic-control/application/comment extensions,
+# interlaced row order, and variable-width LZW (dynamic code growth to 12
+# bits, table reset on CLEAR, and the KwKwK code-not-yet-in-table case).
+# The reference has no media code at all (its /q Julia UDFs would carry
+# this); here it rides the same mapInPandas plumbing as PNG/WAV.
+
+
+def _lzw_compress(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows code width as the table
+    fills, resets at 4096 entries, ends with EOI.  LSB-first bit packing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # grow AFTER adding: the next emitted code may be `next_code - 1`
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_compress per the GIF spec, including the KwKwK
+    special case (code == next unassigned entry -> prev + prev[0])."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = bitbuf = bitcnt = 0
+
+    width = min_code_size + 1
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal width, table, prev
+        width = min_code_size + 1
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        prev = None
+
+    reset()
+    n = len(data)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)   # truncated stream: emit what we have
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):            # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap bytes in <=255-byte length-prefixed sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode(width: int, height: int,
+               frames: list[tuple[tuple[int, int, int], int]]) -> bytes:
+    """Encode an animated GIF89a: one solid-color frame per
+    ``((r, g, b), delay_cs)`` entry, each with its own LOCAL color table
+    and a graphic-control extension, plus a Netscape loop extension and a
+    comment block so decoders must really walk the block structure."""
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: no global color table
+    out += struct.pack("<HH", width, height) + bytes([0x00, 0, 0])
+    # application extension (Netscape looping)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    # comment extension
+    out += b"\x21\xfe" + _gif_subblocks(b"zdb_spark gif codec")
+    for (r, g, b), delay_cs in frames:
+        # graphic control extension: delay, no transparency
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        # image descriptor: local color table of 4 entries (size field 1)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x80 | 0x01])
+        palette = [(r, g, b), (0, 0, 0), (255, 255, 255),
+                   (r ^ 0xFF, g ^ 0xFF, b ^ 0xFF)]
+        for pr, pg, pb in palette:
+            out += bytes([pr, pg, pb])
+        min_code_size = 2
+        out.append(min_code_size)
+        out += _gif_subblocks(
+            _lzw_compress(bytes(width * height), min_code_size))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _deinterlace(rows: list[bytes], height: int) -> list[bytes]:
+    """Reorder GIF interlace passes (8/0, 8/4, 4/2, 2/1) to top-down."""
+    order = ([*range(0, height, 8)] + [*range(4, height, 8)]
+             + [*range(2, height, 4)] + [*range(1, height, 2)])
+    fixed: list[bytes] = [b""] * height
+    for src_idx, dst_row in enumerate(order):
+        fixed[dst_row] = rows[src_idx]
+    return fixed
+
+
+def _gif_parse(payload: bytes) -> tuple[int, int, list[dict]]:
+    """Parse a GIF into (screen_w, screen_h, frames); each frame dict has
+    w, h, delay_cs, pixels (index bytes, top-down) and palette."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    global_pal: list[tuple[int, int, int]] | None = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = [tuple(payload[pos + 3 * i:pos + 3 * i + 3])
+                      for i in range(n)]
+        pos += 3 * n
+    frames: list[dict] = []
+    delay_cs = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:               # trailer
+            break
+        if block == 0x21:               # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:           # graphic control
+                size = payload[pos]
+                delay_cs = struct.unpack_from("<H", payload, pos + 2)[0]
+                pos += size + 1
+            while payload[pos]:         # remaining / other ext sub-blocks
+                pos += payload[pos] + 1
+            pos += 1
+        elif block == 0x2C:             # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
+            ipacked = payload[pos + 8]
+            pos += 9
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = [tuple(payload[pos + 3 * i:pos + 3 * i + 3])
+                       for i in range(n)]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without any color table")
+            min_code_size = payload[pos]
+            pos += 1
+            comp = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                comp += payload[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            pixels = _lzw_decompress(bytes(comp), min_code_size)[:w * h]
+            if ipacked & 0x40:          # interlaced
+                rows = [pixels[r * w:(r + 1) * w] for r in range(h)]
+                pixels = b"".join(_deinterlace(rows, h))
+            frames.append({"w": w, "h": h, "left": left, "top": top,
+                           "delay_cs": delay_cs, "pixels": pixels,
+                           "palette": pal})
+            delay_cs = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    return sw, sh, frames
+
+
+def gif_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """Video-level metadata: (fmt, width, height, n_frames, duration_s).
+    Duration sums per-frame graphic-control delays (centiseconds)."""
+    sw, sh, frames = _gif_parse(payload)
+    total_cs = sum(f["delay_cs"] for f in frames)
+    return ("gif", sw, sh, len(frames), round(total_cs / 100.0, 6))
+
+
+def gif_frames(payload: bytes) -> list[tuple[int, int, int, int, float]]:
+    """Per-frame stats: (frame_idx, width, height, delay_cs, mean_luma).
+    Channel means are exact integer sums over decoded palette-mapped
+    pixels; luma is the same Rec.601-over-255 expression as png_decode so
+    the closed-form oracle family is shared."""
+    _, _, frames = _gif_parse(payload)
+    out = []
+    for idx, fr in enumerate(frames):
+        pal, px = fr["palette"], fr["pixels"]
+        n = len(px) or 1
+        sums = [0, 0, 0]
+        for p in px:
+            c = pal[p]
+            sums[0] += c[0]
+            sums[1] += c[1]
+            sums[2] += c[2]
+        mr, mg, mb = (s / n for s in sums)
+        luma = round((0.299 * mr + 0.587 * mg + 0.114 * mb) / 255.0, 6)
+        out.append((idx, fr["w"], fr["h"], fr["delay_cs"], luma))
+    return out
+
+
+def _fake_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """Deterministic stand-in for containers this sandbox cannot decode
+    (mp4/webm need ffmpeg): sha256-derived so a SQL oracle can reproduce
+    it.  STUB — swap for an ffmpeg-backed decoder outside the sandbox."""
+    h = hashlib.sha256(payload).digest()
+    return ("fake", 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 30,
+            round(h[3] / 10.0, 6))
+
+
+_VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode}
+_VIDEO_SCHEMA = ("id long, fmt string, width int, height int, "
+                 "n_frames int, duration_s double")
+
+
+def decode_video(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
+                 decoder: str = "gif",
+                 target_partitions: int | None = None) -> DataFrame:
+    """Video-level decode to (fmt, width, height, n_frames, duration_s)
+    via Arrow-batched ``mapInPandas``.  ``decoder="gif"`` is the REAL
+    stdlib codec; ``decoder="fake"`` the deterministic plumbing stub."""
+    if decoder not in _VIDEO_DECODERS:
+        raise ValueError(f"unknown decoder {decoder!r}")
+    decode = _VIDEO_DECODERS[decoder]
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                fmt, w, h, nf, dur = decode(bytes(payload))
+                rows.append((int(i), fmt, w, h, nf, dur))
+            yield pd.DataFrame(rows, columns=[
+                "id", "fmt", "width", "height", "n_frames", "duration_s"])
+
+    return src.mapInPandas(mapper, _VIDEO_SCHEMA)
+
+
+_FRAMES_SCHEMA = ("id long, frame_idx int, width int, height int, "
+                  "delay_cs int, mean_luma double")
+
+
+def decode_video_frames(df: DataFrame, blob_col: str = "blob",
+                        id_col: str = "id",
+                        target_partitions: int | None = None) -> DataFrame:
+    """REAL per-frame decode (GIF): one output row per frame with
+    dimensions, delay, and exact mean luma — the explode-shaped contract
+    `sample_frames` stubs, now honored by an actual codec."""
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                for idx, w, h, delay, luma in gif_frames(bytes(payload)):
+                    rows.append((int(i), idx, w, h, delay, luma))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "width", "height", "delay_cs",
+                "mean_luma"])
+
+    return src.mapInPandas(mapper, _FRAMES_SCHEMA)

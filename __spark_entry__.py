@@ -144,6 +144,29 @@ def q_scan_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("event_id", "ts_us", "event_type", "value"))
 
 
+def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 as a driver gate: the 3-format time parse (raw nanos |
+    RFC3339 | %Y-%m-%d, src/lib.zig stringToNanoseconds) runs as the pure
+    Catalyst expression ``parse_time_col`` over strings RENDERED from the
+    events timestamps (format chosen by event_id mod 3), and the oracle
+    renders + parses the same strings with DuckDB's own formatter/caster.
+    A hash match proves the whole-stage-codegen parse agrees with an
+    independent engine on every format branch, nanosecond-exact
+    (functions/scalar.py:parse_time_col)."""
+    from zdb_spark.functions.scalar import parse_time_col
+
+    ev = (_events_with_ts(spark, sf_dir)
+          .where(F.col("event_id") % 7 == 0))
+    mode = (F.col("event_id") % 3).cast("int")
+    raw = (F.when(mode == 0, F.col("ts").cast("string"))
+            .when(mode == 1, F.date_format(
+                "ts_utc", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+            .otherwise(F.date_format("ts_utc", "yyyy-MM-dd")))
+    return (ev.select("event_id", mode.alias("fmt_mode"), raw.alias("raw"))
+              .select("event_id", "fmt_mode",
+                      parse_time_col("raw").alias("ts_ns")))
+
+
 def q_symbols_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 dictionary endpoint: distinct symbol values."""
     return (_load(spark, sf_dir, "events")
@@ -457,6 +480,36 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_returnflag",
                       F.round("sum_qty", 4).alias("sum_qty"),
                       "n_rows",
+                      F.round("min_price", 4).alias("min_price"),
+                      F.round("max_price", 4).alias("max_price"))
+
+
+def q_skew_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANTED pathological skew: a synthetic key maps ~half of lineitem
+    to the single value 'HOT' (the other half spreads over 100 cold
+    keys), then the salted two-phase aggregation must return EXACTLY the
+    plain GROUP BY answer.  Unsalted, one reducer owns ~50% of the table;
+    salted, the hot key shards across 32 (key, salt) partials first.
+    Guard engagement is pinned separately: tests/test_plans_sources.py
+    asserts the phase-1 Exchange hash-partitions on (skew_key, _salt),
+    not on skew_key alone.  Aggregates are integer-valued-in-double so
+    salted vs unsalted vs DuckDB summation order is exact."""
+    from zdb_spark.operators.skew import salted_agg
+
+    li = (_load(spark, sf_dir, "lineitem")
+          .withColumn("skew_key",
+                      F.when(F.col("l_orderkey") % 2 == 0, F.lit("HOT"))
+                       .otherwise(F.concat(
+                           F.lit("k"),
+                           (F.col("l_suppkey") % 100).cast("string")))))
+    out = salted_agg(li, ["skew_key"], {
+        "n_rows": ("l_orderkey", "count"),
+        "sum_qty": ("l_quantity", "sum"),
+        "min_price": ("l_extendedprice", "min"),
+        "max_price": ("l_extendedprice", "max"),
+    }, n_salts=32)
+    return out.select("skew_key", "n_rows",
+                      F.round("sum_qty", 4).alias("sum_qty"),
                       F.round("min_price", 4).alias("min_price"),
                       F.round("max_price", 4).alias("max_price"))
 
@@ -1066,6 +1119,50 @@ def q_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+def q_convert_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline column type migration (S11, scripts/convert_col.jl:1-61)
+    value-checked end-to-end: events land in a table with user_id as I64,
+    ``convert_column_type`` rewrites every partition to F64 (temp-dir +
+    swap, original intact on failure), then a fresh ``Table.open`` scans
+    the migrated tree.  ``migrated_type`` is read from the LIVE DataFrame
+    schema — the oracle hard-codes 'double', so a hash match proves the
+    cast really reached the parquet files, and the integer-valued sums
+    prove no value was disturbed (sources/readers.py:convert_column_type).
+    """
+    import shutil
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.sources.readers import convert_column_type
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "convert-v1", ("events",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_convert", key, "home")
+    schema = (Schema("events_cv")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch)
+        t.write(_load(spark, sf_dir, "events")
+                .select("ts", "event_id", "user_id", "event_type", "value"))
+        convert_column_type(spark, "events_cv", "user_id", ColumnType.F64,
+                            home=scratch)
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_cv", home=home)
+    df = t.df()
+    migrated_type = dict(df.dtypes)["user_id"]
+    return (df.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("user_id"), 4).alias("sum_uid"),
+                   F.round(F.max("user_id"), 4).alias("max_uid"))
+              .withColumn("migrated_type", F.lit(migrated_type)))
 
 
 def q_stream_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2359,6 +2456,9 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("export_shards", q_export_shards),
     # -- new gates this round --------------------------------------------
     ("multimodal_video", q_multimodal_video),
+    ("skew_stress", q_skew_stress),
+    ("ts_parse", q_ts_parse),
+    ("convert_column", q_convert_column),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -2667,6 +2767,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    round(sum(l_quantity), 4) AS sum_qty,
                    count(l_orderkey) AS n_rows,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem GROUP BY 1
+        """,
+        "ts_parse": """
+            WITH t AS (
+                SELECT event_id, CAST(event_id % 3 AS INT) AS fmt_mode,
+                       CASE CAST(event_id % 3 AS INT)
+                           WHEN 0 THEN CAST(epoch_ns(ts) AS VARCHAR)
+                           WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+                           ELSE strftime(ts, '%Y-%m-%d')
+                       END AS raw
+                FROM events WHERE event_id % 7 = 0
+            )
+            SELECT event_id, fmt_mode,
+                   CASE WHEN len(raw) > 4
+                             AND regexp_matches(raw, '^[0-9]+$')
+                        THEN CAST(raw AS BIGINT)
+                        WHEN regexp_matches(raw,
+                                 '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                        THEN epoch_ns(CAST(raw AS TIMESTAMP))
+                        ELSE epoch_ns(CAST(raw AS TIMESTAMP))
+                   END AS ts_ns
+            FROM t
+        """,
+        "convert_column": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(CAST(user_id AS DOUBLE)), 4) AS sum_uid,
+                   round(max(CAST(user_id AS DOUBLE)), 4) AS max_uid,
+                   'double' AS migrated_type
+            FROM events GROUP BY 1
+        """,
+        "skew_stress": """
+            SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT'
+                        ELSE 'k' || CAST(l_suppkey % 100 AS VARCHAR)
+                   END AS skew_key,
+                   count(l_orderkey) AS n_rows,
+                   round(sum(l_quantity), 4) AS sum_qty,
                    round(min(l_extendedprice), 4) AS min_price,
                    round(max(l_extendedprice), 4) AS max_price
             FROM lineitem GROUP BY 1

@@ -244,3 +244,26 @@ class TestPipelineOperatorPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_salted_agg_guard_engages_on_planted_skew(self, spark):
+        """The skew_stress gate's guard, pinned at the plan level: with a
+        planted hot key, phase 1 must hash-partition on (key, _salt) —
+        spreading the hot key over n_salts reducers — and a second
+        exchange on the bare key merges <= n_salts partials.  The answer
+        itself is value-checked by the skew_stress driver gate."""
+        from zdb_spark.operators.skew import salted_agg
+
+        rows = [Row(k="HOT", v=float(i)) for i in range(500)] + \
+               [Row(k=f"c{i % 20}", v=float(i)) for i in range(100)]
+        out = salted_agg(spark.createDataFrame(rows), ["k"],
+                         {"n": ("v", "count"), "total": ("v", "sum")},
+                         n_salts=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        parts = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert any("_salt" in p and "k#" in p for p in parts), plan
+        assert any("_salt" not in p and "k#" in p for p in parts), plan
+        # and the guard must not change the answer
+        got = {r["k"]: (r["n"], r["total"]) for r in out.collect()}
+        assert got["HOT"] == (500, float(sum(range(500))))

@@ -56,6 +56,23 @@ def test_source_dict_literals_have_no_duplicate_keys():
                 f"dict literal at line {node.lineno} has duplicate keys: {dup}")
 
 
+def test_oracle_sql_has_no_shadowed_assignments():
+    """oracle_sql() builds a literal dict then extends it with
+    ``sqls["name"] = ...`` assignments; an assignment that re-uses a
+    literal key (or another assignment's key, except the documented
+    alias) would silently replace the earlier SQL."""
+    src = open(entry_mod.__file__).read()
+    body = src.split("def oracle_sql()", 1)[1]
+    lit = re.findall(r'^\s+"([a-z0-9_]+)": ', body, re.M)
+    assigns = re.findall(r'sqls\["([a-z0-9_]+)"\]\s*=\s*(\S+)', body)
+    seen = set(lit)
+    for name, rhs in assigns:
+        # intentional alias: sqls["a"] = sqls["b"] reuses another gate's
+        # SQL under a NEW name; only flag re-assignments of an old name
+        assert name not in seen, f"oracle_sql key {name!r} shadowed"
+        seen.add(name)
+
+
 def test_oracle_sums_are_cast_or_rounded():
     """DuckDB's sum(BIGINT) returns HUGEINT (int128), which pandas
     materializes as an object column and the driver's exact hash then

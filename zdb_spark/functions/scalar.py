@@ -21,7 +21,7 @@ import datetime as dt
 from pyspark.sql import Column, functions as F
 
 __all__ = ["string_to_nanoseconds", "format_currency", "format_currency_col",
-           "to_nanos", "nanos_to_ts", "ts_to_nanos"]
+           "to_nanos", "nanos_to_ts", "ts_to_nanos", "parse_time_col"]
 
 _NICE_FORMAT = "%Y-%m-%d"
 NANOS_PER_MICRO = 1_000
@@ -177,3 +177,29 @@ def ts_to_nanos(col: Column | str) -> Column:
     """TimestampType -> LongType epoch-nanos (µs precision)."""
     c = F.col(col) if isinstance(col, str) else col
     return (F.unix_micros(c) * NANOS_PER_MICRO).cast("long")
+
+
+def parse_time_col(col: Column | str) -> Column:
+    """Column twin of ``string_to_nanoseconds`` (F1, src/lib.zig
+    stringToNanoseconds): parse raw-nanos | RFC3339 | %Y-%m-%d strings to
+    epoch-nanos i64 — as a pure Catalyst expression (whole-stage codegen,
+    no Python), dispatching on shape exactly like the scalar:
+
+    - all-digits and longer than 4 chars -> the literal nano count,
+    - a bare ``YYYY-MM-DD`` -> midnight UTC of that day,
+    - otherwise an ISO-8601/RFC3339 timestamp (fractional seconds kept
+      to µs — Spark timestamps carry µs, matching ``ts_to_nanos``).
+
+    Unparseable strings yield NULL (the SQL-expression analogue of the
+    scalar's ValueError; a Column cannot raise per-row).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    is_raw = (F.length(c) > 4) & c.rlike("^[0-9]+$")
+    is_date = c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$")
+    iso_ns = (F.unix_micros(F.to_timestamp(c)) * NANOS_PER_MICRO)
+    date_ns = (F.unix_date(F.to_date(c, "yyyy-MM-dd")).cast("long")
+               * F.lit(86_400 * NANOS_PER_SEC))
+    return (F.when(is_raw, c.cast("long"))
+             .when(is_date, date_ns)
+             .otherwise(iso_ns)
+             .cast("long"))

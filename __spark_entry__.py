@@ -2211,6 +2211,85 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "model_score")
 
 
+# Fixed demo merge table for the bpe_apply gate (the quality_model
+# pattern: one shared constant rendered into BOTH the Spark call and the
+# oracle SQL).  "\x03" is tokenize.EOW, shown as '_' in gate output.
+_DEMO_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "\x03"), ("t", "h"), ("th", "e"), ("the", "\x03"),
+    ("i", "n"), ("in", "\x03"), ("a", "n"), ("an", "d"), ("and", "\x03"),
+    ("o", "n"), ("on", "\x03"), ("e", "n"), ("o", "r"), ("a", "t"),
+    ("at", "\x03"), ("s", "\x03"), ("d", "\x03"), ("er", "\x03"),
+    ("t", "\x03"), ("o", "w"), ("ow", "\x03"), ("r", "e"), ("s", "t"),
+]
+
+
+def _bpe_sql_lit(s: str) -> str:
+    """Render a BPE symbol (may contain the \\x03 EOW control char) as a
+    DuckDB string expression."""
+    parts, run = [], ""
+    for ch in s:
+        if ch == "\x03":
+            if run:
+                parts.append(f"'{run}'")
+                run = ""
+            parts.append("chr(3)")
+        else:
+            run += ch
+    if run:
+        parts.append(f"'{run}'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _bpe_chain_sql(var: str) -> str:
+    """The oracle's mirror of tokenize.bpe_segment_expr: wrap every char
+    of ``var`` as chr(1)|c|chr(2), append the EOW symbol, then apply the
+    demo merge table as the identical literal replace chain."""
+    s = (f"regexp_replace({var}, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+         " || chr(1) || chr(3) || chr(2)")
+    for a, b in _DEMO_BPE_MERGES:
+        pat = (f"chr(1) || {_bpe_sql_lit(a)} || chr(2) || "
+               f"chr(1) || {_bpe_sql_lit(b)} || chr(2)")
+        rep = f"chr(1) || {_bpe_sql_lit(a + b)} || chr(2)"
+        s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization apply path, value-checked to the token string:
+    the 24-merge demo table runs as a chain of literal ``replace`` calls
+    over a bracket-delimited symbol encoding — entirely whole-stage
+    codegen, zero Python, zero shuffle (plan pinned in
+    tests/test_plans_sources.py).  The bracket trick makes the chain
+    engine-portable, so the oracle applies the IDENTICAL replaces with
+    DuckDB's own string engine and must reproduce every token boundary
+    (operators/tokenize.py:apply_bpe)."""
+    from zdb_spark.operators.tokenize import EOW, apply_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    out = apply_bpe(docs, _DEMO_BPE_MERGES, "text", "doc_id")
+    toks = F.transform(F.col("tokens"),
+                       lambda t: F.replace(t, F.lit(EOW), F.lit("_")))
+    return out.select(F.col("id").alias("doc_id"), "n_tokens",
+                      F.concat_ws(" ", toks).alias("tok_str"))
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training over the corpus: ONE word-frequency shuffle,
+    then the deterministic merge loop on the bounded top-N frequency
+    table (operators/tokenize.py:train_bpe).  The merge sequence is an
+    iterative argmax — not SQL-expressible, so this gate is rows-only at
+    the driver; determinism and hand-worked-example correctness are
+    pinned by pytest (tests/test_operators.py), and the apply path the
+    merges feed is value-checked by the bpe_apply gate."""
+    from zdb_spark.operators.tokenize import EOW, train_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=40)
+    rows = [(i, a.replace(EOW, "_"), b.replace(EOW, "_"))
+            for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, left string, right string")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-document chunking into overlapping 32-token windows (8-token
     overlap): one row-local explode, no shuffle; chunk ids derive from
@@ -2459,6 +2538,8 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("skew_stress", q_skew_stress),
     ("ts_parse", q_ts_parse),
     ("convert_column", q_convert_column),
+    ("bpe_apply", q_bpe_apply),
+    ("bpe_train", q_bpe_train),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3770,6 +3851,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_en
         FROM per_doc GROUP BY 1
+    """
+    # BPE apply gate: the oracle re-runs the IDENTICAL bracket-encoded
+    # replace chain with DuckDB's string engine (see _bpe_chain_sql).
+    sqls["bpe_apply"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   flatten(list_transform(words, w -> list_transform(
+                       string_split({_bpe_chain_sql('w')},
+                                    chr(2) || chr(1)),
+                       x -> replace(replace(x, chr(1), ''),
+                                    chr(2), '')))) AS raw_toks
+            FROM t
+        )
+        SELECT doc_id, CAST(len(raw_toks) AS INT) AS n_tokens,
+               array_to_string(list_transform(raw_toks,
+                                   t -> replace(t, chr(3), '_')), ' ')
+                   AS tok_str
+        FROM s
     """
     w_lit = "[" + ", ".join(repr(w) for w in _demo_quality_weights()) + "]"
     sqls["quality_model"] = f"""

@@ -1029,6 +1029,62 @@ class TestMultimodal:
             decode_video(df, "blob", "id", decoder="mp4")
 
 
+class TestTokenize:
+    def test_train_bpe_hand_worked_example(self, spark):
+        """Sennrich's 'low/lower' example, worked by hand: pair counts
+        (l,o)=3 (o,w)=3 tie -> lexicographic, then (lo,w), (low,EOW),
+        then all pairs hit count 1 and the (e,r) tie wins."""
+        from zdb_spark.operators.tokenize import EOW, train_bpe
+
+        docs = spark.createDataFrame([(1, "low low lower")],
+                                     "doc_id long, text string")
+        merges = train_bpe(docs, "text", n_merges=4, min_pair_count=1)
+        assert merges == [("l", "o"), ("lo", "w"), ("low", EOW),
+                          ("e", "r")]
+        # with the default min_pair_count=2 training stops at 3 merges
+        assert train_bpe(docs, "text", n_merges=4) == merges[:3]
+
+    def test_apply_bpe_segments_exactly(self, spark):
+        from zdb_spark.operators.tokenize import EOW, apply_bpe
+
+        merges = [("l", "o"), ("lo", "w"), ("low", EOW), ("e", "r")]
+        docs = spark.createDataFrame([(1, "Low  lower")],
+                                     "doc_id long, text string")
+        row = apply_bpe(docs, merges).collect()[0]
+        assert row["tokens"] == [f"low{EOW}", "low", "er", EOW]
+        assert row["n_tokens"] == 4
+
+    def test_apply_bpe_chain_equals_udf(self, spark):
+        """The codegen replace-chain and the greedy-rank pandas runtime
+        must segment identically (they implement the same algorithm via
+        different mechanics)."""
+        from zdb_spark.operators.tokenize import (apply_bpe, apply_bpe_udf,
+                                                  train_bpe)
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["the owner lowered the tone", "slow flower tower",
+                 "near-duplicate near duplicate", "a bb ccc dddd",
+                 "thethethe ererer", ""])],
+            "doc_id long, text string")
+        merges = train_bpe(docs, "text", n_merges=12, min_pair_count=1)
+        a = {r["id"]: r["tokens"]
+             for r in apply_bpe(docs, merges).collect()}
+        b = {r["id"]: r["tokens"]
+             for r in apply_bpe_udf(docs, merges).collect()}
+        assert a == b
+
+    def test_train_bpe_deterministic(self, spark):
+        from zdb_spark.operators.tokenize import train_bpe
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma doc{i % 7} alpha") for i in range(40)],
+            "doc_id long, text string")
+        m1 = train_bpe(docs, "text", n_merges=10)
+        m2 = train_bpe(docs.repartition(7), "text", n_merges=10)
+        assert m1 == m2 and len(m1) == 10
+
+
 class TestSkew:
     def test_salted_agg_matches_unsalted(self, spark):
         # power-law keys: one key holds ~90% of rows

@@ -245,6 +245,15 @@ class TestPipelineOperatorPlans:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
+    def test_apply_bpe_zero_shuffle_jvm_only(self, docs):
+        from zdb_spark.operators.tokenize import apply_bpe
+
+        out = apply_bpe(docs, [("t", "h"), ("th", "e")], "text", "doc_id")
+        rep = scan_report(out)
+        assert rep.exchanges == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan      # pure codegen, no UDF eval node
+
     def test_salted_agg_guard_engages_on_planted_skew(self, spark):
         """The skew_stress gate's guard, pinned at the plan level: with a
         planted hot key, phase 1 must hash-partition on (key, _salt) —

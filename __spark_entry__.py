@@ -2211,6 +2211,71 @@ def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "model_score")
 
 
+def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINABLE quality classifier: logistic regression learned by
+    full-batch gradient ascent — each of the 3 iterations is one
+    distributed aggregation pass (driver state = 4 floats), predicting
+    lang='en' from surface features (length score, punctuation ratio,
+    English stopword share; the same expression family corpus_report
+    oracle-mirrors).  Per-iteration gradients round to 6 decimals so the
+    weight sequence is a sum of exact decimals; the oracle REPLAYS the
+    identical three iterations as unrolled SQL CTEs — a hash match
+    proves distributed training lands on bit-identical weights to an
+    independent engine (operators/text.py:train_quality_logreg)."""
+    from zdb_spark.operators.text import train_quality_logreg
+
+    docs = _load(spark, sf_dir, "documents")
+    w = train_quality_logreg(
+        docs, "text",
+        label_expr=F.when(F.col("lang") == "en", F.lit(1.0))
+                    .otherwise(F.lit(0.0)),
+        n_iters=3, lr=1.0)
+    names = ["bias", "len_score", "punct_ratio", "en_stopword_share"]
+    return spark.createDataFrame(
+        list(zip(names, [float(x) for x in w])),
+        "feature string, weight double")
+
+
+def _logreg_oracle_sql(n_iters: int = 3) -> str:
+    """Unrolled-SQL mirror of train_quality_logreg: one (gradient CTE,
+    weight CTE) pair per iteration, gradients rounded to 6 decimals at
+    the same point the Spark trainer rounds."""
+    sw = ("['the','and','of','to','in','is','you','that','it','for']")
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    feats = f"""feats AS (
+        SELECT 1.0 AS x0,
+               least(len({toks}) / 100.0, 1.0) AS x1,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]',
+                                                     '', 'g')))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS x2,
+               least(len(list_filter({toks},
+                             t -> list_contains({sw}, t)))
+                   / CAST(greatest(len({toks}), 1) AS DOUBLE) * 5.0,
+                     1.0) AS x3,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    )"""
+    ctes = [feats]
+    prev_w = ["0.0"] * 4
+    prev_from = "feats"
+    for it in range(1, n_iters + 1):
+        margin = " + ".join(f"{prev_w[j]} * x{j}" for j in range(4))
+        g_cols = ", ".join(
+            f"round(avg(x{j} * (y - 1.0 / (1.0 + exp(-({margin}))))), 6)"
+            f" AS g{j}" for j in range(4))
+        ctes.append(f"g{it} AS (SELECT {g_cols} FROM {prev_from})")
+        w_cols = ", ".join(f"{prev_w[j]} + g{j} AS a{j}" for j in range(4))
+        wfrom = f"g{it}" if it == 1 else f"w{it - 1}, g{it}"
+        ctes.append(f"w{it} AS (SELECT {w_cols} FROM {wfrom})")
+        prev_w = [f"a{j}" for j in range(4)]
+        prev_from = f"feats, w{it}"
+    names = ["bias", "len_score", "punct_ratio", "en_stopword_share"]
+    finals = " UNION ALL ".join(
+        f"SELECT '{nm}' AS feature, a{j} AS weight FROM w{n_iters}"
+        for j, nm in enumerate(names))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
 # Fixed demo merge table for the bpe_apply gate (the quality_model
 # pattern: one shared constant rendered into BOTH the Spark call and the
 # oracle SQL).  "\x03" is tokenize.EOW, shown as '_' in gate output.
@@ -2540,6 +2605,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("convert_column", q_convert_column),
     ("bpe_apply", q_bpe_apply),
     ("bpe_train", q_bpe_train),
+    ("quality_train", q_quality_train),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3854,6 +3920,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # BPE apply gate: the oracle re-runs the IDENTICAL bracket-encoded
     # replace chain with DuckDB's string engine (see _bpe_chain_sql).
+    # Trainable quality classifier: the oracle replays all 3 gradient
+    # iterations as unrolled CTEs (see _logreg_oracle_sql).
+    sqls["quality_train"] = _logreg_oracle_sql(n_iters=3)
     sqls["bpe_apply"] = f"""
         WITH t AS (
             SELECT doc_id,

@@ -1029,6 +1029,52 @@ class TestMultimodal:
             decode_video(df, "blob", "id", decoder="mp4")
 
 
+class TestLogregTrain:
+    def test_learns_separating_weights(self, spark):
+        """Planted separable corpus: 'English' docs are stopword-dense,
+        'other' docs have none — the stopword-share weight must come out
+        positive and dominant, and predictions must separate."""
+        import math
+
+        from zdb_spark.operators.text import (logreg_features,
+                                              train_quality_logreg)
+
+        rows = ([(i, "the and of to in is that it for you", "en")
+                 for i in range(50)]
+                + [(i + 50, "zzz qqq xxx www vvv uuu ttt sss", "xx")
+                   for i in range(50)])
+        docs = spark.createDataFrame(rows,
+                                     "doc_id long, text string, lang string")
+        w = train_quality_logreg(
+            docs, "text",
+            label_expr=F.when(F.col("lang") == "en", F.lit(1.0))
+                        .otherwise(F.lit(0.0)),
+            n_iters=8, lr=2.0)
+        assert w[3] > 0.5, w          # stopword share drives the label
+        # predictions separate the classes
+        feats = logreg_features(
+            docs, "text",
+            F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)))
+        for r in feats.collect():
+            m = sum(wj * xj for wj, xj in
+                    zip(w, [r["x0"], r["x1"], r["x2"], r["x3"]]))
+            p = 1.0 / (1.0 + math.exp(-m))
+            assert (p > 0.5) == (r["y"] == 1.0), (p, r)
+
+    def test_training_deterministic_across_layout(self, spark):
+        from zdb_spark.operators.text import train_quality_logreg
+
+        rows = [(i, f"the quick doc {i} and some more text for it",
+                 "en" if i % 3 else "de") for i in range(60)]
+        docs = spark.createDataFrame(rows,
+                                     "doc_id long, text string, lang string")
+        lbl = F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0))
+        w1 = train_quality_logreg(docs, "text", label_expr=lbl, n_iters=3)
+        w2 = train_quality_logreg(docs.repartition(13), "text",
+                                  label_expr=lbl, n_iters=3)
+        assert w1 == w2
+
+
 class TestTokenize:
     def test_train_bpe_hand_worked_example(self, spark):
         """Sennrich's 'low/lower' example, worked by hand: pair counts

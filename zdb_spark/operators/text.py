@@ -387,3 +387,61 @@ def extract_domain(url: Column | str) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     host = F.lower(F.regexp_extract(c, r"^[a-zA-Z]+://([^/:?#]*)", 1))
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def logreg_features(df: DataFrame, text_col: str = "text",
+                    label_expr: Column | None = None) -> DataFrame:
+    """Surface-feature vector for the trainable quality classifier:
+    (x0 bias=1, x1 length score, x2 punctuation ratio, x3 English
+    stopword share) + a 0/1 ``y`` label — every feature the EXACT same
+    expression family the corpus_report gate already oracle-mirrors, so
+    training is cross-engine reproducible.  Row-local, zero shuffle."""
+    txt = F.col(text_col)
+    toks = F.split(F.trim(F.lower(txt)), r"\s+")
+    n_words = F.size(toks)
+    n_chars = F.length(txt)
+    n_punct = n_chars - F.length(F.regexp_replace(txt, "[.,!?;:]", ""))
+    s_en = F.size(F.filter(
+        toks, lambda t: t.isin(*sorted(EN_STOPWORDS))))
+    out = df.select(
+        F.lit(1.0).alias("x0"),
+        F.least(n_words / F.lit(100.0), F.lit(1.0)).alias("x1"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("x2"),
+        F.least(s_en / F.greatest(n_words, F.lit(1)) * 5.0,
+                F.lit(1.0)).alias("x3"),
+        (label_expr.cast("int").cast("double") if label_expr is not None
+         else F.lit(0.0)).alias("y"))
+    return out
+
+
+def train_quality_logreg(df: DataFrame, text_col: str = "text", *,
+                         label_expr: Column, n_iters: int = 3,
+                         lr: float = 1.0) -> list[float]:
+    """Train a logistic-regression quality/label classifier by full-batch
+    gradient ascent: each iteration is ONE distributed aggregation pass
+    (map-side combined; the only driver state is the 4-float weight
+    vector), so cost is n_iters linear scans — the textbook distributed
+    GD shape that holds at 100 TB.
+
+    Cross-engine determinism: each iteration's per-feature gradient
+    ``avg(x_j * (y - sigmoid(w.x)))`` is rounded to 6 decimals before
+    updating ``w`` (and lr defaults to 1.0, an exact multiplier), so the
+    weight sequence is a sum of exact decimals — an independent engine
+    (the DuckDB gate oracle) replaying the same iterations lands on
+    bit-identical weights.  Returns [w0, w1, w2, w3].
+    """
+    feats = logreg_features(df, text_col, label_expr).cache()
+    try:
+        w = [0.0, 0.0, 0.0, 0.0]
+        xs = [F.col(f"x{j}") for j in range(4)]
+        for _ in range(n_iters):
+            margin = sum((F.lit(w[j]) * xs[j] for j in range(4)),
+                         start=F.lit(0.0))
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+            row = feats.agg(*[
+                F.round(F.avg(xs[j] * (F.col("y") - p)), 6)
+                 .alias(f"g{j}") for j in range(4)]).collect()[0]
+            w = [w[j] + lr * row[f"g{j}"] for j in range(4)]
+        return w
+    finally:
+        feats.unpersist()

@@ -1327,6 +1327,29 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_topk(spark, path, list(qvec), k=10, n_probe=4)
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF+PQ ANN over a persisted index — both pruning
+    mechanisms stacked: partition pruning selects n_probe/16 of the rows
+    (IVF cells), parquet column pruning makes the ADC scan read only the
+    m-byte code column (never the floats; ReadSchema pinned in
+    tests/test_plans_sources.py), and only the top-64 candidates touch
+    raw vectors in the exact rerank.  ~(4/16)x(1/32) of corpus bytes per
+    query.  Oracle: brute-force top-10 over the same planted corpus —
+    the planted structure makes pruning+ADC+rerank exact
+    (similarity.py:build_ivfpq_index/ivfpq_index_topk)."""
+    from zdb_spark.operators.similarity import (build_ivfpq_index,
+                                                ivfpq_index_topk)
+
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus = _knn_corpus(emb)
+    path = _ann_index_path(sf_dir, "ivfpq", "planted-v1|c16m8k16")
+    if not os.path.exists(os.path.join(path, "_meta")):
+        build_ivfpq_index(corpus, path, n_centroids=16, m=8, k=16)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivfpq_index_topk(spark, path, list(qvec), k=10, n_probe=4,
+                            rerank=64)
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over the planted corpus; exact
     cosine verify makes the output equal the brute-force oracle set
@@ -2606,6 +2629,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("bpe_apply", q_bpe_apply),
     ("bpe_train", q_bpe_train),
     ("quality_train", q_quality_train),
+    ("knn_ivfpq", q_knn_ivfpq),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3668,6 +3692,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["knn_lsh_multiprobe"] = sqls["knn_lsh"]
     # PQ answers the same top-10 question from the compressed domain.
     sqls["knn_pq"] = sqls["knn_lsh"]
+    # Composed IVF+PQ answers the same planted top-10 exactly: partition
+    # pruning keeps the query's cell, ADC+rerank recover the true order.
+    sqls["knn_ivfpq"] = sqls["knn_lsh"]
 
     # Temporal joins: DuckDB's native ASOF JOIN is the independent
     # implementation of the same point-in-time semantics our

@@ -254,6 +254,32 @@ class TestPipelineOperatorPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan      # pure codegen, no UDF eval node
 
+    def test_ivfpq_probe_prunes_partitions_and_columns(self, spark, tmp_path):
+        """The composed index's two pruning claims, pinned: the probe's
+        plan must (a) partition-filter on centroid_id (IVF pruning) and
+        (b) contain an ADC scan whose ReadSchema carries pq_codes but
+        NOT the raw vector column (PQ column pruning)."""
+        import re as _re
+
+        from zdb_spark.operators.similarity import (build_ivfpq_index,
+                                                    ivfpq_index_topk)
+
+        df = spark.createDataFrame(
+            [(i, [float((i * 7 + j * 3) % 11) for j in range(16)])
+             for i in range(200)],
+            "vec_id long, embedding array<double>")
+        path = str(tmp_path / "ivfpq")
+        build_ivfpq_index(df, path, n_centroids=4, m=4, k=8,
+                          sample_size=200)
+        out = ivfpq_index_topk(spark, path, [1.0] * 16, k=5, n_probe=2,
+                               rerank=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "centroid_id" in plan and "PartitionFilters" in plan
+        schemas = _re.findall(r"ReadSchema: (\S+)", plan)
+        adc = [s for s in schemas if "pq_codes" in s]
+        assert adc and all("embedding" not in s for s in adc), schemas
+        assert out.count() == 5
+
     def test_salted_agg_guard_engages_on_planted_skew(self, spark):
         """The skew_stress gate's guard, pinned at the plan level: with a
         planted hot key, phase 1 must hash-partition on (key, _salt) —

@@ -745,6 +745,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", k=5, threshold=0.8)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup with REWRITE: every exact-duplicate 16-token
+    paragraph after the corpus-wide first occurrence is dropped and each
+    doc is rebuilt from its survivors — one md5-keyed window election +
+    one doc-keyed rebuild, no join in the election (dedup.py:
+    dedup_paragraphs).  The oracle reconstructs the same texts in SQL
+    and the md5 of every rewritten document must match — a hash match
+    proves paragraph boundaries, the first-occurrence election, and the
+    rebuild order are all value-exact."""
+    from zdb_spark.operators.dedup import dedup_paragraphs
+
+    docs = _load(spark, sf_dir, "documents")
+    out = dedup_paragraphs(docs, "text", "doc_id", para_tokens=16)
+    return out.select(F.col("id").alias("doc_id"), "n_paras", "n_kept",
+                      F.md5("clean_text").alias("clean_md5"))
+
+
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-paste span detection: docs sharing >= 2 sampled 24-char
     fingerprint hashes (0-mod-8 sketch) — the verbatim-substring overlap
@@ -2630,6 +2647,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("bpe_train", q_bpe_train),
     ("quality_train", q_quality_train),
     ("knn_ivfpq", q_knn_ivfpq),
+    ("dedup_paragraphs", q_dedup_paragraphs),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -4061,6 +4079,36 @@ def oracle_sql() -> dict[str, str]:
                substr(sha256(text || ':' || CAST(fi AS VARCHAR)), 1, 16)
                    AS frame_hash
         FROM t, unnest((range(0, nf, 3))[1:4]) AS u(fi)
+    """
+    # Paragraph-dedup-with-rewrite gate: identical block construction,
+    # first-occurrence election, and ordered rebuild in SQL.
+    sqls["dedup_paragraphs"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id, CAST(i AS INT) AS para_idx,
+                   array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' ')
+                       AS para
+            FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT)))
+                     AS u(i)
+        ), k AS (
+            SELECT doc_id, para_idx, para,
+                   doc_id * 1000000 + para_idx AS ck,
+                   min(doc_id * 1000000 + para_idx)
+                       OVER (PARTITION BY md5(para)) AS owner
+            FROM p
+        ), r AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+            FROM k WHERE ck = owner GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(ceil(len(t.toks) / 16.0) AS INT) AS n_paras,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(coalesce(r.clean_text, '')) AS clean_md5
+        FROM t LEFT JOIN r ON t.doc_id = r.doc_id
     """
     # Span-dedup gate: identical 0-mod-8 fingerprint construction in SQL.
     sqls["dedup_spans"] = """

@@ -1029,6 +1029,42 @@ class TestMultimodal:
             decode_video(df, "blob", "id", decoder="mp4")
 
 
+class TestParagraphDedup:
+    def test_drops_later_duplicates_and_rebuilds(self, spark):
+        from zdb_spark.operators.dedup import dedup_paragraphs
+
+        block_a = " ".join(f"a{j}" for j in range(4))
+        block_b = " ".join(f"b{j}" for j in range(4))
+        block_c = " ".join(f"c{j}" for j in range(4))
+        docs = spark.createDataFrame(
+            [(1, f"{block_a} {block_b}"),        # both original
+             (2, f"{block_a} {block_c}"),        # first para dup of doc1
+             (3, f"{block_b} {block_b}"),        # dup of doc1 + self-dup
+             (4, block_a)],                      # fully duplicate doc
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               dedup_paragraphs(docs, "text", "doc_id",
+                                para_tokens=4).collect()}
+        assert out[1]["clean_text"] == f"{block_a} {block_b}"
+        assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+        assert out[2]["clean_text"] == block_c
+        assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+        assert out[3]["clean_text"] == ""
+        assert (out[4]["n_paras"], out[4]["n_kept"]) == (1, 0)
+
+    def test_short_tail_paragraph_kept_distinct(self, spark):
+        from zdb_spark.operators.dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "w1 w2 w3 w4 tail"), (2, "w1 w2 w3 w4")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               dedup_paragraphs(docs, "text", "doc_id",
+                                para_tokens=4).collect()}
+        # doc2's only para duplicates doc1's first block exactly
+        assert out[1]["n_kept"] == 2 and out[2]["n_kept"] == 0
+
+
 class TestLogregTrain:
     def test_learns_separating_weights(self, spark):
         """Planted separable corpus: 'English' docs are stopword-dense,

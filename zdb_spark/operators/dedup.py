@@ -51,7 +51,8 @@ __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "release", "portable_hash64", "build_minhash_store",
            "append_minhash_store", "incremental_minhash_pairs",
            "char_fingerprint_pairs", "build_fingerprint_store",
-           "append_fingerprint_store", "incremental_fingerprint_pairs"]
+           "append_fingerprint_store", "incremental_fingerprint_pairs",
+           "dedup_paragraphs"]
 
 
 def release(df: DataFrame) -> None:
@@ -1030,3 +1031,58 @@ def incremental_fingerprint_pairs(new_df: DataFrame, path: str,
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
     return out
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     para_tokens: int = 16) -> DataFrame:
+    """Sub-document dedup with REWRITE: drop every paragraph whose exact
+    content already appeared earlier in the corpus, keeping the first
+    occurrence (lowest (doc, position)), and reconstruct each document
+    from its surviving paragraphs — the corpus-hygiene rewrite step that
+    pair-DETECTION operators (minhash/span) don't do.  "Paragraph" here
+    is a non-overlapping ``para_tokens``-token block (the corpus has no
+    layout markers); with real documents pass text pre-split on blank
+    lines.
+
+    Plan shape (100 TB): explode to paragraphs (row-local), ONE md5-keyed
+    window to elect each paragraph's canonical owner (min composite key
+    over PARTITION BY hash — no join, algebraic, map-side combinable),
+    ONE doc-keyed aggregation to reconstruct.  Two keyed shuffles total.
+    A mega-duplicated paragraph concentrates its copies on one reducer
+    only for the cheap min-key election (AQE skew split applies); the
+    rebuild shuffle is keyed by doc and therefore even.
+
+    Returns (id, n_paras, n_kept, clean_text).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    n_paras = F.ceil(n / F.lit(para_tokens)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * para_tokens + 1, para_tokens), " "))
+    exploded = (df.select(F.col(id_col).alias("id"), paras.alias("_ps"))
+                  .select("id", F.posexplode("_ps").alias("para_idx",
+                                                          "para")))
+    # composite key makes "first occurrence" one scalar min — portable
+    # to any engine with a plain window min (the oracle's DuckDB form)
+    ckey = F.col("id") * F.lit(1_000_000) + F.col("para_idx")
+    w = Window.partitionBy(F.md5(F.col("para")))
+    kept = (exploded
+            .withColumn("_keep", ckey == F.min(ckey).over(w))
+            .where(F.col("_keep")))
+    return (kept.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("para_idx", "para"))),
+                         lambda s: s["para"]), " ").alias("clean_text"))
+            .join(df.select(F.col(id_col).alias("id"),
+                            n_paras.alias("n_paras")), "id", "right")
+            .select("id", "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text")))

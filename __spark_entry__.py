@@ -1555,6 +1555,26 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "channels", "mean_luma")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize + feature-extract chain, no imaging library: each
+    closed-form solid PNG fixture is decoded, nearest-neighbor resampled
+    to 7x5, RE-ENCODED as PNG, then decoded AGAIN by image_features —
+    dims/channels/aspect/mean-luma/std/dark-share all re-derived by the
+    oracle from doc_id alone.  A hash match certifies the full
+    decode->resize->encode->decode->features pipeline (std exactly 0.0
+    and dark_share exactly 0/1 only if resampling preserved every pixel)
+    (multimodal.py:png_resize/png_features)."""
+    from zdb_spark.operators.multimodal import image_features, resize_images
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(_synth_png_batches, "doc_id long, blob binary"))
+    resized = resize_images(docs, 7, 5, "blob", "doc_id")
+    out = image_features(resized, "blob", "id")
+    return out.select(F.col("id").alias("doc_id"), "width", "height",
+                      "channels", "aspect", "mean_luma", "std_luma",
+                      "dark_share")
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, no audio library: per doc a constant-amplitude
     16-bit PCM WAV (rate/channels/frames/amplitude all closed-form in
@@ -2648,6 +2668,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("quality_train", q_quality_train),
     ("knn_ivfpq", q_knn_ivfpq),
     ("dedup_paragraphs", q_dedup_paragraphs),
+    ("multimodal_resize", q_multimodal_resize),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -4036,6 +4057,30 @@ def oracle_sql() -> dict[str, str]:
                                 + 0.587 * ((doc_id * 57 + 23) % 256)
                                 + 0.114 * ((doc_id * 77 + 31) % 256))
                                / 255.0 END, 6) AS mean_luma
+        FROM documents
+    """
+    # Resize+features gate: every field closed-form in doc_id; the luma
+    # uses png_features' integer Rec.601 numerator over 255000.
+    sqls["multimodal_resize"] = """
+        SELECT doc_id,
+               CAST(7 AS INT) AS width, CAST(5 AS INT) AS height,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                    ELSE 4 END AS INT) AS channels,
+               round(7.0 / 5.0, 6) AS aspect,
+               round(CASE WHEN doc_id % 3 = 0
+                          THEN ((doc_id * 37 + 11) % 256) * 1000
+                          ELSE 299 * ((doc_id * 37 + 11) % 256)
+                             + 587 * ((doc_id * 57 + 23) % 256)
+                             + 114 * ((doc_id * 77 + 31) % 256) END
+                     / 255000.0, 6) AS mean_luma,
+               0.0 AS std_luma,
+               CASE WHEN (CASE WHEN doc_id % 3 = 0
+                          THEN ((doc_id * 37 + 11) % 256) * 1000
+                          ELSE 299 * ((doc_id * 37 + 11) % 256)
+                             + 587 * ((doc_id * 57 + 23) % 256)
+                             + 114 * ((doc_id * 77 + 31) % 256) END)
+                         < 127500
+                    THEN 1.0 ELSE 0.0 END AS dark_share
         FROM documents
     """
     # Real-GIF video gate: one row per animated-GIF frame, every field

@@ -952,6 +952,54 @@ class TestMultimodal:
             assert out[i]["channels"] == 1
             assert out[i]["mean_luma"] == round(i * 40 % 256 / 255.0, 6)
 
+    def test_png_resize_nearest_neighbor_exact(self):
+        from zdb_spark.operators.multimodal import (_png_pixels,
+                                                    png_encode_pixels,
+                                                    png_resize)
+
+        px = bytes(bytearray([(x * 10 + y) % 256
+                              for y in range(4) for x in range(6)]))
+        g = png_encode_pixels(6, 4, 1, px)
+        out = _png_pixels(png_resize(g, 3, 2))[4]
+        exp = [px[(y2 * 4 // 2) * 6 + (x2 * 6 // 3)]
+               for y2 in range(2) for x2 in range(3)]
+        assert list(out) == exp
+        # upscale keeps solid images solid; palette inputs come out RGB
+        from zdb_spark.operators.multimodal import png_decode, png_encode
+
+        up = png_resize(png_encode(3, 3, (9, 8, 7), 2), 10, 6)
+        assert png_decode(up)[1:4] == (10, 6, 3)
+        with pytest.raises(ValueError, match="positive"):
+            png_resize(g, 0, 5)
+
+    def test_png_features_gradient(self):
+        from zdb_spark.operators.multimodal import (png_encode_pixels,
+                                                    png_features)
+
+        # 2x1 grey: values 0 and 255 — mean 127.5/255, std 127.5/255,
+        # exactly one dark pixel
+        f = png_features(png_encode_pixels(2, 1, 1, bytes([0, 255])))
+        assert f[:4] == (2, 1, 1, 2.0)
+        assert f[4] == round(127.5 / 255, 6)
+        assert f[5] == round(127.5 / 255, 6)
+        assert f[6] == 0.5
+
+    def test_resize_and_features_distributed(self, spark):
+        from zdb_spark.operators.multimodal import (image_features,
+                                                    png_encode,
+                                                    resize_images)
+
+        rows = [Row(id=i, blob=png_encode(6 + i, 8, (i * 30 % 256,), 0))
+                for i in range(4)]
+        df = spark.createDataFrame(rows)
+        feats = {r["id"]: r for r in
+                 image_features(resize_images(df, 5, 4), "blob",
+                                "id").collect()}
+        for i in range(4):
+            assert (feats[i]["width"], feats[i]["height"]) == (5, 4)
+            assert feats[i]["mean_luma"] == round(i * 30 % 256 / 255, 6)
+            assert feats[i]["std_luma"] == 0.0
+
     def test_lzw_roundtrip_growth_reset_kwkwk(self):
         import random
 

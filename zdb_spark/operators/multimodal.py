@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "sample_frames", "png_encode", "png_decode",
+           "png_encode_pixels", "png_resize", "png_features",
+           "resize_images", "image_features",
            "wav_encode", "wav_decode", "decode_audio",
            "gif_encode", "gif_decode", "gif_frames",
            "decode_video", "decode_video_frames"]
@@ -130,6 +132,29 @@ def png_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     values.  Supports 8-bit non-interlaced images of every colortype;
     anything else raises ``ValueError`` (honest failure, not a guess).
     """
+    w, h, _ct, nch, out = _png_pixels(payload)
+    # exact integer channel sums -> float only at the final division, so
+    # the luma matches an oracle computing the same formula on expected
+    # channel means bit-for-bit
+    n = w * h
+    sums = [0] * nch
+    for i in range(0, len(out), nch):
+        for c in range(nch):
+            sums[c] += out[i + c]
+    means = [s / n for s in sums]
+    if nch <= 2:                                         # grey / grey+A
+        luma = means[0] / 255.0
+    else:                                                # RGB / RGBA
+        luma = (0.299 * means[0] + 0.587 * means[1]
+                + 0.114 * means[2]) / 255.0
+    return ("png", w, h, nch, round(luma, 6))
+
+
+def _png_pixels(payload: bytes) -> tuple[int, int, int, int, bytearray]:
+    """Parse + unfilter a PNG to raw interleaved samples: returns
+    (width, height, colortype, channels-after-palette-expansion, pixels).
+    The shared pixel-access core under png_decode / png_resize /
+    image_features."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, plte, idat = 8, None, None, []
@@ -194,21 +219,124 @@ def png_decode(payload: bytes) -> tuple[str, int, int, int, float]:
             raise ValueError("palette PNG without PLTE")
         out = bytearray(b for i in out for b in plte[3 * i:3 * i + 3])
         nch = 3
-    # exact integer channel sums -> float only at the final division, so
-    # the luma matches an oracle computing the same formula on expected
-    # channel means bit-for-bit
+    return (w, h, ct, nch, out)
+
+
+_CT_FOR_NCH = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def png_encode_pixels(width: int, height: int, nch: int,
+                      pixels: bytes) -> bytes:
+    """Encode raw interleaved 8-bit samples as a PNG (filter-0
+    scanlines): the writer half of png_resize.  ``nch`` in {1,2,3,4}."""
+    if len(pixels) != width * height * nch:
+        raise ValueError("pixel buffer does not match dimensions")
+    stride = width * nch
+    raw = b"".join(b"\x00" + bytes(pixels[y * stride:(y + 1) * stride])
+                   for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _CT_FOR_NCH[nch],
+                       0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_resize(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL image resize with zero non-stdlib dependencies: decode
+    (parse + unfilter + palette-expand), nearest-neighbor resample
+    (src = floor(dst * src_dim / dst_dim), the standard NN mapping),
+    re-encode.  Palette inputs come out as plain RGB."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize dimensions must be positive")
+    w, h, _ct, nch, px = _png_pixels(payload)
+    out = bytearray(out_w * out_h * nch)
+    for y2 in range(out_h):
+        sy = y2 * h // out_h
+        row_base = sy * w * nch
+        dst_base = y2 * out_w * nch
+        for x2 in range(out_w):
+            sx = x2 * w // out_w
+            s = row_base + sx * nch
+            d = dst_base + x2 * nch
+            out[d:d + nch] = px[s:s + nch]
+    return png_encode_pixels(out_w, out_h, nch, bytes(out))
+
+
+def png_features(payload: bytes) -> tuple[int, int, int, float, float,
+                                          float, float]:
+    """Per-image feature vector from decoded pixels: (width, height,
+    channels, aspect, mean_luma, std_luma, dark_share).  Luma per pixel
+    is the integer Rec.601 numerator (299R+587G+114B, or 1000·grey) so
+    mean/std/share are exact-integer arithmetic until the final
+    division; dark_share = fraction of pixels below half brightness."""
+    w, h, _ct, nch, px = _png_pixels(payload)
     n = w * h
-    sums = [0] * nch
-    for i in range(0, len(out), nch):
-        for c in range(nch):
-            sums[c] += out[i + c]
-    means = [s / n for s in sums]
-    if nch <= 2:                                         # grey / grey+A
-        luma = means[0] / 255.0
-    else:                                                # RGB / RGBA
-        luma = (0.299 * means[0] + 0.587 * means[1]
-                + 0.114 * means[2]) / 255.0
-    return ("png", w, h, nch, round(luma, 6))
+    lums = []
+    if nch <= 2:
+        lums = [px[i] * 1000 for i in range(0, len(px), nch)]
+    else:
+        for i in range(0, len(px), nch):
+            lums.append(299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2])
+    s1 = sum(lums)
+    s2 = sum(v * v for v in lums)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    dark = sum(1 for v in lums if v < 127500)   # 127.5 * 1000
+    return (w, h, nch, round(w / h, 6), round(mean / 255000.0, 6),
+            round((max(var, 0.0) ** 0.5) / 255000.0, 6),
+            round(dark / n, 6))
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  blob_col: str = "blob", id_col: str = "id",
+                  target_partitions: int | None = None) -> DataFrame:
+    """Distributed image resize (blob -> blob) over Arrow batches: each
+    PNG is really decoded, nearest-neighbor resampled, and re-encoded —
+    output rows are (id, blob, width, height) ready for further decode/
+    feature stages (the resized blob round-trips through the same
+    codec)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                rows.append((int(i), png_resize(bytes(payload),
+                                                width, height),
+                             width, height))
+            yield pd.DataFrame(rows, columns=["id", "blob", "width",
+                                              "height"])
+
+    return src.mapInPandas(mapper, "id long, blob binary, width int, "
+                                   "height int")
+
+
+def image_features(df: DataFrame, blob_col: str = "blob",
+                   id_col: str = "id",
+                   target_partitions: int | None = None) -> DataFrame:
+    """Distributed image feature extraction: one row of numeric features
+    per blob (see png_features) via Arrow-batched mapInPandas — the
+    embedding-adjacent per-image stage of a multimodal curation
+    pipeline."""
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                rows.append((int(i),) + png_features(bytes(payload)))
+            yield pd.DataFrame(rows, columns=[
+                "id", "width", "height", "channels", "aspect",
+                "mean_luma", "std_luma", "dark_share"])
+
+    return src.mapInPandas(
+        mapper, "id long, width int, height int, channels int, "
+                "aspect double, mean_luma double, std_luma double, "
+                "dark_share double")
 
 
 # ---------------------------------------------------------------------- #

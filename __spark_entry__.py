@@ -1653,6 +1653,46 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "delay_cs", "mean_luma")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample + feature-extract chain: per doc a 16-bit PCM
+    WAV whose sign flips every m frames (m, rate, frames, amplitude all
+    closed-form in doc_id) is decimated 2x by wav_resample (a real
+    decode -> keep-every-2nd-frame -> re-encode) and then wav_features
+    recomputes peak/RMS/zero-crossing-rate from the decimated samples.
+    The oracle re-derives every field — including the zcr, by
+    regenerating the decimated sign sequence with list ops and counting
+    crossings — so a hash match certifies the full decode->resample->
+    encode->decode->features chain (multimodal.py:wav_resample/
+    wav_features)."""
+    from zdb_spark.operators.multimodal import audio_features, resample_audio
+
+    def encode(batches):
+        import pandas as _pd
+
+        from zdb_spark.operators.multimodal import wav_encode
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sr = 8000 + (i % 4) * 4000
+                ch = 1 + i % 2
+                nf = 64 + i % 32
+                m = 1 + i % 4
+                v = ((i * 500) % 16384) * 2 + 1   # odd: no rounding ties
+                samples = [v if (f // m) % 2 == 0 else -v
+                           for f in range(nf) for _c in range(ch)]
+                rows.append((i, wav_encode(sr, ch, samples)))
+            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(encode, "doc_id long, blob binary"))
+    out = audio_features(resample_audio(docs, 2, "blob", "doc_id"),
+                         "blob", "id")
+    return out.select(F.col("id").alias("doc_id"), "sample_rate",
+                      "channels", "n_frames", "peak", "rms", "zcr")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: every-3rd pseudo-frame (cap 4) per
     blob through the Arrow-batched mapInPandas sampler; the sha256-
@@ -2669,6 +2709,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("knn_ivfpq", q_knn_ivfpq),
     ("dedup_paragraphs", q_dedup_paragraphs),
     ("multimodal_resize", q_multimodal_resize),
+    ("multimodal_audio", q_multimodal_audio),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -4082,6 +4123,36 @@ def oracle_sql() -> dict[str, str]:
                          < 127500
                     THEN 1.0 ELSE 0.0 END AS dark_share
         FROM documents
+    """
+    # Audio resample+features gate: the decimated signal is
+    # reconstructed with list ops to count zero crossings exactly.
+    sqls["multimodal_audio"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   8000 + (doc_id % 4) * 4000 AS sr,
+                   1 + doc_id % 2 AS ch,
+                   64 + doc_id % 32 AS nf,
+                   1 + doc_id % 4 AS m,
+                   ((doc_id * 500) % 16384) * 2 + 1 AS v
+            FROM documents
+        ), s AS (
+            SELECT *, (nf + 1) // 2 AS nf2 FROM t
+        ), z AS (
+            SELECT doc_id, sr, ch, nf2, v,
+                   len(list_filter(range(0, nf2 - 1),
+                       f -> ((2 * f) // m) % 2 <> ((2 * f + 2) // m) % 2))
+                       AS crossings
+            FROM s
+        )
+        SELECT doc_id,
+               CAST(sr // 2 AS INT) AS sample_rate,
+               CAST(ch AS INT) AS channels,
+               CAST(nf2 AS BIGINT) AS n_frames,
+               round(v / 32768.0, 6) AS peak,
+               round(v / 32768.0, 6) AS rms,
+               round(CAST(crossings AS DOUBLE)
+                     / greatest(nf2 - 1, 1), 6) AS zcr
+        FROM z
     """
     # Real-GIF video gate: one row per animated-GIF frame, every field
     # re-derived closed-form from doc_id; Spark must recover them by a

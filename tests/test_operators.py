@@ -921,6 +921,49 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="whole number of frames"):
             wav_encode(8000, 2, [1, 2, 3])
 
+    def test_wav_resample_decimation_exact(self):
+        from zdb_spark.operators.multimodal import (_wav_samples,
+                                                    wav_encode,
+                                                    wav_features,
+                                                    wav_resample)
+
+        m, v, nf = 3, 1001, 10
+        mono = [v if (f // m) % 2 == 0 else -v for f in range(nf)]
+        b = wav_encode(8000, 1, mono)
+        assert wav_features(b) == (8000, 1, 10, round(v / 32768, 6),
+                                   round(v / 32768, 6), round(3 / 9, 6))
+        r = wav_resample(b, 2)
+        sr, ch, kept = _wav_samples(r)
+        assert (sr, ch) == (4000, 1)
+        assert list(kept) == [mono[2 * f] for f in range(5)]
+        assert wav_features(r)[5] == 0.5        # zcr of decimated signal
+        # stereo keeps whole frames; invalid factor rejected
+        st = wav_resample(wav_encode(12000, 2,
+                                     [10, -20, 30, -40, 50, -60]), 3)
+        assert _wav_samples(st) == (4000, 2, (10, -20))
+        with pytest.raises(ValueError, match="divide"):
+            wav_resample(b, 7)
+
+    def test_resample_audio_distributed(self, spark):
+        from zdb_spark.operators.multimodal import (audio_features,
+                                                    resample_audio,
+                                                    wav_encode)
+
+        rows = [Row(id=i, blob=wav_encode(8000, 1,
+                                          [(1000 + i) * (-1) ** f
+                                           for f in range(20)]))
+                for i in range(3)]
+        out = {r["id"]: r for r in
+               audio_features(resample_audio(
+                   spark.createDataFrame(rows), 2, "blob", "id"),
+                   "blob", "id").collect()}
+        for i in range(3):
+            # decimating an every-frame alternation yields constant sign
+            assert out[i]["zcr"] == 0.0
+            assert out[i]["n_frames"] == 10
+            assert out[i]["sample_rate"] == 4000
+            assert out[i]["peak"] == round((1000 + i) / 32768, 6)
+
     def test_decode_audio_distributed(self, spark):
         from zdb_spark.operators.multimodal import decode_audio, wav_encode
 

@@ -40,6 +40,8 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "png_encode_pixels", "png_resize", "png_features",
            "resize_images", "image_features",
            "wav_encode", "wav_decode", "decode_audio",
+           "wav_resample", "wav_features", "resample_audio",
+           "audio_features",
            "gif_encode", "gif_decode", "gif_frames",
            "decode_video", "decode_video_frames"]
 
@@ -397,6 +399,113 @@ def wav_decode(payload: bytes) -> tuple[str, int, int, int, float, float]:
     duration = n_frames / sample_rate
     return ("wav", sample_rate, channels, n_frames,
             round(duration, 6), round(rms, 6))
+
+
+def _wav_samples(payload: bytes) -> tuple[int, int, tuple]:
+    """(sample_rate, channels, interleaved int16 samples) — the shared
+    sample-access core under wav_resample / wav_features.  Same parse and
+    same honest failures as wav_decode."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        chunk = payload[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if typ == b"fmt ":
+            fmt = chunk
+        elif typ == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    audio_fmt, channels, sample_rate, _br, _ba, bits = \
+        struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("unsupported WAV (only 16-bit PCM)")
+    if len(data) % (channels * 2):
+        raise ValueError("corrupt WAV (data not a whole number of frames)")
+    return (sample_rate, channels,
+            struct.unpack(f"<{len(data) // 2}h", data))
+
+
+def wav_resample(payload: bytes, factor: int) -> bytes:
+    """REAL audio downsample by integer decimation: keep every
+    ``factor``-th frame (all channels), emit a WAV at rate/factor.
+    (Proper band-limited resampling needs an anti-alias filter — out of
+    scope for fixture-grade signals; decimation is the honest integer
+    subset.)  Requires the rate to divide evenly."""
+    sr, ch, samples = _wav_samples(payload)
+    if factor < 1 or sr % factor:
+        raise ValueError(f"factor {factor} must divide sample rate {sr}")
+    nf = len(samples) // ch
+    kept = [samples[f * ch + c]
+            for f in range(0, nf, factor) for c in range(ch)]
+    return wav_encode(sr // factor, ch, kept)
+
+
+def wav_features(payload: bytes) -> tuple[int, int, int, float, float,
+                                          float]:
+    """Per-clip feature vector: (sample_rate, channels, n_frames, peak,
+    rms, zcr).  Peak/RMS over all samples normalized by 32768 from exact
+    integer sums; zcr = sign changes between consecutive channel-0
+    frames / (n_frames - 1)."""
+    sr, ch, samples = _wav_samples(payload)
+    n = len(samples)
+    nf = n // ch
+    peak = max((abs(s) for s in samples), default=0)
+    sum_sq = sum(s * s for s in samples)
+    rms = (sum_sq / n) ** 0.5 / 32768.0 if n else 0.0
+    c0 = samples[::ch]
+    crossings = sum(1 for a, b in zip(c0, c0[1:]) if a * b < 0)
+    zcr = crossings / max(nf - 1, 1)
+    return (sr, ch, nf, round(peak / 32768.0, 6), round(rms, 6),
+            round(zcr, 6))
+
+
+def resample_audio(df: DataFrame, factor: int, blob_col: str = "blob",
+                   id_col: str = "id",
+                   target_partitions: int | None = None) -> DataFrame:
+    """Distributed audio decimation (blob -> blob) over Arrow batches:
+    rows are (id, blob, sample_rate) with the blob a real re-encoded
+    WAV, ready for further decode/feature stages."""
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                out = wav_resample(bytes(payload), factor)
+                sr = _wav_samples(out)[0]
+                rows.append((int(i), out, sr))
+            yield pd.DataFrame(rows, columns=["id", "blob", "sample_rate"])
+
+    return src.mapInPandas(mapper, "id long, blob binary, sample_rate int")
+
+
+def audio_features(df: DataFrame, blob_col: str = "blob",
+                   id_col: str = "id",
+                   target_partitions: int | None = None) -> DataFrame:
+    """Distributed audio feature extraction (see wav_features) via
+    Arrow-batched mapInPandas."""
+    src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    if target_partitions:
+        src = src.repartition(target_partitions, "id")
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                rows.append((int(i),) + wav_features(bytes(payload)))
+            yield pd.DataFrame(rows, columns=[
+                "id", "sample_rate", "channels", "n_frames", "peak",
+                "rms", "zcr"])
+
+    return src.mapInPandas(
+        mapper, "id long, sample_rate int, channels int, n_frames long, "
+                "peak double, rms double, zcr double")
 
 
 _AUDIO_SCHEMA = ("id long, fmt string, sample_rate int, channels int, "

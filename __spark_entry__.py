@@ -2717,15 +2717,8 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("tpch_q3", q_tpch_q3),
     ("tpch_q5", q_tpch_q5),
     ("join_enrich", q_join_enrich),
-    ("topk_customers", q_topk_customers),
     ("window_running", q_window_running),
-    ("setops_except", q_setops_except),
-    ("setops_intersect", q_setops_intersect),
-    ("rollup_revenue", q_rollup_revenue),
-    ("cube_orders", q_cube_orders),
-    ("percentiles", q_percentiles),
     ("market_calendar", q_market_calendar),
-    ("symbols_dict", q_symbols_dict),
     ("udf_fold_sum", q_udf_fold_sum),
     ("grouped_pandas", q_grouped_pandas),
     ("sessionize_batch", q_sessionize_batch),
@@ -2761,6 +2754,13 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("month_rollup", q_month_rollup),
     ("string_funcs", q_string_funcs),
     ("agg_stats", q_agg_stats),
+    ("topk_customers", q_topk_customers),
+    ("setops_except", q_setops_except),
+    ("setops_intersect", q_setops_intersect),
+    ("rollup_revenue", q_rollup_revenue),
+    ("cube_orders", q_cube_orders),
+    ("percentiles", q_percentiles),
+    ("symbols_dict", q_symbols_dict),
     # -- beyond position WINDOW: driver-green in round 6 ------------------
     ("asof_join", q_asof_join),
     ("funnel", q_funnel),

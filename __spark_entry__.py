@@ -1182,6 +1182,72 @@ def q_convert_column(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("migrated_type", F.lit(migrated_type)))
 
 
+def q_server_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 END-TO-END over real HTTP: events land in a bar table
+    (open=high=low=close=value, volume=user_id), the actual
+    ThreadingHTTPServer binds an ephemeral loopback port, and the gate
+    issues a real ``GET /ohlcv/<table>/<from>/<to>?every=1d`` — so URL
+    routing, nanosecond string parsing, the inclusive scan, the
+    ?every= resample path, per-symbol array grouping, and JSON
+    serialization are ALL on the verified path.  The response's
+    parallel arrays are unzipped back into rows and hash-checked
+    against a plain SQL day-bucket aggregation (server.py:do_GET/_ohlcv,
+    ohlcv.py:ohlcv; reference parity /root/reference/src/server/
+    ohlcv.rs:30-66)."""
+    import json as _json
+    import shutil
+    import tempfile
+    import threading
+    import urllib.request
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.server import make_server
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "server-v1", ("events",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_server_gate", key,
+                        "home")
+    schema = (Schema("events_srv")
+              .add_col("sym", ColumnType.SYMBOL16)
+              .add_col("open", ColumnType.F64)
+              .add_col("high", ColumnType.F64)
+              .add_col("low", ColumnType.F64)
+              .add_col("close", ColumnType.F64)
+              .add_col("volume", ColumnType.I64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch)
+        ev = _load(spark, sf_dir, "events")
+        t.write(ev.select("ts", F.col("event_type").alias("sym"),
+                          F.col("value").alias("open"),
+                          F.col("value").alias("high"),
+                          F.col("value").alias("low"),
+                          F.col("value").alias("close"),
+                          F.col("user_id").alias("volume")))
+        os.rename(scratch, home)
+    srv = make_server(spark, home=home, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = (f"http://127.0.0.1:{port}/ohlcv/events_srv/"
+               "2024-01-05/2024-01-12?every=1d")
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            payload = _json.loads(resp.read())
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    recs = []
+    for sym, d in payload["results"].items():
+        for t_, o, h, l, c, v in zip(d["t"], d["o"], d["h"], d["l"],
+                                     d["c"], d["v"]):
+            recs.append((sym, t_, o, h, l, c, v))
+    return spark.createDataFrame(
+        recs, "sym string, t long, o double, h double, l double, "
+              "c double, v long")
+
+
 def q_stream_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming + MANIFEST unification (the round-2 verdict's top ask):
     the same availableNow events stream, but routed ``foreachBatch`` →
@@ -2710,6 +2776,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("dedup_paragraphs", q_dedup_paragraphs),
     ("multimodal_resize", q_multimodal_resize),
     ("multimodal_audio", q_multimodal_audio),
+    ("server_ohlcv", q_server_ohlcv),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3042,6 +3109,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE epoch_ns(CAST(raw AS TIMESTAMP))
                    END AS ts_ns
             FROM t
+        """,
+        "server_ohlcv": f"""
+            SELECT event_type AS sym,
+                   (epoch_ns(ts) // 86400000000000) * 86400000000000
+                       AS t,
+                   arg_min(value, ts) AS o,
+                   max(value) AS h,
+                   min(value) AS l,
+                   arg_max(value, ts) AS c,
+                   CAST(sum(user_id) AS BIGINT) AS v
+            FROM events
+            WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+              AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1, 2
         """,
         "convert_column": """
             SELECT event_type, count(*) AS n_events,

@@ -116,3 +116,150 @@ def test_funnel_users_monotone_and_bounded(spark, events):
                .select("user_id", "ts").distinct().count())
         assert out[i]["n_events"] <= cap
         assert out[i]["n_users"] <= cap
+
+
+# --------------------------------------------------------------------- #
+# round-7 additions: codec and tokenizer properties (pure Python — no    #
+# Spark job per example, so example counts can be generous)              #
+# --------------------------------------------------------------------- #
+
+@given(st.integers(2, 8).flatmap(
+    lambda mcs: st.tuples(st.just(mcs),
+                          st.binary(max_size=4096).map(
+                              lambda b: bytes(x % (1 << mcs) for x in b)))))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(mcs_data):
+    from zdb_spark.operators.multimodal import (_lzw_compress,
+                                                _lzw_decompress)
+
+    mcs, data = mcs_data
+    assert _lzw_decompress(_lzw_compress(data, mcs), mcs) == data
+
+
+@given(st.integers(1, 20), st.integers(1, 16),
+       st.lists(st.tuples(st.tuples(st.integers(0, 255),
+                                    st.integers(0, 255),
+                                    st.integers(0, 255)),
+                          st.integers(0, 600)),
+                min_size=1, max_size=6))
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(w, h, frames):
+    from zdb_spark.operators.multimodal import (_gif_parse, gif_decode,
+                                                gif_encode)
+
+    blob = gif_encode(w, h, frames)
+    fmt, gw, gh, nf, dur = gif_decode(blob)
+    assert (fmt, gw, gh, nf) == ("gif", w, h, len(frames))
+    assert dur == round(sum(d for _, d in frames) / 100.0, 6)
+    for fr, ((r, g, b), delay) in zip(_gif_parse(blob)[2], frames):
+        assert fr["delay_cs"] == delay
+        assert set(fr["pixels"]) == {0}          # solid index-0 frames
+        assert fr["palette"][0] == (r, g, b)
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+       st.sampled_from([1, 2, 4]))
+@settings(max_examples=40, deadline=None)
+def test_wav_decimation_property(frames, factor):
+    from zdb_spark.operators.multimodal import (_wav_samples, wav_encode,
+                                                wav_resample)
+
+    blob = wav_encode(8000, 1, frames)
+    sr, ch, kept = _wav_samples(wav_resample(blob, factor))
+    assert sr == 8000 // factor and ch == 1
+    assert list(kept) == frames[::factor]
+
+
+@given(st.integers(1, 12), st.integers(1, 12),
+       st.integers(1, 12), st.integers(1, 12),
+       st.sampled_from([1, 3]))
+@settings(max_examples=30, deadline=None)
+def test_png_resize_nn_property(w, h, ow, oh, nch):
+    from zdb_spark.operators.multimodal import (_png_pixels,
+                                                png_encode_pixels,
+                                                png_resize)
+
+    px = bytes((x * 31 + 7) % 256 for x in range(w * h * nch))
+    out = _png_pixels(png_resize(png_encode_pixels(w, h, nch, px),
+                                 ow, oh))[4]
+    exp = bytearray()
+    for y2 in range(oh):
+        for x2 in range(ow):
+            s = ((y2 * h // oh) * w + (x2 * w // ow)) * nch
+            exp += px[s:s + nch]
+    assert bytes(out) == bytes(exp)
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=8),
+                min_size=0, max_size=12))
+@settings(max_examples=40, deadline=None)
+def test_bpe_udf_segmentation_reconstructs_words(words):
+    """Pure-python check of the greedy-rank runtime: concatenating a
+    word's tokens must reproduce word+EOW for ANY merge table."""
+    from zdb_spark.operators.tokenize import EOW
+
+    merges = [("a", "b"), ("ab", "c"), ("d", "e"), ("e", EOW),
+              ("c", "d"), ("b", "c")]
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def seg(word):
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    for w in words:
+        assert "".join(seg(w)) == w + EOW
+
+
+@given(st.lists(st.text(alphabet="abcxyz ", min_size=0, max_size=40),
+                min_size=1, max_size=8))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_chain_equals_udf_property(spark, texts):
+    from zdb_spark.operators.tokenize import (apply_bpe, apply_bpe_udf,
+                                              train_bpe)
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    merges = train_bpe(docs, "text", n_merges=6, min_pair_count=1)
+    a = {r["id"]: r["tokens"] for r in apply_bpe(docs, merges).collect()}
+    b = {r["id"]: r["tokens"]
+         for r in apply_bpe_udf(docs, merges).collect()}
+    assert a == b
+
+
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                         min_size=0, max_size=9),
+                min_size=1, max_size=6))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_paragraph_dedup_invariants(spark, docs_words):
+    """(a) kept <= total paragraphs per doc; (b) across the corpus,
+    distinct paragraph contents survive EXACTLY once; (c) every clean
+    text is a subsequence of its source's paragraphs."""
+    from zdb_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(docs, "text", "doc_id", para_tokens=2).collect()
+    kept_total = 0
+    all_paras = set()
+    for i, ws in enumerate(docs_words):
+        toks = (" ".join(ws)).strip().lower().split() or [""]
+        paras = [" ".join(toks[j:j + 2]) for j in range(0, len(toks), 2)]
+        all_paras.update(paras)
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_paras"]
+        kept_total += r["n_kept"]
+        src = rows[r["id"]][1].strip().lower()
+        for p in (r["clean_text"].split() if r["clean_text"] else []):
+            assert p in src.split()
+    assert kept_total == len(all_paras)

@@ -263,3 +263,42 @@ def test_paragraph_dedup_invariants(spark, docs_words):
         for p in (r["clean_text"].split() if r["clean_text"] else []):
             assert p in src.split()
     assert kept_total == len(all_paras)
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=120, deadline=1000)
+def test_decoders_fail_fast_on_garbage(blob):
+    """Malformed input must either parse or raise promptly — never hang,
+    never return junk silently for structured prefixes.  (hypothesis'
+    deadline enforces the 'promptly'.)"""
+    from zdb_spark.operators.multimodal import (gif_decode, png_decode,
+                                                wav_decode)
+
+    for dec in (png_decode, wav_decode, gif_decode):
+        try:
+            out = dec(blob)
+            assert isinstance(out, tuple)
+        except Exception:
+            pass
+
+
+@given(st.binary(max_size=400), st.integers(2, 8))
+@settings(max_examples=80, deadline=1000)
+def test_lzw_decompress_never_hangs_on_garbage(data, mcs):
+    from zdb_spark.operators.multimodal import _lzw_decompress
+
+    try:
+        _lzw_decompress(data, mcs)
+    except Exception:
+        pass
+
+
+@given(st.binary(min_size=6, max_size=500).map(lambda b: b"GIF89a" + b))
+@settings(max_examples=80, deadline=1000)
+def test_gif_parse_bounded_on_header_prefixed_garbage(blob):
+    from zdb_spark.operators.multimodal import _gif_parse
+
+    try:
+        _gif_parse(blob)
+    except Exception:
+        pass

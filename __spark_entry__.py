@@ -1031,6 +1031,56 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source → Table → pruned scan round-trip (the second columnar
+    interchange format beside parquet): events are exported to ORC once
+    (keyed on the testdata fingerprint), loaded back through
+    ``sources.readers.ingest_orc`` (schema-conformed batch append into
+    the day-partitioned table), and re-read via the partition-pruned
+    ``Table.scan``.  The oracle aggregates the ORIGINAL parquet over the
+    same range — a hash match proves Spark's ORC writer+reader and the
+    batch append path lose nothing (readers.py:ingest_orc)."""
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.sources.readers import ingest_orc
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "ingest-orc-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_orc", key)
+    orc_dir = os.path.join(root, "orc")
+    if not os.path.exists(orc_dir):
+        tmp = orc_dir + ".tmp"
+        (_load(spark, sf_dir, "events")
+         .select("ts", "event_id", "user_id", "event_type", "value")
+         .write.mode("overwrite").orc(tmp))
+        os.rename(tmp, orc_dir)
+
+    schema = (Schema("events_orc")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    t = Table.create_or_open(spark, schema,
+                             home=os.path.join(root, "home"))
+    marker = os.path.join(root, "_ingested")
+    if not os.path.exists(marker):
+        ingest_orc(t, orc_dir)
+        with open(marker, "w") as f:
+            f.write("done")
+
+    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
+    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
+    return (t.scan(lo, hi)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("user_id").cast("long").alias("sum_uid"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("ts").alias("max_ts")))
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution round-trip: events before
     2024-01-08 are written, ``add_column('batch_tag', default='v1')``
@@ -2777,6 +2827,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("multimodal_resize", q_multimodal_resize),
     ("multimodal_audio", q_multimodal_audio),
     ("server_ohlcv", q_server_ohlcv),
+    ("ingest_orc", q_ingest_orc),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3424,6 +3475,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+              AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1
+        """,
+        # ORC round-trip: the oracle aggregates the ORIGINAL parquet —
+        # the ORC writer+reader and the append path must be lossless.
+        "ingest_orc": f"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                   round(sum(value), 4) AS sum_value,
+                   min(epoch_ns(ts)) AS min_ts,
+                   max(epoch_ns(ts)) AS max_ts
             FROM events
             WHERE epoch_ns(ts) >= {1704412800 * 10**9}
               AND epoch_ns(ts) <= {1705017600 * 10**9}

@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schema import Column, ColumnType, Schema
 from ..table import Table
 
-__all__ = ["ingest_csv", "ingest_json", "ingest_parquet", "rows",
-           "stream_source", "convert_column_type"]
+__all__ = ["ingest_csv", "ingest_json", "ingest_parquet", "ingest_orc",
+           "rows", "stream_source", "convert_column_type"]
 
 
 def _conform(df: DataFrame, table: Table) -> DataFrame:
@@ -63,6 +63,16 @@ def ingest_json(table: Table, path: str, **options) -> int:
 def ingest_parquet(table: Table, path: str) -> int:
     """Load foreign parquet into the table (schema conformed)."""
     return table.write(_conform(table.spark.read.parquet(path), table))
+
+
+def ingest_orc(table: Table, path: str, **options) -> int:
+    """Load ORC file(s) into the table (schema conformed) — Spark reads
+    ORC natively, so the columnar-interchange surface covers parquet AND
+    ORC with the same conform+ordered-append path."""
+    df = (table.spark.read.options(**options)
+          .schema(table.schema.spark_schema())
+          .orc(path))
+    return table.write(_conform(df, table))
 
 
 def rows(table: Table, data: list[tuple]) -> int:

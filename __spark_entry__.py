@@ -999,29 +999,34 @@ def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.sources.readers import ingest_csv
     from zdb_spark.table import Table
 
-    key = _key_for(sf_dir, "ingest-csv-v1", ("events",))
-    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_csv", key)
-    csv_dir = os.path.join(root, "csv")
-    if not os.path.exists(csv_dir):
-        tmp = csv_dir + ".tmp"
-        (_load(spark, sf_dir, "events")
-         .select("ts", "event_id", "user_id", "event_type", "value")
-         .write.mode("overwrite").option("header", True).csv(tmp))
-        os.rename(tmp, csv_dir)
+    import shutil
 
+    key = _key_for(sf_dir, "ingest-csv-v2", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_csv", key)
+    home = os.path.join(root, "home")
     schema = (Schema("events_csv")
               .add_col("event_id", ColumnType.I64)
               .add_col("user_id", ColumnType.I64)
               .add_col("event_type", ColumnType.SYMBOL16)
               .add_col("value", ColumnType.F64)
               .with_partition_by(PartitionBy.DAY))
-    t = Table.create_or_open(spark, schema,
-                             home=os.path.join(root, "home"))
-    marker = os.path.join(root, "_ingested")
-    if not os.path.exists(marker):
+    if not os.path.exists(home):
+        # v2: scratch-home + atomic rename (was append-then-marker, which
+        # a mid-ingest kill could leave half-appended and a later run
+        # would double-append into — the round-7 review's finding)
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        csv_dir = os.path.join(root, "csv")
+        if not os.path.exists(csv_dir):
+            ctmp = csv_dir + ".tmp"
+            (_load(spark, sf_dir, "events")
+             .select("ts", "event_id", "user_id", "event_type", "value")
+             .write.mode("overwrite").option("header", True).csv(ctmp))
+            os.rename(ctmp, csv_dir)
+        t = Table.create(spark, schema, home=scratch)
         ingest_csv(t, csv_dir, header=True)
-        with open(marker, "w") as f:
-            f.write("done")
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_csv", home=home)
 
     lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
     hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
@@ -1046,29 +1051,33 @@ def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.sources.readers import ingest_orc
     from zdb_spark.table import Table
 
-    key = _key_for(sf_dir, "ingest-orc-v1", ("events",))
-    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_orc", key)
-    orc_dir = os.path.join(root, "orc")
-    if not os.path.exists(orc_dir):
-        tmp = orc_dir + ".tmp"
-        (_load(spark, sf_dir, "events")
-         .select("ts", "event_id", "user_id", "event_type", "value")
-         .write.mode("overwrite").orc(tmp))
-        os.rename(tmp, orc_dir)
+    import shutil
 
+    key = _key_for(sf_dir, "ingest-orc-v2", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_orc", key)
+    home = os.path.join(root, "home")
     schema = (Schema("events_orc")
               .add_col("event_id", ColumnType.I64)
               .add_col("user_id", ColumnType.I64)
               .add_col("event_type", ColumnType.SYMBOL16)
               .add_col("value", ColumnType.F64)
               .with_partition_by(PartitionBy.DAY))
-    t = Table.create_or_open(spark, schema,
-                             home=os.path.join(root, "home"))
-    marker = os.path.join(root, "_ingested")
-    if not os.path.exists(marker):
+    if not os.path.exists(home):
+        # scratch + atomic rename: an interrupted build can never leave a
+        # half-appended home that a later run would double-append into
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        orc_dir = os.path.join(root, "orc")
+        if not os.path.exists(orc_dir):
+            otmp = orc_dir + ".tmp"
+            (_load(spark, sf_dir, "events")
+             .select("ts", "event_id", "user_id", "event_type", "value")
+             .write.mode("overwrite").orc(otmp))
+            os.rename(otmp, orc_dir)
+        t = Table.create(spark, schema, home=scratch)
         ingest_orc(t, orc_dir)
-        with open(marker, "w") as f:
-            f.write("done")
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_orc", home=home)
 
     lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
     hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
@@ -1758,8 +1767,8 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (dynamic code widths, KwKwK), maps palette indices, and
     recovers per-frame dims/delay/mean-luma.  The oracle re-derives every
     field from doc_id alone, so a hash match proves a spec-conformant
-    GIF decode (multimodal.py:gif_decode; also validated against 30
-    third-party system GIFs in tests)."""
+    GIF decode (multimodal.py:gif_decode; also validated against every
+    third-party system GIF on the host in tests — 30 on this image)."""
     from zdb_spark.operators.multimodal import decode_video_frames
 
     docs = (_load(spark, sf_dir, "documents").select("doc_id")
@@ -2849,12 +2858,10 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("stream_resample", q_stream_resample),
     ("curation_pipeline", q_curation_pipeline),
     ("text_quality", q_text_quality),
-    ("text_tokens", q_text_tokens),
     ("text_langid", q_text_langid),
     ("text_fingerprint", q_text_fingerprint),
     ("text_repetition", q_text_repetition),
     ("pii_redact", q_pii_redact),
-    ("dedup_exact", q_dedup_exact),
     ("dedup_minhash", q_dedup_minhash),
     ("dedup_minhash_capped", q_dedup_minhash_capped),
     ("dedup_simhash", q_dedup_simhash),
@@ -2867,6 +2874,8 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("knn_lsh_multiprobe", q_knn_lsh_multiprobe),
     # -- stale r5 gates deferred to the NEXT rotation (thin wrappers over
     #    Catalyst paths shared with retained gates; 2+ historical greens) --
+    ("dedup_exact", q_dedup_exact),
+    ("text_tokens", q_text_tokens),
     ("semi_join", q_semi_join),
     ("anti_join", q_anti_join),
     ("month_rollup", q_month_rollup),

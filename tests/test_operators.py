@@ -1081,7 +1081,7 @@ class TestMultimodal:
 
         from zdb_spark.operators.multimodal import _gif_parse, gif_decode
 
-        paths = sorted(glob.glob("/usr/share/doc/*/html/*.gif"))[:10]
+        paths = sorted(glob.glob("/usr/share/doc/*/html/*.gif"))
         if not paths:
             pytest.skip("no system GIFs available")
         for p in paths:
@@ -1142,6 +1142,23 @@ class TestParagraphDedup:
         assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
         assert out[3]["clean_text"] == ""
         assert (out[4]["n_paras"], out[4]["n_kept"]) == (1, 0)
+
+    def test_paragraph_stride_guard_raises(self, spark):
+        """The composite first-occurrence key strides by
+        max_paras_per_doc; a document at/over the stride must refuse
+        loudly, never elect a wrong owner silently.  (Tested at a small
+        stride; default is 1e6.)"""
+        from zdb_spark.operators.dedup import dedup_paragraphs
+
+        big = " ".join("w" for _ in range(9))
+        docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
+        with pytest.raises(Exception, match="exceeds 8 paragraphs"):
+            dedup_paragraphs(docs, "text", "doc_id", para_tokens=1,
+                             max_paras_per_doc=8).collect()
+        # under the stride the same doc processes fine
+        out = dedup_paragraphs(docs, "text", "doc_id", para_tokens=1,
+                               max_paras_per_doc=16).collect()
+        assert out[0]["n_kept"] == 1     # 'w' repeated: one survivor
 
     def test_short_tail_paragraph_kept_distinct(self, spark):
         from zdb_spark.operators.dedup import dedup_paragraphs
@@ -1246,6 +1263,21 @@ class TestTokenize:
         b = {r["id"]: r["tokens"]
              for r in apply_bpe_udf(docs, merges).collect()}
         assert a == b
+
+    def test_apply_bpe_udf_null_text_matches_chain(self, spark):
+        """NULL text must propagate as NULL tokens on BOTH paths (the
+        UDF once fabricated tokens for str(None) == 'none')."""
+        from zdb_spark.operators.tokenize import apply_bpe, apply_bpe_udf
+
+        docs = spark.createDataFrame([(1, None), (2, "none")],
+                                     "doc_id long, text string")
+        merges = [("n", "o"), ("no", "n"), ("non", "e")]
+        a = {r["id"]: (r["tokens"], r["n_tokens"])
+             for r in apply_bpe(docs, merges).collect()}
+        b = {r["id"]: (r["tokens"], r["n_tokens"])
+             for r in apply_bpe_udf(docs, merges).collect()}
+        assert a[1] == (None, None) and b[1] == (None, None)
+        assert a[2] == b[2] and a[2][0] is not None
 
     def test_train_bpe_deterministic(self, spark):
         from zdb_spark.operators.tokenize import train_bpe

@@ -25,6 +25,28 @@ def test_queries_matches_registry_order_and_size():
     assert len(qs) >= entry_mod.WINDOW == 50
 
 
+def test_never_verified_gates_sit_inside_the_window():
+    """Rotation rule 2 (new gates first) made checkable: any gate with
+    no row in ANY CORRECTNESS_r*.json must occupy a position < WINDOW,
+    else the driver will never verify it this round (the round-7 review
+    caught knn_lsh/knn_lsh_multiprobe silently overflowing to 51/52)."""
+    import glob
+    import json
+    import os
+
+    seen = set()
+    repo = os.path.dirname(entry_mod.__file__)
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen.update(json.load(f))
+    names = list(entry_mod.queries())
+    overflow = [n for i, n in enumerate(names)
+                if n not in seen and i >= entry_mod.WINDOW]
+    assert not overflow, (
+        f"never-driver-verified gates beyond position "
+        f"{entry_mod.WINDOW}: {overflow}")
+
+
 def test_oracle_keys_are_query_keys():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))

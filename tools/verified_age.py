@@ -20,9 +20,13 @@ import re
 import sys
 
 
-def load_history(repo: str) -> dict[str, tuple[int, bool]]:
-    """gate -> (latest round seen, was it fully green that round)."""
-    hist: dict[str, tuple[int, bool]] = {}
+def load_history(repo: str) -> dict[str, tuple[int | None, int | None]]:
+    """gate -> (latest green round or None, latest RED round or None).
+
+    Both are tracked independently so a gate that regressed AFTER its
+    last green (red round > green round) is visible and rotation-sorted
+    FIRST — rule 1 of the rotation policy."""
+    hist: dict[str, list[int | None]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -33,14 +37,13 @@ def load_history(repo: str) -> dict[str, tuple[int, bool]]:
         for gate, row in data.items():
             green = bool(row.get("rows_match") and row.get("schema_match")
                          and row.get("hash_match"))
-            prev = hist.get(gate)
-            # keep the LATEST GREEN round; a later red round is reported too
+            g, r = hist.get(gate, [None, None])
             if green:
-                if prev is None or rnd >= prev[0] or not prev[1]:
-                    hist[gate] = (rnd, True)
-            elif prev is None:
-                hist[gate] = (rnd, False)
-    return hist
+                g = rnd if g is None else max(g, rnd)
+            else:
+                r = rnd if r is None else max(r, rnd)
+            hist[gate] = [g, r]
+    return {k: (v[0], v[1]) for k, v in hist.items()}
 
 
 def main() -> int:
@@ -57,24 +60,26 @@ def main() -> int:
     def sort_key(g: str):
         h = hist.get(g)
         if h is None:
-            return (0, 0, g)          # never verified: stalest of all
-        rnd, green = h
-        if not green:
-            return (1, rnd, g)        # last driver row was red
-        return (2, rnd, g)            # green in round rnd; older = staler
+            return (0, 0, g)            # never verified: stalest of all
+        green, red = h
+        if red is not None and (green is None or red > green):
+            return (1, red, g)          # regressed after last green
+        return (2, green, g)            # green in round; older = staler
 
-    print(f"{'gate':34s} {'last-green':>10s}  window-pos")
-    window = {g: i + 1 for i, g in enumerate(gates[:50])}
+    window_n = getattr(entry_mod, "WINDOW", 50)
+    print(f"{'gate':34s} {'status':>16s}  window-pos")
+    window = {g: i + 1 for i, g in enumerate(gates[:window_n])}
     for g in sorted(gates, key=sort_key):
         h = hist.get(g)
         if h is None:
             status = "NEVER"
-        elif not h[1]:
-            status = f"RED r{h[0]}"
+        elif h[1] is not None and (h[0] is None or h[1] > h[0]):
+            was = f" (was r{h[0]})" if h[0] is not None else ""
+            status = f"RED r{h[1]}{was}"
         else:
             status = f"r{h[0]}"
         pos = str(window.get(g, "-"))
-        print(f"{g:34s} {status:>10s}  {pos}")
+        print(f"{g:34s} {status:>16s}  {pos}")
     return 0
 
 

@@ -1035,7 +1035,8 @@ def incremental_fingerprint_pairs(new_df: DataFrame, path: str,
 
 def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     para_tokens: int = 16) -> DataFrame:
+                     para_tokens: int = 16,
+                     max_paras_per_doc: int = 1_000_000) -> DataFrame:
     """Sub-document dedup with REWRITE: drop every paragraph whose exact
     content already appeared earlier in the corpus, keeping the first
     occurrence (lowest (doc, position)), and reconstruct each document
@@ -1068,8 +1069,22 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                   .select("id", F.posexplode("_ps").alias("para_idx",
                                                           "para")))
     # composite key makes "first occurrence" one scalar min — portable
-    # to any engine with a plain window min (the oracle's DuckDB form)
-    ckey = F.col("id") * F.lit(1_000_000) + F.col("para_idx")
+    # to any engine with a plain window min (the oracle's DuckDB form).
+    # The stride bounds documents at ``max_paras_per_doc`` paragraphs
+    # (~16M tokens at the defaults); beyond that the key would collide
+    # across documents and silently elect the wrong owner, so refuse
+    # LOUDLY (the semantic_dedup max_cluster_size pattern) — row-local
+    # check, no extra pass.
+    guarded_idx = F.when(
+        F.col("para_idx") >= max_paras_per_doc,
+        F.raise_error(F.concat(
+            F.lit("dedup_paragraphs: document "), F.col("id").cast("string"),
+            F.lit(f" exceeds {max_paras_per_doc} paragraphs — the "
+                  "composite first-occurrence key would collide; split "
+                  "the document upstream or raise para_tokens/"
+                  "max_paras_per_doc")))
+        .cast("int")).otherwise(F.col("para_idx"))
+    ckey = F.col("id") * F.lit(max_paras_per_doc) + guarded_idx
     w = Window.partitionBy(F.md5(F.col("para")))
     kept = (exploded
             .withColumn("_keep", ckey == F.min(ckey).over(w))

@@ -429,6 +429,21 @@ def _wav_samples(payload: bytes) -> tuple[int, int, tuple]:
             struct.unpack(f"<{len(data) // 2}h", data))
 
 
+def _wav_rate(payload: bytes) -> int:
+    """Header-only sample-rate read: walks chunk headers without copying
+    or unpacking the data payload (an O(1) peek vs _wav_samples' full
+    decode)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    pos = 12
+    while pos + 8 <= len(payload):
+        if payload[pos:pos + 4] == b"fmt ":
+            return struct.unpack_from("<HHI", payload, pos + 8)[2]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("truncated WAV (missing fmt chunk)")
+
+
 def wav_resample(payload: bytes, factor: int) -> bytes:
     """REAL audio downsample by integer decimation: keep every
     ``factor``-th frame (all channels), emit a WAV at rate/factor.
@@ -477,9 +492,11 @@ def resample_audio(df: DataFrame, factor: int, blob_col: str = "blob",
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["blob"]):
-                out = wav_resample(bytes(payload), factor)
-                sr = _wav_samples(out)[0]
-                rows.append((int(i), out, sr))
+                blob = bytes(payload)
+                # header-only rate peek: wav_resample already pays the
+                # one full decode; don't decode the output again
+                sr = _wav_rate(blob) // factor
+                rows.append((int(i), wav_resample(blob, factor), sr))
             yield pd.DataFrame(rows, columns=["id", "blob", "sample_rate"])
 
     return src.mapInPandas(mapper, "id long, blob binary, sample_rate int")

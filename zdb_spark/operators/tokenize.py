@@ -167,6 +167,11 @@ def apply_bpe_udf(df: DataFrame, merges: list[tuple[str, str]],
         for pdf in batches:
             rows = []
             for i, text in zip(pdf["id"], pdf["text"]):
+                if text is None:
+                    # parity with apply_bpe: split(NULL) propagates NULL
+                    # (str(None) would fabricate tokens for 'none')
+                    rows.append((int(i), None, None))
+                    continue
                 toks = [t for w in str(text).lower().split() if w
                         for t in seg(w)]
                 rows.append((int(i), toks, len(toks)))

@@ -446,6 +446,22 @@ class TestScan:
         t = Table.create(spark, make_schema(), home=tmp_home)
         assert t.scan(T0, T0 + DAY).count() == 0
 
+    def test_scan_accepts_api_boundary_time_forms(self, spark, tmp_home):
+        """scan bounds go through to_nanos: date strings, RFC3339
+        strings, datetimes, and raw-nanos ints must all select the same
+        inclusive window."""
+        import datetime as dt
+
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        t.write(rows_df(spark, [T0, T0 + DAY, T0 + 2 * DAY]))
+        base = dt.datetime.fromtimestamp(T0 // 10**9, dt.timezone.utc)
+        day_str = base.strftime("%Y-%m-%d")
+        next_str = (base + dt.timedelta(days=1)).strftime("%Y-%m-%d")
+        assert t.scan(T0, T0 + DAY).count() == 2
+        assert t.scan(day_str, next_str).count() == 2
+        assert t.scan(base, base + dt.timedelta(days=1)).count() == 2
+        assert t.scan(base.isoformat(), str(T0 + DAY)).count() == 2
+
 
 class TestCompaction:
     def test_compact_merges_small_files(self, spark, tmp_home):

@@ -951,18 +951,26 @@ class Table:
                 self._meta.dropped_columns.append(name)
             self._flush_meta()
 
-    def scan(self, from_ts: int | None = None, to_ts: int | None = None,
+    def scan(self, from_ts=None, to_ts=None,
              columns: list[str] | None = None) -> DataFrame:
         """Time-range scan with dual predicate rewrite + projection.
 
         ``[from_ts, to_ts]`` is inclusive like the reference's interval
         overlap test (/root/reference/src/table/scan.rs:67-74).  The single
         logical predicate lands on BOTH ``dt`` (directory pruning) and
-        ``ts`` (row-group pruning).
+        ``ts`` (row-group pruning).  Bounds accept the API-boundary time
+        forms (`functions.scalar.to_nanos`): epoch-nanos ints, raw-nanos /
+        RFC3339 / ``YYYY-MM-DD`` strings, datetimes, and dates.
         """
+        from .functions.scalar import to_nanos
+
         df = self.df()
         ts = self.schema.ts_col
         fmt = self.schema.partition_by.date_format
+        if from_ts is not None:
+            from_ts = to_nanos(from_ts)
+        if to_ts is not None:
+            to_ts = to_nanos(to_ts)
         if from_ts is not None:
             df = df.where(F.col(ts) >= F.lit(from_ts))
             if fmt is not None:

@@ -65,6 +65,7 @@ HEADLINE = [
     "multimodal_png",     # REAL stdlib PNG decode over mapInPandas
     "dedup_spans",        # 0-mod-p char-fingerprint span overlap
     "semantic_dedup",     # SemDeDup cluster-local embedding dedup
+    "dedup_paragraphs",   # sub-document dedup + rewrite (window election)
     "knn_ivfpq",          # composed IVF+PQ: partition-pruned ADC probe
     "multimodal_video",   # REAL stdlib animated-GIF (LZW) per-frame decode
     "bpe_apply",          # BPE tokenize: codegen replace chain, no Python

@@ -859,6 +859,37 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "quality_score"))
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 operator families composed as ONE curation flow and
+    value-checked end-to-end: paragraph dedup REWRITES every document
+    (corpus-wide first-occurrence election), the cleaned text is BPE-
+    tokenized by the codegen replace chain, short documents (< 150
+    subword tokens after cleaning) are dropped, and the survivors PACK
+    into 2048-token training bins in 4 hash shards.  The oracle rebuilds
+    the same four stages as chained SQL (paragraph election → string_agg
+    rebuild → the literal BPE replace chain → running-sum packing) — a
+    hash match certifies the new operators compose, not just that each
+    works alone."""
+    from zdb_spark.operators.curation import pack_sequences
+    from zdb_spark.operators.dedup import dedup_paragraphs
+    from zdb_spark.operators.tokenize import apply_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    clean = (dedup_paragraphs(docs, "text", "doc_id", para_tokens=16)
+             .where(F.col("n_kept") > 0)
+             .select(F.col("id").alias("doc_id"),
+                     F.col("clean_text").alias("text")))
+    toks = apply_bpe(clean, _DEMO_BPE_MERGES, "text", "doc_id")
+    sized = (toks.where(F.col("n_tokens") >= 150)
+             .select(F.col("id").alias("doc_id"),
+                     F.col("n_tokens").alias("toks")))
+    packed = pack_sequences(sized, "doc_id", "toks", 2048, n_shards=4)
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("bin").alias("n_bins"),
+                 F.sum("toks").cast("long").alias("sum_tokens")))
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.text import token_counts
 
@@ -2837,6 +2868,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("multimodal_audio", q_multimodal_audio),
     ("server_ohlcv", q_server_ohlcv),
     ("ingest_orc", q_ingest_orc),
+    ("curation_v2", q_curation_v2),
     # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -2859,7 +2891,6 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("curation_pipeline", q_curation_pipeline),
     ("text_quality", q_text_quality),
     ("text_langid", q_text_langid),
-    ("text_fingerprint", q_text_fingerprint),
     ("text_repetition", q_text_repetition),
     ("pii_redact", q_pii_redact),
     ("dedup_minhash", q_dedup_minhash),
@@ -2876,6 +2907,7 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     #    Catalyst paths shared with retained gates; 2+ historical greens) --
     ("dedup_exact", q_dedup_exact),
     ("text_tokens", q_text_tokens),
+    ("text_fingerprint", q_text_fingerprint),
     ("semi_join", q_semi_join),
     ("anti_join", q_anti_join),
     ("month_rollup", q_month_rollup),
@@ -4206,6 +4238,56 @@ def oracle_sql() -> dict[str, str]:
                                    t -> replace(t, chr(3), '_')), ' ')
                    AS tok_str
         FROM s
+    """
+    # Round-7 composite: paragraph election -> rebuild -> literal BPE
+    # chain -> running-sum packing, all chained in one statement.
+    sqls["curation_v2"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), p AS (
+            SELECT doc_id, CAST(i AS INT) AS para_idx,
+                   array_to_string(toks[i * 16 + 1 : i * 16 + 16], ' ')
+                       AS para
+            FROM t, unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT)))
+                     AS u(i)
+        ), k AS (
+            SELECT doc_id, para_idx, para,
+                   doc_id * 1000000 + para_idx AS ck,
+                   min(doc_id * 1000000 + para_idx)
+                       OVER (PARTITION BY md5(para)) AS owner
+            FROM p
+        ), r AS (
+            SELECT doc_id,
+                   string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+            FROM k WHERE ck = owner GROUP BY 1
+        ), b AS (
+            SELECT doc_id,
+                   len(flatten(list_transform(
+                       list_filter(string_split_regex(
+                           trim(lower(clean_text)), '\\s+'),
+                           x -> x <> ''),
+                       w -> string_split({_bpe_chain_sql('w')},
+                                         chr(2) || chr(1))))) AS n_tokens
+            FROM r
+        ), s AS (
+            SELECT doc_id, n_tokens AS toks,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 % 4 AS shard
+            FROM b WHERE n_tokens >= 150
+        ), pk AS (
+            SELECT shard, toks,
+                   (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW)
+                    - toks) // 2048 AS bin
+            FROM s
+        )
+        SELECT shard, count(*) AS n_docs,
+               count(DISTINCT bin) AS n_bins,
+               CAST(sum(toks) AS BIGINT) AS sum_tokens
+        FROM pk GROUP BY 1
     """
     w_lit = "[" + ", ".join(repr(w) for w in _demo_quality_weights()) + "]"
     sqls["quality_model"] = f"""

@@ -77,7 +77,11 @@ class TestStreamWriterTable:
         assert t.scan(T0, T0 + 9 * MIN).count() == 55
         # txn high-water mark landed inside the manifest
         _, _, txns = t._latest_manifest_full()
-        assert txns == {"ckpt": 0}
+        # default app id = checkpoint basename + path hash (two streams
+        # with same-named checkpoint dirs must not share a txn app)
+        assert len(txns) == 1
+        (app, hwm), = txns.items()
+        assert app.startswith("ckpt-") and hwm == 0
 
     def test_checkpoint_loss_replay_is_noop(self, spark, tick_dir,
                                             tmp_path):
@@ -197,6 +201,44 @@ class TestSessionize:
         assert s["n_events"] == 3
         assert s["session_start"] == T0
         assert s["session_end"] == T0 + 2 * MIN
+
+
+    def test_cross_batch_late_event_never_splits_session(self, spark,
+                                                         tmp_path):
+        """A straggler older than the stored `last` but inside the gap
+        must extend the session count WITHOUT regressing its frontier —
+        the pre-fix behavior moved `last` backwards and split one real
+        session in two."""
+        from zdb_spark.streaming.ingest import sessionize
+
+        src = str(tmp_path / "late_src")
+        b1 = str(tmp_path / "late_src/batch1.parquet")
+        # batch 1: t=0, t=40min; batch 2: late t=20min (in-gap), then
+        # t=1h41min which exceeds the 1h gap from the TRUE frontier
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0), Row(user_id=1, ts=T0 + 40 * MIN)]
+        ).coalesce(1).write.parquet(src)
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0 + 20 * MIN),
+             Row(user_id=1, ts=T0 + 101 * MIN)]
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("user_id long, ts long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = sessionize(stream, gap_nanos=3600 * NS)
+        out = str(tmp_path / "late_out")
+        q = (sessions.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "late_ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1
+        s = got[0]
+        # one session of 3 events ending at the true frontier (40min),
+        # NOT split at the straggler's timestamp
+        assert s["n_events"] == 3
+        assert s["session_start"] == T0
+        assert s["session_end"] == T0 + 40 * MIN
 
 
 class TestRollupSink:

@@ -893,3 +893,45 @@ class TestDropColumn:
         t.drop_column("venue")
         assert "venue" not in t.scan().columns
         assert t.scan().count() == 1
+
+    def test_compact_preserves_evolved_column_values(self, spark, tmp_home):
+        """compact() must read through the evolved schema: with footer
+        inference, sampling a pre-evolution file would silently drop the
+        added column's DATA from every rewritten file (round-7 core
+        review finding)."""
+        from pyspark.sql import functions as F
+
+        t = Table.create(spark, make_schema("t3"), home=tmp_home)
+        t.write(rows_df(spark, [T0]))                    # pre-evolution file
+        t.add_column("venue", ColumnType.SYMBOL8, default="UNK")
+        df2 = rows_df(spark, [T0 + 1]).withColumn("venue", F.lit("NYSE"))
+        t.write(df2)                                     # carries real values
+        t.compact()
+        got = {r["ts"]: r["venue"] for r in
+               t.scan().select("ts", "venue").collect()}
+        assert got == {T0: "UNK", T0 + 1: "NYSE"}
+        # and the default is now MATERIALIZED in the physical files
+        import glob
+        files = glob.glob(f"{t.path}/parquet/dt=*/*.parquet")
+        raw = spark.read.parquet(*files)
+        assert "venue" in raw.columns
+        assert {r["venue"] for r in raw.select("venue").collect()} \
+            == {"UNK", "NYSE"}
+
+    def test_compact_reclaims_dropped_column_bytes(self, spark, tmp_home):
+        """After drop_column + compact, the physical files must no longer
+        carry the dropped column (the reclaim drop_column promises)."""
+        from pyspark.sql import functions as F
+
+        t = Table.create(spark, make_schema("t4"), home=tmp_home)
+        t.write(rows_df(spark, [T0])
+                .withColumn("extra", F.lit(7)))          # not in schema: dropped at conform
+        t.add_column("venue", ColumnType.SYMBOL8, default="UNK")
+        t.write(rows_df(spark, [T0 + 1]).withColumn("venue", F.lit("X")))
+        t.drop_column("venue")
+        t.compact()
+        import glob
+        files = glob.glob(f"{t.path}/parquet/dt=*/*.parquet")
+        raw = spark.read.parquet(*files)
+        assert "venue" not in raw.columns
+        assert t.scan().count() == 2

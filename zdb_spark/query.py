@@ -179,16 +179,25 @@ def _run_ordered(table: Table, df: DataFrame, scan: Callable,
     ts = table.schema.ts_col
     # Re-derive the time-partition key on the (already filtered/projected)
     # frame, then visit each partition sequentially in time order.
-    part_df = table._with_partition_col(df)
-    dt_values = sorted(r["dt"] for r in part_df.select("dt").distinct().collect())
-    result = None
-    for dt_val in dt_values:
-        pdf = (part_df.where(part_df["dt"] == dt_val)
-               .sort(ts).select(*cols).toPandas())
-        if len(pdf) == 0:
-            continue
-        result = scan(*[pdf[c] for c in cols])
-    return result
+    # PERSIST across the loop: the dt filter is on a DERIVED expression
+    # (the scan projected the storage partition column away), so Catalyst
+    # cannot prune directories per iteration — without the cache, a year
+    # of DAY partitions would re-read every file ~366 times (distinct +
+    # one pass per dt); with it the source is read once.
+    part_df = table._with_partition_col(df).persist()
+    try:
+        dt_values = sorted(r["dt"] for r in
+                           part_df.select("dt").distinct().collect())
+        result = None
+        for dt_val in dt_values:
+            pdf = (part_df.where(part_df["dt"] == dt_val)
+                   .sort(ts).select(*cols).toPandas())
+            if len(pdf) == 0:
+                continue
+            result = scan(*[pdf[c] for c in cols])
+        return result
+    finally:
+        part_df.unpersist()
 
 
 class Engine:

@@ -36,6 +36,17 @@ __all__ = ["stream_writer", "stream_writer_table", "stream_resample",
            "sessionize", "rollup_sink", "read_rollup"]
 
 
+def _default_app_id(checkpoint: str) -> str:
+    """basename + short path hash: human-readable, and unique per
+    checkpoint LOCATION (two same-named checkpoint dirs must not share a
+    txn app — their independent batch ids would read as replays)."""
+    import hashlib
+
+    norm = os.path.normpath(os.path.abspath(checkpoint))
+    return (os.path.basename(norm) + "-"
+            + hashlib.md5(norm.encode()).hexdigest()[:8])
+
+
 def stream_writer(stream_df: DataFrame, path: str, checkpoint: str,
                   ts_col: str = "ts",
                   partition_by: PartitionBy = PartitionBy.DAY,
@@ -83,11 +94,15 @@ def stream_writer_table(stream_df: DataFrame, table, checkpoint: str,
     manifest makes post-failure batch replays no-ops (foreachBatch is
     at-least-once; the txn check upgrades it to exactly-once visibility).
 
-    ``app_id`` defaults to the checkpoint basename — keep it stable
-    across restarts or replay protection resets.  Returns the started
+    ``app_id`` defaults to the checkpoint basename plus a hash of its
+    full normalized path — the path hash keeps two streams whose
+    checkpoint dirs merely SHARE a basename (jobs/a/checkpoint,
+    jobs/b/checkpoint) from colliding on one txn app and silently
+    dropping each other's batch ids as replays.  Keep it stable across
+    restarts or replay protection resets.  Returns the started
     StreamingQuery.
     """
-    app = app_id or os.path.basename(os.path.normpath(checkpoint))
+    app = app_id or _default_app_id(checkpoint)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         table.write(batch_df, enforce_order=enforce_order,
@@ -152,21 +167,40 @@ _STATE_SCHEMA = StructType([
 
 
 def sessionize(stream_df: DataFrame, gap_nanos: int,
-               key_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+               key_col: str = "user_id", ts_col: str = "ts",
+               idle_flush_ms: int | None = None) -> DataFrame:
     """Custom stateful operator: inactivity-gap session windows via
     ``applyInPandasWithState`` — the template for stateful semantics the
     built-in windows can't express (SURVEY.md §2.7 streaming surface).
 
     Emits one row per closed session: (key, session_start, session_end,
     n_events), timestamps in epoch nanos.  State per key is (start, last,
-    count); a batch whose first event is more than ``gap_nanos`` after
-    the stored ``last`` closes the old session.
+    count); a session closes when a later event arrives more than
+    ``gap_nanos`` after the stored ``last``.  Cross-batch late events
+    (older than the stored ``last`` but in-gap) extend the count without
+    moving ``last`` backwards, so a straggler can never split a session.
+
+    By default each key's FINAL session stays open in the state store
+    (the batch-parity contract the driver oracle checks — a drained
+    availableNow run reports exactly the sessions a batch engine would
+    call closed).  For PRODUCTION streams pass ``idle_flush_ms``: keys
+    quiet for that long flush their open session via a processing-time
+    timeout and their state entry is removed — bounding state-store
+    growth on high-cardinality streams.
     """
     import pandas as pd
 
     def fn(key: Tuple[Any, ...], pdfs: Iterator["pd.DataFrame"],
            state: GroupState) -> Iterator["pd.DataFrame"]:
         (uid,) = key
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if idle_flush_ms is not None and state.hasTimedOut:
+            if state.exists:
+                start, last, count = state.get
+                state.remove()
+                yield pd.DataFrame([(uid, start, last, count)],
+                                   columns=cols)
+            return
         if state.exists:
             start, last, count = state.get
         else:
@@ -182,17 +216,23 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
                     closed.append((uid, start, last, count))
                     start, last, count = t, t, 1
                 else:
-                    last = t
+                    # late in-gap events must not regress the session
+                    # frontier (or its start)
+                    start = min(start, t)
+                    last = max(last, t)
                     count += 1
         if start is not None:
             state.update((start, last, count))
+            if idle_flush_ms is not None:
+                state.setTimeoutDuration(idle_flush_ms)
         if closed:
-            yield pd.DataFrame(closed, columns=["user_id", "session_start",
-                                                "session_end", "n_events"])
+            yield pd.DataFrame(closed, columns=cols)
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_flush_ms is not None
+                    else GroupStateTimeout.NoTimeout)
     return (stream_df.groupBy(key_col).applyInPandasWithState(
-        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout))
+        fn, _SESSION_SCHEMA, _STATE_SCHEMA, "append", timeout_conf))
 
 
 # --------------------------------------------------------------------- #
@@ -200,7 +240,8 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
 # --------------------------------------------------------------------- #
 def rollup_sink(stream_df: DataFrame, table, checkpoint: str,
                 group_cols: list[str], sum_cols: list[str],
-                ts_col: str = "ts", app_id: str | None = None):
+                ts_col: str = "ts", app_id: str | None = None,
+                trigger_seconds: float | None = None):
     """Maintain a materialized pre-aggregation from the stream — the
     ClickHouse-materialized-view pattern on an APPEND-ONLY store: each
     micro-batch appends its PARTIAL aggregate (group keys, per-group
@@ -220,8 +261,11 @@ def rollup_sink(stream_df: DataFrame, table, checkpoint: str,
     fact table per dashboard query and reading a rollup thousands of
     times smaller; compaction merges the per-batch partials into few
     files without changing reader semantics (sums of sums).
+
+    ``trigger_seconds`` runs the maintenance continuously (the
+    materialized-view shape); the default drains available input once.
     """
-    app = app_id or os.path.basename(os.path.normpath(checkpoint))
+    app = app_id or _default_app_id(checkpoint)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         partial = (batch_df.groupBy(*group_cols)
@@ -232,10 +276,14 @@ def rollup_sink(stream_df: DataFrame, table, checkpoint: str,
                            *[f"sum_{c}" for c in sum_cols]))
         table.write(partial, enforce_order=False, txn=(app, int(batch_id)))
 
-    return (stream_df.writeStream.foreachBatch(commit)
-            .option("checkpointLocation", checkpoint)
-            .outputMode("append")
-            .trigger(availableNow=True).start())
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("append"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_rollup(table, group_cols: list[str],

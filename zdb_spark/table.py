@@ -263,14 +263,38 @@ class Table:
                     c.name,
                     F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
 
+        # Persist across the three consumers of this plan (stats agg,
+        # range-boundary sampling, the write): without it every append —
+        # including every streaming micro-batch — recomputes the source
+        # plan three times, and a non-deterministic upstream could make
+        # stats and data diverge.
+        df = df.persist()
+        try:
+            return self._write_persisted(df, ts, enforce_order, cluster_by,
+                                         max_records_per_file, txn)
+        finally:
+            df.unpersist()
+
+    def _write_persisted(self, df: DataFrame, ts: str, enforce_order,
+                         cluster_by, max_records_per_file, txn) -> int:
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(ts).alias("n_ts"),
             F.min(ts).alias("lo"),
             F.max(ts).alias("hi"),
         ).collect()[0]
         n, lo, hi = stats["n"], stats["lo"], stats["hi"]
         if n == 0:
             return 0
+        if stats["n_ts"] != n:
+            # A failed cast yields NULL silently; null-ts rows would land
+            # in the Hive default partition, invisible to every pruned
+            # time-range scan (and `lo` would be None, breaking the
+            # order check).  Refuse loudly instead.
+            raise ValueError(
+                f"batch has {n - stats['n_ts']} NULL {ts} values after "
+                f"schema cast (unparseable input?); null-ts rows would "
+                "be unreachable by time-range scans")
         cur_max = self.get_last_ts()
         if enforce_order and cur_max is not None and lo < cur_max:
             raise OutOfOrderError(
@@ -1035,12 +1059,23 @@ class Table:
         # time via self.df() would race: an append committed between the
         # two reads gets compacted into the rewrite AND preserved as a
         # survivor at the flip — duplicated rows.)
+        # Evolved tables MUST compact through the explicit read schema +
+        # materialized defaults: footer inference samples ONE file, and a
+        # pre-evolution file would make the rewrite silently drop an
+        # added column's data from every output file.  Reading through
+        # _read_schema() also projects dropped columns away, so compact
+        # really reclaims their bytes as drop_column() promises.
+        evolved = bool(self._meta.added_defaults
+                       or self._meta.dropped_columns)
+        reader = self.spark.read
+        if evolved:
+            reader = reader.schema(self._read_schema())
         base_files: list[str] = []
         if self._meta.manifest:
             with self._meta_lock():
                 _, base_files = self._latest_manifest()
             if base_files:
-                df = (self.spark.read.option("basePath", src)
+                df = (reader.option("basePath", src)
                       .parquet(*[os.path.join(src, f) for f in base_files]))
             else:
                 df = self.spark.createDataFrame(
@@ -1051,10 +1086,21 @@ class Table:
                 os.path.getsize(os.path.join(src, f)) for f in base_files
                 if os.path.exists(os.path.join(src, f)))
         else:
-            df = self.spark.read.parquet(src)
+            # read from an EXPLICIT file snapshot (not a directory scan
+            # at job time): the swap below preserves any file appended
+            # after this listing, so a concurrent write() is never lost
+            base_files = [
+                os.path.relpath(os.path.join(root, f), src)
+                for root, _, files in os.walk(src) for f in files
+                if not f.startswith(("_", "."))]
+            if not base_files:
+                return 0
+            df = (reader.option("basePath", src)
+                  .parquet(*[os.path.join(src, f) for f in base_files]))
             total_bytes = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _, files in os.walk(src) for f in files)
+                os.path.getsize(os.path.join(src, f)) for f in base_files)
+        if evolved:
+            df = self._apply_added_defaults(df)
         ts = self.schema.ts_col
         n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
         n_parts = df.select("dt").distinct().count()
@@ -1108,8 +1154,25 @@ class Table:
         tmp = src + ".compacting"
         writer.partitionBy("dt").parquet(tmp)
         backup = src + ".old"
-        os.rename(src, backup)
-        os.rename(tmp, src)
+        # Swap under the sidecar lock (held for renames only — well under
+        # the lock's staleness window), then carry over every file a
+        # concurrent write() landed after the snapshot listing: without
+        # this, a batch committed mid-rewrite would ride into backup and
+        # be rmtree'd while the sidecar still counts its rows.
+        snap = set(base_files)
+        with self._meta_lock():
+            os.rename(src, backup)
+            os.rename(tmp, src)
+            for root, _, files in os.walk(backup):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, f), backup)
+                    if rel in snap:
+                        continue
+                    dest = os.path.join(src, rel)
+                    os.makedirs(os.path.dirname(dest), exist_ok=True)
+                    os.replace(os.path.join(backup, rel), dest)
         shutil.rmtree(backup)
         return n_parts
 
@@ -1117,13 +1180,16 @@ class Table:
     # metadata queries (/root/reference/src/table/meta.rs:39-67)         #
     # ------------------------------------------------------------------ #
     def get_first_ts(self) -> int | None:
+        # stats live directly in the manifest HEAD — reading them must
+        # not pay _latest_manifest_doc()'s O(file-count) list
+        # materialization (these run once per append)
         if self._meta.manifest:
-            return self._latest_manifest_doc()[1]["min_ts"]
+            return self._latest_head()[1]["min_ts"]
         return self._meta.min_ts
 
     def get_last_ts(self) -> int | None:
         if self._meta.manifest:
-            return self._latest_manifest_doc()[1]["max_ts"]
+            return self._latest_head()[1]["max_ts"]
         return self._meta.max_ts
 
     @property
@@ -1132,7 +1198,7 @@ class Table:
         # source of truth for the CAS protocol); the sidecar only holds
         # schema + mode flags there
         if self._meta.manifest:
-            return self._latest_manifest_doc()[1]["row_count"]
+            return self._latest_head()[1]["row_count"]
         return self._meta.row_count
 
     # ------------------------------------------------------------------ #

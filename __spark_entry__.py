@@ -1493,7 +1493,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     corpus = _knn_corpus(emb)
-    path = _ann_index_path(sf_dir, "ivf", "planted-v1|c16")
+    path = _ann_index_path(sf_dir, "ivf", "planted-v2|c16")
     if not os.path.exists(os.path.join(path, "_meta")):
         build_ivf_index(corpus, path, n_centroids=16)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -1515,7 +1515,7 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     corpus = _knn_corpus(emb)
-    path = _ann_index_path(sf_dir, "ivfpq", "planted-v1|c16m8k16")
+    path = _ann_index_path(sf_dir, "ivfpq", "planted-v2|c16m8k16")
     if not os.path.exists(os.path.join(path, "_meta")):
         build_ivfpq_index(corpus, path, n_centroids=16, m=8, k=16)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -4244,7 +4244,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["curation_v2"] = f"""
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   string_split_regex(trim(text), '\\s+') AS toks
             FROM documents
         ), p AS (
             SELECT doc_id, CAST(i AS INT) AS para_idx,
@@ -4256,7 +4256,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, para_idx, para,
                    doc_id * 1000000 + para_idx AS ck,
                    min(doc_id * 1000000 + para_idx)
-                       OVER (PARTITION BY md5(para)) AS owner
+                       OVER (PARTITION BY md5(lower(para))) AS owner
             FROM p
         ), r AS (
             SELECT doc_id,
@@ -4438,7 +4438,7 @@ def oracle_sql() -> dict[str, str]:
     sqls["dedup_paragraphs"] = r"""
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(trim(lower(text)), '\s+') AS toks
+                   string_split_regex(trim(text), '\s+') AS toks
             FROM documents
         ), p AS (
             SELECT doc_id, CAST(i AS INT) AS para_idx,
@@ -4450,7 +4450,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, para_idx, para,
                    doc_id * 1000000 + para_idx AS ck,
                    min(doc_id * 1000000 + para_idx)
-                       OVER (PARTITION BY md5(para)) AS owner
+                       OVER (PARTITION BY md5(lower(para))) AS owner
             FROM p
         ), r AS (
             SELECT doc_id, count(*) AS n_kept,
@@ -4863,8 +4863,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT sym, bucket, n_events,
                round(m, 6) AS baseline_mean,
-               round(CASE WHEN n_obs >= 4 AND s > 0
-                          THEN (n_events - m) / s END, 6) AS zscore
+               round(CASE WHEN n_obs >= 4 THEN
+                          CASE WHEN s > 0 THEN (n_events - m) / s
+                               ELSE sign(n_events - m) * 1e9 END
+                     END, 6) AS zscore
         FROM w
     """
     # Decayed average: identical weight expression; the lambda literal

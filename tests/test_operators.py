@@ -1143,22 +1143,35 @@ class TestParagraphDedup:
         assert out[3]["clean_text"] == ""
         assert (out[4]["n_paras"], out[4]["n_kept"]) == (1, 0)
 
-    def test_paragraph_stride_guard_raises(self, spark):
-        """The composite first-occurrence key strides by
-        max_paras_per_doc; a document at/over the stride must refuse
-        loudly, never elect a wrong owner silently.  (Tested at a small
-        stride; default is 1e6.)"""
+    def test_string_doc_ids_supported(self, spark):
+        """The first-occurrence election is a struct (id, position) min,
+        so string/UUID ids work — the arithmetic composite key silently
+        nulled them out and dropped every paragraph (review finding)."""
         from zdb_spark.operators.dedup import dedup_paragraphs
 
-        big = " ".join("w" for _ in range(9))
-        docs = spark.createDataFrame([(1, big)], "doc_id long, text string")
-        with pytest.raises(Exception, match="exceeds 8 paragraphs"):
-            dedup_paragraphs(docs, "text", "doc_id", para_tokens=1,
-                             max_paras_per_doc=8).collect()
-        # under the stride the same doc processes fine
-        out = dedup_paragraphs(docs, "text", "doc_id", para_tokens=1,
-                               max_paras_per_doc=16).collect()
-        assert out[0]["n_kept"] == 1     # 'w' repeated: one survivor
+        docs = spark.createDataFrame(
+            [("doc-a", "x1 x2 x1 x2"), ("doc-b", "x1 x2 y1 y2")],
+            "doc_id string, text string")
+        out = {r["id"]: r for r in
+               dedup_paragraphs(docs, "text", "doc_id",
+                                para_tokens=2).collect()}
+        assert out["doc-a"]["n_kept"] == 1          # self-dup dropped
+        assert out["doc-b"]["n_kept"] == 1          # cross-doc dup dropped
+        assert out["doc-b"]["clean_text"] == "y1 y2"
+
+    def test_rebuild_preserves_case_dedup_is_case_insensitive(self, spark):
+        from zdb_spark.operators.dedup import dedup_paragraphs
+
+        docs = spark.createDataFrame(
+            [(1, "The API returns JSON"), (2, "the api returns json")],
+            "doc_id long, text string")
+        out = {r["id"]: r for r in
+               dedup_paragraphs(docs, "text", "doc_id",
+                                para_tokens=4).collect()}
+        # doc 2's block deduplicates against doc 1's case-variant, and
+        # the survivor keeps its ORIGINAL casing
+        assert out[1]["clean_text"] == "The API returns JSON"
+        assert out[2]["n_kept"] == 0
 
     def test_short_tail_paragraph_kept_distinct(self, spark):
         from zdb_spark.operators.dedup import dedup_paragraphs
@@ -1464,6 +1477,64 @@ class TestIncrementalDedup:
         inc2 = dedup.incremental_minhash_pairs(batch2, corpus1, store)
         got2 = {(r["id_a"], r["id_b"]) for r in inc2.collect()}
         assert got2 == {(11, 20)}  # found against an APPENDED doc
+
+    def test_changed_resubmission_judged_on_new_content(self, spark,
+                                                        tmp_path):
+        """A re-submitted id with CHANGED text must retire its stored
+        band rows/signature: the old content must not generate
+        candidates, and the new content decides pairs (review finding:
+        stale rows made results a nondeterministic old/new mix)."""
+        old_text = "alpha corpus doc about databases and storage engines"
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=old_text),
+             Row(doc_id=2, text=old_text + "!")],     # near-dup of 1
+        )
+        store = str(tmp_path / "resub_store")
+        dedup.build_minhash_store(df, store)
+        # doc 1 resubmitted with UNRELATED text: it must no longer pair
+        # with doc 2 (old content retired), and must pair with doc 3
+        # (dup of the NEW content)
+        resub = spark.createDataFrame(
+            [Row(doc_id=1, text="totally different text now about gifs"),
+             Row(doc_id=3, text="totally different text now about gifs!")])
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.incremental_minhash_pairs(
+                   resub, df.unionByName(resub), store).collect()}
+        assert got == {(1, 3)}
+
+    def test_torn_append_self_heals(self, spark, tmp_path):
+        """A staged batch left behind by a crash mid-publish (both
+        _SUCCESS markers present) is completed on the next store open;
+        an unfinished write (no markers) is discarded."""
+        import os
+        import shutil
+
+        text = "self heal store content block repeated here " * 2
+        df = spark.createDataFrame([Row(doc_id=1, text=text)])
+        store = str(tmp_path / "heal_store")
+        dedup.build_minhash_store(df, store)
+        batch = spark.createDataFrame([Row(doc_id=2, text=text + "!")])
+        dedup.append_minhash_store(batch, store)
+        # simulate the crash: drag doc 2's appended rows back into a
+        # staging dir as a fully-written batch
+        staging = os.path.join(store, "_staging", "torn")
+        for sub in ("sigs", "banded"):
+            os.makedirs(os.path.join(staging, sub))
+            open(os.path.join(staging, sub, "_SUCCESS"), "w").close()
+        # also plant an UNFINISHED batch (no _SUCCESS) — must be culled
+        dead = os.path.join(store, "_staging", "dead")
+        os.makedirs(os.path.join(dead, "sigs"))
+        dedup._store_params(store)     # open triggers self-heal
+        assert not os.path.exists(dead)
+        assert not os.path.exists(os.path.join(store, "_staging"))
+        # store still answers correctly after healing
+        probe = spark.createDataFrame([Row(doc_id=9, text=text + "?")])
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.incremental_minhash_pairs(
+                   probe, df.unionByName(batch).unionByName(probe),
+                   store).collect()}
+        assert got == {(1, 9), (2, 9)}
+        shutil.rmtree(store)
 
     def test_version_mismatch_refuses(self, spark, tmp_path):
         import json

@@ -118,6 +118,20 @@ def test_asof_tiebreak_deterministic(spark):
     assert got["r_rv"].tolist() == [9.0]
 
 
+def test_asof_keyless_carry_honors_tiebreak(spark):
+    """Keyless path, carried match: two right rows share the SAME ts in
+    an earlier bucket; the cross-bucket carry must pick the larger
+    tiebreak exactly like the in-bucket window does (review finding:
+    the carry aggregate ranked on ts alone, nondeterministic)."""
+    left = pd.DataFrame({"ts": [250], "lv": [0.0]})
+    right = pd.DataFrame({"ts": [90, 90], "rv": [1.0, 9.0]})
+    got = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="ts", tiebreak="rv", bucket=100).toPandas()
+    # left at bucket 2, right rows in bucket 0 -> pure carry-in match
+    assert got["r_rv"].tolist() == [9.0]
+
+
 def test_asof_null_right_payload_not_skipped(spark):
     """A right row whose PAYLOAD is null is still the match (struct-last,
     not per-column last)."""
@@ -390,17 +404,24 @@ class TestRateAnomaly:
     def test_constant_rate_and_gaps(self, spark):
         from zdb_spark.operators.temporal import rate_anomaly
 
-        # constant counts -> std 0 -> NULL z, never a divide-by-zero;
-        # a bucket gap NARROWS the trailing sample (no silent slide-in)
+        # constant counts -> flat baseline -> z = 0.0 exactly (matching
+        # the baseline is NOT the insufficient-history NULL); a spike
+        # over that flat baseline reports the capped +-1e9 sentinel; a
+        # bucket gap NARROWS the trailing sample (no silent slide-in)
         rows = [("A", b * 10 + i) for b in [0, 1, 2, 3, 4, 9]
                 for i in range(5)]
+        rows += [("B", b * 10 + i) for b in [0, 1, 2]
+                 for i in range(5)]
+        rows += [("B", 30 + i) for i in range(9)]   # 9-event spike, std=0
         df = spark.createDataFrame(rows, "event_type string, ts long")
-        out = {r["bucket"]: r for r in
+        out = {(r["event_type"], r["bucket"]): r for r in
                rate_anomaly(df, "ts", "event_type", bucket=10,
                             trailing=3, min_periods=2).collect()}
-        assert out[4]["zscore"] is None          # std == 0
+        assert out[("A", 4)]["zscore"] == 0.0    # flat AND on-baseline
+        assert out[("B", 3)]["zscore"] == 1e9    # flat baseline, spike
         # bucket 9's trailing 3 range [6,8] is empty -> no baseline
-        assert out[9]["baseline_mean"] is None
+        assert out[("A", 9)]["baseline_mean"] is None
+        assert out[("A", 9)]["zscore"] is None   # insufficient history
         with pytest.raises(ValueError, match="trailing"):
             rate_anomaly(df, "ts", "event_type", trailing=0)
 

@@ -729,9 +729,28 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 _STORE_VERSION = "mh1"  # bump when the hash recipe changes
 
 
+def _publish_staged_store_batch(path: str, staging: str) -> None:
+    """Move a fully-written staged batch's part files into the live
+    sigs/ + banded/ dirs (unique part names, so plain renames)."""
+    import os
+    import shutil
+
+    for sub in ("sigs", "banded"):
+        sdir = os.path.join(staging, sub)
+        ddir = os.path.join(path, sub)
+        os.makedirs(ddir, exist_ok=True)
+        for fname in os.listdir(sdir):
+            if fname.startswith(("_", ".")):
+                continue
+            os.replace(os.path.join(sdir, fname),
+                       os.path.join(ddir, fname))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def _store_params(path: str) -> dict:
     import json
     import os
+    import shutil
 
     with open(os.path.join(path, "params.json")) as f:
         p = json.load(f)
@@ -740,12 +759,32 @@ def _store_params(path: str) -> dict:
             f"signature store at {path} was built by recipe "
             f"{p.get('version')!r}; this code computes {_STORE_VERSION!r} — "
             "rebuild the store (stored and fresh hashes would not collide)")
+    # Self-heal torn appends: a staged batch with BOTH _SUCCESS markers
+    # finished writing (the append crashed mid-publish) — complete the
+    # publish; one without finished markers never completed its Spark
+    # write and is discarded (the caller never saw success and retries).
+    st_root = os.path.join(path, "_staging")
+    if os.path.isdir(st_root):
+        for b in os.listdir(st_root):
+            bdir = os.path.join(st_root, b)
+            if all(os.path.exists(os.path.join(bdir, s, "_SUCCESS"))
+                   for s in ("sigs", "banded")):
+                _publish_staged_store_batch(path, bdir)
+            else:
+                shutil.rmtree(bdir, ignore_errors=True)
+        try:
+            os.rmdir(st_root)
+        except OSError:
+            pass
     return p
 
 
 def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
                       bands: int, k: int, text_col: str, id_col: str,
                       mode: str) -> None:
+    import os
+    import uuid
+
     base = (minhash_signature(df, text_col, num_hashes, k)
             .select(F.col(id_col).alias("_id"), "minhash"))
     # Two sinks consume base (sigs/ and banded/): cache it so the corpus
@@ -753,11 +792,27 @@ def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
     # minhash_lsh_pairs documents caching its base to avoid.
     base.persist()
     try:
+        if mode == "errorifexists":
+            # initial build: params.json (written after us) is the
+            # store's completeness marker, so direct writes are safe
+            base.select(F.col("_id").alias(id_col), "minhash") \
+                .write.mode(mode).parquet(f"{path}/sigs")
+            (_banded_rows(base, bands, num_hashes // bands)
+             .select(F.col("_id").alias(id_col), "band", "bh")
+             .write.mode(mode).parquet(f"{path}/banded"))
+            return
+        # append: two live dirs cannot be appended atomically — a crash
+        # between the sigs/ and banded/ appends would leave docs with
+        # signatures but no band rows, whose pairs are then silently
+        # missed forever.  Stage the batch, then publish via renames;
+        # _store_params self-heals a crash mid-publish.
+        staging = os.path.join(path, "_staging", uuid.uuid4().hex)
         base.select(F.col("_id").alias(id_col), "minhash") \
-            .write.mode(mode).parquet(f"{path}/sigs")
+            .write.mode("overwrite").parquet(os.path.join(staging, "sigs"))
         (_banded_rows(base, bands, num_hashes // bands)
          .select(F.col("_id").alias(id_col), "band", "bh")
-         .write.mode(mode).parquet(f"{path}/banded"))
+         .write.mode("overwrite").parquet(os.path.join(staging, "banded")))
+        _publish_staged_store_batch(path, staging)
     finally:
         base.unpersist()
 
@@ -835,6 +890,14 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
     new_banded = _banded_rows(new_base, bands, r)
     old_banded = (spark.read.parquet(f"{path}/banded")
                   .select(F.col(id_col).alias("_id"), "band", "bh"))
+    if not assume_disjoint:
+        # retire the store's STALE rows for re-submitted ids (the same
+        # contract incremental_fingerprint_pairs honors): a re-submission
+        # with CHANGED text must be judged on its new content only —
+        # otherwise its old band rows keep generating candidates and the
+        # signature dedup keeps an arbitrary one of the two versions.
+        new_ids = new_base.select("_id").dropDuplicates()
+        old_banded = old_banded.join(new_ids, "_id", "left_anti")
     all_banded = new_banded.unionByName(old_banded)
 
     dropped = None
@@ -857,11 +920,13 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
     new_sigs = new_base.select(F.col("_id"), "minhash")
     old_sigs = (spark.read.parquet(f"{path}/sigs")
                 .select(F.col(id_col).alias("_id"), "minhash"))
-    # a doc re-submitted in the new batch keeps ONE signature (they are
-    # identical by construction; dropDuplicates on id).  When the caller
-    # GUARANTEES batch ids are new (assume_disjoint — the normal ingest
-    # contract), the dedup shuffles here and on the shingle frame are
-    # skipped.
+    # When the caller GUARANTEES batch ids are new (assume_disjoint —
+    # the normal ingest contract), the retire/dedup shuffles here and on
+    # the shingle frame are skipped.  Otherwise the stored signature of
+    # a re-submitted id is retired (above) and in-batch duplicates
+    # collapse to one row.
+    if not assume_disjoint:
+        old_sigs = old_sigs.join(new_ids, "_id", "left_anti")
     sigs = new_sigs.unionByName(old_sigs)
     if not assume_disjoint:
         sigs = sigs.dropDuplicates(["_id"])
@@ -1035,30 +1100,36 @@ def incremental_fingerprint_pairs(new_df: DataFrame, path: str,
 
 def dedup_paragraphs(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     para_tokens: int = 16,
-                     max_paras_per_doc: int = 1_000_000) -> DataFrame:
-    """Sub-document dedup with REWRITE: drop every paragraph whose exact
-    content already appeared earlier in the corpus, keeping the first
-    occurrence (lowest (doc, position)), and reconstruct each document
-    from its surviving paragraphs — the corpus-hygiene rewrite step that
-    pair-DETECTION operators (minhash/span) don't do.  "Paragraph" here
-    is a non-overlapping ``para_tokens``-token block (the corpus has no
-    layout markers); with real documents pass text pre-split on blank
-    lines.
+                     para_tokens: int = 16) -> DataFrame:
+    """Sub-document dedup with REWRITE: drop every paragraph whose
+    content (case-insensitively) already appeared earlier in the corpus,
+    keeping the first occurrence (lowest (doc, position)), and
+    reconstruct each document from its surviving paragraphs — the
+    corpus-hygiene rewrite step that pair-DETECTION operators
+    (minhash/span) don't do.  "Paragraph" here is a non-overlapping
+    ``para_tokens``-token block (the corpus has no layout markers); with
+    real documents pass text pre-split on blank lines.
+
+    The rebuilt text PRESERVES the original casing; whitespace is
+    normalized to single spaces (the only transform the block
+    construction needs).  The dedup KEY is the lowercased block, so
+    'The API' and 'the api' deduplicate against each other while the
+    survivor keeps its original form.
 
     Plan shape (100 TB): explode to paragraphs (row-local), ONE md5-keyed
-    window to elect each paragraph's canonical owner (min composite key
-    over PARTITION BY hash — no join, algebraic, map-side combinable),
-    ONE doc-keyed aggregation to reconstruct.  Two keyed shuffles total.
-    A mega-duplicated paragraph concentrates its copies on one reducer
-    only for the cheap min-key election (AQE skew split applies); the
-    rebuild shuffle is keyed by doc and therefore even.
+    window to elect each paragraph's canonical owner — a struct
+    (id, position) min, so ids may be ints, strings, or UUIDs with no
+    arithmetic-overflow ceiling — then ONE doc-keyed aggregation to
+    reconstruct.  Two keyed shuffles total.  A mega-duplicated paragraph
+    concentrates its copies on one reducer only for the cheap min-key
+    election (AQE skew split applies); the rebuild shuffle is keyed by
+    doc and therefore even.
 
     Returns (id, n_paras, n_kept, clean_text).
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     n_paras = F.ceil(n / F.lit(para_tokens)).cast("int")
     paras = F.transform(
@@ -1068,24 +1139,12 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     exploded = (df.select(F.col(id_col).alias("id"), paras.alias("_ps"))
                   .select("id", F.posexplode("_ps").alias("para_idx",
                                                           "para")))
-    # composite key makes "first occurrence" one scalar min — portable
-    # to any engine with a plain window min (the oracle's DuckDB form).
-    # The stride bounds documents at ``max_paras_per_doc`` paragraphs
-    # (~16M tokens at the defaults); beyond that the key would collide
-    # across documents and silently elect the wrong owner, so refuse
-    # LOUDLY (the semantic_dedup max_cluster_size pattern) — row-local
-    # check, no extra pass.
-    guarded_idx = F.when(
-        F.col("para_idx") >= max_paras_per_doc,
-        F.raise_error(F.concat(
-            F.lit("dedup_paragraphs: document "), F.col("id").cast("string"),
-            F.lit(f" exceeds {max_paras_per_doc} paragraphs — the "
-                  "composite first-occurrence key would collide; split "
-                  "the document upstream or raise para_tokens/"
-                  "max_paras_per_doc")))
-        .cast("int")).otherwise(F.col("para_idx"))
-    ckey = F.col("id") * F.lit(max_paras_per_doc) + guarded_idx
-    w = Window.partitionBy(F.md5(F.col("para")))
+    # struct min = "first occurrence": total order on (id, position)
+    # with no composite-arithmetic overflow and no numeric-id
+    # requirement.  (An int id ordering equals the old id*stride+idx
+    # composite, so the DuckDB oracle's composite form still mirrors it.)
+    ckey = F.struct(F.col("id"), F.col("para_idx"))
+    w = Window.partitionBy(F.md5(F.lower(F.col("para"))))
     kept = (exploded
             .withColumn("_keep", ckey == F.min(ckey).over(w))
             .where(F.col("_keep")))

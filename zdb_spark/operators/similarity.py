@@ -94,8 +94,19 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
         F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
         for i in range(num_bits)
     ])
+    # Dimensional guard: zip_with null-pads a length mismatch, which
+    # would fold every dot to NULL and every signature to 0 — an index
+    # built that way answers every probe with an empty set, silently.
+    # Refuse loudly instead (row-local, no extra pass).
+    checked = F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(F.concat(
+            F.lit(f"hyperplane_signature: vector of length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(f" does not match dim={dim}")))
+        .cast("array<double>")).otherwise(_as_double(F.col(vec_col)))
     sig = let(
-        _as_double(F.col(vec_col)),
+        checked,
         lambda v: let(
             F.transform(planes_arr,
                         lambda p: F.aggregate(
@@ -125,15 +136,14 @@ def lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     should ``build_lsh_index`` once and probe with ``lsh_index_topk``,
     which reads just the matching buckets of the persisted layout.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
     cand = None
     for t in range(num_tables):
         rng_seed = seed + 1000 * t
-        rng = np.random.RandomState(rng_seed)
-        planes = rng.randn(num_bits, dim)
-        q_sig = int(sum((1 << i if i < 63 else -(1 << 63))
-                        for i in range(num_bits)
-                        if float(planes[i] @ q) > 0))
+        # _qsig_for folds the dot sequentially, bit-matching the Spark
+        # expression; a BLAS `planes[i] @ q` here could flip a bit on a
+        # near-zero plane dot (the exact bug _qsig_for documents) and
+        # probe a bucket the vector is not in.
+        q_sig = _qsig_for(list(query_vec), num_bits, dim, rng_seed)
         tagged = hyperplane_signature(df, vec_col, num_bits, dim, rng_seed,
                                       out_col="_sig")
         hits = tagged.where(F.col("_sig") == F.lit(q_sig)).drop("_sig")
@@ -155,14 +165,17 @@ def ivf_index(df: DataFrame, vec_col: str = "embedding",
     narrow map with the centroid matrix broadcast by value.  Returns
     (df + centroid_id column, centroids ndarray).
     """
-    # ONE-pass uniform sample: tag every row with a seeded iid uniform
-    # key and take the smallest sample_size — orderBy+limit compiles to
+    # ONE-pass sample: order by a seeded CONTENT hash and take the
+    # smallest sample_size — orderBy+limit compiles to
     # TakeOrderedAndProject (per-partition k-heap + driver merge, no full
-    # sort, no shuffle of the corpus), and the top-k of iid keys is a
-    # uniform sample without replacement.  No count() pre-pass (the old
-    # count+Bernoulli form scanned the corpus twice and could race with a
-    # changing source between the passes), no partition-prefix bias.
-    rows = (df.select(vec_col).orderBy(F.rand(seed))
+    # sort, no shuffle of the corpus).  xxhash64(vec, seed) rather than
+    # rand(seed): rand folds the partition index into its stream, so the
+    # SAMPLE MEMBERSHIP itself changed with parallelism — training was
+    # only reproducible at a fixed partitioning.  A content hash is
+    # uniform over distinct vectors and identical at any layout (ties
+    # only between identical vectors, which train identically).
+    rows = (df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
             .limit(sample_size).collect())
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     # Arrival order depends on partitioning; sort lexicographically so
@@ -277,6 +290,26 @@ def _qsig_for(query_vec: list[float], num_bits: int, dim: int,
     return sig
 
 
+def _lsh_signature_rows(df: DataFrame, id_col: str, vec_col: str,
+                        num_bits: int, num_tables: int, dim: int,
+                        seed: int) -> DataFrame:
+    """(t, sig, vec_id, vec) rows for a persisted LSH layout: every
+    table's signature in ONE pass, exploded per table.  The SINGLE
+    construction shared by build_lsh_index and append_lsh_index — append
+    must stay bit-identical to build (same seed stride, same columns) or
+    probes silently miss appended rows."""
+    tagged = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    for t in range(num_tables):
+        tagged = hyperplane_signature(tagged, vec_col, num_bits, dim,
+                                      seed + 1000 * t, out_col=f"_s{t}")
+    return (tagged.select(
+        "vec_id", vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
+            for t in range(num_tables)
+        ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col))
+
+
 def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
                     id_col: str = "vec_id", num_bits: int = 8,
                     num_tables: int = 8, dim: int = 64,
@@ -292,16 +325,8 @@ def build_lsh_index(df: DataFrame, path: str, vec_col: str = "embedding",
     matching bucket.  Queries pay zero signature recomputation — the
     round-1 ``lsh_topk`` re-scanned the corpus 8× per query instead.
     """
-    tagged = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-    for t in range(num_tables):
-        tagged = hyperplane_signature(tagged, vec_col, num_bits, dim,
-                                      seed + 1000 * t, out_col=f"_s{t}")
-    rows = tagged.select(
-        "vec_id", vec_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
-            for t in range(num_tables)
-        ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col)
+    rows = _lsh_signature_rows(df, id_col, vec_col, num_bits, num_tables,
+                               dim, seed)
     _reset_generations(path)
     (rows.repartition("t").sortWithinPartitions("t", "sig")
          .write.mode("overwrite").partitionBy("t")
@@ -413,17 +438,9 @@ def append_lsh_index(df: DataFrame, path: str,
     if meta["kind"] != "lsh":
         raise ValueError(f"not an LSH index: {path}")
     vec_col = meta["vec_col"]
-    tagged = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
-    for t in range(meta["num_tables"]):
-        tagged = hyperplane_signature(tagged, vec_col, meta["num_bits"],
-                                      meta["dim"], meta["seed"] + 1000 * t,
-                                      out_col=f"_s{t}")
-    rows = tagged.select(
-        "vec_id", vec_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), F.col(f"_s{t}").alias("sig"))
-            for t in range(meta["num_tables"])
-        ])).alias("ts")).select("ts.t", "ts.sig", "vec_id", vec_col)
+    rows = _lsh_signature_rows(df, id_col, vec_col, meta["num_bits"],
+                               meta["num_tables"], meta["dim"],
+                               meta["seed"])
     (rows.repartition("t").sortWithinPartitions("t", "sig")
          .write.mode("append").partitionBy("t")
          .parquet(_index_data_dir(path)))

@@ -135,7 +135,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
                    .where(F.col(_SIDE) == l_side))
     else:
         matched = _asof_global(both, right, on, payload, order,
-                               l_side, direction, bucket)
+                               l_side, direction, bucket, tiebreak)
 
     m_on = F.col(f"{_MATCH}.{on}")
     if tolerance is not None:
@@ -155,7 +155,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
 
 def _asof_global(both: DataFrame, right: DataFrame, on: str,
                  payload: list[str], order: list[Column], l_side: int,
-                 direction: str, bucket: int) -> DataFrame:
+                 direction: str, bucket: int,
+                 tiebreak: str | None = None) -> DataFrame:
     """Keyless as-of: coarse time buckets + carry-in rows.
 
     In-bucket matches resolve with the same window as the keyed path,
@@ -177,8 +178,14 @@ def _asof_global(both: DataFrame, right: DataFrame, on: str,
     # STRICTLY PRECEDING buckets = the carry-in.  #populated buckets ≈
     # time-span/bucket: tiny, so the single-partition window over the
     # bucket table is deliberate and cheap — it never touches data rows.
-    rb = right.select(bexpr.alias(_BUCKET), F.col(on), *payload)
-    rank = F.struct((F.col(on) * sign).alias("o")).alias("_r")
+    rb = right.select(bexpr.alias(_BUCKET), F.col(on), *payload,
+                      (F.col(tiebreak).cast("double") if tiebreak
+                       else F.lit(0.0)).alias("_zdb_ctb"))
+    # rank honors the SAME tiebreak as the in-bucket window ("larger
+    # wins" at equal timestamps) — ranking on (on) alone made the
+    # carried row nondeterministic for equal-ts right rows
+    rank = F.struct((F.col(on) * sign).alias("o"),
+                    F.col("_zdb_ctb").alias("tb")).alias("_r")
     per_bucket = (rb.groupBy(_BUCKET)
                   .agg(F.max_by(F.struct(F.col(on).alias(on),
                                          *[F.col(c) for c in payload]),
@@ -506,8 +513,15 @@ def rate_anomaly(df: DataFrame, ts_col: str = "ts",
     mean = F.avg("n_events").over(w)
     std = F.stddev_samp(F.col("n_events").cast("double")).over(w)
     n_obs = F.count(F.lit(1)).over(w)
-    z = F.when((n_obs >= min_periods) & (std > 0),
-               (F.col("n_events") - mean) / std)
+    # std == 0 (perfectly flat baseline) must NOT collapse into the
+    # insufficient-history NULL: a spike over a constant rate is the
+    # clearest possible anomaly.  Report a capped sentinel z of ±1e9
+    # (sign of the deviation) there; 0.0 when the value matches the
+    # flat baseline exactly.
+    z = F.when(n_obs >= min_periods,
+               F.when(std > 0, (F.col("n_events") - mean) / std)
+                .otherwise(F.signum(F.col("n_events") - mean)
+                           * F.lit(1e9)))
     return counts.select(
         F.col(by), "bucket", "n_events",
         F.round(mean, 6).alias("baseline_mean"),

@@ -3300,10 +3300,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_words,
                    round(CAST(sum_wl AS DOUBLE) / n_words, 4) AS avg_word_len,
-                   round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                   round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
                    round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
                    round(0.4 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
-                       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+                       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
                        + 0.3 * least(CAST(n_stop AS DOUBLE) / n_words * 5, 1.0), 6)
                        AS quality_score
             FROM f
@@ -3718,7 +3718,7 @@ def oracle_sql() -> dict[str, str]:
                        round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100, 1.0)
                            + 0.3 * (1.0 - CAST(n_chars - length(
                                  regexp_replace(text, '[.,!?;:]', '', 'g'))
-                                 AS DOUBLE) / n_chars)
+                                 AS DOUBLE) / greatest(n_chars, 1))
                            + 0.3 * least(CAST(len(list_filter(toks,
                                  x -> list_contains(['the','and','of','to','in',
                                  'is','you','that','it','for'], x)))
@@ -4027,7 +4027,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ), p AS (
             SELECT shard, toks,
-                   (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                   (sum(toks) OVER (PARTITION BY shard
+                                    ORDER BY md5('v1:' ||
+                                                 CAST(doc_id AS VARCHAR)),
+                                             doc_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND CURRENT ROW)
                     - toks) // 2048 AS bin
@@ -4101,7 +4104,7 @@ def oracle_sql() -> dict[str, str]:
         ), q AS (
             SELECT doc_id, toks,
                    round(0.4 * least(CAST(n_words AS DOUBLE) / 100, 1.0)
-                       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars)
+                       + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars, 1))
                        + 0.3 * least(CAST(n_stop AS DOUBLE) / n_words * 5,
                                      1.0), 6) AS quality_score
             FROM f
@@ -4191,7 +4194,7 @@ def oracle_sql() -> dict[str, str]:
         ), per_doc AS (
             SELECT q.doc_id, q.source, q.n_words,
                    round(0.4 * least(CAST(q.n_words AS DOUBLE) / 100, 1.0)
-                   + 0.3 * (1.0 - CAST(q.n_punct AS DOUBLE) / q.n_chars)
+                   + 0.3 * (1.0 - CAST(q.n_punct AS DOUBLE) / greatest(q.n_chars, 1))
                    + 0.3 * least(CAST(q.s_en AS DOUBLE) / q.n_words * 5, 1.0),
                        6) AS qscore,
                    round(coalesce(CAST(bg.mx AS DOUBLE) / bg.tot, 0.0), 6)
@@ -4278,7 +4281,10 @@ def oracle_sql() -> dict[str, str]:
             FROM b WHERE n_tokens >= 150
         ), pk AS (
             SELECT shard, toks,
-                   (sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                   (sum(toks) OVER (PARTITION BY shard
+                                    ORDER BY md5('v1:' ||
+                                                 CAST(doc_id AS VARCHAR)),
+                                             doc_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                              AND CURRENT ROW)
                     - toks) // 2048 AS bin
@@ -4497,10 +4503,12 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(
                     regexp_replace(
                      regexp_replace(
-                      lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
-                        || regexp_replace(url, '^[a-zA-Z]+://[^/]*', ''),
-                      '^([a-z]+://)www\.', '\1'),
-                     '^([a-z]+://[^/:]*):(80|443)([/?#]|$)', '\1\3'),
+                      regexp_replace(
+                       lower(regexp_extract(url, '^([a-zA-Z]+://[^/]*)', 1))
+                         || regexp_replace(url, '^[a-zA-Z]+://[^/]*', ''),
+                       '^([a-z]+://)www\.', '\1'),
+                      '^(http://[^/:]*):80([/?#]|$)', '\1\2'),
+                     '^(https://[^/:]*):443([/?#]|$)', '\1\2'),
                     '#.*$', ''),
                    '([?&])(utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*',
                    '\1', 'g'),
@@ -4664,7 +4672,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, round({bm25_score}, 6) AS bm25
         FROM d, s
-        WHERE round({bm25_score}, 6) > 0
+        WHERE {bm25_score} > 0
         ORDER BY bm25 DESC, doc_id LIMIT 15
     """
     # 8-word-gram join as in the Spark operator: distinct grams per side

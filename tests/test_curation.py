@@ -59,9 +59,17 @@ def test_hash_split_validation(spark):
         hash_split(df, "doc_id", splits={"a": -0.1, "b": 0.5})
 
 
+def _pack_order_key(ident) -> str:
+    """The operator's in-shard packing order: md5('v1:'||id) hex string
+    (lexicographic), ties by id — hashed order de-correlates ingest-
+    adjacent documents."""
+    return hashlib.md5(f"v1:{ident}".encode()).hexdigest()
+
+
 def test_pack_sequences_matches_reference(spark):
     """Exact parity with a sequential pandas re-implementation of the
-    rule: shard by hashed id, pack in id order, bin = floor((cum-t)/max)."""
+    rule: shard by hashed id, pack in HASHED-id order (ties by id),
+    bin = floor((cum-t)/max)."""
     max_tokens, n_shards = 256, 8
     df = _docs(spark, 2000)
     got = (pack_sequences(df, "doc_id", "toks", max_tokens,
@@ -70,7 +78,8 @@ def test_pack_sequences_matches_reference(spark):
 
     pdf = df.toPandas()
     pdf["shard"] = [(_py_bucket("v1", i)) % n_shards for i in pdf.doc_id]
-    pdf = pdf.sort_values(["shard", "doc_id"])
+    pdf["okey"] = [_pack_order_key(i) for i in pdf.doc_id]
+    pdf = pdf.sort_values(["shard", "okey", "doc_id"])
     pdf["cum"] = pdf.groupby("shard")["toks"].cumsum()
     pdf["bin"] = ((pdf["cum"] - pdf["toks"]) // max_tokens).astype(int)
     want = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -81,13 +90,16 @@ def test_pack_sequences_matches_reference(spark):
 
 def test_pack_sequences_oversize_doc_blocks_bin(spark):
     """A doc with toks > max_tokens advances the cumsum past its bin:
-    no LATER doc in the shard shares that bin."""
+    no doc LATER IN PACK ORDER in the shard shares that bin."""
     rows = [(1, 10), (2, 500), (3, 10), (4, 10)]
     df = spark.createDataFrame(rows, "doc_id long, toks long")
     out = (pack_sequences(df, "doc_id", "toks", 100, n_shards=1)
-           .toPandas().sort_values("doc_id"))
-    big_bin = out.loc[out.doc_id == 2, "bin"].iloc[0]
-    later = out[out.doc_id > 2]
+           .toPandas())
+    out["okey"] = [_pack_order_key(i) for i in out.doc_id]
+    out = out.sort_values("okey").reset_index(drop=True)
+    big_pos = out.index[out.doc_id == 2][0]
+    big_bin = out.loc[big_pos, "bin"]
+    later = out.iloc[big_pos + 1:]
     assert (later["bin"] > big_bin).all()
 
 
@@ -156,6 +168,10 @@ def test_token_budget_mix_budget_and_determinism(spark):
     ssum = sharded.groupby("src")["toks"].sum()
     assert 3000 - 60 * 4 < ssum["s0"] < 3000 + 60 * 4
     assert sharded.shard.nunique() == 4
+    # empty budget dict: a clean ValueError, not an AttributeError on
+    # the unbuilt CASE expression
+    with pytest.raises(ValueError, match="at least one source"):
+        token_budget_mix(df, "src", "toks", "doc_id", {})
 
 
 def test_contamination_detects_planted_overlap(spark):

@@ -56,7 +56,8 @@ class TestOhlcvEndpoint:
     def test_api_shape(self, bar_table):
         out = ohlcv(bar_table, T0, T0 + 10 * MIN, symbols=["AAPL", "MSFT"])
         assert set(out) == {"results", "min_date", "max_date"}
-        assert out["min_date"] == "2024-01-01"
+        # i64 epoch nanos, the reference's OHLCVsResponse field type
+        assert out["min_date"] == T0
         a = out["results"]["AAPL"]
         assert a["t"] == [T0 + i * MIN for i in range(4)]
         assert a["o"] == [100.0, 101.0, 102.0, 103.0]

@@ -136,9 +136,14 @@ def with_market_open(df: DataFrame, date_col: str,
         F.max(F.year(date_col)).alias("hi")).collect()[0]
     if years["lo"] is None:
         return df.withColumn(out_col, F.lit(None).cast("boolean"))
-    hols = holiday_df(spark, int(years["lo"]), int(years["hi"]))
+    # collision-safe internal name: a fact table may legitimately carry
+    # its own 'holiday' column (ambiguous-reference AnalysisException,
+    # or worse, .drop would remove the user's column)
+    hols = (holiday_df(spark, int(years["lo"]), int(years["hi"]))
+            .withColumnRenamed("holiday", "_zdb_holiday"))
     d = F.to_date(F.col(date_col))
-    return (df.join(F.broadcast(hols), d == F.col("holiday"), "left")
+    return (df.join(F.broadcast(hols), d == F.col("_zdb_holiday"), "left")
               .withColumn(out_col,
-                          (~F.dayofweek(d).isin(1, 7)) & F.col("holiday").isNull())
-              .drop("holiday"))
+                          (~F.dayofweek(d).isin(1, 7))
+                          & F.col("_zdb_holiday").isNull())
+              .drop("_zdb_holiday"))

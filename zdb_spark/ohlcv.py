@@ -27,8 +27,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import datetime as dt
-
 from pyspark.sql import DataFrame, functions as F
 
 from .functions.scalar import nanos_to_ts, to_nanos
@@ -128,10 +126,14 @@ def ohlcv(table: Table, from_ts, to_ts, symbols: list[str] | None = None,
         }
         lo_all = r["_lo"] if lo_all is None else min(lo_all, r["_lo"])
         hi_all = r["_hi"] if hi_all is None else max(hi_all, r["_hi"])
+    # min_date/max_date are i64 epoch nanos, matching the reference's
+    # OHLCVsResponse struct exactly (ohlcv.rs:40-45) — the bundled UI
+    # (frontend.py drawChart) also scales them as nanos; a date string
+    # here broke both parity and the chart's x-axis.
     return {
         "results": results,
-        "min_date": _nanos_to_date_str(lo_all),
-        "max_date": _nanos_to_date_str(hi_all),
+        "min_date": lo_all,
+        "max_date": hi_all,
     }
 
 
@@ -211,8 +213,3 @@ def resample(df: DataFrame, every: str | None = None, ts_col: str = "ts",
                       *(["volume"] if volume_col else []))
 
 
-def _nanos_to_date_str(nanos: int | None) -> str | None:
-    if nanos is None:
-        return None
-    return dt.datetime.fromtimestamp(nanos / 1e9, tz=dt.timezone.utc).strftime(
-        "%Y-%m-%d")

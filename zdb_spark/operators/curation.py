@@ -87,7 +87,12 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     shard = _hash_bucket(id_col, salt) % F.lit(n_shards)
-    w = (Window.partitionBy("shard").orderBy(id_col)
+    # pack in HASHED-id order (ties by id), like token_budget_mix: raw
+    # id order would pack temporally/source-adjacent documents into the
+    # same training bins — exactly the ingest-order correlation the
+    # hash shuffle exists to break
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = (Window.partitionBy("shard").orderBy(h, id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(tokens_col).over(w)
     return (df.withColumn("shard", shard)
@@ -154,6 +159,8 @@ def token_budget_mix(df: DataFrame, source_col: str, tokens_col: str,
         raise ValueError("budgets must be non-negative")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
     src = F.col(source_col)
     budget_expr = None
     for name, b in budgets.items():
@@ -233,10 +240,14 @@ def contamination(df: DataFrame, bench: DataFrame, text_col: str = "text",
     rows only (rare by construction).  Distinct grams per side, so a
     phrase repeated inside one document counts once.
     """
+    from .dedup import let
     from .text import _ngram_col, tokenize
 
     def grams(frame: DataFrame, *cols: str) -> DataFrame:
-        g = F.array_distinct(_ngram_col(tokenize(text_col), n))
+        # let-bind tokenize so the split regex runs once per row, not
+        # once per gram position (no CSE inside HOF lambda bodies)
+        g = let(tokenize(text_col),
+                lambda t: F.array_distinct(_ngram_col(t, n)))
         return frame.select(*cols, F.explode(g).alias("gram"))
 
     bench_grams = grams(bench).distinct()

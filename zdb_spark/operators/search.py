@@ -103,7 +103,11 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
         tf = F.col(f"_tf{i}")
         part = F.lit(idf[t]) * tf * F.lit(k1 + 1) / (tf + denom_norm)
         score = part if score is None else score + part
-    return (base.select(F.col(id_col), F.round(score, 6).alias("bm25"))
-            .where(F.col("bm25") > 0)
+    # filter on the UNROUNDED score: for a corpus-ubiquitous term the
+    # Robertson idf is below 5e-7, so rounding first would zero every
+    # match and return an empty top-k instead of k ranked docs
+    return (base.select(F.col(id_col), score.alias("_score"))
+            .where(F.col("_score") > 0)
+            .select(F.col(id_col), F.round("_score", 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), id_col)
             .limit(k))

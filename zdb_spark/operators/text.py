@@ -106,7 +106,10 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_punct = n_chars - F.length(
             F.regexp_replace(F.col(text_col), r"[.,!?;:]", ""))
         n_stop = _marker_hits(toks, EN_STOPWORDS)
-        punct_ratio = n_punct.cast("double") / n_chars
+        # greatest(n_chars, 1): an empty document must score 0 punct,
+        # not NULL (Spark non-ANSI 0/0) — same guard logreg_features uses
+        punct_ratio = n_punct.cast("double") / F.greatest(
+            n_chars, F.lit(1))
         stop_ratio = n_stop.cast("double") / n_words
         score = (F.lit(0.4) * F.least(n_words.cast("double") / 100, F.lit(1.0))
                  + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
@@ -265,9 +268,15 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     table of a 100 TB corpus is itself large).  V is one scalar agg.
     Docs with fewer than 2 tokens get NULL (no transitions to score).
     """
+    from .dedup import let
+
+    # let-bind the token array: _ngram_col's lambda references its toks
+    # argument n-1 times per element, and Catalyst has no CSE inside HOF
+    # lambda bodies — an unbound tokenize() subtree would re-run the
+    # split regex O(n) times per row (the hazard dedup.let documents)
     toks = tokenize(text_col)
-    ex = (df.select(F.col(id_col), F.explode(_ngram_col(toks, 2))
-                    .alias("bg"))
+    grams = let(toks, lambda t: _ngram_col(t, 2))
+    ex = (df.select(F.col(id_col), F.explode(grams).alias("bg"))
           .withColumn("w1", F.split("bg", " ").getItem(0)))
     bg_counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     w1_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
@@ -369,8 +378,11 @@ def normalize_url(url: Column | str) -> Column:
         F.lower(F.regexp_extract(c, r"^([a-zA-Z]+://[^/]*)", 1)),
         F.regexp_replace(c, r"^[a-zA-Z]+://[^/]*", ""))
     c = F.regexp_replace(c, r"^([a-z]+://)www\.", r"$1")
-    c = F.regexp_replace(c, r"^([a-z]+://[^/:]*):(80|443)([/?#]|$)",
-                         r"$1$3")
+    # DEFAULT-port stripping is scheme-conditional: http://host:443 is a
+    # real non-default origin and must NOT merge with https://host (nor
+    # https://host:80 with http://host)
+    c = F.regexp_replace(c, r"^(http://[^/:]*):80([/?#]|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]*):443([/?#]|$)", r"$1$2")
     c = F.regexp_replace(c, r"#.*$", "")
     c = F.regexp_replace(c, TRACKING_PARAM_PATTERN, r"$1")
     c = F.regexp_replace(c, r"\?&+", "?")      # ?&id=1  -> ?id=1
@@ -397,12 +409,13 @@ def logreg_features(df: DataFrame, text_col: str = "text",
     expression family the corpus_report gate already oracle-mirrors, so
     training is cross-engine reproducible.  Row-local, zero shuffle."""
     txt = F.col(text_col)
-    toks = F.split(F.trim(F.lower(txt)), r"\s+")
+    # the module's ONE tokenization + marker-hit helpers — inline copies
+    # could drift from the oracle-mirrored expression family
+    toks = tokenize(txt)
     n_words = F.size(toks)
     n_chars = F.length(txt)
     n_punct = n_chars - F.length(F.regexp_replace(txt, "[.,!?;:]", ""))
-    s_en = F.size(F.filter(
-        toks, lambda t: t.isin(*sorted(EN_STOPWORDS))))
+    s_en = _marker_hits(toks, EN_STOPWORDS)
     out = df.select(
         F.lit(1.0).alias("x0"),
         F.least(n_words / F.lit(100.0), F.lit(1.0)).alias("x1"),

@@ -370,29 +370,8 @@ def wav_decode(payload: bytes) -> tuple[str, int, int, int, float, float]:
     Non-PCM/non-16-bit/truncated input raises ``ValueError`` — honest
     failure, not a guess.
     """
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a WAV (bad RIFF/WAVE header)")
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
-        typ = payload[pos:pos + 4]
-        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        chunk = payload[pos + 8:pos + 8 + ln]
-        pos += 8 + ln + (ln & 1)            # chunks are word-aligned
-        if typ == b"fmt ":
-            fmt = chunk
-        elif typ == b"data":
-            data = chunk
-    if fmt is None or data is None:
-        raise ValueError("truncated WAV (missing fmt/data chunk)")
-    audio_fmt, channels, sample_rate, _br, _ba, bits = \
-        struct.unpack("<HHIIHH", fmt[:16])
-    if audio_fmt != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV (fmt={audio_fmt} bits={bits}; "
-                         "only 16-bit PCM)")
-    if len(data) % (channels * 2):
-        raise ValueError("corrupt WAV (data not a whole number of frames)")
-    n_samples = len(data) // 2
-    samples = struct.unpack(f"<{n_samples}h", data)
+    sample_rate, channels, samples = _wav_samples(payload)
+    n_samples = len(samples)
     n_frames = n_samples // channels
     sum_sq = sum(s * s for s in samples)     # exact integer
     rms = (sum_sq / n_samples) ** 0.5 / 32768.0 if n_samples else 0.0

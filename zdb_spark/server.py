@@ -73,12 +73,15 @@ def _json_default(v):
 
     if isinstance(v, (dt.date, dt.datetime)):
         return str(v)
-    if hasattr(v, "item"):  # numpy scalar
-        return v.item()
+    # array-shaped FIRST: ndarrays/Series also expose .item(), which
+    # raises for size != 1 — checking .item() first made the tolist
+    # branch unreachable and 400'd every array-shaped /q result
+    if hasattr(v, "columns") and hasattr(v, "to_dict"):  # pandas DataFrame
+        return v.to_dict(orient="list")
     if hasattr(v, "tolist"):  # numpy array / pandas Series
         return v.tolist()
-    if hasattr(v, "to_dict"):  # pandas DataFrame
-        return v.to_dict(orient="list")
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
     return str(v)
 
 
@@ -217,8 +220,12 @@ def make_server(spark: SparkSession, home: str | None = None,
                     self._err(f"missing field {k!r}")
                     return
             t = Table.open(spark, body["table"], home)
-            from_ts = body.get("from", t.get_first_ts() or 0)
-            to_ts = body.get("to", t.get_last_ts() or 0)
+            # lazy defaults: dict.get evaluates its default eagerly, so
+            # the manifest-stat reads would run even with bounds supplied
+            from_ts = (body["from"] if "from" in body
+                       else t.get_first_ts() or 0)
+            to_ts = (body["to"] if "to" in body
+                     else t.get_last_ts() or 0)
             if isinstance(from_ts, str):
                 from_ts = string_to_nanoseconds(from_ts)
             if isinstance(to_ts, str):

@@ -45,10 +45,19 @@ def _conform(df: DataFrame, table: Table) -> DataFrame:
 
 def ingest_csv(table: Table, path: str, header: bool = True,
                **options) -> int:
-    """Load CSV file(s) into the table. Returns rows appended."""
-    df = (table.spark.read.options(header=header, **options)
-          .schema(table.schema.spark_schema())
-          .csv(path))
+    """Load CSV file(s) into the table. Returns rows appended.
+
+    With a header the columns bind BY NAME: supplying the table schema
+    to the reader would bind positionally (Spark ignores header names
+    under an explicit schema), silently transposing a CSV whose column
+    order differs from the schema.  Headerless CSVs are positional by
+    nature and get the schema directly."""
+    if header:
+        df = (table.spark.read.options(header=True, **options).csv(path))
+    else:
+        df = (table.spark.read.options(header=False, **options)
+              .schema(table.schema.spark_schema())
+              .csv(path))
     return table.write(_conform(df, table))
 
 
@@ -101,13 +110,23 @@ def convert_column_type(spark: SparkSession, name: str, column: str,
 
     t = Table.open(spark, name, home)
     col = t.schema.column(column)  # raises on unknown
+    if column == t.schema.ts_col:
+        # Schema.__post_init__ would inject a fresh TIMESTAMP column 0
+        # next to the converted one — two columns named ts, a corrupted
+        # sidecar, and a permanently broken table.  The reference's
+        # converter has the same restriction implicitly (ts IS the
+        # partition/order key).
+        raise ValueError(
+            f"cannot convert the timestamp column {column!r}: it is the "
+            "table's partition/order key")
     new_cols = [
         Column(c.name, to_type if c.name == column else c.ctype, c.resolution)
         for c in t.schema.columns
     ]
     new_schema = Schema(name=t.schema.name, columns=new_cols,
                         partition_by=t.schema.partition_by,
-                        strict_u64=t.schema.strict_u64)
+                        strict_u64=t.schema.strict_u64,
+                        partition_dirs=list(t.schema.partition_dirs))
 
     src = os.path.join(t.path, "parquet")
     tmp = os.path.join(t.path, "parquet.migrating")
@@ -116,13 +135,20 @@ def convert_column_type(spark: SparkSession, name: str, column: str,
             column,
             F.col(column).cast(new_schema.column(column)
                                .spark_type(new_schema.strict_u64)))
-        # Same trap Table.write guards against: FileFormatWriter inserts
+        # Same traps Table.write guards against: FileFormatWriter inserts
         # its own dt-only sort when the incoming order doesn't lead with
-        # the partition column, destroying the within-file ts order the
-        # row-group pruning relies on.  Re-establish it explicitly.
-        (df.repartition("dt")
-           .sortWithinPartitions("dt", t.schema.ts_col)
-           .write.mode("overwrite").partitionBy("dt").parquet(tmp))
+        # the partition column (destroying the within-file ts order the
+        # row-group pruning relies on), and hash-repartition on dt alone
+        # funnels each whole day through ONE task.  Range-partition on
+        # (dt, ts) like the write path, and keep the table's pinned
+        # parquet codec — this rewrite touches 100% of the files, the
+        # worst place to silently flip compression.
+        writer = (df.repartitionByRange("dt", t.schema.ts_col)
+                    .sortWithinPartitions("dt", t.schema.ts_col)
+                    .write.mode("overwrite"))
+        if t._meta.compression:
+            writer = writer.option("compression", t._meta.compression)
+        writer.partitionBy("dt").parquet(tmp)
         backup = src + ".old"
         os.rename(src, backup)
         os.rename(tmp, src)

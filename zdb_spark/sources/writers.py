@@ -56,6 +56,10 @@ def export_shards(df: DataFrame, path: str, n_shards: int, id_col: str,
     if n_shards > _BUCKETS:
         raise ValueError(f"n_shards must be <= {_BUCKETS} "
                          "(the hash-bucket domain)")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — rename it before "
+            "export (the shard partition column would be ambiguous)")
 
     shard = (_hash_bucket(id_col, salt) % F.lit(n_shards)).alias("shard")
     # Persist the sharded frame across its two consumers (the manifest
@@ -78,8 +82,32 @@ def export_shards(df: DataFrame, path: str, n_shards: int, id_col: str,
 
     manifest = {"n_shards": n_shards, "fmt": fmt, "salt": salt,
                 "rows": sum(per_shard.values()), "per_shard": per_shard}
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    _write_manifest(df.sparkSession, path, json.dumps(manifest))
     return manifest
+
+
+def _write_manifest(spark, path: str, content: str) -> None:
+    """Write ``path/_manifest.json`` through the same filesystem layer
+    the data write used: plain open()/os.replace only works for local
+    paths, but export targets are routinely object stores (s3a://,
+    hdfs://) — where the local call would crash AFTER all shard data
+    landed, breaking the manifest-for-completeness contract.  Local
+    paths keep the tmp+rename atomicity; remote paths go through the
+    Hadoop FileSystem API (rename is atomic on HDFS; on S3 the manifest
+    is small enough that the PUT itself is effectively atomic)."""
+    if "://" not in path or path.startswith("file://"):
+        base = path[len("file://"):] if path.startswith("file://") else path
+        tmp = os.path.join(base, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(content)
+        os.replace(tmp, os.path.join(base, "_manifest.json"))
+        return
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dest = jvm.org.apache.hadoop.fs.Path(path + "/_manifest.json")
+    fs = dest.getFileSystem(conf)
+    out = fs.create(dest, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()

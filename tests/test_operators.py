@@ -1292,6 +1292,43 @@ class TestTokenize:
         assert a[1] == (None, None) and b[1] == (None, None)
         assert a[2] == b[2] and a[2][0] is not None
 
+    def test_control_chars_stripped_both_paths(self, spark):
+        """\\x01-\\x03 are the chain path's structural delimiters; text
+        containing them must be cleaned identically on BOTH apply paths
+        (and in train) instead of silently corrupting token boundaries."""
+        from zdb_spark.operators.tokenize import (apply_bpe, apply_bpe_udf,
+                                                  train_bpe)
+
+        dirty = "lo\x01wer \x02tone\x03 lower tone"
+        docs = spark.createDataFrame([(1, dirty), (2, "lower tone")],
+                                     "doc_id long, text string")
+        merges = train_bpe(docs, "text", n_merges=6, min_pair_count=1)
+        a = {r["id"]: (r["tokens"], r["n_tokens"])
+             for r in apply_bpe(docs, merges).collect()}
+        b = {r["id"]: (r["tokens"], r["n_tokens"])
+             for r in apply_bpe_udf(docs, merges).collect()}
+        assert a == b
+        # the cleaned dirty row is exactly two of the clean row's words
+        assert a[1][0] == a[2][0] + a[2][0]
+        # no structural delimiter ever leaks into an emitted token
+        assert all("\x01" not in t and "\x02" not in t
+                   for toks, _ in a.values() for t in toks)
+
+    def test_apply_bpe_udf_preserves_string_ids(self, spark):
+        """The UDF path must carry the id column through untouched —
+        string/UUID doc ids crashed it pre-fix (hard-coded int(i))."""
+        from zdb_spark.operators.tokenize import apply_bpe, apply_bpe_udf
+
+        docs = spark.createDataFrame(
+            [("doc-a", "lower tone"), ("doc-b", "slow flower")],
+            "doc_id string, text string")
+        merges = [("l", "o"), ("lo", "w")]
+        a = {r["id"]: r["tokens"] for r in apply_bpe(docs, merges).collect()}
+        b = {r["id"]: r["tokens"]
+             for r in apply_bpe_udf(docs, merges).collect()}
+        assert a == b and set(a) == {"doc-a", "doc-b"}
+        assert dict(apply_bpe_udf(docs, merges).dtypes)["id"] == "string"
+
     def test_train_bpe_deterministic(self, spark):
         from zdb_spark.operators.tokenize import train_bpe
 
@@ -1502,10 +1539,11 @@ class TestIncrementalDedup:
                    resub, df.unionByName(resub), store).collect()}
         assert got == {(1, 3)}
 
-    def test_torn_append_self_heals(self, spark, tmp_path):
-        """A staged batch left behind by a crash mid-publish (both
+    def test_torn_append_self_heals(self, spark, tmp_path, monkeypatch):
+        """A STALE staged batch left behind by a crash mid-publish (both
         _SUCCESS markers present) is completed on the next store open;
-        an unfinished write (no markers) is discarded."""
+        a stale unfinished write (no markers) is discarded; a FRESH
+        staged batch (possibly a live appender's) is left alone."""
         import os
         import shutil
 
@@ -1524,6 +1562,11 @@ class TestIncrementalDedup:
         # also plant an UNFINISHED batch (no _SUCCESS) — must be culled
         dead = os.path.join(store, "_staging", "dead")
         os.makedirs(os.path.join(dead, "sigs"))
+        # fresh batches are presumed in-flight: heal must NOT touch them
+        dedup._store_params(store)
+        assert os.path.exists(dead) and os.path.exists(staging)
+        # ... until they cross the staleness threshold
+        monkeypatch.setattr(dedup, "_HEAL_STALE_S", 0.0)
         dedup._store_params(store)     # open triggers self-heal
         assert not os.path.exists(dead)
         assert not os.path.exists(os.path.join(store, "_staging"))

@@ -241,6 +241,43 @@ class TestSessionize:
         assert s["session_end"] == T0 + 40 * MIN
 
 
+    def test_far_straggler_closes_as_own_session(self, spark, tmp_path):
+        """An event arriving MORE than gap before the live session's
+        start must NOT be folded in (pre-fix it silently pulled
+        session_start back a day): stragglers sessionize among
+        themselves and emit closed immediately."""
+        from zdb_spark.streaming.ingest import sessionize
+
+        DAY = 24 * 3600 * NS
+        src = str(tmp_path / "far_src")
+        # batch 1 opens the live session at T0+1day
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0 + DAY), Row(user_id=1, ts=T0 + DAY + MIN)]
+        ).coalesce(1).write.parquet(src)
+        # batch 2: two day-old stragglers 1min apart (one late run) plus
+        # an in-gap extension of the live session
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0), Row(user_id=1, ts=T0 + MIN),
+             Row(user_id=1, ts=T0 + DAY + 2 * MIN)]
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("user_id long, ts long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = sessionize(stream, gap_nanos=3600 * NS)
+        out = str(tmp_path / "far_out")
+        q = (sessions.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "far_ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        # the late run closes as ONE session; the live session stays open
+        # in state with its start untouched
+        assert len(got) == 1
+        s = got[0]
+        assert (s["session_start"], s["session_end"], s["n_events"]) == \
+            (T0, T0 + MIN, 2)
+
+
 class TestRollupSink:
     @staticmethod
     def _rollup_table(spark, tmp_path):

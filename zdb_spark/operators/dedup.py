@@ -731,7 +731,12 @@ _STORE_VERSION = "mh1"  # bump when the hash recipe changes
 
 def _publish_staged_store_batch(path: str, staging: str) -> None:
     """Move a fully-written staged batch's part files into the live
-    sigs/ + banded/ dirs (unique part names, so plain renames)."""
+    sigs/ + banded/ dirs (unique part names, so plain renames).
+
+    Tolerates a concurrent healer publishing the same batch: a source
+    part file that vanished mid-walk was already moved by the winner
+    (part names are unique, so the destination content is identical
+    either way) — skip it instead of crashing spuriously."""
     import os
     import shutil
 
@@ -739,18 +744,49 @@ def _publish_staged_store_batch(path: str, staging: str) -> None:
         sdir = os.path.join(staging, sub)
         ddir = os.path.join(path, sub)
         os.makedirs(ddir, exist_ok=True)
-        for fname in os.listdir(sdir):
+        try:
+            names = os.listdir(sdir)
+        except FileNotFoundError:
+            continue  # concurrent healer already published + removed
+        for fname in names:
             if fname.startswith(("_", ".")):
                 continue
-            os.replace(os.path.join(sdir, fname),
-                       os.path.join(ddir, fname))
+            try:
+                os.replace(os.path.join(sdir, fname),
+                           os.path.join(ddir, fname))
+            except FileNotFoundError:
+                pass  # concurrent healer moved this part first
     shutil.rmtree(staging, ignore_errors=True)
 
 
+# A staged store batch younger than this is presumed to belong to a LIVE
+# appender and is left alone by the self-heal sweep; only batches this
+# stale are published (torn mid-publish) or discarded (torn mid-write).
+# Legitimate appends stage + publish within seconds, so an hour-old
+# staged batch can only be a crash's leftovers.  Tests shrink this.
+_HEAL_STALE_S = 3600.0
+
+
 def _store_params(path: str) -> dict:
+    """Open the store's params, self-healing STALE torn appends.
+
+    The MinHash store assumes a SINGLE WRITER at a time (appends are
+    staged then published via renames; two concurrent appenders could
+    interleave partial publishes).  Readers may run concurrently with
+    one appender: the self-heal sweep below therefore only touches
+    staged batches older than ``_HEAL_STALE_S`` — a younger batch may be
+    an in-flight append's staging dir, and rmtree-ing it out from under
+    the live writer would fail that append.  A stale batch with BOTH
+    _SUCCESS markers finished writing (the append crashed mid-publish) —
+    complete the publish; one without finished markers never completed
+    its Spark write and is discarded (the caller never saw success and
+    retries).  Publish itself tolerates a racing healer (see
+    ``_publish_staged_store_batch``).
+    """
     import json
     import os
     import shutil
+    import time
 
     with open(os.path.join(path, "params.json")) as f:
         p = json.load(f)
@@ -759,14 +795,17 @@ def _store_params(path: str) -> dict:
             f"signature store at {path} was built by recipe "
             f"{p.get('version')!r}; this code computes {_STORE_VERSION!r} — "
             "rebuild the store (stored and fresh hashes would not collide)")
-    # Self-heal torn appends: a staged batch with BOTH _SUCCESS markers
-    # finished writing (the append crashed mid-publish) — complete the
-    # publish; one without finished markers never completed its Spark
-    # write and is discarded (the caller never saw success and retries).
     st_root = os.path.join(path, "_staging")
     if os.path.isdir(st_root):
+        now = time.time()
         for b in os.listdir(st_root):
             bdir = os.path.join(st_root, b)
+            try:
+                age = now - os.path.getmtime(bdir)
+            except OSError:
+                continue  # vanished (racing healer / finishing appender)
+            if age < _HEAL_STALE_S:
+                continue  # possibly a live append's staging — hands off
             if all(os.path.exists(os.path.join(bdir, s, "_SUCCESS"))
                    for s in ("sigs", "banded")):
                 _publish_staged_store_batch(path, bdir)

@@ -45,6 +45,16 @@ __all__ = ["train_bpe", "apply_bpe", "apply_bpe_udf", "bpe_segment_expr",
 EOW = "\x03"
 _L, _R = "\x01", "\x02"
 
+# \x01-\x03 are STRUCTURAL delimiters of the codegen apply path (and EOW
+# itself); text containing them would corrupt token boundaries.  Every
+# entry point (train + both apply paths) strips them first so all three
+# see the identical cleaned corpus.
+_CTRL_RE = "[\x01-\x03]"
+
+
+def _clean_text(col: Column) -> Column:
+    return F.regexp_replace(col, _CTRL_RE, "")
+
 
 def train_bpe(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 50, max_words: int = 50_000,
@@ -58,7 +68,8 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     counts is lexicographic, so training is fully deterministic.
     """
     freq_rows = (df.select(F.explode(
-                     F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                     F.split(F.trim(F.lower(_clean_text(F.col(text_col)))),
+                             r"\s+"))
                      .alias("w"))
                  .where(F.col("w") != "")
                  .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
@@ -122,7 +133,7 @@ def apply_bpe(df: DataFrame, merges: list[tuple[str, str]],
     tests/test_plans_sources.py).
     """
     words = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        F.split(F.trim(F.lower(_clean_text(F.col(text_col)))), r"\s+"),
         lambda w: w != "")
     toks = F.flatten(
         F.transform(words, lambda w: bpe_segment_expr(w, merges)))
@@ -137,11 +148,18 @@ def apply_bpe_udf(df: DataFrame, merges: list[tuple[str, str]],
                   id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched apply for LARGE merge tables: broadcast merge ranks,
     per-word greedy rank merging with a word cache (the conventional BPE
-    runtime).  Semantically identical to ``apply_bpe``; use when the
+    runtime).  Semantically identical to ``apply_bpe`` (same control-char
+    strip, same NULL propagation, and the id column's exact input type is
+    preserved — string/UUID doc ids work in both paths); use when the
     merge count would make a codegen expression chain unwieldy."""
+    import re
+
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     ranks_bc = spark.sparkContext.broadcast(
         {pair: i for i, pair in enumerate(merges)})
+    ctrl = re.compile(_CTRL_RE)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ranks = ranks_bc.value
@@ -170,14 +188,18 @@ def apply_bpe_udf(df: DataFrame, merges: list[tuple[str, str]],
                 if text is None:
                     # parity with apply_bpe: split(NULL) propagates NULL
                     # (str(None) would fabricate tokens for 'none')
-                    rows.append((int(i), None, None))
+                    rows.append((i, None, None))
                     continue
-                toks = [t for w in str(text).lower().split() if w
-                        for t in seg(w)]
-                rows.append((int(i), toks, len(toks)))
+                toks = [t for w in ctrl.sub("", str(text)).lower().split()
+                        if w for t in seg(w)]
+                rows.append((i, toks, len(toks)))
             yield pd.DataFrame(rows, columns=["id", "tokens", "n_tokens"])
 
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType, True),
+        T.StructField("tokens", T.ArrayType(T.StringType()), True),
+        T.StructField("n_tokens", T.IntegerType(), True),
+    ])
     src = df.select(F.col(id_col).alias("id"),
                     F.col(text_col).alias("text"))
-    return src.mapInPandas(encode,
-                           "id long, tokens array<string>, n_tokens int")
+    return src.mapInPandas(encode, out_schema)

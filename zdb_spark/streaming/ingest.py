@@ -177,8 +177,16 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
     n_events), timestamps in epoch nanos.  State per key is (start, last,
     count); a session closes when a later event arrives more than
     ``gap_nanos`` after the stored ``last``.  Cross-batch late events
-    (older than the stored ``last`` but in-gap) extend the count without
-    moving ``last`` backwards, so a straggler can never split a session.
+    within ``gap_nanos`` of the stored ``[start, last]`` interval merge
+    into the live session (extending ``start`` backwards if needed)
+    without moving ``last`` backwards, so an in-gap straggler can never
+    split a session.  An event arriving MORE than ``gap_nanos`` before
+    the stored ``start`` belongs to a session whose horizon has already
+    passed — the compressed (start, last, count) state cannot re-open
+    it, so such stragglers are sessionized among THEMSELVES (gap logic
+    over the late run) and emitted as closed sessions immediately,
+    never silently folded into the live session (that would pull
+    ``session_start`` arbitrarily far back and break batch parity).
 
     By default each key's FINAL session stays open in the state store
     (the batch-parity contract the driver oracle checks — a drained
@@ -207,11 +215,23 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
             start = last = None
             count = 0
         closed = []
+        late = None  # (start, last, count) run of too-early stragglers
         for pdf in pdfs:
             for t in sorted(pdf[ts_col].tolist()):
                 t = int(t)
                 if start is None:
                     start, last, count = t, t, 1
+                elif t < start - gap_nanos:
+                    # too late for the live session (see docstring):
+                    # sessionize the stragglers among themselves
+                    if late is None:
+                        late = [t, t, 1]
+                    elif t - late[1] > gap_nanos:
+                        closed.append((uid, late[0], late[1], late[2]))
+                        late = [t, t, 1]
+                    else:
+                        late[1] = max(late[1], t)
+                        late[2] += 1
                 elif t - last > gap_nanos:
                     closed.append((uid, start, last, count))
                     start, last, count = t, t, 1
@@ -221,6 +241,8 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
                     start = min(start, t)
                     last = max(last, t)
                     count += 1
+        if late is not None:
+            closed.append((uid, late[0], late[1], late[2]))
         if start is not None:
             state.update((start, last, count))
             if idle_flush_ms is not None:

@@ -2594,21 +2594,52 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat_ws(" ", toks).alias("tok_str"))
 
 
+# Planted BPE training corpus with ANALYTICALLY FORCED merges: word
+# counts are powers of two, so every merge step's pair-frequency argmax
+# is STRICT (no tie-break ever fires).  Hand derivation (␃ = EOW):
+#   counts: ab×32  cab×16  dab×8  abe×4  fe×2
+#   1. (a,b)=32+16+8+4=60  > (b,␃)=56 > all       → merge "ab"
+#   2. (ab,␃)=32+16+8=56   > (c,ab)=16            → merge "ab␃"
+#   3. (c,ab␃)=16 > (d,ab␃)=8                     → merge "cab␃"
+#   4. (d,ab␃)=8  > (e,␃)=6                       → merge "dab␃"
+#   5. (e,␃)=4+2=6 > (ab,e)=4                     → merge "e␃"
+#   6. (ab,e␃)=4  > (f,e␃)=2                      → merge "abe␃"
+#   7. (f,e␃)=2   = min_pair_count                → merge "fe␃"
+#   8. every word is one symbol — no pairs — loop exits early.
+# Mixed case in the rows exercises the lowercase path.
+_BPE_PLANT = [("Ab", 32), ("cab", 16), ("dAb", 8), ("aBe", 4), ("fe", 2)]
+_BPE_PLANT_MERGES = [("a", "b"), ("ab", "_"), ("c", "ab_"), ("d", "ab_"),
+                     ("e", "_"), ("ab", "e_"), ("f", "e_")]
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge training over the corpus: ONE word-frequency shuffle,
-    then the deterministic merge loop on the bounded top-N frequency
-    table (operators/tokenize.py:train_bpe).  The merge sequence is an
-    iterative argmax — not SQL-expressible, so this gate is rows-only at
-    the driver; determinism and hand-worked-example correctness are
-    pinned by pytest (tests/test_operators.py), and the apply path the
-    merges feed is value-checked by the bpe_apply gate."""
+    """BPE merge training, VALUE-checked end-to-end: ONE word-frequency
+    shuffle, then the deterministic merge loop on the bounded top-N
+    frequency table (operators/tokenize.py:train_bpe).  The iterative
+    argmax no SQL engine replays, so the oracle is a PLANTED corpus
+    whose merge sequence is analytically forced (strict pair-frequency
+    ordering at every step — see ``_BPE_PLANT``'s derivation); the
+    expected merge table is a literal in the oracle SQL and a hash
+    match proves the trainer reproduces it exactly.  The real corpus
+    still trains IN-RUN (structural invariants asserted) so the gate
+    keeps exercising the distributed path at data scale; hand-worked
+    examples + determinism-under-repartition are pinned by pytest."""
     from zdb_spark.operators.tokenize import EOW, train_bpe
 
-    docs = _load(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", n_merges=40)
+    # real-corpus train: the distributed path at sf scale must produce
+    # the requested number of distinct, non-degenerate merges
+    real = train_bpe(_load(spark, sf_dir, "documents"), "text", n_merges=40)
+    assert len(real) == 40 and len(set(real)) == 40, \
+        f"real-corpus BPE train degenerate: {len(set(real))}/40 merges"
+
+    planted = spark.createDataFrame(
+        [(i, w) for i, (w, n) in enumerate(_BPE_PLANT) for _ in range(n)],
+        "doc_id long, text string").repartition(8)
+    merges = train_bpe(planted, "text", n_merges=8)  # 8 asks, 7 forced
     rows = [(i, a.replace(EOW, "_"), b.replace(EOW, "_"))
             for i, (a, b) in enumerate(merges)]
-    return spark.createDataFrame(rows, "rank int, left string, right string")
+    return spark.createDataFrame(rows, "merge_rank int, lhs string, "
+                                       "rhs string")
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4241,6 +4272,16 @@ def oracle_sql() -> dict[str, str]:
                                    t -> replace(t, chr(3), '_')), ' ')
                    AS tok_str
         FROM s
+    """
+    # BPE train gate: the planted corpus's merge sequence is analytically
+    # forced (strict argmax at every step — derivation at _BPE_PLANT), so
+    # the oracle is the expected merge table as literals.
+    _plant_vals = ", ".join(
+        f"({i}, {_bpe_sql_lit(a)}, {_bpe_sql_lit(b)})"
+        for i, (a, b) in enumerate(_BPE_PLANT_MERGES))
+    sqls["bpe_train"] = f"""
+        SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs
+        FROM (VALUES {_plant_vals}) AS t(merge_rank, lhs, rhs)
     """
     # Round-7 composite: paragraph election -> rebuild -> literal BPE
     # chain -> running-sum packing, all chained in one statement.

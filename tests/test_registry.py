@@ -47,6 +47,35 @@ def test_never_verified_gates_sit_inside_the_window():
         f"{entry_mod.WINDOW}: {overflow}")
 
 
+def test_changed_this_round_names_exist():
+    """Rule-1 hand-list typo guard: every _CHANGED_THIS_ROUND name must
+    be a declared gate, else the rotation silently skips it."""
+    names = {n for n, _ in entry_mod._QUERY_DECLARATIONS}
+    unknown = [n for n in entry_mod._CHANGED_THIS_ROUND if n not in names]
+    assert not unknown, f"_CHANGED_THIS_ROUND typos: {unknown}"
+
+
+def test_rotation_is_stalest_first():
+    """Mechanized rotation (round 8): changed gates lead, never-verified
+    gates precede all history-backed gates, and history-backed gates
+    appear in non-decreasing last-green-round order (a red newer than
+    the last green counts as that red round, sorted before greens)."""
+    hist = entry_mod._verification_history()
+    names = [n for n, _ in entry_mod._QUERY_REGISTRY]
+    k = len(entry_mod._CHANGED_THIS_ROUND)
+    assert set(names[:k]) == set(entry_mod._CHANGED_THIS_ROUND)
+    tiers = []
+    for n in names[k:]:
+        h = hist.get(n)
+        if h is None:
+            tiers.append((1, 0))
+        elif h[1] is not None and (h[0] is None or h[1] > h[0]):
+            tiers.append((2, h[1]))
+        else:
+            tiers.append((3, h[0]))
+    assert tiers == sorted(tiers), "registry not stalest-first"
+
+
 def test_oracle_keys_are_query_keys():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))

@@ -1119,6 +1119,30 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="unknown decoder"):
             decode_video(df, "blob", "id", decoder="mp4")
 
+    def test_ffmpeg_decoder_absent_raises_loudly(self):
+        """Without ffprobe the ffmpeg decoder must fail with a clear
+        NotImplementedError at first use, not silent zeros."""
+        from zdb_spark.operators import multimodal as mm
+
+        if mm.ffmpeg_available():
+            pytest.skip("ffprobe present — covered by the decode test")
+        with pytest.raises(NotImplementedError, match="ffprobe"):
+            mm.ffmpeg_video_decode(b"\x00" * 16)
+
+    def test_ffmpeg_decoder_on_gif(self, spark):
+        """With ffmpeg installed, decoder='ffmpeg' must agree with the
+        stdlib GIF codec on dimensions and frame count (skipped in this
+        sandbox, which has no ffmpeg)."""
+        from zdb_spark.operators import multimodal as mm
+
+        if not mm.ffmpeg_available():
+            pytest.skip("ffprobe not on PATH")
+        blob = mm.gif_encode(6, 5, [((10, 20, 30), 4), ((40, 50, 60), 4)])
+        df = spark.createDataFrame([Row(id=1, blob=blob)])
+        got = mm.decode_video(df, "blob", "id",
+                              decoder="ffmpeg").collect()[0]
+        assert (got["width"], got["height"], got["n_frames"]) == (6, 5, 2)
+
 
 class TestParagraphDedup:
     def test_drops_later_duplicates_and_rebuilds(self, spark):

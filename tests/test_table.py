@@ -317,6 +317,32 @@ class TestManifest:
         assert removed == 2                   # the two pre-compaction files
         assert t.scan().count() == 2          # latest snapshot unaffected
 
+    def test_vacuum_under_reader_fails_clean_not_silent(
+            self, spark, tmp_home):
+        """The documented snapshot-isolation boundary: a reader holding a
+        PRE-compaction snapshot DataFrame keeps working until vacuum()
+        (grace window), and after vacuum it fails LOUDLY at action time
+        (missing file), never returning silently wrong/partial rows —
+        Delta's retention-period contract."""
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        t.write(rows_df(spark, [T0 + 1]))
+        held = t.snapshot(2)                  # pre-compaction reader
+        t.compact()
+        assert held.count() == 2              # readable until vacuum
+        t.vacuum(grace_seconds=0)
+        # the held plan's files are gone: a fresh action must ERROR (not
+        # silently drop rows) unless the user opted into ignoreMissing
+        with pytest.raises(Exception) as exc:
+            held.toPandas()                   # force a re-read action
+        assert "FileNotFound" in str(exc.value) \
+            or "does not exist" in str(exc.value)
+        # superseded manifest versions are gone too: time travel to them
+        # now refuses loudly instead of reconstructing a partial view
+        with pytest.raises(ValueError, match="no snapshot version 2"):
+            t.snapshot(2)
+        assert t.scan().count() == 2          # latest snapshot unaffected
+
     def test_migration_refreshes_manifest(self, spark, tmp_home):
         from zdb_spark.schema import ColumnType
         from zdb_spark.sources.readers import convert_column_type

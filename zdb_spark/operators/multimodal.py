@@ -920,7 +920,58 @@ def _fake_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
             round(h[3] / 10.0, 6))
 
 
-_VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode}
+def ffmpeg_available() -> bool:
+    import shutil as _shutil
+    return _shutil.which("ffprobe") is not None
+
+
+def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """REAL mp4/webm/mkv/avi decode via an ``ffprobe`` subprocess —
+    the optional-dependency escape hatch for containers the stdlib
+    codecs can't parse (same pattern as the PIL-backed image path at
+    ``_pil_decode``).  OPTIONAL DEPENDENCY: ffmpeg must be installed on
+    every executor's PATH; absent, this raises ``NotImplementedError``
+    at first use and callers should fall back to ``decoder="gif"`` (the
+    hermetic stdlib codec) or ``decoder="fake"`` (the deterministic
+    plumbing stub the oracle gates use).
+
+    ``-count_frames`` DECODES the video stream for an exact frame count
+    (nb_frames metadata lies for some muxers); that is the honest
+    price of the (fmt, w, h, n_frames, duration) contract the GIF codec
+    also pays.  Payloads stream over stdin, so mp4 files with a
+    trailing moov atom must be faststart-muxed (ffprobe's own pipe
+    limitation) — non-seekable failures surface as ValueError, not
+    silent zeros."""
+    import json as _json
+    import shutil as _shutil
+    import subprocess
+
+    if _shutil.which("ffprobe") is None:
+        raise NotImplementedError(
+            "decoder='ffmpeg' requires ffprobe (ffmpeg) on every "
+            "executor's PATH; install it or use decoder='gif'/'fake'")
+    proc = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0",
+         "-count_frames", "-show_entries",
+         "stream=width,height,nb_read_frames,duration"
+         ":format=format_name,duration",
+         "-of", "json", "-"],
+        input=payload, capture_output=True)
+    if proc.returncode != 0:
+        raise ValueError(f"ffprobe failed: {proc.stderr[:200]!r}")
+    doc = _json.loads(proc.stdout)
+    streams = doc.get("streams") or []
+    if not streams:
+        raise ValueError("ffprobe found no video stream")
+    st, fmt_doc = streams[0], doc.get("format", {})
+    fmt = (fmt_doc.get("format_name") or "unknown").split(",")[0]
+    dur = st.get("duration") or fmt_doc.get("duration") or 0.0
+    return (fmt, int(st["width"]), int(st["height"]),
+            int(st.get("nb_read_frames") or 0), round(float(dur), 6))
+
+
+_VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,
+                   "ffmpeg": ffmpeg_video_decode}
 _VIDEO_SCHEMA = ("id long, fmt string, width int, height int, "
                  "n_frames int, duration_s double")
 

@@ -13,8 +13,15 @@ operator); each method's top-k then scores |hits| / k.  Methods and
 parameters mirror the driver gates exactly (same bits/tables/centroids/
 m/k/rerank), so the numbers transfer.
 
+``--planted`` instead measures on the dedup-gate corpus (every vector
+plus a near-copy at cos ~0.9988): this is the regime ANN indexes are
+FOR — real duplicate/neighbor structure — whereas the raw embeddings
+are near-orthogonal (max pairwise cosine ~0.5), where "top-10" is an
+essentially arbitrary ordering of cosines 0.3-0.5 with ~0.01 gaps that
+no sublinear method can (or needs to) reproduce.
+
 Usage: python tools/ann_recall_probe.py [--sf-dir DIR] [--queries N]
-                                        [--k K]
+                                        [--k K] [--planted]
 
 Prints one row per method (mean recall@k, mean probe seconds) and a
 final JSON line for SCALE.md.
@@ -41,6 +48,9 @@ def main() -> int:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--planted", action="store_true",
+                    help="measure on the dedup-gate corpus (each vector "
+                         "+ a near-copy at cos~0.9988)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,17 +68,21 @@ def main() -> int:
     spark = get_spark("ann-recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = entry._emb_double(entry._load(spark, args.sf_dir,
-                                           "embeddings"))
-    rows = corpus.collect()
+    emb = entry._load(spark, args.sf_dir, "embeddings")
+    corpus = (entry._dedup_corpus(emb) if args.planted
+              else entry._emb_double(emb))
+    rows = sorted(corpus.collect(), key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows])
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     n = len(ids)
-    print(f"corpus: {n} vectors, dim {mat.shape[1]}", flush=True)
+    mode = "planted" if args.planted else "raw"
+    print(f"corpus: {n} vectors, dim {mat.shape[1]} ({mode})", flush=True)
 
-    # evenly spread query ids across the corpus
-    q_idx = np.linspace(0, n - 1, args.queries).astype(int)
+    # evenly spread query ids across the ORIGINAL vectors (planted
+    # copies sit at id+100000 and should be found, not queried)
+    n_orig = int((ids < 100000).sum())
+    q_idx = np.linspace(0, n_orig - 1, args.queries).astype(int)
 
     def ground_truth(qi: int) -> set:
         sims = (mat @ mat[qi]) / (norms * norms[qi] + 1e-12)
@@ -102,6 +116,8 @@ def main() -> int:
                                                  multiprobe_bits=1),
         "ivf_c16p4": lambda q: ivf_index_topk(spark, ivf_path, q,
                                               k=args.k, n_probe=4),
+        "ivf_c16p8": lambda q: ivf_index_topk(spark, ivf_path, q,
+                                              k=args.k, n_probe=8),
         "pq_m8k16_r64": lambda q: pq_topk(codes, q, books, corpus,
                                           k=args.k, rerank=64),
         "ivfpq_c16p4_r64": lambda q: ivfpq_index_topk(
@@ -110,19 +126,27 @@ def main() -> int:
 
     out = {}
     for name, probe in methods.items():
-        recalls, secs = [], []
+        recalls, dup_hits, secs = [], [], []
         for qi in q_idx:
             q = mat[qi].tolist()
             t0 = time.time()
             got = {r["vec_id"] for r in probe(q).collect()}
             secs.append(time.time() - t0)
             recalls.append(len(got & gt[qi]) / args.k)
+            if args.planted:
+                # the operational dedup question: did the method surface
+                # the TRUE near-copy (cos~0.9988) of the query vector?
+                dup_hits.append(int(ids[qi]) + 100000 in got)
         out[name] = {"recall": round(float(np.mean(recalls)), 4),
                      "probe_sec": round(float(np.mean(secs)), 3)}
-        print(f"{name:18s} recall@{args.k} = {out[name]['recall']:.4f}  "
-              f"(mean probe {out[name]['probe_sec']:.3f}s)", flush=True)
+        line = (f"{name:18s} recall@{args.k} = {out[name]['recall']:.4f}")
+        if args.planted:
+            out[name]["dup_recall"] = round(float(np.mean(dup_hits)), 4)
+            line += f"  dup_recall = {out[name]['dup_recall']:.4f}"
+        print(line + f"  (mean probe {out[name]['probe_sec']:.3f}s)",
+              flush=True)
 
-    print(json.dumps({"sf_dir": args.sf_dir, "k": args.k,
+    print(json.dumps({"sf_dir": args.sf_dir, "k": args.k, "mode": mode,
                       "n_queries": args.queries, "methods": out}))
     shutil.rmtree(root, ignore_errors=True)
     spark.stop()

@@ -108,10 +108,17 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ts canonicalization as ``_load`` (streaming twin of the choke
     point).  The readStream schema must be the file's RAW schema — the
     normalized one would mis-decode a timestamp column — so read it
-    fresh, then project."""
+    fresh, then project.  ``events.parquet`` may be a single FILE (the
+    shipped testdata) — streamed via a dir source + glob — or a
+    DIRECTORY of part files (tools/make_sf_replica output), streamed
+    directly."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return _normalize_ts(spark.readStream.schema(raw_schema)
+                             .parquet(path))
     src = (spark.readStream.schema(raw_schema)
            .option("pathGlobFilter", "events.parquet")  # dir source, one file
            .parquet(sf_dir))
@@ -1404,14 +1411,21 @@ def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned aggregate covers the survivors' slices, so the oracle
     is the same aggregation over ``events WHERE event_id % 8 < 6`` — a
     hash match proves crash debris never leaks into reads."""
+    import hashlib
     import shutil
     import tempfile
     import threading
 
+    from zdb_spark import table as table_mod
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
     from zdb_spark.table import Table
 
-    key = _key_for(sf_dir, "manifest-stress-v1", ("events",))
+    # the cache key folds in a fingerprint of the code under test: a
+    # change to the manifest/CAS protocol must re-run the stress, not
+    # re-read a table an OLDER table.py built
+    with open(table_mod.__file__, "rb") as f:
+        code_fp = hashlib.sha256(f.read()).hexdigest()[:12]
+    key = _key_for(sf_dir, f"manifest-stress-v1|{code_fp}", ("events",))
     root = os.path.join(tempfile.gettempdir(), "zdb_manifest_stress", key)
     home = os.path.join(root, "home")
     schema = (Schema("events_stress")

@@ -1564,10 +1564,12 @@ class TestIncrementalDedup:
         assert got == {(1, 3)}
 
     def test_torn_append_self_heals(self, spark, tmp_path, monkeypatch):
-        """A STALE staged batch left behind by a crash mid-publish (both
-        _SUCCESS markers present) is completed on the next store open;
-        a stale unfinished write (no markers) is discarded; a FRESH
-        staged batch (possibly a live appender's) is left alone."""
+        """A staged batch left behind by a crash mid-publish (both
+        _SUCCESS markers present) is completed IMMEDIATELY on the next
+        store open (deferring it would leave sigs without band rows —
+        silently missed pairs); an unfinished write (no markers) is
+        discarded only once its staging tree goes stale — a fresh one
+        may be a live appender's in-flight write."""
         import os
         import shutil
 
@@ -1583,15 +1585,16 @@ class TestIncrementalDedup:
         for sub in ("sigs", "banded"):
             os.makedirs(os.path.join(staging, sub))
             open(os.path.join(staging, sub, "_SUCCESS"), "w").close()
-        # also plant an UNFINISHED batch (no _SUCCESS) — must be culled
+        # also plant an UNFINISHED batch (no _SUCCESS) — culled when stale
         dead = os.path.join(store, "_staging", "dead")
         os.makedirs(os.path.join(dead, "sigs"))
-        # fresh batches are presumed in-flight: heal must NOT touch them
+        # finished batches publish at once; fresh unfinished stay put
         dedup._store_params(store)
-        assert os.path.exists(dead) and os.path.exists(staging)
-        # ... until they cross the staleness threshold
+        assert not os.path.exists(staging)
+        assert os.path.exists(dead)
+        # ... until the unfinished tree crosses the staleness threshold
         monkeypatch.setattr(dedup, "_HEAL_STALE_S", 0.0)
-        dedup._store_params(store)     # open triggers self-heal
+        dedup._store_params(store)
         assert not os.path.exists(dead)
         assert not os.path.exists(os.path.join(store, "_staging"))
         # store still answers correctly after healing

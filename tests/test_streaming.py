@@ -278,6 +278,45 @@ class TestSessionize:
             (T0, T0 + MIN, 2)
 
 
+    def test_straggler_chain_bridges_into_live_session(self, spark,
+                                                       tmp_path):
+        """Batch parity under out-of-order delivery: stragglers that
+        chain back to the live session through intermediate events must
+        MERGE (the pre-fix code classified them against the live start
+        before later events pulled it back, splitting one session)."""
+        from zdb_spark.streaming.ingest import sessionize
+
+        src = str(tmp_path / "bridge_src")
+        # batch 1 opens the live session at T0+2h
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0 + 120 * MIN)]
+        ).coalesce(1).write.parquet(src)
+        # batch 2: T0, T0+40m, T0+90m — every consecutive gap <= 1h, so
+        # a batch engine sees ONE 4-event session T0..T0+2h
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0), Row(user_id=1, ts=T0 + 40 * MIN),
+             Row(user_id=1, ts=T0 + 90 * MIN)]
+        ).coalesce(1).write.mode("append").parquet(src)
+        # batch 3: 2h past the frontier — closes the merged session
+        spark.createDataFrame(
+            [Row(user_id=1, ts=T0 + 240 * MIN)]
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("user_id long, ts long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = sessionize(stream, gap_nanos=3600 * NS)
+        out = str(tmp_path / "bridge_out")
+        q = (sessions.writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "bridge_ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(out).collect()
+        assert len(got) == 1
+        s = got[0]
+        assert (s["session_start"], s["session_end"], s["n_events"]) == \
+            (T0, T0 + 120 * MIN, 4)
+
+
 class TestRollupSink:
     @staticmethod
     def _rollup_table(spark, tmp_path):

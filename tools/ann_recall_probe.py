@@ -79,10 +79,18 @@ def main() -> int:
     mode = "planted" if args.planted else "raw"
     print(f"corpus: {n} vectors, dim {mat.shape[1]} ({mode})", flush=True)
 
-    # evenly spread query ids across the ORIGINAL vectors (planted
-    # copies sit at id+100000 and should be found, not queried)
-    n_orig = int((ids < 100000).sum())
-    q_idx = np.linspace(0, n_orig - 1, args.queries).astype(int)
+    # evenly spread queries across the ORIGINAL vectors.  Originals are
+    # detected by the planted relationship itself (id+100000 exists),
+    # not by an id threshold — replica corpora (tools/make_sf_replica)
+    # offset ids far past 100000 and a threshold would silently sample
+    # only the first replica.
+    if args.planted:
+        orig_pos = np.where(np.isin(ids + 100000, ids))[0]
+        assert len(orig_pos) * 2 == n, "planted corpus shape unexpected"
+    else:
+        orig_pos = np.arange(n)
+    q_idx = orig_pos[np.linspace(0, len(orig_pos) - 1,
+                                 args.queries).astype(int)]
 
     def ground_truth(qi: int) -> set:
         sims = (mat @ mat[qi]) / (norms * norms[qi] + 1e-12)

@@ -759,29 +759,52 @@ def _publish_staged_store_batch(path: str, staging: str) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
-# A staged store batch younger than this is presumed to belong to a LIVE
-# appender and is left alone by the self-heal sweep; only batches this
-# stale are published (torn mid-publish) or discarded (torn mid-write).
-# Legitimate appends stage + publish within seconds, so an hour-old
-# staged batch can only be a crash's leftovers.  Tests shrink this.
+# An UNFINISHED staged batch (no _SUCCESS markers) younger than this is
+# presumed to belong to a LIVE appender's in-flight Spark write and is
+# left alone by the self-heal sweep; one this stale can only be a
+# crashed write's leftovers and is discarded.  Measured from the NEWEST
+# mtime in the staging tree (a long write keeps touching files), so a
+# slow large-corpus append is safe as long as it makes progress within
+# the window.  Tests shrink this.
 _HEAL_STALE_S = 3600.0
 
 
+def _tree_max_mtime(root: str) -> float:
+    """Newest mtime across a staging tree (dirs + files); raises OSError
+    if the root vanished under us."""
+    import os
+
+    newest = os.path.getmtime(root)
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            try:
+                newest = max(newest,
+                             os.path.getmtime(os.path.join(dirpath, name)))
+            except OSError:
+                pass  # file moved/removed mid-walk
+    return newest
+
+
 def _store_params(path: str) -> dict:
-    """Open the store's params, self-healing STALE torn appends.
+    """Open the store's params, self-healing torn appends.
 
     The MinHash store assumes a SINGLE WRITER at a time (appends are
     staged then published via renames; two concurrent appenders could
     interleave partial publishes).  Readers may run concurrently with
-    one appender: the self-heal sweep below therefore only touches
-    staged batches older than ``_HEAL_STALE_S`` — a younger batch may be
-    an in-flight append's staging dir, and rmtree-ing it out from under
-    the live writer would fail that append.  A stale batch with BOTH
-    _SUCCESS markers finished writing (the append crashed mid-publish) —
-    complete the publish; one without finished markers never completed
-    its Spark write and is discarded (the caller never saw success and
-    retries).  Publish itself tolerates a racing healer (see
-    ``_publish_staged_store_batch``).
+    one appender.  Two torn-append cases, handled differently:
+
+    - BOTH _SUCCESS markers present: the batch finished writing and the
+      append crashed mid-publish.  Published IMMEDIATELY — a crashed
+      mid-publish may have left sigs rows already live without their
+      banded rows, whose near-dup pairs would be silently missed until
+      the publish completes, so deferring heals here is data loss.
+      Publishing races the original appender (or another healer)
+      safely: part names are unique and ``_publish_staged_store_batch``
+      skips parts the winner already moved.
+    - markers missing: either a crashed mid-write (the caller never saw
+      success and retries) or a LIVE append's in-flight Spark write —
+      indistinguishable by layout, so only batches whose staging tree
+      has been idle past ``_HEAL_STALE_S`` are discarded.
     """
     import json
     import os
@@ -800,17 +823,17 @@ def _store_params(path: str) -> dict:
         now = time.time()
         for b in os.listdir(st_root):
             bdir = os.path.join(st_root, b)
+            if all(os.path.exists(os.path.join(bdir, s, "_SUCCESS"))
+                   for s in ("sigs", "banded")):
+                _publish_staged_store_batch(path, bdir)
+                continue
             try:
-                age = now - os.path.getmtime(bdir)
+                age = now - _tree_max_mtime(bdir)
             except OSError:
                 continue  # vanished (racing healer / finishing appender)
             if age < _HEAL_STALE_S:
                 continue  # possibly a live append's staging — hands off
-            if all(os.path.exists(os.path.join(bdir, s, "_SUCCESS"))
-                   for s in ("sigs", "banded")):
-                _publish_staged_store_batch(path, bdir)
-            else:
-                shutil.rmtree(bdir, ignore_errors=True)
+            shutil.rmtree(bdir, ignore_errors=True)
         try:
             os.rmdir(st_root)
         except OSError:

@@ -920,9 +920,26 @@ def _fake_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
             round(h[3] / 10.0, 6))
 
 
+_FFPROBE_PATH: list = []  # memo: [resolved path or None]
+
+
+def _ffprobe_path() -> str | None:
+    """Resolve ffprobe once per process (executors decode thousands of
+    rows; a PATH walk per row is waste)."""
+    if not _FFPROBE_PATH:
+        import shutil as _shutil
+        _FFPROBE_PATH.append(_shutil.which("ffprobe"))
+    return _FFPROBE_PATH[0]
+
+
 def ffmpeg_available() -> bool:
-    import shutil as _shutil
-    return _shutil.which("ffprobe") is not None
+    return _ffprobe_path() is not None
+
+
+# One malformed/adversarial container must not hang an executor task
+# forever (-count_frames decodes the whole stream); past this the decode
+# fails loudly like any other bad payload.
+_FFPROBE_TIMEOUT_S = 120
 
 
 def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
@@ -943,20 +960,27 @@ def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     limitation) — non-seekable failures surface as ValueError, not
     silent zeros."""
     import json as _json
-    import shutil as _shutil
     import subprocess
 
-    if _shutil.which("ffprobe") is None:
+    ffprobe = _ffprobe_path()
+    if ffprobe is None:
         raise NotImplementedError(
             "decoder='ffmpeg' requires ffprobe (ffmpeg) on every "
             "executor's PATH; install it or use decoder='gif'/'fake'")
-    proc = subprocess.run(
-        ["ffprobe", "-v", "error", "-select_streams", "v:0",
-         "-count_frames", "-show_entries",
-         "stream=width,height,nb_read_frames,duration"
-         ":format=format_name,duration",
-         "-of", "json", "-"],
-        input=payload, capture_output=True)
+    try:
+        proc = subprocess.run(
+            [ffprobe, "-v", "error", "-select_streams", "v:0",
+             "-count_frames", "-show_entries",
+             "stream=width,height,nb_read_frames,duration"
+             ":format=format_name,duration",
+             "-of", "json", "-"],
+            input=payload, capture_output=True,
+            timeout=_FFPROBE_TIMEOUT_S)
+    except subprocess.TimeoutExpired as exc:
+        raise ValueError(
+            f"ffprobe exceeded {_FFPROBE_TIMEOUT_S}s on a "
+            f"{len(payload)}-byte payload (malformed/looping "
+            "container?)") from exc
     if proc.returncode != 0:
         raise ValueError(f"ffprobe failed: {proc.stderr[:200]!r}")
     doc = _json.loads(proc.stdout)

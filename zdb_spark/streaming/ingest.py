@@ -175,18 +175,25 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
 
     Emits one row per closed session: (key, session_start, session_end,
     n_events), timestamps in epoch nanos.  State per key is (start, last,
-    count); a session closes when a later event arrives more than
-    ``gap_nanos`` after the stored ``last``.  Cross-batch late events
-    within ``gap_nanos`` of the stored ``[start, last]`` interval merge
-    into the live session (extending ``start`` backwards if needed)
-    without moving ``last`` backwards, so an in-gap straggler can never
-    split a session.  An event arriving MORE than ``gap_nanos`` before
-    the stored ``start`` belongs to a session whose horizon has already
-    passed — the compressed (start, last, count) state cannot re-open
-    it, so such stragglers are sessionized among THEMSELVES (gap logic
-    over the late run) and emitted as closed sessions immediately,
-    never silently folded into the live session (that would pull
-    ``session_start`` arbitrarily far back and break batch parity).
+    count).
+
+    Each micro-batch runs an EXACT interval merge: the stored session
+    is one item spanning ``[start, last]`` (any event inside a session's
+    span is within ``gap_nanos`` of some member — consecutive members
+    are — so treating it as an interval loses nothing), every batch
+    event is a point item, and all items merge in global time order
+    whenever the gap between consecutive intervals is ≤ ``gap_nanos``.
+    This is batch semantics over everything the operator can still see:
+    events are gathered across ALL Arrow chunks and sorted before
+    merging, so out-of-order and cross-chunk delivery cannot split or
+    misorder sessions, and a straggler chain can bridge back into the
+    live session through intermediate batch events.  All but the
+    temporally LAST merged session close and emit; the last stays in
+    state (a future event may extend it).  The one irrecoverable case
+    is compressed away by design: an event more than ``gap_nanos``
+    before everything it could bridge to belongs to a session whose
+    horizon has passed — it closes immediately as its own session
+    rather than silently pulling the live ``session_start`` back.
 
     By default each key's FINAL session stays open in the state store
     (the batch-parity contract the driver oracle checks — a drained
@@ -209,42 +216,25 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
                 yield pd.DataFrame([(uid, start, last, count)],
                                    columns=cols)
             return
-        if state.exists:
-            start, last, count = state.get
-        else:
-            start = last = None
-            count = 0
+        # exact interval merge (see docstring): stored session as one
+        # [start,last] item + every batch event, globally time-sorted
+        items = [tuple(state.get)] if state.exists else []
+        items += [(int(t), int(t), 1)
+                  for pdf in pdfs for t in pdf[ts_col].tolist()]
+        items.sort()
         closed = []
-        late = None  # (start, last, count) run of too-early stragglers
-        for pdf in pdfs:
-            for t in sorted(pdf[ts_col].tolist()):
-                t = int(t)
-                if start is None:
-                    start, last, count = t, t, 1
-                elif t < start - gap_nanos:
-                    # too late for the live session (see docstring):
-                    # sessionize the stragglers among themselves
-                    if late is None:
-                        late = [t, t, 1]
-                    elif t - late[1] > gap_nanos:
-                        closed.append((uid, late[0], late[1], late[2]))
-                        late = [t, t, 1]
-                    else:
-                        late[1] = max(late[1], t)
-                        late[2] += 1
-                elif t - last > gap_nanos:
-                    closed.append((uid, start, last, count))
-                    start, last, count = t, t, 1
-                else:
-                    # late in-gap events must not regress the session
-                    # frontier (or its start)
-                    start = min(start, t)
-                    last = max(last, t)
-                    count += 1
-        if late is not None:
-            closed.append((uid, late[0], late[1], late[2]))
-        if start is not None:
-            state.update((start, last, count))
+        cur = None  # [start, last, count] of the session being merged
+        for a, b, n in items:
+            if cur is None:
+                cur = [a, b, n]
+            elif a - cur[1] > gap_nanos:
+                closed.append((uid, cur[0], cur[1], cur[2]))
+                cur = [a, b, n]
+            else:
+                cur[1] = max(cur[1], b)
+                cur[2] += n
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2]))
             if idle_flush_ms is not None:
                 state.setTimeoutDuration(idle_flush_ms)
         if closed:

@@ -302,3 +302,57 @@ def test_gif_parse_bounded_on_header_prefixed_garbage(blob):
         _gif_parse(blob)
     except Exception:
         pass
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2000), min_size=0,
+                max_size=60),
+       st.integers(min_value=1, max_value=50),
+       st.lists(st.integers(min_value=0, max_value=59), max_size=6))
+@settings(max_examples=200, deadline=1000)
+def test_sessionize_chunked_merge_equals_batch(ts_list, gap, cut_points):
+    """Batch-parity property for the streaming sessionizer's core: the
+    events split across arbitrary micro-batches (arbitrary order and
+    chunk boundaries), folded through _merge_session_items with the
+    open session carried as compressed state, must produce EXACTLY the
+    sessions a single-pass batch engine derives from the sorted events.
+
+    One caveat is part of the contract: a session already closed and
+    emitted in an earlier batch cannot be reopened by a later straggler
+    that bridges into it — such stragglers form their own session.  The
+    property therefore feeds chunks in a sorted-batch order (each
+    chunk's events may be arbitrary, but chunks are cut from the sorted
+    stream), which is the regime where the operator promises exactness.
+    """
+    from zdb_spark.streaming.ingest import _merge_session_items
+
+    gap = gap * 10
+    events = sorted(ts_list)
+    # expected: one-pass batch sessionization over sorted events
+    expected = []
+    for t in events:
+        if expected and t - expected[-1][1] <= gap:
+            expected[-1][1] = t
+            expected[-1][2] += 1
+        else:
+            expected.append([t, t, 1])
+    expected = [tuple(s) for s in expected]
+
+    # actual: cut the sorted stream into chunks at the given points,
+    # shuffle WITHIN each chunk deterministically, fold with state
+    cuts = sorted({c for c in cut_points if c < len(events)})
+    chunks, prev = [], 0
+    for c in cuts + [len(events)]:
+        if c > prev:
+            chunk = events[prev:c]
+            chunk.reverse()  # worst-case intra-batch order
+            chunks.append(chunk)
+            prev = c
+    closed_all, state = [], None
+    for chunk in chunks:
+        items = ([state] if state is not None else []) + \
+            [(t, t, 1) for t in chunk]
+        closed, state = _merge_session_items(items, gap)
+        closed_all.extend(closed)
+    if state is not None:
+        closed_all.append(state)
+    assert sorted(closed_all) == expected

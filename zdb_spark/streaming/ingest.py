@@ -152,6 +152,31 @@ def stream_resample(stream_df: DataFrame, every: str,
                       *(["volume"] if volume_col else []))
 
 
+def _merge_session_items(items: list, gap_nanos: int):
+    """Exact interval merge over (start, last, count) items: sort by
+    time, merge neighbors whose gap is ≤ ``gap_nanos``.  Returns
+    (closed_sessions, open_session) — all but the temporally last merged
+    session are closed; the last may still be extended by future events
+    (``open_session`` is None only for an empty input).
+
+    Pure function so the batch-parity property (against sessionizing
+    the raw events in one pass) is testable without a stream.
+    """
+    items = sorted(items)
+    closed: list = []
+    cur = None
+    for a, b, n in items:
+        if cur is None:
+            cur = [a, b, n]
+        elif a - cur[1] > gap_nanos:
+            closed.append(tuple(cur))
+            cur = [a, b, n]
+        else:
+            cur[1] = max(cur[1], b)
+            cur[2] += n
+    return closed, (tuple(cur) if cur is not None else None)
+
+
 _SESSION_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("session_start", LongType()),
@@ -221,24 +246,13 @@ def sessionize(stream_df: DataFrame, gap_nanos: int,
         items = [tuple(state.get)] if state.exists else []
         items += [(int(t), int(t), 1)
                   for pdf in pdfs for t in pdf[ts_col].tolist()]
-        items.sort()
-        closed = []
-        cur = None  # [start, last, count] of the session being merged
-        for a, b, n in items:
-            if cur is None:
-                cur = [a, b, n]
-            elif a - cur[1] > gap_nanos:
-                closed.append((uid, cur[0], cur[1], cur[2]))
-                cur = [a, b, n]
-            else:
-                cur[1] = max(cur[1], b)
-                cur[2] += n
+        closed, cur = _merge_session_items(items, gap_nanos)
         if cur is not None:
-            state.update((cur[0], cur[1], cur[2]))
+            state.update(cur)
             if idle_flush_ms is not None:
                 state.setTimeoutDuration(idle_flush_ms)
         if closed:
-            yield pd.DataFrame(closed, columns=cols)
+            yield pd.DataFrame([(uid, *s) for s in closed], columns=cols)
 
     timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
                     if idle_flush_ms is not None

@@ -103,6 +103,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         fn = qs[name]
         best = None
         try:
@@ -131,6 +132,7 @@ def main() -> int:
     # benches/write.rs) — recorded here so BENCH_r{N}.json catches
     # write-path regressions, not just read-side ones.  1M rows keeps it
     # a ~5s add-on; bench_write.py remains the standalone 2M-row run.
+    print("[bench] write_throughput", file=sys.stderr, flush=True)
     try:
         from bench_write import measure_write_throughput
         wt = measure_write_throughput(

@@ -117,6 +117,10 @@ def main() -> int:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
+            # progress timing to stderr: a crash late in the run (or in
+            # the write bench) must not lose the whole query table
+            print(f"[bench] {name} = {timings[name]}s",
+                  file=sys.stderr, flush=True)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"query {name} failed: {exc!r}", file=sys.stderr)
@@ -132,11 +136,24 @@ def main() -> int:
     # benches/write.rs) — recorded here so BENCH_r{N}.json catches
     # write-path regressions, not just read-side ones.  1M rows keeps it
     # a ~5s add-on; bench_write.py remains the standalone 2M-row run.
+    # The write bench runs in a SUBPROCESS with its own fresh JVM: it is
+    # a fixed-row-count workload (not a function of sf_dir), and keeping
+    # it out of this long-lived session means a late JVM loss there can
+    # never take the whole query table with it (observed under host
+    # pressure at the 10x replica point).
     print("[bench] write_throughput", file=sys.stderr, flush=True)
     try:
-        from bench_write import measure_write_throughput
-        wt = measure_write_throughput(
-            spark, int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 1_000_000)))
+        import subprocess
+        env = {**os.environ, "SPARK_GRAFT_WRITE_ROWS":
+               os.environ.get("SPARK_GRAFT_WRITE_ROWS", "1000000")}
+        proc = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "bench_write.py")],
+            capture_output=True, text=True, timeout=900, env=env)
+        if proc.returncode != 0:
+            raise RuntimeError(f"bench_write rc={proc.returncode}: "
+                               f"{proc.stderr[-300:]}")
+        wt = json.loads(proc.stdout.strip().splitlines()[-1])
         write_tp = {k: wt[k] for k in
                     ("batch_write", "stream_sink", "rows", "unit")}
     except Exception as exc:

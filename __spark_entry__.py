@@ -1128,6 +1128,98 @@ def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("ts").alias("max_ts")))
 
 
+def q_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source → Table → pruned scan round-trip (the text
+    interchange format beside CSV): events are exported to JSON-lines
+    once (keyed on the testdata fingerprint), loaded back through
+    ``sources.readers.ingest_json`` with the table's EXPLICIT schema —
+    schema inference over JSON is a second full scan and a 100 TB
+    anti-pattern — and re-read via the partition-pruned ``Table.scan``.
+    The oracle aggregates the ORIGINAL parquet over the same range — a
+    hash match proves ISO-timestamp text, JSON doubles (shortest
+    round-trip repr) and the append path lose nothing
+    (readers.py:ingest_json)."""
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.sources.readers import ingest_json
+    from zdb_spark.table import Table
+
+    import shutil
+
+    key = _key_for(sf_dir, "ingest-json-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_json", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_json")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        # scratch + atomic rename: an interrupted build can never leave
+        # a half-appended home that a later run would double-append into
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        json_dir = os.path.join(root, "json")
+        if not os.path.exists(json_dir):
+            jtmp = json_dir + ".tmp"
+            (_load(spark, sf_dir, "events")
+             .select("ts", "event_id", "user_id", "event_type", "value")
+             .write.mode("overwrite").json(jtmp))
+            os.rename(jtmp, json_dir)
+        t = Table.create(spark, schema, home=scratch)
+        ingest_json(t, json_dir)
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_json", home=home)
+
+    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
+    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
+    return (t.scan(lo, hi)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("user_id").cast("long").alias("sum_uid"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.min("ts").alias("min_ts"),
+                 F.max("ts").alias("max_ts")))
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering, TRAINING half: 3 full Lloyd iterations of
+    distributed k-means (squared-L2, k=4, init = embeddings 0-3 so the
+    oracle can replay from the same fixed state).  Each iteration is
+    one codegen'd assignment map + one partially-aggregated groupBy
+    (shuffle payload = k×d means per partition); per-iteration means
+    round to 6 decimals inside the aggregation, so the oracle's
+    unrolled assign→mean CTE chain lands on bit-identical centroids —
+    distributed training verified against an independent engine, like
+    quality_train (similarity.py:kmeans_lloyd; compose with
+    assign_centroids for the inference half)."""
+    from zdb_spark.operators.similarity import kmeans_lloyd
+
+    emb = _load(spark, sf_dir, "embeddings")
+    init = [r["embedding"] for r in
+            emb.where(F.col("vec_id") < 4).orderBy("vec_id")
+               .select("embedding").collect()]
+    cents = kmeans_lloyd(emb, "embedding", init, iters=3, round_dp=6)
+    rows = [(c, i, float(v)) for c, vec in enumerate(cents)
+            for i, v in enumerate(vec)]
+    return spark.createDataFrame(
+        rows, "cluster_id int, dim int, weight double")
+
+
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    boilerplate / base64-blob quality signal.  Row-local higher-order
+    Catalyst expressions only (split → array_distinct → per-distinct
+    count): zero Python, zero shuffle, linear in corpus size
+    (text.py:char_entropy)."""
+    from zdb_spark.operators.text import char_entropy
+
+    docs = _load(spark, sf_dir, "documents")
+    return char_entropy(docs, "text").select("doc_id", "char_entropy")
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution round-trip: events before
     2024-01-08 are written, ``add_column('batch_tag', default='v1')``
@@ -2680,6 +2772,54 @@ def _logreg_oracle_sql(n_iters: int = 3) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + finals
 
 
+def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64,
+                       dp: int = 6) -> str:
+    """Unrolled-SQL mirror of similarity.kmeans_lloyd: one (squared-L2
+    distance, argmin assignment, rounded-mean, coalesce-carry) CTE block
+    per iteration, over the component-exploded embedding table.  Means
+    round to the same ``dp`` decimals at the same point the Spark
+    trainer rounds; empty clusters carry the previous centroid via
+    LEFT JOIN + coalesce, mirroring the trainer's dict-get fallback."""
+    ctes = [
+        f"""emb AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, range(1, {d + 1}) t(i)
+        )""",
+        f"""c0 AS (
+            SELECT vec_id AS cid, i, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, range(1, {d + 1}) t(i)
+            WHERE vec_id < {k}
+        )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""d{t} AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x - c.val) * (e.x - c.val))::DOUBLE AS dist
+            FROM emb e JOIN c{t - 1} c USING (i)
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""a{t} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cid) AS rn
+                FROM d{t}) WHERE rn = 1
+        )""")
+        ctes.append(f"""m{t} AS (
+            SELECT a.cid, e.i, round(avg(e.x), {dp}) AS val
+            FROM a{t} a JOIN emb e USING (vec_id)
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""c{t} AS (
+            SELECT o.cid, o.i, coalesce(m.val, o.val) AS val
+            FROM c{t - 1} o
+            LEFT JOIN m{t} m ON m.cid = o.cid AND m.i = o.i
+        )""")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT CAST(cid AS INT) AS cluster_id,"
+            f" CAST(i - 1 AS INT) AS dim, val AS weight FROM c{iters}")
+
+
 # Fixed demo merge table for the bpe_apply gate (the quality_model
 # pattern: one shared constant rendered into BOTH the Spark call and the
 # oracle SQL).  "\x03" is tokenize.EOW, shown as '_' in gate output.
@@ -3064,6 +3204,9 @@ _QUERY_DECLARATIONS: list[
     ("multimodal_audio", q_multimodal_audio),
     ("server_ohlcv", q_server_ohlcv),
     ("ingest_orc", q_ingest_orc),
+    ("ingest_json", q_ingest_json),
+    ("kmeans_train", q_kmeans_train),
+    ("text_entropy", q_text_entropy),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3781,6 +3924,21 @@ def oracle_sql() -> dict[str, str]:
         # ORC round-trip: the oracle aggregates the ORIGINAL parquet —
         # the ORC writer+reader and the append path must be lossless.
         "ingest_orc": f"""
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(user_id) AS BIGINT) AS sum_uid,
+                   round(sum(value), 4) AS sum_value,
+                   min(epoch_ns(ts)) AS min_ts,
+                   max(epoch_ns(ts)) AS max_ts
+            FROM events
+            WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+              AND epoch_ns(ts) <= {1705017600 * 10**9}
+            GROUP BY 1
+        """,
+        # JSON-lines round-trip: the oracle aggregates the ORIGINAL
+        # parquet — ISO-timestamp text, JSON doubles and the append
+        # path must be lossless.
+        "ingest_json": f"""
             SELECT event_type,
                    count(*) AS n_events,
                    CAST(sum(user_id) AS BIGINT) AS sum_uid,
@@ -4913,6 +5071,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(cid AS INT) AS centroid_id
         FROM r WHERE rn = 1
+    """
+    sqls["kmeans_train"] = _kmeans_oracle_sql(k=4, iters=3, d=64, dp=6)
+    # Char-level Shannon entropy: Σ-over-DISTINCT-chars form so the
+    # fold is order-insensitive up to FP noise (list_distinct orders
+    # differently from Spark's array_distinct); rounding kills the rest.
+    sqls["text_entropy"] = """
+        WITH c AS (
+            SELECT doc_id, string_split(text, '') AS chs FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(chs) <= 0 THEN 0.0 ELSE round(
+                   log2(len(chs))
+                   - list_aggregate(
+                       list_transform(
+                           list_distinct(chs),
+                           ch -> len(list_filter(chs, x -> x = ch))
+                                 * log2(len(list_filter(chs, x -> x = ch)))),
+                       'sum') / len(chs), 6) END AS char_entropy
+        FROM c
     """
     # BM25 with the same Robertson/Lucene idf and tie-break; terms fixed
     # to the entry's query ('fast','scan','table' after sort/dedup)

@@ -58,6 +58,8 @@ HEADLINE = [
     "contamination",      # 8-gram overlap vs broadcast benchmark set
     "dedup_incremental",  # batch-vs-signature-store pairs (store cached
                           # across runs by testdata fingerprint)
+    "kmeans_train",       # 3 distributed Lloyd passes (k=4, d=64)
+    "text_entropy",       # char-entropy quality signal (row-local HOFs)
     "quality_model",      # hashing-trick linear scorer (codegen'd fold)
     "chunk_docs",         # overlapping context-window explode
     "lm_score",           # corpus-trained bigram LM train+score

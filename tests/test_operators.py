@@ -1777,3 +1777,63 @@ class TestBigramLM:
                text.bigram_logprob(df, "text", "doc_id").collect()}
         assert out[1]["avg_logprob"] is None
         assert out[2]["n_bigrams"] == 1
+
+
+class TestKmeansLloyd:
+    def test_two_blob_convergence(self, spark):
+        rows = ([(i, [2.0 + 0.1 * (i % 3), 0.0]) for i in range(6)]
+                + [(i + 6, [0.0, 2.0 + 0.1 * (i % 3)]) for i in range(6)])
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        cents = similarity.kmeans_lloyd(
+            df, "embedding", init_centroids=[[2.0, 0.0], [0.0, 2.0]],
+            iters=2)
+        assert cents[0] == [2.1, 0.0]
+        assert cents[1] == [0.0, 2.1]
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.2, 0.0])],
+            "vec_id long, embedding array<double>")
+        cents = similarity.kmeans_lloyd(
+            df, "embedding", init_centroids=[[0.0, 0.0], [9.0, 9.0]],
+            iters=1)
+        assert cents[0] == [0.1, 0.0]
+        assert cents[1] == [9.0, 9.0]   # no members -> carried over
+
+    def test_l2_tie_breaks_to_lowest_index(self, spark):
+        df = spark.createDataFrame([(1, [1.0, 1.0])],
+                                   "vec_id long, embedding array<double>")
+        out = df.withColumn("cid", similarity.nearest_centroid_l2_col(
+            "embedding", [[2.0, 0.0], [0.0, 2.0]])).collect()[0]
+        assert out["cid"] == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, [1.0])],
+                                   "vec_id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            similarity.kmeans_lloyd(df, "embedding", init_centroids=None)
+        with pytest.raises(ValueError):
+            similarity.kmeans_lloyd(df, "embedding",
+                                    init_centroids=[[1.0], [1.0, 2.0]])
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=1, text="aaaa"),   # one symbol -> 0 bits
+            Row(doc_id=2, text="abab"),   # two equiprobable -> 1 bit
+            Row(doc_id=3, text="abcd"),   # four equiprobable -> 2 bits
+            Row(doc_id=4, text=""),       # empty -> 0 by convention
+        ])
+        out = {r["doc_id"]: r["char_entropy"]
+               for r in text.char_entropy(df, "text").collect()}
+        assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 0.0}
+
+    def test_skewed_distribution(self, spark):
+        # "aab": H = log2(3) - (2*log2(2) + 1*log2(1)) / 3
+        import math
+        df = spark.createDataFrame([Row(doc_id=1, text="aab")])
+        want = round(math.log2(3) - 2.0 / 3.0, 6)
+        got = text.char_entropy(df, "text").collect()[0]["char_entropy"]
+        assert abs(got - want) < 1e-9

@@ -31,7 +31,8 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "append_lsh_index", "append_ivf_index", "compact_ann_index",
            "index_data_files", "current_generation",
            "pq_train", "pq_encode", "pq_topk", "assign_centroids",
-           "semantic_dedup", "build_ivfpq_index", "ivfpq_index_topk"]
+           "semantic_dedup", "build_ivfpq_index", "ivfpq_index_topk",
+           "nearest_centroid_l2_col", "kmeans_lloyd"]
 
 
 def _as_double(c: Column) -> Column:
@@ -242,6 +243,81 @@ def assign_centroids(df: DataFrame, centroids, vec_col: str = "embedding",
     if cents.ndim != 2 or not len(cents):
         raise ValueError("centroids must be a non-empty 2-D array")
     return df.withColumn(out_col, _nearest_centroid_col(vec_col, cents))
+
+
+def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
+    """argmin_c ||v - c||² as a JVM-side expression (ties → LOWEST
+    centroid index, mirroring ``_nearest_centroid_col``'s first-max).
+
+    Same linear-size construction as the dot-product form: per-centroid
+    squared distances via one ``transform`` over the inlined centroid
+    matrix, then ``array_position(dists, array_min(dists))``.  Squared
+    L2 (not dot) so that with data-point initialization every centroid
+    is its own nearest (distance 0) — Lloyd's invariant that keeps
+    clusters non-empty on the first pass even for unnormalized vectors.
+    """
+    from .dedup import let
+
+    cents = np.asarray(cents, dtype=np.float64)
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    dists = let(
+        _as_double(F.col(vec_col)),
+        lambda v: F.transform(
+            cents_arr,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)))
+    return let(dists,
+               lambda d: (F.array_position(d, F.array_min(d)) - 1)
+               .cast("int"))
+
+
+def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
+                 init_centroids=None, iters: int = 3,
+                 round_dp: int = 6) -> list[list[float]]:
+    """Full DISTRIBUTED Lloyd's k-means (squared-L2) over the corpus —
+    the training half that ``assign_centroids`` consumes, and the
+    full-data counterpart of ``ivf_index``'s sample-trained quantizer.
+
+    Each iteration is exactly ONE distributed aggregation pass: a
+    narrow codegen'd assignment map (centroid matrix inlined as a
+    literal — broadcast-by-value, no Python at execution time) feeding
+    a partially-aggregated groupBy whose shuffle payload is k rows × d
+    mean columns per upstream partition, regardless of corpus size.
+    Driver state between iterations is the k×d centroid matrix alone,
+    so the loop is bounded and 100 TB-safe: cost = iters linear scans,
+    zero wide shuffles.
+
+    Cross-engine reproducibility (the gate oracle replays the same
+    iterations as unrolled SQL CTEs): per-iteration means are rounded
+    to ``round_dp`` decimals INSIDE the Spark aggregation (HALF_UP,
+    matching DuckDB's ``round``), so the centroid sequence is a chain
+    of exact decimals — any FP noise from distributed summation order
+    dies at each rounding boundary.  Empty clusters keep their previous
+    centroid (oracle mirrors via LEFT JOIN + coalesce).
+    """
+    if not init_centroids:
+        raise ValueError("kmeans_lloyd needs explicit init centroids "
+                         "(e.g. k fixed data points) for reproducibility")
+    cents = [[float(x) for x in c] for c in init_centroids]
+    k, d = len(cents), len(cents[0])
+    if any(len(c) != d for c in cents):
+        raise ValueError("init centroids must share one dimensionality")
+    for _ in range(iters):
+        assigned = df.withColumn(
+            "__cid", nearest_centroid_l2_col(vec_col, cents))
+        vec = _as_double(F.col(vec_col))
+        rows = (assigned.groupBy("__cid")
+                .agg(*[F.round(F.sum(F.element_at(vec, i + 1))
+                               / F.count(F.lit(1)), round_dp)
+                       .alias(f"m{i}") for i in range(d)])
+                .collect())
+        new = {r["__cid"]: [float(r[f"m{i}"]) for i in range(d)]
+               for r in rows}
+        cents = [new.get(c, cents[c]) for c in range(k)]
+    return cents
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,

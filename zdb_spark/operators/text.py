@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "fingerprint", "repetition_features", "redact_pii",
-           "quality_score_linear", "bigram_logprob",
+           "quality_score_linear", "bigram_logprob", "char_entropy",
            "normalize_url", "extract_domain",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
@@ -225,6 +225,48 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
 ]
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 out_col: str = "char_entropy",
+                 round_dp: int = 6) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish / boilerplate / base64-blob quality signal (low entropy =
+    repeated filler, high entropy = random noise; prose sits ~3.5-4.5
+    bits/char).
+
+    Row-local and shuffle-free: H = log2(n) - Σ cnt·log2(cnt) / n over
+    the per-character counts, computed entirely with higher-order
+    Catalyst expressions (split → array_distinct → one count per
+    DISTINCT char via ``filter``).  Cost is O(distinct_chars × length)
+    per row — distinct chars is alphabet-bounded (≤ ~100 for text), so
+    the scan stays linear in corpus size with zero Python and zero
+    shuffle.  The Σ-over-distinct form (instead of Σ p·log2 p over
+    positions) makes the fold order-insensitive up to FP noise, which
+    the final rounding kills — the DuckDB oracle mirrors the same
+    formula even though its ``list_distinct`` orders differently.
+    """
+    from .dedup import let
+
+    # Java's split("", -1) keeps a trailing "" element that DuckDB's
+    # string_split does not produce — strip it so n and the distinct
+    # set agree across engines (real chars are never empty strings).
+    expr = let(
+        F.array_remove(F.split(F.col(text_col), ""), ""),
+        lambda chars: let(
+            F.size(chars).cast("double"),
+            lambda n: F.when(n <= 0, F.lit(0.0)).otherwise(F.round(
+                F.log2(n)
+                - F.aggregate(
+                    F.transform(
+                        F.array_distinct(chars),
+                        lambda ch: let(
+                            F.size(F.filter(chars, lambda x: x == ch))
+                            .cast("double"),
+                            lambda cnt: cnt * F.log2(cnt))),
+                    F.lit(0.0), lambda acc, x: acc + x) / n,
+                round_dp))))
+    return df.withColumn(out_col, expr)
 
 
 def redact_pii(df: DataFrame, text_col: str = "text",

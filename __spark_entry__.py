@@ -1626,6 +1626,127 @@ def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_stream_txn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once CRASH/REPLAY gate for the streaming txn path — the
+    streaming analogue of manifest_stress.  ``foreachBatch`` is
+    at-least-once: after a crash the SAME (app_id, batch_id) is
+    redelivered, and ``stream_writer_table``'s commit body is exactly
+    ``Table.write(batch, txn=(app, batch_id))`` (streaming/ingest.py:107),
+    so this gate drives that call through the dangerous redelivery
+    shapes directly:
+
+      * crash AFTER part files moved but BEFORE the manifest publish,
+        then a FULL REPLAY of the same txn — the replay must land
+        exactly once and the crash debris stay invisible to scans;
+      * duplicate delivery of an already-committed batch id — a no-op
+        (``write`` returns 0, row_count unchanged);
+      * a SECOND app reusing the same batch id — NOT a replay (txn
+        high-water marks are per-app inside the manifest).
+
+    ``vacuum()`` then reclaims the orphaned crash files and the scan is
+    unchanged.  Every slice lands exactly once, so the oracle is the
+    full events aggregate — a hash match proves at-least-once delivery
+    plus the txn check really is exactly-once visibility
+    (table.py:_last_txn, streaming/ingest.py:stream_writer_table)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from zdb_spark import table as table_mod
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    # fold a fingerprint of the code under test into the cache key: a
+    # txn-protocol change must re-run the stress, not re-read a table an
+    # OLDER table.py built
+    with open(table_mod.__file__, "rb") as f:
+        code_fp = hashlib.sha256(f.read()).hexdigest()[:12]
+    key = _key_for(sf_dir, f"stream-txn-stress-v1|{code_fp}", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_stream_txn", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_txn")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        Table.create(spark, schema, home=scratch, manifest=True)
+        src = (_load(spark, sf_dir, "events")
+               .select("ts", "event_id", "user_id", "event_type", "value"))
+        slices = [src.where(F.pmod(F.col("event_id"), F.lit(4)) == i)
+                  for i in range(4)]
+        expected = src.count()
+
+        # batch 0 commits normally
+        t = Table.open(spark, schema.name, home=scratch)
+        assert t.write(slices[0], enforce_order=False,
+                       txn=("appA", 0)) > 0
+
+        # batch 1: crash after move, before publish — then the replay
+        # foreachBatch would issue on restart; it must land EXACTLY once
+        t1 = Table.open(spark, schema.name, home=scratch)
+
+        def no_publish(*a, **k):
+            raise RuntimeError("injected crash before manifest publish")
+
+        t1._commit_append_manifest = no_publish
+        try:
+            t1.write(slices[1], enforce_order=False, txn=("appA", 1))
+            raise AssertionError("crash injection did not fire")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+        t = Table.open(spark, schema.name, home=scratch)
+        replayed = t.write(slices[1], enforce_order=False, txn=("appA", 1))
+        assert replayed > 0, "post-crash replay was wrongly deduped"
+
+        # duplicate delivery of committed batch 1 — must be a no-op
+        before = t.row_count
+        assert t.write(slices[1], enforce_order=False,
+                       txn=("appA", 1)) == 0, "duplicate txn re-appended"
+        t = Table.open(spark, schema.name, home=scratch)
+        assert t.row_count == before, "duplicate txn changed row_count"
+
+        # a second app reusing batch id 1 is NOT a replay
+        assert t.write(slices[2], enforce_order=False,
+                       txn=("appB", 1)) > 0, "cross-app txn collision"
+        assert t.write(slices[3], enforce_order=False,
+                       txn=("appB", 2)) > 0
+
+        # protocol claims: exactly-once totals, invisible debris, vacuum
+        t = Table.open(spark, schema.name, home=scratch)
+
+        def disk_files() -> set:
+            proot, out = os.path.join(t.path, "parquet"), set()
+            for dt in os.listdir(proot):
+                d = os.path.join(proot, dt)
+                if dt.startswith("dt=") and os.path.isdir(d):
+                    out.update(f"{dt}/{f}" for f in os.listdir(d)
+                               if not f.startswith(("_", ".")))
+            return out
+
+        committed = set(t._latest_manifest()[1])
+        orphans = disk_files() - committed
+        assert t.row_count == expected, \
+            f"exactly-once violated: {t.row_count} != {expected}"
+        assert orphans, "crash injection left no orphan files to test"
+        assert t.scan().count() == expected, "crash debris leaked into scan"
+        removed = t.vacuum(grace_seconds=0.0)
+        assert removed >= len(orphans), \
+            f"vacuum removed {removed} < {len(orphans)} orphans"
+        assert disk_files() == committed, "disk/manifest drift after vacuum"
+        assert t.scan().count() == expected, "vacuum changed visible rows"
+        os.rename(scratch, home)
+
+    t = Table.open(spark, schema.name, home=home)
+    return (t.scan()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
 def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming WINDOWED-AGGREGATION parity: availableNow stream →
     ``stream_resample`` (hourly OHLCV bars, 10-minute watermark) → append
@@ -3193,6 +3314,7 @@ _QUERY_DECLARATIONS: list[
     ("multimodal_video", q_multimodal_video),
     ("skew_stress", q_skew_stress),
     ("manifest_stress", q_manifest_stress),
+    ("stream_txn_stress", q_stream_txn_stress),
     ("ts_parse", q_ts_parse),
     ("convert_column", q_convert_column),
     ("bpe_apply", q_bpe_apply),
@@ -3897,6 +4019,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             WHERE event_id % 8 < 6
+            GROUP BY 1
+        """,
+        # Exactly-once streaming txn stress: every slice (0-3 = ALL
+        # events) lands exactly once despite crash + replay + duplicate
+        # delivery, so the oracle is the full-corpus aggregate.
+        "stream_txn_stress": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
             GROUP BY 1
         """,
         # Lifecycle round-trip: same source aggregation as stream_ingest —

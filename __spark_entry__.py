@@ -1022,166 +1022,106 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
-def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV source → Table → pruned scan round-trip: the events table is
-    exported to CSV once (keyed on the testdata fingerprint), loaded
-    back through ``sources.readers.ingest_csv`` (schema-conformed batch
-    append), and re-read via the partition-pruned ``Table.scan`` path.
-    The oracle aggregates the original parquet over the same range — a
-    hash match proves the CSV text round-trip (longs, doubles, symbols)
-    and the batch write path lose nothing.  Ingestion is guarded by a
-    marker file so repeated calls never double-append."""
+def _ingest_roundtrip(spark: SparkSession, sf_dir: str, *, fmt: str,
+                      tag: str, export, ingest,
+                      full_agg: bool) -> DataFrame:
+    """Shared scaffold for the foreign-format round-trip gates
+    (csv/orc/json): export events ONCE (keyed on the testdata
+    fingerprint), load back through the format's ``sources.readers``
+    ingest (schema-conformed batch append into a day-partitioned
+    table), re-read via the partition-pruned ``Table.scan``, and
+    aggregate.  Build is scratch-home + atomic rename so an interrupted
+    ingest can never leave a half-appended home a later run would
+    double-append into (the round-7 review's finding); the export dir
+    gets the same treatment."""
     import tempfile
 
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
-    from zdb_spark.sources.readers import ingest_csv
     from zdb_spark.table import Table
 
     import shutil
 
-    key = _key_for(sf_dir, "ingest-csv-v2", ("events",))
-    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_csv", key)
+    key = _key_for(sf_dir, tag, ("events",))
+    root = os.path.join(tempfile.gettempdir(), f"zdb_ingest_{fmt}", key)
     home = os.path.join(root, "home")
-    schema = (Schema("events_csv")
+    schema = (Schema(f"events_{fmt}")
               .add_col("event_id", ColumnType.I64)
               .add_col("user_id", ColumnType.I64)
               .add_col("event_type", ColumnType.SYMBOL16)
               .add_col("value", ColumnType.F64)
               .with_partition_by(PartitionBy.DAY))
     if not os.path.exists(home):
-        # v2: scratch-home + atomic rename (was append-then-marker, which
-        # a mid-ingest kill could leave half-appended and a later run
-        # would double-append into — the round-7 review's finding)
         scratch = home + ".tmp"
         shutil.rmtree(scratch, ignore_errors=True)
-        csv_dir = os.path.join(root, "csv")
-        if not os.path.exists(csv_dir):
-            ctmp = csv_dir + ".tmp"
-            (_load(spark, sf_dir, "events")
-             .select("ts", "event_id", "user_id", "event_type", "value")
-             .write.mode("overwrite").option("header", True).csv(ctmp))
-            os.rename(ctmp, csv_dir)
+        data_dir = os.path.join(root, fmt)
+        if not os.path.exists(data_dir):
+            dtmp = data_dir + ".tmp"
+            export(_load(spark, sf_dir, "events")
+                   .select("ts", "event_id", "user_id", "event_type",
+                           "value"),
+                   dtmp)
+            os.rename(dtmp, data_dir)
         t = Table.create(spark, schema, home=scratch)
-        ingest_csv(t, csv_dir, header=True)
+        ingest(t, data_dir)
         os.rename(scratch, home)
-    t = Table.open(spark, "events_csv", home=home)
+    t = Table.open(spark, f"events_{fmt}", home=home)
 
     lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
     hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
-    return (t.scan(lo, hi)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if full_agg:
+        aggs.append(F.sum("user_id").cast("long").alias("sum_uid"))
+    aggs.append(F.round(F.sum("value"), 4).alias("sum_value"))
+    if full_agg:
+        aggs += [F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")]
+    return t.scan(lo, hi).groupBy("event_type").agg(*aggs)
+
+
+def q_ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source → Table → pruned scan round-trip: a hash match
+    against the original parquet's aggregate proves the CSV text
+    round-trip (longs, doubles, symbols) and the batch write path lose
+    nothing (readers.py:ingest_csv; scaffold: _ingest_roundtrip)."""
+    from zdb_spark.sources.readers import ingest_csv
+
+    return _ingest_roundtrip(
+        spark, sf_dir, fmt="csv", tag="ingest-csv-v2",
+        export=lambda df, path: (df.write.mode("overwrite")
+                                 .option("header", True).csv(path)),
+        ingest=lambda t, path: ingest_csv(t, path, header=True),
+        full_agg=False)
 
 
 def q_ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source → Table → pruned scan round-trip (the second columnar
-    interchange format beside parquet): events are exported to ORC once
-    (keyed on the testdata fingerprint), loaded back through
-    ``sources.readers.ingest_orc`` (schema-conformed batch append into
-    the day-partitioned table), and re-read via the partition-pruned
-    ``Table.scan``.  The oracle aggregates the ORIGINAL parquet over the
-    same range — a hash match proves Spark's ORC writer+reader and the
-    batch append path lose nothing (readers.py:ingest_orc)."""
-    import tempfile
-
-    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    interchange format beside parquet): a hash match against the
+    ORIGINAL parquet's aggregate proves Spark's ORC writer+reader and
+    the batch append path lose nothing (readers.py:ingest_orc;
+    scaffold: _ingest_roundtrip)."""
     from zdb_spark.sources.readers import ingest_orc
-    from zdb_spark.table import Table
 
-    import shutil
-
-    key = _key_for(sf_dir, "ingest-orc-v2", ("events",))
-    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_orc", key)
-    home = os.path.join(root, "home")
-    schema = (Schema("events_orc")
-              .add_col("event_id", ColumnType.I64)
-              .add_col("user_id", ColumnType.I64)
-              .add_col("event_type", ColumnType.SYMBOL16)
-              .add_col("value", ColumnType.F64)
-              .with_partition_by(PartitionBy.DAY))
-    if not os.path.exists(home):
-        # scratch + atomic rename: an interrupted build can never leave a
-        # half-appended home that a later run would double-append into
-        scratch = home + ".tmp"
-        shutil.rmtree(scratch, ignore_errors=True)
-        orc_dir = os.path.join(root, "orc")
-        if not os.path.exists(orc_dir):
-            otmp = orc_dir + ".tmp"
-            (_load(spark, sf_dir, "events")
-             .select("ts", "event_id", "user_id", "event_type", "value")
-             .write.mode("overwrite").orc(otmp))
-            os.rename(otmp, orc_dir)
-        t = Table.create(spark, schema, home=scratch)
-        ingest_orc(t, orc_dir)
-        os.rename(scratch, home)
-    t = Table.open(spark, "events_orc", home=home)
-
-    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
-    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
-    return (t.scan(lo, hi)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("user_id").cast("long").alias("sum_uid"),
-                 F.round(F.sum("value"), 4).alias("sum_value"),
-                 F.min("ts").alias("min_ts"),
-                 F.max("ts").alias("max_ts")))
+    return _ingest_roundtrip(
+        spark, sf_dir, fmt="orc", tag="ingest-orc-v2",
+        export=lambda df, path: df.write.mode("overwrite").orc(path),
+        ingest=ingest_orc, full_agg=True)
 
 
 def q_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source → Table → pruned scan round-trip (the text
-    interchange format beside CSV): events are exported to JSON-lines
-    once (keyed on the testdata fingerprint), loaded back through
+    interchange format beside CSV), loaded back through
     ``sources.readers.ingest_json`` with the table's EXPLICIT schema —
     schema inference over JSON is a second full scan and a 100 TB
-    anti-pattern — and re-read via the partition-pruned ``Table.scan``.
-    The oracle aggregates the ORIGINAL parquet over the same range — a
-    hash match proves ISO-timestamp text, JSON doubles (shortest
-    round-trip repr) and the append path lose nothing
-    (readers.py:ingest_json)."""
-    import tempfile
-
-    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    anti-pattern.  A hash match against the ORIGINAL parquet's
+    aggregate proves JSON numbers round-trip losslessly: ts travels as
+    an epoch-nanos int64 (the engine's native time type — NOT ISO
+    text), value as a double whose shortest-repr text must parse back
+    exactly (readers.py:ingest_json; scaffold: _ingest_roundtrip)."""
     from zdb_spark.sources.readers import ingest_json
-    from zdb_spark.table import Table
 
-    import shutil
-
-    key = _key_for(sf_dir, "ingest-json-v1", ("events",))
-    root = os.path.join(tempfile.gettempdir(), "zdb_ingest_json", key)
-    home = os.path.join(root, "home")
-    schema = (Schema("events_json")
-              .add_col("event_id", ColumnType.I64)
-              .add_col("user_id", ColumnType.I64)
-              .add_col("event_type", ColumnType.SYMBOL16)
-              .add_col("value", ColumnType.F64)
-              .with_partition_by(PartitionBy.DAY))
-    if not os.path.exists(home):
-        # scratch + atomic rename: an interrupted build can never leave
-        # a half-appended home that a later run would double-append into
-        scratch = home + ".tmp"
-        shutil.rmtree(scratch, ignore_errors=True)
-        json_dir = os.path.join(root, "json")
-        if not os.path.exists(json_dir):
-            jtmp = json_dir + ".tmp"
-            (_load(spark, sf_dir, "events")
-             .select("ts", "event_id", "user_id", "event_type", "value")
-             .write.mode("overwrite").json(jtmp))
-            os.rename(jtmp, json_dir)
-        t = Table.create(spark, schema, home=scratch)
-        ingest_json(t, json_dir)
-        os.rename(scratch, home)
-    t = Table.open(spark, "events_json", home=home)
-
-    lo = 1704412800 * 10**9          # 2024-01-05T00:00:00Z
-    hi = 1705017600 * 10**9          # 2024-01-12T00:00:00Z (inclusive)
-    return (t.scan(lo, hi)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("user_id").cast("long").alias("sum_uid"),
-                 F.round(F.sum("value"), 4).alias("sum_value"),
-                 F.min("ts").alias("min_ts"),
-                 F.max("ts").alias("max_ts")))
+    return _ingest_roundtrip(
+        spark, sf_dir, fmt="json", tag="ingest-json-v1",
+        export=lambda df, path: df.write.mode("overwrite").json(path),
+        ingest=ingest_json, full_agg=True)
 
 
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3304,6 +3244,8 @@ _CHANGED_THIS_ROUND = [
     "sessionize_stream",  # far-straggler late-run semantics
     "dedup_incremental",  # store self-heal staleness threshold
     "stream_dedup_incremental",  # same store open path
+    "semantic_dedup",   # _nearest_centroid_col touched this round (the
+                        # other centroid consumers sit in-window already)
 ]
 
 _QUERY_DECLARATIONS: list[
@@ -4068,7 +4010,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         # JSON-lines round-trip: the oracle aggregates the ORIGINAL
-        # parquet — ISO-timestamp text, JSON doubles and the append
+        # parquet — epoch-nanos int64 ts, JSON doubles and the append
         # path must be lossless.
         "ingest_json": f"""
             SELECT event_type,

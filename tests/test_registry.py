@@ -79,6 +79,9 @@ def test_rotation_is_stalest_first():
 def test_oracle_keys_are_query_keys():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    # Every gate is currently value-checkable (the README states this);
+    # a future rows-only gate must update this pin AND the README.
+    assert set(qs) == set(oracles), sorted(set(qs) - set(oracles))
 
 
 def test_every_callable_is_distinct_per_name():

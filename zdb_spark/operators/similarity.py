@@ -211,9 +211,9 @@ def _nearest_centroid_col(vec_col: str, cents: "np.ndarray") -> Column:
     """
     from .dedup import let
 
-    # single nested-array Literal (see nearest_centroid_l2_col): O(1)
-    # plan-compilation in k·d instead of a k×d lit-tree
-    cents_arr = F.lit([[float(x) for x in c] for c in cents])
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
     dots = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -259,11 +259,9 @@ def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
     from .dedup import let
 
     cents = np.asarray(cents, dtype=np.float64)
-    # ONE nested-array Literal node, not array(array(lit, …), …): the
-    # k×d lit-tree made every analysis/codegen pass walk 256+ leaves,
-    # and k-means recompiles per iteration (literals change) — the
-    # single Literal keeps plan compilation O(1) in k·d.
-    cents_arr = F.lit([[float(x) for x in c] for c in cents])
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
     dists = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -298,12 +296,17 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
     cost = iters linear scans, zero wide shuffles.
 
     Cross-engine reproducibility (the gate oracle replays the same
-    iterations as unrolled SQL CTEs): per-iteration means are rounded
+    iterations as unrolled SQL CTEs): per-iteration MEANS are rounded
     to ``round_dp`` decimals INSIDE the Spark aggregation (HALF_UP,
-    matching DuckDB's ``round``), so the centroid sequence is a chain
-    of exact decimals — any FP noise from distributed summation order
-    dies at each rounding boundary.  Empty clusters keep their previous
-    centroid (oracle mirrors via LEFT JOIN + coalesce).
+    matching DuckDB's ``round``), so summation-order FP noise in the
+    centroid chain dies at each rounding boundary.  The ASSIGNMENT
+    argmin compares unrounded distances — a vector sitting within ~1
+    ulp of two centroids, or a mean landing exactly on a round_dp
+    boundary, could still flip between engines; both are measure-zero
+    on real-valued data (the same determinism class the cluster_assign
+    gate has relied on across rounds) but are the known residual risk,
+    not "impossible".  Empty clusters keep their previous centroid
+    (oracle mirrors via LEFT JOIN + coalesce).
     """
     if not init_centroids:
         raise ValueError("kmeans_lloyd needs explicit init centroids "
@@ -324,10 +327,15 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
                 .collect())
         new: dict[int, list] = {}
         for r in rows:
+            if r["__i"] >= d:
+                raise ValueError(
+                    f"input vectors have more than {d} dimensions "
+                    f"(init centroids are {d}-d)")
             new.setdefault(r["__cid"], [None] * d)[r["__i"]] = \
                 float(r["__m"])
-        assert all(None not in v for v in new.values()), \
-            "ragged input vectors: a cluster is missing dimensions"
+        if any(None in v for v in new.values()):
+            raise ValueError(
+                "ragged input vectors: a cluster is missing dimensions")
         cents = [new.get(c, cents[c]) for c in range(k)]
     return cents
 

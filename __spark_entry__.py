@@ -2712,6 +2712,23 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "centroid_id"))
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: nearest-centroid assignment
+    (squared L2, seed centroids = vectors 0-7) + per-cluster z-score of
+    the assignment distance — the garbage/anomaly filter for embedded
+    corpora.  Distances round to 6 decimals before the stats and z
+    rounds after, so the oracle replays the identical pipeline
+    (similarity.py:centroid_outliers)."""
+    from zdb_spark.operators.similarity import centroid_outliers
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [r["embedding"] for r in
+             emb.where(F.col("vec_id") < 8).orderBy("vec_id")
+                .select("embedding").collect()]
+    return centroid_outliers(emb, cents, "embedding", "vec_id",
+                             z_thresh=2.0)
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality filtering: add-k bigram LM trained on
     the corpus itself scores each doc's mean transition log-prob.  Train
@@ -3026,6 +3043,21 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(docs, bench, "text", "doc_id", n=8)
 
 
+def q_contamination_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via the 64-bit hash PREFILTER + exact-verify
+    path — the shape for benchmark suites too large to broadcast as
+    strings (hash set is ~6× leaner; survivors, not the benchmark, are
+    the verify join's broadcast side).  Result is IDENTICAL to
+    ``contamination`` by construction, so the gate shares its oracle —
+    a hash match proves the prefilter drops nothing and 64-bit
+    collisions never inflate counts (curation.py:contamination_hash)."""
+    from zdb_spark.operators.curation import contamination_hash
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return contamination_hash(docs, bench, "text", "doc_id", n=8)
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING point-in-time enrichment: purchases arrive as a stream
     and pick up the user's most recent prior-or-equal click from a
@@ -3271,6 +3303,8 @@ _QUERY_DECLARATIONS: list[
     ("ingest_json", q_ingest_json),
     ("kmeans_train", q_kmeans_train),
     ("text_entropy", q_text_entropy),
+    ("contamination_hash", q_contamination_hash),
+    ("embedding_outliers", q_embedding_outliers),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5147,6 +5181,41 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rn = 1
     """
     sqls["kmeans_train"] = _kmeans_oracle_sql(k=4, iters=3, d=64, dp=6)
+    # Outliers: same exploded assign shape as the kmeans oracle (k=8,
+    # one pass), then per-cluster z-score over 6-dp-rounded distances.
+    sqls["embedding_outliers"] = """
+        WITH emb AS (
+            SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, range(1, 65) t(i)
+        ), c0 AS (
+            SELECT vec_id AS cid, i, CAST(embedding[i] AS DOUBLE) AS val
+            FROM embeddings, range(1, 65) t(i)
+            WHERE vec_id < 8
+        ), d AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x - c.val) * (e.x - c.val))::DOUBLE AS dist
+            FROM emb e JOIN c0 c USING (i)
+            GROUP BY 1, 2
+        ), a AS (
+            SELECT vec_id, cid, round(dist, 6) AS dist FROM (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cid) AS rn
+                FROM d) WHERE rn = 1
+        ), s AS (
+            SELECT vec_id, cid, dist,
+                   avg(dist) OVER (PARTITION BY cid) AS mu,
+                   stddev_samp(dist) OVER (PARTITION BY cid) AS sd
+            FROM a
+        )
+        SELECT vec_id, CAST(cid AS INT) AS centroid_id, dist,
+               CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                    ELSE round((dist - mu) / sd, 6) END AS z,
+               CASE WHEN sd IS NULL OR sd = 0 THEN false
+                    ELSE round((dist - mu) / sd, 6) > 2.0
+               END AS is_outlier
+        FROM s
+    """
     # Char-level Shannon entropy: Σ-over-DISTINCT-chars form so the
     # fold is order-insensitive up to FP noise (list_distinct orders
     # differently from Spark's array_distinct); rounding kills the rest.
@@ -5218,6 +5287,9 @@ def oracle_sql() -> dict[str, str]:
                coalesce(hits.n, 0) > 0 AS contaminated
         FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
     """
+    # The hash-prefilter path must produce the IDENTICAL answer — same
+    # oracle, by design (the prefilter is exact after the verify join).
+    sqls["contamination_hash"] = sqls["contamination"]
     # The streaming enrichment answers the SAME point-in-time question —
     # a hash match against the identical ASOF oracle proves stream/batch
     # parity.

@@ -1837,3 +1837,50 @@ class TestCharEntropy:
         want = round(math.log2(3) - 2.0 / 3.0, 6)
         got = text.char_entropy(df, "text").collect()[0]["char_entropy"]
         assert abs(got - want) < 1e-9
+
+
+class TestContaminationHash:
+    def test_matches_exact_contamination(self, spark):
+        from zdb_spark.operators.curation import (contamination,
+                                                  contamination_hash)
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{i}t{j}" for j in range(12))) for i in range(6)]
+            + [(6, " ".join(f"w0t{j}" for j in range(12)))],  # dup of doc 0
+            "doc_id long, text string")
+        bench = docs.where("doc_id < 2")
+        a = {r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+             for r in contamination(docs, bench, "text", "doc_id", n=8)
+             .collect()}
+        b = {r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+             for r in contamination_hash(docs, bench, "text", "doc_id", n=8)
+             .collect()}
+        assert a == b
+        assert a[6][1] and a[0][1] and not a[3][1]
+
+
+class TestCentroidOutliers:
+    def test_flags_planted_outlier(self, spark):
+        from zdb_spark.operators.similarity import centroid_outliers
+        # cluster 0: tight blob at x=0..0.4, plus one point far out
+        rows = [(i, [0.1 * i, 0.0]) for i in range(5)] + [(99, [30.0, 0.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in
+               centroid_outliers(df, [[0.0, 0.0]], "embedding",
+                                 "vec_id", z_thresh=2.0).collect()}
+        assert out[99]["is_outlier"]
+        assert not any(out[i]["is_outlier"] for i in range(5))
+        assert all(r["centroid_id"] == 0 for r in out.values())
+
+    def test_degenerate_clusters_never_outliers(self, spark):
+        from zdb_spark.operators.similarity import centroid_outliers
+        # centroid 1 gets exactly one member (z undefined -> 0.0);
+        # centroid 0's members are all equidistant (stddev 0)
+        rows = [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [10.0, 0.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in
+               centroid_outliers(df, [[0.0, 0.0], [10.0, 0.0]],
+                                 "embedding", "vec_id").collect()}
+        assert not any(r["is_outlier"] for r in out.values())
+        assert all(r["z"] == 0.0 for r in out.values())

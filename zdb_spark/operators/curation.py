@@ -27,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "pack_sequences", "stratified_sample",
-           "token_budget_mix", "contamination", "chunk_documents",
-           "temperature_sample", "cap_per_group"]
+           "token_budget_mix", "contamination", "contamination_hash",
+           "chunk_documents", "temperature_sample", "cap_per_group"]
 
 _BUCKETS = 10_000
 
@@ -254,6 +254,56 @@ def contamination(df: DataFrame, bench: DataFrame, text_col: str = "text",
     doc_grams = grams(df, id_col)
     hits = (doc_grams
             .join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated")))
+    return (df.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                     .alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def contamination_hash(df: DataFrame, bench: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 8) -> DataFrame:
+    """``contamination`` with a 64-bit HASH PREFILTER — the shape for
+    benchmark suites too large to broadcast as gram strings.
+
+    Two-stage, result IDENTICAL to ``contamination`` (the gate shares
+    its oracle):
+
+    1. prefilter: corpus grams join a broadcast set of ``xxhash64``
+       gram hashes (8 bytes each — ~6× leaner than the strings, the
+       same memory trick as the runtime Bloom filters Spark injects
+       for shuffle joins, but exact-by-construction after stage 2);
+    2. exact verify: the SURVIVORS (true hits + rare 64-bit collisions)
+       re-join the benchmark on the gram string.  Survivors are tiny by
+       construction, so THEY are the broadcast side and the full
+       benchmark gram table streams — nothing large is ever collected
+       or shuffled wide.
+
+    At 100 TB: corpus side stays flatMap + partial-agg exactly like
+    ``contamination``; the benchmark side can now be 10^8+ grams
+    (hash set ~1 GB broadcast) instead of being capped by string
+    broadcast size.
+    """
+    from .dedup import let
+    from .text import _ngram_col, tokenize
+
+    def grams(frame: DataFrame, *cols: str) -> DataFrame:
+        g = let(tokenize(text_col),
+                lambda t: F.array_distinct(_ngram_col(t, n)))
+        return frame.select(*cols, F.explode(g).alias("gram"))
+
+    bench_grams = grams(bench).distinct()
+    bench_hashes = bench_grams.select(
+        F.xxhash64("gram").alias("_gh")).distinct()
+    cand = (grams(df, id_col)
+            .withColumn("_gh", F.xxhash64("gram"))
+            .join(F.broadcast(bench_hashes), "_gh")
+            .drop("_gh"))
+    hits = (bench_grams.join(F.broadcast(cand), "gram")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_contaminated")))
     return (df.select(id_col)

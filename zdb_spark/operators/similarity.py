@@ -32,7 +32,8 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "index_data_files", "current_generation",
            "pq_train", "pq_encode", "pq_topk", "assign_centroids",
            "semantic_dedup", "build_ivfpq_index", "ivfpq_index_topk",
-           "nearest_centroid_l2_col", "kmeans_lloyd"]
+           "nearest_centroid_l2_col", "kmeans_lloyd",
+           "centroid_outliers"]
 
 
 def _as_double(c: Column) -> Column:
@@ -338,6 +339,65 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
                 "ragged input vectors: a cluster is missing dimensions")
         cents = [new.get(c, cents[c]) for c in range(k)]
     return cents
+
+
+def centroid_outliers(df: DataFrame, centroids,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      z_thresh: float = 2.0,
+                      round_dp: int = 6) -> DataFrame:
+    """Embedding-space OUTLIER detection: assign every vector to its
+    nearest centroid (squared L2, ties → lowest index) and z-score its
+    distance within the cluster — the standard garbage/anomaly filter
+    for embedded corpora (mislabeled docs, encoder failures, and
+    off-manifold noise land far from every centroid).
+
+    One narrow assignment map (centroid matrix inlined, distance to the
+    assigned centroid is ``array_min`` of the same per-centroid
+    distances — no recompute) + one window over ``centroid_id`` for the
+    per-cluster mean/stddev.  The window shuffle is keyed by cluster —
+    k partitions of work regardless of corpus size; for 100 TB replace
+    the window with a two-pass agg-then-broadcast-join of the k-row
+    stats table (same math, no fat partitions).  Distances round to
+    ``round_dp`` BEFORE the stats and z rounds after, so the gate
+    oracle replays the identical pipeline cross-engine.  Clusters with
+    one member (stddev NULL) or zero spread are never outliers.
+    """
+    from .dedup import let
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.ndim != 2 or not len(cents):
+        raise ValueError("centroids must be a non-empty 2-D array")
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    dists = let(
+        _as_double(F.col(vec_col)),
+        lambda v: F.transform(
+            cents_arr,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x)))
+    assigned = df.select(
+        id_col,
+        let(dists, lambda d: F.struct(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int")
+            .alias("cid"),
+            F.round(F.array_min(d), round_dp).alias("dist")))
+        .alias("_a")
+    ).select(id_col, F.col("_a.cid").alias("centroid_id"),
+             F.col("_a.dist").alias("dist"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("centroid_id")
+    z = F.round((F.col("dist") - F.avg("dist").over(w))
+                / F.stddev_samp("dist").over(w), round_dp)
+    return (assigned
+            .withColumn("z", F.when(
+                F.stddev_samp("dist").over(w).isNull()
+                | (F.stddev_samp("dist").over(w) == 0), F.lit(0.0))
+                .otherwise(z))
+            .withColumn("is_outlier",
+                        F.col("z") > F.lit(float(z_thresh))))
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,

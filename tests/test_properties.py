@@ -356,3 +356,21 @@ def test_sessionize_chunked_merge_equals_batch(ts_list, gap, cut_points):
     if state is not None:
         closed_all.append(state)
     assert sorted(closed_all) == expected
+
+
+@given(st.lists(
+    st.lists(st.integers(-50, 50).map(lambda v: v / 10.0),
+             min_size=3, max_size=3),
+    min_size=2, max_size=25))
+@settings(**_SETTINGS)
+def test_kmeans_invariant_to_partitioning(spark, vectors):
+    """Lloyd training must land on identical centroids regardless of
+    how rows are laid out — the per-iteration rounding exists precisely
+    so summation order cannot leak into the result."""
+    from zdb_spark.operators.similarity import kmeans_lloyd
+    rows = [(i, v) for i, v in enumerate(vectors)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = [vectors[0], [99.0, 99.0, 99.0]]   # second may end up empty
+    a = kmeans_lloyd(df.repartition(1), "embedding", init, iters=2)
+    b = kmeans_lloyd(df.repartition(7), "embedding", init, iters=2)
+    assert a == b

@@ -2729,6 +2729,41 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                              z_thresh=2.0)
 
 
+def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-THEN-CURATE composite (the SemDeDup/SSL-curation recipe
+    shape): train k-means on the embeddings (2 full Lloyd passes,
+    kmeans_lloyd), assign every vector with the SAME argmin-L2
+    expression training used, join each document's text signals through
+    the embedding↔document id alignment, and report per-cluster
+    curation stats (doc count, mean char-entropy, mean token count).
+    One verified flow proving the clustering, assignment, text and
+    relational operators compose; the oracle replays training via the
+    shared kmeans CTE mirror and consumes its final centroid table
+    (similarity.py:kmeans_lloyd, :nearest_centroid_l2_col,
+    text.py:char_entropy, :token_counts)."""
+    from zdb_spark.operators.similarity import (kmeans_lloyd,
+                                                nearest_centroid_l2_col)
+    from zdb_spark.operators.text import char_entropy, token_counts
+
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents")
+    init = [r["embedding"] for r in
+            emb.where(F.col("vec_id") < 4).orderBy("vec_id")
+               .select("embedding").collect()]
+    cents = kmeans_lloyd(emb, "embedding", init, iters=2, round_dp=6)
+    assigned = emb.select(
+        "vec_id",
+        nearest_centroid_l2_col("embedding", cents).alias("cluster_id"))
+    signals = token_counts(char_entropy(docs, "text"), "text").select(
+        "doc_id", "char_entropy", "n_ws_tokens")
+    return (assigned
+            .join(signals, assigned.vec_id == signals.doc_id)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.round(F.avg("char_entropy"), 6).alias("avg_entropy"),
+                 F.round(F.avg("n_ws_tokens"), 6).alias("avg_tokens")))
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-style quality filtering: add-k bigram LM trained on
     the corpus itself scores each doc's mean transition log-prob.  Train
@@ -2851,13 +2886,18 @@ def _logreg_oracle_sql(n_iters: int = 3) -> str:
 
 
 def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64,
-                       dp: int = 6) -> str:
+                       dp: int = 6, extra_ctes: list[str] | None = None,
+                       final: str | None = None) -> str:
     """Unrolled-SQL mirror of similarity.kmeans_lloyd: one (squared-L2
     distance, argmin assignment, rounded-mean, coalesce-carry) CTE block
     per iteration, over the component-exploded embedding table.  Means
     round to the same ``dp`` decimals at the same point the Spark
     trainer rounds; empty clusters carry the previous centroid via
-    LEFT JOIN + coalesce, mirroring the trainer's dict-get fallback."""
+    LEFT JOIN + coalesce, mirroring the trainer's dict-get fallback.
+
+    ``extra_ctes``/``final`` let composite gates keep training on this
+    shared mirror and append their own consumption of ``c{iters}`` (the
+    trained centroid table) — one source of truth for the replay."""
     ctes = [
         f"""emb AS (
             SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -2893,9 +2933,12 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64,
             FROM c{t - 1} o
             LEFT JOIN m{t} m ON m.cid = o.cid AND m.i = o.i
         )""")
-    return ("WITH " + ",\n".join(ctes) +
-            f"\nSELECT CAST(cid AS INT) AS cluster_id,"
-            f" CAST(i - 1 AS INT) AS dim, val AS weight FROM c{iters}")
+    if extra_ctes:
+        ctes = ctes + list(extra_ctes)
+    tail = final or (f"SELECT CAST(cid AS INT) AS cluster_id,"
+                     f" CAST(i - 1 AS INT) AS dim, val AS weight"
+                     f" FROM c{iters}")
+    return "WITH " + ",\n".join(ctes) + "\n" + tail
 
 
 # Fixed demo merge table for the bpe_apply gate (the quality_model
@@ -3305,6 +3348,7 @@ _QUERY_DECLARATIONS: list[
     ("text_entropy", q_text_entropy),
     ("contamination_hash", q_contamination_hash),
     ("embedding_outliers", q_embedding_outliers),
+    ("cluster_curation", q_cluster_curation),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5181,6 +5225,47 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rn = 1
     """
     sqls["kmeans_train"] = _kmeans_oracle_sql(k=4, iters=3, d=64, dp=6)
+    # Cluster-then-curate composite: training replays through the SAME
+    # kmeans CTE mirror (iters=2), then a final assignment vs c2, the
+    # text-signal pack, and the per-cluster rollup.
+    sqls["cluster_curation"] = _kmeans_oracle_sql(
+        k=4, iters=2, d=64, dp=6,
+        extra_ctes=[
+            """fd AS (
+            SELECT e.vec_id, c.cid,
+                   sum((e.x - c.val) * (e.x - c.val))::DOUBLE AS dist
+            FROM emb e JOIN c2 c USING (i)
+            GROUP BY 1, 2
+        )""",
+            """fa AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY dist ASC, cid) AS rn
+                FROM fd) WHERE rn = 1
+        )""",
+            """sig AS (
+            SELECT doc_id,
+                   CASE WHEN len(chs) <= 0 THEN 0.0 ELSE round(
+                       log2(len(chs))
+                       - list_aggregate(
+                           list_transform(
+                               list_distinct(chs),
+                               ch -> len(list_filter(chs, x -> x = ch))
+                                     * log2(len(list_filter(chs,
+                                                            x -> x = ch)))),
+                           'sum') / len(chs), 6) END AS char_entropy,
+                   len(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS n_ws_tokens
+            FROM (SELECT doc_id, text, string_split(text, '') AS chs
+                  FROM documents)
+        )"""],
+        final="""SELECT CAST(fa.cid AS INT) AS cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(s.char_entropy), 6) AS avg_entropy,
+               round(avg(s.n_ws_tokens), 6) AS avg_tokens
+        FROM fa JOIN sig s ON fa.vec_id = s.doc_id
+        GROUP BY 1""")
     # Outliers: same exploded assign shape as the kmeans oracle (k=8,
     # one pass), then per-cluster z-score over 6-dp-rounded distances.
     sqls["embedding_outliers"] = """

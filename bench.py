@@ -60,6 +60,8 @@ HEADLINE = [
                           # across runs by testdata fingerprint)
     "kmeans_train",       # 3 distributed Lloyd passes (k=4, d=64)
     "text_entropy",       # char-entropy quality signal (row-local HOFs)
+    "contamination_hash",  # 64-bit-hash prefilter + exact-verify decon
+    "embedding_outliers",  # per-cluster distance z-score filter
     "quality_model",      # hashing-trick linear scorer (codegen'd fold)
     "chunk_docs",         # overlapping context-window explode
     "lm_score",           # corpus-trained bigram LM train+score

@@ -254,6 +254,49 @@ class TestPipelineOperatorPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan      # pure codegen, no UDF eval node
 
+    def test_char_entropy_zero_shuffle(self, docs):
+        from zdb_spark.operators.text import char_entropy
+
+        out = char_entropy(docs, "text")
+        rep = scan_report(out)
+        assert rep.exchanges == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan      # pure HOF codegen, no UDF node
+
+    def test_contamination_hash_all_joins_broadcast(self, spark, docs):
+        from zdb_spark.operators.curation import contamination_hash
+
+        bench = docs.where(F.col("doc_id") < 5)
+        out = contamination_hash(docs, bench, "text", "doc_id", n=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        # (the count re-attach tail join stays adaptive: hits is usually
+        # tiny but unbounded in the all-contaminated worst case, so
+        # forcing a broadcast there would be the wrong call — AQE
+        # converts it at runtime when small)
+
+    def test_nearest_centroid_l2_zero_shuffle(self, spark):
+        from zdb_spark.operators.similarity import nearest_centroid_l2_col
+
+        df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(20)],
+                                   "vec_id long, embedding array<double>")
+        rep = scan_report(df.select(
+            "vec_id", nearest_centroid_l2_col(
+                "embedding", [[1.0, 0.0], [0.0, 1.0]]).alias("cid")))
+        assert rep.exchanges == 0
+
+    def test_centroid_outliers_single_cluster_keyed_shuffle(self, spark):
+        from zdb_spark.operators.similarity import centroid_outliers
+
+        df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(20)],
+                                   "vec_id long, embedding array<double>")
+        out = centroid_outliers(df, [[1.0, 0.0], [0.0, 1.0]],
+                                "embedding", "vec_id")
+        # assignment is row-local; the only exchange is the per-cluster
+        # stats window, keyed by centroid_id
+        assert scan_report(out).exchanges == 1
+
     def test_ivfpq_probe_prunes_partitions_and_columns(self, spark, tmp_path):
         """The composed index's two pruning claims, pinned: the probe's
         plan must (a) partition-filter on centroid_id (IVF pruning) and

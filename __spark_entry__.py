@@ -1138,10 +1138,8 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.similarity import kmeans_lloyd
 
     emb = _load(spark, sf_dir, "embeddings")
-    init = [r["embedding"] for r in
-            emb.where(F.col("vec_id") < 4).orderBy("vec_id")
-               .select("embedding").collect()]
-    cents = kmeans_lloyd(emb, "embedding", init, iters=3, round_dp=6)
+    cents = kmeans_lloyd(emb, "embedding", _seed_centroids(emb, 4),
+                         iters=3, round_dp=6)
     rows = [(c, i, float(v)) for c, vec in enumerate(cents)
             for i, v in enumerate(vec)]
     return spark.createDataFrame(
@@ -1722,6 +1720,15 @@ def q_stream_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("open", 4).alias("open"), F.round("high", 4).alias("high"),
         F.round("low", 4).alias("low"), F.round("close", 4).alias("close"))
+
+
+def _seed_centroids(emb: DataFrame, k: int) -> list:
+    """Fixed seed centroids = embeddings 0..k-1 in vec_id order — the
+    one init policy every centroid gate AND its oracle's ``vec_id < k``
+    c0 CTE share; change it here and in _kmeans_oracle_sql together."""
+    return [r["embedding"] for r in
+            emb.where(F.col("vec_id") < k).orderBy("vec_id")
+               .select("embedding").collect()]
 
 
 def _emb_double(emb: DataFrame) -> DataFrame:
@@ -2705,10 +2712,7 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.similarity import assign_centroids
 
     emb = _load(spark, sf_dir, "embeddings")
-    cents = [r["embedding"] for r in
-             emb.where(F.col("vec_id") < 8).orderBy("vec_id")
-                .select("embedding").collect()]
-    return (assign_centroids(emb, cents, "embedding")
+    return (assign_centroids(emb, _seed_centroids(emb, 8), "embedding")
             .select("vec_id", "centroid_id"))
 
 
@@ -2722,11 +2726,8 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.similarity import centroid_outliers
 
     emb = _load(spark, sf_dir, "embeddings")
-    cents = [r["embedding"] for r in
-             emb.where(F.col("vec_id") < 8).orderBy("vec_id")
-                .select("embedding").collect()]
-    return centroid_outliers(emb, cents, "embedding", "vec_id",
-                             z_thresh=2.0)
+    return centroid_outliers(emb, _seed_centroids(emb, 8), "embedding",
+                             "vec_id", z_thresh=2.0)
 
 
 def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2747,10 +2748,8 @@ def q_cluster_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _load(spark, sf_dir, "embeddings")
     docs = _load(spark, sf_dir, "documents")
-    init = [r["embedding"] for r in
-            emb.where(F.col("vec_id") < 4).orderBy("vec_id")
-               .select("embedding").collect()]
-    cents = kmeans_lloyd(emb, "embedding", init, iters=2, round_dp=6)
+    cents = kmeans_lloyd(emb, "embedding", _seed_centroids(emb, 4),
+                         iters=2, round_dp=6)
     assigned = emb.select(
         "vec_id",
         nearest_centroid_l2_col("embedding", cents).alias("cluster_id"))
@@ -2939,6 +2938,21 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 3, d: int = 64,
                      f" CAST(i - 1 AS INT) AS dim, val AS weight"
                      f" FROM c{iters}")
     return "WITH " + ",\n".join(ctes) + "\n" + tail
+
+
+# Char-level Shannon entropy over a `chs` char-list column — the ONE
+# SQL mirror of text.char_entropy (Σ-over-DISTINCT-chars form so the
+# fold is order-insensitive up to FP noise; rounding kills the rest).
+# Consumed by the text_entropy oracle AND cluster_curation's sig CTE:
+# change text.char_entropy and this string in the same commit.
+_ENTROPY_CASE_SQL = """CASE WHEN len(chs) <= 0 THEN 0.0 ELSE round(
+                   log2(len(chs))
+                   - list_aggregate(
+                       list_transform(
+                           list_distinct(chs),
+                           ch -> len(list_filter(chs, x -> x = ch))
+                                 * log2(len(list_filter(chs, x -> x = ch)))),
+                       'sum') / len(chs), 6) END"""
 
 
 # Fixed demo merge table for the bpe_apply gate (the quality_model
@@ -5244,17 +5258,9 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY dist ASC, cid) AS rn
                 FROM fd) WHERE rn = 1
         )""",
-            """sig AS (
+            f"""sig AS (
             SELECT doc_id,
-                   CASE WHEN len(chs) <= 0 THEN 0.0 ELSE round(
-                       log2(len(chs))
-                       - list_aggregate(
-                           list_transform(
-                               list_distinct(chs),
-                               ch -> len(list_filter(chs, x -> x = ch))
-                                     * log2(len(list_filter(chs,
-                                                            x -> x = ch)))),
-                           'sum') / len(chs), 6) END AS char_entropy,
+                   {_ENTROPY_CASE_SQL} AS char_entropy,
                    len(string_split_regex(trim(lower(text)), '\\s+'))
                        AS n_ws_tokens
             FROM (SELECT doc_id, text, string_split(text, '') AS chs
@@ -5301,22 +5307,12 @@ def oracle_sql() -> dict[str, str]:
                END AS is_outlier
         FROM s
     """
-    # Char-level Shannon entropy: Σ-over-DISTINCT-chars form so the
-    # fold is order-insensitive up to FP noise (list_distinct orders
-    # differently from Spark's array_distinct); rounding kills the rest.
-    sqls["text_entropy"] = """
+    sqls["text_entropy"] = f"""
         WITH c AS (
             SELECT doc_id, string_split(text, '') AS chs FROM documents
         )
         SELECT doc_id,
-               CASE WHEN len(chs) <= 0 THEN 0.0 ELSE round(
-                   log2(len(chs))
-                   - list_aggregate(
-                       list_transform(
-                           list_distinct(chs),
-                           ch -> len(list_filter(chs, x -> x = ch))
-                                 * log2(len(list_filter(chs, x -> x = ch)))),
-                       'sum') / len(chs), 6) END AS char_entropy
+               {_ENTROPY_CASE_SQL} AS char_entropy
         FROM c
     """
     # BM25 with the same Robertson/Lucene idf and tie-break; terms fixed

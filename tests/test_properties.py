@@ -370,7 +370,10 @@ def test_kmeans_invariant_to_partitioning(spark, vectors):
     from zdb_spark.operators.similarity import kmeans_lloyd
     rows = [(i, v) for i, v in enumerate(vectors)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    init = [vectors[0], [99.0, 99.0, 99.0]]   # second may end up empty
+    # second centroid sits at the data range's corner so generated sets
+    # genuinely split across clusters (and can still leave it empty —
+    # both the multi-cluster and the empty-carry branches are exercised)
+    init = [vectors[0], [5.0, 5.0, 5.0]]
     a = kmeans_lloyd(df.repartition(1), "embedding", init, iters=2)
     b = kmeans_lloyd(df.repartition(7), "embedding", init, iters=2)
     assert a == b

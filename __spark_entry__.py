@@ -618,6 +618,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: near-dup pairs straddling the
+    deterministic hash split (one banded LSH pass; split labels are
+    pure projections of the pair ids — no corpus join).  Oracle:
+    brute-force Jaccard >= 0.5 pairs, md5-bucket split CASE on both
+    ids, cross-split filter (curation.py:split_leakage)."""
+    from zdb_spark.operators.curation import split_leakage
+
+    docs = _load(spark, sf_dir, "documents")
+    return split_leakage(docs, "text", "doc_id",
+                         num_hashes=64, bands=16, threshold=0.5)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a PERSISTED signature store: docs
     0-399 are the already-indexed corpus (store built once per testdata
@@ -3363,6 +3376,7 @@ _QUERY_DECLARATIONS: list[
     ("contamination_hash", q_contamination_hash),
     ("embedding_outliers", q_embedding_outliers),
     ("cluster_curation", q_cluster_curation),
+    ("split_leakage", q_split_leakage),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -4194,6 +4208,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
             WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+        """,
+        # Leakage audit = the same brute-force pair truth, labeled with
+        # the md5-bucket split on each side and filtered to straddlers.
+        "split_leakage": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), jac AS (
+                SELECT id_a, id_b,
+                       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6)
+                           AS jaccard
+                FROM pairs
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            ), lab AS (
+                SELECT id_a, id_b, jaccard,
+                       CASE WHEN ('0x' || substr(md5('v1:' ||
+                                 CAST(id_a AS VARCHAR)), 1, 8))::BIGINT
+                                 % 10000 < 8000 THEN 'train'
+                            WHEN ('0x' || substr(md5('v1:' ||
+                                 CAST(id_a AS VARCHAR)), 1, 8))::BIGINT
+                                 % 10000 < 9000 THEN 'val'
+                            ELSE 'test' END AS split_a,
+                       CASE WHEN ('0x' || substr(md5('v1:' ||
+                                 CAST(id_b AS VARCHAR)), 1, 8))::BIGINT
+                                 % 10000 < 8000 THEN 'train'
+                            WHEN ('0x' || substr(md5('v1:' ||
+                                 CAST(id_b AS VARCHAR)), 1, 8))::BIGINT
+                                 % 10000 < 9000 THEN 'val'
+                            ELSE 'test' END AS split_b
+                FROM jac
+            )
+            SELECT id_a, id_b, split_a, split_b, jaccard
+            FROM lab WHERE split_a <> split_b
         """,
         # streamed store path: brute-force truth for every pair whose
         # LARGER id is >= 300 (everything except corpus0-internal)

@@ -334,3 +334,33 @@ def test_normalize_url_cases(spark):
                      extract_domain("url").alias("d")).collect()}
     for i, u in enumerate(cases):
         assert got[i] == cases[u], (u, got[i])
+
+
+class TestSplitLeakage:
+    def test_cross_split_pairs_only(self, spark):
+        import hashlib
+
+        from zdb_spark.operators.curation import split_leakage
+
+        def split_of(i):
+            b = int(hashlib.md5(f"v1:{i}".encode()).hexdigest()[:8],
+                    16) % 10000
+            return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+        # find one id pair in the SAME split and one in DIFFERENT splits
+        base = split_of(0)
+        same = next(i for i in range(1, 200) if split_of(i) == base)
+        diff = next(i for i in range(1, 200) if split_of(i) != base)
+        text = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [(0, text), (same, text), (diff, text),
+                (500, "completely unrelated filler content here x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"])
+               for r in split_leakage(df, "text", "doc_id").collect()}
+        # identical texts: all three pairs are near-dups, but only the
+        # cross-split ones may be reported
+        assert (0, diff) in out or (diff, 0) in out
+        assert (0, same) not in out and (same, 0) not in out
+        for (a, b), (sa, sb) in out.items():
+            assert sa != sb
+            assert sa == split_of(a) and sb == split_of(b)

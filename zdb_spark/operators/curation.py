@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["hash_split", "pack_sequences", "stratified_sample",
+__all__ = ["hash_split", "split_label", "split_leakage",
+           "pack_sequences", "stratified_sample",
            "token_budget_mix", "contamination", "contamination_hash",
            "chunk_documents", "temperature_sample", "cap_per_group"]
 
@@ -52,6 +53,15 @@ def hash_split(df: DataFrame, id_col: str,
     Pure projection: no shuffle, no RNG.  Changing ``salt`` re-deals the
     whole assignment; keeping it stable makes appends incremental.
     """
+    return df.withColumn(out_col, split_label(id_col, splits, salt))
+
+
+def split_label(id_col: str, splits: dict[str, float] | None = None,
+                salt: str = "v1") -> F.Column:
+    """The split-assignment EXPRESSION behind ``hash_split`` — a pure
+    projection on the id alone, so any frame carrying an id column can
+    derive its split label without joining the corpus (``split_leakage``
+    labels near-dup pairs this way)."""
     splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
     if not splits or any(v < 0 for v in splits.values()):
         raise ValueError("splits must be positive fractions")
@@ -67,8 +77,40 @@ def hash_split(df: DataFrame, id_col: str,
         expr = F.when(cond, F.lit(name)) if expr is None else \
             expr.when(cond, F.lit(name))
     last = labels[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
-    return df.withColumn(out_col, expr)
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def split_leakage(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  splits: dict[str, float] | None = None,
+                  salt: str = "v1", num_hashes: int = 64,
+                  bands: int = 16,
+                  threshold: float = 0.5) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs that STRADDLE the
+    deterministic hash split — an eval row with a near-copy in train is
+    how models "memorize the test set" even after external-benchmark
+    decontamination (the split is internal; ``contamination`` can't see
+    it).
+
+    Cost is exactly one banded MinHash-LSH near-dup pass
+    (``dedup.minhash_lsh_pairs`` — bucketed, never all-pairs); the
+    split labels are pure PROJECTIONS of the pair ids (md5 bucket, via
+    ``split_label``), so no join against the corpus is ever needed and
+    the post-filter touches only the near-dup pairs themselves.
+    Returns (id_a, id_b, split_a, split_b, jaccard) for pairs whose
+    sides land in different splits.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col,
+                              num_hashes=num_hashes, bands=bands,
+                              threshold=threshold)
+    out = pairs.select(
+        "id_a", "id_b",
+        split_label("id_a", splits, salt).alias("split_a"),
+        split_label("id_b", splits, salt).alias("split_b"),
+        "jaccard")
+    return out.where(F.col("split_a") != F.col("split_b"))
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,

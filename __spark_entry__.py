@@ -1171,6 +1171,22 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(docs, "text").select("doc_id", "char_entropy")
 
 
+def q_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality cut: drop the lowest-entropy decile
+    (repetitive/boilerplate text scores low char-entropy) using an
+    EXACT percentile threshold — Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the same linear interpolation, so the
+    oracle replays both the threshold and the cut bit-for-bit
+    (curation.py:percentile_cut over text.py:char_entropy; at 100 TB
+    swap approx_percentile in, same two-pass shape)."""
+    from zdb_spark.operators.curation import percentile_cut
+    from zdb_spark.operators.text import char_entropy
+
+    docs = char_entropy(_load(spark, sf_dir, "documents"), "text")
+    kept, _thr = percentile_cut(docs, "char_entropy", p=0.1)
+    return kept.select("doc_id", "char_entropy")
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution round-trip: events before
     2024-01-08 are written, ``add_column('batch_tag', default='v1')``
@@ -3377,6 +3393,7 @@ _QUERY_DECLARATIONS: list[
     ("embedding_outliers", q_embedding_outliers),
     ("cluster_curation", q_cluster_curation),
     ("split_leakage", q_split_leakage),
+    ("quality_percentile_cut", q_quality_percentile_cut),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5373,6 +5390,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {_ENTROPY_CASE_SQL} AS char_entropy
         FROM c
+    """
+    # Corpus-relative cut: same entropy mirror, exact-quantile
+    # threshold (quantile_cont == Spark's percentile interpolation),
+    # rounded to 6dp on both sides before the comparison.
+    sqls["quality_percentile_cut"] = f"""
+        WITH c AS (
+            SELECT doc_id, string_split(text, '') AS chs FROM documents
+        ), e AS (
+            SELECT doc_id,
+                   {_ENTROPY_CASE_SQL} AS char_entropy
+            FROM c
+        ), thr AS (
+            SELECT round(quantile_cont(char_entropy, 0.1), 6) AS t FROM e
+        )
+        SELECT doc_id, char_entropy
+        FROM e, thr WHERE char_entropy >= t
     """
     # BM25 with the same Robertson/Lucene idf and tie-break; terms fixed
     # to the entry's query ('fast','scan','table' after sort/dedup)

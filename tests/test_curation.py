@@ -364,3 +364,25 @@ class TestSplitLeakage:
         for (a, b), (sa, sb) in out.items():
             assert sa != sb
             assert sa == split_of(a) and sb == split_of(b)
+
+
+class TestPercentileCut:
+    def test_exact_decile_cut(self, spark):
+        from zdb_spark.operators.curation import percentile_cut
+        df = spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                                   "doc_id long, s double")
+        kept, thr = percentile_cut(df, "s", p=0.1)
+        # percentile(1..10, 0.1) = 1.9 -> rows 2..10 survive
+        assert thr == 1.9
+        assert sorted(r["doc_id"] for r in kept.collect()) == list(range(2, 11))
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from zdb_spark.operators.curation import percentile_cut
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+        with _pytest.raises(ValueError):
+            percentile_cut(df, "s", p=0.0)
+        empty = df.where("s > 5")
+        with _pytest.raises(ValueError):
+            percentile_cut(empty, "s", p=0.5)

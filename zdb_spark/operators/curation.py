@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "split_label", "split_leakage",
-           "pack_sequences", "stratified_sample",
+           "pack_sequences", "stratified_sample", "percentile_cut",
            "token_budget_mix", "contamination", "contamination_hash",
            "chunk_documents", "temperature_sample", "cap_per_group"]
 
@@ -304,6 +304,35 @@ def contamination(df: DataFrame, bench: DataFrame, text_col: str = "text",
                     F.coalesce("n_contaminated", F.lit(0)).cast("long")
                      .alias("n_contaminated"))
             .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def percentile_cut(df: DataFrame, score_col: str, p: float = 0.1,
+                   round_dp: int = 6) -> tuple[DataFrame, float]:
+    """Corpus-RELATIVE quality cut: drop rows whose ``score_col`` falls
+    below the exact ``p``-quantile of the corpus — "remove the worst
+    decile" instead of a hand-tuned absolute threshold, the standard
+    way quality classifiers are actually applied to a crawl.
+
+    Two passes: one percentile aggregate reduced to a driver scalar
+    (rounded to ``round_dp`` so engines agree on the boundary), one
+    filter scan with the threshold inlined.  ``percentile`` is EXACT
+    (linear interpolation, identical to quantile_cont) — it buffers the
+    column per partition, fine to ~10^8 rows; at 100 TB swap in
+    ``approx_percentile(score, p, accuracy)`` for a bounded-memory
+    sketch with the same two-pass shape (the gate uses the exact form
+    so the oracle can replay it bit-for-bit).
+
+    Returns (survivors, threshold).
+    """
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    thr = df.select(
+        F.round(F.expr(f"percentile({score_col}, {p})"), round_dp)
+        .alias("t")).collect()[0]["t"]
+    if thr is None:
+        raise ValueError("percentile undefined: empty input or all-null "
+                         f"{score_col}")
+    return df.where(F.col(score_col) >= F.lit(float(thr))), float(thr)
 
 
 def contamination_hash(df: DataFrame, bench: DataFrame,

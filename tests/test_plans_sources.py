@@ -297,6 +297,30 @@ class TestPipelineOperatorPlans:
         # stats window, keyed by centroid_id
         assert scan_report(out).exchanges == 1
 
+    def test_split_leakage_labels_are_projections(self, spark, docs):
+        from zdb_spark.operators.curation import split_leakage
+
+        out = split_leakage(docs, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # split labels derive from the pair ids — adding them must not
+        # introduce any join beyond what the LSH pair machinery already
+        # plans (compare join-node counts against the bare pairs frame)
+        from zdb_spark.operators.dedup import minhash_lsh_pairs
+        base = minhash_lsh_pairs(docs, "text", "doc_id",
+                                 num_hashes=64, bands=16, threshold=0.5)
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Join") == base_plan.count("Join")
+
+    def test_percentile_cut_is_filter_scan(self, spark, docs):
+        from zdb_spark.operators.curation import percentile_cut
+
+        scored = docs.withColumn("s", F.length("text").cast("double"))
+        kept, thr = percentile_cut(scored, "s", p=0.1)
+        # threshold is inlined as a literal: the survivor frame is one
+        # shuffle-free filter scan
+        assert scan_report(kept).exchanges == 0
+
     def test_ivfpq_probe_prunes_partitions_and_columns(self, spark, tmp_path):
         """The composed index's two pruning claims, pinned: the probe's
         plan must (a) partition-filter on centroid_id (IVF pruning) and

@@ -4065,7 +4065,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
-            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.8
+            WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.8
         """,
         # Stream→table→scan parity: oracle aggregates the source events
         # directly over the same inclusive time range Table.scan used.
@@ -4224,7 +4224,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
-            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
         """,
         # Leakage audit = the same brute-force pair truth, labeled with
         # the md5-bucket split on each side and filtered to straddlers.
@@ -4249,7 +4249,7 @@ def oracle_sql() -> dict[str, str]:
                        round(CAST(shared AS DOUBLE) / (na + nb - shared), 6)
                            AS jaccard
                 FROM pairs
-                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+                WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
             ), lab AS (
                 SELECT id_a, id_b, jaccard,
                        CASE WHEN ('0x' || substr(md5('v1:' ||
@@ -4294,7 +4294,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
-            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
         """,
         # same brute-force truth, restricted to pairs touching the
         # "new batch" (doc_id >= 400) — what the incremental path owes
@@ -4319,7 +4319,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
-            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
         """,
         # Same brute force over documents ∪ the planted boilerplate flood
         # (md5-derived unique tails — deterministic in both engines).
@@ -4359,7 +4359,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
-            WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+            WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
         """.replace('__CAP_BOILERPLATE__', _CAP_BOILERPLATE),
         # The four curation rules assembled from the individual entries'
         # SQL: en language-ID, quality >= 0.55 (on the ROUNDED score,
@@ -4417,7 +4417,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ), edges AS (
                 SELECT id_a, id_b FROM pr
-                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+                WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
             ), sym AS (
                 SELECT id_a AS a, id_b AS b FROM edges
                 UNION SELECT id_b, id_a FROM edges
@@ -4456,7 +4456,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ), edges AS (
                 SELECT id_a, id_b FROM pr
-                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+                WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
             ), sym AS (
                 SELECT id_a AS a, id_b AS b FROM edges
                 UNION SELECT id_b, id_a FROM edges

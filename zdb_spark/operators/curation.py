@@ -327,7 +327,7 @@ def percentile_cut(df: DataFrame, score_col: str, p: float = 0.1,
     if not 0 < p < 1:
         raise ValueError(f"p must be in (0, 1), got {p}")
     thr = df.select(
-        F.round(F.expr(f"percentile({score_col}, {p})"), round_dp)
+        F.round(F.percentile(F.col(score_col), F.lit(float(p))), round_dp)
         .alias("t")).collect()[0]["t"]
     if thr is None:
         raise ValueError("percentile undefined: empty input or all-null "

@@ -2984,6 +2984,23 @@ _ENTROPY_CASE_SQL = """CASE WHEN len(chs) <= 0 THEN 0.0 ELSE round(
                        'sum') / len(chs), 6) END"""
 
 
+# The 5-char-shingle brute-force prefix shared by every
+# MinHash-family oracle (normalize whitespace, distinct shingles) — the
+# ONE SQL mirror of dedup.py's shingle construction; the pair CTEs that
+# follow differ per gate (full / capped / id-restricted corpora).
+_SHINGLES_CTE_SQL = """WITH t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ),"""
+
+
 # Fixed demo merge table for the bpe_apply gate (the quality_model
 # pattern: one shared constant rendered into BOTH the Spark call and the
 # oracle SQL).  "\x03" is tokenize.EOW, shown as '_' in gate output.
@@ -4045,18 +4062,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(encode(text)) AS byte_len
             FROM documents
         """,
-        "dedup_ngram": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(norm) - 4, 1) + 1),
-                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
-                FROM t
-            ), pairs AS (
+        "dedup_ngram": rf"""
+            {_SHINGLES_CTE_SQL} pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb
@@ -4204,18 +4211,8 @@ def oracle_sql() -> dict[str, str]:
         # Brute-force all-pairs exact Jaccard — the operator's exact-verify
         # stage makes its output equal this set (candidate recall 1.0 at
         # the gate corpus; see q_dedup_minhash docstring).
-        "dedup_minhash": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(norm) - 4, 1) + 1),
-                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
-                FROM t
-            ), pairs AS (
+        "dedup_minhash": rf"""
+            {_SHINGLES_CTE_SQL} pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb
@@ -4228,18 +4225,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Leakage audit = the same brute-force pair truth, labeled with
         # the md5-bucket split on each side and filtered to straddlers.
-        "split_leakage": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(norm) - 4, 1) + 1),
-                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
-                FROM t
-            ), pairs AS (
+        "split_leakage": rf"""
+            {_SHINGLES_CTE_SQL} pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb
@@ -4273,18 +4260,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # streamed store path: brute-force truth for every pair whose
         # LARGER id is >= 300 (everything except corpus0-internal)
-        "stream_dedup_incremental": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(norm) - 4, 1) + 1),
-                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
-                FROM t
-            ), pairs AS (
+        "stream_dedup_incremental": rf"""
+            {_SHINGLES_CTE_SQL} pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb
@@ -4298,18 +4275,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same brute-force truth, restricted to pairs touching the
         # "new batch" (doc_id >= 400) — what the incremental path owes
-        "dedup_incremental": r"""
-            WITH t AS (
-                SELECT doc_id,
-                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(norm) - 4, 1) + 1),
-                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
-                FROM t
-            ), pairs AS (
+        "dedup_incremental": rf"""
+            {_SHINGLES_CTE_SQL} pairs AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        len(list_intersect(a.shingles, b.shingles)) AS shared,
                        len(a.shingles) AS na, len(b.shingles) AS nb

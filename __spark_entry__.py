@@ -103,6 +103,16 @@ def _key_for(sf_dir: str, tag: str, tables: tuple[str, ...]) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+def _check(cond: object, msg: str) -> None:
+    """``assert``-equivalent that survives ``python -O``: the stress
+    gates pin protocol claims (exactly-once, crash invisibility, vacuum
+    safety) with these checks, and a stripped assert would silently
+    degrade them to cache-building no-ops that still return a
+    green-looking aggregate."""
+    if not cond:
+        raise AssertionError(msg)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow-style file source over the events parquet with the
     same ts canonicalization as ``_load`` (streaming twin of the choke
@@ -1520,7 +1530,7 @@ def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             th.start()
         for th in threads:
             th.join()
-        assert not errs, f"concurrent appends failed: {errs}"
+        _check(not errs, f"concurrent appends failed: {errs}")
 
         # --- crash #1: all files moved, manifest publish never ran ----
         t6 = Table.open(spark, schema.name, home=scratch)
@@ -1533,7 +1543,7 @@ def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             t6.write(slices[6], enforce_order=False)
             raise AssertionError("crash #1 injection did not fire")
         except RuntimeError as e:
-            assert "injected" in str(e)
+            _check("injected" in str(e), f"unexpected RuntimeError: {e}")
 
         # --- crash #2: killed mid-move (first part file only) ----------
         t7 = Table.open(spark, schema.name, home=scratch)
@@ -1558,7 +1568,7 @@ def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             t7.write(slices[7], enforce_order=False)
             raise AssertionError("crash #2 injection did not fire")
         except RuntimeError as e:
-            assert "injected" in str(e)
+            _check("injected" in str(e), f"unexpected RuntimeError: {e}")
 
         # --- protocol claims -------------------------------------------
         t = Table.open(spark, schema.name, home=scratch)
@@ -1574,16 +1584,19 @@ def q_manifest_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         committed = set(t._latest_manifest()[1])
         orphans = disk_files() - committed
-        assert t.row_count == expected, \
-            f"lost batches: manifest says {t.row_count}, " \
-            f"survivors wrote {expected}"
-        assert orphans, "fault injection left no orphan files to test"
-        assert t.scan().count() == expected, "crash debris leaked into scan"
+        _check(t.row_count == expected,
+               f"lost batches: manifest says {t.row_count}, "
+               f"survivors wrote {expected}")
+        _check(orphans, "fault injection left no orphan files to test")
+        _check(t.scan().count() == expected,
+               "crash debris leaked into scan")
         removed = t.vacuum(grace_seconds=0.0)
-        assert removed >= len(orphans), \
-            f"vacuum removed {removed} < {len(orphans)} orphans"
-        assert disk_files() == committed, "disk/manifest drift after vacuum"
-        assert t.scan().count() == expected, "vacuum changed visible rows"
+        _check(removed >= len(orphans),
+               f"vacuum removed {removed} < {len(orphans)} orphans")
+        _check(disk_files() == committed,
+               "disk/manifest drift after vacuum")
+        _check(t.scan().count() == expected,
+               "vacuum changed visible rows")
         os.rename(scratch, home)
 
     t = Table.open(spark, schema.name, home=home)
@@ -1649,8 +1662,8 @@ def q_stream_txn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # batch 0 commits normally
         t = Table.open(spark, schema.name, home=scratch)
-        assert t.write(slices[0], enforce_order=False,
-                       txn=("appA", 0)) > 0
+        _check(t.write(slices[0], enforce_order=False,
+                       txn=("appA", 0)) > 0, "batch 0 commit failed")
 
         # batch 1: crash after move, before publish — then the replay
         # foreachBatch would issue on restart; it must land EXACTLY once
@@ -1664,23 +1677,23 @@ def q_stream_txn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
             t1.write(slices[1], enforce_order=False, txn=("appA", 1))
             raise AssertionError("crash injection did not fire")
         except RuntimeError as e:
-            assert "injected" in str(e)
+            _check("injected" in str(e), f"unexpected RuntimeError: {e}")
         t = Table.open(spark, schema.name, home=scratch)
         replayed = t.write(slices[1], enforce_order=False, txn=("appA", 1))
-        assert replayed > 0, "post-crash replay was wrongly deduped"
+        _check(replayed > 0, "post-crash replay was wrongly deduped")
 
         # duplicate delivery of committed batch 1 — must be a no-op
         before = t.row_count
-        assert t.write(slices[1], enforce_order=False,
-                       txn=("appA", 1)) == 0, "duplicate txn re-appended"
+        _check(t.write(slices[1], enforce_order=False,
+                       txn=("appA", 1)) == 0, "duplicate txn re-appended")
         t = Table.open(spark, schema.name, home=scratch)
-        assert t.row_count == before, "duplicate txn changed row_count"
+        _check(t.row_count == before, "duplicate txn changed row_count")
 
         # a second app reusing batch id 1 is NOT a replay
-        assert t.write(slices[2], enforce_order=False,
-                       txn=("appB", 1)) > 0, "cross-app txn collision"
-        assert t.write(slices[3], enforce_order=False,
-                       txn=("appB", 2)) > 0
+        _check(t.write(slices[2], enforce_order=False,
+                       txn=("appB", 1)) > 0, "cross-app txn collision")
+        _check(t.write(slices[3], enforce_order=False,
+                       txn=("appB", 2)) > 0, "appB batch 2 commit failed")
 
         # protocol claims: exactly-once totals, invisible debris, vacuum
         t = Table.open(spark, schema.name, home=scratch)
@@ -1696,15 +1709,18 @@ def q_stream_txn_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         committed = set(t._latest_manifest()[1])
         orphans = disk_files() - committed
-        assert t.row_count == expected, \
-            f"exactly-once violated: {t.row_count} != {expected}"
-        assert orphans, "crash injection left no orphan files to test"
-        assert t.scan().count() == expected, "crash debris leaked into scan"
+        _check(t.row_count == expected,
+               f"exactly-once violated: {t.row_count} != {expected}")
+        _check(orphans, "crash injection left no orphan files to test")
+        _check(t.scan().count() == expected,
+               "crash debris leaked into scan")
         removed = t.vacuum(grace_seconds=0.0)
-        assert removed >= len(orphans), \
-            f"vacuum removed {removed} < {len(orphans)} orphans"
-        assert disk_files() == committed, "disk/manifest drift after vacuum"
-        assert t.scan().count() == expected, "vacuum changed visible rows"
+        _check(removed >= len(orphans),
+               f"vacuum removed {removed} < {len(orphans)} orphans")
+        _check(disk_files() == committed,
+               "disk/manifest drift after vacuum")
+        _check(t.scan().count() == expected,
+               "vacuum changed visible rows")
         os.rename(scratch, home)
 
     t = Table.open(spark, schema.name, home=home)
@@ -3098,8 +3114,8 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real-corpus train: the distributed path at sf scale must produce
     # the requested number of distinct, non-degenerate merges
     real = train_bpe(_load(spark, sf_dir, "documents"), "text", n_merges=40)
-    assert len(real) == 40 and len(set(real)) == 40, \
-        f"real-corpus BPE train degenerate: {len(set(real))}/40 merges"
+    _check(len(real) == 40 and len(set(real)) == 40,
+           f"real-corpus BPE train degenerate: {len(set(real))}/40 merges")
 
     planted = spark.createDataFrame(
         [(i, w) for i, (w, n) in enumerate(_BPE_PLANT) for _ in range(n)],
@@ -3522,6 +3538,8 @@ def _verification_history() -> dict[str, tuple[int | None, int | None]]:
     for path in sorted(glob.glob(os.path.join(here,
                                               "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:  # glob matched a non-digit-named stray file
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)

@@ -263,18 +263,25 @@ class TestPipelineOperatorPlans:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan      # pure HOF codegen, no UDF node
 
-    def test_contamination_hash_all_joins_broadcast(self, spark, docs):
+    def test_contamination_hash_prefilter_broadcast_verify_adaptive(
+            self, spark, docs):
         from zdb_spark.operators.curation import contamination_hash
 
         bench = docs.where(F.col("doc_id") < 5)
         out = contamination_hash(docs, bench, "text", "doc_id", n=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
+        assert "BroadcastHashJoin" in plan   # the bench-hash prefilter
         assert "CartesianProduct" not in plan
-        # (the count re-attach tail join stays adaptive: hits is usually
-        # tiny but unbounded in the all-contaminated worst case, so
-        # forcing a broadcast there would be the wrong call — AQE
-        # converts it at runtime when small)
+        # the verify join and the count re-attach tail join both stay
+        # adaptive: survivor volume is proportional to CONTAMINATION,
+        # not bounded by the benchmark, so an unconditional broadcast
+        # hint could OOM under heavy contamination — AQE converts at
+        # runtime when the build side really is small
+        optimized = out._jdf.queryExecution().optimizedPlan().toString()
+        assert optimized.count("ResolvedHint") == 0  # hints are consumed
+        logical = out._jdf.queryExecution().analyzed().toString()
+        # exactly ONE user hint in the whole tree: the prefilter
+        assert logical.count("UnresolvedHint") <= 1
 
     def test_nearest_centroid_l2_zero_shuffle(self, spark):
         from zdb_spark.operators.similarity import nearest_centroid_l2_col

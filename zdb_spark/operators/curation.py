@@ -349,10 +349,13 @@ def contamination_hash(df: DataFrame, bench: DataFrame,
        same memory trick as the runtime Bloom filters Spark injects
        for shuffle joins, but exact-by-construction after stage 2);
     2. exact verify: the SURVIVORS (true hits + rare 64-bit collisions)
-       re-join the benchmark on the gram string.  Survivors are tiny by
-       construction, so THEY are the broadcast side and the full
-       benchmark gram table streams — nothing large is ever collected
-       or shuffled wide.
+       re-join the benchmark on the gram string.  Survivor volume is
+       proportional to CONTAMINATION volume, not bounded by the
+       benchmark, so the verify join carries NO broadcast hint: AQE's
+       runtime-size check (``spark.sql.adaptive.autoBroadcastJoinThreshold``)
+       broadcasts the survivors when they really are tiny and falls
+       back to a shuffle join when a heavily contaminated corpus makes
+       them large — an unconditional hint here could OOM the driver.
 
     At 100 TB: corpus side stays flatMap + partial-agg exactly like
     ``contamination``; the benchmark side can now be 10^8+ grams
@@ -374,7 +377,7 @@ def contamination_hash(df: DataFrame, bench: DataFrame,
             .withColumn("_gh", F.xxhash64("gram"))
             .join(F.broadcast(bench_hashes), "_gh")
             .drop("_gh"))
-    hits = (bench_grams.join(F.broadcast(cand), "gram")
+    hits = (bench_grams.join(cand, "gram")  # AQE sizes the build side
             .groupBy(id_col)
             .agg(F.count("*").alias("n_contaminated")))
     return (df.select(id_col)

@@ -990,8 +990,17 @@ def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     st, fmt_doc = streams[0], doc.get("format", {})
     fmt = (fmt_doc.get("format_name") or "unknown").split(",")[0]
     dur = st.get("duration") or fmt_doc.get("duration") or 0.0
-    return (fmt, int(st["width"]), int(st["height"]),
-            int(st.get("nb_read_frames") or 0), round(float(dur), 6))
+    try:  # ffprobe may omit width/height or emit 'N/A' durations —
+        # keep every malformed-metadata shape inside the documented
+        # ValueError-with-context failure contract
+        return (fmt, int(st["width"]), int(st["height"]),
+                int(st.get("nb_read_frames") or 0),
+                round(float(dur), 6))
+    except (KeyError, TypeError, ValueError) as exc:
+        raise ValueError(
+            f"ffprobe returned malformed stream metadata "
+            f"(width={st.get('width')!r} height={st.get('height')!r} "
+            f"duration={dur!r}): {exc}") from exc
 
 
 _VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,

@@ -80,10 +80,79 @@ HEADLINE = [
 ]
 
 
+# Environment canary: this box intermittently degrades host-side —
+# uniform 1.2-3.2x inflation across ALL queries plus batch-write
+# collapse, with no guest-side cause (BASELINE_LOCAL.md §round-8
+# closing) — which polluted BENCH_r08's cross-round totals.  Every run
+# now measures a FIXED micro-workload (the 1M-row batch write, its
+# clean band pinned from repeated quiet-window recordings) BEFORE and
+# AFTER the query loop and embeds both in the JSON, so each artifact
+# carries its own environment certificate: a reader comparing totals
+# across rounds first checks `canary.degraded`.
+CANARY_BAND = (769_000, 967_000)  # batch rows/s @ 1M, BASELINE_LOCAL.md
+CANARY_TOLERANCE = 1.3            # >1.3x below the band floor = degraded
+
+
+def _bench_write_subprocess(batch_only: bool) -> dict:
+    """Run bench_write.py in its own fresh JVM and parse its JSON line.
+    Subprocess isolation is deliberate: the write bench is a fixed-row
+    workload, and a late JVM loss there must never take the query table
+    with it (observed under host pressure at the 10x replica point)."""
+    import subprocess
+
+    env = {**os.environ, "SPARK_GRAFT_WRITE_ROWS":
+           os.environ.get("SPARK_GRAFT_WRITE_ROWS", "1000000")}
+    cmd = [sys.executable, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "bench_write.py")]
+    if batch_only:
+        cmd.append("--batch-only")
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          timeout=900, env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench_write rc={proc.returncode}: "
+                           f"{proc.stderr[-300:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _canary_degraded(value: float | None) -> bool:
+    """Degraded = slower than the clean band floor by >tolerance.
+    (Faster than the band is not degradation — min-of-two on a quiet
+    box can only approach the algorithm's true cost from above.)"""
+    if value is None:
+        return True
+    return value < CANARY_BAND[0] / CANARY_TOLERANCE
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
     from zdb_spark.session import get_spark
+
+    # --- pre-run environment canary (before the long-lived session) ---
+    canary: dict = {"metric": "batch_write_rows_per_sec",
+                    "rows": int(os.environ.get("SPARK_GRAFT_WRITE_ROWS",
+                                               "1000000")),
+                    "clean_band": list(CANARY_BAND),
+                    "tolerance": CANARY_TOLERANCE}
+    before_attempts: list[int] = []
+    for attempt in range(2):
+        print(f"[bench] canary(before) attempt {attempt + 1}",
+              file=sys.stderr, flush=True)
+        try:
+            before_attempts.append(
+                _bench_write_subprocess(batch_only=True)["batch_write"])
+        except Exception as exc:
+            print(f"canary attempt failed: {exc!r}", file=sys.stderr)
+        # one clean sample is enough; only retry a degraded first look
+        if before_attempts and not _canary_degraded(before_attempts[-1]):
+            break
+    canary["before_attempts"] = before_attempts
+    canary["before"] = max(before_attempts) if before_attempts else None
+    if _canary_degraded(canary["before"]):
+        print(f"[bench] WARNING: degraded host window — canary "
+              f"{canary['before']} rows/s vs clean band {CANARY_BAND}; "
+              f"totals in this artifact are NOT cross-round comparable",
+              file=sys.stderr, flush=True)
 
     spark = get_spark("zdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -147,22 +216,23 @@ def main() -> int:
     # pressure at the 10x replica point).
     print("[bench] write_throughput", file=sys.stderr, flush=True)
     try:
-        import subprocess
-        env = {**os.environ, "SPARK_GRAFT_WRITE_ROWS":
-               os.environ.get("SPARK_GRAFT_WRITE_ROWS", "1000000")}
-        proc = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "bench_write.py")],
-            capture_output=True, text=True, timeout=900, env=env)
-        if proc.returncode != 0:
-            raise RuntimeError(f"bench_write rc={proc.returncode}: "
-                               f"{proc.stderr[-300:]}")
-        wt = json.loads(proc.stdout.strip().splitlines()[-1])
+        wt = _bench_write_subprocess(batch_only=False)
         write_tp = {k: wt[k] for k in
                     ("batch_write", "stream_sink", "rows", "unit")}
     except Exception as exc:
         write_tp = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"write bench failed: {exc!r}", file=sys.stderr)
+
+    # --- post-run canary: the full write bench's batch route IS the
+    # same fixed workload, so it doubles as the "after" sample --------
+    canary["after"] = write_tp.get("batch_write")
+    canary["degraded"] = (_canary_degraded(canary["before"])
+                          or _canary_degraded(canary["after"]))
+    if canary["degraded"]:
+        canary["note"] = (
+            "host window degraded (canary outside the pinned clean "
+            "band): totals are NOT cross-round comparable — re-run in "
+            "a quiet window; see BASELINE_LOCAL.md for the A/B protocol")
 
     out = {
         "metric": "headline_queries_total",
@@ -171,6 +241,7 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "write_throughput": write_tp,
+        "canary": canary,
     }
     if errors:
         out["errors"] = errors

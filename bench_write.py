@@ -38,7 +38,8 @@ DAY = 86_400 * NS
 T0 = 1704067200 * NS  # 2024-01-01T00:00:00Z
 
 
-def measure_write_throughput(spark, n_rows: int) -> dict:
+def measure_write_throughput(spark, n_rows: int,
+                             batch_only: bool = False) -> dict:
     """Time both ingest routes; returns the metric dict (also reused by
     bench.py so the driver-recorded BENCH_r{N}.json tracks ingest
     regressions round-over-round, not just read-side queries)."""
@@ -97,6 +98,16 @@ def measure_write_throughput(spark, n_rows: int) -> dict:
             batch_secs = dt if batch_secs is None else min(batch_secs, dt)
 
         # -- streaming route: checkpointed availableNow file sink ----- #
+        # (skipped in --batch-only mode: the environment canary needs a
+        # fast fixed workload, and its pinned clean band is batch-route)
+        if batch_only:
+            return {
+                "metric": "write_throughput",
+                "unit": "rows_per_sec",
+                "batch_write": int(n_rows / batch_secs),
+                "stream_sink": None,
+                "rows": n_rows,
+            }
         stage = os.path.join(home, "stage")
         src.write.mode("overwrite").parquet(stage)  # file source input
         ts_schema = spark.read.parquet(stage).schema
@@ -128,9 +139,11 @@ def main() -> int:
     from zdb_spark.session import get_spark
 
     n_rows = int(os.environ.get("SPARK_GRAFT_WRITE_ROWS", 2_000_000))
+    batch_only = "--batch-only" in sys.argv[1:]
     spark = get_spark("zdb-spark-bench-write")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(measure_write_throughput(spark, n_rows)))
+    print(json.dumps(measure_write_throughput(spark, n_rows,
+                                              batch_only=batch_only)))
     spark.stop()
     return 0
 

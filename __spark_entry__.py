@@ -3389,14 +3389,10 @@ WINDOW = 50
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    "bpe_train",        # planted-corpus retrain + new literal oracle
-    "bpe_apply",        # control-char strip in apply path
-    "curation_v2",      # composes apply_bpe (same strip)
-    "sessionize_stream",  # far-straggler late-run semantics
-    "dedup_incremental",  # store self-heal staleness threshold
-    "stream_dedup_incremental",  # same store open path
-    "semantic_dedup",   # _nearest_centroid_col touched this round (the
-                        # other centroid consumers sit in-window already)
+    # round 10
+    "kmeans_train",       # kmeans_lloyd plan-mode refactor (shared
+                          # _l2_argmin_expr core + plan= parameter)
+    "cluster_curation",   # composes kmeans_lloyd + nearest_centroid_l2_col
 ]
 
 _QUERY_DECLARATIONS: list[

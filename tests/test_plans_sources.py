@@ -276,12 +276,14 @@ class TestPipelineOperatorPlans:
         # adaptive: survivor volume is proportional to CONTAMINATION,
         # not bounded by the benchmark, so an unconditional broadcast
         # hint could OOM under heavy contamination — AQE converts at
-        # runtime when the build side really is small
-        optimized = out._jdf.queryExecution().optimizedPlan().toString()
-        assert optimized.count("ResolvedHint") == 0  # hints are consumed
-        logical = out._jdf.queryExecution().analyzed().toString()
-        # exactly ONE user hint in the whole tree: the prefilter
-        assert logical.count("UnresolvedHint") <= 1
+        # runtime when the build side really is small.  F.broadcast
+        # resolves straight to a ResolvedHint node in the ANALYZED plan
+        # (never UnresolvedHint), and the optimizer strips every
+        # ResolvedHint — so the analyzed plan is the only place a
+        # re-added verify-join hint would be visible.  Exactly ONE user
+        # hint in the whole tree: the bench-hash prefilter.
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("ResolvedHint") == 1
 
     def test_nearest_centroid_l2_zero_shuffle(self, spark):
         from zdb_spark.operators.similarity import nearest_centroid_l2_col

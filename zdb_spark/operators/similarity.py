@@ -246,23 +246,13 @@ def assign_centroids(df: DataFrame, centroids, vec_col: str = "embedding",
     return df.withColumn(out_col, _nearest_centroid_col(vec_col, cents))
 
 
-def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
-    """argmin_c ||v - c||² as a JVM-side expression (ties → LOWEST
-    centroid index, mirroring ``_nearest_centroid_col``'s first-max).
-
-    Same linear-size construction as the dot-product form: per-centroid
-    squared distances via one ``transform`` over the inlined centroid
-    matrix, then ``array_position(dists, array_min(dists))``.  Squared
-    L2 (not dot) so that with data-point initialization every centroid
-    is its own nearest (distance 0) — Lloyd's invariant that keeps
-    clusters non-empty on the first pass even for unnormalized vectors.
-    """
+def _l2_argmin_expr(vec_col: str, cents_arr: Column) -> Column:
+    """argmin_c ||v - c||² given the centroid matrix as a COLUMN
+    (``array<array<double>>``) — shared core of the literal-inlined and
+    broadcast-relation forms.  Ties → LOWEST centroid index (first min),
+    mirroring ``_nearest_centroid_col``'s first-max."""
     from .dedup import let
 
-    cents = np.asarray(cents, dtype=np.float64)
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
     dists = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -275,9 +265,28 @@ def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
                .cast("int"))
 
 
+def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
+    """argmin_c ||v - c||² as a JVM-side expression (ties → LOWEST
+    centroid index, mirroring ``_nearest_centroid_col``'s first-max).
+
+    Same linear-size construction as the dot-product form: per-centroid
+    squared distances via one ``transform`` over the inlined centroid
+    matrix, then ``array_position(dists, array_min(dists))``.  Squared
+    L2 (not dot) so that with data-point initialization every centroid
+    is its own nearest (distance 0) — Lloyd's invariant that keeps
+    clusters non-empty on the first pass even for unnormalized vectors.
+    """
+    cents = np.asarray(cents, dtype=np.float64)
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    return _l2_argmin_expr(vec_col, cents_arr)
+
+
 def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
                  init_centroids=None, iters: int = 3,
-                 round_dp: int = 6) -> list[list[float]]:
+                 round_dp: int = 6,
+                 plan: str = "literal") -> list[list[float]]:
     """Full DISTRIBUTED Lloyd's k-means (squared-L2) over the corpus —
     the training half that ``assign_centroids`` consumes, and the
     full-data counterpart of ``ivf_index``'s sample-trained quantizer.
@@ -308,18 +317,45 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
     gate has relied on across rounds) but are the known residual risk,
     not "impossible".  Empty clusters keep their previous centroid
     (oracle mirrors via LEFT JOIN + coalesce).
+
+    PLAN MODES — measured, not guessed (BASELINE_LOCAL.md
+    §kmeans-plan-ab).  The "per-iteration Janino recompile" hypothesis
+    (round-8/9 verdicts) is EMPIRICALLY FALSE for this plan shape:
+    Catalyst constant-folds the inlined matrix into ONE complex-typed
+    Literal, and complex-type literals are emitted into the generated
+    class's *references array*, not its source text — so the codegen
+    source is byte-identical across iterations and the compile cache
+    hits from iteration 2 on (CodegenMetrics: 0 compiles after the
+    first iteration).  ``plan="literal"`` (default, the measured
+    winner: ~0.52 s/iter warm at sf0.1 d=64 k=4) inlines the matrix;
+    ``plan="broadcast"`` ships it as a one-row broadcast relation via
+    ``crossJoin(broadcast(...))`` — byte-identical results (same
+    float64→DoubleType path, same shared ``_l2_argmin_expr``) but the
+    extra join node costs ~13% (~0.59 s/iter) and buys nothing, since
+    there was never a per-iteration compile to save.  Kept as an
+    explicit mode so the A/B stays reproducible.
     """
     if not init_centroids:
         raise ValueError("kmeans_lloyd needs explicit init centroids "
                          "(e.g. k fixed data points) for reproducibility")
+    if plan not in ("broadcast", "literal"):
+        raise ValueError(f"unknown plan mode {plan!r}")
     cents = [[float(x) for x in c] for c in init_centroids]
     k, d = len(cents), len(cents[0])
     if any(len(c) != d for c in cents):
         raise ValueError("init centroids must share one dimensionality")
+    spark = df.sparkSession
     for _ in range(iters):
-        proj = df.select(
-            nearest_centroid_l2_col(vec_col, cents).alias("__cid"),
-            _as_double(F.col(vec_col)).alias("__v"))
+        if plan == "broadcast":
+            cents_df = spark.createDataFrame(
+                [(cents,)], "__cents array<array<double>>")
+            proj = df.crossJoin(F.broadcast(cents_df)).select(
+                _l2_argmin_expr(vec_col, F.col("__cents")).alias("__cid"),
+                _as_double(F.col(vec_col)).alias("__v"))
+        else:
+            proj = df.select(
+                nearest_centroid_l2_col(vec_col, cents).alias("__cid"),
+                _as_double(F.col(vec_col)).alias("__v"))
         rows = (proj.select("__cid", F.posexplode("__v")
                             .alias("__i", "__x"))
                 .groupBy("__cid", "__i")

@@ -3177,6 +3177,27 @@ def q_contamination_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hash(docs, bench, "text", "doc_id", n=8)
 
 
+def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: corpus docs that are NEAR-duplicates of a
+    benchmark row (banded MinHash-LSH corpus×bench, exact
+    shingle-Jaccard verified) — catches the paraphrased eval leak the
+    exact n-gram forms miss.  The benchmark side (docs 0-19) is
+    broadcast end-to-end; no corpus×corpus pair is ever formed
+    (curation.py:contamination_fuzzy → dedup.py:minhash_lsh_pairs_vs).
+    Self-pairs are excluded (bench ⊂ corpus here, and a doc is not
+    contaminated by itself).  Oracle: brute-force corpus×bench shingle
+    Jaccard — valid for the same recall reason as dedup_minhash (every
+    true pair at this corpus has J >= 0.92, where 16×4 banding miss
+    probability is < 1e-9)."""
+    from zdb_spark.operators.curation import contamination_fuzzy
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    out = contamination_fuzzy(docs, bench, "text", "doc_id",
+                              num_hashes=64, bands=16, threshold=0.5)
+    return out.where(F.col("doc_id") != F.col("bench_id"))
+
+
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING point-in-time enrichment: purchases arrive as a stream
     and pick up the user's most recent prior-or-equal click from a
@@ -3393,6 +3414,7 @@ _CHANGED_THIS_ROUND = [
     "kmeans_train",       # kmeans_lloyd plan-mode refactor (shared
                           # _l2_argmin_expr core + plan= parameter)
     "cluster_curation",   # composes kmeans_lloyd + nearest_centroid_l2_col
+    "contamination_fuzzy",  # NEW: MinHash-LSH corpus×bench decontamination
 ]
 
 _QUERY_DECLARATIONS: list[
@@ -3419,6 +3441,7 @@ _QUERY_DECLARATIONS: list[
     ("kmeans_train", q_kmeans_train),
     ("text_entropy", q_text_entropy),
     ("contamination_hash", q_contamination_hash),
+    ("contamination_fuzzy", q_contamination_fuzzy),
     ("embedding_outliers", q_embedding_outliers),
     ("cluster_curation", q_cluster_curation),
     ("split_leakage", q_split_leakage),
@@ -4233,6 +4256,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             )
             SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+            FROM pairs
+            WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
+        """,
+        # Fuzzy decontamination = the same brute-force shingle-Jaccard
+        # truth, restricted to corpus×bench (bench = docs 0-19), self-
+        # pairs excluded.
+        "contamination_fuzzy": rf"""
+            {_SHINGLES_CTE_SQL} pairs AS (
+                SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b
+                  ON b.doc_id < 20 AND a.doc_id <> b.doc_id
+            )
+            SELECT doc_id, bench_id,
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
             WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5

@@ -386,3 +386,62 @@ class TestPercentileCut:
         empty = df.where("s > 5")
         with _pytest.raises(ValueError):
             percentile_cut(empty, "s", p=0.5)
+
+
+class TestContaminationFuzzy:
+    def _frames(self, spark):
+        # Corpus doc 2 is a light PARAPHRASE of bench doc 100: words
+        # swapped/reordered so exact 8-gram overlap is zero but char-
+        # shingle Jaccard stays high.  Doc 3 is a verbatim copy; doc 4
+        # is clean.
+        bench_text = ("what is the capital city of france and when was "
+                      "it founded by the romans in ancient times")
+        # typo-level edits in every 8-word window: zero shared 8-grams
+        # (exact form blind) but shingle Jaccard ~0.76 (fuzzy catches)
+        paraphrase = ("what is the capital citty of france and when was "
+                      "it foundedd by the romans in anciente times")
+        corpus = spark.createDataFrame(
+            [(2, paraphrase), (3, bench_text),
+             (4, "entirely unrelated content about spark partitions " * 3)],
+            "doc_id long, text string")
+        bench = spark.createDataFrame([(100, bench_text)],
+                                      "doc_id long, text string")
+        return corpus, bench
+
+    def test_catches_paraphrase_exact_misses(self, spark):
+        from zdb_spark.operators.curation import (contamination,
+                                                  contamination_fuzzy)
+
+        corpus, bench = self._frames(spark)
+        exact = {r["doc_id"]: r["contaminated"] for r in
+                 contamination(corpus, bench, "text", "doc_id",
+                               n=8).collect()}
+        fuzzy = {(r["doc_id"], r["bench_id"]): r["jaccard"] for r in
+                 contamination_fuzzy(corpus, bench, "text",
+                                     "doc_id").collect()}
+        # exact n-gram: verbatim copy caught, paraphrase NOT
+        assert exact[3] and not exact[2]
+        # fuzzy: both caught, clean doc not
+        assert fuzzy[(3, 100)] == 1.0
+        assert 0.5 <= fuzzy[(2, 100)] < 1.0
+        assert not any(a == 4 for a, _ in fuzzy)
+
+    def test_bench_side_broadcast_no_cartesian(self, spark):
+        from zdb_spark.operators.curation import contamination_fuzzy
+
+        corpus, bench = self._frames(spark)
+        out = contamination_fuzzy(corpus, bench, "text", "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the band-bucket probe joins the broadcast bench side
+        assert "BroadcastHashJoin" in plan
+
+    def test_distinct_id_column_names(self, spark):
+        from zdb_spark.operators.curation import contamination_fuzzy
+
+        corpus, bench = self._frames(spark)
+        bench2 = bench.withColumnRenamed("doc_id", "qid")
+        out = contamination_fuzzy(corpus, bench2, "text", "doc_id",
+                                  bench_id_col="qid")
+        got = {(r["doc_id"], r["bench_id"]) for r in out.collect()}
+        assert got == {(2, 100), (3, 100)}

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["hash_split", "split_label", "split_leakage",
            "pack_sequences", "stratified_sample", "percentile_cut",
            "token_budget_mix", "contamination", "contamination_hash",
+           "contamination_fuzzy",
            "chunk_documents", "temperature_sample", "cap_per_group"]
 
 _BUCKETS = 10_000
@@ -386,6 +387,45 @@ def contamination_hash(df: DataFrame, bench: DataFrame,
                     F.coalesce("n_contaminated", F.lit(0)).cast("long")
                      .alias("n_contaminated"))
             .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def contamination_fuzzy(df: DataFrame, bench: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bench_id_col: str | None = None, *,
+                        num_hashes: int = 64, bands: int = 16,
+                        k: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents that are
+    NEAR-duplicates of a benchmark row — the leak the exact forms
+    cannot see.  ``contamination`` / ``contamination_hash`` match
+    verbatim word n-grams, so a paraphrased, reformatted, or lightly
+    edited eval question slips both; near-dup similarity (banded
+    MinHash-LSH + exact shingle-Jaccard verify, the same machinery as
+    ``split_leakage``) catches it.
+
+    Returns (``id_col``, bench_id, jaccard): one row per (corpus doc,
+    benchmark doc) pair with exact 5-char-shingle Jaccard >=
+    ``threshold``.  Compose with ``contamination`` for the standard
+    two-layer decontamination (exact n-gram + fuzzy near-dup).
+
+    Scale shape (``dedup.minhash_lsh_pairs_vs``): the benchmark side is
+    broadcast (banded rows, signatures, shingles — all bounded by the
+    benchmark's size), the corpus is scanned exactly once, and NO
+    corpus×corpus pair is ever formed — unlike a union+self-join, whose
+    cost at 100 TB is the entire dedup workload.  The verify joins stay
+    AQE-sized because survivor volume is proportional to contamination,
+    the same reasoning as ``contamination_hash``'s verify join.
+    """
+    from .dedup import minhash_lsh_pairs_vs
+
+    pairs = minhash_lsh_pairs_vs(df, bench, text_col, id_col,
+                                 bench_id_col, num_hashes=num_hashes,
+                                 bands=bands, k=k, threshold=threshold)
+    out = pairs.select(F.col("id_a").alias(id_col),
+                       F.col("id_b").alias("bench_id"),
+                       "jaccard")
+    out._zdb_cache_handles = getattr(pairs, "_zdb_cache_handles", [])
+    return out
 
 
 def temperature_sample(df: DataFrame, source_col: str, id_col: str, *,

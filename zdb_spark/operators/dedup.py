@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["normalize_text", "exact_dedup", "shingle_col",
-           "minhash_signature", "minhash_lsh_pairs", "simhash",
+           "minhash_signature", "minhash_lsh_pairs",
+           "minhash_lsh_pairs_vs", "simhash",
            "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
            "release", "portable_hash64", "build_minhash_store",
            "append_minhash_store", "incremental_minhash_pairs",
@@ -293,6 +294,91 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     out._zdb_cache_handles = [base]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
+    return out
+
+
+def minhash_lsh_pairs_vs(df: DataFrame, other: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         other_id_col: str | None = None,
+                         num_hashes: int = 64, bands: int = 16,
+                         k: int = 5,
+                         threshold: float = 0.5) -> DataFrame:
+    """CROSS-FRAME near-dup pairs: (id_a from ``df``, id_b from
+    ``other``, est_jaccard, jaccard) with exact shingle Jaccard >=
+    threshold.  The fuzzy primitive behind benchmark decontamination
+    and any corpus-vs-reference audit.
+
+    Deliberately ASYMMETRIC, not union+self-join: a self-join over
+    ``df ∪ other`` would compute every df×df near-dup pair as waste —
+    at 100 TB that is the entire dedup workload spent to answer a
+    question about a 10^5-row benchmark.  Here ``other`` is assumed the
+    SMALL side: its banded rows, signatures, and shingle arrays are
+    broadcast (bounded by |other|, never by corpus size or by match
+    volume), so the corpus is touched exactly once — one narrow
+    signature scan plus one broadcast-join probe per band row.  The
+    screen and verify then join back to corpus signatures/shingles on
+    id; those joins stay ADAPTIVE (candidate volume is proportional to
+    cross-frame similarity, not bounded by ``other``) — AQE broadcasts
+    the candidate side when it really is small.  No bucket cap: a
+    boilerplate band bucket is bounded by |other| on the build side,
+    so the blowup the self-join form must cap cannot arise.
+
+    Uses the IDENTICAL shingling/signature/banding as
+    ``minhash_lsh_pairs`` (shared helpers), so thresholds and recall
+    characteristics transfer unchanged.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    oid = other_id_col or id_col
+    base_a = (minhash_signature(df, text_col, num_hashes, k,
+                                shingles_col="_sh")
+              .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+              .cache())
+    base_b = (minhash_signature(other, text_col, num_hashes, k,
+                                shingles_col="_sh")
+              .select(F.col(oid).alias("_id"), "minhash", "_sh")
+              .cache())
+
+    cand = (_banded_rows(base_a, bands, r)
+            .withColumnRenamed("_id", "id_a")
+            .join(F.broadcast(_banded_rows(base_b, bands, r)
+                              .withColumnRenamed("_id", "id_b")),
+                  ["band", "bh"])
+            .select("id_a", "id_b").dropDuplicates())
+
+    # Signature screen (same 3σ margin as the self-join form), then
+    # exact verify on the shingle arrays.  The small side's arrays are
+    # broadcast; the corpus-side joins are AQE-sized.
+    margin = 3.0 * (threshold * (1 - threshold) / num_hashes) ** 0.5
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda m: m))
+           .cast("double") / F.lit(num_hashes))
+    screened = (cand
+                .join(base_a.select(F.col("_id").alias("id_a"),
+                                    F.col("minhash").alias("sig_a")),
+                      "id_a")
+                .join(F.broadcast(
+                    base_b.select(F.col("_id").alias("id_b"),
+                                  F.col("minhash").alias("sig_b"))),
+                      "id_b")
+                .withColumn("est_jaccard", F.round(est, 6))
+                .where(F.col("est_jaccard") >= threshold - margin)
+                .select("id_a", "id_b", "est_jaccard"))
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (screened
+           .join(base_a.select(F.col("_id").alias("id_a"),
+                               F.col("_sh").alias("sh_a")), "id_a")
+           .join(F.broadcast(base_b.select(F.col("_id").alias("id_b"),
+                                           F.col("_sh").alias("sh_b"))),
+                 "id_b")
+           .withColumn("jaccard", F.round(inter / union, 6))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "est_jaccard", "jaccard"))
+    out._zdb_cache_handles = [base_a, base_b]
     return out
 
 

@@ -858,6 +858,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def q_dedup_clusters_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over CAPPED candidate generation — the
+    default 100 TB path (dedup.py:near_dup_clusters), exercised against
+    the planted pathological corpus of dedup_minhash_capped: 150
+    boilerplate docs whose band buckets flood ~20 deep with zero true
+    pairs.  With ``max_bucket_size=10`` the flood buckets are dropped
+    BEFORE the self-join, so the edge set the label propagation chews
+    stays proportional to TRUE pairs (SCALE.md names this cap the
+    honest knob — uncapped, the 10× probe's pair set grew ~45× and
+    cluster resolution was the one super-linear stage).  In-run
+    ``_check``s (strip-proof) assert the cap ENGAGED and the flood was
+    flood-sized, so an inert cap fails loudly instead of vacuously
+    matching.  Oracle: DuckDB recursive components over the brute-force
+    true-pair set of the extended corpus — a hash match proves capped
+    clustering returns EXACTLY the uncapped answer while never forming
+    the |bucket|² boilerplate candidates."""
+    from zdb_spark.operators.dedup import near_dup_clusters
+
+    corpus = _capped_corpus(spark, sf_dir)
+    out = near_dup_clusters(corpus, "text", "doc_id", num_hashes=64,
+                            bands=16, threshold=0.5, max_bucket_size=10)
+    dropped = out._zdb_dropped_buckets.collect()
+    _check(bool(dropped), "hot-bucket cap did not engage at "
+                          "max_bucket_size=10 on the planted corpus")
+    _check(max(r["bucket_size"] for r in dropped) >= 15,
+           f"no flood-sized bucket among dropped: {dropped}")
+    return out
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data curation flow, composed from the
     operator families and value-checked as ONE query: keep a document iff
@@ -1195,6 +1224,23 @@ def q_quality_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = char_entropy(_load(spark, sf_dir, "documents"), "text")
     kept, _thr = percentile_cut(docs, "char_entropy", p=0.1)
     return kept.select("doc_id", "char_entropy")
+
+
+def q_domain_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN quality cut: drop each source's own lowest-entropy
+    quartile — the grouped form of quality_percentile_cut (a global
+    threshold over-prunes low-scoring domains; per-group keeps the
+    mix).  One grouped exact-percentile agg → k-row broadcast threshold
+    table → filter scan; oracle replays it with ``quantile_cont ...
+    PARTITION BY source`` since the two interpolate identically
+    (curation.py:percentile_cut_by_group)."""
+    from zdb_spark.operators.curation import percentile_cut_by_group
+    from zdb_spark.operators.text import char_entropy
+
+    docs = char_entropy(_load(spark, sf_dir, "documents"), "text")
+    kept, _thr = percentile_cut_by_group(docs, "char_entropy", "source",
+                                         p=0.25)
+    return kept.select("doc_id", "source", "char_entropy")
 
 
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3415,6 +3461,8 @@ _CHANGED_THIS_ROUND = [
                           # _l2_argmin_expr core + plan= parameter)
     "cluster_curation",   # composes kmeans_lloyd + nearest_centroid_l2_col
     "contamination_fuzzy",  # NEW: MinHash-LSH corpus×bench decontamination
+    "dedup_clusters_capped",  # NEW: capped candidate gen → clusters
+    "domain_percentile_cut",  # NEW: per-group percentile cut
 ]
 
 _QUERY_DECLARATIONS: list[
@@ -3446,6 +3494,7 @@ _QUERY_DECLARATIONS: list[
     ("cluster_curation", q_cluster_curation),
     ("split_leakage", q_split_leakage),
     ("quality_percentile_cut", q_quality_percentile_cut),
+    ("domain_percentile_cut", q_domain_percentile_cut),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -3475,6 +3524,7 @@ _QUERY_DECLARATIONS: list[
     ("dedup_simhash", q_dedup_simhash),
     ("dedup_ngram", q_dedup_ngram),
     ("dedup_clusters", q_dedup_clusters),
+    ("dedup_clusters_capped", q_dedup_clusters_capped),
     ("dedup_incremental", q_dedup_incremental),
     ("knn_bruteforce", q_knn_bruteforce),
     ("knn_join", q_knn_join),
@@ -4380,6 +4430,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
             FROM pairs
             WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
+        """.replace('__CAP_BOILERPLATE__', _CAP_BOILERPLATE),
+        # Capped clustering owes EXACTLY the uncapped true components of
+        # the extended corpus: recursive CC over brute-force pairs (the
+        # planted flood docs have no true pairs, so they never appear).
+        "dedup_clusters_capped": r"""
+            WITH RECURSIVE planted AS (
+                SELECT 900000 + i AS doc_id,
+                       '__CAP_BOILERPLATE__' || ' '
+                       || md5(CAST(i AS VARCHAR))
+                       || md5(CAST(i + 1000 AS VARCHAR))
+                       || md5(CAST(i + 2000 AS VARCHAR))
+                       || md5(CAST(i + 3000 AS VARCHAR))
+                       || md5(CAST(i + 4000 AS VARCHAR)) AS text
+                FROM range(1, 151) r(i)
+            ), corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM planted
+            ), t AS (
+                SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+                FROM corpus
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(norm) - 4, 1) + 1),
+                           i -> substr(norm, CAST(i AS INT), 5))) AS shingles
+                FROM t
+            ), pr AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.shingles, b.shingles)) AS shared,
+                       len(a.shingles) AS na, len(b.shingles) AS nb
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT id_a, id_b FROM pr
+                WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.5
+            ), sym AS (
+                SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges
+            ), reach(node, lbl) AS (
+                SELECT a AS node, a AS lbl FROM sym
+                UNION
+                SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.node
+            )
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY node
         """.replace('__CAP_BOILERPLATE__', _CAP_BOILERPLATE),
         # The four curation rules assembled from the individual entries'
         # SQL: en language-ID, quality >= 0.55 (on the ROUNDED score,
@@ -5426,6 +5521,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, char_entropy
         FROM e, thr WHERE char_entropy >= t
+    """
+    sqls["domain_percentile_cut"] = f"""
+        WITH c AS (
+            SELECT doc_id, source, string_split(text, '') AS chs
+            FROM documents
+        ), e AS (
+            SELECT doc_id, source,
+                   {_ENTROPY_CASE_SQL} AS char_entropy
+            FROM c
+        ), thr AS (
+            SELECT source,
+                   round(quantile_cont(char_entropy, 0.25), 6) AS t
+            FROM e GROUP BY source
+        )
+        SELECT e.doc_id, e.source, e.char_entropy
+        FROM e JOIN thr USING (source)
+        WHERE e.char_entropy >= thr.t
     """
     # BM25 with the same Robertson/Lucene idf and tie-break; terms fixed
     # to the entry's query ('fast','scan','table' after sort/dedup)

@@ -114,45 +114,44 @@ def _bench_write_subprocess(batch_only: bool) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def _canary_degraded(value: float | None) -> bool:
+def _canary_degraded(value: float | None) -> bool | None:
     """Degraded = slower than the clean band floor by >tolerance.
     (Faster than the band is not degradation — min-of-two on a quiet
-    box can only approach the algorithm's true cost from above.)"""
+    box can only approach the algorithm's true cost from above.)
+    None in = None out: a missing sample is a bench ERROR, not a
+    below-band measurement — callers must not conflate the two."""
     if value is None:
-        return True
+        return None
     return value < CANARY_BAND[0] / CANARY_TOLERANCE
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import __spark_entry__ as entry_mod
-    from zdb_spark.session import get_spark
-
-    # --- pre-run environment canary (before the long-lived session) ---
-    canary: dict = {"metric": "batch_write_rows_per_sec",
-                    "rows": int(os.environ.get("SPARK_GRAFT_WRITE_ROWS",
-                                               "1000000")),
-                    "clean_band": list(CANARY_BAND),
-                    "tolerance": CANARY_TOLERANCE}
-    before_attempts: list[int] = []
+def _canary_sample(label: str, band_applies: bool = True) -> int | None:
+    """One batch-only write sample in a fresh subprocess JVM; retried
+    once if the first look is degraded (a transient blip should not
+    condemn the window).  No retry when the band doesn't apply — a
+    below-floor reading at a non-1M row count means nothing."""
+    attempts: list[int] = []
     for attempt in range(2):
-        print(f"[bench] canary(before) attempt {attempt + 1}",
+        print(f"[bench] canary({label}) attempt {attempt + 1}",
               file=sys.stderr, flush=True)
         try:
-            before_attempts.append(
+            attempts.append(
                 _bench_write_subprocess(batch_only=True)["batch_write"])
         except Exception as exc:
             print(f"canary attempt failed: {exc!r}", file=sys.stderr)
-        # one clean sample is enough; only retry a degraded first look
-        if before_attempts and not _canary_degraded(before_attempts[-1]):
+        if not band_applies:
             break
-    canary["before_attempts"] = before_attempts
-    canary["before"] = max(before_attempts) if before_attempts else None
-    if _canary_degraded(canary["before"]):
-        print(f"[bench] WARNING: degraded host window — canary "
-              f"{canary['before']} rows/s vs clean band {CANARY_BAND}; "
-              f"totals in this artifact are NOT cross-round comparable",
-              file=sys.stderr, flush=True)
+        if attempts and _canary_degraded(attempts[-1]) is False:
+            break
+    return max(attempts) if attempts else None
+
+
+def _run_queries(sf_dir: str) -> tuple[dict, dict]:
+    """One full headline pass in its own SparkSession (started and
+    stopped here, so canary samples before/after it run against a
+    JVM-free box — the 'before' and 'after' conditions match)."""
+    import __spark_entry__ as entry_mod
+    from zdb_spark.session import get_spark
 
     spark = get_spark("zdb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -197,23 +196,37 @@ def main() -> int:
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"query {name} failed: {exc!r}", file=sys.stderr)
+    spark.stop()
+    return timings, errors
 
-    total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+
+def _one_attempt(sf_dir: str) -> dict:
+    """before-canary → query pass → write bench → after-canary verdict.
+    Both canary samples run with no other JVM alive (the query session
+    is stopped before the write bench), so 'after' is measured under
+    the same conditions the clean band was pinned in — the r9 artifact's
+    asymmetric in-session 'after' could read low for JVM reasons, not
+    host reasons."""
+    canary: dict = {"metric": "batch_write_rows_per_sec",
+                    "rows": int(os.environ.get("SPARK_GRAFT_WRITE_ROWS",
+                                               "1000000")),
+                    "clean_band": list(CANARY_BAND),
+                    "tolerance": CANARY_TOLERANCE}
+    band_applies = canary["rows"] == 1_000_000
+    canary["before"] = _canary_sample("before", band_applies)
+    if band_applies and _canary_degraded(canary["before"]):
+        print(f"[bench] WARNING: degraded host window — canary "
+              f"{canary['before']} rows/s vs clean band {CANARY_BAND}",
+              file=sys.stderr, flush=True)
+
+    timings, errors = _run_queries(sf_dir)
 
     # Ingest throughput (mirrors the reference's only bench,
-    # benches/write.rs) — recorded here so BENCH_r{N}.json catches
-    # write-path regressions, not just read-side ones.  1M rows keeps it
-    # a ~5s add-on; bench_write.py remains the standalone 2M-row run.
-    # The write bench runs in a SUBPROCESS with its own fresh JVM: it is
-    # a fixed-row-count workload (not a function of sf_dir), and keeping
-    # it out of this long-lived session means a late JVM loss there can
-    # never take the whole query table with it (observed under host
-    # pressure at the 10x replica point).
+    # benches/write.rs) — recorded so BENCH_r{N}.json catches write-path
+    # regressions, not just read-side ones.  Runs in a SUBPROCESS with
+    # its own fresh JVM after the query session has stopped: a late JVM
+    # loss there can never take the query table with it, and its batch
+    # route doubles as the symmetric "after" canary sample.
     print("[bench] write_throughput", file=sys.stderr, flush=True)
     try:
         wt = _bench_write_subprocess(batch_only=False)
@@ -223,16 +236,65 @@ def main() -> int:
         write_tp = {"err": f"{type(exc).__name__}: {exc}"[:500]}
         print(f"write bench failed: {exc!r}", file=sys.stderr)
 
-    # --- post-run canary: the full write bench's batch route IS the
-    # same fixed workload, so it doubles as the "after" sample --------
     canary["after"] = write_tp.get("batch_write")
-    canary["degraded"] = (_canary_degraded(canary["before"])
-                          or _canary_degraded(canary["after"]))
-    if canary["degraded"]:
-        canary["note"] = (
-            "host window degraded (canary outside the pinned clean "
-            "band): totals are NOT cross-round comparable — re-run in "
-            "a quiet window; see BASELINE_LOCAL.md for the A/B protocol")
+    if not band_applies:
+        # The clean band is pinned for the 1M-row workload; at any other
+        # row count the rows/s floor is meaningless (fixed per-batch
+        # overhead changes throughput), so record no verdict at all.
+        canary["degraded"] = None
+        canary["note"] = (f"clean band is pinned for 1,000,000 rows; "
+                          f"no degraded verdict at rows={canary['rows']}")
+    else:
+        deg_b = _canary_degraded(canary["before"])
+        deg_a = _canary_degraded(canary["after"])
+        if canary["before"] is None and canary["after"] is None:
+            canary["degraded"] = None
+            canary["note"] = ("both canary samples errored (bench "
+                              "failure, not a band measurement)")
+        else:
+            canary["degraded"] = bool(deg_b) or bool(deg_a)
+            if canary["after"] is None:
+                canary["note"] = ("'after' sample missing (write bench "
+                                  "error, not a below-band sample); "
+                                  "verdict is from 'before' alone")
+            if canary["degraded"]:
+                canary["note"] = (
+                    "host window degraded (canary below the pinned clean "
+                    "band floor): totals are NOT cross-round comparable — "
+                    "see BASELINE_LOCAL.md for the A/B protocol")
+    return {"canary": canary, "timings": timings, "errors": errors,
+            "write_throughput": write_tp}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    # Canary-GATED recording: a degraded attempt is retried once after a
+    # cool-down (the observed degradation windows pass within minutes —
+    # BASELINE_LOCAL.md §round-8 closing), and every attempt's canary is
+    # kept in the artifact so a reader sees why this window was (or had
+    # to be) accepted.
+    cooldown = int(os.environ.get("SPARK_GRAFT_CANARY_COOLDOWN", "120"))
+    history: list[dict] = []
+    attempt = _one_attempt(sf_dir)
+    if attempt["canary"].get("degraded"):
+        history.append(attempt["canary"])
+        print(f"[bench] degraded window — cooling down {cooldown}s and "
+              f"retrying the full run once", file=sys.stderr, flush=True)
+        time.sleep(cooldown)
+        attempt = _one_attempt(sf_dir)
+
+    timings = attempt["timings"]
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    canary = attempt["canary"]
+    if history:
+        canary["prior_attempts"] = history
 
     out = {
         "metric": "headline_queries_total",
@@ -240,13 +302,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "write_throughput": write_tp,
+        "write_throughput": attempt["write_throughput"],
         "canary": canary,
     }
-    if errors:
-        out["errors"] = errors
+    if attempt["errors"]:
+        out["errors"] = attempt["errors"]
     print(json.dumps(out))
-    spark.stop()
     return 0
 
 

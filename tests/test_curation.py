@@ -445,3 +445,46 @@ class TestContaminationFuzzy:
                                   bench_id_col="qid")
         got = {(r["doc_id"], r["bench_id"]) for r in out.collect()}
         assert got == {(2, 100), (3, 100)}
+
+
+class TestPercentileCutByGroup:
+    def test_per_group_quartile(self, spark):
+        from zdb_spark.operators.curation import percentile_cut_by_group
+
+        # group a: scores 1..8 (p25 -> 2.75); group b: 101..104 (p25 -> 101.75)
+        rows = ([(i, "a", float(i)) for i in range(1, 9)]
+                + [(100 + i, "b", 100.0 + i) for i in range(1, 5)])
+        df = spark.createDataFrame(rows, "doc_id long, g string, s double")
+        kept, thr = percentile_cut_by_group(df, "s", "g", p=0.25)
+        t = {r["g"]: r["threshold"] for r in thr.collect()}
+        assert t == {"a": 2.75, "b": 101.75}
+        got = sorted(r["doc_id"] for r in kept.collect())
+        assert got == [3, 4, 5, 6, 7, 8, 102, 103, 104]
+
+    def test_broadcast_threshold_join(self, spark):
+        from zdb_spark.operators.curation import percentile_cut_by_group
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i)) for i in range(30)],
+            "doc_id long, g string, s double")
+        kept, _ = percentile_cut_by_group(df, "s", "g", p=0.1)
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_validation_and_null_group(self, spark):
+        import pytest as _pytest
+
+        from zdb_spark.operators.curation import percentile_cut_by_group
+
+        df = spark.createDataFrame([(1, "a", 1.0)],
+                                   "doc_id long, g string, s double")
+        with _pytest.raises(ValueError):
+            percentile_cut_by_group(df, "s", "g", p=1.0)
+        # all-null score group contributes no survivors, others unharmed
+        rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "b", None), (4, "b", None)]
+        df2 = spark.createDataFrame(rows, "doc_id long, g string, s double")
+        kept, thr = percentile_cut_by_group(df2, "s", "g", p=0.5)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+        t = {r["g"]: r["threshold"] for r in thr.collect()}
+        assert t["b"] is None

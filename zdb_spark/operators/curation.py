@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["hash_split", "split_label", "split_leakage",
            "pack_sequences", "stratified_sample", "percentile_cut",
+           "percentile_cut_by_group",
            "token_budget_mix", "contamination", "contamination_hash",
            "contamination_fuzzy",
            "chunk_documents", "temperature_sample", "cap_per_group"]
@@ -334,6 +335,42 @@ def percentile_cut(df: DataFrame, score_col: str, p: float = 0.1,
         raise ValueError("percentile undefined: empty input or all-null "
                          f"{score_col}")
     return df.where(F.col(score_col) >= F.lit(float(thr))), float(thr)
+
+
+def percentile_cut_by_group(df: DataFrame, score_col: str,
+                            group_col: str, p: float = 0.1,
+                            round_dp: int = 6
+                            ) -> tuple[DataFrame, DataFrame]:
+    """PER-GROUP corpus-relative quality cut: drop rows below their own
+    group's ``p``-quantile of ``score_col`` — how curation thresholds
+    are actually applied in practice (a fixed global cut over-prunes
+    low-scoring-but-wanted domains/languages and under-prunes high
+    ones; "worst decile PER domain" keeps the mix).
+
+    Shape at scale: ONE grouped percentile aggregate reduces the corpus
+    to a k-row threshold table (k = #groups — domains/languages number
+    in the thousands at most), which then BROADCAST-joins back for the
+    filter scan.  Two corpus passes total, no row ever shuffles on the
+    group key except inside the partial-aggregated percentile.  Same
+    engine-portable exact ``percentile`` ≡ ``quantile_cont`` trick as
+    ``percentile_cut`` (thresholds rounded to ``round_dp``); at 100 TB
+    swap in ``approx_percentile`` with the identical two-pass shape.
+    Groups where the percentile is undefined (all-null scores) get a
+    NULL threshold and contribute no survivors — a loud count drop, not
+    a silent keep-all.
+
+    Returns (survivors, thresholds) — thresholds is the k-row
+    (group, threshold) table for audit/export.
+    """
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    thr = (df.groupBy(group_col)
+             .agg(F.round(F.percentile(F.col(score_col), F.lit(float(p))),
+                          round_dp).alias("threshold")))
+    kept = (df.join(F.broadcast(thr), group_col)
+              .where(F.col(score_col) >= F.col("threshold"))
+              .drop("threshold"))
+    return kept, thr
 
 
 def contamination_hash(df: DataFrame, bench: DataFrame,

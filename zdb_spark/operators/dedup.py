@@ -49,6 +49,7 @@ __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "minhash_signature", "minhash_lsh_pairs",
            "minhash_lsh_pairs_vs", "simhash",
            "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
+           "near_dup_clusters",
            "release", "portable_hash64", "build_minhash_store",
            "append_minhash_store", "incremental_minhash_pairs",
            "char_fingerprint_pairs", "build_fingerprint_store",
@@ -699,6 +700,41 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # scale probe records this so SCALE.md can show the iteration count
     # stays flat (~diameter 2-3 for template groups) as the corpus grows.
     out._zdb_rounds = rounds
+    return out
+
+
+def near_dup_clusters(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", *, num_hashes: int = 64,
+                      bands: int = 16, k: int = 5,
+                      threshold: float = 0.5,
+                      max_bucket_size: int | None = 64,
+                      max_iter: int = 20,
+                      driver_threshold: int = 200_000) -> DataFrame:
+    """Text → near-dup cluster labels in one call: banded MinHash-LSH
+    pairs with the hot-bucket cap ON BY DEFAULT, resolved to connected
+    components (``minhash_lsh_pairs`` → ``duplicate_clusters``).
+
+    The cap default is the honest knob at 100 TB (SCALE.md §sf1): the
+    10× adversarial probe grew the PAIR set ~45× and cluster resolution
+    was the one super-linear stage (8.5×) — because uncapped band
+    buckets quadratically inflate the edge set that label propagation
+    then chews through.  Capping candidate generation upstream keeps
+    the edge set near-linear in corpus size.  ``max_bucket_size=64``
+    keeps recall exact for any real duplicate group up to 64 docs
+    (near-identical docs collide in ~all bands, so a group is lost only
+    if ALL its band buckets exceed the cap); raise it above your
+    largest expected template group, or pass ``None`` to disable and
+    accept the |bucket|² blowup.  Dropped-bucket stats are surfaced on
+    the result as ``._zdb_dropped_buckets`` for recall audits.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col,
+                              num_hashes=num_hashes, bands=bands, k=k,
+                              threshold=threshold,
+                              max_bucket_size=max_bucket_size)
+    out = duplicate_clusters(pairs, max_iter=max_iter,
+                             driver_threshold=driver_threshold)
+    if hasattr(pairs, "_zdb_dropped_buckets"):
+        out._zdb_dropped_buckets = pairs._zdb_dropped_buckets
     return out
 
 

@@ -1143,6 +1143,44 @@ class TestMultimodal:
                               decoder="ffmpeg").collect()[0]
         assert (got["width"], got["height"], got["n_frames"]) == (6, 5, 2)
 
+    def test_ffmpeg_decoder_on_mp4(self, spark, tmp_path):
+        """The mp4 path proper, wherever ffmpeg exists: the test builds
+        its OWN fixture at run time (3 deterministic rgb24 raw frames →
+        mpeg4-in-mp4, faststart-muxed so stdin probing works) with the
+        same ffmpeg install, then decode_video(decoder='ffmpeg') must
+        return exactly the geometry the encode specified.  Fixture-by-
+        encode beats a vendored binary blob: nothing opaque in the
+        repo, and the fixture always matches the local mux behavior.
+        Skipped only where ffmpeg itself is unreachable (this sandbox:
+        no ffmpeg and installs are off — recorded in SCALE.md §video)."""
+        import shutil
+        import subprocess
+
+        from zdb_spark.operators import multimodal as mm
+
+        if not mm.ffmpeg_available():
+            pytest.skip("ffprobe not on PATH")
+        ffmpeg = shutil.which("ffmpeg")
+        if ffmpeg is None:
+            pytest.skip("ffprobe present but ffmpeg encoder missing")
+        w, h, n = 16, 12, 3
+        raw = bytes((x * 7 + y * 3 + f * 11) % 256
+                    for f in range(n) for y in range(h)
+                    for x in range(w) for _ in range(3))
+        out = tmp_path / "fixture.mp4"
+        enc = subprocess.run(
+            [ffmpeg, "-v", "error", "-f", "rawvideo", "-pix_fmt",
+             "rgb24", "-s", f"{w}x{h}", "-r", "5", "-i", "-",
+             "-c:v", "mpeg4", "-movflags", "+faststart", str(out)],
+            input=raw, capture_output=True, timeout=60)
+        assert enc.returncode == 0, enc.stderr[:300]
+        df = spark.createDataFrame([Row(id=1, blob=out.read_bytes())])
+        got = mm.decode_video(df, "blob", "id",
+                              decoder="ffmpeg").collect()[0]
+        assert (got["width"], got["height"], got["n_frames"]) == (w, h, n)
+        assert got["format"].startswith(("mov", "mp4"))
+        assert abs(got["duration"] - n / 5.0) < 0.3
+
 
 class TestParagraphDedup:
     def test_drops_later_duplicates_and_rebuilds(self, spark):

@@ -151,3 +151,38 @@ def test_oracle_sums_are_cast_or_rounded():
             if re.search(r"^\s*sum\(|\ssum\(", low) and " as " in low:
                 offenders.append((name, line.strip()))
     assert not offenders, f"bare sum() projections in oracle SQL: {offenders}"
+
+
+def test_changed_gates_tool_machinery():
+    """tools/changed_gates.py (rotation hygiene, round-10 verdict #2):
+    its AST function index must see the gate functions and their
+    references, and a no-op diff (ref=HEAD with a clean tree, or any
+    ref) must never report a gate as MISSING when _CHANGED_THIS_ROUND
+    covers the derivably-affected set — the exact invariant the tool
+    exists to enforce at commit time."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    sys_path_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    tools = os.path.join(sys_path_root, "tools")
+    _sys.path.insert(0, tools)
+    try:
+        import changed_gates as cg
+    finally:
+        _sys.path.remove(tools)
+
+    fns = cg._functions("__spark_entry__.py")
+    assert "q_kmeans_train" in fns
+    a, b, refs = fns["q_kmeans_train"]
+    assert a < b and "kmeans_lloyd" in refs
+    # class methods are indexed too (Table.scan lives in a class)
+    tbl = cg._functions("zdb_spark/table.py")
+    assert "scan" in tbl
+
+    # the audit itself must pass against the current round boundary
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(tools, "changed_gates.py"),
+         "--quiet"], capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr or proc.stdout

@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Rotation hygiene: cross-check ``_CHANGED_THIS_ROUND`` against what
+the git diff actually touched.
+
+The driver verifies only the first WINDOW queries() entries per round,
+and rule 1 of the rotation is the hand-maintained
+``_CHANGED_THIS_ROUND`` list — which went stale in round 9 (code for 4
+gates changed; none were queued).  This tool mechanizes the audit the
+judge did by hand, at FUNCTION granularity:
+
+1. changed files come from ``git diff <ref>`` (default ref: the last
+   commit that touched a CORRECTNESS_r*.json — the round boundary);
+   for every changed ``zdb_spark/*.py`` and ``__spark_entry__.py`` the
+   unified-diff hunks are intersected with AST line ranges to get the
+   set of CHANGED FUNCTIONS (top-level defs and class methods);
+2. the changed set propagates through a name-reference graph (function
+   f is affected if it references a changed function's name,
+   transitively) — so a gate composing ``contamination_fuzzy`` is
+   flagged when the ``minhash_lsh_pairs_vs`` it calls changes, without
+   flagging every gate that merely imports the same module;
+3. a gate is AFFECTED if its ``q_`` function (or an entry-local helper
+   it calls) references an affected name;
+4. the affected set is compared against ``_CHANGED_THIS_ROUND``;
+   missing gates exit non-zero.  Gates with no CORRECTNESS history are
+   exempt (rotation rule 2 auto-prioritizes them).
+
+Name-based propagation over-approximates on shared method names —
+acceptable: a false "queue me" costs one window slot, a false "all
+clear" costs an unverified behavior change (the r9 failure mode).
+Under-approximation is possible only through dynamic dispatch or
+oracle-SQL-literal edits; pair the tool with the commit convention,
+don't replace it.
+
+Usage: python tools/changed_gates.py [--ref REF] [--quiet]
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Names too generic to propagate on: DataFrame/driver API collisions.
+_NOISE = {"write", "read", "open", "create", "count", "collect", "main",
+          "get", "run", "close", "append", "scan", "query", "entry",
+          "queries", "oracle_sql"}
+
+
+def _diff_lines(ref: str, path: str) -> set[int]:
+    """New-side line numbers touched in ``path`` since ref (committed
+    diff + worktree)."""
+    lines: set[int] = set()
+    diff = subprocess.run(["git", "diff", "-U0", ref, "--", path],
+                          cwd=REPO, capture_output=True, text=True).stdout
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
+                         diff, re.M):
+        start, n = int(m.group(1)), int(m.group(2) or "1")
+        lines.update(range(start, start + max(n, 1)))
+    return lines
+
+
+def _functions(path: str) -> dict[str, tuple[int, int, set[str]]]:
+    """name -> (lineno, end_lineno, referenced names) for every
+    top-level function and class method in ``path``.  References
+    include bare names and attribute names (method calls)."""
+    src = open(os.path.join(REPO, path), encoding="utf-8").read()
+    tree = ast.parse(src)
+    out: dict[str, tuple[int, int, set[str]]] = {}
+
+    def add(node: ast.AST, name: str) -> None:
+        refs: set[str] = set()
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name):
+                refs.add(n.id)
+            elif isinstance(n, ast.Attribute):
+                refs.add(n.attr)
+        out[name] = (node.lineno, node.end_lineno or node.lineno, refs)
+
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            add(node, node.name)
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    add(sub, sub.name)
+    return out
+
+
+def _source_files() -> list[str]:
+    files = ["__spark_entry__.py"]
+    for root, _dirs, names in os.walk(os.path.join(REPO, "zdb_spark")):
+        for f in names:
+            if f.endswith(".py"):
+                files.append(os.path.relpath(os.path.join(root, f), REPO))
+    return files
+
+
+def affected_gates(ref: str) -> tuple[dict[str, str], set[str], set[str]]:
+    """(gate -> reason, queued, brand_new) for the diff since ``ref``."""
+    import __spark_entry__ as entry
+
+    changed_files = set(subprocess.run(
+        ["git", "diff", "--name-only", ref], cwd=REPO,
+        capture_output=True, text=True).stdout.split())
+
+    fn_index: dict[str, dict] = {}          # path -> {fname: (a, b, refs)}
+    for path in _source_files():
+        fn_index[path] = _functions(path)
+
+    # seed: functions whose line range intersects the diff
+    changed_fns: set[str] = set()
+    for path, fns in fn_index.items():
+        if path not in changed_files:
+            continue
+        touched = _diff_lines(ref, path)
+        for name, (a, b, _refs) in fns.items():
+            if any(a <= ln <= b for ln in touched):
+                changed_fns.add(name)
+
+    # propagate through name references (across all files)
+    all_fns = {name: refs for fns in fn_index.values()
+               for name, (_a, _b, refs) in fns.items()}
+    frontier = set(changed_fns)
+    while frontier:
+        sig = frontier - _NOISE
+        frontier = set()
+        for name, refs in all_fns.items():
+            if name not in changed_fns and refs & sig:
+                changed_fns.add(name)
+                frontier.add(name)
+
+    gates = dict(entry._QUERY_DECLARATIONS)
+    entry_fns = fn_index["__spark_entry__.py"]
+    affected: dict[str, str] = {}
+    sig = changed_fns - _NOISE
+    for gate, fn in gates.items():
+        fname = fn.__name__
+        if fname in changed_fns:
+            affected[gate] = fname if fname not in entry_fns else \
+                f"{fname} (direct or via " + \
+                (sorted(entry_fns[fname][2] & sig)[0]
+                 if entry_fns[fname][2] & sig else "diff") + ")"
+
+    queued = set(entry._CHANGED_THIS_ROUND)
+    history: set[str] = set()
+    for f in os.listdir(REPO):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
+            history.update(json.load(open(os.path.join(REPO, f))))
+    brand_new = set(gates) - history
+    return affected, queued, brand_new
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=None)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+
+    ref = args.ref
+    if ref is None:
+        ref = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--",
+             "CORRECTNESS_r*.json"],
+            cwd=REPO, capture_output=True, text=True).stdout.strip() or "HEAD"
+
+    affected, queued, brand_new = affected_gates(ref)
+    missing = sorted(set(affected) - queued - brand_new)
+    extra = sorted(queued - set(affected) - brand_new)
+
+    if not args.quiet:
+        print(f"diff base: {ref[:12]}")
+        for g in sorted(affected):
+            mark = ("queued" if g in queued
+                    else "NEW (auto-rule-2)" if g in brand_new
+                    else "MISSING")
+            print(f"  {g:28s} <- {affected[g]:46s} [{mark}]")
+        if extra:
+            print(f"queued but not derivably affected (fine, e.g. "
+                  f"oracle-SQL-only edits): {extra}")
+    if missing:
+        print(f"MISSING from _CHANGED_THIS_ROUND: {missing}",
+              file=sys.stderr)
+        return 1
+    print("OK: every derivably-affected gate is queued or brand-new")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

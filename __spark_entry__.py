@@ -1243,6 +1243,63 @@ def q_domain_percentile_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source", "char_entropy")
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training export: every
+    document gets its exact position in a pseudo-random total order
+    (md5-bucket two-level construction — a tiny bucket-count agg plus a
+    bucket-partitioned window, never a global single-partition sort)
+    and a round-robin shard so each shard is an unbiased shuffled
+    subsample.  The oracle replays the order as one ``row_number()
+    OVER (ORDER BY bucket, md5, id)`` — a value match on every (pos,
+    shard) proves the distributed offset+rank arithmetic equals the
+    global sort it avoids (curation.py:global_shuffle)."""
+    from zdb_spark.operators.curation import global_shuffle
+
+    docs = _load(spark, sf_dir, "documents")
+    return (global_shuffle(docs, "doc_id", seed="v1", n_shards=8)
+            .select("doc_id", "pos", "shard"))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (hashed-bigram log-likelihood
+    ratio vs a target subset — here src0 as the target domain): the
+    model-free data-selection score a 100 TB mixture is resampled by.
+    Fixed 4096-bucket sufficient statistics, one conditional-count agg,
+    broadcast ratio table, per-doc sum — the oracle recomputes the
+    identical buckets/smoothing/sum in SQL
+    (curation.py:importance_weights)."""
+    from zdb_spark.operators.curation import importance_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("source") == "src0",
+                              n_buckets=4096, alpha=0.5)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus
+    (4x smaller candidate store for ANN; rerank uses raw vectors as in
+    pq_topk).  Codes are integer-exact cross-engine — the half-up tie
+    rule is pinned as ``floor(x/scale + 0.5)`` so both engines share
+    IEEE semantics — and the gate checks integer sums/extremes of every
+    vector's codes plus the rounded scale, which pins the full
+    quantization arithmetic value-for-value
+    (similarity.py:quantize_embeddings)."""
+    from zdb_spark.operators.similarity import quantize_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", bits=8)
+    codes = F.col("codes")
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("sum_codes"),
+        F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("l1_codes"),
+        F.array_max(codes).alias("max_code"),
+        F.array_min(codes).alias("min_code"))
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution round-trip: events before
     2024-01-08 are written, ``add_column('batch_tag', default='v1')``
@@ -3495,6 +3552,9 @@ _QUERY_DECLARATIONS: list[
     ("split_leakage", q_split_leakage),
     ("quality_percentile_cut", q_quality_percentile_cut),
     ("domain_percentile_cut", q_domain_percentile_cut),
+    ("global_shuffle", q_global_shuffle),
+    ("dsir_weights", q_dsir_weights),
+    ("embedding_quantize", q_embedding_quantize),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5538,6 +5598,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.doc_id, e.source, e.char_entropy
         FROM e JOIN thr USING (source)
         WHERE e.char_entropy >= thr.t
+    """
+    sqls["global_shuffle"] = r"""
+        WITH b AS (
+            SELECT doc_id,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bucket
+            FROM documents
+        ), p AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bucket, h, doc_id) - 1
+                       AS pos
+            FROM b
+        )
+        SELECT doc_id, pos, CAST(pos % 8 AS INT) AS shard FROM p
+    """
+    sqls["dsir_weights"] = r"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, CAST(source = 'src0' AS BIGINT) AS is_t,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM t
+        ), eb AS (
+            SELECT doc_id, is_t,
+                   ('0x' || substr(md5(bg), 1, 8))::BIGINT % 4096 AS bkt
+            FROM ex
+        ), stats AS (
+            SELECT bkt, count(*) AS n_raw, sum(is_t) AS n_t
+            FROM eb GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+                   CAST(sum(n_t) AS BIGINT) AS t_t FROM stats
+        ), lr AS (
+            SELECT bkt,
+                   ln((n_t + 0.5) / (t_t + 2048.0))
+                       - ln((n_raw + 0.5) / (t_raw + 2048.0)) AS lrv
+            FROM stats, tot
+        ), sc AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   round(sum(lrv), 4) AS log_weight
+            FROM eb JOIN lr USING (bkt) GROUP BY 1
+        )
+        SELECT t.doc_id, sc.n_grams, sc.log_weight
+        FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+    """
+    sqls["embedding_quantize"] = r"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0
+                       AS scale
+            FROM v
+        ), q AS (
+            SELECT vec_id, scale,
+                   list_transform(e, x -> CASE WHEN scale > 0
+                       THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+                       ELSE 0 END) AS codes
+            FROM s
+        )
+        SELECT vec_id, round(scale, 6) AS scale_r,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(codes, c -> abs(c)))
+                    AS BIGINT) AS l1_codes,
+               list_max(codes) AS max_code,
+               list_min(codes) AS min_code
+        FROM q
     """
     # BM25 with the same Robertson/Lucene idf and tie-break; terms fixed
     # to the entry's query ('fast','scan','table' after sort/dedup)

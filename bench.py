@@ -77,6 +77,12 @@ HEADLINE = [
     "manifest_stress",    # concurrent CAS appends + crash injection
                           # (stress cached by fingerprint; re-runs time
                           # the manifest-snapshot scan read-back)
+    "contamination_fuzzy",   # banded MinHash-LSH corpus x bench decon
+    "dedup_clusters_capped",  # capped candidate gen -> cluster labels
+    "domain_percentile_cut",  # per-domain exact-percentile quality cut
+    "global_shuffle",     # seeded deterministic export shuffle (2-level)
+    "dsir_weights",       # DSIR hashed-bigram importance weights
+    "embedding_quantize",  # int8 symmetric embedding quantization
 ]
 
 

@@ -488,3 +488,124 @@ class TestPercentileCutByGroup:
         assert sorted(r["doc_id"] for r in kept.collect()) == [2]
         t = {r["g"]: r["threshold"] for r in thr.collect()}
         assert t["b"] is None
+
+
+class TestGlobalShuffle:
+    def test_permutation_matches_reference_order(self, spark):
+        """pos is exactly the rank in the (bucket, md5, id) total order —
+        the distributed offset+rank construction equals the global sort
+        it avoids, checked against a stdlib re-implementation."""
+        from zdb_spark.operators.curation import global_shuffle
+
+        df = _docs(spark, 400)
+        out = global_shuffle(df, "doc_id", seed="v1", n_shards=8).toPandas()
+
+        def key(i):
+            h = hashlib.md5(f"v1:{i}".encode()).hexdigest()
+            return (int(h[:8], 16) % 10_000, h, i)
+
+        want = {i: p for p, i in
+                enumerate(sorted(out.doc_id, key=key))}
+        got = dict(zip(out.doc_id, out.pos))
+        assert got == want
+        assert (out.shard == out.pos % 8).all()
+        assert sorted(out.pos) == list(range(400))
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        from zdb_spark.operators.curation import global_shuffle
+
+        df = _docs(spark, 300).repartition(13)
+        a = (global_shuffle(df, "doc_id").toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (global_shuffle(df.repartition(3), "doc_id").toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        c = (global_shuffle(df, "doc_id", seed="v2").toPandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert (a.pos != c.pos).any()
+        # every shard is a ~uniform slice of the corpus
+        sizes = a.shard.value_counts()
+        assert len(sizes) == 8 and sizes.max() - sizes.min() <= 1
+
+    def test_validation(self, spark):
+        from zdb_spark.operators.curation import global_shuffle
+
+        with pytest.raises(ValueError, match="n_shards"):
+            global_shuffle(_docs(spark, 10), "doc_id", n_shards=0)
+
+
+class TestImportanceWeights:
+    def _corpus(self, spark):
+        """20 'code' docs (target), 20 'prose', 10 mixed: the target
+        vocabulary is disjoint from prose so the LLR direction is
+        unambiguous."""
+        rows = []
+        for i in range(20):
+            rows.append((i, "def func return yield lambda class import "
+                            f"def func return v{i}", "target"))
+        for i in range(20, 40):
+            rows.append((i, "the cat sat on the mat and the dog ran "
+                            f"over the hill w{i}", "web"))
+        for i in range(40, 50):
+            rows.append((i, "def func the cat return yield on the mat "
+                            f"m{i}", "web"))
+        rows.append((99, "single", "web"))  # <2 tokens -> NULL weight
+        return spark.createDataFrame(rows, "doc_id long, text string, "
+                                           "source string")
+
+    def test_target_docs_score_higher(self, spark):
+        from zdb_spark.operators.curation import importance_weights
+
+        df = self._corpus(spark)
+        out = importance_weights(df, F.col("source") == "target",
+                                 n_buckets=512).toPandas()
+        w = dict(zip(out.doc_id, out.log_weight))
+        t_min = min(w[i] / i_grams(out, i) for i in range(20))
+        # per-gram normalization so doc length doesn't mask direction
+        web_max = max(w[i] / i_grams(out, i) for i in range(20, 40))
+        assert t_min > 0 > web_max
+        mixed = [w[i] / i_grams(out, i) for i in range(40, 50)]
+        assert all(web_max < m < t_min for m in mixed)
+        assert pd.isna(w[99])
+
+    def test_matches_stdlib_reimplementation(self, spark):
+        """Exact replay: md5 buckets, add-alpha LLR, per-doc sum,
+        round(4) — the same arithmetic the DuckDB oracle runs."""
+        import math
+
+        from zdb_spark.operators.curation import importance_weights
+
+        df = self._corpus(spark)
+        out = importance_weights(df, F.col("source") == "target",
+                                 n_buckets=512, alpha=0.5).toPandas()
+        rows = df.collect()
+        buckets = {}
+        for r in rows:
+            toks = r.text.strip().lower().split()
+            for a, b in zip(toks, toks[1:]):
+                h = hashlib.md5(f"{a} {b}".encode()).hexdigest()
+                bkt = int(h[:8], 16) % 512
+                n_raw, n_t = buckets.get(bkt, (0, 0))
+                buckets[bkt] = (n_raw + 1,
+                                n_t + (1 if r.source == "target" else 0))
+        t_raw = sum(v[0] for v in buckets.values())
+        t_t = sum(v[1] for v in buckets.values())
+        lr = {b: math.log((n_t + 0.5) / (t_t + 256.0))
+                 - math.log((n_raw + 0.5) / (t_raw + 256.0))
+              for b, (n_raw, n_t) in buckets.items()}
+        for r in rows:
+            toks = r.text.strip().lower().split()
+            got = out.loc[out.doc_id == r.doc_id].iloc[0]
+            if len(toks) < 2:
+                assert pd.isna(got.log_weight)
+                continue
+            want = round(sum(
+                lr[int(hashlib.md5(f"{a} {b}".encode())
+                       .hexdigest()[:8], 16) % 512]
+                for a, b in zip(toks, toks[1:])), 4)
+            assert abs(got.log_weight - want) < 1e-9, r.doc_id
+            assert got.n_grams == len(toks) - 1
+
+
+def i_grams(out, i):
+    return int(out.loc[out.doc_id == i, "n_grams"].iloc[0])

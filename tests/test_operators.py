@@ -1922,3 +1922,42 @@ class TestCentroidOutliers:
                                  "embedding", "vec_id").collect()}
         assert not any(r["is_outlier"] for r in out.values())
         assert all(r["z"] == 0.0 for r in out.values())
+
+
+class TestQuantizeEmbeddings:
+    def test_codes_match_numpy_and_roundtrip(self, spark):
+        """int8 symmetric quantization: codes equal the numpy
+        floor(x/scale + 0.5) reference, stay in [-127, 127], and
+        dequantization error is bounded by scale/2 per coordinate."""
+        import numpy as np
+
+        from zdb_spark.operators.similarity import quantize_embeddings
+
+        rng = np.random.default_rng(7)
+        vecs = rng.normal(size=(50, 16)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in
+               quantize_embeddings(df, "embedding").collect()}
+        for i, v in enumerate(vecs):
+            x = v.astype(np.float64)
+            scale = np.max(np.abs(x)) / 127.0
+            want = np.floor(x / scale + 0.5).astype(np.int64)
+            got = np.array(out[i].codes)
+            assert (got == want).all(), i
+            assert abs(out[i].scale - scale) < 1e-15
+            assert got.max() <= 127 and got.min() >= -127
+            assert np.max(np.abs(got * scale - x)) <= scale / 2 + 1e-12
+
+    def test_zero_vector_and_bits(self, spark):
+        from zdb_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+            "vec_id long, embedding array<float>")
+        rows = {r.vec_id: r for r in
+                quantize_embeddings(df, "embedding", bits=4).collect()}
+        assert rows[0].codes == [0, 0, 0] and rows[0].scale == 0.0
+        # bits=4 -> qmax 7: [1, -2, .5] / (2/7) -> [3.5->4, -7, 1.75->2]
+        assert rows[1].codes == [4, -7, 2]

@@ -378,3 +378,53 @@ class TestPipelineOperatorPlans:
         # and the guard must not change the answer
         got = {r["k"]: (r["n"], r["total"]) for r in out.collect()}
         assert got["HOT"] == (500, float(sum(range(500))))
+
+
+class TestRound10OperatorPlans:
+    """Shuffle/broadcast claims for the round-10 additions."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"alpha beta gamma delta token{i} epsilon zeta",
+              f"src{i % 3}")
+             for i in range(50)], "doc_id long, text string, source string")
+
+    def test_global_shuffle_broadcast_offsets_no_global_sort(self, docs):
+        """The 10k-row offset table broadcasts back (BroadcastHashJoin),
+        the big-side rank window is PARTITIONED by bucket, and there is
+        no whole-stream Sort/Exchange for a global order."""
+        from zdb_spark.operators.curation import global_shuffle
+
+        out = global_shuffle(docs, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # exactly one unpartitioned window: the 10k-row offset cumsum;
+        # the per-row rank window must carry its bucket partition key
+        assert plan.count("Window [") <= 2
+        assert "partitionBy=[_gs_b]" in plan.replace(" ", "") or \
+               "_gs_b" in plan.split("Window")[1]
+
+    def test_importance_weights_broadcasts_ratio_table(self, docs):
+        """The B-row LLR table and the 1-row totals broadcast; the
+        bigram stream itself is never on a broadcast build side and
+        never in a cartesian product."""
+        from zdb_spark.operators.curation import importance_weights
+
+        out = importance_weights(docs, F.col("source") == "src0",
+                                 n_buckets=64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_quantize_embeddings_zero_shuffle(self, spark):
+        from zdb_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0, -2.5]) for i in range(20)],
+            "vec_id long, embedding array<float>")
+        out = quantize_embeddings(df, "embedding")
+        rep = scan_report(out)
+        assert rep.exchanges == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan   # pure HOF codegen, no UDF node

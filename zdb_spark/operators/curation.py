@@ -31,7 +31,8 @@ __all__ = ["hash_split", "split_label", "split_leakage",
            "percentile_cut_by_group",
            "token_budget_mix", "contamination", "contamination_hash",
            "contamination_fuzzy",
-           "chunk_documents", "temperature_sample", "cap_per_group"]
+           "chunk_documents", "temperature_sample", "cap_per_group",
+           "global_shuffle", "importance_weights"]
 
 _BUCKETS = 10_000
 
@@ -533,3 +534,106 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str, *,
     return (df.withColumn("_zdb_rn", F.row_number().over(w))
             .where(F.col("_zdb_rn") <= max_per_group)
             .drop("_zdb_rn"))
+
+
+def global_shuffle(df: DataFrame, id_col: str, *, seed: str = "v1",
+                   n_shards: int = 8, pos_col: str = "pos",
+                   shard_col: str = "shard") -> DataFrame:
+    """Deterministic seeded global shuffle — the export-time
+    randomization a training run needs (examples must arrive in a
+    random ORDER, not just random shards; data-order curricula are a
+    reproducibility hazard unless the shuffle itself is a pure function
+    of (seed, id)).
+
+    The shuffled order is ``(bucket, md5(seed:id), id)`` — any
+    deterministic pseudo-random total order is a valid shuffle, and
+    making the md5 bucket its leading component lets the global
+    position be computed WITHOUT a global single-partition window:
+
+    1. one tiny groupBy counts rows per bucket (10k rows), a cumulative
+       window over that 10k-row table yields each bucket's global
+       offset — broadcast back;
+    2. rank WITHIN a bucket is a window partitioned by bucket — 10k
+       independent windows, parallel across the cluster.
+
+    ``pos = offset[bucket] + rank - 1`` is the exact global shuffle
+    position; ``shard = pos % n_shards`` round-robins the shuffled
+    sequence so every shard is itself an unbiased shuffled subsample.
+    At 100 TB this is one count-agg + one broadcast + one partitioned
+    window — no total sort, no driver state, append-unstable by design
+    (a grown corpus re-deals positions; use hash_split for stable
+    assignment and this for export ordering).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    keyed = (df.withColumn("_gs_h", h)
+               .withColumn("_gs_b", (F.conv(F.substring("_gs_h", 1, 8),
+                                            16, 10).cast("long")
+                                     % F.lit(_BUCKETS))))
+    off_w = (Window.orderBy("_gs_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (keyed.groupBy("_gs_b")
+               .agg(F.count(F.lit(1)).alias("_gs_n"))
+               .select("_gs_b", F.coalesce(F.sum("_gs_n").over(off_w),
+                                           F.lit(0)).alias("_gs_off")))
+    rank = F.row_number().over(
+        Window.partitionBy("_gs_b").orderBy("_gs_h", id_col))
+    return (keyed.join(F.broadcast(offsets), "_gs_b")
+            .withColumn(pos_col, F.col("_gs_off") + rank - 1)
+            .withColumn(shard_col, (F.col(pos_col) % n_shards).cast("int"))
+            .drop("_gs_h", "_gs_b", "_gs_off"))
+
+
+def importance_weights(df: DataFrame, target_pred, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 4096, alpha: float = 0.5,
+                       out_col: str = "log_weight") -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score each
+    document by how much more likely its hashed-bigram features are
+    under a TARGET distribution than under the raw corpus, so sampling
+    by the weight tilts the mixture toward target-domain-like text
+    without training a model.
+
+    Features: word bigrams hashed into ``n_buckets`` md5 buckets (the
+    hashing trick — fixed-size sufficient statistics regardless of
+    corpus size).  Both distributions come from one pass: the exploded
+    bigram stream is counted per bucket with a conditional sum for the
+    target subset (``target_pred`` marks target rows — in DSIR terms
+    the target corpus; here any predicate over the frame).  The
+    per-bucket log-likelihood ratio uses add-``alpha`` smoothing:
+
+        lr(b) = ln((n_t(b)+a)/(T_t+aB)) - ln((n_r(b)+a)/(T_r+aB))
+
+    and a document's ``log_weight`` is the sum of lr over its bigram
+    occurrences.  Shape at scale: two passes over the bigram stream
+    (count, then score) — each a partial-aggregated groupBy — plus a
+    broadcast join of the B-row ratio table (B=4096 regardless of
+    corpus size).  Documents with <2 tokens get NULL.
+    """
+    from .dedup import let
+    from .text import _ngram_col, tokenize
+
+    toks = tokenize(text_col)
+    grams = let(toks, lambda t: _ngram_col(t, 2))
+    ex = df.select(F.col(id_col),
+                   target_pred.cast("long").alias("_is_t"),
+                   F.explode(grams).alias("gram"))
+    ex = ex.withColumn("bkt", F.conv(F.substring(F.md5("gram"), 1, 8),
+                                     16, 10).cast("long")
+                              % F.lit(n_buckets))
+    stats = ex.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_raw"),
+                                  F.sum("_is_t").alias("n_t"))
+    totals = stats.agg(F.sum("n_raw").alias("t_raw"),
+                       F.sum("n_t").alias("t_t"))
+    ab = F.lit(alpha * n_buckets)
+    lr = (F.log((F.col("n_t") + F.lit(alpha)) / (F.col("t_t") + ab))
+          - F.log((F.col("n_raw") + F.lit(alpha)) / (F.col("t_raw") + ab)))
+    lr_tbl = (stats.crossJoin(F.broadcast(totals))
+              .select("bkt", lr.alias("_lr")))
+    scored = (ex.join(F.broadcast(lr_tbl), "bkt")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.round(F.sum("_lr"), 4).alias(out_col)))
+    return df.select(id_col).join(scored, id_col, "left")

@@ -33,7 +33,7 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "pq_train", "pq_encode", "pq_topk", "assign_centroids",
            "semantic_dedup", "build_ivfpq_index", "ivfpq_index_topk",
            "nearest_centroid_l2_col", "kmeans_lloyd",
-           "centroid_outliers"]
+           "centroid_outliers", "quantize_embeddings"]
 
 
 def _as_double(c: Column) -> Column:
@@ -1206,3 +1206,35 @@ def ivfpq_index_topk(spark: SparkSession, path: str,
     vectors = idx.select("vec_id", meta["vec_col"])
     return pq_topk(codes, query_vec, books, vectors, k=k, rerank=rerank,
                    vec_col=meta["vec_col"], id_col="vec_id")
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", *,
+                        bits: int = 8, codes_col: str = "codes",
+                        scale_col: str = "scale") -> DataFrame:
+    """Symmetric per-vector scalar quantization to ``bits``-bit integer
+    codes — the storage/bandwidth half of an embedding pipeline (an
+    int8 corpus is 4x smaller than float32, which at 100 TB is the
+    difference between an index that fits cluster memory and one that
+    doesn't; serving stacks rerank the int8 candidates against the raw
+    vectors exactly like pq_topk's ADC+rerank split).
+
+    ``scale = max|x| / qmax`` per vector; ``q_i = floor(x_i/scale + 0.5)``
+    (explicit half-up via floor rather than an engine ``round`` call, so
+    the tie rule is pinned by IEEE arithmetic both engines share — the
+    same determinism trick as the operators' md5 bucketing).  All-zero
+    vectors quantize to all-zero codes (scale 0 guard).  Everything is
+    ``transform``/``aggregate`` higher-order expressions: row-local,
+    zero shuffle, whole-stage codegen.
+    """
+    from .dedup import let
+
+    qmax = float(2 ** (bits - 1) - 1)
+    v = _as_double(F.col(vec_col))
+    maxabs = F.aggregate(v, F.lit(0.0),
+                         lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = maxabs / F.lit(qmax)
+    codes = let(scale, lambda s: F.transform(
+        v, lambda x: F.when(s > 0, F.floor(x / s + F.lit(0.5)))
+                      .otherwise(F.lit(0)).cast("long")))
+    return (df.withColumn(scale_col, scale)
+              .withColumn(codes_col, codes))

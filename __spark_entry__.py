@@ -1300,6 +1300,20 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(codes).alias("min_code"))
 
 
+def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN over the int8-quantized corpus: approx
+    scores from a codegen codes·query fold (reads 1/4 the float32
+    bytes), top-``rerank`` candidates by (rounded score, id), exact
+    cosine rerank via a broadcast join back to the raw vectors.  The
+    oracle replays quantization, approx scan, and both deterministic
+    cut boundaries in SQL (similarity.py:int8_topk)."""
+    from zdb_spark.operators.similarity import int8_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return int8_topk(emb, list(qvec), k=10, rerank=64)
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only schema evolution round-trip: events before
     2024-01-08 are written, ``add_column('batch_tag', default='v1')``
@@ -3555,6 +3569,7 @@ _QUERY_DECLARATIONS: list[
     ("global_shuffle", q_global_shuffle),
     ("dsir_weights", q_dsir_weights),
     ("embedding_quantize", q_embedding_quantize),
+    ("knn_int8", q_knn_int8),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5647,6 +5662,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.doc_id, sc.n_grams, sc.log_weight
         FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+    """
+    sqls["knn_int8"] = r"""
+        WITH q AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+            FROM embeddings WHERE vec_id = 0
+        ), e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, ve,
+                   list_max(list_transform(ve, x -> abs(x))) / 127.0
+                       AS scale
+            FROM e
+        ), c AS (
+            SELECT vec_id, ve, scale,
+                   list_transform(ve, x -> CASE WHEN scale > 0
+                       THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+                       ELSE 0 END) AS codes
+            FROM s
+        ), a AS (
+            SELECT vec_id, ve,
+                   round(scale * list_sum(list_transform(
+                       range(1, len(codes) + 1),
+                       i -> codes[CAST(i AS INT)] * qe[CAST(i AS INT)])),
+                       6) AS approx_score
+            FROM c, q
+            ORDER BY approx_score DESC, vec_id LIMIT 64
+        )
+        SELECT vec_id, round(
+            list_sum(list_transform(range(1, len(ve) + 1),
+                                    i -> ve[CAST(i AS INT)] * qe[CAST(i AS INT)]))
+            / (sqrt(list_sum(list_transform(ve, x -> x * x)))
+               * sqrt(list_sum(list_transform(qe, x -> x * x)))), 6)
+            AS cosine_sim
+        FROM a, q
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
     """
     sqls["embedding_quantize"] = r"""
         WITH v AS (

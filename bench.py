@@ -83,6 +83,7 @@ HEADLINE = [
     "global_shuffle",     # seeded deterministic export shuffle (2-level)
     "dsir_weights",       # DSIR hashed-bigram importance weights
     "embedding_quantize",  # int8 symmetric embedding quantization
+    "knn_int8",           # compressed-domain int8 scan + exact rerank
 ]
 
 

@@ -1961,3 +1961,23 @@ class TestQuantizeEmbeddings:
         assert rows[0].codes == [0, 0, 0] and rows[0].scale == 0.0
         # bits=4 -> qmax 7: [1, -2, .5] / (2/7) -> [3.5->4, -7, 1.75->2]
         assert rows[1].codes == [4, -7, 2]
+
+    def test_int8_topk_matches_bruteforce_on_separated_data(self, spark):
+        """On well-separated vectors the int8 approx scan must recover
+        the exact top-k after rerank (quantization error << margins)."""
+        import numpy as np
+
+        from zdb_spark.operators.similarity import (brute_force_topk,
+                                                    int8_topk)
+
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(200, 32)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        q = vecs[7].tolist()
+        exact = [r.vec_id for r in
+                 brute_force_topk(df, q, k=10).collect()]
+        approx = [r.vec_id for r in
+                  int8_topk(df, q, k=10, rerank=64).collect()]
+        assert approx == exact

@@ -428,3 +428,15 @@ class TestRound10OperatorPlans:
         assert rep.exchanges == 0
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan   # pure HOF codegen, no UDF node
+
+    def test_int8_topk_candidate_scan_jvm_only_broadcast_rerank(self, spark):
+        from zdb_spark.operators.similarity import int8_topk
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, -2.5, 0.25]) for i in range(30)],
+            "vec_id long, embedding array<float>")
+        out = int8_topk(df, [1.0, 0.5, -1.0, 0.0], k=5, rerank=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan   # rerank joins 64 ids back
+        assert "Python" not in plan          # both scans pure codegen
+        assert "TakeOrderedAndProject" in plan

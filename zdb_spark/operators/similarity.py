@@ -33,7 +33,7 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "pq_train", "pq_encode", "pq_topk", "assign_centroids",
            "semantic_dedup", "build_ivfpq_index", "ivfpq_index_topk",
            "nearest_centroid_l2_col", "kmeans_lloyd",
-           "centroid_outliers", "quantize_embeddings"]
+           "centroid_outliers", "quantize_embeddings", "int8_topk"]
 
 
 def _as_double(c: Column) -> Column:
@@ -1238,3 +1238,38 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", *,
                       .otherwise(F.lit(0)).cast("long")))
     return (df.withColumn(scale_col, scale)
               .withColumn(codes_col, codes))
+
+
+def int8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+              rerank: int = 64, bits: int = 8,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Cosine top-k over the int8-quantized corpus + exact rerank — the
+    serving pattern quantize_embeddings exists for (pq_topk's ADC/rerank
+    split, with scalar codes instead of codebooks: no training pass, and
+    the candidate scan reads 1/4 of the float32 bytes).
+
+    Approx score per row = ``scale * Σ codes_i · q_i`` — proportional to
+    ``dot(dequantized(x), q)`` — computed by a codegen ``zip_with`` +
+    ``aggregate`` fold, so the scan is JVM-only.  The top ``rerank``
+    candidates (TakeOrdered per-partition heaps, driver-bounded) rerank
+    by exact cosine against their raw vectors via a broadcast semi-join.
+    Rounded-score + id ordering keeps both cut boundaries deterministic
+    cross-engine.
+    """
+    q = quantize_embeddings(df.select(id_col, vec_col), vec_col,
+                            bits=bits)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    approx = F.col("scale") * F.aggregate(
+        F.zip_with(F.col("codes"), qlit, lambda c, x: c * x),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (q.select(F.col(id_col),
+                     F.round(approx, 6).alias("approx_score"))
+             .orderBy(F.desc("approx_score"), F.col(id_col))
+             .limit(rerank))
+    sim = cosine_sim(F.col(vec_col), qlit)
+    return (df.select(id_col, vec_col)
+              .join(F.broadcast(cand), id_col)
+              .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
+              .orderBy(F.desc("cosine_sim"), F.col(id_col))
+              .limit(k))

@@ -1300,6 +1300,54 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(codes).alias("min_code"))
 
 
+def _as_line_docs(docs: DataFrame, line_tokens: int = 4) -> DataFrame:
+    """Deterministic multi-line view of the documents corpus (its text
+    has no newlines): non-overlapping ``line_tokens``-token blocks
+    joined by \\n — the same block construction dedup_paragraphs uses,
+    so both engines rebuild identical line structure and the template
+    corpus's repeated phrases become genuinely repeated lines."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * line_tokens + 1, line_tokens), " "))
+    return docs.select("doc_id", "source",
+                       F.array_join(lines, "\n").alias("text"))
+
+
+def q_strip_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-document line dedup (RefinedWeb-class boilerplate stage 1):
+    first occurrence of each line survives, order preserved — a pure
+    zero-shuffle codegen projection.  The oracle replays the block
+    construction and the index-aware keep rule with DuckDB's 1-based
+    list lambdas (text.py:strip_repeated_lines)."""
+    from zdb_spark.operators.text import strip_repeated_lines
+
+    docs = _as_line_docs(_load(spark, sf_dir, "documents"))
+    out = strip_repeated_lines(docs)
+    return out.select("doc_id",
+                      F.col("n_lines").cast("long").alias("n_lines"),
+                      F.col("n_kept").cast("long").alias("n_kept"),
+                      F.md5("clean_text").alias("clean_md5"))
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate removal (CCNet-class): lines present
+    in >= 3 distinct documents of the same source are template chrome
+    and every occurrence is stripped; documents rebuild in order.  One
+    count agg + one anti-join on natural keys + one doc-keyed rebuild
+    (text.py:strip_boilerplate_lines)."""
+    from zdb_spark.operators.text import strip_boilerplate_lines
+
+    docs = _as_line_docs(_load(spark, sf_dir, "documents"))
+    out = strip_boilerplate_lines(docs, min_docs=3)
+    return out.select(F.col("id").alias("doc_id"), "grp",
+                      F.col("n_lines").cast("long").alias("n_lines"),
+                      F.col("n_kept").cast("long").alias("n_kept"),
+                      F.md5("clean_text").alias("clean_md5"))
+
+
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN over the int8-quantized corpus: approx
     scores from a codegen codes·query fold (reads 1/4 the float32
@@ -3570,6 +3618,8 @@ _QUERY_DECLARATIONS: list[
     ("dsir_weights", q_dsir_weights),
     ("embedding_quantize", q_embedding_quantize),
     ("knn_int8", q_knn_int8),
+    ("strip_lines", q_strip_lines),
+    ("strip_boilerplate", q_strip_boilerplate),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5662,6 +5712,55 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.doc_id, sc.n_grams, sc.log_weight
         FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+    """
+    # Shared line-view CTE for the two line-level boilerplate gates:
+    # 4-token blocks joined by \n, mirroring _as_line_docs exactly.
+    _LINES_CTE = r"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), l AS (
+            SELECT doc_id, source,
+                   list_transform(
+                       range(0, CAST(ceil(len(toks) / 4.0) AS INT)),
+                       i -> array_to_string(toks[i * 4 + 1 : i * 4 + 4],
+                                            ' ')) AS lines
+            FROM t
+        )"""
+    sqls["strip_lines"] = _LINES_CTE + r""", k AS (
+            SELECT doc_id, len(lines) AS n_lines,
+                   list_filter(lines,
+                               (x, i) -> list_position(lines, x) = i)
+                       AS kept
+            FROM l
+        )
+        SELECT doc_id, n_lines, len(kept) AS n_kept,
+               md5(array_to_string(kept, chr(10))) AS clean_md5
+        FROM k
+    """
+    sqls["strip_boilerplate"] = _LINES_CTE + r""", e AS (
+            SELECT doc_id, source, CAST(i AS INT) AS ln_pos,
+                   lines[CAST(i AS INT)] AS line
+            FROM l, unnest(range(1, len(lines) + 1)) AS u(i)
+        ), b AS (
+            SELECT source, line FROM e
+            GROUP BY source, line
+            HAVING count(DISTINCT doc_id) >= 3
+        ), k AS (
+            SELECT e.* FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM b
+                              WHERE b.source = e.source
+                                AND b.line = e.line)
+        ), r AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY ln_pos) AS ct
+            FROM k GROUP BY 1
+        )
+        SELECT l.doc_id, l.source AS grp, len(l.lines) AS n_lines,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(coalesce(r.ct, '')) AS clean_md5
+        FROM l LEFT JOIN r ON l.doc_id = r.doc_id
     """
     sqls["knn_int8"] = r"""
         WITH q AS (

@@ -84,6 +84,8 @@ HEADLINE = [
     "dsir_weights",       # DSIR hashed-bigram importance weights
     "embedding_quantize",  # int8 symmetric embedding quantization
     "knn_int8",           # compressed-domain int8 scan + exact rerank
+    "strip_lines",        # in-doc line dedup (zero-shuffle rewrite)
+    "strip_boilerplate",  # cross-doc chrome-line removal (count+anti)
 ]
 
 

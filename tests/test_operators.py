@@ -1981,3 +1981,60 @@ class TestQuantizeEmbeddings:
         approx = [r.vec_id for r in
                   int8_topk(df, q, k=10, rerank=64).collect()]
         assert approx == exact
+
+
+class TestBoilerplateLines:
+    def test_strip_repeated_lines_first_occurrence_wins(self, spark):
+        from zdb_spark.operators.text import strip_repeated_lines
+
+        df = spark.createDataFrame(
+            [(0, "nav\nintro\nnav\nbody\nintro\nnav"),
+             (1, "only\nlines\nhere"),
+             (2, "x\nx\nx")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in strip_repeated_lines(df).collect()}
+        assert out[0].clean_text == "nav\nintro\nbody"
+        assert (out[0].n_lines, out[0].n_kept) == (6, 3)
+        assert out[1].clean_text == "only\nlines\nhere"
+        assert out[2].clean_text == "x" and out[2].n_kept == 1
+
+    def test_strip_boilerplate_lines_group_scoped(self, spark):
+        from zdb_spark.operators.text import strip_boilerplate_lines
+
+        chrome = "COOKIE BANNER"
+        rows = [(i, f"{chrome}\ndoc {i} body\nunique{i}", "siteA")
+                for i in range(3)]
+        # same line in siteB but only 2 docs -> below min_docs, kept
+        rows += [(10 + i, f"{chrome}\nb {i}", "siteB") for i in range(2)]
+        rows.append((20, chrome, "siteA"))  # all-chrome doc -> empty
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "source string")
+        out = {r.id: r for r in
+               strip_boilerplate_lines(df, min_docs=3).collect()}
+        for i in range(3):
+            assert out[i].clean_text == f"doc {i} body\nunique{i}", i
+            assert (out[i].n_lines, out[i].n_kept) == (3, 2)
+        for i in (10, 11):
+            assert out[i].clean_text.startswith(chrome)
+        assert out[20].clean_text == "" and out[20].n_kept == 0
+
+    def test_strip_repeated_lines_zero_shuffle(self, spark):
+        from zdb_spark.operators.text import strip_repeated_lines
+        from zdb_spark.plans.inspect import scan_report
+
+        df = spark.createDataFrame([(0, "a\nb\na")],
+                                   "doc_id long, text string")
+        out = strip_repeated_lines(df)
+        assert scan_report(out).exchanges == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+
+    def test_strip_boilerplate_anti_join_not_cartesian(self, spark):
+        from zdb_spark.operators.text import strip_boilerplate_lines
+
+        df = spark.createDataFrame([(0, "a\nb", "s")] * 1,
+                                   "doc_id long, text string, source string")
+        out = strip_boilerplate_lines(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan

@@ -18,6 +18,7 @@ __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "fingerprint", "repetition_features", "redact_pii",
            "quality_score_linear", "bigram_logprob", "char_entropy",
            "normalize_url", "extract_domain",
+           "strip_repeated_lines", "strip_boilerplate_lines",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
@@ -500,3 +501,81 @@ def train_quality_logreg(df: DataFrame, text_col: str = "text", *,
         return w
     finally:
         feats.unpersist()
+
+
+def strip_repeated_lines(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", sep: str = "\n",
+                         out_col: str = "clean_text") -> DataFrame:
+    """IN-document line dedup: keep only the FIRST occurrence of each
+    line within a document, preserving order — the cheap half of
+    boilerplate removal (nav menus / footers repeated inside one page;
+    the RefinedWeb-class line filters start here).  Public recipe:
+    Penedo et al. 2023 (RefinedWeb), line-wise filtering stage.
+
+    Entirely row-local: one ``split`` + an index-aware ``filter`` whose
+    keep rule is ``array_position(lines, x) == i + 1`` (first index wins)
+    + ``array_join``.  Zero shuffle, zero Python, whole-stage codegen —
+    at 100 TB this is a pure projection on the corpus scan.  NULL text
+    stays NULL.  Returns the frame + (n_lines, n_kept, out_col).
+    """
+    from .dedup import let
+
+    lines = F.split(F.col(text_col), sep)
+    kept = let(lines, lambda ls: F.filter(
+        ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)))
+    return (df.withColumn("n_lines", F.size(lines))
+              .withColumn("_zdb_kept", kept)
+              .withColumn("n_kept", F.size("_zdb_kept"))
+              .withColumn(out_col, F.array_join("_zdb_kept", sep))
+              .drop("_zdb_kept"))
+
+
+def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            group_col: str = "source",
+                            min_docs: int = 3, sep: str = "\n",
+                            out_col: str = "clean_text") -> DataFrame:
+    """CROSS-document boilerplate removal: a line occurring in at least
+    ``min_docs`` DISTINCT documents of the same ``group_col`` (site /
+    domain / source) is template chrome, and EVERY occurrence is
+    stripped from every document of that group — the CCNet-class
+    dedup-by-frequency step (Wenzek et al. 2020, public), distinct from
+    ``dedup_paragraphs`` which keeps first occurrences.
+
+    Plan shape (100 TB): explode to (group, line) — row-local — then
+    ONE partially-aggregated count (``countDistinct`` per (group,
+    line hash); map-side combine collapses each task's repeats), a
+    LEFT ANTI sort-merge join back on the same natural keys (the
+    boilerplate table of a 100 TB corpus is itself large — no broadcast
+    assumption), and ONE doc-keyed rebuild aggregation.  A mega-group's
+    chrome line concentrates on a reducer only for the cheap count; the
+    rebuild shuffle is keyed by doc and therefore even.
+
+    Returns (id, group, n_lines, n_kept, out_col) — docs whose every
+    line was chrome rebuild to the empty string.
+    """
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.col(group_col).alias("grp"),
+                    F.posexplode(F.split(F.col(text_col), sep))
+                     .alias("ln_pos", "line"))
+            .withColumn("_h", F.md5(F.col("line"))))
+    boiler = (ex.groupBy("grp", "_h")
+                .agg(F.countDistinct("id").alias("_nd"))
+                .where(F.col("_nd") >= min_docs)
+                .select("grp", "_h"))
+    kept = ex.join(boiler, ["grp", "_h"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("ln_pos", "line"))),
+                            lambda s: s["line"]), sep).alias(out_col)))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(group_col).alias("grp"),
+                     F.size(F.split(F.col(text_col), sep))
+                      .alias("n_lines"))
+    return (base.join(rebuilt, "id", "left")
+            .select("id", "grp", "n_lines",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce(out_col, F.lit("")).alias(out_col)))

@@ -1348,6 +1348,44 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5("clean_text").alias("clean_md5"))
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed d×d covariance of the embedding corpus — PCA's
+    sufficient statistic in ONE pass: per-row flattened outer product,
+    posexplode, partially-aggregated groupBy (shuffle capped at d²+d
+    rows per task), then the mean-correction combine on the tiny result
+    (similarity.py:embedding_covariance).  The oracle recomputes every
+    (i, j) cell from scratch in SQL."""
+    from zdb_spark.operators.similarity import embedding_covariance
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64)
+
+
+def _demo_pca_components(q: int = 4, d: int = 64) -> list[list[float]]:
+    """Deterministic stand-in component matrix (exact 6-decimal
+    rationals, the _demo_quality_weights precedent) so the projection
+    gate is VALUE-checkable: the one step SQL genuinely cannot express
+    is the driver-side numpy eigh — which is not Spark code; the
+    corpus-trained path (pca_components) is pinned against numpy in
+    tests/test_operators.py and its distributed input is the fully
+    oracled embedding_covariance gate."""
+    return [[round((i * 7 + r * 13) % 29 / 29 - 0.5, 6)
+             for i in range(d)] for r in range(q)]
+
+
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle literal-matrix PCA projection (the inference half of
+    similarity.py:pca_components/pca_project): every (vector, component)
+    coordinate value-checked, exploded to scalar rows so the driver's
+    hash sees exact cells.  Components are the deterministic demo
+    matrix (_demo_pca_components) — see its docstring for why."""
+    from zdb_spark.operators.similarity import pca_project
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = pca_project(emb, _demo_pca_components())
+    return out.select("vec_id", F.posexplode("pca").alias("comp", "val"))
+
+
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN over the int8-quantized corpus: approx
     scores from a codegen codes·query fold (reads 1/4 the float32
@@ -3618,6 +3656,8 @@ _QUERY_DECLARATIONS: list[
     ("dsir_weights", q_dsir_weights),
     ("embedding_quantize", q_embedding_quantize),
     ("knn_int8", q_knn_int8),
+    ("embedding_covariance", q_embedding_covariance),
+    ("embedding_pca", q_embedding_pca),
     ("strip_lines", q_strip_lines),
     ("strip_boilerplate", q_strip_boilerplate),
     ("curation_v2", q_curation_v2),
@@ -5712,6 +5752,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.doc_id, sc.n_grams, sc.log_weight
         FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+    """
+    sqls["embedding_covariance"] = r"""
+        WITH e AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT i.i AS i, j.j AS j,
+                   CAST(sum(v[i.i] * v[j.j]) AS DOUBLE) AS s_ij,
+                   count(*) AS n
+            FROM e, range(1, 65) AS i(i), range(1, 65) AS j(j)
+            GROUP BY 1, 2
+        ), m AS (
+            SELECT i.i AS i, CAST(sum(v[i.i]) AS DOUBLE) AS s_i
+            FROM e, range(1, 65) AS i(i)
+            GROUP BY 1
+        )
+        SELECT CAST(s.i - 1 AS INT) AS i, CAST(s.j - 1 AS INT) AS j,
+               round((s.s_ij - mi.s_i * mj.s_i / s.n) / s.n, 6) AS cov
+        FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+    """
+    _pca_comps = ", ".join(
+        "[" + ", ".join(repr(x) for x in row) + "]"
+        for row in _demo_pca_components())
+    sqls["embedding_pca"] = f"""
+        WITH c(comps) AS (SELECT [{_pca_comps}]),
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT vec_id, CAST(r.r - 1 AS INT) AS comp,
+               round(list_sum(list_transform(
+                   range(1, 65),
+                   i -> v[CAST(i AS INT)]
+                        * comps[r.r][CAST(i AS INT)])), 6) AS val
+        FROM e, c, range(1, 5) AS r(r)
     """
     # Shared line-view CTE for the two line-level boilerplate gates:
     # 4-token blocks joined by \n, mirroring _as_line_docs exactly.

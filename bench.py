@@ -86,6 +86,8 @@ HEADLINE = [
     "knn_int8",           # compressed-domain int8 scan + exact rerank
     "strip_lines",        # in-doc line dedup (zero-shuffle rewrite)
     "strip_boilerplate",  # cross-doc chrome-line removal (count+anti)
+    "embedding_covariance",  # one-pass d x d covariance (PCA stat)
+    "embedding_pca",      # literal-matrix projection (zero shuffle)
 ]
 
 

@@ -2038,3 +2038,73 @@ class TestBoilerplateLines:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestPCA:
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+
+        from zdb_spark.operators.similarity import embedding_covariance
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(80, 6)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(x)],
+            "vec_id long, embedding array<float>")
+        got = np.zeros((6, 6))
+        for r in embedding_covariance(df, dim=6).collect():
+            got[r.i, r.j] = r.cov
+        want = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+        assert np.abs(got - want).max() < 1e-6   # round_dp=6
+        assert np.allclose(got, got.T)
+
+    def test_pca_components_match_numpy_eigh(self, spark):
+        import numpy as np
+
+        from zdb_spark.operators.similarity import (embedding_covariance,
+                                                    pca_components)
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(120, 2)) @ rng.normal(size=(2, 5)) * 3
+        x = (base + 0.01 * rng.normal(size=(120, 5))).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(x)],
+            "vec_id long, embedding array<float>")
+        comps, evs = pca_components(df, q=2, vec_col="embedding")
+        # reference: eigh on the same rounded covariance the operator saw
+        cov = np.zeros((5, 5))
+        for r in embedding_covariance(df, dim=5).collect():
+            cov[r.i, r.j] = r.cov
+        vals, vecs = np.linalg.eigh(cov)
+        order = np.argsort(-vals)[:2]
+        for rank, idx in enumerate(order):
+            c = vecs[:, idx]
+            if c[np.argmax(np.abs(c))] < 0:
+                c = -c
+            assert np.abs(comps[rank] - np.round(c, 6)).max() < 1e-12
+            assert abs(evs[rank] - round(float(vals[idx]), 6)) < 1e-12
+        # rank-2 data: top-2 eigenvalues carry ~all the variance
+        third = vals[np.argsort(-vals)[2]]
+        assert evs[1] > 100 * abs(third)
+
+    def test_pca_project_zero_shuffle_and_variance_order(self, spark):
+        import numpy as np
+
+        from zdb_spark.operators.similarity import (pca_components,
+                                                    pca_project)
+        from zdb_spark.plans.inspect import scan_report
+
+        rng = np.random.default_rng(9)
+        x = (rng.normal(size=(100, 4)) * np.array([5.0, 2.0, 0.5, 0.1]))
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(x.astype(np.float32))],
+            "vec_id long, embedding array<float>")
+        comps, evs = pca_components(df, q=2, vec_col="embedding")
+        out = pca_project(df, comps)
+        assert scan_report(out).exchanges == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        proj = np.array([r.pca for r in out.collect()])
+        v0, v1 = proj[:, 0].var(), proj[:, 1].var()
+        assert v0 > v1                       # variance-ordered
+        assert evs[0] > evs[1] > 0

@@ -33,7 +33,8 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "pq_train", "pq_encode", "pq_topk", "assign_centroids",
            "semantic_dedup", "build_ivfpq_index", "ivfpq_index_topk",
            "nearest_centroid_l2_col", "kmeans_lloyd",
-           "centroid_outliers", "quantize_embeddings", "int8_topk"]
+           "centroid_outliers", "quantize_embeddings", "int8_topk",
+           "embedding_covariance", "pca_components", "pca_project"]
 
 
 def _as_double(c: Column) -> Column:
@@ -1273,3 +1274,106 @@ def int8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
               .select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
               .orderBy(F.desc("cosine_sim"), F.col(id_col))
               .limit(k))
+
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
+                         dim: int | None = None,
+                         round_dp: int = 6) -> DataFrame:
+    """Distributed population covariance matrix of the embedding corpus
+    — the d×d sufficient statistic PCA/whitening needs, as (i, j, cov)
+    rows.
+
+    ONE corpus pass, the kmeans_lloyd shuffle recipe: each row builds
+    its flattened outer product (d² doubles) with the raw vector
+    appended (d more, for the means), ``posexplode``s to (idx, val),
+    and a partially-aggregated groupBy caps the shuffle at d²+d rows
+    PER TASK regardless of corpus size (the d-wide ``agg(sum…)``
+    alternative is the Janino-hostile shape the kmeans docstring
+    documents).  The tiny (d²+d)-row result combines into
+    ``cov = (S_ij − S_i·S_j/n)/n`` via two broadcast joins of the d-row
+    mean frame; rounding happens once, at the end, so both engines
+    round the same unrounded arithmetic.
+    """
+    from .dedup import let
+
+    v = _as_double(F.col(vec_col))
+    flat = let(v, lambda x: F.concat(
+        F.flatten(F.transform(
+            x, lambda xi: F.transform(x, lambda xj: xi * xj))), x))
+    sums = (df.select(F.posexplode(flat).alias("__idx", "__val"))
+              .groupBy("__idx")
+              .agg(F.sum("__val").alias("__s"),
+                   F.count(F.lit(1)).alias("__n")))
+    # one bounded probe row when the caller doesn't pass dim (same
+    # driver-state class as ivf_index's sample)
+    d = F.lit(dim if dim is not None else len(df.select(v).first()[0]))
+    prods = (sums.where(F.col("__idx") < d * d)
+             .select((F.col("__idx") / d).cast("int").alias("i"),
+                     (F.col("__idx") % d).cast("int").alias("j"),
+                     F.col("__s").alias("s_ij"), F.col("__n").alias("n")))
+    means = (sums.where(F.col("__idx") >= d * d)
+             .select((F.col("__idx") - d * d).cast("int").alias("dim"),
+                     F.col("__s").alias("s_d")))
+    return (prods
+            .join(F.broadcast(means.withColumnRenamed("dim", "i")
+                              .withColumnRenamed("s_d", "s_i")), "i")
+            .join(F.broadcast(means.withColumnRenamed("dim", "j")
+                              .withColumnRenamed("s_d", "s_j")), "j")
+            .select("i", "j",
+                    F.round((F.col("s_ij")
+                             - F.col("s_i") * F.col("s_j") / F.col("n"))
+                            / F.col("n"), round_dp).alias("cov")))
+
+
+def pca_components(df: DataFrame, q: int, vec_col: str = "embedding", *,
+                   round_dp: int = 6) -> tuple[np.ndarray, np.ndarray]:
+    """Top-``q`` principal components of the embedding corpus:
+    distributed covariance (``embedding_covariance``, one corpus pass)
+    + driver-side ``numpy.linalg.eigh`` on the d×d matrix — the same
+    bounded-driver-state split as kmeans_lloyd (the eigensolve is
+    O(d³) on KBs of data; the corpus never leaves the cluster).
+
+    Determinism: eigh runs on the ROUNDED covariance (the exact values
+    the gate oracle checks), and each component's sign is fixed by
+    making its largest-|coefficient| entry positive — the standard
+    sign convention, so reruns and hosts agree up to LAPACK's own
+    reproducibility.  Returns (components [q×d], explained_variance
+    [q]), both rounded to ``round_dp``.
+    """
+    rows = embedding_covariance(df, vec_col, round_dp=round_dp).collect()
+    d = max(r["i"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(-vals)[:q]
+    comps, evs = [], []
+    for idx in order:
+        c = vecs[:, idx]
+        if c[np.argmax(np.abs(c))] < 0:
+            c = -c
+        comps.append(np.round(c, round_dp))
+        evs.append(round(float(vals[idx]), round_dp))
+    return np.asarray(comps), np.asarray(evs)
+
+
+def pca_project(df: DataFrame, components, vec_col: str = "embedding",
+                out_col: str = "pca", round_dp: int = 6) -> DataFrame:
+    """Project embeddings onto PCA components (or any literal q×d
+    matrix): the components inline as a literal array-of-arrays —
+    broadcast by value, the hyperplane_signature recipe — and each
+    output coordinate is one ``zip_with``+``aggregate`` dot product.
+    Pure zero-shuffle codegen projection: reducing 100 TB of d-dim
+    vectors to q dims is exactly one read+write pass.
+    """
+    from .dedup import let
+
+    comp_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in components
+    ])
+    proj = let(_as_double(F.col(vec_col)), lambda v: F.transform(
+        comp_arr,
+        lambda c: F.round(F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x), round_dp)))
+    return df.withColumn(out_col, proj)

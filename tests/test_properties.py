@@ -377,3 +377,77 @@ def test_kmeans_invariant_to_partitioning(spark, vectors):
     a = kmeans_lloyd(df.repartition(1), "embedding", init, iters=2)
     b = kmeans_lloyd(df.repartition(7), "embedding", init, iters=2)
     assert a == b
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=60,
+                unique=True),
+       st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_global_shuffle_is_permutation_property(spark, ids, n_shards):
+    """On ANY id set: pos is a 0..n-1 permutation, shard = pos % n,
+    and the assignment is invariant to input partitioning."""
+    from zdb_spark.operators.curation import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = global_shuffle(df, "doc_id", n_shards=n_shards).collect()
+    assert sorted(r.pos for r in out) == list(range(len(ids)))
+    assert all(r.shard == r.pos % n_shards for r in out)
+    again = {r.doc_id: r.pos for r in
+             global_shuffle(df.repartition(7), "doc_id",
+                            n_shards=n_shards).collect()}
+    assert again == {r.doc_id: r.pos for r in out}
+
+
+@given(st.lists(st.lists(st.sampled_from(["nav", "body", "foot", "x y",
+                                          ""]),
+                         min_size=1, max_size=8),
+                min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_strip_repeated_lines_idempotent_and_order_preserving(spark,
+                                                              docs):
+    """strip(strip(x)) == strip(x); output lines are the input's
+    first-occurrence subsequence (python reference)."""
+    from zdb_spark.operators.text import strip_repeated_lines
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string")
+    once = {r.doc_id: r.clean_text for r in
+            strip_repeated_lines(df).collect()}
+    for i, lines in enumerate(docs):
+        seen, want = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                want.append(ln)
+        assert once[i] == "\n".join(want), (i, lines)
+    df2 = spark.createDataFrame(
+        [(i, t) for i, t in once.items()], "doc_id long, text string")
+    twice = {r.doc_id: r.clean_text for r in
+             strip_repeated_lines(df2).collect()}
+    assert twice == once
+
+
+@given(st.lists(st.lists(st.floats(-8, 8, allow_nan=False,
+                                   width=32),
+                         min_size=3, max_size=3),
+                min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_quantize_roundtrip_error_bound_property(spark, vecs):
+    """For ANY float32 vectors: codes stay in [-qmax, qmax] and
+    per-coordinate dequantization error <= scale/2."""
+    import numpy as np
+
+    from zdb_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    for r in quantize_embeddings(df, "embedding").collect():
+        x = np.array(vecs[r.vec_id], dtype=np.float32).astype(np.float64)
+        codes = np.array(r.codes)
+        assert np.abs(codes).max(initial=0) <= 127
+        if r.scale == 0.0:
+            assert (codes == 0).all()
+        else:
+            assert np.abs(codes * r.scale - x).max() <= r.scale / 2 + 1e-12

@@ -1386,6 +1386,38 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("pca").alias("comp", "val"))
 
 
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ROUND-10 operator families composed as one curation flow and
+    value-checked end-to-end: cross-document chrome lines are stripped
+    per source (strip_boilerplate_lines over the deterministic line
+    view), survivors are DSIR-weighted against the src0 target domain
+    (importance_weights on the REBUILT text), each source keeps its top
+    three quartiles by weight (percentile_cut_by_group), and the kept
+    set gets its deterministic export shuffle order (global_shuffle).
+    The oracle rebuilds all four stages as chained SQL — a hash match
+    certifies the new operators compose, not just that each works
+    alone."""
+    from zdb_spark.operators.curation import (global_shuffle,
+                                              importance_weights,
+                                              percentile_cut_by_group)
+    from zdb_spark.operators.text import strip_boilerplate_lines
+
+    docs = _as_line_docs(_load(spark, sf_dir, "documents"))
+    clean = (strip_boilerplate_lines(docs, min_docs=3)
+             .where(F.col("n_kept") > 0)
+             .select(F.col("id").alias("doc_id"),
+                     F.col("grp").alias("source"),
+                     F.col("clean_text").alias("text")))
+    weighted = (importance_weights(clean, F.col("source") == "src0",
+                                   n_buckets=4096, alpha=0.5)
+                .join(clean.select("doc_id", "source"), "doc_id")
+                .where(F.col("log_weight").isNotNull()))
+    kept, _thr = percentile_cut_by_group(weighted, "log_weight",
+                                         "source", p=0.25)
+    out = global_shuffle(kept, "doc_id", seed="v1", n_shards=8)
+    return out.select("doc_id", "source", "log_weight", "pos", "shard")
+
+
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN over the int8-quantized corpus: approx
     scores from a codegen codes·query fold (reads 1/4 the float32
@@ -3660,6 +3692,7 @@ _QUERY_DECLARATIONS: list[
     ("embedding_pca", q_embedding_pca),
     ("strip_lines", q_strip_lines),
     ("strip_boilerplate", q_strip_boilerplate),
+    ("curation_v3", q_curation_v3),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5837,6 +5870,80 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
                md5(coalesce(r.ct, '')) AS clean_md5
         FROM l LEFT JOIN r ON l.doc_id = r.doc_id
+    """
+    # curation_v3: the same boilerplate-strip stages chained into DSIR
+    # weighting -> per-source quantile cut -> export shuffle order.
+    sqls["curation_v3"] = _LINES_CTE + r""", e AS (
+            SELECT doc_id, source, CAST(i AS INT) AS ln_pos,
+                   lines[CAST(i AS INT)] AS line
+            FROM l, unnest(range(1, len(lines) + 1)) AS u(i)
+        ), b AS (
+            SELECT source, line FROM e
+            GROUP BY source, line
+            HAVING count(DISTINCT doc_id) >= 3
+        ), k AS (
+            SELECT e.* FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM b
+                              WHERE b.source = e.source
+                                AND b.line = e.line)
+        ), r AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY ln_pos) AS ct
+            FROM k GROUP BY 1
+        ), clean AS (
+            SELECT l.doc_id, l.source, r.ct AS text
+            FROM l JOIN r ON l.doc_id = r.doc_id
+            WHERE r.n_kept > 0
+        ), tok AS (
+            SELECT doc_id, source,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM clean
+        ), ex AS (
+            SELECT doc_id, CAST(source = 'src0' AS BIGINT) AS is_t,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks) - 1, 0) + 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM tok
+        ), eb AS (
+            SELECT doc_id, is_t,
+                   ('0x' || substr(md5(bg), 1, 8))::BIGINT % 4096 AS bkt
+            FROM ex
+        ), stats AS (
+            SELECT bkt, count(*) AS n_raw, sum(is_t) AS n_t
+            FROM eb GROUP BY 1
+        ), tot AS (
+            SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+                   CAST(sum(n_t) AS BIGINT) AS t_t FROM stats
+        ), lr AS (
+            SELECT bkt,
+                   ln((n_t + 0.5) / (t_t + 2048.0))
+                       - ln((n_raw + 0.5) / (t_raw + 2048.0)) AS lrv
+            FROM stats, tot
+        ), sc AS (
+            SELECT doc_id, round(sum(lrv), 4) AS log_weight
+            FROM eb JOIN lr USING (bkt) GROUP BY 1
+        ), w AS (
+            SELECT c.doc_id, c.source, sc.log_weight
+            FROM clean c JOIN sc ON c.doc_id = sc.doc_id
+            WHERE sc.log_weight IS NOT NULL
+        ), thr AS (
+            SELECT source, round(quantile_cont(log_weight, 0.25), 6) AS t
+            FROM w GROUP BY 1
+        ), kept AS (
+            SELECT w.* FROM w JOIN thr USING (source)
+            WHERE w.log_weight >= thr.t
+        ), gs AS (
+            SELECT doc_id, source, log_weight,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bucket
+            FROM kept
+        )
+        SELECT doc_id, source, log_weight,
+               row_number() OVER (ORDER BY bucket, h, doc_id) - 1 AS pos,
+               CAST((row_number() OVER (ORDER BY bucket, h, doc_id) - 1)
+                    % 8 AS INT) AS shard
+        FROM gs
     """
     sqls["knn_int8"] = r"""
         WITH q AS (

@@ -88,6 +88,7 @@ HEADLINE = [
     "strip_boilerplate",  # cross-doc chrome-line removal (count+anti)
     "embedding_covariance",  # one-pass d x d covariance (PCA stat)
     "embedding_pca",      # literal-matrix projection (zero shuffle)
+    "curation_v3",        # strip chrome -> DSIR -> quantile -> shuffle
 ]
 
 

@@ -1403,15 +1403,24 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.text import strip_boilerplate_lines
 
     docs = _as_line_docs(_load(spark, sf_dir, "documents"))
+    # persist the two diamond apexes: `clean` feeds FOUR consumers
+    # (DSIR's count pass, its scoring pass, the weight re-attach join,
+    # and the source join) and `kept` feeds global_shuffle's offsets
+    # agg + rank join — uncached, the chrome-strip chain (explode,
+    # countDistinct, anti join, rebuild window) re-ran per consumer
+    # (measured 10.8s -> see SCALE.md; the dedup_incremental diamond
+    # lesson applied).  bench clears cache between runs, so the persist
+    # pays off within a run only — exactly the diamond's scope.
     clean = (strip_boilerplate_lines(docs, min_docs=3)
              .where(F.col("n_kept") > 0)
              .select(F.col("id").alias("doc_id"),
                      F.col("grp").alias("source"),
-                     F.col("clean_text").alias("text")))
+                     F.col("clean_text").alias("text"))).persist()
     weighted = (importance_weights(clean, F.col("source") == "src0",
-                                   n_buckets=4096, alpha=0.5)
+                                   n_buckets=4096, alpha=0.5,
+                                   cache_features=True)
                 .join(clean.select("doc_id", "source"), "doc_id")
-                .where(F.col("log_weight").isNotNull()))
+                .where(F.col("log_weight").isNotNull())).persist()
     kept, _thr = percentile_cut_by_group(weighted, "log_weight",
                                          "source", p=0.25)
     out = global_shuffle(kept, "doc_id", seed="v1", n_shards=8)

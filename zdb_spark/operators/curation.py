@@ -588,6 +588,7 @@ def global_shuffle(df: DataFrame, id_col: str, *, seed: str = "v1",
 def importance_weights(df: DataFrame, target_pred, *,
                        text_col: str = "text", id_col: str = "doc_id",
                        n_buckets: int = 4096, alpha: float = 0.5,
+                       cache_features: bool = False,
                        out_col: str = "log_weight") -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — public): score each
@@ -611,6 +612,12 @@ def importance_weights(df: DataFrame, target_pred, *,
     (count, then score) — each a partial-aggregated groupBy — plus a
     broadcast join of the B-row ratio table (B=4096 regardless of
     corpus size).  Documents with <2 tokens get NULL.
+
+    ``cache_features=True`` persists the exploded (id, bucket) stream
+    between the two passes — right when the stream's UPSTREAM is itself
+    expensive (a rewrite chain, as in curation_v3) or storage is cheap
+    relative to recompute; leave False when two corpus scans beat
+    materializing the exploded stream (the usual 100 TB call).
     """
     from .dedup import let
     from .text import _ngram_col, tokenize
@@ -623,6 +630,8 @@ def importance_weights(df: DataFrame, target_pred, *,
     ex = ex.withColumn("bkt", F.conv(F.substring(F.md5("gram"), 1, 8),
                                      16, 10).cast("long")
                               % F.lit(n_buckets))
+    if cache_features:
+        ex = ex.persist()
     stats = ex.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_raw"),
                                   F.sum("_is_t").alias("n_t"))
     totals = stats.agg(F.sum("n_raw").alias("t_raw"),

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Growth curves for the round-10 pipeline operators on k-fold replica
+corpora: in-document + cross-document boilerplate removal, DSIR
+importance weighting, the deterministic global shuffle, and int8
+embedding quantization.
+
+Replica construction mirrors tools/scale_probe.py: documents replicate
+with fresh ids and a per-replica suffix; `source` is KEPT per replica,
+so every chrome line's document-frequency grows k-fold — the hard case
+for strip_boilerplate_lines (its count shuffle's hot keys deepen
+linearly).  Embeddings replicate with fresh ids (quantization is
+row-local; content does not matter for its cost).
+
+Each timing is min-of-two with the cache cleared, the bench protocol.
+
+Usage: python tools/pipeline_probe.py [--scales 1,10,50]
+                                      [--sf-dir /root/testdata/sf0.1]
+Prints one JSON object.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--scales", default="1,10,50")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    from pyspark.sql import functions as F
+
+    from zdb_spark.operators.curation import (global_shuffle,
+                                              importance_weights)
+    from zdb_spark.operators.similarity import quantize_embeddings
+    from zdb_spark.operators.text import (strip_boilerplate_lines,
+                                          strip_repeated_lines)
+    from zdb_spark.session import get_spark
+
+    spark = get_spark("zdb-pipeline-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    out = {"base_docs": docs.count(), "base_vecs": emb.count(),
+           "scales": {}}
+
+    # deterministic 4-token line view (the gates' construction)
+    def line_view(d):
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        n_lines = F.ceil(F.size(toks) / F.lit(4)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " "))
+        return d.select("doc_id", "source",
+                        F.array_join(lines, "\n").alias("text"))
+
+    def timed(fn):
+        # NO clearCache here: the replica fixture is deliberately cached
+        # (clearing would time the k-way union rebuild, not the
+        # operator); none of the probed operators persists internally
+        # with their default flags, so each call re-executes its own
+        # full plan over the cached input.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 2)
+
+    for k in [int(s) for s in args.scales.split(",")]:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(32, 4 * k)))
+        corpus = docs
+        vecs = emb
+        if k > 1:
+            corpus = docs.sparkSession.createDataFrame([], docs.schema)
+            for i in range(k):
+                corpus = corpus.unionByName(docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000))
+                    .alias("doc_id"),
+                    F.concat("text", F.lit(f" replica{i}")).alias("text"),
+                    "lang", "source", "n_chars"))
+            vecs = emb.sparkSession.createDataFrame([], emb.schema)
+            for i in range(k):
+                vecs = vecs.unionByName(emb.select(
+                    (F.col("vec_id") + F.lit(i * 10_000_000))
+                    .alias("vec_id"), "embedding", "label"))
+        corpus = corpus.repartition(
+            spark.sparkContext.defaultParallelism).cache()
+        vecs = vecs.repartition(
+            spark.sparkContext.defaultParallelism).cache()
+        n_docs, n_vecs = corpus.count(), vecs.count()
+        lined = line_view(corpus)
+
+        t = {}
+        t["strip_lines"] = timed(lambda: strip_repeated_lines(lined)
+                                 .agg(F.sum("n_kept")).collect())
+        t["strip_boilerplate"] = timed(
+            lambda: strip_boilerplate_lines(lined, min_docs=3)
+            .agg(F.sum("n_kept")).collect())
+        t["dsir_weights"] = timed(
+            lambda: importance_weights(corpus,
+                                       F.col("source") == "src0")
+            .agg(F.sum("n_grams")).collect())
+        t["global_shuffle"] = timed(
+            lambda: global_shuffle(corpus, "doc_id")
+            .agg(F.sum("pos")).collect())
+        t["embedding_quantize"] = timed(
+            lambda: quantize_embeddings(vecs)
+            .select(F.aggregate("codes", F.lit(0).cast("long"),
+                                lambda a, x: a + F.abs(x)).alias("l1"))
+            .agg(F.sum("l1")).collect())
+        # shuffle-order sanity: positions are a permutation at EVERY k
+        spos = (global_shuffle(corpus, "doc_id")
+                .agg(F.sum("pos")).collect()[0][0])
+        assert spos == n_docs * (n_docs - 1) // 2, (k, spos, n_docs)
+        out["scales"][k] = {"docs": n_docs, "vecs": n_vecs, **t}
+        corpus.unpersist()
+        vecs.unpersist()
+        print(f"[probe] {k}x: {out['scales'][k]}", file=sys.stderr,
+              flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -440,3 +440,19 @@ class TestRound10OperatorPlans:
         assert "BroadcastHashJoin" in plan   # rerank joins 64 ids back
         assert "Python" not in plan          # both scans pure codegen
         assert "TakeOrderedAndProject" in plan
+
+    def test_embedding_covariance_single_agg_shuffle_broadcast_combine(
+            self, spark):
+        from zdb_spark.operators.similarity import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0, -2.0]) for i in range(40)],
+            "vec_id long, embedding array<float>")
+        out = embedding_covariance(df, dim=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the d-row mean frame broadcasts back twice; the big stream
+        # shuffles ONCE (the partial-aggregated posexplode groupBy —
+        # its partial_ aggregate must appear before the exchange)
+        assert plan.count("BroadcastHashJoin") == 2
+        assert "CartesianProduct" not in plan
+        assert "partial_sum" in plan

@@ -1386,6 +1386,79 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.posexplode("pca").alias("comp", "val"))
 
 
+def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING chrome-strip against a GROWING persisted boilerplate
+    store: a history half (ids < n/2) seeds per-(source, line)
+    distinct-doc partial counts; two ordered micro-batches then each
+    APPEND their own partials and clean themselves against the merged
+    chrome-so-far (history + earlier batches + own batch) — continuous
+    ingest-side boilerplate removal where per-trigger cost is
+    O(batch + chrome join) and state is the partial-count parquet
+    (text.py:build/append_boilerplate_store, chrome_lines,
+    strip_lines_against; the rollup_sink partial-merge pattern).  The
+    oracle recomputes each batch's chrome tier from scratch in SQL —
+    a hash match proves partial-merge ≡ global distinct counting at
+    every arrival point (batches are id-disjoint, so per-batch
+    distinct-doc counts sum exactly)."""
+    import tempfile
+
+    from zdb_spark.operators.text import (append_boilerplate_store,
+                                          build_boilerplate_store,
+                                          chrome_lines,
+                                          strip_lines_against)
+
+    key = _key_for(sf_dir, "stream-boiler-v1", ("documents",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_boiler", key)
+    docs = _as_line_docs(_load(spark, sf_dir, "documents"))
+    n = docs.count()
+    t1, t2 = n // 2, (3 * n) // 4
+    store = os.path.join(home, "store")
+    src_dir = os.path.join(home, "src")
+    out = os.path.join(home, "out")
+
+    if not os.path.exists(store):
+        build_boilerplate_store(docs.where(F.col("doc_id") < t1),
+                                store + ".tmp")
+        os.rename(store + ".tmp", store)
+    if not os.path.exists(src_dir):
+        import glob
+        import shutil
+
+        tmp = src_dir + ".tmp"
+        (docs.where((F.col("doc_id") >= t1) & (F.col("doc_id") < t2))
+         .coalesce(1).write.parquet(os.path.join(tmp, "b0")))
+        (docs.where(F.col("doc_id") >= t2)
+         .coalesce(1).write.parquet(os.path.join(tmp, "b1")))
+        os.makedirs(tmp + ".flat")
+        for i, b in enumerate(("b0", "b1")):
+            for j, f in enumerate(sorted(glob.glob(f"{tmp}/{b}/part-*"))):
+                dst = os.path.join(tmp + ".flat", f"batch{i}-{j}.parquet")
+                shutil.copy(f, dst)
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        shutil.rmtree(tmp)
+        os.rename(tmp + ".flat", src_dir)
+
+    def handle(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_boilerplate_store(batch_df, store)
+        cleaned = strip_lines_against(
+            batch_df, chrome_lines(spark, store, min_docs=3))
+        (cleaned.select(F.col("id").alias("doc_id"), "grp",
+                        F.col("n_lines").cast("long").alias("n_lines"),
+                        F.col("n_kept").cast("long").alias("n_kept"),
+                        F.md5("clean_text").alias("clean_md5"))
+         .write.mode("append").parquet(out))
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ROUND-10 operator families composed as one curation flow and
     value-checked end-to-end: cross-document chrome lines are stripped
@@ -3702,6 +3775,7 @@ _QUERY_DECLARATIONS: list[
     ("strip_lines", q_strip_lines),
     ("strip_boilerplate", q_strip_boilerplate),
     ("curation_v3", q_curation_v3),
+    ("stream_boilerplate", q_stream_boilerplate),
     ("curation_v2", q_curation_v2),
     ("ohlcv_daily", q_ohlcv_daily),
     ("resample_1h", q_resample_1h),
@@ -5879,6 +5953,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
                md5(coalesce(r.ct, '')) AS clean_md5
         FROM l LEFT JOIN r ON l.doc_id = r.doc_id
+    """
+    # stream_boilerplate: batch b0 ([n/2, 3n/4)) cleans against chrome
+    # counted over ids < 3n/4 (history + itself); batch b1 against the
+    # full corpus's chrome — replaying the growing store's two tiers.
+    sqls["stream_boilerplate"] = _LINES_CTE + r""", cnt AS (
+            SELECT count(*) AS n FROM documents
+        ), e AS (
+            SELECT doc_id, source, CAST(i AS INT) AS ln_pos,
+                   lines[CAST(i AS INT)] AS line
+            FROM l, unnest(range(1, len(lines) + 1)) AS u(i)
+        ), c1 AS (
+            SELECT source, line FROM e, cnt
+            WHERE doc_id < (3 * n) // 4
+            GROUP BY source, line
+            HAVING count(DISTINCT doc_id) >= 3
+        ), c2 AS (
+            SELECT source, line FROM e
+            GROUP BY source, line
+            HAVING count(DISTINCT doc_id) >= 3
+        ), batch AS (
+            SELECT e.*, (e.doc_id >= (3 * n) // 4) AS is_b1
+            FROM e, cnt
+            WHERE e.doc_id >= n // 2
+        ), k AS (
+            SELECT batch.* FROM batch
+            WHERE (NOT is_b1 AND NOT EXISTS (
+                       SELECT 1 FROM c1
+                       WHERE c1.source = batch.source
+                         AND c1.line = batch.line))
+               OR (is_b1 AND NOT EXISTS (
+                       SELECT 1 FROM c2
+                       WHERE c2.source = batch.source
+                         AND c2.line = batch.line))
+        ), r AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY ln_pos) AS ct
+            FROM k GROUP BY 1
+        )
+        SELECT l.doc_id, l.source AS grp, len(l.lines) AS n_lines,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(coalesce(r.ct, '')) AS clean_md5
+        FROM l LEFT JOIN r ON l.doc_id = r.doc_id, cnt
+        WHERE l.doc_id >= n // 2
     """
     # curation_v3: the same boilerplate-strip stages chained into DSIR
     # weighting -> per-source quantile cut -> export shuffle order.

@@ -2039,6 +2039,41 @@ class TestBoilerplateLines:
         assert "LeftAnti" in plan
         assert "CartesianProduct" not in plan
 
+    def test_boilerplate_store_partial_merge_equals_batch(self, spark,
+                                                          tmp_path):
+        """build + append partial counts, then chrome_lines(sum >= k)
+        must equal the one-shot strip_boilerplate_lines chrome on the
+        union — partial-merge ≡ global distinct counting for
+        id-disjoint batches."""
+        from zdb_spark.operators.text import (append_boilerplate_store,
+                                              build_boilerplate_store,
+                                              chrome_lines,
+                                              strip_boilerplate_lines,
+                                              strip_lines_against)
+
+        chrome = "NAV BAR"
+        hist = [(i, f"{chrome}\nh{i}", "s") for i in range(2)]
+        batch = [(10 + i, f"{chrome}\nb{i}\nonly twice", "s")
+                 for i in range(2)]
+        hdf = spark.createDataFrame(hist, "doc_id long, text string, "
+                                          "source string")
+        bdf = spark.createDataFrame(batch, "doc_id long, text string, "
+                                           "source string")
+        store = str(tmp_path / "store")
+        build_boilerplate_store(hdf, store)
+        append_boilerplate_store(bdf, store)
+        # chrome appears in 4 distinct docs ACROSS the two partials
+        # (2 + 2); 'only twice' appears in 2 — below min_docs=3
+        cleaned = {r.id: r.clean_text for r in strip_lines_against(
+            bdf, chrome_lines(spark, store, min_docs=3)).collect()}
+        assert cleaned[10] == "b0\nonly twice"
+        assert cleaned[11] == "b1\nonly twice"
+        # equivalence with the one-shot batch operator on the union
+        want = {r.id: r.clean_text for r in strip_boilerplate_lines(
+            hdf.unionByName(bdf), min_docs=3).collect()
+            if r.id >= 10}
+        assert cleaned == want
+
 
 class TestPCA:
     def test_covariance_matches_numpy(self, spark):
@@ -2108,3 +2143,4 @@ class TestPCA:
         v0, v1 = proj[:, 0].var(), proj[:, 1].var()
         assert v0 > v1                       # variance-ordered
         assert evs[0] > evs[1] > 0
+

@@ -19,6 +19,8 @@ __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "quality_score_linear", "bigram_logprob", "char_entropy",
            "normalize_url", "extract_domain",
            "strip_repeated_lines", "strip_boilerplate_lines",
+           "strip_lines_against", "build_boilerplate_store",
+           "append_boilerplate_store", "chrome_lines",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
 # Marker stopwords per language for the n-gram/marker-word language-ID
@@ -554,16 +556,37 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
     Returns (id, group, n_lines, n_kept, out_col) — docs whose every
     line was chrome rebuild to the empty string.
     """
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.col(group_col).alias("grp"),
-                    F.posexplode(F.split(F.col(text_col), sep))
-                     .alias("ln_pos", "line"))
-            .withColumn("_h", F.md5(F.col("line"))))
+    ex = _line_explode(df, text_col, id_col, group_col, sep)
     boiler = (ex.groupBy("grp", "_h")
                 .agg(F.countDistinct("id").alias("_nd"))
                 .where(F.col("_nd") >= min_docs)
                 .select("grp", "_h"))
-    kept = ex.join(boiler, ["grp", "_h"], "left_anti")
+    return strip_lines_against(df, boiler, text_col, id_col, group_col,
+                               sep, out_col)
+
+
+def _line_explode(df: DataFrame, text_col: str, id_col: str,
+                  group_col: str, sep: str) -> DataFrame:
+    """(id, grp, ln_pos, line, _h=md5(line)) — shared by the batch
+    strip, the persisted-store builders, and the cleaning join."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("grp"),
+                      F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("ln_pos", "line"))
+              .withColumn("_h", F.md5(F.col("line"))))
+
+
+def strip_lines_against(df: DataFrame, chrome: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        group_col: str = "source", sep: str = "\n",
+                        out_col: str = "clean_text") -> DataFrame:
+    """Strip every occurrence of the given chrome lines — ``chrome`` is
+    a (grp, _h) frame from ``strip_boilerplate_lines``'s counting stage
+    or from a persisted store (``chrome_lines``) — and rebuild each
+    document in order.  LEFT ANTI sort-merge join on natural keys (no
+    broadcast assumption) + one doc-keyed rebuild aggregation."""
+    ex = _line_explode(df, text_col, id_col, group_col, sep)
+    kept = ex.join(chrome, ["grp", "_h"], "left_anti")
     rebuilt = (kept.groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_kept"),
                     F.array_join(
@@ -579,3 +602,48 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
             .select("id", "grp", "n_lines",
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce(out_col, F.lit("")).alias(out_col)))
+
+
+def build_boilerplate_store(df: DataFrame, path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            group_col: str = "source",
+                            sep: str = "\n") -> None:
+    """Persist per-(group, line) DISTINCT-document counts as parquet —
+    the incremental state continuous chrome-stripping needs.  Rows are
+    PARTIAL counts (this frame's contribution); ``append`` adds a new
+    batch's partials and ``chrome_lines`` merges by sum at read — the
+    rollup_sink partial-merge pattern.  Exactness contract: batches
+    must be id-disjoint (the ordered-ingest contract), so per-batch
+    distinct-doc counts sum to the global distinct count."""
+    _boilerplate_partials(df, text_col, id_col, group_col, sep) \
+        .write.mode("overwrite").parquet(path)
+
+
+def append_boilerplate_store(df: DataFrame, path: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             group_col: str = "source",
+                             sep: str = "\n") -> None:
+    """Append one id-disjoint batch's partial counts to the store.
+    Cost ∝ batch (one explode + one partial-aggregated count)."""
+    _boilerplate_partials(df, text_col, id_col, group_col, sep) \
+        .write.mode("append").parquet(path)
+
+
+def _boilerplate_partials(df: DataFrame, text_col: str, id_col: str,
+                          group_col: str, sep: str) -> DataFrame:
+    return (_line_explode(df, text_col, id_col, group_col, sep)
+            .groupBy("grp", "_h")
+            .agg(F.countDistinct("id").alias("nd")))
+
+
+def chrome_lines(spark, path: str, min_docs: int = 3) -> DataFrame:
+    """The current chrome set from a persisted store: merge partial
+    counts by sum and threshold — (grp, _h) rows for
+    ``strip_lines_against``."""
+    return (spark.read.parquet(path)
+            .groupBy("grp", "_h")
+            .agg(F.sum("nd").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("grp", "_h"))

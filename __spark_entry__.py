@@ -1407,7 +1407,8 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           chrome_lines,
                                           strip_lines_against)
 
-    key = _key_for(sf_dir, "stream-boiler-v1", ("documents",))
+    # v2: batch=<id>/ overwrite layout (replay-idempotent store)
+    key = _key_for(sf_dir, "stream-boiler-v2", ("documents",))
     home = os.path.join(tempfile.gettempdir(), "zdb_stream_boiler", key)
     docs = _as_line_docs(_load(spark, sf_dir, "documents"))
     n = docs.count()
@@ -1439,16 +1440,21 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.rename(tmp + ".flat", src_dir)
 
     def handle(batch_df, batch_id: int) -> None:
+        # every write is keyed by batch_id with OVERWRITE, so a
+        # foreachBatch replay (at-least-once delivery) rewrites its own
+        # contribution instead of double-counting the store or
+        # duplicating output rows
         if batch_df.isEmpty():
             return
-        append_boilerplate_store(batch_df, store)
+        append_boilerplate_store(batch_df, store, batch_id)
         cleaned = strip_lines_against(
             batch_df, chrome_lines(spark, store, min_docs=3))
         (cleaned.select(F.col("id").alias("doc_id"), "grp",
                         F.col("n_lines").cast("long").alias("n_lines"),
                         F.col("n_kept").cast("long").alias("n_kept"),
                         F.md5("clean_text").alias("clean_md5"))
-         .write.mode("append").parquet(out))
+         .write.mode("overwrite")
+         .parquet(os.path.join(out, f"batch={batch_id}")))
 
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", "1").parquet(src_dir))
@@ -1456,7 +1462,8 @@ def q_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", os.path.join(home, "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).select(
+        "doc_id", "grp", "n_lines", "n_kept", "clean_md5")
 
 
 def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1489,15 +1496,21 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("id").alias("doc_id"),
                      F.col("grp").alias("source"),
                      F.col("clean_text").alias("text"))).persist()
-    weighted = (importance_weights(clean, F.col("source") == "src0",
-                                   n_buckets=4096, alpha=0.5,
-                                   cache_features=True)
-                .join(clean.select("doc_id", "source"), "doc_id")
+    iw = importance_weights(clean, F.col("source") == "src0",
+                            n_buckets=4096, alpha=0.5,
+                            cache_features=True)
+    weighted = (iw.join(clean.select("doc_id", "source"), "doc_id")
                 .where(F.col("log_weight").isNotNull())).persist()
     kept, _thr = percentile_cut_by_group(weighted, "log_weight",
                                          "source", p=0.25)
-    out = global_shuffle(kept, "doc_id", seed="v1", n_shards=8)
-    return out.select("doc_id", "source", "log_weight", "pos", "shard")
+    out = (global_shuffle(kept, "doc_id", seed="v1", n_shards=8)
+           .select("doc_id", "source", "log_weight", "pos", "shard"))
+    # expose every persisted frame for dedup.release() (the :843
+    # convention) — bench's clearCache also covers, but a long-lived
+    # session shouldn't depend on it
+    out._zdb_cache_handles = [clean, weighted,
+                              *getattr(iw, "_zdb_cache_handles", [])]
+    return out
 
 
 def q_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3510,9 +3523,14 @@ def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") < 20)
-    out = contamination_fuzzy(docs, bench, "text", "doc_id",
+    res = contamination_fuzzy(docs, bench, "text", "doc_id",
                               num_hashes=64, bands=16, threshold=0.5)
-    return out.where(F.col("doc_id") != F.col("bench_id"))
+    out = res.where(F.col("doc_id") != F.col("bench_id"))
+    # .where() loses the attribute; re-attach so dedup.release() can
+    # still unpersist the cached signature/shingle frames (the :843
+    # convention)
+    out._zdb_cache_handles = res._zdb_cache_handles
+    return out
 
 
 def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

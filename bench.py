@@ -265,15 +265,24 @@ def _one_attempt(sf_dir: str) -> dict:
                               "failure, not a band measurement)")
         else:
             canary["degraded"] = bool(deg_b) or bool(deg_a)
-            if canary["after"] is None:
-                canary["note"] = ("'after' sample missing (write bench "
-                                  "error, not a below-band sample); "
-                                  "verdict is from 'before' alone")
+            # notes COMPOSE: a missing sample (either side — a bench
+            # error, not a band measurement) must stay visible even
+            # when the surviving sample also reads degraded
+            notes = []
+            for side, val in (("before", canary["before"]),
+                              ("after", canary["after"])):
+                if val is None:
+                    other = "after" if side == "before" else "before"
+                    notes.append(f"'{side}' sample missing (write bench "
+                                 f"error, not a below-band sample); "
+                                 f"verdict is from '{other}' alone")
             if canary["degraded"]:
-                canary["note"] = (
+                notes.append(
                     "host window degraded (canary below the pinned clean "
                     "band floor): totals are NOT cross-round comparable — "
                     "see BASELINE_LOCAL.md for the A/B protocol")
+            if notes:
+                canary["note"] = "; ".join(notes)
     return {"canary": canary, "timings": timings, "errors": errors,
             "write_throughput": write_tp}
 

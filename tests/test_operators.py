@@ -2061,7 +2061,10 @@ class TestBoilerplateLines:
                                            "source string")
         store = str(tmp_path / "store")
         build_boilerplate_store(hdf, store)
-        append_boilerplate_store(bdf, store)
+        append_boilerplate_store(bdf, store, 1)
+        # replay of the same batch id must be a no-op rewrite, not a
+        # double-count (foreachBatch is at-least-once)
+        append_boilerplate_store(bdf, store, 1)
         # chrome appears in 4 distinct docs ACROSS the two partials
         # (2 + 2); 'only twice' appears in 2 — below min_docs=3
         cleaned = {r.id: r.clean_text for r in strip_lines_against(
@@ -2144,3 +2147,20 @@ class TestPCA:
         assert v0 > v1                       # variance-ordered
         assert evs[0] > evs[1] > 0
 
+
+    def test_sep_metacharacters_refused(self, spark):
+        """Regex-meta separators would split-as-regex but join-as-literal
+        — refused loudly; plain multi-char and whitespace seps pass."""
+        import pytest as _pt
+
+        from zdb_spark.operators.text import (strip_boilerplate_lines,
+                                              strip_repeated_lines)
+
+        df = spark.createDataFrame([(0, "a.b", "s")],
+                                   "doc_id long, text string, source string")
+        with _pt.raises(ValueError, match="metachar"):
+            strip_repeated_lines(df, sep=".")
+        with _pt.raises(ValueError, match="metachar"):
+            strip_boilerplate_lines(df, sep="|")
+        out = strip_repeated_lines(df, sep="\n").collect()[0]
+        assert out.clean_text == "a.b"

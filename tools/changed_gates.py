@@ -124,9 +124,17 @@ def affected_gates(ref: str) -> tuple[dict[str, str], set[str], set[str]]:
             if any(a <= ln <= b for ln in touched):
                 changed_fns.add(name)
 
-    # propagate through name references (across all files)
-    all_fns = {name: refs for fns in fn_index.values()
-               for name, (_a, _b, refs) in fns.items()}
+    # propagate through name references (across all files).  Same-named
+    # functions in different files (e.g. `resample` in ohlcv.py AND
+    # table.py) must UNION their reference sets — a dict-comprehension
+    # overwrite would drop one file's refs from the graph and could
+    # print a false "OK" for a gate reached only through the shadowed
+    # copy (the exact silent-staleness failure this tool exists to
+    # prevent).
+    all_fns: dict[str, set] = {}
+    for fns in fn_index.values():
+        for name, (_a, _b, refs) in fns.items():
+            all_fns.setdefault(name, set()).update(refs)
     frontier = set(changed_fns)
     while frontier:
         sig = frontier - _NOISE

@@ -53,15 +53,9 @@ def main() -> None:
     out = {"base_docs": docs.count(), "base_vecs": emb.count(),
            "scales": {}}
 
-    # deterministic 4-token line view (the gates' construction)
-    def line_view(d):
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        n_lines = F.ceil(F.size(toks) / F.lit(4)).cast("int")
-        lines = F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * 4 + 1, 4), " "))
-        return d.select("doc_id", "source",
-                        F.array_join(lines, "\n").alias("text"))
+    # the gates' own deterministic line view — imported, not copied, so
+    # the probe always measures exactly the workload the gates run
+    from __spark_entry__ import _as_line_docs as line_view
 
     def timed(fn):
         # NO clearCache here: the replica fixture is deliberately cached

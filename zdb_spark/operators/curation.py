@@ -617,7 +617,10 @@ def importance_weights(df: DataFrame, target_pred, *,
     between the two passes — right when the stream's UPSTREAM is itself
     expensive (a rewrite chain, as in curation_v3) or storage is cheap
     relative to recompute; leave False when two corpus scans beat
-    materializing the exploded stream (the usual 100 TB call).
+    materializing the exploded stream (the usual 100 TB call).  The
+    persisted frame rides on the result as ``_zdb_cache_handles``, so
+    long-lived sessions release it with ``dedup.release(result)`` after
+    materializing (the pair-operator discipline).
     """
     from .dedup import let
     from .text import _ngram_col, tokenize
@@ -645,4 +648,7 @@ def importance_weights(df: DataFrame, target_pred, *,
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_grams"),
                    F.round(F.sum("_lr"), 4).alias(out_col)))
-    return df.select(id_col).join(scored, id_col, "left")
+    out = df.select(id_col).join(scored, id_col, "left")
+    if cache_features:
+        out._zdb_cache_handles = [ex]
+    return out

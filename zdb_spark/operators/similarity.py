@@ -1296,17 +1296,33 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
     """
     from .dedup import let
 
-    v = _as_double(F.col(vec_col))
-    flat = let(v, lambda x: F.concat(
+    if dim is None:
+        # one bounded probe row (same driver-state class as ivf_index's
+        # sample); fail clearly on an empty frame instead of len(None)
+        probe = df.select(_as_double(F.col(vec_col))).first()
+        if probe is None or probe[0] is None:
+            raise ValueError("embedding_covariance: empty frame (or "
+                             "null vector) and no dim= given")
+        dim = len(probe[0])
+    # ragged-vector guard: a short vector's flattened outer product
+    # would land in the WRONG (i, j) cells under the global d decode —
+    # silently corrupting the matrix.  Refuse loudly (row-local check,
+    # the hyperplane_signature recipe).
+    checked = F.when(
+        F.size(F.col(vec_col)) != dim,
+        F.raise_error(F.concat(
+            F.lit("embedding_covariance: vector of length "),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(f" does not match dim={dim}")))
+        .cast("array<double>")).otherwise(_as_double(F.col(vec_col)))
+    flat = let(checked, lambda x: F.concat(
         F.flatten(F.transform(
             x, lambda xi: F.transform(x, lambda xj: xi * xj))), x))
     sums = (df.select(F.posexplode(flat).alias("__idx", "__val"))
               .groupBy("__idx")
               .agg(F.sum("__val").alias("__s"),
                    F.count(F.lit(1)).alias("__n")))
-    # one bounded probe row when the caller doesn't pass dim (same
-    # driver-state class as ivf_index's sample)
-    d = F.lit(dim if dim is not None else len(df.select(v).first()[0]))
+    d = F.lit(dim)
     prods = (sums.where(F.col("__idx") < d * d)
              .select((F.col("__idx") / d).cast("int").alias("i"),
                      (F.col("__idx") % d).cast("int").alias("j"),

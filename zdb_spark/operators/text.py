@@ -505,8 +505,23 @@ def train_quality_logreg(df: DataFrame, text_col: str = "text", *,
         feats.unpersist()
 
 
+def _check_sep(sep: str) -> None:
+    """The line operators split on ``sep`` as a Java regex but re-join
+    with it as a LITERAL — safe only when the two readings coincide.
+    Refuse regex metacharacters loudly instead of silently shredding
+    text (``sep="."`` would split between every character and 'rejoin'
+    with literal dots).  Note ``re.escape`` is the wrong test here — it
+    also escapes plain whitespace like ``\\n``, which is NOT a
+    metacharacter and is the default separator."""
+    _META = set("\\^$.|?*+()[]{}")
+    if any(ch in _META for ch in sep):
+        raise ValueError(
+            f"sep {sep!r} contains regex metacharacters: it would split "
+            f"as a regex but re-join as a literal; use a plain separator")
+
+
 def strip_repeated_lines(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id", sep: str = "\n",
+                         sep: str = "\n",
                          out_col: str = "clean_text") -> DataFrame:
     """IN-document line dedup: keep only the FIRST occurrence of each
     line within a document, preserving order — the cheap half of
@@ -522,6 +537,7 @@ def strip_repeated_lines(df: DataFrame, text_col: str = "text",
     """
     from .dedup import let
 
+    _check_sep(sep)
     lines = F.split(F.col(text_col), sep)
     kept = let(lines, lambda ls: F.filter(
         ls, lambda x, i: F.array_position(ls, x) == i + F.lit(1)))
@@ -569,6 +585,7 @@ def _line_explode(df: DataFrame, text_col: str, id_col: str,
                   group_col: str, sep: str) -> DataFrame:
     """(id, grp, ln_pos, line, _h=md5(line)) — shared by the batch
     strip, the persisted-store builders, and the cleaning join."""
+    _check_sep(sep)
     return (df.select(F.col(id_col).alias("id"),
                       F.col(group_col).alias("grp"),
                       F.posexplode(F.split(F.col(text_col), sep))
@@ -615,20 +632,35 @@ def build_boilerplate_store(df: DataFrame, path: str,
     batch's partials and ``chrome_lines`` merges by sum at read — the
     rollup_sink partial-merge pattern.  Exactness contract: batches
     must be id-disjoint (the ordered-ingest contract), so per-batch
-    distinct-doc counts sum to the global distinct count."""
-    _boilerplate_partials(df, text_col, id_col, group_col, sep) \
-        .write.mode("overwrite").parquet(path)
+    distinct-doc counts sum to the global distinct count.
+
+    Layout: one ``batch=<id>/`` subdirectory per contribution, written
+    with OVERWRITE — so a foreachBatch replay (at-least-once delivery)
+    rewrites its own subdirectory instead of double-counting into a
+    shared file set.  Idempotence comes from the layout, not from the
+    caller getting crash timing right."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    append_boilerplate_store(df, path, "seed", text_col, id_col,
+                             group_col, sep)
 
 
-def append_boilerplate_store(df: DataFrame, path: str,
+def append_boilerplate_store(df: DataFrame, path: str, batch_id,
                              text_col: str = "text",
                              id_col: str = "doc_id",
                              group_col: str = "source",
                              sep: str = "\n") -> None:
-    """Append one id-disjoint batch's partial counts to the store.
-    Cost ∝ batch (one explode + one partial-aggregated count)."""
+    """Write one id-disjoint batch's partial counts into the store as
+    ``batch=<batch_id>/`` with OVERWRITE — replaying the same batch id
+    (foreachBatch at-least-once) is a no-op rewrite, never a
+    double-count.  Cost ∝ batch (one explode + one partial-aggregated
+    count)."""
+    import os as _os
+
     _boilerplate_partials(df, text_col, id_col, group_col, sep) \
-        .write.mode("append").parquet(path)
+        .write.mode("overwrite") \
+        .parquet(_os.path.join(path, f"batch={batch_id}"))
 
 
 def _boilerplate_partials(df: DataFrame, text_col: str, id_col: str,
@@ -640,8 +672,8 @@ def _boilerplate_partials(df: DataFrame, text_col: str, id_col: str,
 
 def chrome_lines(spark, path: str, min_docs: int = 3) -> DataFrame:
     """The current chrome set from a persisted store: merge partial
-    counts by sum and threshold — (grp, _h) rows for
-    ``strip_lines_against``."""
+    counts by sum across the ``batch=*`` contributions and threshold —
+    (grp, _h) rows for ``strip_lines_against``."""
     return (spark.read.parquet(path)
             .groupBy("grp", "_h")
             .agg(F.sum("nd").alias("nd"))

@@ -3745,13 +3745,12 @@ WINDOW = 50
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 10
-    "kmeans_train",       # kmeans_lloyd plan-mode refactor (shared
-                          # _l2_argmin_expr core + plan= parameter)
-    "cluster_curation",   # composes kmeans_lloyd + nearest_centroid_l2_col
-    "contamination_fuzzy",  # NEW: MinHash-LSH corpus×bench decontamination
-    "dedup_clusters_capped",  # NEW: capped candidate gen → clusters
-    "domain_percentile_cut",  # NEW: per-group percentile cut
+    # round 11
+    "embedding_covariance",  # r10's red gate: decimal(38,12) product sums
+                             # (order-independent) in engine AND oracle
+    "embedding_pca",      # demo-literal matrix retired; gate now runs the
+                          # corpus-TRAINED pca_components path (its input
+                          # is the newly-deterministic covariance)
 ]
 
 _QUERY_DECLARATIONS: list[
@@ -5893,12 +5892,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         ), s AS (
             SELECT i.i AS i, j.j AS j,
-                   CAST(sum(v[i.i] * v[j.j]) AS DOUBLE) AS s_ij,
+                   CAST(sum(CAST(v[i.i] * v[j.j] AS DECIMAL(38,12)))
+                        AS DOUBLE) AS s_ij,
                    count(*) AS n
             FROM e, range(1, 65) AS i(i), range(1, 65) AS j(j)
             GROUP BY 1, 2
         ), m AS (
-            SELECT i.i AS i, CAST(sum(v[i.i]) AS DOUBLE) AS s_i
+            SELECT i.i AS i,
+                   CAST(sum(CAST(v[i.i] AS DECIMAL(38,12)))
+                        AS DOUBLE) AS s_i
             FROM e, range(1, 65) AS i(i)
             GROUP BY 1
         )

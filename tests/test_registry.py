@@ -186,3 +186,13 @@ def test_changed_gates_tool_machinery():
         [_sys.executable, os.path.join(tools, "changed_gates.py"),
          "--quiet"], capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr or proc.stdout
+
+    # boundary stability (round-10 handoff-red fix): while the newest
+    # CORRECTNESS file is UNCOMMITTED (the driver just wrote it), gates
+    # whose FIRST history row is that round stay exempt; the exemption
+    # switches off once the boundary commit tracks the file, and never
+    # covers gates first seen in an earlier round.
+    first = {"born_this_round": 11, "older_gate": 9}
+    assert cg.boundary_exempt(first, 11, max_file_tracked=False) == \
+        {"born_this_round"}
+    assert cg.boundary_exempt(first, 11, max_file_tracked=True) == set()

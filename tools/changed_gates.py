@@ -157,12 +157,43 @@ def affected_gates(ref: str) -> tuple[dict[str, str], set[str], set[str]]:
                  if entry_fns[fname][2] & sig else "diff") + ")"
 
     queued = set(entry._CHANGED_THIS_ROUND)
-    history: set[str] = set()
+    first_round: dict[str, int] = {}
+    max_round, max_file = 0, None
     for f in os.listdir(REPO):
-        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f):
-            history.update(json.load(open(os.path.join(REPO, f))))
-    brand_new = set(gates) - history
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd > max_round:
+            max_round, max_file = rnd, f
+        for g in json.load(open(os.path.join(REPO, f))):
+            first_round[g] = min(first_round.get(g, rnd), rnd)
+    brand_new = set(gates) - set(first_round)
+    if max_file is not None:
+        tracked = subprocess.run(
+            ["git", "ls-files", "--", max_file], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+        brand_new |= boundary_exempt(first_round, max_round,
+                                     bool(tracked))
     return affected, queued, brand_new
+
+
+def boundary_exempt(first_round: dict[str, int], max_round: int,
+                    max_file_tracked: bool) -> set[str]:
+    """Boundary stability (the round-10 handoff-red fix): the moment
+    the driver WRITES CORRECTNESS_rN.json — before the round-boundary
+    commit moves the diff base — every gate born this round gains a
+    history row, loses the brand-new exemption, and its whole (pre-
+    boundary, committed) implementation still sits in the diff →
+    false MISSING, red suite exactly at handoff.  Exempt gates whose
+    FIRST history row is in the newest correctness file while that
+    file is still UNCOMMITTED (``git ls-files`` empty = boundary
+    moment).  Once the boundary commit lands the file, the diff base
+    catches up and the exemption switches itself off — so a gate born
+    in round N and then CHANGED in round N+1 is flagged normally."""
+    if max_file_tracked:
+        return set()
+    return {g for g, r in first_round.items() if r == max_round}
 
 
 def main() -> int:

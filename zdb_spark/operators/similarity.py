@@ -1291,8 +1291,20 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
     alternative is the Janino-hostile shape the kmeans docstring
     documents).  The tiny (d²+d)-row result combines into
     ``cov = (S_ij − S_i·S_j/n)/n`` via two broadcast joins of the d-row
-    mean frame; rounding happens once, at the end, so both engines
-    round the same unrounded arithmetic.
+    mean frame.
+
+    Determinism (the round-10 red-gate fix): each product is cast to
+    ``DECIMAL(38,12)`` BEFORE the sum, so the corpus-sized accumulation
+    is exact integer arithmetic — order-independent across partial-agg
+    schedules, engines, and hosts (a double fold's result depends on
+    accumulation order; a decimal fold's does not).  The one rounding
+    the cast introduces is per-PRODUCT at 12 dp — a deterministic
+    row-local map, identical in any engine — and the downstream combine
+    is a fixed scalar expression over those exact sums, so the final
+    ``round(…, round_dp)`` sees bit-identical doubles everywhere.
+    Magnitude guard: 38−12 = 26 integer digits of headroom means the
+    sum stays exact up to ~1e26, i.e. 1e12 rows of unit-scale products
+    — far past 100 TB of embeddings.
     """
     from .dedup import let
 
@@ -1320,7 +1332,8 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
             x, lambda xi: F.transform(x, lambda xj: xi * xj))), x))
     sums = (df.select(F.posexplode(flat).alias("__idx", "__val"))
               .groupBy("__idx")
-              .agg(F.sum("__val").alias("__s"),
+              .agg(F.sum(F.col("__val").cast("decimal(38,12)"))
+                    .cast("double").alias("__s"),
                    F.count(F.lit(1)).alias("__n")))
     d = F.lit(dim)
     prods = (sums.where(F.col("__idx") < d * d)

@@ -1361,28 +1361,37 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, "embedding", dim=64)
 
 
-def _demo_pca_components(q: int = 4, d: int = 64) -> list[list[float]]:
-    """Deterministic stand-in component matrix (exact 6-decimal
-    rationals, the _demo_quality_weights precedent) so the projection
-    gate is VALUE-checkable: the one step SQL genuinely cannot express
-    is the driver-side numpy eigh — which is not Spark code; the
-    corpus-trained path (pca_components) is pinned against numpy in
-    tests/test_operators.py and its distributed input is the fully
-    oracled embedding_covariance gate."""
-    return [[round((i * 7 + r * 13) % 29 / 29 - 0.5, 6)
-             for i in range(d)] for r in range(q)]
+# Corpus-TRAINED top-4 PCA components of /root/testdata/sf0.01/embeddings
+# (pca_components(emb, q=4): deterministic decimal-sum covariance → driver
+# eigh on the 6dp-rounded d×d matrix → largest-|coeff|-positive sign fix →
+# 6dp round).  Regenerate with tools/train_pca_literal.py if the sf0.01
+# fixture ever changes; tests/test_operators.py pins live-trained == this
+# literal so drift (data or LAPACK) fails locally before the driver sees
+# it.  The oracle embeds the same literals — SQL cannot run eigh, but the
+# TRAINING INPUT is the fully-oracled embedding_covariance gate and the
+# train→literal equality is test-pinned, so the projection gate now
+# value-checks the real trained path end-to-end (round-10 verdict #6).
+_PCA_SF001_COMPONENTS: list[list[float]] = [
+    [-0.209633, -0.120541, 0.03653, 0.011852, 0.075483, 0.013172, 0.090571, 0.286688, 0.049459, 0.414001, 0.065213, 0.182021, 0.065088, -0.036651, 0.171108, -0.185399, 0.088828, -0.15745, -0.030062, 0.032335, 0.061177, -0.110768, -0.083575, -0.055057, 0.019857, 0.199405, -0.037499, 0.149525, -0.172791, -0.00587, -0.058702, 0.062285, 0.296525, 0.106064, -0.03211, 0.103997, 0.044489, 0.061404, 0.012722, 0.021799, -0.116679, 0.005533, -0.240794, 0.095949, -0.0285, -0.224915, 0.008785, -0.079241, -0.083802, -0.118265, 0.120648, 0.072601, -0.017163, 0.081587, -0.015267, -0.066801, -0.055274, -0.051369, 0.060041, -0.090963, 0.122093, 0.050557, -0.21822, -0.101954],
+    [-0.004206, -0.054623, -0.012603, -0.088054, 0.174858, 0.025264, 0.075127, -0.069761, 0.077438, 0.031258, 0.105806, -0.017583, 0.012904, 0.133685, 0.014758, 0.041089, 0.148676, 0.360112, -0.054085, -0.050753, 0.032576, 0.035283, 0.065178, -0.309105, -0.257686, -0.238838, -0.020679, -0.000152, -0.086423, -0.174634, -0.024144, -0.217385, 0.029777, 0.061533, 0.033647, 0.079274, 0.059573, 0.036456, 0.182046, 0.046662, -3.3e-05, 0.047163, -0.063139, -0.17918, 0.172698, -0.189137, -0.046883, 0.14569, 0.112806, -0.113499, -0.157281, -0.081936, 0.013075, -0.016044, 0.237903, 0.023269, -0.30293, 0.016436, 0.135563, -0.121682, -0.083584, 0.085027, -0.000746, -0.078673],
+    [-0.148011, -0.085074, -0.064024, -0.000409, -0.204495, -0.043681, 0.117738, -0.284503, 0.044359, 0.023604, -0.05117, 0.035719, -0.06016, -0.034567, 0.00944, -0.234594, 0.17124, -0.085093, 0.116052, 0.077302, 0.013146, 0.17528, -0.100687, 0.05349, 0.092761, 0.100195, 0.090675, -0.134127, 0.010319, -0.105259, -0.122871, 0.090989, 0.048252, -0.180745, -0.029837, -0.102178, 0.139075, -0.212504, -0.063494, -0.103936, 0.189444, 0.190052, -0.125856, -0.208919, 0.165794, 0.052946, 0.042829, 0.017902, -0.068331, -0.051239, -0.129415, -0.106472, 0.227768, -0.153289, -0.179324, -0.001945, -0.005211, 0.109682, 0.182692, -0.052642, -0.069455, 0.288427, -0.090054, -0.075501],
+    [0.067972, 0.062631, 0.008379, 0.172494, -0.257488, 0.107968, -0.024039, 0.177239, -0.115157, 0.136148, 0.007234, 0.202932, -0.060383, -0.140127, -0.092738, 0.049435, 0.096457, 0.071123, -0.009358, -0.203805, -0.225325, 0.157801, -0.011908, 0.072922, 0.027858, -0.118467, 0.116633, -0.004312, 0.128873, -0.105002, 0.152193, 0.200785, -0.081501, -0.01768, -0.11657, 0.316051, -0.117067, -0.147727, -0.010155, -0.049129, -0.014614, -0.000633, -0.08564, -0.017457, -0.0754, -0.04137, -0.01369, 0.369341, -0.10836, -0.15406, 0.06595, -0.019973, 0.008828, 0.005649, -0.02253, 0.101493, -0.1709, 0.093046, -0.170405, -0.074008, -0.191943, -0.096122, -0.083876, 0.026445],
+]
 
 
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zero-shuffle literal-matrix PCA projection (the inference half of
-    similarity.py:pca_components/pca_project): every (vector, component)
-    coordinate value-checked, exploded to scalar rows so the driver's
-    hash sees exact cells.  Components are the deterministic demo
-    matrix (_demo_pca_components) — see its docstring for why."""
-    from zdb_spark.operators.similarity import pca_project
+    """Corpus-trained PCA end-to-end: train top-4 components on the
+    corpus (pca_components = deterministic distributed covariance +
+    driver eigh on the d×d matrix) then zero-shuffle-project every
+    vector, exploded to scalar rows so the driver's hash sees exact
+    cells.  The oracle embeds the expected sf0.01-trained component
+    literals (_PCA_SF001_COMPONENTS — see its comment for why eigh
+    itself cannot live in SQL) and replays the same projection."""
+    from zdb_spark.operators.similarity import pca_components, pca_project
 
     emb = _load(spark, sf_dir, "embeddings")
-    out = pca_project(emb, _demo_pca_components())
+    comps, _evs = pca_components(emb, q=4)
+    out = pca_project(emb, comps)
     return out.select("vec_id", F.posexplode("pca").alias("comp", "val"))
 
 
@@ -5910,7 +5919,7 @@ def oracle_sql() -> dict[str, str]:
     """
     _pca_comps = ", ".join(
         "[" + ", ".join(repr(x) for x in row) + "]"
-        for row in _demo_pca_components())
+        for row in _PCA_SF001_COMPONENTS)
     sqls["embedding_pca"] = f"""
         WITH c(comps) AS (SELECT [{_pca_comps}]),
         e AS (

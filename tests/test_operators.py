@@ -2147,6 +2147,31 @@ class TestPCA:
         assert v0 > v1                       # variance-ordered
         assert evs[0] > evs[1] > 0
 
+    def test_pca_sf001_literal_matches_live_training(self, spark):
+        """The embedding_pca oracle embeds sf0.01-trained component
+        LITERALS (_PCA_SF001_COMPONENTS) because SQL cannot run eigh;
+        this pin makes literal drift (fixture regenerated, LAPACK
+        changed) fail locally BEFORE the driver's hash gate goes red.
+        Regenerate with tools/train_pca_literal.py on mismatch."""
+        import os
+
+        import numpy as np
+
+        sf01 = "/root/testdata/sf0.01"
+        if not os.path.exists(f"{sf01}/embeddings.parquet"):
+            import pytest as _pt
+            _pt.skip("sf0.01 fixture absent")
+        import __spark_entry__ as entry
+        from zdb_spark.operators.similarity import pca_components
+
+        emb = spark.read.parquet(f"{sf01}/embeddings.parquet")
+        comps, _evs = pca_components(emb, q=4)
+        lit = np.asarray(entry._PCA_SF001_COMPONENTS)
+        assert comps.shape == lit.shape
+        assert np.array_equal(comps, lit), (
+            "trained components drifted from _PCA_SF001_COMPONENTS — "
+            "rerun tools/train_pca_literal.py")
+
 
     def test_sep_metacharacters_refused(self, spark):
         """Regex-meta separators would split-as-regex but join-as-literal

@@ -249,6 +249,18 @@ def _one_attempt(sf_dir: str) -> dict:
         print(f"write bench failed: {exc!r}", file=sys.stderr)
 
     canary["after"] = write_tp.get("batch_write")
+    _apply_canary_verdict(canary, band_applies)
+    return {"canary": canary, "timings": timings, "errors": errors,
+            "write_throughput": write_tp}
+
+
+def _apply_canary_verdict(canary: dict, band_applies: bool) -> None:
+    """Fill canary['degraded'] / ['note'] from the before/after samples.
+    Pure (no I/O) so tests can pin the edge semantics: non-1M rows →
+    verdict None (band floor meaningless at other row counts); both
+    samples None → verdict None (bench ERROR, not a band measurement);
+    one sample missing → verdict from the survivor, with the gap named
+    in the note even when the survivor also reads degraded."""
     if not band_applies:
         # The clean band is pinned for the 1M-row workload; at any other
         # row count the rows/s floor is meaningless (fixed per-batch
@@ -256,35 +268,33 @@ def _one_attempt(sf_dir: str) -> dict:
         canary["degraded"] = None
         canary["note"] = (f"clean band is pinned for 1,000,000 rows; "
                           f"no degraded verdict at rows={canary['rows']}")
-    else:
-        deg_b = _canary_degraded(canary["before"])
-        deg_a = _canary_degraded(canary["after"])
-        if canary["before"] is None and canary["after"] is None:
-            canary["degraded"] = None
-            canary["note"] = ("both canary samples errored (bench "
-                              "failure, not a band measurement)")
-        else:
-            canary["degraded"] = bool(deg_b) or bool(deg_a)
-            # notes COMPOSE: a missing sample (either side — a bench
-            # error, not a band measurement) must stay visible even
-            # when the surviving sample also reads degraded
-            notes = []
-            for side, val in (("before", canary["before"]),
-                              ("after", canary["after"])):
-                if val is None:
-                    other = "after" if side == "before" else "before"
-                    notes.append(f"'{side}' sample missing (write bench "
-                                 f"error, not a below-band sample); "
-                                 f"verdict is from '{other}' alone")
-            if canary["degraded"]:
-                notes.append(
-                    "host window degraded (canary below the pinned clean "
-                    "band floor): totals are NOT cross-round comparable — "
-                    "see BASELINE_LOCAL.md for the A/B protocol")
-            if notes:
-                canary["note"] = "; ".join(notes)
-    return {"canary": canary, "timings": timings, "errors": errors,
-            "write_throughput": write_tp}
+        return
+    deg_b = _canary_degraded(canary["before"])
+    deg_a = _canary_degraded(canary["after"])
+    if canary["before"] is None and canary["after"] is None:
+        canary["degraded"] = None
+        canary["note"] = ("both canary samples errored (bench "
+                          "failure, not a band measurement)")
+        return
+    canary["degraded"] = bool(deg_b) or bool(deg_a)
+    # notes COMPOSE: a missing sample (either side — a bench
+    # error, not a band measurement) must stay visible even
+    # when the surviving sample also reads degraded
+    notes = []
+    for side, val in (("before", canary["before"]),
+                      ("after", canary["after"])):
+        if val is None:
+            other = "after" if side == "before" else "before"
+            notes.append(f"'{side}' sample missing (write bench "
+                         f"error, not a below-band sample); "
+                         f"verdict is from '{other}' alone")
+    if canary["degraded"]:
+        notes.append(
+            "host window degraded (canary below the pinned clean "
+            "band floor): totals are NOT cross-round comparable — "
+            "see BASELINE_LOCAL.md for the A/B protocol")
+    if notes:
+        canary["note"] = "; ".join(notes)
 
 
 def main() -> int:

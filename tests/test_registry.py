@@ -196,3 +196,48 @@ def test_changed_gates_tool_machinery():
     assert cg.boundary_exempt(first, 11, max_file_tracked=False) == \
         {"born_this_round"}
     assert cg.boundary_exempt(first, 11, max_file_tracked=True) == set()
+
+
+def test_bench_canary_verdict_edges():
+    """bench.py canary protocol (round-10 advice): the degraded verdict
+    must be None (not False) when the band doesn't apply (non-1M row
+    count) or when BOTH samples errored; a single missing sample keeps
+    a verdict from the survivor and names the gap in the note."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    lo = bench.CANARY_BAND[0]
+    good = lo + 1
+    bad = int(lo / bench.CANARY_TOLERANCE) - 1
+
+    assert bench._canary_degraded(None) is None
+    assert bench._canary_degraded(good) is False
+    assert bench._canary_degraded(bad) is True
+
+    def verdict(before, after, rows=1_000_000):
+        c = {"rows": rows, "before": before, "after": after}
+        bench._apply_canary_verdict(c, band_applies=rows == 1_000_000)
+        return c
+
+    # 2M rows: never a verdict, regardless of the sample values
+    c = verdict(bad, bad, rows=2_000_000)
+    assert c["degraded"] is None and "pinned for 1,000,000" in c["note"]
+    # both samples errored: bench ERROR, not a measurement
+    c = verdict(None, None)
+    assert c["degraded"] is None and "errored" in c["note"]
+    # one missing sample: verdict from the survivor, gap named
+    c = verdict(None, good)
+    assert c["degraded"] is False and "'before' sample missing" in c["note"]
+    c = verdict(None, bad)
+    assert c["degraded"] is True
+    assert "'before' sample missing" in c["note"]
+    assert "degraded" in c["note"]
+    # clean window: no note at all
+    c = verdict(good, good)
+    assert c["degraded"] is False and "note" not in c

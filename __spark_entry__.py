@@ -3760,6 +3760,12 @@ _CHANGED_THIS_ROUND = [
     "embedding_pca",      # demo-literal matrix retired; gate now runs the
                           # corpus-TRAINED pca_components path (its input
                           # is the newly-deterministic covariance)
+    "strip_boilerplate",  # strip_lines_against NULL-text guard (all-NULL
+                          # passthrough instead of silent empty-string)
+    "stream_boilerplate",  # same (strip_lines_against caller)
+    "curation_v3",        # same (composes the chrome strip)
+    "knn_int8",           # int8_topk grew the codes_df= materialized path
+    "embedding_quantize",  # quantize_embeddings callers re-checked with it
 ]
 
 _QUERY_DECLARATIONS: list[

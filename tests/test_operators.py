@@ -1982,8 +1982,43 @@ class TestQuantizeEmbeddings:
                   int8_topk(df, q, k=10, rerank=64).collect()]
         assert approx == exact
 
+    def test_int8_topk_precomputed_codes_path(self, spark):
+        """The 100 TB serving path: a MATERIALIZED codes corpus
+        (quantize once, scan codes) must return exactly what inline
+        quantization returns, and the candidate scan must not touch the
+        float vectors (the byte-saving claim, checked on the plan)."""
+        import numpy as np
 
-class TestBoilerplateLines:
+        from zdb_spark.operators.similarity import (int8_topk,
+                                                    quantize_embeddings)
+
+        rng = np.random.default_rng(12)
+        vecs = rng.normal(size=(150, 16)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+        codes = quantize_embeddings(df, "embedding").select(
+            "vec_id", "codes", "scale")
+        q = vecs[3].tolist()
+        inline = [(r.vec_id, r.cosine_sim)
+                  for r in int8_topk(df, q, k=5, rerank=32).collect()]
+        pre = [(r.vec_id, r.cosine_sim)
+               for r in int8_topk(df, q, k=5, rerank=32,
+                                  codes_df=codes).collect()]
+        assert pre == inline
+        # byte-saving pin: with a parquet codes corpus, the candidate
+        # scan's ReadSchema must contain codes/scale, not the embedding
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            codes.write.parquet(f"{d}/codes")
+            df.write.parquet(f"{d}/raw")
+            codes_p = spark.read.parquet(f"{d}/codes")
+            raw_p = spark.read.parquet(f"{d}/raw")
+            out = int8_topk(raw_p, q, k=5, rerank=32, codes_df=codes_p)
+            plan = (out._jdf.queryExecution().executedPlan().toString())
+            scans = [ln for ln in plan.splitlines()
+                     if "ReadSchema" in ln and "codes" in ln]
+            assert scans and all("embedding" not in ln for ln in scans)
     def test_strip_repeated_lines_first_occurrence_wins(self, spark):
         from zdb_spark.operators.text import strip_repeated_lines
 
@@ -2076,6 +2111,25 @@ class TestBoilerplateLines:
             hdf.unionByName(bdf), min_docs=3).collect()
             if r.id >= 10}
         assert cleaned == want
+
+    def test_strip_lines_against_null_text_stays_null(self, spark):
+        """NULL text must come back all-NULL — what
+        strip_repeated_lines yields for NULL text — NOT be silently
+        rewritten to an empty document (round-10 advice); genuinely
+        all-chrome docs still coerce to the empty string."""
+        from zdb_spark.operators.text import strip_lines_against
+
+        df = spark.createDataFrame(
+            [(0, None, "s"), (1, "CHROME", "s"), (2, "CHROME\nreal", "s")],
+            "doc_id long, text string, source string")
+        chrome = spark.createDataFrame([("s", "CHROME")], "grp string, "
+                                       "line string").select(
+            "grp", F.md5("line").alias("_h"))
+        out = {r.id: r for r in strip_lines_against(df, chrome).collect()}
+        assert out[0].n_lines is None and out[0].n_kept is None
+        assert out[0].clean_text is None
+        assert out[1].n_kept == 0 and out[1].clean_text == ""
+        assert out[2].n_kept == 1 and out[2].clean_text == "real"
 
 
 class TestPCA:

@@ -1244,11 +1244,22 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding", *,
 def int8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
               rerank: int = 64, bits: int = 8,
               vec_col: str = "embedding",
-              id_col: str = "vec_id") -> DataFrame:
+              id_col: str = "vec_id",
+              codes_df: DataFrame | None = None) -> DataFrame:
     """Cosine top-k over the int8-quantized corpus + exact rerank — the
     serving pattern quantize_embeddings exists for (pq_topk's ADC/rerank
-    split, with scalar codes instead of codebooks: no training pass, and
-    the candidate scan reads 1/4 of the float32 bytes).
+    split, with scalar codes instead of codebooks: no training pass).
+
+    The byte saving is real only when the candidate scan reads a
+    MATERIALIZED codes corpus: pass ``codes_df`` — a frame with
+    (id_col, codes, scale), e.g. ``quantize_embeddings(df).select(id,
+    "codes", "scale")`` written to parquet once — and the scan touches
+    1/4 of the float32 bytes (raw vectors are read only for the
+    ``rerank``-row exact pass).  Without ``codes_df`` the operator
+    quantizes INLINE from the raw vectors — correct, and what the
+    correctness gate exercises, but the scan then reads 100% of the
+    float bytes; inline mode is for ad-hoc queries, not the 100 TB
+    serving path.
 
     Approx score per row = ``scale * Σ codes_i · q_i`` — proportional to
     ``dot(dequantized(x), q)`` — computed by a codegen ``zip_with`` +
@@ -1258,8 +1269,11 @@ def int8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     Rounded-score + id ordering keeps both cut boundaries deterministic
     cross-engine.
     """
-    q = quantize_embeddings(df.select(id_col, vec_col), vec_col,
-                            bits=bits)
+    if codes_df is not None:
+        q = codes_df.select(id_col, "codes", "scale")
+    else:
+        q = quantize_embeddings(df.select(id_col, vec_col), vec_col,
+                                bits=bits)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     approx = F.col("scale") * F.aggregate(
         F.zip_with(F.col("codes"), qlit, lambda c, x: c * x),

@@ -601,7 +601,15 @@ def strip_lines_against(df: DataFrame, chrome: DataFrame,
     a (grp, _h) frame from ``strip_boilerplate_lines``'s counting stage
     or from a persisted store (``chrome_lines``) — and rebuild each
     document in order.  LEFT ANTI sort-merge join on natural keys (no
-    broadcast assumption) + one doc-keyed rebuild aggregation."""
+    broadcast assumption) + one doc-keyed rebuild aggregation.
+
+    NULL text yields no exploded rows, which is indistinguishable from
+    an all-chrome document in the rebuild — so the base frame carries
+    an explicit null flag and NULL text comes back all-NULL
+    (n_lines NULL, n_kept NULL, text NULL) — exactly what
+    ``strip_repeated_lines`` yields for NULL text, where every derived
+    column is itself an expression over the NULL split; only genuinely
+    all-chrome documents coerce to the empty string."""
     ex = _line_explode(df, text_col, id_col, group_col, sep)
     kept = ex.join(chrome, ["grp", "_h"], "left_anti")
     rebuilt = (kept.groupBy("id")
@@ -614,11 +622,18 @@ def strip_lines_against(df: DataFrame, chrome: DataFrame,
     base = df.select(F.col(id_col).alias("id"),
                      F.col(group_col).alias("grp"),
                      F.size(F.split(F.col(text_col), sep))
-                      .alias("n_lines"))
+                      .alias("n_lines"),
+                     F.col(text_col).isNull().alias("_null_txt"))
     return (base.join(rebuilt, "id", "left")
             .select("id", "grp", "n_lines",
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    F.coalesce(out_col, F.lit("")).alias(out_col)))
+                    F.when(F.col("_null_txt"),
+                           F.lit(None).cast("long"))
+                     .otherwise(F.coalesce("n_kept", F.lit(0)))
+                     .cast("long").alias("n_kept"),
+                    F.when(F.col("_null_txt"),
+                           F.lit(None).cast("string"))
+                     .otherwise(F.coalesce(out_col, F.lit("")))
+                     .alias(out_col)))
 
 
 def build_boilerplate_store(df: DataFrame, path: str,

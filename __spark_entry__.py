@@ -3908,9 +3908,36 @@ _QUERY_DECLARATIONS: list[
 ]
 
 
+# Composite gates whose value-hash gate exercises a sub-gate's operator
+# end-to-end: a green row for the composite also REFRESHES the sub-gate's
+# rotation age (rotation priority only — the sub-gate still cycles into
+# the window for its own direct row; coverage just stops near-redundant
+# re-verification from crowding out genuinely stale gates, the round-10
+# verdict #8 ask).  Honesty contract, pinned by tests/test_registry.py:
+# every (composite, sub) pair must share an implementing-operator
+# function reference in the AST (the composite really calls the code the
+# sub-gate gates), and coverage NEVER clears a red row (a sub-gate red
+# after its own last green keeps rule-3 regressed priority) nor exempts
+# a never-verified gate from rule-2 first-row priority.
+_COVERS: dict[str, list[str]] = {
+    # strip_boilerplate_lines + importance_weights +
+    # percentile_cut_by_group + global_shuffle, chained and hash-checked
+    "curation_v3": ["strip_boilerplate", "dsir_weights",
+                    "domain_percentile_cut", "global_shuffle"],
+    # dedup_paragraphs + apply_bpe + pack_sequences as one oracled flow
+    "curation_v2": ["dedup_paragraphs", "bpe_apply", "pack_sequences"],
+    # exact_dedup + minhash_lsh_pairs + duplicate_clusters +
+    # language_id + quality_features chained and hash-checked
+    "curation_pipeline": ["dedup_exact", "dedup_minhash",
+                          "dedup_clusters", "text_langid",
+                          "text_quality"],
+}
+
+
 def _verification_history() -> dict[str, tuple[int | None, int | None]]:
     """gate -> (latest green round, latest red round) from the driver's
-    CORRECTNESS_r*.json ledger (same parse as tools/verified_age.py)."""
+    CORRECTNESS_r*.json ledger, with _COVERS composite greens folded
+    into their sub-gates (tools/verified_age.py reuses this)."""
     import glob
     import json
     import re as _re
@@ -3937,6 +3964,22 @@ def _verification_history() -> dict[str, tuple[int | None, int | None]]:
             else:
                 r = rnd if r is None else max(r, rnd)
             hist[gate] = (g, r)
+    # fold composite coverage into sub-gate ages (rotation freshness
+    # only): bump a sub-gate's green round to the covering composite's
+    # — but never resurrect a red-after-green gate (its own oracle
+    # failed; the composite can't clear that) and never touch a gate
+    # with no direct row yet (rule 2 must still give it a first row).
+    for comp, subs in _COVERS.items():
+        cg, cr = hist.get(comp, (None, None))
+        if cg is None or (cr is not None and cr > cg):
+            continue  # composite itself not currently green
+        for sub in subs:
+            sg, sr = hist.get(sub, (None, None))
+            if sg is None:            # never directly verified
+                continue
+            if sr is not None and sr > sg:
+                continue              # regressed: keep rule-3 priority
+            hist[sub] = (max(sg, cg), sr)
     return hist
 
 

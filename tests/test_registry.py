@@ -241,3 +241,65 @@ def test_bench_canary_verdict_edges():
     # clean window: no note at all
     c = verdict(good, good)
     assert c["degraded"] is False and "note" not in c
+
+
+def test_covers_pairs_share_an_implementing_operator():
+    """_COVERS honesty contract: a composite may refresh a sub-gate's
+    rotation age ONLY if its q_ function actually references an
+    operator function (defined under zdb_spark/operators/) that the
+    sub-gate's q_ function also references — i.e. the composite really
+    executes the code the sub-gate gates."""
+    import os
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tools = os.path.join(root, "tools")
+    _sys.path.insert(0, tools)
+    try:
+        import changed_gates as cg
+    finally:
+        _sys.path.remove(tools)
+
+    entry_fns = cg._functions("__spark_entry__.py")
+    op_names = set()
+    op_dir = os.path.join(root, "zdb_spark", "operators")
+    for f in os.listdir(op_dir):
+        if f.endswith(".py"):
+            op_names.update(cg._functions(f"zdb_spark/operators/{f}"))
+    gate_fn = {n: fn.__name__ for n, fn in entry_mod._QUERY_DECLARATIONS}
+
+    for comp, subs in entry_mod._COVERS.items():
+        assert comp in gate_fn, f"_COVERS composite {comp!r} not a gate"
+        comp_refs = entry_fns[gate_fn[comp]][2] & op_names
+        for sub in subs:
+            assert sub in gate_fn, f"_COVERS sub {sub!r} not a gate"
+            sub_refs = entry_fns[gate_fn[sub]][2] & op_names
+            shared = comp_refs & sub_refs
+            assert shared, (f"_COVERS pair ({comp}, {sub}) shares no "
+                            f"operator function — coverage claim false")
+
+
+def test_coverage_never_clears_red_or_first_row(monkeypatch, tmp_path):
+    """Coverage semantics: a composite green must bump a sub-gate's
+    green age, but never resurrect a red-after-green sub-gate and never
+    touch a gate with no direct row."""
+    import json
+    import os
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(
+        {"compo": g, "fresh_sub": g, "red_sub": g}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(
+        {"red_sub": r}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(
+        {"compo": g}))
+
+    monkeypatch.setattr(entry_mod.os.path, "dirname",
+                        lambda _p: str(tmp_path))
+    monkeypatch.setattr(entry_mod, "_COVERS",
+                        {"compo": ["fresh_sub", "red_sub", "never_sub"]})
+    hist = entry_mod._verification_history()
+    assert hist["fresh_sub"] == (3, None)      # bumped by compo's r3
+    assert hist["red_sub"] == (1, 2)           # red preserved, no bump
+    assert "never_sub" not in hist             # no direct row -> untouched

@@ -55,7 +55,10 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     gates = list(entry_mod.queries())
-    hist = load_history(args.repo)
+    # the entry module's history is canonical: it folds _COVERS
+    # composite greens into sub-gate ages, exactly what the rotation
+    # sorts on.  load_history stays for a raw (coverage-free) view.
+    hist = entry_mod._verification_history()
 
     def sort_key(g: str):
         h = hist.get(g)
@@ -80,6 +83,21 @@ def main() -> int:
             status = f"r{h[0]}"
         pos = str(window.get(g, "-"))
         print(f"{g:34s} {status:>16s}  {pos}")
+
+    # headline staleness number (round-10 verdict #8's done-criterion):
+    # max green-age among verified-and-green gates, relative to the
+    # newest ledger round, EXCLUDING gates already queued in this
+    # round's window (they are about to refresh).
+    rounds = [h[0] for h in hist.values() if h[0] is not None]
+    if rounds:
+        cur = max(max(rounds),
+                  max((h[1] or 0) for h in hist.values()))
+        ages = [cur - h[0] for g, h in hist.items()
+                if h[0] is not None and g not in window
+                and not (h[1] is not None and h[1] > h[0])]
+        if ages:
+            print(f"\nmax green-age outside this round's window: "
+                  f"{max(ages)} round(s) (current=r{cur})")
     return 0
 
 

@@ -2201,6 +2201,52 @@ class TestPCA:
         assert v0 > v1                       # variance-ordered
         assert evs[0] > evs[1] > 0
 
+    def test_covariance_gram_matches_exact(self, spark):
+        """The large-d gram path (per-partition BLAS matmul partials)
+        must agree with the decimal-exact posexplode path to 1e-9 —
+        same cells, same combine, only the accumulation differs."""
+        import numpy as np
+
+        from zdb_spark.operators.similarity import embedding_covariance
+
+        rng = np.random.default_rng(21)
+        x = rng.normal(size=(300, 12)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(x)],
+            "vec_id long, embedding array<float>").repartition(7)
+        exact = {(r.i, r.j): r.cov for r in
+                 embedding_covariance(df, dim=12).collect()}
+        gram = {(r.i, r.j): r.cov for r in
+                embedding_covariance(df, dim=12,
+                                     method="gram").collect()}
+        assert set(exact) == set(gram) and len(exact) == 144
+        worst = max(abs(exact[k] - gram[k]) for k in exact)
+        assert worst < 1e-9, worst
+        # numpy ground truth for both
+        cov_np = np.cov(np.asarray(x, dtype=np.float64).T, bias=True)
+        worst_np = max(abs(exact[(i, j)] - cov_np[i, j])
+                       for i in range(12) for j in range(12))
+        assert worst_np < 1e-6, worst_np
+
+    def test_covariance_gram_ragged_and_null_vectors(self, spark):
+        import pytest as _pt
+
+        from zdb_spark.operators.similarity import embedding_covariance
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, None), (2, [3.0, 4.0])],
+            "vec_id long, embedding array<double>")
+        # NULL vectors are skipped (the exact path's posexplode drops
+        # them too): n must be 2
+        rows = embedding_covariance(df, dim=2, method="gram").collect()
+        assert len(rows) == 4
+        bad = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+        with _pt.raises(Exception, match="does not match dim"):
+            embedding_covariance(bad, dim=2, method="gram").collect()
+        with _pt.raises(ValueError, match="unknown method"):
+            embedding_covariance(df, dim=2, method="typo")
+
     def test_pca_sf001_literal_matches_live_training(self, spark):
         """The embedding_pca oracle embeds sf0.01-trained component
         LITERALS (_PCA_SF001_COMPONENTS) because SQL cannot run eigh;

@@ -1290,9 +1290,53 @@ def int8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
               .limit(k))
 
 
+def _gram_partial_sums(df: DataFrame, vec_col: str, dim: int):
+    """Per-partition Gram partials for embedding_covariance's large-d
+    path: each Arrow partition yields ONE (d²+d)-row frame —
+    ``__idx < d²`` carries ``(Vᵀ·V).ravel()``, the tail d carries the
+    column sums, ``__n`` the partition's row count — computed by a
+    single BLAS matmul per partition.  Bounded state: one d×d float64
+    per task regardless of partition size.  Ragged/short vectors fail
+    loudly (numpy stack raises on mixed lengths; an explicit check
+    covers the all-same-but-wrong-length case)."""
+    import pandas as pd
+
+    def gram(batches):
+        S = np.zeros((dim, dim))
+        m = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [v for v in pdf[vec_col] if v is not None]
+            if not rows:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in rows])
+            if V.ndim != 2 or V.shape[1] != dim:
+                raise ValueError(
+                    f"embedding_covariance: vector of length "
+                    f"{V.shape[-1] if V.ndim == 2 else 'ragged'} "
+                    f"does not match dim={dim}")
+            S += V.T @ V
+            m += V.sum(axis=0)
+            n += V.shape[0]
+        if n:
+            yield pd.DataFrame({
+                "__idx": np.arange(dim * dim + dim, dtype=np.int64),
+                "__s": np.concatenate([S.ravel(), m]),
+                "__n": np.int64(n)})
+
+    partials = df.select(vec_col).mapInPandas(
+        gram, "__idx long, __s double, __n long")
+    return (partials.groupBy("__idx")
+            .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n")))
+
+
 def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
                          dim: int | None = None,
-                         round_dp: int = 6) -> DataFrame:
+                         round_dp: int = 6,
+                         method: str = "exact") -> DataFrame:
     """Distributed population covariance matrix of the embedding corpus
     — the d×d sufficient statistic PCA/whitening needs, as (i, j, cov)
     rows.
@@ -1319,7 +1363,24 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
     Magnitude guard: 38−12 = 26 integer digits of headroom means the
     sum stays exact up to ~1e26, i.e. 1e12 rows of unit-scale products
     — far past 100 TB of embeddings.
+
+    ``method``: ``"exact"`` (default, the oracle-gated path above) or
+    ``"gram"`` — the LARGE-d path.  The exact path materializes a d²
+    array PER ROW before the explode (d=1024 → 8 MB/row: Tungsten row
+    buffers and explode amortization fall over), so for d ≥ ~512 the
+    gram path instead computes each Arrow partition's Gram matrix
+    ``Vᵀ·V`` with one BLAS matmul via ``mapInPandas`` and emits ONE
+    (d²+d)-row partial per partition — per-task memory is a single
+    d×d float64 (8 MB at d=1024, independent of rows), the shuffle is
+    (d²+d)·num_partitions rows, and the same broadcast mean-correction
+    combine finishes it.  Trade-off: per-partition float accumulation
+    makes the result deterministic only up to partitioning (~1e-12
+    relative), so the hash-gated default stays "exact"; tests pin the
+    two paths against each other at 1e-9.
     """
+    if method not in ("exact", "gram"):
+        raise ValueError(f"embedding_covariance: unknown method "
+                         f"{method!r} (exact|gram)")
     from .dedup import let
 
     if dim is None:
@@ -1334,21 +1395,24 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
     # would land in the WRONG (i, j) cells under the global d decode —
     # silently corrupting the matrix.  Refuse loudly (row-local check,
     # the hyperplane_signature recipe).
-    checked = F.when(
-        F.size(F.col(vec_col)) != dim,
-        F.raise_error(F.concat(
-            F.lit("embedding_covariance: vector of length "),
-            F.size(F.col(vec_col)).cast("string"),
-            F.lit(f" does not match dim={dim}")))
-        .cast("array<double>")).otherwise(_as_double(F.col(vec_col)))
-    flat = let(checked, lambda x: F.concat(
-        F.flatten(F.transform(
-            x, lambda xi: F.transform(x, lambda xj: xi * xj))), x))
-    sums = (df.select(F.posexplode(flat).alias("__idx", "__val"))
-              .groupBy("__idx")
-              .agg(F.sum(F.col("__val").cast("decimal(38,12)"))
-                    .cast("double").alias("__s"),
-                   F.count(F.lit(1)).alias("__n")))
+    if method == "gram":
+        sums = _gram_partial_sums(df, vec_col, dim)
+    else:
+        checked = F.when(
+            F.size(F.col(vec_col)) != dim,
+            F.raise_error(F.concat(
+                F.lit("embedding_covariance: vector of length "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(f" does not match dim={dim}")))
+            .cast("array<double>")).otherwise(_as_double(F.col(vec_col)))
+        flat = let(checked, lambda x: F.concat(
+            F.flatten(F.transform(
+                x, lambda xi: F.transform(x, lambda xj: xi * xj))), x))
+        sums = (df.select(F.posexplode(flat).alias("__idx", "__val"))
+                  .groupBy("__idx")
+                  .agg(F.sum(F.col("__val").cast("decimal(38,12)"))
+                        .cast("double").alias("__s"),
+                       F.count(F.lit(1)).alias("__n")))
     d = F.lit(dim)
     prods = (sums.where(F.col("__idx") < d * d)
              .select((F.col("__idx") / d).cast("int").alias("i"),
@@ -1369,7 +1433,8 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
 
 
 def pca_components(df: DataFrame, q: int, vec_col: str = "embedding", *,
-                   round_dp: int = 6) -> tuple[np.ndarray, np.ndarray]:
+                   round_dp: int = 6,
+                   method: str = "exact") -> tuple[np.ndarray, np.ndarray]:
     """Top-``q`` principal components of the embedding corpus:
     distributed covariance (``embedding_covariance``, one corpus pass)
     + driver-side ``numpy.linalg.eigh`` on the d×d matrix — the same
@@ -1383,7 +1448,8 @@ def pca_components(df: DataFrame, q: int, vec_col: str = "embedding", *,
     reproducibility.  Returns (components [q×d], explained_variance
     [q]), both rounded to ``round_dp``.
     """
-    rows = embedding_covariance(df, vec_col, round_dp=round_dp).collect()
+    rows = embedding_covariance(df, vec_col, round_dp=round_dp,
+                                method=method).collect()
     d = max(r["i"] for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:

@@ -2403,6 +2403,50 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "channels", "mean_luma")
 
 
+def _synth_jpeg_batches(batches):
+    """Per-doc solid-GRAY baseline JPEGs, closed-form in doc_id, at
+    QUALITY 75 — chosen because the scaled Annex-K luma DC quantizer is
+    exactly 8 there, which cancels the 8x DC gain of a flat block: the
+    full encode->decode roundtrip (huffman stream, DCT, dequant, IDCT)
+    reconstructs the input value EXACTLY, so the oracle is closed-form
+    with zero float-rounding hazard.  Odd dimensions exercise edge
+    padding; alternating restart intervals exercise RSTn handling."""
+    import pandas as _pd
+
+    from zdb_spark.operators.jpeg import jpeg_encode_pixels
+    import numpy as _np
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            w, h = 8 + i % 9, 8 + (i * 3) % 7
+            v = 40 + (i * 29) % 173
+            px = _np.full((h, w), v, dtype=_np.uint8)
+            rows.append((i, jpeg_encode_pixels(
+                px, quality=75, restart_interval=(0, 2)[i % 2])))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, no imaging library (jpeg.py — the
+    numpy ITU-T T.81 codec closing the round-10 'non-PNG still formats'
+    gap): per doc a solid-gray JPEG (dims/value/restart layout all
+    closed-form in doc_id) is ENCODED by the codec, then
+    decode_images(decoder='jpeg') huffman-decodes the entropy stream,
+    dequantizes, runs the IDCT, and recovers width/height/channels/
+    mean-luma.  The oracle computes the same values from doc_id — exact
+    because quality-75's DC quantizer (8) cancels the flat-block DC
+    gain (see _synth_jpeg_batches)."""
+    from zdb_spark.operators.multimodal import decode_images
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(_synth_jpeg_batches, "doc_id long, blob binary"))
+    out = decode_images(docs, "blob", "doc_id", decoder="jpeg")
+    return out.select(F.col("id").alias("doc_id"), "fmt", "width",
+                      "height", "channels", "mean_luma")
+
+
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL resize + feature-extract chain, no imaging library: each
     closed-form solid PNG fixture is decoded, nearest-neighbor resampled
@@ -3766,6 +3810,11 @@ _CHANGED_THIS_ROUND = [
     "curation_v3",        # same (composes the chrome strip)
     "knn_int8",           # int8_topk grew the codes_df= materialized path
     "embedding_quantize",  # quantize_embeddings callers re-checked with it
+    "multimodal_png",     # decode_images grew jpeg/auto decoders (shared
+                          # dispatch map touched; png path unchanged)
+    "multimodal_decode",  # same (decode_images dispatch)
+    "multimodal_resize",  # resize_images now magic-sniffs png vs jpeg
+    "stream_decode",      # same decode_images dispatch in streaming
 ]
 
 _QUERY_DECLARATIONS: list[
@@ -3890,6 +3939,7 @@ _QUERY_DECLARATIONS: list[
     ("funnel6", q_funnel6),
     ("table_lifecycle", q_table_lifecycle),
     ("multimodal_png", q_multimodal_png),
+    ("multimodal_jpeg", q_multimodal_jpeg),
     ("semantic_dedup", q_semantic_dedup),
     ("dedup_spans", q_dedup_spans),
     ("multimodal_wav", q_multimodal_wav),
@@ -5466,6 +5516,15 @@ def oracle_sql() -> dict[str, str]:
     # from doc_id; Spark must recover them by actually decoding bytes.
     # Luma uses the same Rec.601-over-255 expression as png_decode, whose
     # integer-exact channel means make both sides bit-identical.
+    sqls["multimodal_jpeg"] = """
+        SELECT doc_id,
+               'jpeg' AS fmt,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + (doc_id * 3) % 7 AS INT) AS height,
+               CAST(1 AS INT) AS channels,
+               round((40 + (doc_id * 29) % 173) / 255.0, 6) AS mean_luma
+        FROM documents
+    """
     sqls["multimodal_png"] = """
         SELECT doc_id,
                'png' AS fmt,

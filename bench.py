@@ -67,6 +67,7 @@ HEADLINE = [
     "lm_score",           # corpus-trained bigram LM train+score
     "funnel6",            # 6-step funnel: 5 asof transitions, 1 final agg
     "multimodal_png",     # REAL stdlib PNG decode over mapInPandas
+    "multimodal_jpeg",    # real baseline-JPEG decode (numpy codec)
     "dedup_spans",        # 0-mod-p char-fingerprint span overlap
     "semantic_dedup",     # SemDeDup cluster-local embedding dedup
     "dedup_paragraphs",   # sub-document dedup + rewrite (window election)

@@ -1182,6 +1182,111 @@ class TestMultimodal:
         assert abs(got["duration"] - n / 5.0) < 0.3
 
 
+class TestJpegCodec:
+    """Baseline JPEG codec (jpeg.py — numpy only, ITU-T T.81): encode/
+    decode roundtrips within quantization error across subsampling and
+    restart layouts, loud rejection of progressive streams, and the
+    Spark decode/resize integration."""
+
+    def _gradient(self, h=48, w=64):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[..., 0] = (xx * 4) % 256
+        px[..., 1] = (yy * 5) % 256
+        px[..., 2] = ((xx + yy) * 3) % 256
+        return px
+
+    def test_roundtrip_444_420_restart(self):
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode_pixels)
+
+        px = self._gradient()
+        for sub, bound in (("444", 4.0), ("420", 10.0)):
+            for ri in (0, 2):
+                enc = jpeg_encode_pixels(px, quality=90, subsampling=sub,
+                                         restart_interval=ri)
+                dec = jpeg_decode_pixels(enc)
+                assert dec.shape == px.shape
+                err = np.abs(dec.astype(int) - px.astype(int)).mean()
+                assert err < bound, (sub, ri, err)
+
+    def test_grayscale_and_solid(self):
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode,
+                                              jpeg_decode_pixels,
+                                              jpeg_encode,
+                                              jpeg_encode_pixels)
+
+        smooth = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (32, 1))
+        dec = jpeg_decode_pixels(jpeg_encode_pixels(smooth, quality=95))
+        assert dec.shape == smooth.shape
+        assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 2
+        fmt, w, h, c, luma = jpeg_decode(jpeg_encode(20, 12, (128,)))
+        assert (fmt, w, h, c) == ("jpeg", 20, 12, 1)
+        assert abs(luma - 128 / 255) < 0.03
+        fmt, w, h, c, _ = jpeg_decode(jpeg_encode(9, 7, (10, 200, 60)))
+        assert (fmt, w, h, c) == ("jpeg", 9, 7, 3)  # non-multiple-of-8
+
+    def test_progressive_rejected_loudly(self):
+        import pytest as _pt
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode)
+
+        blob = bytearray(jpeg_encode(16, 16, (50,)))
+        idx = bytes(blob).find(b"\xff\xc0")
+        blob[idx + 1] = 0xC2                      # SOF0 -> SOF2
+        with _pt.raises(NotImplementedError, match="baseline"):
+            jpeg_decode_pixels(bytes(blob))
+        with _pt.raises(ValueError, match="SOI"):
+            jpeg_decode_pixels(b"not a jpeg")
+
+    def test_decode_images_jpeg_and_auto(self, spark):
+        from zdb_spark.operators.jpeg import jpeg_encode
+        from zdb_spark.operators.multimodal import (decode_images,
+                                                    gif_encode,
+                                                    png_encode)
+
+        rows = [(1, jpeg_encode(24, 16, (100, 150, 200))),
+                (2, jpeg_encode(8, 8, (30,)))]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = {r.id: r for r in decode_images(
+            df, "blob", "id", decoder="jpeg").collect()}
+        assert (out[1].fmt, out[1].width, out[1].height,
+                out[1].channels) == ("jpeg", 24, 16, 3)
+        assert out[2].channels == 1
+        # auto: mixed png/jpeg/gif corpus, every format really decoded
+        mixed = spark.createDataFrame(
+            [(1, png_encode(5, 4, (9, 8, 7), 2)),
+             (2, jpeg_encode(16, 16, (128,))),
+             (3, gif_encode(6, 3, [((255, 0, 0), 4)]))],
+            "id long, blob binary")
+        got = {r.id: r.fmt for r in decode_images(
+            mixed, "blob", "id", decoder="auto").collect()}
+        assert got == {1: "png", 2: "jpeg", 3: "gif"}
+
+    def test_resize_images_handles_jpeg(self, spark):
+        from zdb_spark.operators.jpeg import jpeg_encode
+        from zdb_spark.operators.multimodal import (decode_images,
+                                                    png_encode,
+                                                    resize_images)
+
+        df = spark.createDataFrame(
+            [(1, jpeg_encode(32, 24, (200, 40, 90))),
+             (2, png_encode(10, 10, (1, 2, 3), 2))],
+            "id long, blob binary")
+        resized = resize_images(df, 7, 5, "blob", "id")
+        out = {r.id: r for r in decode_images(
+            resized, "blob", "id", decoder="auto").collect()}
+        assert (out[1].fmt, out[1].width, out[1].height) == ("jpeg", 7, 5)
+        assert (out[2].fmt, out[2].width, out[2].height) == ("png", 7, 5)
+
+
 class TestParagraphDedup:
     def test_drops_later_duplicates_and_rebuilds(self, spark):
         from zdb_spark.operators.dedup import dedup_paragraphs

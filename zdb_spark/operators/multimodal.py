@@ -9,11 +9,14 @@ Design (BASELINE.json north star):
   over Arrow batches: the batch shape (pandas Series of bytes) is the
   unit of vectorization, and output schemas are fixed up front so the
   pipeline is plan-able.
-- Codecs come in three tiers.  ``decoder="png"`` is a REAL decoder built
+- Codecs come in tiers.  ``decoder="png"`` is a REAL decoder built
   on nothing but the stdlib (``zlib`` inflate + scanline unfiltering per
-  the PNG spec), so genuine image decoding is testable in this container
-  with zero extra dependencies.  ``decoder="pil"`` is the wired
-  general-format slot (JPEG/GIF/…): real PIL code, raising
+  the PNG spec); ``decoder="jpeg"`` is a REAL baseline-JPEG decoder
+  (numpy-only, jpeg.py — ITU-T T.81, tables read from the stream);
+  ``decoder="auto"`` magic-sniffs PNG/JPEG/GIF and really decodes all
+  three, so genuine image decoding is testable in this container with
+  zero extra dependencies.  ``decoder="pil"`` is the wired
+  general-format slot (TIFF/WebP/…): real PIL code, raising
   ``NotImplementedError`` only when PIL is absent (it is not installed
   in this container).  ``decoder="fake"`` (default) is a deterministic
   hash-derived stand-in kept so the plumbing path stays oracle-checkable
@@ -38,6 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "sample_frames", "png_encode", "png_decode",
            "png_encode_pixels", "png_resize", "png_features",
+           "jpeg_resize",
            "resize_images", "image_features",
            "wav_encode", "wav_decode", "decode_audio",
            "wav_resample", "wav_features", "resample_audio",
@@ -289,14 +293,32 @@ def png_features(payload: bytes) -> tuple[int, int, int, float, float,
             round(dark / n, 6))
 
 
+def jpeg_resize(payload: bytes, out_w: int, out_h: int,
+                quality: int = 85) -> bytes:
+    """Real JPEG resize: baseline decode (jpeg.py), nearest-neighbor
+    resample, re-encode 4:4:4 at ``quality`` — the png_resize analogue
+    for the web's dominant format."""
+    import numpy as np
+
+    from .jpeg import jpeg_decode_pixels, jpeg_encode_pixels
+
+    px = jpeg_decode_pixels(payload)
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    resized = px[ys][:, xs]
+    return jpeg_encode_pixels(resized, quality=quality)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   blob_col: str = "blob", id_col: str = "id",
                   target_partitions: int | None = None) -> DataFrame:
     """Distributed image resize (blob -> blob) over Arrow batches: each
-    PNG is really decoded, nearest-neighbor resampled, and re-encoded —
-    output rows are (id, blob, width, height) ready for further decode/
+    blob is really decoded (magic-sniffed: PNG via png_resize, JPEG via
+    jpeg_resize), nearest-neighbor resampled, and re-encoded — output
+    rows are (id, blob, width, height) ready for further decode/
     feature stages (the resized blob round-trips through the same
-    codec)."""
+    codec family)."""
     src = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
     if target_partitions:
         src = src.repartition(target_partitions, "id")
@@ -305,9 +327,12 @@ def resize_images(df: DataFrame, width: int, height: int,
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["blob"]):
-                rows.append((int(i), png_resize(bytes(payload),
-                                                width, height),
-                             width, height))
+                raw = bytes(payload)
+                if raw[:3] == b"\xff\xd8\xff":
+                    blob = jpeg_resize(raw, width, height)
+                else:
+                    blob = png_resize(raw, width, height)
+                rows.append((int(i), blob, width, height))
             yield pd.DataFrame(rows, columns=["id", "blob", "width",
                                               "height"])
 
@@ -587,7 +612,38 @@ def _pil_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         return (fmt, w, h, nch, round(luma, 6))
 
 
-_DECODERS = {"fake": _fake_decode, "png": png_decode, "pil": _pil_decode}
+def _jpeg_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """REAL baseline-JPEG decode — numpy-only codec in jpeg.py (ITU-T
+    T.81 Annex K), closing the round-10 'non-PNG still formats' gap the
+    same from-scratch way as the PNG/WAV/GIF codecs.  Progressive /
+    arithmetic streams raise NotImplementedError loudly."""
+    from .jpeg import jpeg_decode
+
+    return jpeg_decode(payload)
+
+
+def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """Magic-sniffed real decode: PNG / baseline JPEG / GIF by file
+    signature, loud ValueError for anything else (a silent fake on an
+    unknown format would poison downstream features)."""
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return _jpeg_decode(payload)
+    if payload[:4] == b"GIF8":
+        _fmt, w, h, _nframes, _dur = gif_decode(payload)
+        # decode_images contract wants (channels, mean_luma): GIF
+        # palettes decode to RGB; luma comes from the first frame
+        luma = gif_frames(payload)[0][4]
+        return ("gif", w, h, 3, luma)
+    raise ValueError(
+        f"decoder='auto': unrecognized image signature "
+        f"{payload[:4]!r} (png/jpeg/gif supported)")
+
+
+_DECODERS = {"fake": _fake_decode, "png": png_decode,
+             "jpeg": _jpeg_decode, "auto": _auto_decode,
+             "pil": _pil_decode}
 
 
 def decode_images(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
@@ -597,9 +653,12 @@ def decode_images(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
     ``mapInPandas`` over Arrow batches.
 
     ``decoder="png"`` really decodes (stdlib zlib + unfiltering);
-    ``decoder="pil"`` really decodes any PIL-supported format when PIL is
-    installed (NotImplementedError here — it isn't); ``decoder="fake"``
-    is the deterministic hash stub for engine-agnostic oracle checks.
+    ``decoder="jpeg"`` really decodes baseline JPEG (numpy codec in
+    jpeg.py); ``decoder="auto"`` magic-sniffs and really decodes
+    PNG/JPEG/GIF; ``decoder="pil"`` really decodes any PIL-supported
+    format when PIL is installed (NotImplementedError here — it isn't);
+    ``decoder="fake"`` is the deterministic hash stub for
+    engine-agnostic oracle checks.
     """
     if decoder not in _DECODERS:
         raise ValueError(f"unknown decoder {decoder!r}")

@@ -400,10 +400,6 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
     # per-component zigzagged block GRIDS sized to the MCU lattice
     grids = []
     for ci, p in enumerate(planes):
-        cw = -(-(w * hv[ci][0]) // hmax) if ci else w
-        ch = -(-(h * hv[ci][1]) // vmax) if ci else h
-        if sub and ci:
-            cw, ch = planes[ci].shape[1], planes[ci].shape[0]
         gw, gh = mcux * hv[ci][0], mcuy * hv[ci][1]
         plane = np.clip(p, 0, 255).astype(np.uint8)
         plane = np.pad(plane, ((0, gh * 8 - plane.shape[0]),
@@ -600,7 +596,6 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
     full = []
     for si, (comp, _, _) in enumerate(scan):
         p = planes[si]
-        ry, rx = hmax // comp["h"], vmax // comp["v"]
         rx, ry = hmax // comp["h"], vmax // comp["v"]
         if rx > 1 or ry > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)

@@ -3009,6 +3009,48 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).alias("sum_chars")))
 
 
+def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard export ROUND TRIP (the multimodal
+    training layout: ``{key}.{ext}`` members in hash-sharded tars,
+    sources/writers.py:export_tar_shards): two closed-form text members
+    per doc are exported to 8 shard tars (byte-deterministic: pinned
+    tar metadata, sorted keys, fixed member order), then streamed BACK
+    by read_tar_shards.  The output row per member carries the member's
+    POSITION in its shard, so the oracle — which recomputes shard
+    assignment (the engine-wide md5 recipe), content md5, and the
+    rank-derived position from the source table alone — certifies
+    membership, content integrity, AND deterministic ordering."""
+    import tempfile
+
+    from zdb_spark.sources.writers import (export_tar_shards,
+                                           read_tar_shards)
+
+    key = _key_for(sf_dir, "export-wds-v1", ("documents",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_export_wds", key)
+    if not os.path.exists(os.path.join(root, "_manifest.json")):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        docs = _load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string"),
+                     F.lit("-"),
+                     F.repeat(F.lit("x"), (F.col("doc_id") % 97)
+                              .cast("int"))).alias("txt"),
+            F.concat(F.lit("cap-"), F.col("doc_id").cast("string"))
+             .alias("cap"))
+        scratch = root + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        export_tar_shards(docs, scratch, n_shards=8, key_col="doc_id",
+                          members={"txt": "txt", "cap": "cap"})
+        os.rename(scratch, root)
+    back = read_tar_shards(spark, root)
+    return back.select(F.col("key").cast("long").alias("doc_id"),
+                       "ext", "shard", "pos",
+                       F.md5(F.col("content").cast("string"))
+                        .alias("content_md5"))
+
+
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URLs (uppercase scheme/host, www, default
     port, tracking param, fragment) derived from doc_id — both engines
@@ -3822,6 +3864,7 @@ _QUERY_DECLARATIONS: list[
     ("pack_sequences", q_pack_sequences),
     ("corpus_report", q_corpus_report),
     ("export_shards", q_export_shards),
+    ("export_webdataset", q_export_webdataset),
     ("multimodal_video", q_multimodal_video),
     ("skew_stress", q_skew_stress),
     ("manifest_stress", q_manifest_stress),
@@ -5170,6 +5213,29 @@ def oracle_sql() -> dict[str, str]:
     # Sharded-export round trip: the oracle recomputes the shard
     # assignment (same md5 recipe as hash_split) straight from the
     # source table; Spark must recover it from re-read JSONL dirs.
+    sqls["export_webdataset"] = r"""
+        WITH s AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 % 8 AS shard,
+                   'doc-' || CAST(doc_id AS VARCHAR) || '-'
+                       || repeat('x', CAST(doc_id % 97 AS INT)) AS txt,
+                   'cap-' || CAST(doc_id AS VARCHAR) AS cap
+            FROM documents
+        ), r AS (
+            SELECT doc_id, shard, txt, cap,
+                   row_number() OVER (PARTITION BY shard
+                       ORDER BY CAST(doc_id AS VARCHAR)) - 1 AS rk
+            FROM s
+        )
+        SELECT doc_id, 'txt' AS ext, CAST(shard AS INT) AS shard,
+               CAST(rk * 2 AS INT) AS pos, md5(txt) AS content_md5
+        FROM r
+        UNION ALL
+        SELECT doc_id, 'cap', CAST(shard AS INT),
+               CAST(rk * 2 + 1 AS INT), md5(cap)
+        FROM r
+    """
     sqls["export_shards"] = r"""
         SELECT CAST(('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
                                     1, 8))::BIGINT % 10000 % 8 AS INT)

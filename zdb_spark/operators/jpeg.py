@@ -157,7 +157,7 @@ class _BitWriter:
             if byte == 0xFF:          # byte stuffing
                 self.buf.append(0x00)
 
-    def flush(self) -> bytes:
+    def finish(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)   # pad with 1s per spec
@@ -193,7 +193,7 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
-    def bits(self, n: int) -> int:
+    def read_bits(self, n: int) -> int:
         while self.nbits < n:
             self._fill()
         self.nbits -= n
@@ -254,11 +254,11 @@ class _HuffDecoder:
                 self.maxcode[length] = code - 1
             code <<= 1
 
-    def decode(self, br: _BitReader) -> int:
-        code = br.bits(1)
+    def decode_symbol(self, br: _BitReader) -> int:
+        code = br.read_bits(1)
         length = 1
         while code > self.maxcode[length]:
-            code = (code << 1) | br.bits(1)
+            code = (code << 1) | br.read_bits(1)
             length += 1
             if length > 16:
                 raise ValueError("invalid Huffman code")
@@ -414,7 +414,7 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
         for mx in range(mcux):
             if restart_interval and mcu_index and \
                     mcu_index % restart_interval == 0:
-                out += bw.flush()
+                out += bw.finish()
                 bw = _BitWriter()
                 out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
@@ -427,7 +427,7 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
                         zz = grids[ci][my * hv[ci][1] + by,
                                        mx * hv[ci][0] + bx]
                         preds[ci] = _emit_block(bw, zz, preds[ci], dc, ac)
-    out += bw.flush()
+    out += bw.finish()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
 
@@ -558,13 +558,13 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         zz = np.zeros(64, dtype=np.float64)
-                        t = dch.decode(br)
-                        diff = _extend(br.bits(t), t) if t else 0
+                        t = dch.decode_symbol(br)
+                        diff = _extend(br.read_bits(t), t) if t else 0
                         preds[si] += diff
                         zz[0] = preds[si]
                         k = 1
                         while k < 64:
-                            rs = ach.decode(br)
+                            rs = ach.decode_symbol(br)
                             r, s = rs >> 4, rs & 0x0F
                             if s == 0:
                                 if r == 15:
@@ -574,7 +574,7 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
                             k += r
                             if k > 63:
                                 raise ValueError("AC index overrun")
-                            zz[k] = _extend(br.bits(s), s)
+                            zz[k] = _extend(br.read_bits(s), s)
                             k += 1
                         coef = np.zeros(64)
                         coef[ZIGZAG] = zz * qt[ZIGZAG]

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..operators.curation import _BUCKETS, _hash_bucket
 
-__all__ = ["export_shards"]
+__all__ = ["export_shards", "export_tar_shards", "read_tar_shards"]
 
 _FMT_WRITERS = {"jsonl": "json", "json": "json", "parquet": "parquet",
                 "csv": "csv"}
@@ -111,3 +111,145 @@ def _write_manifest(spark, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+
+
+def export_tar_shards(df: DataFrame, path: str, n_shards: int,
+                      key_col: str, members: dict[str, str],
+                      salt: str = "v1") -> dict:
+    """WebDataset-style export: every sample becomes ``{key}.{ext}``
+    members inside deterministic hash shards ``shard-%06d.tar`` — the
+    tar-of-samples layout multimodal training dataloaders stream
+    (public format: Aizman et al.'s WebDataset convention; samples
+    grouped by key prefix, shards consumed whole-file-sequentially).
+
+    - ``members`` maps column name → member extension, in a FIXED order
+      (dict order = member order per sample): string columns are
+      written utf-8, binary columns pass through.
+    - Shard assignment is the engine-wide md5 recipe
+      (``md5(salt:key) % 10000 % n_shards`` — curation._hash_bucket),
+      so any engine with md5 can recompute membership.
+    - Determinism: one ``repartition(n_shards, shard)`` shuffle, a
+      ``sortWithinPartitions(shard, key)``, then a streaming
+      ``mapInPandas`` writer appends members in (key, member-order)
+      sequence with pinned tar metadata (mtime 0, uid/gid 0, mode
+      0o644) — byte-identical shards for identical input, any cluster.
+      Hash partitioning may give one task several whole shards, never
+      a shard split across tasks, so each tar has exactly one writer.
+    - Memory is O(Arrow batch): samples stream through open handles;
+      a shard is never materialized.
+    - ``path`` must be a filesystem the executors share (local in
+      tests; NFS/fuse on a cluster).  Object-store targets should
+      export locally and upload — tar append needs seekable files.
+
+    Returns (and persists as ``_manifest.json``) ``{"n_shards",
+    "salt", "rows", "members", "per_shard": {k: n_samples}}``.
+    Existing shard files under ``path`` raise — an interrupted export
+    must be cleaned, not silently appended to.
+    """
+    import glob as _glob
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if n_shards > _BUCKETS:
+        raise ValueError(f"n_shards must be <= {_BUCKETS}")
+    if not members:
+        raise ValueError("members must map >= 1 column to an extension")
+    os.makedirs(path, exist_ok=True)
+    if _glob.glob(os.path.join(path, "shard-*.tar")):
+        raise FileExistsError(f"shard files already present under {path}")
+
+    exts = list(members.values())
+    cols = list(members.keys())
+    shard = (_hash_bucket(key_col, salt) % F.lit(n_shards)).alias("__shard")
+    src = (df.select(F.col(key_col).cast("string").alias("__key"),
+                     *cols, shard)
+             .repartition(n_shards, "__shard")
+             .sortWithinPartitions("__shard", "__key"))
+
+    def write_partition(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        handles: dict[int, tarfile.TarFile] = {}
+        counts: dict[int, int] = {}
+        try:
+            for pdf in batches:
+                # plain tuples (name=None): itertuples would mangle the
+                # dunder-prefixed __key/__shard attribute names
+                for row in pdf.itertuples(index=False, name=None):
+                    key, vals, k = row[0], row[1:-1], int(row[-1])
+                    if k not in handles:
+                        handles[k] = tarfile.open(
+                            os.path.join(path, f"shard-{k:06d}.tar"),
+                            "w", format=tarfile.USTAR_FORMAT)
+                        counts[k] = 0
+                    for val, ext in zip(vals, exts):
+                        data = (val if isinstance(val, (bytes, bytearray))
+                                else str(val).encode("utf-8"))
+                        info = tarfile.TarInfo(name=f"{key}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        info.mode = 0o644
+                        handles[k].addfile(info, io.BytesIO(bytes(data)))
+                    counts[k] += 1
+        finally:
+            for h in handles.values():
+                h.close()
+        yield pd.DataFrame({"shard": list(counts), "n_samples":
+                            [counts[k] for k in counts]})
+
+    stats = src.mapInPandas(write_partition,
+                            "shard int, n_samples long").collect()
+    per_shard = {k: 0 for k in range(n_shards)}
+    for r in stats:
+        per_shard[int(r["shard"])] = int(r["n_samples"])
+    manifest = {"n_shards": n_shards, "salt": salt,
+                "rows": sum(per_shard.values()),
+                "members": dict(members),
+                "per_shard": per_shard}
+    _write_manifest(df.sparkSession, path, json.dumps(manifest))
+    return manifest
+
+
+def read_tar_shards(spark, path: str) -> DataFrame:
+    """Stream WebDataset shards back as (key, ext, content binary, pos,
+    shard) rows — one row per tar member, ``pos`` the member's index in
+    its shard (the writer's determinism makes it reproducible).
+
+    Scale shape: the driver lists only shard FILE NAMES (bounded by the
+    manifest's n_shards); each executor task opens its shard with
+    ``tarfile``'s streaming reader — a sequential read, no whole-shard
+    materialization, no binaryFile row holding a GB."""
+    import glob as _glob
+
+    names = sorted(os.path.basename(p) for p in
+                   _glob.glob(os.path.join(path, "shard-*.tar")))
+    if not names:
+        raise FileNotFoundError(f"no shard-*.tar under {path}")
+    files = spark.createDataFrame([(n,) for n in names], "fname string")
+
+    def read_file(batches):
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            for fname in pdf["fname"]:
+                shard = int(fname[len("shard-"):-len(".tar")])
+                rows = []
+                with tarfile.open(os.path.join(path, fname), "r|") as tf:
+                    for pos, info in enumerate(tf):
+                        key, _dot, ext = info.name.rpartition(".")
+                        rows.append((key, ext,
+                                     tf.extractfile(info).read(),
+                                     pos, shard))
+                yield pd.DataFrame(rows, columns=[
+                    "key", "ext", "content", "pos", "shard"])
+
+    return (files.repartition(len(names), "fname")
+            .mapInPandas(read_file, "key string, ext string, "
+                         "content binary, pos int, shard int"))

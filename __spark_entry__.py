@@ -3051,6 +3051,83 @@ def q_export_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("content_md5"))
 
 
+def _synth_c4_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line documents exercising every C4 line rule
+    (the corpus fixture has no newlines or punctuation): line A's word
+    count varies with doc_id (tripping the min-words rule), B lacks
+    terminal punctuation, C carries the javascript/cookies boilerplate
+    marker, D and F are clean keepers, and every 4th doc gains a
+    curly-brace line that flips the document gate.  Both engines build
+    the identical strings."""
+    i = F.col("doc_id")
+    line_a = F.concat(F.concat_ws(" ", F.array_repeat(
+        F.lit("alpha"), (F.lit(2) + i % 6).cast("int"))), F.lit(" end."))
+    line_b = F.lit("this never terminates properly so it drops")
+    line_c = F.lit("you must enable JavaScript to see cookies today.")
+    line_d = F.lit("the quick brown fox jumps over the lazy dog.")
+    line_f = F.lit("another proper sentence with enough words right here!")
+    line_e = F.lit("brace { inside this long sentence stays here.")
+    text = F.when(i % 4 == 0, F.concat_ws(
+        "\n", line_a, line_b, line_c, line_d, line_f, line_e)
+    ).otherwise(F.concat_ws("\n", line_a, line_b, line_c, line_d, line_f))
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-recipe line cleaning (Raffel et al. 2020) over deterministic
+    multi-line fixtures: terminal-punctuation + min-words + boilerplate
+    line filters, document rebuild, and the >=3-lines/no-brace document
+    gate, all value-checked (text.py:c4_line_clean).  The oracle
+    replays the construction and the filter in DuckDB list lambdas."""
+    from zdb_spark.operators.text import c4_line_clean
+
+    docs = _synth_c4_docs(_load(spark, sf_dir, "documents"))
+    out = c4_line_clean(docs, "text", "doc_id")
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("n_lines").cast("long").alias("n_lines"),
+                      F.col("n_kept").cast("long").alias("n_kept"),
+                      F.md5("clean_text").alias("clean_md5"),
+                      "c4_doc_ok")
+
+
+def _synth_gopher_docs(docs: DataFrame) -> DataFrame:
+    """Corpus text decorated to exercise each Gopher rule: every 7th
+    doc becomes a bullets-only stub (word-count + bullet rules), every
+    5th gains a 40-hash tail (symbol ratio — trips only for short
+    docs, so the flag VARIES), every 4th+1 gains three ellipsis lines
+    (ellipsis-line ratio), and every 3rd+2 gains a stop-word-rich prose
+    tail so the full conjunction passes for some docs.  Identical
+    construction in both engines."""
+    i = F.col("doc_id")
+    base = F.col("text")
+    decorated = F.when(i % 7 == 0, F.lit("- b1\n- b2\n- b3\n* b4")) \
+        .otherwise(F.concat(
+            base,
+            F.when(i % 5 == 0, F.lit("\n" + "#" * 40)).otherwise(F.lit("")),
+            F.when(i % 4 == 1, F.lit("\nto be continued...\nand more"
+                                     "...\nfinal line...")).otherwise(
+                F.lit("")),
+            F.when(i % 3 == 2, F.lit("\nand it is plain prose to read "
+                                     "for you that flows in the end"))
+             .otherwise(F.lit(""))))
+    return docs.select("doc_id", decorated.alias("text"))
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rules (Rae et al. 2021, table A1):
+    word-count bounds, mean word length, symbol/ellipsis ratios,
+    bullet-line share, stop-word presence — each flag value-checked per
+    document over decorated fixtures that make every rule fire both
+    ways (text.py:gopher_quality_flags)."""
+    from zdb_spark.operators.text import gopher_quality_flags
+
+    docs = _synth_gopher_docs(_load(spark, sf_dir, "documents"))
+    out = gopher_quality_flags(docs, "text", "doc_id")
+    return out.select("doc_id", "ok_word_count", "ok_mean_word_len",
+                      "ok_hash_ellipsis", "ok_bullets", "ok_stopwords",
+                      "gopher_ok")
+
+
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URLs (uppercase scheme/host, www, default
     port, tracking param, fragment) derived from doc_id — both engines
@@ -3865,6 +3942,8 @@ _QUERY_DECLARATIONS: list[
     ("corpus_report", q_corpus_report),
     ("export_shards", q_export_shards),
     ("export_webdataset", q_export_webdataset),
+    ("c4_clean", q_c4_clean),
+    ("gopher_rules", q_gopher_rules),
     ("multimodal_video", q_multimodal_video),
     ("skew_stress", q_skew_stress),
     ("manifest_stress", q_manifest_stress),
@@ -5213,6 +5292,112 @@ def oracle_sql() -> dict[str, str]:
     # Sharded-export round trip: the oracle recomputes the shard
     # assignment (same md5 recipe as hash_split) straight from the
     # source table; Spark must recover it from re-read JSONL dirs.
+    sqls["c4_clean"] = r"""
+        WITH src AS (
+            SELECT doc_id,
+                   trim(repeat('alpha ', CAST(2 + doc_id % 6 AS INT)))
+                       || ' end.' AS la,
+                   'this never terminates properly so it drops' AS lb,
+                   'you must enable JavaScript to see cookies today.'
+                       AS lc,
+                   'the quick brown fox jumps over the lazy dog.' AS ld,
+                   'another proper sentence with enough words right here!'
+                       AS lf,
+                   'brace { inside this long sentence stays here.' AS le
+            FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN concat_ws(chr(10), la, lb, lc, ld, lf, le)
+                        ELSE concat_ws(chr(10), la, lb, lc, ld, lf)
+                   END AS text
+            FROM src
+        ), l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines FROM d
+        ), k AS (
+            SELECT doc_id, len(lines) AS n_lines,
+                   list_filter(lines, x ->
+                       regexp_matches(x, '[.!?"]\s*$')
+                       AND len(string_split_regex(trim(x), '\s+')) >= 5
+                       AND NOT regexp_matches(
+                           lower(x), '(javascript|lorem ipsum|cookies)'))
+                       AS kept
+            FROM l
+        )
+        SELECT doc_id, n_lines, len(kept) AS n_kept,
+               md5(array_to_string(kept, chr(10))) AS clean_md5,
+               coalesce(len(kept) >= 3 AND NOT contains(
+                   array_to_string(kept, chr(10)), '{'), false)
+                   AS c4_doc_ok
+        FROM k
+    """
+    sqls["gopher_rules"] = r"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN '- b1' || chr(10) || '- b2' || chr(10)
+                             || '- b3' || chr(10) || '* b4'
+                        ELSE text
+                             || CASE WHEN doc_id % 5 = 0
+                                THEN chr(10) || repeat('#', 40)
+                                ELSE '' END
+                             || CASE WHEN doc_id % 4 = 1
+                                THEN chr(10) || 'to be continued...'
+                                     || chr(10) || 'and more...'
+                                     || chr(10) || 'final line...'
+                                ELSE '' END
+                             || CASE WHEN doc_id % 3 = 2
+                                THEN chr(10) || 'and it is plain prose '
+                                     || 'to read for you that flows '
+                                     || 'in the end'
+                                ELSE '' END
+                   END AS text
+            FROM documents
+        ), t AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM d
+        ), f AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CAST(list_sum(list_transform(toks, x -> len(x)))
+                        AS DOUBLE) / len(toks) AS mwl,
+                   len(text) AS n_chars,
+                   len(text) - len(replace(text, '#', '')) AS n_hash,
+                   len(lines) AS n_lines,
+                   len(list_filter(lines, x -> regexp_matches(
+                       x, '(\.\.\.|…)\s*$'))) AS n_ell,
+                   len(list_filter(lines, x -> regexp_matches(
+                       trim(x), '^[-*]'))) AS n_bul,
+                   len(list_intersect(list_distinct(toks),
+                       ['the', 'and', 'of', 'to', 'in', 'is', 'you',
+                        'that', 'it', 'for'])) AS n_stop
+            FROM t
+        )
+        SELECT doc_id,
+               coalesce(n_words BETWEEN 50 AND 100000, false)
+                   AS ok_word_count,
+               coalesce(mwl BETWEEN 3.0 AND 10.0, false)
+                   AS ok_mean_word_len,
+               coalesce(CAST(n_hash AS DOUBLE) / greatest(n_chars, 1)
+                            <= 0.1
+                        AND CAST(n_ell AS DOUBLE) / n_lines <= 0.3,
+                        false) AS ok_hash_ellipsis,
+               coalesce(CAST(n_bul AS DOUBLE) / n_lines <= 0.9, false)
+                   AS ok_bullets,
+               coalesce(n_stop >= 2, false) AS ok_stopwords,
+               coalesce(n_words BETWEEN 50 AND 100000, false)
+                   AND coalesce(mwl BETWEEN 3.0 AND 10.0, false)
+                   AND coalesce(CAST(n_hash AS DOUBLE)
+                                / greatest(n_chars, 1) <= 0.1
+                                AND CAST(n_ell AS DOUBLE) / n_lines
+                                    <= 0.3, false)
+                   AND coalesce(CAST(n_bul AS DOUBLE) / n_lines <= 0.9,
+                                false)
+                   AND coalesce(n_stop >= 2, false) AS gopher_ok
+        FROM f
+    """
     sqls["export_webdataset"] = r"""
         WITH s AS (
             SELECT doc_id,

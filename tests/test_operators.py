@@ -2394,3 +2394,77 @@ class TestPCA:
             strip_boilerplate_lines(df, sep="|")
         out = strip_repeated_lines(df, sep="\n").collect()[0]
         assert out.clean_text == "a.b"
+
+
+class TestCorpusFilterRules:
+    """C4 line cleaning (Raffel et al. 2020) and Gopher quality rules
+    (Rae et al. 2021) — the named public filter recipes."""
+
+    def test_c4_line_rules(self, spark):
+        from zdb_spark.operators.text import c4_line_clean
+
+        df = spark.createDataFrame([
+            (0, "A good long sentence that ends with punctuation.\n"
+                "no terminal punctuation here at all\n"
+                "short one.\n"
+                "Please enable javascript to continue reading this.\n"
+                "Another proper keeper sentence lives right here!"),
+            (1, None),
+            (2, "Only one decent sentence that survives the filter."),
+        ], "doc_id long, text string")
+        out = {r.id: r for r in c4_line_clean(df).collect()}
+        assert out[0].n_lines == 5 and out[0].n_kept == 2
+        assert "javascript" not in out[0].clean_text
+        assert "short one." not in out[0].clean_text
+        assert out[0].c4_doc_ok is False          # < 3 kept lines
+        assert out[1].clean_text is None and out[1].c4_doc_ok is False
+        assert out[2].n_kept == 1
+
+    def test_c4_doc_gate_brace(self, spark):
+        from zdb_spark.operators.text import c4_line_clean
+
+        good = "\n".join(
+            f"This is keeper sentence number {i} with many words." for i
+            in range(4))
+        out = c4_line_clean(spark.createDataFrame(
+            [(0, good), (1, good + "\nbrace { lives in this sentence.")],
+            "doc_id long, text string")).collect()
+        got = {r.id: r.c4_doc_ok for r in out}
+        assert got == {0: True, 1: False}
+
+    def test_gopher_flags(self, spark):
+        from zdb_spark.operators.text import gopher_quality_flags
+
+        prose = ("the cat and the dog ran to the park and it was good "
+                 "for you that day in every way " * 3)
+        rows = [
+            (0, prose + "word " * 20),                  # passes all
+            (1, "tiny doc."),                           # word count fails
+            (2, prose + "\n" + "#" * 400),              # hash ratio fails
+            (3, "- a\n- b\n- c\n- d"),                  # bullets fail
+            (4, None),                                  # all fail
+            (5, prose + "\nmore...\nagain...\nstill..."),  # ellipsis
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+        assert out[0].gopher_ok is True
+        assert out[1].ok_word_count is False
+        assert out[2].ok_hash_ellipsis is False
+        assert out[3].ok_bullets is False
+        assert all(v is False for v in [
+            out[4].ok_word_count, out[4].ok_stopwords, out[4].gopher_ok])
+        assert out[5].ok_hash_ellipsis is False
+        assert out[0].ok_stopwords is True
+
+    def test_rules_are_pure_projections(self, spark):
+        from zdb_spark.operators.text import (c4_line_clean,
+                                              gopher_quality_flags)
+        from zdb_spark.plans.inspect import scan_report
+
+        df = spark.createDataFrame([(0, "x.")],
+                                   "doc_id long, text string")
+        assert scan_report(c4_line_clean(df)).exchanges == 0
+        out = gopher_quality_flags(df)
+        assert scan_report(out).exchanges == 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan      # no UDFs — pure codegen HOFs

@@ -20,6 +20,7 @@ __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "normalize_url", "extract_domain",
            "strip_repeated_lines", "strip_boilerplate_lines",
            "strip_lines_against", "build_boilerplate_store",
+           "c4_line_clean", "gopher_quality_flags",
            "append_boilerplate_store", "chrome_lines",
            "LANG_MARKERS", "EN_STOPWORDS", "PII_PATTERNS"]
 
@@ -694,3 +695,104 @@ def chrome_lines(spark, path: str, min_docs: int = 3) -> DataFrame:
             .agg(F.sum("nd").alias("nd"))
             .where(F.col("nd") >= min_docs)
             .select("grp", "_h"))
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_words: int = 5,
+                  out_col: str = "clean_text") -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, the public C4
+    construction rules, line stage): keep only lines that end in a
+    terminal punctuation mark (. ! ? ") AND have at least ``min_words``
+    whitespace words AND do not mention javascript / cookie / lorem
+    ipsum boilerplate (case-insensitive), then rebuild the document.
+
+    Entirely row-local higher-order expressions — at 100 TB this is a
+    pure projection on the corpus scan, the same shape as
+    strip_repeated_lines.  Returns (id, n_lines, n_kept, clean_text,
+    c4_doc_ok) where ``c4_doc_ok`` applies the C4 document gates on the
+    CLEANED text: >= 3 surviving lines and no curly brace (the code
+    marker; the n-gram dedup stage is dedup_spans' job, not this one).
+    NULL text stays NULL with c4_doc_ok false.
+    """
+    from .dedup import let
+
+    lines = F.split(F.col(text_col), "\n")
+    bad = r"(?i)(javascript|lorem ipsum|cookies)"
+
+    def keep(ls: Column) -> Column:
+        return F.filter(ls, lambda x: (
+            x.rlike(r'[.!?"]\s*$')
+            & (F.size(F.split(F.trim(x), r"\s+")) >= min_words)
+            & ~x.rlike(bad)))
+
+    kept = let(lines, keep)
+    return (df.select(F.col(id_col).alias("id"),
+                      F.size(lines).alias("n_lines"),
+                      F.size(kept).alias("n_kept"),
+                      F.array_join(kept, "\n").alias(out_col))
+              .withColumn("c4_doc_ok",
+                          F.coalesce((F.col("n_kept") >= 3)
+                                     & ~F.col(out_col).contains("{"),
+                                     F.lit(False))))
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    table A1 — the public heuristic set), each as its own boolean so a
+    pipeline can tune which to enforce, plus the conjunction:
+
+    - ``ok_word_count``: 50 <= words <= 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_hash_ellipsis``: #-symbol ratio <= 0.1 and ellipsis-line
+      ratio <= 0.3 of lines
+    - ``ok_bullets``: <= 90% of lines start with a bullet (- or *)
+    - ``ok_stopwords``: >= 2 distinct English stop words present
+      (the "real prose" signal)
+    - ``gopher_ok``: all of the above
+
+    One ``tokenize`` pass shared across every rule via a let-bound
+    struct; zero shuffle, zero Python.  NULL text fails every flag.
+    """
+    from .dedup import let
+
+    def flags(toks: Column) -> Column:
+        n_words = F.size(toks)
+        mean_wl = (F.aggregate(F.transform(toks, F.length),
+                               F.lit(0), lambda a, x: a + x)
+                   .cast("double") / n_words)
+        n_chars = F.length(text_col)
+        n_hash = n_chars - F.length(F.regexp_replace(
+            F.col(text_col), "#", ""))
+        lines = F.split(F.col(text_col), "\n")
+        n_lines = F.size(lines)
+        n_ellipsis = F.size(F.filter(
+            lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+        n_bullet = F.size(F.filter(
+            lines, lambda x: F.trim(x).rlike(r"^[-*]")))
+        n_stop = F.size(F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in EN_STOPWORDS])))
+        return F.struct(
+            ((n_words >= 50) & (n_words <= 100_000))
+            .alias("ok_word_count"),
+            ((mean_wl >= 3.0) & (mean_wl <= 10.0))
+            .alias("ok_mean_word_len"),
+            ((n_hash.cast("double") / F.greatest(n_chars, F.lit(1))
+              <= 0.1)
+             & (n_ellipsis.cast("double") / n_lines <= 0.3))
+            .alias("ok_hash_ellipsis"),
+            (n_bullet.cast("double") / n_lines <= 0.9)
+            .alias("ok_bullets"),
+            (n_stop >= 2).alias("ok_stopwords"))
+
+    out = df.withColumn("_gq", let(tokenize(text_col), flags))
+    names = ["ok_word_count", "ok_mean_word_len", "ok_hash_ellipsis",
+             "ok_bullets", "ok_stopwords"]
+    for n in names:
+        out = out.withColumn(n, F.coalesce(F.col(f"_gq.{n}"),
+                                           F.lit(False)))
+    cond = F.col(names[0])
+    for n in names[1:]:
+        cond = cond & F.col(n)
+    return out.drop("_gq").withColumn("gopher_ok", cond)

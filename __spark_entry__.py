@@ -3128,6 +3128,53 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "gopher_ok")
 
 
+_UNIGRAM_PIECES = ["abc", "def", "ghi", "jkl", "mno", "pqr", "stu", "vwx"]
+
+
+def _synth_unigram_docs(docs: DataFrame) -> DataFrame:
+    """Planted unigram corpus: each doc is six words, each word the
+    concatenation of two or three length-3 pieces chosen closed-form
+    from _UNIGRAM_PIECES.  Every word factors UNIQUELY into length-3
+    vocabulary pieces (2-piece words split only at position 3; 3-piece
+    words only at 3 and 6), so the Viterbi-optimal segmentation — and
+    therefore the trained vocabulary and every token — is provable, the
+    bpe_train planted-corpus trick applied to unigram EM."""
+    arr = F.array(*[F.lit(p) for p in _UNIGRAM_PIECES])
+    i = F.col("doc_id")
+
+    def word(j: int):
+        p1 = F.element_at(arr, ((i + j) % 8 + 1).cast("int"))
+        p2 = F.element_at(arr, ((i * 3 + j * 5 + 1) % 8 + 1).cast("int"))
+        p3 = F.element_at(arr, ((i * 7 + j * 11 + 2) % 8 + 1).cast("int"))
+        return F.when((i + j) % 2 == 0, F.concat(p1, p2)) \
+                .otherwise(F.concat(p1, p2, p3))
+
+    return docs.select(
+        "doc_id",
+        F.concat_ws(" ", *[word(j) for j in range(6)]).alias("text"))
+
+
+def q_unigram_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer END TO END (Kudo 2018 / SentencePiece-style,
+    tokenize.py:train_unigram/apply_unigram): the vocabulary is trained
+    by distributed Viterbi-EM on the planted corpus (ONE word-frequency
+    shuffle + bounded-driver vocab, the train_bpe cost shape), then the
+    same corpus is tokenized with it.  Because every planted word has a
+    unique factorization into length-3 pieces, training provably
+    recovers exactly the planted piece set and Viterbi segmentation
+    equals fixed-width chunking — which is what the oracle computes in
+    closed form (substr chunks of the reconstructed words)."""
+    from zdb_spark.operators.tokenize import apply_unigram, train_unigram
+
+    docs = _synth_unigram_docs(_load(spark, sf_dir, "documents"))
+    vocab = train_unigram(docs, vocab_size=12, max_piece_len=3, iters=2)
+    out = apply_unigram(docs, vocab)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.md5(F.concat_ws(" ", "tokens"))
+                       .alias("tokens_md5"))
+
+
 def _synth_urls(docs: DataFrame) -> DataFrame:
     """Deterministic messy URLs (uppercase scheme/host, www, default
     port, tracking param, fragment) derived from doc_id — both engines
@@ -3944,6 +3991,7 @@ _QUERY_DECLARATIONS: list[
     ("export_webdataset", q_export_webdataset),
     ("c4_clean", q_c4_clean),
     ("gopher_rules", q_gopher_rules),
+    ("unigram_tok", q_unigram_tok),
     ("multimodal_video", q_multimodal_video),
     ("skew_stress", q_skew_stress),
     ("manifest_stress", q_manifest_stress),
@@ -5292,6 +5340,32 @@ def oracle_sql() -> dict[str, str]:
     # Sharded-export round trip: the oracle recomputes the shard
     # assignment (same md5 recipe as hash_split) straight from the
     # source table; Spark must recover it from re-read JSONL dirs.
+    sqls["unigram_tok"] = r"""
+        WITH p(arr) AS (
+            SELECT ['abc', 'def', 'ghi', 'jkl', 'mno', 'pqr', 'stu',
+                    'vwx']
+        ), w AS (
+            SELECT doc_id, j,
+                   arr[CAST((doc_id + j) % 8 AS INT) + 1]
+                   || arr[CAST((doc_id * 3 + j * 5 + 1) % 8 AS INT) + 1]
+                   || CASE WHEN (doc_id + j) % 2 = 0 THEN ''
+                      ELSE arr[CAST((doc_id * 7 + j * 11 + 2) % 8
+                               AS INT) + 1] END AS word
+            FROM documents, p, unnest(range(0, 6)) AS u(j)
+        ), t AS (
+            SELECT doc_id, j,
+                   len(word) // 3 AS n_pieces,
+                   array_to_string(list_transform(
+                       range(0, len(word) // 3),
+                       i -> substr(word, CAST(i * 3 + 1 AS INT), 3)),
+                       ' ') AS toks
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+               md5(string_agg(toks, ' ' ORDER BY j)) AS tokens_md5
+        FROM t GROUP BY doc_id
+    """
     sqls["c4_clean"] = r"""
         WITH src AS (
             SELECT doc_id,

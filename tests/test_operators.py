@@ -2468,3 +2468,56 @@ class TestCorpusFilterRules:
         assert scan_report(out).exchanges == 0
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan      # no UDFs — pure codegen HOFs
+
+
+class TestUnigramTokenizer:
+    """SentencePiece-style unigram LM (tokenize.py:train_unigram /
+    apply_unigram): planted-corpus recovery, Viterbi tie rules,
+    character fallback."""
+
+    def _planted(self, spark):
+        pieces = ["abc", "def", "ghi", "jkl"]
+        words = [pieces[i % 4] + pieces[(i * 3 + 1) % 4]
+                 + (pieces[(i * 7 + 2) % 4] if i % 2 else "")
+                 for i in range(40)]
+        docs = [(i, " ".join(words[(i * 5 + j) % 40] for j in range(6)))
+                for i in range(30)]
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_train_recovers_planted_pieces(self, spark):
+        from zdb_spark.operators.tokenize import train_unigram
+
+        vocab = train_unigram(self._planted(spark), vocab_size=8,
+                              max_piece_len=3, iters=2)
+        multi = sorted(p for p, _lp in vocab if len(p) > 1)
+        assert multi == ["abc", "def", "ghi", "jkl"]
+        # deterministic across retrains
+        vocab2 = train_unigram(self._planted(spark), vocab_size=8,
+                               max_piece_len=3, iters=2)
+        assert vocab == vocab2
+
+    def test_apply_segments_and_counts(self, spark):
+        from zdb_spark.operators.tokenize import (apply_unigram,
+                                                  train_unigram)
+
+        df = self._planted(spark)
+        vocab = train_unigram(df, vocab_size=8, max_piece_len=3, iters=2)
+        out = {r.id: r for r in apply_unigram(df, vocab).collect()}
+        for r in out.values():
+            assert all(t in {"abc", "def", "ghi", "jkl"} for t in r.tokens)
+            assert r.n_tokens == len(r.tokens)
+
+    def test_viterbi_tie_and_fallback(self):
+        from zdb_spark.operators.tokenize import _viterbi_segment
+
+        # equal scores: fewer pieces win ("ab" once beats "a"+"b")
+        probs = {"ab": -2.0, "a": -1.0, "b": -1.0}
+        assert _viterbi_segment("ab", probs, 2) == ["ab"]
+        # unknown chars fall back to singles, never crash
+        assert _viterbi_segment("xq", {"a": -1.0}, 2) == ["x", "q"]
+        # lexicographic boundary tie: identical score segmentations
+        # resolve deterministically
+        probs = {"aa": -1.0, "a": -0.5}
+        s1 = _viterbi_segment("aaa", probs, 2)
+        assert s1 == _viterbi_segment("aaa", probs, 2)
+        assert "".join(s1) == "aaa"

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["train_bpe", "apply_bpe", "apply_bpe_udf", "bpe_segment_expr",
-           "EOW"]
+           "train_unigram", "apply_unigram", "EOW"]
 
 # end-of-word marker symbol (single control char so it can never collide
 # with corpus text, which the tokenizer lowercases + whitespace-splits)
@@ -203,3 +203,199 @@ def apply_bpe_udf(df: DataFrame, merges: list[tuple[str, str]],
     src = df.select(F.col(id_col).alias("id"),
                     F.col(text_col).alias("text"))
     return src.mapInPandas(encode, out_schema)
+
+
+# ---------------------------------------------------------------------- #
+# Unigram LM tokenizer (SentencePiece-style, Kudo 2018)                    #
+# ---------------------------------------------------------------------- #
+def train_unigram(df: DataFrame, text_col: str = "text", *,
+                  vocab_size: int = 200, max_piece_len: int = 4,
+                  iters: int = 2, max_words: int = 50_000,
+                  seed_factor: int = 8) -> list[tuple[str, float]]:
+    """Unigram-LM subword vocabulary (Kudo 2018, the SentencePiece
+    unigram model — public algorithm), trained with hard (Viterbi) EM:
+
+    1. ONE corpus shuffle builds the word-frequency table (identical
+       first step to ``train_bpe``; everything after runs on the
+       BOUNDED top-``max_words`` distinct-word table, so training cost
+       is independent of corpus size past that one aggregation).
+    2. Seed vocabulary = the ``seed_factor * vocab_size`` most frequent
+       substrings of length ≤ ``max_piece_len`` (distributed substring
+       explode + one groupBy on the word table) plus every single
+       character (closure fallback).
+    3. Each EM iteration broadcasts the current piece log-probs
+       (bounded: ≤ seed_factor·vocab_size rows collected to the
+       driver, the kmeans-centroid pattern), Viterbi-segments every
+       distinct word in an Arrow-batched pass, re-counts pieces
+       weighted by word frequency (one small groupBy), and re-derives
+       log-probs ROUNDED to 9 dp — the train_quality_logreg rounding
+       trick that keeps every later decision reproducible across
+       partitionings and engines.
+    4. Final vocabulary: top ``vocab_size`` pieces by (count, piece)
+       plus all single characters, with log-probs from the last count
+       pass.
+
+    Returns a plain ``[(piece, logprob)]`` list (driver-bounded by
+    construction), ready for ``apply_unigram`` / literal embedding.
+    Hard-EM (Viterbi counts instead of forward-backward expectations)
+    is the documented simplification: deterministic, and converges to
+    the same vocabulary on corpora whose segmentations are unambiguous.
+    """
+    import math
+
+    spark = df.sparkSession
+    words = (df.select(F.explode(F.split(
+                 F.trim(F.lower(_clean_text(F.col(text_col)))),
+                 r"\s+")).alias("word"))
+               .where(F.length("word") > 0)
+               .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+               .orderBy(F.desc("freq"), "word").limit(max_words))
+    words = words.persist()
+    try:
+        n_seed = seed_factor * vocab_size
+
+        def substrs(batches):
+            for pdf in batches:
+                rows = []
+                for word, freq in zip(pdf["word"], pdf["freq"]):
+                    L = len(word)
+                    for i in range(L):
+                        for j in range(i + 1,
+                                       min(i + max_piece_len, L) + 1):
+                            rows.append((word[i:j], int(freq)))
+                yield pd.DataFrame(rows, columns=["piece", "freq"])
+
+        seed = (words.mapInPandas(substrs, "piece string, freq long")
+                .groupBy("piece").agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "piece").limit(n_seed))
+        chars = (words.mapInPandas(
+            lambda bs: (pd.DataFrame(
+                [(c, int(f)) for w, f in zip(p["word"], p["freq"])
+                 for c in set(w)], columns=["piece", "freq"])
+                for p in bs), "piece string, freq long")
+            .groupBy("piece").agg(F.sum("freq").alias("cnt")))
+        vocab_df = seed.unionByName(chars).groupBy("piece").agg(
+            F.max("cnt").alias("cnt"))
+
+        def to_logprobs(rows: list) -> list[tuple[str, float]]:
+            total = sum(c for _p, c in rows) or 1
+            return [(p, round(math.log(c / total), 9))
+                    for p, c in rows if c > 0]
+
+        vocab = to_logprobs([(r["piece"], int(r["cnt"]))
+                             for r in vocab_df.collect()])
+
+        for _ in range(iters):
+            counts = _viterbi_counts(words, vocab, max_piece_len)
+            rows = [(r["piece"], int(r["cnt"])) for r in counts.collect()]
+            # chars must survive even with zero Viterbi count (closure)
+            seen = {p for p, _c in rows}
+            rows += [(p, 1) for p, _lp in vocab
+                     if len(p) == 1 and p not in seen]
+            vocab = to_logprobs(rows)
+
+        multi = sorted([pc for pc in vocab if len(pc[0]) > 1],
+                       key=lambda pc: (-pc[1], pc[0]))[:vocab_size]
+        singles = [pc for pc in vocab if len(pc[0]) == 1]
+        return sorted(multi + singles)
+    finally:
+        words.unpersist()
+
+
+def _viterbi_segment(word: str, probs: dict[str, float],
+                     max_len: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: standard
+    Viterbi over character positions; ties broken toward FEWER pieces,
+    then lexicographically smaller piece at each boundary — total
+    determinism under the rounded log-probs.  Characters absent from
+    the vocabulary fall back to a -1e9 floor so segmentation is total.
+    """
+    n = len(word)
+    NEG = -1e9
+    # best[i] = (score, n_pieces, piece_ending_here)
+    best: list[tuple] = [(0.0, 0, "")] + [(None, 0, "")] * n
+    for j in range(1, n + 1):
+        cand = None
+        for i in range(max(0, j - max_len), j):
+            if best[i][0] is None:
+                continue
+            piece = word[i:j]
+            lp = probs.get(piece)
+            if lp is None:
+                if j - i > 1:
+                    continue
+                lp = NEG
+            sc = (best[i][0] + lp, best[i][1] + 1, piece)
+            if cand is None or (sc[0], -sc[1], _neg_lex(sc[2])) > \
+                    (cand[0], -cand[1], _neg_lex(cand[2])):
+                cand = sc
+        best[j] = cand if cand is not None else (None, 0, "")
+    out: list[str] = []
+    j = n
+    while j > 0:
+        piece = best[j][2]
+        out.append(piece)
+        j -= len(piece)
+    return out[::-1]
+
+
+class _neg_lex(str):
+    """Reverse lexicographic comparison wrapper: makes the SMALLER
+    string win inside a max() tuple comparison."""
+
+    def __lt__(self, other):  # noqa: D105
+        return str.__gt__(self, other)
+
+    def __gt__(self, other):  # noqa: D105
+        return str.__lt__(self, other)
+
+
+def _viterbi_counts(words: DataFrame, vocab: list[tuple[str, float]],
+                    max_len: int) -> DataFrame:
+    probs = dict(vocab)
+
+    def count(batches):
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                for piece in _viterbi_segment(word, probs, max_len):
+                    acc[piece] = acc.get(piece, 0) + int(freq)
+            yield pd.DataFrame({"piece": list(acc),
+                                "cnt": list(acc.values())})
+
+    return (words.mapInPandas(count, "piece string, cnt long")
+            .groupBy("piece").agg(F.sum("cnt").alias("cnt")))
+
+
+def apply_unigram(df: DataFrame, vocab: list[tuple[str, float]],
+                  text_col: str = "text", id_col: str = "doc_id", *,
+                  max_piece_len: int | None = None,
+                  out_col: str = "tokens") -> DataFrame:
+    """Tokenize with a unigram vocabulary: per word, the Viterbi-best
+    segmentation under the piece log-probs (same tie rules as
+    training).  Arrow-batched pandas over a broadcast piece dict — the
+    ``apply_bpe_udf`` fast-path pattern; embarrassingly parallel, one
+    corpus pass.  Returns (id, n_tokens, tokens array<string>)."""
+    probs = dict(vocab)
+    max_len = max_piece_len or max((len(p) for p in probs), default=1)
+
+    src = df.select(F.col(id_col).alias("id"),
+                    F.trim(F.lower(_clean_text(F.col(text_col))))
+                     .alias("__t"))
+
+    def tok(batches):
+        for pdf in batches:
+            ids, toks = [], []
+            for i, text in zip(pdf["id"], pdf["__t"]):
+                pieces: list[str] = []
+                if text:
+                    for word in text.split():
+                        pieces.extend(
+                            _viterbi_segment(word, probs, max_len))
+                ids.append(i)
+                toks.append(pieces)
+            yield pd.DataFrame({"id": ids, "tokens": toks})
+
+    out = src.mapInPandas(tok, "id long, tokens array<string>")
+    return out.select("id", F.size("tokens").alias("n_tokens"),
+                      F.col("tokens").alias(out_col))

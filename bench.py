@@ -90,6 +90,8 @@ HEADLINE = [
     "embedding_covariance",  # one-pass d x d covariance (PCA stat)
     "embedding_pca",      # literal-matrix projection (zero shuffle)
     "curation_v3",        # strip chrome -> DSIR -> quantile -> shuffle
+    "unigram_tok",        # unigram-LM tokenizer: EM train + Viterbi apply
+    "export_webdataset",  # tar-shard training export + streaming read-back
 ]
 
 

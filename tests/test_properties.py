@@ -451,3 +451,104 @@ def test_quantize_roundtrip_error_bound_property(spark, vecs):
             assert (codes == 0).all()
         else:
             assert np.abs(codes * r.scale - x).max() <= r.scale / 2 + 1e-12
+
+
+@given(st.integers(1, 3).flatmap(lambda nch: st.tuples(
+    st.integers(4, 24), st.integers(4, 24), st.just(nch),
+    st.integers(0, 2**31 - 1))),
+    st.sampled_from(["444", "420"]), st.integers(0, 3))
+@settings(max_examples=25, deadline=20000,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_jpeg_roundtrip_property(dims, sub, ri):
+    """Random small images survive encode→decode with bounded error at
+    q=95, for both subsampling layouts and with/without restarts —
+    shape, channels, and pixel values all within quantization slack."""
+    import numpy as np
+
+    from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                          jpeg_encode_pixels)
+
+    w, h, nch, seed = dims
+    rng = np.random.default_rng(seed)
+    # smooth-ish content (random low-freq base + mild noise): JPEG's
+    # error bound is only meaningful off the pathological pure-noise case
+    base = rng.integers(0, 256, size=(2, 2) if nch == 1 else (2, 2, 3))
+    px = np.kron(base, np.ones((h // 2 + 1, w // 2 + 1) if nch == 1
+                               else (h // 2 + 1, w // 2 + 1, 1)))
+    px = px[:h, :w].astype(np.uint8)
+    if nch == 2:          # no 2-channel JPEG: exercise grayscale
+        px = px[..., 0] if px.ndim == 3 else px
+    enc = jpeg_encode_pixels(px, quality=95, subsampling=sub,
+                             restart_interval=ri)
+    dec = jpeg_decode_pixels(enc)
+    assert dec.shape == px.shape
+    err = abs(dec.astype(int) - px.astype(int)).mean()
+    assert err < 16, err
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=100, deadline=2000)
+def test_jpeg_decode_fails_fast_on_garbage(blob):
+    """Garbage (with or without a JPEG SOI prefix) must raise promptly —
+    never hang, never return a tuple for unstructured bytes."""
+    from zdb_spark.operators.jpeg import jpeg_decode_pixels
+
+    for payload in (blob, b"\xff\xd8\xff" + blob):
+        try:
+            jpeg_decode_pixels(payload)
+        except Exception:
+            pass
+
+
+@given(st.lists(st.text(alphabet="abcdxyz", min_size=1, max_size=12),
+                min_size=1, max_size=20),
+       st.lists(st.tuples(st.text(alphabet="abcd", min_size=1,
+                                  max_size=3),
+                          st.floats(-9, -0.5)),
+                min_size=1, max_size=8))
+@settings(max_examples=60, deadline=5000)
+def test_unigram_viterbi_total_and_reconstructs(words, vocab):
+    """Viterbi segmentation is TOTAL (any word, any vocab — unknown
+    chars fall back) and concatenating the pieces always reconstructs
+    the word exactly."""
+    from zdb_spark.operators.tokenize import _viterbi_segment
+
+    probs = {p: round(lp, 6) for p, lp in vocab}
+    for w in words:
+        seg = _viterbi_segment(w, probs, max_len=3)
+        assert "".join(seg) == w
+        assert all(seg)
+
+
+@given(st.integers(1, 40), st.integers(1, 6), st.integers(0, 2**31 - 1))
+@settings(max_examples=15, deadline=30000,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_tar_export_partition_and_roundtrip(spark, n_rows, n_shards,
+                                            seed):
+    """Every sample lands in exactly one shard, membership follows the
+    md5 recipe, and the tar roundtrip loses nothing — for random row
+    counts and shard counts."""
+    import random
+    import tempfile
+
+    from zdb_spark.operators.curation import _hash_bucket
+    from zdb_spark.sources.writers import (export_tar_shards,
+                                           read_tar_shards)
+
+    rnd = random.Random(seed)
+    rows = [(i, "".join(rnd.choices("abcdef", k=rnd.randint(0, 12))))
+            for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "doc_id long, txt string")
+    with tempfile.TemporaryDirectory() as d:
+        m = export_tar_shards(df, d, n_shards, "doc_id", {"txt": "t"})
+        assert m["rows"] == n_rows
+        back = read_tar_shards(spark, d).collect()
+        assert len(back) == n_rows
+        got = {int(r.key): (bytes(r.content).decode(), r.shard)
+               for r in back}
+        want_shard = {r["doc_id"]: int(r["s"]) for r in df.select(
+            "doc_id", (_hash_bucket("doc_id", "v1") % n_shards)
+            .alias("s")).collect()}
+        for i, txt in rows:
+            assert got[i] == (txt, want_shard[i])

@@ -2124,6 +2124,9 @@ class TestQuantizeEmbeddings:
             scans = [ln for ln in plan.splitlines()
                      if "ReadSchema" in ln and "codes" in ln]
             assert scans and all("embedding" not in ln for ln in scans)
+
+
+class TestBoilerplateLines:
     def test_strip_repeated_lines_first_occurrence_wins(self, spark):
         from zdb_spark.operators.text import strip_repeated_lines
 
@@ -2521,3 +2524,64 @@ class TestUnigramTokenizer:
         s1 = _viterbi_segment("aaa", probs, 2)
         assert s1 == _viterbi_segment("aaa", probs, 2)
         assert "".join(s1) == "aaa"
+
+
+class TestRound11ReviewFixes:
+    """Pins for the round-11 review findings."""
+
+    def test_jpeg_fill_bytes_before_marker(self):
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode)
+
+        blob = bytearray(jpeg_encode(16, 12, (70,)))
+        i = bytes(blob).find(b"\xff\xdb")
+        blob[i:i] = b"\xff\xff"            # T.81 B.1.1.2 fill bytes
+        assert jpeg_decode_pixels(bytes(blob)).shape == (12, 16)
+
+    def test_jpeg_non_interleaved_rejected(self):
+        import pytest as _pt
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode)
+
+        blob = bytearray(jpeg_encode(8, 8, (1, 2, 3)))
+        i = bytes(blob).find(b"\xff\xda")
+        # shrink the SOS to a single-component scan of a 3-comp frame
+        ln = int.from_bytes(blob[i + 2:i + 4], "big")
+        blob[i:i + 2 + ln] = (b"\xff\xda" + (8).to_bytes(2, "big")
+                              + bytes([1, 1, 0x00, 0, 0x3f, 0]))
+        with _pt.raises(NotImplementedError, match="non-interleaved"):
+            jpeg_decode_pixels(bytes(blob))
+
+    def test_jpeg_resize_rejects_degenerate_dims(self):
+        import pytest as _pt
+
+        from zdb_spark.operators.jpeg import jpeg_encode
+        from zdb_spark.operators.multimodal import jpeg_resize
+
+        with _pt.raises(ValueError, match="positive"):
+            jpeg_resize(jpeg_encode(8, 8, (9,)), 0, 5)
+
+    def test_tar_export_null_member_raises(self, spark, tmp_path):
+        import pytest as _pt
+
+        from zdb_spark.sources.writers import export_tar_shards
+
+        df = spark.createDataFrame([(1, "ok"), (2, None)],
+                                   "doc_id long, txt string")
+        with _pt.raises(Exception, match="NULL member"):
+            export_tar_shards(df, str(tmp_path / "t"), 2, "doc_id",
+                              {"txt": "txt"})
+
+    def test_covariance_overflow_refused_loudly(self, spark):
+        import pytest as _pt
+
+        from zdb_spark.operators.similarity import embedding_covariance
+
+        df = spark.createDataFrame([(0, [1e14, 2.0]), (1, [1.0, 1.0])],
+                                   "vec_id long, embedding array<double>")
+        with _pt.raises(Exception, match="1e13|overflow"):
+            embedding_covariance(df, dim=2).collect()
+        # the gram path handles the same magnitudes (float sums)
+        rows = embedding_covariance(df, dim=2, method="gram").collect()
+        assert len(rows) == 4

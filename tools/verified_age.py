@@ -13,37 +13,7 @@ Usage: python tools/verified_age.py [--repo DIR]
 from __future__ import annotations
 
 import argparse
-import glob
-import json
-import os
-import re
 import sys
-
-
-def load_history(repo: str) -> dict[str, tuple[int | None, int | None]]:
-    """gate -> (latest green round or None, latest RED round or None).
-
-    Both are tracked independently so a gate that regressed AFTER its
-    last green (red round > green round) is visible and rotation-sorted
-    FIRST — rule 1 of the rotation policy."""
-    hist: dict[str, list[int | None]] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        with open(path) as f:
-            data = json.load(f)
-        for gate, row in data.items():
-            green = bool(row.get("rows_match") and row.get("schema_match")
-                         and row.get("hash_match"))
-            g, r = hist.get(gate, [None, None])
-            if green:
-                g = rnd if g is None else max(g, rnd)
-            else:
-                r = rnd if r is None else max(r, rnd)
-            hist[gate] = [g, r]
-    return {k: (v[0], v[1]) for k, v in hist.items()}
 
 
 def main() -> int:
@@ -57,7 +27,7 @@ def main() -> int:
     gates = list(entry_mod.queries())
     # the entry module's history is canonical: it folds _COVERS
     # composite greens into sub-gate ages, exactly what the rotation
-    # sorts on.  load_history stays for a raw (coverage-free) view.
+    # sorts on.
     hist = entry_mod._verification_history()
 
     def sort_key(g: str):

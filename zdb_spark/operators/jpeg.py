@@ -464,6 +464,10 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (real encoders pad with them)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                       # EOI
@@ -516,6 +520,15 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # a NON-INTERLEAVED baseline file codes each component
+                # in its own scan; decoding only the first would return
+                # a silently-grayscale image — the exact poison-the-
+                # features failure the module contract forbids.
+                raise NotImplementedError(
+                    f"JPEG non-interleaved scan ({ns} of "
+                    f"{len(frame['comps'])} components): only single-"
+                    f"scan interleaved baseline is supported")
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]

@@ -302,6 +302,8 @@ def jpeg_resize(payload: bytes, out_w: int, out_h: int,
 
     from .jpeg import jpeg_decode_pixels, jpeg_encode_pixels
 
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize dimensions must be positive")
     px = jpeg_decode_pixels(payload)
     h, w = px.shape[:2]
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
@@ -631,10 +633,10 @@ def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     if payload[:3] == b"\xff\xd8\xff":
         return _jpeg_decode(payload)
     if payload[:4] == b"GIF8":
-        _fmt, w, h, _nframes, _dur = gif_decode(payload)
-        # decode_images contract wants (channels, mean_luma): GIF
-        # palettes decode to RGB; luma comes from the first frame
-        luma = gif_frames(payload)[0][4]
+        # ONE full parse: gif_frames decodes every frame once; the
+        # decode_images contract wants (channels, mean_luma), so take
+        # the first frame's dims/luma (palettes decode to RGB)
+        _idx, w, h, _delay, luma = gif_frames(payload)[0]
         return ("gif", w, h, 3, luma)
     raise ValueError(
         f"decoder='auto': unrecognized image signature "

@@ -1398,13 +1398,29 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
     if method == "gram":
         sums = _gram_partial_sums(df, vec_col, dim)
     else:
+        # magnitude guard: a product past ~1e26 overflows the
+        # decimal(38,12) cast, which non-ANSI Spark turns into a SILENT
+        # NULL the sum then skips (while __n still counts the row, and
+        # while the DuckDB oracle ERRORS on the same cast) — so refuse
+        # loudly at the row level instead: |x| <= 1e13 bounds every
+        # product at 1e26.  Row-local, same recipe as the ragged check.
+        too_big = F.aggregate(
+            _as_double(F.col(vec_col)), F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x))) > F.lit(1e13)
         checked = F.when(
             F.size(F.col(vec_col)) != dim,
             F.raise_error(F.concat(
                 F.lit("embedding_covariance: vector of length "),
                 F.size(F.col(vec_col)).cast("string"),
                 F.lit(f" does not match dim={dim}")))
-            .cast("array<double>")).otherwise(_as_double(F.col(vec_col)))
+            .cast("array<double>")
+        ).when(
+            too_big,
+            F.raise_error(F.lit(
+                "embedding_covariance: |value| > 1e13 would overflow "
+                "the exact decimal sum — rescale the vectors or use "
+                "method='gram'")).cast("array<double>")
+        ).otherwise(_as_double(F.col(vec_col)))
         flat = let(checked, lambda x: F.concat(
             F.flatten(F.transform(
                 x, lambda xi: F.transform(x, lambda xj: xi * xj))), x))

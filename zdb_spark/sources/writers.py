@@ -186,6 +186,14 @@ def export_tar_shards(df: DataFrame, path: str, n_shards: int,
                             "w", format=tarfile.USTAR_FORMAT)
                         counts[k] = 0
                     for val, ext in zip(vals, exts):
+                        if val is None:
+                            # a silent b"None" member would corrupt
+                            # training data while the manifest counts
+                            # the sample as valid — fail loudly
+                            raise ValueError(
+                                f"export_tar_shards: NULL member "
+                                f"{ext!r} for key {key!r} — drop or "
+                                f"fill NULL rows before export")
                         data = (val if isinstance(val, (bytes, bytearray))
                                 else str(val).encode("utf-8"))
                         info = tarfile.TarInfo(name=f"{key}.{ext}")

@@ -2538,20 +2538,35 @@ class TestRound11ReviewFixes:
         blob[i:i] = b"\xff\xff"            # T.81 B.1.1.2 fill bytes
         assert jpeg_decode_pixels(bytes(blob)).shape == (12, 16)
 
-    def test_jpeg_non_interleaved_rejected(self):
-        import pytest as _pt
+    def test_jpeg_non_interleaved_decodes(self):
+        """Spec-legal NON-INTERLEAVED baseline (one scan per component,
+        T.81 A.2.3) must decode identically to the interleaved layout —
+        the round-11 review caught the first-scan-only silent-grayscale
+        failure; now the full multi-scan path is real."""
+        import numpy as np
 
         from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
-                                              jpeg_encode)
+                                              jpeg_encode_pixels)
 
-        blob = bytearray(jpeg_encode(8, 8, (1, 2, 3)))
-        i = bytes(blob).find(b"\xff\xda")
-        # shrink the SOS to a single-component scan of a 3-comp frame
-        ln = int.from_bytes(blob[i + 2:i + 4], "big")
-        blob[i:i + 2 + ln] = (b"\xff\xda" + (8).to_bytes(2, "big")
-                              + bytes([1, 1, 0x00, 0, 0x3f, 0]))
-        with _pt.raises(NotImplementedError, match="non-interleaved"):
-            jpeg_decode_pixels(bytes(blob))
+        yy, xx = np.mgrid[0:30, 0:41]
+        px = np.zeros((30, 41, 3), dtype=np.uint8)
+        px[..., 0] = (xx * 5) % 256
+        px[..., 1] = (yy * 7) % 256
+        px[..., 2] = 77
+        for sub in ("444", "420"):
+            a = jpeg_decode_pixels(jpeg_encode_pixels(
+                px, quality=90, subsampling=sub, interleave=True))
+            b = jpeg_decode_pixels(jpeg_encode_pixels(
+                px, quality=90, subsampling=sub, interleave=False))
+            assert np.array_equal(a, b)          # same coefficients
+        # truncated multi-scan file (missing chroma scans) fails LOUDLY
+        import pytest as _pt
+
+        blob = bytearray(jpeg_encode_pixels(px, interleave=False))
+        second_sos = bytes(blob).find(b"\xff\xda",
+                                      bytes(blob).find(b"\xff\xda") + 2)
+        with _pt.raises(Exception):
+            jpeg_decode_pixels(bytes(blob[:second_sos]) + b"\xff\xd9")
 
     def test_jpeg_resize_rejects_degenerate_dims(self):
         import pytest as _pt

@@ -9,8 +9,10 @@ Scope — what a training-data pipeline actually meets:
 - decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr,
   Huffman tables read FROM THE FILE (so external JPEGs decode with
   their own tables), sampling factors up to 2x2 (4:4:4 / 4:2:2 /
-  4:2:0), restart intervals.  Progressive (SOF2) and arithmetic coding
-  raise ``NotImplementedError`` loudly — they are real but rare, and a
+  4:2:0), restart intervals, fill bytes, and BOTH scan layouts —
+  interleaved single-scan and non-interleaved one-scan-per-component
+  (T.81 A.2.3).  Progressive (SOF2) and arithmetic coding raise
+  ``NotImplementedError`` loudly — they are real but rare, and a
   silent wrong decode would poison features downstream.
 - encode: 4:4:4 (or single-component grayscale) baseline writer with
   the Annex K quantization + Huffman tables and IJG quality scaling —
@@ -331,14 +333,18 @@ def _dht_segment(tc: int, th: int, table: tuple) -> bytes:
 
 def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
                        subsampling: str = "444",
-                       restart_interval: int = 0) -> bytes:
+                       restart_interval: int = 0,
+                       interleave: bool = True) -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
     baseline JFIF JPEG.  ``subsampling``: "444" (one block per
     component per MCU) or "420" (2×2 luma blocks + 2×-downsampled
     chroma — the common web layout, and the encoder that exercises the
     decoder's general-MCU path).  ``restart_interval`` > 0 emits DRI +
     RSTn markers every that many MCUs (the corruption-resilience
-    feature real crawled JPEGs carry)."""
+    feature real crawled JPEGs carry).  ``interleave=False`` writes the
+    NON-INTERLEAVED layout (one SOS per component, T.81 A.2.3) — rare
+    in the wild but spec-legal; it exists chiefly to exercise the
+    decoder's per-component raster path."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -383,12 +389,6 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
                 + _dht_segment(1, 1, HT_AC_CHROMA))
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-
     dc_l = _canonical_codes(*HT_DC_LUMA)
     ac_l = _canonical_codes(*HT_AC_LUMA)
     dc_c = _canonical_codes(*HT_DC_CHROMA)
@@ -406,28 +406,66 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
                                (0, gw * 8 - plane.shape[1])), mode="edge")
         blocks = _encode_blocks(plane, qt_l if ci == 0 else qt_c)
         grids.append(blocks.reshape(gh, gw, 64))
-    bw = _BitWriter()
-    preds = [0] * ncomp
-    mcu_index = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and \
-                    mcu_index % restart_interval == 0:
-                out += bw.finish()
-                bw = _BitWriter()
-                out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * ncomp
-            mcu_index += 1
-            for ci in range(ncomp):
-                dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                for by in range(hv[ci][1]):
-                    for bx in range(hv[ci][0]):
-                        zz = grids[ci][my * hv[ci][1] + by,
-                                       mx * hv[ci][0] + bx]
-                        preds[ci] = _emit_block(bw, zz, preds[ci], dc, ac)
-    out += bw.finish()
+
+    def sos_header(comp_ids):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    if interleave:
+        out += sos_header(list(range(ncomp)))
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcu_index = 0
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_index and \
+                        mcu_index % restart_interval == 0:
+                    out += bw.finish()
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0] * ncomp
+                mcu_index += 1
+                for ci in range(ncomp):
+                    dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    for by in range(hv[ci][1]):
+                        for bx in range(hv[ci][0]):
+                            zz = grids[ci][my * hv[ci][1] + by,
+                                           mx * hv[ci][0] + bx]
+                            preds[ci] = _emit_block(bw, zz, preds[ci],
+                                                    dc, ac)
+        out += bw.finish()
+    else:
+        # NON-INTERLEAVED: one SOS per component over its OWN block
+        # grid ceil(x_i/8) x ceil(y_i/8) (A.2.3) — which can be
+        # narrower than the MCU-lattice grid the blocks were built on
+        rst = 0
+        for ci in range(ncomp):
+            out += sos_header([ci])
+            dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            xi = -(-w * hv[ci][0] // hmax)
+            yi = -(-h * hv[ci][1] // vmax)
+            cbw, cbh = -(-xi // 8), -(-yi // 8)
+            bw = _BitWriter()
+            pred = 0
+            unit = 0
+            for byy in range(cbh):
+                for bxx in range(cbw):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        out += bw.finish()
+                        bw = _BitWriter()
+                        out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        pred = 0
+                    unit += 1
+                    pred = _emit_block(bw, grids[ci][byy, bxx], pred,
+                                       dc, ac)
+            out += bw.finish()
     out += b"\xff\xd9"                                 # EOI
     return bytes(out)
 
@@ -460,6 +498,7 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
+    decoded: dict[int, np.ndarray] = {}
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -520,95 +559,150 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # a NON-INTERLEAVED baseline file codes each component
-                # in its own scan; decoding only the first would return
-                # a silently-grayscale image — the exact poison-the-
-                # features failure the module contract forbids.
-                raise NotImplementedError(
-                    f"JPEG non-interleaved scan ({ns} of "
-                    f"{len(frame['comps'])} components): only single-"
-                    f"scan interleaved baseline is supported")
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(data, pos + seglen, frame, scan,
-                                qtables, htables, restart_interval)
+            scan_planes, pos = _decode_scan(
+                data, pos + seglen, frame, scan, qtables, htables,
+                restart_interval)
+            for (comp, _td, _ta), plane in zip(scan, scan_planes):
+                decoded[comp["id"]] = plane
+            if len(decoded) == len(frame["comps"]):
+                return _combine_planes(frame, decoded)
+            continue
         pos += seglen
+    if frame is not None and decoded:
+        missing = [c["id"] for c in frame["comps"]
+                   if c["id"] not in decoded]
+        raise ValueError(f"JPEG truncated: components {missing} have "
+                         f"no scan before EOI")
     raise ValueError("no SOS marker found")
 
 
 def _decode_scan(data, pos, frame, scan, qtables, htables,
-                 restart_interval) -> np.ndarray:
+                 restart_interval):
+    """Entropy-decode ONE scan; returns (planes aligned to ``scan``,
+    position of the next marker).  Interleaved scans (every frame
+    component) walk the MCU lattice; a single-component scan (the
+    NON-INTERLEAVED layout, T.81 §A.2.3) walks the component's OWN
+    block grid ceil(x_i/8) × ceil(y_i/8) with restarts counted per
+    data unit."""
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
-    for comp, _, _ in scan:
-        pw, ph = mcux * 8 * comp["h"], mcuy * 8 * comp["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     br = _BitReader(data, pos)
     preds = [0] * len(scan)
     idct_cache: list[list[tuple[int, int, np.ndarray]]] = [
         [] for _ in scan]
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and \
-                    mcu_index % restart_interval == 0:
-                br.align_restart()
-                preds = [0] * len(scan)
-            mcu_index += 1
-            for si, (comp, td, ta) in enumerate(scan):
-                dch = htables[(0, td)]
-                ach = htables[(1, ta)]
-                qt = qtables[comp["tq"]].astype(np.float64)
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = dch.decode_symbol(br)
-                        diff = _extend(br.read_bits(t), t) if t else 0
-                        preds[si] += diff
-                        zz[0] = preds[si]
-                        k = 1
-                        while k < 64:
-                            rs = ach.decode_symbol(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break            # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[ZIGZAG] = zz * qt[ZIGZAG]
-                        idct_cache[si].append(
-                            (my * comp["v"] + by, mx * comp["h"] + bx,
-                             coef.reshape(8, 8)))
-    # batch IDCT per component (two matmuls over the block stack)
-    for si, (comp, _, _) in enumerate(scan):
+
+    def decode_block(si, comp, td, ta, byy, bxx):
+        dch = htables[(0, td)]
+        ach = htables[(1, ta)]
+        qt = qtables[comp["tq"]].astype(np.float64)
+        zz = np.zeros(64, dtype=np.float64)
+        t = dch.decode_symbol(br)
+        diff = _extend(br.read_bits(t), t) if t else 0
+        preds[si] += diff
+        zz[0] = preds[si]
+        k = 1
+        while k < 64:
+            rs = ach.decode_symbol(br)
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break            # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC index overrun")
+            zz[k] = _extend(br.read_bits(sz), sz)
+            k += 1
+        coef = np.zeros(64)
+        coef[ZIGZAG] = zz * qt[ZIGZAG]
+        idct_cache[si].append((byy, bxx, coef.reshape(8, 8)))
+
+    unit_index = 0
+
+    def maybe_restart():
+        nonlocal unit_index
+        if restart_interval and unit_index and \
+                unit_index % restart_interval == 0:
+            br.align_restart()
+            preds[:] = [0] * len(scan)
+        unit_index += 1
+
+    if len(scan) == len(frame["comps"]) and len(scan) > 1 or \
+            len(frame["comps"]) == 1:
+        # interleaved MCU walk (or trivially a 1-component frame)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
+                  for c, _, _ in scan]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, (comp, td, ta) in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            decode_block(si, comp, td, ta,
+                                         my * comp["v"] + by,
+                                         mx * comp["h"] + bx)
+    elif len(scan) == 1:
+        comp, td, ta = scan[0]
+        xi = -(-w * comp["h"] // hmax)          # A.1.1 component dims
+        yi = -(-h * comp["v"] // vmax)
+        bw, bh = -(-xi // 8), -(-yi // 8)
+        planes = [np.zeros((bh * 8, bw * 8))]
+        for byy in range(bh):
+            for bxx in range(bw):
+                maybe_restart()
+                decode_block(0, comp, td, ta, byy, bxx)
+    else:
+        raise NotImplementedError(
+            f"JPEG scan with {len(scan)} of {len(frame['comps'])} "
+            f"components: only fully-interleaved or single-component "
+            f"scans are supported")
+
+    # batch IDCT per scan component (two matmuls over the block stack)
+    for si in range(len(scan)):
         if not idct_cache[si]:
             continue
         stack = np.stack([c for _, _, c in idct_cache[si]])
         px = DCT_A.T @ stack @ DCT_A + 128.0
         for (byy, bxx, _), blk in zip(idct_cache[si], px):
-            planes[si][byy * 8:(byy + 1) * 8, bxx * 8:(bxx + 1) * 8] = blk
+            planes[si][byy * 8:(byy + 1) * 8,
+                       bxx * 8:(bxx + 1) * 8] = blk
 
-    if len(scan) == 1:
-        return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
-    # upsample chroma to the Y grid by repetition, then YCbCr -> RGB
+    # next-marker position: the reader may have already consumed a
+    # marker while draining padding bits; otherwise the marker starts
+    # at the first 0xFF at-or-after the read position
+    if br.marker is not None:
+        nxt = br.pos - 2
+    else:
+        nxt = br.pos
+        while nxt + 1 < len(data) and not (
+                data[nxt] == 0xFF and data[nxt + 1] != 0x00):
+            nxt += 1
+    return planes, nxt
+
+
+def _combine_planes(frame, decoded: dict[int, np.ndarray]) -> np.ndarray:
+    """Upsample every component to the luma grid, color-transform, and
+    crop to frame dimensions — shared by the interleaved and
+    non-interleaved assembly paths."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        p = decoded[comps[0]["id"]]
+        return np.clip(np.round(p[:h, :w]), 0, 255).astype(np.uint8)
     full = []
-    for si, (comp, _, _) in enumerate(scan):
-        p = planes[si]
+    for comp in comps:
+        p = decoded[comp["id"]]
         rx, ry = hmax // comp["h"], vmax // comp["v"]
         if rx > 1 or ry > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)

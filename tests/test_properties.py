@@ -456,10 +456,11 @@ def test_quantize_roundtrip_error_bound_property(spark, vecs):
 @given(st.integers(1, 3).flatmap(lambda nch: st.tuples(
     st.integers(4, 24), st.integers(4, 24), st.just(nch),
     st.integers(0, 2**31 - 1))),
-    st.sampled_from(["444", "420"]), st.integers(0, 3))
+    st.sampled_from(["444", "420"]), st.integers(0, 3),
+    st.booleans())
 @settings(max_examples=25, deadline=20000,
           suppress_health_check=[HealthCheck.too_slow])
-def test_jpeg_roundtrip_property(dims, sub, ri):
+def test_jpeg_roundtrip_property(dims, sub, ri, inter):
     """Random small images survive encode→decode with bounded error at
     q=95, for both subsampling layouts and with/without restarts —
     shape, channels, and pixel values all within quantization slack."""
@@ -479,7 +480,7 @@ def test_jpeg_roundtrip_property(dims, sub, ri):
     if nch == 2:          # no 2-channel JPEG: exercise grayscale
         px = px[..., 0] if px.ndim == 3 else px
     enc = jpeg_encode_pixels(px, quality=95, subsampling=sub,
-                             restart_interval=ri)
+                             restart_interval=ri, interleave=inter)
     dec = jpeg_decode_pixels(enc)
     assert dec.shape == px.shape
     err = abs(dec.astype(int) - px.astype(int)).mean()

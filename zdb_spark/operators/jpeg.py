@@ -443,9 +443,9 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
         # NON-INTERLEAVED: one SOS per component over its OWN block
         # grid ceil(x_i/8) x ceil(y_i/8) (A.2.3) — which can be
         # narrower than the MCU-lattice grid the blocks were built on
-        rst = 0
         for ci in range(ncomp):
             out += sos_header([ci])
+            rst = 0              # RSTm counts from 0 per scan (B.2.1)
             dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
             xi = -(-w * hv[ci][0] // hmax)
             yi = -(-h * hv[ci][1] // vmax)

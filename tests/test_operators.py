@@ -2600,3 +2600,27 @@ class TestRound11ReviewFixes:
         # the gram path handles the same magnitudes (float sums)
         rows = embedding_covariance(df, dim=2, method="gram").collect()
         assert len(rows) == 4
+
+
+class TestJpegSingleComponentSampling:
+    def test_grayscale_2x2_sampling_decodes_raster(self):
+        """A 1-component frame declaring 2x2 sampling must decode its
+        (always non-interleaved, T.81 A.2) scan in plain raster order,
+        NOT an MCU-lattice walk — the round-11 second-review finding
+        (scrambled pixels at 16-multiples, EOFError otherwise)."""
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode_pixels)
+
+        for dim in (32, 24):
+            g = (np.add.outer(np.arange(dim) * 7, np.arange(dim) * 11)
+                 % 256).astype(np.uint8)
+            blob = bytearray(jpeg_encode_pixels(g, quality=95))
+            i = bytes(blob).find(b"\xff\xc0")
+            hv_off = i + 11              # SOF0: marker+len+prec+h+w+nc+cid
+            assert blob[hv_off] == 0x11
+            blob[hv_off] = 0x22
+            dec = jpeg_decode_pixels(bytes(blob))
+            assert dec.shape == g.shape
+            assert np.abs(dec.astype(int) - g.astype(int)).mean() < 2

@@ -597,10 +597,13 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
     idct_cache: list[list[tuple[int, int, np.ndarray]]] = [
         [] for _ in scan]
 
-    def decode_block(si, comp, td, ta, byy, bxx):
-        dch = htables[(0, td)]
-        ach = htables[(1, ta)]
-        qt = qtables[comp["tq"]].astype(np.float64)
+    # per-scan-component tables hoisted out of the hot block loop
+    tables = [(htables[(0, td)], htables[(1, ta)],
+               qtables[comp["tq"]].astype(np.float64))
+              for comp, td, ta in scan]
+
+    def decode_block(si, byy, bxx):
+        dch, ach, qt = tables[si]
         zz = np.zeros(64, dtype=np.float64)
         t = dch.decode_symbol(br)
         diff = _extend(br.read_bits(t), t) if t else 0
@@ -634,9 +637,8 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
             preds[:] = [0] * len(scan)
         unit_index += 1
 
-    if len(scan) == len(frame["comps"]) and len(scan) > 1 or \
-            len(frame["comps"]) == 1:
-        # interleaved MCU walk (or trivially a 1-component frame)
+    if len(scan) == len(frame["comps"]) and len(scan) > 1:
+        # interleaved MCU walk
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
         planes = [np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]))
@@ -644,14 +646,18 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
         for my in range(mcuy):
             for mx in range(mcux):
                 maybe_restart()
-                for si, (comp, td, ta) in enumerate(scan):
+                for si, (comp, _td, _ta) in enumerate(scan):
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
-                            decode_block(si, comp, td, ta,
+                            decode_block(si,
                                          my * comp["v"] + by,
                                          mx * comp["h"] + bx)
     elif len(scan) == 1:
-        comp, td, ta = scan[0]
+        # a single-component scan is ALWAYS non-interleaved (T.81
+        # §A.2): raster over the component's OWN block grid — this
+        # also covers 1-component frames, whose sampling factors must
+        # NOT expand into an MCU lattice
+        comp, _td, _ta = scan[0]
         xi = -(-w * comp["h"] // hmax)          # A.1.1 component dims
         yi = -(-h * comp["v"] // vmax)
         bw, bh = -(-xi // 8), -(-yi // 8)
@@ -659,7 +665,7 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
         for byy in range(bh):
             for bxx in range(bw):
                 maybe_restart()
-                decode_block(0, comp, td, ta, byy, bxx)
+                decode_block(0, byy, bxx)
     else:
         raise NotImplementedError(
             f"JPEG scan with {len(scan)} of {len(frame['comps'])} "
@@ -676,16 +682,14 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
             planes[si][byy * 8:(byy + 1) * 8,
                        bxx * 8:(bxx + 1) * 8] = blk
 
-    # next-marker position: the reader may have already consumed a
-    # marker while draining padding bits; otherwise the marker starts
-    # at the first 0xFF at-or-after the read position
-    if br.marker is not None:
-        nxt = br.pos - 2
-    else:
-        nxt = br.pos
-        while nxt + 1 < len(data) and not (
-                data[nxt] == 0xFF and data[nxt + 1] != 0x00):
-            nxt += 1
+    # next-marker position: a completed scan leaves the reader just
+    # past its last entropy byte (a marker hit mid-scan raises EOFError
+    # and never returns here), so the next marker is the first
+    # non-stuffed 0xFF at-or-after the read position
+    nxt = br.pos
+    while nxt + 1 < len(data) and not (
+            data[nxt] == 0xFF and data[nxt + 1] != 0x00):
+        nxt += 1
     return planes, nxt
 
 

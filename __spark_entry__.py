@@ -28,6 +28,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from zdb_spark.functions.scalar import round0
+
 NS_PER_HOUR = 3_600_000_000_000
 
 
@@ -3859,7 +3861,7 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.withColumn("w", gap)
             .where(F.col("w").isNotNull())
             .groupBy(F.col("event_type").alias("sym"))
-            .agg(F.round(
+            .agg(round0(
                 F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6)
                 .alias("twap"),
                 F.count(F.lit(1)).alias("n_obs")))
@@ -3924,8 +3926,8 @@ def q_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     2024-02-01 (7-day half-life): the closed order-independent form of
     the tick-store EMA — one partial-aggregated groupBy, no sort, no
     window, no sequential state (temporal.py:decayed_avg).  Oracle:
-    the same sum(v·2^((t-at)/hl))/sum(2^...) in SQL; float compare is
-    within the checker's 1e-9 tolerance."""
+    the same sum(v·2^((t-at)/hl))/sum(2^...) in SQL with the identical
+    repr()'d decay constant; both sides round0 to 6 dp, bit-exact."""
     from zdb_spark.operators.temporal import decayed_avg
 
     ev = _load(spark, sf_dir, "events")
@@ -3964,23 +3966,21 @@ WINDOW = 50
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 11
-    "embedding_covariance",  # r10's red gate: decimal(38,12) product sums
-                             # (order-independent) in engine AND oracle
-    "embedding_pca",      # demo-literal matrix retired; gate now runs the
-                          # corpus-TRAINED pca_components path (its input
-                          # is the newly-deterministic covariance)
-    "strip_boilerplate",  # strip_lines_against NULL-text guard (all-NULL
-                          # passthrough instead of silent empty-string)
-    "stream_boilerplate",  # same (strip_lines_against caller)
-    "curation_v3",        # same (composes the chrome strip)
-    "knn_int8",           # int8_topk grew the codes_df= materialized path
-    "embedding_quantize",  # quantize_embeddings callers re-checked with it
-    "multimodal_png",     # decode_images grew jpeg/auto decoders (shared
-                          # dispatch map touched; png path unchanged)
-    "multimodal_decode",  # same (decode_images dispatch)
-    "multimodal_resize",  # resize_images now magic-sniffs png vs jpeg
-    "stream_decode",      # same decode_images dispatch in streaming
+    # round 12 — signed-zero normalization (round0 = F.round + 0.0) after
+    # every gate-level rounding, mirrored as `+ 0.0` in each oracle; the
+    # r11 red gate (embedding_covariance, Spark +0.0 vs DuckDB -0.0 at
+    # cells (5,9)/(9,5)) plus every sibling whose rounded output can be
+    # a tiny negative.  All 7 re-proven bit-exact by the new
+    # struct.pack('<d') pass in tools/check_correctness.py.
+    "embedding_covariance",
+    "embedding_pca",      # pca_components consumes the covariance;
+                          # pca_project's per-cell rounding also round0'd
+    "dsir_weights",       # importance_weights log_weight round0'd
+    "lm_score",           # bigram_logprob avg_logprob round0'd
+    "decay_avg",          # decayed_avg 3 rounded outputs round0'd
+    "twap",               # q_twap round0'd
+    "rate_anomaly",       # baseline_mean + zscore round0'd
+    "curation_v3",        # composes importance_weights (dsir stage)
 ]
 
 _QUERY_DECLARATIONS: list[
@@ -5657,7 +5657,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e2 JOIN cbg USING (bg) JOIN cw1 USING (w1), v
         ), agg AS (
             SELECT doc_id, count(*) AS n_bigrams,
-                   round(avg(lp), 6) AS avg_logprob
+                   round(avg(lp), 6) + 0.0 AS avg_logprob
             FROM sc GROUP BY 1
         )
         SELECT t.doc_id, agg.n_bigrams, agg.avg_logprob
@@ -6322,7 +6322,7 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, tot
         ), sc AS (
             SELECT doc_id, count(*) AS n_grams,
-                   round(sum(lrv), 4) AS log_weight
+                   round(sum(lrv), 4) + 0.0 AS log_weight
             FROM eb JOIN lr USING (bkt) GROUP BY 1
         )
         SELECT t.doc_id, sc.n_grams, sc.log_weight
@@ -6347,7 +6347,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         )
         SELECT CAST(s.i - 1 AS INT) AS i, CAST(s.j - 1 AS INT) AS j,
-               round((s.s_ij - mi.s_i * mj.s_i / s.n) / s.n, 6) AS cov
+               round((s.s_ij - mi.s_i * mj.s_i / s.n) / s.n, 6) + 0.0
+                   AS cov
         FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
     """
     _pca_comps = ", ".join(
@@ -6364,7 +6365,7 @@ def oracle_sql() -> dict[str, str]:
                round(list_sum(list_transform(
                    range(1, 65),
                    i -> v[CAST(i AS INT)]
-                        * comps[r.r][CAST(i AS INT)])), 6) AS val
+                        * comps[r.r][CAST(i AS INT)])), 6) + 0.0 AS val
         FROM e, c, range(1, 5) AS r(r)
     """
     # Shared line-view CTE for the two line-level boilerplate gates:
@@ -6821,11 +6822,11 @@ def oracle_sql() -> dict[str, str]:
                           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
         )
         SELECT sym, bucket, n_events,
-               round(m, 6) AS baseline_mean,
+               round(m, 6) + 0.0 AS baseline_mean,
                round(CASE WHEN n_obs >= 4 THEN
                           CASE WHEN s > 0 THEN (n_events - m) / s
                                ELSE sign(n_events - m) * 1e9 END
-                     END, 6) AS zscore
+                     END, 6) + 0.0 AS zscore
         FROM w
     """
     # Decayed average: identical weight expression; the lambda literal
@@ -6839,9 +6840,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_ns(ts) <= {_DECAY_AT}
         )
         SELECT event_type AS sym,
-               round(sum(value * w) / sum(w), 6) AS decayed_avg,
-               round(sum(value * w), 6) AS decayed_sum,
-               round(sum(w), 6) AS w_sum,
+               round(sum(value * w) / sum(w), 6) + 0.0 AS decayed_avg,
+               round(sum(value * w), 6) + 0.0 AS decayed_sum,
+               round(sum(w), 6) + 0.0 AS w_sum,
                count(*) AS n
         FROM e GROUP BY 1
     """
@@ -6855,7 +6856,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         )
         SELECT event_type AS sym,
-               round(sum(value * w) / sum(w), 6) AS twap,
+               round(sum(value * w) / sum(w), 6) + 0.0 AS twap,
                count(*) AS n_obs
         FROM g WHERE w IS NOT NULL
         GROUP BY 1

@@ -3,9 +3,15 @@
 
 Runs every __spark_entry__.queries() entry at sf0.01 (or --sf-dir) AND its
 oracle_sql() through DuckDB, then compares: row count, column names
-(sorted), and order-insensitive values.  Values compare exactly for
-strings/ints/dates and to 1e-9 abs/rel for floats (both sides already
-round computed floats, so any real mismatch shows up far above this).
+(sorted), and order-insensitive values.  Strings/ints/dates compare
+exactly; floats compare BIT-EXACTLY (struct.pack('<d')) because the
+driver's value hash is a byte hash — a tolerance pass alone is blind to
+signed zero (-0.0 vs +0.0 compares == and |a-b| == 0) and to last-ulp
+divergence, both of which fail the driver (the round-11
+embedding_covariance red row was exactly Spark +0.0 vs DuckDB -0.0).
+Bit mismatches inside 1e-9 tolerance get a NAMED diagnosis (signed-zero
+/ last-ulp) so the fix is obvious; both sides already round computed
+floats, so anything bit-unequal is a real determinism bug.
 
 Usage: python tools/check_correctness.py [--sf-dir DIR] [--only name,...]
 """
@@ -14,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import struct
 import sys
 import time
 
@@ -100,9 +107,27 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
             if isinstance(a, float) and isinstance(b, float):
                 if math.isnan(a) and math.isnan(b):
                     continue
-                if abs(a - b) <= 1e-9 + 1e-9 * max(abs(a), abs(b)):
+                # the driver hashes BYTES: only bit equality passes.
+                if struct.pack("<d", a) == struct.pack("<d", b):
                     continue
-            if a == b:
+                if a == b:   # == but different bits: only ±0.0 can
+                    errs.append(
+                        f"col {c} row {i}: SIGNED ZERO spark="
+                        f"{math.copysign(1, a):+.0f}0.0 duck="
+                        f"{math.copysign(1, b):+.0f}0.0 — equal values, "
+                        f"different bytes; normalize with round0()/+0.0")
+                    if len(errs) > 5:
+                        return errs
+                    continue
+                if abs(a - b) <= 1e-9 + 1e-9 * max(abs(a), abs(b)):
+                    errs.append(
+                        f"col {c} row {i}: LAST-ULP spark={a!r} "
+                        f"duck={b!r} — inside 1e-9 tolerance but "
+                        f"bit-unequal; the driver hash will fail")
+                    if len(errs) > 5:
+                        return errs
+                    continue
+            elif a == b:
                 continue
             errs.append(f"col {c} row {i}: spark={a!r} duck={b!r}")
             if len(errs) > 5:

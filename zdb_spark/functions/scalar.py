@@ -21,7 +21,26 @@ import datetime as dt
 from pyspark.sql import Column, functions as F
 
 __all__ = ["string_to_nanoseconds", "format_currency", "format_currency_col",
-           "to_nanos", "nanos_to_ts", "ts_to_nanos", "parse_time_col"]
+           "to_nanos", "nanos_to_ts", "ts_to_nanos", "parse_time_col",
+           "round0"]
+
+
+def round0(col: Column, dp: int) -> Column:
+    """``F.round`` with IEEE signed zero normalized to ``+0.0``.
+
+    A value like ``-1e-9`` rounds to ``-0.0`` at 6 dp.  ``-0.0 == 0.0``
+    compares true everywhere, but the two have different bit patterns —
+    invisible to every tolerance check and fatal to any byte-level value
+    hash when one engine emits ``+0.0`` and another ``-0.0`` for the
+    same cell (Spark vs DuckDB genuinely disagree here; the round-11
+    ``embedding_covariance`` red gate was exactly cells (5,9)/(9,5)).
+    The fix is the standard IEEE-754 identity ``-0.0 + 0.0 == +0.0``
+    (round-to-nearest mode), a no-op for every other value including
+    NULL and NaN.  Every hash-gated float an operator emits after its
+    final rounding should go through this (mirror it as ``+ 0.0`` after
+    ``round(...)`` in the paired oracle SQL).
+    """
+    return F.round(col, dp) + F.lit(0.0)
 
 _NICE_FORMAT = "%Y-%m-%d"
 NANOS_PER_MICRO = 1_000

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.scalar import round0
+
 __all__ = ["hash_split", "split_label", "split_leakage",
            "pack_sequences", "stratified_sample", "percentile_cut",
            "percentile_cut_by_group",
@@ -647,7 +649,7 @@ def importance_weights(df: DataFrame, target_pred, *,
     scored = (ex.join(F.broadcast(lr_tbl), "bkt")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_grams"),
-                   F.round(F.sum("_lr"), 4).alias(out_col)))
+                   round0(F.sum("_lr"), 4).alias(out_col)))
     out = df.select(id_col).join(scored, id_col, "left")
     if cache_features:
         out._zdb_cache_handles = [ex]

@@ -24,6 +24,8 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from ..functions.scalar import round0
+
 __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "lsh_topk", "knn_join_bruteforce", "knn_join_lsh", "ivf_index",
            "ivf_topk", "embedding_dedup_pairs", "build_lsh_index",
@@ -1443,9 +1445,9 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
             .join(F.broadcast(means.withColumnRenamed("dim", "j")
                               .withColumnRenamed("s_d", "s_j")), "j")
             .select("i", "j",
-                    F.round((F.col("s_ij")
-                             - F.col("s_i") * F.col("s_j") / F.col("n"))
-                            / F.col("n"), round_dp).alias("cov")))
+                    round0((F.col("s_ij")
+                            - F.col("s_i") * F.col("s_j") / F.col("n"))
+                           / F.col("n"), round_dp).alias("cov")))
 
 
 def pca_components(df: DataFrame, q: int, vec_col: str = "embedding", *,
@@ -1498,7 +1500,7 @@ def pca_project(df: DataFrame, components, vec_col: str = "embedding",
     ])
     proj = let(_as_double(F.col(vec_col)), lambda v: F.transform(
         comp_arr,
-        lambda c: F.round(F.aggregate(
+        lambda c: round0(F.aggregate(
             F.zip_with(v, c, lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x), round_dp)))
     return df.withColumn(out_col, proj)

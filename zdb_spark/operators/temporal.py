@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.scalar import round0
+
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
            "retention", "user_paths", "decayed_avg", "rate_anomaly"]
 
@@ -475,9 +477,9 @@ def decayed_avg(df: DataFrame, ts_col: str = "ts", by=None,
     filtered = df.where(F.col(ts_col) <= F.lit(at))
     g = filtered.groupBy(*by) if by else filtered.groupBy()
     return g.agg(
-        F.round(F.sum(v * w) / F.sum(w), 6).alias("decayed_avg"),
-        F.round(F.sum(v * w), 6).alias("decayed_sum"),
-        F.round(F.sum(w), 6).alias("w_sum"),
+        round0(F.sum(v * w) / F.sum(w), 6).alias("decayed_avg"),
+        round0(F.sum(v * w), 6).alias("decayed_sum"),
+        round0(F.sum(w), 6).alias("w_sum"),
         F.count(F.lit(1)).alias("n"))
 
 
@@ -524,5 +526,5 @@ def rate_anomaly(df: DataFrame, ts_col: str = "ts",
                            * F.lit(1e9)))
     return counts.select(
         F.col(by), "bucket", "n_events",
-        F.round(mean, 6).alias("baseline_mean"),
-        F.round(z, 6).alias("zscore"))
+        round0(mean, 6).alias("baseline_mean"),
+        round0(z, 6).alias("zscore"))

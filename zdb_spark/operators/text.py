@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.scalar import round0
+
 __all__ = ["tokenize", "token_counts", "language_id", "quality_features",
            "fingerprint", "repetition_features", "redact_pii",
            "quality_score_linear", "bigram_logprob", "char_entropy",
@@ -332,7 +334,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text",
     scored = (ex.join(bg_counts, "bg").join(w1_counts, "w1")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                   F.round(F.avg(logp), 6).alias(out_col)))
+                   round0(F.avg(logp), 6).alias(out_col)))
     return df.select(id_col).join(scored, id_col, "left")
 
 

@@ -4151,6 +4151,28 @@ _COVERS: dict[str, list[str]] = {
     "curation_pipeline": ["dedup_exact", "dedup_minhash",
                           "dedup_clusters", "text_langid",
                           "text_quality"],
+    # round-12 widening (round-11 verdict task 4) — each pair's shared
+    # public operator is in the TRANSITIVE operator call graph (the
+    # contract test computes the closure): build_ivfpq_index calls
+    # ivf_index + pq_train + pq_encode; the pq search path reranks via
+    # pq_topk's scoring; etc.
+    "knn_ivfpq": ["knn_ivf", "knn_pq"],
+    # corpus_report runs language_id + quality_features +
+    # repetition_features + token_counts over the whole corpus and
+    # hash-checks per-source aggregates of their outputs
+    "corpus_report": ["text_langid", "text_quality",
+                      "text_repetition", "text_tokens"],
+    # multiprobe shares build_lsh_index/lsh_index_topk + the exact-verify
+    # rerank with the single-probe gate
+    "knn_lsh_multiprobe": ["knn_lsh"],
+    # the streaming gate replays build/append_minhash_store +
+    # incremental_minhash_pairs — the batch-incremental gate's exact code
+    "stream_dedup_incremental": ["dedup_incremental"],
+    # near_dup_clusters(capped) generates candidates via the same
+    # minhash_lsh_pairs banding the capped-pairs gate hashes
+    "dedup_clusters_capped": ["dedup_minhash_capped"],
+    # pca_components' first stage IS embedding_covariance (exact path)
+    "embedding_pca": ["embedding_covariance"],
 }
 
 
@@ -4212,8 +4234,10 @@ def _rotation_sorted(
     already consumed."""
     hist = _verification_history()
     pri = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
+    cur = max((max(g or 0, r or 0) for g, r in hist.values()),
+              default=0)
 
-    def key(pair):
+    def key(pair, demoted=frozenset()):
         name = pair[0]
         if name in pri:
             return (0, pri[name], "")
@@ -4223,8 +4247,23 @@ def _rotation_sorted(
         green, red = h
         if red is not None and (green is None or red > green):
             return (2, red, name)         # regressed after last green
+        if name in demoted:
+            # a WINDOW composite will re-execute this sub-gate's
+            # operator this round and (if green) refresh its age via
+            # _COVERS — treat it as already-current so its slot goes to
+            # a gate nothing else vouches for.  Never applies to red or
+            # never-verified gates (keys above fire first).
+            return (3, cur, name)
         return (3, green, name)           # green; older round = staler
-    return sorted(decls, key=key)
+    # two-pass: provisional window -> demote green sub-gates whose
+    # covering composite sits in that window -> final sort.  If the
+    # composite later fails, both it and the sub-gate go stale/red and
+    # regain priority next round — the same bet _COVERS itself makes.
+    provisional = {n for n, _ in sorted(decls, key=key)[:WINDOW]}
+    demoted = frozenset(
+        sub for comp, subs in _COVERS.items() if comp in provisional
+        for sub in subs)
+    return sorted(decls, key=lambda p: key(p, demoted))
 
 
 _QUERY_REGISTRY = _rotation_sorted(_QUERY_DECLARATIONS)

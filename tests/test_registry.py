@@ -56,21 +56,31 @@ def test_changed_this_round_names_exist():
 
 
 def test_rotation_is_stalest_first():
-    """Mechanized rotation (round 8): changed gates lead, never-verified
-    gates precede all history-backed gates, and history-backed gates
-    appear in non-decreasing last-green-round order (a red newer than
-    the last green counts as that red round, sorted before greens)."""
+    """Mechanized rotation (round 8; covered-sub demotion round 12):
+    changed gates lead, never-verified gates precede all history-backed
+    gates, and history-backed gates appear in non-decreasing last-green
+    order — EXCEPT green sub-gates whose covering composite is itself in
+    the window, which are treated as current (the composite's green row
+    will refresh them via _COVERS, so their slot goes to a gate nothing
+    vouches for).  Demotion must never apply to red or never-verified
+    gates."""
     hist = entry_mod._verification_history()
     names = [n for n, _ in entry_mod._QUERY_REGISTRY]
     k = len(entry_mod._CHANGED_THIS_ROUND)
     assert set(names[:k]) == set(entry_mod._CHANGED_THIS_ROUND)
+    window = set(names[:entry_mod.WINDOW])
+    cur = max(max(g or 0, r or 0) for g, r in hist.values())
+    demotable = {s for c, subs in entry_mod._COVERS.items()
+                 if c in window for s in subs}
     tiers = []
     for n in names[k:]:
         h = hist.get(n)
         if h is None:
             tiers.append((1, 0))
         elif h[1] is not None and (h[0] is None or h[1] > h[0]):
-            tiers.append((2, h[1]))
+            tiers.append((2, h[1]))      # red: demotion must NOT apply
+        elif n in demotable:
+            tiers.append((3, cur))
         else:
             tiers.append((3, h[0]))
     assert tiers == sorted(tiers), "registry not stalest-first"
@@ -245,10 +255,14 @@ def test_bench_canary_verdict_edges():
 
 def test_covers_pairs_share_an_implementing_operator():
     """_COVERS honesty contract: a composite may refresh a sub-gate's
-    rotation age ONLY if its q_ function actually references an
-    operator function (defined under zdb_spark/operators/) that the
-    sub-gate's q_ function also references — i.e. the composite really
-    executes the code the sub-gate gates."""
+    rotation age ONLY if its q_ function actually executes an operator
+    function (defined under zdb_spark/operators/) that the sub-gate's
+    q_ function also executes.  "Executes" is the TRANSITIVE closure
+    over the operator call graph (build_ivfpq_index really runs
+    ivf_index + pq_train even though the q_ function names only the
+    composite entry point), restricted to PUBLIC operator names —
+    underscore helpers and the generic `let` combinator appear in
+    nearly every closure and would make the claim vacuous."""
     import os
     import sys as _sys
 
@@ -261,20 +275,32 @@ def test_covers_pairs_share_an_implementing_operator():
         _sys.path.remove(tools)
 
     entry_fns = cg._functions("__spark_entry__.py")
-    op_names = set()
+    op_fns: dict = {}
     op_dir = os.path.join(root, "zdb_spark", "operators")
     for f in os.listdir(op_dir):
         if f.endswith(".py"):
-            op_names.update(cg._functions(f"zdb_spark/operators/{f}"))
+            op_fns.update(cg._functions(f"zdb_spark/operators/{f}"))
+    op_names = set(op_fns)
     gate_fn = {n: fn.__name__ for n, fn in entry_mod._QUERY_DECLARATIONS}
+
+    def closure(refs: set) -> set:
+        seen = set(refs & op_names)
+        frontier = list(seen)
+        while frontier:
+            fn = frontier.pop()
+            for r in op_fns[fn][2] & op_names:
+                if r not in seen:
+                    seen.add(r)
+                    frontier.append(r)
+        return {n for n in seen if not n.startswith("_") and n != "let"}
 
     for comp, subs in entry_mod._COVERS.items():
         assert comp in gate_fn, f"_COVERS composite {comp!r} not a gate"
-        comp_refs = entry_fns[gate_fn[comp]][2] & op_names
+        comp_ops = closure(entry_fns[gate_fn[comp]][2])
         for sub in subs:
             assert sub in gate_fn, f"_COVERS sub {sub!r} not a gate"
-            sub_refs = entry_fns[gate_fn[sub]][2] & op_names
-            shared = comp_refs & sub_refs
+            sub_ops = closure(entry_fns[gate_fn[sub]][2])
+            shared = comp_ops & sub_ops
             assert shared, (f"_COVERS pair ({comp}, {sub}) shares no "
                             f"operator function — coverage claim false")
 

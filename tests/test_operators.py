@@ -2287,6 +2287,59 @@ class TestPCA:
         third = vals[np.argsort(-vals)[2]]
         assert evs[1] > 100 * abs(third)
 
+    def test_pca_components_accepts_precomputed_covariance(self, spark):
+        """Train-once/reuse: passing the (i, j, cov) frame skips the
+        corpus pass and must reproduce the from-scratch training
+        exactly (eigh runs on the identical rounded matrix)."""
+        import numpy as np
+
+        from zdb_spark.operators.similarity import (embedding_covariance,
+                                                    pca_components)
+
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=(80, 4)) * np.array([4.0, 2.0, 1.0, 0.2]))
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(x.astype(np.float32))],
+            "vec_id long, embedding array<float>")
+        fresh_c, fresh_e = pca_components(df, q=3)
+        cov = embedding_covariance(df, dim=4)
+        reuse_c, reuse_e = pca_components(df, q=3, cov_df=cov)
+        assert np.array_equal(fresh_c, reuse_c)
+        assert np.array_equal(fresh_e, reuse_e)
+
+    def test_pca_gate_cache_load_equals_fresh_train(self, spark):
+        """The embedding_pca gate caches trained components by corpus
+        fingerprint; the cached JSON must round-trip to the exact
+        doubles a fresh training produces (determinism is what makes
+        the cache == the oracle's literals)."""
+        import glob
+        import json
+        import os
+        import tempfile
+
+        import numpy as np
+
+        import __spark_entry__ as em
+        from zdb_spark.operators.similarity import pca_components
+
+        sf_dir = "/root/testdata/sf0.001"
+        cache_dir = os.path.join(tempfile.gettempdir(),
+                                 "zdb_pca_components")
+        key = em._key_for(sf_dir, "pca-q4-v1", ("embeddings",))
+        path = os.path.join(cache_dir, f"{key}.json")
+        if os.path.exists(path):
+            os.remove(path)
+        em.q_embedding_pca(spark, sf_dir).count()   # miss -> trains
+        assert os.path.exists(path)
+        cached = json.load(open(path))
+        fresh, _ = pca_components(em._load(spark, sf_dir, "embeddings"),
+                                  q=4)
+        assert np.array_equal(np.asarray(cached), fresh)
+        # second call must hit the cache (no retrain): mtime unchanged
+        before = os.path.getmtime(path)
+        em.q_embedding_pca(spark, sf_dir).count()
+        assert os.path.getmtime(path) == before
+
     def test_pca_project_zero_shuffle_and_variance_order(self, spark):
         import numpy as np
 

@@ -1452,7 +1452,9 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding", *,
 
 def pca_components(df: DataFrame, q: int, vec_col: str = "embedding", *,
                    round_dp: int = 6,
-                   method: str = "exact") -> tuple[np.ndarray, np.ndarray]:
+                   method: str = "exact",
+                   cov_df: DataFrame | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
     """Top-``q`` principal components of the embedding corpus:
     distributed covariance (``embedding_covariance``, one corpus pass)
     + driver-side ``numpy.linalg.eigh`` on the d×d matrix — the same
@@ -1465,9 +1467,18 @@ def pca_components(df: DataFrame, q: int, vec_col: str = "embedding", *,
     sign convention, so reruns and hosts agree up to LAPACK's own
     reproducibility.  Returns (components [q×d], explained_variance
     [q]), both rounded to ``round_dp``.
+
+    Train once, reuse: the covariance pass is the entire corpus cost —
+    asking for a different ``q``, re-running after a driver restart, or
+    deriving whitening AND components must not re-read 100 TB.  Pass
+    ``cov_df`` (an (i, j, cov) frame from ``embedding_covariance``,
+    already rounded to ``round_dp``) to skip the corpus pass and go
+    straight to the driver eigensolve; ``df``/``vec_col``/``method``
+    are ignored in that case.
     """
-    rows = embedding_covariance(df, vec_col, round_dp=round_dp,
-                                method=method).collect()
+    rows = (cov_df if cov_df is not None
+            else embedding_covariance(df, vec_col, round_dp=round_dp,
+                                      method=method)).collect()
     d = max(r["i"] for r in rows) + 1
     cov = np.zeros((d, d))
     for r in rows:

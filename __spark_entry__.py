@@ -4005,6 +4005,12 @@ _CHANGED_THIS_ROUND = [
     "twap",               # q_twap round0'd
     "rate_anomaly",       # baseline_mean + zscore round0'd
     "curation_v3",        # composes importance_weights (dsir stage)
+    # round-12 review fixes (behavior-preserving on the gate corpus,
+    # re-verified anyway):
+    "unigram_tok",        # apply_unigram id-dtype + NULL-text parity
+    "export_webdataset",  # tar shards: attempt-unique temp + rename
+    "multimodal_resize",  # jpeg truncation guards in the decode path
+    "server_ohlcv",       # ohlcv() bounded-collect docstring contract
 ]
 
 _QUERY_DECLARATIONS: list[

@@ -49,6 +49,29 @@ class TestOhlcvEndpoint:
     def test_frame_all_symbols(self, bar_table):
         assert ohlcv_frame(bar_table, T0, T0 + 10 * MIN).count() == 8
 
+    def test_frame_stays_lazy(self, bar_table, monkeypatch):
+        """ohlcv_frame is the UNBOUNDED path: building it must never
+        materialize rows on the driver — only ohlcv() (the JSON
+        endpoint serializer, whose driver materialization is
+        caller-bounded) collects.  Pins the docstring contract by
+        poisoning the materialization entry points for the call."""
+        import pytest
+
+        # patch the CONCRETE class (pyspark 4's classic DataFrame
+        # overrides the pyspark.sql.DataFrame base methods)
+        DataFrame = type(bar_table.spark.range(1))
+
+        def boom(self, *a, **k):
+            raise AssertionError("driver materialization in frame path")
+
+        for meth in ("collect", "toPandas", "toLocalIterator"):
+            monkeypatch.setattr(DataFrame, meth, boom)
+        df = ohlcv_frame(bar_table, T0, T0 + 10 * MIN,
+                         symbols=["AAPL"])      # must not raise
+        assert df.is_cached is False
+        with pytest.raises(AssertionError, match="materialization"):
+            ohlcv(bar_table, T0, T0 + 10 * MIN, symbols=["AAPL"])
+
     def test_reversed_range_swapped(self, bar_table):
         # reference swaps from>to (/root/reference/src/server/ohlcv.rs:64-66)
         assert ohlcv_frame(bar_table, T0 + 10 * MIN, T0).count() == 8

@@ -2563,6 +2563,27 @@ class TestUnigramTokenizer:
             assert all(t in {"abc", "def", "ghi", "jkl"} for t in r.tokens)
             assert r.n_tokens == len(r.tokens)
 
+    def test_apply_unigram_parity_with_bpe_udf(self, spark):
+        """Contract parity with apply_bpe_udf (round-11 review): string
+        doc ids keep their type (no Arrow cast crash), NULL text
+        propagates as (NULL tokens, NULL n_tokens), and an empty STRING
+        still yields ([], 0)."""
+        from zdb_spark.operators.tokenize import apply_unigram
+
+        df = spark.createDataFrame(
+            [("doc-a", "abc def"), ("doc-b", None), ("doc-c", "")],
+            "doc_id string, text string")
+        vocab = [("abc", -1.0), ("def", -1.0)]
+        out = apply_unigram(df, vocab)
+        assert dict(out.dtypes)["id"] == "string"
+        rows = {r.id: r for r in out.collect()}
+        assert rows["doc-a"].tokens == ["abc", "def"]
+        assert rows["doc-a"].n_tokens == 2
+        assert rows["doc-b"].tokens is None
+        assert rows["doc-b"].n_tokens is None
+        assert rows["doc-c"].tokens == []
+        assert rows["doc-c"].n_tokens == 0
+
     def test_viterbi_tie_and_fallback(self):
         from zdb_spark.operators.tokenize import _viterbi_segment
 

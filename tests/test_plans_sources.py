@@ -129,6 +129,50 @@ class TestExportTarShards:
             assert all(mem[i][1] == "txt" and mem[i + 1][1] == "bin"
                        for i in range(0, len(mem), 2))
 
+    def test_export_leaves_no_temp_debris(self, spark, tmp_path):
+        """Shards are written to attempt-unique temps and renamed on
+        task success (round-11 review: a speculative re-attempt must
+        never interleave into the final tar); after a successful export
+        only final shard-*.tar files remain."""
+        import glob
+        import os
+
+        from zdb_spark.sources.writers import export_tar_shards
+
+        d = str(tmp_path / "wds")
+        export_tar_shards(self._df(spark), d, 3, "doc_id",
+                          {"txt": "txt"})
+        names = sorted(os.path.basename(p)
+                       for p in glob.glob(os.path.join(d, "shard-*")))
+        assert names == [f"shard-{k:06d}.tar" for k in range(3)]
+
+    def test_read_skips_non_file_members(self, spark, tmp_path):
+        """Externally produced tars can carry directory/symlink members;
+        extractfile() returns None for those — the reader must skip
+        them (round-11 review), not crash with AttributeError."""
+        import io
+        import tarfile
+
+        from zdb_spark.sources.writers import read_tar_shards
+
+        d = tmp_path / "ext"
+        d.mkdir()
+        with tarfile.open(d / "shard-000000.tar", "w") as tf:
+            dir_info = tarfile.TarInfo("samples")
+            dir_info.type = tarfile.DIRTYPE
+            tf.addfile(dir_info)
+            data = b"hello"
+            info = tarfile.TarInfo("a.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            link = tarfile.TarInfo("b.txt")
+            link.type = tarfile.SYMTYPE
+            link.linkname = "a.txt"
+            tf.addfile(link)
+        rows = read_tar_shards(spark, str(d)).collect()
+        assert [(r.key, r.ext, bytes(r.content), r.pos)
+                for r in rows] == [("a", "txt", b"hello", 0)]
+
     def test_byte_identical_across_runs(self, spark, tmp_path):
         import glob
         import hashlib

@@ -484,24 +484,64 @@ def test_jpeg_roundtrip_property(dims, sub, ri, inter):
     dec = jpeg_decode_pixels(enc)
     assert dec.shape == px.shape
     err = abs(dec.astype(int) - px.astype(int)).mean()
-    # 4:2:0 chroma averaging of a hard block edge on a tiny image can
-    # reach ~16-20 mean error legitimately; the bound guards against
-    # scrambling (which lands at 60+), not quantization
-    assert err < 24, err
+    # 4:2:0 chroma averaging is LOSSY by design: a saturated chroma
+    # edge at an odd offset on a tiny image can cost ~40 mean error
+    # before any quantization (e.g. a 4x4 with 3x3/1x1 color regions).
+    # Bound against the codec-independent ideal — RGB->YCbCr, 2x2
+    # box-downsample chroma, replicate-upsample, back — plus fixed
+    # quantization slack, so the test rejects scrambling (which lands
+    # 60+ ABOVE the ideal) without rejecting subsampling itself.
+    ideal = 0.0
+    if sub == "420" and px.ndim == 3:
+        r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        ph, pw = (px.shape[0] + 1) // 2 * 2, (px.shape[1] + 1) // 2 * 2
+        def sub420(c):
+            p = np.pad(c, ((0, ph - c.shape[0]), (0, pw - c.shape[1])),
+                       mode="edge")
+            d = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            return np.kron(d, np.ones((2, 2)))[:c.shape[0], :c.shape[1]]
+        cb2, cr2 = sub420(cb), sub420(cr)
+        ref = np.clip(np.stack([y + 1.402 * (cr2 - 128),
+                                y - 0.344136 * (cb2 - 128)
+                                - 0.714136 * (cr2 - 128),
+                                y + 1.772 * (cb2 - 128)], -1).round(),
+                      0, 255)
+        ideal = abs(ref - px).mean()
+    assert err < ideal + 24, (err, ideal)
 
 
 @given(st.binary(max_size=600))
 @settings(max_examples=100, deadline=2000)
 def test_jpeg_decode_fails_fast_on_garbage(blob):
     """Garbage (with or without a JPEG SOI prefix) must raise promptly —
-    never hang, never return a tuple for unstructured bytes."""
+    never hang, never return a tuple for unstructured bytes — and raise
+    the ONE documented exception family (ValueError /
+    NotImplementedError), never an internal IndexError/struct.error,
+    so corpus-scale decode_images can catch consistently."""
     from zdb_spark.operators.jpeg import jpeg_decode_pixels
 
     for payload in (blob, b"\xff\xd8\xff" + blob):
         try:
             jpeg_decode_pixels(payload)
-        except Exception:
+        except (ValueError, NotImplementedError):
             pass
+
+
+def test_jpeg_decode_truncation_is_valueerror():
+    """The two truncation shapes the fuzz corpus missed: a stream
+    ending in a lone 0xFF (marker byte cut off) and a stream cut
+    inside the 2-byte segment-length field."""
+    import pytest
+
+    from zdb_spark.operators.jpeg import jpeg_decode_pixels
+
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jpeg_decode_pixels(b"\xff\xd8\xff")            # lone 0xFF
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        jpeg_decode_pixels(b"\xff\xd8\xff\xdb\x00")    # half a length
 
 
 @given(st.lists(st.text(alphabet="abcdxyz", min_size=1, max_size=12),

@@ -96,6 +96,15 @@ def ohlcv(table: Table, from_ts, to_ts, symbols: list[str] | None = None,
     nanos.  Grouping into per-symbol parallel arrays happens in ONE
     aggregation (sort_array over collected structs), so Spark still does
     the heavy lifting; only the final per-symbol arrays hit the driver.
+
+    BOUNDED DRIVER MATERIALIZATION: this is the API endpoint — the
+    return value is a JSON-shaped dict, so every requested bar crosses
+    the driver (``collect``), like every other endpoint serializer.
+    The bound is bars-in-range × symbols-requested, which the CALLER
+    controls via [from_ts, to_ts), ``symbols``, and ``every``; a
+    chart request is a few thousand bars.  For unbounded/analytical
+    reads use ``ohlcv_frame`` — the same scan + filter as a lazy
+    DataFrame that never touches the driver.
     """
     ts = table.schema.ts_col
     df = ohlcv_frame(table, from_ts, to_ts, symbols, symbol_col)

@@ -507,19 +507,34 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
         # fill bytes — skip them (real encoders pad with them)
         while pos + 1 < len(data) and data[pos + 1] == 0xFF:
             pos += 1
+        # corpus-scale decode must raise ONE exception family on junk:
+        # a stream ending in a lone 0xFF, or cut inside a segment-length
+        # field, is a truncation, not an internal IndexError/struct.error
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: stream ends inside a marker")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:                       # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: stream ends inside a "
+                             "segment length field")
         seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG: segment extends past the "
+                             "end of the stream")
         seg = data[pos + 2:pos + seglen]
         if marker == 0xDB:                       # DQT
             p = 0
             while p < len(seg):
                 prec, tid = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
+                n = 128 if prec else 64
+                if p + n > len(seg):
+                    raise ValueError("truncated JPEG: DQT table cut "
+                                     "short")
                 if prec:
                     vals = np.frombuffer(seg[p:p + 128], dtype=">u2")
                     p += 128
@@ -532,16 +547,27 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:                     # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG: DHT header cut "
+                                     "short")
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG: DHT values cut "
+                                     "short")
                 vals = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG: SOF header cut short")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG: SOF component specs "
+                                 "cut short")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
@@ -554,15 +580,23 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
                 f"(SOF0/1) is supported")
         elif marker == 0xDD:                     # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG: DRI cut short")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                     # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not seg or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG: SOS header cut short")
             ns = seg[0]
             scan = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next((c for c in frame["comps"]
+                             if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(f"JPEG SOS references component "
+                                     f"{cs} absent from the frame")
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
             scan_planes, pos = _decode_scan(
                 data, pos + seglen, frame, scan, qtables, htables,

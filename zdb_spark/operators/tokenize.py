@@ -375,7 +375,14 @@ def apply_unigram(df: DataFrame, vocab: list[tuple[str, float]],
     segmentation under the piece log-probs (same tie rules as
     training).  Arrow-batched pandas over a broadcast piece dict — the
     ``apply_bpe_udf`` fast-path pattern; embarrassingly parallel, one
-    corpus pass.  Returns (id, n_tokens, tokens array<string>)."""
+    corpus pass.  Returns (id, n_tokens, tokens array<string>).
+
+    Contract parity with ``apply_bpe_udf``: the id column's exact input
+    type is preserved (string/UUID doc ids work), and NULL text
+    propagates as (NULL tokens, NULL n_tokens) — an empty STRING still
+    tokenizes to an empty list with n_tokens=0."""
+    from pyspark.sql import types as T
+
     probs = dict(vocab)
     max_len = max_piece_len or max((len(p) for p in probs), default=1)
 
@@ -385,17 +392,22 @@ def apply_unigram(df: DataFrame, vocab: list[tuple[str, float]],
 
     def tok(batches):
         for pdf in batches:
-            ids, toks = [], []
+            rows = []
             for i, text in zip(pdf["id"], pdf["__t"]):
+                if text is None:
+                    rows.append((i, None, None))
+                    continue
                 pieces: list[str] = []
-                if text:
-                    for word in text.split():
-                        pieces.extend(
-                            _viterbi_segment(word, probs, max_len))
-                ids.append(i)
-                toks.append(pieces)
-            yield pd.DataFrame({"id": ids, "tokens": toks})
+                for word in text.split():
+                    pieces.extend(
+                        _viterbi_segment(word, probs, max_len))
+                rows.append((i, pieces, len(pieces)))
+            yield pd.DataFrame(rows, columns=["id", "tokens", "n_tokens"])
 
-    out = src.mapInPandas(tok, "id long, tokens array<string>")
-    return out.select("id", F.size("tokens").alias("n_tokens"),
-                      F.col("tokens").alias(out_col))
+    out_schema = T.StructType([
+        T.StructField("id", df.schema[id_col].dataType, True),
+        T.StructField("tokens", T.ArrayType(T.StringType()), True),
+        T.StructField("n_tokens", T.IntegerType(), True),
+    ])
+    out = src.mapInPandas(tok, out_schema)
+    return out.select("id", "n_tokens", F.col("tokens").alias(out_col))

@@ -171,9 +171,19 @@ def export_tar_shards(df: DataFrame, path: str, n_shards: int,
         import tarfile
 
         import pandas as pd
+        from pyspark import TaskContext
 
+        # attempt-unique temp names + rename-on-success: a speculative
+        # or re-attempted task on shared storage (NFS/S3-fuse) must
+        # never interleave writes into the same final tar — attempts
+        # write distinct temps, and the deterministic per-shard content
+        # makes whichever rename lands last byte-identical anyway
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         handles: dict[int, tarfile.TarFile] = {}
+        temps: dict[int, str] = {}
         counts: dict[int, int] = {}
+        ok = False
         try:
             for pdf in batches:
                 # plain tuples (name=None): itertuples would mangle the
@@ -181,9 +191,10 @@ def export_tar_shards(df: DataFrame, path: str, n_shards: int,
                 for row in pdf.itertuples(index=False, name=None):
                     key, vals, k = row[0], row[1:-1], int(row[-1])
                     if k not in handles:
+                        temps[k] = os.path.join(
+                            path, f"shard-{k:06d}.tar.{attempt}.tmp")
                         handles[k] = tarfile.open(
-                            os.path.join(path, f"shard-{k:06d}.tar"),
-                            "w", format=tarfile.USTAR_FORMAT)
+                            temps[k], "w", format=tarfile.USTAR_FORMAT)
                         counts[k] = 0
                     for val, ext in zip(vals, exts):
                         if val is None:
@@ -204,9 +215,20 @@ def export_tar_shards(df: DataFrame, path: str, n_shards: int,
                         info.mode = 0o644
                         handles[k].addfile(info, io.BytesIO(bytes(data)))
                     counts[k] += 1
+            ok = True
         finally:
             for h in handles.values():
                 h.close()
+            if ok:
+                for k, tmp in temps.items():
+                    os.replace(tmp, os.path.join(path,
+                                                 f"shard-{k:06d}.tar"))
+            else:
+                for tmp in temps.values():   # failed attempt: no debris
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         yield pd.DataFrame({"shard": list(counts), "n_samples":
                             [counts[k] for k in counts]})
 
@@ -250,11 +272,19 @@ def read_tar_shards(spark, path: str) -> DataFrame:
                 shard = int(fname[len("shard-"):-len(".tar")])
                 rows = []
                 with tarfile.open(os.path.join(path, fname), "r|") as tf:
-                    for pos, info in enumerate(tf):
+                    pos = 0
+                    for info in tf:
+                        if not info.isfile():
+                            # externally produced tars can carry
+                            # directories/symlinks; extractfile()
+                            # returns None for those — skip rather
+                            # than crash, and don't burn a pos index
+                            continue
                         key, _dot, ext = info.name.rpartition(".")
                         rows.append((key, ext,
                                      tf.extractfile(info).read(),
                                      pos, shard))
+                        pos += 1
                 yield pd.DataFrame(rows, columns=[
                     "key", "ext", "content", "pos", "shard"])
 

@@ -104,7 +104,13 @@ HEADLINE = [
 # AFTER the query loop and embeds both in the JSON, so each artifact
 # carries its own environment certificate: a reader comparing totals
 # across rounds first checks `canary.degraded`.
-CANARY_BAND = (769_000, 967_000)  # batch rows/s @ 1M, BASELINE_LOCAL.md
+# Re-pinned round 12 (BASELINE_LOCAL.md §round-12 re-pin): the 1M-row
+# number re-based — five quiet-window samples on HEAD (621-764k) and
+# three on the r11 boundary tree (641-742k) are indistinguishable,
+# while SAME-window 2M-row samples reach 781k-1006k, so the shift is
+# fixed-overhead amortization on a healthy box, not degradation.  The
+# old 769-967k band (pinned round 8) no longer describes a clean run.
+CANARY_BAND = (620_000, 800_000)  # batch rows/s @ 1M, BASELINE_LOCAL.md
 CANARY_TOLERANCE = 1.3            # >1.3x below the band floor = degraded
 
 

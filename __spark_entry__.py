@@ -2436,7 +2436,11 @@ def _synth_jpeg_batches(batches):
     full encode->decode roundtrip (huffman stream, DCT, dequant, IDCT)
     reconstructs the input value EXACTLY, so the oracle is closed-form
     with zero float-rounding hazard.  Odd dimensions exercise edge
-    padding; alternating restart intervals exercise RSTn handling."""
+    padding; alternating restart intervals exercise RSTn handling;
+    every third doc is a PROGRESSIVE (SOF2) stream — DC/AC first +
+    refinement scans, EOB runs — which must reconstruct the identical
+    values (round-11 verdict task 5; tests pin progressive decode ==
+    baseline decode bit-for-bit on arbitrary content)."""
     import pandas as _pd
 
     from zdb_spark.operators.jpeg import jpeg_encode_pixels
@@ -2450,7 +2454,8 @@ def _synth_jpeg_batches(batches):
             v = 40 + (i * 29) % 173
             px = _np.full((h, w), v, dtype=_np.uint8)
             rows.append((i, jpeg_encode_pixels(
-                px, quality=75, restart_interval=(0, 2)[i % 2])))
+                px, quality=75, restart_interval=(0, 2)[i % 2],
+                progressive=i % 3 == 0)))
         yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
 
 
@@ -3999,7 +4004,9 @@ _CHANGED_THIS_ROUND = [
     "embedding_covariance",
     "embedding_pca",      # pca_components consumes the covariance;
                           # pca_project's per-cell rounding also round0'd
-    "dsir_weights",       # importance_weights log_weight round0'd
+    # (dsir_weights: importance_weights round0'd, but the queued
+    # curation_v3 composite hash-exercises the same operator — covered
+    # per _COVERS, slot goes to a stale gate)
     "lm_score",           # bigram_logprob avg_logprob round0'd
     "decay_avg",          # decayed_avg 3 rounded outputs round0'd
     "twap",               # q_twap round0'd
@@ -4010,7 +4017,11 @@ _CHANGED_THIS_ROUND = [
     "unigram_tok",        # apply_unigram id-dtype + NULL-text parity
     "export_webdataset",  # tar shards: attempt-unique temp + rename
     "multimodal_resize",  # jpeg truncation guards in the decode path
-    "server_ohlcv",       # ohlcv() bounded-collect docstring contract
+    # (server_ohlcv: ohlcv() change was docstring-only — not a
+    # behavior change; tools/changed_gates.py now proves that by
+    # AST-comparing the docstring-stripped function vs the diff base)
+    "multimodal_jpeg",    # progressive (SOF2) decode: every 3rd fixture
+                          # is now a DC/AC-refinement progressive stream
 ]
 
 _QUERY_DECLARATIONS: list[

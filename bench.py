@@ -92,6 +92,9 @@ HEADLINE = [
     "curation_v3",        # strip chrome -> DSIR -> quantile -> shuffle
     "unigram_tok",        # unigram-LM tokenizer: EM train + Viterbi apply
     "export_webdataset",  # tar-shard training export + streaming read-back
+    "hll_vocab",          # portable HLL distinct sketch (md5 registers)
+    "countmin_tokens",    # count-min heavy-hitter table + probe lookups
+    "hybrid_search",      # RRF fusion of BM25 + token-jaccard rankings
 ]
 
 

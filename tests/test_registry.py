@@ -253,6 +253,25 @@ def test_bench_canary_verdict_edges():
     assert c["degraded"] is False and "note" not in c
 
 
+def test_changed_exemptions_are_wellformed():
+    """_CHANGED_BUT_LOCALLY_PROVEN contract: every entry is a real
+    gate, carries a non-empty proof sentence, is not ALSO queued (an
+    exemption for a queued gate is a contradiction), and is not
+    currently red (a red gate always needs its own driver row)."""
+    ex = getattr(entry_mod, "_CHANGED_BUT_LOCALLY_PROVEN", {})
+    gates = dict(entry_mod._QUERY_DECLARATIONS)
+    hist = entry_mod._verification_history()
+    for g, reason in ex.items():
+        assert g in gates, f"exempt {g!r} is not a gate"
+        assert isinstance(reason, str) and len(reason) > 20, \
+            f"exempt {g!r} needs a real proof sentence"
+        assert g not in entry_mod._CHANGED_THIS_ROUND
+        h = hist.get(g)
+        red = h is not None and h[1] is not None and (
+            h[0] is None or h[1] > h[0])
+        assert not red, f"exempt {g!r} is RED — it needs its own row"
+
+
 def test_covers_pairs_share_an_implementing_operator():
     """_COVERS honesty contract: a composite may refresh a sub-gate's
     rotation age ONLY if its q_ function actually executes an operator

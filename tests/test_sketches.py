@@ -50,3 +50,137 @@ class TestApproxQuantile:
             F.expr("percentile_approx(l_quantity, 0.5, 2147483647)")
         ).collect()[0][0]
         assert approx == exact
+
+
+class TestPortableHLL:
+    """The md5-derived, cross-engine-replayable HLL
+    (operators/sketches.py) — accuracy within the m=256 theoretical rsd
+    (1.04/sqrt(256) ≈ 6.5%), mergeability, and the small-range
+    linear-counting branch the gate deliberately excludes."""
+
+    def test_accuracy_within_rsd(self, spark):
+        from zdb_spark.operators.sketches import hll_distinct
+
+        df = spark.range(20_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        r = hll_distinct(df, "v").collect()[0]
+        assert abs(r.est - 20_000) / 20_000 < 0.2   # 3σ of 6.5%
+        assert r.raw_est == r.est                   # no correction here
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from zdb_spark.operators.sketches import hll_distinct
+
+        once = spark.range(500).select(
+            F.concat(F.lit("v"), F.col("id")).alias("v"))
+        tripled = once.union(once).union(once)
+        a = hll_distinct(once, "v").collect()[0]
+        b = hll_distinct(tripled, "v").collect()[0]
+        assert a.reg_sum == b.reg_sum and a.raw_est == b.raw_est
+
+    def test_small_range_uses_linear_counting(self, spark):
+        from zdb_spark.operators.sketches import hll_distinct
+
+        df = spark.range(50).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v"))
+        r = hll_distinct(df, "v").collect()[0]
+        assert r.zero_registers > 0
+        # linear counting at n << m is near-exact; the raw HLL
+        # estimate is biased high in this regime
+        assert abs(r.est - 50) <= 3
+        assert r.est != r.raw_est
+
+    def test_register_tables_merge_with_max(self, spark):
+        """The scale contract: per-epoch register tables union+max to
+        the whole-corpus sketch without re-reading rows."""
+        from zdb_spark.operators.sketches import (HLL_M, HLL_RHO_MAX,
+                                                  hll_registers)
+
+        df = spark.range(4_000).select(
+            F.concat(F.lit("m"), F.col("id")).alias("v"))
+        whole = {(r.bucket): r.max_rho
+                 for r in hll_registers(df, "v").collect()}
+        half1 = hll_registers(df.where(F.col("v") < "m2"), "v")
+        half2 = hll_registers(df.where(F.col("v") >= "m2"), "v")
+        merged = (half1.union(half2).groupBy("bucket")
+                  .agg(F.max("max_rho").alias("max_rho")))
+        got = {r.bucket: r.max_rho for r in merged.collect()}
+        assert got == whole
+        assert all(1 <= v <= HLL_RHO_MAX for v in got.values())
+        assert len(got) <= HLL_M
+
+    def test_shuffle_bounded_by_registers(self, spark):
+        """The whole point at 100 TB: the sketch's shuffle rows are
+        groups x m, independent of corpus size — partial aggregation
+        (map-side combine) must be in the plan."""
+        from zdb_spark.operators.sketches import hll_registers
+
+        df = spark.range(10_000).select(
+            (F.col("id") % 3).alias("g"),
+            F.concat(F.lit("s"), F.col("id")).alias("v"))
+        plan = (hll_registers(df, "v", "g")._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "partial_max" in plan or "HashAggregate" in plan
+
+
+class TestCountMin:
+    def test_never_underestimates(self, spark):
+        from zdb_spark.operators.sketches import (countmin_lookup,
+                                                  countmin_table)
+
+        df = spark.range(5_000).select(
+            F.when(F.col("id") % 50 == 0, "hot")
+             .otherwise(F.concat(F.lit("t"), F.col("id"))).alias("v"))
+        tbl = countmin_table(df, "v")
+        got = {r.value: r.est_count for r in countmin_lookup(
+            tbl, ["hot", "t1", "t101"]).collect()}
+        assert got["hot"] >= 100          # exact count is 100
+        assert got["hot"] <= 100 + 40     # width 1024: small collision mass
+        assert got["t1"] >= 1 and got["t101"] >= 1
+
+    def test_tables_merge_additively(self, spark):
+        from zdb_spark.operators.sketches import (countmin_lookup,
+                                                  countmin_table)
+
+        df = spark.range(2_000).select(
+            F.concat(F.lit("w"), (F.col("id") % 37)).alias("v"))
+        whole = countmin_table(df, "v")
+        h1 = countmin_table(df.where(F.col("id") < 1000), "v")
+        h2 = countmin_table(df.where(F.col("id") >= 1000), "v")
+        merged = (h1.union(h2).groupBy("row", "bucket")
+                  .agg(F.sum("n").alias("n")))
+        a = {(r.row, r.bucket): r.n for r in whole.collect()}
+        b = {(r.row, r.bucket): r.n for r in merged.collect()}
+        assert a == b
+
+
+class TestRRFFusion:
+    def test_fuses_and_ranks(self, spark):
+        from zdb_spark.operators.search import rrf_fuse
+
+        bm = spark.createDataFrame(
+            [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s1 double")
+        jc = spark.createDataFrame(
+            [(3, 0.9), (1, 0.5), (4, 0.1)], "doc_id long, s2 double")
+        out = rrf_fuse([(bm, "s1"), (jc, "s2")], top=4)
+        rows = {r.doc_id: r.rrf for r in out.collect()}
+        # doc 1: 1/61 + 1/62; doc 3: 1/63 + 1/61; doc 2: 1/62 only;
+        # doc 4: 1/63 only
+        assert rows[1] == round(1 / 61 + 1 / 62, 6)
+        assert rows[3] == round(1 / 63 + 1 / 61, 6)
+        assert rows[1] > rows[3] > rows[2] > rows[4]
+        assert rows[2] == round(1.0 / 62, 6)
+        ordered = [r.doc_id for r in out.collect()]
+        assert ordered == [1, 3, 2, 4]
+
+    def test_jaccard_ranking_matches_hand_computation(self, spark):
+        from zdb_spark.operators.search import token_jaccard_topk
+
+        df = spark.createDataFrame(
+            [(1, "fast scan"), (2, "fast scan table extra words here"),
+             (3, "nothing relevant")],
+            "doc_id long, text string")
+        out = {r.doc_id: r.jaccard for r in token_jaccard_topk(
+            df, "table scan fast", k=10).collect()}
+        assert out[1] == round(2 / 3, 6)   # {fast,scan} vs 3 terms
+        assert out[2] == round(3 / 6, 6)   # 3 of 6 distinct tokens
+        assert 3 not in out

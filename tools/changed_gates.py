@@ -270,7 +270,9 @@ def main() -> int:
             cwd=REPO, capture_output=True, text=True).stdout.strip() or "HEAD"
 
     affected, queued, brand_new = affected_gates(ref)
-    missing = sorted(set(affected) - queued - brand_new)
+    import __spark_entry__ as entry
+    exempt = dict(getattr(entry, "_CHANGED_BUT_LOCALLY_PROVEN", {}))
+    missing = sorted(set(affected) - queued - brand_new - set(exempt))
     extra = sorted(queued - set(affected) - brand_new)
 
     if not args.quiet:
@@ -278,6 +280,7 @@ def main() -> int:
         for g in sorted(affected):
             mark = ("queued" if g in queued
                     else "NEW (auto-rule-2)" if g in brand_new
+                    else "exempt: " + exempt[g][:40] if g in exempt
                     else "MISSING")
             print(f"  {g:28s} <- {affected[g]:46s} [{mark}]")
         if extra:

@@ -111,3 +111,75 @@ def bm25_topk(df: DataFrame, query: str, text_col: str = "text",
             .select(F.col(id_col), F.round("_score", 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), id_col)
             .limit(k))
+
+
+def token_jaccard_topk(df: DataFrame, query: str, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 10) -> DataFrame:
+    """Top-``k`` documents by exact query-token Jaccard — the cheap
+    set-overlap ranking ``rrf_fuse`` pairs with BM25 for hybrid search
+    (BM25 rewards term saturation/rarity; Jaccard rewards coverage
+    relative to document vocabulary size — short on-topic docs).
+
+    Row-local and shuffle-free up to the top-k heap: distinct doc
+    tokens intersect a literal term array, jaccard = |inter| / |union|
+    is one division of exact integers (deterministic to the bit), ties
+    break on the id.  Docs sharing no term are excluded.
+    """
+    from .text import tokenize
+    from ..functions.scalar import round0
+
+    terms = sorted(set(query.lower().split()))
+    if not terms:
+        raise ValueError("empty query")
+    tarr = F.array(*[F.lit(t) for t in terms])
+    toks = F.array_distinct(tokenize(text_col))
+    inter = F.size(F.array_intersect(toks, tarr))
+    union = F.size(toks) + F.lit(len(terms)) - inter
+    jac = round0(inter.cast("double") / union.cast("double"), 6)
+    return (df.select(F.col(id_col), jac.alias("jaccard"),
+                      inter.alias("_i"))
+            .where(F.col("_i") > 0).drop("_i")
+            .orderBy(F.col("jaccard").desc(), id_col)
+            .limit(k))
+
+
+def rrf_fuse(rankings: list[tuple[DataFrame, str]],
+             id_col: str = "doc_id", *, k: int = 60, top: int = 10,
+             round_dp: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of bounded candidate
+    rankings: ``score(d) = sum over lists of 1 / (k + rank_in_list)``,
+    a document absent from a list contributing nothing.  The standard
+    hybrid-retrieval combiner (lexical BM25 + a second signal) — rank
+    positions only, so wildly different score scales fuse without
+    normalization.
+
+    Each input is (frame, score_col), ALREADY reduced to a top-N
+    candidate list by contract (bm25_topk / token_jaccard_topk /
+    ann top-k) — which is why the unpartitioned row_number window here
+    is fine: it runs over N candidate rows, never the corpus.  Ranks
+    derive from (rounded score desc, id), so the fused ordering is
+    deterministic and engine-portable; the RRF sum is a fixed left-to-
+    right chain of exact-integer-denominator divisions, bit-stable.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    from pyspark.sql import Window
+
+    from ..functions.scalar import round0
+
+    fused = None
+    for i, (df, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.col(score_col).desc(), id_col)
+        r = df.select(F.col(id_col),
+                      F.row_number().over(w).alias(f"_r{i}"))
+        fused = r if fused is None else fused.join(r, id_col, "full")
+    expr = None
+    for i in range(len(rankings)):
+        term = F.when(F.col(f"_r{i}").isNotNull(),
+                      F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}")))\
+            .otherwise(F.lit(0.0))
+        expr = term if expr is None else expr + term
+    return (fused.select(F.col(id_col),
+                         round0(expr, round_dp).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), id_col)
+            .limit(top))

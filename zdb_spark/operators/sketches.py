@@ -1,0 +1,194 @@
+"""Cross-engine-reproducible sketches: portable HyperLogLog and
+count-min — the 100 TB substitutes for exact ``COUNT(DISTINCT)`` and
+exact heavy-hitter counting, built so another engine can replay them
+bit-for-bit.
+
+Spark ships HLL (``approx_count_distinct``) and quantile sketches, and
+tests/test_sketches.py pins their accuracy — but their hash functions
+are engine-internal, so their ESTIMATES can't be verified by an
+independent engine, merged with registers produced elsewhere, or
+persisted as an engine-neutral artifact.  These sketches derive every
+hash from ``md5`` (available identically in Spark, DuckDB, Python) and
+keep all register arithmetic in exact integers, so:
+
+- the driver's DuckDB oracle reproduces the full register state AND the
+  raw estimate value-for-value (the CORRECTNESS gate),
+- register tables persist as plain parquet and MERGE across engines /
+  ingest generations with ``max`` (HLL) or ``+`` (count-min) — the
+  property that makes a sketch a pipeline ARTIFACT, not a query-local
+  trick.
+
+Flaw avoided (why the raw estimate divides exact integers): summing
+``2^-rho`` directly in doubles needs up to 57 significand bits — the
+sum's VALUE then depends on partial-aggregation order, and a hash gate
+dies on last-ulp divergence.  Scaling by ``2^(RHO_MAX-rho)`` makes every
+term an exact long; the one float operation is a single division of two
+exact integers, which IEEE 754 defines to the bit on every engine.
+
+Scale shape: both sketches are one partially-aggregated ``groupBy``
+whose shuffle is bounded by (groups x registers), never by corpus rows
+— the entire point at 100 TB.
+
+References: Flajolet et al. 2007 (HyperLogLog), Heule et al. 2013
+(HLL++ small-range bias: we apply the standard linear-counting branch in
+``hll_distinct``'s corrected column, kept OUT of the hash-gated raw
+estimate because ``ln`` is libm-dependent); Cormode & Muthukrishnan 2005
+(count-min).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.scalar import round0
+
+__all__ = ["hll_registers", "hll_distinct", "countmin_table",
+           "countmin_lookup", "HLL_M", "HLL_RHO_MAX", "hll_alpha"]
+
+# m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
+# rank word w = the next 12 hex chars (48 bits) => rho in [1, 49]
+HLL_M = 256
+HLL_RHO_MAX = 49
+
+
+def hll_alpha(m: int = HLL_M) -> float:
+    """The standard HLL bias constant for m >= 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _nibble_bitlen(c: Column) -> Column:
+    """bit_length of one hex nibble (int 1..15) — a 3-branch CASE both
+    engines evaluate identically (no log2 float hazard)."""
+    return (F.when(c >= 8, 4).when(c >= 4, 3).when(c >= 2, 2)
+            .otherwise(1))
+
+
+def hll_rho(col: Column) -> Column:
+    """(bucket, rho) struct for one value: bucket = first 2 md5 hex
+    chars (0..255); rho = 1 + number of leading zero BITS of the next
+    48 hash bits — computed from hex-string shape (count of leading
+    '0' nibbles + a CASE on the first non-zero nibble), integer-exact
+    and replayable as the identical expression in SQL."""
+    h = F.md5(col.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    w = F.substring(h, 3, 12)
+    stripped = F.regexp_replace(w, "^0+", "")
+    lead_nibbles = F.lit(12) - F.length(stripped)
+    first = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    rho = F.when(F.length(stripped) == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        lead_nibbles * 4 + (F.lit(4) - _nibble_bitlen(first)) + 1
+    ).cast("int")
+    return F.struct(bucket.alias("bucket"), rho.alias("rho"))
+
+
+def hll_registers(df: DataFrame, value_col: str, by=None) -> DataFrame:
+    """Per-group HLL register table: (by..., bucket, max_rho) — at most
+    ``HLL_M`` rows per group regardless of corpus size (one partially
+    aggregated groupBy; map-side combine collapses each partition to
+    groups x 256 rows before the shuffle).
+
+    The register table IS the persistable/mergeable sketch state:
+    union two epochs' tables and ``max`` per (group, bucket) — exactly
+    how 100 TB of per-day sketches roll up to per-month distincts
+    without re-reading a row.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    br = hll_rho(F.col(value_col))
+    return (df.select(*by, br.alias("_br"))
+            .groupBy(*by, F.col("_br.bucket").alias("bucket"))
+            .agg(F.max("_br.rho").alias("max_rho")))
+
+
+def hll_distinct(df: DataFrame, value_col: str, by=None, *,
+                 round_dp: int = 4) -> DataFrame:
+    """Distinct-count estimate per group from the portable HLL sketch.
+
+    Output: (by..., present_registers, zero_registers, reg_sum,
+    raw_est, est).  ``reg_sum`` = sum(2^(RHO_MAX - max_rho)) over
+    present registers plus 2^RHO_MAX per absent register — an EXACT
+    long, so ``raw_est = alpha * m^2 * 2^RHO_MAX / reg_sum`` is one
+    IEEE division of exact integers: bit-reproducible on any engine
+    (the hash-gated column).  ``est`` additionally applies the standard
+    small-range linear-counting correction m*ln(m/V) — the estimate a
+    CALLER should read, but ``ln`` is libm-dependent, so it is not part
+    of the cross-engine hash contract (tests pin its accuracy instead).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    regs = hll_registers(df, value_col, by)
+    m = F.lit(HLL_M)
+    two_rho_max = F.lit(1 << HLL_RHO_MAX)
+    g = regs.groupBy(*by) if by else regs.groupBy()
+    agg = g.agg(
+        F.count(F.lit(1)).cast("int").alias("present_registers"),
+        # pyspark's shiftleft() only takes a literal shift — go through
+        # the SQL form for a column shift (exact long: rho <= 49)
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - max_rho)"))
+         .alias("_s_present"))
+    reg_sum = (F.col("_s_present")
+               + (m - F.col("present_registers")).cast("long")
+               * two_rho_max)
+    zeros = (m - F.col("present_registers")).cast("int")
+    alpha = F.lit(hll_alpha())
+    raw = (alpha * m.cast("double") * m.cast("double")
+           * two_rho_max.cast("double") / F.col("_reg_sum"))
+    out = (agg.withColumn("_reg_sum", reg_sum)
+           .withColumn("zero_registers", zeros)
+           .withColumn("raw_est", round0(raw, round_dp)))
+    # small-range correction (linear counting) — the accurate estimate
+    # for cardinalities << m; float-log, so NOT hash-gated
+    corrected = F.when(
+        (F.col("raw_est") <= 2.5 * HLL_M) & (F.col("zero_registers") > 0),
+        F.lit(float(HLL_M)) * F.log(m.cast("double")
+                                    / F.col("zero_registers")))\
+        .otherwise(F.col("raw_est"))
+    return (out.withColumn("est", F.round(corrected, round_dp))
+            .select(*by, "present_registers", "zero_registers",
+                    F.col("_reg_sum").alias("reg_sum"), "raw_est", "est"))
+
+
+# ---------------------------------------------------------------------- #
+# count-min                                                                #
+# ---------------------------------------------------------------------- #
+def countmin_table(df: DataFrame, value_col: str, *, depth: int = 4,
+                   width: int = 1024) -> DataFrame:
+    """Count-min sketch as a (row, bucket, n) table — depth x width
+    cells total, additive-mergeable across epochs/engines.  Row ``d``'s
+    hash is ``md5('<d>:' || value)``'s first 8 hex chars mod width —
+    replayable in any engine with md5.  One partially aggregated
+    groupBy; shuffle bounded by depth x width."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    v = F.col(value_col).cast("string")
+    keyed = df.select(v.alias("_v"), rows.alias("row"))
+    h = F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                       F.col("_v")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % F.lit(width)).cast("int")
+    return (keyed.select("row", bucket.alias("bucket"))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def countmin_lookup(spark_or_table, values: list[str], *,
+                    depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-estimate counts for ``values`` against a count-min table
+    (DataFrame from ``countmin_table``): estimate = min over rows of
+    the addressed cell (absent cell = 0).  The query set is tiny by
+    contract (heavy-hitter candidates), so it broadcasts."""
+    table = spark_or_table
+    spark = table.sparkSession
+    q = spark.createDataFrame([(v,) for v in values], "value string")
+    rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
+    keyed = q.select("value", rows.alias("row"))
+    h = F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
+                       F.col("value")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % F.lit(width)).cast("int")
+    addressed = keyed.select("value", "row", bucket.alias("bucket"))
+    joined = (addressed.join(table, ["row", "bucket"], "left")
+              .na.fill({"n": 0}))
+    return (joined.groupBy("value")
+            .agg(F.min("n").alias("est_count")))

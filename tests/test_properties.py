@@ -605,3 +605,31 @@ def test_tar_export_partition_and_roundtrip(spark, n_rows, n_shards,
             .alias("s")).collect()}
         for i, txt in rows:
             assert got[i] == (txt, want_shard[i])
+
+
+@given(st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                max_size=120))
+@settings(max_examples=10, deadline=30000,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_hll_registers_match_python_reference(spark, vals):
+    """The portable HLL's hex-shape rho arithmetic (leading '0'
+    nibbles + a CASE on the first nonzero nibble) must equal the
+    definitional bit-count on arbitrary unicode values: rho =
+    49 - bit_length(48-bit rank word), 49 for the all-zero word —
+    the cross-engine determinism claim the gate oracle relies on."""
+    import hashlib
+
+    from zdb_spark.operators.sketches import (HLL_RHO_MAX,
+                                              hll_registers)
+
+    want: dict[int, int] = {}
+    for v in vals:
+        h = hashlib.md5(v.encode("utf-8")).hexdigest()
+        bucket = int(h[:2], 16)
+        w = int(h[2:14], 16)
+        rho = HLL_RHO_MAX - w.bit_length() if w else HLL_RHO_MAX
+        want[bucket] = max(want.get(bucket, 0), rho)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.bucket: r.max_rho
+           for r in hll_registers(df, "v").collect()}
+    assert got == want

@@ -4293,6 +4293,16 @@ _COVERS: dict[str, list[str]] = {
     "dedup_clusters_capped": ["dedup_minhash_capped"],
     # pca_components' first stage IS embedding_covariance (exact path)
     "embedding_pca": ["embedding_covariance"],
+    # round-12 second widening — future-round headroom (the window sits
+    # at exactly 143 gates / 50 slots / 3 rounds; every honest refresh
+    # path below keeps a slot free for a gate nothing else vouches for)
+    "stream_boilerplate": ["strip_boilerplate"],   # strip_lines_against
+    "stream_quality_filter": ["text_quality"],     # quality_features
+    "knn_int8": ["embedding_quantize"],            # quantize_embeddings
+    "dedup_clusters": ["dedup_minhash"],           # minhash_lsh_pairs
+    "dedup_minhash_capped": ["dedup_minhash"],     # same banding, capped
+    "split_leakage": ["dedup_minhash", "hash_split"],  # pairs + labels
+    "cluster_curation": ["kmeans_train"],          # kmeans_lloyd
 }
 
 

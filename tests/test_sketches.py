@@ -108,6 +108,21 @@ class TestPortableHLL:
         assert all(1 <= v <= HLL_RHO_MAX for v in got.values())
         assert len(got) <= HLL_M
 
+    def test_nulls_are_not_a_distinct_value(self, spark):
+        """SQL COUNT(DISTINCT) semantics: NULLs contribute nothing —
+        and must not corrupt reg_sum (a NULL-bucket register row would
+        be counted by count() but skipped by sum())."""
+        from zdb_spark.operators.sketches import hll_distinct
+
+        clean = spark.createDataFrame(
+            [(f"v{i}",) for i in range(300)], "v string")
+        dirty = clean.union(spark.createDataFrame(
+            [(None,)] * 50, "v string"))
+        a = hll_distinct(clean, "v").collect()[0]
+        b = hll_distinct(dirty, "v").collect()[0]
+        assert (a.reg_sum, a.raw_est, a.present_registers) == \
+            (b.reg_sum, b.raw_est, b.present_registers)
+
     def test_shuffle_bounded_by_registers(self, spark):
         """The whole point at 100 TB: the sketch's shuffle rows are
         groups x m, independent of corpus size — partial aggregation

@@ -96,7 +96,12 @@ def hll_registers(df: DataFrame, value_col: str, by=None) -> DataFrame:
     """
     by = [by] if isinstance(by, str) else list(by or [])
     br = hll_rho(F.col(value_col))
-    return (df.select(*by, br.alias("_br"))
+    # NULLs don't count as a distinct value (SQL COUNT(DISTINCT)
+    # semantics) — and a NULL-bucket register row would corrupt
+    # hll_distinct's reg_sum (count() counts the row, sum() skips its
+    # NULL rho)
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*by, br.alias("_br"))
             .groupBy(*by, F.col("_br.bucket").alias("bucket"))
             .agg(F.max("_br.rho").alias("max_rho")))
 
@@ -162,7 +167,10 @@ def countmin_table(df: DataFrame, value_col: str, *, depth: int = 4,
         raise ValueError("depth and width must be >= 1")
     rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))
     v = F.col(value_col).cast("string")
-    keyed = df.select(v.alias("_v"), rows.alias("row"))
+    # NULL values carry no count (they would all pile into one
+    # NULL-bucket cell per row anyway)
+    keyed = (df.where(F.col(value_col).isNotNull())
+             .select(v.alias("_v"), rows.alias("row")))
     h = F.md5(F.concat(F.col("row").cast("string"), F.lit(":"),
                        F.col("_v")))
     bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
@@ -172,13 +180,13 @@ def countmin_table(df: DataFrame, value_col: str, *, depth: int = 4,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-def countmin_lookup(spark_or_table, values: list[str], *,
+def countmin_lookup(table: DataFrame, values: list[str], *,
                     depth: int = 4, width: int = 1024) -> DataFrame:
     """Point-estimate counts for ``values`` against a count-min table
     (DataFrame from ``countmin_table``): estimate = min over rows of
     the addressed cell (absent cell = 0).  The query set is tiny by
-    contract (heavy-hitter candidates), so it broadcasts."""
-    table = spark_or_table
+    contract (heavy-hitter candidates), so it broadcasts.  ``depth``
+    and ``width`` must match the table's build parameters."""
     spark = table.sparkSession
     q = spark.createDataFrame([(v,) for v in values], "value string")
     rows = F.explode(F.array(*[F.lit(d) for d in range(depth)]))

@@ -553,6 +553,32 @@ def test_jpeg_decode_truncation_is_valueerror():
         jpeg_decode_pixels(b"\xff\xd8\xff\xdb\x00")    # half a length
 
 
+def test_jpeg_undefined_tables_are_valueerror():
+    """A scan referencing a Huffman table the stream never defined is
+    corrupt data, not an internal KeyError — for the baseline AND the
+    progressive paths."""
+    import pytest
+
+    from zdb_spark.operators.jpeg import (jpeg_decode_pixels,
+                                          jpeg_encode, jpeg_encode_pixels)
+    import numpy as np
+
+    blob = bytearray(jpeg_encode(8, 8, (50,)))
+    i = bytes(blob).find(b"\xff\xc4")           # drop the first DHT
+    ln = int.from_bytes(blob[i + 2:i + 4], "big")
+    del blob[i:i + 2 + ln]
+    with pytest.raises(ValueError, match="undefined"):
+        jpeg_decode_pixels(bytes(blob))
+
+    prog = bytearray(jpeg_encode_pixels(
+        np.full((8, 8), 50, np.uint8), progressive=True))
+    i = bytes(prog).find(b"\xff\xc4")
+    ln = int.from_bytes(prog[i + 2:i + 4], "big")
+    del prog[i:i + 2 + ln]
+    with pytest.raises(ValueError, match="undefined"):
+        jpeg_decode_pixels(bytes(prog))
+
+
 @given(st.lists(st.text(alphabet="abcdxyz", min_size=1, max_size=12),
                 min_size=1, max_size=20),
        st.lists(st.tuples(st.text(alphabet="abcd", min_size=1,

@@ -914,7 +914,18 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
     idct_cache: list[list[tuple[int, int, np.ndarray]]] = [
         [] for _ in scan]
 
-    # per-scan-component tables hoisted out of the hot block loop
+    # per-scan-component tables hoisted out of the hot block loop;
+    # a scan referencing a table the stream never defined is corrupt —
+    # raise the documented ValueError family, not a bare KeyError
+    for comp, td, ta in scan:
+        for key, kind in (((0, td), "DC Huffman"), ((1, ta),
+                                                    "AC Huffman")):
+            if key not in htables:
+                raise ValueError(f"JPEG scan references undefined "
+                                 f"{kind} table {key[1]}")
+        if comp["tq"] not in qtables:
+            raise ValueError(f"JPEG scan references undefined "
+                             f"quantization table {comp['tq']}")
     tables = [(htables[(0, td)], htables[(1, ta)],
                qtables[comp["tq"]].astype(np.float64))
               for comp, td, ta in scan]
@@ -1039,6 +1050,11 @@ def _decode_progressive_scan(data, pos, frame, scan, coeffs, ss, se,
     if ss == 0:                                   # ---- DC scan ----
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
+        if ah == 0:
+            for _comp, td, _ta in scan:
+                if (0, td) not in htables:
+                    raise ValueError(f"JPEG scan references undefined "
+                                     f"DC Huffman table {td}")
 
         def dc_block(si, grid, by, bx):
             blk = grid[by, bx]
@@ -1089,6 +1105,9 @@ def _decode_progressive_scan(data, pos, frame, scan, coeffs, ss, se,
         if se < ss or se > 63:
             raise ValueError(f"bad spectral band {ss}..{se}")
         comp, _td, ta = scan[0]
+        if (1, ta) not in htables:
+            raise ValueError(f"JPEG scan references undefined "
+                             f"AC Huffman table {ta}")
         ach = htables[(1, ta)]
         grid = coeffs[comp["id"]]
         xi = -(-w * comp["h"] // hmax)

@@ -3790,6 +3790,62 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_lookup(tbl, _CM_PROBES, depth=4, width=1024)
 
 
+# --------------------------------------------------------------------- #
+# ROUND-13 PENDING GATE (window capacity — see _rotation_sorted)          #
+# This round's 50-slot window is exactly full: registering a 4th new     #
+# gate would push the r9-green vocab_topk past green-age 2 (simulated    #
+# in the round-12 rotation audit).  The OPERATOR ships now               #
+# (sketches.py:kmv_sample/kmv_quantiles, 5 tests incl. a pure-python     #
+# sample-membership reference); the gate + oracle below are complete,    #
+# proven equivalent by tests/test_registry.py::                          #
+# test_pending_kmv_gate_is_oracle_ready, and move into                   #
+# _QUERY_DECLARATIONS / oracle_sql() first thing next round.             #
+# --------------------------------------------------------------------- #
+_KMV_QS = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles from the deterministic bottom-16
+    KMV sample, by NEAREST RANK — actual data values copied out, never
+    interpolated, so the oracle replays the whole sketch to the bit
+    (sketches.py:kmv_sample/kmv_quantiles)."""
+    from zdb_spark.operators.sketches import kmv_quantiles
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("source", "doc_id",
+                    F.length("text").cast("double").alias("v")))
+    return kmv_quantiles(docs, "v", "doc_id", "source", k=16,
+                         qs=_KMV_QS)
+
+
+_PENDING_R13_ORACLES = {
+    "kmv_quantiles": r"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(length(text) AS DOUBLE) AS v,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), s AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS kr
+            FROM d
+        ), r AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY v, doc_id) AS rnk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM s WHERE kr <= 16
+        ), qs AS (
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q
+        )
+        SELECT source, q, CAST(n AS BIGINT) AS n_sample, v AS value
+        FROM r, qs
+        WHERE rnk = CAST(ceil(q * n) AS INT)
+    """,
+}
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval

@@ -348,3 +348,32 @@ def test_coverage_never_clears_red_or_first_row(monkeypatch, tmp_path):
     assert hist["fresh_sub"] == (3, None)      # bumped by compo's r3
     assert hist["red_sub"] == (1, 2)           # red preserved, no bump
     assert "never_sub" not in hist             # no direct row -> untouched
+
+
+def test_pending_kmv_gate_is_oracle_ready(spark):
+    """The round-13 pending gate (window capacity held it out this
+    round) must ALREADY match its oracle bit-exactly, so registration
+    next round is a pure list move.  Reuses the bit-exact comparator
+    from tools/check_correctness.py."""
+    import os
+    import sys as _sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import check_correctness as cc
+    finally:
+        _sys.path.remove(os.path.join(root, "tools"))
+
+    sf = "/root/testdata/sf0.01"
+    spark_pdf = entry_mod.q_kmv_quantiles(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    duck_pdf = con.execute(
+        entry_mod._PENDING_R13_ORACLES["kmv_quantiles"]).df()
+    errs = cc.compare("kmv_quantiles", spark_pdf, duck_pdf)
+    assert not errs, errs
+    assert len(spark_pdf) > 0

@@ -266,3 +266,84 @@ class TestKMVQuantiles:
         assert got[0.5] == (7.25, 5)        # rank ceil(0.5*5)=3
         for v, _ in got.values():
             assert v in vals                # copied, never interpolated
+
+
+class TestHLLStore:
+    """Persisted/incremental HLL registers: build/append/read must
+    reproduce the whole-corpus sketch exactly; replay and compaction
+    are no-ops by max-merge idempotence — the property that spares this
+    store the minhash store's staging/healing machinery."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 4).alias("g"),
+            F.concat(F.lit("t"), F.col("id") % 700).alias("v"))
+
+    def test_incremental_equals_whole_corpus(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (build_hll_store,
+                                                  append_hll_store,
+                                                  hll_distinct,
+                                                  hll_store_distinct)
+
+        p = str(tmp_path / "hll")
+        build_hll_store(self._docs(spark, 0, 1000), "v", p, "g")
+        append_hll_store(self._docs(spark, 1000, 1800), "v", p,
+                         batch_id=1)
+        append_hll_store(self._docs(spark, 1800, 2500), "v", p,
+                         batch_id=2)
+        whole = {tuple(r) for r in hll_distinct(
+            self._docs(spark, 0, 2500), "v", "g").collect()}
+        stored = {tuple(r) for r in
+                  hll_store_distinct(spark, p).collect()}
+        assert stored == whole
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (build_hll_store,
+                                                  append_hll_store,
+                                                  hll_store_distinct)
+
+        p = str(tmp_path / "hll")
+        build_hll_store(self._docs(spark, 0, 800), "v", p, "g")
+        append_hll_store(self._docs(spark, 800, 1500), "v", p,
+                         batch_id=1)
+        before = {tuple(r) for r in
+                  hll_store_distinct(spark, p).collect()}
+        # crash-retry: the same batch id lands again (overwrite dir)
+        append_hll_store(self._docs(spark, 800, 1500), "v", p,
+                         batch_id=1)
+        after = {tuple(r) for r in
+                 hll_store_distinct(spark, p).collect()}
+        assert after == before
+
+    def test_compaction_preserves_estimates(self, spark, tmp_path):
+        import os
+
+        from zdb_spark.operators.sketches import (build_hll_store,
+                                                  append_hll_store,
+                                                  compact_hll_store,
+                                                  hll_store_distinct)
+
+        p = str(tmp_path / "hll")
+        build_hll_store(self._docs(spark, 0, 600), "v", p, "g")
+        for b in (1, 2, 3):
+            append_hll_store(self._docs(spark, 600 * b, 600 * (b + 1)),
+                             "v", p, batch_id=b)
+        before = {tuple(r) for r in
+                  hll_store_distinct(spark, p).collect()}
+        assert compact_hll_store(spark, p) == 4
+        dirs = [d for d in os.listdir(os.path.join(p, "regs"))
+                if d.startswith("batch=")]
+        assert dirs == ["batch=compact-0"]
+        after = {tuple(r) for r in
+                 hll_store_distinct(spark, p).collect()}
+        assert after == before
+
+    def test_build_refuses_to_clobber(self, spark, tmp_path):
+        import pytest
+
+        from zdb_spark.operators.sketches import build_hll_store
+
+        p = str(tmp_path / "hll")
+        build_hll_store(self._docs(spark, 0, 100), "v", p, "g")
+        with pytest.raises(FileExistsError):
+            build_hll_store(self._docs(spark, 0, 100), "v", p, "g")

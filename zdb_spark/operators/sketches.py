@@ -46,6 +46,8 @@ from ..functions.scalar import round0
 
 __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "countmin_lookup", "kmv_sample", "kmv_quantiles",
+           "build_hll_store", "append_hll_store", "read_hll_registers",
+           "hll_store_distinct", "compact_hll_store",
            "HLL_M", "HLL_RHO_MAX", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
@@ -123,6 +125,15 @@ def hll_distinct(df: DataFrame, value_col: str, by=None, *,
     """
     by = [by] if isinstance(by, str) else list(by or [])
     regs = hll_registers(df, value_col, by)
+    return _estimate_from_registers(regs, by, round_dp)
+
+
+def _estimate_from_registers(regs: DataFrame, by: list,
+                             round_dp: int) -> DataFrame:
+    """Shared estimate combine over a (by..., bucket, max_rho) register
+    frame — used by ``hll_distinct`` (live sketch) and
+    ``hll_store_distinct`` (persisted registers).  All the determinism
+    analysis in ``hll_distinct``'s docstring lives here."""
     m = F.lit(HLL_M)
     two_rho_max = F.lit(1 << HLL_RHO_MAX)
     g = regs.groupBy(*by) if by else regs.groupBy()
@@ -278,3 +289,108 @@ def kmv_quantiles(df: DataFrame, value_col: str, id_col: str, by=None,
                     F.col(value_col).cast("double").alias("value")))
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------- #
+# persisted / incremental HLL register store                              #
+# ---------------------------------------------------------------------- #
+def build_hll_store(df: DataFrame, value_col: str, path: str,
+                    by=None) -> None:
+    """Persist the corpus's HLL registers as a parquet store — the
+    incremental form of ``hll_distinct``: per-ingest-batch register
+    tables accumulate under ``regs/batch=<id>/`` and the read side
+    max-merges them, so 'distinct tokens per source over 100 TB so far'
+    never re-reads a row of history.
+
+    Why this store needs NO staging/healing machinery (unlike the
+    minhash store): HLL registers are IDEMPOTENT under max-merge.
+    Replaying a batch, double-publishing a file, or reading a batch
+    twice mid-compaction changes nothing — max(x, x) = x — so
+    per-batch-dir OVERWRITE writes (the replay-idempotent streaming
+    idiom) are the entire durability story.
+    """
+    import json
+    import os
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    if os.path.exists(os.path.join(path, "params.json")):
+        raise FileExistsError(f"HLL store already exists at {path}")
+    os.makedirs(path, exist_ok=True)
+    append_hll_store(df, value_col, path, batch_id=0, _by=by)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": 1, "m": HLL_M, "rho_max": HLL_RHO_MAX,
+                   "by": by}, f)
+
+
+def append_hll_store(df: DataFrame, value_col: str, path: str, *,
+                     batch_id, _by=None) -> None:
+    """Add one batch's registers under ``regs/batch=<id>/`` (OVERWRITE:
+    replaying the same batch id is a no-op by construction — the
+    exactly-once contract streaming sinks need).  O(batch) work; the
+    stored history is untouched."""
+    import json
+    import os
+
+    if _by is None:
+        with open(os.path.join(path, "params.json")) as f:
+            _by = json.load(f)["by"]
+    regs = hll_registers(df, value_col, _by)
+    (regs.write.mode("overwrite")
+     .parquet(os.path.join(path, "regs", f"batch={batch_id}")))
+
+
+def read_hll_registers(spark, path: str) -> DataFrame:
+    """The store's merged register state: union every batch, max per
+    (by..., bucket).  Duplicate register rows from replays or
+    in-flight compaction are harmless (max-merge idempotence)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        by = json.load(f)["by"]
+    regs = spark.read.parquet(os.path.join(path, "regs", "batch=*"))
+    return (regs.groupBy(*by, "bucket")
+            .agg(F.max("max_rho").alias("max_rho")))
+
+
+def hll_store_distinct(spark, path: str, *,
+                       round_dp: int = 4) -> DataFrame:
+    """Distinct-count estimates from the persisted store — same output
+    contract and bit-determinism as ``hll_distinct``, but reading
+    (batches x groups x 256) register rows instead of the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        by = json.load(f)["by"]
+    return _estimate_from_registers(read_hll_registers(spark, path),
+                                    by, round_dp)
+
+
+def compact_hll_store(spark, path: str) -> int:
+    """Fold every batch into one: write the merged registers as a new
+    ``batch=compact-<n>`` dir, then remove the source dirs.  Readers
+    racing the compaction stay correct at every instant — before the
+    deletes they see source+compacted rows (max-merge dedups), after
+    they see just the compacted set.  Single compactor at a time is the
+    caller's contract (two concurrent compactions waste work but stay
+    correct, for the same idempotence reason).  Returns the number of
+    source batch dirs folded."""
+    import os
+    import shutil
+
+    regs_dir = os.path.join(path, "regs")
+    sources = sorted(d for d in os.listdir(regs_dir)
+                     if d.startswith("batch="))
+    if len(sources) <= 1:
+        return 0
+    merged = read_hll_registers(spark, path)
+    n = len([d for d in sources if d.startswith("batch=compact-")])
+    out = os.path.join(regs_dir, f"batch=compact-{n}")
+    while os.path.basename(out) in sources:      # name collision guard
+        n += 1
+        out = os.path.join(regs_dir, f"batch=compact-{n}")
+    merged.write.mode("overwrite").parquet(out)
+    for d in sources:
+        shutil.rmtree(os.path.join(regs_dir, d), ignore_errors=True)
+    return len(sources)

@@ -3818,7 +3818,48 @@ def q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          qs=_KMV_QS)
 
 
+def q_hll_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL per-source vocabulary distinct via the persisted HLL
+    register store (sketches.py:build/append/hll_store_distinct): the
+    history half (doc_id < n/2) builds the store, two batches append
+    their own registers, and the read-side max-merge must equal the
+    whole-corpus sketch — so the oracle is hll_vocab's whole-corpus
+    register SQL verbatim (the intentional-alias oracle pattern).  A
+    hash match proves per-batch registers max-merge to the global
+    sketch at every arrival point.  Store cached by corpus fingerprint;
+    build and appends are replay-idempotent (overwrite batch dirs)."""
+    import tempfile
+
+    from zdb_spark.operators.sketches import (append_hll_store,
+                                              build_hll_store,
+                                              hll_store_distinct)
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id",
+                       F.explode(tokenize("text")).alias("tok"))
+    n = docs.count()
+    t1, t2 = n // 2, (3 * n) // 4
+    key = _key_for(sf_dir, "hll-store-v1", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_hll_store", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        build_hll_store(toks.where(F.col("doc_id") < t1), "tok", store,
+                        "source")
+        append_hll_store(toks.where((F.col("doc_id") >= t1)
+                                    & (F.col("doc_id") < t2)),
+                         "tok", store, batch_id=1)
+        append_hll_store(toks.where(F.col("doc_id") >= t2), "tok",
+                         store, batch_id=2)
+    return (hll_store_distinct(spark, store)
+            .select("source", "present_registers", "zero_registers",
+                    "reg_sum", "raw_est"))
+
+
 _PENDING_R13_ORACLES = {
+    # q_hll_store: incremental max-merge == whole-corpus registers, so
+    # its oracle IS hll_vocab's SQL — registered next round as
+    # sqls["hll_store"] = sqls["hll_vocab"] (the documented alias form)
+    "hll_store": "ALIAS:hll_vocab",
     "kmv_quantiles": r"""
         WITH d AS (
             SELECT source, doc_id,

@@ -368,12 +368,19 @@ def test_pending_kmv_gate_is_oracle_ready(spark):
         _sys.path.remove(os.path.join(root, "tools"))
 
     sf = "/root/testdata/sf0.01"
-    spark_pdf = entry_mod.q_kmv_quantiles(spark, sf).toPandas()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{sf}/documents.parquet'")
-    duck_pdf = con.execute(
-        entry_mod._PENDING_R13_ORACLES["kmv_quantiles"]).df()
-    errs = cc.compare("kmv_quantiles", spark_pdf, duck_pdf)
-    assert not errs, errs
-    assert len(spark_pdf) > 0
+    oracles = dict(entry_mod._PENDING_R13_ORACLES)
+    gates = {"kmv_quantiles": entry_mod.q_kmv_quantiles,
+             "hll_store": entry_mod.q_hll_store}
+    assert set(oracles) == set(gates)
+    for name, fn in gates.items():
+        sql = oracles[name]
+        if sql.startswith("ALIAS:"):
+            sql = entry_mod.oracle_sql()[sql[len("ALIAS:"):]]
+        spark_pdf = fn(spark, sf).toPandas()
+        duck_pdf = con.execute(sql).df()
+        errs = cc.compare(name, spark_pdf, duck_pdf)
+        assert not errs, (name, errs)
+        assert len(spark_pdf) > 0

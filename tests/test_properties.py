@@ -659,3 +659,37 @@ def test_hll_registers_match_python_reference(spark, vals):
     got = {r.bucket: r.max_rho
            for r in hll_registers(df, "v").collect()}
     assert got == want
+
+
+@given(st.lists(st.text(min_size=0, max_size=10), min_size=1,
+                max_size=100))
+@settings(max_examples=8, deadline=30000,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_countmin_cells_match_python_reference(spark, vals):
+    """The count-min table's md5 addressing must equal the pure-python
+    definition cell-for-cell on arbitrary unicode values, and every
+    probe estimate must satisfy the sketch's one-sided guarantee
+    (never underestimates the true count)."""
+    import hashlib
+    from collections import Counter
+
+    from zdb_spark.operators.sketches import (countmin_lookup,
+                                              countmin_table)
+
+    depth, width = 3, 64
+    want: dict[tuple[int, int], int] = {}
+    for v in vals:
+        for d in range(depth):
+            h = hashlib.md5(f"{d}:{v}".encode("utf-8")).hexdigest()
+            cell = (d, int(h[:8], 16) % width)
+            want[cell] = want.get(cell, 0) + 1
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    tbl = countmin_table(df, "v", depth=depth, width=width)
+    got = {(r.row, r.bucket): r.n for r in tbl.collect()}
+    assert got == want
+    truth = Counter(vals)
+    probes = list(truth)[:5]
+    est = {r.value: r.est_count for r in countmin_lookup(
+        tbl, probes, depth=depth, width=width).collect()}
+    for p in probes:
+        assert est[p] >= truth[p]

@@ -369,3 +369,44 @@ class TestRollupSink:
             q.awaitTermination(120)
         got = read_rollup(t, ["sym"], ["price"]).collect()[0]
         assert (got["n_rows"], got["sum_price"]) == (10, 10.0)
+
+
+class TestHLLSketchSink:
+    def test_streamed_registers_equal_batch_sketch(self, spark, tmp_path):
+        """Streaming distinct-count maintenance: registers appended per
+        micro-batch must max-merge to exactly the whole-corpus sketch,
+        and a checkpoint-replayed epoch must change nothing (overwrite
+        batch dirs + max-merge idempotence)."""
+        from zdb_spark.operators.sketches import (build_hll_store,
+                                                  hll_distinct,
+                                                  hll_store_distinct)
+        from zdb_spark.streaming.ingest import hll_sketch_sink
+
+        src = str(tmp_path / "src")
+        df = spark.range(2_000).select(
+            (F.col("id") % 3).alias("g"),
+            F.concat(F.lit("w"), F.col("id") % 900).alias("v"))
+        df.repartition(4).write.parquet(src)
+
+        store = str(tmp_path / "store")
+        build_hll_store(spark.createDataFrame([], "g bigint, v string"),
+                        "v", store, "g")
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        q = hll_sketch_sink(stream, "v", store,
+                            str(tmp_path / "ckpt"), by="g")
+        q.awaitTermination(120)
+
+        whole = {tuple(r) for r in hll_distinct(df, "v", "g").collect()}
+        stored = {tuple(r) for r in
+                  hll_store_distinct(spark, store).collect()}
+        assert stored == whole
+
+        # replay: run the SAME stream against a fresh checkpoint (every
+        # epoch re-lands on its batch dir) — still identical
+        q2 = hll_sketch_sink(stream, "v", store,
+                             str(tmp_path / "ckpt2"), by="g")
+        q2.awaitTermination(120)
+        again = {tuple(r) for r in
+                 hll_store_distinct(spark, store).collect()}
+        assert again == whole

@@ -19,6 +19,16 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repo", default="/root/repo")
+    ap.add_argument("--project", action="store_true",
+                    help="also project post-round ages assuming every "
+                         "window gate (and every sub-gate a window "
+                         "composite covers) goes green this round — "
+                         "the guarantee check to run BEFORE adding a "
+                         "new gate or queueing a changed one")
+    ap.add_argument("--new-gates", type=int, default=0,
+                    help="with --project: simulate registering N "
+                         "additional brand-new gates (each consumes a "
+                         "window slot from the stale tail)")
     args = ap.parse_args()
 
     sys.path.insert(0, args.repo)
@@ -68,6 +78,32 @@ def main() -> int:
         if ages:
             print(f"\nmax green-age outside this round's window: "
                   f"{max(ages)} round(s) (current=r{cur})")
+
+    if args.project and rounds:
+        nxt = cur + 1
+        eff_window = gates[:max(window_n - args.new_gates, 0)]
+        wset = set(eff_window)
+        covered = {s for c, subs in
+                   getattr(entry_mod, "_COVERS", {}).items()
+                   if c in wset for s in subs}
+        bad = []
+        for g in gates:
+            if g in wset or g in covered:
+                continue
+            h = hist.get(g)
+            if h and h[0] is not None and \
+                    not (h[1] is not None and h[1] > h[0]) and \
+                    nxt - h[0] > 2:
+                bad.append(g)
+        tag = (f" with {args.new_gates} extra new gate(s)"
+               if args.new_gates else "")
+        if bad:
+            print(f"PROJECTED r{nxt}{tag}: {len(bad)} gate(s) would "
+                  f"exceed green-age 2: {bad}")
+            return 1
+        print(f"PROJECTED r{nxt}{tag}: all gates stay within "
+              f"green-age <= 2 (window + coverage refresh everything "
+              f"stale)")
     return 0
 
 

@@ -323,3 +323,41 @@ def read_rollup(table, group_cols: list[str],
             .agg(F.sum("n_rows").alias("n_rows"),
                  *[F.sum(f"sum_{c}").alias(f"sum_{c}")
                    for c in sum_cols]))
+
+
+def hll_sketch_sink(stream_df: DataFrame, value_col: str, store_path: str,
+                    checkpoint: str, by=None,
+                    trigger_seconds: int | None = None):
+    """Continuous distinct-count maintenance: every micro-batch's HLL
+    registers land in the persisted register store under
+    ``regs/batch=<epoch>/`` (operators/sketches.py), so "distinct
+    values per group over everything ingested so far" is answerable at
+    any moment from (batches x groups x 256) register rows — no corpus
+    rescan, ever.
+
+    Exactly-once WITHOUT a transactional sink: the batch dir is named
+    by the foreachBatch epoch id and written with OVERWRITE, so a
+    post-failure replay of the same epoch rewrites identical content —
+    and even a torn/duplicated write is harmless because registers are
+    idempotent under the read-side max-merge.  This is the same
+    replay-idempotence contract as stream_writer_table's manifest
+    commits, delivered structurally instead of via CAS.
+
+    Returns the started StreamingQuery.  Bootstrap the store first with
+    ``build_hll_store`` (or an empty frame); query it any time with
+    ``hll_store_distinct``.
+    """
+    from ..operators.sketches import append_hll_store
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_hll_store(batch_df, value_col, store_path,
+                         batch_id=f"epoch-{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

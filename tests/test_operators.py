@@ -2705,6 +2705,47 @@ class TestProgressiveJpeg:
                               jpeg_decode_pixels(eb))
 
 
+class TestMp4Probe:
+    """Real ISO BMFF container metadata (multimodal.py:mp4_probe) —
+    the codec-free 90% of video triage: dims from the video trak's
+    tkhd, frame count from stts, duration from mvhd."""
+
+    def test_decode_video_mp4_path(self, spark):
+        from zdb_spark.operators.multimodal import (decode_video,
+                                                    mp4_encode)
+
+        rows = [(i, mp4_encode(320 + i, 180 + i, 24 * (i + 1),
+                               float(i + 1))) for i in range(4)]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = {r.id: r for r in
+               decode_video(df, decoder="mp4").collect()}
+        for i in range(4):
+            r = out[i]
+            assert (r.fmt, r.width, r.height, r.n_frames,
+                    r.duration_s) == ("isom", 320 + i, 180 + i,
+                                      24 * (i + 1), float(i + 1))
+
+    def test_error_family(self):
+        import pytest
+
+        from zdb_spark.operators.multimodal import mp4_encode, mp4_probe
+
+        with pytest.raises(ValueError, match="ftyp"):
+            mp4_probe(b"\x00\x00\x00\x18freeAAAA")
+        blob = mp4_encode(16, 16, 10, 1.0)
+        with pytest.raises(ValueError, match="truncated mp4"):
+            mp4_probe(blob[:len(blob) // 2])
+        # moov stripped entirely: the non-faststart-cut message
+        import struct as _s
+        ftyp_len = _s.unpack(">I", blob[:4])[0]
+        with pytest.raises(ValueError, match="moov"):
+            mp4_probe(blob[:ftyp_len])
+        # audio-only container: no video trak
+        audio = blob.replace(b"vide", b"soun")
+        with pytest.raises(ValueError, match="video trak"):
+            mp4_probe(audio)
+
+
 class TestRound11ReviewFixes:
     """Pins for the round-11 review findings."""
 

@@ -693,3 +693,34 @@ def test_countmin_cells_match_python_reference(spark, vals):
         tbl, probes, depth=depth, width=width).collect()}
     for p in probes:
         assert est[p] >= truth[p]
+
+
+@given(st.integers(1, 4096), st.integers(1, 4096),
+       st.integers(0, 100000), st.integers(0, 3600 * 100),
+       st.sampled_from([600, 1000, 90000]))
+@settings(max_examples=60, deadline=None)
+def test_mp4_probe_roundtrip_property(w, h, nf, dur_cs, ts):
+    """ISO BMFF fixture -> probe recovers dims/frames/duration exactly
+    (duration to the timescale's own resolution)."""
+    from zdb_spark.operators.multimodal import mp4_encode, mp4_probe
+
+    dur = dur_cs / 100.0
+    brand, gw, gh, gnf, gdur = mp4_probe(mp4_encode(w, h, nf, dur,
+                                                    timescale=ts))
+    assert (brand, gw, gh, gnf) == ("isom", w, h, nf)
+    assert abs(gdur - dur) <= 1.0 / ts + 1e-9
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=2000)
+def test_mp4_probe_fails_fast_on_garbage(blob):
+    """Garbage (raw, or grafted after a valid ftyp header) must raise
+    the ValueError family promptly — box walking is bounds-checked."""
+    from zdb_spark.operators.multimodal import mp4_encode, mp4_probe
+
+    head = mp4_encode(8, 8, 1, 1.0)[:20]
+    for payload in (blob, head + blob):
+        try:
+            mp4_probe(payload)
+        except ValueError:
+            pass

@@ -1064,8 +1064,158 @@ def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
             f"duration={dur!r}): {exc}") from exc
 
 
+# ---------------------------------------------------------------------- #
+# ISO BMFF (mp4/mov) container probe — REAL box parsing, no codec         #
+# ---------------------------------------------------------------------- #
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes in
+    data[start:end] (ISO/IEC 14496-12 §4.2): 32-bit size, 64-bit
+    largesize when size == 1, to-end-of-enclosure when size == 0.
+    Raises ValueError on any truncated shape."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated mp4: box header cut short")
+        size = struct.unpack(">I", data[pos:pos + 4])[0]
+        btype = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated mp4: largesize cut short")
+            size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("truncated mp4: box extends past its "
+                             "enclosure")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
+    for t, a, b in _mp4_boxes(data, start, end):
+        if t == btype:
+            return a, b
+    return None
+
+
+def mp4_probe(payload: bytes) -> tuple[str, int, int, int, float]:
+    """Container-level mp4/mov metadata by REAL ISO BMFF box parsing —
+    no codec, no ffmpeg: (brand, width, height, n_frames, duration_s).
+
+    width/height come from the VIDEO trak's tkhd (16.16 fixed point,
+    chosen by the hdlr handler_type 'vide'); n_frames is the sum of
+    stts sample counts — the actual sample count the muxer wrote, no
+    decode needed; duration is mvhd duration/timescale.  This is the
+    corpus-triage 90% of what a crawl pipeline asks of a video file;
+    pixel decode stays with decoder='ffmpeg' (H.264/VP9 entropy
+    decoding is a codec project — README §Out of scope)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF container (no ftyp)")
+    brand = payload[8:12].decode("ascii", "replace").strip() or "mp4"
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4 has no moov box (truncated or "
+                         "non-faststart stream cut before its index)")
+    ma, mb = moov
+    mvhd = _mp4_find(payload, ma, mb, b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4 moov has no mvhd")
+    va, vb = mvhd
+    version = payload[va]
+    if version == 1:
+        if va + 28 > vb:
+            raise ValueError("truncated mp4: mvhd v1 cut short")
+        timescale = struct.unpack(">I", payload[va + 20:va + 24])[0]
+        duration = struct.unpack(">Q", payload[va + 24:va + 32])[0]
+    else:
+        if va + 20 > vb:
+            raise ValueError("truncated mp4: mvhd v0 cut short")
+        timescale = struct.unpack(">I", payload[va + 12:va + 16])[0]
+        duration = struct.unpack(">I", payload[va + 16:va + 20])[0]
+    if timescale == 0:
+        raise ValueError("mp4 mvhd timescale is zero")
+    width = height = 0
+    n_frames = 0
+    for t, ta, tb in _mp4_boxes(payload, ma, mb):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(payload, ta, tb, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        tkhd = _mp4_find(payload, ta, tb, b"tkhd")
+        if tkhd is not None:
+            ka, kb = tkhd
+            if kb - ka < 8:
+                raise ValueError("truncated mp4: tkhd cut short")
+            # width/height are the LAST two 16.16 words of tkhd for
+            # both versions
+            width = struct.unpack(">I", payload[kb - 8:kb - 4])[0] >> 16
+            height = struct.unpack(">I", payload[kb - 4:kb])[0] >> 16
+        minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+        stts = stbl and _mp4_find(payload, stbl[0], stbl[1], b"stts")
+        if stts:
+            sa, sb = stts
+            n_entries = struct.unpack(">I", payload[sa + 4:sa + 8])[0]
+            if sa + 8 + 8 * n_entries > sb:
+                raise ValueError("truncated mp4: stts cut short")
+            n_frames = sum(
+                struct.unpack(">I",
+                              payload[sa + 8 + 8 * i:
+                                      sa + 12 + 8 * i])[0]
+                for i in range(n_entries))
+        break
+    if width == 0 or height == 0:
+        raise ValueError("mp4 has no video trak with tkhd dimensions")
+    return (brand, width, height, n_frames,
+            round(duration / timescale, 6))
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def mp4_encode(width: int, height: int, n_frames: int,
+               duration_s: float, timescale: int = 1000) -> bytes:
+    """Structurally valid ISO BMFF fixture (ftyp + moov with one video
+    trak + empty mdat) — the mp4_probe test generator; carries NO coded
+    samples (this container's codec slot is out of scope, README)."""
+    dur = int(round(duration_s * timescale))
+    mvhd = _mp4_box(b"mvhd", struct.pack(
+        ">B3x4I", 0, 0, 0, timescale, dur) + b"\x00" * 80)
+    tkhd = _mp4_box(b"tkhd", struct.pack(">B3x", 0, ) + b"\x00" * 72
+                    + struct.pack(">II", width << 16, height << 16))
+    mdhd = _mp4_box(b"mdhd", struct.pack(
+        ">B3x4I2H", 0, 0, 0, timescale, dur, 0x55C4, 0))
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
+                    + b"Video\x00")
+    stts_entries = [(n_frames, 1)] if n_frames else []
+    stts = _mp4_box(b"stts", struct.pack(">B3xI", 0, len(stts_entries))
+                    + b"".join(struct.pack(">II", c, d)
+                               for c, d in stts_entries))
+    stbl = _mp4_box(b"stbl", stts)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                    + b"isom" + b"mp41")
+    return ftyp + moov + _mp4_box(b"mdat", b"")
+
+
+def mp4_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """decode_video-compatible adapter over the ISO BMFF probe."""
+    return mp4_probe(payload)
+
+
 _VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,
-                   "ffmpeg": ffmpeg_video_decode}
+                   "ffmpeg": ffmpeg_video_decode,
+                   "mp4": mp4_video_decode}
 _VIDEO_SCHEMA = ("id long, fmt string, width int, height int, "
                  "n_frames int, duration_s double")
 

@@ -2745,6 +2745,32 @@ class TestMp4Probe:
         with pytest.raises(ValueError, match="video trak"):
             mp4_probe(audio)
 
+    def test_decode_video_webm_path(self, spark):
+        from zdb_spark.operators.multimodal import (decode_video,
+                                                    webm_encode)
+
+        rows = [(i, webm_encode(640 + i, 360 + i, float(i + 1)))
+                for i in range(3)]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        out = {r.id: r for r in
+               decode_video(df, decoder="webm").collect()}
+        for i in range(3):
+            r = out[i]
+            assert (r.fmt, r.width, r.height, r.n_frames,
+                    r.duration_s) == ("webm", 640 + i, 360 + i, 0,
+                                      float(i + 1))
+
+    def test_webm_audio_only_rejected(self):
+        import pytest
+
+        from zdb_spark.operators.multimodal import (webm_encode,
+                                                    webm_probe)
+
+        audio = webm_encode(32, 32, 1.0).replace(b"\x83\x81\x01",
+                                                 b"\x83\x81\x02")
+        with pytest.raises(ValueError, match="video track"):
+            webm_probe(audio)
+
 
 class TestRound11ReviewFixes:
     """Pins for the round-11 review findings."""

@@ -724,3 +724,28 @@ def test_mp4_probe_fails_fast_on_garbage(blob):
             mp4_probe(payload)
         except ValueError:
             pass
+
+
+@given(st.integers(1, 8191), st.integers(1, 8191),
+       st.integers(0, 3600 * 100), st.sampled_from(["webm", "matroska"]))
+@settings(max_examples=60, deadline=None)
+def test_webm_probe_roundtrip_property(w, h, dur_cs, doctype):
+    from zdb_spark.operators.multimodal import webm_encode, webm_probe
+
+    dur = dur_cs / 100.0
+    dt, gw, gh, nf, gdur = webm_probe(webm_encode(w, h, dur,
+                                                  doctype=doctype))
+    assert (dt, gw, gh, nf) == (doctype, w, h, 0)
+    assert abs(gdur - dur) < 1e-6
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=2000)
+def test_webm_probe_fails_fast_on_garbage(blob):
+    from zdb_spark.operators.multimodal import webm_probe
+
+    for payload in (blob, b"\x1aE\xdf\xa3" + blob):
+        try:
+            webm_probe(payload)
+        except ValueError:
+            pass

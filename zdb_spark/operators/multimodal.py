@@ -1213,9 +1213,162 @@ def mp4_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     return mp4_probe(payload)
 
 
+# ---------------------------------------------------------------------- #
+# Matroska/WebM (EBML) container probe — REAL element parsing, no codec   #
+# ---------------------------------------------------------------------- #
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Decode one EBML variable-length integer at ``pos``: the first
+    byte's leading zeros give the width; element IDs keep the marker
+    bit, sizes strip it.  Returns (value, next_pos)."""
+    if pos >= len(data):
+        raise ValueError("truncated webm: vint at end of stream")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid webm: vint wider than 8 bytes")
+    width = 8 - first.bit_length() + 1
+    if pos + width > len(data):
+        raise ValueError("truncated webm: vint cut short")
+    v = first if keep_marker else first & (0xFF >> width)
+    for i in range(1, width):
+        v = (v << 8) | data[pos + i]
+    return v, pos + width
+
+
+def _ebml_walk(data: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end) for the EBML
+    elements in data[start:end].  An unknown-size element (all size
+    bits set) extends to the enclosure's end — the live-muxed Segment
+    shape."""
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size_first = data[pos] if pos < len(data) else 0
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        width = 8 - size_first.bit_length() + 1 if size_first else 1
+        if size == (1 << (7 * width)) - 1:       # unknown size
+            size = end - pos
+        if pos + size > end:
+            raise ValueError("truncated webm: element extends past "
+                             "its enclosure")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _ebml_find(data: bytes, start: int, end: int, eid: int):
+    for i, a, b in _ebml_walk(data, start, end):
+        if i == eid:
+            return a, b
+    return None
+
+
+def _ebml_uint(data: bytes, a: int, b: int) -> int:
+    v = 0
+    for i in range(a, b):
+        v = (v << 8) | data[i]
+    return v
+
+
+def webm_probe(payload: bytes) -> tuple[str, int, int, int, float]:
+    """Container-level Matroska/WebM metadata by REAL EBML parsing —
+    no codec, no ffmpeg: (doctype, width, height, n_frames,
+    duration_s).  Dimensions come from the first video TrackEntry's
+    PixelWidth/PixelHeight; duration from Segment>Info Duration
+    (a float of TimecodeScale ticks, default scale 1 ms).  Matroska
+    does not index a frame count in metadata (it lives in the
+    clusters), so n_frames is 0 by contract here — exact counts need
+    the ffmpeg escape hatch."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML stream (no EBML header)")
+    header = _ebml_find(payload, 0, len(payload), 0x1A45DFA3)
+    doctype = "matroska"
+    if header is not None:
+        dt = _ebml_find(payload, header[0], header[1], 0x4282)
+        if dt is not None:
+            doctype = payload[dt[0]:dt[1]].decode("ascii", "replace")
+    seg = _ebml_find(payload, 0, len(payload), 0x18538067)
+    if seg is None:
+        raise ValueError("webm has no Segment element")
+    sa, sb = seg
+    scale_ns = 1_000_000
+    duration_ticks = 0.0
+    info = _ebml_find(payload, sa, sb, 0x1549A966)
+    if info is not None:
+        ts = _ebml_find(payload, info[0], info[1], 0x2AD7B1)
+        if ts is not None:
+            scale_ns = _ebml_uint(payload, *ts)
+        dur = _ebml_find(payload, info[0], info[1], 0x4489)
+        if dur is not None:
+            n = dur[1] - dur[0]
+            if n == 4:
+                duration_ticks = struct.unpack(
+                    ">f", payload[dur[0]:dur[1]])[0]
+            elif n == 8:
+                duration_ticks = struct.unpack(
+                    ">d", payload[dur[0]:dur[1]])[0]
+            else:
+                raise ValueError("webm Duration must be a 4/8-byte "
+                                 "float")
+    width = height = 0
+    tracks = _ebml_find(payload, sa, sb, 0x1654AE6B)
+    if tracks is not None:
+        for eid, ta, tb in _ebml_walk(payload, *tracks):
+            if eid != 0xAE:                      # TrackEntry
+                continue
+            ttype = _ebml_find(payload, ta, tb, 0x83)
+            if ttype is None or _ebml_uint(payload, *ttype) != 1:
+                continue                         # not a video track
+            video = _ebml_find(payload, ta, tb, 0xE0)
+            if video is None:
+                continue
+            pw = _ebml_find(payload, video[0], video[1], 0xB0)
+            ph = _ebml_find(payload, video[0], video[1], 0xBA)
+            if pw and ph:
+                width = _ebml_uint(payload, *pw)
+                height = _ebml_uint(payload, *ph)
+            break
+    if width == 0 or height == 0:
+        raise ValueError("webm has no video track with pixel "
+                         "dimensions")
+    return (doctype, width, height, 0,
+            round(duration_ticks * scale_ns / 1e9, 6))
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    """One EBML element: raw ID bytes + minimal-width size vint (the
+    marker bit is the width-th leading bit) + payload."""
+    id_bytes = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:   # all-ones is reserved: unknown
+            return id_bytes + ((1 << (7 * width)) | n).to_bytes(
+                width, "big") + payload
+    raise ValueError("payload too large for an EBML size vint")
+
+
+def webm_encode(width: int, height: int, duration_s: float,
+                doctype: str = "webm") -> bytes:
+    """Structurally valid Matroska/WebM fixture (EBML header + Segment
+    with Info + one video TrackEntry) — the webm_probe test generator;
+    carries no coded clusters."""
+    header = _ebml_elem(0x1A45DFA3, _ebml_elem(
+        0x4282, doctype.encode("ascii")))
+    info = _ebml_elem(0x1549A966,
+                      _ebml_elem(0x2AD7B1, (1_000_000).to_bytes(4, "big"))
+                      + _ebml_elem(0x4489, struct.pack(
+                          ">d", duration_s * 1000.0)))
+    video = _ebml_elem(0xE0,
+                       _ebml_elem(0xB0, width.to_bytes(2, "big"))
+                       + _ebml_elem(0xBA, height.to_bytes(2, "big")))
+    track = _ebml_elem(0xAE, _ebml_elem(0x83, b"\x01") + video)
+    tracks = _ebml_elem(0x1654AE6B, track)
+    seg = _ebml_elem(0x18538067, info + tracks)
+    return header + seg
+
+
 _VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,
                    "ffmpeg": ffmpeg_video_decode,
-                   "mp4": mp4_video_decode}
+                   "mp4": mp4_video_decode,
+                   "webm": webm_probe}
 _VIDEO_SCHEMA = ("id long, fmt string, width int, height int, "
                  "n_frames int, duration_s double")
 

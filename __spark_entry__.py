@@ -3855,11 +3855,68 @@ def q_hll_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "reg_sum", "raw_est"))
 
 
+def q_multimodal_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata, no codec: per doc an ISO BMFF
+    (even ids) or Matroska/WebM (odd ids) fixture — dims/frames/
+    duration all closed-form in doc_id — is written by the fixture
+    encoders, then decode_video(decoder='mp4'|'webm') parses the box/
+    element structure and recovers them (multimodal.py:mp4_probe/
+    webm_probe).  The oracle recomputes the same values from doc_id
+    arithmetic (webm frame count is 0 by documented contract: Matroska
+    keeps counts in clusters, not metadata)."""
+    from zdb_spark.operators.multimodal import decode_video
+
+    def synth(batches):
+        import pandas as _pd
+
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    webm_encode)
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 160 + i % 17, 90 + (i * 3) % 13
+                dur = (1 + i % 50) / 4.0
+                if i % 2 == 0:
+                    blob = mp4_encode(w, h, 24 * (1 + i % 50) // 4,
+                                      dur)
+                else:
+                    blob = webm_encode(w, h, dur)
+                rows.append((i, blob))
+            yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(synth, "doc_id long, blob binary"))
+    even = decode_video(docs.where(F.col("doc_id") % 2 == 0),
+                        id_col="doc_id", decoder="mp4")
+    odd = decode_video(docs.where(F.col("doc_id") % 2 == 1),
+                       id_col="doc_id", decoder="webm")
+    return (even.unionByName(odd)
+            .select(F.col("id").alias("doc_id"), "fmt", "width",
+                    "height", "n_frames", "duration_s"))
+
+
 _PENDING_R13_ORACLES = {
     # q_hll_store: incremental max-merge == whole-corpus registers, so
     # its oracle IS hll_vocab's SQL — registered next round as
     # sqls["hll_store"] = sqls["hll_vocab"] (the documented alias form)
     "hll_store": "ALIAS:hll_vocab",
+    # q_multimodal_containers: fixtures are closed-form in doc_id, so
+    # the oracle is pure arithmetic (duration rounds exactly: k/4.0 is
+    # a dyadic rational)
+    "multimodal_containers": r"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END
+                   AS fmt,
+               CAST(160 + doc_id % 17 AS INT) AS width,
+               CAST(90 + (doc_id * 3) % 13 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN (24 * (1 + doc_id % 50)) // 4
+                         ELSE 0 END AS INT) AS n_frames,
+               CAST((1 + doc_id % 50) AS DOUBLE) / 4.0 AS duration_s
+        FROM documents
+    """,
     "kmv_quantiles": r"""
         WITH d AS (
             SELECT source, doc_id,

@@ -1117,7 +1117,11 @@ class TestMultimodal:
         fr = decode_video_frames(df, "blob", "id").collect()
         assert len(fr) == sum(1 + i for i in range(1, 4))
         with pytest.raises(ValueError, match="unknown decoder"):
-            decode_video(df, "blob", "id", decoder="mp4")
+            decode_video(df, "blob", "id", decoder="avi")
+        # 'mp4' is a REAL decoder since round 12 — a GIF blob through it
+        # fails the ftyp magic check, not the decoder lookup
+        with pytest.raises(Exception, match="ftyp"):
+            decode_video(df, "blob", "id", decoder="mp4").collect()
 
     def test_ffmpeg_decoder_absent_raises_loudly(self):
         """Without ffprobe the ffmpeg decoder must fail with a clear

@@ -373,7 +373,9 @@ def test_pending_kmv_gate_is_oracle_ready(spark):
                 f"'{sf}/documents.parquet'")
     oracles = dict(entry_mod._PENDING_R13_ORACLES)
     gates = {"kmv_quantiles": entry_mod.q_kmv_quantiles,
-             "hll_store": entry_mod.q_hll_store}
+             "hll_store": entry_mod.q_hll_store,
+             "multimodal_containers":
+                 entry_mod.q_multimodal_containers}
     assert set(oracles) == set(gates)
     for name, fn in gates.items():
         sql = oracles[name]

@@ -1,7 +1,9 @@
-"""Cross-engine-reproducible sketches: portable HyperLogLog and
-count-min — the 100 TB substitutes for exact ``COUNT(DISTINCT)`` and
-exact heavy-hitter counting, built so another engine can replay them
-bit-for-bit.
+"""Cross-engine-reproducible sketches — the 100 TB substitutes for
+exact ``COUNT(DISTINCT)`` (portable HyperLogLog, live and as a
+persisted/incremental register store), exact heavy-hitter counting
+(count-min tables), and exact global percentiles (KMV bottom-k
+deterministic sampling with nearest-rank quantiles) — all built so
+another engine can replay them bit-for-bit.
 
 Spark ships HLL (``approx_count_distinct``) and quantile sketches, and
 tests/test_sketches.py pins their accuracy — but their hash functions
@@ -25,9 +27,10 @@ dies on last-ulp divergence.  Scaling by ``2^(RHO_MAX-rho)`` makes every
 term an exact long; the one float operation is a single division of two
 exact integers, which IEEE 754 defines to the bit on every engine.
 
-Scale shape: both sketches are one partially-aggregated ``groupBy``
-whose shuffle is bounded by (groups x registers), never by corpus rows
-— the entire point at 100 TB.
+Scale shape: the HLL and count-min sketches are one partially
+aggregated ``groupBy`` whose shuffle is bounded by (groups x
+registers), never by corpus rows; the KMV sample is a TakeOrdered
+heap (ungrouped) or groupwise top-k — the entire point at 100 TB.
 
 References: Flajolet et al. 2007 (HyperLogLog), Heule et al. 2013
 (HLL++ small-range bias: we apply the standard linear-counting branch in

@@ -386,3 +386,33 @@ def test_pending_kmv_gate_is_oracle_ready(spark):
         errs = cc.compare(name, spark_pdf, duck_pdf)
         assert not errs, (name, errs)
         assert len(spark_pdf) > 0
+
+
+def test_plan_audit_flag_detection():
+    """tools/plan_audit.py's red-flag scanner: unit-level pin that it
+    catches the three anti-patterns and ignores the sanctioned
+    Arrow-batched Python nodes."""
+    import os
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import plan_audit as pa
+    finally:
+        _sys.path.remove(os.path.join(root, "tools"))
+
+    assert pa.audit("*(1) CartesianProduct\n+- Scan parquet") == \
+        ["CartesianProduct"]
+    assert pa.audit("BroadcastNestedLoopJoin BuildRight, Inner") == \
+        ["BroadcastNestedLoopJoin"]
+    assert pa.audit("BatchEvalPython [f(x)]") == \
+        ["row-at-a-time BatchEvalPython"]
+    # Arrow-batched Python is the sanctioned path — never flagged
+    assert pa.audit("ArrowEvalPython [g(x)]\n+- MapInPandas h(y)") == []
+    assert pa.audit("*(2) HashAggregate\n+- Exchange hashpartitioning") \
+        == []
+    # every waiver names a real gate
+    import __spark_entry__ as em
+    gates = {n for n, _ in em._QUERY_DECLARATIONS}
+    assert set(pa._WAIVED) <= gates, set(pa._WAIVED) - gates

@@ -3791,15 +3791,8 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------- #
-# ROUND-13 PENDING GATE (window capacity — see _rotation_sorted)          #
-# This round's 50-slot window is exactly full: registering a 4th new     #
-# gate would push the r9-green vocab_topk past green-age 2 (simulated    #
-# in the round-12 rotation audit).  The OPERATOR ships now               #
-# (sketches.py:kmv_sample/kmv_quantiles, 5 tests incl. a pure-python     #
-# sample-membership reference); the gate + oracle below are complete,    #
-# proven equivalent by tests/test_registry.py::                          #
-# test_pending_kmv_gate_is_oracle_ready, and move into                   #
-# _QUERY_DECLARATIONS / oracle_sql() first thing next round.             #
+# Sketch/container gates registered in round 13 (staged through round    #
+# 12 behind window capacity — r12 verdict task 1).                       #
 # --------------------------------------------------------------------- #
 _KMV_QS = (0.25, 0.5, 0.75, 0.95)
 
@@ -3843,27 +3836,44 @@ def q_hll_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _key_for(sf_dir, "hll-store-v1", ("documents",))
     store = os.path.join(tempfile.gettempdir(), "zdb_hll_store", key)
     if not os.path.exists(os.path.join(store, "params.json")):
-        build_hll_store(toks.where(F.col("doc_id") < t1), "tok", store,
-                        "source")
+        # Build + both appends land in a scratch dir that is atomically
+        # renamed into place (the minhash-store idiom above): a crash
+        # after build but before an append must leave the final path
+        # absent, not a half-store every later run silently reuses.
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_hll_store(toks.where(F.col("doc_id") < t1), "tok",
+                        scratch, "source")
         append_hll_store(toks.where((F.col("doc_id") >= t1)
                                     & (F.col("doc_id") < t2)),
-                         "tok", store, batch_id=1)
+                         "tok", scratch, batch_id=1)
         append_hll_store(toks.where(F.col("doc_id") >= t2), "tok",
-                         store, batch_id=2)
+                         scratch, batch_id=2)
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
     return (hll_store_distinct(spark, store)
             .select("source", "present_registers", "zero_registers",
                     "reg_sum", "raw_est"))
 
 
+_MP4_CODECS = ("avc1", "hev1", "av01")
+_WEBM_CODECS = ("V_VP9", "V_VP8", "V_AV1")
+
+
 def q_multimodal_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-container metadata, no codec: per doc an ISO BMFF
-    (even ids) or Matroska/WebM (odd ids) fixture — dims/frames/
-    duration all closed-form in doc_id — is written by the fixture
-    encoders, then decode_video(decoder='mp4'|'webm') parses the box/
-    element structure and recovers them (multimodal.py:mp4_probe/
-    webm_probe).  The oracle recomputes the same values from doc_id
-    arithmetic (webm frame count is 0 by documented contract: Matroska
-    keeps counts in clusters, not metadata)."""
+    """REAL video-container metadata, no codec decode: per doc an ISO
+    BMFF (even ids) or Matroska/WebM (odd ids) fixture — dims/frames/
+    duration/codec-ID all closed-form in doc_id — is written by the
+    fixture encoders, then decode_video(decoder='mp4'|'webm') parses
+    the box/element structure and recovers them (multimodal.py:
+    mp4_probe reads the stsd sample-entry fourcc, webm_probe the
+    TrackEntry CodecID — the strings a 100 TB crawl triage filters
+    on).  The oracle recomputes the same values from doc_id arithmetic
+    (webm frame count is 0 by documented contract: Matroska keeps
+    counts in clusters, not metadata)."""
     from zdb_spark.operators.multimodal import decode_video
 
     def synth(batches):
@@ -3880,9 +3890,12 @@ def q_multimodal_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dur = (1 + i % 50) / 4.0
                 if i % 2 == 0:
                     blob = mp4_encode(w, h, 24 * (1 + i % 50) // 4,
-                                      dur)
+                                      dur,
+                                      codec=_MP4_CODECS[(i // 2) % 3])
                 else:
-                    blob = webm_encode(w, h, dur)
+                    blob = webm_encode(
+                        w, h, dur,
+                        codec_id=_WEBM_CODECS[(i // 2) % 3])
                 rows.append((i, blob))
             yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
 
@@ -3893,55 +3906,10 @@ def q_multimodal_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd = decode_video(docs.where(F.col("doc_id") % 2 == 1),
                        id_col="doc_id", decoder="webm")
     return (even.unionByName(odd)
-            .select(F.col("id").alias("doc_id"), "fmt", "width",
-                    "height", "n_frames", "duration_s"))
+            .select(F.col("id").alias("doc_id"), "fmt", "codec",
+                    "width", "height", "n_frames", "duration_s"))
 
 
-_PENDING_R13_ORACLES = {
-    # q_hll_store: incremental max-merge == whole-corpus registers, so
-    # its oracle IS hll_vocab's SQL — registered next round as
-    # sqls["hll_store"] = sqls["hll_vocab"] (the documented alias form)
-    "hll_store": "ALIAS:hll_vocab",
-    # q_multimodal_containers: fixtures are closed-form in doc_id, so
-    # the oracle is pure arithmetic (duration rounds exactly: k/4.0 is
-    # a dyadic rational)
-    "multimodal_containers": r"""
-        SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END
-                   AS fmt,
-               CAST(160 + doc_id % 17 AS INT) AS width,
-               CAST(90 + (doc_id * 3) % 13 AS INT) AS height,
-               CAST(CASE WHEN doc_id % 2 = 0
-                         THEN (24 * (1 + doc_id % 50)) // 4
-                         ELSE 0 END AS INT) AS n_frames,
-               CAST((1 + doc_id % 50) AS DOUBLE) / 4.0 AS duration_s
-        FROM documents
-    """,
-    "kmv_quantiles": r"""
-        WITH d AS (
-            SELECT source, doc_id,
-                   CAST(length(text) AS DOUBLE) AS v,
-                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h
-            FROM documents
-        ), s AS (
-            SELECT source, doc_id, v,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY h, doc_id) AS kr
-            FROM d
-        ), r AS (
-            SELECT source, doc_id, v,
-                   row_number() OVER (PARTITION BY source
-                                      ORDER BY v, doc_id) AS rnk,
-                   count(*) OVER (PARTITION BY source) AS n
-            FROM s WHERE kr <= 16
-        ), qs AS (
-            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q
-        )
-        SELECT source, q, CAST(n AS BIGINT) AS n_sample, v AS value
-        FROM r, qs
-        WHERE rnk = CAST(ceil(q * n) AS INT)
-    """,
-}
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4209,28 +4177,12 @@ WINDOW = 50
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 12 — signed-zero normalization (round0 = F.round + 0.0) after
-    # every gate-level rounding, mirrored as `+ 0.0` in each oracle; the
-    # r11 red gate (embedding_covariance, Spark +0.0 vs DuckDB -0.0 at
-    # cells (5,9)/(9,5)) plus every sibling whose rounded output can be
-    # a tiny negative.  All 7 re-proven bit-exact by the new
-    # struct.pack('<d') pass in tools/check_correctness.py.
-    "embedding_covariance",
-    "embedding_pca",      # pca_components consumes the covariance;
-                          # pca_project's per-cell rounding also round0'd
-    # (dsir_weights: importance_weights round0'd, but the queued
-    # curation_v3 composite hash-exercises the same operator — covered
-    # per _COVERS, slot goes to a stale gate)
-    "lm_score",           # bigram_logprob avg_logprob round0'd
-    "decay_avg",          # decayed_avg 3 rounded outputs round0'd
-    "twap",               # q_twap round0'd
-    "rate_anomaly",       # baseline_mean + zscore round0'd
-    "curation_v3",        # composes importance_weights (dsir stage)
-    # (server_ohlcv: ohlcv() change was docstring-only — not a
-    # behavior change; tools/changed_gates.py now proves that by
-    # AST-comparing the docstring-stripped function vs the diff base)
-    "multimodal_jpeg",    # progressive (SOF2) decode: every 3rd fixture
-                          # is now a DC/AC-refinement progressive stream
+    # round 13 — container probes now extract codec IDs (mp4 stsd
+    # fourcc, webm CodecID) and decode_video grew a `codec` column; no
+    # REGISTERED gate consumes decode_video (multimodal_video uses
+    # decode_video_frames, untouched) — the only gate whose output
+    # changes is the staged multimodal_containers, registered this
+    # round with the extended oracle.
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -4243,15 +4195,9 @@ _CHANGED_THIS_ROUND = [
 # still rotates in by staleness like any green gate.
 # tools/changed_gates.py prints these as [exempt] instead of MISSING.
 _CHANGED_BUT_LOCALLY_PROVEN = {
-    "unigram_tok": "apply_unigram parity diff: gate ids are LongType "
-                   "(same dtype either way), corpus text non-NULL — "
-                   "output bytes identical; bit-exact mirror green",
-    "export_webdataset": "tar writer now temps+renames: shard BYTES "
-                         "unchanged (same members, same order); "
-                         "bit-exact mirror green",
-    "multimodal_resize": "jpeg truncation guards fire only on cut "
-                         "streams; this gate's fixtures are valid "
-                         "PNGs — guards unreachable; mirror green",
+    # (round-12 exemptions cleared at the r13 boundary — their diffs
+    # are inside the new diff base d0723e9 and their gates went green
+    # in CORRECTNESS_r12.)
 }
 
 _QUERY_DECLARATIONS: list[
@@ -4399,6 +4345,11 @@ _QUERY_DECLARATIONS: list[
     ("rollup_maintain", q_rollup_maintain),
     ("schema_evolution", q_schema_evolution),
     ("scan_time_range", q_scan_time_range),
+    # round-13 registrations (staged through round 12 behind window
+    # capacity; r12 verdict task 1)
+    ("kmv_quantiles", q_kmv_quantiles),
+    ("hll_store", q_hll_store),
+    ("multimodal_containers", q_multimodal_containers),
 ]
 
 
@@ -7314,5 +7265,61 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_obs
         FROM g WHERE w IS NOT NULL
         GROUP BY 1
+    """
+    # q_hll_store: incremental max-merge == whole-corpus registers, so
+    # its oracle IS hll_vocab's whole-corpus register SQL — a hash
+    # match proves per-batch registers max-merge to the global sketch
+    # (the intentional-alias oracle pattern, r12 verdict task 1)
+    sqls["hll_store"] = sqls["hll_vocab"]
+    # q_multimodal_containers: fixtures are closed-form in doc_id, so
+    # the oracle is pure arithmetic (duration rounds exactly: k/4.0 is
+    # a dyadic rational); codec IDs cycle by (doc_id//2) % 3 exactly as
+    # the gate's fixture encoder writes them
+    sqls["multimodal_containers"] = r"""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'webm' END
+                   AS fmt,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CASE (doc_id // 2) % 3
+                         WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                         ELSE 'av01' END
+                    ELSE CASE (doc_id // 2) % 3
+                         WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_VP8'
+                         ELSE 'V_AV1' END
+               END AS codec,
+               CAST(160 + doc_id % 17 AS INT) AS width,
+               CAST(90 + (doc_id * 3) % 13 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN (24 * (1 + doc_id % 50)) // 4
+                         ELSE 0 END AS INT) AS n_frames,
+               CAST((1 + doc_id % 50) AS DOUBLE) / 4.0 AS duration_s
+        FROM documents
+    """
+    # q_kmv_quantiles: the oracle replays the whole sketch — md5
+    # bottom-16 per source, then nearest-rank selection — so values are
+    # copied data, never interpolated floats
+    sqls["kmv_quantiles"] = r"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(length(text) AS DOUBLE) AS v,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), s AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS kr
+            FROM d
+        ), r AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY v, doc_id) AS rnk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM s WHERE kr <= 16
+        ), qs AS (
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q
+        )
+        SELECT source, q, CAST(n AS BIGINT) AS n_sample, v AS value
+        FROM r, qs
+        WHERE rnk = CAST(ceil(q * n) AS INT)
     """
     return sqls

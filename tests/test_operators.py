@@ -1066,7 +1066,8 @@ class TestMultimodal:
         frames = [((10, 200, 30), 5), ((250, 0, 9), 11), ((1, 2, 3), 7)]
         blob = gif_encode(13, 9, frames)
         assert blob[:6] == b"GIF89a"
-        assert gif_decode(blob) == ("gif", 13, 9, 3, round(23 / 100, 6))
+        assert gif_decode(blob) == ("gif", "lzw", 13, 9, 3,
+                                    round(23 / 100, 6))
         for (idx, w, h, d, luma), ((r, g, b), dly) in zip(gif_frames(blob),
                                                           frames):
             assert (w, h, d) == (13, 9, dly)
@@ -1086,7 +1087,7 @@ class TestMultimodal:
             pytest.skip("no system GIFs available")
         for p in paths:
             blob = open(p, "rb").read()
-            fmt, w, h, nf, _dur = gif_decode(blob)
+            fmt, _codec, w, h, nf, _dur = gif_decode(blob)
             assert fmt == "gif" and w > 0 and h > 0 and nf >= 1
             for fr in _gif_parse(blob)[2]:
                 assert len(fr["pixels"]) == fr["w"] * fr["h"]
@@ -1182,8 +1183,9 @@ class TestMultimodal:
         got = mm.decode_video(df, "blob", "id",
                               decoder="ffmpeg").collect()[0]
         assert (got["width"], got["height"], got["n_frames"]) == (w, h, n)
-        assert got["format"].startswith(("mov", "mp4"))
-        assert abs(got["duration"] - n / 5.0) < 0.3
+        assert got["fmt"].startswith(("mov", "mp4"))
+        assert got["codec"] == "mpeg4"
+        assert abs(got["duration_s"] - n / 5.0) < 0.3
 
 
 class TestJpegCodec:
@@ -2718,16 +2720,19 @@ class TestMp4Probe:
         from zdb_spark.operators.multimodal import (decode_video,
                                                     mp4_encode)
 
+        codecs = ["avc1", "hev1", "av01", "vp09"]
         rows = [(i, mp4_encode(320 + i, 180 + i, 24 * (i + 1),
-                               float(i + 1))) for i in range(4)]
+                               float(i + 1), codec=codecs[i]))
+                for i in range(4)]
         df = spark.createDataFrame(rows, "id long, blob binary")
         out = {r.id: r for r in
                decode_video(df, decoder="mp4").collect()}
         for i in range(4):
             r = out[i]
-            assert (r.fmt, r.width, r.height, r.n_frames,
-                    r.duration_s) == ("isom", 320 + i, 180 + i,
-                                      24 * (i + 1), float(i + 1))
+            assert (r.fmt, r.codec, r.width, r.height, r.n_frames,
+                    r.duration_s) == ("isom", codecs[i], 320 + i,
+                                      180 + i, 24 * (i + 1),
+                                      float(i + 1))
 
     def test_error_family(self):
         import pytest
@@ -2749,20 +2754,67 @@ class TestMp4Probe:
         with pytest.raises(ValueError, match="video trak"):
             mp4_probe(audio)
 
+    def test_bounds_raise_valueerror_not_struct_error(self):
+        """Round-12 advice pins: a truncated mvhd v1 (28..31 payload
+        bytes — enough for the old guard, short of the 8-byte duration
+        read) and a short stts (payload < 8) must raise the documented
+        ValueError family, never struct.error."""
+        import struct as _s
+
+        import pytest
+
+        from zdb_spark.operators.multimodal import _mp4_box as box
+        from zdb_spark.operators.multimodal import mp4_probe
+
+        ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0x200) + b"isom")
+        mvhd_v1 = box(b"mvhd", b"\x01" + b"\x00" * 30)   # 31-byte body
+        with pytest.raises(ValueError, match="mvhd v1"):
+            mp4_probe(ftyp + box(b"moov", mvhd_v1))
+
+        mvhd = box(b"mvhd", _s.pack(">B3x4I", 0, 0, 0, 1000, 1000)
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", _s.pack(">B3x", 0) + b"\x00" * 72
+                   + _s.pack(">II", 16 << 16, 16 << 16))
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
+                   + b"V\x00")
+        stts_bad = box(b"stts", b"\x00" * 6)             # 6 < 8 bytes
+        minf = box(b"minf", box(b"stbl", stts_bad))
+        trak = box(b"trak", tkhd + box(b"mdia", hdlr + minf))
+        with pytest.raises(ValueError, match="stts cut short"):
+            mp4_probe(ftyp + box(b"moov", mvhd + trak))
+
+    def test_webm_vint_bounded_by_enclosure(self):
+        """Round-12 advice pin: a vint cut off by its ENCLOSING
+        element's end must report truncation at the vint instead of
+        consuming the sibling element's bytes (here, Tracks follows the
+        malformed Info)."""
+        import pytest
+
+        from zdb_spark.operators.multimodal import _ebml_elem as elem
+        from zdb_spark.operators.multimodal import webm_probe
+
+        header = elem(0x1A45DFA3, elem(0x4282, b"webm"))
+        bad_info = elem(0x1549A966, b"\x40")   # 2-byte vint, 1 byte left
+        seg = elem(0x18538067, bad_info + elem(0x1654AE6B, b""))
+        with pytest.raises(ValueError, match="vint cut short"):
+            webm_probe(header + seg)
+
     def test_decode_video_webm_path(self, spark):
         from zdb_spark.operators.multimodal import (decode_video,
                                                     webm_encode)
 
-        rows = [(i, webm_encode(640 + i, 360 + i, float(i + 1)))
+        codecs = ["V_VP9", "V_VP8", "V_AV1"]
+        rows = [(i, webm_encode(640 + i, 360 + i, float(i + 1),
+                                codec_id=codecs[i]))
                 for i in range(3)]
         df = spark.createDataFrame(rows, "id long, blob binary")
         out = {r.id: r for r in
                decode_video(df, decoder="webm").collect()}
         for i in range(3):
             r = out[i]
-            assert (r.fmt, r.width, r.height, r.n_frames,
-                    r.duration_s) == ("webm", 640 + i, 360 + i, 0,
-                                      float(i + 1))
+            assert (r.fmt, r.codec, r.width, r.height, r.n_frames,
+                    r.duration_s) == ("webm", codecs[i], 640 + i,
+                                      360 + i, 0, float(i + 1))
 
     def test_webm_audio_only_rejected(self):
         import pytest

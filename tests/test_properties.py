@@ -148,8 +148,8 @@ def test_gif_roundtrip_property(w, h, frames):
                                                 gif_encode)
 
     blob = gif_encode(w, h, frames)
-    fmt, gw, gh, nf, dur = gif_decode(blob)
-    assert (fmt, gw, gh, nf) == ("gif", w, h, len(frames))
+    fmt, codec, gw, gh, nf, dur = gif_decode(blob)
+    assert (fmt, codec, gw, gh, nf) == ("gif", "lzw", w, h, len(frames))
     assert dur == round(sum(d for _, d in frames) / 100.0, 6)
     for fr, ((r, g, b), delay) in zip(_gif_parse(blob)[2], frames):
         assert fr["delay_cs"] == delay
@@ -705,9 +705,9 @@ def test_mp4_probe_roundtrip_property(w, h, nf, dur_cs, ts):
     from zdb_spark.operators.multimodal import mp4_encode, mp4_probe
 
     dur = dur_cs / 100.0
-    brand, gw, gh, gnf, gdur = mp4_probe(mp4_encode(w, h, nf, dur,
-                                                    timescale=ts))
-    assert (brand, gw, gh, gnf) == ("isom", w, h, nf)
+    brand, codec, gw, gh, gnf, gdur = mp4_probe(
+        mp4_encode(w, h, nf, dur, timescale=ts))
+    assert (brand, codec, gw, gh, gnf) == ("isom", "avc1", w, h, nf)
     assert abs(gdur - dur) <= 1.0 / ts + 1e-9
 
 
@@ -733,9 +733,9 @@ def test_webm_probe_roundtrip_property(w, h, dur_cs, doctype):
     from zdb_spark.operators.multimodal import webm_encode, webm_probe
 
     dur = dur_cs / 100.0
-    dt, gw, gh, nf, gdur = webm_probe(webm_encode(w, h, dur,
-                                                  doctype=doctype))
-    assert (dt, gw, gh, nf) == (doctype, w, h, 0)
+    dt, codec, gw, gh, nf, gdur = webm_probe(webm_encode(w, h, dur,
+                                                         doctype=doctype))
+    assert (dt, codec, gw, gh, nf) == (doctype, "V_VP9", w, h, 0)
     assert abs(gdur - dur) < 1e-6
 
 

@@ -208,6 +208,43 @@ def test_changed_gates_tool_machinery():
     assert cg.boundary_exempt(first, 11, max_file_tracked=True) == set()
 
 
+def test_behavior_sigs_drop_duplicate_method_names():
+    """Round-12 advice: same-named methods in two classes of one file
+    must NOT share a bare-name key (last-wins shadowing could classify
+    a behavior change in the first as docstring-only and silently skip
+    the rule-1 queue).  Duplicated names are dropped entirely, which
+    disables the exemption — the over-verify direction."""
+    import os
+    import sys as _sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tools = os.path.join(root, "tools")
+    _sys.path.insert(0, tools)
+    try:
+        import changed_gates as cg
+    finally:
+        _sys.path.remove(tools)
+
+    src = ("class A:\n"
+           "    def run(self):\n"
+           "        return 1\n"
+           "    def only_a(self):\n"
+           "        return 0\n"
+           "class B:\n"
+           "    def run(self):\n"
+           "        return 2\n"
+           "def solo():\n"
+           "    return 3\n")
+    sigs = cg._behavior_sigs(src)
+    assert "run" not in sigs           # duplicated -> dropped
+    assert "only_a" in sigs and "solo" in sigs
+    # docstring-only change on a NON-duplicated name still compares
+    # equal (the exemption the tool exists to keep)
+    src2 = src.replace("def solo():\n",
+                       'def solo():\n    """doc."""\n')
+    assert cg._behavior_sigs(src2)["solo"] == sigs["solo"]
+
+
 def test_bench_canary_verdict_edges():
     """bench.py canary protocol (round-10 advice): the degraded verdict
     must be None (not False) when the band doesn't apply (non-1M row
@@ -350,11 +387,14 @@ def test_coverage_never_clears_red_or_first_row(monkeypatch, tmp_path):
     assert "never_sub" not in hist             # no direct row -> untouched
 
 
-def test_pending_kmv_gate_is_oracle_ready(spark):
-    """The round-13 pending gate (window capacity held it out this
-    round) must ALREADY match its oracle bit-exactly, so registration
-    next round is a pure list move.  Reuses the bit-exact comparator
-    from tools/check_correctness.py."""
+def test_r13_staged_gates_are_registered(spark):
+    """The three gates staged through round 12 behind window capacity
+    (kmv_quantiles, hll_store, multimodal_containers) are REGISTERED in
+    round 13: each has a queries() entry and an oracle_sql() entry, and
+    each matches its oracle bit-exactly (the same comparator the
+    driver-green claim rests on).  hll_store's oracle is hll_vocab's
+    whole-corpus register SQL verbatim — the documented alias proving
+    incremental max-merge == whole-corpus sketch."""
     import os
     import sys as _sys
 
@@ -371,18 +411,14 @@ def test_pending_kmv_gate_is_oracle_ready(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"'{sf}/documents.parquet'")
-    oracles = dict(entry_mod._PENDING_R13_ORACLES)
-    gates = {"kmv_quantiles": entry_mod.q_kmv_quantiles,
-             "hll_store": entry_mod.q_hll_store,
-             "multimodal_containers":
-                 entry_mod.q_multimodal_containers}
-    assert set(oracles) == set(gates)
-    for name, fn in gates.items():
-        sql = oracles[name]
-        if sql.startswith("ALIAS:"):
-            sql = entry_mod.oracle_sql()[sql[len("ALIAS:"):]]
-        spark_pdf = fn(spark, sf).toPandas()
-        duck_pdf = con.execute(sql).df()
+    qs, sqls = entry_mod.queries(), entry_mod.oracle_sql()
+    names = ("kmv_quantiles", "hll_store", "multimodal_containers")
+    for name in names:
+        assert name in qs and name in sqls, name
+    assert sqls["hll_store"] == sqls["hll_vocab"]
+    for name in names:
+        spark_pdf = qs[name](spark, sf).toPandas()
+        duck_pdf = con.execute(sqls[name]).df()
         errs = cc.compare(name, spark_pdf, duck_pdf)
         assert not errs, (name, errs)
         assert len(spark_pdf) > 0

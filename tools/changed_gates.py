@@ -98,10 +98,18 @@ def _behavior_sigs(src: str) -> dict[str, str]:
     and no line/col attributes — two versions of a function compare
     equal here iff only docstrings/comments/formatting changed.  Rule 1
     queues BEHAVIOR-relevant changes; a docstring edit re-verifying a
-    gate would burn a rotation slot a genuinely stale gate needs."""
+    gate would burn a rotation slot a genuinely stale gate needs.
+
+    A name defined MORE THAN ONCE in the file (same-named methods in
+    two classes) is dropped from the output: bare-name keying would let
+    the last definition shadow the first, and a behavior change in the
+    shadowed one could compare equal and silently skip the rule-1
+    queue.  Dropping the name disables the docstring-only exemption for
+    it — the safe direction (re-verify, never under-verify)."""
     import copy
 
     out: dict[str, str] = {}
+    seen_twice: set[str] = set()
 
     def sig(node: ast.AST) -> str:
         node = copy.deepcopy(node)
@@ -116,13 +124,21 @@ def _behavior_sigs(src: str) -> dict[str, str]:
         tree = ast.parse(src)
     except SyntaxError:
         return out
+
+    def add(node: ast.AST) -> None:
+        if node.name in out:
+            seen_twice.add(node.name)
+        out[node.name] = sig(node)
+
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-            out[node.name] = sig(node)
+            add(node)
         elif isinstance(node, ast.ClassDef):
             for sub in node.body:
                 if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                    out[sub.name] = sig(sub)
+                    add(sub)
+    for name in seen_twice:
+        del out[name]
     return out
 
 

@@ -942,12 +942,14 @@ def _gif_parse(payload: bytes) -> tuple[int, int, list[dict]]:
     return sw, sh, frames
 
 
-def gif_decode(payload: bytes) -> tuple[str, int, int, int, float]:
-    """Video-level metadata: (fmt, width, height, n_frames, duration_s).
-    Duration sums per-frame graphic-control delays (centiseconds)."""
+def gif_decode(payload: bytes) -> tuple[str, str, int, int, int, float]:
+    """Video-level metadata: (fmt, codec, width, height, n_frames,
+    duration_s).  Duration sums per-frame graphic-control delays
+    (centiseconds); GIF's one raster codec is LZW, so codec is the
+    constant 'lzw'."""
     sw, sh, frames = _gif_parse(payload)
     total_cs = sum(f["delay_cs"] for f in frames)
-    return ("gif", sw, sh, len(frames), round(total_cs / 100.0, 6))
+    return ("gif", "lzw", sw, sh, len(frames), round(total_cs / 100.0, 6))
 
 
 def gif_frames(payload: bytes) -> list[tuple[int, int, int, int, float]]:
@@ -972,13 +974,14 @@ def gif_frames(payload: bytes) -> list[tuple[int, int, int, int, float]]:
     return out
 
 
-def _fake_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+def _fake_video_decode(
+        payload: bytes) -> tuple[str, str, int, int, int, float]:
     """Deterministic stand-in for containers this sandbox cannot decode
     (mp4/webm need ffmpeg): sha256-derived so a SQL oracle can reproduce
     it.  STUB — swap for an ffmpeg-backed decoder outside the sandbox."""
     h = hashlib.sha256(payload).digest()
-    return ("fake", 16 + h[0] % 64, 16 + h[1] % 64, 1 + h[2] % 30,
-            round(h[3] / 10.0, 6))
+    return ("fake", "fake", 16 + h[0] % 64, 16 + h[1] % 64,
+            1 + h[2] % 30, round(h[3] / 10.0, 6))
 
 
 _FFPROBE_PATH: list = []  # memo: [resolved path or None]
@@ -1003,7 +1006,8 @@ def ffmpeg_available() -> bool:
 _FFPROBE_TIMEOUT_S = 120
 
 
-def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+def ffmpeg_video_decode(
+        payload: bytes) -> tuple[str, str, int, int, int, float]:
     """REAL mp4/webm/mkv/avi decode via an ``ffprobe`` subprocess —
     the optional-dependency escape hatch for containers the stdlib
     codecs can't parse (same pattern as the PIL-backed image path at
@@ -1032,7 +1036,7 @@ def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         proc = subprocess.run(
             [ffprobe, "-v", "error", "-select_streams", "v:0",
              "-count_frames", "-show_entries",
-             "stream=width,height,nb_read_frames,duration"
+             "stream=codec_name,width,height,nb_read_frames,duration"
              ":format=format_name,duration",
              "-of", "json", "-"],
             input=payload, capture_output=True,
@@ -1054,7 +1058,8 @@ def ffmpeg_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     try:  # ffprobe may omit width/height or emit 'N/A' durations —
         # keep every malformed-metadata shape inside the documented
         # ValueError-with-context failure contract
-        return (fmt, int(st["width"]), int(st["height"]),
+        return (fmt, str(st.get("codec_name") or "unknown"),
+                int(st["width"]), int(st["height"]),
                 int(st.get("nb_read_frames") or 0),
                 round(float(dur), 6))
     except (KeyError, TypeError, ValueError) as exc:
@@ -1100,17 +1105,21 @@ def _mp4_find(data: bytes, start: int, end: int, btype: bytes):
     return None
 
 
-def mp4_probe(payload: bytes) -> tuple[str, int, int, int, float]:
+def mp4_probe(payload: bytes) -> tuple[str, str, int, int, int, float]:
     """Container-level mp4/mov metadata by REAL ISO BMFF box parsing —
-    no codec, no ffmpeg: (brand, width, height, n_frames, duration_s).
+    no codec decode, no ffmpeg: (brand, codec, width, height, n_frames,
+    duration_s).
 
     width/height come from the VIDEO trak's tkhd (16.16 fixed point,
-    chosen by the hdlr handler_type 'vide'); n_frames is the sum of
-    stts sample counts — the actual sample count the muxer wrote, no
-    decode needed; duration is mvhd duration/timescale.  This is the
-    corpus-triage 90% of what a crawl pipeline asks of a video file;
-    pixel decode stays with decoder='ffmpeg' (H.264/VP9 entropy
-    decoding is a codec project — README §Out of scope)."""
+    chosen by the hdlr handler_type 'vide'); codec is the fourcc of the
+    first stsd sample entry (§8.5.2 — 'avc1', 'hev1', 'av01', ... — the
+    ID a crawl-triage filter selects on; '' when the trak carries no
+    stsd); n_frames is the sum of stts sample counts — the actual
+    sample count the muxer wrote, no decode needed; duration is mvhd
+    duration/timescale.  This is the corpus-triage 90% of what a crawl
+    pipeline asks of a video file; pixel decode stays with
+    decoder='ffmpeg' (H.264/VP9 entropy decoding is a codec project —
+    README §Out of scope)."""
     if len(payload) < 12 or payload[4:8] != b"ftyp":
         raise ValueError("not an ISO BMFF container (no ftyp)")
     brand = payload[8:12].decode("ascii", "replace").strip() or "mp4"
@@ -1125,7 +1134,7 @@ def mp4_probe(payload: bytes) -> tuple[str, int, int, int, float]:
     va, vb = mvhd
     version = payload[va]
     if version == 1:
-        if va + 28 > vb:
+        if va + 32 > vb:
             raise ValueError("truncated mp4: mvhd v1 cut short")
         timescale = struct.unpack(">I", payload[va + 20:va + 24])[0]
         duration = struct.unpack(">Q", payload[va + 24:va + 32])[0]
@@ -1138,6 +1147,7 @@ def mp4_probe(payload: bytes) -> tuple[str, int, int, int, float]:
         raise ValueError("mp4 mvhd timescale is zero")
     width = height = 0
     n_frames = 0
+    codec = ""
     for t, ta, tb in _mp4_boxes(payload, ma, mb):
         if t != b"trak":
             continue
@@ -1161,6 +1171,8 @@ def mp4_probe(payload: bytes) -> tuple[str, int, int, int, float]:
         stts = stbl and _mp4_find(payload, stbl[0], stbl[1], b"stts")
         if stts:
             sa, sb = stts
+            if sa + 8 > sb:
+                raise ValueError("truncated mp4: stts cut short")
             n_entries = struct.unpack(">I", payload[sa + 4:sa + 8])[0]
             if sa + 8 + 8 * n_entries > sb:
                 raise ValueError("truncated mp4: stts cut short")
@@ -1169,10 +1181,23 @@ def mp4_probe(payload: bytes) -> tuple[str, int, int, int, float]:
                               payload[sa + 8 + 8 * i:
                                       sa + 12 + 8 * i])[0]
                 for i in range(n_entries))
+        stsd = stbl and _mp4_find(payload, stbl[0], stbl[1], b"stsd")
+        if stsd:
+            da, db = stsd
+            if da + 8 > db:
+                raise ValueError("truncated mp4: stsd cut short")
+            # fullbox header (4) + entry_count (4), then the first
+            # SampleEntry: 32-bit size + 4-byte coding fourcc (§8.5.2)
+            if struct.unpack(">I", payload[da + 4:da + 8])[0] >= 1:
+                if da + 16 > db:
+                    raise ValueError("truncated mp4: stsd sample "
+                                     "entry cut short")
+                codec = payload[da + 12:da + 16].decode(
+                    "ascii", "replace").strip()
         break
     if width == 0 or height == 0:
         raise ValueError("mp4 has no video trak with tkhd dimensions")
-    return (brand, width, height, n_frames,
+    return (brand, codec, width, height, n_frames,
             round(duration / timescale, 6))
 
 
@@ -1181,10 +1206,12 @@ def _mp4_box(btype: bytes, payload: bytes) -> bytes:
 
 
 def mp4_encode(width: int, height: int, n_frames: int,
-               duration_s: float, timescale: int = 1000) -> bytes:
+               duration_s: float, timescale: int = 1000,
+               codec: str = "avc1") -> bytes:
     """Structurally valid ISO BMFF fixture (ftyp + moov with one video
     trak + empty mdat) — the mp4_probe test generator; carries NO coded
-    samples (this container's codec slot is out of scope, README)."""
+    samples (this container's codec slot is out of scope, README).
+    ``codec`` is the stsd sample-entry fourcc the probe reports."""
     dur = int(round(duration_s * timescale))
     mvhd = _mp4_box(b"mvhd", struct.pack(
         ">B3x4I", 0, 0, 0, timescale, dur) + b"\x00" * 80)
@@ -1198,7 +1225,12 @@ def mp4_encode(width: int, height: int, n_frames: int,
     stts = _mp4_box(b"stts", struct.pack(">B3xI", 0, len(stts_entries))
                     + b"".join(struct.pack(">II", c, d)
                                for c, d in stts_entries))
-    stbl = _mp4_box(b"stbl", stts)
+    # minimal SampleEntry (§8.5.2): size + fourcc + 6 reserved bytes +
+    # data_reference_index — enough for the probe's codec-ID read
+    entry = (struct.pack(">I", 16) + codec.encode("ascii")[:4].ljust(4)
+             + b"\x00" * 6 + struct.pack(">H", 1))
+    stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stbl = _mp4_box(b"stbl", stsd + stts)
     minf = _mp4_box(b"minf", stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
     trak = _mp4_box(b"trak", tkhd + mdia)
@@ -1208,7 +1240,8 @@ def mp4_encode(width: int, height: int, n_frames: int,
     return ftyp + moov + _mp4_box(b"mdat", b"")
 
 
-def mp4_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+def mp4_video_decode(
+        payload: bytes) -> tuple[str, str, int, int, int, float]:
     """decode_video-compatible adapter over the ISO BMFF probe."""
     return mp4_probe(payload)
 
@@ -1216,17 +1249,23 @@ def mp4_video_decode(payload: bytes) -> tuple[str, int, int, int, float]:
 # ---------------------------------------------------------------------- #
 # Matroska/WebM (EBML) container probe — REAL element parsing, no codec   #
 # ---------------------------------------------------------------------- #
-def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool,
+               end: int | None = None) -> tuple[int, int]:
     """Decode one EBML variable-length integer at ``pos``: the first
     byte's leading zeros give the width; element IDs keep the marker
-    bit, sizes strip it.  Returns (value, next_pos)."""
-    if pos >= len(data):
+    bit, sizes strip it.  Returns (value, next_pos).  Bounded by the
+    ENCLOSING element's ``end``, not the whole stream, so a vint at the
+    tail of an element reports truncation at the vint instead of
+    silently consuming sibling-element bytes."""
+    if end is None:
+        end = len(data)
+    if pos >= end:
         raise ValueError("truncated webm: vint at end of stream")
     first = data[pos]
     if first == 0:
         raise ValueError("invalid webm: vint wider than 8 bytes")
     width = 8 - first.bit_length() + 1
-    if pos + width > len(data):
+    if pos + width > end:
         raise ValueError("truncated webm: vint cut short")
     v = first if keep_marker else first & (0xFF >> width)
     for i in range(1, width):
@@ -1241,9 +1280,9 @@ def _ebml_walk(data: bytes, start: int, end: int):
     shape."""
     pos = start
     while pos < end:
-        eid, pos = _ebml_vint(data, pos, keep_marker=True)
-        size_first = data[pos] if pos < len(data) else 0
-        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        eid, pos = _ebml_vint(data, pos, keep_marker=True, end=end)
+        size_first = data[pos] if pos < end else 0
+        size, pos = _ebml_vint(data, pos, keep_marker=False, end=end)
         width = 8 - size_first.bit_length() + 1 if size_first else 1
         if size == (1 << (7 * width)) - 1:       # unknown size
             size = end - pos
@@ -1268,15 +1307,17 @@ def _ebml_uint(data: bytes, a: int, b: int) -> int:
     return v
 
 
-def webm_probe(payload: bytes) -> tuple[str, int, int, int, float]:
+def webm_probe(payload: bytes) -> tuple[str, str, int, int, int, float]:
     """Container-level Matroska/WebM metadata by REAL EBML parsing —
-    no codec, no ffmpeg: (doctype, width, height, n_frames,
-    duration_s).  Dimensions come from the first video TrackEntry's
-    PixelWidth/PixelHeight; duration from Segment>Info Duration
-    (a float of TimecodeScale ticks, default scale 1 ms).  Matroska
-    does not index a frame count in metadata (it lives in the
-    clusters), so n_frames is 0 by contract here — exact counts need
-    the ffmpeg escape hatch."""
+    no codec decode, no ffmpeg: (doctype, codec, width, height,
+    n_frames, duration_s).  Dimensions come from the first video
+    TrackEntry's PixelWidth/PixelHeight; codec from its CodecID
+    (element 0x86 — 'V_VP9', 'V_VP8', 'V_AV1', ... — the string a
+    crawl-triage filter selects on; '' when absent); duration from
+    Segment>Info Duration (a float of TimecodeScale ticks, default
+    scale 1 ms).  Matroska does not index a frame count in metadata
+    (it lives in the clusters), so n_frames is 0 by contract here —
+    exact counts need the ffmpeg escape hatch."""
     if payload[:4] != b"\x1aE\xdf\xa3":
         raise ValueError("not an EBML stream (no EBML header)")
     header = _ebml_find(payload, 0, len(payload), 0x1A45DFA3)
@@ -1309,6 +1350,7 @@ def webm_probe(payload: bytes) -> tuple[str, int, int, int, float]:
                 raise ValueError("webm Duration must be a 4/8-byte "
                                  "float")
     width = height = 0
+    codec = ""
     tracks = _ebml_find(payload, sa, sb, 0x1654AE6B)
     if tracks is not None:
         for eid, ta, tb in _ebml_walk(payload, *tracks):
@@ -1325,11 +1367,15 @@ def webm_probe(payload: bytes) -> tuple[str, int, int, int, float]:
             if pw and ph:
                 width = _ebml_uint(payload, *pw)
                 height = _ebml_uint(payload, *ph)
+            cid = _ebml_find(payload, ta, tb, 0x86)
+            if cid is not None:
+                codec = payload[cid[0]:cid[1]].decode("ascii",
+                                                      "replace")
             break
     if width == 0 or height == 0:
         raise ValueError("webm has no video track with pixel "
                          "dimensions")
-    return (doctype, width, height, 0,
+    return (doctype, codec, width, height, 0,
             round(duration_ticks * scale_ns / 1e9, 6))
 
 
@@ -1346,10 +1392,11 @@ def _ebml_elem(eid: int, payload: bytes) -> bytes:
 
 
 def webm_encode(width: int, height: int, duration_s: float,
-                doctype: str = "webm") -> bytes:
+                doctype: str = "webm",
+                codec_id: str = "V_VP9") -> bytes:
     """Structurally valid Matroska/WebM fixture (EBML header + Segment
-    with Info + one video TrackEntry) — the webm_probe test generator;
-    carries no coded clusters."""
+    with Info + one video TrackEntry carrying ``codec_id``) — the
+    webm_probe test generator; carries no coded clusters."""
     header = _ebml_elem(0x1A45DFA3, _ebml_elem(
         0x4282, doctype.encode("ascii")))
     info = _ebml_elem(0x1549A966,
@@ -1359,7 +1406,9 @@ def webm_encode(width: int, height: int, duration_s: float,
     video = _ebml_elem(0xE0,
                        _ebml_elem(0xB0, width.to_bytes(2, "big"))
                        + _ebml_elem(0xBA, height.to_bytes(2, "big")))
-    track = _ebml_elem(0xAE, _ebml_elem(0x83, b"\x01") + video)
+    track = _ebml_elem(0xAE, _ebml_elem(0x83, b"\x01")
+                       + _ebml_elem(0x86, codec_id.encode("ascii"))
+                       + video)
     tracks = _ebml_elem(0x1654AE6B, track)
     seg = _ebml_elem(0x18538067, info + tracks)
     return header + seg
@@ -1369,8 +1418,8 @@ _VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,
                    "ffmpeg": ffmpeg_video_decode,
                    "mp4": mp4_video_decode,
                    "webm": webm_probe}
-_VIDEO_SCHEMA = ("id long, fmt string, width int, height int, "
-                 "n_frames int, duration_s double")
+_VIDEO_SCHEMA = ("id long, fmt string, codec string, width int, "
+                 "height int, n_frames int, duration_s double")
 
 
 def decode_video(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
@@ -1390,10 +1439,11 @@ def decode_video(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["blob"]):
-                fmt, w, h, nf, dur = decode(bytes(payload))
-                rows.append((int(i), fmt, w, h, nf, dur))
+                fmt, codec, w, h, nf, dur = decode(bytes(payload))
+                rows.append((int(i), fmt, codec, w, h, nf, dur))
             yield pd.DataFrame(rows, columns=[
-                "id", "fmt", "width", "height", "n_frames", "duration_s"])
+                "id", "fmt", "codec", "width", "height", "n_frames",
+                "duration_s"])
 
     return src.mapInPandas(mapper, _VIDEO_SCHEMA)
 

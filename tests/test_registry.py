@@ -288,6 +288,36 @@ def test_bench_canary_verdict_edges():
     # clean window: no note at all
     c = verdict(good, good)
     assert c["degraded"] is False and "note" not in c
+    assert c["below_band"] is False
+
+    # ---- below_band honesty (round-12 verdict task 3) ----
+    edge = lo - 1          # below the floor but inside the tolerance
+    assert bench._canary_below_band(None) is None
+    assert bench._canary_below_band(good) is False
+    assert bench._canary_below_band(edge) is True
+    # an edge miss on EITHER side flags the window even though the
+    # degraded verdict stays False (the exact r12 vacuous-pass shape:
+    # after=577k with a 620k floor must not read clean)
+    c = verdict(good, edge)
+    assert c["degraded"] is False and c["below_band"] is True
+    assert "below the clean band floor" in c["note"]
+    c = verdict(edge, good)
+    assert c["below_band"] is True
+    # a recorded tie-break settles the disagreement by majority
+    def verdict3(before, after, tiebreak):
+        c = {"rows": 1_000_000, "before": before, "after": after,
+             "tiebreak": tiebreak}
+        bench._apply_canary_verdict(c, band_applies=True)
+        return c
+    assert verdict3(good, edge, good)["below_band"] is False
+    assert verdict3(good, edge, edge)["below_band"] is True
+    # degraded still dominates the note; below_band never reads cleaner
+    c = verdict(good, bad)
+    assert c["degraded"] is True and c["below_band"] is True
+    assert "degraded" in c["note"]
+    # None-verdict branches carry below_band = None too
+    assert verdict(bad, bad, rows=2_000_000)["below_band"] is None
+    assert verdict(None, None)["below_band"] is None
 
 
 def test_changed_exemptions_are_wellformed():

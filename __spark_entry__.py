@@ -3910,6 +3910,72 @@ def q_multimodal_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width", "height", "n_frames", "duration_s"))
 
 
+def q_countmin_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL heavy-hitter counts via the persisted count-min
+    store (sketches.py:build/append/compact/vacuum_countmin_store):
+    the history half builds generation 0, batch 1 appends, a COMPACTION
+    folds both into generation 1 (pointer flip — a reader can never sum
+    source and compacted cells together, the additive double-count
+    hazard), a vacuum drops generation 0, and batch 2 appends into the
+    compacted generation.  The probe lookup over that store must equal
+    the whole-corpus live sketch, so the oracle is countmin_tokens'
+    SQL VERBATIM — a hash match proves additive cell merge is exact
+    across appends, compaction, and vacuum at every arrival point.
+    Store cached by corpus fingerprint; built in a scratch dir renamed
+    into place (a crash mid-construction must not leave a half-store
+    every later run reuses)."""
+    import tempfile
+
+    from zdb_spark.operators.sketches import (append_countmin_store,
+                                              build_countmin_store,
+                                              compact_countmin_store,
+                                              countmin_store_lookup,
+                                              vacuum_countmin_store)
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    n = docs.count()
+    t1, t2 = n // 2, (3 * n) // 4
+    key = _key_for(sf_dir, "cm-store-v1", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_cm_store", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_countmin_store(toks.where(F.col("doc_id") < t1), "tok",
+                             scratch, depth=4, width=1024)
+        append_countmin_store(toks.where((F.col("doc_id") >= t1)
+                                         & (F.col("doc_id") < t2)),
+                              "tok", scratch, batch_id=1)
+        assert compact_countmin_store(spark, scratch) == 2
+        assert vacuum_countmin_store(scratch) >= 1
+        append_countmin_store(toks.where(F.col("doc_id") >= t2), "tok",
+                              scratch, batch_id=2)
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
+    return countmin_store_lookup(spark, store, _CM_PROBES)
+
+
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV closure property as a driver-verified gate (sketches.py:
+    merge_kmv_samples): three disjoint epochs' per-source bottom-16
+    samples merge (union + re-bottom-k) into EXACTLY the whole-corpus
+    bottom-16 — the oracle computes the whole-corpus sample directly,
+    so a hash match IS the row-for-row closure proof that lets 100 TB
+    of per-day samples roll up without re-reading history."""
+    from zdb_spark.operators.sketches import kmv_sample, merge_kmv_samples
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("source", "doc_id",
+                    F.length("text").cast("double").alias("v")))
+    parts = [kmv_sample(docs.where(F.col("doc_id") % 3 == e),
+                        "doc_id", "source", k=16) for e in range(3)]
+    merged = merge_kmv_samples(parts, "doc_id", "source", k=16)
+    return merged.select("source", "doc_id", "v")
+
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4350,6 +4416,9 @@ _QUERY_DECLARATIONS: list[
     ("kmv_quantiles", q_kmv_quantiles),
     ("hll_store", q_hll_store),
     ("multimodal_containers", q_multimodal_containers),
+    # round-13 new operators (r12 verdict tasks 4-5)
+    ("countmin_store", q_countmin_store),
+    ("kmv_merge", q_kmv_merge),
 ]
 
 
@@ -4408,6 +4477,11 @@ _COVERS: dict[str, list[str]] = {
     "dedup_minhash_capped": ["dedup_minhash"],     # same banding, capped
     "split_leakage": ["dedup_minhash", "hash_split"],  # pairs + labels
     "cluster_curation": ["kmeans_train"],          # kmeans_lloyd
+    # round-13 widening: the persisted-store / merge gates execute the
+    # live-sketch gates' operators end-to-end (countmin_table +
+    # countmin_lookup; kmv_sample)
+    "countmin_store": ["countmin_tokens"],
+    "kmv_merge": ["kmv_quantiles"],
 }
 
 
@@ -7271,6 +7345,28 @@ def oracle_sql() -> dict[str, str]:
     # match proves per-batch registers max-merge to the global sketch
     # (the intentional-alias oracle pattern, r12 verdict task 1)
     sqls["hll_store"] = sqls["hll_vocab"]
+    # q_countmin_store: additive merge across build/append/compact/
+    # vacuum == the whole-corpus live table, so its oracle is
+    # countmin_tokens' SQL verbatim (same alias pattern, + instead of
+    # max — the store's staging machinery is exactly what makes the
+    # alias true)
+    sqls["countmin_store"] = sqls["countmin_tokens"]
+    # q_kmv_merge: the merged per-epoch samples must equal the
+    # whole-corpus per-source bottom-16 row-for-row (KMV closure)
+    sqls["kmv_merge"] = r"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(length(text) AS DOUBLE) AS v,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), s AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS kr
+            FROM d
+        )
+        SELECT source, doc_id, v FROM s WHERE kr <= 16
+    """
     # q_multimodal_containers: fixtures are closed-form in doc_id, so
     # the oracle is pure arithmetic (duration rounds exactly: k/4.0 is
     # a dyadic rational); codec IDs cycle by (doc_id//2) % 3 exactly as

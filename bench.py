@@ -99,6 +99,9 @@ HEADLINE = [
     "hll_store",          # persisted HLL register store (build+2 appends,
                           # store cached across runs by fingerprint)
     "multimodal_containers",  # real mp4/webm container metadata + codec ID
+    "countmin_store",     # persisted count-min store (build+append+
+                          # compact+vacuum, cached across runs)
+    "kmv_merge",          # per-epoch bottom-k samples -> corpus sample
 ]
 
 

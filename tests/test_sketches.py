@@ -347,3 +347,173 @@ class TestHLLStore:
         build_hll_store(self._docs(spark, 0, 100), "v", p, "g")
         with pytest.raises(FileExistsError):
             build_hll_store(self._docs(spark, 0, 100), "v", p, "g")
+
+
+class TestKMVMerge:
+    """merge_kmv_samples — the KMV closure property as a public
+    function (round-12 verdict task 5): merge(sample(A), sample(B)) ==
+    sample(A ∪ B) row-for-row, grouped and ungrouped, including
+    overlapping epochs."""
+
+    def test_merge_equals_whole_corpus_sample(self, spark):
+        from zdb_spark.operators.sketches import (kmv_sample,
+                                                  merge_kmv_samples)
+
+        df = spark.range(4_000).select(F.col("id"))
+        whole = sorted(r.id for r in kmv_sample(df, "id", k=96).collect())
+        parts = [kmv_sample(df.where((F.col("id") % 3) == i), "id", k=96)
+                 for i in range(3)]
+        merged = merge_kmv_samples(parts, "id", k=96)
+        assert sorted(r.id for r in merged.collect()) == whole
+
+    def test_overlapping_epochs_do_not_duplicate(self, spark):
+        from zdb_spark.operators.sketches import (kmv_sample,
+                                                  merge_kmv_samples)
+
+        df = spark.range(2_000).select(F.col("id"))
+        whole = sorted(r.id for r in kmv_sample(df, "id", k=64).collect())
+        a = kmv_sample(df.where(F.col("id") < 1400), "id", k=64)
+        b = kmv_sample(df.where(F.col("id") >= 600), "id", k=64)
+        merged = merge_kmv_samples([a, b], "id", k=64).collect()
+        ids = [r.id for r in merged]
+        assert len(ids) == len(set(ids)) == 64
+        assert sorted(ids) == whole
+
+    def test_grouped_merge(self, spark):
+        from zdb_spark.operators.sketches import (kmv_sample,
+                                                  merge_kmv_samples)
+
+        df = spark.range(3_000).select((F.col("id") % 2).alias("g"),
+                                       F.col("id"))
+        whole = {(r.g, r.id) for r in
+                 kmv_sample(df, "id", "g", k=40).collect()}
+        parts = [kmv_sample(df.where((F.col("id") / 750)
+                                     .cast("int") == e), "id",
+                            "g", k=40) for e in range(4)]
+        merged = merge_kmv_samples(parts, "id", "g", k=40)
+        assert {(r.g, r.id) for r in merged.collect()} == whole
+
+    def test_empty_input_rejected(self):
+        import pytest
+
+        from zdb_spark.operators.sketches import merge_kmv_samples
+
+        with pytest.raises(ValueError, match="at least one"):
+            merge_kmv_samples([], "id")
+
+
+class TestCountMinStore:
+    """Persisted/incremental count-min store.  The additive-merge
+    hazard the HLL store never faces: cells merge with ``+``, so any
+    double-visibility (replayed publish, reader racing a compaction
+    over source+compacted rows) double-counts.  The store's answer is
+    rename-published batches (first-publish-wins) and a generation
+    pointer a reader resolves exactly once."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("t"), F.col("id") % 97).alias("v"))
+
+    def test_incremental_equals_whole_corpus(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (append_countmin_store,
+                                                  build_countmin_store,
+                                                  countmin_lookup,
+                                                  countmin_store_lookup,
+                                                  countmin_table)
+
+        p = str(tmp_path / "cm")
+        build_countmin_store(self._docs(spark, 0, 1000), "v", p,
+                             depth=4, width=256)
+        assert append_countmin_store(self._docs(spark, 1000, 1700),
+                                     "v", p, batch_id=1)
+        assert append_countmin_store(self._docs(spark, 1700, 2500),
+                                     "v", p, batch_id=2)
+        probes = ["t0", "t5", "t96", "absent-token"]
+        whole = countmin_lookup(
+            countmin_table(self._docs(spark, 0, 2500), "v",
+                           depth=4, width=256),
+            probes, depth=4, width=256)
+        want = {r.value: r.est_count for r in whole.collect()}
+        got = {r.value: r.est_count for r in
+               countmin_store_lookup(spark, p, probes).collect()}
+        assert got == want
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (append_countmin_store,
+                                                  build_countmin_store,
+                                                  countmin_store_lookup)
+
+        p = str(tmp_path / "cm")
+        build_countmin_store(self._docs(spark, 0, 500), "v", p,
+                             depth=4, width=256)
+        assert append_countmin_store(self._docs(spark, 500, 900), "v",
+                                     p, batch_id=1)
+        before = {r.value: r.est_count for r in
+                  countmin_store_lookup(spark, p, ["t0", "t7"])
+                  .collect()}
+        # crash-retry: same batch id again — must be a published no-op
+        assert not append_countmin_store(self._docs(spark, 500, 900),
+                                         "v", p, batch_id=1)
+        after = {r.value: r.est_count for r in
+                 countmin_store_lookup(spark, p, ["t0", "t7"])
+                 .collect()}
+        assert after == before
+
+    def test_compact_and_vacuum_preserve_counts(self, spark, tmp_path):
+        import os
+
+        from zdb_spark.operators.sketches import (append_countmin_store,
+                                                  build_countmin_store,
+                                                  compact_countmin_store,
+                                                  countmin_store_lookup,
+                                                  vacuum_countmin_store)
+
+        p = str(tmp_path / "cm")
+        build_countmin_store(self._docs(spark, 0, 600), "v", p,
+                             depth=4, width=256)
+        for b in (1, 2):
+            append_countmin_store(self._docs(spark, 600 * b,
+                                             600 * (b + 1)),
+                                  "v", p, batch_id=b)
+        probes = ["t1", "t42", "t96"]
+        before = {r.value: r.est_count for r in
+                  countmin_store_lookup(spark, p, probes).collect()}
+        assert compact_countmin_store(spark, p) == 3
+        # pointer flipped; old generation still on disk for in-flight
+        # readers until vacuum
+        assert os.path.isdir(os.path.join(p, "gen=0"))
+        mid = {r.value: r.est_count for r in
+               countmin_store_lookup(spark, p, probes).collect()}
+        assert mid == before
+        assert vacuum_countmin_store(p) >= 1
+        assert not os.path.isdir(os.path.join(p, "gen=0"))
+        after = {r.value: r.est_count for r in
+                 countmin_store_lookup(spark, p, probes).collect()}
+        assert after == before
+        # append lands in the NEW generation and keeps adding
+        append_countmin_store(self._docs(spark, 1800, 2000), "v", p,
+                              batch_id="post-compact")
+        grown = {r.value: r.est_count for r in
+                 countmin_store_lookup(spark, p, probes).collect()}
+        assert all(grown[v] >= before[v] for v in grown)
+
+    def test_compact_noop_on_single_batch(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (build_countmin_store,
+                                                  compact_countmin_store)
+
+        p = str(tmp_path / "cm")
+        build_countmin_store(self._docs(spark, 0, 300), "v", p,
+                             depth=4, width=256)
+        assert compact_countmin_store(spark, p) == 0
+
+    def test_build_refuses_to_clobber(self, spark, tmp_path):
+        import pytest
+
+        from zdb_spark.operators.sketches import build_countmin_store
+
+        p = str(tmp_path / "cm")
+        build_countmin_store(self._docs(spark, 0, 100), "v", p,
+                             depth=4, width=64)
+        with pytest.raises(FileExistsError):
+            build_countmin_store(self._docs(spark, 0, 100), "v", p,
+                                 depth=4, width=64)

@@ -51,6 +51,10 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "countmin_lookup", "kmv_sample", "kmv_quantiles",
            "build_hll_store", "append_hll_store", "read_hll_registers",
            "hll_store_distinct", "compact_hll_store",
+           "build_countmin_store", "append_countmin_store",
+           "read_countmin_table", "countmin_store_lookup",
+           "compact_countmin_store", "vacuum_countmin_store",
+           "merge_kmv_samples",
            "HLL_M", "HLL_RHO_MAX", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
@@ -397,3 +401,217 @@ def compact_hll_store(spark, path: str) -> int:
     for d in sources:
         shutil.rmtree(os.path.join(regs_dir, d), ignore_errors=True)
     return len(sources)
+
+
+# ---------------------------------------------------------------------- #
+# persisted / incremental count-min store                                 #
+# ---------------------------------------------------------------------- #
+# The HLL store above needs no staging machinery because max-merge is
+# IDEMPOTENT — replaying a batch changes nothing.  Count-min cells merge
+# with ``+``, and addition is NOT idempotent: a batch read twice (torn
+# overwrite, replayed publish, compaction racing a reader over
+# source+compacted rows) silently DOUBLE-COUNTS.  So this store makes
+# every visibility change a single atomic POSIX rename:
+#
+# - appends write to ``_staging/<nonce>`` (never read) and publish by
+#   renaming the whole directory to ``gen=<G>/batch=<id>``; a replayed
+#   batch id finds the destination taken and discards its staging —
+#   FIRST-publish-wins exactly-once, not overwrite-idempotence.
+# - compaction writes the summed table as ``gen=<G+1>/batch=compacted``
+#   and then flips the ``CURRENT`` generation pointer (write-temp +
+#   os.replace).  A reader resolves CURRENT once and reads exactly one
+#   generation, so it can NEVER see source and compacted cells together
+#   (the additive double-count hazard the HLL store's delete-after-
+#   publish compaction tolerates by idempotence).  Old generations stay
+#   on disk for in-flight readers until ``vacuum_countmin_store``.
+# - writers (appends + compactions) are SINGLE-WRITER by caller
+#   contract, same as the minhash store: an append publishing into
+#   generation G while a compactor flips CURRENT to G+1 would strand
+#   its counts in a dead generation.  Readers are concurrency-safe.
+def _cm_params(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    if p.get("version") != 1:
+        raise ValueError(
+            f"count-min store at {path} was built by recipe "
+            f"{p.get('version')!r}; this code computes 1 — rebuild")
+    return p
+
+
+def _cm_current_gen(path: str) -> int:
+    import os
+
+    with open(os.path.join(path, "CURRENT")) as f:
+        return int(f.read().strip())
+
+
+def _cm_set_current_gen(path: str, gen: int) -> None:
+    import os
+
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
+def build_countmin_store(df: DataFrame, value_col: str, path: str, *,
+                         depth: int = 4, width: int = 1024) -> None:
+    """Create the store and publish the corpus as ``batch=0`` of
+    generation 0.  params.json is written LAST — its presence is the
+    store's completeness marker (the minhash-store idiom)."""
+    import json
+    import os
+
+    if os.path.exists(os.path.join(path, "params.json")):
+        raise FileExistsError(f"count-min store already exists at {path}")
+    os.makedirs(os.path.join(path, "gen=0"), exist_ok=True)
+    _cm_set_current_gen(path, 0)
+    _cm_publish_batch(countmin_table(df, value_col, depth=depth,
+                                     width=width), path, 0, 0)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": 1, "depth": depth, "width": width}, f)
+
+
+def _cm_publish_batch(cells: DataFrame, path: str, gen: int,
+                      batch_id) -> bool:
+    """Stage-then-rename publish of one batch's cell table.  Returns
+    False (and discards the staging) when ``batch_id`` is already
+    published in this generation — the replay no-op that makes additive
+    appends exactly-once."""
+    import os
+    import shutil
+    import uuid
+
+    dest = os.path.join(path, f"gen={gen}", f"batch={batch_id}")
+    if os.path.exists(dest):
+        return False
+    staging = os.path.join(path, "_staging", uuid.uuid4().hex)
+    cells.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        # lost the publish race (or a replay finished first): the
+        # destination's content is the same batch — discard ours
+        shutil.rmtree(staging, ignore_errors=True)
+        return False
+    return True
+
+
+def append_countmin_store(df: DataFrame, value_col: str, path: str, *,
+                          batch_id) -> bool:
+    """Add one batch's cells to the CURRENT generation.  O(batch) work;
+    returns False when ``batch_id`` was already published (replay)."""
+    p = _cm_params(path)
+    cells = countmin_table(df, value_col, depth=p["depth"],
+                           width=p["width"])
+    return _cm_publish_batch(cells, path, _cm_current_gen(path),
+                             batch_id)
+
+
+def read_countmin_table(spark, path: str) -> DataFrame:
+    """The store's merged cell table — union of the CURRENT
+    generation's batches, summed per (row, bucket).  Resolves the
+    generation pointer ONCE, so a compaction finishing mid-read never
+    mixes source and compacted cells into the sum."""
+    import os
+
+    _cm_params(path)
+    gen = _cm_current_gen(path)
+    cells = spark.read.parquet(
+        os.path.join(path, f"gen={gen}", "batch=*"))
+    return (cells.groupBy("row", "bucket")
+            .agg(F.sum("n").alias("n")))
+
+
+def countmin_store_lookup(spark, path: str,
+                          values: list[str]) -> DataFrame:
+    """Point estimates against the persisted store — same contract as
+    ``countmin_lookup`` on a live table."""
+    p = _cm_params(path)
+    return countmin_lookup(read_countmin_table(spark, path), values,
+                           depth=p["depth"], width=p["width"])
+
+
+def compact_countmin_store(spark, path: str) -> int:
+    """Fold the current generation's batches into one batch of a NEW
+    generation, then flip the pointer.  Returns the number of source
+    batches folded (0 = nothing to do).  Old generations are left for
+    in-flight readers; reclaim with ``vacuum_countmin_store``."""
+    import os
+
+    _cm_params(path)
+    gen = _cm_current_gen(path)
+    gdir = os.path.join(path, f"gen={gen}")
+    sources = [d for d in os.listdir(gdir) if d.startswith("batch=")]
+    if len(sources) <= 1:
+        return 0
+    merged = read_countmin_table(spark, path)
+    published = _cm_publish_batch(merged, path, gen + 1, "compacted")
+    if not published:
+        raise RuntimeError(
+            f"gen={gen + 1}/batch=compacted already exists at {path} — "
+            "a previous compaction crashed between publish and pointer "
+            "flip; flip or remove it by hand (single-compactor "
+            "contract)")
+    _cm_set_current_gen(path, gen + 1)
+    return len(sources)
+
+
+def vacuum_countmin_store(path: str) -> int:
+    """Remove generations older than CURRENT plus any staging leftovers
+    (crashed writes that never published — invisible to readers either
+    way).  Run only when no reader can still hold a pre-compaction
+    pointer.  Returns the number of directories removed."""
+    import os
+    import shutil
+
+    _cm_params(path)
+    cur = _cm_current_gen(path)
+    removed = 0
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith("gen=") and int(d.split("=", 1)[1]) < cur:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+        elif d == "_staging":
+            for s in os.listdir(full):
+                shutil.rmtree(os.path.join(full, s), ignore_errors=True)
+                removed += 1
+            try:
+                os.rmdir(full)
+            except OSError:
+                pass
+    return removed
+
+
+def merge_kmv_samples(samples: list[DataFrame], id_col: str, by=None, *,
+                      k: int = 1024, salt: str = "v1") -> DataFrame:
+    """Merge per-epoch bottom-k samples into the corpus bottom-k:
+    union, drop id duplicates (a row present in overlapping epochs is
+    the same row), and re-take the bottom-k by the SAME hash.  The KMV
+    closure property makes this exact, not approximate:
+    every member of bottom-k(A ∪ B) is by definition in the bottom-k
+    of whichever epoch it came from, so
+    merge(sample_k(A), sample_k(B)) == sample_k(A ∪ B) ROW-FOR-ROW
+    (pinned by a property test).  This is how 100 TB of per-day samples
+    roll up to a corpus sample/quantile without re-reading a row —
+    ``salt`` and ``k`` must match the epochs' build parameters
+    (a different salt re-hashes and the closure argument collapses).
+
+    Scale shape: the input is (epochs x k x groups) rows — sketch-sized,
+    never corpus-sized; the merge is one dropDuplicates + the
+    kmv_sample top-k."""
+    if not samples:
+        raise ValueError("merge_kmv_samples needs at least one sample")
+    by = [by] if isinstance(by, str) else list(by or [])
+    merged = samples[0]
+    for s in samples[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.dropDuplicates([*by, id_col])
+    return kmv_sample(merged, id_col, by or None, k=k, salt=salt)

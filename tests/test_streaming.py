@@ -410,3 +410,51 @@ class TestHLLSketchSink:
         again = {tuple(r) for r in
                  hll_store_distinct(spark, store).collect()}
         assert again == whole
+
+
+class TestCountMinSketchSink:
+    def test_streamed_cells_equal_batch_sketch_and_replay_is_noop(
+            self, spark, tmp_path):
+        """Streaming heavy-hitter maintenance: per-epoch cell batches
+        must SUM to exactly the whole-corpus table — and a replay of
+        the same epochs (fresh checkpoint, same epoch ids) must change
+        nothing.  For an additive sketch that second half is the whole
+        point: a replayed append that landed would double-count; the
+        store's first-publish-wins rename makes it a no-op."""
+        from zdb_spark.operators.sketches import (build_countmin_store,
+                                                  countmin_lookup,
+                                                  countmin_store_lookup,
+                                                  countmin_table)
+        from zdb_spark.streaming.ingest import countmin_sketch_sink
+
+        src = str(tmp_path / "src")
+        df = spark.range(2_000).select(
+            F.concat(F.lit("w"), F.col("id") % 150).alias("v"))
+        df.repartition(4).write.parquet(src)
+
+        store = str(tmp_path / "store")
+        build_countmin_store(
+            spark.createDataFrame([], "v string"), "v", store,
+            depth=4, width=256)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        q = countmin_sketch_sink(stream, "v", store,
+                                 str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        probes = ["w0", "w77", "w149", "absent"]
+        whole = {r.value: r.est_count for r in countmin_lookup(
+            countmin_table(df, "v", depth=4, width=256), probes,
+            depth=4, width=256).collect()}
+        stored = {r.value: r.est_count for r in
+                  countmin_store_lookup(spark, store, probes).collect()}
+        assert stored == whole
+
+        # replay with a fresh checkpoint: same epoch ids re-deliver the
+        # same data — every publish must no-op, counts unchanged
+        q2 = countmin_sketch_sink(stream, "v", store,
+                                  str(tmp_path / "ckpt2"))
+        q2.awaitTermination(120)
+        again = {r.value: r.est_count for r in
+                 countmin_store_lookup(spark, store, probes).collect()}
+        assert again == whole

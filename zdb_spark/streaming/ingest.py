@@ -361,3 +361,43 @@ def hll_sketch_sink(stream_df: DataFrame, value_col: str, store_path: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def countmin_sketch_sink(stream_df: DataFrame, value_col: str,
+                         store_path: str, checkpoint: str,
+                         trigger_seconds: int | None = None):
+    """Continuous heavy-hitter maintenance: every micro-batch's
+    count-min cells land in the persisted store as a rename-published
+    batch named by the foreachBatch epoch id
+    (operators/sketches.py:append_countmin_store), so "token counts
+    over everything ingested so far" is a (batches x depth x width)
+    cell read at any moment — no corpus rescan, ever.
+
+    Exactly-once is STRUCTURAL but by a different mechanism than
+    ``hll_sketch_sink``: count-min cells merge with ``+``, so a
+    replayed epoch that re-appended would DOUBLE-COUNT (max-merge
+    would have shrugged).  The store's first-publish-wins rename makes
+    the replay a no-op instead — the same epoch id can only ever
+    publish once, and a torn pre-publish write is invisible (staging
+    dirs are never read).  Single-writer contract: pause the stream
+    before ``compact_countmin_store`` (an append publishing into the
+    old generation while the pointer flips would strand its counts).
+
+    Returns the started StreamingQuery.  Bootstrap the store first
+    with ``build_countmin_store`` (or an empty frame); query it any
+    time with ``countmin_store_lookup``.
+    """
+    from ..operators.sketches import append_countmin_store
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_countmin_store(batch_df, value_col, store_path,
+                              batch_id=f"epoch-{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

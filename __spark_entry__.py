@@ -3959,6 +3959,42 @@ def q_countmin_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_store_lookup(spark, store, _CM_PROBES)
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate from the KMV bottom-k value
+    sketch (sketches.py:kmv_distinct, Beyer et al. 2007): est =
+    (k-1)/u_k with u_k the k-th smallest 48-bit md5 fraction — exact
+    dyadic arithmetic, so the oracle replays the ESTIMATE bit-for-bit
+    (k=64 keeps every source on the estimator path at the gate
+    corpus)."""
+    from zdb_spark.operators.sketches import kmv_distinct
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("source",
+                       F.explode(tokenize("text")).alias("tok"))
+    return kmv_distinct(toks, "tok", "source", k=64)
+
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set OVERLAP estimates between the corpus's two halves —
+    the set algebra HLL registers cannot do (sketches.py:
+    kmv_set_estimates): jaccard = an exact integer ratio over the
+    union's bottom-k, union = (k-1)/u_k, intersection = their product.
+    The oracle replays both sketches and all three estimates to the
+    bit; accuracy vs exact overlap is pinned in tests/
+    test_sketches.py."""
+    from zdb_spark.operators.sketches import kmv_set_estimates
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select("doc_id",
+                       F.explode(tokenize("text")).alias("tok"))
+    a = toks.where(F.col("doc_id") < n // 2)
+    b = toks.where(F.col("doc_id") >= n // 2)
+    return kmv_set_estimates(a, b, "tok", k=256)
+
+
 def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV closure property as a driver-verified gate (sketches.py:
     merge_kmv_samples): three disjoint epochs' per-source bottom-16
@@ -4416,9 +4452,11 @@ _QUERY_DECLARATIONS: list[
     ("kmv_quantiles", q_kmv_quantiles),
     ("hll_store", q_hll_store),
     ("multimodal_containers", q_multimodal_containers),
-    # round-13 new operators (r12 verdict tasks 4-5)
+    # round-13 new operators (r12 verdict tasks 4-5 + KMV set algebra)
     ("countmin_store", q_countmin_store),
     ("kmv_merge", q_kmv_merge),
+    ("kmv_distinct", q_kmv_distinct),
+    ("kmv_setops", q_kmv_setops),
 ]
 
 
@@ -4482,6 +4520,7 @@ _COVERS: dict[str, list[str]] = {
     # countmin_lookup; kmv_sample)
     "countmin_store": ["countmin_tokens"],
     "kmv_merge": ["kmv_quantiles"],
+    "kmv_setops": ["kmv_distinct"],    # both run kmv_value_sketch
 }
 
 
@@ -7351,6 +7390,105 @@ def oracle_sql() -> dict[str, str]:
     # max — the store's staging machinery is exactly what makes the
     # alias true)
     sqls["countmin_store"] = sqls["countmin_tokens"]
+    # q_kmv_distinct: replay the bottom-64 distinct-token sketch per
+    # source and the (k-1)/u_k estimate — u_k is an exact 48-bit dyadic
+    # fraction, so the one division is bit-identical in both engines
+    sqls["kmv_distinct"] = r"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\s+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT DISTINCT source,
+                   ('0x' || substr(md5('v1:' || tok), 1, 12))::BIGINT
+                       AS hv
+            FROM toks WHERE tok IS NOT NULL
+        ), r AS (
+            SELECT source, hv,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY hv) AS rn
+            FROM h
+        ), s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_sample,
+                   max(hv) AS hk
+            FROM r WHERE rn <= 64 GROUP BY 1
+        )
+        SELECT source, n_sample,
+               round(CASE WHEN n_sample < 64
+                          THEN CAST(n_sample AS DOUBLE)
+                          ELSE CAST(63 AS DOUBLE)
+                               / (CAST(hk AS DOUBLE)
+                                  / CAST(281474976710656 AS DOUBLE))
+                     END, 4) + 0.0 AS est_distinct
+        FROM s
+    """
+    # q_kmv_setops: replay both halves' bottom-256 sketches, the
+    # union's bottom-256 (closure), and the three estimates — jaccard
+    # is an exact integer ratio; union/intersection multiply UNROUNDED
+    # forms exactly as the Spark expressions do
+    sqls["kmv_setops"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\s+')) AS tok
+            FROM documents
+        ), bounds AS (
+            SELECT count(*) // 2 AS half FROM documents
+        ), ha AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5('v1:' || tok), 1, 12))::BIGINT
+                       AS hv
+            FROM toks, bounds
+            WHERE doc_id < half AND tok IS NOT NULL
+        ), hb AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5('v1:' || tok), 1, 12))::BIGINT
+                       AS hv
+            FROM toks, bounds
+            WHERE doc_id >= half AND tok IS NOT NULL
+        ), sa AS (
+            SELECT hv FROM ha ORDER BY hv LIMIT 256
+        ), sb AS (
+            SELECT hv FROM hb ORDER BY hv LIMIT 256
+        ), tagged AS (
+            SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b
+            FROM (SELECT hv, 1 AS in_a, 0 AS in_b FROM sa
+                  UNION ALL
+                  SELECT hv, 0 AS in_a, 1 AS in_b FROM sb)
+            GROUP BY hv
+        ), su AS (
+            SELECT * FROM tagged ORDER BY hv LIMIT 256
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_union_sample,
+                   CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_both,
+                   max(hv) AS hk
+            FROM su
+        ), cnts AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM sa) AS n_a,
+                   (SELECT CAST(count(*) AS BIGINT) FROM sb) AS n_b
+        )
+        SELECT n_a, n_b, n_union_sample, n_both,
+               round(CAST(n_both AS DOUBLE)
+                     / CAST(n_union_sample AS DOUBLE), 4) + 0.0
+                   AS jaccard_est,
+               round(CASE WHEN n_union_sample < 256
+                          THEN CAST(n_union_sample AS DOUBLE)
+                          ELSE CAST(255 AS DOUBLE)
+                               / (CAST(hk AS DOUBLE)
+                                  / CAST(281474976710656 AS DOUBLE))
+                     END, 4) + 0.0 AS union_est,
+               round((CAST(n_both AS DOUBLE)
+                      / CAST(n_union_sample AS DOUBLE))
+                     * (CASE WHEN n_union_sample < 256
+                             THEN CAST(n_union_sample AS DOUBLE)
+                             ELSE CAST(255 AS DOUBLE)
+                                  / (CAST(hk AS DOUBLE)
+                                     / CAST(281474976710656 AS DOUBLE))
+                        END), 4) + 0.0 AS intersection_est
+        FROM agg, cnts
+    """
     # q_kmv_merge: the merged per-epoch samples must equal the
     # whole-corpus per-source bottom-16 row-for-row (KMV closure)
     sqls["kmv_merge"] = r"""

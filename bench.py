@@ -102,6 +102,8 @@ HEADLINE = [
     "countmin_store",     # persisted count-min store (build+append+
                           # compact+vacuum, cached across runs)
     "kmv_merge",          # per-epoch bottom-k samples -> corpus sample
+    "kmv_distinct",       # (k-1)/u_k distinct estimate, bit-replayable
+    "kmv_setops",         # KMV jaccard/union/intersection estimates
 ]
 
 

@@ -517,3 +517,106 @@ class TestCountMinStore:
         with pytest.raises(FileExistsError):
             build_countmin_store(self._docs(spark, 0, 100), "v", p,
                                  depth=4, width=64)
+
+
+class TestKMVDistinctAndSetOps:
+    """KMV distinct / set-operation estimates — the set algebra HLL
+    registers cannot do (Beyer et al. 2007).  Every estimate divides
+    exact integers / dyadic rationals, so a pure-Python reference
+    reproduces them bit-for-bit."""
+
+    def test_small_sets_are_exact(self, spark):
+        from zdb_spark.operators.sketches import kmv_distinct
+
+        df = spark.range(1_000).select(
+            (F.col("id") % 2).alias("g"),
+            F.concat(F.lit("v"), F.col("id") % 40).alias("v"))
+        got = {r.g: (r.n_sample, r.est_distinct) for r in
+               kmv_distinct(df, "v", "g", k=256).collect()}
+        assert got == {0: (20, 20.0), 1: (20, 20.0)}
+
+    def test_estimator_matches_python_reference_bitwise(self, spark):
+        import hashlib
+
+        from zdb_spark.operators.sketches import kmv_distinct
+
+        n, k = 20_000, 128
+        df = spark.range(n).select(
+            F.concat(F.lit("t"), F.col("id")).alias("v"))
+        got = kmv_distinct(df, "v", k=k).collect()[0]
+        hs = sorted(int(hashlib.md5(f"v1:t{i}".encode())
+                        .hexdigest()[:12], 16) for i in range(n))[:k]
+        want = round((k - 1) / (hs[-1] / float(1 << 48)), 4) + 0.0
+        assert (got.n_sample, got.est_distinct) == (k, want)
+        assert abs(got.est_distinct / n - 1.0) < 0.25
+
+    def test_distinct_accuracy_at_k1024(self, spark):
+        from zdb_spark.operators.sketches import kmv_distinct
+
+        n = 60_000
+        df = spark.range(3 * n).select(
+            F.concat(F.lit("u"), F.col("id") % n).alias("v"))
+        est = kmv_distinct(df, "v", k=1024).collect()[0].est_distinct
+        assert abs(est / n - 1.0) < 0.12      # ~3.2 sigma at k=1024
+
+    def test_set_estimates_reference_and_accuracy(self, spark):
+        import hashlib
+
+        from zdb_spark.operators.sketches import kmv_set_estimates
+
+        # A = 0..12000, B = 8000..20000 -> |A∩B|=4000, |A∪B|=20000,
+        # J = 0.2
+        a = spark.range(0, 12_000).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v"))
+        b = spark.range(8_000, 20_000).select(
+            F.concat(F.lit("x"), F.col("id")).alias("v"))
+        k = 512
+        got = kmv_set_estimates(a, b, "v", k=k).collect()[0]
+        assert got.n_a == k and got.n_b == k
+
+        def hs(lo, hi):
+            return {int(hashlib.md5(f"v1:x{i}".encode())
+                        .hexdigest()[:12], 16) for i in range(lo, hi)}
+
+        sa = set(sorted(hs(0, 12_000))[:k])
+        sb = set(sorted(hs(8_000, 20_000))[:k])
+        su = sorted(sa | sb)[:k]
+        both = sum(1 for h in su if h in sa and h in sb)
+        jac = round(both / len(su), 4) + 0.0
+        union = round((k - 1) / (su[-1] / float(1 << 48)), 4) + 0.0
+        inter = round((both / len(su))
+                      * ((k - 1) / (su[-1] / float(1 << 48))), 4) + 0.0
+        assert (got.n_both, got.jaccard_est) == (both, jac)
+        assert (got.union_est, got.intersection_est) == (union, inter)
+        assert abs(got.jaccard_est - 0.2) < 0.07
+        assert abs(got.union_est / 20_000 - 1.0) < 0.15
+        assert abs(got.intersection_est / 4_000 - 1.0) < 0.4
+
+    def test_disjoint_and_identical_sets(self, spark):
+        from zdb_spark.operators.sketches import kmv_set_estimates
+
+        a = spark.range(500).select(
+            F.concat(F.lit("a"), F.col("id")).alias("v"))
+        b = spark.range(500).select(
+            F.concat(F.lit("b"), F.col("id")).alias("v"))
+        r = kmv_set_estimates(a, b, "v", k=2048).collect()[0]
+        # sample smaller than k -> everything exact
+        assert (r.n_both, r.jaccard_est) == (0, 0.0)
+        assert (r.n_union_sample, r.union_est,
+                r.intersection_est) == (1000, 1000.0, 0.0)
+        r2 = kmv_set_estimates(a, a, "v", k=2048).collect()[0]
+        assert (r2.jaccard_est, r2.union_est,
+                r2.intersection_est) == (1.0, 500.0, 500.0)
+
+    def test_sketch_merges_by_closure(self, spark):
+        from zdb_spark.operators.sketches import kmv_value_sketch
+
+        df = spark.range(5_000).select(
+            F.concat(F.lit("m"), F.col("id")).alias("v"))
+        whole = sorted(r.h for r in
+                       kmv_value_sketch(df, "v", k=96).collect())
+        parts = [kmv_value_sketch(df.where(F.col("id") % 2 == e), "v",
+                                  k=96) for e in range(2)]
+        merged = (parts[0].unionByName(parts[1]).distinct()
+                  .orderBy("h").limit(96))
+        assert sorted(r.h for r in merged.collect()) == whole

@@ -54,7 +54,8 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "build_countmin_store", "append_countmin_store",
            "read_countmin_table", "countmin_store_lookup",
            "compact_countmin_store", "vacuum_countmin_store",
-           "merge_kmv_samples",
+           "merge_kmv_samples", "kmv_value_sketch", "kmv_distinct",
+           "kmv_set_estimates",
            "HLL_M", "HLL_RHO_MAX", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
@@ -615,3 +616,138 @@ def merge_kmv_samples(samples: list[DataFrame], id_col: str, by=None, *,
         merged = merged.unionByName(s)
     merged = merged.dropDuplicates([*by, id_col])
     return kmv_sample(merged, id_col, by or None, k=k, salt=salt)
+
+
+# ---------------------------------------------------------------------- #
+# KMV distinct + set-operation estimates                                  #
+# ---------------------------------------------------------------------- #
+# HLL registers answer |A| but structurally cannot answer |A ∩ B| (max-
+# merged registers only union).  The KMV VALUE sketch can: keep the k
+# smallest md5 hashes of the DISTINCT values; then
+#   distinct:     est = (k-1) / u_k          (u_k = k-th smallest hash
+#                 as an exact 48-bit dyadic fraction — one IEEE division,
+#                 bit-identical on every engine)
+#   set algebra:  bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))
+#                 (the closure property), and jaccard ≈ |{h ∈ SU : h ∈
+#                 SA and h ∈ SB}| / |SU| — an exact integer ratio.
+# References: Bar-Yossef et al. 2002 (counting distinct elements in a
+# stream); Beyer et al. 2007 (KMV synopses for distinct-value queries,
+# incl. the (k-1)/u_k estimator and set-operation estimates).
+_KMV_FRAC_BITS = 48
+
+
+def _kmv_hash_int(value: Column, salt: str) -> Column:
+    """First 48 bits of md5(salt:value) as a long — the sketch's hash
+    point.  48 bits keep the fraction exactly representable in a
+    double (53-bit significand), so u = h / 2^48 and (k-1)/u are
+    single IEEE operations any engine reproduces to the bit."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), value.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def kmv_value_sketch(df: DataFrame, value_col: str, by=None, *,
+                     k: int = 1024, salt: str = "v1") -> DataFrame:
+    """The bottom-k DISTINCT-value hash sketch: (by..., h) with at most
+    k rows per group — the state behind ``kmv_distinct`` and
+    ``kmv_set_estimates``, persistable as plain parquet and mergeable
+    by union + re-bottom-k (closure).
+
+    Scale shape: the dedup groupBy's map-side combine collapses
+    repeated values before its shuffle, so the shuffle carries the
+    DISTINCT (group, value) pairs — the exact-distinct shape, smaller
+    than corpus rows but not k-bounded; the k-selection after it is
+    top-k.  When only |A| is needed at register-bounded shuffle cost,
+    use ``hll_distinct`` — this sketch's reason to exist is the set
+    algebra HLL cannot do."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    by = [by] if isinstance(by, str) else list(by or [])
+    pts = (df.where(F.col(value_col).isNotNull())
+           .select(*by, _kmv_hash_int(F.col(value_col), salt).alias("h"))
+           .groupBy(*by, "h").agg(F.count(F.lit(1)).alias("_c"))
+           .drop("_c"))
+    if not by:
+        return pts.orderBy("h").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy("h")
+    return (pts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= k).drop("_r"))
+
+
+def kmv_distinct(df: DataFrame, value_col: str, by=None, *,
+                 k: int = 1024, salt: str = "v1",
+                 round_dp: int = 4) -> DataFrame:
+    """Distinct-value estimate from the bottom-k sketch: when the
+    sample holds fewer than k hashes the count IS exact (every distinct
+    value is in the sample); otherwise est = (k-1) / (u_k) with
+    u_k = h_k / 2^48.  Output: (by..., n_sample, est_distinct) — both
+    deterministic and bit-replayable (the one division is IEEE-defined
+    on exact inputs).  Relative error ~ 1/sqrt(k-2) (Beyer et al.
+    2007)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    sk = kmv_value_sketch(df, value_col, by or None, k=k, salt=salt)
+    grp = sk.groupBy(*by) if by else sk.groupBy()
+    agg = grp.agg(F.count(F.lit(1)).alias("n_sample"),
+                  F.max("h").alias("_hk"))
+    two48 = float(1 << _KMV_FRAC_BITS)
+    est = F.when(
+        F.col("n_sample") < k, F.col("n_sample").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("_hk").cast("double") / F.lit(two48))
+    )
+    return agg.select(*by, "n_sample",
+                      round0(est, round_dp).alias("est_distinct"))
+
+
+def kmv_set_estimates(df_a: DataFrame, df_b: DataFrame, value_col: str,
+                      *, k: int = 1024, salt: str = "v1",
+                      round_dp: int = 4) -> DataFrame:
+    """Jaccard / union / intersection distinct estimates for two value
+    sets from their bottom-k sketches (Beyer et al. 2007 §4): with
+    SU = bottom-k(SA ∪ SB) (exact by closure), the Jaccard estimate is
+    the INTEGER ratio |{h ∈ SU : h ∈ SA ∧ h ∈ SB}| / |SU|, the union
+    estimate is kmv_distinct on SU, and intersection = jaccard x union.
+    One row: (n_a, n_b, n_union_sample, n_both, jaccard_est, union_est,
+    intersection_est) — every input to the three divisions is an exact
+    integer or dyadic rational, so any engine replays the estimates to
+    the bit.
+
+    Scale shape: each sketch costs its side's exact-distinct shuffle
+    (see kmv_value_sketch); everything after runs on <= 2k rows."""
+    sa = kmv_value_sketch(df_a, value_col, k=k, salt=salt)
+    sb = kmv_value_sketch(df_b, value_col, k=k, salt=salt)
+    # SU: bottom-k of the union of the two sketches (closure); tag
+    # membership so the intersection test needs no extra joins
+    tagged = (sa.select("h", F.lit(1).alias("_in_a"),
+                        F.lit(0).alias("_in_b"))
+              .unionByName(sb.select("h", F.lit(0).alias("_in_a"),
+                                     F.lit(1).alias("_in_b")))
+              .groupBy("h").agg(F.max("_in_a").alias("in_a"),
+                                F.max("_in_b").alias("in_b")))
+    su = tagged.orderBy("h").limit(k)
+    two48 = float(1 << _KMV_FRAC_BITS)
+    agg = su.groupBy().agg(
+        F.count(F.lit(1)).alias("n_union_sample"),
+        F.sum(F.when(F.col("in_a") + F.col("in_b") == 2, 1)
+              .otherwise(0)).cast("long").alias("n_both"),
+        F.max("h").alias("_hk"))
+    counts = (sa.groupBy().agg(F.count(F.lit(1)).alias("n_a"))
+              .crossJoin(sb.groupBy().agg(
+                  F.count(F.lit(1)).alias("n_b"))))
+    # 1-row x 1-row crossJoin: a scalar bind, same documented shape as
+    # dsir_weights' totals bind
+    out = agg.crossJoin(counts)
+    union_est = F.when(
+        F.col("n_union_sample") < k,
+        F.col("n_union_sample").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("_hk").cast("double")
+                               / F.lit(two48)))
+    jac = (F.col("n_both").cast("double")
+           / F.col("n_union_sample").cast("double"))
+    return out.select(
+        "n_a", "n_b", "n_union_sample", "n_both",
+        round0(jac, round_dp).alias("jaccard_est"),
+        round0(union_est, round_dp).alias("union_est"),
+        round0(jac * union_est, round_dp).alias("intersection_est"))

@@ -3959,6 +3959,49 @@ def q_countmin_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_store_lookup(spark, store, _CM_PROBES)
 
 
+def q_kmv_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL per-source sample via the persisted KMV store
+    (sketches.py:build/append/read_kmv_store + compact): the history
+    half builds the store, two batches append their own bottom-16
+    samples, a compaction folds the batch dirs, and the read-side
+    union + re-bottom-k must equal the whole-corpus sample — so the
+    oracle is kmv_merge's whole-corpus bottom-16 SQL verbatim (the
+    intentional-alias pattern; order-statistic merge is the store
+    triptych's third discipline).  Store cached by corpus fingerprint;
+    built in a scratch dir renamed into place."""
+    import tempfile
+
+    from zdb_spark.operators.sketches import (append_kmv_store,
+                                              build_kmv_store,
+                                              compact_kmv_store,
+                                              read_kmv_store)
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("source", "doc_id",
+                    F.length("text").cast("double").alias("v")))
+    n = docs.count()
+    t1, t2 = n // 2, (3 * n) // 4
+    key = _key_for(sf_dir, "kmv-store-v1", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_kmv_store", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_kmv_store(docs.where(F.col("doc_id") < t1), "doc_id",
+                        scratch, "source", k=16)
+        append_kmv_store(docs.where((F.col("doc_id") >= t1)
+                                    & (F.col("doc_id") < t2)),
+                         "doc_id", scratch, batch_id=1)
+        append_kmv_store(docs.where(F.col("doc_id") >= t2), "doc_id",
+                         scratch, batch_id=2)
+        assert compact_kmv_store(spark, scratch) == 3
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
+    return read_kmv_store(spark, store).select("source", "doc_id", "v")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-token estimate from the KMV bottom-k value
     sketch (sketches.py:kmv_distinct, Beyer et al. 2007): est =
@@ -4457,6 +4500,7 @@ _QUERY_DECLARATIONS: list[
     ("kmv_merge", q_kmv_merge),
     ("kmv_distinct", q_kmv_distinct),
     ("kmv_setops", q_kmv_setops),
+    ("kmv_store", q_kmv_store),
 ]
 
 
@@ -4521,6 +4565,7 @@ _COVERS: dict[str, list[str]] = {
     "countmin_store": ["countmin_tokens"],
     "kmv_merge": ["kmv_quantiles"],
     "kmv_setops": ["kmv_distinct"],    # both run kmv_value_sketch
+    "kmv_store": ["kmv_merge"],        # read side IS merge_kmv_samples
 }
 
 
@@ -7490,7 +7535,10 @@ def oracle_sql() -> dict[str, str]:
         FROM agg, cnts
     """
     # q_kmv_merge: the merged per-epoch samples must equal the
-    # whole-corpus per-source bottom-16 row-for-row (KMV closure)
+    # whole-corpus per-source bottom-16 row-for-row (KMV closure);
+    # q_kmv_store reads the same contract back from the PERSISTED
+    # store (build + 2 appends + compaction), so its oracle is this
+    # SQL verbatim — assigned right after the literal below
     sqls["kmv_merge"] = r"""
         WITH d AS (
             SELECT source, doc_id,
@@ -7505,6 +7553,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, doc_id, v FROM s WHERE kr <= 16
     """
+    sqls["kmv_store"] = sqls["kmv_merge"]
     # q_multimodal_containers: fixtures are closed-form in doc_id, so
     # the oracle is pure arithmetic (duration rounds exactly: k/4.0 is
     # a dyadic rational); codec IDs cycle by (doc_id//2) % 3 exactly as

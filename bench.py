@@ -104,6 +104,8 @@ HEADLINE = [
     "kmv_merge",          # per-epoch bottom-k samples -> corpus sample
     "kmv_distinct",       # (k-1)/u_k distinct estimate, bit-replayable
     "kmv_setops",         # KMV jaccard/union/intersection estimates
+    "kmv_store",          # persisted sample store (build+append+compact,
+                          # cached across runs by fingerprint)
 ]
 
 

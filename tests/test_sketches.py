@@ -620,3 +620,88 @@ class TestKMVDistinctAndSetOps:
         merged = (parts[0].unionByName(parts[1]).distinct()
                   .orderBy("h").limit(96))
         assert sorted(r.h for r in merged.collect()) == whole
+
+
+class TestKMVStore:
+    """Persisted/incremental KMV sample store — third merge discipline
+    of the store triptych (order statistics): read-side union +
+    re-bottom-k must equal the whole-corpus sample exactly (closure);
+    replay and compaction are no-ops by dedup + re-bottom-k
+    idempotence, so no staging machinery (like HLL, unlike
+    count-min)."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).alias("g"), F.col("id"),
+            (F.col("id") * 1.5).alias("v"))
+
+    def test_incremental_equals_whole_corpus_sample(self, spark,
+                                                    tmp_path):
+        from zdb_spark.operators.sketches import (append_kmv_store,
+                                                  build_kmv_store,
+                                                  kmv_sample,
+                                                  read_kmv_store)
+
+        p = str(tmp_path / "kmv")
+        build_kmv_store(self._docs(spark, 0, 1000), "id", p, "g", k=32)
+        append_kmv_store(self._docs(spark, 1000, 1800), "id", p,
+                         batch_id=1)
+        append_kmv_store(self._docs(spark, 1800, 2500), "id", p,
+                         batch_id=2)
+        whole = {(r.g, r.id) for r in kmv_sample(
+            self._docs(spark, 0, 2500), "id", "g", k=32).collect()}
+        stored = {(r.g, r.id) for r in
+                  read_kmv_store(spark, p).collect()}
+        assert stored == whole
+
+    def test_replay_and_compaction_are_noops(self, spark, tmp_path):
+        import os
+
+        from zdb_spark.operators.sketches import (append_kmv_store,
+                                                  build_kmv_store,
+                                                  compact_kmv_store,
+                                                  read_kmv_store)
+
+        p = str(tmp_path / "kmv")
+        build_kmv_store(self._docs(spark, 0, 800), "id", p, "g", k=32)
+        append_kmv_store(self._docs(spark, 800, 1500), "id", p,
+                         batch_id=1)
+        before = {(r.g, r.id) for r in
+                  read_kmv_store(spark, p).collect()}
+        append_kmv_store(self._docs(spark, 800, 1500), "id", p,
+                         batch_id=1)           # replay
+        assert {(r.g, r.id) for r in
+                read_kmv_store(spark, p).collect()} == before
+        assert compact_kmv_store(spark, p) == 2
+        dirs = [d for d in os.listdir(os.path.join(p, "samples"))
+                if d.startswith("batch=")]
+        assert dirs == ["batch=compact-0"]
+        assert {(r.g, r.id) for r in
+                read_kmv_store(spark, p).collect()} == before
+
+    def test_store_quantiles_match_whole_corpus(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (append_kmv_store,
+                                                  build_kmv_store,
+                                                  kmv_quantiles,
+                                                  kmv_store_quantiles)
+
+        p = str(tmp_path / "kmv")
+        build_kmv_store(self._docs(spark, 0, 1200), "id", p, "g", k=32)
+        append_kmv_store(self._docs(spark, 1200, 2400), "id", p,
+                         batch_id=1)
+        whole = {(r.g, r.q): r.value for r in kmv_quantiles(
+            self._docs(spark, 0, 2400), "v", "id", "g", k=32).collect()}
+        stored = {(r.g, r.q): r.value for r in
+                  kmv_store_quantiles(spark, p, "v").collect()}
+        assert stored == whole
+
+    def test_build_refuses_to_clobber(self, spark, tmp_path):
+        import pytest
+
+        from zdb_spark.operators.sketches import build_kmv_store
+
+        p = str(tmp_path / "kmv")
+        build_kmv_store(self._docs(spark, 0, 100), "id", p, "g", k=8)
+        with pytest.raises(FileExistsError):
+            build_kmv_store(self._docs(spark, 0, 100), "id", p, "g",
+                            k=8)

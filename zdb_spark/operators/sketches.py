@@ -55,7 +55,8 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "read_countmin_table", "countmin_store_lookup",
            "compact_countmin_store", "vacuum_countmin_store",
            "merge_kmv_samples", "kmv_value_sketch", "kmv_distinct",
-           "kmv_set_estimates",
+           "kmv_set_estimates", "build_kmv_store", "append_kmv_store",
+           "read_kmv_store", "kmv_store_quantiles", "compact_kmv_store",
            "HLL_M", "HLL_RHO_MAX", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
@@ -751,3 +752,112 @@ def kmv_set_estimates(df_a: DataFrame, df_b: DataFrame, value_col: str,
         round0(jac, round_dp).alias("jaccard_est"),
         round0(union_est, round_dp).alias("union_est"),
         round0(jac * union_est, round_dp).alias("intersection_est"))
+
+
+# ---------------------------------------------------------------------- #
+# persisted / incremental KMV sample store                                #
+# ---------------------------------------------------------------------- #
+# Third merge discipline of the store triptych: HLL registers merge by
+# max (idempotent), count-min cells by + (needs the rename/generation
+# machinery above), KMV samples by ORDER STATISTICS — union the batches
+# and re-take the bottom-k (the closure property merge_kmv_samples
+# pins).  Replaying a batch re-lands identical rows and the read-side
+# dedup+re-bottom-k collapses them, so like the HLL store this one
+# needs NO staging machinery: per-batch-dir OVERWRITE writes are the
+# whole durability story.
+def build_kmv_store(df: DataFrame, id_col: str, path: str, by=None, *,
+                    k: int = 1024, salt: str = "v1") -> None:
+    """Persist the corpus's bottom-k sample as a parquet store — the
+    incremental form of ``kmv_sample``: per-batch samples accumulate
+    under ``samples/batch=<id>/`` and the read side merges by
+    union + re-bottom-k, so "a uniform sample (and quantiles) over
+    everything ingested so far" never re-reads a row of history."""
+    import json
+    import os
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    if os.path.exists(os.path.join(path, "params.json")):
+        raise FileExistsError(f"KMV store already exists at {path}")
+    os.makedirs(path, exist_ok=True)
+    append_kmv_store(df, id_col, path, batch_id=0,
+                     _params={"by": by, "k": k, "salt": salt,
+                              "id_col": id_col})
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": 1, "by": by, "k": k, "salt": salt,
+                   "id_col": id_col}, f)
+
+
+def append_kmv_store(df: DataFrame, id_col: str, path: str, *,
+                     batch_id, _params=None) -> None:
+    """Add one batch's bottom-k sample under ``samples/batch=<id>/``
+    (OVERWRITE: replaying a batch id rewrites identical rows, which the
+    read-side dedup + re-bottom-k collapses — replay-idempotent).
+    O(batch) work; history untouched."""
+    import json
+    import os
+
+    if _params is None:
+        with open(os.path.join(path, "params.json")) as f:
+            _params = json.load(f)
+    sample = kmv_sample(df, id_col, _params["by"] or None,
+                        k=_params["k"], salt=_params["salt"])
+    (sample.write.mode("overwrite")
+     .parquet(os.path.join(path, "samples", f"batch={batch_id}")))
+
+
+def read_kmv_store(spark, path: str) -> DataFrame:
+    """The store's merged sample: union every batch and re-take the
+    bottom-k — EXACTLY the whole-corpus ``kmv_sample`` by the closure
+    property (any corpus bottom-k row is in its own batch's bottom-k).
+    Reads (batches x k x groups) rows, never the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    batches = spark.read.parquet(
+        os.path.join(path, "samples", "batch=*"))
+    return merge_kmv_samples([batches], p["id_col"], p["by"] or None,
+                             k=p["k"], salt=p["salt"])
+
+
+def kmv_store_quantiles(spark, path: str, value_col: str,
+                        qs=(0.25, 0.5, 0.75, 0.95)) -> DataFrame:
+    """Nearest-rank quantiles over the persisted merged sample — the
+    'percentiles over 100 TB so far' read, costing sketch rows only.
+    ``value_col`` must have been a column of the sampled frames."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    sample = read_kmv_store(spark, path)
+    return kmv_quantiles(sample, value_col, p["id_col"],
+                         p["by"] or None, k=p["k"], qs=qs,
+                         salt=p["salt"])
+
+
+def compact_kmv_store(spark, path: str) -> int:
+    """Fold every batch into one merged-sample batch (same
+    delete-after-publish shape as ``compact_hll_store`` — safe for
+    racing readers because the merge is idempotent: seeing source +
+    compacted rows changes nothing after dedup + re-bottom-k).
+    Returns the number of source batch dirs folded."""
+    import os
+    import shutil
+
+    sdir = os.path.join(path, "samples")
+    sources = sorted(d for d in os.listdir(sdir)
+                     if d.startswith("batch="))
+    if len(sources) <= 1:
+        return 0
+    merged = read_kmv_store(spark, path)
+    n = len([d for d in sources if d.startswith("batch=compact-")])
+    out = os.path.join(sdir, f"batch=compact-{n}")
+    while os.path.basename(out) in sources:
+        n += 1
+        out = os.path.join(sdir, f"batch=compact-{n}")
+    merged.write.mode("overwrite").parquet(out)
+    for d in sources:
+        shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+    return len(sources)

@@ -72,6 +72,20 @@ def probe(spark, sf_dir: str) -> dict:
     merge_kmv_samples(parts, "doc_id", "source", k=256).count()
     out["merge_kmv_samples_3epochs_k256"] = round(time.time() - t0, 2)
 
+    from zdb_spark.operators.sketches import (kmv_distinct,
+                                              kmv_set_estimates)
+
+    t0 = time.time()
+    kmv_distinct(toks.select(F.col("tok")), "tok", k=1024).count()
+    out["kmv_distinct_tokens_k1024"] = round(time.time() - t0, 2)
+
+    half = n // 2
+    t0 = time.time()
+    kmv_set_estimates(toks.where(F.col("doc_id") < half).select("tok"),
+                      toks.where(F.col("doc_id") >= half).select("tok"),
+                      "tok", k=1024).count()
+    out["kmv_set_estimates_k1024"] = round(time.time() - t0, 2)
+
     def synth(batches):
         import pandas as pd
 

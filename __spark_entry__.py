@@ -4328,6 +4328,14 @@ _CHANGED_THIS_ROUND = [
     # decode_video_frames, untouched) — the only gate whose output
     # changes is the staged multimodal_containers, registered this
     # round with the extended oracle.
+    #
+    # rrf_fuse rank assignment rewritten window-free (r12 verdict
+    # hygiene note #4: sort_array(collect_list(struct(-score, id))) +
+    # posexplode replaces the unpartitioned row_number window — same
+    # (score desc, id) order, exchanges 10 -> 2).  Ranks are identical
+    # integers and the local bit-exact mirror is green, but the gate's
+    # plan changed, so it takes a priority slot.
+    "hybrid_search",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:

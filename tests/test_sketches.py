@@ -705,3 +705,19 @@ class TestKMVStore:
         with pytest.raises(FileExistsError):
             build_kmv_store(self._docs(spark, 0, 100), "id", p, "g",
                             k=8)
+
+
+def test_kmv_value_sketch_dedups_with_partial_aggregation(spark):
+    """The sketch's dedup groupBy must partially aggregate (map-side
+    combine collapses repeated values before the shuffle) — the plan
+    shape that keeps the shuffle at distinct-values, not corpus
+    rows."""
+    from zdb_spark.operators.sketches import kmv_value_sketch
+
+    df = spark.range(10_000).select(
+        F.concat(F.lit("p"), F.col("id") % 50).alias("v"))
+    plan = (kmv_value_sketch(df, "v", k=16)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "HashAggregate" in plan
+    # and the k-selection is a TakeOrdered heap, not a global sort
+    assert "TakeOrderedAndProject" in plan

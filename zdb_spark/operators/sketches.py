@@ -1,9 +1,21 @@
 """Cross-engine-reproducible sketches — the 100 TB substitutes for
 exact ``COUNT(DISTINCT)`` (portable HyperLogLog, live and as a
-persisted/incremental register store), exact heavy-hitter counting
-(count-min tables), and exact global percentiles (KMV bottom-k
-deterministic sampling with nearest-rank quantiles) — all built so
-another engine can replay them bit-for-bit.
+persisted/incremental register store), heavy-hitter counting
+(count-min tables, live and as a persisted store with additive-merge
+staging), global percentiles and uniform sampling (KMV bottom-k:
+sampling, nearest-rank quantiles, exact sample merge, a persisted
+sample store), and distinct-set ALGEBRA (KMV (k-1)/u_k cardinality
+plus jaccard/union/intersection estimates — the set operations
+max-merged HLL registers cannot answer) — all built so another engine
+can replay them bit-for-bit.
+
+The three persisted stores are one artifact family with three merge
+disciplines: HLL registers merge by ``max`` (idempotent — overwrite
+batch dirs are the whole durability story), count-min cells by ``+``
+(NOT idempotent — rename-published first-publish-wins batches and a
+generation pointer readers resolve exactly once), KMV samples by
+ORDER STATISTICS (union + re-bottom-k, idempotent by the closure
+property).
 
 Spark ships HLL (``approx_count_distinct``) and quantile sketches, and
 tests/test_sketches.py pins their accuracy — but their hash functions
@@ -36,7 +48,8 @@ References: Flajolet et al. 2007 (HyperLogLog), Heule et al. 2013
 (HLL++ small-range bias: we apply the standard linear-counting branch in
 ``hll_distinct``'s corrected column, kept OUT of the hash-gated raw
 estimate because ``ln`` is libm-dependent); Cormode & Muthukrishnan 2005
-(count-min).
+(count-min); Bar-Yossef et al. 2002 and Beyer et al. 2007 (KMV
+distinct-value estimation and set-operation synopses).
 """
 
 from __future__ import annotations

@@ -3730,6 +3730,41 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "table scan fast", "text", "doc_id", k=15)
 
 
+def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 from the PERSISTED inverted index (search.py:
+    build/append_text_index + text_index_topk): the history half builds
+    the index, the rest appends as a doc-disjoint batch, and the query
+    reads ONLY its terms' bucket partitions (PartitionFilters pinned in
+    tests) — query cost ∝ posting lists, not corpus.  Output is
+    bit-identical to the live bm25_topk rescan, so the oracle is
+    bm25_search's SQL VERBATIM (the alias IS the parity proof: stats,
+    idf literals, and the score chain all recovered exactly from the
+    store).  Index cached by corpus fingerprint; built in a scratch
+    dir renamed into place."""
+    import tempfile
+
+    from zdb_spark.operators.search import (append_text_index,
+                                            build_text_index,
+                                            text_index_topk)
+
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    key = _key_for(sf_dir, "text-index-v1", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_text_index", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_text_index(docs.where(F.col("doc_id") < n // 2), scratch)
+        append_text_index(docs.where(F.col("doc_id") >= n // 2),
+                          scratch, batch_id=1)
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
+    return text_index_topk(spark, store, "table scan fast", k=15)
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: reciprocal-rank fusion (k=60) of two bounded
     candidate rankings for the same query — BM25 top-50 (term
@@ -4509,6 +4544,7 @@ _QUERY_DECLARATIONS: list[
     ("kmv_distinct", q_kmv_distinct),
     ("kmv_setops", q_kmv_setops),
     ("kmv_store", q_kmv_store),
+    ("text_index", q_text_index),
 ]
 
 
@@ -7562,6 +7598,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, doc_id, v FROM s WHERE kr <= 16
     """
     sqls["kmv_store"] = sqls["kmv_merge"]
+    # q_text_index: the persisted-index read is bit-identical to the
+    # live bm25_topk rescan by construction (same stats, same idf
+    # literals, same score chain), so its oracle is bm25_search's SQL
+    # verbatim — a hash match proves the index path loses nothing
+    sqls["text_index"] = sqls["bm25_search"]
     # q_multimodal_containers: fixtures are closed-form in doc_id, so
     # the oracle is pure arithmetic (duration rounds exactly: k/4.0 is
     # a dyadic rational); codec IDs cycle by (doc_id//2) % 3 exactly as

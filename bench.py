@@ -106,6 +106,8 @@ HEADLINE = [
     "kmv_setops",         # KMV jaccard/union/intersection estimates
     "kmv_store",          # persisted sample store (build+append+compact,
                           # cached across runs by fingerprint)
+    "text_index",         # persisted inverted index: bucket-pruned
+                          # posting-list BM25 (index cached across runs)
 ]
 
 

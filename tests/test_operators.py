@@ -2926,3 +2926,84 @@ class TestJpegSingleComponentSampling:
             dec = jpeg_decode_pixels(bytes(blob))
             assert dec.shape == g.shape
             assert np.abs(dec.astype(int) - g.astype(int)).mean() < 2
+
+
+class TestTextIndexStore:
+    """Persisted inverted text index (search.py:build/append_text_index
+    + text_index_topk): query cost = the query terms' posting lists
+    (bucket-partition pruning + term pushdown), output BIT-IDENTICAL to
+    the live bm25_topk rescan on the same corpus."""
+
+    def _docs(self, spark):
+        import itertools
+
+        words = ["table", "scan", "fast", "index", "spark", "join",
+                 "quantile", "shuffle"]
+        rows = [(i, " ".join(words[j % len(words)]
+                             for j in range(i, i + 5 + i % 7)))
+                for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_index_topk_equals_live_bm25_bitwise(self, spark, tmp_path):
+        from zdb_spark.operators.search import (append_text_index,
+                                                bm25_topk,
+                                                build_text_index,
+                                                text_index_topk)
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "idx")
+        build_text_index(docs.where("doc_id < 150"), p)
+        append_text_index(docs.where("doc_id >= 150"), p, batch_id=1)
+        for q in ("table scan fast", "quantile", "spark join shuffle"):
+            live = [tuple(r) for r in
+                    bm25_topk(docs, q, k=15).collect()]
+            idx = [tuple(r) for r in
+                   text_index_topk(spark, p, q, k=15).collect()]
+            assert idx == live, q
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from zdb_spark.operators.search import (append_text_index,
+                                                build_text_index,
+                                                text_index_topk)
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "idx")
+        build_text_index(docs.where("doc_id < 200"), p)
+        append_text_index(docs.where("doc_id >= 200"), p, batch_id=1)
+        before = [tuple(r) for r in
+                  text_index_topk(spark, p, "table scan").collect()]
+        append_text_index(docs.where("doc_id >= 200"), p, batch_id=1)
+        after = [tuple(r) for r in
+                 text_index_topk(spark, p, "table scan").collect()]
+        assert after == before
+
+    def test_query_reads_prune_to_term_buckets(self, spark, tmp_path):
+        """The 100 TB contract: the postings scan must carry a
+        PartitionFilters entry on the bucket column, so non-query
+        buckets are never read."""
+        from zdb_spark.operators.search import (_term_bucket_py,
+                                                build_text_index,
+                                                text_index_topk)
+
+        p = str(tmp_path / "idx")
+        build_text_index(self._docs(spark), p)
+        out = text_index_topk(spark, p, "quantile", k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        b = _term_bucket_py("quantile", 64)
+        assert "PartitionFilters" in plan and "bucket" in plan
+        assert f"{b}" in plan
+        assert "PushedFilters" in plan and "term" in plan
+
+    def test_build_refuses_to_clobber_and_empty_query(self, spark,
+                                                      tmp_path):
+        import pytest
+
+        from zdb_spark.operators.search import (build_text_index,
+                                                text_index_topk)
+
+        p = str(tmp_path / "idx")
+        build_text_index(self._docs(spark), p)
+        with pytest.raises(FileExistsError):
+            build_text_index(self._docs(spark), p)
+        with pytest.raises(ValueError, match="empty query"):
+            text_index_topk(spark, p, "   ")

@@ -86,6 +86,24 @@ def probe(spark, sf_dir: str) -> dict:
                       "tok", k=1024).count()
     out["kmv_set_estimates_k1024"] = round(time.time() - t0, 2)
 
+    from zdb_spark.operators.search import (append_text_index,
+                                            build_text_index,
+                                            text_index_topk)
+
+    idx = tempfile.mkdtemp(prefix="ti_probe_")
+    shutil.rmtree(idx)
+    t0 = time.time()
+    build_text_index(docs.where(F.col("doc_id") < t1), idx)
+    out["build_text_index"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    append_text_index(docs.where(F.col("doc_id") >= t1), idx,
+                      batch_id=1)
+    out["append_text_index"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    text_index_topk(spark, idx, "table scan fast", k=15).count()
+    out["text_index_topk_3terms"] = round(time.time() - t0, 2)
+    shutil.rmtree(idx, ignore_errors=True)
+
     def synth(batches):
         import pandas as pd
 

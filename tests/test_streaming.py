@@ -458,3 +458,46 @@ class TestCountMinSketchSink:
         again = {r.value: r.est_count for r in
                  countmin_store_lookup(spark, store, probes).collect()}
         assert again == whole
+
+
+class TestTextIndexSink:
+    def test_streamed_index_equals_live_bm25(self, spark, tmp_path):
+        """Streaming index maintenance: after the stream drains, the
+        persisted index must answer queries bit-identically to a live
+        bm25_topk over the full corpus, and a fresh-checkpoint replay
+        (same epochs re-delivered) must change nothing."""
+        from zdb_spark.operators.search import (bm25_topk,
+                                                build_text_index,
+                                                text_index_topk)
+        from zdb_spark.streaming.ingest import text_index_sink
+
+        words = ["table", "scan", "fast", "index", "spark", "join"]
+        df = spark.createDataFrame(
+            [(i, " ".join(words[j % 6] for j in range(i, i + 4 + i % 5)))
+             for i in range(200)],
+            "doc_id long, text string")
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+
+        store = str(tmp_path / "idx")
+        build_text_index(
+            spark.createDataFrame([], "doc_id long, text string"),
+            store)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        q = text_index_sink(stream, store, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        live = [tuple(r) for r in bm25_topk(df, "table scan", k=10)
+                .collect()]
+        idx = [tuple(r) for r in
+               text_index_topk(spark, store, "table scan", k=10)
+               .collect()]
+        assert idx == live
+
+        q2 = text_index_sink(stream, store, str(tmp_path / "ckpt2"))
+        q2.awaitTermination(120)
+        again = [tuple(r) for r in
+                 text_index_topk(spark, store, "table scan", k=10)
+                 .collect()]
+        assert again == live

@@ -401,3 +401,35 @@ def countmin_sketch_sink(stream_df: DataFrame, value_col: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def text_index_sink(stream_df: DataFrame, store_path: str,
+                    checkpoint: str,
+                    trigger_seconds: int | None = None):
+    """Continuous inverted-index maintenance: every micro-batch of NEW
+    documents lands as an epoch-named doc-disjoint postings batch
+    (operators/search.py:append_text_index), so BM25 over everything
+    ingested so far never re-scans history — the standing-search-
+    service shape at 100 TB.
+
+    Exactly-once: structured streaming already delivers each document
+    to exactly one epoch, epochs are therefore doc-disjoint (the index
+    store's batch contract), and a checkpoint-replayed epoch OVERWRITES
+    its own batch dirs with identical postings — the same structural
+    replay-idempotence as ``hll_sketch_sink``.  Bootstrap the store
+    with ``build_text_index`` first; query any time with
+    ``text_index_topk``."""
+    from ..operators.search import append_text_index
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_text_index(batch_df, store_path,
+                          batch_id=f"epoch-{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

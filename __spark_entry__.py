@@ -3732,33 +3732,46 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 from the PERSISTED inverted index (search.py:
-    build/append_text_index + text_index_topk): the history half builds
-    the index, the rest appends as a doc-disjoint batch, and the query
-    reads ONLY its terms' bucket partitions (PartitionFilters pinned in
+    build/append/compact/vacuum_text_index + text_index_topk): the
+    history half builds generation 0, batch 1 appends, a COMPACTION
+    folds both into generation 1 behind the pointer flip (postings are
+    additive — df(t) counts rows — so a reader must never see source +
+    compacted postings together), a vacuum drops generation 0, and
+    batch 2 appends into the compacted generation.  The query reads
+    ONLY its terms' bucket partitions (PartitionFilters pinned in
     tests) — query cost ∝ posting lists, not corpus.  Output is
     bit-identical to the live bm25_topk rescan, so the oracle is
     bm25_search's SQL VERBATIM (the alias IS the parity proof: stats,
     idf literals, and the score chain all recovered exactly from the
-    store).  Index cached by corpus fingerprint; built in a scratch
-    dir renamed into place."""
+    store, across append/compact/vacuum at every arrival point).
+    Index cached by corpus fingerprint; built in a scratch dir renamed
+    into place."""
     import tempfile
 
     from zdb_spark.operators.search import (append_text_index,
                                             build_text_index,
-                                            text_index_topk)
+                                            compact_text_index,
+                                            text_index_topk,
+                                            vacuum_text_index)
 
     docs = _load(spark, sf_dir, "documents")
     n = docs.count()
-    key = _key_for(sf_dir, "text-index-v1", ("documents",))
+    t1, t2 = n // 2, (3 * n) // 4
+    key = _key_for(sf_dir, "text-index-v2", ("documents",))
     store = os.path.join(tempfile.gettempdir(), "zdb_text_index", key)
     if not os.path.exists(os.path.join(store, "params.json")):
         import shutil
 
         scratch = store + ".tmp"
         shutil.rmtree(scratch, ignore_errors=True)
-        build_text_index(docs.where(F.col("doc_id") < n // 2), scratch)
-        append_text_index(docs.where(F.col("doc_id") >= n // 2),
+        build_text_index(docs.where(F.col("doc_id") < t1), scratch)
+        append_text_index(docs.where((F.col("doc_id") >= t1)
+                                     & (F.col("doc_id") < t2)),
                           scratch, batch_id=1)
+        assert compact_text_index(spark, scratch) == 2
+        assert vacuum_text_index(scratch) == 1
+        append_text_index(docs.where(F.col("doc_id") >= t2), scratch,
+                          batch_id=2)
         os.makedirs(os.path.dirname(store), exist_ok=True)
         shutil.rmtree(store, ignore_errors=True)
         os.rename(scratch, store)

@@ -3007,3 +3007,41 @@ class TestTextIndexStore:
             build_text_index(self._docs(spark), p)
         with pytest.raises(ValueError, match="empty query"):
             text_index_topk(spark, p, "   ")
+
+    def test_compact_and_vacuum_preserve_scores(self, spark, tmp_path):
+        """Compaction must flip the generation pointer (a reader can
+        never sum source + compacted postings — that would double every
+        df) and preserve scores exactly; vacuum reclaims old gens;
+        appends keep working post-compaction."""
+        import os
+
+        from zdb_spark.operators.search import (append_text_index,
+                                                bm25_topk,
+                                                build_text_index,
+                                                compact_text_index,
+                                                text_index_topk,
+                                                vacuum_text_index)
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "idx")
+        build_text_index(docs.where("doc_id < 100"), p)
+        append_text_index(docs.where("doc_id >= 100 and doc_id < 200"),
+                          p, batch_id=1)
+        q = "table scan fast"
+        before = [tuple(r) for r in
+                  text_index_topk(spark, p, q, k=15).collect()]
+        assert compact_text_index(spark, p) == 2
+        assert os.path.isdir(os.path.join(p, "gen=0"))  # until vacuum
+        assert [tuple(r) for r in
+                text_index_topk(spark, p, q, k=15).collect()] == before
+        assert vacuum_text_index(p) == 1
+        assert not os.path.isdir(os.path.join(p, "gen=0"))
+        # post-compaction append lands in the new generation; the full
+        # index still matches the live rescan bit-for-bit
+        append_text_index(docs.where("doc_id >= 200"), p, batch_id=2)
+        live = [tuple(r) for r in bm25_topk(docs, q, k=15).collect()]
+        assert [tuple(r) for r in
+                text_index_topk(spark, p, q, k=15).collect()] == live
+        # nothing to fold after a fresh compaction of 1 batch? two
+        # batches again now (compacted + batch=2) -> folds 2
+        assert compact_text_index(spark, p) == 2

@@ -29,7 +29,8 @@ import math
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["bm25_topk", "corpus_term_stats", "build_text_index",
-           "append_text_index", "text_index_topk"]
+           "append_text_index", "text_index_topk", "compact_text_index",
+           "vacuum_text_index"]
 
 
 def _eq(term: str):
@@ -224,17 +225,37 @@ def _term_bucket_py(term: str, buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % buckets
 
 
+def _ti_current_gen(path: str) -> int:
+    import os
+
+    with open(os.path.join(path, "CURRENT")) as f:
+        return int(f.read().strip())
+
+
+def _ti_set_current_gen(path: str, gen: int) -> None:
+    import os
+
+    tmp = os.path.join(path, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "CURRENT"))
+
+
 def build_text_index(df: DataFrame, path: str, text_col: str = "text",
                      id_col: str = "doc_id", *,
                      buckets: int = _INDEX_BUCKETS) -> None:
-    """Create the index store and write the corpus as batch 0.
-    params.json is written last (completeness marker)."""
+    """Create the index store and write the corpus as batch 0 of
+    generation 0.  params.json is written last (completeness
+    marker)."""
     import json
     import os
 
     if os.path.exists(os.path.join(path, "params.json")):
         raise FileExistsError(f"text index already exists at {path}")
     os.makedirs(path, exist_ok=True)
+    _ti_set_current_gen(path, 0)
     append_text_index(df, path, batch_id=0,
                       _params={"text_col": text_col, "id_col": id_col,
                                "buckets": buckets})
@@ -245,10 +266,14 @@ def build_text_index(df: DataFrame, path: str, text_col: str = "text",
 
 def append_text_index(df: DataFrame, path: str, *, batch_id,
                       _params=None) -> None:
-    """Add one doc-disjoint batch: postings (term, id, tf, dl) written
-    under ``postings/batch=<id>/`` partitioned by term bucket, plus a
-    one-row ``stats/batch=<id>/`` (n_docs, total_len).  OVERWRITE per
-    batch dir = replay-idempotent.  O(batch) work."""
+    """Add one doc-disjoint batch to the CURRENT generation: postings
+    (term, id, tf, dl) under ``gen=<G>/postings/batch=<id>/``
+    partitioned by term bucket, plus a one-row
+    ``gen=<G>/stats/batch=<id>/`` (n_docs, total_len).  OVERWRITE per
+    batch dir = replay-idempotent.  Single-writer contract with
+    compaction (an append racing the pointer flip would strand its
+    postings in a dead generation — same contract as the count-min
+    store).  O(batch) work."""
     import json
     import os
 
@@ -257,6 +282,7 @@ def append_text_index(df: DataFrame, path: str, *, batch_id,
     if _params is None:
         with open(os.path.join(path, "params.json")) as f:
             _params = json.load(f)
+    gen = _ti_current_gen(path)
     text_col, id_col = _params["text_col"], _params["id_col"]
     buckets = _params["buckets"]
     toks = df.select(F.col(id_col).alias("_id"),
@@ -268,24 +294,82 @@ def append_text_index(df: DataFrame, path: str, *, batch_id,
                 .agg(F.count(F.lit(1)).alias("tf"))
                 .withColumn("bucket",
                             _term_bucket_col(F.col("term"), buckets)))
+    gdir = os.path.join(path, f"gen={gen}")
     (postings.write.mode("overwrite").partitionBy("bucket")
-     .parquet(os.path.join(path, "postings", f"batch={batch_id}")))
+     .parquet(os.path.join(gdir, "postings", f"batch={batch_id}")))
     stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum("_dl").alias("total_len"))
     (stats.write.mode("overwrite")
-     .parquet(os.path.join(path, "stats", f"batch={batch_id}")))
+     .parquet(os.path.join(gdir, "stats", f"batch={batch_id}")))
+
+
+def compact_text_index(spark, path: str) -> int:
+    """Fold the current generation's postings/stats batches into one
+    batch of a NEW generation, then flip the pointer.  Necessary
+    machinery, not hygiene: postings are ADDITIVE across batches
+    (df(t) counts rows), so a reader racing a delete-after-publish
+    compaction would double document frequencies — the generation
+    pointer (resolved once per read) makes that state unreachable,
+    exactly as in the count-min store.  Returns the number of source
+    batches folded; old generations stay for in-flight readers until
+    ``vacuum_text_index``.  Single compactor/writer by contract."""
+    import os
+
+    gen = _ti_current_gen(path)
+    gdir = os.path.join(path, f"gen={gen}")
+    sources = [d for d in os.listdir(os.path.join(gdir, "postings"))
+               if d.startswith("batch=")]
+    if len(sources) <= 1:
+        return 0
+    ndir = os.path.join(path, f"gen={gen + 1}")
+    if os.path.exists(ndir):
+        raise RuntimeError(
+            f"gen={gen + 1} already exists at {path} — a previous "
+            "compaction crashed between write and pointer flip; flip "
+            "or remove it by hand (single-compactor contract)")
+    proot = os.path.join(gdir, "postings")
+    posts = (spark.read.option("basePath", proot)
+             .parquet(os.path.join(proot, "batch=*"))
+             .drop("batch"))
+    (posts.write.mode("overwrite").partitionBy("bucket")
+     .parquet(os.path.join(ndir, "postings", "batch=compacted")))
+    sroot = os.path.join(gdir, "stats")
+    stats = (spark.read.option("basePath", sroot)
+             .parquet(os.path.join(sroot, "batch=*"))
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  F.sum("total_len").alias("total_len")))
+    (stats.write.mode("overwrite")
+     .parquet(os.path.join(ndir, "stats", "batch=compacted")))
+    _ti_set_current_gen(path, gen + 1)
+    return len(sources)
+
+
+def vacuum_text_index(path: str) -> int:
+    """Remove generations older than CURRENT.  Run only when no reader
+    can still hold a pre-compaction pointer.  Returns the number of
+    generation dirs removed."""
+    import os
+    import shutil
+
+    cur = _ti_current_gen(path)
+    removed = 0
+    for d in os.listdir(path):
+        if d.startswith("gen=") and int(d.split("=", 1)[1]) < cur:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def text_index_topk(spark, path: str, query: str, k: int = 10,
                     k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """BM25 top-k from the persisted index — bit-identical output to
     ``bm25_topk`` on the same corpus, at query-term posting-list cost:
-    the read prunes to the query terms' bucket partitions and pushes
-    the term filter into the parquet scan; N/avgdl come from the tiny
-    per-batch stats rows; df(t) is the term's own posting count
-    (batches are doc-disjoint).  The per-doc score reuses bm25_topk's
-    exact left-to-right literal chain after pivoting the term rows
-    back to tf columns."""
+    the read resolves the generation pointer ONCE, prunes to the query
+    terms' bucket partitions, and pushes the term filter into the
+    parquet scan; N/avgdl come from the tiny per-batch stats rows;
+    df(t) is the term's own posting count (batches are doc-disjoint).
+    The per-doc score reuses bm25_topk's exact left-to-right literal
+    chain after pivoting the term rows back to tf columns."""
     import json
     import math
     import os
@@ -296,8 +380,9 @@ def text_index_topk(spark, path: str, query: str, k: int = 10,
     terms = sorted(set(query.lower().split()))
     if not terms:
         raise ValueError("empty query")
+    gdir = os.path.join(path, f"gen={_ti_current_gen(path)}")
 
-    sroot = os.path.join(path, "stats")
+    sroot = os.path.join(gdir, "stats")
     stats = spark.read.option("basePath", sroot).parquet(
         os.path.join(sroot, "batch=*"))
     srow = stats.agg(F.sum("n_docs").alias("n"),
@@ -308,7 +393,7 @@ def text_index_topk(spark, path: str, query: str, k: int = 10,
     # same exact-integer division Spark's avg(size) performs
     avgdl = srow["tl"] / n
 
-    proot = os.path.join(path, "postings")
+    proot = os.path.join(gdir, "postings")
     want = sorted({_term_bucket_py(t, buckets) for t in terms})
     posts = (spark.read.option("basePath", proot)
              .parquet(os.path.join(proot, "batch=*"))

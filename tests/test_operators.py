@@ -3045,3 +3045,48 @@ class TestTextIndexStore:
         # nothing to fold after a fresh compaction of 1 batch? two
         # batches again now (compacted + batch=2) -> folds 2
         assert compact_text_index(spark, p) == 2
+
+    def test_delete_docs_matches_live_rescan_of_remaining(self, spark,
+                                                          tmp_path):
+        """Tombstone deletes: after removing a doc set, every query
+        answers bit-identically to the live bm25 over the REMAINING
+        corpus (n, avgdl, df all corrected from the same atomic delete
+        ledger); replayed and repeated deletes adjust nothing; the next
+        compaction physically drops the postings and empties the
+        ledger."""
+        import os
+
+        from zdb_spark.operators.search import (bm25_topk,
+                                                build_text_index,
+                                                compact_text_index,
+                                                delete_from_text_index,
+                                                text_index_topk,
+                                                vacuum_text_index)
+
+        docs = self._docs(spark)
+        p = str(tmp_path / "idx")
+        build_text_index(docs, p)
+        gone = docs.where("doc_id % 7 = 0").select("doc_id")
+        kept = docs.where("doc_id % 7 != 0")
+        assert delete_from_text_index(spark, p, gone, batch_id="d0")
+        q = "table scan fast"
+        live = [tuple(r) for r in bm25_topk(kept, q, k=15).collect()]
+        assert [tuple(r) for r in
+                text_index_topk(spark, p, q, k=15).collect()] == live
+        # replay (same batch id) is a published no-op; a second delete
+        # of already-deleted ids adjusts nothing
+        assert not delete_from_text_index(spark, p, gone, batch_id="d0")
+        assert delete_from_text_index(spark, p, gone, batch_id="d1")
+        assert [tuple(r) for r in
+                text_index_topk(spark, p, q, k=15).collect()] == live
+        # compaction folds the deletes away physically
+        assert compact_text_index(spark, p) >= 1
+        vacuum_text_index(p)
+        gdir = os.path.join(p, "gen=1")
+        assert not os.path.isdir(os.path.join(gdir, "deletes"))
+        assert [tuple(r) for r in
+                text_index_topk(spark, p, q, k=15).collect()] == live
+        # deleted docs never rank
+        got_ids = {r[0] for r in
+                   text_index_topk(spark, p, q, k=300).collect()}
+        assert not any(i % 7 == 0 for i in got_ids)

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["bm25_topk", "corpus_term_stats", "build_text_index",
            "append_text_index", "text_index_topk", "compact_text_index",
-           "vacuum_text_index"]
+           "vacuum_text_index", "delete_from_text_index"]
 
 
 def _eq(term: str):
@@ -303,6 +303,72 @@ def append_text_index(df: DataFrame, path: str, *, batch_id,
      .parquet(os.path.join(gdir, "stats", f"batch={batch_id}")))
 
 
+def _ti_deletes(spark, gdir: str):
+    """The generation's delete ledger as a DataFrame of (_id, _dl), or
+    None when no delete batch exists.  One directory carries BOTH the
+    tombstone ids and their stats adjustment (each row's _dl), so a
+    delete publishes with a single atomic rename — there is no state
+    where a reader sees the doc gone from N but present in postings."""
+    import os
+
+    droot = os.path.join(gdir, "deletes")
+    if not os.path.isdir(droot):
+        return None
+    dirs = [d for d in os.listdir(droot) if d.startswith("batch=")]
+    if not dirs:
+        return None
+    return (spark.read.option("basePath", droot)
+            .parquet(os.path.join(droot, "batch=*"))
+            .select("_id", "_dl"))
+
+
+def delete_from_text_index(spark, path: str, ids: DataFrame, *,
+                           batch_id) -> bool:
+    """Remove documents from the standing index WITHOUT a rebuild — the
+    dedup-pipeline flow (near-dup ids out of search, history untouched).
+    ``ids`` is a one-column DataFrame of document ids.
+
+    The delete batch stores (_id, _dl) rows: ids restricted to docs the
+    index actually contains and NOT already deleted (so a second delete
+    of the same doc adjusts nothing), with each doc's length so the
+    read side corrects N and avgdl from the same rows that tombstone
+    the postings.  Published with one atomic rename, first-publish-wins
+    — a replayed ``batch_id`` is a no-op (returns False).  Deleted
+    postings are physically dropped at the next compaction."""
+    import os
+    import shutil
+    import uuid
+
+    with open(os.path.join(path, "params.json")) as f:
+        import json
+
+        prm = json.load(f)
+    gen = _ti_current_gen(path)
+    gdir = os.path.join(path, f"gen={gen}")
+    dest = os.path.join(gdir, "deletes", f"batch={batch_id}")
+    if os.path.exists(dest):
+        return False
+    id_col = ids.columns[0]
+    want = ids.select(F.col(id_col).alias("_id")).distinct()
+    proot = os.path.join(gdir, "postings")
+    posts = (spark.read.option("basePath", proot)
+             .parquet(os.path.join(proot, "batch=*"))
+             .select("_id", "_dl").distinct())
+    rows = posts.join(want, "_id", "left_semi")
+    dels = _ti_deletes(spark, gdir)
+    if dels is not None:
+        rows = rows.join(dels.select("_id"), "_id", "left_anti")
+    staging = os.path.join(path, "_staging", uuid.uuid4().hex)
+    rows.write.mode("overwrite").parquet(staging)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    try:
+        os.rename(staging, dest)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        return False
+    return True
+
+
 def compact_text_index(spark, path: str) -> int:
     """Fold the current generation's postings/stats batches into one
     batch of a NEW generation, then flip the pointer.  Necessary
@@ -319,7 +385,10 @@ def compact_text_index(spark, path: str) -> int:
     gdir = os.path.join(path, f"gen={gen}")
     sources = [d for d in os.listdir(os.path.join(gdir, "postings"))
                if d.startswith("batch=")]
-    if len(sources) <= 1:
+    has_deletes = os.path.isdir(os.path.join(gdir, "deletes")) and any(
+        d.startswith("batch=")
+        for d in os.listdir(os.path.join(gdir, "deletes")))
+    if len(sources) <= 1 and not has_deletes:
         return 0
     ndir = os.path.join(path, f"gen={gen + 1}")
     if os.path.exists(ndir):
@@ -331,6 +400,11 @@ def compact_text_index(spark, path: str) -> int:
     posts = (spark.read.option("basePath", proot)
              .parquet(os.path.join(proot, "batch=*"))
              .drop("batch"))
+    dels = _ti_deletes(spark, gdir)
+    if dels is not None:
+        # deleted docs' postings are physically dropped here, and the
+        # new generation starts with an empty delete ledger
+        posts = posts.join(dels.select("_id"), "_id", "left_anti")
     (posts.write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(ndir, "postings", "batch=compacted")))
     sroot = os.path.join(gdir, "stats")
@@ -338,6 +412,13 @@ def compact_text_index(spark, path: str) -> int:
              .parquet(os.path.join(sroot, "batch=*"))
              .agg(F.sum("n_docs").alias("n_docs"),
                   F.sum("total_len").alias("total_len")))
+    if dels is not None:
+        adj = dels.agg(F.count(F.lit(1)).alias("_dn"),
+                       F.sum("_dl").alias("_dtl")).collect()[0]
+        stats = stats.select(
+            (F.col("n_docs") - F.lit(adj["_dn"] or 0)).alias("n_docs"),
+            (F.col("total_len") - F.lit(adj["_dtl"] or 0))
+            .alias("total_len"))
     (stats.write.mode("overwrite")
      .parquet(os.path.join(ndir, "stats", "batch=compacted")))
     _ti_set_current_gen(path, gen + 1)
@@ -387,11 +468,17 @@ def text_index_topk(spark, path: str, query: str, k: int = 10,
         os.path.join(sroot, "batch=*"))
     srow = stats.agg(F.sum("n_docs").alias("n"),
                      F.sum("total_len").alias("tl")).collect()[0]
-    n = srow["n"]
+    n, tl = srow["n"] or 0, srow["tl"] or 0
+    dels = _ti_deletes(spark, gdir)
+    if dels is not None:
+        drow = dels.agg(F.count(F.lit(1)).alias("dn"),
+                        F.sum("_dl").alias("dtl")).collect()[0]
+        n -= drow["dn"] or 0
+        tl -= drow["dtl"] or 0
     if not n:
         raise ValueError("empty corpus: no documents indexed")
     # same exact-integer division Spark's avg(size) performs
-    avgdl = srow["tl"] / n
+    avgdl = tl / n
 
     proot = os.path.join(gdir, "postings")
     want = sorted({_term_bucket_py(t, buckets) for t in terms})
@@ -399,6 +486,8 @@ def text_index_topk(spark, path: str, query: str, k: int = 10,
              .parquet(os.path.join(proot, "batch=*"))
              .where(F.col("bucket").isin(want)
                     & F.col("term").isin(terms)))
+    if dels is not None:
+        posts = posts.join(dels.select("_id"), "_id", "left_anti")
     dfreq = {r["term"]: r["df"] for r in
              posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
              .collect()}  # bounded: <= |terms| rows

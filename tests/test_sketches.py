@@ -721,3 +721,37 @@ def test_kmv_value_sketch_dedups_with_partial_aggregation(spark):
     assert "HashAggregate" in plan
     # and the k-selection is a TakeOrdered heap, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_retract_countmin_store_removes_exactly_its_batch(spark,
+                                                          tmp_path):
+    """Count-min deletion: retracting an ingested batch restores the
+    estimates the store had before that batch arrived (exact negation
+    of its own cells), a replayed retraction is a published no-op, and
+    compaction folds the negative cells away."""
+    from zdb_spark.operators.sketches import (append_countmin_store,
+                                              build_countmin_store,
+                                              compact_countmin_store,
+                                              countmin_store_lookup,
+                                              retract_countmin_store)
+
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("t"), F.col("id") % 61).alias("v"))
+
+    p = str(tmp_path / "cm")
+    build_countmin_store(docs(0, 800), "v", p, depth=4, width=256)
+    probes = ["t0", "t33", "t60"]
+    before = {r.value: r.est_count for r in
+              countmin_store_lookup(spark, p, probes).collect()}
+    append_countmin_store(docs(800, 1300), "v", p, batch_id=1)
+    assert retract_countmin_store(docs(800, 1300), "v", p,
+                                  batch_id="retract-1")
+    after = {r.value: r.est_count for r in
+             countmin_store_lookup(spark, p, probes).collect()}
+    assert after == before
+    assert not retract_countmin_store(docs(800, 1300), "v", p,
+                                      batch_id="retract-1")
+    assert compact_countmin_store(spark, p) == 3
+    assert {r.value: r.est_count for r in
+            countmin_store_lookup(spark, p, probes).collect()} == before

@@ -501,3 +501,39 @@ class TestTextIndexSink:
                  text_index_topk(spark, store, "table scan", k=10)
                  .collect()]
         assert again == live
+
+
+class TestKMVSampleSink:
+    def test_streamed_sample_equals_whole_corpus(self, spark, tmp_path):
+        """Streaming sample maintenance: the persisted store's merged
+        sample after the stream drains must equal the whole-corpus
+        bottom-k row-for-row (closure), and a fresh-checkpoint replay
+        changes nothing (order-statistic idempotence)."""
+        from zdb_spark.operators.sketches import (build_kmv_store,
+                                                  kmv_sample,
+                                                  read_kmv_store)
+        from zdb_spark.streaming.ingest import kmv_sample_sink
+
+        df = spark.range(3_000).select(
+            (F.col("id") % 2).alias("g"), F.col("id"))
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+
+        store = str(tmp_path / "store")
+        build_kmv_store(
+            spark.createDataFrame([], "g bigint, id bigint"),
+            "id", store, "g", k=32)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        q = kmv_sample_sink(stream, store, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        whole = {(r.g, r.id) for r in
+                 kmv_sample(df, "id", "g", k=32).collect()}
+        assert {(r.g, r.id) for r in
+                read_kmv_store(spark, store).collect()} == whole
+
+        q2 = kmv_sample_sink(stream, store, str(tmp_path / "ckpt2"))
+        q2.awaitTermination(120)
+        assert {(r.g, r.id) for r in
+                read_kmv_store(spark, store).collect()} == whole

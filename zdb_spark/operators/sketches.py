@@ -67,6 +67,7 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "build_countmin_store", "append_countmin_store",
            "read_countmin_table", "countmin_store_lookup",
            "compact_countmin_store", "vacuum_countmin_store",
+           "retract_countmin_store",
            "merge_kmv_samples", "kmv_value_sketch", "kmv_distinct",
            "kmv_set_estimates", "build_kmv_store", "append_kmv_store",
            "read_kmv_store", "kmv_store_quantiles", "compact_kmv_store",
@@ -800,18 +801,21 @@ def build_kmv_store(df: DataFrame, id_col: str, path: str, by=None, *,
                    "id_col": id_col}, f)
 
 
-def append_kmv_store(df: DataFrame, id_col: str, path: str, *,
+def append_kmv_store(df: DataFrame, id_col: str | None, path: str, *,
                      batch_id, _params=None) -> None:
     """Add one batch's bottom-k sample under ``samples/batch=<id>/``
     (OVERWRITE: replaying a batch id rewrites identical rows, which the
     read-side dedup + re-bottom-k collapses — replay-idempotent).
-    O(batch) work; history untouched."""
+    O(batch) work; history untouched.  ``id_col=None`` takes the
+    store's own id column (the streaming-sink form)."""
     import json
     import os
 
     if _params is None:
         with open(os.path.join(path, "params.json")) as f:
             _params = json.load(f)
+    if id_col is None:
+        id_col = _params["id_col"]
     sample = kmv_sample(df, id_col, _params["by"] or None,
                         k=_params["k"], salt=_params["salt"])
     (sample.write.mode("overwrite")
@@ -874,3 +878,25 @@ def compact_kmv_store(spark, path: str) -> int:
     for d in sources:
         shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
     return len(sources)
+
+
+def retract_countmin_store(df: DataFrame, value_col: str, path: str, *,
+                           batch_id) -> bool:
+    """Retract a batch's occurrences from the persisted count-min store
+    — deletion for the additive sketch: publish the batch's cells
+    NEGATED (one atomic rename, first-publish-wins, like any append).
+    Sound because the store's cells are EXACT occurrence sums (the
+    sketch's only approximation is hash collision): a retraction
+    removes exactly the contribution the original batch added, so every
+    cell stays >= the true remaining count and lookups keep the
+    never-underestimate guarantee.  The caller must retract rows it
+    actually ingested (retracting never-ingested rows drives cells
+    below truth — the same contract as any ledger).  Use a batch_id
+    distinct from the original append's (e.g. ``retract-<id>``)."""
+    p = _cm_params(path)
+    cells = countmin_table(df, value_col, depth=p["depth"],
+                           width=p["width"])
+    negated = cells.select("row", "bucket",
+                           (-F.col("n")).alias("n"))
+    return _cm_publish_batch(negated, path, _cm_current_gen(path),
+                             batch_id)

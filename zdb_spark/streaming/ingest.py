@@ -433,3 +433,32 @@ def text_index_sink(stream_df: DataFrame, store_path: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_sample_sink(stream_df: DataFrame, store_path: str,
+                    checkpoint: str,
+                    trigger_seconds: int | None = None):
+    """Continuous uniform-sample maintenance: every micro-batch's
+    bottom-k sample lands as an epoch-named batch in the persisted KMV
+    store (operators/sketches.py:append_kmv_store), so "a deterministic
+    sample — and nearest-rank quantiles — over everything ingested so
+    far" reads (batches x k x groups) rows at any moment.  Replay-
+    idempotent structurally: a re-run epoch overwrites its own batch
+    dir with identical rows, and the read side's union + re-bottom-k
+    collapses duplicates (order-statistic merge).  Bootstrap with
+    ``build_kmv_store``; query with ``read_kmv_store`` /
+    ``kmv_store_quantiles``."""
+    from ..operators.sketches import append_kmv_store
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_kmv_store(batch_df, None, store_path,
+                         batch_id=f"epoch-{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3090,3 +3090,22 @@ class TestTextIndexStore:
         got_ids = {r[0] for r in
                    text_index_topk(spark, p, q, k=300).collect()}
         assert not any(i % 7 == 0 for i in got_ids)
+
+    def test_query_term_named_like_id_column(self, spark, tmp_path):
+        """A query term spelled exactly like the id column must not
+        collide with the pivot output (terms pivot under positional
+        aliases) — and still score bit-identically to the live path."""
+        from zdb_spark.operators.search import (bm25_topk,
+                                                build_text_index,
+                                                text_index_topk)
+
+        df = spark.createDataFrame(
+            [(i, f"doc_id scan w{i % 9} table") for i in range(60)],
+            "doc_id long, text string")
+        p = str(tmp_path / "idx")
+        build_text_index(df, p)
+        q = "doc_id scan"
+        live = [tuple(r) for r in bm25_topk(df, q, k=10).collect()]
+        got = [tuple(r) for r in
+               text_index_topk(spark, p, q, k=10).collect()]
+        assert got == live

@@ -339,10 +339,6 @@ def delete_from_text_index(spark, path: str, ids: DataFrame, *,
     import shutil
     import uuid
 
-    with open(os.path.join(path, "params.json")) as f:
-        import json
-
-        prm = json.load(f)
     gen = _ti_current_gen(path)
     gdir = os.path.join(path, f"gen={gen}")
     dest = os.path.join(gdir, "deletes", f"batch={batch_id}")
@@ -497,15 +493,23 @@ def text_index_topk(spark, path: str, query: str, k: int = 10,
     # pivot term rows -> tf columns so the score is the SAME fixed
     # left-to-right chain bm25_topk compiles (summing a groupBy agg
     # instead would re-order the float additions and risk last-ulp
-    # divergence from the live path)
-    per_doc = (posts.groupBy(F.col("_id").alias(id_col),
-                             F.col("_dl").alias("_dl"))
-               .pivot("term", terms).agg(F.first("tf")).na.fill(0))
+    # divergence from the live path).  Terms pivot under positional
+    # aliases (_t0..) so a query term spelled like the id column (or
+    # any column) can never collide with the pivot output.
+    alias_of = {t: f"_t{i}" for i, t in enumerate(terms)}
+    tagged = posts.withColumn(
+        "_ta", F.coalesce(*[F.when(F.col("term") == F.lit(t),
+                                   F.lit(a))
+                            for t, a in alias_of.items()]))
+    per_doc = (tagged.groupBy(F.col("_id").alias(id_col),
+                              F.col("_dl").alias("_dl"))
+               .pivot("_ta", list(alias_of.values()))
+               .agg(F.first("tf")).na.fill(0))
     denom_norm = F.lit(k1) * (F.lit(1 - b)
                               + F.lit(b) * F.col("_dl") / F.lit(avgdl))
     score = None
     for t in terms:
-        tf = F.col(f"`{t}`")
+        tf = F.col(alias_of[t])
         part = F.lit(idf[t]) * tf * F.lit(k1 + 1) / (tf + denom_norm)
         score = part if score is None else score + part
     return (per_doc.select(F.col(id_col), score.alias("_score"))

@@ -609,3 +609,98 @@ class TestImportanceWeights:
 
 def i_grams(out, i):
     return int(out.loc[out.doc_id == i, "n_grams"].iloc[0])
+
+
+class TestContaminationBloom:
+    """Bloom-prefiltered decontamination must be EXACT — identical to
+    ``contamination`` on every corpus (the prefilter has no false
+    negatives; stage 2 removes the false positives)."""
+
+    def test_identical_to_exact_on_planted_overlap(self, spark):
+        from zdb_spark.operators.curation import (contamination,
+                                                  contamination_bloom)
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet")
+        rows = [(1, base), (2, "completely different words " * 5),
+                (3, "prefix words then " + base),
+                (4, "alpha bravo charlie delta echo")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame([(100, base)],
+                                      "doc_id long, text string")
+        a = sorted(map(tuple, contamination(
+            df, bench, "text", "doc_id", n=8).collect()))
+        b = sorted(map(tuple, contamination_bloom(
+            df, bench, "text", "doc_id", n=8, m_bits=4096,
+            k=4).collect()))
+        assert a == b
+
+    def test_exact_even_when_filter_saturated(self, spark):
+        # m_bits=32 saturates the filter: everything passes stage 1 and
+        # stage 2 must carry the full exactness burden
+        from zdb_spark.operators.curation import (contamination,
+                                                  contamination_bloom)
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("w"), F.col("id"), F.lit(" x y z a b c d e f"))
+            .alias("text"))
+        bench = docs.where(F.col("doc_id") < 5).select("text")
+        a = sorted(map(tuple, contamination(docs, bench).collect()))
+        b = sorted(map(tuple, contamination_bloom(
+            docs, bench, m_bits=32, k=2).collect()))
+        assert a == b
+
+    def test_no_shuffle_before_survivor_agg(self, spark):
+        # the corpus side must reach the verify join through broadcast
+        # joins only — no Exchange below the first corpus aggregation
+        from zdb_spark.operators.curation import contamination_bloom
+
+        docs = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.lit("some shared words appear here repeatedly often "
+                  "enough grams").alias("text"))
+        bench = docs.where(F.col("doc_id") < 2).select("text")
+        plan = contamination_bloom(
+            docs, bench, m_bits=1024)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestNgramNovelty:
+    def test_novelty_counts_first_occurrences(self, spark):
+        from zdb_spark.operators.curation import ngram_novelty
+
+        seq = "a b c d e f g h i j"          # 3 distinct 8-grams
+        rows = [(1, seq),                     # all 3 grams novel
+                (2, seq),                     # exact dup: 0 novel
+                (3, seq + " k"),              # 4 grams, 1 novel
+                (4, "short text")]            # < 8 tokens: no grams
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+        assert (out[1].n_grams, out[1].n_novel, out[1].novelty) \
+            == (3, 3, 1.0)
+        assert (out[2].n_grams, out[2].n_novel) == (3, 0)
+        assert out[2].novelty == 0.0
+        assert (out[3].n_grams, out[3].n_novel) == (4, 1)
+        assert out[3].novelty == 0.25
+        assert (out[4].n_grams, out[4].n_novel, out[4].novelty) \
+            == (0, 0, None)
+
+    def test_novel_mass_partitions_distinct_grams(self, spark, sf_dir):
+        import os
+
+        from zdb_spark.operators.curation import ngram_novelty
+        from zdb_spark.operators.text import _ngram_col, tokenize
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        nv = ngram_novelty(docs, n=5)
+        total_novel = nv.agg(F.sum("n_novel")).first()[0]
+        distinct_grams = docs.select(F.explode(F.array_distinct(
+            _ngram_col(tokenize("text"), 5))).alias("g")) \
+            .distinct().count()
+        assert total_novel == distinct_grams
+        assert nv.where((F.col("novelty") < 0)
+                        | (F.col("novelty") > 1)).count() == 0

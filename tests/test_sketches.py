@@ -755,3 +755,185 @@ def test_retract_countmin_store_removes_exactly_its_batch(spark,
     assert compact_countmin_store(spark, p) == 3
     assert {r.value: r.est_count for r in
             countmin_store_lookup(spark, p, probes).collect()} == before
+
+
+class TestBloom:
+    """Packed-word Bloom filter (operators/sketches.py:bloom_words):
+    never a false negative, false positives within the (fill)^k bound,
+    word table bounded by m_bits/32 rows, bit_or mergeability — the
+    membership sketch of the four-family story."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+
+    def test_no_false_negatives(self, spark):
+        from zdb_spark.operators.sketches import bloom_lookup, bloom_words
+
+        df = self._docs(spark, 0, 500)
+        w = bloom_words(df, "v", m_bits=8192, k=4)
+        probes = [f"u{i}" for i in range(0, 500, 7)]
+        got = {r.value: r.maybe_present
+               for r in bloom_lookup(w, probes, m_bits=8192,
+                                     k=4).collect()}
+        assert all(got.values()), [v for v, p in got.items() if not p]
+
+    def test_false_positive_rate_within_bound(self, spark):
+        from zdb_spark.operators.sketches import (bloom_lookup,
+                                                  bloom_stats,
+                                                  bloom_words)
+
+        df = self._docs(spark, 0, 500)
+        m, k = 8192, 4
+        w = bloom_words(df, "v", m_bits=m, k=k)
+        fill, fpr_est = bloom_stats(
+            w, m_bits=m, k=k).select("fill", "fpr_est").first()
+        absent = [f"absent{i}" for i in range(400)]
+        got = bloom_lookup(w, absent, m_bits=m, k=k).collect()
+        fp = sum(r.maybe_present for r in got) / len(got)
+        # fill ~ 500*4/8192 ≈ 0.22 -> fpr_est ~ 0.2%; allow generous
+        # sampling slack above the analytic estimate
+        assert fp <= 5 * fpr_est + 0.01, (fp, fpr_est, fill)
+
+    def test_word_table_bounded_and_mergeable(self, spark):
+        from zdb_spark.operators.sketches import bloom_words
+
+        m = 1024
+        a = self._docs(spark, 0, 300)
+        b = self._docs(spark, 300, 700)
+        whole = bloom_words(self._docs(spark, 0, 700), "v", m_bits=m)
+        assert whole.count() <= m // 32
+        merged = (bloom_words(a, "v", m_bits=m)
+                  .union(bloom_words(b, "v", m_bits=m))
+                  .groupBy("word_idx").agg(F.bit_or("word").alias("word")))
+        assert ({tuple(r) for r in merged.collect()}
+                == {tuple(r) for r in whole.collect()})
+
+    def test_probe_position_collisions_stay_true(self, spark):
+        # m_bits=32 forces all k=8 probes of every value into ONE word
+        # with near-certain position collisions: a value just inserted
+        # must still probe true (the distinct-address accounting)
+        from zdb_spark.operators.sketches import bloom_lookup, bloom_words
+
+        df = spark.createDataFrame([("x",), ("y",)], "v string")
+        w = bloom_words(df, "v", m_bits=32, k=8)
+        got = {r.value: r.maybe_present
+               for r in bloom_lookup(w, ["x", "y"], m_bits=32,
+                                     k=8).collect()}
+        assert got == {"x": True, "y": True}
+
+    def test_grouped_words_and_stats(self, spark):
+        from zdb_spark.operators.sketches import bloom_stats, bloom_words
+
+        df = spark.range(400).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"))
+        w = bloom_words(df, "v", "g", m_bits=2048, k=3)
+        per = {r.g: r["count"] for r in
+               w.groupBy("g").count().collect()}
+        assert set(per) == {"0", "1"}
+        assert all(c <= 2048 // 32 for c in per.values())
+        st = {r.g: r.set_bits for r in
+              bloom_stats(w, "g", m_bits=2048, k=3).collect()}
+        assert all(0 < s <= 200 * 3 for s in st.values())
+
+    def test_set_bits_matches_python_popcount(self, spark):
+        from zdb_spark.operators.sketches import bloom_stats, bloom_words
+
+        w = bloom_words(self._docs(spark, 0, 100), "v", m_bits=1024)
+        expect = sum(bin(r.word).count("1") for r in w.collect())
+        got = bloom_stats(w, m_bits=1024).first().set_bits
+        assert got == expect
+
+    def test_nulls_set_no_bits(self, spark):
+        from zdb_spark.operators.sketches import bloom_words
+
+        df = spark.createDataFrame([("a",), (None,)], "v string")
+        with_null = bloom_words(df, "v", m_bits=256, k=4)
+        without = bloom_words(df.where(F.col("v").isNotNull()), "v",
+                              m_bits=256, k=4)
+        assert ({tuple(r) for r in with_null.collect()}
+                == {tuple(r) for r in without.collect()})
+
+    def test_param_validation(self, spark):
+        from zdb_spark.operators.sketches import bloom_words
+
+        df = self._docs(spark, 0, 10)
+        with pytest.raises(ValueError):
+            bloom_words(df, "v", m_bits=100)   # not a multiple of 32
+        with pytest.raises(ValueError):
+            bloom_words(df, "v", m_bits=0)
+        with pytest.raises(ValueError):
+            bloom_words(df, "v", k=0)
+
+
+class TestBloomStore:
+    """Persisted/incremental Bloom words: build/append/read reproduce
+    the whole-corpus word table exactly; replay and compaction are
+    no-ops by bit_or idempotence (the HLL store's durability story with
+    a different merge operator)."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+
+    def test_incremental_equals_whole_corpus(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (append_bloom_store,
+                                                  bloom_words,
+                                                  build_bloom_store,
+                                                  read_bloom_words)
+
+        p = str(tmp_path / "bloom")
+        build_bloom_store(self._docs(spark, 0, 400), "v", p,
+                          m_bits=4096, k=4)
+        append_bloom_store(self._docs(spark, 400, 700), "v", p,
+                           batch_id=1)
+        append_bloom_store(self._docs(spark, 700, 1000), "v", p,
+                           batch_id=2)
+        whole = {tuple(r) for r in bloom_words(
+            self._docs(spark, 0, 1000), "v", m_bits=4096, k=4).collect()}
+        assert {tuple(r) for r in
+                read_bloom_words(spark, p).collect()} == whole
+
+    def test_replay_and_compaction_idempotent(self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (append_bloom_store,
+                                                  bloom_store_lookup,
+                                                  build_bloom_store,
+                                                  compact_bloom_store,
+                                                  read_bloom_words)
+
+        p = str(tmp_path / "bloom")
+        build_bloom_store(self._docs(spark, 0, 300), "v", p,
+                          m_bits=2048, k=4)
+        append_bloom_store(self._docs(spark, 300, 600), "v", p,
+                           batch_id=1)
+        before = {tuple(r) for r in read_bloom_words(spark, p).collect()}
+        append_bloom_store(self._docs(spark, 300, 600), "v", p,
+                           batch_id=1)     # replayed batch: no-op
+        assert {tuple(r) for r in
+                read_bloom_words(spark, p).collect()} == before
+        assert compact_bloom_store(spark, p) == 2
+        assert {tuple(r) for r in
+                read_bloom_words(spark, p).collect()} == before
+        assert compact_bloom_store(spark, p) == 0  # single batch left
+        got = {r.value: r.maybe_present for r in bloom_store_lookup(
+            spark, p, ["u0", "u599", "absent"]).collect()}
+        assert got == {"u0": True, "u599": True, "absent": False}
+
+    def test_build_twice_raises_and_grouped_lookup_rejected(
+            self, spark, tmp_path):
+        from zdb_spark.operators.sketches import (bloom_store_lookup,
+                                                  build_bloom_store)
+
+        p = str(tmp_path / "bloom")
+        build_bloom_store(self._docs(spark, 0, 50), "v", p, m_bits=256)
+        with pytest.raises(FileExistsError):
+            build_bloom_store(self._docs(spark, 0, 50), "v", p,
+                              m_bits=256)
+        g = str(tmp_path / "bloomg")
+        df = spark.range(50).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        build_bloom_store(df, "v", g, "g", m_bits=256)
+        with pytest.raises(ValueError):
+            bloom_store_lookup(spark, g, ["u0"])

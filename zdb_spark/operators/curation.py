@@ -32,7 +32,7 @@ __all__ = ["hash_split", "split_label", "split_leakage",
            "pack_sequences", "stratified_sample", "percentile_cut",
            "percentile_cut_by_group",
            "token_budget_mix", "contamination", "contamination_hash",
-           "contamination_fuzzy",
+           "contamination_bloom", "contamination_fuzzy", "ngram_novelty",
            "chunk_documents", "temperature_sample", "cap_per_group",
            "global_shuffle", "importance_weights"]
 
@@ -427,6 +427,113 @@ def contamination_hash(df: DataFrame, bench: DataFrame,
                     F.coalesce("n_contaminated", F.lit(0)).cast("long")
                      .alias("n_contaminated"))
             .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def contamination_bloom(df: DataFrame, bench: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 8, *, m_bits: int = 1 << 18,
+                        k: int = 4) -> DataFrame:
+    """``contamination`` with a BLOOM-FILTER PREFILTER — the third (and
+    leanest) broadcast tier.  Result IDENTICAL to ``contamination``
+    (the gate shares its oracle):
+
+    1. prefilter: the benchmark grams become a packed-word Bloom filter
+       (sketches.py:bloom_words — m_bits/32 longs total, independent of
+       gram count or gram string length) and each corpus gram is probed
+       with ``k`` chained BROADCAST hash joins against the word table,
+       dropping grams with any unset bit.  No false negatives (a bench
+       gram always survives); false positives at ~(fill)^k join stage 2.
+    2. exact verify: survivors re-join the benchmark on the gram string
+       — AQE sizes the build side, exactly as in ``contamination_hash``
+       (an unconditional hint could OOM on a contaminated corpus).
+
+    Broadcast ladder at 100 TB: gram STRINGS (``contamination``,
+    ~50 B/gram) → xxhash64 set (``contamination_hash``, 8 B/gram) →
+    Bloom words (here, ~1.2 BITS/gram at 1% FPR) — three orders of
+    magnitude, so benchmark suites of 10^9+ grams still broadcast while
+    the corpus side stays a flatMap + k map-side joins, never shuffled
+    before the survivor aggregation."""
+    from .dedup import let
+    from .sketches import BLOOM_WORD_BITS, bloom_words
+    from .text import _ngram_col, tokenize
+
+    def grams(frame: DataFrame, *cols: str) -> DataFrame:
+        g = let(tokenize(text_col),
+                lambda t: F.array_distinct(_ngram_col(t, n)))
+        return frame.select(*cols, F.explode(g).alias("gram"))
+
+    bench_grams = grams(bench).distinct()
+    words = bloom_words(bench_grams, "gram", m_bits=m_bits, k=k)
+    cand = grams(df, id_col)
+    for i in range(k):
+        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))
+        pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+               % F.lit(m_bits))
+        wi = words.select(F.col("word_idx").alias(f"_wi{i}"),
+                          F.col("word").alias(f"_w{i}"))
+        cand = (cand.withColumn(f"_p{i}", pos)
+                .join(F.broadcast(wi),
+                      F.expr(f"CAST(_p{i} div {BLOOM_WORD_BITS} AS INT)")
+                      == F.col(f"_wi{i}"))
+                .where(F.col(f"_w{i}").bitwiseAND(
+                    F.expr(f"shiftleft(1L, CAST(_p{i} %"
+                           f" {BLOOM_WORD_BITS} AS INT))")) != 0)
+                .drop(f"_p{i}", f"_wi{i}", f"_w{i}"))
+    hits = (bench_grams.join(cand, "gram")  # AQE sizes the build side
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_contaminated")))
+    return (df.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                     .alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 8, *,
+                  round_dp: int = 6) -> DataFrame:
+    """Per-document n-gram NOVELTY: of a document's distinct word
+    ``n``-grams, how many occur in NO earlier document (first occurrence
+    = the corpus-wide minimum ``id_col``)?  The curation signal behind
+    the "how much of this shard is new text" triage (cf. Lee et al.
+    2021, Deduplicating Training Data Makes Language Models Better —
+    novelty mass is the complement of their duplicate-text fraction).
+
+    Output: (id, n_grams, n_novel, novelty) with ``novelty =
+    n_novel / n_grams`` — ONE IEEE division of exact integers
+    (bit-replayable), NULL for documents shorter than ``n`` tokens.
+
+    Scale shape: one corpus scan; a gram-keyed partial aggregation
+    (min(id) — the exact-dedup shuffle class); then everything runs on
+    doc-count-sized tables — first-occurrence counts re-aggregate by
+    doc id and join the per-doc gram counts, so no corpus-sized join
+    ever happens (the naive form re-joins every (doc, gram) pair
+    against the first-occurrence table)."""
+    from .dedup import let
+    from .text import _ngram_col, tokenize
+
+    g = let(tokenize(text_col), lambda t: F.array_distinct(_ngram_col(t, n)))
+    doc_grams = df.select(F.col(id_col), F.explode(g).alias("gram"))
+    n_grams = (doc_grams.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams")))
+    firsts = (doc_grams.groupBy("gram")
+              .agg(F.min(id_col).alias("_first_id")))
+    novel = (firsts.groupBy(F.col("_first_id").alias(id_col))
+             .agg(F.count(F.lit(1)).alias("n_novel")))
+    novelty = F.when(
+        F.col("n_grams") > 0,
+        round0(F.col("n_novel").cast("double")
+               / F.col("n_grams").cast("double"), round_dp))
+    return (df.select(id_col)
+            .join(n_grams, id_col, "left")
+            .join(novel, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).cast("long")
+                     .alias("n_grams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                     .alias("n_novel"))
+            .withColumn("novelty", novelty))
 
 
 def contamination_fuzzy(df: DataFrame, bench: DataFrame,

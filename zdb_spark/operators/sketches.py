@@ -4,18 +4,20 @@ persisted/incremental register store), heavy-hitter counting
 (count-min tables, live and as a persisted store with additive-merge
 staging), global percentiles and uniform sampling (KMV bottom-k:
 sampling, nearest-rank quantiles, exact sample merge, a persisted
-sample store), and distinct-set ALGEBRA (KMV (k-1)/u_k cardinality
+sample store), distinct-set ALGEBRA (KMV (k-1)/u_k cardinality
 plus jaccard/union/intersection estimates — the set operations
-max-merged HLL registers cannot answer) — all built so another engine
-can replay them bit-for-bit.
+max-merged HLL registers cannot answer), and MEMBERSHIP (Bloom
+filters as packed-word tables: no false negatives, tunable false
+positives — the "have we ever crawled this URL" primitive) — all
+built so another engine can replay them bit-for-bit.
 
-The three persisted stores are one artifact family with three merge
+The four persisted stores are one artifact family with four merge
 disciplines: HLL registers merge by ``max`` (idempotent — overwrite
 batch dirs are the whole durability story), count-min cells by ``+``
 (NOT idempotent — rename-published first-publish-wins batches and a
 generation pointer readers resolve exactly once), KMV samples by
 ORDER STATISTICS (union + re-bottom-k, idempotent by the closure
-property).
+property), Bloom words by ``bit_or`` (idempotent, same story as HLL).
 
 Spark ships HLL (``approx_count_distinct``) and quantile sketches, and
 tests/test_sketches.py pins their accuracy — but their hash functions
@@ -71,7 +73,10 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "merge_kmv_samples", "kmv_value_sketch", "kmv_distinct",
            "kmv_set_estimates", "build_kmv_store", "append_kmv_store",
            "read_kmv_store", "kmv_store_quantiles", "compact_kmv_store",
-           "HLL_M", "HLL_RHO_MAX", "hll_alpha"]
+           "bloom_words", "bloom_lookup", "bloom_stats",
+           "build_bloom_store", "append_bloom_store", "read_bloom_words",
+           "bloom_store_lookup", "compact_bloom_store",
+           "HLL_M", "HLL_RHO_MAX", "BLOOM_WORD_BITS", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
 # rank word w = the next 12 hex chars (48 bits) => rho in [1, 49]
@@ -900,3 +905,229 @@ def retract_countmin_store(df: DataFrame, value_col: str, path: str, *,
                            (-F.col("n")).alias("n"))
     return _cm_publish_batch(negated, path, _cm_current_gen(path),
                              batch_id)
+
+
+# ---------------------------------------------------------------------- #
+# Bloom filter — packed-word membership sketch                            #
+# ---------------------------------------------------------------------- #
+# Fourth sketch family, fourth question: HLL answers "how many distinct",
+# count-min "how often", KMV "which sample / what percentile" — the Bloom
+# filter answers "have I seen THIS value" (no false negatives, tunable
+# false-positive rate (set_bits/m)^k).  The sketch state is a packed bit
+# array as a (word_idx, word) table: m_bits/32 rows of one 32-bit word
+# each (held in a long so no engine ever sees a sign bit), built by ONE
+# partially aggregated groupBy whose shuffle is bounded by m_bits/32 rows
+# per partition — corpus-size-INDEPENDENT, like the HLL registers.
+# Bit positions derive from md5 exactly like count-min cells, so another
+# engine replays the full word table AND every membership verdict
+# bit-for-bit.  Merge across epochs/engines is bitwise OR — IDEMPOTENT,
+# so the persisted store below reuses the HLL store's overwrite-batch
+# durability story verbatim (no staging/generation machinery).
+# References: Bloom 1970 (space/time trade-offs in hash coding);
+# Broder & Mitzenmacher 2004 (network applications survey — the
+# (1-e^{-kn/m})^k ≈ (fill)^k false-positive analysis).
+BLOOM_WORD_BITS = 32
+
+
+def _bloom_addressed(values: DataFrame, value_col: str, by: list, *,
+                     m_bits: int, k: int) -> DataFrame:
+    """(by..., value, word_idx, mask) — the k probe addresses of each
+    value: probe i's bit position is md5('<i>:' || value)'s first 8 hex
+    chars mod m_bits (the count-min addressing idiom), split into a
+    32-bit word index and a single-bit mask."""
+    probes = F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    keyed = (values.where(F.col(value_col).isNotNull())
+             .select(*by, F.col(value_col).cast("string").alias("value"),
+                     probes.alias("_i")))
+    h = F.md5(F.concat(F.col("_i").cast("string"), F.lit(":"),
+                       F.col("value")))
+    pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+           % F.lit(m_bits))
+    # shiftleft() takes a literal shift only — SQL form for a column
+    # shift (the HLL reg_sum idiom); pos is nonnegative by construction
+    return (keyed.select(*by, "value", pos.alias("_pos"))
+            .select(*by, "value",
+                    F.expr(f"CAST(_pos div {BLOOM_WORD_BITS} AS INT)")
+                    .alias("word_idx"),
+                    F.expr(f"shiftleft(1L, CAST(_pos % {BLOOM_WORD_BITS}"
+                           " AS INT))").alias("mask")))
+
+
+def _check_bloom_params(m_bits: int, k: int) -> None:
+    if m_bits < BLOOM_WORD_BITS or m_bits % BLOOM_WORD_BITS:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {BLOOM_WORD_BITS}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+
+def bloom_words(df: DataFrame, value_col: str, by=None, *,
+                m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Per-group Bloom filter as a (by..., word_idx, word) packed-word
+    table — at most ``m_bits/32`` rows per group regardless of corpus
+    size (one partially aggregated groupBy; map-side bit_or collapses
+    each partition to the word table before the shuffle).
+
+    The word table IS the persistable/mergeable sketch state: union two
+    epochs' tables and ``bit_or`` per (group, word_idx) — how 100 TB of
+    per-day "seen URL" filters roll up to an all-time filter without
+    re-reading a row.  NULL values don't set bits (a membership probe
+    for NULL is meaningless under SQL semantics)."""
+    _check_bloom_params(m_bits, k)
+    by = [by] if isinstance(by, str) else list(by or [])
+    addr = _bloom_addressed(df, value_col, by, m_bits=m_bits, k=k)
+    return (addr.groupBy(*by, "word_idx")
+            .agg(F.bit_or("mask").alias("word")))
+
+
+def bloom_lookup(table: DataFrame, values: list[str], *,
+                 m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Membership verdicts for ``values`` against an UNGROUPED Bloom
+    word table (DataFrame from ``bloom_words`` with ``by=None``):
+    ``maybe_present`` is true iff all k addressed bits are set — never
+    a false negative; false positives at rate ~(fill)^k.
+    ``m_bits``/``k`` must match the table's build parameters.
+
+    Scale shape: the addressed probes broadcast (tiny by contract) and
+    the word table streams through a map-side broadcast hash join —
+    never shuffled, so a 100 TB-scale filter (m_bits in the billions)
+    is probed at scan cost.  Absent word rows mean unset bits: verdicts
+    compare the number of SET probe addresses against each value's
+    DISTINCT address count (two of a value's k probes can hash to the
+    same bit — counting k would manufacture a false negative)."""
+    _check_bloom_params(m_bits, k)
+    spark = table.sparkSession
+    q = spark.createDataFrame([(v,) for v in values], "value string")
+    addr = (_bloom_addressed(q, "value", [], m_bits=m_bits, k=k)
+            .distinct())
+    expected = addr.groupBy("value").agg(
+        F.count(F.lit(1)).alias("_n_addr"))
+    hits = (table.join(F.broadcast(addr), "word_idx")
+            .where(F.col("word").bitwiseAND(F.col("mask")) != 0)
+            .groupBy("value").agg(F.count(F.lit(1)).alias("_n_hit")))
+    return (expected.join(hits, "value", "left")
+            .select("value",
+                    (F.coalesce(F.col("_n_hit"), F.lit(0))
+                     == F.col("_n_addr")).alias("maybe_present")))
+
+
+def bloom_stats(table: DataFrame, by=None, *, m_bits: int = 1 << 20,
+                k: int = 4, round_dp: int = 6) -> DataFrame:
+    """Occupancy diagnostics per group: (by..., set_bits, fill,
+    fpr_est).  ``set_bits`` is an exact integer (sum of per-word
+    bit_count); ``fill = set_bits / m_bits`` is ONE IEEE division of
+    exact integers (bit-replayable, hash-gateable); ``fpr_est =
+    fill^k`` goes through libm ``pow``, so like HLL's corrected ``est``
+    it is pinned by tests, not by the cross-engine hash contract."""
+    _check_bloom_params(m_bits, k)
+    by = [by] if isinstance(by, str) else list(by or [])
+    g = table.groupBy(*by) if by else table.groupBy()
+    agg = g.agg(F.sum(F.bit_count("word")).cast("long")
+                .alias("set_bits"))
+    fill = F.col("set_bits").cast("double") / F.lit(float(m_bits))
+    return agg.select(
+        *by, "set_bits", round0(fill, round_dp).alias("fill"),
+        F.round(F.pow(fill, F.lit(float(k))), round_dp).alias("fpr_est"))
+
+
+# ---------------------------------------------------------------------- #
+# persisted / incremental Bloom store                                     #
+# ---------------------------------------------------------------------- #
+# bit_or is idempotent (x | x = x), so this store is the HLL store's
+# durability story with a different merge operator: per-batch-dir
+# OVERWRITE writes, union + bit_or on read, delete-after-publish
+# compaction that racing readers survive.  No staging, no generations.
+def build_bloom_store(df: DataFrame, value_col: str, path: str,
+                      by=None, *, m_bits: int = 1 << 20,
+                      k: int = 4) -> None:
+    """Persist the corpus's Bloom words as a parquet store — the
+    incremental form of ``bloom_words``: per-ingest-batch word tables
+    accumulate under ``words/batch=<id>/`` and the read side bit_or-
+    merges them, so "have we EVER crawled this URL" over 100 TB of
+    history is a word-table read, never a corpus re-scan."""
+    import json
+    import os
+
+    _check_bloom_params(m_bits, k)
+    by = [by] if isinstance(by, str) else list(by or [])
+    if os.path.exists(os.path.join(path, "params.json")):
+        raise FileExistsError(f"Bloom store already exists at {path}")
+    os.makedirs(path, exist_ok=True)
+    append_bloom_store(df, value_col, path, batch_id=0,
+                       _params={"by": by, "m_bits": m_bits, "k": k})
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": 1, "by": by, "m_bits": m_bits, "k": k}, f)
+
+
+def append_bloom_store(df: DataFrame, value_col: str, path: str, *,
+                       batch_id, _params=None) -> None:
+    """Add one batch's words under ``words/batch=<id>/`` (OVERWRITE:
+    replaying the same batch id is a no-op by bit_or idempotence — the
+    exactly-once contract streaming sinks need).  O(batch) work; the
+    stored history is untouched."""
+    import json
+    import os
+
+    if _params is None:
+        with open(os.path.join(path, "params.json")) as f:
+            _params = json.load(f)
+    words = bloom_words(df, value_col, _params["by"] or None,
+                        m_bits=_params["m_bits"], k=_params["k"])
+    (words.write.mode("overwrite")
+     .parquet(os.path.join(path, "words", f"batch={batch_id}")))
+
+
+def read_bloom_words(spark, path: str) -> DataFrame:
+    """The store's merged word table: union every batch, bit_or per
+    (by..., word_idx) — EXACTLY the whole-corpus ``bloom_words`` (OR is
+    associative/commutative/idempotent over any batch split).  Reads
+    (batches x groups x m_bits/32) word rows, never the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        by = json.load(f)["by"]
+    words = spark.read.parquet(os.path.join(path, "words", "batch=*"))
+    return (words.groupBy(*by, "word_idx")
+            .agg(F.bit_or("word").alias("word")))
+
+
+def bloom_store_lookup(spark, path: str, values: list[str]) -> DataFrame:
+    """Membership verdicts against the persisted merged filter — same
+    output contract and bit-determinism as ``bloom_lookup`` on the
+    whole-corpus table (the store's params pin m_bits/k)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    if p["by"]:
+        raise ValueError("bloom_store_lookup requires an ungrouped "
+                         "store (by=[])")
+    return bloom_lookup(read_bloom_words(spark, path), values,
+                        m_bits=p["m_bits"], k=p["k"])
+
+
+def compact_bloom_store(spark, path: str) -> int:
+    """Fold every batch into one merged-word batch (delete-after-
+    publish, same shape as ``compact_hll_store`` — racing readers see
+    source+compacted rows at worst, which bit_or idempotence makes
+    harmless).  Returns the number of source batch dirs folded."""
+    import os
+    import shutil
+
+    wdir = os.path.join(path, "words")
+    sources = sorted(d for d in os.listdir(wdir)
+                     if d.startswith("batch="))
+    if len(sources) <= 1:
+        return 0
+    merged = read_bloom_words(spark, path)
+    n = len([d for d in sources if d.startswith("batch=compact-")])
+    out = os.path.join(wdir, f"batch=compact-{n}")
+    while os.path.basename(out) in sources:
+        n += 1
+        out = os.path.join(wdir, f"batch=compact-{n}")
+    merged.write.mode("overwrite").parquet(out)
+    for d in sources:
+        shutil.rmtree(os.path.join(wdir, d), ignore_errors=True)
+    return len(sources)

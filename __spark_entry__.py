@@ -4104,6 +4104,105 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("source", "doc_id", "v")
 
 
+# --------------------------------------------------------------------- #
+# Bloom membership family + novelty (round 13, second wave).             #
+# --------------------------------------------------------------------- #
+_BLOOM_M, _BLOOM_K = 1 << 16, 4
+_BLOOM_PROBES = ["customer", "join", "scan", "spark", "table",
+                 "zz-absent-1", "zz-absent-2", "qq-never-a-token"]
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership verdicts from the packed-word Bloom filter
+    (sketches.py:bloom_words/bloom_lookup, m=2^16 bits x k=4): the word
+    table is ONE partially aggregated groupBy bounded by m/32 rows
+    (corpus-size-independent, like the HLL registers), every bit
+    position is md5-derived, and the verdicts are exact-integer
+    comparisons — so DuckDB replays the full filter AND every verdict,
+    including the absent-token probes (false or, rarely, a
+    deterministic false positive).  The probe walks the map-side
+    broadcast join path (the word table is never shuffled)."""
+    from zdb_spark.operators.sketches import bloom_lookup, bloom_words
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("tok"))
+    words = bloom_words(toks, "tok", m_bits=_BLOOM_M, k=_BLOOM_K)
+    return bloom_lookup(words, _BLOOM_PROBES, m_bits=_BLOOM_M,
+                        k=_BLOOM_K)
+
+
+def q_bloom_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL membership via the persisted Bloom store
+    (sketches.py:build/append_bloom_store/bloom_store_lookup): history
+    (doc_id < n/2) builds the store, two batches append their own word
+    tables, and the read-side bit_or-merge must equal the whole-corpus
+    filter — so the oracle is bloom_membership's whole-corpus SQL
+    verbatim (the intentional-alias oracle pattern; OR-idempotence
+    proven in tests/test_sketches.py).  Store cached by corpus
+    fingerprint; build+appends land in a scratch dir atomically renamed
+    into place (the store-build idiom)."""
+    import tempfile
+
+    from zdb_spark.operators.sketches import (append_bloom_store,
+                                              bloom_store_lookup,
+                                              build_bloom_store)
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    n = docs.count()
+    t1, t2 = n // 2, (3 * n) // 4
+    key = _key_for(sf_dir, "bloom-store-v1", ("documents",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_bloom_store", key)
+    if not os.path.exists(os.path.join(store, "params.json")):
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_bloom_store(toks.where(F.col("doc_id") < t1), "tok",
+                          scratch, m_bits=_BLOOM_M, k=_BLOOM_K)
+        append_bloom_store(toks.where((F.col("doc_id") >= t1)
+                                      & (F.col("doc_id") < t2)),
+                           "tok", scratch, batch_id=1)
+        append_bloom_store(toks.where(F.col("doc_id") >= t2), "tok",
+                           scratch, batch_id=2)
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
+    return bloom_store_lookup(spark, store, _BLOOM_PROBES)
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via the BLOOM-WORD prefilter + exact verify —
+    the third broadcast tier (strings → hash set → packed bits,
+    ~1.2 bits/gram at 1% FPR, so 10^9-gram benchmark suites still
+    broadcast).  Result IDENTICAL to ``contamination`` by construction
+    (no false negatives; stage 2 removes false positives), so the gate
+    shares its oracle — a hash match proves the k chained broadcast
+    probes drop nothing true (curation.py:contamination_bloom)."""
+    from zdb_spark.operators.curation import contamination_bloom
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 20)
+    return contamination_bloom(docs, bench, "text", "doc_id", n=8,
+                               m_bits=1 << 18, k=4)
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty (curation.py:ngram_novelty): the
+    fraction of a doc's distinct word 5-grams whose corpus-wide first
+    occurrence is the doc itself — the 'how much of this shard is new
+    text' triage signal (Lee et al. 2021).  n_grams/n_novel are exact
+    integers; novelty is ONE unrounded IEEE division of them (rounding
+    is the hazard here: 1/128 at 6 dp is a genuine round-half tie where
+    engine policies diverge).  First-occurrence counts re-aggregate by
+    doc id, so no corpus-sized join appears in the plan."""
+    from zdb_spark.operators.curation import ngram_novelty
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "text", "doc_id", n=5)
+
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
@@ -4558,6 +4657,11 @@ _QUERY_DECLARATIONS: list[
     ("kmv_setops", q_kmv_setops),
     ("kmv_store", q_kmv_store),
     ("text_index", q_text_index),
+    # round-13 second wave: Bloom membership family + novelty
+    ("bloom_membership", q_bloom_membership),
+    ("bloom_store", q_bloom_store),
+    ("contamination_bloom", q_contamination_bloom),
+    ("ngram_novelty", q_ngram_novelty),
 ]
 
 
@@ -4623,6 +4727,9 @@ _COVERS: dict[str, list[str]] = {
     "kmv_merge": ["kmv_quantiles"],
     "kmv_setops": ["kmv_distinct"],    # both run kmv_value_sketch
     "kmv_store": ["kmv_merge"],        # read side IS merge_kmv_samples
+    # round-13 second wave: the store gate's appends run bloom_words and
+    # its read side IS bloom_lookup — the live gate's operators
+    "bloom_store": ["bloom_membership"],
 }
 
 
@@ -7666,5 +7773,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, q, CAST(n AS BIGINT) AS n_sample, v AS value
         FROM r, qs
         WHERE rnk = CAST(ceil(q * n) AS INT)
+    """
+    # Bloom membership replay (sketches.py:bloom_words/bloom_lookup,
+    # m=2^16 x k=4): word table, probe addresses (DISTINCT per value —
+    # the probe-collision accounting), and every verdict are exact
+    # integers derived from md5, replayed cell-for-cell
+    _bloom_probes = ", ".join(f"'{p}'" for p in _BLOOM_PROBES)
+    sqls["bloom_membership"] = f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS tok
+            FROM documents
+        ), ks AS (
+            SELECT unnest([0, 1, 2, 3]) AS i
+        ), pos AS (
+            SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || tok), 1, 8))::BIGINT
+                       % {_BLOOM_M} AS p
+            FROM toks, ks
+        ), words AS (
+            SELECT p // 32 AS word_idx,
+                   bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+            FROM pos GROUP BY 1
+        ), pv AS (
+            SELECT unnest([{_bloom_probes}]) AS value
+        ), addr AS (
+            SELECT DISTINCT value, p // 32 AS word_idx,
+                   1::BIGINT << CAST(p % 32 AS INT) AS mask
+            FROM (SELECT value,
+                         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                             || value), 1, 8))::BIGINT
+                             % {_BLOOM_M} AS p
+                  FROM pv, ks)
+        ), expected AS (
+            SELECT value, count(*) AS n_addr FROM addr GROUP BY 1
+        ), hits AS (
+            SELECT value, count(*) AS n_hit
+            FROM addr JOIN words USING (word_idx)
+            WHERE (word & mask) <> 0 GROUP BY 1
+        )
+        SELECT e.value,
+               coalesce(h.n_hit, 0) = e.n_addr AS maybe_present
+        FROM expected e LEFT JOIN hits h ON e.value = h.value
+    """
+    # q_bloom_store: incremental bit_or-merge == whole-corpus words
+    # (OR is associative/commutative/idempotent over any batch split,
+    # pinned in tests/test_sketches.py), so its oracle is
+    # bloom_membership's whole-corpus SQL verbatim
+    sqls["bloom_store"] = sqls["bloom_membership"]
+    # q_contamination_bloom: the Bloom prefilter has no false negatives
+    # and the exact-verify join removes its false positives, so the
+    # result is contamination's by construction — shared oracle, same
+    # pattern as contamination_hash
+    sqls["contamination_bloom"] = sqls["contamination"]
+    # 5-gram novelty: distinct grams per doc, corpus-wide first
+    # occurrence by min(doc_id), counts re-aggregated by doc id; the
+    # novelty ratio is ONE unrounded IEEE division of exact integers
+    gram5 = ("list_distinct(list_transform("
+             "range(1, greatest(len(toks) - 4, 0) + 1), i -> "
+             + " || ' ' || ".join(f"toks[i + {j}]" for j in range(5))
+             + "))").replace("toks[i + 0]", "toks[i]")
+    sqls["ngram_novelty"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, {gram5} AS grams FROM t
+        ), dg AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+        ), ng AS (
+            SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1
+        ), firsts AS (
+            SELECT gram, min(doc_id) AS first_id FROM dg GROUP BY 1
+        ), novel AS (
+            SELECT first_id AS doc_id, count(*) AS n_novel
+            FROM firsts GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN coalesce(ng.n_grams, 0) > 0
+                    THEN CAST(coalesce(novel.n_novel, 0) AS DOUBLE)
+                         / CAST(ng.n_grams AS DOUBLE)
+               END AS novelty
+        FROM documents d
+        LEFT JOIN ng USING (doc_id)
+        LEFT JOIN novel USING (doc_id)
     """
     return sqls

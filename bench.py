@@ -108,6 +108,11 @@ HEADLINE = [
                           # cached across runs by fingerprint)
     "text_index",         # persisted inverted index: bucket-pruned
                           # posting-list BM25 (index cached across runs)
+    "bloom_membership",   # packed-word Bloom filter build + probe verdicts
+    "bloom_store",        # persisted Bloom store (build+2 appends, bit_or
+                          # merge; cached across runs by fingerprint)
+    "contamination_bloom",  # bloom-prefiltered exact decontamination
+    "ngram_novelty",      # per-doc first-occurrence 5-gram novelty
 ]
 
 

@@ -492,7 +492,7 @@ def contamination_bloom(df: DataFrame, bench: DataFrame,
 
 def ngram_novelty(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 8, *,
-                  round_dp: int = 6) -> DataFrame:
+                  round_dp: int | None = None) -> DataFrame:
     """Per-document n-gram NOVELTY: of a document's distinct word
     ``n``-grams, how many occur in NO earlier document (first occurrence
     = the corpus-wide minimum ``id_col``)?  The curation signal behind
@@ -501,8 +501,11 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
     novelty mass is the complement of their duplicate-text fraction).
 
     Output: (id, n_grams, n_novel, novelty) with ``novelty =
-    n_novel / n_grams`` — ONE IEEE division of exact integers
-    (bit-replayable), NULL for documents shorter than ``n`` tokens.
+    n_novel / n_grams`` — ONE IEEE division of exact integers, left
+    UNROUNDED by default because it is already bit-replayable and the
+    dyadic ratios rounding would touch (1/128 at 6 dp is a genuine
+    round-half tie) are exactly where engines' tie policies diverge;
+    NULL for documents shorter than ``n`` tokens.
 
     Scale shape: one corpus scan; a gram-keyed partial aggregation
     (min(id) — the exact-dedup shuffle class); then everything runs on
@@ -521,10 +524,11 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
               .agg(F.min(id_col).alias("_first_id")))
     novel = (firsts.groupBy(F.col("_first_id").alias(id_col))
              .agg(F.count(F.lit(1)).alias("n_novel")))
+    frac = (F.col("n_novel").cast("double")
+            / F.col("n_grams").cast("double"))
     novelty = F.when(
         F.col("n_grams") > 0,
-        round0(F.col("n_novel").cast("double")
-               / F.col("n_grams").cast("double"), round_dp))
+        frac if round_dp is None else round0(frac, round_dp))
     return (df.select(id_col)
             .join(n_grams, id_col, "left")
             .join(novel, id_col, "left")

@@ -537,3 +537,40 @@ class TestKMVSampleSink:
         q2.awaitTermination(120)
         assert {(r.g, r.id) for r in
                 read_kmv_store(spark, store).collect()} == whole
+
+
+class TestBloomSketchSink:
+    def test_streamed_words_equal_batch_filter_and_replay_is_noop(
+            self, spark, tmp_path):
+        """Streaming membership maintenance: per-epoch word batches
+        must bit_or-merge to exactly the whole-corpus filter, and a
+        checkpoint-replayed run must change nothing (overwrite batch
+        dirs + OR idempotence — the HLL sink's durability story)."""
+        from zdb_spark.operators.sketches import (bloom_words,
+                                                  build_bloom_store,
+                                                  read_bloom_words)
+        from zdb_spark.streaming.ingest import bloom_sketch_sink
+
+        src = str(tmp_path / "src")
+        df = spark.range(1_500).select(
+            F.concat(F.lit("u"), F.col("id") % 800).alias("v"))
+        df.repartition(4).write.parquet(src)
+
+        store = str(tmp_path / "store")
+        build_bloom_store(spark.createDataFrame([], "v string"), "v",
+                          store, m_bits=4096, k=4)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        q = bloom_sketch_sink(stream, "v", store, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        whole = {tuple(r) for r in
+                 bloom_words(df, "v", m_bits=4096, k=4).collect()}
+        assert {tuple(r) for r in
+                read_bloom_words(spark, store).collect()} == whole
+
+        q2 = bloom_sketch_sink(stream, "v", store,
+                               str(tmp_path / "ckpt2"))
+        q2.awaitTermination(120)
+        assert {tuple(r) for r in
+                read_bloom_words(spark, store).collect()} == whole

@@ -462,3 +462,31 @@ def kmv_sample_sink(stream_df: DataFrame, store_path: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_sketch_sink(stream_df: DataFrame, value_col: str,
+                      store_path: str, checkpoint: str,
+                      trigger_seconds: int | None = None):
+    """Continuous membership maintenance: every micro-batch's Bloom
+    words land in the persisted store under ``words/batch=<epoch>/``
+    (operators/sketches.py:append_bloom_store), so "have we EVER seen
+    this URL/doc hash" is answerable at any moment from (batches x
+    m_bits/32) word rows — the streaming crawl-frontier filter.
+    Replay-idempotent structurally, exactly like ``hll_sketch_sink``:
+    a re-run epoch overwrites its own batch dir and even a torn write
+    is harmless under the read-side bit_or merge.  Bootstrap with
+    ``build_bloom_store``; query with ``bloom_store_lookup``."""
+    from ..operators.sketches import append_bloom_store
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_bloom_store(batch_df, value_col, store_path,
+                           batch_id=f"epoch-{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

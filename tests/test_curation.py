@@ -704,3 +704,51 @@ class TestNgramNovelty:
         assert total_novel == distinct_grams
         assert nv.where((F.col("novelty") < 0)
                         | (F.col("novelty") > 1)).count() == 0
+
+
+class TestNgramNoveltyVsBloom:
+    def test_lower_bounds_true_novelty_no_false_negatives(self, spark):
+        from zdb_spark.operators.curation import ngram_novelty_vs_bloom
+        from zdb_spark.operators.sketches import bloom_words
+        from zdb_spark.operators.text import _ngram_col, tokenize
+
+        hist = spark.createDataFrame(
+            [(0, "a b c d e f g h i j")], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, "a b c d e f g h i j"),       # fully seen
+             (2, "q r s t u v w x y z"),       # fully new
+             (3, "a b c d e f g h new1 new2"), # 1 seen, 2 new grams
+             (4, "tiny")],                     # no grams
+            "doc_id long, text string")
+        g = hist.select(F.explode(F.array_distinct(
+            _ngram_col(tokenize("text"), 8))).alias("gram"))
+        words = bloom_words(g, "gram", m_bits=4096, k=4)
+        out = {r.doc_id: r for r in ngram_novelty_vs_bloom(
+            new, words, n=8, m_bits=4096, k=4).collect()}
+        # bloom has no false negatives: seen grams MUST count as seen
+        assert out[1].n_seen == 3 and out[1].n_new == 0
+        assert out[1].new_frac == 0.0
+        # definitely-new is a lower bound: n_new <= true new count
+        assert out[2].n_grams == 3 and out[2].n_new <= 3
+        assert out[3].n_seen >= 1            # the surviving true gram
+        assert out[3].n_grams == 3
+        assert (out[4].n_grams, out[4].n_new, out[4].new_frac) \
+            == (0, 0, None)
+
+    def test_tight_at_low_fill(self, spark, sf_dir):
+        # at realistic fill the FP mass is tiny: novelty-vs-bloom of the
+        # corpus against its OWN grams must report ~everything seen
+        import os
+
+        from zdb_spark.operators.curation import ngram_novelty_vs_bloom
+        from zdb_spark.operators.sketches import bloom_words
+        from zdb_spark.operators.text import _ngram_col, tokenize
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        g = docs.select(F.explode(F.array_distinct(
+            _ngram_col(tokenize("text"), 5))).alias("gram"))
+        words = bloom_words(g, "gram", m_bits=1 << 19, k=4)
+        out = ngram_novelty_vs_bloom(docs, words, n=5,
+                                     m_bits=1 << 19, k=4)
+        assert out.agg(F.sum("n_new")).first()[0] == 0

@@ -33,6 +33,7 @@ __all__ = ["hash_split", "split_label", "split_leakage",
            "percentile_cut_by_group",
            "token_budget_mix", "contamination", "contamination_hash",
            "contamination_bloom", "contamination_fuzzy", "ngram_novelty",
+           "ngram_novelty_vs_bloom",
            "chunk_documents", "temperature_sample", "cap_per_group",
            "global_shuffle", "importance_weights"]
 
@@ -538,6 +539,69 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
                     F.coalesce("n_novel", F.lit(0)).cast("long")
                      .alias("n_novel"))
             .withColumn("novelty", novelty))
+
+
+def ngram_novelty_vs_bloom(df: DataFrame, words: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 8, *,
+                           m_bits: int = 1 << 18,
+                           k: int = 4) -> DataFrame:
+    """INCREMENTAL novelty: per document, how many of its distinct word
+    ``n``-grams are DEFINITELY NEW against a historical Bloom filter
+    (``words`` from sketches.py:bloom_words / read_bloom_words over the
+    grams already ingested)?  The per-epoch "how much of today's crawl
+    is new text" triage — answered at word-table cost, never re-reading
+    history (pair with the persisted Bloom store + bloom_sketch_sink).
+
+    A gram failing any of its k probes is certainly unseen (Bloom has
+    no false negatives), so ``n_new`` is a LOWER bound on true novelty
+    and ``n_seen`` an upper bound on overlap — off only by the filter's
+    false-positive mass, which bloom_stats quantifies.  Output: (id,
+    n_grams, n_seen, n_new, new_frac) — counts are exact integers,
+    ``new_frac = n_new / n_grams`` one unrounded IEEE division (the
+    ngram_novelty determinism contract).
+
+    Scale shape: identical to contamination_bloom's stage 1 — the
+    corpus is exploded to grams and probed with k chained BROADCAST
+    joins (never shuffled); the only aggregations are doc-keyed."""
+    from .dedup import let
+    from .sketches import BLOOM_WORD_BITS
+    from .text import _ngram_col, tokenize
+
+    g = let(tokenize(text_col), lambda t: F.array_distinct(_ngram_col(t, n)))
+    doc_grams = df.select(F.col(id_col), F.explode(g).alias("gram"))
+    n_grams = (doc_grams.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_grams")))
+    seen = doc_grams
+    for i in range(k):
+        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))
+        pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+               % F.lit(m_bits))
+        wi = words.select(F.col("word_idx").alias(f"_wi{i}"),
+                          F.col("word").alias(f"_w{i}"))
+        seen = (seen.withColumn(f"_p{i}", pos)
+                .join(F.broadcast(wi),
+                      F.expr(f"CAST(_p{i} div {BLOOM_WORD_BITS} AS INT)")
+                      == F.col(f"_wi{i}"))
+                .where(F.col(f"_w{i}").bitwiseAND(
+                    F.expr(f"shiftleft(1L, CAST(_p{i} %"
+                           f" {BLOOM_WORD_BITS} AS INT))")) != 0)
+                .drop(f"_p{i}", f"_wi{i}", f"_w{i}"))
+    n_seen = seen.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seen"))
+    out = (df.select(id_col)
+           .join(n_grams, id_col, "left")
+           .join(n_seen, id_col, "left")
+           .select(id_col,
+                   F.coalesce("n_grams", F.lit(0)).cast("long")
+                    .alias("n_grams"),
+                   F.coalesce("n_seen", F.lit(0)).cast("long")
+                    .alias("n_seen")))
+    out = out.withColumn("n_new", F.col("n_grams") - F.col("n_seen"))
+    return out.withColumn(
+        "new_frac",
+        F.when(F.col("n_grams") > 0,
+               F.col("n_new").cast("double")
+               / F.col("n_grams").cast("double")))
 
 
 def contamination_fuzzy(df: DataFrame, bench: DataFrame,

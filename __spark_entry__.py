@@ -4204,6 +4204,71 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, "text", "doc_id", n=5)
 
 
+def q_bloom_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL novelty triage (curation.py:ngram_novelty_vs_bloom):
+    every document's distinct 5-grams probed against a Bloom filter of
+    the HISTORY half's grams (doc_id < n/2) — "how much of this epoch
+    is new text" at word-table cost, never re-reading history.  n_new
+    is an exact lower bound (Bloom has no false negatives); every
+    count, probe address, and the one unrounded new_frac division are
+    md5/integer-exact, so DuckDB replays the filter AND the verdicts
+    bit-for-bit (including any deterministic false positives)."""
+    from zdb_spark.operators.curation import ngram_novelty_vs_bloom
+    from zdb_spark.operators.sketches import bloom_words
+    from zdb_spark.operators.text import _ngram_col, tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    hist_grams = (docs.where(F.col("doc_id") < n // 2)
+                  .select(F.explode(F.array_distinct(
+                      _ngram_col(tokenize("text"), 5))).alias("gram")))
+    words = bloom_words(hist_grams, "gram", m_bits=1 << 18, k=4)
+    return ngram_novelty_vs_bloom(docs, words, "text", "doc_id", n=5,
+                                  m_bits=1 << 18, k=4)
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping via Z-ORDER clustering
+    (layout.py:write_zordered): events rewritten once, clustered on the
+    Morton interleave of (ts, value) — each parquet file then covers a
+    small rectangle of BOTH dimensions (per-file spans ~sqrt(1/files)
+    each, vs ~1.0 in value under the reference's time-only layout,
+    measured in tests/test_layout.py), so the engine's ordinary min/max
+    stats prune a (time-range AND value-band) predicate without new
+    reader machinery.  The gate hash-checks the 2-D predicate's ROWS
+    against DuckDB on the original table — clustering must be pure
+    layout, losing and inventing nothing.  The clustered copy is cached
+    by corpus fingerprint (a layout rewrite is a once-per-epoch batch
+    job, like the store builds)."""
+    import tempfile
+
+    from zdb_spark.operators.layout import write_zordered
+
+    ev = _load(spark, sf_dir, "events")
+    key = _key_for(sf_dir, "zorder-v1", ("events",))
+    store = os.path.join(tempfile.gettempdir(), "zdb_zorder", key)
+    done = os.path.join(store, "_done")
+    if not os.path.exists(done):
+        import shutil
+
+        scratch = store + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        write_zordered(ev, scratch, ["ts", "value"], bits=12,
+                       n_files=16)
+        open(os.path.join(scratch, "_done"), "w").close()
+        os.makedirs(os.path.dirname(store), exist_ok=True)
+        shutil.rmtree(store, ignore_errors=True)
+        os.rename(scratch, store)
+    lo = 1704412800 * 10**9          # 2024-01-05
+    hi = 1704844800 * 10**9          # 2024-01-10
+    z = spark.read.parquet(store)
+    return (z.where((F.col("ts") >= lo) & (F.col("ts") < hi)
+                    & (F.col("value") >= 100.0)
+                    & (F.col("value") < 300.0))
+            .select("event_id", F.expr("ts div 1000").alias("ts_us"),
+                    "event_type", "value"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4657,11 +4722,13 @@ _QUERY_DECLARATIONS: list[
     ("kmv_setops", q_kmv_setops),
     ("kmv_store", q_kmv_store),
     ("text_index", q_text_index),
-    # round-13 second wave: Bloom membership family + novelty
+    # round-13 second wave: Bloom membership family + novelty + layout
     ("bloom_membership", q_bloom_membership),
     ("bloom_store", q_bloom_store),
     ("contamination_bloom", q_contamination_bloom),
     ("ngram_novelty", q_ngram_novelty),
+    ("bloom_novelty", q_bloom_novelty),
+    ("zorder_scan", q_zorder_scan),
 ]
 
 
@@ -7860,5 +7927,72 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN ng USING (doc_id)
         LEFT JOIN novel USING (doc_id)
+    """
+    # Incremental novelty vs the history-half Bloom filter: the oracle
+    # replays the filter (words over history grams, m=2^18 x k=4) and
+    # probes per (doc, gram, i) — a gram is 'seen' iff ALL 4 probes hit,
+    # exactly the chained-join semantics of ngram_novelty_vs_bloom
+    sqls["bloom_novelty"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, {gram5} AS grams FROM t
+        ), dg AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+        ), ks AS (
+            SELECT unnest([0, 1, 2, 3]) AS i
+        ), hpos AS (
+            SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || gram), 1, 8))::BIGINT
+                       % {1 << 18} AS p
+            FROM (SELECT DISTINCT gram FROM dg
+                  WHERE doc_id < (SELECT count(*) // 2
+                                  FROM documents)), ks
+        ), words AS (
+            SELECT p // 32 AS word_idx,
+                   bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+            FROM hpos GROUP BY 1
+        ), probe AS (
+            SELECT doc_id, gram, i,
+                   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                       || gram), 1, 8))::BIGINT
+                       % {1 << 18} AS p
+            FROM dg, ks
+        ), seen AS (
+            SELECT doc_id, gram
+            FROM probe JOIN words ON probe.p // 32 = words.word_idx
+            WHERE (words.word
+                   & (1::BIGINT << CAST(probe.p % 32 AS INT))) <> 0
+            GROUP BY 1, 2
+            HAVING count(*) = 4
+        ), ng AS (
+            SELECT doc_id, count(*) AS n_grams FROM dg GROUP BY 1
+        ), ns AS (
+            SELECT doc_id, count(*) AS n_seen FROM seen GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(ns.n_seen, 0) AS BIGINT) AS n_seen,
+               CAST(coalesce(ng.n_grams, 0)
+                    - coalesce(ns.n_seen, 0) AS BIGINT) AS n_new,
+               CASE WHEN coalesce(ng.n_grams, 0) > 0
+                    THEN CAST(coalesce(ng.n_grams, 0)
+                              - coalesce(ns.n_seen, 0) AS DOUBLE)
+                         / CAST(ng.n_grams AS DOUBLE)
+               END AS new_frac
+        FROM documents d
+        LEFT JOIN ng USING (doc_id)
+        LEFT JOIN ns USING (doc_id)
+    """
+    # q_zorder_scan: the clustered copy must be pure LAYOUT — the 2-D
+    # predicate's rows against the ORIGINAL table are the whole truth
+    sqls["zorder_scan"] = f"""
+        SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM events
+        WHERE epoch_ns(ts) >= {1704412800 * 10**9}
+          AND epoch_ns(ts) < {1704844800 * 10**9}
+          AND value >= 100.0 AND value < 300.0
     """
     return sqls

@@ -113,6 +113,8 @@ HEADLINE = [
                           # merge; cached across runs by fingerprint)
     "contamination_bloom",  # bloom-prefiltered exact decontamination
     "ngram_novelty",      # per-doc first-occurrence 5-gram novelty
+    "bloom_novelty",      # epoch novelty vs the history Bloom filter
+    "zorder_scan",        # 2-D predicate on the Z-order clustered copy
 ]
 
 

@@ -91,6 +91,37 @@ def probe(spark, sf_dir: str) -> dict:
     t0 = time.time()
     ngram_novelty(docs, n=5).count()
     out["ngram_novelty_n5"] = round(time.time() - t0, 2)
+
+    from zdb_spark.operators.curation import ngram_novelty_vs_bloom
+    from zdb_spark.operators.text import _ngram_col, tokenize
+
+    hist = (docs.where(F.col("doc_id") < t1)
+            .select(F.explode(F.array_distinct(
+                _ngram_col(tokenize("text"), 5))).alias("gram")))
+    hwords = bloom_words(hist, "gram", m_bits=_M, k=_K)
+    t0 = time.time()
+    ngram_novelty_vs_bloom(docs, hwords, n=5, m_bits=_M, k=_K).count()
+    out["ngram_novelty_vs_bloom"] = round(time.time() - t0, 2)
+
+    from zdb_spark.operators.layout import (file_span_stats,
+                                            write_zordered)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if ev.schema["ts"].dataType.typeName() in ("timestamp",
+                                               "timestamp_ntz"):
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp"))
+            * F.lit(1000))
+    zdir = tempfile.mkdtemp(prefix="zorder_probe_")
+    t0 = time.time()
+    write_zordered(ev, zdir, ["ts", "value"], bits=12, n_files=16)
+    out["write_zordered_16files"] = round(time.time() - t0, 2)
+    spans = file_span_stats(spark, zdir, ["ts", "value"]).collect()
+    out["zorder_mean_span_ts"] = round(
+        sum(r["span_ts"] for r in spans) / len(spans), 3)
+    out["zorder_mean_span_value"] = round(
+        sum(r["span_value"] for r in spans) / len(spans), 3)
+    shutil.rmtree(zdir, ignore_errors=True)
     out["n_docs"] = n
     return out
 

@@ -133,3 +133,65 @@ class TestWriteZordered:
                              n_files=4, bounds=fixed)
         assert out == fixed
         assert spark.read.parquet(p).count() == events.count()
+
+
+class TestFooterPruning:
+    def test_parquet_footers_prune_value_band_queries(self, spark,
+                                                      sf_dir, tmp_path):
+        """The engine-facing proof: parquet FOOTER statistics (what any
+        reader's row-group skipping consults) admit far fewer files for
+        a value-band predicate under Z-order than under a time-only
+        sort.  Uses pyarrow metadata directly — no Spark machinery in
+        the measurement."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from zdb_spark.operators.layout import write_zordered
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if ev.schema["ts"].dataType.typeName() in ("timestamp",
+                                                   "timestamp_ntz"):
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp"))
+                * F.lit(1000))
+        z = str(tmp_path / "z")
+        write_zordered(ev, z, ["ts", "value"], bits=12, n_files=16)
+        t = str(tmp_path / "t")
+        (ev.repartitionByRange(16, "ts").sortWithinPartitions("ts")
+         .write.mode("overwrite").parquet(t))
+
+        lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+        band = (lo + 0.4 * (hi - lo), lo + 0.6 * (hi - lo))  # mid 20%
+
+        def files_admitted(path):
+            total = admitted = 0
+            for f in os.listdir(path):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(path, f)).metadata
+                vmin, vmax = None, None
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        if col.path_in_schema == "value" and \
+                                col.statistics is not None:
+                            s = col.statistics
+                            vmin = s.min if vmin is None \
+                                else min(vmin, s.min)
+                            vmax = s.max if vmax is None \
+                                else max(vmax, s.max)
+                total += 1
+                if vmin is None or not (vmax < band[0]
+                                        or vmin > band[1]):
+                    admitted += 1
+            return admitted, total
+
+        z_adm, z_tot = files_admitted(z)
+        t_adm, t_tot = files_admitted(t)
+        assert z_tot == 16 and t_tot == 16
+        # time-only layout: every file spans ~the full value range, so
+        # footer stats admit ~all of them; z-order admits only files
+        # whose rectangle crosses the band
+        assert t_adm >= 14, t_adm
+        assert z_adm <= z_tot // 2, (z_adm, z_tot)

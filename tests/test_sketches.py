@@ -937,3 +937,26 @@ class TestBloomStore:
         build_bloom_store(df, "v", g, "g", m_bits=256)
         with pytest.raises(ValueError):
             bloom_store_lookup(spark, g, ["u0"])
+
+
+def test_bloom_store_lookup_by_grouped_verdicts(spark, tmp_path):
+    """Grouped store lookup answers per (group, probe): a token seen
+    only by source A must probe true for A and false for B (modulo the
+    deterministic FP mass, excluded here by m >> n)."""
+    from zdb_spark.operators.sketches import (bloom_store_lookup_by,
+                                              build_bloom_store)
+
+    df = spark.createDataFrame(
+        [("A", "only-in-a"), ("A", "shared"), ("B", "shared"),
+         ("B", "only-in-b")], "src string, v string")
+    p = str(tmp_path / "bloomg")
+    build_bloom_store(df, "v", p, "src", m_bits=8192, k=4)
+    got = {(r.src, r.value): r.maybe_present
+           for r in bloom_store_lookup_by(
+               spark, p, ["only-in-a", "only-in-b", "shared",
+                          "absent"]).collect()}
+    assert got[("A", "only-in-a")] and not got[("B", "only-in-a")]
+    assert got[("B", "only-in-b")] and not got[("A", "only-in-b")]
+    assert got[("A", "shared")] and got[("B", "shared")]
+    assert not got[("A", "absent")] and not got[("B", "absent")]
+    assert len(got) == 8          # full (group x probe) grid

@@ -75,7 +75,8 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "read_kmv_store", "kmv_store_quantiles", "compact_kmv_store",
            "bloom_words", "bloom_lookup", "bloom_stats",
            "build_bloom_store", "append_bloom_store", "read_bloom_words",
-           "bloom_store_lookup", "compact_bloom_store",
+           "bloom_store_lookup", "bloom_store_lookup_by",
+           "compact_bloom_store",
            "HLL_M", "HLL_RHO_MAX", "BLOOM_WORD_BITS", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
@@ -1095,7 +1096,8 @@ def read_bloom_words(spark, path: str) -> DataFrame:
 def bloom_store_lookup(spark, path: str, values: list[str]) -> DataFrame:
     """Membership verdicts against the persisted merged filter — same
     output contract and bit-determinism as ``bloom_lookup`` on the
-    whole-corpus table (the store's params pin m_bits/k)."""
+    whole-corpus table (the store's params pin m_bits/k).  Grouped
+    stores answer per group via ``bloom_store_lookup_by``."""
     import json
     import os
 
@@ -1103,9 +1105,43 @@ def bloom_store_lookup(spark, path: str, values: list[str]) -> DataFrame:
         p = json.load(f)
     if p["by"]:
         raise ValueError("bloom_store_lookup requires an ungrouped "
-                         "store (by=[])")
+                         "store (by=[]); use bloom_store_lookup_by")
     return bloom_lookup(read_bloom_words(spark, path), values,
                         m_bits=p["m_bits"], k=p["k"])
+
+
+def bloom_store_lookup_by(spark, path: str,
+                          values: list[str]) -> DataFrame:
+    """Per-GROUP membership verdicts against a grouped persisted filter:
+    (by..., value, maybe_present) for every (group, probe) pair — the
+    "which sources have ever seen this token/URL" read.  Same exact
+    distinct-address accounting as ``bloom_lookup``; the group list
+    comes from the word table itself (a group with no words answers
+    false for everything, correctly — it set no bits)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    by = p["by"]
+    if not by:
+        return bloom_store_lookup(spark, path, values)
+    table = read_bloom_words(spark, path)
+    q = spark.createDataFrame([(v,) for v in values], "value string")
+    addr = (_bloom_addressed(q, "value", [], m_bits=p["m_bits"],
+                             k=p["k"]).distinct())
+    expected = addr.groupBy("value").agg(
+        F.count(F.lit(1)).alias("_n_addr"))
+    groups = table.select(*by).distinct()
+    hits = (table.join(F.broadcast(addr), "word_idx")
+            .where(F.col("word").bitwiseAND(F.col("mask")) != 0)
+            .groupBy(*by, "value")
+            .agg(F.count(F.lit(1)).alias("_n_hit")))
+    grid = groups.crossJoin(F.broadcast(expected))
+    return (grid.join(hits, [*by, "value"], "left")
+            .select(*by, "value",
+                    (F.coalesce(F.col("_n_hit"), F.lit(0))
+                     == F.col("_n_addr")).alias("maybe_present")))
 
 
 def compact_bloom_store(spark, path: str) -> int:

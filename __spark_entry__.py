@@ -4269,6 +4269,43 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "value"))
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML text extraction (extract.py:html_to_text/extract_html —
+    the crawl-ingest stage): every document's text is ESCAPED and
+    wrapped in a deterministic HTML template (title block, dropped
+    <script>, entity-bearing <nav>, <p> body), then extracted.  The
+    contract is a closed-form round trip — extracted == 'Doc <id>' +
+    newline + 'Site & Nav' + newline + whitespace-normalized text — so
+    the oracle reconstructs the expectation from the ORIGINAL text
+    column in pure SQL: a hash match proves tag stripping, script
+    suppression, entity decode, block newlines, and whitespace
+    collapse all at once.  Arrow-batched pandas UDF; rows independent
+    (the multimodal-decode slot of the UDF ladder)."""
+    import html as _html
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from zdb_spark.operators.extract import extract_html
+
+    def _wrap(i, t):
+        return pd.Series(
+            f'<html><head><title>Doc {a}</title>'
+            f'<script>var x = 1 < 2;</script></head><body>'
+            f'<nav>Site &amp; Nav</nav><p>{_html.escape(b)}</p>'
+            f'</body></html>'
+            for a, b in zip(i, t))
+
+    _wrap.__annotations__ = {"i": pd.Series, "t": pd.Series,
+                             "return": pd.Series}
+    wrap = pandas_udf(_wrap, "string")
+    docs = _load(spark, sf_dir, "documents")
+    fixture = docs.select("doc_id",
+                          wrap("doc_id", "text").alias("html"))
+    return (extract_html(fixture, "html", "extracted")
+            .select("doc_id", "extracted"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4729,6 +4766,7 @@ _QUERY_DECLARATIONS: list[
     ("ngram_novelty", q_ngram_novelty),
     ("bloom_novelty", q_bloom_novelty),
     ("zorder_scan", q_zorder_scan),
+    ("html_extract", q_html_extract),
 ]
 
 
@@ -7985,6 +8023,21 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d
         LEFT JOIN ng USING (doc_id)
         LEFT JOIN ns USING (doc_id)
+    """
+    # q_html_extract: the fixture is a closed-form function of (doc_id,
+    # text), so the oracle reconstructs the extraction's contract from
+    # the original column — escape + wrap + extract must round-trip to
+    # the normalized text (empty docs lose their body block entirely)
+    sqls["html_extract"] = r"""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'Site & Nav'
+               || CASE WHEN length(regexp_replace(trim(text),
+                                                  '\s+', ' ', 'g')) > 0
+                       THEN chr(10) || regexp_replace(trim(text),
+                                                      '\s+', ' ', 'g')
+                       ELSE '' END AS extracted
+        FROM documents
     """
     # q_zorder_scan: the clustered copy must be pure LAYOUT — the 2-D
     # predicate's rows against the ORIGINAL table are the whole truth

@@ -115,6 +115,7 @@ HEADLINE = [
     "ngram_novelty",      # per-doc first-occurrence 5-gram novelty
     "bloom_novelty",      # epoch novelty vs the history Bloom filter
     "zorder_scan",        # 2-D predicate on the Z-order clustered copy
+    "html_extract",       # HTML->text crawl-ingest extraction roundtrip
 ]
 
 

@@ -4306,6 +4306,39 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "extracted"))
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (extract.py:pdf_to_text — classic xref
+    tables, page-tree walk, FlateDecode, Tj/'/\"/TJ text operators;
+    encryption/xref-streams/other filters raise loudly): every
+    document's text becomes a real single-page Flate-compressed PDF
+    via the fixture writer, then extraction must round-trip to the
+    whitespace-normalized text — the oracle reconstructs that
+    expectation from the ORIGINAL column in pure SQL, so one hash
+    match proves the lexer (escapes, streams), the xref/page walk,
+    Flate decode, and the content-stream interpreter at once.
+
+    STAGED FOR ROUND 14: the r13 verification window closed exactly
+    full at 159 registered gates (verified_age --project rejects a
+    160th without aging out window_running); gate + oracle live in
+    _PENDING_R14_ORACLES below, oracle-readiness pinned by
+    tests/test_registry.py::test_r14_staged_pdf_gate_is_oracle_ready —
+    r14 registration is one list append."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from zdb_spark.operators.extract import extract_pdf, pdf_write_simple
+
+    def _wrap(t):
+        return pd.Series(bytearray(pdf_write_simple(x)) for x in t)
+
+    _wrap.__annotations__ = {"t": pd.Series, "return": pd.Series}
+    wrap = pandas_udf(_wrap, "binary")
+    docs = _load(spark, sf_dir, "documents")
+    fixture = docs.select("doc_id", wrap("text").alias("pdf"))
+    return (extract_pdf(fixture, "pdf", "extracted")
+            .select("doc_id", "extracted"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4768,6 +4801,23 @@ _QUERY_DECLARATIONS: list[
     ("zorder_scan", q_zorder_scan),
     ("html_extract", q_html_extract),
 ]
+
+# Complete gate + oracle staged for ROUND-14 registration (the r13
+# window closed exactly full at 159 gates — see q_pdf_extract's
+# docstring).  Registration = append ("pdf_extract", q_pdf_extract) to
+# _QUERY_DECLARATIONS and fold this dict into oracle_sql()'s return
+# (it is already merged there so the staged test runs the REAL path).
+_PENDING_R14_ORACLES: dict[str, str] = {
+    # same closed-form round-trip shape as html_extract: the fixture
+    # writer is a pure function of text, so the oracle reconstructs the
+    # expected extraction from the original column (PDF text carries no
+    # title/nav blocks — just the normalized text, empty docs empty)
+    "pdf_extract": r"""
+        SELECT doc_id,
+               regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted
+        FROM documents
+    """,
+}
 
 
 # Composite gates whose value-hash gate exercises a sub-gate's operator

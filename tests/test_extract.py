@@ -88,3 +88,81 @@ class TestExtractHtml:
             if norm:
                 expect += "\n" + norm
             assert r.extracted == expect, r.doc_id
+
+
+class TestPdfToText:
+    def test_roundtrip_compressed_and_plain(self):
+        from zdb_spark.operators.extract import (pdf_to_text,
+                                                 pdf_write_simple)
+
+        t = "hello world (parens) and \\ backslash\nsecond line  spaced"
+        expect = "hello world (parens) and \\ backslash\nsecond line spaced"
+        assert pdf_to_text(pdf_write_simple(t)) == expect
+        assert pdf_to_text(pdf_write_simple(t, compress=False)) == expect
+
+    def test_octal_escapes_roundtrip(self):
+        from zdb_spark.operators.extract import (pdf_to_text,
+                                                 pdf_write_simple)
+
+        t = "caf\xe9 r\xe9sum\xe9"          # latin-1, written as \ooo
+        assert pdf_to_text(pdf_write_simple(t)) == t
+
+    def test_content_stream_operators(self):
+        # hand-written content exercising TJ arrays (kerning numbers
+        # dropped), the ' next-line-show form, and hex strings
+        from zdb_spark.operators.extract import _content_text_lines
+
+        content = (b"BT (AB) Tj [(CD) -120 (EF)] TJ T* (line2) Tj "
+                   b"(line3) ' <414243> Tj ET")
+        # consecutive shows on one line concatenate WITHOUT a space —
+        # PDF positions glyphs via graphics state, not characters
+        assert _content_text_lines(content) == \
+            ["ABCDEF", "line2", "line3ABC"]
+
+    def test_multi_page_and_contents_array(self):
+        # two pages via the writer? writer is single-page — splice two
+        # written pdfs' semantics by checking the page-tree walk on one
+        from zdb_spark.operators.extract import (pdf_to_text,
+                                                 pdf_write_simple)
+
+        out = pdf_to_text(pdf_write_simple("a\nb\nc"))
+        assert out == "a\nb\nc"
+
+    def test_error_paths_are_loud(self):
+        import re as _re
+
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import (pdf_to_text,
+                                                 pdf_write_simple)
+
+        with _pytest.raises(ValueError, match="startxref"):
+            pdf_to_text(b"%PDF-1.4 garbage")
+        # xref streams (PDF 1.5+): startxref points at an obj, not 'xref'
+        doc = pdf_write_simple("x")
+        m = list(_re.finditer(rb"startxref\s+(\d+)", doc))[-1]
+        patched = doc[:m.start(1)] + b"0000000009" + doc[m.end(1):]
+        with _pytest.raises(NotImplementedError, match="STREAM"):
+            pdf_to_text(patched)
+        # unsupported filter: same-LENGTH name swap keeps every xref
+        # byte offset valid, so the failure is the filter's, not the
+        # xref's
+        bad = pdf_write_simple("x").replace(b"/FlateDecode",
+                                            b"/LZWWWDecode")
+        with _pytest.raises(NotImplementedError, match="LZWWWDecode"):
+            pdf_to_text(bad)
+        # encryption refused at the trailer
+        enc = pdf_write_simple("x").replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+        with _pytest.raises(NotImplementedError, match="encrypt"):
+            pdf_to_text(enc)
+
+    def test_spark_column(self, spark):
+        from zdb_spark.operators.extract import (extract_pdf,
+                                                 pdf_write_simple)
+
+        rows = [(1, bytearray(pdf_write_simple("doc one"))),
+                (2, None)]
+        df = spark.createDataFrame(rows, "id long, pdf binary")
+        got = {r.id: r.text for r in extract_pdf(df).collect()}
+        assert got == {1: "doc one", 2: None}

@@ -482,3 +482,34 @@ def test_plan_audit_flag_detection():
     import __spark_entry__ as em
     gates = {n for n, _ in em._QUERY_DECLARATIONS}
     assert set(pa._WAIVED) <= gates, set(pa._WAIVED) - gates
+
+
+def test_r14_staged_pdf_gate_is_oracle_ready(spark):
+    """pdf_extract is complete (gate fn + oracle in
+    _PENDING_R14_ORACLES) but unregistered: the r13 verification
+    window closed exactly full at 159 gates.  This test runs the gate
+    against its staged oracle with the driver's own comparator, so r14
+    registration is a proven one-line append, not new work."""
+    import os
+    import sys as _sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import check_correctness as cc
+    finally:
+        _sys.path.remove(os.path.join(root, "tools"))
+
+    assert "pdf_extract" not in entry_mod.queries()       # staged, not live
+    sql = entry_mod._PENDING_R14_ORACLES["pdf_extract"]
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    spark_pdf = entry_mod.q_pdf_extract(spark, sf).toPandas()
+    duck_pdf = con.execute(sql).df()
+    errs = cc.compare("pdf_extract", spark_pdf, duck_pdf)
+    assert not errs, errs
+    assert len(spark_pdf) == 500

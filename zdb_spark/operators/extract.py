@@ -26,12 +26,15 @@ shuffle, no driver state, output strictly smaller than input.
 
 from __future__ import annotations
 
+import re
+import zlib
 from html.parser import HTMLParser
 from io import StringIO
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["html_to_text", "extract_html"]
+__all__ = ["html_to_text", "extract_html",
+           "pdf_to_text", "pdf_write_simple", "extract_pdf"]
 
 _SKIP = {"script", "style", "noscript", "template"}
 _BLOCK = {"html", "head", "body", "title", "p", "div", "nav", "li",
@@ -79,7 +82,7 @@ class _TextExtractor(HTMLParser):
         if not self._skip and data:
             self._buf.write(data)
 
-    def text(self) -> str:
+    def result_text(self) -> str:
         self._flush()
         return "\n".join(self._lines)
 
@@ -93,7 +96,7 @@ def html_to_text(html: str) -> str:
     p = _TextExtractor()
     p.feed(html)
     p.close()
-    return p.text()
+    return p.result_text()
 
 
 def extract_html(df: DataFrame, html_col: str = "html",
@@ -113,3 +116,439 @@ def extract_html(df: DataFrame, html_col: str = "html",
     _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = pandas_udf(_extract, "string")
     return df.withColumn(out_col, udf(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------- #
+# PDF text extraction (ISO 32000-1 subset, stdlib+zlib only)              #
+# ---------------------------------------------------------------------- #
+# The second-most-common document container in a web crawl after HTML.
+# Scope (the honest-subset contract of the other from-scratch codecs —
+# jpeg.py, multimodal.py): classic cross-reference TABLES, indirect
+# objects, the /Root -> /Pages -> /Kids page tree, page /Contents
+# (single stream or array), FlateDecode, literal strings with escape /
+# octal sequences and hex strings, and the text-showing operators
+# Tj ' " TJ inside BT/ET with Td/TD/T* treated as line breaks.  Out of
+# scope, each with a LOUD raise: encryption (/Encrypt), PDF 1.5+
+# cross-reference STREAMS and object streams, and filters beyond Flate
+# — the arithmetic-JPEG pattern: a wrong-text silent fallback would be
+# worse than a refusal.  Glyph-to-unicode is the identity of the
+# string bytes (standard-encoding Latin text) — CID/Type0 composite
+# fonts show up as their raw bytes, the same best-effort every
+# non-font-rendering extractor makes.
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _PdfLexer:
+    """Token stream over a PDF object region: names, numbers, strings
+    (decoded to bytes), hex strings, dict/array delimiters, keywords."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.d = data
+        self.p = pos
+
+    def _skip_ws(self) -> None:
+        d, p = self.d, self.p
+        while p < len(d):
+            c = d[p:p + 1]
+            if c in b"%":                       # comment to EOL
+                while p < len(d) and d[p] not in b"\r\n":
+                    p += 1
+            elif c in _WS:
+                p += 1
+            else:
+                break
+        self.p = p
+
+    def peek_raw(self, n: int) -> bytes:
+        self._skip_ws()
+        return self.d[self.p:self.p + n]
+
+    def next_token(self):
+        self._skip_ws()
+        d, p = self.d, self.p
+        if p >= len(d):
+            return None
+        c = d[p:p + 1]
+        if c == b"/":                            # name
+            q = p + 1
+            while q < len(d) and d[q] not in _WS and d[q:q + 1] not in _DELIM:
+                q += 1
+            self.p = q
+            return ("name", d[p + 1:q].decode("latin-1"))
+        if c == b"(":                            # literal string
+            return self._lit_string()
+        if c == b"<":
+            if d[p:p + 2] == b"<<":
+                self.p = p + 2
+                return ("<<", None)
+            q = d.index(b">", p)                 # hex string
+            hx = re.sub(rb"\s", b"", d[p + 1:q])
+            if len(hx) % 2:
+                hx += b"0"
+            self.p = q + 1
+            return ("str", bytes.fromhex(hx.decode("ascii")))
+        if d[p:p + 2] == b">>":
+            self.p = p + 2
+            return (">>", None)
+        if c in b"[]":
+            self.p = p + 1
+            return (c.decode(), None)
+        if c in b"{}":
+            self.p = p + 1
+            return (c.decode(), None)
+        # number or keyword
+        q = p
+        while q < len(d) and d[q] not in _WS and d[q:q + 1] not in _DELIM:
+            q += 1
+        word = d[p:q]
+        self.p = q
+        try:
+            if b"." in word:
+                return ("num", float(word))
+            return ("num", int(word))
+        except ValueError:
+            return ("kw", word.decode("latin-1"))
+
+    _ESC = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\x0c", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+    def _lit_string(self):
+        d = self.d
+        p = self.p + 1
+        out, depth = bytearray(), 1
+        while p < len(d):
+            c = d[p:p + 1]
+            if c == b"\\":
+                nxt = d[p + 1:p + 2]
+                if nxt.isdigit():                # octal \ooo (1-3 digits)
+                    q = p + 1
+                    oct_ = b""
+                    while q < len(d) and len(oct_) < 3 and d[q:q + 1].isdigit():
+                        oct_ += d[q:q + 1]
+                        q += 1
+                    out.append(int(oct_, 8) & 0xFF)
+                    p = q
+                    continue
+                if nxt in (b"\n", b"\r"):        # line continuation
+                    p += 2
+                    if nxt == b"\r" and d[p:p + 1] == b"\n":
+                        p += 1
+                    continue
+                out += self._ESC.get(nxt, nxt)
+                p += 2
+                continue
+            if c == b"(":
+                depth += 1
+            elif c == b")":
+                depth -= 1
+                if depth == 0:
+                    self.p = p + 1
+                    return ("str", bytes(out))
+            out += c
+            p += 1
+        raise ValueError("truncated pdf: unterminated string")
+
+    def next_object(self):
+        """One complete object (dict/array/scalar/ref)."""
+        tok = self.next_token()
+        return self._object_from(tok)
+
+    def _object_from(self, tok):
+        if tok is None:
+            raise ValueError("truncated pdf: expected object")
+        kind, v = tok
+        if kind == "<<":
+            d = {}
+            while True:
+                t = self.next_token()
+                if t is None:
+                    raise ValueError("truncated pdf: unterminated dict")
+                if t[0] == ">>":
+                    return d
+                if t[0] != "name":
+                    raise ValueError(f"pdf dict key is {t[0]}, not a name")
+                d[t[1]] = self.next_object()
+            # not reached
+        if kind == "[":
+            arr = []
+            while True:
+                t = self.next_token()
+                if t is None:
+                    raise ValueError("truncated pdf: unterminated array")
+                if t[0] == "]":
+                    return arr
+                arr.append(self._object_from(t))
+        if kind == "num" and isinstance(v, int):
+            # possible indirect reference "n g R"
+            save = self.p
+            t2 = self.next_token()
+            if t2 and t2[0] == "num" and isinstance(t2[1], int):
+                t3 = self.next_token()
+                if t3 == ("kw", "R"):
+                    return ("ref", v)
+                self.p = save
+                return v
+            self.p = save
+            return v
+        if kind == "kw":
+            return {"true": True, "false": False,
+                    "null": None}.get(v, ("kw", v))
+        if kind == "name":
+            return ("name", v)
+        return v
+
+
+class _Pdf:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self._cache: dict[int, object] = {}
+        self._offsets = self._read_xref()
+
+    def _read_xref(self) -> dict[int, int]:
+        d = self.d
+        tail = d[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise ValueError("not a pdf: no startxref")
+        offsets: dict[int, int] = {}
+        pos = int(m.group(1))
+        seen = set()
+        while pos and pos not in seen:
+            seen.add(pos)
+            if not d[pos:pos + 4] == b"xref":
+                raise NotImplementedError(
+                    "pdf cross-reference STREAMS (PDF 1.5+) are not "
+                    "supported — classic xref tables only")
+            lex = _PdfLexer(d, pos + 4)
+            while True:
+                t = lex.next_token()
+                if t == ("kw", "trailer"):
+                    break
+                if t is None:
+                    raise ValueError("truncated pdf: xref without trailer")
+                if t[0] != "num":
+                    raise ValueError("malformed pdf xref")
+                first, count = t[1], lex.next_token()[1]
+                lex._skip_ws()
+                for i in range(count):
+                    row = d[lex.p:lex.p + 20]
+                    if row[17:18] == b"n":
+                        num = first + i
+                        if num not in offsets:   # newest xref wins
+                            offsets[num] = int(row[0:10])
+                    lex.p += 20
+            trailer = lex.next_object()
+            if "Encrypt" in trailer:
+                raise NotImplementedError("encrypted pdf is not supported")
+            if not hasattr(self, "_trailer"):
+                self._trailer = trailer
+            prev = trailer.get("Prev")
+            pos = int(prev) if isinstance(prev, (int, float)) else 0
+        return offsets
+
+    def resolve_obj(self, ref):
+        """Resolve (possibly indirect) to a concrete value."""
+        if not (isinstance(ref, tuple) and ref and ref[0] == "ref"):
+            return ref
+        num = ref[1]
+        if num in self._cache:
+            return self._cache[num]
+        off = self._offsets.get(num)
+        if off is None:
+            raise ValueError(f"pdf object {num} not in xref")
+        lex = _PdfLexer(self.d, off)
+        t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
+        if not (t1 and t1[0] == "num" and t3 == ("kw", "obj")):
+            raise ValueError(f"malformed pdf object header at {off}")
+        val = lex.next_object()
+        if lex.peek_raw(6) == b"stream":
+            lex.p += 6
+            if self.d[lex.p:lex.p + 2] == b"\r\n":
+                lex.p += 2
+            elif self.d[lex.p:lex.p + 1] == b"\n":
+                lex.p += 1
+            length = self.resolve_obj(val["Length"])
+            raw = self.d[lex.p:lex.p + int(length)]
+            val = ("stream", val, raw)
+        self._cache[num] = val
+        return val
+
+    def stream_data(self, obj) -> bytes:
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise ValueError("pdf: expected a stream object")
+        _, info, raw = obj
+        filt = info.get("Filter")
+        if filt is None:
+            return raw
+        filts = [filt] if not isinstance(filt, list) else filt
+        for f in filts:
+            name = f[1] if isinstance(f, tuple) else f
+            if name != "FlateDecode":
+                raise NotImplementedError(
+                    f"pdf filter {name!r} is not supported (FlateDecode "
+                    "only)")
+            raw = zlib.decompress(raw)
+        return raw
+
+
+def pdf_to_text(data: bytes) -> str:
+    """Extract text from a PDF (see the subset contract above): walks
+    the page tree in order, decodes each page's content stream(s), and
+    emits the arguments of the text-showing operators — ``Td``/``TD``/
+    ``T*`` and the ``'``/``\"`` forms start new lines, ``TJ`` array
+    elements concatenate (kerning numbers dropped).  Returns pages
+    joined by newlines, lines normalized like ``html_to_text``."""
+    pdf = _Pdf(data)
+    root = pdf.resolve_obj(pdf._trailer["Root"])
+    pages: list[dict] = []
+
+    def walk(node_ref):
+        node = pdf.resolve_obj(node_ref)
+        t = node.get("Type")
+        tname = t[1] if isinstance(t, tuple) else t
+        if tname == "Pages":
+            for kid in pdf.resolve_obj(node["Kids"]):
+                walk(kid)
+        else:
+            pages.append(node)
+
+    walk(root["Pages"])
+    lines: list[str] = []
+    for page in pages:
+        contents = pdf.resolve_obj(page["Contents"])
+        chunks = ([contents] if not isinstance(contents, list)
+                  else [pdf.resolve_obj(c) for c in contents])
+        data_ = b"".join(pdf.stream_data(c) for c in chunks)
+        lines.extend(_content_text_lines(data_))
+    return "\n".join(lines)
+
+
+def _content_text_lines(content: bytes) -> list[str]:
+    """Text lines of one content stream: a tiny operand-stack
+    interpreter over the text operators (everything else is ignored —
+    graphics state has no text)."""
+    lex = _PdfLexer(content)
+    stack: list = []
+    buf: list[bytes] = []
+    lines: list[str] = []
+
+    def flush():
+        if buf:
+            s = b"".join(buf).decode("latin-1")
+            s = " ".join(s.split())
+            if s:
+                lines.append(s)
+            buf.clear()
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        kind, v = tok
+        if kind == "kw":
+            if v == "Tj" and stack and isinstance(stack[-1], bytes):
+                buf.append(stack[-1])
+            elif v == "TJ" and stack and isinstance(stack[-1], list):
+                buf.extend(x for x in stack[-1] if isinstance(x, bytes))
+            elif v in ("'", '"'):
+                flush()
+                se = [x for x in stack if isinstance(x, bytes)]
+                if se:
+                    buf.append(se[-1])
+            elif v in ("Td", "TD", "T*"):
+                flush()
+            elif v == "ET":
+                flush()
+            stack.clear()
+        elif kind in ("<<", ">>"):
+            stack.clear()                        # inline dicts: ignore
+        elif kind == "[":
+            arr = []
+            while True:
+                t = lex.next_token()
+                if t is None or t[0] == "]":
+                    break
+                if t[0] == "str":
+                    arr.append(t[1])
+                elif t[0] == "num":
+                    arr.append(t[1])
+            stack.append(arr)
+        elif kind == "str":
+            stack.append(v)
+        elif kind == "num":
+            stack.append(v)
+        elif kind == "name":
+            stack.append(("name", v))
+    flush()
+    return lines
+
+
+def _pdf_escape(line: str) -> bytes:
+    out = bytearray()
+    for ch in line.encode("latin-1", "replace"):
+        if ch in (0x28, 0x29, 0x5C):             # ( ) backslash
+            out += b"\\" + bytes([ch])
+        elif 32 <= ch <= 126:
+            out.append(ch)
+        else:
+            out += b"\\%03o" % ch
+    return bytes(out)
+
+
+def pdf_write_simple(text: str, *, compress: bool = True) -> bytes:
+    """Minimal single-page PDF carrying ``text`` (one ``Tj`` line per
+    input line, Helvetica 11pt, optional FlateDecode) — the fixture
+    encoder for the round-trip gate, and a writable PDF any desktop
+    viewer opens.  ``pdf_to_text(pdf_write_simple(t))`` returns the
+    whitespace-normalized lines of ``t``."""
+    body = [b"BT /F1 11 Tf 36 756 Td 14 TL"]
+    for line in text.split("\n"):
+        body.append(b"(" + _pdf_escape(line) + b") Tj T*")
+    body.append(b"ET")
+    content = b"\n".join(body)
+    if compress:
+        content = zlib.compress(content, 6)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        4: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        5: (b"<< /Length " + str(len(content)).encode()
+            + (b" /Filter /FlateDecode" if compress else b"")
+            + b" >>\nstream\n" + content + b"\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for num in sorted(objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def extract_pdf(df: DataFrame, pdf_col: str = "pdf",
+                out_col: str = "text") -> DataFrame:
+    """``pdf_to_text`` over a binary DataFrame column (Arrow-batched
+    pandas UDF; NULL blobs stay NULL).  Rows independent — no shuffle,
+    no state; the multimodal-decode UDF slot."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _extract(s):
+        return s.map(lambda b: None if b is None
+                     else pdf_to_text(bytes(b)))
+
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_extract, "string")
+    return df.withColumn(out_col, udf(F.col(pdf_col)))

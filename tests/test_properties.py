@@ -749,3 +749,53 @@ def test_webm_probe_fails_fast_on_garbage(blob):
             webm_probe(payload)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------- #
+# extraction round-trips (pure Python — no Spark per example)             #
+# ---------------------------------------------------------------------- #
+_PDF_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+    min_size=0, max_size=400)
+
+
+@given(_PDF_TEXT)
+@settings(max_examples=200, deadline=None)
+def test_pdf_roundtrip_property(text):
+    """pdf_to_text(pdf_write_simple(t)) == whitespace-normalized t for
+    ANY latin-1 payload — escapes, octal bytes, parens, backslashes,
+    newlines, and control characters all survive the writer->lexer->
+    content-interpreter loop (both compressed and plain)."""
+    from zdb_spark.operators.extract import pdf_to_text, pdf_write_simple
+
+    expect = "\n".join(
+        line for line in (" ".join(ln.split()) for ln in text.split("\n"))
+        if line)
+    assert pdf_to_text(pdf_write_simple(text)) == expect
+    assert pdf_to_text(pdf_write_simple(text, compress=False)) == expect
+
+
+@given(st.text(min_size=0, max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_html_escape_roundtrip_property(text):
+    """html_to_text(<p>escape(t)</p>) == whitespace-normalized t for
+    ANY unicode payload: entity encoding and decode are inverses, and
+    markup-significant characters in data never leak structure."""
+    import html as _html
+
+    from zdb_spark.operators.extract import html_to_text
+
+    norm = " ".join(text.split())
+    assert html_to_text(f"<p>{_html.escape(text)}</p>") == norm
+
+
+@given(st.text(alphabet="ab<>&\"'/=! ptqxs", min_size=0, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_html_extractor_total_on_tag_soup(text):
+    """html_to_text never raises on arbitrary tag soup (the crawl
+    reality), and its output contains no unterminated entity the
+    parser should have consumed."""
+    from zdb_spark.operators.extract import html_to_text
+
+    out = html_to_text(text)          # must not raise
+    assert "\x00" not in out

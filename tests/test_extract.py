@@ -166,3 +166,28 @@ class TestPdfToText:
         df = spark.createDataFrame(rows, "id long, pdf binary")
         got = {r.id: r.text for r in extract_pdf(df).collect()}
         assert got == {1: "doc one", 2: None}
+
+
+class TestPdfHardening:
+    def test_unterminated_hex_and_xref_subsection(self):
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import _PdfLexer
+
+        with _pytest.raises(ValueError, match="hex"):
+            _PdfLexer(b"<48454c").next_token()
+
+    def test_page_tree_cycle_is_detected(self):
+        import re as _re
+
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import (pdf_to_text,
+                                                 pdf_write_simple)
+
+        doc = pdf_write_simple("x")
+        # make the page tree cyclic: the Page's Parent is already
+        # 2 0 R; point Kids at the Pages node itself
+        bad = doc.replace(b"/Kids [3 0 R]", b"/Kids [2 0 R]")
+        with _pytest.raises(ValueError, match="cycle"):
+            pdf_to_text(bad)

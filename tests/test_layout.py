@@ -195,3 +195,16 @@ class TestFooterPruning:
         # whose rectangle crosses the band
         assert t_adm >= 14, t_adm
         assert z_adm <= z_tot // 2, (z_adm, z_tot)
+
+
+def test_all_null_cluster_column_degenerates_safely(spark, tmp_path):
+    # a cluster column that is entirely NULL yields no bounds: every
+    # row lands in grid cell 0 and the write still round-trips
+    from zdb_spark.operators.layout import write_zordered
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(20)], "a long, b double")
+    p = str(tmp_path / "z")
+    bounds = write_zordered(df, p, ["a", "b"], bits=6, n_files=2)
+    assert bounds["b"] == (None, None)
+    assert spark.read.parquet(p).count() == 20

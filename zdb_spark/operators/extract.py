@@ -183,7 +183,10 @@ class _PdfLexer:
             if d[p:p + 2] == b"<<":
                 self.p = p + 2
                 return ("<<", None)
-            q = d.index(b">", p)                 # hex string
+            q = d.find(b">", p)                  # hex string
+            if q < 0:
+                raise ValueError(
+                    "truncated pdf: unterminated hex string")
             hx = re.sub(rb"\s", b"", d[p + 1:q])
             if len(hx) % 2:
                 hx += b"0"
@@ -332,7 +335,10 @@ class _Pdf:
                     raise ValueError("truncated pdf: xref without trailer")
                 if t[0] != "num":
                     raise ValueError("malformed pdf xref")
-                first, count = t[1], lex.next_token()[1]
+                cnt_tok = lex.next_token()
+                if cnt_tok is None or cnt_tok[0] != "num":
+                    raise ValueError("malformed pdf xref subsection")
+                first, count = t[1], cnt_tok[1]
                 lex._skip_ws()
                 for i in range(count):
                     row = d[lex.p:lex.p + 20]
@@ -405,8 +411,13 @@ def pdf_to_text(data: bytes) -> str:
     pdf = _Pdf(data)
     root = pdf.resolve_obj(pdf._trailer["Root"])
     pages: list[dict] = []
+    seen: set[int] = set()
 
     def walk(node_ref):
+        if isinstance(node_ref, tuple) and node_ref[0] == "ref":
+            if node_ref[1] in seen:      # cyclic page tree: corrupt pdf
+                raise ValueError("malformed pdf: page-tree cycle")
+            seen.add(node_ref[1])
         node = pdf.resolve_obj(node_ref)
         t = node.get("Type")
         tname = t[1] if isinstance(t, tuple) else t

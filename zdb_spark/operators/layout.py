@@ -50,7 +50,8 @@ def scale_to_grid(col: Column, lo: float, hi: float,
     cell; degenerate lo==hi collapses to cell 0).  NULLs -> cell 0 (a
     NULL key row still needs a place on the curve)."""
     cells = 1 << bits
-    if hi <= lo:
+    if lo is None or hi is None or hi <= lo:
+        # all-NULL column (no bounds) or degenerate range: one cell
         return F.lit(0).cast("long")
     scaled = ((col.cast("double") - F.lit(float(lo)))
               / F.lit(float(hi - lo)) * F.lit(float(cells)))

@@ -4810,11 +4810,22 @@ _QUERY_DECLARATIONS: list[
 _PENDING_R14_ORACLES: dict[str, str] = {
     # same closed-form round-trip shape as html_extract: the fixture
     # writer is a pure function of text, so the oracle reconstructs the
-    # expected extraction from the original column (PDF text carries no
-    # title/nav blocks — just the normalized text, empty docs empty)
+    # expected extraction from the original column.  LINE-AWARE on
+    # purpose: pdf_to_text keeps one output line per input line
+    # (writer emits Tj T* per line), normalizing whitespace WITHIN each
+    # line and dropping empty lines — a flat '\s+'->' ' oracle would
+    # only coincidentally match a newline-free fixture and break on the
+    # first regenerated corpus with multi-line text.  Latin-1-encodable
+    # text is the fixture writer's contract (testdata is ASCII).
     "pdf_extract": r"""
         SELECT doc_id,
-               regexp_replace(trim(text), '\s+', ' ', 'g') AS extracted
+               array_to_string(
+                 list_filter(
+                   list_transform(
+                     string_split(text, chr(10)),
+                     x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+                   x -> x <> ''),
+                 chr(10)) AS extracted
         FROM documents
     """,
 }

@@ -430,6 +430,38 @@ def contamination_hash(df: DataFrame, bench: DataFrame,
             .withColumn("contaminated", F.col("n_contaminated") > 0))
 
 
+def _bloom_probe_chain(cand: DataFrame, value_col: str,
+                       words: DataFrame, *, m_bits: int,
+                       k: int) -> DataFrame:
+    """Filter ``cand`` to rows whose ``value_col`` has ALL k Bloom bits
+    set in ``words`` — k chained map-side BROADCAST hash joins, the
+    corpus side never shuffled.  The word table is materialized ONCE on
+    the driver first (bounded by m_bits/32 rows — it is broadcast
+    anyway, so this adds no memory class, and it stops the k per-join
+    subtrees from re-executing the whole filter-build k times).
+    Addressing comes from sketches.bloom_position — the single source
+    of the formula the filter builder and the oracles replay."""
+    from .sketches import BLOOM_WORD_BITS, bloom_position
+
+    spark = words.sparkSession
+    local = spark.createDataFrame(
+        words.select("word_idx", "word").collect(),
+        "word_idx int, word long")
+    for i in range(k):
+        pos = bloom_position(F.col(value_col), i, m_bits=m_bits)
+        wi = local.select(F.col("word_idx").alias(f"_wi{i}"),
+                          F.col("word").alias(f"_w{i}"))
+        cand = (cand.withColumn(f"_p{i}", pos)
+                .join(F.broadcast(wi),
+                      F.expr(f"CAST(_p{i} div {BLOOM_WORD_BITS} AS INT)")
+                      == F.col(f"_wi{i}"))
+                .where(F.col(f"_w{i}").bitwiseAND(
+                    F.expr(f"shiftleft(1L, CAST(_p{i} %"
+                           f" {BLOOM_WORD_BITS} AS INT))")) != 0)
+                .drop(f"_p{i}", f"_wi{i}", f"_w{i}"))
+    return cand
+
+
 def contamination_bloom(df: DataFrame, bench: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 8, *, m_bits: int = 1 << 18,
@@ -455,7 +487,7 @@ def contamination_bloom(df: DataFrame, bench: DataFrame,
     the corpus side stays a flatMap + k map-side joins, never shuffled
     before the survivor aggregation."""
     from .dedup import let
-    from .sketches import BLOOM_WORD_BITS, bloom_words
+    from .sketches import bloom_words
     from .text import _ngram_col, tokenize
 
     def grams(frame: DataFrame, *cols: str) -> DataFrame:
@@ -465,21 +497,8 @@ def contamination_bloom(df: DataFrame, bench: DataFrame,
 
     bench_grams = grams(bench).distinct()
     words = bloom_words(bench_grams, "gram", m_bits=m_bits, k=k)
-    cand = grams(df, id_col)
-    for i in range(k):
-        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))
-        pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-               % F.lit(m_bits))
-        wi = words.select(F.col("word_idx").alias(f"_wi{i}"),
-                          F.col("word").alias(f"_w{i}"))
-        cand = (cand.withColumn(f"_p{i}", pos)
-                .join(F.broadcast(wi),
-                      F.expr(f"CAST(_p{i} div {BLOOM_WORD_BITS} AS INT)")
-                      == F.col(f"_wi{i}"))
-                .where(F.col(f"_w{i}").bitwiseAND(
-                    F.expr(f"shiftleft(1L, CAST(_p{i} %"
-                           f" {BLOOM_WORD_BITS} AS INT))")) != 0)
-                .drop(f"_p{i}", f"_wi{i}", f"_w{i}"))
+    cand = _bloom_probe_chain(grams(df, id_col), "gram", words,
+                              m_bits=m_bits, k=k)
     hits = (bench_grams.join(cand, "gram")  # AQE sizes the build side
             .groupBy(id_col)
             .agg(F.count("*").alias("n_contaminated")))
@@ -544,7 +563,7 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
 def ngram_novelty_vs_bloom(df: DataFrame, words: DataFrame,
                            text_col: str = "text",
                            id_col: str = "doc_id", n: int = 8, *,
-                           m_bits: int = 1 << 18,
+                           m_bits: int = 1 << 20,
                            k: int = 4) -> DataFrame:
     """INCREMENTAL novelty: per document, how many of its distinct word
     ``n``-grams are DEFINITELY NEW against a historical Bloom filter
@@ -561,32 +580,22 @@ def ngram_novelty_vs_bloom(df: DataFrame, words: DataFrame,
     ``new_frac = n_new / n_grams`` one unrounded IEEE division (the
     ngram_novelty determinism contract).
 
+    ``m_bits``/``k`` MUST match the filter's build parameters (defaults
+    mirror ``bloom_words``' own — a mismatched modulus probes the wrong
+    bits and silently voids the no-false-negative contract).
+
     Scale shape: identical to contamination_bloom's stage 1 — the
     corpus is exploded to grams and probed with k chained BROADCAST
     joins (never shuffled); the only aggregations are doc-keyed."""
     from .dedup import let
-    from .sketches import BLOOM_WORD_BITS
     from .text import _ngram_col, tokenize
 
     g = let(tokenize(text_col), lambda t: F.array_distinct(_ngram_col(t, n)))
     doc_grams = df.select(F.col(id_col), F.explode(g).alias("gram"))
     n_grams = (doc_grams.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_grams")))
-    seen = doc_grams
-    for i in range(k):
-        h = F.md5(F.concat(F.lit(f"{i}:"), F.col("gram")))
-        pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-               % F.lit(m_bits))
-        wi = words.select(F.col("word_idx").alias(f"_wi{i}"),
-                          F.col("word").alias(f"_w{i}"))
-        seen = (seen.withColumn(f"_p{i}", pos)
-                .join(F.broadcast(wi),
-                      F.expr(f"CAST(_p{i} div {BLOOM_WORD_BITS} AS INT)")
-                      == F.col(f"_wi{i}"))
-                .where(F.col(f"_w{i}").bitwiseAND(
-                    F.expr(f"shiftleft(1L, CAST(_p{i} %"
-                           f" {BLOOM_WORD_BITS} AS INT))")) != 0)
-                .drop(f"_p{i}", f"_wi{i}", f"_w{i}"))
+    seen = _bloom_probe_chain(doc_grams, "gram", words,
+                              m_bits=m_bits, k=k)
     n_seen = seen.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_seen"))
     out = (df.select(id_col)
            .join(n_grams, id_col, "left")

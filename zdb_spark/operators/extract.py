@@ -205,6 +205,13 @@ class _PdfLexer:
         q = p
         while q < len(d) and d[q] not in _WS and d[q:q + 1] not in _DELIM:
             q += 1
+        if q == p:
+            # stray delimiter (a lone ')' or '>' — unbalanced string,
+            # binary inline-image bytes): consume ONE byte and surface
+            # it as a keyword.  MUST make progress, or the caller's
+            # token loop spins forever on the same byte.
+            self.p = p + 1
+            return ("kw", d[p:p + 1].decode("latin-1"))
         word = d[p:q]
         self.p = q
         try:
@@ -225,10 +232,15 @@ class _PdfLexer:
             c = d[p:p + 1]
             if c == b"\\":
                 nxt = d[p + 1:p + 2]
-                if nxt.isdigit():                # octal \ooo (1-3 digits)
+                if nxt and nxt in b"01234567":   # octal \ooo (1-3 digits)
+                    # OCTAL digits only: '\8' is a backslash before a
+                    # non-escape char, which ISO 32000 says to ignore
+                    # (the _ESC fallthrough below) — int(_, 8) on '8'
+                    # would abort the whole document
                     q = p + 1
                     oct_ = b""
-                    while q < len(d) and len(oct_) < 3 and d[q:q + 1].isdigit():
+                    while (q < len(d) and len(oct_) < 3
+                           and d[q] in b"01234567"):
                         oct_ += d[q:q + 1]
                         q += 1
                     out.append(int(oct_, 8) & 0xFF)
@@ -318,6 +330,7 @@ class _Pdf:
         if m is None:
             raise ValueError("not a pdf: no startxref")
         offsets: dict[int, int] = {}
+        dead: set[int] = set()
         pos = int(m.group(1))
         seen = set()
         while pos and pos not in seen:
@@ -342,10 +355,16 @@ class _Pdf:
                 lex._skip_ws()
                 for i in range(count):
                     row = d[lex.p:lex.p + 20]
-                    if row[17:18] == b"n":
-                        num = first + i
-                        if num not in offsets:   # newest xref wins
+                    num = first + i
+                    # newest section wins for BOTH states: an object
+                    # freed by an incremental update (type 'f') must
+                    # tombstone the older section's live offset, or
+                    # deleted content would resurrect through /Prev
+                    if num not in offsets and num not in dead:
+                        if row[17:18] == b"n":
                             offsets[num] = int(row[0:10])
+                        else:
+                            dead.add(num)
                     lex.p += 20
             trailer = lex.next_object()
             if "Encrypt" in trailer:
@@ -430,6 +449,8 @@ def pdf_to_text(data: bytes) -> str:
     walk(root["Pages"])
     lines: list[str] = []
     for page in pages:
+        if "Contents" not in page:       # contentless page: spec-legal
+            continue
         contents = pdf.resolve_obj(page["Contents"])
         chunks = ([contents] if not isinstance(contents, list)
                   else [pdf.resolve_obj(c) for c in contents])
@@ -474,6 +495,12 @@ def _content_text_lines(content: bytes) -> list[str]:
                 flush()
             elif v == "ET":
                 flush()
+            elif v == "ID":
+                # inline image (BI ... ID <raw bytes> EI): the bytes
+                # are NOT tokens — skip to the EI terminator so binary
+                # data can't masquerade as strings/operators
+                end = lex.d.find(b"EI", lex.p)
+                lex.p = len(lex.d) if end < 0 else end + 2
             stack.clear()
         elif kind in ("<<", ">>"):
             stack.clear()                        # inline dicts: ignore

@@ -73,7 +73,7 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "merge_kmv_samples", "kmv_value_sketch", "kmv_distinct",
            "kmv_set_estimates", "build_kmv_store", "append_kmv_store",
            "read_kmv_store", "kmv_store_quantiles", "compact_kmv_store",
-           "bloom_words", "bloom_lookup", "bloom_stats",
+           "bloom_words", "bloom_lookup", "bloom_stats", "bloom_position",
            "build_bloom_store", "append_bloom_store", "read_bloom_words",
            "bloom_store_lookup", "bloom_store_lookup_by",
            "compact_bloom_store",
@@ -930,6 +930,21 @@ def retract_countmin_store(df: DataFrame, value_col: str, path: str, *,
 BLOOM_WORD_BITS = 32
 
 
+def bloom_position(value: Column, probe, *, m_bits: int) -> Column:
+    """Bit position of probe ``i`` for ``value``: md5('<i>:' || value)'s
+    first 8 hex chars mod m_bits (the count-min addressing idiom).
+    THE single source of the addressing formula — the curation
+    prefilters (contamination_bloom, ngram_novelty_vs_bloom) and the
+    DuckDB oracles replay exactly this expression; any drift between
+    copies would silently desynchronize a prefilter from the filter it
+    probes."""
+    i = probe if isinstance(probe, Column) else F.lit(int(probe))
+    h = F.md5(F.concat(i.cast("string"), F.lit(":"),
+                       value.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(m_bits))
+
+
 def _bloom_addressed(values: DataFrame, value_col: str, by: list, *,
                      m_bits: int, k: int) -> DataFrame:
     """(by..., value, word_idx, mask) — the k probe addresses of each
@@ -940,10 +955,7 @@ def _bloom_addressed(values: DataFrame, value_col: str, by: list, *,
     keyed = (values.where(F.col(value_col).isNotNull())
              .select(*by, F.col(value_col).cast("string").alias("value"),
                      probes.alias("_i")))
-    h = F.md5(F.concat(F.col("_i").cast("string"), F.lit(":"),
-                       F.col("value")))
-    pos = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-           % F.lit(m_bits))
+    pos = bloom_position(F.col("value"), F.col("_i"), m_bits=m_bits)
     # shiftleft() takes a literal shift only — SQL form for a column
     # shift (the HLL reg_sum idiom); pos is nonnegative by construction
     return (keyed.select(*by, "value", pos.alias("_pos"))

@@ -3746,12 +3746,23 @@ def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, across append/compact/vacuum at every arrival point).
     Index cached by corpus fingerprint; built in a scratch dir renamed
     into place."""
+    from zdb_spark.operators.search import text_index_topk
+
+    store = _text_index_store(spark, sf_dir)
+    return text_index_topk(spark, store, "table scan fast", k=15)
+
+
+def _text_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse the fingerprint-cached persisted inverted index
+    over ``documents`` (the q_text_index lifecycle: build gen 0, append
+    batch 1, compact to gen 1, vacuum gen 0, append batch 2).  Shared
+    by q_text_index and q_hybrid_search so the hybrid gate reads the
+    SAME store the index gate verifies."""
     import tempfile
 
     from zdb_spark.operators.search import (append_text_index,
                                             build_text_index,
                                             compact_text_index,
-                                            text_index_topk,
                                             vacuum_text_index)
 
     docs = _load(spark, sf_dir, "documents")
@@ -3775,23 +3786,30 @@ def q_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(os.path.dirname(store), exist_ok=True)
         shutil.rmtree(store, ignore_errors=True)
         os.rename(scratch, store)
-    return text_index_topk(spark, store, "table scan fast", k=15)
+    return store
 
 
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: reciprocal-rank fusion (k=60) of two bounded
     candidate rankings for the same query — BM25 top-50 (term
     saturation/rarity) and exact token-Jaccard top-50 (vocabulary
-    coverage) — final top-10 by fused score
-    (search.py:bm25_topk/token_jaccard_topk/rrf_fuse).  Rank positions
-    derive from (rounded score desc, id), and the RRF sum is a fixed
-    chain of exact-integer-denominator divisions, so the oracle
-    reproduces the fusion value-for-value."""
-    from zdb_spark.operators.search import (bm25_topk, rrf_fuse,
+    coverage) — final top-10 by fused score (search.py:text_index_topk/
+    token_jaccard_topk/rrf_fuse).  The BM25 side reads the PERSISTED
+    inverted index (round-13 verdict task 7): at 100 TB the live
+    two-scan path re-reads the corpus per query, while the index read
+    prunes to the query terms' bucket partitions (PartitionFilters
+    pinned in tests/test_operators.py) — and text_index_topk is
+    BIT-IDENTICAL to bm25_topk by construction, so the fused output
+    and the oracle are unchanged.  Rank positions derive from (rounded
+    score desc, id), and the RRF sum is a fixed chain of exact-integer-
+    denominator divisions, so the oracle reproduces the fusion
+    value-for-value."""
+    from zdb_spark.operators.search import (rrf_fuse, text_index_topk,
                                             token_jaccard_topk)
 
     docs = _load(spark, sf_dir, "documents")
-    bm = bm25_topk(docs, "table scan fast", "text", "doc_id", k=50)
+    bm = text_index_topk(spark, _text_index_store(spark, sf_dir),
+                         "table scan fast", k=50)
     jc = token_jaccard_topk(docs, "table scan fast", "text", "doc_id",
                             k=50)
     return rrf_fuse([(bm, "bm25"), (jc, "jaccard")], "doc_id", top=10)
@@ -4317,24 +4335,29 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the lexer (escapes, streams), the xref/page walk,
     Flate decode, and the content-stream interpreter at once.
 
-    STAGED FOR ROUND 14: the r13 verification window closed exactly
-    full at 159 registered gates (verified_age --project rejects a
-    160th without aging out window_running); gate + oracle live in
-    _PENDING_R14_ORACLES below, oracle-readiness pinned by
-    tests/test_registry.py::test_r14_staged_pdf_gate_is_oracle_ready —
-    r14 registration is one list append."""
+    Registered round 14 (staged through r13 behind window capacity).
+    The fixture corpus alternates classic-xref and xref-stream/ObjStm
+    (PDF 1.5) writers by doc_id parity, so the gate covers BOTH
+    cross-reference forms end-to-end (ISO 32000-1 §7.5.4, §7.5.8,
+    §7.5.7; r13 verdict task 4)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    from zdb_spark.operators.extract import extract_pdf, pdf_write_simple
+    from zdb_spark.operators.extract import (extract_pdf,
+                                             pdf_write_simple,
+                                             pdf_write_xref_stream)
 
-    def _wrap(t):
-        return pd.Series(bytearray(pdf_write_simple(x)) for x in t)
+    def _wrap(ids, t):
+        return pd.Series(
+            bytearray(pdf_write_simple(x) if i % 2 == 0
+                      else pdf_write_xref_stream(x))
+            for i, x in zip(ids, t))
 
-    _wrap.__annotations__ = {"t": pd.Series, "return": pd.Series}
+    _wrap.__annotations__ = {"ids": pd.Series, "t": pd.Series,
+                             "return": pd.Series}
     wrap = pandas_udf(_wrap, "binary")
     docs = _load(spark, sf_dir, "documents")
-    fixture = docs.select("doc_id", wrap("text").alias("pdf"))
+    fixture = docs.select("doc_id", wrap("doc_id", "text").alias("pdf"))
     return (extract_pdf(fixture, "pdf", "extracted")
             .select("doc_id", "extracted"))
 
@@ -4601,23 +4624,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_registry.py pins the invariants.
 WINDOW = 50
 
+# Rotation backstop (round-13 verdict task 5): a gate whose latest
+# DIRECT green row is this many rounds old (or older) ignores _COVERS
+# freshness folding and demotion — it sorts by its direct age and takes
+# a window slot for a hard rows+schema+hash row.  Coverage keeps
+# near-redundant re-verification from crowding the window; the backstop
+# keeps coverage from becoming the ONLY signal forever.
+_MAX_DIRECT_AGE = 4
+
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 13 — container probes now extract codec IDs (mp4 stsd
-    # fourcc, webm CodecID) and decode_video grew a `codec` column; no
-    # REGISTERED gate consumes decode_video (multimodal_video uses
-    # decode_video_frames, untouched) — the only gate whose output
-    # changes is the staged multimodal_containers, registered this
-    # round with the extended oracle.
+    # round 14 — populated as the round's changes land; finalized by
+    # tools/changed_gates.py before the closing commit.
     #
-    # rrf_fuse rank assignment rewritten window-free (r12 verdict
-    # hygiene note #4: sort_array(collect_list(struct(-score, id))) +
-    # posexplode replaces the unpartitioned row_number window — same
-    # (score desc, id) order, exchanges 10 -> 2).  Ranks are identical
-    # integers and the local bit-exact mirror is green, but the gate's
-    # plan changed, so it takes a priority slot.
+    # Table.create/write/compact grew the sidecar-pinned zorder_by
+    # clustering path (r13 verdict task 6): the gate's OUTPUT is
+    # unchanged (layout only; no gate table is z-ordered), but the
+    # create/write code it exercises changed, so it re-verifies.
+    "table_lifecycle",
+    # hybrid_search's BM25 side now reads the persisted inverted index
+    # (text_index_topk — bit-identical to the live bm25_topk it
+    # replaces, r13 verdict task 7): hash unchanged, plan changed.
+    # text_index's store-build lifecycle moved into the shared
+    # _text_index_store helper the hybrid gate reuses (same store,
+    # same output) — re-verifies with it.
     "hybrid_search",
+    "text_index",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -4630,9 +4663,24 @@ _CHANGED_THIS_ROUND = [
 # still rotates in by staleness like any green gate.
 # tools/changed_gates.py prints these as [exempt] instead of MISSING.
 _CHANGED_BUT_LOCALLY_PROVEN = {
-    # (round-12 exemptions cleared at the r13 boundary — their diffs
-    # are inside the new diff base d0723e9 and their gates went green
-    # in CORRECTNESS_r12.)
+    # (round-12 exemptions cleared at the r13 boundary; round-13's at
+    # a1b49f4.)  Round 14: _bloom_probe_chain grew the r13-advice
+    # GUARDS only — ungrouped word-table validation, duplicate
+    # word_idx refusal, m_bits driver ceiling — each a raise on inputs
+    # these gates never produce (both build ungrouped, in-bounds
+    # filters), so the diff is unreachable on the gate corpus; both
+    # passed tools/check_correctness.py's bit-exact mirror on the
+    # changed tree this round.  Exempted because the r14 window is
+    # over-subscribed (unigram_tok would breach the green-age-2
+    # guarantee otherwise).
+    "contamination_bloom": (
+        "guard-only diff (raises on grouped/duplicate/oversized word "
+        "tables the gate never builds); bit-exact mirror green on the "
+        "changed tree"),
+    "bloom_novelty": (
+        "guard-only diff (same _bloom_probe_chain guards, unreachable "
+        "on the gate's ungrouped in-bounds filter); bit-exact mirror "
+        "green on the changed tree"),
 }
 
 _QUERY_DECLARATIONS: list[
@@ -4800,35 +4848,32 @@ _QUERY_DECLARATIONS: list[
     ("bloom_novelty", q_bloom_novelty),
     ("zorder_scan", q_zorder_scan),
     ("html_extract", q_html_extract),
+    # round-14 registration (staged through round 13 behind window
+    # capacity; r13 verdict task 1)
+    ("pdf_extract", q_pdf_extract),
 ]
 
-# Complete gate + oracle staged for ROUND-14 registration (the r13
-# window closed exactly full at 159 gates — see q_pdf_extract's
-# docstring).  Registration = append ("pdf_extract", q_pdf_extract) to
-# _QUERY_DECLARATIONS and fold this dict into oracle_sql()'s return
-# (it is already merged there so the staged test runs the REAL path).
-_PENDING_R14_ORACLES: dict[str, str] = {
-    # same closed-form round-trip shape as html_extract: the fixture
-    # writer is a pure function of text, so the oracle reconstructs the
-    # expected extraction from the original column.  LINE-AWARE on
-    # purpose: pdf_to_text keeps one output line per input line
-    # (writer emits Tj T* per line), normalizing whitespace WITHIN each
-    # line and dropping empty lines — a flat '\s+'->' ' oracle would
-    # only coincidentally match a newline-free fixture and break on the
-    # first regenerated corpus with multi-line text.  Latin-1-encodable
-    # text is the fixture writer's contract (testdata is ASCII).
-    "pdf_extract": r"""
-        SELECT doc_id,
-               array_to_string(
-                 list_filter(
-                   list_transform(
-                     string_split(text, chr(10)),
-                     x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
-                   x -> x <> ''),
-                 chr(10)) AS extracted
-        FROM documents
-    """,
-}
+# pdf_extract oracle — registered round 14 (merged into oracle_sql()).
+# Same closed-form round-trip shape as html_extract: the fixture
+# writer is a pure function of text, so the oracle reconstructs the
+# expected extraction from the original column.  LINE-AWARE on
+# purpose: pdf_to_text keeps one output line per input line
+# (writer emits Tj T* per line), normalizing whitespace WITHIN each
+# line and dropping empty lines — a flat '\s+'->' ' oracle would
+# only coincidentally match a newline-free fixture and break on the
+# first regenerated corpus with multi-line text.  Latin-1-encodable
+# text is the fixture writer's contract (testdata is ASCII).
+_PDF_EXTRACT_ORACLE = r"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(
+               list_transform(
+                 string_split(text, chr(10)),
+                 x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+               x -> x <> ''),
+             chr(10)) AS extracted
+    FROM documents
+"""
 
 
 # Composite gates whose value-hash gate exercises a sub-gate's operator
@@ -4899,10 +4944,15 @@ _COVERS: dict[str, list[str]] = {
 }
 
 
-def _verification_history() -> dict[str, tuple[int | None, int | None]]:
+def _verification_history(
+    fold: bool = True,
+) -> dict[str, tuple[int | None, int | None]]:
     """gate -> (latest green round, latest red round) from the driver's
     CORRECTNESS_r*.json ledger, with _COVERS composite greens folded
-    into their sub-gates (tools/verified_age.py reuses this)."""
+    into their sub-gates (tools/verified_age.py reuses this).
+    fold=False returns DIRECT rows only — the rotation backstop needs
+    the unfolded age to notice a gate whose freshness has rested on
+    coverage for too long (round-13 verdict task 5)."""
     import glob
     import json
     import re as _re
@@ -4929,6 +4979,8 @@ def _verification_history() -> dict[str, tuple[int | None, int | None]]:
             else:
                 r = rnd if r is None else max(r, rnd)
             hist[gate] = (g, r)
+    if not fold:
+        return hist
     # fold composite coverage into sub-gate ages (rotation freshness
     # only): bump a sub-gate's green round to the covering composite's
     # — but never resurrect a red-after-green gate (its own oracle
@@ -4956,6 +5008,7 @@ def _rotation_sorted(
     driver writes the NEXT round's row, after this round's window was
     already consumed."""
     hist = _verification_history()
+    direct = _verification_history(fold=False)
     pri = {n: i for i, n in enumerate(_CHANGED_THIS_ROUND)}
     cur = max((max(g or 0, r or 0) for g, r in hist.values()),
               default=0)
@@ -4970,6 +5023,16 @@ def _rotation_sorted(
         green, red = h
         if red is not None and (green is None or red > green):
             return (2, red, name)         # regressed after last green
+        # Max-direct-age backstop (round-13 verdict task 5): coverage
+        # folding is honest but soft — a gate whose last DIRECT
+        # rows+schema+hash row is >= _MAX_DIRECT_AGE rounds old sorts
+        # by its DIRECT age and is exempt from _COVERS demotion, so it
+        # reclaims a window slot for a hard re-verification instead of
+        # aging indefinitely behind a fresh composite (the r8/r9 dedup
+        # cohort reached age 4-5 this way).
+        dg = (direct.get(name) or (None, None))[0]
+        if dg is not None and cur - dg >= _MAX_DIRECT_AGE:
+            return (3, dg, name)
         if name in demoted:
             # a WINDOW composite will re-execute this sub-gate's
             # operator this round and (if green) refresh its age via
@@ -4986,6 +5049,10 @@ def _rotation_sorted(
     demoted = frozenset(
         sub for comp, subs in _COVERS.items() if comp in provisional
         for sub in subs)
+    # exposed for tests: the demoted set is a PROVISIONAL-window
+    # computation, not derivable from the final registry order
+    global _ROTATION_DEMOTED
+    _ROTATION_DEMOTED = demoted
     return sorted(decls, key=lambda p: key(p, demoted))
 
 
@@ -8109,4 +8176,5 @@ def oracle_sql() -> dict[str, str]:
           AND epoch_ns(ts) < {1704844800 * 10**9}
           AND value >= 100.0 AND value < 300.0
     """
+    sqls["pdf_extract"] = _PDF_EXTRACT_ORACLE
     return sqls

@@ -1,9 +1,17 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the engine's representative queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "n_queries": N, "detail": "BENCH_DETAIL.json", ...}
+
+The stdout line is size-guarded to LINE_LIMIT chars (the driver records
+only ~2000 chars of output; r13's full 77-query line overflowed it and
+the round's perf record came back unparseable).  `queries` on the line
+holds the slowest-k subset that fits; the FULL per-query map, canary
+notes, and error details go to the BENCH_DETAIL.json sidecar next to
+this file, which the round-end commit preserves.
 
 Each query is forced with a count() (not collect) so timing measures the
 distributed plan, not driver materialization of wide results.  A warmup
@@ -367,6 +375,61 @@ def _apply_canary_verdict(canary: dict, band_applies: bool) -> None:
         canary["note"] = "; ".join(notes)
 
 
+# The driver records only the LAST ~2000 characters of bench stdout;
+# BENCH_r13.json came back `parsed: null` because 77 queries' timings
+# pushed the single JSON line past that window and the captured tail
+# started mid-dict.  The full artifact now goes to a SIDECAR file (which
+# the driver's round-end commit preserves) and the stdout line is a
+# compact, size-guarded summary: total + canary verdict + the slowest
+# queries that fit.  `_compact_line` is pure so tests pin the guard.
+SIDECAR = "BENCH_DETAIL.json"
+LINE_LIMIT = 1700  # chars; observed capture window ~2000, keep margin
+
+
+def _compact_line(out: dict, limit: int = LINE_LIMIT) -> dict:
+    """Shrink the full bench artifact to a stdout line <= `limit` chars.
+
+    Always kept: metric/value/unit/sf, query count, sidecar pointer,
+    canary verdict (samples + booleans, long notes dropped — the full
+    note lives in the sidecar), write throughput numbers, error count.
+    The per-query map keeps the slowest-k subset, k chosen as the
+    largest of (20, 10, 5, 3, 1, 0) whose serialization fits."""
+    timings: dict = out.get("queries", {})
+    canary: dict = out.get("canary", {})
+    base: dict = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "detail": SIDECAR,
+    }
+    wt = out.get("write_throughput", {})
+    base["write_throughput"] = {
+        k: wt[k] for k in ("batch_write", "stream_sink") if k in wt
+    } or {"err": str(wt.get("err", ""))[:80]}
+    base["canary"] = {
+        k: canary.get(k)
+        for k in ("before", "after", "tiebreak", "degraded", "below_band")
+        if k in canary and (k != "tiebreak" or canary.get(k) is not None)
+    }
+    errors: dict = out.get("errors", {})
+    if errors:
+        base["n_errors"] = len(errors)
+        base["error_queries"] = sorted(errors)[:5]
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (20, 10, 5, 3, 1, 0):
+        cand = dict(base)
+        cand["queries"] = dict(slowest[:k])
+        if len(json.dumps(cand, separators=(",", ":"))) <= limit:
+            return cand
+    # Even the empty-queries form overflowed (cannot happen with sane
+    # inputs; belt-and-braces for a pathological error map).
+    base.pop("error_queries", None)
+    base["queries"] = {}
+    return base
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -408,7 +471,22 @@ def main() -> int:
     }
     if attempt["errors"]:
         out["errors"] = attempt["errors"]
-    print(json.dumps(out))
+
+    # Full artifact to the sidecar (the driver's round-end commit picks
+    # it up), compact size-guarded summary to stdout — see _compact_line.
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), SIDECAR)
+    try:
+        with open(sidecar_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"sidecar write failed: {exc!r}", file=sys.stderr)
+    line = json.dumps(_compact_line(out), separators=(",", ":"))
+    assert len(line) <= LINE_LIMIT, (
+        f"bench stdout line {len(line)} chars exceeds the driver "
+        f"capture guard {LINE_LIMIT}")
+    print(line)
     return 0
 
 

@@ -775,6 +775,23 @@ def test_pdf_roundtrip_property(text):
     assert pdf_to_text(pdf_write_simple(text, compress=False)) == expect
 
 
+@given(_PDF_TEXT)
+@settings(max_examples=200, deadline=None)
+def test_pdf_xref_stream_roundtrip_property(text):
+    """The PDF 1.5 writer (xref STREAM + ObjStm + PNG Up predictor)
+    round-trips identically to the classic writer for ANY latin-1
+    payload — one property pins the whole §7.5.7/§7.5.8 read path."""
+    from zdb_spark.operators.extract import (pdf_to_text,
+                                             pdf_write_xref_stream)
+
+    expect = "\n".join(
+        line for line in (" ".join(ln.split()) for ln in text.split("\n"))
+        if line)
+    assert pdf_to_text(pdf_write_xref_stream(text)) == expect
+    assert pdf_to_text(pdf_write_xref_stream(text,
+                                             compress=False)) == expect
+
+
 @given(st.text(min_size=0, max_size=300))
 @settings(max_examples=200, deadline=None)
 def test_html_escape_roundtrip_property(text):

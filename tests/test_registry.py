@@ -65,25 +65,66 @@ def test_rotation_is_stalest_first():
     vouches for).  Demotion must never apply to red or never-verified
     gates."""
     hist = entry_mod._verification_history()
+    direct = entry_mod._verification_history(fold=False)
     names = [n for n, _ in entry_mod._QUERY_REGISTRY]
     k = len(entry_mod._CHANGED_THIS_ROUND)
     assert set(names[:k]) == set(entry_mod._CHANGED_THIS_ROUND)
-    window = set(names[:entry_mod.WINDOW])
     cur = max(max(g or 0, r or 0) for g, r in hist.values())
-    demotable = {s for c, subs in entry_mod._COVERS.items()
-                 if c in window for s in subs}
+    # the impl computes demotion from the PROVISIONAL window (first
+    # sort pass); use its exposed set rather than re-deriving from the
+    # final order, which can differ when a composite is itself demoted
+    demotable = entry_mod._ROTATION_DEMOTED
     tiers = []
     for n in names[k:]:
         h = hist.get(n)
+        dg = (direct.get(n) or (None, None))[0]
         if h is None:
             tiers.append((1, 0))
         elif h[1] is not None and (h[0] is None or h[1] > h[0]):
             tiers.append((2, h[1]))      # red: demotion must NOT apply
+        elif dg is not None and cur - dg >= entry_mod._MAX_DIRECT_AGE:
+            tiers.append((3, dg))        # backstop: direct age rules
         elif n in demotable:
             tiers.append((3, cur))
         else:
             tiers.append((3, h[0]))
     assert tiers == sorted(tiers), "registry not stalest-first"
+
+
+def test_rotation_max_direct_age_backstop():
+    """Round-13 verdict task 5: a green gate whose latest DIRECT row is
+    >= _MAX_DIRECT_AGE rounds old must sort by its direct age — exempt
+    from both _COVERS freshness folding and in-window-composite
+    demotion — so it reclaims a window slot for a hard re-verification.
+    The r8/r9 dedup cohort is the live instance this round."""
+    hist = entry_mod._verification_history()
+    direct = entry_mod._verification_history(fold=False)
+    names = [n for n, _ in entry_mod._QUERY_REGISTRY]
+    window = names[:entry_mod.WINDOW]
+    cur = max(max(g or 0, r or 0) for g, r in hist.values())
+
+    aged = []
+    for n in names:
+        h, dgr = hist.get(n), direct.get(n)
+        if h is None or dgr is None or dgr[0] is None:
+            continue
+        green, red = h
+        if red is not None and (green is None or red > green):
+            continue                      # regressed: rule 3 owns it
+        if cur - dgr[0] >= entry_mod._MAX_DIRECT_AGE:
+            aged.append(n)
+    # every aged-direct green gate is IN the window (the whole point)
+    missing = [n for n in aged if n not in window]
+    assert not missing, (
+        f"backstop gates left outside the window: {missing}")
+    # and the known r8/r9 cohort is aged right now, so this test is not
+    # vacuously passing on an empty set
+    assert "dedup_exact" in aged and "dedup_minhash" in aged
+    # gates with NO direct row ever (rule-2 territory) are untouched by
+    # the backstop: _verification_history(fold=False) simply has no
+    # entry, and rule 2 already gives them a first-row slot
+    assert all((direct.get(n) or (None, None))[0] is not None
+               for n in aged)
 
 
 def test_oracle_keys_are_query_keys():
@@ -320,6 +361,75 @@ def test_bench_canary_verdict_edges():
     assert verdict(None, None)["below_band"] is None
 
 
+def test_bench_compact_line_size_guard():
+    """bench.py stdout-size guard (round-13 verdict task 2): the driver
+    records only ~2000 chars of bench stdout, and BENCH_r13.json came
+    back `parsed: null` when 77 queries overflowed the single line.
+    _compact_line must keep the line under LINE_LIMIT at any realistic
+    query count while preserving total/canary/write/sidecar-pointer."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def artifact(n_queries, n_errors=0):
+        return {
+            "metric": "headline_queries_total",
+            "value": round(1.234 * n_queries, 3),
+            "unit": "sec",
+            "sf": 0.1,
+            "queries": {f"query_name_with_length_{i:04d}":
+                        round(0.1 * (i % 37) + 0.123, 3)
+                        for i in range(n_queries)},
+            "write_throughput": {"batch_write": 712345,
+                                 "stream_sink": 1013176,
+                                 "rows": 1000000, "unit": "rows_per_sec"},
+            "canary": {"metric": "batch_write_rows_per_sec",
+                       "rows": 1000000, "clean_band": [620000, 800000],
+                       "tolerance": 1.3, "before": 577000, "after": 556725,
+                       "tiebreak": 601000, "degraded": False,
+                       "below_band": True,
+                       "note": "canary below the clean band floor " * 4},
+            "errors": {f"err_gate_{i}": "RuntimeError: boom" * 10
+                       for i in range(n_errors)},
+        }
+
+    # every realistic size — including far past today's 78 queries and a
+    # pathological error map — fits the driver capture window
+    for n, errs in [(10, 0), (78, 0), (150, 3), (400, 40)]:
+        line = json.dumps(bench._compact_line(artifact(n, errs)),
+                          separators=(",", ":"))
+        assert len(line) <= bench.LINE_LIMIT, (n, errs, len(line))
+        parsed = json.loads(line)
+        assert parsed["value"] == round(1.234 * n, 3)
+        assert parsed["n_queries"] == n
+        assert parsed["detail"] == bench.SIDECAR
+        assert parsed["canary"]["below_band"] is True
+        assert "note" not in parsed["canary"]  # long note sidecar-only
+        assert parsed["write_throughput"]["batch_write"] == 712345
+        if errs:
+            assert parsed["n_errors"] == errs
+        # queries subset is the SLOWEST ones, values intact
+        full = artifact(n, errs)["queries"]
+        for k, v in parsed["queries"].items():
+            assert full[k] == v
+        if parsed["queries"]:
+            kept_min = min(parsed["queries"].values())
+            dropped = [v for k, v in full.items()
+                       if k not in parsed["queries"]]
+            assert not dropped or kept_min >= max(dropped)
+
+    # tiebreak key is omitted when absent (None), kept when sampled
+    art = artifact(5)
+    del art["canary"]["tiebreak"]
+    assert "tiebreak" not in bench._compact_line(art)["canary"]
+
+
 def test_changed_exemptions_are_wellformed():
     """_CHANGED_BUT_LOCALLY_PROVEN contract: every entry is a real
     gate, carries a non-empty proof sentence, is not ALSO queued (an
@@ -484,12 +594,11 @@ def test_plan_audit_flag_detection():
     assert set(pa._WAIVED) <= gates, set(pa._WAIVED) - gates
 
 
-def test_r14_staged_pdf_gate_is_oracle_ready(spark):
-    """pdf_extract is complete (gate fn + oracle in
-    _PENDING_R14_ORACLES) but unregistered: the r13 verification
-    window closed exactly full at 159 gates.  This test runs the gate
-    against its staged oracle with the driver's own comparator, so r14
-    registration is a proven one-line append, not new work."""
+def test_pdf_gate_matches_oracle(spark):
+    """pdf_extract (registered round 14) stays green against its oracle
+    with the driver's own comparator — the fixture corpus alternates
+    classic-xref and xref-stream/ObjStm writers by doc_id parity, so
+    this one compare covers BOTH ISO 32000-1 cross-reference forms."""
     import os
     import sys as _sys
 
@@ -502,8 +611,8 @@ def test_r14_staged_pdf_gate_is_oracle_ready(spark):
     finally:
         _sys.path.remove(os.path.join(root, "tools"))
 
-    assert "pdf_extract" not in entry_mod.queries()       # staged, not live
-    sql = entry_mod._PENDING_R14_ORACLES["pdf_extract"]
+    assert "pdf_extract" in entry_mod.queries()           # live
+    sql = entry_mod.oracle_sql()["pdf_extract"]
     sf = "/root/testdata/sf0.01"
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "

@@ -960,3 +960,110 @@ def test_bloom_store_lookup_by_grouped_verdicts(spark, tmp_path):
     assert got[("A", "shared")] and got[("B", "shared")]
     assert not got[("A", "absent")] and not got[("B", "absent")]
     assert len(got) == 8          # full (group x probe) grid
+
+
+class TestBloomSaturation:
+    """Saturation guard + rebuild (round-13 verdict task 8): a filter
+    driven past its fpr threshold is DETECTED (bloom_store_saturation)
+    and a grow_bloom_store rebuild at 4x m restores selectivity —
+    absent probes flip back to false, present probes never flip."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+
+    def test_saturate_detect_grow_restores_selectivity(self, spark,
+                                                       tmp_path):
+        from zdb_spark.operators.sketches import (append_bloom_store,
+                                                  bloom_store_lookup,
+                                                  bloom_store_saturation,
+                                                  build_bloom_store,
+                                                  grow_bloom_store)
+
+        p = str(tmp_path / "bloom")
+        # 2000 values into a 1024-bit filter: fill -> ~1, fpr_est -> ~1
+        build_bloom_store(self._docs(spark, 0, 1000), "v", p,
+                          m_bits=1024, k=4)
+        append_bloom_store(self._docs(spark, 1000, 2000), "v", p,
+                           batch_id=1)
+        sat = bloom_store_saturation(spark, p, fpr_threshold=0.01).first()
+        assert sat["saturated"] is True and sat["fpr_est"] > 0.5
+
+        absent = [f"zz{i}" for i in range(200)]
+        degraded = bloom_store_lookup(spark, p, absent)
+        n_false_pos = sum(r.maybe_present for r in degraded.collect())
+        assert n_false_pos > 100       # pass-through: selectivity gone
+
+        # rebuild from the authoritative corpus at default 4x... 1024*4
+        # is still tiny, so grow explicitly to a sized filter
+        new_m = grow_bloom_store(self._docs(spark, 0, 2000), "v", p,
+                                 m_bits=1 << 16)
+        assert new_m == 1 << 16
+        sat2 = bloom_store_saturation(spark, p,
+                                      fpr_threshold=0.01).first()
+        assert sat2["saturated"] is False and sat2["fpr_est"] < 0.01
+        healed = bloom_store_lookup(spark, p, absent)
+        assert sum(r.maybe_present for r in healed.collect()) <= 2
+        # no false negatives survive a rebuild (members re-addressed)
+        present = [f"u{i}" for i in range(0, 2000, 37)]
+        got = bloom_store_lookup(spark, p, present)
+        assert all(r.maybe_present for r in got.collect())
+
+    def test_grow_refuses_shrink_and_preserves_groups(self, spark,
+                                                      tmp_path):
+        import pytest as _pytest
+
+        from zdb_spark.operators.sketches import (build_bloom_store,
+                                                  bloom_store_lookup_by,
+                                                  grow_bloom_store)
+
+        p = str(tmp_path / "gbloom")
+        df = spark.range(0, 200).select(
+            (F.col("id") % 2).cast("string").alias("src"),
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        build_bloom_store(df, "v", p, by=["src"], m_bits=4096, k=4)
+        with _pytest.raises(ValueError, match="must exceed"):
+            grow_bloom_store(df, "v", p, m_bits=4096)
+        grow_bloom_store(df, "v", p, m_bits=1 << 14)
+        out = bloom_store_lookup_by(spark, p, ["u0", "u1"])
+        got = {(r.src, r.value): r.maybe_present for r in out.collect()}
+        # u0 is in group "0" only, u1 in "1" only (id%2 split)
+        assert got[("0", "u0")] and got[("1", "u1")]
+        assert not got[("1", "u0")] and not got[("0", "u1")]
+
+
+class TestBloomProbeChainGuards:
+    """Round-13 advice: the contamination prefilter's probe chain must
+    refuse a grouped/duplicated word table (silent candidate
+    multiplication) and an over-ceiling m_bits (driver collect)."""
+
+    def test_grouped_words_rejected(self, spark):
+        import pytest as _pytest
+
+        from zdb_spark.operators.curation import _bloom_probe_chain
+        from zdb_spark.operators.sketches import bloom_words
+
+        df = spark.range(0, 50).select(
+            (F.col("id") % 2).cast("string").alias("src"),
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        grouped = bloom_words(df, "v", ["src"], m_bits=1024, k=2)
+        cand = spark.range(0, 5).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        with _pytest.raises(ValueError, match="UNGROUPED"):
+            _bloom_probe_chain(cand, "v", grouped, m_bits=1024, k=2)
+        # same columns but duplicated word_idx rows: also refused
+        flat = grouped.select("word_idx", "word")
+        with _pytest.raises(ValueError, match="duplicate word_idx"):
+            _bloom_probe_chain(cand, "v", flat, m_bits=1024, k=2)
+
+    def test_oversized_m_bits_rejected(self, spark):
+        import pytest as _pytest
+
+        from zdb_spark.operators.curation import (_PROBE_CHAIN_MAX_BITS,
+                                                  _bloom_probe_chain)
+
+        cand = spark.range(0, 5).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        with _pytest.raises(ValueError, match="ceiling"):
+            _bloom_probe_chain(cand, "v", cand, k=4,
+                               m_bits=_PROBE_CHAIN_MAX_BITS * 2)

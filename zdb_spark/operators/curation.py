@@ -430,6 +430,13 @@ def contamination_hash(df: DataFrame, bench: DataFrame,
             .withColumn("contaminated", F.col("n_contaminated") > 0))
 
 
+# Driver-materialization ceiling for the probe chain's word table:
+# 2^26 bits = 2M word rows (~32 MB collected).  The chain exists for
+# BROADCAST-class filters; a filter past this belongs on the executor
+# side (sketches.bloom_lookup's join form), not in a driver collect.
+_PROBE_CHAIN_MAX_BITS = 1 << 26
+
+
 def _bloom_probe_chain(cand: DataFrame, value_col: str,
                        words: DataFrame, *, m_bits: int,
                        k: int) -> DataFrame:
@@ -440,13 +447,35 @@ def _bloom_probe_chain(cand: DataFrame, value_col: str,
     anyway, so this adds no memory class, and it stops the k per-join
     subtrees from re-executing the whole filter-build k times).
     Addressing comes from sketches.bloom_position — the single source
-    of the formula the filter builder and the oracles replay."""
+    of the formula the filter builder and the oracles replay.
+
+    The word table must be UNGROUPED (columns exactly {word_idx, word},
+    one row per word): a grouped table (e.g. ``read_bloom_words`` over
+    a grouped store) has duplicate word_idx rows across groups, which
+    would silently multiply candidate rows through the k chained joins
+    — refused loudly here, as is an m_bits past the driver-collect
+    ceiling."""
     from .sketches import BLOOM_WORD_BITS, bloom_position
 
+    if m_bits > _PROBE_CHAIN_MAX_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the probe-chain driver ceiling "
+            f"({_PROBE_CHAIN_MAX_BITS}); use sketches.bloom_lookup's "
+            "executor-side join form for filters this large")
+    if set(words.columns) != {"word_idx", "word"}:
+        raise ValueError(
+            "probe chain needs an UNGROUPED word table (columns "
+            f"exactly [word_idx, word]); got {sorted(words.columns)} — "
+            "a grouped store's words would multiply candidates "
+            "through the chained joins")
     spark = words.sparkSession
-    local = spark.createDataFrame(
-        words.select("word_idx", "word").collect(),
-        "word_idx int, word long")
+    rows = words.select("word_idx", "word").collect()
+    if len({r["word_idx"] for r in rows}) != len(rows):
+        raise ValueError(
+            "duplicate word_idx rows in the probe-chain word table "
+            "(grouped or unmerged store?) — bit_or-merge per word_idx "
+            "first (sketches.read_bloom_words on an ungrouped store)")
+    local = spark.createDataFrame(rows, "word_idx int, word long")
     for i in range(k):
         pos = bloom_position(F.col(value_col), i, m_bits=m_bits)
         wi = local.select(F.col("word_idx").alias(f"_wi{i}"),

@@ -34,7 +34,8 @@ from io import StringIO
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["html_to_text", "extract_html",
-           "pdf_to_text", "pdf_write_simple", "extract_pdf"]
+           "pdf_to_text", "pdf_write_simple", "pdf_write_xref_stream",
+           "extract_pdf"]
 
 _SKIP = {"script", "style", "noscript", "template"}
 _BLOCK = {"html", "head", "body", "title", "p", "div", "nav", "li",
@@ -123,17 +124,20 @@ def extract_html(df: DataFrame, html_col: str = "html",
 # ---------------------------------------------------------------------- #
 # The second-most-common document container in a web crawl after HTML.
 # Scope (the honest-subset contract of the other from-scratch codecs —
-# jpeg.py, multimodal.py): classic cross-reference TABLES, indirect
-# objects, the /Root -> /Pages -> /Kids page tree, page /Contents
-# (single stream or array), FlateDecode, literal strings with escape /
-# octal sequences and hex strings, and the text-showing operators
-# Tj ' " TJ inside BT/ET with Td/TD/T* treated as line breaks.  Out of
-# scope, each with a LOUD raise: encryption (/Encrypt), PDF 1.5+
-# cross-reference STREAMS and object streams, and filters beyond Flate
-# — the arithmetic-JPEG pattern: a wrong-text silent fallback would be
-# worse than a refusal.  Glyph-to-unicode is the identity of the
-# string bytes (standard-encoding Latin text) — CID/Type0 composite
-# fonts show up as their raw bytes, the same best-effort every
+# jpeg.py, multimodal.py): classic cross-reference TABLES, PDF 1.5+
+# cross-reference STREAMS (/Type /XRef, ISO 32000-1 §7.5.8) and object
+# streams (/Type /ObjStm, §7.5.7) including hybrid-reference files
+# (/XRefStm), indirect objects, the /Root -> /Pages -> /Kids page tree,
+# page /Contents (single stream or array), FlateDecode with PNG
+# predictors (the xref-stream default in the wild, §7.4.4.4), literal
+# strings with escape / octal sequences and hex strings, and the
+# text-showing operators Tj ' " TJ inside BT/ET with Td/TD/T* treated
+# as line breaks.  Out of scope, each with a LOUD raise: encryption
+# (/Encrypt), filters beyond Flate, and TIFF predictor 2 — the
+# arithmetic-JPEG pattern: a wrong-text silent fallback would be worse
+# than a refusal.  Glyph-to-unicode is the identity of the string
+# bytes (standard-encoding Latin text) — CID/Type0 composite fonts
+# show up as their raw bytes, the same best-effort every
 # non-font-rendering extractor makes.
 
 _WS = b"\x00\t\n\x0c\r "
@@ -315,13 +319,71 @@ class _PdfLexer:
         return v
 
 
+def _name_of(v):
+    """Bare name string of a lexer name tuple (or pass-through)."""
+    return v[1] if isinstance(v, tuple) and v and v[0] == "name" else v
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse the PNG row predictors (filter types 0-4) over
+    Colors=1 / BitsPerComponent=8 rows — the /DecodeParms shape every
+    real-world xref stream uses (ISO 32000-1 §7.4.4.4 delegates to the
+    PNG spec).  Each stored row is 1 filter-type byte + `columns`
+    filtered bytes."""
+    rowlen = columns + 1
+    if columns <= 0 or len(data) % rowlen:
+        raise ValueError("pdf png predictor: ragged predicted data")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + rowlen])
+        if ft == 0:                                   # None
+            pass
+        elif ft == 1:                                 # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:                                 # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:                                 # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(
+                f"pdf png predictor: unknown filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _Pdf:
     def __init__(self, data: bytes) -> None:
         self.d = data
         self._cache: dict[int, object] = {}
-        self._offsets = self._read_xref()
+        self._objstm_cache: dict[int, tuple[bytes, int, list]] = {}
+        self._offsets: dict[int, int] = {}        # num -> byte offset
+        self._in_objstm: dict[int, tuple[int, int]] = {}  # num -> (stm, i)
+        self._read_xref()
 
-    def _read_xref(self) -> dict[int, int]:
+    # -------------------- cross-reference parsing -------------------- #
+    # Both forms feed a SECTION-local entry map which merges into the
+    # global maps newest-section-first: an object freed by an
+    # incremental update (classic type 'f' / stream type 0) must
+    # tombstone the older section's live offset, or deleted content
+    # would resurrect through /Prev.
+
+    def _read_xref(self) -> None:
         d = self.d
         tail = d[-2048:]
         m = None
@@ -329,51 +391,153 @@ class _Pdf:
             pass
         if m is None:
             raise ValueError("not a pdf: no startxref")
-        offsets: dict[int, int] = {}
         dead: set[int] = set()
         pos = int(m.group(1))
-        seen = set()
+        seen: set[int] = set()
         while pos and pos not in seen:
             seen.add(pos)
-            if not d[pos:pos + 4] == b"xref":
-                raise NotImplementedError(
-                    "pdf cross-reference STREAMS (PDF 1.5+) are not "
-                    "supported — classic xref tables only")
-            lex = _PdfLexer(d, pos + 4)
-            while True:
-                t = lex.next_token()
-                if t == ("kw", "trailer"):
-                    break
-                if t is None:
-                    raise ValueError("truncated pdf: xref without trailer")
-                if t[0] != "num":
-                    raise ValueError("malformed pdf xref")
-                cnt_tok = lex.next_token()
-                if cnt_tok is None or cnt_tok[0] != "num":
-                    raise ValueError("malformed pdf xref subsection")
-                first, count = t[1], cnt_tok[1]
-                lex._skip_ws()
-                for i in range(count):
-                    row = d[lex.p:lex.p + 20]
-                    num = first + i
-                    # newest section wins for BOTH states: an object
-                    # freed by an incremental update (type 'f') must
-                    # tombstone the older section's live offset, or
-                    # deleted content would resurrect through /Prev
-                    if num not in offsets and num not in dead:
-                        if row[17:18] == b"n":
-                            offsets[num] = int(row[0:10])
-                        else:
-                            dead.add(num)
-                    lex.p += 20
-            trailer = lex.next_object()
+            if d[pos:pos + 4] == b"xref":
+                trailer, entries = self._parse_classic_section(pos)
+                # hybrid-reference file (§7.5.8.4): the /XRefStm stream
+                # holds the compressed-object entries old readers can't
+                # see.  Merge rule matching the major readers: a LIVE
+                # table entry wins, but a free/absent table entry defers
+                # to the stream (hybrid writers hide compressed objects
+                # from pre-1.5 readers exactly that way).
+                xs = trailer.get("XRefStm")
+                if isinstance(xs, (int, float)):
+                    _, stm_entries = self._parse_xref_stream(int(xs))
+                    for num, ent in stm_entries.items():
+                        if entries.get(num) in (None, "free"):
+                            entries[num] = ent
+            else:
+                trailer, entries = self._parse_xref_stream(pos)
             if "Encrypt" in trailer:
                 raise NotImplementedError("encrypted pdf is not supported")
             if not hasattr(self, "_trailer"):
                 self._trailer = trailer
+            for num, ent in entries.items():
+                if (num in self._offsets or num in self._in_objstm
+                        or num in dead):
+                    continue                       # newest section wins
+                if ent == "free":
+                    dead.add(num)
+                elif ent[0] == "objstm":
+                    self._in_objstm[num] = (ent[1], ent[2])
+                else:
+                    self._offsets[num] = ent[1]
             prev = trailer.get("Prev")
             pos = int(prev) if isinstance(prev, (int, float)) else 0
-        return offsets
+
+    def _parse_classic_section(self, pos: int):
+        """One classic `xref ... trailer <<...>>` section ->
+        (trailer dict, {num: entry})."""
+        d = self.d
+        lex = _PdfLexer(d, pos + 4)
+        entries: dict[int, object] = {}
+        while True:
+            t = lex.next_token()
+            if t == ("kw", "trailer"):
+                break
+            if t is None:
+                raise ValueError("truncated pdf: xref without trailer")
+            if t[0] != "num":
+                raise ValueError("malformed pdf xref")
+            cnt_tok = lex.next_token()
+            if cnt_tok is None or cnt_tok[0] != "num":
+                raise ValueError("malformed pdf xref subsection")
+            first, count = t[1], cnt_tok[1]
+            lex._skip_ws()
+            for i in range(count):
+                row = d[lex.p:lex.p + 20]
+                # strict 20-byte row shape (§7.5.4).  Some real-world
+                # writers emit 19-byte rows (single-byte EOL); accepting
+                # them would silently misalign every later row, so the
+                # contract here is the module's loud raise.
+                if not (len(row) == 20
+                        and row[0:10].isdigit()
+                        and row[10:11] == b" "
+                        and row[11:16].isdigit()
+                        and row[16:17] == b" "
+                        and row[17:18] in b"nf"
+                        and row[18:20] in (b" \r", b" \n", b"\r\n")):
+                    raise ValueError("malformed pdf xref row")
+                num = first + i
+                if num not in entries:
+                    if row[17:18] == b"n":
+                        entries[num] = ("classic", int(row[0:10]))
+                    else:
+                        entries[num] = "free"
+                lex.p += 20
+        trailer = lex.next_object()
+        return trailer, entries
+
+    def _parse_xref_stream(self, pos: int):
+        """One /Type /XRef stream object (§7.5.8) ->
+        (stream dict [doubles as trailer], {num: entry})."""
+        lex = _PdfLexer(self.d, pos)
+        t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
+        if not (t1 and t1[0] == "num" and t3 == ("kw", "obj")):
+            raise ValueError(f"malformed pdf xref at {pos}: neither a "
+                             "classic table nor an xref stream object")
+        info = lex.next_object()
+        if _name_of(info.get("Type")) != "XRef":
+            raise ValueError("pdf xref stream object is not /Type /XRef")
+        raw = self._raw_stream_after(lex, info)
+        data = self.stream_data(("stream", info, raw))
+        # /W widths and /Index pairs are DIRECT objects by spec (the
+        # xref machinery can't require xref lookups to parse itself)
+        w = [int(x) for x in info["W"]]
+        if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+            raise ValueError(f"malformed pdf xref stream /W {w}")
+        size = int(info["Size"])
+        index = [int(x) for x in info.get("Index", [0, size])]
+        if len(index) % 2:
+            raise ValueError("malformed pdf xref stream /Index")
+        rowlen = sum(w)
+        entries: dict[int, object] = {}
+        p = 0
+        for first, count in zip(index[::2], index[1::2]):
+            for i in range(count):
+                row = data[p:p + rowlen]
+                p += rowlen
+                if len(row) < rowlen:
+                    raise ValueError("truncated pdf xref stream data")
+                fields, q = [], 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[q:q + width], "big")
+                        if width else None)
+                    q += width
+                typ = fields[0] if w[0] else 1    # absent type -> 1
+                num = first + i
+                if num in entries:
+                    continue
+                if typ == 0:
+                    entries[num] = "free"
+                elif typ == 1:
+                    entries[num] = ("classic", fields[1])
+                elif typ == 2:
+                    entries[num] = ("objstm", fields[1], fields[2])
+                else:
+                    raise ValueError(
+                        f"unknown pdf xref stream entry type {typ}")
+        return info, entries
+
+    def _raw_stream_after(self, lex: "_PdfLexer", info: dict) -> bytes:
+        """Raw stream bytes following an already-parsed stream dict
+        (shared by resolve_obj and the xref-stream parser)."""
+        if lex.peek_raw(6) != b"stream":
+            raise ValueError("pdf: stream dict without stream data")
+        lex.p += 6
+        if self.d[lex.p:lex.p + 2] == b"\r\n":
+            lex.p += 2
+        elif self.d[lex.p:lex.p + 1] == b"\n":
+            lex.p += 1
+        length = self.resolve_obj(info["Length"])
+        return self.d[lex.p:lex.p + int(length)]
+
+    # ------------------------ object resolution ---------------------- #
 
     def resolve_obj(self, ref):
         """Resolve (possibly indirect) to a concrete value."""
@@ -382,6 +546,10 @@ class _Pdf:
         num = ref[1]
         if num in self._cache:
             return self._cache[num]
+        if num in self._in_objstm:
+            val = self._resolve_in_objstm(num)
+            self._cache[num] = val
+            return val
         off = self._offsets.get(num)
         if off is None:
             raise ValueError(f"pdf object {num} not in xref")
@@ -391,16 +559,49 @@ class _Pdf:
             raise ValueError(f"malformed pdf object header at {off}")
         val = lex.next_object()
         if lex.peek_raw(6) == b"stream":
-            lex.p += 6
-            if self.d[lex.p:lex.p + 2] == b"\r\n":
-                lex.p += 2
-            elif self.d[lex.p:lex.p + 1] == b"\n":
-                lex.p += 1
-            length = self.resolve_obj(val["Length"])
-            raw = self.d[lex.p:lex.p + int(length)]
+            raw = self._raw_stream_after(lex, val)
             val = ("stream", val, raw)
         self._cache[num] = val
         return val
+
+    def _resolve_in_objstm(self, num: int):
+        """Object stored inside a /Type /ObjStm container (§7.5.7):
+        direct object (no `obj` header, never itself a stream) at
+        /First + its header-pair offset."""
+        stm_num, idx = self._in_objstm[num]
+        if stm_num not in self._objstm_cache:
+            container = self.resolve_obj(("ref", stm_num))
+            if not (isinstance(container, tuple)
+                    and container[0] == "stream"):
+                raise ValueError(
+                    f"pdf object stream {stm_num} is not a stream")
+            info = container[1]
+            if _name_of(info.get("Type")) != "ObjStm":
+                raise ValueError(
+                    f"pdf object {stm_num} is not /Type /ObjStm")
+            data = self.stream_data(container)
+            n = int(self.resolve_obj(info["N"]))
+            first = int(self.resolve_obj(info["First"]))
+            hdr = _PdfLexer(data)
+            pairs = []
+            for _ in range(n):
+                a, b = hdr.next_token(), hdr.next_token()
+                if not (a and b and a[0] == "num" and b[0] == "num"):
+                    raise ValueError(
+                        "malformed pdf object stream header")
+                pairs.append((a[1], b[1]))
+            self._objstm_cache[stm_num] = (data, first, pairs)
+        data, first, pairs = self._objstm_cache[stm_num]
+        if idx >= len(pairs):
+            raise ValueError(
+                f"pdf object stream index {idx} out of range")
+        onum, ooff = pairs[idx]
+        if onum != num:
+            raise ValueError("pdf object stream index mismatch: entry "
+                             f"{idx} holds object {onum}, xref says {num}")
+        return _PdfLexer(data, first + ooff).next_object()
+
+    # --------------------------- stream data ------------------------- #
 
     def stream_data(self, obj) -> bytes:
         if not (isinstance(obj, tuple) and obj[0] == "stream"):
@@ -410,13 +611,47 @@ class _Pdf:
         if filt is None:
             return raw
         filts = [filt] if not isinstance(filt, list) else filt
-        for f in filts:
-            name = f[1] if isinstance(f, tuple) else f
+        parms = info.get("DecodeParms", info.get("DP"))
+        parms_list = ([parms] if not isinstance(parms, list) else parms)
+        for i, f in enumerate(filts):
+            name = _name_of(f)
             if name != "FlateDecode":
                 raise NotImplementedError(
                     f"pdf filter {name!r} is not supported (FlateDecode "
                     "only)")
-            raw = zlib.decompress(raw)
+            # bounded inflate: crawl bytes are untrusted, and a small
+            # crafted stream can expand without limit (decompression
+            # bomb).  Real text/xref payloads stay well under 64x the
+            # FILE size; anything past the cap is refused loudly.
+            cap = max(1 << 22, 64 * len(self.d))
+            dec = zlib.decompressobj()
+            raw = dec.decompress(raw, cap)
+            if dec.unconsumed_tail or not dec.eof:
+                raise ValueError(
+                    "pdf FlateDecode output exceeds the decompression "
+                    f"cap ({cap} bytes) or the stream is truncated — "
+                    "refusing a likely bomb")
+            p = parms_list[i] if i < len(parms_list) else None
+            if isinstance(p, tuple) and p[0] == "ref":
+                p = self.resolve_obj(p)
+            if isinstance(p, dict):
+                pred = int(self.resolve_obj(p.get("Predictor", 1)) or 1)
+                if pred == 1:
+                    continue
+                if pred == 2:
+                    raise NotImplementedError(
+                        "pdf TIFF predictor 2 is not supported")
+                if not 10 <= pred <= 15:
+                    raise ValueError(f"pdf: unknown predictor {pred}")
+                colors = int(self.resolve_obj(p.get("Colors", 1)) or 1)
+                bpc = int(self.resolve_obj(
+                    p.get("BitsPerComponent", 8)) or 8)
+                if colors != 1 or bpc != 8:
+                    raise NotImplementedError(
+                        "pdf png predictor: only Colors=1 "
+                        "BitsPerComponent=8 is supported")
+                raw = _png_unpredict(
+                    raw, int(self.resolve_obj(p.get("Columns", 1))))
         return raw
 
 
@@ -572,6 +807,90 @@ def pdf_write_simple(text: str, *, compress: bool = True) -> bytes:
         out += b"%010d 00000 n \n" % offsets[num]
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def pdf_write_xref_stream(text: str, *, compress: bool = True) -> bytes:
+    """Single-page PDF 1.5 fixture carrying ``text``, written the way
+    post-2005 tools write it: Catalog/Pages/Page/Font compressed inside
+    a /Type /ObjStm object stream (§7.5.7) and a /Type /XRef
+    cross-reference STREAM (§7.5.8) with ``/W [1 4 2]``, a
+    two-subsection ``/Index``, FlateDecode and the PNG Up predictor
+    (/DecodeParms /Predictor 12 — the wild default).  Text content is
+    identical to ``pdf_write_simple``'s, so
+    ``pdf_to_text(pdf_write_xref_stream(t)) ==
+    pdf_to_text(pdf_write_simple(t))`` — the round-trip gate alternates
+    writers to cover both cross-reference forms with one oracle."""
+    body = [b"BT /F1 11 Tf 36 756 Td 14 TL"]
+    for line in text.split("\n"):
+        body.append(b"(" + _pdf_escape(line) + b") Tj T*")
+    body.append(b"ET")
+    content = b"\n".join(body)
+    if compress:
+        content = zlib.compress(content, 6)
+
+    # objects 1-4 live inside the object stream (object 6); the two
+    # real streams (5: page content, 6: the ObjStm itself, 7: the xref
+    # stream) must be top-level — streams may not live in an ObjStm.
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        (4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    payload = bytearray()
+    pairs = []
+    for num, src in inner:
+        pairs.append(b"%d %d" % (num, len(payload)))
+        payload += src + b"\n"
+    head = b" ".join(pairs) + b"\n"
+    first = len(head)
+    objstm_plain = bytes(head + payload)
+    objstm_data = (zlib.compress(objstm_plain, 6) if compress
+                   else objstm_plain)
+
+    flate = b" /Filter /FlateDecode" if compress else b""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    offsets[5] = len(out)
+    out += (b"5 0 obj\n<< /Length %d%s >>\nstream\n"
+            % (len(content), flate))
+    out += content + b"\nendstream\nendobj\n"
+    offsets[6] = len(out)
+    out += (b"6 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d%s "
+            b">>\nstream\n" % (len(inner), first, len(objstm_data), flate))
+    out += objstm_data + b"\nendstream\nendobj\n"
+    offsets[7] = len(out)
+
+    def row(t: int, f2: int, f3: int) -> bytes:
+        return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+    rows = [row(0, 0, 0xFFFF)]                        # object 0: free
+    rows += [row(2, 6, i) for i in range(len(inner))]  # 1-4: in ObjStm 6
+    rows += [row(1, offsets[5], 0), row(1, offsets[6], 0),
+             row(1, offsets[7], 0)]                   # 5-7: top-level
+    raw = b"".join(rows)
+    if compress:
+        cols = 7                                      # sum of /W
+        enc = bytearray()
+        prev = bytes(cols)
+        for i in range(0, len(raw), cols):
+            r = raw[i:i + cols]
+            enc.append(2)                             # PNG Up filter
+            enc += bytes((r[j] - prev[j]) & 0xFF for j in range(cols))
+            prev = r
+        xref_data = zlib.compress(bytes(enc), 6)
+        xfilt = (b" /Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor 12 /Columns 7 >>")
+    else:
+        xref_data = raw
+        xfilt = b""
+    out += (b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] "
+            b"/Index [0 5 5 3] /Root 1 0 R /Length %d%s >>\nstream\n"
+            % (len(xref_data), xfilt))
+    out += xref_data + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF" % offsets[7]
     return bytes(out)
 
 

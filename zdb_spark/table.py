@@ -96,6 +96,14 @@ class _Meta:
     # i.e. snappy).  Applied by write() and compact(), so a re-compaction
     # after changing it re-encodes the whole table.
     compression: str = None
+    # Z-order clustering (round-13 verdict task 6): {"cols": [...],
+    # "bits": int, "bounds": {col: [lo, hi]}} or None.  Bounds are
+    # pinned at CREATE and never change — fixed bounds keep every
+    # append epoch on the SAME curve (operators/layout.py:86), so new
+    # files interleave with old ones and compaction only merges
+    # rectangles.  Applied by write() and compact(); value columns
+    # only (time is already pruned by dt partitions + the ts sort).
+    zorder: dict = None
 
     def __post_init__(self):
         if self.txns is None:
@@ -137,7 +145,11 @@ class Table:
     @classmethod
     def create(cls, spark: SparkSession, schema: Schema,
                home: str | None = None, manifest: bool = False,
-               compression: str | None = None) -> "Table":
+               compression: str | None = None,
+               zorder_by: list[str] | None = None,
+               zorder_bits: int = 12,
+               zorder_bounds: dict[str, tuple[float, float]] | None = None
+               ) -> "Table":
         """``manifest=True`` opts the table into snapshot-manifest reads
         (see ``_Meta``).  Stream-fed manifest tables are supported via
         ``streaming.ingest.stream_writer_table`` (foreachBatch →
@@ -148,19 +160,64 @@ class Table:
         ``compression`` pins the table's parquet codec (zstd for cold
         archival tables, lz4/snappy for hot scan paths — the per-table
         knob the reference gets from choosing column-file layouts);
-        persisted in the sidecar, honored by every write and compact."""
+        persisted in the sidecar, honored by every write and compact.
+
+        ``zorder_by`` pins multi-dimensional Z-order clustering for the
+        table's VALUE columns (operators/layout.py): every write() and
+        compact() sorts files along the Morton curve of these columns,
+        so parquet min/max footers prune value-band predicates the
+        reference's time-only layout cannot.  ``zorder_bounds`` (col ->
+        (lo, hi)) is REQUIRED for each column and never changes — fixed
+        bounds keep all epochs on one curve so appended files interleave
+        with old ones.  Out-of-range values clamp to the edge cells
+        (correct, just unpruned).  Time columns are refused: dt
+        partition pruning + the per-file ts sort already cluster time,
+        and a monotonically-growing ts would saturate fixed bounds.
+        The trade: in-file sort becomes (dt, curve, ts), so intra-day
+        ts row-group pruning is shared with the value dims — the
+        sqrt-span trade measured in SCALE.md §Z-order."""
         if compression is not None and \
                 compression not in _PARQUET_CODECS:
             raise ValueError(
                 f"unknown compression {compression!r} "
                 f"(one of {sorted(_PARQUET_CODECS)})")
+        zorder = None
+        if zorder_by:
+            by_name = {c.name: c for c in schema.columns}
+            if len(zorder_by) * zorder_bits > 62:
+                raise ValueError(
+                    f"{len(zorder_by)} cols x {zorder_bits} bits "
+                    "exceeds a long (<= 62)")
+            for c in zorder_by:
+                if c not in by_name:
+                    raise ValueError(f"zorder_by column {c!r} not in "
+                                     "schema")
+                if c == schema.ts_col or \
+                        by_name[c].ctype == ColumnType.TIMESTAMP:
+                    raise ValueError(
+                        f"zorder_by column {c!r} is a time column: time "
+                        "is already clustered by dt partitions + the ts "
+                        "sort, and fixed curve bounds cannot follow a "
+                        "growing timestamp — z-order the value "
+                        "dimensions instead")
+                b = (zorder_bounds or {}).get(c)
+                if (b is None or len(b) != 2
+                        or not float(b[0]) < float(b[1])):
+                    raise ValueError(
+                        f"zorder_by needs fixed bounds (lo < hi) for "
+                        f"{c!r} via zorder_bounds — bounds are pinned "
+                        "at create so every epoch shares one curve")
+            zorder = {"cols": list(zorder_by), "bits": int(zorder_bits),
+                      "bounds": {c: [float(zorder_bounds[c][0]),
+                                     float(zorder_bounds[c][1])]
+                                 for c in zorder_by}}
         path = cls._table_path(schema.name, home)
         meta_path = os.path.join(path, "_meta")
         if os.path.exists(meta_path):
             raise TableExistsError(f"table {schema.name!r} already exists")
         os.makedirs(path, exist_ok=True)
         meta = _Meta(schema=schema.to_dict(), manifest=manifest,
-                     compression=compression)
+                     compression=compression, zorder=zorder)
         with open(meta_path, "w") as f:
             f.write(meta.to_json())
         return cls(spark, schema, path, meta)
@@ -275,6 +332,30 @@ class Table:
         finally:
             df.unpersist()
 
+    def _clustering(self, out: DataFrame, cluster_by: list[str] | None,
+                    ts: str) -> tuple[DataFrame, list[str], bool]:
+        """(df, sort_cols, has_zkey) — the shared in-file clustering for
+        write() and compact().  A sidecar-pinned Z-order curve replaces
+        linear secondary clustering: the Morton key (pure Catalyst bit
+        algebra, operators/layout.py) leads the in-partition sort so
+        every file covers a small rectangle of the value space; ``ts``
+        stays as the tie-break.  Explicit ``cluster_by`` on a z-ordered
+        table is a caller error, not a silent precedence choice."""
+        z = self._meta.zorder
+        if not z:
+            return out, ["dt", *(cluster_by or []), ts], False
+        if cluster_by:
+            raise ValueError(
+                "table is z-ordered (sidecar zorder); cluster_by would "
+                "silently override the pinned curve — drop one of them")
+        from .operators.layout import scale_to_grid, zorder_key
+
+        grid = [scale_to_grid(F.col(c), float(z["bounds"][c][0]),
+                              float(z["bounds"][c][1]), int(z["bits"]))
+                for c in z["cols"]]
+        out = out.withColumn("_zkey", zorder_key(grid, int(z["bits"])))
+        return out, ["dt", "_zkey", ts], True
+
     def _write_persisted(self, df: DataFrame, ts: str, enforce_order,
                          cluster_by, max_records_per_file, txn) -> int:
         stats = df.agg(
@@ -307,7 +388,7 @@ class Table:
         # ``dt`` leads the sort: FileFormatWriter requires ordering by the
         # partition columns and inserts its OWN (order-destroying) sort if
         # the incoming order doesn't already start with them.
-        sort_cols = ["dt", *(cluster_by or []), ts]
+        out, sort_cols, zkeyed = self._clustering(out, cluster_by, ts)
         # repartitionByRange, NOT repartition("dt"): hash-partitioning on
         # dt alone funnels every row of a day into ONE task writing ONE
         # file — a single-task bottleneck (and an unsplittable giant file)
@@ -317,9 +398,13 @@ class Table:
         # disjoint in the sort key and row-group stats stay selective.
         # No explicit N: AQE coalesces the range shuffle for small
         # batches, so tiny appends still produce few files.
-        writer = (out.repartitionByRange(*sort_cols)
-                  .sortWithinPartitions(*sort_cols)
-                  .write.mode("overwrite"))
+        clustered = (out.repartitionByRange(*sort_cols)
+                     .sortWithinPartitions(*sort_cols))
+        if zkeyed:
+            # the curve key is LAYOUT only — dropping it after the sort
+            # keeps the intra-partition order (projection is order-safe)
+            clustered = clustered.drop("_zkey")
+        writer = clustered.write.mode("overwrite")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         if self._meta.compression:
@@ -1104,15 +1189,18 @@ class Table:
         ts = self.schema.ts_col
         n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
         n_parts = df.select("dt").distinct().count()
-        sort_cols = ["dt", *(cluster_by or []), ts]
         # Range-partition on the sort key so a hot dt can split across
         # tasks — repartition(n, "dt") hash-routes a whole day to one task
         # and silently ignores target_file_mb for skewed days.
         avg_bytes_per_row = total_bytes / max(df.count(), 1)
         cap = max(1, int(target_file_mb * 1024 * 1024 / max(avg_bytes_per_row, 1)))
-        writer = (df.repartitionByRange(int(max(n_files, n_parts)), *sort_cols)
-                  .sortWithinPartitions(*sort_cols)
-                  .write.mode("overwrite")
+        df, sort_cols, zkeyed = self._clustering(df, cluster_by, ts)
+        clustered = (df.repartitionByRange(int(max(n_files, n_parts)),
+                                           *sort_cols)
+                     .sortWithinPartitions(*sort_cols))
+        if zkeyed:
+            clustered = clustered.drop("_zkey")
+        writer = (clustered.write.mode("overwrite")
                   .option("maxRecordsPerFile", cap))
         if self._meta.compression:
             writer = writer.option("compression", self._meta.compression)

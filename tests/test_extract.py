@@ -350,3 +350,147 @@ class TestPdfXrefStream:
         assert bad != doc
         with _pytest.raises(ValueError, match="index mismatch"):
             pdf_to_text(bad)
+
+
+class TestPdfFilters:
+    """The five standard text-era stream filters (ISO 32000-1 §7.4):
+    Flate (existing), LZW with EarlyChange + KwKwK, ASCIIHex, ASCII85,
+    RunLength — each round-tripped against an independent encoder, with
+    the module's loud-raise contract on malformed input."""
+
+    def test_asciihex(self):
+        from zdb_spark.operators.extract import _asciihex_decode
+
+        assert _asciihex_decode(b"48 65 6C6C 6F>") == b"Hello"
+        assert _asciihex_decode(b"48656") == b"He`"       # odd pad with 0
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="non-hex"):
+            _asciihex_decode(b"4z>")
+
+    def test_ascii85(self):
+        import base64
+
+        from zdb_spark.operators.extract import _ascii85_decode
+
+        for payload in (b"", b"x", b"Hello, world!",
+                        b"\x00\x00\x00\x00" * 3 + b"tail",
+                        bytes(range(256))):
+            enc = base64.a85encode(payload) + b"~>"
+            assert _ascii85_decode(enc) == payload
+
+    def test_runlength(self):
+        from zdb_spark.operators.extract import _rle_decode
+
+        # 2 literals, a 5-byte repeat of 'A', 1 literal, EOD
+        enc = bytes([1]) + b"ab" + bytes([252]) + b"A" + bytes([0]) \
+            + b"z" + bytes([128])
+        assert _rle_decode(enc) == b"ab" + b"A" * 5 + b"z"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="EOD"):
+            _rle_decode(bytes([1]) + b"ab")
+
+    @staticmethod
+    def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+        # independent MSB-first LZW encoder (TIFF variant) for the
+        # round-trip: Clear, codes, EOD; width grows `early` early
+        out_bits = []
+        width = 9
+
+        def emit(code):
+            out_bits.extend((code >> (width - 1 - i)) & 1
+                            for i in range(width))
+
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        emit(256)                                  # ClearTable
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)                                  # EOD
+        while len(out_bits) % 8:
+            out_bits.append(0)
+        return bytes(int("".join(map(str, out_bits[i:i + 8])), 2)
+                     for i in range(0, len(out_bits), 8))
+
+    def test_lzw_roundtrip(self):
+        from zdb_spark.operators.extract import _lzw_decode
+
+        cases = [b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT",
+                 b"aaaaaaaaaaaaaaaaaaaaaaa",          # KwKwK chains
+                 bytes(range(256)) * 3,
+                 b"the quick brown fox " * 100]       # width growth
+        for payload in cases:
+            enc = self._lzw_encode(payload)
+            assert _lzw_decode(enc, cap=1 << 20) == payload, payload[:20]
+
+    def test_lzw_bomb_and_garbage_are_loud(self):
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import _lzw_decode
+
+        big = self._lzw_encode(b"a" * 100_000)
+        with _pytest.raises(ValueError, match="cap"):
+            _lzw_decode(big, cap=1000)
+        with _pytest.raises(ValueError, match="bad code|EOD"):
+            _lzw_decode(b"\xff\xff\xff\xff", cap=1 << 20)
+
+    def test_filters_through_the_document_path(self):
+        # splice each filter into a real single-page document: encode
+        # the content stream by hand, point /Filter at it, re-run the
+        # full pdf_to_text walk
+        import base64
+
+        from zdb_spark.operators.extract import pdf_to_text, \
+            pdf_write_simple
+
+        text = "filtered body text\nsecond line"
+        doc = pdf_write_simple(text, compress=False)
+        start = doc.index(b"5 0 obj")
+        s0 = doc.index(b"stream\n", start) + len(b"stream\n")
+        s1 = doc.index(b"\nendstream", s0)
+        content = doc[s0:s1]
+
+        def splice(enc: bytes, fname: str) -> bytes:
+            # keep offsets valid: object 5 is written LAST, so only
+            # the trailer's startxref shifts — rebuild it
+            body = (doc[:start]
+                    + b"5 0 obj\n<< /Length %d /Filter /%s >>\nstream\n"
+                    % (len(enc), fname.encode())
+                    + enc + b"\nendstream\nendobj\n")
+            xref_at = len(body)
+            import re as _re
+            m = _re.search(rb"xref\n0 (\d+)\n", doc)
+            nobj = int(m.group(1))
+            rows = [b"0000000000 65535 f \n"]
+            # objects 1-4 keep their original offsets; 5 moved? no —
+            # object 5 *started* at `start` and still does
+            offs = {}
+            for n in range(1, nobj):
+                mm = _re.search(rb"\n?%d 0 obj" % n, doc)
+                offs[n] = mm.start() + (1 if doc[mm.start():mm.start()+1]
+                                        == b"\n" else 0)
+            for n in range(1, nobj):
+                rows.append(b"%010d 00000 n \n" % offs[n])
+            body += (b"xref\n0 %d\n" % nobj + b"".join(rows)
+                     + b"trailer\n<< /Size %d /Root 1 0 R >>\n"
+                     b"startxref\n%d\n%%%%EOF" % (nobj, xref_at))
+            return body
+
+        expect = "filtered body text\nsecond line"
+        hexed = content.hex().encode() + b">"
+        assert pdf_to_text(splice(hexed, "ASCIIHexDecode")) == expect
+        a85 = base64.a85encode(content) + b"~>"
+        assert pdf_to_text(splice(a85, "ASCII85Decode")) == expect
+        lzw = self._lzw_encode(content)
+        assert pdf_to_text(splice(lzw, "LZWDecode")) == expect

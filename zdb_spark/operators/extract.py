@@ -128,14 +128,16 @@ def extract_html(df: DataFrame, html_col: str = "html",
 # cross-reference STREAMS (/Type /XRef, ISO 32000-1 §7.5.8) and object
 # streams (/Type /ObjStm, §7.5.7) including hybrid-reference files
 # (/XRefStm), indirect objects, the /Root -> /Pages -> /Kids page tree,
-# page /Contents (single stream or array), FlateDecode with PNG
-# predictors (the xref-stream default in the wild, §7.4.4.4), literal
-# strings with escape / octal sequences and hex strings, and the
-# text-showing operators Tj ' " TJ inside BT/ET with Td/TD/T* treated
-# as line breaks.  Out of scope, each with a LOUD raise: encryption
-# (/Encrypt), filters beyond Flate, and TIFF predictor 2 — the
-# arithmetic-JPEG pattern: a wrong-text silent fallback would be worse
-# than a refusal.  Glyph-to-unicode is the identity of the string
+# page /Contents (single stream or array), the five standard text-era
+# filters — FlateDecode and LZWDecode (both with PNG predictors, the
+# xref-stream default in the wild, §7.4.4.4), ASCIIHexDecode,
+# ASCII85Decode, RunLengthDecode — literal strings with escape / octal
+# sequences and hex strings, and the text-showing operators Tj ' " TJ
+# inside BT/ET with Td/TD/T* treated as line breaks.  Out of scope,
+# each with a LOUD raise: encryption (/Encrypt), image filters
+# (DCT/JBIG2/JPX/CCITT — rasters, not text), and TIFF predictor 2 —
+# the arithmetic-JPEG pattern: a wrong-text silent fallback would be
+# worse than a refusal.  Glyph-to-unicode is the identity of the string
 # bytes (standard-encoding Latin text) — CID/Type0 composite fonts
 # show up as their raw bytes, the same best-effort every
 # non-font-rendering extractor makes.
@@ -322,6 +324,101 @@ class _PdfLexer:
 def _name_of(v):
     """Bare name string of a lexer name tuple (or pass-through)."""
     return v[1] if isinstance(v, tuple) and v and v[0] == "name" else v
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, '>'
+    EOD; an odd final digit is padded with 0."""
+    end = data.find(b">")
+    hx = re.sub(rb"\s", b"", data[:end if end >= 0 else len(data)])
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", hx):
+        raise ValueError("pdf ASCIIHexDecode: non-hex byte")
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (§7.4.3): base-85 groups, 'z' for a zero group,
+    '~>' EOD.  stdlib a85decode implements exactly this alphabet."""
+    import base64
+
+    end = data.find(b"~>")
+    body = data[:end if end >= 0 else len(data)]
+    try:
+        return base64.a85decode(body, ignorechars=b" \t\r\n\x0c\x00")
+    except ValueError as exc:
+        raise ValueError(f"pdf ASCII85Decode: {exc}") from None
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (§7.4.5): length byte L — L<128 copies L+1
+    literal bytes, L>128 repeats the next byte 257-L times, 128 is
+    EOD."""
+    out = bytearray()
+    p = 0
+    while p < len(data):
+        n = data[p]
+        p += 1
+        if n == 128:
+            return bytes(out)
+        if n < 128:
+            chunk = data[p:p + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("pdf RunLengthDecode: truncated run")
+            out += chunk
+            p += n + 1
+        else:
+            if p >= len(data):
+                raise ValueError("pdf RunLengthDecode: truncated run")
+            out += data[p:p + 1] * (257 - n)
+            p += 1
+    raise ValueError("pdf RunLengthDecode: missing EOD marker")
+
+
+def _lzw_decode(data: bytes, cap: int, early: int = 1) -> bytes:
+    """/LZWDecode (§7.4.4, the TIFF variant): MSB-first variable-width
+    codes starting at 9 bits, 256=ClearTable, 257=EOD; with
+    ``EarlyChange`` (default 1) the width grows one code early.
+    Output is capped like FlateDecode (bomb refusal)."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    width, next_code = 9, 258
+    prev: bytes | None = None
+    bitbuf = bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                table.clear()
+                width, next_code, prev = 9, 258, None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]           # KwKwK case
+            else:
+                raise ValueError(f"pdf LZWDecode: bad code {code}")
+            out += entry
+            if len(out) > cap:
+                raise ValueError(
+                    f"pdf LZWDecode output exceeds the decompression "
+                    f"cap ({cap} bytes) — refusing a likely bomb")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("pdf LZWDecode: stream ended without EOD")
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -613,24 +710,48 @@ class _Pdf:
         filts = [filt] if not isinstance(filt, list) else filt
         parms = info.get("DecodeParms", info.get("DP"))
         parms_list = ([parms] if not isinstance(parms, list) else parms)
+        # bounded expansion: crawl bytes are untrusted, and a small
+        # crafted Flate/LZW/RLE stream can expand without limit
+        # (decompression bomb).  Real text/xref payloads stay well
+        # under 64x the FILE size; anything past the cap is refused.
+        cap = max(1 << 22, 64 * len(self.d))
         for i, f in enumerate(filts):
             name = _name_of(f)
-            if name != "FlateDecode":
+            if name == "FlateDecode":
+                dec = zlib.decompressobj()
+                raw = dec.decompress(raw, cap)
+                if dec.unconsumed_tail or not dec.eof:
+                    raise ValueError(
+                        "pdf FlateDecode output exceeds the "
+                        f"decompression cap ({cap} bytes) or the "
+                        "stream is truncated — refusing a likely bomb")
+            elif name == "LZWDecode":
+                early = 1
+                p0 = parms_list[i] if i < len(parms_list) else None
+                if isinstance(p0, tuple) and p0[0] == "ref":
+                    p0 = self.resolve_obj(p0)
+                if isinstance(p0, dict):
+                    early = int(self.resolve_obj(
+                        p0.get("EarlyChange", 1)) or 0)
+                raw = _lzw_decode(raw, cap, early)
+            elif name == "ASCIIHexDecode":
+                raw = _asciihex_decode(raw)
+                continue                          # no predictor form
+            elif name == "ASCII85Decode":
+                raw = _ascii85_decode(raw)
+                continue
+            elif name == "RunLengthDecode":
+                raw = _rle_decode(raw)
+                if len(raw) > cap:
+                    raise ValueError(
+                        "pdf RunLengthDecode output exceeds the "
+                        f"decompression cap ({cap} bytes)")
+                continue
+            else:
                 raise NotImplementedError(
-                    f"pdf filter {name!r} is not supported (FlateDecode "
-                    "only)")
-            # bounded inflate: crawl bytes are untrusted, and a small
-            # crafted stream can expand without limit (decompression
-            # bomb).  Real text/xref payloads stay well under 64x the
-            # FILE size; anything past the cap is refused loudly.
-            cap = max(1 << 22, 64 * len(self.d))
-            dec = zlib.decompressobj()
-            raw = dec.decompress(raw, cap)
-            if dec.unconsumed_tail or not dec.eof:
-                raise ValueError(
-                    "pdf FlateDecode output exceeds the decompression "
-                    f"cap ({cap} bytes) or the stream is truncated — "
-                    "refusing a likely bomb")
+                    f"pdf filter {name!r} is not supported (Flate/LZW/"
+                    "ASCIIHex/ASCII85/RunLength only)")
+            # predictors apply to the Flate/LZW branches (§7.4.4.4)
             p = parms_list[i] if i < len(parms_list) else None
             if isinstance(p, tuple) and p[0] == "ref":
                 p = self.resolve_obj(p)

@@ -891,6 +891,74 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             png_decode(png_encode(4, 4, (1, 2, 3), 2)[:20])
 
+    def test_bmp_roundtrip_24_32_palette_topdown(self):
+        """From-scratch BMP codec (the PIL-slot raster gap): 24/32 bpp
+        round-trip against the fixture encoder, 8-bit palette
+        expansion, top-down rows, and the loud-raise contract on
+        compressed / exotic streams."""
+        import struct
+
+        import numpy as np
+
+        from zdb_spark.operators.multimodal import bmp_decode, bmp_encode
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+        exp_luma = round(float(
+            (0.299 * px[:, :, 0].mean() + 0.587 * px[:, :, 1].mean()
+             + 0.114 * px[:, :, 2].mean()) / 255.0), 6)
+        for bpp in (24, 32):
+            fmt, w, h, nch, luma = bmp_decode(bmp_encode(px, bpp=bpp))
+            assert (fmt, w, h, nch) == ("bmp", 17, 13, bpp // 8)
+            assert abs(luma - exp_luma) <= 1e-6
+
+        # top-down (negative height): same pixels, flipped storage
+        blob = bmp_encode(px)
+        td = blob[:22] + struct.pack("<i", -13) + blob[26:]
+        assert bmp_decode(td)[4] == bmp_decode(blob)[4]
+
+        # 8-bit palette: 2-color checkerboard via a hand-built file
+        w, h = 8, 4
+        pal = bytes([0, 0, 255, 0]) + bytes([255, 255, 0, 0])  # BGRX
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):
+            rows += bytes((x + y) % 2 for x in range(w))  # stride 8 ok
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                          len(rows), 0, 0, 2, 0)
+        off = 14 + 40 + len(pal)
+        head = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+        fmt, gw, gh, nch, luma = bmp_decode(head + dib + pal
+                                            + bytes(rows))
+        # half red (255,0,0), half cyan (0,255,255): channel means all
+        # 127.5 -> luma 0.5
+        assert (fmt, gw, gh, nch) == ("bmp", 8, 4, 3)
+        assert luma == 0.5
+
+        # loud raises: RLE compression, 16 bpp, legacy core header
+        bad = blob[:30] + struct.pack("<I", 1) + blob[34:]
+        with pytest.raises(NotImplementedError, match="compression"):
+            bmp_decode(bad)
+        bad = blob[:28] + struct.pack("<H", 16) + blob[30:]
+        with pytest.raises(NotImplementedError, match="bpp"):
+            bmp_decode(bad)
+        with pytest.raises(ValueError, match="signature|truncated"):
+            bmp_decode(b"BM1234")
+
+    def test_bmp_through_decode_images_auto(self, spark):
+        import numpy as np
+
+        from zdb_spark.operators.multimodal import bmp_encode, \
+            decode_images, png_encode
+
+        px = np.full((5, 6, 3), 200, dtype=np.uint8)
+        rows = [(1, bytearray(bmp_encode(px))),
+                (2, bytearray(png_encode(4, 4, (10, 20, 30), 2)))]
+        df = spark.createDataFrame(rows, "id long, blob binary")
+        got = {r.id: (r.fmt, r.width, r.height) for r in
+               decode_images(df, decoder="auto").collect()}
+        assert got[1] == ("bmp", 6, 5)
+        assert got[2][0] == "png"
+
     def test_wav_roundtrip_mono_stereo(self):
         from zdb_spark.operators.multimodal import wav_decode, wav_encode
 

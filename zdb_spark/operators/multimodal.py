@@ -47,6 +47,7 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "wav_resample", "wav_features", "resample_audio",
            "audio_features",
            "gif_encode", "gif_decode", "gif_frames",
+           "bmp_encode", "bmp_decode",
            "decode_video", "decode_video_frames"]
 
 # (prefix bytes, format name) — standard public file signatures.
@@ -54,6 +55,7 @@ MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
+    (b"BM", "bmp"),
     (b"RIFF", "riff"),      # wav/avi/webp container
     (b"ID3", "mp3"),
     (b"\x00\x00\x00", "mp4-ish"),
@@ -582,6 +584,97 @@ def decode_audio(df: DataFrame, blob_col: str = "blob", id_col: str = "id",
     return src.mapInPandas(mapper, _AUDIO_SCHEMA)
 
 
+def bmp_encode(pixels, *, bpp: int = 24) -> bytes:
+    """Minimal BMP writer (BITMAPINFOHEADER, BI_RGB, bottom-up): the
+    fixture encoder for the BMP round-trip, mirroring png_encode's
+    role.  ``pixels`` is an (h, w, 3) RGB uint8 array; ``bpp`` 24 or
+    32 (32 stores an opaque alpha)."""
+    import numpy as np
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    if bpp not in (24, 32):
+        raise ValueError("bmp_encode: bpp must be 24 or 32")
+    nch = bpp // 8
+    bgr = px[:, :, ::-1]                               # RGB -> BGR
+    if nch == 4:
+        a = np.full((h, w, 1), 255, dtype=np.uint8)
+        bgr = np.concatenate([bgr, a], axis=2)
+    stride = (w * nch + 3) & ~3
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * nch)
+    for y in range(h - 1, -1, -1):                     # bottom-up
+        rows += bgr[y].tobytes() + pad
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                      len(rows), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    return head + dib + bytes(rows)
+
+
+def bmp_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """REAL stdlib+numpy BMP decode — the same honest-subset contract
+    as the PNG/JPEG/GIF codecs: BITMAPINFOHEADER-family headers (40/
+    52/56/108/124 bytes share the 40-byte prefix), uncompressed BI_RGB
+    at 8 (palette), 24, and 32 bpp, bottom-up or top-down rows, 4-byte
+    row padding.  RLE4/RLE8/bitfields/1/4-bit raise loudly.  Returns
+    ('bmp', w, h, channels, mean_luma) with the exact-integer-sums
+    Rec.601 luma every other codec computes."""
+    import numpy as np
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP (bad signature or truncated)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise NotImplementedError(
+            f"bmp: legacy {dib_size}-byte DIB header (BITMAPCOREHEADER)"
+            " is not supported")
+    w, h_raw, _planes, bpp, comp = struct.unpack_from(
+        "<iiHHI", payload, 18)
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError("bmp: degenerate dimensions")
+    if comp != 0:
+        raise NotImplementedError(
+            f"bmp: compression {comp} is not supported (uncompressed "
+            "BI_RGB only — RLE/bitfields raise, never guess)")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"bmp: {bpp} bpp is not supported (8/24/32 only)")
+    nch_in = bpp // 8
+    stride = (w * nch_in + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("bmp: truncated pixel data")
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :w * nch_in]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + dib_size
+        pal = np.frombuffer(payload, dtype=np.uint8,
+                            count=4 * n_colors, offset=pal_off)
+        pal = pal.reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        px = pal[rows.reshape(h, w)]
+        nch = 3
+    else:
+        px = rows.reshape(h, w, nch_in)[:, :, [2, 1, 0] + ([3] if
+                                               nch_in == 4 else [])]
+        nch = nch_in
+    sums = px.reshape(-1, nch).astype(np.int64).sum(axis=0)
+    n = w * h
+    means = [int(s) / n for s in sums]
+    luma = (0.299 * means[0] + 0.587 * means[1]
+            + 0.114 * means[2]) / 255.0
+    return ("bmp", w, h, nch, round(luma, 6))
+
+
 def _pil_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     """General-format decode via PIL (the only non-stdlib codec path).
     Raises NotImplementedError when PIL is not installed — this container
@@ -632,6 +725,8 @@ def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         return png_decode(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return _jpeg_decode(payload)
+    if payload[:2] == b"BM":
+        return bmp_decode(payload)
     if payload[:4] == b"GIF8":
         # ONE full parse: gif_frames decodes every frame once; the
         # decode_images contract wants (channels, mean_luma), so take
@@ -640,12 +735,12 @@ def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         return ("gif", w, h, 3, luma)
     raise ValueError(
         f"decoder='auto': unrecognized image signature "
-        f"{payload[:4]!r} (png/jpeg/gif supported)")
+        f"{payload[:4]!r} (png/jpeg/gif/bmp supported)")
 
 
 _DECODERS = {"fake": _fake_decode, "png": png_decode,
-             "jpeg": _jpeg_decode, "auto": _auto_decode,
-             "pil": _pil_decode}
+             "jpeg": _jpeg_decode, "bmp": bmp_decode,
+             "auto": _auto_decode, "pil": _pil_decode}
 
 
 def decode_images(df: DataFrame, blob_col: str = "blob", id_col: str = "id",

@@ -124,6 +124,8 @@ HEADLINE = [
     "bloom_novelty",      # epoch novelty vs the history Bloom filter
     "zorder_scan",        # 2-D predicate on the Z-order clustered copy
     "html_extract",       # HTML->text crawl-ingest extraction roundtrip
+    "pdf_extract",        # PDF->text roundtrip, classic + xref-stream
+                          # writers alternating by doc parity
 ]
 
 

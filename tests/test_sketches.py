@@ -1067,3 +1067,95 @@ class TestBloomProbeChainGuards:
         with _pytest.raises(ValueError, match="ceiling"):
             _bloom_probe_chain(cand, "v", cand, k=4,
                                m_bits=_PROBE_CHAIN_MAX_BITS * 2)
+
+
+class TestShardedBloomStore:
+    """Scalable-Bloom sharding (Almeida et al. 2007): a saturated
+    active shard FREEZES and new batches open a geometrically larger
+    one — growth with NO corpus pass; lookups OR across shards, so
+    members of frozen shards never flip (no false negatives)."""
+
+    def _docs(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+
+    def test_rotation_freezes_and_restores_selectivity(self, spark,
+                                                       tmp_path):
+        from zdb_spark.operators.sketches import (
+            append_sharded_bloom_store, build_sharded_bloom_store,
+            sharded_bloom_lookup, sharded_bloom_stats)
+
+        p = str(tmp_path / "sb")
+        # shard 0 at 1024 bits saturates after ~1000 values
+        build_sharded_bloom_store(self._docs(spark, 0, 1000), "v", p,
+                                  m_bits=1024, k=4,
+                                  fpr_threshold=0.01, growth=64)
+        # next batch must rotate: shard 0 frozen, shard 1 at 64x
+        s1 = append_sharded_bloom_store(self._docs(spark, 1000, 2000),
+                                        "v", p, batch_id=1)
+        assert s1 == 1
+        s2 = append_sharded_bloom_store(self._docs(spark, 2000, 2500),
+                                        "v", p, batch_id=2)
+        assert s2 == 1                     # shard 1 not saturated yet
+
+        stats = {r.shard: r for r in
+                 sharded_bloom_stats(spark, p).collect()}
+        assert stats[0].fpr_est > 0.5 and not stats[0].active
+        assert stats[1].fpr_est < 0.01 and stats[1].active
+        assert stats[1].m_bits == 1024 * 64
+
+        # no false negatives across ALL shards (frozen + active)
+        present = [f"u{i}" for i in range(0, 2500, 41)]
+        got = {r.value: r.maybe_present for r in
+               sharded_bloom_lookup(spark, p, present).collect()}
+        assert all(got.values())
+        # absent probes: shard 0 answers ~everything (frozen,
+        # saturated) so compound selectivity is bounded by it — the
+        # honest scalable-Bloom property: rotation stops the DRIFT,
+        # the frozen shard's fpr is paid forever (Almeida §3)
+        absent = [f"zz{i}" for i in range(100)]
+        n_fp = sum(r.maybe_present for r in
+                   sharded_bloom_lookup(spark, p, absent).collect())
+        assert n_fp >= 50                  # shard 0's saturation shows
+        # ...which is exactly why the threshold should trip BEFORE
+        # saturation in production: rebuild the check with a sane
+        # threshold and the compound fpr stays near the shard-1 level
+        import shutil
+        shutil.rmtree(p)
+        build_sharded_bloom_store(self._docs(spark, 0, 400), "v", p,
+                                  m_bits=1 << 14, k=4,
+                                  fpr_threshold=0.01, growth=4)
+        append_sharded_bloom_store(self._docs(spark, 400, 3000), "v",
+                                   p, batch_id=1)
+        append_sharded_bloom_store(self._docs(spark, 3000, 5000), "v",
+                                   p, batch_id=2)
+        got2 = {r.value: r.maybe_present for r in
+                sharded_bloom_lookup(
+                    spark, p, [f"u{i}" for i in
+                               range(0, 5000, 73)]).collect()}
+        assert all(got2.values())
+        n_fp2 = sum(r.maybe_present for r in
+                    sharded_bloom_lookup(spark, p, absent).collect())
+        assert n_fp2 <= 5
+
+    def test_replay_is_a_structural_noop(self, spark, tmp_path):
+        import os
+
+        from zdb_spark.operators.sketches import (
+            append_sharded_bloom_store, build_sharded_bloom_store)
+
+        p = str(tmp_path / "sb2")
+        build_sharded_bloom_store(self._docs(spark, 0, 100), "v", p,
+                                  m_bits=1 << 14, k=4)
+        append_sharded_bloom_store(self._docs(spark, 100, 200), "v", p,
+                                   batch_id=7)
+
+        def tree(root):
+            return sorted(os.path.join(dp, f)
+                          for dp, _, fs in os.walk(root) for f in fs)
+
+        before = tree(p)
+        # replaying batch 7 (even with different data) lands nowhere
+        s = append_sharded_bloom_store(self._docs(spark, 500, 600),
+                                       "v", p, batch_id=7)
+        assert s == 0 and tree(p) == before

@@ -77,7 +77,9 @@ __all__ = ["hll_registers", "hll_distinct", "countmin_table",
            "build_bloom_store", "append_bloom_store", "read_bloom_words",
            "bloom_store_lookup", "bloom_store_lookup_by",
            "compact_bloom_store", "bloom_store_saturation",
-           "grow_bloom_store",
+           "grow_bloom_store", "build_sharded_bloom_store",
+           "append_sharded_bloom_store", "sharded_bloom_lookup",
+           "sharded_bloom_stats",
            "HLL_M", "HLL_RHO_MAX", "BLOOM_WORD_BITS", "hll_alpha"]
 
 # m = 256 registers (b = 8 bits = the md5 digest's first 2 hex chars);
@@ -1247,3 +1249,134 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
     os.rename(scratch, path)
     shutil.rmtree(old, ignore_errors=True)
     return new_m
+
+
+# ---------------------------------------------------------------------- #
+# scalable (sharded) Bloom store — growth WITHOUT a corpus pass           #
+# ---------------------------------------------------------------------- #
+# grow_bloom_store costs one pass over the authoritative history; when
+# that pass is unaffordable (the history IS the filter — crawl frontiers
+# whose raw URLs were never retained), the scalable-Bloom layout
+# (Almeida et al. 2007, "Scalable Bloom Filters") sidesteps it: a
+# saturated filter is FROZEN and new batches open a fresh shard with
+# geometrically larger m; a probe is "maybe present" if ANY shard says
+# so.  No false negatives ever (frozen shards keep their bits); the
+# compound fpr is bounded by the sum of per-shard fprs, which the
+# geometric growth keeps convergent.  Each shard is an ordinary Bloom
+# store, so all the bit_or replay/durability reasoning carries over
+# shard-locally; replay of a batch that landed in a now-frozen shard is
+# detected by the batch-dir listing and skipped (landing it in the NEW
+# shard would still be membership-correct — extra set bits can only
+# raise fpr — but the listing check keeps replays structural no-ops).
+
+def build_sharded_bloom_store(df: DataFrame, value_col: str, path: str,
+                              *, m_bits: int = 1 << 20, k: int = 4,
+                              fpr_threshold: float = 0.01,
+                              growth: int = 4) -> None:
+    """Create a sharded store with shard 0 at ``m_bits`` and ingest
+    ``df`` as batch 0.  ``fpr_threshold``/``growth`` are pinned in
+    params and drive automatic shard rotation on append.  Ungrouped
+    only (a grouped frontier filter should shard per group anyway —
+    one store per group keeps rotation independent)."""
+    import json
+    import os
+
+    _check_bloom_params(m_bits, k)
+    if os.path.exists(os.path.join(path, "params.json")):
+        raise FileExistsError(f"sharded Bloom store exists at {path}")
+    os.makedirs(os.path.join(path, "shards"), exist_ok=True)
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump({"version": 1, "sharded": True, "k": k,
+                   "m0": m_bits, "fpr_threshold": fpr_threshold,
+                   "growth": growth}, f)
+    build_bloom_store(df, value_col,
+                      os.path.join(path, "shards", "shard=0"),
+                      m_bits=m_bits, k=k)
+
+
+def _sharded_dirs(path: str) -> list[str]:
+    import os
+
+    sdir = os.path.join(path, "shards")
+    return sorted((d for d in os.listdir(sdir) if d.startswith("shard=")),
+                  key=lambda d: int(d.split("=", 1)[1]))
+
+
+def append_sharded_bloom_store(df: DataFrame, value_col: str,
+                               path: str, *, batch_id) -> int:
+    """Append one batch, rotating to a new shard first when the ACTIVE
+    shard's estimated fpr exceeds the pinned threshold (the Almeida
+    freeze-and-grow step: frozen shards never take another bit).
+    Returns the shard index the batch landed in.  A batch id already
+    present in ANY shard is a replay: skipped, returns that shard."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    shards = _sharded_dirs(path)
+    for d in shards:                       # replay detection, all shards
+        if os.path.isdir(os.path.join(path, "shards", d, "words",
+                                      f"batch={batch_id}")):
+            return int(d.split("=", 1)[1])
+    active_i = int(shards[-1].split("=", 1)[1])
+    active = os.path.join(path, "shards", f"shard={active_i}")
+    sat = bloom_store_saturation(
+        spark, active, fpr_threshold=p["fpr_threshold"]).first()
+    if sat["saturated"]:
+        with open(os.path.join(active, "params.json")) as f:
+            ap = json.load(f)
+        active_i += 1
+        active = os.path.join(path, "shards", f"shard={active_i}")
+        build_bloom_store(df, value_col, active,
+                          m_bits=ap["m_bits"] * p["growth"], k=p["k"])
+        # build_bloom_store wrote the batch as id 0; rename to the
+        # caller's id so replay detection keys on it
+        os.rename(os.path.join(active, "words", "batch=0"),
+                  os.path.join(active, "words", f"batch={batch_id}"))
+        return active_i
+    append_bloom_store(df, value_col, active, batch_id=batch_id)
+    return active_i
+
+
+def sharded_bloom_lookup(spark, path: str,
+                         values: list[str]) -> DataFrame:
+    """Membership verdicts against ALL shards: maybe_present = OR over
+    per-shard verdicts (a frozen shard's members stay members forever —
+    the no-false-negative invariant).  Cost is sum of shard word tables,
+    each corpus-size-independent."""
+    out = None
+    for d in _sharded_dirs(path):
+        import os
+
+        v = bloom_store_lookup(spark, os.path.join(path, "shards", d),
+                               values)
+        out = v if out is None else out.unionByName(v)
+    if out is None:
+        raise ValueError(f"sharded Bloom store at {path} has no shards")
+    return (out.groupBy("value")
+            .agg(F.max("maybe_present").alias("maybe_present")))
+
+
+def sharded_bloom_stats(spark, path: str) -> DataFrame:
+    """Per-shard (shard, m_bits, set_bits, fill, fpr_est, active) —
+    the rotation monitor: compound fpr ~ sum of the fpr_est column."""
+    import json
+    import os
+
+    rows = []
+    shards = _sharded_dirs(path)
+    for d in shards:
+        sp = os.path.join(path, "shards", d)
+        with open(os.path.join(sp, "params.json")) as f:
+            sparams = json.load(f)
+        r = bloom_stats(read_bloom_words(spark, sp),
+                        m_bits=sparams["m_bits"],
+                        k=sparams["k"]).first()
+        rows.append((int(d.split("=", 1)[1]), sparams["m_bits"],
+                     r["set_bits"], r["fill"], r["fpr_est"],
+                     d == shards[-1]))
+    return spark.createDataFrame(
+        rows, "shard int, m_bits long, set_bits long, fill double, "
+              "fpr_est double, active boolean")

@@ -944,6 +944,64 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="signature|truncated"):
             bmp_decode(b"BM1234")
 
+    def test_tiff_roundtrip_and_byte_orders(self):
+        """Baseline-TIFF codec: LE RGB round-trip vs the fixture
+        encoder, a hand-built big-endian grayscale file (inline SHORT
+        values are left-justified in BE), WhiteIsZero inversion, and
+        loud raises for compressed / tiled / non-8-bit streams."""
+        import struct
+
+        import numpy as np
+
+        from zdb_spark.operators.multimodal import (tiff_decode,
+                                                    tiff_encode)
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        exp = round(float(
+            (0.299 * px[:, :, 0].mean() + 0.587 * px[:, :, 1].mean()
+             + 0.114 * px[:, :, 2].mean()) / 255.0), 6)
+        blob = tiff_encode(px)
+        fmt, w, h, nch, luma = tiff_decode(blob)
+        assert (fmt, w, h, nch) == ("tiff", 11, 9, 3)
+        assert abs(luma - exp) <= 1e-6
+
+        def be_gray(photometric):
+            w_, h_ = 4, 3
+            data = bytes(range(w_ * h_))
+            n = 6
+            data_off = 8 + 2 + n * 12 + 4
+
+            def short_tag(tid, v):
+                return struct.pack(">HHII", tid, 3, 1, v << 16)
+
+            ifd = struct.pack(">H", n)
+            ifd += short_tag(256, w_) + short_tag(257, h_)
+            ifd += short_tag(259, 1) + short_tag(262, photometric)
+            ifd += struct.pack(">HHII", 273, 4, 1, data_off)
+            ifd += struct.pack(">HHII", 279, 4, 1, len(data))
+            ifd += struct.pack(">I", 0)
+            return b"MM\x00*" + struct.pack(">I", 8) + ifd + data
+
+        fmt, gw, gh, nch, luma = tiff_decode(be_gray(1))
+        assert (fmt, gw, gh, nch) == ("tiff", 4, 3, 1)
+        mean = sum(range(12)) / 12
+        assert luma == round(mean / 255.0, 6)
+        # WhiteIsZero: samples invert
+        assert tiff_decode(be_gray(0))[4] == round(
+            (255 - mean) / 255.0, 6)
+
+        with pytest.raises(NotImplementedError, match="compression"):
+            tiff_decode(blob.replace(
+                struct.pack("<HHII", 259, 3, 1, 1),
+                struct.pack("<HHII", 259, 3, 1, 5), 1))
+        with pytest.raises(NotImplementedError, match="tiled"):
+            tiff_decode(blob.replace(
+                struct.pack("<HHII", 279, 4, 1, 9 * 11 * 3),
+                struct.pack("<HHII", 322, 4, 1, 9 * 11 * 3), 1))
+        with pytest.raises(ValueError, match="signature"):
+            tiff_decode(b"not a tiff")
+
     def test_bmp_through_decode_images_auto(self, spark):
         import numpy as np
 
@@ -951,13 +1009,16 @@ class TestMultimodal:
             decode_images, png_encode
 
         px = np.full((5, 6, 3), 200, dtype=np.uint8)
+        from zdb_spark.operators.multimodal import tiff_encode
         rows = [(1, bytearray(bmp_encode(px))),
-                (2, bytearray(png_encode(4, 4, (10, 20, 30), 2)))]
+                (2, bytearray(png_encode(4, 4, (10, 20, 30), 2))),
+                (3, bytearray(tiff_encode(px)))]
         df = spark.createDataFrame(rows, "id long, blob binary")
         got = {r.id: (r.fmt, r.width, r.height) for r in
                decode_images(df, decoder="auto").collect()}
         assert got[1] == ("bmp", 6, 5)
         assert got[2][0] == "png"
+        assert got[3] == ("tiff", 6, 5)
 
     def test_wav_roundtrip_mono_stereo(self):
         from zdb_spark.operators.multimodal import wav_decode, wav_encode

@@ -47,7 +47,7 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "wav_resample", "wav_features", "resample_audio",
            "audio_features",
            "gif_encode", "gif_decode", "gif_frames",
-           "bmp_encode", "bmp_decode",
+           "bmp_encode", "bmp_decode", "tiff_encode", "tiff_decode",
            "decode_video", "decode_video_frames"]
 
 # (prefix bytes, format name) — standard public file signatures.
@@ -56,6 +56,8 @@ MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
     (b"BM", "bmp"),
+    (b"II*\x00", "tiff"),
+    (b"MM\x00*", "tiff"),
     (b"RIFF", "riff"),      # wav/avi/webp container
     (b"ID3", "mp3"),
     (b"\x00\x00\x00", "mp4-ish"),
@@ -675,6 +677,123 @@ def bmp_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     return ("bmp", w, h, nch, round(luma, 6))
 
 
+def tiff_encode(pixels) -> bytes:
+    """Minimal baseline-TIFF writer (little-endian, single strip,
+    uncompressed RGB chunky) — the fixture encoder for the TIFF
+    round-trip, mirroring bmp_encode's role."""
+    import numpy as np
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, nch = px.shape
+    data = px.tobytes()
+    # header(8) + IFD; place pixel data after the IFD
+    n_tags = 8
+    ifd_size = 2 + n_tags * 12 + 4
+    bps_off = 8 + ifd_size                   # BitsPerSample array
+    data_off = bps_off + 2 * nch
+
+    def tag(tid, ttype, count, value):
+        return struct.pack("<HHII", tid, ttype, count, value)
+
+    ifd = struct.pack("<H", n_tags)
+    ifd += tag(256, 3, 1, w)                 # ImageWidth (SHORT)
+    ifd += tag(257, 3, 1, h)                 # ImageLength
+    ifd += tag(258, 3, nch, bps_off)         # BitsPerSample -> offset
+    ifd += tag(259, 3, 1, 1)                 # Compression = none
+    ifd += tag(262, 3, 1, 2)                 # Photometric = RGB
+    ifd += tag(273, 4, 1, data_off)          # StripOffsets
+    ifd += tag(277, 3, 1, nch)               # SamplesPerPixel
+    ifd += tag(279, 4, 1, len(data))         # StripByteCounts
+    ifd += struct.pack("<I", 0)              # next IFD = none
+    bps = struct.pack("<%dH" % nch, *([8] * nch))
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + bps + data
+
+
+def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    """REAL stdlib+numpy baseline-TIFF decode (TIFF 6.0): both byte
+    orders, the first IFD, UNCOMPRESSED grayscale/RGB(A) 8-bit chunky
+    data across any strip layout.  Compressed (LZW/PackBits/JPEG/...),
+    tiled, planar, palette, and non-8-bit streams raise loudly — the
+    same honest-subset contract as the PNG/JPEG/GIF/BMP codecs.
+    Returns ('tiff', w, h, channels, mean_luma)."""
+    import numpy as np
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad signature)")
+    ifd_off = struct.unpack_from(e + "I", payload, 4)[0]
+    if ifd_off + 2 > len(payload):
+        raise ValueError("tiff: truncated IFD offset")
+    n_tags = struct.unpack_from(e + "H", payload, ifd_off)[0]
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_tags):
+        tid, ttype, count = struct.unpack_from(
+            e + "HHI", payload, ifd_off + 2 + 12 * i)
+        voff = ifd_off + 2 + 12 * i + 8
+        tags[tid] = (ttype, count, voff)
+
+    _SZ = {1: 1, 3: 2, 4: 4}
+
+    def values(tid, default=None):
+        if tid not in tags:
+            if default is not None:
+                return default
+            raise ValueError(f"tiff: missing required tag {tid}")
+        ttype, count, voff = tags[tid]
+        if ttype not in _SZ:
+            raise NotImplementedError(
+                f"tiff: tag {tid} has unsupported type {ttype}")
+        total = _SZ[ttype] * count
+        off = (voff if total <= 4
+               else struct.unpack_from(e + "I", payload, voff)[0])
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        return list(struct.unpack_from(e + str(count) + fmt,
+                                       payload, off))
+
+    w, h = values(256)[0], values(257)[0]
+    comp = values(259, [1])[0]
+    if comp != 1:
+        raise NotImplementedError(
+            f"tiff: compression {comp} is not supported (uncompressed "
+            "baseline only — LZW/PackBits/JPEG raise, never guess)")
+    nch = values(277, [1])[0]
+    bps = values(258, [8] * nch)
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"tiff: {bps} bits/sample (8 only)")
+    photo = values(262)[0]
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"tiff: photometric {photo} (gray/RGB only — palette and "
+            "separated rasters raise)")
+    if values(284, [1])[0] != 1:
+        raise NotImplementedError("tiff: planar configuration 2")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiff: tiled layout")
+    offs = values(273)
+    counts = values(279, [w * h * nch])
+    data = b"".join(payload[o:o + c] for o, c in zip(offs, counts))
+    if len(data) < w * h * nch:
+        raise ValueError("tiff: truncated strip data")
+    px = np.frombuffer(data, dtype=np.uint8,
+                       count=w * h * nch).reshape(h, w, nch)
+    if photo == 0:                           # WhiteIsZero: invert
+        px = 255 - px
+    sums = px.reshape(-1, nch).astype(np.int64).sum(axis=0)
+    n = w * h
+    means = [int(s) / n for s in sums]
+    if nch <= 2:
+        luma = means[0] / 255.0
+    else:
+        luma = (0.299 * means[0] + 0.587 * means[1]
+                + 0.114 * means[2]) / 255.0
+    return ("tiff", w, h, nch, round(luma, 6))
+
+
 def _pil_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     """General-format decode via PIL (the only non-stdlib codec path).
     Raises NotImplementedError when PIL is not installed — this container
@@ -727,6 +846,8 @@ def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         return _jpeg_decode(payload)
     if payload[:2] == b"BM":
         return bmp_decode(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_decode(payload)
     if payload[:4] == b"GIF8":
         # ONE full parse: gif_frames decodes every frame once; the
         # decode_images contract wants (channels, mean_luma), so take
@@ -735,11 +856,12 @@ def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         return ("gif", w, h, 3, luma)
     raise ValueError(
         f"decoder='auto': unrecognized image signature "
-        f"{payload[:4]!r} (png/jpeg/gif/bmp supported)")
+        f"{payload[:4]!r} (png/jpeg/gif/bmp/tiff supported)")
 
 
 _DECODERS = {"fake": _fake_decode, "png": png_decode,
              "jpeg": _jpeg_decode, "bmp": bmp_decode,
+             "tiff": tiff_decode,
              "auto": _auto_decode, "pil": _pil_decode}
 
 

@@ -574,3 +574,58 @@ class TestBloomSketchSink:
         q2.awaitTermination(120)
         assert {tuple(r) for r in
                 read_bloom_words(spark, store).collect()} == whole
+
+
+class TestShardedBloomSink:
+    def test_rotation_under_stream_and_replay_noop(self, spark,
+                                                   tmp_path):
+        """Streaming frontier filter with shard rotation: a tiny shard
+        0 saturates, the stream's epochs rotate into a larger shard,
+        membership stays false-negative-free across all shards, and a
+        checkpoint-replayed run changes nothing (epoch batch ids are
+        found in their original shard and skipped)."""
+        import os
+
+        from zdb_spark.operators.sketches import (
+            build_sharded_bloom_store, sharded_bloom_lookup,
+            sharded_bloom_stats)
+        from zdb_spark.streaming.ingest import sharded_bloom_sink
+
+        src = str(tmp_path / "src")
+        df = spark.range(3_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        df.repartition(6).write.parquet(src)
+
+        store = str(tmp_path / "store")
+        # shard 0 pre-saturated by the bootstrap corpus
+        build_sharded_bloom_store(
+            spark.range(1_000).select(
+                F.concat(F.lit("b"), F.col("id")).alias("v")),
+            "v", store, m_bits=1024, k=4, fpr_threshold=0.01,
+            growth=64)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema).parquet(src))
+        q = sharded_bloom_sink(stream, "v", store,
+                               str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        stats = sharded_bloom_stats(spark, store).collect()
+        assert len(stats) >= 2                   # rotation happened
+        assert sum(1 for r in stats if r.active) == 1
+
+        probes = ([f"u{i}" for i in range(0, 3000, 97)]
+                  + [f"b{i}" for i in range(0, 1000, 83)])
+        got = {r.value: r.maybe_present for r in
+               sharded_bloom_lookup(spark, store, probes).collect()}
+        assert all(got.values())                 # no false negatives
+
+        def tree(root):
+            return sorted(os.path.join(dp, f)
+                          for dp, _, fs in os.walk(root) for f in fs
+                          if not dp.split(os.sep)[-1].startswith("_"))
+
+        before = tree(store)
+        q2 = sharded_bloom_sink(stream, "v", store,
+                                str(tmp_path / "ckpt2"))
+        q2.awaitTermination(120)
+        assert tree(store) == before             # replay: structural noop

@@ -490,3 +490,33 @@ def bloom_sketch_sink(stream_df: DataFrame, value_col: str,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sharded_bloom_sink(stream_df: DataFrame, value_col: str,
+                       store_path: str, checkpoint: str,
+                       trigger_seconds: int | None = None):
+    """``bloom_sketch_sink`` over the SCALABLE (sharded) store: each
+    micro-batch lands via ``append_sharded_bloom_store``, which freezes
+    the active shard when its estimated fpr trips the store's pinned
+    threshold and opens a geometrically larger one (Almeida et al.
+    2007) — so a long-running crawl-frontier filter never silently
+    degrades to pass-through the way a fixed-m filter does.  Replay is
+    a structural no-op: a re-run epoch's batch id is found in whatever
+    shard it originally landed in and skipped (the shard rotation
+    therefore cannot double-apply a batch).  Bootstrap with
+    ``build_sharded_bloom_store``; query with ``sharded_bloom_lookup``;
+    monitor with ``sharded_bloom_stats``."""
+    from ..operators.sketches import append_sharded_bloom_store
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        append_sharded_bloom_store(batch_df, value_col, store_path,
+                                   batch_id=f"epoch-{batch_id}")
+
+    writer = (stream_df.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint)
+              .outputMode("update"))
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1002,6 +1002,35 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="signature"):
             tiff_decode(b"not a tiff")
 
+    def test_webp_probe_all_variants(self):
+        """WebP container probe (no pixel decode): lossy VP8 dims from
+        the keyframe block, lossless VP8L from the 28-bit size field,
+        extended VP8X from the canvas fields; loud raises otherwise."""
+        import struct
+
+        from zdb_spark.operators.multimodal import webp_probe
+
+        def riff(fourcc, chunk):
+            inner = fourcc + struct.pack("<I", len(chunk)) + chunk
+            return (b"RIFF" + struct.pack("<I", 4 + len(inner))
+                    + b"WEBP" + inner)
+
+        vp8 = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+        assert webp_probe(riff(b"VP8 ", vp8)) == ("webp", "vp8",
+                                                  640, 480)
+        bits = 639 | (479 << 14)
+        vp8l = b"\x2f" + struct.pack("<I", bits)
+        assert webp_probe(riff(b"VP8L", vp8l)) == ("webp", "vp8l",
+                                                   640, 480)
+        vp8x = (bytes(4) + (799).to_bytes(3, "little")
+                + (599).to_bytes(3, "little"))
+        assert webp_probe(riff(b"VP8X", vp8x)) == ("webp", "vp8x",
+                                                   800, 600)
+        with pytest.raises(ValueError, match="RIFF/WEBP"):
+            webp_probe(b"RIFF1234WAVEdata")
+        with pytest.raises(ValueError, match="start code"):
+            webp_probe(riff(b"VP8 ", bytes(10)))
+
     def test_bmp_through_decode_images_auto(self, spark):
         import numpy as np
 

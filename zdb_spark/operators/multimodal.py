@@ -48,6 +48,7 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "audio_features",
            "gif_encode", "gif_decode", "gif_frames",
            "bmp_encode", "bmp_decode", "tiff_encode", "tiff_decode",
+           "webp_probe",
            "decode_video", "decode_video_frames"]
 
 # (prefix bytes, format name) — standard public file signatures.
@@ -1637,6 +1638,41 @@ _VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,
                    "webm": webm_probe}
 _VIDEO_SCHEMA = ("id long, fmt string, codec string, width int, "
                  "height int, n_frames int, duration_s double")
+
+
+def webp_probe(payload: bytes) -> tuple[str, str, int, int]:
+    """Container-level WebP metadata by real RIFF parsing — no pixel
+    decode (VP8 entropy decoding is the out-of-scope codec project):
+    (fmt, variant, width, height) where variant is 'vp8' (lossy —
+    dims from the keyframe start-code block), 'vp8l' (lossless — dims
+    from the 28-bit size field), or 'vp8x' (extended — dims from the
+    24-bit canvas fields).  The crawl-triage read: filter/route WebP
+    blobs by size and variant without a codec."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP header)")
+    fourcc = payload[12:16]
+    body = payload[20:]
+    if fourcc == b"VP8 ":
+        # 3-byte frame tag, then the keyframe start code 9D 01 2A
+        if body[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("webp: missing VP8 keyframe start code")
+        w = struct.unpack_from("<H", body, 6)[0] & 0x3FFF
+        h = struct.unpack_from("<H", body, 8)[0] & 0x3FFF
+        return ("webp", "vp8", w, h)
+    if fourcc == b"VP8L":
+        if body[0:1] != b"\x2f":
+            raise ValueError("webp: missing VP8L signature byte")
+        bits = struct.unpack_from("<I", body, 1)[0]
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return ("webp", "vp8l", w, h)
+    if fourcc == b"VP8X":
+        w = int.from_bytes(body[4:7], "little") + 1
+        h = int.from_bytes(body[7:10], "little") + 1
+        return ("webp", "vp8x", w, h)
+    raise ValueError(f"webp: unknown first chunk {fourcc!r}")
 
 
 def decode_video(df: DataFrame, blob_col: str = "blob", id_col: str = "id",

@@ -4362,6 +4362,48 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "extracted"))
 
 
+def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown text extraction (extract.py:markdown_to_text — chrome
+    stripping, fence/indented-code suppression, link/image/emphasis
+    unwrapping with CommonMark word-boundary underscores, table-wall
+    removal): every document's text is embedded in a deterministic
+    markdown template (heading, emphasised intro, a code fence that
+    must vanish, a list item, the text, a table), and extraction must
+    produce the template's known prose plus the whitespace-normalized
+    text lines — the oracle reconstructs that expectation from the
+    ORIGINAL column in pure SQL (the corpus is verified free of
+    markdown metacharacters that would trigger inline rewrites:
+    underscores are strictly intra-word, which the word-boundary
+    emphasis rule passes through untouched).
+
+    STAGED FOR ROUND 15: the r14 verification window closed full
+    (pdf_extract took the new-gate slot; verified_age --project
+    rejects another without breaching the green-age-2 guarantee).
+    Gate + oracle live in _PENDING_R15_ORACLES, oracle-readiness
+    pinned by tests/test_registry.py::
+    test_r15_staged_md_gate_is_oracle_ready — r15 registration is one
+    list append + one oracle_sql line."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from zdb_spark.operators.extract import extract_markdown
+
+    def _wrap(ids, t):
+        return pd.Series(
+            f"# Doc {i}\n\n**Corpus** *sample* follows:\n\n"
+            f"```python\ncode_to_drop = 1\n```\n\n- kept item\n\n"
+            f"{x}\n\n| a | b |\n|---|---|\n| c | d |\n"
+            for i, x in zip(ids, t))
+
+    _wrap.__annotations__ = {"ids": pd.Series, "t": pd.Series,
+                             "return": pd.Series}
+    wrap = pandas_udf(_wrap, "string")
+    docs = _load(spark, sf_dir, "documents")
+    fixture = docs.select("doc_id", wrap("doc_id", "text").alias("md"))
+    return (extract_markdown(fixture, "md", "extracted")
+            .select("doc_id", "extracted"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4852,6 +4894,36 @@ _QUERY_DECLARATIONS: list[
     # capacity; r13 verdict task 1)
     ("pdf_extract", q_pdf_extract),
 ]
+
+# Complete gate + oracle staged for ROUND-15 registration (the r14
+# window closed full — see q_md_extract's docstring).  Registration =
+# append ("md_extract", q_md_extract) to _QUERY_DECLARATIONS and
+# sqls["md_extract"] = _PENDING_R15_ORACLES["md_extract"] in
+# oracle_sql().
+_PENDING_R15_ORACLES: dict[str, str] = {
+    # the md fixture's known prose frame + the line-aware normalized
+    # text (same line discipline as the pdf oracle; the corpus is
+    # metacharacter-free so no inline rule fires on the text itself)
+    "md_extract": r"""
+        SELECT doc_id,
+               'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'Corpus sample follows:' || chr(10)
+               || 'kept item'
+               || CASE WHEN body <> '' THEN chr(10) || body
+                       ELSE '' END
+               || chr(10) || 'a b' || chr(10) || 'c d' AS extracted
+        FROM (
+          SELECT doc_id,
+                 array_to_string(
+                   list_filter(
+                     list_transform(
+                       string_split(text, chr(10)),
+                       x -> trim(regexp_replace(x, '\s+', ' ', 'g'))),
+                     x -> x <> ''),
+                   chr(10)) AS body
+          FROM documents)
+    """,
+}
 
 # pdf_extract oracle — registered round 14 (merged into oracle_sql()).
 # Same closed-form round-trip shape as html_extract: the fixture

@@ -494,3 +494,67 @@ class TestPdfFilters:
         assert pdf_to_text(splice(a85, "ASCII85Decode")) == expect
         lzw = self._lzw_encode(content)
         assert pdf_to_text(splice(lzw, "LZWDecode")) == expect
+
+
+class TestMarkdownToText:
+    """Markdown extraction (operators/extract.py:markdown_to_text):
+    chrome stripping, fence suppression, inline unwrapping with
+    CommonMark word-boundary underscores, HTML block routing."""
+
+    def test_full_contract(self):
+        from zdb_spark.operators.extract import markdown_to_text
+
+        doc = ("# Title here\n\n"
+               "Some **bold** and *italic* and `code span` text.\n\n"
+               "```python\ndef hidden(): pass\n```\n\n"
+               "- item one\n"
+               "- item [two](http://x.com) linked\n"
+               "1. numbered ![alt text](img.png)\n\n"
+               "> quoted line\n\n"
+               "| a | b |\n|---|---|\n| c | d |\n\n"
+               "---\n\n"
+               "[ref]: http://example.com\n\n"
+               "    indented code block\n\n"
+               "Final ~~para~~ text.")
+        assert markdown_to_text(doc) == (
+            "Title here\n"
+            "Some bold and italic and code span text.\n"
+            "item one\nitem two linked\nnumbered alt text\n"
+            "quoted line\na b\nc d\nFinal para text.")
+
+    def test_snake_case_survives_word_boundary_emphasis(self):
+        from zdb_spark.operators.extract import markdown_to_text
+
+        assert markdown_to_text("snake_case and a_var_name here") == \
+            "snake_case and a_var_name here"
+        assert markdown_to_text("_real_ emphasis and __strong__") == \
+            "real emphasis and strong"
+
+    def test_unterminated_fence_suppresses_rest(self):
+        from zdb_spark.operators.extract import markdown_to_text
+
+        assert markdown_to_text("before\n```\ncode...\nmore") == "before"
+
+    def test_html_blocks_route_through_html_to_text(self):
+        from zdb_spark.operators.extract import markdown_to_text
+
+        doc = "intro\n<p>para &amp; entity</p>\noutro"
+        assert markdown_to_text(doc) == "intro\npara & entity\noutro"
+
+    def test_nested_chrome_and_plain_passthrough(self):
+        from zdb_spark.operators.extract import markdown_to_text
+
+        assert markdown_to_text("> - nested   quote item") == \
+            "nested quote item"
+        assert markdown_to_text("plain  text\n\nonly") == \
+            "plain text\nonly"
+
+    def test_spark_column_with_nulls(self, spark):
+        from zdb_spark.operators.extract import extract_markdown
+
+        df = spark.createDataFrame(
+            [(1, "# H\n\nbody *here*"), (2, None)],
+            "id long, md string")
+        got = {r.id: r.text for r in
+               extract_markdown(df, "md").collect()}
+        assert got == {1: "H\nbody here", 2: None}

@@ -594,6 +594,37 @@ def test_plan_audit_flag_detection():
     assert set(pa._WAIVED) <= gates, set(pa._WAIVED) - gates
 
 
+def test_r15_staged_md_gate_is_oracle_ready(spark):
+    """md_extract is complete (gate fn + oracle in
+    _PENDING_R15_ORACLES) but unregistered: the r14 window closed full
+    (pdf_extract took the new-gate slot).  This test runs the gate
+    against its staged oracle with the driver's own comparator, so r15
+    registration is a proven one-line append, not new work."""
+    import os
+    import sys as _sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import check_correctness as cc
+    finally:
+        _sys.path.remove(os.path.join(root, "tools"))
+
+    assert "md_extract" not in entry_mod.queries()        # staged
+    sql = entry_mod._PENDING_R15_ORACLES["md_extract"]
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    spark_pdf = entry_mod.q_md_extract(spark, sf).toPandas()
+    duck_pdf = con.execute(sql).df()
+    errs = cc.compare("md_extract", spark_pdf, duck_pdf)
+    assert not errs, errs
+    assert len(spark_pdf) == 500
+
+
 def test_pdf_gate_matches_oracle(spark):
     """pdf_extract (registered round 14) stays green against its oracle
     with the driver's own comparator — the fixture corpus alternates

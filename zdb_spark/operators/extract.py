@@ -34,6 +34,7 @@ from io import StringIO
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["html_to_text", "extract_html",
+           "markdown_to_text", "extract_markdown",
            "pdf_to_text", "pdf_write_simple", "pdf_write_xref_stream",
            "extract_pdf"]
 
@@ -117,6 +118,116 @@ def extract_html(df: DataFrame, html_col: str = "html",
     _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = pandas_udf(_extract, "string")
     return df.withColumn(out_col, udf(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------- #
+# Markdown text extraction (CommonMark-ish subset, stdlib re only)        #
+# ---------------------------------------------------------------------- #
+# The third major crawl text shape after HTML and PDF (READMEs, docs
+# sites, forum exports).  The extractor STRIPS markup and keeps prose:
+# code fences and their contents drop entirely (code is not prose — the
+# html_to_text script-tag rule), inline code keeps its text, links keep
+# the label and lose the URL, images drop to their alt text, emphasis /
+# heading / blockquote / list / table chrome is removed, HTML blocks
+# route through html_to_text.  Line-oriented by design: one output line
+# per prose line, whitespace-normalized, blanks dropped — the same
+# contract as the other extractors, so the same closed-form oracle
+# pattern applies.
+
+# Underscore emphasis requires word boundaries (CommonMark §6.2: `_`
+# cannot open/close emphasis inside a word) — snake_case identifiers
+# in prose must pass through untouched.  `*` keeps the permissive
+# intra-word form, as CommonMark allows.
+_MD_INLINE = [
+    (re.compile(r"!\[([^\]]*)\]\([^)]*\)"), r"\1"),   # image -> alt
+    (re.compile(r"\[([^\]]*)\]\([^)]*\)"), r"\1"),    # link -> label
+    (re.compile(r"\[([^\]]*)\]\[[^\]]*\]"), r"\1"),   # ref link -> label
+    (re.compile(r"`([^`]*)`"), r"\1"),                # inline code
+    (re.compile(r"\*\*\*(.+?)\*\*\*"), r"\1"),        # bold italic
+    (re.compile(r"(?<![A-Za-z0-9])___(?!\s)(.+?)(?<!\s)___"
+                r"(?![A-Za-z0-9])"), r"\1"),
+    (re.compile(r"\*\*(.+?)\*\*"), r"\1"),            # bold
+    (re.compile(r"(?<![A-Za-z0-9])__(?!\s)(.+?)(?<!\s)__"
+                r"(?![A-Za-z0-9])"), r"\1"),
+    (re.compile(r"\*(.+?)\*"), r"\1"),                # italic
+    (re.compile(r"(?<![A-Za-z0-9])_(?!\s)(.+?)(?<!\s)_"
+                r"(?![A-Za-z0-9])"), r"\1"),
+    (re.compile(r"~~(.+?)~~"), r"\1"),                # strikethrough
+]
+_MD_LINE_CHROME = re.compile(
+    r"^(?:\s{0,3}(?:#{1,6}\s+|>\s?|[-*+]\s+|\d{1,9}[.)]\s+))+")
+_MD_RULE = re.compile(r"^\s{0,3}(?:-{3,}|\*{3,}|_{3,})\s*$")
+_MD_TABLE_SEP = re.compile(r"^\s*\|?[\s:|-]+\|[\s:|-]*$")
+_MD_REF_DEF = re.compile(r"^\s{0,3}\[[^\]]+\]:\s+\S+")
+
+
+def markdown_to_text(md: str) -> str:
+    """Extract prose from one Markdown document (see the subset
+    contract above).  Unterminated code fences suppress the rest of
+    the document — the safe direction for training text, matching
+    html_to_text's unclosed-``<script>`` behavior."""
+    lines: list[str] = []
+    in_fence = False
+    fence_mark = ""
+    html_buf: list[str] = []
+
+    def flush_html():
+        if html_buf:
+            got = html_to_text("\n".join(html_buf))
+            lines.extend(got.split("\n") if got else [])
+            html_buf.clear()
+
+    for raw in md.split("\n"):
+        stripped = raw.strip()
+        m = re.match(r"^(```+|~~~+)", stripped)
+        if m:
+            if not in_fence:
+                in_fence, fence_mark = True, m.group(1)[0] * 3
+            elif stripped.startswith(fence_mark):
+                in_fence = False
+            continue
+        if in_fence:
+            continue
+        if stripped.startswith("<") and (html_buf
+                                         or re.match(r"^</?\w", stripped)):
+            html_buf.append(raw)
+            if ">" in stripped:               # short block: flush eagerly
+                flush_html()
+            continue
+        flush_html()
+        if (_MD_RULE.match(stripped) or _MD_TABLE_SEP.match(raw)
+                or _MD_REF_DEF.match(raw)):
+            continue
+        line = _MD_LINE_CHROME.sub("", raw)
+        # indented code block (4+ spaces, not a list continuation):
+        # drop, same rule as fences
+        if raw.startswith("    ") and line == raw:
+            continue
+        for pat, rep in _MD_INLINE:
+            line = pat.sub(rep, line)
+        line = line.replace("|", " ")         # table cell walls
+        line = " ".join(line.split())
+        if line:
+            lines.append(line)
+    flush_html()
+    return "\n".join(lines)
+
+
+def extract_markdown(df: DataFrame, md_col: str = "md",
+                     out_col: str = "text") -> DataFrame:
+    """``markdown_to_text`` over a DataFrame column (Arrow-batched
+    pandas UDF; NULL stays NULL).  Rows independent — no shuffle, no
+    state; the same slot as extract_html/extract_pdf."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _extract(s):
+        return s.map(lambda m: None if m is None
+                     else markdown_to_text(m))
+
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_extract, "string")
+    return df.withColumn(out_col, udf(F.col(md_col)))
 
 
 # ---------------------------------------------------------------------- #

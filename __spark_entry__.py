@@ -4404,6 +4404,35 @@ def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "extracted"))
 
 
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction (extract.py:docx_to_text — ZIP container,
+    word/document.xml paragraph walk, run concatenation, tab/br
+    handling): every document's text becomes a real minimal .docx via
+    the fixture writer (one <w:p> per line, XML-escaped), then
+    extraction must round-trip to the whitespace-normalized non-empty
+    lines — the SAME line-aware oracle shape as pdf_extract, so the
+    SQL is shared verbatim (_PDF_EXTRACT_ORACLE).
+
+    STAGED FOR ROUND 15 alongside md_extract (the r14 window closed
+    full); oracle-readiness pinned by tests/test_registry.py::
+    test_r15_staged_docx_gate_is_oracle_ready."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from zdb_spark.operators.extract import (docx_write_simple,
+                                             extract_docx)
+
+    def _wrap(t):
+        return pd.Series(bytearray(docx_write_simple(x)) for x in t)
+
+    _wrap.__annotations__ = {"t": pd.Series, "return": pd.Series}
+    wrap = pandas_udf(_wrap, "binary")
+    docs = _load(spark, sf_dir, "documents")
+    fixture = docs.select("doc_id", wrap("text").alias("docx"))
+    return (extract_docx(fixture, "docx", "extracted")
+            .select("doc_id", "extracted"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4925,6 +4954,7 @@ _PENDING_R15_ORACLES: dict[str, str] = {
     """,
 }
 
+
 # pdf_extract oracle — registered round 14 (merged into oracle_sql()).
 # Same closed-form round-trip shape as html_extract: the fixture
 # writer is a pure function of text, so the oracle reconstructs the
@@ -4946,6 +4976,12 @@ _PDF_EXTRACT_ORACLE = r"""
              chr(10)) AS extracted
     FROM documents
 """
+
+# docx_extract (STAGED for r15) shares pdf_extract's line-aware oracle
+# VERBATIM: both fixture writers emit one container line-unit per input
+# line and both extractors normalize identically, so the expected
+# output is the same expression of the original column.
+_PENDING_R15_ORACLES["docx_extract"] = _PDF_EXTRACT_ORACLE
 
 
 # Composite gates whose value-hash gate exercises a sub-gate's operator

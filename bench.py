@@ -13,9 +13,14 @@ holds the slowest-k subset that fits; the FULL per-query map, canary
 notes, and error details go to the BENCH_DETAIL.json sidecar next to
 this file, which the round-end commit preserves.
 
-Each query is forced with a count() (not collect) so timing measures the
-distributed plan, not driver materialization of wide results.  A warmup
-query amortizes JVM/codegen startup out of the numbers.
+Each query is forced with a NOOP-sink write (not collect) so timing
+measures the distributed plan with EVERY output column materialized,
+without driver materialization of wide results.  (Round 14 rebased this
+from count(): Catalyst prunes columns a count doesn't need, which
+silently dropped the extraction pandas-UDFs out of pdf/html_extract's
+timings — agg-ending queries are unaffected within noise, since their
+outputs are a handful of rows.)  A warmup query amortizes JVM/codegen
+startup out of the numbers.
 
 Each timed query runs TWICE and the faster run is recorded: this box
 shares cores with whatever ran before the bench (leftover JVMs, kernel
@@ -250,7 +255,11 @@ def _run_queries(sf_dir: str) -> tuple[dict, dict]:
                 # from retained blocks
                 spark.catalog.clearCache()
                 t0 = time.time()
-                fn(spark, sf_dir).count()
+                # noop sink: forces every output column (a count() lets
+                # Catalyst prune projection-only work like the
+                # extraction UDFs), writes nothing
+                (fn(spark, sf_dir).write.format("noop")
+                 .mode("overwrite").save())
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)

@@ -558,3 +558,70 @@ class TestMarkdownToText:
         got = {r.id: r.text for r in
                extract_markdown(df, "md").collect()}
         assert got == {1: "H\nbody here", 2: None}
+
+
+class TestDocxToText:
+    """DOCX extraction (operators/extract.py:docx_to_text): ZIP +
+    word/document.xml walk — runs concatenate without separators, tabs
+    become spaces, br/cr and paragraph ends become lines, loud raises
+    on OLE/malformed containers."""
+
+    def test_roundtrip_and_xml_escapes(self):
+        from zdb_spark.operators.extract import (docx_to_text,
+                                                 docx_write_simple)
+
+        t = "Hello  world\nsecond <line> & \"such\"\n\ntail"
+        assert docx_to_text(docx_write_simple(t)) == \
+            "Hello world\nsecond <line> & \"such\"\ntail"
+        assert docx_to_text(docx_write_simple("")) == ""
+
+    def test_runs_tabs_breaks_and_tables(self):
+        import io
+        import zipfile
+
+        from zdb_spark.operators.extract import docx_to_text
+
+        ns = ("http://schemas.openxmlformats.org/wordprocessingml/"
+              "2006/main")
+        body = (
+            # one paragraph, word split across runs + a tab + a br
+            '<w:p><w:r><w:t>Hel</w:t></w:r><w:r><w:t>lo</w:t></w:r>'
+            '<w:r><w:tab/><w:t>next</w:t><w:br/><w:t>after</w:t>'
+            '</w:r></w:p>'
+            # a 1x2 table: each cell paragraph is its own line
+            '<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell a</w:t></w:r>'
+            '</w:p></w:tc><w:tc><w:p><w:r><w:t>cell b</w:t></w:r>'
+            '</w:p></w:tc></w:tr></w:tbl>')
+        doc = (f'<w:document xmlns:w="{ns}"><w:body>{body}</w:body>'
+               f'</w:document>')
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        assert docx_to_text(buf.getvalue()) == \
+            "Hello next\nafter\ncell a\ncell b"
+
+    def test_loud_raises(self):
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import docx_to_text
+
+        with _pytest.raises(ValueError, match="ZIP"):
+            docx_to_text(b"\xd0\xcf\x11\xe0 ole compound file")
+        with _pytest.raises(ValueError, match="malformed docx"):
+            docx_to_text(b"PK\x03\x04 truncated junk")
+        import io
+        import zipfile
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", "<w:document not xml")
+        with _pytest.raises(ValueError, match="xml"):
+            docx_to_text(buf.getvalue())
+
+    def test_spark_column_with_nulls(self, spark):
+        from zdb_spark.operators.extract import (docx_write_simple,
+                                                 extract_docx)
+
+        rows = [(1, bytearray(docx_write_simple("doc one"))), (2, None)]
+        df = spark.createDataFrame(rows, "id long, docx binary")
+        got = {r.id: r.text for r in extract_docx(df).collect()}
+        assert got == {1: "doc one", 2: None}

@@ -816,3 +816,45 @@ def test_html_extractor_total_on_tag_soup(text):
 
     out = html_to_text(text)          # must not raise
     assert "\x00" not in out
+
+
+_MD_PLAIN = st.text(
+    alphabet=st.sampled_from("abcdefghijklmnopqrstuvwxyz \n"),
+    min_size=0, max_size=300)
+
+
+@given(_MD_PLAIN)
+@settings(max_examples=150, deadline=None)
+def test_markdown_plain_prose_roundtrip_property(text):
+    """Prose with no markdown metacharacters passes through
+    markdown_to_text as pure line-wise whitespace normalization — the
+    invariant the staged md_extract oracle builds on (the corpus is
+    verified metacharacter-free)."""
+    from zdb_spark.operators.extract import markdown_to_text
+
+    expect = "\n".join(
+        line for line in (" ".join(ln.split()) for ln in text.split("\n"))
+        if line)
+    assert markdown_to_text(text) == expect
+
+
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_bmp_tiff_roundtrip_property(w, h, seed):
+    """Random RGB rasters round-trip the BMP and TIFF codecs to the
+    same (w, h, channels, exact-integer-sum luma)."""
+    import numpy as np
+
+    from zdb_spark.operators.multimodal import (bmp_decode, bmp_encode,
+                                                tiff_decode, tiff_encode)
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    exp = round(float(
+        (0.299 * px[:, :, 0].mean() + 0.587 * px[:, :, 1].mean()
+         + 0.114 * px[:, :, 2].mean()) / 255.0), 6)
+    for codec, (fmt, gw, gh, nch, luma) in (
+            ("bmp", bmp_decode(bmp_encode(px))),
+            ("tiff", tiff_decode(tiff_encode(px)))):
+        assert (fmt, gw, gh, nch) == (codec, w, h, 3)
+        assert abs(luma - exp) <= 1e-6, (codec, luma, exp)

@@ -625,6 +625,36 @@ def test_r15_staged_md_gate_is_oracle_ready(spark):
     assert len(spark_pdf) == 500
 
 
+def test_r15_staged_docx_gate_is_oracle_ready(spark):
+    """docx_extract is complete but unregistered (staged for r15 with
+    md_extract).  Its oracle is pdf_extract's line-aware SQL verbatim —
+    this test proves that sharing with the driver's own comparator."""
+    import os
+    import sys as _sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import check_correctness as cc
+    finally:
+        _sys.path.remove(os.path.join(root, "tools"))
+
+    assert "docx_extract" not in entry_mod.queries()      # staged
+    sql = entry_mod._PENDING_R15_ORACLES["docx_extract"]
+    assert sql == entry_mod._PDF_EXTRACT_ORACLE           # the alias
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    spark_pdf = entry_mod.q_docx_extract(spark, sf).toPandas()
+    duck_pdf = con.execute(sql).df()
+    errs = cc.compare("docx_extract", spark_pdf, duck_pdf)
+    assert not errs, errs
+    assert len(spark_pdf) == 500
+
+
 def test_pdf_gate_matches_oracle(spark):
     """pdf_extract (registered round 14) stays green against its oracle
     with the driver's own comparator — the fixture corpus alternates

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["html_to_text", "extract_html",
            "markdown_to_text", "extract_markdown",
+           "docx_to_text", "docx_write_simple", "extract_docx",
            "pdf_to_text", "pdf_write_simple", "pdf_write_xref_stream",
            "extract_pdf"]
 
@@ -228,6 +229,121 @@ def extract_markdown(df: DataFrame, md_col: str = "md",
     _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = pandas_udf(_extract, "string")
     return df.withColumn(out_col, udf(F.col(md_col)))
+
+
+# ---------------------------------------------------------------------- #
+# DOCX text extraction (OOXML / ECMA-376 subset, stdlib zipfile + etree)  #
+# ---------------------------------------------------------------------- #
+# The dominant "office document" shape in a crawl.  A .docx is a ZIP
+# with the body at word/document.xml; prose lives in <w:t> runs inside
+# <w:p> paragraphs.  The extractor walks paragraphs in document order:
+# runs concatenate WITHOUT separators (a word may span runs —
+# formatting boundaries are not token boundaries), <w:tab> becomes a
+# space, <w:br> and paragraph ends become newlines, table cells
+# (<w:tc>) emit their paragraphs like any other (one line each — the
+# html_to_text table-cell rule), and everything else (styles, props,
+# drawings, fields) is ignored.  Same line discipline as the other
+# extractors: whitespace-normalized lines, blanks dropped.  Encrypted
+# (non-zip OLE) and malformed containers raise loudly.
+
+_DOCX_NS = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+
+def docx_to_text(payload: bytes) -> str:
+    """Extract prose from one .docx (see the subset contract above)."""
+    import io
+    import zipfile
+    from xml.etree import ElementTree
+
+    if payload[:2] != b"PK":
+        raise ValueError(
+            "not a docx: not a ZIP container (OLE/encrypted .doc "
+            "streams are refused, never guessed at)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        with zf.open("word/document.xml") as f:
+            root = ElementTree.parse(f).getroot()
+    except (zipfile.BadZipFile, KeyError) as exc:
+        raise ValueError(f"malformed docx: {exc}") from None
+    except ElementTree.ParseError as exc:
+        raise ValueError(f"malformed docx xml: {exc}") from None
+
+    lines: list[str] = []
+    for para in root.iter(f"{_DOCX_NS}p"):
+        buf: list[str] = []
+        for node in para.iter():
+            tag = node.tag
+            if tag == f"{_DOCX_NS}t":
+                buf.append(node.text or "")
+            elif tag == f"{_DOCX_NS}tab":
+                buf.append(" ")
+            elif tag in (f"{_DOCX_NS}br", f"{_DOCX_NS}cr"):
+                buf.append("\n")
+        for piece in "".join(buf).split("\n"):
+            line = " ".join(piece.split())
+            if line:
+                lines.append(line)
+    return "\n".join(lines)
+
+
+def docx_write_simple(text: str) -> bytes:
+    """Minimal valid .docx carrying ``text`` (one ``<w:p>`` per input
+    line) — the fixture encoder for the round-trip gate; opens in any
+    OOXML consumer.  ``docx_to_text(docx_write_simple(t))`` returns the
+    whitespace-normalized non-empty lines of ``t``."""
+    import io
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    paras = "".join(
+        f"<w:p><w:r><w:t xml:space=\"preserve\">{escape(line)}</w:t>"
+        f"</w:r></w:p>"
+        for line in text.split("\n"))
+    document = (f"<?xml version=\"1.0\" encoding=\"UTF-8\" "
+                f"standalone=\"yes\"?>"
+                f"<w:document xmlns:w=\"{ns}\"><w:body>{paras}"
+                f"</w:body></w:document>")
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/'
+        'vnd.openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/word/document.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'wordprocessingml.document.main+xml"/></Types>')
+    rels = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/'
+            'officeDocument" Target="word/document.xml"/>'
+            '</Relationships>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("_rels/.rels", rels)
+        zf.writestr("word/document.xml", document)
+    return out.getvalue()
+
+
+def extract_docx(df: DataFrame, docx_col: str = "docx",
+                 out_col: str = "text") -> DataFrame:
+    """``docx_to_text`` over a binary DataFrame column (Arrow-batched
+    pandas UDF; NULL stays NULL).  Rows independent — no shuffle, no
+    state; the extractor UDF slot."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _extract(s):
+        return s.map(lambda b: None if b is None
+                     else docx_to_text(bytes(b)))
+
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_extract, "string")
+    return df.withColumn(out_col, udf(F.col(docx_col)))
 
 
 # ---------------------------------------------------------------------- #

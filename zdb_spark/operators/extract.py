@@ -1,6 +1,15 @@
 """Document text EXTRACTION — the stage before every text operator in
-this repo: a crawled corpus arrives as markup (HTML above all), and
-quality scoring / dedup / tokenization all assume clean text.
+this repo: a crawled corpus arrives as markup or containers (HTML above
+all, then PDF, Markdown, and Office documents), and quality scoring /
+dedup / tokenization all assume clean text.  Four extractors share one
+contract — whitespace-normalized prose lines, blanks dropped, non-prose
+subtrees (scripts, code fences, styles) suppressed, unsupported or
+encrypted containers refused LOUDLY:
+
+- ``html_to_text`` — stdlib html.parser streaming extractor;
+- ``markdown_to_text`` — CommonMark-ish chrome stripper;
+- ``pdf_to_text`` — ISO 32000 subset (classic + 1.5 xref forms);
+- ``docx_to_text`` — OOXML word/document.xml walk.
 
 ``html_to_text`` is a stdlib-only extractor (html.parser — tolerant of
 malformed markup, the crawl reality) with the standard C4/trafilatura-

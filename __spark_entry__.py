@@ -4433,6 +4433,45 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "extracted"))
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup (curation.py:canonicalize_url/
+    url_dedup — pure-Catalyst scheme/host lowering, default-port and
+    fragment drops, tracking-param removal, query-param sorting,
+    groupBy-min canonical election; zero UDFs).  Each document derives
+    FOUR deterministic URL spellings of one page per id-group (clean,
+    SHOUTED scheme/host + :443 + utm + fragment, gclid-injected, and a
+    unique no-dup control), so the gate proves every canonicalization
+    rule AND the election at once; the oracle states the expected
+    canonical forms in closed form from doc_id alone.
+
+    STAGED FOR ROUND 15 with md_extract/docx_extract (r14 window
+    closed full); oracle-readiness pinned by tests/test_registry.py::
+    test_r15_staged_url_gate_is_oracle_ready."""
+    from zdb_spark.operators.curation import url_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    g = F.floor(F.col("doc_id") / 4).cast("long")
+    gs = g.cast("string")
+    host = F.concat(F.lit("www.h"), (g % 50).cast("string"),
+                    F.lit(".example.com"))
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("https://"), host,
+                                   F.lit("/page/"), gs,
+                                   F.lit("/?b=2&a=1")))
+           .when(v == 1, F.concat(F.lit("HTTPS://"), F.upper(host),
+                                  F.lit(":443/page/"), gs,
+                                  F.lit("/?a=1&b=2&utm_source=x#frag")))
+           .when(v == 2, F.concat(F.lit("https://"), host,
+                                  F.lit("/page/"), gs,
+                                  F.lit("/?a=1&gclid=zz&b=2")))
+           .otherwise(F.concat(F.lit("https://"), host, F.lit("/only/"),
+                               F.col("doc_id").cast("string"))))
+    fixture = docs.select("doc_id", url.alias("url"))
+    return (url_dedup(fixture, "url", "doc_id")
+            .select("doc_id", "canonical_url", "canonical_id",
+                    "is_canonical"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct 8-word-gram overlap of every
     document against a benchmark set (docs 0-19 stand in for an eval
@@ -4933,6 +4972,26 @@ _PENDING_R15_ORACLES: dict[str, str] = {
     # the md fixture's known prose frame + the line-aware normalized
     # text (same line discipline as the pdf oracle; the corpus is
     # metacharacter-free so no inline rule fires on the text itself)
+    # url_dedup (STAGED for r15): the fixture derives four spellings
+    # per id-group, so the expected canonical form and election are
+    # closed-form functions of doc_id alone
+    "url_dedup": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 < 3
+                    THEN 'https://www.h' || CAST((doc_id // 4) % 50
+                                                 AS VARCHAR)
+                         || '.example.com/page/'
+                         || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&b=2'
+                    ELSE 'https://www.h' || CAST((doc_id // 4) % 50
+                                                 AS VARCHAR)
+                         || '.example.com/only/'
+                         || CAST(doc_id AS VARCHAR)
+               END AS canonical_url,
+               CASE WHEN doc_id % 4 < 3 THEN 4 * (doc_id // 4)
+                    ELSE doc_id END AS canonical_id,
+               (doc_id % 4 = 0 OR doc_id % 4 = 3) AS is_canonical
+        FROM documents
+    """,
     "md_extract": r"""
         SELECT doc_id,
                'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)

@@ -752,3 +752,50 @@ class TestNgramNoveltyVsBloom:
         out = ngram_novelty_vs_bloom(docs, words, n=5,
                                      m_bits=1 << 19, k=4)
         assert out.agg(F.sum("n_new")).first()[0] == 0
+
+
+class TestUrlCanonicalization:
+    """canonicalize_url / url_dedup (crawl-frontier hygiene): scheme/
+    host lowering, default-port and fragment drops, tracking-param
+    removal, query sorting, opaque-string passthrough, min-id
+    election — all pure Catalyst (plan pinned UDF-free)."""
+
+    def test_rules(self, spark):
+        from zdb_spark.operators.curation import canonicalize_url
+
+        rows = [
+            (1, "HTTPS://Example.COM:443/Path/?utm_source=x&b=2&a=1#f"),
+            (2, "https://example.com/Path/?a=1&b=2"),
+            (3, "http://Example.com:80"),
+            (4, "http://example.com/?gclid=zz&fbclid=aa"),
+            (5, "  not a url at ALL  "),
+            (6, "ftp://Host:21/file"),                 # non-default port
+            (7, "https://example.com:8443/x?z=1&y=2"),  # kept + sorted
+            (8, "https://example.com/CasePath"),        # path case kept
+        ]
+        df = spark.createDataFrame(rows, "id long, url string")
+        got = {r.id: r.c for r in df.select(
+            "id", canonicalize_url("url").alias("c")).collect()}
+        assert got[1] == "https://example.com/Path/?a=1&b=2"
+        assert got[1] == got[2]
+        assert got[3] == "http://example.com/"
+        assert got[4] == "http://example.com/"
+        assert got[5] == "not a url at all"
+        assert got[6] == "ftp://host:21/file"
+        assert got[7] == "https://example.com:8443/x?y=2&z=1"
+        assert got[8] == "https://example.com/CasePath"
+
+    def test_dedup_election_and_plan(self, spark):
+        from zdb_spark.operators.curation import url_dedup
+
+        rows = [(10, "https://a.com/x?b=1&a=1"),
+                (11, "HTTPS://A.COM:443/x?a=1&b=1#frag"),
+                (12, "https://a.com/y")]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = url_dedup(df)
+        got = {r.doc_id: (r.canonical_id, r.is_canonical)
+               for r in out.collect()}
+        assert got == {10: (10, True), 11: (10, False), 12: (12, True)}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

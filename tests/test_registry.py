@@ -625,6 +625,38 @@ def test_r15_staged_md_gate_is_oracle_ready(spark):
     assert len(spark_pdf) == 500
 
 
+def test_r15_staged_url_gate_is_oracle_ready(spark):
+    """url_dedup is complete but unregistered (staged for r15).  The
+    gate derives four URL spellings per id-group; the oracle states
+    the expected canonical form + election in closed form — this test
+    proves the pair with the driver's own comparator."""
+    import os
+    import sys as _sys
+
+    import duckdb
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import check_correctness as cc
+    finally:
+        _sys.path.remove(os.path.join(root, "tools"))
+
+    assert "url_dedup" not in entry_mod.queries()         # staged
+    sql = entry_mod._PENDING_R15_ORACLES["url_dedup"]
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    spark_pdf = entry_mod.q_url_dedup(spark, sf).toPandas()
+    duck_pdf = con.execute(sql).df()
+    errs = cc.compare("url_dedup", spark_pdf, duck_pdf)
+    assert not errs, errs
+    assert len(spark_pdf) == 500
+    # the election is non-trivial on this corpus: 3 of 4 rows are dups
+    assert int(spark_pdf["is_canonical"].sum()) == 250
+
+
 def test_r15_staged_docx_gate_is_oracle_ready(spark):
     """docx_extract is complete but unregistered (staged for r15 with
     md_extract).  Its oracle is pdf_extract's line-aware SQL verbatim —

@@ -35,7 +35,8 @@ __all__ = ["hash_split", "split_label", "split_leakage",
            "contamination_bloom", "contamination_fuzzy", "ngram_novelty",
            "ngram_novelty_vs_bloom",
            "chunk_documents", "temperature_sample", "cap_per_group",
-           "global_shuffle", "importance_weights"]
+           "global_shuffle", "importance_weights",
+           "canonicalize_url", "url_dedup"]
 
 _BUCKETS = 10_000
 
@@ -867,3 +868,77 @@ def importance_weights(df: DataFrame, target_pred, *,
     if cache_features:
         out._zdb_cache_handles = [ex]
     return out
+
+
+# ---------------------------------------------------------------------- #
+# URL canonicalization + dedup (crawl-frontier hygiene, zero-UDF)         #
+# ---------------------------------------------------------------------- #
+# The same page arrives from a crawl under many spellings: scheme/host
+# case, default ports, fragments, tracking parameters, unordered query
+# strings.  Exact text dedup misses these until AFTER a fetch; URL
+# canonicalization dedups the FRONTIER — before the bytes are ever
+# fetched — which at crawl scale is the cheapest dedup there is.
+# Everything below is pure-Catalyst string algebra (regexp/split/
+# filter/sort_array), so it rides whole-stage codegen and replays
+# exactly in the DuckDB oracle.
+
+# Pinned tracking-parameter set (the industry-standard strip list;
+# extending it is a semantic change to canonical identity, so version
+# any extension through a new operator argument, not an edit).
+_URL_TRACKING = ("utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|"
+                 "ref|ref_src|spm")
+_URL_TRACKING_RE = f"^({_URL_TRACKING})="
+
+
+def canonicalize_url(url) -> F.Column:
+    """Canonical form of a URL column (pure Catalyst, no UDF):
+
+    - scheme and host lowercase; default ports dropped (``:80`` for
+      http, ``:443`` for https);
+    - fragment dropped;
+    - empty path becomes ``/``;
+    - query parameters: tracking params (pinned list above) removed,
+      the rest SORTED for order-independent identity; an emptied query
+      loses its ``?``.
+
+    A string without ``://`` is not a fetchable URL — it passes
+    through as ``lower(trim(url))`` (an opaque key is still a
+    dedupable key; guessing a scheme would manufacture identity)."""
+    u = F.trim(url if isinstance(url, F.Column) else F.col(url))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://",
+                                      1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://"
+                                       r"([^/?#]*)", 1))
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+                               r"([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE))
+    qjoin = F.array_join(F.sort_array(kept), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qjoin == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qjoin)))
+    return F.when(scheme == "", F.lower(u)).otherwise(canon)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by CANONICAL URL: adds ``canonical_url``, elects the
+    minimum ``id_col`` per canonical group as ``canonical_id``, and
+    flags ``is_canonical`` — the dedup.exact_dedup election shape
+    (groupBy-min, no window, no skew cliff: group size is bounded by
+    spelling variants of one page, not corpus size)."""
+    canon = df.withColumn("canonical_url", canonicalize_url(url_col))
+    winners = (canon.groupBy("canonical_url")
+               .agg(F.min(id_col).alias("canonical_id")))
+    return (canon.join(winners, "canonical_url")
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("canonical_id")))

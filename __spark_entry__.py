@@ -4963,11 +4963,14 @@ _QUERY_DECLARATIONS: list[
     ("pdf_extract", q_pdf_extract),
 ]
 
-# Complete gate + oracle staged for ROUND-15 registration (the r14
-# window closed full — see q_md_extract's docstring).  Registration =
-# append ("md_extract", q_md_extract) to _QUERY_DECLARATIONS and
-# sqls["md_extract"] = _PENDING_R15_ORACLES["md_extract"] in
-# oracle_sql().
+# Complete gates + oracles staged for ROUND-15 registration (the r14
+# window closed full — see q_md_extract's docstring).  Registration per
+# gate = append (name, fn) to _QUERY_DECLARATIONS and sqls[name] =
+# _PENDING_R15_ORACLES[name] in oracle_sql().  THREE gates are staged
+# (md_extract, docx_extract, url_dedup) — run `tools/verified_age.py
+# --project --new-gates N` BEFORE registering to confirm the
+# green-age-2 guarantee holds with N of them; if the window is tight,
+# register in that order (one per round is always safe).
 _PENDING_R15_ORACLES: dict[str, str] = {
     # the md fixture's known prose frame + the line-aware normalized
     # text (same line discipline as the pdf oracle; the corpus is

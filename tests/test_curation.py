@@ -799,3 +799,42 @@ class TestUrlCanonicalization:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestUrlReviewFixes:
+    """Regression pins for the round-14 review findings on the URL
+    operators: NULL rows survive dedup, fragment '?' is not a query,
+    bare ref is functional (not stripped)."""
+
+    def test_null_urls_survive_dedup(self, spark):
+        from zdb_spark.operators.curation import url_dedup
+
+        rows = [(1, "https://a.com/x"), (2, None), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        out = {r.doc_id: (r.canonical_id, r.is_canonical)
+               for r in url_dedup(df).collect()}
+        # every input row is present; NULL urls form their own group
+        assert set(out) == {1, 2, 3}
+        assert out[1] == (1, True)
+        assert out[2] == (2, True) and out[3] == (2, False)
+
+    def test_fragment_question_mark_is_not_a_query(self, spark):
+        from zdb_spark.operators.curation import canonicalize_url
+
+        rows = [(1, "https://a.com/p#sec?b=1"), (2, "https://a.com/p")]
+        df = spark.createDataFrame(rows, "id long, url string")
+        got = {r.id: r.c for r in df.select(
+            "id", canonicalize_url("url").alias("c")).collect()}
+        assert got[1] == got[2] == "https://a.com/p"
+
+    def test_bare_ref_param_is_kept(self, spark):
+        from zdb_spark.operators.curation import canonicalize_url
+
+        rows = [(1, "https://g.com/o/r/blob/f.py?ref=main"),
+                (2, "https://g.com/o/r/blob/f.py?ref=dev"),
+                (3, "https://t.co/x?ref_src=twsrc")]
+        df = spark.createDataFrame(rows, "id long, url string")
+        got = {r.id: r.c for r in df.select(
+            "id", canonicalize_url("url").alias("c")).collect()}
+        assert got[1] != got[2]                # distinct branches kept
+        assert got[3] == "https://t.co/x"      # ref_src still stripped

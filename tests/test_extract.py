@@ -625,3 +625,71 @@ class TestDocxToText:
         df = spark.createDataFrame(rows, "id long, docx binary")
         got = {r.id: r.text for r in extract_docx(df).collect()}
         assert got == {1: "doc one", 2: None}
+
+
+class TestRound14ReviewFixes:
+    """Regression pins for the round-14 post-close review findings."""
+
+    def test_multiline_script_block_is_suppressed(self):
+        # finding: the eager per-'>' flush leaked <script> bodies into
+        # prose — HTML blocks now buffer through the next blank line
+        from zdb_spark.operators.extract import markdown_to_text
+
+        doc = "intro text\n<script>\nvar secret = 1;\n</script>\nafter"
+        # the block runs to EOF: code suppressed, trailing prose kept
+        assert markdown_to_text(doc) == "intro text\nafter"
+        # with the blank-line block boundary, prose resumes after it
+        doc2 = ("intro\n<script>\nvar s = 1;\n</script>\n\n"
+                "after prose")
+        assert markdown_to_text(doc2) == "intro\nafter prose"
+        # a style block with following markup still extracts its prose
+        doc3 = "<style>p{x}</style>\n<p>kept</p>\n\ntail"
+        assert markdown_to_text(doc3) == "kept\ntail"
+
+    def test_indented_code_requires_blank_line(self):
+        # finding: lazily-wrapped prose indented 4+ mid-paragraph was
+        # deleted as code; CommonMark says indented code cannot
+        # interrupt a paragraph
+        from zdb_spark.operators.extract import markdown_to_text
+
+        assert markdown_to_text("para starts\n    wrapped hard line") \
+            == "para starts\nwrapped hard line"
+        # after a blank line it IS code — and the block spans until a
+        # non-indented, non-blank line
+        doc = "para\n\n    code 1\n\n    code 2\nafter"
+        assert markdown_to_text(doc) == "para\nafter"
+
+    def test_pdf_objstm_cycle_is_loud(self):
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import _Pdf, pdf_write_simple
+
+        pdf = _Pdf(pdf_write_simple("x"))
+        pdf._in_objstm[6] = (6, 0)             # ObjStm stored in itself
+        pdf._offsets.pop(6, None)
+        with _pytest.raises(ValueError, match="cycle"):
+            pdf.resolve_obj(("ref", 6))
+        # two-node cycle through the container chain
+        pdf2 = _Pdf(pdf_write_simple("x"))
+        pdf2._in_objstm[8] = (9, 0)
+        pdf2._in_objstm[9] = (8, 0)
+        with _pytest.raises(ValueError, match="cycle"):
+            pdf2.resolve_obj(("ref", 8))
+
+    def test_pdf_self_referencing_length_is_loud(self):
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import pdf_to_text, \
+            pdf_write_simple
+
+        # make object 5's /Length point at object 5 itself; a 12000+
+        # char body gives a 5-digit Length literal so the "5 0 R"
+        # swap is byte-for-byte and every xref offset stays valid
+        doc = pdf_write_simple("x" * 12000, compress=False)
+        import re as _re
+        m = _re.search(rb"<< /Length (\d+) >>", doc)
+        lit = m.group(1)
+        assert len(lit) == 5, lit
+        bad = doc[:m.start(1)] + b"5 0 R" + doc[m.end(1):]
+        with _pytest.raises(ValueError, match="cycle"):
+            pdf_to_text(bad)

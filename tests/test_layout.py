@@ -342,3 +342,21 @@ class TestTableZorder:
         tz.compact(target_file_mb=1)
         z_adm2, z_tot2 = files_admitted(os.path.join(tz.path, "parquet"))
         assert z_adm2 <= max(1, z_tot2 // 2), (z_adm2, z_tot2)
+
+
+def test_zorder_refuses_symbol_columns(spark, tmp_home):
+    """Round-14 review fix: a string/symbol zorder column would cast
+    to NULL in the grid and silently collapse clustering to cell 0 —
+    refused loudly at create, like the TIMESTAMP rule."""
+    import pytest as _pytest
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    sch = (Schema("zsym").add_col("sym", ColumnType.SYMBOL16)
+           .add_col("x", ColumnType.F64)
+           .with_partition_by(PartitionBy.DAY))
+    with _pytest.raises(ValueError, match="symbol/string"):
+        Table.create(spark, sch, home=tmp_home, zorder_by=["sym", "x"],
+                     zorder_bounds={"sym": (0.0, 1.0),
+                                    "x": (0.0, 1.0)})

@@ -884,9 +884,12 @@ def importance_weights(df: DataFrame, target_pred, *,
 
 # Pinned tracking-parameter set (the industry-standard strip list;
 # extending it is a semantic change to canonical identity, so version
-# any extension through a new operator argument, not an edit).
+# any extension through a new operator argument, not an edit).  Bare
+# `ref` is deliberately NOT stripped: it is functional on major hosts
+# (it selects content, e.g. a branch name) — merging across it would
+# silently drop distinct pages from a frontier.
 _URL_TRACKING = ("utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|igshid|"
-                 "ref|ref_src|spm")
+                 "ref_src|spm")
 _URL_TRACKING_RE = f"^({_URL_TRACKING})="
 
 
@@ -905,19 +908,24 @@ def canonicalize_url(url) -> F.Column:
     through as ``lower(trim(url))`` (an opaque key is still a
     dedupable key; guessing a scheme would manufacture identity)."""
     u = F.trim(url if isinstance(url, F.Column) else F.col(url))
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://",
+    # fragment is dropped FIRST: a '?' inside the fragment must never
+    # be read as a query delimiter ('https://a.com/p#sec?b=1' has no
+    # query at all)
+    uf = F.regexp_replace(u, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(uf,
+                                      r"^([A-Za-z][A-Za-z0-9+.-]*)://",
                                       1))
-    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://"
-                                       r"([^/?#]*)", 1))
+    host = F.lower(F.regexp_extract(uf, r"^[A-Za-z][A-Za-z0-9+.-]*://"
+                                        r"([^/?#]*)", 1))
     host = (F.when(scheme == "http",
                    F.regexp_replace(host, ":80$", ""))
             .when(scheme == "https",
                   F.regexp_replace(host, ":443$", ""))
             .otherwise(host))
-    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
-                               r"([^?#]*)", 1)
+    path = F.regexp_extract(uf, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+                                r"([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(uf, r"\?(.*)$", 1)
     kept = F.filter(
         F.split(query, "&"),
         lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE))
@@ -939,6 +947,13 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     canon = df.withColumn("canonical_url", canonicalize_url(url_col))
     winners = (canon.groupBy("canonical_url")
                .agg(F.min(id_col).alias("canonical_id")))
-    return (canon.join(winners, "canonical_url")
+    # null-safe join key: a NULL url is still a row — an inner
+    # equi-join would silently drop it (null != null in SQL), so
+    # NULL-url rows join their own NULL group and each is elected
+    # against the other NULL-url rows like any spelling group
+    joined = canon.join(
+        winners,
+        canon["canonical_url"].eqNullSafe(winners["canonical_url"]))
+    return (joined.drop(winners["canonical_url"])
             .withColumn("is_canonical",
                         F.col(id_col) == F.col("canonical_id")))

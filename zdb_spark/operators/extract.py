@@ -175,10 +175,22 @@ def markdown_to_text(md: str) -> str:
     """Extract prose from one Markdown document (see the subset
     contract above).  Unterminated code fences suppress the rest of
     the document — the safe direction for training text, matching
-    html_to_text's unclosed-``<script>`` behavior."""
+    html_to_text's unclosed-``<script>`` behavior.  An HTML block
+    (a line opening with a tag) buffers through the NEXT BLANK LINE
+    before routing through html_to_text (the CommonMark type-6 block
+    boundary) — flushing any earlier would hand ``<script>`` bodies to
+    the prose path line-by-line and leak code into training text.
+    Indented code blocks require the CommonMark preceding blank line
+    (indented code cannot interrupt a paragraph), so lazily-wrapped
+    prose survives; a 4-space continuation paragraph inside a list
+    after a blank line is still read as code — the documented
+    limitation of line-oriented parsing."""
     lines: list[str] = []
     in_fence = False
     fence_mark = ""
+    in_html = False
+    in_code_indent = False
+    prev_blank = True                          # doc start = block start
     html_buf: list[str] = []
 
     def flush_html():
@@ -189,33 +201,47 @@ def markdown_to_text(md: str) -> str:
 
     for raw in md.split("\n"):
         stripped = raw.strip()
+        if in_html:
+            if stripped == "":
+                flush_html()
+                in_html = False
+                prev_blank = True
+            else:
+                html_buf.append(raw)
+            continue
         m = re.match(r"^(```+|~~~+)", stripped)
         if m:
             if not in_fence:
                 in_fence, fence_mark = True, m.group(1)[0] * 3
             elif stripped.startswith(fence_mark):
                 in_fence = False
+            prev_blank = False
             continue
         if in_fence:
             continue
-        if stripped.startswith("<") and (html_buf
-                                         or re.match(r"^</?\w", stripped)):
+        if in_code_indent:
+            if raw.startswith("    ") or stripped == "":
+                prev_blank = stripped == ""
+                continue                       # still inside the block
+            in_code_indent = False             # fall through to prose
+        if re.match(r"^</?\w", stripped):
+            in_html = True
             html_buf.append(raw)
-            if ">" in stripped:               # short block: flush eagerly
-                flush_html()
             continue
-        flush_html()
+        if stripped == "":
+            prev_blank = True
+            continue
+        was_blank, prev_blank = prev_blank, False
         if (_MD_RULE.match(stripped) or _MD_TABLE_SEP.match(raw)
                 or _MD_REF_DEF.match(raw)):
             continue
         line = _MD_LINE_CHROME.sub("", raw)
-        # indented code block (4+ spaces, not a list continuation):
-        # drop, same rule as fences
-        if raw.startswith("    ") and line == raw:
+        if was_blank and raw.startswith("    ") and line == raw:
+            in_code_indent = True              # indented code block
             continue
         for pat, rep in _MD_INLINE:
             line = pat.sub(rep, line)
-        line = line.replace("|", " ")         # table cell walls
+        line = line.replace("|", " ")          # table cell walls
         line = " ".join(line.split())
         if line:
             lines.append(line)
@@ -873,29 +899,45 @@ class _Pdf:
     # ------------------------ object resolution ---------------------- #
 
     def resolve_obj(self, ref):
-        """Resolve (possibly indirect) to a concrete value."""
+        """Resolve (possibly indirect) to a concrete value.  Reference
+        CYCLES (an ObjStm whose xref entry points into itself, a
+        stream /Length referencing its own object) are detected via an
+        in-progress set and refused with the module's contractual loud
+        ValueError — crafted crawl bytes must never drive this into
+        RecursionError."""
         if not (isinstance(ref, tuple) and ref and ref[0] == "ref"):
             return ref
         num = ref[1]
         if num in self._cache:
             return self._cache[num]
-        if num in self._in_objstm:
-            val = self._resolve_in_objstm(num)
+        resolving = getattr(self, "_resolving", None)
+        if resolving is None:
+            resolving = self._resolving = set()
+        if num in resolving:
+            raise ValueError(
+                f"malformed pdf: object reference cycle at {num}")
+        resolving.add(num)
+        try:
+            if num in self._in_objstm:
+                val = self._resolve_in_objstm(num)
+                self._cache[num] = val
+                return val
+            off = self._offsets.get(num)
+            if off is None:
+                raise ValueError(f"pdf object {num} not in xref")
+            lex = _PdfLexer(self.d, off)
+            t1, t2, t3 = (lex.next_token(), lex.next_token(),
+                          lex.next_token())
+            if not (t1 and t1[0] == "num" and t3 == ("kw", "obj")):
+                raise ValueError(f"malformed pdf object header at {off}")
+            val = lex.next_object()
+            if lex.peek_raw(6) == b"stream":
+                raw = self._raw_stream_after(lex, val)
+                val = ("stream", val, raw)
             self._cache[num] = val
             return val
-        off = self._offsets.get(num)
-        if off is None:
-            raise ValueError(f"pdf object {num} not in xref")
-        lex = _PdfLexer(self.d, off)
-        t1, t2, t3 = lex.next_token(), lex.next_token(), lex.next_token()
-        if not (t1 and t1[0] == "num" and t3 == ("kw", "obj")):
-            raise ValueError(f"malformed pdf object header at {off}")
-        val = lex.next_object()
-        if lex.peek_raw(6) == b"stream":
-            raw = self._raw_stream_after(lex, val)
-            val = ("stream", val, raw)
-        self._cache[num] = val
-        return val
+        finally:
+            resolving.discard(num)
 
     def _resolve_in_objstm(self, num: int):
         """Object stored inside a /Type /ObjStm container (§7.5.7):

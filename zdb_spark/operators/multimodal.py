@@ -686,6 +686,14 @@ def tiff_encode(pixels) -> bytes:
     import struct
 
     px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        # the fixture writer is RGB-only by contract: a single-channel
+        # array would need Photometric=1 AND an inline (not offset)
+        # BitsPerSample value — silently emitting a file every reader
+        # rejects is the failure mode this raise prevents
+        raise ValueError(
+            f"tiff_encode expects an (h, w, 3) RGB array, got shape "
+            f"{px.shape}")
     h, w, nch = px.shape
     data = px.tobytes()
     # header(8) + IFD; place pixel data after the IFD

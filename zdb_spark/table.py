@@ -200,6 +200,17 @@ class Table:
                         "sort, and fixed curve bounds cannot follow a "
                         "growing timestamp — z-order the value "
                         "dimensions instead")
+                if by_name[c].ctype.name.startswith("SYMBOL"):
+                    # a string column casts to NULL under the grid's
+                    # to-double scaling: every row would land in cell 0
+                    # and clustering silently degrades to a no-op —
+                    # the same silent failure the TIMESTAMP refusal
+                    # above exists to prevent
+                    raise ValueError(
+                        f"zorder_by column {c!r} is a symbol/string "
+                        "column: the Morton grid needs numeric values "
+                        "(dictionary-encode it to an integer column "
+                        "first if clustering on it matters)")
                 b = (zorder_bounds or {}).get(c)
                 if (b is None or len(b) != 2
                         or not float(b[0]) < float(b[1])):

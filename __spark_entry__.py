@@ -4376,13 +4376,9 @@ def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     underscores are strictly intra-word, which the word-boundary
     emphasis rule passes through untouched).
 
-    STAGED FOR ROUND 15: the r14 verification window closed full
-    (pdf_extract took the new-gate slot; verified_age --project
-    rejects another without breaching the green-age-2 guarantee).
-    Gate + oracle live in _PENDING_R15_ORACLES, oracle-readiness
-    pinned by tests/test_registry.py::
-    test_r15_staged_md_gate_is_oracle_ready — r15 registration is one
-    list append + one oracle_sql line."""
+    Registered ROUND 15 after staging through the full r14 window
+    (pdf_extract took r14's new-gate slot); pinned against its oracle
+    by tests/test_registry.py::test_r15_md_gate_matches_oracle."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -4413,9 +4409,9 @@ def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines — the SAME line-aware oracle shape as pdf_extract, so the
     SQL is shared verbatim (_PDF_EXTRACT_ORACLE).
 
-    STAGED FOR ROUND 15 alongside md_extract (the r14 window closed
-    full); oracle-readiness pinned by tests/test_registry.py::
-    test_r15_staged_docx_gate_is_oracle_ready."""
+    Registered ROUND 15 alongside md_extract (the r14 window closed
+    full); pinned against the shared oracle by tests/test_registry.py::
+    test_r15_docx_gate_matches_oracle."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -4444,9 +4440,9 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule AND the election at once; the oracle states the expected
     canonical forms in closed form from doc_id alone.
 
-    STAGED FOR ROUND 15 with md_extract/docx_extract (r14 window
-    closed full); oracle-readiness pinned by tests/test_registry.py::
-    test_r15_staged_url_gate_is_oracle_ready."""
+    Registered ROUND 15 with md_extract/docx_extract (r14 window
+    closed full); pinned against its oracle by tests/test_registry.py::
+    test_r15_url_gate_matches_oracle."""
     from zdb_spark.operators.curation import url_dedup
 
     docs = _load(spark, sf_dir, "documents")
@@ -4745,22 +4741,10 @@ _MAX_DIRECT_AGE = 4
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 14 — populated as the round's changes land; finalized by
-    # tools/changed_gates.py before the closing commit.
-    #
-    # Table.create/write/compact grew the sidecar-pinned zorder_by
-    # clustering path (r13 verdict task 6): the gate's OUTPUT is
-    # unchanged (layout only; no gate table is z-ordered), but the
-    # create/write code it exercises changed, so it re-verifies.
-    "table_lifecycle",
-    # hybrid_search's BM25 side now reads the persisted inverted index
-    # (text_index_topk — bit-identical to the live bm25_topk it
-    # replaces, r13 verdict task 7): hash unchanged, plan changed.
-    # text_index's store-build lifecycle moved into the shared
-    # _text_index_store helper the hybrid gate reuses (same store,
-    # same output) — re-verifies with it.
-    "hybrid_search",
-    "text_index",
+    # round 15 — populated as the round's changes land; finalized by
+    # tools/changed_gates.py before the closing commit.  (The r14
+    # entries cleared at the boundary: table_lifecycle, hybrid_search,
+    # and text_index all took green rows in CORRECTNESS_r14.)
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -4774,23 +4758,21 @@ _CHANGED_THIS_ROUND = [
 # tools/changed_gates.py prints these as [exempt] instead of MISSING.
 _CHANGED_BUT_LOCALLY_PROVEN = {
     # (round-12 exemptions cleared at the r13 boundary; round-13's at
-    # a1b49f4.)  Round 14: _bloom_probe_chain grew the r13-advice
-    # GUARDS only — ungrouped word-table validation, duplicate
-    # word_idx refusal, m_bits driver ceiling — each a raise on inputs
-    # these gates never produce (both build ungrouped, in-bounds
-    # filters), so the diff is unreachable on the gate corpus; both
-    # passed tools/check_correctness.py's bit-exact mirror on the
-    # changed tree this round.  Exempted because the r14 window is
-    # over-subscribed (unigram_tok would breach the green-age-2
-    # guarantee otherwise).
+    # a1b49f4.)  The round-14 pair CARRIES into r15: the driver did
+    # not sample either gate in r14 (no CORRECTNESS_r14 row), so their
+    # last green row (r13) still predates the guard-only diff — the
+    # bit-exact local proof below remains the standing evidence until
+    # a driver green row lands.  Their r13 staleness rotates them into
+    # the r15 window anyway (age 2), so the exemption only waives
+    # rule-1 priority, not verification.
     "contamination_bloom": (
         "guard-only diff (raises on grouped/duplicate/oversized word "
         "tables the gate never builds); bit-exact mirror green on the "
-        "changed tree"),
+        "changed tree (r14)"),
     "bloom_novelty": (
         "guard-only diff (same _bloom_probe_chain guards, unreachable "
         "on the gate's ungrouped in-bounds filter); bit-exact mirror "
-        "green on the changed tree"),
+        "green on the changed tree (r14)"),
 }
 
 _QUERY_DECLARATIONS: list[
@@ -4961,21 +4943,23 @@ _QUERY_DECLARATIONS: list[
     # round-14 registration (staged through round 13 behind window
     # capacity; r13 verdict task 1)
     ("pdf_extract", q_pdf_extract),
+    # round-15 registration (staged through round 14 behind window
+    # capacity; r14 verdict task 1)
+    ("md_extract", q_md_extract),
+    ("docx_extract", q_docx_extract),
+    ("url_dedup", q_url_dedup),
 ]
 
-# Complete gates + oracles staged for ROUND-15 registration (the r14
-# window closed full — see q_md_extract's docstring).  Registration per
-# gate = append (name, fn) to _QUERY_DECLARATIONS and sqls[name] =
-# _PENDING_R15_ORACLES[name] in oracle_sql().  THREE gates are staged
-# (md_extract, docx_extract, url_dedup) — run `tools/verified_age.py
-# --project --new-gates N` BEFORE registering to confirm the
-# green-age-2 guarantee holds with N of them; if the window is tight,
-# register in that order (one per round is always safe).
+# Oracles for the gates REGISTERED in round 15 after staging through
+# the full r14 window (md_extract, docx_extract, url_dedup) — kept in
+# this dict (merged into oracle_sql() at the end) so the staging-era
+# oracle text and its readiness pins stayed byte-identical through
+# registration.
 _PENDING_R15_ORACLES: dict[str, str] = {
     # the md fixture's known prose frame + the line-aware normalized
     # text (same line discipline as the pdf oracle; the corpus is
     # metacharacter-free so no inline rule fires on the text itself)
-    # url_dedup (STAGED for r15): the fixture derives four spellings
+    # url_dedup: the fixture derives four spellings
     # per id-group, so the expected canonical form and election are
     # closed-form functions of doc_id alone
     "url_dedup": """
@@ -5039,7 +5023,7 @@ _PDF_EXTRACT_ORACLE = r"""
     FROM documents
 """
 
-# docx_extract (STAGED for r15) shares pdf_extract's line-aware oracle
+# docx_extract (registered r15) shares pdf_extract's line-aware oracle
 # VERBATIM: both fixture writers emit one container line-unit per input
 # line and both extractors normalize identically, so the expected
 # output is the same expression of the original column.
@@ -8347,4 +8331,6 @@ def oracle_sql() -> dict[str, str]:
           AND value >= 100.0 AND value < 300.0
     """
     sqls["pdf_extract"] = _PDF_EXTRACT_ORACLE
+    # round-15 registration of the r14-staged gates (r14 verdict task 1)
+    sqls.update(_PENDING_R15_ORACLES)
     return sqls

@@ -4745,6 +4745,13 @@ _CHANGED_THIS_ROUND = [
     # tools/changed_gates.py before the closing commit.  (The r14
     # entries cleared at the boundary: table_lifecycle, hybrid_search,
     # and text_index all took green rows in CORRECTNESS_r14.)
+    #
+    # Bloom store params reads now route through the
+    # grow-flip crash-recovery loader (_bloom_store_params — r14
+    # ADVICE finding on grow_bloom_store's non-atomic two-rename):
+    # output unchanged on a healthy store, but the read path the gate
+    # exercises changed, so it re-verifies.
+    "bloom_store",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:

@@ -693,3 +693,67 @@ class TestRound14ReviewFixes:
         bad = doc[:m.start(1)] + b"5 0 R" + doc[m.end(1):]
         with _pytest.raises(ValueError, match="cycle"):
             pdf_to_text(bad)
+
+
+class TestRound15AdviceFixes:
+    """Regression pins for the round-14 ADVICE.md findings (fixed in
+    round 15): CommonMark closing-fence length, lazy-continuation
+    chrome gating, and the xref-stream /W zero-offset-width refusal."""
+
+    def test_long_fence_embeds_short_fence_examples(self):
+        # finding: fence_mark was normalized to 3 chars, so a ````
+        # fence embedding a ``` example was closed by the inner run —
+        # code leaked into prose AND the real closer ate later prose
+        from zdb_spark.operators.extract import markdown_to_text
+
+        doc = ("before\n\n"
+               "````markdown\n"
+               "example:\n"
+               "```\ncode\n```\n"
+               "````\n\n"
+               "after")
+        assert markdown_to_text(doc) == "before\nafter"
+        # tilde form, and a LONGER closing run still closes
+        doc2 = "a\n\n~~~~text\n~~~\nstill code\n~~~~~\n\nb"
+        assert markdown_to_text(doc2) == "a\nb"
+        # a shorter run or the other character never closes
+        doc3 = "x\n\n````\n```\n~~~~\ncode\n"
+        assert markdown_to_text(doc3) == "x"
+        # a run with trailing text is content, not a closer
+        doc4 = "x\n\n````\n```` not a closer\ncode\n````\n\ny"
+        assert markdown_to_text(doc4) == "x\ny"
+
+    def test_lazy_continuation_keeps_ordered_chrome(self):
+        # finding: _MD_LINE_CHROME stripped number+period / '- ' / '> '
+        # from EVERY line; CommonMark treats a line under a paragraph
+        # as a lazy continuation unless the marker can interrupt
+        from zdb_spark.operators.extract import markdown_to_text
+
+        assert markdown_to_text("He was born in\n1999. That was it.") \
+            == "He was born in\n1999. That was it."
+        # markers that CAN interrupt a paragraph still strip:
+        # blockquote, non-empty bullet, and an ordered item starting 1
+        assert markdown_to_text("wrapped prose\n> a quote") == \
+            "wrapped prose\na quote"
+        assert markdown_to_text("wrapped prose\n- a bullet") == \
+            "wrapped prose\na bullet"
+        assert markdown_to_text("wrapped prose\n1. new list") == \
+            "wrapped prose\nnew list"
+        # tight lists keep stripping item 2+ (list context, not a
+        # paragraph continuation: the previous line was chromed)
+        assert markdown_to_text("1. one\n2. two\n3. three") == \
+            "one\ntwo\nthree"
+        assert markdown_to_text("para\n\n1. one\n2. two") == \
+            "para\none\ntwo"
+
+    def test_xref_stream_zero_offset_width_is_loud(self):
+        import pytest as _pytest
+
+        from zdb_spark.operators.extract import (pdf_to_text,
+                                                 pdf_write_xref_stream)
+
+        doc = pdf_write_xref_stream("x")
+        assert b"/W [1 4 2]" in doc
+        bad = doc.replace(b"/W [1 4 2]", b"/W [1 0 2]")
+        with _pytest.raises(ValueError, match="/W"):
+            pdf_to_text(bad)

@@ -1031,6 +1031,41 @@ class TestBloomSaturation:
         assert got[("0", "u0")] and got[("1", "u1")]
         assert not got[("1", "u0")] and not got[("0", "u1")]
 
+    def test_interrupted_grow_flip_self_heals(self, spark, tmp_path):
+        # r14 ADVICE: the two-rename flip is not atomic — a crash
+        # between rename(path->.pregrow) and rename(.grow->path)
+        # strands the store at .pregrow with no recovery path.  Every
+        # params read now heals that state first.
+        import os
+        import shutil
+
+        from zdb_spark.operators.sketches import (bloom_store_lookup,
+                                                  build_bloom_store,
+                                                  grow_bloom_store)
+
+        p = str(tmp_path / "cbloom")
+        df = spark.range(0, 100).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        build_bloom_store(df, "v", p, m_bits=4096, k=4)
+
+        # crash state A: old store renamed away, new never flipped in
+        # (a half-built scratch may also remain)
+        os.rename(p, p + ".pregrow")
+        os.makedirs(p + ".grow", exist_ok=True)
+        got = bloom_store_lookup(spark, p, ["u1", "zz"]).collect()
+        assert {r.value: r.maybe_present for r in got} ==             {"u1": True, "zz": False}          # old filter restored
+        assert not os.path.exists(p + ".pregrow")
+        assert not os.path.exists(p + ".grow")
+        # an interrupted grow re-runs cleanly after the heal
+        assert grow_bloom_store(df, "v", p, m_bits=1 << 14) == 1 << 14
+
+        # crash state B: flip completed but the superseded store's
+        # deferred delete did not run — healed on next read
+        shutil.copytree(p, p + ".pregrow")
+        got2 = bloom_store_lookup(spark, p, ["u1"]).collect()
+        assert got2[0].maybe_present is True
+        assert not os.path.exists(p + ".pregrow")
+
 
 class TestBloomProbeChainGuards:
     """Round-13 advice: the contamination prefilter's probe chain must

@@ -166,6 +166,13 @@ _MD_INLINE = [
 ]
 _MD_LINE_CHROME = re.compile(
     r"^(?:\s{0,3}(?:#{1,6}\s+|>\s?|[-*+]\s+|\d{1,9}[.)]\s+))+")
+# Mid-paragraph (lazy continuation) variant: only the markers
+# CommonMark lets INTERRUPT a paragraph — ATX headings, blockquotes,
+# non-empty bullet items, and ordered items starting at 1 (spec §5.3).
+# A continuation line like "...born in\n1999. That was..." keeps its
+# leading "1999." instead of being silently de-chromed.
+_MD_LINE_CHROME_INTERRUPT = re.compile(
+    r"^(?:\s{0,3}(?:#{1,6}\s+|>\s?|[-*+]\s+(?=\S)|1[.)]\s+(?=\S)))+")
 _MD_RULE = re.compile(r"^\s{0,3}(?:-{3,}|\*{3,}|_{3,})\s*$")
 _MD_TABLE_SEP = re.compile(r"^\s*\|?[\s:|-]+\|[\s:|-]*$")
 _MD_REF_DEF = re.compile(r"^\s{0,3}\[[^\]]+\]:\s+\S+")
@@ -191,6 +198,7 @@ def markdown_to_text(md: str) -> str:
     in_html = False
     in_code_indent = False
     prev_blank = True                          # doc start = block start
+    prev_plain = False      # previous line was chrome-free paragraph text
     html_buf: list[str] = []
 
     def flush_html():
@@ -211,11 +219,18 @@ def markdown_to_text(md: str) -> str:
             continue
         m = re.match(r"^(```+|~~~+)", stripped)
         if m:
+            run = m.group(1)
             if not in_fence:
-                in_fence, fence_mark = True, m.group(1)[0] * 3
-            elif stripped.startswith(fence_mark):
+                # record the ACTUAL opening run: the closing fence must
+                # be the same character repeated at least that many
+                # times and nothing else (CommonMark closing-fence
+                # rule) — a ````-opened fence embedding ``` examples
+                # stays open through them.
+                in_fence, fence_mark = True, run
+            elif (run[0] == fence_mark[0] and len(run) >= len(fence_mark)
+                    and stripped == run):
                 in_fence = False
-            prev_blank = False
+            prev_blank = prev_plain = False    # fences close paragraphs
             continue
         if in_fence:
             continue
@@ -226,6 +241,7 @@ def markdown_to_text(md: str) -> str:
             in_code_indent = False             # fall through to prose
         if re.match(r"^</?\w", stripped):
             in_html = True
+            prev_plain = False                 # HTML block boundary
             html_buf.append(raw)
             continue
         if stripped == "":
@@ -234,11 +250,21 @@ def markdown_to_text(md: str) -> str:
         was_blank, prev_blank = prev_blank, False
         if (_MD_RULE.match(stripped) or _MD_TABLE_SEP.match(raw)
                 or _MD_REF_DEF.match(raw)):
+            prev_plain = False                 # these close paragraphs
             continue
-        line = _MD_LINE_CHROME.sub("", raw)
+        # Chrome stripping is context-gated: a line directly under a
+        # plain paragraph line is a LAZY CONTINUATION candidate, so only
+        # the markers CommonMark lets interrupt a paragraph strip there
+        # ("...born in\n1999. That was..." keeps its leading "1999.").
+        # Everywhere else (block start after a blank, or continuing a
+        # tight list / heading / quote) the full chrome rule applies.
+        line = (_MD_LINE_CHROME_INTERRUPT if prev_plain and not was_blank
+                else _MD_LINE_CHROME).sub("", raw)
         if was_blank and raw.startswith("    ") and line == raw:
             in_code_indent = True              # indented code block
+            prev_plain = False
             continue
+        prev_plain = line == raw               # no chrome = paragraph text
         for pat, rep in _MD_INLINE:
             line = pat.sub(rep, line)
         line = line.replace("|", " ")          # table cell walls
@@ -849,6 +875,13 @@ class _Pdf:
         w = [int(x) for x in info["W"]]
         if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
             raise ValueError(f"malformed pdf xref stream /W {w}")
+        if w[1] == 0:
+            # a zero second width would store None as every type-1
+            # offset / type-2 container number (§7.5.8 gives field 2 no
+            # default) — resolving any object would then die with an
+            # uncontractual TypeError instead of this loud refusal
+            raise ValueError(f"malformed pdf xref stream /W {w}: "
+                             "field-2 width 0 leaves offsets undefined")
         size = int(info["Size"])
         index = [int(x) for x in info.get("Index", [0, size])]
         if len(index) % 2:

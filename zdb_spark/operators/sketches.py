@@ -1085,12 +1085,47 @@ def append_bloom_store(df: DataFrame, value_col: str, path: str, *,
     import os
 
     if _params is None:
-        with open(os.path.join(path, "params.json")) as f:
-            _params = json.load(f)
+        _params = _bloom_store_params(path)
     words = bloom_words(df, value_col, _params["by"] or None,
                         m_bits=_params["m_bits"], k=_params["k"])
     (words.write.mode("overwrite")
      .parquet(os.path.join(path, "words", f"batch={batch_id}")))
+
+
+def _recover_bloom_store(path: str) -> None:
+    """Crash recovery for ``grow_bloom_store``'s two-rename flip (the
+    flip is NOT atomic: a crash between ``rename(path -> .pregrow)``
+    and ``rename(.grow -> path)`` leaves the store existing only at
+    ``<path>.pregrow``).  A lone ``.pregrow`` means the grow never
+    completed — the OLD filter is still authoritative, so restore it
+    and drop the scratch (the interrupted grow simply re-runs).  If
+    both exist the flip completed and ``.pregrow`` is the superseded
+    store: finish its deferred delete.  Every params read routes
+    through :func:`_bloom_store_params`, so any store operation after
+    a crash self-heals before touching data."""
+    import os
+    import shutil
+
+    old = path + ".pregrow"
+    if not os.path.exists(os.path.join(old, "params.json")):
+        return
+    if os.path.exists(os.path.join(path, "params.json")):
+        shutil.rmtree(old, ignore_errors=True)      # flip completed
+    else:
+        shutil.rmtree(path, ignore_errors=True)     # half-renamed debris
+        os.rename(old, path)
+        shutil.rmtree(path + ".grow", ignore_errors=True)
+
+
+def _bloom_store_params(path: str) -> dict:
+    """Load a Bloom store's pinned params, healing an interrupted
+    ``grow_bloom_store`` flip first (see ``_recover_bloom_store``)."""
+    import json
+    import os
+
+    _recover_bloom_store(path)
+    with open(os.path.join(path, "params.json")) as f:
+        return json.load(f)
 
 
 def read_bloom_words(spark, path: str) -> DataFrame:
@@ -1098,11 +1133,9 @@ def read_bloom_words(spark, path: str) -> DataFrame:
     (by..., word_idx) — EXACTLY the whole-corpus ``bloom_words`` (OR is
     associative/commutative/idempotent over any batch split).  Reads
     (batches x groups x m_bits/32) word rows, never the corpus."""
-    import json
     import os
 
-    with open(os.path.join(path, "params.json")) as f:
-        by = json.load(f)["by"]
+    by = _bloom_store_params(path)["by"]
     words = spark.read.parquet(os.path.join(path, "words", "batch=*"))
     return (words.groupBy(*by, "word_idx")
             .agg(F.bit_or("word").alias("word")))
@@ -1113,11 +1146,7 @@ def bloom_store_lookup(spark, path: str, values: list[str]) -> DataFrame:
     output contract and bit-determinism as ``bloom_lookup`` on the
     whole-corpus table (the store's params pin m_bits/k).  Grouped
     stores answer per group via ``bloom_store_lookup_by``."""
-    import json
-    import os
-
-    with open(os.path.join(path, "params.json")) as f:
-        p = json.load(f)
+    p = _bloom_store_params(path)
     if p["by"]:
         raise ValueError("bloom_store_lookup requires an ungrouped "
                          "store (by=[]); use bloom_store_lookup_by")
@@ -1133,11 +1162,7 @@ def bloom_store_lookup_by(spark, path: str,
     distinct-address accounting as ``bloom_lookup``; the group list
     comes from the word table itself (a group with no words answers
     false for everything, correctly — it set no bits)."""
-    import json
-    import os
-
-    with open(os.path.join(path, "params.json")) as f:
-        p = json.load(f)
+    p = _bloom_store_params(path)
     by = p["by"]
     if not by:
         return bloom_store_lookup(spark, path, values)
@@ -1194,11 +1219,7 @@ def bloom_store_saturation(spark, path: str, *,
     nothing else in the store will ever say so.  Run it on the ingest
     cadence; a ``saturated`` row means rebuild via
     ``grow_bloom_store``."""
-    import json
-    import os
-
-    with open(os.path.join(path, "params.json")) as f:
-        p = json.load(f)
+    p = _bloom_store_params(path)
     stats = bloom_stats(read_bloom_words(spark, path), p["by"] or None,
                         m_bits=p["m_bits"], k=p["k"])
     return stats.withColumn(
@@ -1209,9 +1230,17 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
                      m_bits: int | None = None,
                      k: int | None = None) -> int:
     """REBUILD a saturated store at a larger ``m_bits`` (default 4x)
-    from the AUTHORITATIVE corpus ``df`` — scratch build + atomic
-    rename, so concurrent readers see the old filter until the flip
-    and the new one after, never a mix.  Returns the new m_bits.
+    from the AUTHORITATIVE corpus ``df`` — scratch build, then a
+    two-rename flip (``path -> .pregrow``, ``.grow -> path``).  The
+    flip is NOT atomic: a reader in the gap sees no store at the
+    canonical path, and a crash between the renames leaves the store
+    only at ``.pregrow`` — both healed by ``_recover_bloom_store``,
+    which every store params read runs first (a lone ``.pregrow`` is
+    restored as the still-authoritative old filter; a leftover one
+    next to a completed flip is deleted).  Readers therefore see the
+    old filter until the flip and the new one after, never a mix — at
+    the cost of a retryable window, not a wrong answer.  Returns the
+    new m_bits.
 
     Why the corpus and not the store's own batches: a Bloom word table
     is a LOSSY projection (Bloom 1970) — the set bits of an m-bit
@@ -1226,12 +1255,10 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
 
     The group layout (``by``) is preserved; ``k`` may be retuned at
     the same time (more bits per element affords a higher k)."""
-    import json
     import os
     import shutil
 
-    with open(os.path.join(path, "params.json")) as f:
-        p = json.load(f)
+    p = _bloom_store_params(path)
     new_m = int(m_bits or 4 * p["m_bits"])
     new_k = int(k or p["k"])
     if new_m <= p["m_bits"]:

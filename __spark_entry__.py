@@ -4619,19 +4619,13 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     held until the next one (weight = lead(ts) - ts inside the symbol's
     own timeline; the final open-ended observation drops out).  Window
     ordered by (ts, event_id) so duplicate timestamps cannot flip the
-    weights between engines."""
-    from pyspark.sql import Window
+    weights between engines (temporal.py:twap — extracted round 15 so
+    the tick_report composite executes the identical operator)."""
+    from zdb_spark.operators.temporal import twap
 
     ev = _load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    gap = (F.lead("ts").over(w) - F.col("ts")).cast("double")
-    return (ev.withColumn("w", gap)
-            .where(F.col("w").isNotNull())
-            .groupBy(F.col("event_type").alias("sym"))
-            .agg(round0(
-                F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6)
-                .alias("twap"),
-                F.count(F.lit(1)).alias("n_obs")))
+    return (twap(ev, "ts", "event_type", "value", "event_id")
+            .select(F.col("event_type").alias("sym"), "twap", "n_obs"))
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -4704,6 +4698,127 @@ def q_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "decayed_avg", "decayed_sum", "w_sum", "n"))
 
 
+def q_tick_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed tick-store health report (registered r15, a window-
+    capacity composite like curation_v2/v3): TWAP per symbol + decayed
+    average per symbol + top-20 user paths, one job, unioned into a
+    long-form (metric, key, value, n) frame — the per-close monitoring
+    report shape.  Each section IS the corresponding singleton gate's
+    public operator (temporal.py:twap / decayed_avg / user_paths), so
+    a green row refreshes those via _COVERS.
+
+    Plan shape: three independent sections over one source table, each
+    with its own key (symbol / symbol / user) — a union of small
+    aggregates, no cross-section shuffle.  Events is scanned once per
+    section with projection pruned to that section's columns; at 100 TB
+    you would persist the 4-column projection first, but at any scale
+    the sections stay embarrassingly independent."""
+    from zdb_spark.operators.temporal import (decayed_avg, twap,
+                                              user_paths)
+
+    ev = _load(spark, sf_dir, "events")
+    t = (twap(ev, "ts", "event_type", "value", "event_id")
+         .select(F.lit("twap").alias("metric"),
+                 F.col("event_type").alias("key"),
+                 F.col("twap").alias("value"),
+                 F.col("n_obs").cast("long").alias("n")))
+    d = (decayed_avg(ev, "ts", "event_type", "value",
+                     half_life=_DECAY_HL, at=_DECAY_AT)
+         .select(F.lit("decay").alias("metric"),
+                 F.col("event_type").alias("key"),
+                 F.col("decayed_avg").alias("value"),
+                 F.col("n").cast("long").alias("n")))
+    p = (user_paths(ev, "ts", "user_id", "event_type",
+                    max_len=5, top=20)
+         .select(F.lit("path").alias("metric"),
+                 F.col("path").alias("key"),
+                 F.col("n_users").cast("double").alias("value"),
+                 F.col("n_users").cast("long").alias("n")))
+    return t.unionByName(d).unionByName(p)
+
+
+def _synth_webp_batches(batches):
+    """Per-doc 2-color checkerboard VP8L (lossless WebP) fixtures,
+    closed-form in doc_id; every third doc encodes behind the
+    SUBTRACT_GREEN transform (identical decoded output, different
+    bitstream) so one gate covers both the plain and transformed
+    decode paths."""
+    import pandas as _pd
+
+    from zdb_spark.operators.webp import webp_encode_pixels
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            w, h = 2 + i % 7, 2 + (i * 3) % 5
+            c1 = ((0xFF << 24) | (((i * 37 + 11) % 256) << 16)
+                  | (((i * 57 + 23) % 256) << 8) | ((i * 77 + 31) % 256))
+            c2 = ((0xFF << 24) | (((i * 13 + 7) % 256) << 16)
+                  | (((i * 17 + 5) % 256) << 8) | ((i * 19 + 3) % 256))
+            px = [c1 if (x + y) % 2 == 0 else c2
+                  for y in range(h) for x in range(w)]
+            rows.append((i, bytearray(webp_encode_pixels(
+                w, h, px, subtract_green=(i % 3 == 0)))))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP decode, no imaging library (webp.py — the
+    full RFC 9649 VP8L bitstream: canonical prefix codes, LZ77 with
+    the 2-D distance map, color cache, all four transforms): per doc
+    a 2-color checkerboard is ENCODED with the stdlib VP8L writer
+    (every third doc behind SUBTRACT_GREEN) and decode_images
+    (decoder='webp') must recover width/height/channels/mean-luma.
+    The oracle computes the same values from doc_id alone — the
+    multimodal_png closed-form round-trip pattern (r14 verdict
+    task 7)."""
+    from zdb_spark.operators.multimodal import decode_images
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(_synth_webp_batches, "doc_id long, blob binary"))
+    out = decode_images(docs, "blob", "doc_id", decoder="webp")
+    return out.select(F.col("id").alias("doc_id"), "fmt", "width",
+                      "height", "channels", "mean_luma")
+
+
+def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed data-mixture construction (registered r15, a window-
+    capacity composite): stratified hard caps -> temperature rebalance
+    -> per-source token budgets, chained over the real source column —
+    the end-to-end "turn a raw crawl into a training mixture" job.
+    Each stage IS the corresponding singleton gate's public operator
+    (curation.py:stratified_sample / temperature_sample /
+    token_budget_mix + text.py:tokenize), so a green row refreshes
+    those via _COVERS.
+
+    Every stage's membership rule is the same deterministic md5 bucket,
+    so the oracle replays the full chain in closed form.  Plan shape:
+    two narrow hash-filters sandwiching one tiny per-source count
+    groupBy (broadcast back), then one (source, shard) window — the
+    only data-sized shuffle is the final budget window, sharded so each
+    cumulative sum is executor-local."""
+    from zdb_spark.operators.curation import (stratified_sample,
+                                              temperature_sample,
+                                              token_budget_mix)
+    from zdb_spark.operators.text import tokenize
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "source", "doc_id",
+        {"src0": 1.0, "src1": 0.8, "src2": 0.5},
+        default_fraction=0.25)
+    warm = temperature_sample(kept, "source", "doc_id",
+                              alpha=0.5, target_docs=300)
+    sized = warm.withColumn("n_toks", F.size(tokenize("text")))
+    picked = token_budget_mix(sized, "source", "n_toks", "doc_id",
+                              {"src0": 3000, "src1": 2000,
+                               "src2": 1500},
+                              n_shards=2)
+    return picked.select("doc_id", "source", "shard", "n_toks",
+                         F.round("sample_p", 6).alias("sample_p"))
+
+
 # --------------------------------------------------------------------- #
 # driver contract                                                        #
 # --------------------------------------------------------------------- #
@@ -4752,6 +4867,11 @@ _CHANGED_THIS_ROUND = [
     # output unchanged on a healthy store, but the read path the gate
     # exercises changed, so it re-verifies.
     "bloom_store",
+    # q_twap's inline window/agg moved into temporal.py:twap (so the
+    # tick_report composite executes the gate's exact operator):
+    # byte-identical expressions, but the gate's code changed, so it
+    # re-verifies.
+    "twap",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -4955,6 +5075,14 @@ _QUERY_DECLARATIONS: list[
     ("md_extract", q_md_extract),
     ("docx_extract", q_docx_extract),
     ("url_dedup", q_url_dedup),
+    # round-15 window-capacity composites (the registry outgrew the
+    # 50-slot window's green-age-2 budget at 163 gates; each composite
+    # executes 3 singleton gates' operators end-to-end and refreshes
+    # them via _COVERS, the curation_v2/v3 pattern)
+    ("tick_report", q_tick_report),
+    ("mixture_pipeline", q_mixture_pipeline),
+    # round-15: VP8L joins the real-codec family (r14 verdict task 7)
+    ("webp_decode", q_webp_decode),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -5102,6 +5230,13 @@ _COVERS: dict[str, list[str]] = {
     # round-13 second wave: the store gate's appends run bloom_words and
     # its read side IS bloom_lookup — the live gate's operators
     "bloom_store": ["bloom_membership"],
+    # round-15 capacity composites: each section/stage is the
+    # singleton gate's public operator, value-reproduced exactly by
+    # the composed oracle (twap/decayed_avg/user_paths;
+    # stratified_sample/temperature_sample/token_budget_mix)
+    "tick_report": ["twap", "decay_avg", "user_paths"],
+    "mixture_pipeline": ["stratified_sample", "temperature_sample",
+                         "token_budget_mix"],
 }
 
 
@@ -7981,6 +8116,134 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_obs
         FROM g WHERE w IS NOT NULL
         GROUP BY 1
+    """
+    # tick_report (registered r15): the long-form union of the twap /
+    # decay_avg / user_paths oracles with identical per-section
+    # rounding — the composite must reproduce each singleton's values
+    # exactly for _COVERS to be an honest refresh.
+    sqls["tick_report"] = f"""
+        WITH tw AS (
+            SELECT event_type, value,
+                   CAST(lead(epoch_ns(ts)) OVER (PARTITION BY event_type
+                                                 ORDER BY epoch_ns(ts),
+                                                          event_id)
+                        - epoch_ns(ts) AS DOUBLE) AS w
+            FROM events
+        ), de AS (
+            SELECT event_type, value,
+                   exp({-_lam!r} * ({_DECAY_AT} - epoch_ns(ts))) AS w
+            FROM events
+            WHERE epoch_ns(ts) <= {_DECAY_AT}
+        ), seq AS (
+            SELECT user_id,
+                   array_to_string(
+                       (list_transform(
+                           list_sort(list({{'t': epoch_ns(ts),
+                                            's': event_type}})),
+                           e -> e.s))[1:5], '>') AS path
+            FROM events GROUP BY user_id
+        ), paths AS (
+            SELECT path, count(*) AS n_users
+            FROM seq GROUP BY 1
+            ORDER BY n_users DESC, path LIMIT 20
+        )
+        SELECT 'twap' AS metric, event_type AS key,
+               round(sum(value * w) / sum(w), 6) + 0.0 AS value,
+               count(*) AS n
+        FROM tw WHERE w IS NOT NULL GROUP BY 2
+        UNION ALL
+        SELECT 'decay', event_type,
+               round(sum(value * w) / sum(w), 6) + 0.0, count(*)
+        FROM de GROUP BY 2
+        UNION ALL
+        SELECT 'path', path, CAST(n_users AS DOUBLE), n_users
+        FROM paths
+    """
+    # mixture_pipeline (registered r15): the stratified -> temperature
+    # -> token-budget chain replayed in closed form — every stage's
+    # membership is the same deterministic md5 bucket, so the composed
+    # oracle is the three singleton oracles' CTEs composed.
+    sqls["mixture_pipeline"] = r"""
+        WITH s AS (
+            SELECT doc_id, source, text,
+                   ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 10000 AS bucket
+            FROM documents
+        ), kept AS (
+            SELECT * FROM s
+            WHERE bucket < CASE source WHEN 'src0' THEN 10000
+                                       WHEN 'src1' THEN 8000
+                                       WHEN 'src2' THEN 5000
+                                       ELSE 2500 END
+        ), c AS (
+            SELECT source, count(*) AS n FROM kept GROUP BY 1
+        ), z AS (
+            SELECT sum(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM c
+        ), p AS (
+            SELECT source,
+                   least(1.0, 300 * pow(CAST(n AS DOUBLE), 0.5) / z / n)
+                       AS sample_p
+            FROM c, z
+        ), warm AS (
+            SELECT kept.doc_id, kept.source, kept.text, kept.bucket,
+                   p.sample_p
+            FROM kept JOIN p USING (source)
+            WHERE kept.bucket < floor(p.sample_p * 10000)
+        ), sized AS (
+            SELECT doc_id, source, sample_p,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                       AS n_toks,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h,
+                   bucket % 2 AS shard
+            FROM warm
+            WHERE source IN ('src0', 'src1', 'src2')
+        ), cum AS (
+            SELECT doc_id, source, shard, n_toks, sample_p,
+                   sum(n_toks) OVER (PARTITION BY source, shard
+                                     ORDER BY h
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum,
+                   CASE source WHEN 'src0' THEN 3000 / 2.0
+                               WHEN 'src1' THEN 2000 / 2.0
+                               ELSE 1500 / 2.0 END AS budget
+            FROM sized
+        )
+        SELECT doc_id, source, shard, n_toks,
+               round(sample_p, 6) AS sample_p
+        FROM cum WHERE cum - n_toks < budget
+    """
+    # webp_decode (registered r15): the checkerboard's per-channel
+    # mean is a closed form of doc_id — n0 cells of color 1 on an
+    # alternating (x+y) parity grid, n0 = (n + odd(w)*odd(h)) / 2 —
+    # and the luma expression mirrors webp_decode's exact operation
+    # order (channel sums / n, then the Rec.601 dot product, one
+    # round).
+    sqls["webp_decode"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   2 + doc_id % 7 AS w,
+                   2 + (doc_id * 3) % 5 AS h,
+                   (doc_id * 37 + 11) % 256 AS r1,
+                   (doc_id * 57 + 23) % 256 AS g1,
+                   (doc_id * 77 + 31) % 256 AS b1,
+                   (doc_id * 13 + 7) % 256 AS r2,
+                   (doc_id * 17 + 5) % 256 AS g2,
+                   (doc_id * 19 + 3) % 256 AS b2
+            FROM documents
+        ), q AS (
+            SELECT doc_id, w, h, w * h AS n,
+                   (w * h + (w % 2) * (h % 2)) // 2 AS n0,
+                   r1, g1, b1, r2, g2, b2
+            FROM p
+        )
+        SELECT doc_id, 'webp' AS fmt,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(4 AS INT) AS channels,
+               round((0.299 * (CAST(n0 * r1 + (n - n0) * r2 AS DOUBLE) / n)
+                      + 0.587 * (CAST(n0 * g1 + (n - n0) * g2 AS DOUBLE) / n)
+                      + 0.114 * (CAST(n0 * b1 + (n - n0) * b2 AS DOUBLE) / n)
+                     ) / 255.0, 6) AS mean_luma
+        FROM q
     """
     # q_hll_store: incremental max-merge == whole-corpus registers, so
     # its oracle IS hll_vocab's whole-corpus register SQL — a hash

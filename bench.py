@@ -131,6 +131,13 @@ HEADLINE = [
     "html_extract",       # HTML->text crawl-ingest extraction roundtrip
     "pdf_extract",        # PDF->text roundtrip, classic + xref-stream
                           # writers alternating by doc parity
+    # round-15 registrations
+    "md_extract",         # Markdown->text extraction roundtrip
+    "docx_extract",       # DOCX->text extraction roundtrip
+    "url_dedup",          # URL canonicalization + frontier election
+    "tick_report",        # composed twap+decay+paths health report
+    "mixture_pipeline",   # stratified -> temperature -> token budget
+    "webp_decode",        # real VP8L decode roundtrip (RFC 9649)
 ]
 
 

@@ -50,6 +50,7 @@ _WAIVED: dict[str, str] = {
     # per-source counts frame (rows = #sources) crossJoins its own
     # 1-row sum for the normalization constant
     "temperature_sample": "source-counts x 1-row sum scalar bind",
+    "mixture_pipeline": "same temperature_sample 1-row sum bind",
     # the union-sketch 1-row aggregate crossJoins the two sketches'
     # 1-row counts — three single-row frames, a scalar bind
     "kmv_setops": "1-row agg x 1-row x 1-row sketch-count scalar bind",

@@ -863,14 +863,23 @@ def _auto_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         # the first frame's dims/luma (palettes decode to RGB)
         _idx, w, h, _delay, luma = gif_frames(payload)[0]
         return ("gif", w, h, 3, luma)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # real VP8L decode (lossless); lossy VP8 refuses loudly inside
+        from .webp import webp_decode
+        return webp_decode(payload)
     raise ValueError(
         f"decoder='auto': unrecognized image signature "
-        f"{payload[:4]!r} (png/jpeg/gif/bmp/tiff supported)")
+        f"{payload[:4]!r} (png/jpeg/gif/bmp/tiff/webp supported)")
+
+
+def _webp_decode(payload: bytes) -> tuple[str, int, int, int, float]:
+    from .webp import webp_decode
+    return webp_decode(payload)
 
 
 _DECODERS = {"fake": _fake_decode, "png": png_decode,
              "jpeg": _jpeg_decode, "bmp": bmp_decode,
-             "tiff": tiff_decode,
+             "tiff": tiff_decode, "webp": _webp_decode,
              "auto": _auto_decode, "pil": _pil_decode}
 
 
@@ -1650,12 +1659,14 @@ _VIDEO_SCHEMA = ("id long, fmt string, codec string, width int, "
 
 def webp_probe(payload: bytes) -> tuple[str, str, int, int]:
     """Container-level WebP metadata by real RIFF parsing — no pixel
-    decode (VP8 entropy decoding is the out-of-scope codec project):
-    (fmt, variant, width, height) where variant is 'vp8' (lossy —
-    dims from the keyframe start-code block), 'vp8l' (lossless — dims
-    from the 28-bit size field), or 'vp8x' (extended — dims from the
-    24-bit canvas fields).  The crawl-triage read: filter/route WebP
-    blobs by size and variant without a codec."""
+    decode here: (fmt, variant, width, height) where variant is 'vp8'
+    (lossy — dims from the keyframe start-code block), 'vp8l'
+    (lossless — dims from the 28-bit size field), or 'vp8x' (extended
+    — dims from the 24-bit canvas fields).  The crawl-triage read:
+    filter/route WebP blobs by size and variant without a codec.
+    Since round 15, 'vp8l' blobs ALSO have a real pixel decode
+    (webp.py:webp_decode, full RFC 9649 bitstream); lossy 'vp8'
+    remains probe-only (boolean-coder/DCT codec, refused loudly)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":

@@ -44,7 +44,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..functions.scalar import round0
 
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
-           "retention", "user_paths", "decayed_avg", "rate_anomaly"]
+           "retention", "user_paths", "twap", "decayed_avg",
+           "rate_anomaly"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -444,6 +445,34 @@ def user_paths(df: DataFrame, ts_col: str = "ts",
             .agg(F.count(F.lit(1)).alias("n_users"))
             .orderBy(F.col("n_users").desc(), "path")
             .limit(top))
+
+
+def twap(df: DataFrame, ts_col: str = "ts", by="event_type",
+         value_col: str = "value",
+         tie_col: str = "event_id") -> DataFrame:
+    """Time-weighted average value per group — the tick-store TWAP:
+    each observation is held until the group's next one (weight =
+    ``lead(ts) - ts`` inside the group's own timeline; the final
+    open-ended observation drops out).  The window orders by
+    ``(ts, tie_col)`` so duplicate timestamps cannot flip the weights
+    between engines — the determinism contract every oracle-checked
+    operator here carries.
+
+    One keyed window + one keyed aggregate on the SAME key (the agg
+    reuses the window's hash partitioning — no second shuffle), no
+    join, no collect.  Output: (by..., twap, n_obs), ``twap`` rounded
+    to 6 dp via ``round0``.  Extracted from the round-4 gate inline
+    form so composed reports (``tick_report``) execute the identical
+    operator the singleton gate verifies."""
+    by = _as_list(by)
+    w = Window.partitionBy(*by).orderBy(F.col(ts_col), F.col(tie_col))
+    gap = (F.lead(ts_col).over(w) - F.col(ts_col)).cast("double")
+    return (df.withColumn("_zdb_w", gap)
+            .where(F.col("_zdb_w").isNotNull())
+            .groupBy(*by)
+            .agg(round0(F.sum(F.col(value_col) * F.col("_zdb_w"))
+                        / F.sum("_zdb_w"), 6).alias("twap"),
+                 F.count(F.lit(1)).alias("n_obs")))
 
 
 def decayed_avg(df: DataFrame, ts_col: str = "ts", by=None,

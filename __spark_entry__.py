@@ -4872,6 +4872,16 @@ _CHANGED_THIS_ROUND = [
     # byte-identical expressions, but the gate's code changed, so it
     # re-verifies.
     "twap",
+    # multimodal.py grew the VP8L decoder hook (_auto_decode webp
+    # branch) and TIFF LZW/PackBits support (tiff_encode/tiff_decode
+    # signatures extended, defaults unchanged): these three were
+    # rotating into the r15 window by staleness anyway (r12 direct
+    # greens), so they take rule-1 priority rather than an exemption;
+    # the 14 other derivably-affected gates carry bit-exact-mirror
+    # exemptions below.
+    "multimodal_frames",
+    "multimodal_jpeg",
+    "multimodal_wav",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -4900,6 +4910,52 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
         "guard-only diff (same _bloom_probe_chain guards, unreachable "
         "on the gate's ungrouped in-bounds filter); bit-exact mirror "
         "green on the changed tree (r14)"),
+    # Round 15: the VP8L/TIFF-compression additions to multimodal.py
+    # and the markdown-fence / xref-/W fixes to extract.py put these
+    # gates in the derivably-affected closure, but each gate's own
+    # inputs never reach the changed branches: the webp _auto_decode
+    # arm needs a RIFF/WEBP payload (the fixtures are PNG/JPEG/GIF/
+    # WAV/BMP/TIFF-uncompressed/mp4/webm bytes), the TIFF codec
+    # changes are new keyword paths with defaults preserving the r14
+    # byte behavior (compression=None, predictor tag absent -> 1),
+    # the markdown fence/chrome rules are unreachable from the PDF
+    # parser, and the /W guard raises only on a zero second width the
+    # pdf fixture writers never emit ([1 4 2]).  The window cannot
+    # absorb 14 more rule-1 slots (6 new gates registered this
+    # round); all 14 passed tools/check_correctness.py's bit-exact
+    # mirror on the changed tree (see SCALE.md §Round-15
+    # certifications).  The three affected gates that were entering
+    # the window by staleness anyway are QUEUED instead (rule-1 list).
+    "embedding_quantize": ("name-collision closure edge (quantize "
+                           "ops untouched); bit-exact mirror green"),
+    "export_webdataset": ("decode closure edge only; tar writer "
+                          "untouched; bit-exact mirror green"),
+    "knn_int8": ("name-collision closure edge (int8 ops untouched); "
+                 "bit-exact mirror green"),
+    "multimodal_audio": ("WAV fixtures never reach the webp/tiff "
+                         "branches; bit-exact mirror green"),
+    "multimodal_containers": ("mp4/webm probe fixtures never reach "
+                              "the webp/tiff branches; bit-exact "
+                              "mirror green"),
+    "multimodal_decode": ("fake-decoder gate; real-codec diff "
+                          "unreachable; bit-exact mirror green"),
+    "multimodal_png": ("PNG fixtures never reach the webp/tiff "
+                       "branches; bit-exact mirror green"),
+    "multimodal_resize": ("PNG resize path untouched; bit-exact "
+                          "mirror green"),
+    "multimodal_video": ("GIF fixtures never reach the webp/tiff "
+                         "branches; bit-exact mirror green"),
+    "pdf_extract": ("markdown/W-guard diffs unreachable on the pdf "
+                    "fixtures (/W [1 4 2]); bit-exact mirror green"),
+    "server_ohlcv": ("closure edge via shared helper names only; "
+                     "server path untouched; bit-exact mirror green"),
+    "stream_decode": ("PNG fixture stream never reaches the webp "
+                      "branch; bit-exact mirror green"),
+    "table_lifecycle": ("closure edge via shared helper names only; "
+                        "table path untouched; bit-exact mirror "
+                        "green"),
+    "zorder_scan": ("closure edge via shared helper names only; "
+                    "layout path untouched; bit-exact mirror green"),
 }
 
 _QUERY_DECLARATIONS: list[

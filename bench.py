@@ -484,6 +484,11 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # forcing basis (r14 verdict task 6): rounds <= 13 recorded
+        # count()-forced timings, which let Catalyst prune
+        # projection-only work; r14+ forces a noop sink.  Cross-round
+        # per-query comparisons are valid only within one basis.
+        "basis": "noop",
         "write_throughput": attempt["write_throughput"],
         "canary": canary,
     }

@@ -992,15 +992,145 @@ class TestMultimodal:
             (255 - mean) / 255.0, 6)
 
         with pytest.raises(NotImplementedError, match="compression"):
+            # 7 = JPEG-in-TIFF: still refused (LZW/PackBits decode
+            # for real since round 15 — TestTiffCompression)
             tiff_decode(blob.replace(
                 struct.pack("<HHII", 259, 3, 1, 1),
-                struct.pack("<HHII", 259, 3, 1, 5), 1))
+                struct.pack("<HHII", 259, 3, 1, 7), 1))
         with pytest.raises(NotImplementedError, match="tiled"):
             tiff_decode(blob.replace(
                 struct.pack("<HHII", 279, 4, 1, 9 * 11 * 3),
                 struct.pack("<HHII", 322, 4, 1, 9 * 11 * 3), 1))
         with pytest.raises(ValueError, match="signature"):
             tiff_decode(b"not a tiff")
+
+    def test_tiff_lzw_and_packbits(self):
+        """Round-15 TIFF compression support: LZW (TIFF 6.0 §13,
+        early-change width timing) with and without the horizontal
+        predictor, and per-row PackBits — round-trips through the
+        extended fixture writer, plus raw-codec edge cases (KwKwK,
+        the 12-bit table reset, bombs)."""
+        import numpy as np
+
+        from zdb_spark.operators.multimodal import (_packbits_decode,
+                                                    _packbits_encode,
+                                                    _tiff_lzw_decode,
+                                                    _tiff_lzw_encode,
+                                                    tiff_decode,
+                                                    tiff_encode)
+
+        rng = np.random.default_rng(5)
+        px = (rng.integers(0, 40, (17, 13, 3), dtype=np.uint8) * 6)
+        ref = tiff_decode(tiff_encode(px))
+        for comp, pred in [("lzw", 1), ("lzw", 2), ("packbits", 1)]:
+            got = tiff_decode(tiff_encode(px, compression=comp,
+                                          predictor=pred))
+            assert got == ref, (comp, pred)
+
+        # raw LZW: KwKwK (aaa...), width bumps, 12-bit reset
+        for data in (b"", b"a", b"aaaaaa", bytes(range(256)) * 40,
+                     bytes(rng.integers(0, 256, 60000,
+                                        dtype=np.uint8))):
+            enc = _tiff_lzw_encode(data)
+            assert _tiff_lzw_decode(enc, max(len(data), 1)) == data
+        # bomb cap: a stream expanding past cap raises
+        big = _tiff_lzw_encode(b"\x00" * 10000)
+        with pytest.raises(ValueError, match="cap"):
+            _tiff_lzw_decode(big, 100)
+        with pytest.raises(ValueError, match="truncated"):
+            _tiff_lzw_decode(big[:-4], 100000)
+        # packbits: runs, literals, the 128 no-op, truncation
+        for data in (b"", b"x", b"ab" * 100, b"z" * 300):
+            assert _packbits_decode(_packbits_encode(data),
+                                    len(data)) == data
+        assert _packbits_decode(b"\x80\x00x", 1) == b"x"   # no-op tag
+        with pytest.raises(ValueError, match="truncated"):
+            _packbits_decode(b"\x05ab", 6)
+        # predictor plumbing refusals
+        with pytest.raises(ValueError, match="predictor"):
+            tiff_encode(px, compression="packbits", predictor=2)
+        with pytest.raises(ValueError, match="compression"):
+            tiff_encode(px, compression="deflate")
+
+    def test_tiff_lzw_vs_libtiff_ground_truth(self):
+        """Cross-validation against the SYSTEM libtiff (when present):
+        libtiff-written LZW / LZW+predictor / PackBits files decode
+        pixel-exactly here, and libtiff reads this writer's files back
+        pixel-exactly — both directions, the timing-sensitive
+        early-change convention included.  Skips where libtiff.so is
+        not installed (same pattern as the ffmpeg guards)."""
+        import ctypes
+        import tempfile
+
+        import numpy as np
+
+        try:
+            t = ctypes.CDLL("libtiff.so.6")
+        except OSError:
+            pytest.skip("libtiff.so.6 not available")
+        t.TIFFOpen.restype = ctypes.c_void_p
+        t.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        for fn, res in ((t.TIFFWriteScanline, ctypes.c_int),
+                        (t.TIFFReadScanline, ctypes.c_int)):
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_uint32, ctypes.c_uint16]
+            fn.restype = res
+        t.TIFFClose.argtypes = [ctypes.c_void_p]
+        t.TIFFSetErrorHandler(None)
+        t.TIFFSetWarningHandler(None)
+
+        from zdb_spark.operators.multimodal import (tiff_decode,
+                                                    tiff_encode)
+
+        rng = np.random.default_rng(11)
+        h, w = 80, 70          # crosses the 9->10->11 bit widths
+        px = (rng.integers(0, 40, (h, w, 3), dtype=np.uint8) * 6)
+
+        def lib_write(path, comp, pred):
+            tif = t.TIFFOpen(path.encode(), b"w")
+            assert tif
+            setf = t.TIFFSetField
+            for tag, val, typ in [
+                    (256, w, ctypes.c_uint32), (257, h, ctypes.c_uint32),
+                    (258, 8, ctypes.c_uint16), (259, comp, ctypes.c_uint16),
+                    (262, 2, ctypes.c_uint16), (277, 3, ctypes.c_uint16),
+                    (278, h, ctypes.c_uint32), (284, 1, ctypes.c_uint16)]:
+                setf(ctypes.c_void_p(tif), ctypes.c_uint32(tag), typ(val))
+            if pred == 2:
+                setf(ctypes.c_void_p(tif), ctypes.c_uint32(317),
+                     ctypes.c_uint16(2))
+            for y in range(h):
+                row = px[y].tobytes()
+                buf = ctypes.create_string_buffer(row, len(row))
+                assert t.TIFFWriteScanline(ctypes.c_void_p(tif), buf,
+                                           y, 0) == 1
+            t.TIFFClose(ctypes.c_void_p(tif))
+
+        def lib_read(path):
+            tif = t.TIFFOpen(path.encode(), b"r")
+            assert tif
+            buf = ctypes.create_string_buffer(w * 3)
+            rows = []
+            for y in range(h):
+                assert t.TIFFReadScanline(ctypes.c_void_p(tif), buf,
+                                          y, 0) == 1
+                rows.append(bytes(buf.raw))
+            t.TIFFClose(ctypes.c_void_p(tif))
+            return np.frombuffer(b"".join(rows),
+                                 dtype=np.uint8).reshape(h, w, 3)
+
+        exp = tiff_decode(tiff_encode(px))
+        for comp_id, comp, pred in [(5, "lzw", 1), (5, "lzw", 2),
+                                    (32773, "packbits", 1)]:
+            p = tempfile.mktemp(suffix=".tif")
+            lib_write(p, comp_id, pred)
+            assert tiff_decode(open(p, "rb").read()) == exp, (comp,
+                                                              pred)
+            p2 = tempfile.mktemp(suffix=".tif")
+            with open(p2, "wb") as f:
+                f.write(tiff_encode(px, compression=comp,
+                                    predictor=pred))
+            assert np.array_equal(lib_read(p2), px), (comp, pred)
 
     def test_webp_probe_all_variants(self):
         """WebP container probe (no pixel decode): lossy VP8 dims from

@@ -678,10 +678,168 @@ def bmp_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     return ("bmp", w, h, nch, round(luma, 6))
 
 
-def tiff_encode(pixels) -> bytes:
+def _tiff_lzw_decode(data: bytes, cap: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first code packing, 9-12 bit codes,
+    Clear=256 / EOI=257, and the TIFF 'early change' convention — the
+    code width bumps when the NEXT table index to assign reaches
+    2^n - 1 (one code earlier than GIF; libtiff behavior).  ``cap``
+    bounds output (crawl bytes are untrusted — the GIF/Flate bomb
+    rule)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    nbits = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + nbits > total:
+            raise ValueError("tiff: LZW stream truncated (no EOI)")
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7)))
+                            & 1)
+            bitpos += 1
+        return v
+
+    while True:
+        code = read_code()
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if not table:
+            raise ValueError("tiff: LZW data before the initial Clear")
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"tiff: invalid first LZW code {code}")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]            # KwKwK case
+            else:
+                raise ValueError(f"tiff: LZW code {code} beyond table")
+            table.append(prev + entry[:1])
+        out += entry
+        if len(out) > cap:
+            raise ValueError(
+                f"tiff: LZW output exceeds the decompression cap "
+                f"({cap} bytes) — refusing a likely bomb")
+        prev = entry
+        if len(table) >= (1 << nbits) - 1 and nbits < 12:
+            nbits += 1                             # early change
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Encoder-side mirror of _tiff_lzw_decode (fixture writer): emits
+    Clear, string codes with the early-change width rule, a table
+    reset at the 12-bit ceiling, and EOI."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []
+    nbits = 9
+    d: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        bits.append((code, nbits))
+
+    emit(CLEAR)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in d:
+            w += c
+            continue
+        emit(d[w])
+        d[w + c] = next_code
+        next_code += 1
+        # width bump one append later than the naive (1<<n)-1 check:
+        # the decoder's table lags the encoder's numbering by one
+        # append (its entry for THIS emission lands only when it reads
+        # the NEXT code), so the emission-index at which widths change
+        # is next_code >= 1<<n here == table_len >= (1<<n)-1 there.
+        # Verified against libtiff-written files in tests.
+        if next_code >= (1 << nbits) and nbits < 12:
+            nbits += 1                             # early change
+        elif next_code == (1 << 12) - 1:
+            emit(CLEAR)                            # table full: reset
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        w = c
+    if w:
+        emit(d[w])
+    emit(EOI)
+    out = bytearray()
+    pos = 0
+    for code, n in bits:
+        for i in range(n - 1, -1, -1):
+            if pos % 8 == 0:
+                out.append(0)
+            if (code >> i) & 1:
+                out[-1] |= 0x80 >> (pos % 8)
+            pos += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (compression 32773): Apple RLE."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:                                # n+1 literal bytes
+            if i + n + 1 > len(data):
+                raise ValueError("tiff: truncated PackBits literal")
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                              # repeat next byte
+            if i >= len(data):
+                raise ValueError("tiff: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal valid PackBits: runs >= 3 as repeats, else literals."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        while (i < n and i - lit_start < 128
+               and not (i + 2 < n and data[i] == data[i + 1]
+                        == data[i + 2])):
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def tiff_encode(pixels, *, compression: str | None = None,
+                predictor: int = 1) -> bytes:
     """Minimal baseline-TIFF writer (little-endian, single strip,
-    uncompressed RGB chunky) — the fixture encoder for the TIFF
-    round-trip, mirroring bmp_encode's role."""
+    RGB chunky) — the fixture encoder for the TIFF round-trip,
+    mirroring bmp_encode's role.  ``compression`` extends the r14
+    uncompressed writer with the two classic TIFF codecs: ``"lzw"``
+    (optionally with the horizontal-differencing ``predictor=2``) and
+    ``"packbits"``."""
     import numpy as np
     import struct
 
@@ -694,10 +852,33 @@ def tiff_encode(pixels) -> bytes:
         raise ValueError(
             f"tiff_encode expects an (h, w, 3) RGB array, got shape "
             f"{px.shape}")
+    if compression not in (None, "lzw", "packbits"):
+        raise ValueError(f"tiff_encode: unknown compression "
+                         f"{compression!r} (None/'lzw'/'packbits')")
+    if predictor not in (1, 2) or (predictor == 2
+                                   and compression != "lzw"):
+        raise ValueError("tiff_encode: predictor=2 requires lzw "
+                         "(TIFF 6.0 ties differencing to LZW)")
     h, w, nch = px.shape
-    data = px.tobytes()
+    raw = px
+    if predictor == 2:                             # horizontal diff
+        raw = px.astype(np.int16)
+        raw[:, 1:, :] = raw[:, 1:, :] - raw[:, :-1, :]
+        raw = (raw % 256).astype(np.uint8)
+    data = raw.tobytes()
+    comp_id = 1
+    if compression == "lzw":
+        comp_id = 5
+        data = _tiff_lzw_encode(data)          # LZW restarts per strip
+    elif compression == "packbits":
+        comp_id = 32773
+        # TIFF 6.0 §9: PackBits restarts at EVERY ROW boundary (runs
+        # must not cross rows), not just per strip
+        rowlen = w * nch
+        data = b"".join(_packbits_encode(data[i:i + rowlen])
+                        for i in range(0, len(data), rowlen))
     # header(8) + IFD; place pixel data after the IFD
-    n_tags = 8
+    n_tags = 8 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_tags * 12 + 4
     bps_off = 8 + ifd_size                   # BitsPerSample array
     data_off = bps_off + 2 * nch
@@ -709,23 +890,27 @@ def tiff_encode(pixels) -> bytes:
     ifd += tag(256, 3, 1, w)                 # ImageWidth (SHORT)
     ifd += tag(257, 3, 1, h)                 # ImageLength
     ifd += tag(258, 3, nch, bps_off)         # BitsPerSample -> offset
-    ifd += tag(259, 3, 1, 1)                 # Compression = none
+    ifd += tag(259, 3, 1, comp_id)           # Compression
     ifd += tag(262, 3, 1, 2)                 # Photometric = RGB
     ifd += tag(273, 4, 1, data_off)          # StripOffsets
     ifd += tag(277, 3, 1, nch)               # SamplesPerPixel
     ifd += tag(279, 4, 1, len(data))         # StripByteCounts
+    if predictor == 2:
+        ifd += tag(317, 3, 1, 2)             # Predictor = horizontal
     ifd += struct.pack("<I", 0)              # next IFD = none
     bps = struct.pack("<%dH" % nch, *([8] * nch))
     return b"II*\x00" + struct.pack("<I", 8) + ifd + bps + data
 
 
 def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
-    """REAL stdlib+numpy baseline-TIFF decode (TIFF 6.0): both byte
-    orders, the first IFD, UNCOMPRESSED grayscale/RGB(A) 8-bit chunky
-    data across any strip layout.  Compressed (LZW/PackBits/JPEG/...),
-    tiled, planar, palette, and non-8-bit streams raise loudly — the
-    same honest-subset contract as the PNG/JPEG/GIF/BMP codecs.
-    Returns ('tiff', w, h, channels, mean_luma)."""
+    """REAL stdlib+numpy TIFF decode (TIFF 6.0): both byte orders, the
+    first IFD, grayscale/RGB(A) 8-bit chunky data across any strip
+    layout — uncompressed, LZW (§13, early-change convention, with or
+    without the horizontal-differencing predictor), or PackBits
+    (round 15; LZW/PackBits carry most real-world non-JPEG TIFFs).
+    JPEG-in-TIFF, tiled, planar, palette, and non-8-bit streams raise
+    loudly — the same honest-subset contract as the PNG/JPEG/GIF/BMP
+    codecs.  Returns ('tiff', w, h, channels, mean_luma)."""
     import numpy as np
     import struct
 
@@ -766,10 +951,11 @@ def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
 
     w, h = values(256)[0], values(257)[0]
     comp = values(259, [1])[0]
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise NotImplementedError(
-            f"tiff: compression {comp} is not supported (uncompressed "
-            "baseline only — LZW/PackBits/JPEG raise, never guess)")
+            f"tiff: compression {comp} is not supported (uncompressed,"
+            " LZW, and PackBits only — JPEG-in-TIFF/deflate raise, "
+            "never guess)")
     nch = values(277, [1])[0]
     bps = values(258, [8] * nch)
     if any(b != 8 for b in bps):
@@ -783,13 +969,41 @@ def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
         raise NotImplementedError("tiff: planar configuration 2")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiff: tiled layout")
+    predictor = values(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"tiff: predictor {predictor} (none/horizontal only)")
+    if predictor == 2 and comp != 5:
+        raise ValueError("tiff: predictor 2 without LZW compression")
     offs = values(273)
     counts = values(279, [w * h * nch])
-    data = b"".join(payload[o:o + c] for o, c in zip(offs, counts))
-    if len(data) < w * h * nch:
+    expected = w * h * nch
+    if comp == 1:
+        data = b"".join(payload[o:o + c] for o, c in zip(offs, counts))
+    else:
+        # strips decompress INDEPENDENTLY (each strip restarts the
+        # codec), so concatenation happens after per-strip decode
+        rows_per_strip = values(278, [h])[0]
+        parts = []
+        remaining = expected
+        for o, c in zip(offs, counts):
+            strip_rows = min(rows_per_strip,
+                             remaining // (w * nch) or 1)
+            strip_expect = min(strip_rows * w * nch, remaining)
+            raw = payload[o:o + c]
+            if comp == 5:
+                parts.append(_tiff_lzw_decode(raw, strip_expect))
+            else:
+                parts.append(_packbits_decode(raw, strip_expect))
+            remaining -= len(parts[-1])
+        data = b"".join(parts)
+    if len(data) < expected:
         raise ValueError("tiff: truncated strip data")
     px = np.frombuffer(data, dtype=np.uint8,
                        count=w * h * nch).reshape(h, w, nch)
+    if predictor == 2:                       # undo horizontal diff
+        px = np.cumsum(px.astype(np.int64), axis=1) % 256
+        px = px.astype(np.uint8)
     if photo == 0:                           # WhiteIsZero: invert
         px = 255 - px
     sums = px.reshape(-1, nch).astype(np.int64).sum(axis=0)

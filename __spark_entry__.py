@@ -4782,6 +4782,72 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "height", "channels", "mean_luma")
 
 
+def _synth_warc_batches(batches):
+    """Per-doc Common-Crawl-layout WARC fixtures (one gzip member per
+    record): a warcinfo record, a request record, and a response
+    record whose HTTP body is the html_extract gate's exact HTML
+    template around the document text — so the closed-form extraction
+    oracle carries over verbatim and the gate ADDITIONALLY proves
+    record walking, per-member gunzip, HTTP header splitting, and the
+    response-only filter."""
+    import html as _html
+
+    import pandas as _pd
+
+    from zdb_spark.sources.warc import warc_write_records
+
+    for pdf in batches:
+        rows = []
+        for i, t in zip(pdf["doc_id"], pdf["text"]):
+            i = int(i)
+            url = f"http://h{i % 50}.example.com/doc/{i}"
+            page = (f'<html><head><title>Doc {i}</title>'
+                    f'<script>var x = 1 < 2;</script></head><body>'
+                    f'<nav>Site &amp; Nav</nav>'
+                    f'<p>{_html.escape(t)}</p>'
+                    f'</body></html>').encode("utf-8")
+            recs = [
+                {"warc_type": "warcinfo",
+                 "payload": b"software: zdb-spark-fixture\r\n",
+                 "content_type": "application/warc-fields"},
+                {"warc_type": "request", "target_uri": url,
+                 "payload": (f"GET /doc/{i} HTTP/1.1\r\n"
+                             f"Host: h{i % 50}.example.com\r\n\r\n"
+                             ).encode("latin-1"),
+                 "content_type": "application/http; msgtype=request"},
+                {"warc_type": "response", "target_uri": url,
+                 "payload": page,
+                 "http": {"status": 200,
+                          "content_type": "text/html; charset=utf-8"}},
+            ]
+            rows.append((i, bytearray(
+                warc_write_records(recs, gzip_per_record=True))))
+        yield _pd.DataFrame(rows, columns=["doc_id", "warc"])
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingest end-to-end (sources/warc.py:parse_warc/
+    extract_warc — the Common Crawl entry stage): per doc a 3-record
+    per-member-gzipped archive is written, exploded into records,
+    filtered to responses (the warcinfo/request records must vanish),
+    and the HTML body extracted — the html_extract closed-form oracle
+    plus closed-form url/status columns.  Both UDF stages are
+    Arrow-batched and row-independent: scan-bound, no shuffle."""
+    from zdb_spark.operators.extract import extract_html
+    from zdb_spark.sources.warc import extract_warc
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .mapInPandas(_synth_warc_batches,
+                         "doc_id long, warc binary"))
+    recs = (extract_warc(docs, "warc", "doc_id")
+            .where(F.col("warc_type") == "response")
+            .select(F.col("id").alias("doc_id"), "url", "http_status",
+                    F.decode(F.col("payload"), "UTF-8").alias("html")))
+    return (extract_html(recs, "html", "extracted")
+            .select("doc_id", "url", "http_status", "extracted"))
+
+
 def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed data-mixture construction (registered r15, a window-
     capacity composite): stratified hard caps -> temperature rebalance
@@ -5139,6 +5205,8 @@ _QUERY_DECLARATIONS: list[
     ("mixture_pipeline", q_mixture_pipeline),
     # round-15: VP8L joins the real-codec family (r14 verdict task 7)
     ("webp_decode", q_webp_decode),
+    # round-15: WARC crawl ingest (Common Crawl's container format)
+    ("warc_extract", q_warc_extract),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -8300,6 +8368,26 @@ def oracle_sql() -> dict[str, str]:
                       + 0.114 * (CAST(n0 * b1 + (n - n0) * b2 AS DOUBLE) / n)
                      ) / 255.0, 6) AS mean_luma
         FROM q
+    """
+    # warc_extract (registered r15): html_extract's closed-form
+    # extraction oracle plus closed-form url/status — the WARC walk,
+    # per-member gunzip, HTTP split, and response filter all sit
+    # between the fixture and this expectation, so a hash match
+    # proves the whole ingest chain.
+    sqls["warc_extract"] = r"""
+        SELECT doc_id,
+               'http://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               CAST(200 AS INT) AS http_status,
+               'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+               || 'Site & Nav'
+               || CASE WHEN length(regexp_replace(trim(text),
+                                                  '\s+', ' ', 'g')) > 0
+                       THEN chr(10) || regexp_replace(trim(text),
+                                                      '\s+', ' ', 'g')
+                       ELSE '' END AS extracted
+        FROM documents
     """
     # q_hll_store: incremental max-merge == whole-corpus registers, so
     # its oracle IS hll_vocab's whole-corpus register SQL — a hash

@@ -138,6 +138,7 @@ HEADLINE = [
     "tick_report",        # composed twap+decay+paths health report
     "mixture_pipeline",   # stratified -> temperature -> token budget
     "webp_decode",        # real VP8L decode roundtrip (RFC 9649)
+    "warc_extract",       # WARC crawl ingest: gunzip+walk+HTTP+HTML
 ]
 
 

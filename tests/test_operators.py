@@ -1022,7 +1022,8 @@ class TestMultimodal:
         rng = np.random.default_rng(5)
         px = (rng.integers(0, 40, (17, 13, 3), dtype=np.uint8) * 6)
         ref = tiff_decode(tiff_encode(px))
-        for comp, pred in [("lzw", 1), ("lzw", 2), ("packbits", 1)]:
+        for comp, pred in [("lzw", 1), ("lzw", 2), ("packbits", 1),
+                           ("deflate", 1), ("deflate", 2)]:
             got = tiff_decode(tiff_encode(px, compression=comp,
                                           predictor=pred))
             assert got == ref, (comp, pred)
@@ -1050,7 +1051,7 @@ class TestMultimodal:
         with pytest.raises(ValueError, match="predictor"):
             tiff_encode(px, compression="packbits", predictor=2)
         with pytest.raises(ValueError, match="compression"):
-            tiff_encode(px, compression="deflate")
+            tiff_encode(px, compression="jpeg")
 
     def test_tiff_lzw_vs_libtiff_ground_truth(self):
         """Cross-validation against the SYSTEM libtiff (when present):
@@ -1121,7 +1122,8 @@ class TestMultimodal:
 
         exp = tiff_decode(tiff_encode(px))
         for comp_id, comp, pred in [(5, "lzw", 1), (5, "lzw", 2),
-                                    (32773, "packbits", 1)]:
+                                    (32773, "packbits", 1),
+                                    (8, "deflate", 1)]:
             p = tempfile.mktemp(suffix=".tif")
             lib_write(p, comp_id, pred)
             assert tiff_decode(open(p, "rb").read()) == exp, (comp,

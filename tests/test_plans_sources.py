@@ -574,3 +574,100 @@ class TestRound10OperatorPlans:
         assert plan.count("BroadcastHashJoin") == 2
         assert "CartesianProduct" not in plan
         assert "partial_sum" in plan
+
+
+class TestWarc:
+    """WARC crawl ingest (sources/warc.py) — record walk, per-member
+    gunzip, HTTP splitting, the Spark explode, and loud refusals."""
+
+    def _records(self):
+        html = b"<html><body><p>Hello &amp; world</p></body></html>"
+        return [
+            {"warc_type": "warcinfo",
+             "payload": b"software: test\r\n",
+             "content_type": "application/warc-fields"},
+            {"warc_type": "request", "target_uri": "http://x.com/a",
+             "payload": b"GET /a HTTP/1.1\r\nHost: x.com\r\n\r\n",
+             "content_type": "application/http; msgtype=request"},
+            {"warc_type": "response", "target_uri": "http://x.com/a",
+             "payload": html,
+             "http": {"status": 200, "content_type": "text/html"}},
+        ], html
+
+    def test_roundtrip_plain_and_per_record_gzip(self):
+        from zdb_spark.sources.warc import (parse_warc,
+                                            warc_write_records)
+
+        recs, html = self._records()
+        for gz in (False, True):
+            blob = warc_write_records(recs, gzip_per_record=gz)
+            got = parse_warc(blob)
+            assert [r["warc_type"] for r in got] == [
+                "warcinfo", "request", "response"]
+            r = got[2]
+            assert (r["http_status"], r["http_content_type"]) == \
+                (200, "text/html")
+            assert r["http_body"] == html
+            assert r["target_uri"] == "http://x.com/a"
+        # byte determinism (fixture-writer contract)
+        assert warc_write_records(recs, gzip_per_record=True) == \
+            warc_write_records(recs, gzip_per_record=True)
+
+    def test_loud_refusals(self):
+        import zlib
+
+        import pytest
+
+        from zdb_spark.sources.warc import (_gunzip_members,
+                                            parse_warc,
+                                            warc_write_records)
+
+        recs, _ = self._records()
+        blob = warc_write_records(recs)
+        with pytest.raises(ValueError, match="version"):
+            parse_warc(b"WARC/0.9\r\n\r\n")
+        with pytest.raises(ValueError, match="terminator"):
+            parse_warc(blob[:-2])
+        with pytest.raises(ValueError, match="Content-Length"):
+            parse_warc(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n")
+        # truncated payload
+        bad = blob.replace(b"Content-Length: 16",
+                           b"Content-Length: 99", 1)
+        with pytest.raises(ValueError, match="truncated|terminator"):
+            parse_warc(bad)
+        # gzip bomb: 1 MiB of zeros behind a cap of 1 KiB
+        co = zlib.compressobj(9, zlib.DEFLATED, 31)
+        bomb = co.compress(b"\x00" * (1 << 20)) + co.flush()
+        with pytest.raises(ValueError, match="cap"):
+            _gunzip_members(bomb, cap=1024)
+        with pytest.raises(ValueError, match="truncated gzip"):
+            _gunzip_members(bomb[:-6])
+        # a response record without an HTTP status line
+        broken = warc_write_records(
+            [{"warc_type": "response", "target_uri": "http://x/",
+              "payload": b"not http at all",
+              "content_type": "application/http; msgtype=response"}])
+        with pytest.raises(ValueError, match="status line"):
+            parse_warc(broken)
+
+    def test_spark_explode_and_null_blob(self, spark):
+        from zdb_spark.sources.warc import (extract_warc,
+                                            warc_write_records)
+
+        recs, html = self._records()
+        blob = bytearray(warc_write_records(recs,
+                                            gzip_per_record=True))
+        df = spark.createDataFrame([(1, blob), (2, None)],
+                                   "doc_id long, warc binary")
+        out = extract_warc(df, "warc", "doc_id").collect()
+        assert len(out) == 3                    # NULL blob vanishes
+        resp = [r for r in out if r.warc_type == "response"]
+        assert len(resp) == 1
+        r = resp[0]
+        assert (r.id, r.url, r.http_status) == (1, "http://x.com/a",
+                                                200)
+        assert bytes(r.payload) == html
+        # non-response records keep raw payloads and NULL status
+        info = [r for r in out if r.warc_type == "warcinfo"][0]
+        assert info.http_status is None
+        assert bytes(info.payload) == b"software: test\r\n"

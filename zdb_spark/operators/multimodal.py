@@ -852,13 +852,15 @@ def tiff_encode(pixels, *, compression: str | None = None,
         raise ValueError(
             f"tiff_encode expects an (h, w, 3) RGB array, got shape "
             f"{px.shape}")
-    if compression not in (None, "lzw", "packbits"):
+    if compression not in (None, "lzw", "deflate", "packbits"):
         raise ValueError(f"tiff_encode: unknown compression "
-                         f"{compression!r} (None/'lzw'/'packbits')")
-    if predictor not in (1, 2) or (predictor == 2
-                                   and compression != "lzw"):
-        raise ValueError("tiff_encode: predictor=2 requires lzw "
-                         "(TIFF 6.0 ties differencing to LZW)")
+                         f"{compression!r} "
+                         "(None/'lzw'/'deflate'/'packbits')")
+    if predictor not in (1, 2) or (predictor == 2 and compression
+                                   not in ("lzw", "deflate")):
+        raise ValueError("tiff_encode: predictor=2 requires "
+                         "lzw/deflate (TIFF ties differencing to a "
+                         "whole-strip codec)")
     h, w, nch = px.shape
     raw = px
     if predictor == 2:                             # horizontal diff
@@ -870,6 +872,10 @@ def tiff_encode(pixels, *, compression: str | None = None,
     if compression == "lzw":
         comp_id = 5
         data = _tiff_lzw_encode(data)          # LZW restarts per strip
+    elif compression == "deflate":
+        import zlib
+        comp_id = 8                            # official Deflate code
+        data = zlib.compress(data, 6)
     elif compression == "packbits":
         comp_id = 32773
         # TIFF 6.0 §9: PackBits restarts at EVERY ROW boundary (runs
@@ -951,11 +957,11 @@ def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
 
     w, h = values(256)[0], values(257)[0]
     comp = values(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"tiff: compression {comp} is not supported (uncompressed,"
-            " LZW, and PackBits only — JPEG-in-TIFF/deflate raise, "
-            "never guess)")
+            " LZW, Deflate, and PackBits only — JPEG-in-TIFF raises, "
+            "never guesses)")
     nch = values(277, [1])[0]
     bps = values(258, [8] * nch)
     if any(b != 8 for b in bps):
@@ -973,8 +979,8 @@ def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
     if predictor not in (1, 2):
         raise NotImplementedError(
             f"tiff: predictor {predictor} (none/horizontal only)")
-    if predictor == 2 and comp != 5:
-        raise ValueError("tiff: predictor 2 without LZW compression")
+    if predictor == 2 and comp not in (5, 8, 32946):
+        raise ValueError("tiff: predictor 2 without LZW/Deflate")
     offs = values(273)
     counts = values(279, [w * h * nch])
     expected = w * h * nch
@@ -993,6 +999,15 @@ def tiff_decode(payload: bytes) -> tuple[str, int, int, int, float]:
             raw = payload[o:o + c]
             if comp == 5:
                 parts.append(_tiff_lzw_decode(raw, strip_expect))
+            elif comp in (8, 32946):           # Deflate (zlib stream)
+                import zlib
+                dec = zlib.decompressobj()
+                got = dec.decompress(raw, strip_expect)
+                if dec.unconsumed_tail:
+                    raise ValueError(
+                        "tiff: Deflate strip exceeds its expected "
+                        "size — refusing a likely bomb")
+                parts.append(got)
             else:
                 parts.append(_packbits_decode(raw, strip_expect))
             remaining -= len(parts[-1])

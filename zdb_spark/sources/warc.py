@@ -1,0 +1,242 @@
+"""WARC (Web ARChive, ISO 28500) — the crawl-ingest container format:
+Common Crawl and every serious web archive ship corpora as `.warc.gz`
+files, so a training-data pipeline's very first operator is "explode
+WARC bytes into (url, status, payload) records".  Stdlib-only:
+
+- ``parse_warc`` — strict record walk (version line, CRLF headers,
+  ``Content-Length``-driven payload reads, the mandatory blank-line
+  record terminator), transparently handling the per-record-gzip
+  layout Common Crawl uses (multi-member gzip, each record its own
+  member) with a decompression cap (crawl bytes are untrusted — the
+  same bomb rule as the PDF/TIFF codecs).  ``response`` records get
+  their HTTP status line and headers split from the body.
+- ``warc_write_records`` — the fixture writer (plain or per-record
+  gzip), so gates and tests construct byte-deterministic archives.
+- ``extract_warc`` — the Spark operator: ``mapInPandas`` exploding
+  each WARC blob into one row per record.  Rows are independent and
+  the operator is scan-bound and stateless — no shuffle, no driver
+  state; at 100 TB pair it with ``spark.read.format("binaryFile")``
+  over the archive listing and size
+  ``spark.sql.files.maxPartitionBytes`` so one executor holds a few
+  archives at a time.
+
+No counterpart in the reference engine (a tick store never ingests
+web archives); format knowledge is ISO 28500 / the public WARC 1.1
+specification and RFC 1952 (gzip).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["parse_warc", "warc_write_records", "extract_warc"]
+
+# A WARC record's payload may legitimately be much larger than its
+# compressed form, but a crawl pipeline bounds it: 1 GiB per MEMBER
+# refuses zip bombs while passing any real page/PDF payload.
+_MEMBER_CAP = 1 << 30
+
+
+def _gunzip_members(data: bytes, cap: int = _MEMBER_CAP) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream with a per-
+    member output cap.  Common Crawl writes ONE gzip member per WARC
+    record so readers can split archives without decompressing them —
+    concatenated members must therefore decode as a whole."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        dec = zlib.decompressobj(wbits=31)
+        got = dec.decompress(data[pos:], cap)
+        if dec.unconsumed_tail:
+            raise ValueError(
+                f"warc: gzip member exceeds the decompression cap "
+                f"({cap} bytes) — refusing a likely bomb")
+        if not dec.eof:
+            raise ValueError("warc: truncated gzip member")
+        out += got
+        consumed = len(data) - pos - len(dec.unused_data)
+        if consumed <= 0:                      # zero-progress guard
+            raise ValueError("warc: malformed gzip stream")
+        pos += consumed
+    return bytes(out)
+
+
+def _parse_http_response(payload: bytes):
+    """Split an HTTP/1.x response into (status int, content_type,
+    body).  Loud on a missing status line; a missing header/body
+    separator means an empty body (some archived responses are
+    header-only)."""
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    lines = head.split(b"\r\n")
+    first = lines[0].split(None, 2)
+    if len(first) < 2 or not first[0].startswith(b"HTTP/"):
+        raise ValueError(
+            f"warc: response record without an HTTP status line "
+            f"(starts {payload[:20]!r})")
+    try:
+        status = int(first[1])
+    except ValueError:
+        raise ValueError(f"warc: bad HTTP status {first[1]!r}") from None
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+    return status, ctype, body if sep else b""
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse one WARC file (plain or gzipped) into record dicts:
+    ``{warc_type, record_id, target_uri, content_type, payload}``
+    plus ``http_status``/``http_content_type``/``http_body`` on
+    ``response`` records.  Strict by contract: a bad version line,
+    non-numeric ``Content-Length``, or missing record terminator is a
+    loud ``ValueError``, never a guess."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra blank lines between records (some writers)
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("warc: truncated version line")
+        version = data[pos:eol]
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ValueError(f"warc: bad version line {version!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = data.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("warc: truncated header block")
+            line = data[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(f"warc: malformed header {line!r}")
+            headers[k.strip().decode("latin-1").lower()] = \
+                v.strip().decode("latin-1")
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("warc: record without Content-Length") \
+                from None
+        except ValueError:
+            raise ValueError(
+                f"warc: bad Content-Length "
+                f"{headers['content-length']!r}") from None
+        payload = data[pos:pos + length]
+        if len(payload) < length:
+            raise ValueError("warc: truncated record payload")
+        pos += length
+        if data[pos:pos + 4] != b"\r\n\r\n":
+            raise ValueError("warc: missing record terminator "
+                             "(two CRLFs after the payload)")
+        pos += 4
+        rec = {
+            "warc_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": headers.get("content-type"),
+            "payload": payload,
+        }
+        if rec["warc_type"] == "response":
+            status, ctype, body = _parse_http_response(payload)
+            rec["http_status"] = status
+            rec["http_content_type"] = ctype
+            rec["http_body"] = body
+        records.append(rec)
+    return records
+
+
+def warc_write_records(records: list[dict], *,
+                       gzip_per_record: bool = False) -> bytes:
+    """Fixture writer: each record dict needs ``warc_type`` and
+    ``payload`` (bytes), optionally ``target_uri`` / ``content_type``
+    / ``record_id`` / ``http`` (dict with ``status`` and
+    ``content_type`` — wraps the payload in an HTTP/1.1 response).
+    ``gzip_per_record=True`` writes the Common Crawl layout: one gzip
+    member per record.  Byte-deterministic (record ids derive from
+    the index unless given)."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        if "http" in rec:
+            http = rec["http"]
+            head = (f"HTTP/1.1 {http['status']} OK\r\n"
+                    f"Content-Type: {http['content_type']}\r\n"
+                    f"Content-Length: {len(payload)}\r\n\r\n")
+            payload = head.encode("latin-1") + payload
+        rid = rec.get("record_id", f"<urn:uuid:rec-{i:08d}>")
+        lines = [b"WARC/1.0",
+                 b"WARC-Type: " + rec["warc_type"].encode("latin-1"),
+                 b"WARC-Record-ID: " + rid.encode("latin-1")]
+        if rec.get("target_uri"):
+            lines.append(b"WARC-Target-URI: "
+                         + rec["target_uri"].encode("latin-1"))
+        ctype = rec.get("content_type",
+                        "application/http; msgtype=response"
+                        if "http" in rec else "application/octet-stream")
+        lines.append(b"Content-Type: " + ctype.encode("latin-1"))
+        lines.append(b"Content-Length: " + str(len(payload)).encode())
+        blob = b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(blob) + co.flush()
+        else:
+            out += blob
+    return bytes(out)
+
+
+_WARC_SCHEMA = ("id long, record_idx int, warc_type string, "
+                "url string, http_status int, content_type string, "
+                "payload binary")
+
+
+def extract_warc(df: DataFrame, warc_col: str = "warc",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Explode WARC blobs into one row per record via Arrow-batched
+    ``mapInPandas``: (id, record_idx, warc_type, url, http_status,
+    content_type, payload).  For ``response`` records the payload is
+    the HTTP BODY (headers consumed into status/content_type); other
+    record types carry their raw payload.  NULL blobs vanish (no
+    records), matching the extractor family's NULL discipline.  Rows
+    independent — no shuffle, no state."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(warc_col).alias("warc"))
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf["id"], pdf["warc"]):
+                if blob is None:
+                    continue
+                for j, rec in enumerate(parse_warc(bytes(blob))):
+                    if rec["warc_type"] == "response":
+                        body = rec["http_body"]
+                        status = rec["http_status"]
+                        ctype = rec["http_content_type"]
+                    else:
+                        body = rec["payload"]
+                        status = None
+                        ctype = rec["content_type"]
+                    rows.append((int(i), j, rec["warc_type"],
+                                 rec["target_uri"], status, ctype,
+                                 bytearray(body)))
+            yield pd.DataFrame(rows, columns=[
+                "id", "record_idx", "warc_type", "url", "http_status",
+                "content_type", "payload"])
+
+    return src.mapInPandas(mapper, _WARC_SCHEMA)

@@ -4848,6 +4848,27 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "url", "http_status", "extracted"))
 
 
+def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-driven VOLUME BARS (de Prado ch. 2; ohlcv.py:
+    threshold_bars): per event_type, a bar closes when cumulative
+    |value| crosses 500 — information-arrival sampling instead of
+    wall-clock buckets.  One window cumsum + one keyed agg on the same
+    key; the bar index is the closed form floor(prefix_sum/threshold),
+    so the oracle replays the identical window arithmetic (sequential
+    IEEE addition in the same (ts, event_id) order is bit-stable
+    across engines)."""
+    from zdb_spark.ohlcv import threshold_bars
+
+    ev = (_load(spark, sf_dir, "events")
+          .withColumn("sz", F.abs(F.col("value"))))
+    out = threshold_bars(ev, "ts", "event_type", "value", "sz",
+                         threshold=500.0, tie_col="event_id")
+    return out.select(F.col("event_type").alias("sym"), "bar",
+                      "open", "high", "low", "close", "n_ticks",
+                      round0(F.col("bar_size"), 4).alias("bar_size"),
+                      "start_ts", "end_ts")
+
+
 def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed data-mixture construction (registered r15, a window-
     capacity composite): stratified hard caps -> temperature rebalance
@@ -5207,6 +5228,8 @@ _QUERY_DECLARATIONS: list[
     ("webp_decode", q_webp_decode),
     # round-15: WARC crawl ingest (Common Crawl's container format)
     ("warc_extract", q_warc_extract),
+    # round-15: information-driven bar sampling (volume/dollar bars)
+    ("volume_bars", q_volume_bars),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -8368,6 +8391,43 @@ def oracle_sql() -> dict[str, str]:
                       + 0.114 * (CAST(n0 * b1 + (n - n0) * b2 AS DOUBLE) / n)
                      ) / 255.0, 6) AS mean_luma
         FROM q
+    """
+    # volume_bars (registered r15): identical window arithmetic — the
+    # prefix sum is sequential IEEE addition in the same total order,
+    # so floor(cum/500) lands every tick in the same bar bit-for-bit.
+    sqls["volume_bars"] = """
+        WITH t AS (
+            SELECT event_type AS sym, epoch_ns(ts) AS tns, event_id,
+                   value, abs(value) AS sz
+            FROM events
+        ), c AS (
+            SELECT sym, tns, event_id, value, sz,
+                   sum(sz) OVER (PARTITION BY sym
+                                 ORDER BY tns, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) - sz AS cumb
+            FROM t
+        ), b AS (
+            SELECT sym, CAST(floor(cumb / 500.0) AS BIGINT) AS bar,
+                   tns, event_id, value, sz,
+                   row_number() OVER (
+                       PARTITION BY sym,
+                                    CAST(floor(cumb / 500.0) AS BIGINT)
+                       ORDER BY tns, event_id) AS ra,
+                   row_number() OVER (
+                       PARTITION BY sym,
+                                    CAST(floor(cumb / 500.0) AS BIGINT)
+                       ORDER BY tns DESC, event_id DESC) AS rd
+            FROM c
+        )
+        SELECT sym, bar,
+               max(CASE WHEN ra = 1 THEN value END) AS open,
+               max(value) AS high, min(value) AS low,
+               max(CASE WHEN rd = 1 THEN value END) AS close,
+               count(*) AS n_ticks,
+               round(sum(sz), 4) + 0.0 AS bar_size,
+               min(tns) AS start_ts, max(tns) AS end_ts
+        FROM b GROUP BY 1, 2
     """
     # warc_extract (registered r15): html_extract's closed-form
     # extraction oracle plus closed-form url/status — the WARC walk,

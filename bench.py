@@ -139,6 +139,7 @@ HEADLINE = [
     "mixture_pipeline",   # stratified -> temperature -> token budget
     "webp_decode",        # real VP8L decode roundtrip (RFC 9649)
     "warc_extract",       # WARC crawl ingest: gunzip+walk+HTTP+HTML
+    "volume_bars",        # event-driven bar sampling (cumsum window)
 ]
 
 

@@ -184,3 +184,54 @@ class TestResample:
         assert out[1]["open"] == 6.0 and out[1]["close"] == 11.0
         assert out[0]["high"] == 5.0 and out[0]["low"] == 0.0
         assert out[0]["volume"] == 6
+
+
+class TestThresholdBars:
+    """Volume/dollar bars (ohlcv.py:threshold_bars): closed-form bar
+    assignment by prefix sum, OHLC within each bar, loud refusals."""
+
+    def test_volume_bars_small(self, spark):
+        import pytest
+
+        from zdb_spark.ohlcv import threshold_bars
+
+        # one symbol, sizes 4,4,4,4: threshold 10 -> cum_before
+        # 0,4,8,12 -> bars 0,0,0,1
+        rows = [(i, 1000 + i, "A", float(10 + i), 4.0)
+                for i in range(4)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, sym string, price double, "
+                  "sz double")
+        out = {(r.sym, r.bar): r for r in threshold_bars(
+            df, "ts", "sym", "price", "sz", threshold=10.0,
+            tie_col="event_id").collect()}
+        b0, b1 = out[("A", 0)], out[("A", 1)]
+        assert (b0.n_ticks, b1.n_ticks) == (3, 1)
+        assert (b0.open, b0.high, b0.low, b0.close) == (10, 12, 10, 12)
+        assert (b1.open, b1.close) == (13, 13)
+        assert b0.bar_size == 12.0 and b1.bar_size == 4.0
+        assert (b0.start_ts, b0.end_ts) == (1000, 1002)
+
+        # duplicate timestamps: the tie column decides open/close
+        dup = spark.createDataFrame(
+            [(2, 1000, "A", 5.0, 1.0), (1, 1000, "A", 7.0, 1.0)],
+            "event_id long, ts long, sym string, price double, "
+            "sz double")
+        r = threshold_bars(dup, "ts", "sym", "price", "sz",
+                           threshold=100.0,
+                           tie_col="event_id").collect()[0]
+        assert (r.open, r.close) == (7.0, 5.0)
+
+        with pytest.raises(ValueError, match="positive"):
+            threshold_bars(df, "ts", "sym", "price", "sz",
+                           threshold=0, tie_col="event_id")
+        # negative sizes refuse loudly AT RUN TIME
+        neg = spark.createDataFrame(
+            [(1, 1000, "A", 5.0, -1.0)],
+            "event_id long, ts long, sym string, price double, "
+            "sz double")
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        with pytest.raises(Exception, match="negative size"):
+            threshold_bars(neg, "ts", "sym", "price", "sz",
+                           threshold=10.0,
+                           tie_col="event_id").collect()

@@ -4848,6 +4848,81 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "url", "http_status", "extracted"))
 
 
+def _synth_imagehash_batches(batches):
+    """Per-doc 9x8 grayscale LOSSLESS-WEBP fixtures for the image
+    near-dup gate, closed-form in doc_id: doc 4k is a base image with
+    its three hash-edge cells pinned (0 / 255 / 0); doc 4k+1 is the
+    SAME image with those three cells inverted — each participates in
+    exactly ONE dhash gradient comparison, and every interior value
+    stays in [1, 254], so the pair's hamming distance is EXACTLY 3 by
+    construction.  Docs 4k+2 / 4k+3 carry unrelated patterns (no
+    pair)."""
+    import pandas as _pd
+
+    from zdb_spark.operators.webp import webp_encode_pixels
+
+    def _mix(a: int) -> int:
+        # 32-bit avalanche mixer (splitmix-style): a LINEAR value
+        # formula gives near-constant gradients, which collapses every
+        # image onto the same dhash — the fingerprints must look
+        # random per cell
+        a &= 0xFFFFFFFF
+        a ^= a >> 16
+        a = (a * 0x7FEB352D) & 0xFFFFFFFF
+        a ^= a >> 15
+        a = (a * 0x846CA68B) & 0xFFFFFFFF
+        a ^= a >> 16
+        return a
+
+    def _grid(g: int, salt: int) -> list[int]:
+        return [1 + _mix(g * 4096 + salt * 1024 + r * 16 + c) % 254
+                for r in range(8) for c in range(9)]
+
+    def _blob(vals: list[int]) -> bytearray:
+        argb = [(0xFF << 24) | (v << 16) | (v << 8) | v for v in vals]
+        return bytearray(webp_encode_pixels(9, 8, argb))
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            g, v = i // 4, i % 4
+            if v in (0, 1):
+                vals = _grid(g, 0)
+                # edge cells (r, c): (0,0), (3,8), (7,0) — each in
+                # exactly one horizontal comparison
+                pins = (0, 255, 0) if v == 0 else (255, 0, 255)
+                vals[0 * 9 + 0] = pins[0]
+                vals[3 * 9 + 8] = pins[1]
+                vals[7 * 9 + 0] = pins[2]
+            else:
+                vals = _grid(g, v)             # unrelated pattern
+            rows.append((i, _blob(vals)))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection (operators/imagehash.py:
+    dhash64 + dedup.py:hamming_pairs): per-doc lossless-WebP images
+    are perceptually hashed (exact-integer 9x8 difference hash over
+    REAL VP8L decodes) and paired by the SimHash pigeonhole banding.
+    The fixture plants each (4k, 4k+1) pair at hamming EXACTLY 3 (three
+    single-comparison edge-cell inversions), so the oracle states the
+    complete expected pair set — ids and distances — in closed form.
+    A hash match proves the codec, the integer grid hash, and the
+    banded pair mining end to end."""
+    from zdb_spark.operators.imagehash import image_near_dup_pairs
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(_synth_imagehash_batches,
+                         "doc_id long, blob binary"))
+    out = image_near_dup_pairs(docs, "blob", "doc_id",
+                               method="dhash", max_hamming=6)
+    return out.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"),
+                      F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-driven VOLUME BARS (de Prado ch. 2; ohlcv.py:
     threshold_bars): per event_type, a bar closes when cumulative
@@ -4969,6 +5044,11 @@ _CHANGED_THIS_ROUND = [
     "multimodal_frames",
     "multimodal_jpeg",
     "multimodal_wav",
+    # simhash_pairs' pigeonhole banding moved into the generic
+    # dedup.py:hamming_pairs (so image_near_dup_pairs executes the
+    # same engine): identical expressions, but the gate's code
+    # changed, so it re-verifies.
+    "dedup_simhash",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -5230,6 +5310,8 @@ _QUERY_DECLARATIONS: list[
     ("warc_extract", q_warc_extract),
     # round-15: information-driven bar sampling (volume/dollar bars)
     ("volume_bars", q_volume_bars),
+    # round-15: perceptual-hash image near-dedup (dhash + pigeonhole)
+    ("image_dedup", q_image_dedup),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -5384,6 +5466,10 @@ _COVERS: dict[str, list[str]] = {
     "tick_report": ["twap", "decay_avg", "user_paths"],
     "mixture_pipeline": ["stratified_sample", "temperature_sample",
                          "token_budget_mix"],
+    # image_dedup really decodes VP8L per image (webp_decode_pixels ->
+    # vp8l_decode, webp_decode's exact codec) and mines pairs through
+    # hamming_pairs (the engine simhash_pairs delegates to since r15)
+    "image_dedup": ["webp_decode", "dedup_simhash"],
 }
 
 
@@ -8391,6 +8477,17 @@ def oracle_sql() -> dict[str, str]:
                       + 0.114 * (CAST(n0 * b1 + (n - n0) * b2 AS DOUBLE) / n)
                      ) / 255.0, 6) AS mean_luma
         FROM q
+    """
+    # image_dedup (registered r15): the fixture plants every (4k,
+    # 4k+1) image pair at dhash hamming EXACTLY 3 and nothing else
+    # pairs (pseudo-random 64-bit fingerprints; verified over this
+    # corpus), so the expected pair set is pure doc_id arithmetic.
+    sqls["image_dedup"] = """
+        SELECT doc_id AS id_a, doc_id + 1 AS id_b,
+               CAST(3 AS INT) AS hamming
+        FROM documents
+        WHERE doc_id % 4 = 0
+          AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
     """
     # volume_bars (registered r15): identical window arithmetic — the
     # prefix sum is sequential IEEE addition in the same total order,

@@ -140,6 +140,7 @@ HEADLINE = [
     "webp_decode",        # real VP8L decode roundtrip (RFC 9649)
     "warc_extract",       # WARC crawl ingest: gunzip+walk+HTTP+HTML
     "volume_bars",        # event-driven bar sampling (cumsum window)
+    "image_dedup",        # perceptual-hash image near-dup pairs
 ]
 
 

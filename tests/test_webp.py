@@ -416,3 +416,125 @@ class TestSparkIntegration:
             assert got[2][:4] == ("webp", 3, 2, 4)
             assert got[2][4] == round(
                 (0.299 + 0.587 + 0.114) * 128 / 255.0, 6)
+
+
+class TestImageHash:
+    """Perceptual hashes (operators/imagehash.py): exact-integer
+    aHash/dHash, DCT pHash invariances, codec-independence, the
+    generic hamming banding, and the Spark operators."""
+
+    @staticmethod
+    def _pair(vals, w, h):
+        from zdb_spark.operators.multimodal import png_encode_pixels
+        from zdb_spark.operators.webp import webp_encode_pixels
+
+        rgb = b"".join(bytes([v, v, v]) for v in vals)
+        argb = [(0xFF << 24) | (v << 16) | (v << 8) | v for v in vals]
+        return (png_encode_pixels(w, h, 3, rgb),
+                webp_encode_pixels(w, h, argb))
+
+    def test_codec_independence_and_determinism(self):
+        from zdb_spark.operators.imagehash import (ahash64, dhash64,
+                                                   phash64)
+
+        def mix(a):
+            a &= 0xFFFFFFFF
+            a ^= a >> 16
+            a = (a * 0x7FEB352D) & 0xFFFFFFFF
+            a ^= a >> 15
+            return a
+
+        vals = [mix(i * 2654435761) % 256 for i in range(32 * 32)]
+        png, webp = self._pair(vals, 32, 32)
+        for fn in (ahash64, dhash64, phash64):
+            assert fn(png) == fn(webp) == fn(png)
+
+    def test_phash_brightness_invariance_vs_ahash(self):
+        from zdb_spark.operators.imagehash import ahash64, phash64
+
+        vals = [((x * 7 + y * 5) % 200) for y in range(32)
+                for x in range(32)]
+        _, base = self._pair(vals, 32, 32)
+        _, brighter = self._pair([v + 40 for v in vals], 32, 32)
+        # pHash excludes DC: a global brightness shift barely moves it
+        assert bin(phash64(base) ^ phash64(brighter)).count("1") <= 4
+        # aHash thresholds against the (shifted) mean: also stable
+        assert bin(ahash64(base) ^ ahash64(brighter)).count("1") <= 4
+
+    def test_dhash_single_comparison_flip(self):
+        # flipping one edge cell of a grid-sized image flips EXACTLY
+        # one dhash bit — the image_dedup gate's planted construction
+        from zdb_spark.operators.imagehash import dhash64
+
+        vals = [1 + ((r * 37 + c * 91) ^ (r * c)) % 254
+                for r in range(8) for c in range(9)]
+        vals[0] = 0
+        _, a = self._pair(vals, 9, 8)
+        vals2 = list(vals)
+        vals2[0] = 255
+        _, b = self._pair(vals2, 9, 8)
+        assert bin(dhash64(a) ^ dhash64(b)).count("1") == 1
+
+    def test_loud_refusals(self):
+        import pytest
+
+        from zdb_spark.operators.imagehash import (dhash64, gray_grid,
+                                                   image_hashes)
+
+        with pytest.raises(ValueError, match="signature"):
+            dhash64(b"GIF89a....")
+        with pytest.raises(ValueError, match="smaller than"):
+            gray_grid(4, 4, [0] * 16, 8, 8)
+
+    def test_spark_hashes_and_near_dup_pairs(self, spark):
+        from zdb_spark.operators.imagehash import (dhash64,
+                                                   image_hashes,
+                                                   image_near_dup_pairs)
+        from zdb_spark.operators.webp import webp_encode_pixels
+
+        def mk(vals):
+            argb = [(0xFF << 24) | (v << 16) | (v << 8) | v
+                    for v in vals]
+            return bytearray(webp_encode_pixels(9, 8, argb))
+
+        def mix(a):
+            a &= 0xFFFFFFFF
+            a ^= a >> 16
+            a = (a * 0x7FEB352D) & 0xFFFFFFFF
+            a ^= a >> 15
+            return a
+
+        base = [1 + mix(i * 40503) % 254 for i in range(72)]
+        near = list(base)
+        near[0] = 255 if base[0] < 128 else 0     # one edge-cell flip
+        far = [1 + mix((i + 999) * 48271) % 254 for i in range(72)]
+        df = spark.createDataFrame(
+            [(1, mk(base)), (2, mk(near)), (3, mk(far)), (4, None)],
+            "id long, blob binary")
+        hashed = {r.id: r.hash for r in
+                  image_hashes(df, "blob", "id",
+                               method="dhash").collect()}
+        assert set(hashed) == {1, 2, 3}           # NULL vanishes
+        # the Spark-side hash equals the local function (sign-aware)
+        local = dhash64(bytes(mk(base)))
+        assert hashed[1] & 0xFFFFFFFFFFFFFFFF == local
+        pairs = image_near_dup_pairs(df, "blob", "id", method="dhash",
+                                     max_hamming=3).collect()
+        assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2,
+                                                                 1)]
+
+    def test_hamming_pairs_generic(self, spark):
+        import pytest
+
+        from zdb_spark.operators.dedup import hamming_pairs
+
+        rows = [(1, 0b1010), (2, 0b1011), (3, 0b1010),
+                (4, -(1 << 63) | 0b1010)]           # sign-bit differs
+        df = spark.createDataFrame(rows, "id long, h long")
+        got = sorted((p.id_a, p.id_b, p.hamming) for p in
+                     hamming_pairs(df, "h", "id",
+                                   max_hamming=1).collect())
+        assert got == [(1, 2, 1), (1, 3, 0), (1, 4, 1), (2, 3, 1),
+                       (3, 4, 1)]
+        with pytest.raises(ValueError, match="max_hamming"):
+            hamming_pairs(df, "h", "id", max_hamming=64)

@@ -48,7 +48,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = ["normalize_text", "exact_dedup", "shingle_col",
            "minhash_signature", "minhash_lsh_pairs",
            "minhash_lsh_pairs_vs", "simhash",
-           "simhash_pairs", "ngram_jaccard_pairs", "duplicate_clusters",
+           "simhash_pairs", "hamming_pairs",
+           "ngram_jaccard_pairs", "duplicate_clusters",
            "near_dup_clusters",
            "release", "portable_hash64", "build_minhash_store",
            "append_minhash_store", "incremental_minhash_pairs",
@@ -502,41 +503,58 @@ def simhash(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, fp)
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3,
-                  portable: bool = False) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming.
+def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str, *,
+                  max_hamming: int = 3) -> DataFrame:
+    """All pairs with ``hamming(hash) <= max_hamming`` over a 64-bit
+    fingerprint column — the generic engine under ``simhash_pairs``
+    (text) and ``imagehash.image_near_dup_pairs`` (perceptual hashes).
 
     Pigeonhole: split 64 bits into (max_hamming+1) chunks; any pair within
     distance d shares at least one identical chunk → equi-join per chunk,
     exact ``bit_count(a xor b)`` verify.  Recall is EXACTLY 1.0 (the
     pigeonhole bound is combinatorial, not probabilistic), so the output
-    is the complete hamming-ball pair set — with ``portable=True`` it is
-    bit-reproducible by a SQL oracle.
+    is the complete hamming-ball pair set.  Never all-pairs: the join key
+    is the chunk value, so cost is Σ per-bucket n², the banded-LSH shape.
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming {max_hamming} out of range 0..31")
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    # cache: the 64-bit-vote expression tree is expensive; the self-join
-    # below would otherwise evaluate it twice per side.
-    sh = (simhash(df, text_col, portable=portable)
-          .select(F.col(id_col).alias("_id"), "simhash")
-          .cache())
+    sh = hashed.select(F.col(id_col).alias("_id"),
+                       F.col(hash_col).alias("_h"))
     chunks = sh.select(
-        "_id", "simhash",
+        "_id", "_h",
         F.explode(F.array(*[
             F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("simhash", c * width)
+                     F.shiftrightunsigned("_h", c * width)
                       .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"))
             for c in range(n_chunks)
         ])).alias("ck"))
-    a = chunks.select(F.col("_id").alias("id_a"), F.col("simhash").alias("h_a"), "ck")
-    b = chunks.select(F.col("_id").alias("id_b"), F.col("simhash").alias("h_b"), "ck")
-    out = (a.join(b, ["ck"]).where(F.col("id_a") < F.col("id_b"))
+    a = chunks.select(F.col("_id").alias("id_a"),
+                      F.col("_h").alias("h_a"), "ck")
+    b = chunks.select(F.col("_id").alias("id_b"),
+                      F.col("_h").alias("h_b"), "ck")
+    return (a.join(b, ["ck"]).where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
             .withColumn("hamming", F.bit_count(
                 F.col("h_a").bitwiseXOR(F.col("h_b"))))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  portable: bool = False) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming (see
+    ``hamming_pairs`` for the pigeonhole banding; with
+    ``portable=True`` the output is bit-reproducible by a SQL
+    oracle)."""
+    # cache: the 64-bit-vote expression tree is expensive; the self-join
+    # inside hamming_pairs would otherwise evaluate it twice per side.
+    sh = (simhash(df, text_col, portable=portable)
+          .select(F.col(id_col).alias("_id"), "simhash")
+          .cache())
+    out = hamming_pairs(sh, "simhash", "_id", max_hamming=max_hamming)
     out._zdb_cache_handles = [sh]
     return out
 

@@ -230,8 +230,18 @@ class TestThresholdBars:
             [(1, 1000, "A", 5.0, -1.0)],
             "event_id long, ts long, sym string, price double, "
             "sz double")
-        from pyspark.errors.exceptions.captured import SparkRuntimeException
-        with pytest.raises(Exception, match="negative size"):
+        with pytest.raises(Exception, match="negative or NULL size"):
             threshold_bars(neg, "ts", "sym", "price", "sz",
+                           threshold=10.0,
+                           tie_col="event_id").collect()
+        # NULL sizes refuse too — `size < 0` is NULL for NULL, which
+        # would otherwise route ticks into a silent bar=NULL group
+        # (r15 review finding)
+        nul = spark.createDataFrame(
+            [(1, 1000, "A", 5.0, None)],
+            "event_id long, ts long, sym string, price double, "
+            "sz double")
+        with pytest.raises(Exception, match="negative or NULL size"):
+            threshold_bars(nul, "ts", "sym", "price", "sz",
                            threshold=10.0,
                            tie_col="event_id").collect()

@@ -1055,9 +1055,13 @@ class TestBloomSaturation:
         got = bloom_store_lookup(spark, p, ["u1", "zz"]).collect()
         assert {r.value: r.maybe_present for r in got} ==             {"u1": True, "zz": False}          # old filter restored
         assert not os.path.exists(p + ".pregrow")
-        assert not os.path.exists(p + ".grow")
+        # the heal must NOT touch the scratch: a reader landing in
+        # a LIVE grow's rename gap would otherwise delete the
+        # rebuild (r15 review finding); grow clears its own scratch
+        assert os.path.isdir(p + ".grow")
         # an interrupted grow re-runs cleanly after the heal
         assert grow_bloom_store(df, "v", p, m_bits=1 << 14) == 1 << 14
+        assert not os.path.exists(p + ".grow")
 
         # crash state B: flip completed but the superseded store's
         # deferred delete did not run — healed on next read
@@ -1065,6 +1069,46 @@ class TestBloomSaturation:
         got2 = bloom_store_lookup(spark, p, ["u1"]).collect()
         assert got2[0].maybe_present is True
         assert not os.path.exists(p + ".pregrow")
+
+
+    def test_reader_heal_during_live_flip_grow_retries(self, spark,
+                                                       tmp_path,
+                                                       monkeypatch):
+        # r15 review finding: a reader healing inside the grow's
+        # rename gap must not lose the rebuild — the flip retries.
+        # Simulate the interleaving by healing FROM the grower's own
+        # thread between its two renames.
+        import os
+
+        from zdb_spark.operators import sketches as sk
+
+        p = str(tmp_path / "rbloom")
+        df = spark.range(0, 50).select(
+            F.concat(F.lit("u"), F.col("id")).alias("v"))
+        sk.build_bloom_store(df, "v", p, m_bits=4096, k=4)
+
+        real_rename = os.rename
+        state = {"healed": False}
+
+        def racing_rename(src, dst):
+            real_rename(src, dst)
+            # right after the grower moves the old store aside, a
+            # "reader" heals the canonical path back into place (once)
+            if (not state["healed"] and dst.endswith(".pregrow")
+                    and not os.path.exists(
+                        os.path.join(p, "params.json"))):
+                state["healed"] = True
+                sk._recover_bloom_store(p)
+
+        monkeypatch.setattr(os, "rename", racing_rename)
+        assert sk.grow_bloom_store(df, "v", p, m_bits=1 << 14) == 1 << 14
+        monkeypatch.undo()
+        assert state["healed"]                 # the race really fired
+        got = sk.bloom_store_lookup(spark, p, ["u1", "zz"]).collect()
+        assert {r.value: r.maybe_present for r in got} == \
+            {"u1": True, "zz": False}
+        assert not os.path.exists(p + ".pregrow")
+        assert not os.path.exists(p + ".grow")
 
 
 class TestBloomProbeChainGuards:

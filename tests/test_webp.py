@@ -536,5 +536,12 @@ class TestImageHash:
                                    max_hamming=1).collect())
         assert got == [(1, 2, 1), (1, 3, 0), (1, 4, 1), (2, 3, 1),
                        (3, 4, 1)]
+        # max_hamming=0 (exact-duplicate mining): the single chunk IS
+        # the full hash — the (1 << 64) - 1 mask literal would
+        # overflow the Java long (r15 review finding)
+        exact = sorted((p.id_a, p.id_b) for p in
+                       hamming_pairs(df, "h", "id",
+                                     max_hamming=0).collect())
+        assert exact == [(1, 3)]
         with pytest.raises(ValueError, match="max_hamming"):
             hamming_pairs(df, "h", "id", max_hamming=64)

@@ -264,11 +264,15 @@ def threshold_bars(df: DataFrame, ts_col: str = "ts",
         raise ValueError(f"threshold must be positive, got {threshold}")
     size = F.col(size_col) if size_col else F.lit(1.0)
     size = size.cast("double")
-    # loud non-negativity guard: raise_error inside a when() costs one
-    # codegen branch, not a pass
-    size = F.when(size < 0, F.raise_error(F.concat(
-        F.lit("threshold_bars: negative size at "),
-        F.col(ts_col).cast("string")))).otherwise(size)
+    # loud bad-size guard: raise_error inside a when() costs one
+    # codegen branch, not a pass.  NULL must refuse too — `size < 0`
+    # is NULL for a NULL size, which would silently route the tick
+    # into a spurious bar=NULL group instead of raising.
+    size = F.when(size.isNull() | (size < 0),
+                  F.raise_error(F.concat(
+                      F.lit("threshold_bars: negative or NULL size "
+                            "at "),
+                      F.col(ts_col).cast("string")))).otherwise(size)
     w = (Window.partitionBy(symbol_col)
          .orderBy(F.col(ts_col), F.col(tie_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -522,12 +522,18 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str, *,
     width = 64 // n_chunks
     sh = hashed.select(F.col(id_col).alias("_id"),
                        F.col(hash_col).alias("_h"))
+
+    def chunk_val(c: int) -> F.Column:
+        if width == 64:        # max_hamming=0: the chunk IS the hash
+            # (1 << 64) - 1 would overflow the Java long literal
+            return F.col("_h")
+        return (F.shiftrightunsigned("_h", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1)))
+
     chunks = sh.select(
         "_id", "_h",
         F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned("_h", c * width)
-                      .bitwiseAND(F.lit((1 << width) - 1)).alias("cv"))
+            F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("cv"))
             for c in range(n_chunks)
         ])).alias("ck"))
     a = chunks.select(F.col("_id").alias("id_a"),

@@ -1096,13 +1096,22 @@ def _recover_bloom_store(path: str) -> None:
     """Crash recovery for ``grow_bloom_store``'s two-rename flip (the
     flip is NOT atomic: a crash between ``rename(path -> .pregrow)``
     and ``rename(.grow -> path)`` leaves the store existing only at
-    ``<path>.pregrow``).  A lone ``.pregrow`` means the grow never
-    completed — the OLD filter is still authoritative, so restore it
-    and drop the scratch (the interrupted grow simply re-runs).  If
-    both exist the flip completed and ``.pregrow`` is the superseded
-    store: finish its deferred delete.  Every params read routes
-    through :func:`_bloom_store_params`, so any store operation after
-    a crash self-heals before touching data."""
+    ``<path>.pregrow``).  A lone ``.pregrow`` means the flip did not
+    complete — the OLD filter is still authoritative, so restore it
+    (an interrupted grow simply re-runs).  If both exist the flip
+    completed and ``.pregrow`` is the superseded store: finish its
+    deferred delete.  Every params read routes through
+    :func:`_bloom_store_params`, so any store operation after a crash
+    self-heals before touching data.
+
+    Concurrency discipline: recovery NEVER touches the ``.grow``
+    scratch (a reader landing in a LIVE grow's rename gap must not
+    delete the just-built rebuild — grow owns and clears its own
+    scratch), every rename tolerates losing a race to another healer
+    (the winner's result is exactly the state this function wants),
+    and a reader that heals during a live flip only forces the grower
+    to retry its flip (see grow_bloom_store's retry loop) — a
+    retryable window, never a wrong answer."""
     import os
     import shutil
 
@@ -1111,10 +1120,13 @@ def _recover_bloom_store(path: str) -> None:
         return
     if os.path.exists(os.path.join(path, "params.json")):
         shutil.rmtree(old, ignore_errors=True)      # flip completed
-    else:
-        shutil.rmtree(path, ignore_errors=True)     # half-renamed debris
+        return
+    try:
         os.rename(old, path)
-        shutil.rmtree(path + ".grow", ignore_errors=True)
+    except OSError:
+        # another healer won the race, or the grower completed its
+        # flip between our two checks — both leave a healthy store
+        pass
 
 
 def _bloom_store_params(path: str) -> dict:
@@ -1272,8 +1284,26 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
                       m_bits=new_m, k=new_k)
     old = path + ".pregrow"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(scratch, path)
+    # The flip retries: a concurrent reader landing in the rename gap
+    # HEALS the store (renames .pregrow back to the canonical path),
+    # which makes our second rename fail — move the old store aside
+    # again and retry.  Bounded attempts; the store is healthy at
+    # every exit (either the new filter flipped in, or the old one is
+    # back at the canonical path).
+    for _ in range(8):
+        try:
+            os.rename(path, old)
+        except FileNotFoundError:
+            pass                    # a previous attempt already moved it
+        try:
+            os.rename(scratch, path)
+            break
+        except OSError:
+            continue                # a reader healed mid-gap: retry
+    else:
+        raise OSError(
+            f"grow_bloom_store: could not flip {scratch} into place "
+            f"after 8 attempts (pathological reader contention)")
     shutil.rmtree(old, ignore_errors=True)
     return new_m
 

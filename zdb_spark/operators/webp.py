@@ -663,12 +663,12 @@ def _rle_tokens(lengths: list[int]):
     17/18 (zero runs) — the encoder-side mirror of
     _read_code_lengths."""
     i, n = 0, len(lengths)
-    prev = 8
     while i < n:
         v = lengths[i]
         run = 1
         while i + run < n and lengths[i + run] == v:
             run += 1
+        i += run
         if v == 0:
             while run >= 11:
                 r = min(run, 138)
@@ -680,14 +680,12 @@ def _rle_tokens(lengths: list[int]):
                 run -= r
             for _ in range(run):
                 yield (0, None, 0)
-            i = _advance(i, lengths, v)
             continue
-        # nonzero: one literal (sets prev — emitted even when it
-        # matches the decoder's initial prev=8, so every stream has
+        # nonzero: one literal first (sets the decoder's prev — emitted
+        # even when it matches the initial prev=8, so every stream has
         # >= 2 distinct CL tokens and the CL code is never trivial),
         # then repeat-16 tokens
         yield (v, None, 0)
-        prev = v
         rem = run - 1
         while rem >= 3:
             r = min(rem, 6)
@@ -695,14 +693,6 @@ def _rle_tokens(lengths: list[int]):
             rem -= r
         for _ in range(rem):
             yield (v, None, 0)
-        i = _advance(i, lengths, v)
-
-
-def _advance(i: int, lengths: list[int], v: int) -> int:
-    n = len(lengths)
-    while i < n and lengths[i] == v:
-        i += 1
-    return i
 
 
 def _write_code_lengths(bw: _BitWriter, lengths: list[int]) -> None:

@@ -2992,6 +2992,44 @@ def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "height", "channels", "mean_luma"))
 
 
+def q_stream_warc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl ingest — the Common Crawl arrival shape: WARC
+    archives land as a stream, each is exploded to records, filtered
+    to responses, and the HTML bodies extracted, all INSIDE the
+    streaming pipeline (extract_warc and extract_html are stateless
+    Arrow-batched mapInPandas/pandas-UDF stages, so they run unchanged
+    on a streaming DataFrame), landing clean text in a checkpointed
+    sink.  Oracle = warc_extract's closed form — a hash match proves
+    stream and batch ingest agree byte-for-byte (registered r15 with
+    the batch gate; fixture shared via _synth_warc_batches)."""
+    import tempfile
+
+    from zdb_spark.operators.extract import extract_html
+    from zdb_spark.sources.warc import extract_warc
+
+    key = _key_for(sf_dir, "stream-warc-v1", ("documents",))
+    home = os.path.join(tempfile.gettempdir(), "zdb_stream_warc", key)
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (spark.readStream.schema(raw_schema)
+           .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    blobs = (src.select("doc_id", "text")
+             .mapInPandas(_synth_warc_batches,
+                          "doc_id long, warc binary"))
+    recs = (extract_warc(blobs, "warc", "doc_id")
+            .where(F.col("warc_type") == "response")
+            .select(F.col("id").alias("doc_id"), "url", "http_status",
+                    F.decode(F.col("payload"), "UTF-8").alias("html")))
+    extracted = (extract_html(recs, "html", "extracted")
+                 .select("doc_id", "url", "http_status", "extracted"))
+    out = os.path.join(home, "out")
+    q = (extracted.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", os.path.join(home, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by md5(salt:doc_id) — the
     reproducible, append-stable, shuffle-free alternative to
@@ -5312,6 +5350,8 @@ _QUERY_DECLARATIONS: list[
     ("volume_bars", q_volume_bars),
     # round-15: perceptual-hash image near-dedup (dhash + pigeonhole)
     ("image_dedup", q_image_dedup),
+    # round-15: streaming crawl ingest (WARC arriving as a stream)
+    ("stream_warc", q_stream_warc),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -8546,6 +8586,10 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '' END AS extracted
         FROM documents
     """
+    # stream_warc (registered r15): the batch warc_extract oracle
+    # VERBATIM — stream and batch ingest must agree byte-for-byte
+    # (intentional-alias oracle pattern)
+    sqls["stream_warc"] = sqls["warc_extract"]
     # q_hll_store: incremental max-merge == whole-corpus registers, so
     # its oracle IS hll_vocab's whole-corpus register SQL — a hash
     # match proves per-batch registers max-merge to the global sketch

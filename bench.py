@@ -141,6 +141,7 @@ HEADLINE = [
     "warc_extract",       # WARC crawl ingest: gunzip+walk+HTTP+HTML
     "volume_bars",        # event-driven bar sampling (cumsum window)
     "image_dedup",        # perceptual-hash image near-dup pairs
+    "stream_warc",        # streaming crawl ingest (checkpointed sink)
 ]
 
 

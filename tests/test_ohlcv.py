@@ -245,3 +245,26 @@ class TestThresholdBars:
             threshold_bars(nul, "ts", "sym", "price", "sz",
                            threshold=10.0,
                            tie_col="event_id").collect()
+
+    def test_dollar_bars_form(self, spark):
+        # dollar bars = threshold_bars with price*volume as the size
+        # column (the docstring's second form): thresholds cross on
+        # notional, not tick count
+        from pyspark.sql import functions as F
+
+        from zdb_spark.ohlcv import threshold_bars
+
+        rows = [(i, 1000 + i, "A", 10.0 + i, 2.0) for i in range(6)]
+        df = (spark.createDataFrame(
+                  rows, "event_id long, ts long, sym string, "
+                        "price double, vol double")
+              .withColumn("dollar", F.col("price") * F.col("vol")))
+        # notionals: 20,22,24,26,28,30; cum_before 0,20,42,68,94,122
+        # threshold 60 -> bars 0,0,0,1,1,2
+        out = {r.bar: r for r in threshold_bars(
+            df, "ts", "sym", "price", "dollar", threshold=60.0,
+            tie_col="event_id").collect()}
+        assert sorted(out) == [0, 1, 2]
+        assert (out[0].n_ticks, out[1].n_ticks, out[2].n_ticks) == \
+            (3, 2, 1)
+        assert out[0].bar_size == 66.0 and out[2].open == 15.0

@@ -171,8 +171,10 @@ def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     renders + parses the same strings with DuckDB's own formatter/caster.
     A hash match proves the whole-stage-codegen parse agrees with an
     independent engine on every format branch, nanosecond-exact
-    (functions/scalar.py:parse_time_col)."""
-    from zdb_spark.functions.scalar import parse_time_col
+    (functions/scalar.py:parse_time_col via the public frame operator
+    temporal.py:parse_times — hoisted r16 so the events_timeline
+    composite executes the gate's exact operator)."""
+    from zdb_spark.operators.temporal import parse_times
 
     ev = (_events_with_ts(spark, sf_dir)
           .where(F.col("event_id") % 7 == 0))
@@ -181,9 +183,10 @@ def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(mode == 1, F.date_format(
                 "ts_utc", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
             .otherwise(F.date_format("ts_utc", "yyyy-MM-dd")))
-    return (ev.select("event_id", mode.alias("fmt_mode"), raw.alias("raw"))
-              .select("event_id", "fmt_mode",
-                      parse_time_col("raw").alias("ts_ns")))
+    rendered = ev.select("event_id", mode.alias("fmt_mode"),
+                         raw.alias("raw"))
+    return (parse_times(rendered, "raw")
+            .select("event_id", "fmt_mode", "ts_ns"))
 
 
 def q_symbols_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,44 +198,34 @@ def q_symbols_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ohlcv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.3 OHLCV aggregation: events as ticks (sym=event_type,
-    price=value), daily bars via min_by/max_by."""
+    price=value), daily bars via min_by/max_by
+    (temporal.py:ohlcv_bars — hoisted r16 so the events_timeline
+    composite executes the gate's exact operator)."""
+    from zdb_spark.operators.temporal import ohlcv_bars
+
     ev = _events_with_ts(spark, sf_dir)
-    return (ev.groupBy(F.date_format("d", "yyyy-MM-dd").alias("bar_date"),
-                       F.col("event_type").alias("sym"))
-            .agg(F.min_by("value", "ts").alias("open"),
-                 F.max("value").alias("high"),
-                 F.min("value").alias("low"),
-                 F.max_by("value", "ts").alias("close"),
-                 F.round(F.sum("value"), 4).alias("volume"),
-                 F.count(F.lit(1)).alias("n_ticks")))
+    return ohlcv_bars(ev, "ts", "event_type", "value", day_col="d")
 
 
 def q_resample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.3 TODO-resample: tumbling 1-hour buckets."""
+    """§2.3 TODO-resample: tumbling 1-hour buckets
+    (temporal.py:resample_ticks — hoisted r16 so the events_timeline
+    composite executes the gate's exact operator)."""
+    from zdb_spark.operators.temporal import resample_ticks
+
     ev = _events_with_ts(spark, sf_dir)
-    bucket = F.expr(f"ts div {NS_PER_HOUR}")
-    return (ev.groupBy(bucket.alias("hour_bucket"))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.avg("value"), 4).alias("avg_value"),
-                 F.min("value").alias("min_value"),
-                 F.max("value").alias("max_value")))
+    return resample_ticks(ev, "ts", "value", bucket_ns=NS_PER_HOUR)
 
 
 def q_udf_fold_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 /q semantics: pandas partial fold over Arrow batches +
-    Spark-side final combine (partial+final aggregation contract)."""
-    import pandas as pd
+    Spark-side final combine (partial+final aggregation contract,
+    warehouse.py:pandas_fold_sum — hoisted r16 so the
+    warehouse_report composite executes the gate's exact operator)."""
+    from zdb_spark.operators.warehouse import pandas_fold_sum
 
-    li = _load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-
-    def partial(batches):
-        for pdf in batches:
-            yield (pdf.groupby("l_returnflag", as_index=False)["l_quantity"]
-                   .sum().rename(columns={"l_quantity": "partial_qty"}))
-
-    partials = li.mapInPandas(partial, "l_returnflag string, partial_qty double")
-    return (partials.groupBy("l_returnflag")
-            .agg(F.round(F.sum("partial_qty"), 4).alias("sum_qty")))
+    li = _load(spark, sf_dir, "lineitem")
+    return pandas_fold_sum(li, "l_returnflag", "l_quantity", "sum_qty")
 
 
 def q_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,17 +266,13 @@ def q_market_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relational surface (§2.7 — joins/sorts/windows/set-ops via Catalyst)   #
 # --------------------------------------------------------------------- #
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan-heavy groupBy aggregation."""
+    """TPC-H Q1 shape: scan-heavy groupBy aggregation
+    (warehouse.py:pricing_summary_frame — hoisted r16 so the
+    warehouse_report composite executes the gate's exact operator)."""
+    from zdb_spark.operators.warehouse import pricing_summary_frame
+
     li = _load(spark, sf_dir, "lineitem")
-    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-                 F.count(F.lit(1)).alias("count_order")))
+    return pricing_summary_frame(li, cutoff="1998-09-02")
 
 
 def q_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,15 +299,12 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window functions: per-customer order sequence + running revenue."""
-    from pyspark.sql import Window
+    """Window functions: per-customer order sequence + running revenue
+    (warehouse.py:running_orders — hoisted r16 so the
+    warehouse_report composite executes the gate's exact operator)."""
+    from zdb_spark.operators.warehouse import running_orders
 
-    o = _load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (o.withColumn("order_seq", F.row_number().over(w))
-            .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 4))
-            .where(F.col("order_seq") <= 3)
-            .select("o_custkey", "o_orderkey", "order_seq", "running_spend"))
+    return running_orders(_load(spark, sf_dir, "orders"), first=3)
 
 
 def q_setops_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,46 +348,32 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: shipping-priority top-10 (3-way join + agg + top-k)."""
-    c = _load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = _load(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
-    li = _load(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .groupBy("l_orderkey",
-                     F.date_format("o_orderdate", "yyyy-MM-dd")
-                      .alias("orderdate"),
-                     "o_orderpriority")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                  .alias("revenue"))
-            .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
-            .limit(10))
+    """TPC-H Q3 shape: shipping-priority top-10 (3-way join + agg +
+    top-k, warehouse.py:tpch_q3_frame — hoisted r16 so the
+    warehouse_report composite executes the gate's exact operator)."""
+    from zdb_spark.operators.warehouse import tpch_q3_frame
+
+    return tpch_q3_frame(_load(spark, sf_dir, "customer"),
+                         _load(spark, sf_dir, "orders"),
+                         _load(spark, sf_dir, "lineitem"),
+                         segment="BUILDING", cutoff="1995-03-15",
+                         top=10)
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: local-supplier revenue per nation in one region."""
-    r = _load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    n = _load(spark, sf_dir, "nation")
-    c = _load(spark, sf_dir, "customer")
-    s = _load(spark, sf_dir, "supplier")
-    o = _load(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
-    li = _load(spark, sf_dir, "lineitem")
-    return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-            .join(F.broadcast(c),
-                  (o.o_custkey == c.c_custkey)
-                  & (c.c_nationkey == s.s_nationkey))
-            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-            .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
-                  .alias("revenue")))
+    """TPC-H Q5 shape: local-supplier revenue per nation in one region
+    (warehouse.py:tpch_q5_frame — hoisted r16 so the warehouse_report
+    composite executes the gate's exact operator)."""
+    from zdb_spark.operators.warehouse import tpch_q5_frame
+
+    return tpch_q5_frame(_load(spark, sf_dir, "region"),
+                         _load(spark, sf_dir, "nation"),
+                         _load(spark, sf_dir, "customer"),
+                         _load(spark, sf_dir, "supplier"),
+                         _load(spark, sf_dir, "orders"),
+                         _load(spark, sf_dir, "lineitem"),
+                         region_name="ASIA", date_lo="1996-01-01",
+                         date_hi="1997-01-01")
 
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,21 +433,15 @@ def q_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization: per-user session count at a 1h inactivity gap
-    (lag + cumulative gap-count window — the batch form of the streaming
-    applyInPandasWithState sessionizer)."""
-    from pyspark.sql import Window
+    """Batch sessionization: per-user session count at a 1h inactivity
+    gap (lag + cumulative gap-count window — the batch form of the
+    streaming applyInPandasWithState sessionizer;
+    temporal.py:sessionize_counts, hoisted r16 so the events_timeline
+    composite executes the gate's exact operator)."""
+    from zdb_spark.operators.temporal import sessionize_counts
 
-    gap = 3600 * 10**9  # 1h in nanos
-    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    with_gap = ev.withColumn(
-        "new_session",
-        (F.col("ts") - F.lag("ts", 1).over(w) > gap).cast("int"))
-    return (with_gap.groupBy("user_id")
-            .agg((F.coalesce(F.sum("new_session"), F.lit(0)) + 1)
-                 .alias("n_sessions"),
-                 F.count(F.lit(1)).alias("n_events")))
+    ev = _load(spark, sf_dir, "events")
+    return sessionize_counts(ev, "user_id", "ts", gap_ns=3600 * 10**9)
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4775,6 +4741,225 @@ def q_tick_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.unionByName(d).unionByName(p)
 
 
+def q_warehouse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed warehouse close-of-day report (registered r16, a
+    window-capacity composite like tick_report): the §2.7 relational
+    surface in ONE job — TPC-H Q3 top-10, TPC-H Q5 nation revenue,
+    TPC-H Q1 pricing summary, first-3-orders running spend, the §2.5
+    pandas partial fold, and the salted two-phase aggregation on both
+    a natural hot key (l_returnflag) and the PLANTED pathological key
+    — unioned into a long-form (section, k1, k2, n, v1..v5) frame.
+    Each section IS the corresponding singleton gate's public operator
+    (warehouse.py:tpch_q3_frame / tpch_q5_frame /
+    pricing_summary_frame / running_orders / pandas_fold_sum,
+    skew.py:salted_agg), so a green row refreshes those via _COVERS.
+
+    Plan shape: seven independent sections, each the singleton's exact
+    plan (broadcast dimensions, partial-agg fold, salted two-phase) —
+    a union of small aggregates with no cross-section shuffle; at any
+    scale the sections stay embarrassingly independent."""
+    from zdb_spark.operators.skew import salted_agg
+    from zdb_spark.operators.warehouse import (pandas_fold_sum,
+                                               pricing_summary_frame,
+                                               running_orders,
+                                               tpch_q3_frame,
+                                               tpch_q5_frame)
+
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+
+    def shape(df, section, k1, k2, n, *vs):
+        vs = list(vs) + [None] * (5 - len(vs))
+        return df.select(
+            F.lit(section).alias("section"),
+            k1.cast("string").alias("k1"),
+            (k2.cast("string") if k2 is not None
+             else F.lit(None).cast("string")).alias("k2"),
+            (n.cast("long") if n is not None
+             else F.lit(None).cast("long")).alias("n"),
+            *[(v.cast("double") if v is not None
+               else F.lit(None).cast("double")).alias(f"v{i + 1}")
+              for i, v in enumerate(vs)])
+
+    q3 = shape(
+        tpch_q3_frame(_load(spark, sf_dir, "customer"), o, li,
+                      segment="BUILDING", cutoff="1995-03-15", top=10),
+        "q3", F.col("l_orderkey"),
+        F.concat_ws("|", "orderdate", "o_orderpriority"),
+        None, F.col("revenue"))
+    q5 = shape(
+        tpch_q5_frame(_load(spark, sf_dir, "region"),
+                      _load(spark, sf_dir, "nation"),
+                      _load(spark, sf_dir, "customer"),
+                      _load(spark, sf_dir, "supplier"), o, li,
+                      region_name="ASIA", date_lo="1996-01-01",
+                      date_hi="1997-01-01"),
+        "q5", F.col("n_name"), None, None, F.col("revenue"))
+    q1 = shape(pricing_summary_frame(li, cutoff="1998-09-02"),
+               "pricing", F.col("l_returnflag"), F.col("l_linestatus"),
+               F.col("count_order"), F.col("sum_qty"),
+               F.col("sum_base_price"), F.col("sum_disc_price"),
+               F.col("avg_qty"), F.col("avg_disc"))
+    run = shape(running_orders(o, first=3), "running",
+                F.col("o_custkey"), F.col("o_orderkey"),
+                F.col("order_seq"), F.col("running_spend"))
+    fold = shape(pandas_fold_sum(li, "l_returnflag", "l_quantity",
+                                 "sum_qty"),
+                 "fold", F.col("l_returnflag"), None, None,
+                 F.col("sum_qty"))
+    agg_spec = {"sum_qty": ("l_quantity", "sum"),
+                "n_rows": ("l_orderkey", "count"),
+                "min_price": ("l_extendedprice", "min"),
+                "max_price": ("l_extendedprice", "max")}
+    salted = shape(salted_agg(li, ["l_returnflag"], agg_spec,
+                              n_salts=16),
+                   "salted", F.col("l_returnflag"), None,
+                   F.col("n_rows"), F.round("sum_qty", 4),
+                   F.round("min_price", 4), F.round("max_price", 4))
+    planted = li.withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("HOT"))
+         .otherwise(F.concat(F.lit("k"),
+                             (F.col("l_suppkey") % 100)
+                             .cast("string"))))
+    skew = shape(salted_agg(planted, ["skew_key"], agg_spec,
+                            n_salts=32),
+                 "skew", F.col("skew_key"), None, F.col("n_rows"),
+                 F.round("sum_qty", 4), F.round("min_price", 4),
+                 F.round("max_price", 4))
+    return (q3.unionByName(q5).unionByName(q1).unionByName(run)
+            .unionByName(fold).unionByName(salted).unionByName(skew))
+
+
+def q_events_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed event-timeline report (registered r16, window-capacity
+    composite): the four time-axis singletons over one events scan —
+    3-format timestamp parsing (per-format count + exact min/max
+    nanos), tumbling 1-hour resample bars, per-user 1h-gap session
+    counts, and daily OHLCV bars — unioned into a long-form (section,
+    key, n, lo_ns, hi_ns, v1..v5) frame.  Each section IS the
+    singleton gate's public operator (temporal.py:parse_times /
+    resample_ticks / sessionize_counts / ohlcv_bars), so a green row
+    refreshes those via _COVERS.  The parse section aggregates to
+    per-format min/max because the composite's job is refreshing
+    operator freshness; the per-row nanosecond-exact check stays with
+    the ts_parse singleton."""
+    from zdb_spark.operators.temporal import (ohlcv_bars, parse_times,
+                                              resample_ticks,
+                                              sessionize_counts)
+
+    ev = _events_with_ts(spark, sf_dir)
+
+    def shape(df, section, key, n, lo, hi, *vs):
+        vs = list(vs) + [None] * (5 - len(vs))
+        null_l = F.lit(None).cast("long")
+        return df.select(
+            F.lit(section).alias("section"),
+            key.cast("string").alias("key"),
+            (n.cast("long") if n is not None else null_l).alias("n"),
+            (lo.cast("long") if lo is not None else null_l)
+            .alias("lo_ns"),
+            (hi.cast("long") if hi is not None else null_l)
+            .alias("hi_ns"),
+            *[(v.cast("double") if v is not None
+               else F.lit(None).cast("double")).alias(f"v{i + 1}")
+              for i, v in enumerate(vs)])
+
+    mode = (F.col("event_id") % 3).cast("int")
+    raw = (F.when(mode == 0, F.col("ts").cast("string"))
+            .when(mode == 1, F.date_format(
+                "ts_utc", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+            .otherwise(F.date_format("ts_utc", "yyyy-MM-dd")))
+    rendered = (ev.where(F.col("event_id") % 7 == 0)
+                .select(mode.alias("fmt_mode"), raw.alias("raw")))
+    parse = shape(
+        parse_times(rendered, "raw")
+        .groupBy("fmt_mode")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")),
+        "parse", F.col("fmt_mode"), F.col("n_rows"), F.col("lo"),
+        F.col("hi"))
+    bars = shape(
+        resample_ticks(ev, "ts", "value", bucket_ns=NS_PER_HOUR),
+        "resample", F.col("hour_bucket"), F.col("n_events"), None,
+        None, F.col("avg_value"), F.col("min_value"),
+        F.col("max_value"))
+    sess = shape(
+        sessionize_counts(ev, "user_id", "ts", gap_ns=3600 * 10**9),
+        "session", F.col("user_id"), F.col("n_events"), None, None,
+        F.col("n_sessions"))
+    daily = shape(
+        ohlcv_bars(ev, "ts", "event_type", "value", day_col="d"),
+        "ohlcv", F.concat_ws("|", "bar_date", "sym"),
+        F.col("n_ticks"), None, None, F.col("open"), F.col("high"),
+        F.col("low"), F.col("close"), F.col("volume"))
+    return (parse.unionByName(bars).unionByName(sess)
+            .unionByName(daily))
+
+
+def q_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed document-corpus report (registered r16, window-capacity
+    composite): in-document line dedup summaries per doc, per-source
+    doc-length quantiles from the bottom-16 KMV sample, PII redaction
+    counts + redacted-text digests over the planted corpus, and the
+    3-iteration distributed logreg quality-model weights — unioned
+    into a long-form (section, key, n, k, m, j, v, s) frame.  Each
+    section IS the singleton gate's public operator
+    (text.py:strip_repeated_lines / redact_pii /
+    train_quality_logreg, sketches.py:kmv_quantiles), so a green row
+    refreshes those via _COVERS."""
+    from zdb_spark.operators.sketches import kmv_quantiles
+    from zdb_spark.operators.text import (redact_pii,
+                                          strip_repeated_lines,
+                                          train_quality_logreg)
+
+    docs = _load(spark, sf_dir, "documents")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    stripped = (strip_repeated_lines(_as_line_docs(docs))
+                .select(F.lit("strip").alias("section"),
+                        F.col("doc_id").cast("string").alias("key"),
+                        F.col("n_lines").cast("long").alias("n"),
+                        F.col("n_kept").cast("long").alias("k"),
+                        null_l.alias("m"), null_l.alias("j"),
+                        null_d.alias("v"),
+                        F.md5("clean_text").alias("s")))
+    lengths = docs.select("source", "doc_id",
+                          F.length("text").cast("double").alias("v"))
+    kmv = (kmv_quantiles(lengths, "v", "doc_id", "source", k=16,
+                         qs=_KMV_QS)
+           .select(F.lit("kmv").alias("section"),
+                   F.concat(F.col("source"), F.lit(":q"),
+                            F.round(F.col("q") * 100).cast("int")
+                            .cast("string")).alias("key"),
+                   F.col("n_sample").cast("long").alias("n"),
+                   null_l.alias("k"), null_l.alias("m"),
+                   null_l.alias("j"), F.col("value").alias("v"),
+                   null_s.alias("s")))
+    pii = (redact_pii(_planted_pii_docs(docs), "text")
+           .select(F.lit("pii").alias("section"),
+                   F.col("doc_id").cast("string").alias("key"),
+                   F.col("n_email").cast("long").alias("n"),
+                   F.col("n_ssn").cast("long").alias("k"),
+                   F.col("n_phone").cast("long").alias("m"),
+                   F.col("n_ipv4").cast("long").alias("j"),
+                   null_d.alias("v"), F.md5("redacted").alias("s")))
+    w = train_quality_logreg(
+        docs, "text",
+        label_expr=F.when(F.col("lang") == "en", F.lit(1.0))
+                    .otherwise(F.lit(0.0)),
+        n_iters=3, lr=1.0)
+    names = ["bias", "len_score", "punct_ratio", "en_stopword_share"]
+    qtrain = spark.createDataFrame(
+        [("qtrain", f"w:{nm}", None, None, None, None, float(x), None)
+         for nm, x in zip(names, w)],
+        "section string, key string, n long, k long, m long, j long, "
+        "v double, s string")
+    return (stripped.unionByName(kmv).unionByName(pii)
+            .unionByName(qtrain))
+
+
 def _synth_webp_batches(batches):
     """Per-doc 2-color checkerboard VP8L (lossless WebP) fixtures,
     closed-form in doc_id; every third doc encodes behind the
@@ -5056,37 +5241,12 @@ _MAX_DIRECT_AGE = 4
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 15 — populated as the round's changes land; finalized by
-    # tools/changed_gates.py before the closing commit.  (The r14
-    # entries cleared at the boundary: table_lifecycle, hybrid_search,
-    # and text_index all took green rows in CORRECTNESS_r14.)
+    # round 16 — populated as the round's changes land; finalized by
+    # tools/changed_gates.py before the closing commit.  (Every r15
+    # entry cleared at the boundary: bloom_store, twap,
+    # multimodal_frames/jpeg/wav, and dedup_simhash all took green
+    # rows in CORRECTNESS_r15.)
     #
-    # Bloom store params reads now route through the
-    # grow-flip crash-recovery loader (_bloom_store_params — r14
-    # ADVICE finding on grow_bloom_store's non-atomic two-rename):
-    # output unchanged on a healthy store, but the read path the gate
-    # exercises changed, so it re-verifies.
-    "bloom_store",
-    # q_twap's inline window/agg moved into temporal.py:twap (so the
-    # tick_report composite executes the gate's exact operator):
-    # byte-identical expressions, but the gate's code changed, so it
-    # re-verifies.
-    "twap",
-    # multimodal.py grew the VP8L decoder hook (_auto_decode webp
-    # branch) and TIFF LZW/PackBits support (tiff_encode/tiff_decode
-    # signatures extended, defaults unchanged): these three were
-    # rotating into the r15 window by staleness anyway (r12 direct
-    # greens), so they take rule-1 priority rather than an exemption;
-    # the 14 other derivably-affected gates carry bit-exact-mirror
-    # exemptions below.
-    "multimodal_frames",
-    "multimodal_jpeg",
-    "multimodal_wav",
-    # simhash_pairs' pigeonhole banding moved into the generic
-    # dedup.py:hamming_pairs (so image_near_dup_pairs executes the
-    # same engine): identical expressions, but the gate's code
-    # changed, so it re-verifies.
-    "dedup_simhash",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -5100,13 +5260,54 @@ _CHANGED_THIS_ROUND = [
 # tools/changed_gates.py prints these as [exempt] instead of MISSING.
 _CHANGED_BUT_LOCALLY_PROVEN = {
     # (round-12 exemptions cleared at the r13 boundary; round-13's at
-    # a1b49f4.)  The round-14 pair CARRIES into r15: the driver did
-    # not sample either gate in r14 (no CORRECTNESS_r14 row), so their
-    # last green row (r13) still predates the guard-only diff — the
-    # bit-exact local proof below remains the standing evidence until
-    # a driver green row lands.  Their r13 staleness rotates them into
-    # the r15 window anyway (age 2), so the exemption only waives
-    # rule-1 priority, not verification.
+    # a1b49f4.)  EVERY r14/r15 entry CARRIES into r16: the driver
+    # sampled none of these gates in r15 (no CORRECTNESS_r15 row), so
+    # each last green row still predates its guard-only/closure-edge
+    # diff — the bit-exact local proofs below remain the standing
+    # evidence until a driver green row lands.  The stalest of them
+    # (contamination_bloom, bloom_novelty, the r13-green multimodal
+    # trio) rotate into the r16 window by staleness anyway, so the
+    # exemptions only waive rule-1 priority, not verification.
+    #
+    # Round 16: imagehash.py:image_hashes grew the per-row ``on_error``
+    # policy (ADVICE r15 — undecodable crawl blobs must not abort the
+    # stage).  The gate's path is the unchanged default
+    # (on_error="raise"; every fixture decodes, the except branch is
+    # unreachable), proof below.
+    "image_dedup": ("on_error default keeps the r15 byte behavior; "
+                    "fixtures all decode so the new except branch is "
+                    "unreachable; bit-exact mirror green on the "
+                    "changed tree (r16)"),
+    # Round 16: the nine r13-cohort singletons whose inline bodies
+    # were hoisted VERBATIM into public operators (warehouse.py,
+    # temporal.py) so the new capacity composites execute their exact
+    # code.  Expressions are byte-identical (pure function-boundary
+    # moves; defaults pin the gate's literals), each passed the
+    # bit-exact mirror on the changed tree, and each is _COVERS-
+    # refreshed by its in-window composite this round; their r13
+    # direct ages rotate them into hard slots at the r17 backstop,
+    # where the driver takes the direct row on the new wiring.
+    "tpch_q3": ("verbatim hoist to warehouse.py:tpch_q3_frame; "
+                "bit-exact mirror green (r16)"),
+    "tpch_q5": ("verbatim hoist to warehouse.py:tpch_q5_frame; "
+                "bit-exact mirror green (r16)"),
+    "pricing_summary": ("verbatim hoist to warehouse.py:"
+                        "pricing_summary_frame; bit-exact mirror "
+                        "green (r16)"),
+    "window_running": ("verbatim hoist to warehouse.py:"
+                       "running_orders; bit-exact mirror green (r16)"),
+    "udf_fold_sum": ("verbatim hoist to warehouse.py:pandas_fold_sum; "
+                     "bit-exact mirror green (r16)"),
+    "ts_parse": ("verbatim hoist to temporal.py:parse_times (same "
+                 "parse_time_col expression); bit-exact mirror green "
+                 "(r16)"),
+    "resample_1h": ("verbatim hoist to temporal.py:resample_ticks; "
+                    "bit-exact mirror green (r16)"),
+    "sessionize_batch": ("verbatim hoist to temporal.py:"
+                         "sessionize_counts; bit-exact mirror green "
+                         "(r16)"),
+    "ohlcv_daily": ("verbatim hoist to temporal.py:ohlcv_bars; "
+                    "bit-exact mirror green (r16)"),
     "contamination_bloom": (
         "guard-only diff (raises on grouped/duplicate/oversized word "
         "tables the gate never builds); bit-exact mirror green on the "
@@ -5352,6 +5553,12 @@ _QUERY_DECLARATIONS: list[
     ("image_dedup", q_image_dedup),
     # round-15: streaming crawl ingest (WARC arriving as a stream)
     ("stream_warc", q_stream_warc),
+    # round-16: window-capacity composites for the aging r13 cohort
+    # (r15 verdict task 1 — each section is the singleton gate's
+    # public operator, value-reproduced by the composed oracle)
+    ("warehouse_report", q_warehouse_report),
+    ("events_timeline", q_events_timeline),
+    ("docs_report", q_docs_report),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -5510,6 +5717,17 @@ _COVERS: dict[str, list[str]] = {
     # vp8l_decode, webp_decode's exact codec) and mines pairs through
     # hamming_pairs (the engine simhash_pairs delegates to since r15)
     "image_dedup": ["webp_decode", "dedup_simhash"],
+    # round-16 capacity composites (r15 verdict task 1): each section
+    # is the singleton's public operator, hoisted to operators/ this
+    # round where it was inline (warehouse.py, temporal.py) —
+    # value-reproduced exactly by the composed oracle
+    "warehouse_report": ["tpch_q3", "tpch_q5", "pricing_summary",
+                         "window_running", "udf_fold_sum",
+                         "salted_agg", "skew_stress"],
+    "events_timeline": ["ts_parse", "resample_1h", "sessionize_batch",
+                        "ohlcv_daily"],
+    "docs_report": ["strip_lines", "kmv_quantiles", "pii_redact",
+                    "quality_train"],
 }
 
 
@@ -8948,4 +9166,246 @@ def oracle_sql() -> dict[str, str]:
     sqls["pdf_extract"] = _PDF_EXTRACT_ORACLE
     # round-15 registration of the r14-staged gates (r14 verdict task 1)
     sqls.update(_PENDING_R15_ORACLES)
+    # ---- round-16 capacity composites (r15 verdict task 1) ----
+    # Each section is the corresponding singleton oracle reshaped into
+    # the composite's long form — same expressions, same rounding.
+    sqls["warehouse_report"] = """
+        WITH q3 AS (
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10
+        ), q5 AS (
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY 1
+        ), run AS (
+            SELECT o_custkey, o_orderkey, order_seq, running_spend
+            FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER w AS order_seq,
+                       round(sum(o_totalprice) OVER w, 4)
+                           AS running_spend
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            ) WHERE order_seq <= 3
+        ), flags AS (
+            SELECT l_returnflag,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   count(l_orderkey) AS n_rows,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem GROUP BY 1
+        ), skewed AS (
+            SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'HOT'
+                        ELSE 'k' || CAST(l_suppkey % 100 AS VARCHAR)
+                   END AS skew_key,
+                   count(l_orderkey) AS n_rows,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem GROUP BY 1
+        ), pricing AS (
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        )
+        SELECT 'q3' AS section, CAST(l_orderkey AS VARCHAR) AS k1,
+               orderdate || '|' || o_orderpriority AS k2,
+               CAST(NULL AS BIGINT) AS n, revenue AS v1,
+               CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3,
+               CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5
+        FROM q3
+        UNION ALL
+        SELECT 'q5', n_name, NULL, NULL, revenue, NULL, NULL, NULL,
+               NULL
+        FROM q5
+        UNION ALL
+        SELECT 'pricing', l_returnflag, l_linestatus, count_order,
+               sum_qty, sum_base_price, sum_disc_price, avg_qty,
+               avg_disc
+        FROM pricing
+        UNION ALL
+        SELECT 'running', CAST(o_custkey AS VARCHAR),
+               CAST(o_orderkey AS VARCHAR), order_seq, running_spend,
+               NULL, NULL, NULL, NULL
+        FROM run
+        UNION ALL
+        SELECT 'fold', l_returnflag, NULL, NULL, sum_qty, NULL, NULL,
+               NULL, NULL
+        FROM flags
+        UNION ALL
+        SELECT 'salted', l_returnflag, NULL, n_rows, sum_qty,
+               min_price, max_price, NULL, NULL
+        FROM flags
+        UNION ALL
+        SELECT 'skew', skew_key, NULL, n_rows, sum_qty, min_price,
+               max_price, NULL, NULL
+        FROM skewed
+    """
+    sqls["events_timeline"] = """
+        WITH t AS (
+            SELECT event_id, CAST(event_id % 3 AS INT) AS fmt_mode,
+                   CASE CAST(event_id % 3 AS INT)
+                       WHEN 0 THEN CAST(epoch_ns(ts) AS VARCHAR)
+                       WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+                       ELSE strftime(ts, '%Y-%m-%d')
+                   END AS raw
+            FROM events WHERE event_id % 7 = 0
+        ), parsed AS (
+            SELECT fmt_mode,
+                   CASE WHEN len(raw) > 4
+                             AND regexp_matches(raw, '^[0-9]+$')
+                        THEN CAST(raw AS BIGINT)
+                        ELSE epoch_ns(CAST(raw AS TIMESTAMP))
+                   END AS ts_ns
+            FROM t
+        ), sess AS (
+            SELECT user_id,
+                   CASE WHEN epoch_ns(ts)
+                             - lag(epoch_ns(ts)) OVER (
+                                 PARTITION BY user_id ORDER BY ts)
+                             > 3600000000000
+                        THEN 1 END AS new_session
+            FROM events
+        )
+        SELECT 'parse' AS section, CAST(fmt_mode AS VARCHAR) AS key,
+               count(*) AS n, min(ts_ns) AS lo_ns, max(ts_ns) AS hi_ns,
+               CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+               CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
+               CAST(NULL AS DOUBLE) AS v5
+        FROM parsed GROUP BY 2
+        UNION ALL
+        SELECT 'resample',
+               CAST(epoch_ns(ts) // 3600000000000 AS VARCHAR),
+               count(*), NULL, NULL, round(avg(value), 4), min(value),
+               max(value), NULL, NULL
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'session', CAST(user_id AS VARCHAR), count(*), NULL,
+               NULL,
+               CAST(coalesce(sum(new_session), 0) + 1 AS DOUBLE),
+               NULL, NULL, NULL, NULL
+        FROM sess GROUP BY 2
+        UNION ALL
+        SELECT 'ohlcv',
+               strftime(ts, '%Y-%m-%d') || '|' || event_type,
+               count(*), NULL, NULL, arg_min(value, ts), max(value),
+               min(value), arg_max(value, ts), round(sum(value), 4)
+        FROM events GROUP BY 2
+    """
+    # The qtrain section replays train_quality_logreg's unrolled
+    # iteration CTEs (the quality_train singleton oracle, merged into
+    # this statement's WITH chain; its final union becomes a plain
+    # subquery).
+    _lg = _logreg_oracle_sql(n_iters=3)
+    _lg_ctes = _lg[len("WITH "):_lg.rindex("\n")]
+    _lg_final = _lg[_lg.rindex("\n") + 1:]
+    sqls["docs_report"] = (_LINES_CTE + ",\n" + _lg_ctes
+                           + r""", kept_lines AS (
+            SELECT doc_id, len(lines) AS n_lines,
+                   list_filter(lines,
+                               (x, i) -> list_position(lines, x) = i)
+                       AS kept
+            FROM l
+        ), lens AS (
+            SELECT source, doc_id,
+                   CAST(length(text) AS DOUBLE) AS v,
+                   md5('v1:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), samp AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS kr
+            FROM lens
+        ), ranked AS (
+            SELECT source, doc_id, v,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY v, doc_id) AS rnk,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM samp WHERE kr <= 16
+        ), quarts AS (
+            SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q
+        ), planted AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 2 = 0 THEN
+                     chr(10) || 'footer line' || chr(10) ||
+                     'footer line' || chr(10) || 'contact: user' ||
+                     CAST(doc_id AS VARCHAR) ||
+                     '@example.com or 555-867-5309 ip 10.0.0.1 ssn 123-45-6789'
+                   ELSE '' END AS text
+            FROM documents
+        ), piid AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b'))
+                       AS n_phone,
+                   len(regexp_extract_all(text,
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                       AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                       '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                       '<PHONE>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g') AS redacted
+            FROM planted
+        )
+        SELECT 'strip' AS section, CAST(doc_id AS VARCHAR) AS key,
+               n_lines AS n, len(kept) AS k, CAST(NULL AS BIGINT) AS m,
+               CAST(NULL AS BIGINT) AS j, CAST(NULL AS DOUBLE) AS v,
+               md5(array_to_string(kept, chr(10))) AS s
+        FROM kept_lines
+        UNION ALL
+        SELECT 'kmv',
+               source || ':q'
+                      || CAST(CAST(round(q * 100) AS INT) AS VARCHAR),
+               CAST(n AS BIGINT), NULL, NULL, NULL, v, NULL
+        FROM ranked, quarts
+        WHERE rnk = CAST(ceil(q * n) AS INT)
+        UNION ALL
+        SELECT 'pii', CAST(doc_id AS VARCHAR), n_email, n_ssn,
+               n_phone, n_ipv4, NULL, md5(redacted)
+        FROM piid
+        UNION ALL
+        SELECT 'qtrain', 'w:' || feature, NULL, NULL, NULL, NULL,
+               weight, NULL
+        FROM (""" + _lg_final + ") lw")
     return sqls

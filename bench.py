@@ -142,6 +142,10 @@ HEADLINE = [
     "volume_bars",        # event-driven bar sampling (cumsum window)
     "image_dedup",        # perceptual-hash image near-dup pairs
     "stream_warc",        # streaming crawl ingest (checkpointed sink)
+    # round-16 registrations (window-capacity composites)
+    "warehouse_report",   # q3+q5+q1+running+fold+salted+skew union
+    "events_timeline",    # parse+resample+sessions+ohlcv union
+    "docs_report",        # strip+kmv+pii+quality-train union
 ]
 
 

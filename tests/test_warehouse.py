@@ -1,0 +1,249 @@
+"""Hoisted §2.7 warehouse operators (operators/warehouse.py) + the
+round-16 temporal hoists (resample_ticks / sessionize_counts /
+parse_times / ohlcv_bars).
+
+Each operator's gate was inline through r15 and is now a public
+function so the capacity composites can execute the exact code the
+singleton gates verify; these tests pin the operator-level semantics
+on tiny closed-form frames (the driver's oracle pins the full-corpus
+values)."""
+
+from pyspark.sql import functions as F
+
+
+def _orders(spark):
+    rows = [
+        # custkey, orderkey, orderdate, totalprice
+        (1, 10, "1995-01-01", 100.0),
+        (1, 11, "1995-02-01", 50.0),
+        (1, 12, "1995-03-01", 25.0),
+        (1, 13, "1995-04-01", 10.0),   # 4th order: cut by first=3
+        (2, 20, "1995-01-15", 7.0),
+    ]
+    return (spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderdate string, "
+              "o_totalprice double")
+        .withColumn("o_orderdate",
+                    F.col("o_orderdate").cast("timestamp")))
+
+
+class TestRunningOrders:
+    def test_first_n_and_running_sum(self, spark):
+        from zdb_spark.operators.warehouse import running_orders
+
+        got = {(r.o_custkey, r.o_orderkey):
+               (r.order_seq, r.running_spend)
+               for r in running_orders(_orders(spark),
+                                       first=3).collect()}
+        assert got == {(1, 10): (1, 100.0), (1, 11): (2, 150.0),
+                       (1, 12): (3, 175.0), (2, 20): (1, 7.0)}
+
+
+class TestPandasFoldSum:
+    def test_equals_plain_groupby(self, spark):
+        from zdb_spark.operators.warehouse import pandas_fold_sum
+
+        df = spark.range(0, 1000).select(
+            F.concat(F.lit("g"), (F.col("id") % 3).cast("string"))
+             .alias("flag"),
+            (F.col("id") % 7).cast("double").alias("qty"))
+        got = {r.flag: r.sum_qty
+               for r in pandas_fold_sum(df, "flag", "qty",
+                                        "sum_qty").collect()}
+        want = {r.flag: float(r.s)
+                for r in df.groupBy("flag")
+                           .agg(F.round(F.sum("qty"), 4).alias("s"))
+                           .collect()}
+        assert got == want
+
+
+class TestTpchFrames:
+    def test_q3_top_k_and_filters(self, spark):
+        from zdb_spark.operators.warehouse import tpch_q3_frame
+
+        cust = spark.createDataFrame(
+            [(1, "BUILDING"), (2, "MACHINERY")],
+            "c_custkey long, c_mktsegment string")
+        orders = (spark.createDataFrame(
+            [(10, 1, "1995-01-01", "1-URGENT"),
+             (11, 1, "1995-04-01", "2-HIGH"),      # after cutoff: out
+             (12, 2, "1995-01-01", "1-URGENT")],   # wrong segment: out
+            "o_orderkey long, o_custkey long, o_orderdate string, "
+            "o_orderpriority string")
+            .withColumn("o_orderdate",
+                        F.col("o_orderdate").cast("timestamp")))
+        li = (spark.createDataFrame(
+            [(10, "1995-06-01", 100.0, 0.1),
+             (10, "1995-06-02", 50.0, 0.0),
+             (10, "1995-01-01", 999.0, 0.0),       # shipped early: out
+             (11, "1995-06-01", 10.0, 0.0),
+             (12, "1995-06-01", 10.0, 0.0)],
+            "l_orderkey long, l_shipdate string, "
+            "l_extendedprice double, l_discount double")
+            .withColumn("l_shipdate",
+                        F.col("l_shipdate").cast("timestamp")))
+        rows = tpch_q3_frame(cust, orders, li).collect()
+        assert len(rows) == 1
+        assert rows[0].l_orderkey == 10
+        assert rows[0].revenue == round(100.0 * 0.9 + 50.0, 4)
+
+    def test_pricing_summary_cutoff_and_aggs(self, spark):
+        from zdb_spark.operators.warehouse import pricing_summary_frame
+
+        li = (spark.createDataFrame(
+            [("A", "F", "1995-01-01", 2.0, 10.0, 0.5),
+             ("A", "F", "1995-01-02", 4.0, 20.0, 0.0),
+             ("A", "F", "1999-01-01", 8.0, 40.0, 0.0)],  # cut
+            "l_returnflag string, l_linestatus string, "
+            "l_shipdate string, l_quantity double, "
+            "l_extendedprice double, l_discount double")
+            .withColumn("l_shipdate",
+                        F.col("l_shipdate").cast("timestamp")))
+        r = pricing_summary_frame(li).collect()[0]
+        assert (r.sum_qty, r.sum_base_price, r.count_order) == \
+            (6.0, 30.0, 2)
+        assert r.sum_disc_price == round(10.0 * 0.5 + 20.0, 4)
+        assert (r.avg_qty, r.avg_disc) == (3.0, 0.25)
+
+
+class TestTemporalHoists:
+    def test_resample_ticks_buckets(self, spark):
+        from zdb_spark.operators.temporal import resample_ticks
+
+        ns = 3_600 * 10**9
+        df = spark.createDataFrame(
+            [(0, 1.0), (ns - 1, 3.0), (ns, 10.0)],
+            "ts long, value double")
+        got = {r.hour_bucket: (r.n_events, r.avg_value, r.min_value,
+                               r.max_value)
+               for r in resample_ticks(df, bucket_ns=ns).collect()}
+        assert got == {0: (2, 2.0, 1.0, 3.0), 1: (1, 10.0, 10.0, 10.0)}
+
+    def test_sessionize_counts_gap(self, spark):
+        from zdb_spark.operators.temporal import sessionize_counts
+
+        g = 100
+        df = spark.createDataFrame(
+            [(1, 0), (1, 50), (1, 200), (2, 0)], "user_id long, ts long")
+        got = {r.user_id: (r.n_sessions, r.n_events)
+               for r in sessionize_counts(df, gap_ns=g).collect()}
+        assert got == {1: (2, 3), 2: (1, 1)}
+
+    def test_parse_times_three_formats(self, spark):
+        from zdb_spark.operators.temporal import parse_times
+
+        df = spark.createDataFrame(
+            [("1704067200000000000",),
+             ("2024-01-01T00:00:00.000001",),
+             ("2024-01-01",)], "raw string")
+        got = [r.ts_ns for r in parse_times(df, "raw").collect()]
+        base = 1704067200 * 10**9
+        assert got == [base, base + 1000, base]
+
+    def test_ohlcv_bars_open_close(self, spark):
+        from zdb_spark.operators.temporal import ohlcv_bars
+
+        base = 1704067200 * 10**9
+        df = (spark.createDataFrame(
+            [(base + 1, "A", 5.0), (base + 2, "A", 9.0),
+             (base + 3, "A", 2.0), (base + 4, "A", 7.0)],
+            "ts long, event_type string, value double")
+            .withColumn("d", F.to_date(F.timestamp_micros(
+                F.expr("ts div 1000")))))
+        r = ohlcv_bars(df).collect()[0]
+        assert (r.bar_date, r.sym) == ("2024-01-01", "A")
+        assert (r.open, r.high, r.low, r.close) == (5.0, 9.0, 2.0, 7.0)
+        assert (r.volume, r.n_ticks) == (23.0, 4)
+
+
+class TestImageHashOnError:
+    """ADVICE r15: undecodable crawl blobs must not abort the stage."""
+
+    def _frame(self, spark):
+        from zdb_spark.operators.webp import webp_encode_pixels
+
+        good = webp_encode_pixels(
+            16, 16, [0xFF000000 | ((x * 16 + y * 7) % 256 << 8)
+                     for y in range(16) for x in range(16)])
+        rows = [(1, bytearray(good)), (2, bytearray(b"not an image")),
+                (3, None)]
+        return spark.createDataFrame(rows, "id long, blob binary")
+
+    def test_raise_default_fails_stage(self, spark):
+        import pytest
+
+        from zdb_spark.operators.imagehash import image_hashes
+
+        with pytest.raises(Exception):
+            image_hashes(self._frame(spark), "blob", "id").collect()
+
+    def test_skip_drops_bad_rows(self, spark):
+        from zdb_spark.operators.imagehash import image_hashes
+
+        got = image_hashes(self._frame(spark), "blob", "id",
+                           on_error="skip").collect()
+        assert [r.id for r in got] == [1]
+        assert got[0].hash is not None
+
+    def test_error_column_keeps_rows(self, spark):
+        from zdb_spark.operators.imagehash import image_hashes
+
+        got = {r.id: r for r in image_hashes(
+            self._frame(spark), "blob", "id",
+            on_error="error").collect()}
+        assert set(got) == {1, 2}            # NULL blob still vanishes
+        assert got[1].hash is not None and got[1].error is None
+        assert got[2].hash is None and got[2].error
+
+    def test_near_dup_pairs_skip_policy(self, spark):
+        import pytest
+
+        from zdb_spark.operators.imagehash import image_near_dup_pairs
+
+        pairs = image_near_dup_pairs(self._frame(spark), "blob", "id",
+                                     on_error="skip")
+        assert pairs.count() == 0            # one good image: no pairs
+        with pytest.raises(ValueError):
+            image_near_dup_pairs(self._frame(spark), "blob", "id",
+                                 on_error="error")
+
+
+class TestGrowBloomLock:
+    """ADVICE r15: exactly one concurrent grower, enforced by the
+    .growlock sentinel."""
+
+    def test_second_grower_fails_loudly(self, spark, tmp_path):
+        import json
+        import os
+
+        import pytest
+
+        from zdb_spark.operators.sketches import (build_bloom_store,
+                                                  grow_bloom_store)
+
+        p = str(tmp_path / "b")
+        df = spark.range(0, 50).select(F.concat(
+            F.lit("u"), F.col("id")).alias("v"))
+        build_bloom_store(df, "v", p, m_bits=4096, k=4)
+        os.mkdir(p + ".growlock")
+        # a LIVE same-host grower (our own pid): never stolen
+        with open(os.path.join(p + ".growlock", "owner.json"),
+                  "w") as fh:
+            json.dump({"pid": os.getpid(), "host": __import__(
+                "socket").gethostname()}, fh)
+        with pytest.raises(OSError, match="another grower"):
+            grow_bloom_store(df, "v", p, m_bits=1 << 14)
+        # a DEAD same-host grower: lock stolen, grow proceeds
+        with open(os.path.join(p + ".growlock", "owner.json"),
+                  "w") as fh:
+            json.dump({"pid": 2**22 + 1234, "host": __import__(
+                "socket").gethostname()}, fh)
+        assert grow_bloom_store(df, "v", p, m_bits=1 << 14) == 1 << 14
+        assert not os.path.exists(p + ".growlock")
+        # a FOREIGN-host lock: never stolen regardless of pid
+        os.mkdir(p + ".growlock")
+        with open(os.path.join(p + ".growlock", "owner.json"),
+                  "w") as fh:
+            json.dump({"pid": 1, "host": "some-other-box"}, fh)
+        with pytest.raises(OSError, match="another grower"):
+            grow_bloom_store(df, "v", p, m_bits=1 << 15)

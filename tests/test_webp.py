@@ -155,6 +155,93 @@ class TestHandCraftedStreams:
         assert (w, h) == (4, 2)
         assert pix == row + row
 
+    def test_lz77_high_distance_codes(self):
+        # The tail of the 120-entry distance map (ADVICE r15): map
+        # code 120 -> LAST entry (8, 7) -> dist = 7*xsize + 8.  16x9:
+        # 128 literals, then a length-16 backref with dist_code 120
+        # copies pixels 8..23 into 128..143.  The expectation is
+        # computed from the spec semantics (dy*xsize + dx), not from
+        # _DIST_MAP itself.
+        from zdb_spark.operators.webp import (_canonical_codes,
+                                              _flat_complete_lengths)
+
+        w, h = 16, 9
+        lit = [(0xFF << 24) | (((i * 2654435761) >> 7 & 0xFF) << 16)
+               | (((i * 40503) >> 3 & 0xFF) << 8)
+               | (i * 73 + 11 & 0xFF) for i in range(128)]
+        # length 16 -> prefix symbol 7 (offset 12, 2 extra bits = 3)
+        greens = sorted({(p >> 8) & 0xFF for p in lit}) + [256 + 7]
+        g_lengths = _flat_complete_lengths(greens, 280)
+        g_codes = _canonical_codes(g_lengths)
+        reds = sorted({(p >> 16) & 0xFF for p in lit})
+        blues = sorted({p & 0xFF for p in lit})
+        r_codes = _canonical_codes(_flat_complete_lengths(reds, 256))
+        b_codes = _canonical_codes(_flat_complete_lengths(blues, 256))
+        bw = _BitWriter()
+        _header(bw, w, h)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        _write_huffman(bw, g_lengths)
+        _write_huffman(bw, _flat_complete_lengths(reds, 256))
+        _write_huffman(bw, _flat_complete_lengths(blues, 256))
+        _write_simple(bw, [0xFF])                   # alpha trivial
+        # distance: trivial single-symbol code 13 (offset 96, 5 extra)
+        _write_simple(bw, [13])
+        for px in lit:
+            bw.write_code(*g_codes[(px >> 8) & 0xFF])
+            bw.write_code(*r_codes[(px >> 16) & 0xFF])
+            bw.write_code(*b_codes[px & 0xFF])
+        bw.write_code(*g_codes[256 + 7])            # length 16
+        bw.write(3, 2)                              # 12 + 3 + 1 = 16
+        bw.write(23, 5)                             # 96 + 23 + 1 = 120
+        dw, dh, pix = vp8l_decode(b"\x2f" + bw.bytes())
+        assert (dw, dh) == (w, h)
+        dist = 7 * w + 8                            # (dx=8, dy=7)
+        assert dist == 120
+        assert pix == lit + [lit[128 - dist + i] for i in range(16)]
+
+    def test_lz77_direct_distance_beyond_map(self):
+        # dist_code > 120 bypasses the map: dist = dist_code - 120.
+        # 20x2: 20 literals, then a length-20 backref with
+        # dist_code 140 -> dist 20 copies the whole first row.
+        from zdb_spark.operators.webp import (_canonical_codes,
+                                              _flat_complete_lengths)
+
+        w, h = 20, 2
+        lit = [(0xFF << 24) | ((i * 37 + 5 & 0xFF) << 16)
+               | ((i * 91 + 3 & 0xFF) << 8) | (i * 17 & 0xFF)
+               for i in range(w)]
+        # length 20 -> prefix symbol 8 (offset 16, 3 extra bits = 3)
+        greens = sorted({(p >> 8) & 0xFF for p in lit}) + [256 + 8]
+        g_lengths = _flat_complete_lengths(greens, 280)
+        g_codes = _canonical_codes(g_lengths)
+        reds = sorted({(p >> 16) & 0xFF for p in lit})
+        blues = sorted({p & 0xFF for p in lit})
+        r_codes = _canonical_codes(_flat_complete_lengths(reds, 256))
+        b_codes = _canonical_codes(_flat_complete_lengths(blues, 256))
+        bw = _BitWriter()
+        _header(bw, w, h)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        bw.write(0, 1)
+        _write_huffman(bw, g_lengths)
+        _write_huffman(bw, _flat_complete_lengths(reds, 256))
+        _write_huffman(bw, _flat_complete_lengths(blues, 256))
+        _write_simple(bw, [0xFF])                   # alpha trivial
+        # distance: trivial symbol 14 (offset 128, 6 extra bits)
+        _write_simple(bw, [14])
+        for px in lit:
+            bw.write_code(*g_codes[(px >> 8) & 0xFF])
+            bw.write_code(*r_codes[(px >> 16) & 0xFF])
+            bw.write_code(*b_codes[px & 0xFF])
+        bw.write_code(*g_codes[256 + 8])            # length 20
+        bw.write(3, 3)                              # 16 + 3 + 1 = 20
+        bw.write(11, 6)                             # 128 + 11 + 1 = 140
+        dw, dh, pix = vp8l_decode(b"\x2f" + bw.bytes())
+        assert (dw, dh) == (w, h)
+        assert pix == lit + lit                     # dist 140-120 = 20
+
     def test_color_cache(self):
         # find two colors with distinct 1-bit cache slots
         cache_bits = 1

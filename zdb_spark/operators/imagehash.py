@@ -156,19 +156,39 @@ _HASHERS = {"ahash": ahash64, "dhash": dhash64, "phash": phash64}
 
 def image_hashes(df: DataFrame, blob_col: str = "blob",
                  id_col: str = "id", *,
-                 method: str = "dhash") -> DataFrame:
+                 method: str = "dhash",
+                 on_error: str = "raise") -> DataFrame:
     """One 64-bit perceptual fingerprint per image blob via
     Arrow-batched ``mapInPandas`` (NULL blobs vanish).  Output:
     (id, hash long — bit 63 lands in the sign bit, the SimHash
-    convention, so ``dedup.hamming_pairs`` applies unchanged)."""
+    convention, so ``dedup.hamming_pairs`` applies unchanged).
+
+    ``on_error`` is the per-row policy for UNDECODABLE payloads
+    (lossy VP8, arithmetic JPEG, truncated bytes — anything the
+    stdlib codecs loudly refuse), the ADVICE-r15 crawl-corpus fix —
+    one bad image must not abort a 100 TB stage:
+
+    - ``"raise"`` (default): propagate, failing the stage — right for
+      curated fixtures where an undecodable blob IS the bug;
+    - ``"skip"``: drop the row, like NULL blobs — right for raw crawl
+      corpora (count skips as ``input minus output`` ids);
+    - ``"error"``: keep the row with ``hash`` NULL and the refusal
+      message in an ``error`` string column (schema gains ``error``;
+      decodable rows carry error NULL).
+    """
     import pandas as pd
 
     if method not in _HASHERS:
         raise ValueError(f"unknown image hash {method!r} "
                          f"({sorted(_HASHERS)})")
+    if on_error not in ("raise", "skip", "error"):
+        raise ValueError(f"unknown on_error policy {on_error!r} "
+                         f"(raise|skip|error)")
     hasher = _HASHERS[method]
     src = df.select(F.col(id_col).alias("id"),
                     F.col(blob_col).alias("blob"))
+    with_err = on_error == "error"
+    cols = ["id", "hash"] + (["error"] if with_err else [])
 
     def mapper(batches):
         for pdf in batches:
@@ -176,24 +196,41 @@ def image_hashes(df: DataFrame, blob_col: str = "blob",
             for i, blob in zip(pdf["id"], pdf["blob"]):
                 if blob is None:
                     continue
-                v = hasher(bytes(blob))
-                rows.append((int(i),
-                             v - (1 << 64) if v >= (1 << 63) else v))
-            yield pd.DataFrame(rows, columns=["id", "hash"])
+                try:
+                    v = hasher(bytes(blob))
+                except Exception as exc:  # undecodable payload
+                    if on_error == "raise":
+                        raise
+                    if with_err:
+                        rows.append((int(i), None, str(exc)))
+                    continue
+                signed = v - (1 << 64) if v >= (1 << 63) else v
+                rows.append((int(i), signed, None) if with_err
+                            else (int(i), signed))
+            yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(mapper, "id long, hash long")
+    schema = "id long, hash long" + (", error string" if with_err
+                                     else "")
+    return src.mapInPandas(mapper, schema)
 
 
 def image_near_dup_pairs(df: DataFrame, blob_col: str = "blob",
                          id_col: str = "id", *,
                          method: str = "dhash",
-                         max_hamming: int = 6) -> DataFrame:
+                         max_hamming: int = 6,
+                         on_error: str = "raise") -> DataFrame:
     """Image near-duplicate pairs: perceptual hash + the SimHash
     pigeonhole banding (``dedup.hamming_pairs`` — complete hamming
-    ball, never all-pairs).  Output: (id_a, id_b, hamming)."""
+    ball, never all-pairs).  Output: (id_a, id_b, hamming).
+    ``on_error="skip"`` (see image_hashes) is the crawl-corpus mode:
+    undecodable blobs simply produce no pairs."""
     from .dedup import hamming_pairs
 
-    hashed = image_hashes(df, blob_col, id_col, method=method).cache()
+    if on_error == "error":
+        raise ValueError("image_near_dup_pairs accepts raise|skip "
+                         "(an error column has no pair semantics)")
+    hashed = image_hashes(df, blob_col, id_col, method=method,
+                          on_error=on_error).cache()
     out = hamming_pairs(hashed, "hash", "id", max_hamming=max_hamming)
     out._zdb_cache_handles = [hashed]
     return out

@@ -766,7 +766,12 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         # append (its entry for THIS emission lands only when it reads
         # the NEXT code), so the emission-index at which widths change
         # is next_code >= 1<<n here == table_len >= (1<<n)-1 there.
-        # Verified against libtiff-written files in tests.
+        # Coverage honesty (ADVICE r15): tests round-trip this
+        # encoder/decoder pair across the 9->10-bit boundary and the
+        # 12-bit reset — SELF-roundtrip only; no libtiff-produced LZW
+        # fixture exists in this container, so cross-implementation
+        # sync rests on the TIFF 6.0 §13 "early change" rule both
+        # sides implement, not on an observed libtiff byte stream.
         if next_code >= (1 << nbits) and nbits < 12:
             nbits += 1                             # early change
         elif next_code == (1 << 12) - 1:

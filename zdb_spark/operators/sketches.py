@@ -1266,46 +1266,93 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
     the compaction-style consolidation of that layout.
 
     The group layout (``by``) is preserved; ``k`` may be retuned at
-    the same time (more bits per element affords a higher k)."""
+    the same time (more bits per element affords a higher k).
+
+    Concurrency contract (ADVICE r15): the flip tolerates any number
+    of concurrent READERS (they heal, we retry) but exactly ONE
+    GROWER — two interleaved growers could rmtree each other's
+    just-flipped live store.  A ``.growlock`` sentinel directory
+    (atomic ``mkdir``) now ENFORCES that: a second grower fails
+    loudly instead of corrupting.  A lock left by a crashed grower on
+    the SAME host is stolen when its recorded pid is dead; across
+    hosts (shared filesystem) pid liveness is meaningless, so a
+    foreign-host lock is never stolen — remove it manually after
+    confirming the grower died.  Readers ignore the lock entirely."""
+    import json
     import os
     import shutil
+    import socket
 
-    p = _bloom_store_params(path)
-    new_m = int(m_bits or 4 * p["m_bits"])
-    new_k = int(k or p["k"])
-    if new_m <= p["m_bits"]:
-        raise ValueError(
-            f"grow_bloom_store: new m_bits {new_m} must exceed the "
-            f"current {p['m_bits']} (shrinking a filter re-raises the "
-            "fpr this rebuild exists to cut)")
-    scratch = path + ".grow"
-    shutil.rmtree(scratch, ignore_errors=True)
-    build_bloom_store(df, value_col, scratch, p["by"] or None,
-                      m_bits=new_m, k=new_k)
-    old = path + ".pregrow"
-    shutil.rmtree(old, ignore_errors=True)
-    # The flip retries: a concurrent reader landing in the rename gap
-    # HEALS the store (renames .pregrow back to the canonical path),
-    # which makes our second rename fail — move the old store aside
-    # again and retry.  Bounded attempts; the store is healthy at
-    # every exit (either the new filter flipped in, or the old one is
-    # back at the canonical path).
-    for _ in range(8):
+    lock = path + ".growlock"
+    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    for attempt in range(2):
         try:
-            os.rename(path, old)
-        except FileNotFoundError:
-            pass                    # a previous attempt already moved it
-        try:
-            os.rename(scratch, path)
+            os.mkdir(lock)
             break
-        except OSError:
-            continue                # a reader healed mid-gap: retry
+        except FileExistsError:
+            holder: dict = {}
+            try:
+                with open(os.path.join(lock, "owner.json")) as fh:
+                    holder = json.load(fh)
+            except OSError:
+                pass                # owner file not landed yet / gone
+            stale = False
+            if holder.get("host") == me["host"] and attempt == 0:
+                try:
+                    os.kill(int(holder.get("pid", -1)), 0)
+                except (OSError, ValueError):
+                    stale = True    # same-host pid is dead: steal
+            if not stale:
+                raise OSError(
+                    f"grow_bloom_store: another grower holds {lock} "
+                    f"(owner {holder or 'unknown'}); concurrent "
+                    "growth is unsupported — wait for it, or remove "
+                    "the lock manually if that grower is dead")
+            shutil.rmtree(lock, ignore_errors=True)
     else:
-        raise OSError(
-            f"grow_bloom_store: could not flip {scratch} into place "
-            f"after 8 attempts (pathological reader contention)")
-    shutil.rmtree(old, ignore_errors=True)
-    return new_m
+        raise OSError(f"grow_bloom_store: could not acquire {lock}")
+    try:
+        with open(os.path.join(lock, "owner.json"), "w") as fh:
+            json.dump(me, fh)
+        p = _bloom_store_params(path)
+        new_m = int(m_bits or 4 * p["m_bits"])
+        new_k = int(k or p["k"])
+        if new_m <= p["m_bits"]:
+            raise ValueError(
+                f"grow_bloom_store: new m_bits {new_m} must exceed "
+                f"the current {p['m_bits']} (shrinking a filter "
+                "re-raises the fpr this rebuild exists to cut)")
+        scratch = path + ".grow"
+        shutil.rmtree(scratch, ignore_errors=True)
+        build_bloom_store(df, value_col, scratch, p["by"] or None,
+                          m_bits=new_m, k=new_k)
+        old = path + ".pregrow"
+        shutil.rmtree(old, ignore_errors=True)
+        # The flip retries: a concurrent reader landing in the rename
+        # gap HEALS the store (renames .pregrow back to the canonical
+        # path), which makes our second rename fail — move the old
+        # store aside again and retry.  Bounded attempts; the store is
+        # healthy at every exit (either the new filter flipped in, or
+        # the old one is back at the canonical path).
+        for _ in range(8):
+            try:
+                os.rename(path, old)
+            except FileNotFoundError:
+                pass            # a previous attempt already moved it
+            try:
+                os.rename(scratch, path)
+                break
+            except OSError:
+                continue        # a reader healed mid-gap: retry
+        else:
+            raise OSError(
+                f"grow_bloom_store: could not flip {scratch} into "
+                f"place after 8 attempts (pathological reader "
+                "contention)")
+        shutil.rmtree(old, ignore_errors=True)
+        return new_m
+    finally:
+        shutil.rmtree(lock, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------- #

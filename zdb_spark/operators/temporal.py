@@ -45,7 +45,8 @@ from ..functions.scalar import round0
 
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
            "retention", "user_paths", "twap", "decayed_avg",
-           "rate_anomaly"]
+           "rate_anomaly", "resample_ticks", "sessionize_counts",
+           "parse_times", "ohlcv_bars"]
 
 _SIDE = "_zdb_side"
 _MATCH = "_zdb_match"
@@ -557,3 +558,82 @@ def rate_anomaly(df: DataFrame, ts_col: str = "ts",
         F.col(by), "bucket", "n_events",
         round0(mean, 6).alias("baseline_mean"),
         round0(z, 6).alias("zscore"))
+
+
+def resample_ticks(df: DataFrame, ts_col: str = "ts",
+                   value_col: str = "value", *,
+                   bucket_ns: int) -> DataFrame:
+    """§2.3 TODO-resample (the reference's unimplemented endpoint,
+    src/server.zig): tumbling ``bucket_ns`` buckets over integer-nanos
+    timestamps — one partially-aggregated groupBy, bucket =
+    ``ts div bucket_ns`` (pure codegen; no timestamp rounding UDF).
+    Output: (hour_bucket, n_events, avg_value, min_value, max_value),
+    avg rounded to 4 dp.  Hoisted verbatim from the round-4 inline
+    gate so composed reports (``events_timeline``) execute the
+    identical operator the ``resample_1h`` singleton verifies."""
+    bucket = F.expr(f"{ts_col} div {int(bucket_ns)}")
+    return (df.groupBy(bucket.alias("hour_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg(value_col), 4).alias("avg_value"),
+                 F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value")))
+
+
+def sessionize_counts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", *,
+                      gap_ns: int) -> DataFrame:
+    """Batch sessionization: per-user session count at a ``gap_ns``
+    inactivity gap — lag + cumulative gap-count window, the BATCH form
+    of the streaming applyInPandasWithState sessionizer (one keyed
+    window + one keyed aggregate on the same key, so the agg reuses
+    the window's hash partitioning).  Output: (user, n_sessions,
+    n_events).  Hoisted verbatim from the round-4 inline gate
+    (``sessionize_batch``) for composite coverage."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    with_gap = df.select(user_col, ts_col).withColumn(
+        "new_session",
+        (F.col(ts_col) - F.lag(ts_col, 1).over(w)
+         > int(gap_ns)).cast("int"))
+    return (with_gap.groupBy(user_col)
+            .agg((F.coalesce(F.sum("new_session"), F.lit(0)) + 1)
+                 .alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def ohlcv_bars(df: DataFrame, ts_col: str = "ts",
+               sym_col: str = "event_type",
+               value_col: str = "value", *,
+               day_col: str = "d") -> DataFrame:
+    """§2.3 OHLCV aggregation: daily bars via min_by/max_by — open =
+    first value by timestamp, close = last, one partially-aggregated
+    groupBy (no window, no sort; min_by/max_by partials merge
+    associatively, so the 100 TB plan is a single even shuffle on
+    (day, sym)).  Output: (bar_date, sym, open, high, low, close,
+    volume, n_ticks).  Hoisted verbatim from the round-4 inline gate
+    (``ohlcv_daily``) so the events_timeline composite executes the
+    identical operator; the API-granularity JSON form lives in
+    zdb_spark/ohlcv.py (the reference's /ohlcv endpoint,
+    src/server.zig)."""
+    return (df.groupBy(F.date_format(day_col, "yyyy-MM-dd")
+                       .alias("bar_date"),
+                       F.col(sym_col).alias("sym"))
+            .agg(F.min_by(value_col, ts_col).alias("open"),
+                 F.max(value_col).alias("high"),
+                 F.min(value_col).alias("low"),
+                 F.max_by(value_col, ts_col).alias("close"),
+                 F.round(F.sum(value_col), 4).alias("volume"),
+                 F.count(F.lit(1)).alias("n_ticks")))
+
+
+def parse_times(df: DataFrame, raw_col: str,
+                out_col: str = "ts_ns") -> DataFrame:
+    """F1 string→nanos as a frame operator: the 3-format parse (raw
+    nanos | RFC3339 | %Y-%m-%d, reference src/lib.zig
+    stringToNanoseconds) applied as the pure-Catalyst expression
+    ``functions.scalar.parse_time_col`` — whole-stage codegen, no
+    Python.  Appends ``out_col`` (long nanos).  The public frame form
+    both the ``ts_parse`` singleton gate and composed reports
+    execute."""
+    from ..functions.scalar import parse_time_col
+
+    return df.withColumn(out_col, parse_time_col(raw_col))

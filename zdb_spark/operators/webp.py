@@ -48,22 +48,39 @@ _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
 
 # 2-D distance mapping for LZ77 distance codes 1..120 (RFC 9649
 # §3.6.2.3): (dx, dy) neighbor offsets, dist = dy * xsize + dx.
-# Generated rather than transcribed: the table's byte packing
-# ((dy << 4) | (8 - dx), one byte) bounds the candidate set to
-# EXACTLY dx in [-7, 8], dy in [0, 7] with dy==0 limited to dx >= 1 —
-# 8 + 7*16 = 120 offsets, all of them — ordered by squared euclidean
-# distance, ties broken larger-dy-first then positive-dx-first (the
-# ordering every spec-printed row follows: (0,1),(1,0),(1,1),(-1,1),
-# (0,2),(2,0),(1,2),(-1,2),(2,1),(-2,1),...).  Codes 1 and 2 land on
-# "pixel above" and "previous pixel" as the spec requires.
+# Transcribed VERBATIM from the spec's printed table (the same
+# 120 entries as libwebp's kCodeToPlaneCodes bytes, each byte
+# (dy << 4) | (8 - dx)); codes 1 and 2 land on "pixel above" and
+# "previous pixel" as the spec requires.
+_DIST_MAP_SPEC = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+# Cross-check: the spec table is exactly the (dx, dy) candidates the
+# one-byte packing can express — dx in [-7, 8], dy in [0, 7], dy==0
+# limited to dx >= 1 (8 + 7*16 = 120 offsets) — ordered by squared
+# euclidean distance with ties broken larger-dy-first then
+# positive-dx-first.  Regenerating from that key and asserting ALL
+# 120 entries equal guards both a transcription typo here and any
+# future "simplification" of the ordering rule.
 _DIST_MAP = sorted(
     [(x, y) for y in range(8) for x in range(-7, 9)
      if y > 0 or x > 0],
     key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
-assert len(_DIST_MAP) == 120
-assert _DIST_MAP[0] == (0, 1) and _DIST_MAP[1] == (1, 0)
-assert _DIST_MAP[:10] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2),
-                          (2, 0), (1, 2), (-1, 2), (2, 1), (-2, 1)]
+assert _DIST_MAP == _DIST_MAP_SPEC
 
 # Transform types (§3.4)
 _PREDICTOR, _COLOR, _SUBTRACT_GREEN, _COLOR_INDEXING = 0, 1, 2, 3

@@ -4960,6 +4960,62 @@ def q_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(qtrain))
 
 
+def _synth_mp4_batches(batches):
+    """Per-doc structurally-valid ISO BMFF fixtures, closed-form in
+    doc_id: nf samples at a fixed stts delta, per-sample stsz sizes,
+    and an stss marking every k-th sample as sync — the full sample
+    index mp4_frame_samples walks (no coded pixels; the codec slot is
+    out of scope)."""
+    import pandas as _pd
+
+    from zdb_spark.operators.multimodal import mp4_encode
+
+    for pdf in batches:
+        rows = []
+        for i in pdf["doc_id"]:
+            i = int(i)
+            nf = 6 + i % 10
+            delta = 100 + (i % 5) * 10
+            k = 1 + i % 4
+            sizes = [100 + ((i * 37 + idx * 101) % 900)
+                     for idx in range(nf)]
+            blob = mp4_encode(
+                16 + i % 16, 16 + (i * 3) % 16, nf,
+                nf * delta / 1000.0, 1000,
+                codec=("avc1", "hev1", "av01")[i % 3],
+                frame_delta=delta, frame_sizes=sizes, sync_every=k)
+            rows.append((i, bytearray(blob)))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL mp4 frame sampling, no media library (r15 verdict task 2):
+    per doc an ISO BMFF container with a full sample index (stts run
+    lengths, per-sample stsz sizes, stss sync marks) is built by the
+    stdlib muxer, then mp4_frame_samples walks the REAL box index
+    under both triage policies — every-2nd-sample capped at 4
+    ('nth2'), and first-5-keyframes ('key5', what a thumbnail pass
+    decodes) — emitting exact integer decode times (track-timescale
+    units), coded sizes, and sync flags.  The oracle re-derives every
+    field from doc_id alone (multimodal.py:mp4_sample_table /
+    mp4_frame_samples).  Pixel decode stays refused (README §Out of
+    scope) — this makes the metadata/frame-sample path real while the
+    fake tier keeps only pixel features."""
+    from zdb_spark.operators.multimodal import mp4_frame_samples
+
+    docs = (_load(spark, sf_dir, "documents").select("doc_id")
+            .mapInPandas(_synth_mp4_batches, "doc_id long, blob binary"))
+    a = (mp4_frame_samples(docs, "blob", "doc_id", every_nth=2,
+                           max_frames=4)
+         .withColumn("policy", F.lit("nth2")))
+    b = (mp4_frame_samples(docs, "blob", "doc_id", keyframes_only=True,
+                           max_frames=5)
+         .withColumn("policy", F.lit("key5")))
+    return (a.unionByName(b)
+            .select("policy", F.col("id").alias("doc_id"), "frame_idx",
+                    "t_units", "timescale", "size_bytes", "keyframe"))
+
+
 def _synth_webp_batches(batches):
     """Per-doc 2-color checkerboard VP8L (lossless WebP) fixtures,
     closed-form in doc_id; every third doc encodes behind the
@@ -5559,6 +5615,8 @@ _QUERY_DECLARATIONS: list[
     ("warehouse_report", q_warehouse_report),
     ("events_timeline", q_events_timeline),
     ("docs_report", q_docs_report),
+    # round-16: real ISO-BMFF frame sampling (r15 verdict task 2)
+    ("video_frames", q_video_frames),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -9408,4 +9466,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'qtrain', 'w:' || feature, NULL, NULL, NULL, NULL,
                weight, NULL
         FROM (""" + _lg_final + ") lw")
+    # video_frames: the mp4 fixture's sample index is closed-form in
+    # doc_id (nf samples, fixed stts delta, stsz sizes, stss every k),
+    # so both triage policies replay as integer arithmetic — position
+    # in the full list IS frame_idx for nth2, ordinal = idx/k for
+    # keyframes.
+    sqls["video_frames"] = """
+        WITH params AS (
+            SELECT doc_id,
+                   6 + doc_id % 10 AS nf,
+                   100 + (doc_id % 5) * 10 AS delta,
+                   1 + doc_id % 4 AS k
+            FROM documents
+        ), meta AS (
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * delta AS BIGINT) AS t_units,
+                   CAST(1000 AS INT) AS timescale,
+                   CAST(100 + ((doc_id * 37 + i * 101) % 900)
+                        AS BIGINT) AS size_bytes,
+                   (i % k = 0) AS keyframe, i, k
+            FROM params, unnest(range(0, nf)) AS u(i)
+        )
+        SELECT 'nth2' AS policy, doc_id, frame_idx, t_units,
+               timescale, size_bytes, keyframe
+        FROM meta WHERE i % 2 = 0 AND i // 2 < 4
+        UNION ALL
+        SELECT 'key5', doc_id, frame_idx, t_units, timescale,
+               size_bytes, keyframe
+        FROM meta WHERE i % k = 0 AND i // k < 5
+    """
     return sqls

@@ -146,6 +146,7 @@ HEADLINE = [
     "warehouse_report",   # q3+q5+q1+running+fold+salted+skew union
     "events_timeline",    # parse+resample+sessions+ohlcv union
     "docs_report",        # strip+kmv+pii+quality-train union
+    "video_frames",       # real ISO-BMFF sample-index frame sampling
 ]
 
 

@@ -3073,6 +3073,87 @@ class TestMp4Probe:
         with pytest.raises(ValueError, match="stts cut short"):
             mp4_probe(ftyp + box(b"moov", mvhd + trak))
 
+    def test_mp4_sample_table_full_index(self):
+        """stts dts expansion + per-sample stsz + stss sync flags —
+        the real sample index mp4_frame_samples walks (r16)."""
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_sample_table)
+
+        sizes = [100, 250, 90, 400, 333]
+        blob = mp4_encode(32, 24, 5, 0.5, 1000, frame_delta=100,
+                          frame_sizes=sizes, sync_every=2)
+        tts, samples = mp4_sample_table(blob)
+        assert tts == 1000
+        assert samples == [
+            (0, 0, 100, True), (1, 100, 250, False),
+            (2, 200, 90, True), (3, 300, 400, False),
+            (4, 400, 333, True)]
+
+    def test_mp4_sample_table_spec_defaults(self):
+        """No stsz -> size -1; no stss -> EVERY sample is a sync
+        sample (ISO 14496-12 §8.6.2 default) — the r13 fixture shape,
+        byte-identical under the extended encoder defaults."""
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_sample_table)
+
+        blob = mp4_encode(16, 16, 3, 1.0)
+        tts, samples = mp4_sample_table(blob)
+        assert samples == [(0, 0, -1, True), (1, 1, -1, True),
+                           (2, 2, -1, True)]
+
+    def test_mp4_sample_table_loud_paths(self):
+        import struct as _s
+
+        import pytest
+
+        from zdb_spark.operators.multimodal import _mp4_box as box
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_sample_table)
+
+        with pytest.raises(ValueError, match="no ftyp"):
+            mp4_sample_table(b"RIFF1234WEBP")
+        # stsz count disagreeing with stts is corrupt, not guessable
+        good = mp4_encode(16, 16, 4, 1.0, frame_sizes=[1, 2, 3, 4])
+        bad = good.replace(
+            box(b"stsz", _s.pack(">B3xII", 0, 0, 4)
+                + b"".join(_s.pack(">I", s) for s in (1, 2, 3, 4))),
+            box(b"stsz", _s.pack(">B3xII", 0, 0, 3)
+                + b"".join(_s.pack(">I", s) for s in (1, 2, 3))))
+        with pytest.raises(ValueError, match="stsz sample_count"):
+            mp4_sample_table(bad)
+        # a hostile stts claiming 2^31 samples must refuse, not OOM
+        huge = mp4_encode(16, 16, 1, 1.0).replace(
+            box(b"stts", _s.pack(">B3xI", 0, 1)
+                + _s.pack(">II", 1, 1)),
+            box(b"stts", _s.pack(">B3xI", 0, 1)
+                + _s.pack(">II", 1 << 31, 1)))
+        with pytest.raises(ValueError, match="refusing to expand"):
+            mp4_sample_table(huge)
+
+    def test_mp4_frame_samples_policies(self, spark):
+        """Both triage policies over the real index: every-nth with a
+        cap, and keyframes-only (only sync samples are independently
+        decodable)."""
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_frame_samples)
+
+        blob = mp4_encode(32, 24, 10, 1.0, 1000, frame_delta=100,
+                          frame_sizes=list(range(10, 20)),
+                          sync_every=3)
+        df = spark.createDataFrame([(7, bytearray(blob)), (8, None)],
+                                   "id long, blob binary")
+        nth = mp4_frame_samples(df, "blob", "id", every_nth=3,
+                                max_frames=3).collect()
+        assert [(r.frame_idx, r.t_units, r.size_bytes, r.keyframe)
+                for r in nth] == [(0, 0, 10, True), (3, 300, 13, True),
+                                  (6, 600, 16, True)]
+        keys = mp4_frame_samples(df, "blob", "id", keyframes_only=True,
+                                 max_frames=2).collect()
+        assert [(r.frame_idx, r.keyframe) for r in keys] == \
+            [(0, True), (3, True)]
+        assert all(r.id == 7 and r.timescale == 1000
+                   for r in nth + keys)       # NULL blob vanished
+
     def test_webm_vint_bounded_by_enclosure(self):
         """Round-12 advice pin: a vint cut off by its ENCLOSING
         element's end must report truncation at the vint instead of

@@ -49,7 +49,9 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "gif_encode", "gif_decode", "gif_frames",
            "bmp_encode", "bmp_decode", "tiff_encode", "tiff_decode",
            "webp_probe",
-           "decode_video", "decode_video_frames"]
+           "decode_video", "decode_video_frames",
+           "mp4_probe", "mp4_encode", "mp4_sample_table",
+           "mp4_frame_samples"]
 
 # (prefix bytes, format name) — standard public file signatures.
 MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
@@ -1676,11 +1678,19 @@ def _mp4_box(btype: bytes, payload: bytes) -> bytes:
 
 def mp4_encode(width: int, height: int, n_frames: int,
                duration_s: float, timescale: int = 1000,
-               codec: str = "avc1") -> bytes:
+               codec: str = "avc1", *, frame_delta: int = 1,
+               frame_sizes: list[int] | None = None,
+               sync_every: int | None = None) -> bytes:
     """Structurally valid ISO BMFF fixture (ftyp + moov with one video
     trak + empty mdat) — the mp4_probe test generator; carries NO coded
     samples (this container's codec slot is out of scope, README).
-    ``codec`` is the stsd sample-entry fourcc the probe reports."""
+    ``codec`` is the stsd sample-entry fourcc the probe reports.
+    ``frame_delta`` is the per-sample stts duration in timescale
+    units; ``frame_sizes`` adds an stsz (per-sample form);
+    ``sync_every`` adds an stss marking every k-th sample (1-based 1,
+    1+k, ...) a sync sample.  Defaults keep the r13 fixture bytes
+    unchanged (delta 1, no stsz, no stss — mp4_sample_table reports
+    size -1 / all-keyframes there, the spec default)."""
     dur = int(round(duration_s * timescale))
     mvhd = _mp4_box(b"mvhd", struct.pack(
         ">B3x4I", 0, 0, 0, timescale, dur) + b"\x00" * 80)
@@ -1690,16 +1700,31 @@ def mp4_encode(width: int, height: int, n_frames: int,
         ">B3x4I2H", 0, 0, 0, timescale, dur, 0x55C4, 0))
     hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
                     + b"Video\x00")
-    stts_entries = [(n_frames, 1)] if n_frames else []
+    stts_entries = [(n_frames, frame_delta)] if n_frames else []
     stts = _mp4_box(b"stts", struct.pack(">B3xI", 0, len(stts_entries))
                     + b"".join(struct.pack(">II", c, d)
                                for c, d in stts_entries))
+    extra = b""
+    if frame_sizes is not None:
+        if len(frame_sizes) != n_frames:
+            raise ValueError("frame_sizes length must equal n_frames")
+        extra += _mp4_box(b"stsz", struct.pack(">B3xII", 0, 0,
+                                               n_frames)
+                          + b"".join(struct.pack(">I", s)
+                                     for s in frame_sizes))
+    if sync_every is not None:
+        if sync_every < 1:
+            raise ValueError("sync_every must be >= 1")
+        syncs = list(range(1, n_frames + 1, sync_every))
+        extra += _mp4_box(b"stss", struct.pack(">B3xI", 0, len(syncs))
+                          + b"".join(struct.pack(">I", s)
+                                     for s in syncs))
     # minimal SampleEntry (§8.5.2): size + fourcc + 6 reserved bytes +
     # data_reference_index — enough for the probe's codec-ID read
     entry = (struct.pack(">I", 16) + codec.encode("ascii")[:4].ljust(4)
              + b"\x00" * 6 + struct.pack(">H", 1))
     stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
-    stbl = _mp4_box(b"stbl", stsd + stts)
+    stbl = _mp4_box(b"stbl", stsd + stts + extra)
     minf = _mp4_box(b"minf", stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
     trak = _mp4_box(b"trak", tkhd + mdia)
@@ -1713,6 +1738,172 @@ def mp4_video_decode(
         payload: bytes) -> tuple[str, str, int, int, int, float]:
     """decode_video-compatible adapter over the ISO BMFF probe."""
     return mp4_probe(payload)
+
+
+# Hostile-input bound for sample-table expansion: a crawl mp4 whose
+# stts claims billions of samples must fail loudly, not OOM the
+# executor.  2^22 samples ≈ 19h at 60fps — beyond any triage need.
+_MP4_MAX_SAMPLES = 1 << 22
+
+
+def mp4_sample_table(
+        payload: bytes) -> tuple[int, list[tuple[int, int, int, bool]]]:
+    """Per-sample metadata of the VIDEO trak by REAL ISO BMFF box
+    parsing — no codec decode, no ffmpeg (r15 verdict task 2: the
+    frame-sampling path a crawl pipeline runs on mp4 should be real
+    even while pixel decode stays refused).  Returns
+    ``(track_timescale, [(sample_idx, dts_units, size_bytes,
+    keyframe), ...])``:
+
+    - decode times from the stts run-length table (§8.6.1.2) expanded
+      cumulatively, in mdhd track-timescale units (NOT the mvhd movie
+      timescale — the classic off-by-timescale bug);
+    - sizes from stsz (§8.7.3.2), constant-size and per-sample forms;
+      -1 when the fixture/muxer wrote no stsz;
+    - keyframe flags from stss (§8.6.2) 1-based sync-sample numbers;
+      an ABSENT stss means every sample is a sync sample (spec
+      default).
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF container (no ftyp)")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("mp4 has no moov box (truncated or "
+                         "non-faststart stream cut before its index)")
+    ma, mb = moov
+    for t, ta, tb in _mp4_boxes(payload, ma, mb):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(payload, ta, tb, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_find(payload, mdia[0], mdia[1], b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4 video trak has no mdhd")
+        ha, hb = mdhd
+        if payload[ha] == 1:
+            if ha + 24 > hb:
+                raise ValueError("truncated mp4: mdhd v1 cut short")
+            tts = struct.unpack(">I", payload[ha + 20:ha + 24])[0]
+        else:
+            if ha + 16 > hb:
+                raise ValueError("truncated mp4: mdhd v0 cut short")
+            tts = struct.unpack(">I", payload[ha + 12:ha + 16])[0]
+        if tts == 0:
+            raise ValueError("mp4 mdhd timescale is zero")
+        minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+        if not stbl:
+            raise ValueError("mp4 video trak has no stbl")
+        stts = _mp4_find(payload, stbl[0], stbl[1], b"stts")
+        if not stts:
+            raise ValueError("mp4 video trak has no stts")
+        sa, sb = stts
+        if sa + 8 > sb:
+            raise ValueError("truncated mp4: stts cut short")
+        n_entries = struct.unpack(">I", payload[sa + 4:sa + 8])[0]
+        if sa + 8 + 8 * n_entries > sb:
+            raise ValueError("truncated mp4: stts cut short")
+        dts_list: list[int] = []
+        dts = 0
+        for i in range(n_entries):
+            cnt, delta = struct.unpack(
+                ">II", payload[sa + 8 + 8 * i:sa + 16 + 8 * i])
+            if len(dts_list) + cnt > _MP4_MAX_SAMPLES:
+                raise ValueError(
+                    f"mp4 stts claims more than {_MP4_MAX_SAMPLES} "
+                    "samples — refusing to expand (hostile or corrupt "
+                    "index)")
+            for _ in range(cnt):
+                dts_list.append(dts)
+                dts += delta
+        n = len(dts_list)
+        sizes: list[int] = [-1] * n
+        stsz = _mp4_find(payload, stbl[0], stbl[1], b"stsz")
+        if stsz:
+            za, zb = stsz
+            if za + 12 > zb:
+                raise ValueError("truncated mp4: stsz cut short")
+            const_size, count = struct.unpack(
+                ">II", payload[za + 4:za + 12])
+            if count != n:
+                raise ValueError(
+                    f"mp4 stsz sample_count {count} != stts total {n}")
+            if const_size:
+                sizes = [const_size] * n
+            else:
+                if za + 12 + 4 * count > zb:
+                    raise ValueError("truncated mp4: stsz entries "
+                                     "cut short")
+                sizes = [struct.unpack(
+                    ">I", payload[za + 12 + 4 * i:za + 16 + 4 * i])[0]
+                    for i in range(count)]
+        sync: set[int] | None = None
+        stss = _mp4_find(payload, stbl[0], stbl[1], b"stss")
+        if stss:
+            ya, yb = stss
+            if ya + 8 > yb:
+                raise ValueError("truncated mp4: stss cut short")
+            n_sync = struct.unpack(">I", payload[ya + 4:ya + 8])[0]
+            if ya + 8 + 4 * n_sync > yb:
+                raise ValueError("truncated mp4: stss entries "
+                                 "cut short")
+            sync = {struct.unpack(
+                ">I", payload[ya + 8 + 4 * i:ya + 12 + 4 * i])[0]
+                for i in range(n_sync)}
+        return tts, [(i, dts_list[i], sizes[i],
+                      (sync is None) or (i + 1 in sync))
+                     for i in range(n)]
+    raise ValueError("mp4 has no video trak")
+
+
+_SAMPLED_SCHEMA = ("id long, frame_idx int, t_units long, "
+                   "timescale int, size_bytes long, keyframe boolean")
+
+
+def mp4_frame_samples(df: DataFrame, blob_col: str = "blob",
+                      id_col: str = "id", *, every_nth: int = 1,
+                      max_frames: int | None = None,
+                      keyframes_only: bool = False) -> DataFrame:
+    """REAL metadata-level frame sampling for mp4 blobs — the
+    explode-shaped contract ``sample_frames`` stubs, honored by the
+    actual container index instead of pseudo-frames: one row per
+    selected sample with its decode time (exact integer
+    track-timescale units — seconds = t_units/timescale, left to the
+    caller so no cross-engine float rounding enters the pipeline),
+    coded size, and sync-sample flag.  Selection: keyframes-only
+    filter first (what a thumbnail/triage pass seeks — only sync
+    samples are independently decodable), then every ``every_nth`` of
+    the survivors, capped at ``max_frames``.  Pixel decode stays with
+    decoder='ffmpeg' (README §Out of scope); Arrow-batched
+    ``mapInPandas``, NULL blobs vanish."""
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(blob_col).alias("blob"))
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                if payload is None:
+                    continue
+                tts, samples = mp4_sample_table(bytes(payload))
+                if keyframes_only:
+                    samples = [s for s in samples if s[3]]
+                samples = samples[::every_nth]
+                if max_frames is not None:
+                    samples = samples[:max_frames]
+                for idx, t_units, size, key in samples:
+                    rows.append((int(i), idx, t_units, tts, size, key))
+            yield pd.DataFrame(rows, columns=[
+                "id", "frame_idx", "t_units", "timescale",
+                "size_bytes", "keyframe"])
+
+    return src.mapInPandas(mapper, _SAMPLED_SCHEMA)
 
 
 # ---------------------------------------------------------------------- #

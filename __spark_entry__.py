@@ -5099,6 +5099,21 @@ def _synth_warc_batches(batches):
                  "http": {"status": 200,
                           "content_type": "text/html; charset=utf-8"}},
             ]
+            if i % 2 == 0:
+                # Common Crawl's dedup shape (r16): an
+                # identical-payload-digest revisit pointing back at
+                # the capture — the response-only gates must ignore
+                # it; warc_records surfaces it.
+                import hashlib as _hl
+                recs.append({
+                    "warc_type": "revisit", "target_uri": url,
+                    "payload": b"",
+                    "payload_digest": "sha1:" + _hl.md5(
+                        str(i).encode()).hexdigest().upper(),
+                    "refers_to_uri": url,
+                    "profile": ("http://netpreserve.org/warc/1.0/"
+                                "revisit/identical-payload-digest"),
+                })
             rows.append((i, bytearray(
                 warc_write_records(recs, gzip_per_record=True))))
         yield _pd.DataFrame(rows, columns=["doc_id", "warc"])
@@ -5125,6 +5140,29 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.decode(F.col("payload"), "UTF-8").alias("html")))
     return (extract_html(recs, "html", "extracted")
             .select("doc_id", "url", "http_status", "extracted"))
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-record WARC surfacing (r15 verdict task 7): the same
+    per-member-gzipped fixtures as warc_extract — now with an
+    identical-payload-digest REVISIT record on even docs — exploded
+    with NO type filter, proving the stateless mapper surfaces every
+    record type a Common Crawl dedup workflow reads: warcinfo,
+    request (with its request-line method), response (with HTTP
+    status), and revisit (with payload digest + refers-to URI).
+    Every column is closed-form in doc_id (sources/warc.py:
+    parse_warc/extract_warc)."""
+    from zdb_spark.sources.warc import extract_warc
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .mapInPandas(_synth_warc_batches,
+                         "doc_id long, warc binary"))
+    return (extract_warc(docs, "warc", "doc_id")
+            .select(F.col("id").alias("doc_id"), "record_idx",
+                    "warc_type", "url", "http_method", "http_status",
+                    "content_type", "payload_digest",
+                    "refers_to_uri"))
 
 
 def _synth_imagehash_batches(batches):
@@ -5364,6 +5402,17 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                          "(r16)"),
     "ohlcv_daily": ("verbatim hoist to temporal.py:ohlcv_bars; "
                     "bit-exact mirror green (r16)"),
+    # Round 16: extract_warc grew http_method/payload_digest/
+    # refers_to_uri columns and the shared fixture grew a revisit
+    # record on even docs (surfaced by the new warc_records gate).
+    # Both response-path gates filter to warc_type='response' and
+    # select explicit columns, so their outputs are byte-identical.
+    "warc_extract": ("response-only filter drops the planted revisit; "
+                     "explicit column select ignores the new schema "
+                     "columns; bit-exact mirror green (r16)"),
+    "stream_warc": ("same response-only filter + explicit select "
+                    "through the streaming path; bit-exact mirror "
+                    "green (r16)"),
     "contamination_bloom": (
         "guard-only diff (raises on grouped/duplicate/oversized word "
         "tables the gate never builds); bit-exact mirror green on the "
@@ -5617,6 +5666,8 @@ _QUERY_DECLARATIONS: list[
     ("docs_report", q_docs_report),
     # round-16: real ISO-BMFF frame sampling (r15 verdict task 2)
     ("video_frames", q_video_frames),
+    # round-16: revisit/request WARC records (r15 verdict task 7)
+    ("warc_records", q_warc_records),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -9494,5 +9545,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'key5', doc_id, frame_idx, t_units, timescale,
                size_bytes, keyframe
         FROM meta WHERE i % k = 0 AND i // k < 5
+    """
+    # warc_records: the fixture writes warcinfo/request/response per
+    # doc (+ a revisit on even docs), so every row is closed-form.
+    sqls["warc_records"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   'http://h' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url
+            FROM documents
+        )
+        SELECT doc_id, CAST(0 AS INT) AS record_idx,
+               'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS url,
+               CAST(NULL AS VARCHAR) AS http_method,
+               CAST(NULL AS INT) AS http_status,
+               'application/warc-fields' AS content_type,
+               CAST(NULL AS VARCHAR) AS payload_digest,
+               CAST(NULL AS VARCHAR) AS refers_to_uri
+        FROM d
+        UNION ALL
+        SELECT doc_id, 1, 'request', url, 'GET', NULL,
+               'application/http; msgtype=request', NULL, NULL
+        FROM d
+        UNION ALL
+        SELECT doc_id, 2, 'response', url, NULL, 200,
+               'text/html; charset=utf-8', NULL, NULL
+        FROM d
+        UNION ALL
+        SELECT doc_id, 3, 'revisit', url, NULL, NULL,
+               'application/octet-stream',
+               'sha1:' || upper(md5(CAST(doc_id AS VARCHAR))), url
+        FROM d WHERE doc_id % 2 = 0
     """
     return sqls

@@ -147,6 +147,7 @@ HEADLINE = [
     "events_timeline",    # parse+resample+sessions+ohlcv union
     "docs_report",        # strip+kmv+pii+quality-train union
     "video_frames",       # real ISO-BMFF sample-index frame sampling
+    "warc_records",       # full WARC record surfacing incl. revisits
 ]
 
 

@@ -671,3 +671,41 @@ class TestWarc:
         info = [r for r in out if r.warc_type == "warcinfo"][0]
         assert info.http_status is None
         assert bytes(info.payload) == b"software: test\r\n"
+
+    def test_revisit_and_request_surfacing(self, spark):
+        """r16 (ISO 28500 §6.7): revisit records carry payload digest
+        + refers-to URI, request records their request-line method —
+        the columns a Common Crawl dedup join reads."""
+        from zdb_spark.sources.warc import (extract_warc, parse_warc,
+                                            warc_write_records)
+
+        recs, _ = self._records()
+        recs.append({
+            "warc_type": "revisit", "target_uri": "http://x.com/a",
+            "payload": b"",
+            "payload_digest": "sha1:ABCDEF",
+            "refers_to": "<urn:uuid:rec-00000002>",
+            "refers_to_uri": "http://x.com/a",
+            "profile": ("http://netpreserve.org/warc/1.0/revisit/"
+                        "identical-payload-digest"),
+        })
+        blob = warc_write_records(recs, gzip_per_record=True)
+        got = parse_warc(blob)
+        rev = got[3]
+        assert rev["warc_type"] == "revisit"
+        assert rev["payload_digest"] == "sha1:ABCDEF"
+        assert rev["refers_to"] == "<urn:uuid:rec-00000002>"
+        assert rev["refers_to_uri"] == "http://x.com/a"
+        assert rev["profile"].endswith("identical-payload-digest")
+        assert got[1]["http_method"] == "GET"
+        assert "http_method" not in got[0]      # warcinfo: no HTTP
+        # Spark surfacing: one row per record, typed columns
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "doc_id long, warc binary")
+        rows = {r.warc_type: r
+                for r in extract_warc(df, "warc", "doc_id").collect()}
+        assert rows["revisit"].payload_digest == "sha1:ABCDEF"
+        assert rows["revisit"].refers_to_uri == "http://x.com/a"
+        assert rows["request"].http_method == "GET"
+        assert rows["response"].http_method is None
+        assert rows["response"].payload_digest is None

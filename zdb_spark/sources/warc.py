@@ -148,6 +148,14 @@ def parse_warc(data: bytes) -> list[dict]:
             "record_id": headers.get("warc-record-id", ""),
             "target_uri": headers.get("warc-target-uri"),
             "content_type": headers.get("content-type"),
+            # revisit-record semantics (ISO 28500 §6.7) surfaced for
+            # every record (None where the writer omitted them):
+            # Common Crawl dedup workflows join revisits back to the
+            # original capture by digest/URI (r15 verdict task 7).
+            "payload_digest": headers.get("warc-payload-digest"),
+            "refers_to": headers.get("warc-refers-to"),
+            "refers_to_uri": headers.get("warc-refers-to-target-uri"),
+            "profile": headers.get("warc-profile"),
             "payload": payload,
         }
         if rec["warc_type"] == "response":
@@ -155,6 +163,13 @@ def parse_warc(data: bytes) -> list[dict]:
             rec["http_status"] = status
             rec["http_content_type"] = ctype
             rec["http_body"] = body
+        elif rec["warc_type"] == "request":
+            # HTTP request line: "METHOD SP request-target SP version"
+            eol = payload.find(b"\r\n")
+            first = payload[:eol if eol >= 0 else len(payload)]
+            parts = first.split(b" ")
+            if len(parts) == 3 and parts[2][:5] == b"HTTP/":
+                rec["http_method"] = parts[0].decode("latin-1")
         records.append(rec)
     return records
 
@@ -184,6 +199,14 @@ def warc_write_records(records: list[dict], *,
         if rec.get("target_uri"):
             lines.append(b"WARC-Target-URI: "
                          + rec["target_uri"].encode("latin-1"))
+        for key, hdr in (("payload_digest", b"WARC-Payload-Digest"),
+                         ("refers_to", b"WARC-Refers-To"),
+                         ("refers_to_uri",
+                          b"WARC-Refers-To-Target-URI"),
+                         ("profile", b"WARC-Profile")):
+            if rec.get(key):
+                lines.append(hdr + b": "
+                             + rec[key].encode("latin-1"))
         ctype = rec.get("content_type",
                         "application/http; msgtype=response"
                         if "http" in rec else "application/octet-stream")
@@ -199,19 +222,23 @@ def warc_write_records(records: list[dict], *,
 
 
 _WARC_SCHEMA = ("id long, record_idx int, warc_type string, "
-                "url string, http_status int, content_type string, "
-                "payload binary")
+                "url string, http_method string, http_status int, "
+                "content_type string, payload_digest string, "
+                "refers_to_uri string, payload binary")
 
 
 def extract_warc(df: DataFrame, warc_col: str = "warc",
                  id_col: str = "doc_id") -> DataFrame:
     """Explode WARC blobs into one row per record via Arrow-batched
-    ``mapInPandas``: (id, record_idx, warc_type, url, http_status,
-    content_type, payload).  For ``response`` records the payload is
-    the HTTP BODY (headers consumed into status/content_type); other
-    record types carry their raw payload.  NULL blobs vanish (no
-    records), matching the extractor family's NULL discipline.  Rows
-    independent — no shuffle, no state."""
+    ``mapInPandas``: (id, record_idx, warc_type, url, http_method,
+    http_status, content_type, payload_digest, refers_to_uri,
+    payload).  For ``response`` records the payload is the HTTP BODY
+    (headers consumed into status/content_type); ``request`` records
+    carry their request-line method; ``revisit`` records carry the
+    digest + refers-to URI a Common Crawl dedup join needs (r15
+    verdict task 7); other record types carry their raw payload.
+    NULL blobs vanish (no records), matching the extractor family's
+    NULL discipline.  Rows independent — no shuffle, no state."""
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("id"),
@@ -233,10 +260,14 @@ def extract_warc(df: DataFrame, warc_col: str = "warc",
                         status = None
                         ctype = rec["content_type"]
                     rows.append((int(i), j, rec["warc_type"],
-                                 rec["target_uri"], status, ctype,
+                                 rec["target_uri"],
+                                 rec.get("http_method"), status,
+                                 ctype, rec["payload_digest"],
+                                 rec["refers_to_uri"],
                                  bytearray(body)))
             yield pd.DataFrame(rows, columns=[
-                "id", "record_idx", "warc_type", "url", "http_status",
-                "content_type", "payload"])
+                "id", "record_idx", "warc_type", "url", "http_method",
+                "http_status", "content_type", "payload_digest",
+                "refers_to_uri", "payload"])
 
     return src.mapInPandas(mapper, _WARC_SCHEMA)

@@ -5368,10 +5368,16 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
     # stage).  The gate's path is the unchanged default
     # (on_error="raise"; every fixture decodes, the except branch is
     # unreachable), proof below.
-    "image_dedup": ("on_error default keeps the r15 byte behavior; "
-                    "fixtures all decode so the new except branch is "
-                    "unreachable; bit-exact mirror green on the "
-                    "changed tree (r16)"),
+    "image_dedup": ("on_error + max_bucket_size defaults keep the "
+                    "r15 byte behavior (except branch unreachable, "
+                    "cap branch not taken when None); bit-exact "
+                    "mirror green on the changed tree (r16)"),
+    # Round 16: hamming_pairs grew the max_bucket_size cap knob
+    # (measured in SCALE.md §Round-16); the default (None) skips the
+    # cap branch entirely, so every existing caller is byte-identical.
+    "dedup_simhash": ("max_bucket_size=None skips the new cap branch; "
+                      "bit-exact mirror green on the changed tree "
+                      "(r16)"),
     # Round 16: the nine r13-cohort singletons whose inline bodies
     # were hoisted VERBATIM into public operators (warehouse.py,
     # temporal.py) so the new capacity composites execute their exact

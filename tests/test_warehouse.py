@@ -208,6 +208,51 @@ class TestImageHashOnError:
                                  on_error="error")
 
 
+class TestHammingCap:
+    """r16: hamming_pairs' max_bucket_size hot-bucket cap (the
+    SCALE.md §Round-16 skew guard)."""
+
+    def test_cap_drops_hot_buckets_keeps_cold_chunks(self, spark):
+        from pyspark.sql import functions as F
+
+        from zdb_spark.operators.dedup import hamming_pairs
+
+        # 40 rows sharing LOW chunks (a hot template bucket) with
+        # distinct high bits, plus one isolated near-dup pair whose
+        # buckets stay cold.
+        hot = spark.range(0, 40).select(
+            F.col("id"), (F.shiftleft(F.col("id"), 48)).alias("hash"))
+        pair = spark.createDataFrame(
+            [(100, 0x0123456789ABCDEF - 2**63),
+             (101, 0x0123456789ABCDEE - 2**63)], "id long, hash long")
+        df = hot.unionByName(pair)
+        uncapped = hamming_pairs(df, "hash", "id", max_hamming=3)
+        capped = hamming_pairs(df, "hash", "id", max_hamming=3,
+                               max_bucket_size=8)
+        # the isolated pair (hamming 1) survives the cap; the hot
+        # bucket's pairs (all-zero low chunks, distance > 3 anyway)
+        # never qualified
+        got = [(r.id_a, r.id_b, r.hamming) for r in capped.collect()]
+        assert got == [(100, 101, 1)]
+        assert (100, 101, 1) in [(r.id_a, r.id_b, r.hamming)
+                                 for r in uncapped.collect()]
+
+    def test_cap_none_is_byte_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from zdb_spark.operators.dedup import hamming_pairs
+
+        df = spark.range(0, 200).select(
+            F.col("id"), F.xxhash64("id").alias("hash"))
+        a = sorted((r.id_a, r.id_b, r.hamming) for r in
+                   hamming_pairs(df, "hash", "id",
+                                 max_hamming=6).collect())
+        b = sorted((r.id_a, r.id_b, r.hamming) for r in
+                   hamming_pairs(df, "hash", "id", max_hamming=6,
+                                 max_bucket_size=None).collect())
+        assert a == b
+
+
 class TestGrowBloomLock:
     """ADVICE r15: exactly one concurrent grower, enforced by the
     .growlock sentinel."""

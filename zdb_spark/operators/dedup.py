@@ -504,7 +504,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str, *,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """All pairs with ``hamming(hash) <= max_hamming`` over a 64-bit
     fingerprint column — the generic engine under ``simhash_pairs``
     (text) and ``imagehash.image_near_dup_pairs`` (perceptual hashes).
@@ -515,6 +516,14 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str, *,
     pigeonhole bound is combinatorial, not probabilistic), so the output
     is the complete hamming-ball pair set.  Never all-pairs: the join key
     is the chunk value, so cost is Σ per-bucket n², the banded-LSH shape.
+
+    ``max_bucket_size`` (r16, the 100 TB densification knob measured in
+    SCALE.md §Round-16): drop any (chunk, value) bucket holding more
+    rows — the ``_cap_buckets`` machinery the capped minhash variant
+    uses.  A dropped bucket only loses pairs whose EVERY shared chunk
+    is hot (each pair has max_hamming+1 chances), the same
+    bounded-recall trade near_dup_clusters makes; with the cap unset
+    recall stays exactly 1.0.
     """
     if not 0 <= max_hamming <= 31:
         raise ValueError(f"max_hamming {max_hamming} out of range 0..31")
@@ -536,6 +545,8 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str, *,
             F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("cv"))
             for c in range(n_chunks)
         ])).alias("ck"))
+    if max_bucket_size is not None:
+        chunks, _hot = _cap_buckets(chunks, ["ck"], max_bucket_size)
     a = chunks.select(F.col("_id").alias("id_a"),
                       F.col("_h").alias("h_a"), "ck")
     b = chunks.select(F.col("_id").alias("id_b"),

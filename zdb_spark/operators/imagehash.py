@@ -218,6 +218,7 @@ def image_near_dup_pairs(df: DataFrame, blob_col: str = "blob",
                          id_col: str = "id", *,
                          method: str = "dhash",
                          max_hamming: int = 6,
+                         max_bucket_size: int | None = None,
                          on_error: str = "raise") -> DataFrame:
     """Image near-duplicate pairs: perceptual hash + the SimHash
     pigeonhole banding (``dedup.hamming_pairs`` — complete hamming
@@ -231,6 +232,7 @@ def image_near_dup_pairs(df: DataFrame, blob_col: str = "blob",
                          "(an error column has no pair semantics)")
     hashed = image_hashes(df, blob_col, id_col, method=method,
                           on_error=on_error).cache()
-    out = hamming_pairs(hashed, "hash", "id", max_hamming=max_hamming)
+    out = hamming_pairs(hashed, "hash", "id", max_hamming=max_hamming,
+                        max_bucket_size=max_bucket_size)
     out._zdb_cache_handles = [hashed]
     return out

@@ -4962,10 +4962,11 @@ def q_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_mp4_batches(batches):
     """Per-doc structurally-valid ISO BMFF fixtures, closed-form in
-    doc_id: nf samples at a fixed stts delta, per-sample stsz sizes,
-    and an stss marking every k-th sample as sync — the full sample
-    index mp4_frame_samples walks (no coded pixels; the codec slot is
-    out of scope)."""
+    doc_id: nf samples at a fixed stts delta, REAL per-sample mdat
+    payloads (a closed-form ASCII letter repeated to the stsz size,
+    chunked 4-per-stco-entry), and an stss marking every k-th sample
+    as sync — the full sample index + byte map mp4_frame_samples
+    walks (no coded pixels; the codec slot is out of scope)."""
     import pandas as _pd
 
     from zdb_spark.operators.multimodal import mp4_encode
@@ -4977,13 +4978,14 @@ def _synth_mp4_batches(batches):
             nf = 6 + i % 10
             delta = 100 + (i % 5) * 10
             k = 1 + i % 4
-            sizes = [100 + ((i * 37 + idx * 101) % 900)
-                     for idx in range(nf)]
+            pays = [bytes([65 + (i + idx) % 26])
+                    * (100 + ((i * 37 + idx * 101) % 900))
+                    for idx in range(nf)]
             blob = mp4_encode(
                 16 + i % 16, 16 + (i * 3) % 16, nf,
                 nf * delta / 1000.0, 1000,
                 codec=("avc1", "hev1", "av01")[i % 3],
-                frame_delta=delta, frame_sizes=sizes, sync_every=k)
+                frame_delta=delta, frame_payloads=pays, sync_every=k)
             rows.append((i, bytearray(blob)))
         yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
 
@@ -4991,29 +4993,36 @@ def _synth_mp4_batches(batches):
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL mp4 frame sampling, no media library (r15 verdict task 2):
     per doc an ISO BMFF container with a full sample index (stts run
-    lengths, per-sample stsz sizes, stss sync marks) is built by the
-    stdlib muxer, then mp4_frame_samples walks the REAL box index
-    under both triage policies — every-2nd-sample capped at 4
-    ('nth2'), and first-5-keyframes ('key5', what a thumbnail pass
-    decodes) — emitting exact integer decode times (track-timescale
-    units), coded sizes, and sync flags.  The oracle re-derives every
-    field from doc_id alone (multimodal.py:mp4_sample_table /
+    lengths, per-sample stsz sizes, stss sync marks, stsc/stco chunk
+    byte map over real mdat payloads) is built by the stdlib muxer,
+    then mp4_frame_samples walks the REAL box index under both triage
+    policies — every-2nd-sample capped at 4 ('nth2'), and
+    first-5-keyframes with their CODED BYTES sliced out of mdat
+    ('key5', what a thumbnail pass ships to a downstream decode
+    stage) — emitting exact integer decode times (track-timescale
+    units), coded sizes, sync flags, and (key5) the sample-byte md5.
+    The oracle re-derives every field from doc_id alone
+    (multimodal.py:mp4_sample_table / mp4_sample_offsets /
     mp4_frame_samples).  Pixel decode stays refused (README §Out of
-    scope) — this makes the metadata/frame-sample path real while the
-    fake tier keeps only pixel features."""
+    scope) — this makes the metadata/frame-sample/byte-extraction
+    path real while the fake tier keeps only pixel features."""
     from zdb_spark.operators.multimodal import mp4_frame_samples
 
+    null_s = F.lit(None).cast("string")
     docs = (_load(spark, sf_dir, "documents").select("doc_id")
             .mapInPandas(_synth_mp4_batches, "doc_id long, blob binary"))
     a = (mp4_frame_samples(docs, "blob", "doc_id", every_nth=2,
                            max_frames=4)
-         .withColumn("policy", F.lit("nth2")))
+         .withColumn("policy", F.lit("nth2"))
+         .withColumn("sample_md5", null_s))
     b = (mp4_frame_samples(docs, "blob", "doc_id", keyframes_only=True,
-                           max_frames=5)
-         .withColumn("policy", F.lit("key5")))
-    return (a.unionByName(b)
-            .select("policy", F.col("id").alias("doc_id"), "frame_idx",
-                    "t_units", "timescale", "size_bytes", "keyframe"))
+                           max_frames=5, with_bytes=True)
+         .withColumn("policy", F.lit("key5"))
+         .withColumn("sample_md5", F.md5("sample")))
+    cols = ["policy", F.col("id").alias("doc_id"), "frame_idx",
+            "t_units", "timescale", "size_bytes", "keyframe",
+            "sample_md5"]
+    return a.select(*cols).unionByName(b.select(*cols))
 
 
 def _synth_webp_batches(batches):
@@ -9545,11 +9554,14 @@ def oracle_sql() -> dict[str, str]:
             FROM params, unnest(range(0, nf)) AS u(i)
         )
         SELECT 'nth2' AS policy, doc_id, frame_idx, t_units,
-               timescale, size_bytes, keyframe
+               timescale, size_bytes, keyframe,
+               CAST(NULL AS VARCHAR) AS sample_md5
         FROM meta WHERE i % 2 = 0 AND i // 2 < 4
         UNION ALL
         SELECT 'key5', doc_id, frame_idx, t_units, timescale,
-               size_bytes, keyframe
+               size_bytes, keyframe,
+               md5(repeat(chr(65 + CAST((doc_id + i) % 26 AS INT)),
+                          CAST(size_bytes AS INT)))
         FROM meta WHERE i % k = 0 AND i // k < 5
     """
     # warc_records: the fixture writes warcinfo/request/response per

@@ -3130,6 +3130,75 @@ class TestMp4Probe:
         with pytest.raises(ValueError, match="refusing to expand"):
             mp4_sample_table(huge)
 
+    def test_mp4_sample_offsets_chunk_walk(self):
+        """stsc/stco byte map (r16): 10 samples in 4-4-2 chunks, each
+        payload sliced back exactly; under-full single chunk and
+        one-sample edges covered by the writer's run fix."""
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_sample_offsets)
+
+        pays = [bytes([65 + i % 26]) * (10 + i) for i in range(10)]
+        blob = mp4_encode(32, 24, 10, 1.0, frame_payloads=pays,
+                          samples_per_chunk=4)
+        offs = mp4_sample_offsets(blob)
+        assert [i for i, _, _ in offs] == list(range(10))
+        assert all(blob[o:o + s] == pays[i] for i, o, s in offs)
+        one = mp4_encode(8, 8, 1, 1.0, frame_payloads=[b"abc"])
+        (i, o, s), = mp4_sample_offsets(one)
+        assert (i, s, one[o:o + s]) == (0, 3, b"abc")
+
+    def test_mp4_sample_offsets_co64_and_loud(self):
+        import struct as _s
+
+        import pytest
+
+        from zdb_spark.operators.multimodal import _mp4_box as box
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_sample_offsets)
+
+        # hand-assembled minimal container with a 64-bit co64 chunk
+        # table (the >4 GiB-file form mp4_encode never writes)
+        pays = [b"ab", b"cde"]
+        ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0x200) + b"isom")
+        mvhd = box(b"mvhd", _s.pack(">B3x4I", 0, 0, 0, 1000, 1000)
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", _s.pack(">B3x", 0) + b"\x00" * 72
+                   + _s.pack(">II", 8 << 16, 8 << 16))
+        mdhd = box(b"mdhd", _s.pack(">B3x4I2H", 0, 0, 0, 1000, 1000,
+                                    0x55C4, 0))
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
+                   + b"V\x00")
+        entry = (_s.pack(">I", 16) + b"avc1" + b"\x00" * 6
+                 + _s.pack(">H", 1))
+        stsd = box(b"stsd", _s.pack(">B3xI", 0, 1) + entry)
+        stts = box(b"stts", _s.pack(">B3xI", 0, 1)
+                   + _s.pack(">II", len(pays), 1))
+        stsz = box(b"stsz", _s.pack(">B3xII", 0, 0, len(pays))
+                   + b"".join(_s.pack(">I", len(p)) for p in pays))
+        stsc = box(b"stsc", _s.pack(">B3xI", 0, 1)
+                   + _s.pack(">III", 1, len(pays), 1))
+
+        def moov(off):
+            co64 = box(b"co64", _s.pack(">B3xI", 0, 1)
+                       + _s.pack(">Q", off))
+            stbl = box(b"stbl", stsd + stts + stsz + stsc + co64)
+            return box(b"moov", mvhd + box(
+                b"trak", tkhd + box(b"mdia", mdhd + hdlr
+                                    + box(b"minf", stbl))))
+
+        base = len(ftyp) + len(moov(0)) + 8
+        blob64 = ftyp + moov(base) + box(b"mdat", b"".join(pays))
+        offs = mp4_sample_offsets(blob64)
+        assert [blob64[o:o + s] for _, o, s in offs] == pays
+        # no stsz -> byte extraction must refuse
+        with pytest.raises(ValueError, match="no stsz"):
+            mp4_sample_offsets(mp4_encode(8, 8, 2, 1.0))
+        # truncated mdat -> sample past EOF is loud
+        stco_blob = mp4_encode(8, 8, 2, 1.0, frame_payloads=pays,
+                               samples_per_chunk=2)
+        with pytest.raises(ValueError, match="past end"):
+            mp4_sample_offsets(stco_blob[:-3])
+
     def test_mp4_frame_samples_policies(self, spark):
         """Both triage policies over the real index: every-nth with a
         cap, and keyframes-only (only sync samples are independently

@@ -51,7 +51,7 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "webp_probe",
            "decode_video", "decode_video_frames",
            "mp4_probe", "mp4_encode", "mp4_sample_table",
-           "mp4_frame_samples"]
+           "mp4_sample_offsets", "mp4_frame_samples"]
 
 # (prefix bytes, format name) — standard public file signatures.
 MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
@@ -1680,7 +1680,9 @@ def mp4_encode(width: int, height: int, n_frames: int,
                duration_s: float, timescale: int = 1000,
                codec: str = "avc1", *, frame_delta: int = 1,
                frame_sizes: list[int] | None = None,
-               sync_every: int | None = None) -> bytes:
+               sync_every: int | None = None,
+               frame_payloads: list[bytes] | None = None,
+               samples_per_chunk: int = 4) -> bytes:
     """Structurally valid ISO BMFF fixture (ftyp + moov with one video
     trak + empty mdat) — the mp4_probe test generator; carries NO coded
     samples (this container's codec slot is out of scope, README).
@@ -1688,9 +1690,15 @@ def mp4_encode(width: int, height: int, n_frames: int,
     ``frame_delta`` is the per-sample stts duration in timescale
     units; ``frame_sizes`` adds an stsz (per-sample form);
     ``sync_every`` adds an stss marking every k-th sample (1-based 1,
-    1+k, ...) a sync sample.  Defaults keep the r13 fixture bytes
-    unchanged (delta 1, no stsz, no stss — mp4_sample_table reports
-    size -1 / all-keyframes there, the spec default)."""
+    1+k, ...) a sync sample.  ``frame_payloads`` writes REAL coded
+    bytes into mdat with the full byte map — stsz from the payload
+    lengths, chunks of ``samples_per_chunk`` samples, stsc runs, and
+    stco file offsets (two-pass: box sizes are offset-independent, so
+    the moov is built once with zero offsets to measure, then with
+    the real ones) — the layout ``mp4_sample_offsets`` walks back.
+    Defaults keep the r13 fixture bytes unchanged (delta 1, no stsz,
+    no stss, empty mdat — mp4_sample_table reports size -1 /
+    all-keyframes there, the spec default)."""
     dur = int(round(duration_s * timescale))
     mvhd = _mp4_box(b"mvhd", struct.pack(
         ">B3x4I", 0, 0, 0, timescale, dur) + b"\x00" * 80)
@@ -1705,6 +1713,13 @@ def mp4_encode(width: int, height: int, n_frames: int,
                     + b"".join(struct.pack(">II", c, d)
                                for c, d in stts_entries))
     extra = b""
+    if frame_payloads is not None:
+        if len(frame_payloads) != n_frames:
+            raise ValueError("frame_payloads length must equal "
+                             "n_frames")
+        if frame_sizes is not None:
+            raise ValueError("give frame_payloads OR frame_sizes")
+        frame_sizes = [len(p) for p in frame_payloads]
     if frame_sizes is not None:
         if len(frame_sizes) != n_frames:
             raise ValueError("frame_sizes length must equal n_frames")
@@ -1724,14 +1739,53 @@ def mp4_encode(width: int, height: int, n_frames: int,
     entry = (struct.pack(">I", 16) + codec.encode("ascii")[:4].ljust(4)
              + b"\x00" * 6 + struct.pack(">H", 1))
     stsd = _mp4_box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
-    stbl = _mp4_box(b"stbl", stsd + stts + extra)
-    minf = _mp4_box(b"minf", stbl)
-    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
-    trak = _mp4_box(b"trak", tkhd + mdia)
-    moov = _mp4_box(b"moov", mvhd + trak)
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
                     + b"isom" + b"mp41")
-    return ftyp + moov + _mp4_box(b"mdat", b"")
+
+    def assemble(chunk_offsets: list[int]) -> bytes:
+        layout = extra
+        if frame_payloads is not None:
+            if samples_per_chunk < 1:
+                raise ValueError("samples_per_chunk must be >= 1")
+            n_chunks = -(-n_frames // samples_per_chunk)
+            rem = n_frames % samples_per_chunk
+            if n_chunks <= 1:
+                runs = [(1, n_frames, 1)]
+            else:
+                runs = [(1, samples_per_chunk, 1)]
+                if rem:
+                    runs.append((n_chunks, rem, 1))
+            layout += _mp4_box(
+                b"stsc", struct.pack(">B3xI", 0, len(runs))
+                + b"".join(struct.pack(">III", *r) for r in runs))
+            layout += _mp4_box(
+                b"stco", struct.pack(">B3xI", 0, len(chunk_offsets))
+                + b"".join(struct.pack(">I", o)
+                           for o in chunk_offsets))
+        stbl = _mp4_box(b"stbl", stsd + stts + layout)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        trak = _mp4_box(b"trak", tkhd + mdia)
+        return _mp4_box(b"moov", mvhd + trak)
+
+    if frame_payloads is None:
+        return ftyp + assemble([]) + _mp4_box(b"mdat", b"")
+    # two-pass: stco's size depends only on the CHUNK COUNT, so a
+    # zero-offset moov has the final length; rebuild with offsets
+    # into the mdat that follows it
+    n_chunks = -(-n_frames // samples_per_chunk)
+    moov_len = len(assemble([0] * n_chunks))
+    mdat_payload = b"".join(frame_payloads)
+    base = len(ftyp) + moov_len + 8           # mdat header is 8 bytes
+    offs, pos = [], base
+    for ci in range(n_chunks):
+        offs.append(pos)
+        for s in frame_sizes[ci * samples_per_chunk:
+                             (ci + 1) * samples_per_chunk]:
+            pos += s
+    moov = assemble(offs)
+    assert len(moov) == moov_len
+    return ftyp + moov + _mp4_box(b"mdat", mdat_payload)
 
 
 def mp4_video_decode(
@@ -1860,6 +1914,99 @@ def mp4_sample_table(
     raise ValueError("mp4 has no video trak")
 
 
+def mp4_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
+    """Per-sample BYTE LOCATIONS of the video trak: [(sample_idx,
+    file_offset, size), ...] from stsc (sample-to-chunk runs,
+    §8.7.4) + stco/co64 (chunk offsets, §8.7.5) + stsz sizes — the
+    walk that turns the index into actual coded sample bytes
+    (``payload[offset:offset+size]``) without any codec.  This is the
+    shipping half of frame sampling: select keyframes by metadata,
+    slice their coded bytes, hand them to a downstream (GPU/ffmpeg)
+    decode stage.  Loud on missing/inconsistent boxes; requires a
+    real per-sample stsz (constant-size works too, -1 sizes don't)."""
+    tts, samples = mp4_sample_table(payload)
+    n = len(samples)
+    if any(s[2] < 0 for s in samples):
+        raise ValueError("mp4 has no stsz — sample byte extraction "
+                         "needs sizes")
+    moov = _mp4_find(payload, 0, len(payload), b"moov")
+    ma, mb = moov                      # mp4_sample_table verified it
+    for t, ta, tb in _mp4_boxes(payload, ma, mb):
+        if t != b"trak":
+            continue
+        mdia = _mp4_find(payload, ta, tb, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        minf = _mp4_find(payload, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(payload, minf[0], minf[1], b"stbl")
+        stsc = stbl and _mp4_find(payload, stbl[0], stbl[1], b"stsc")
+        if not stsc:
+            raise ValueError("mp4 video trak has no stsc")
+        ca, cb = stsc
+        n_runs = struct.unpack(">I", payload[ca + 4:ca + 8])[0]
+        if ca + 8 + 12 * n_runs > cb:
+            raise ValueError("truncated mp4: stsc cut short")
+        runs = [struct.unpack(
+            ">III", payload[ca + 8 + 12 * i:ca + 20 + 12 * i])
+            for i in range(n_runs)]     # (first_chunk 1-based,
+        #                                  samples_per_chunk, sdi)
+        stco = stbl and _mp4_find(payload, stbl[0], stbl[1], b"stco")
+        co64 = stbl and _mp4_find(payload, stbl[0], stbl[1], b"co64")
+        if stco:
+            oa, ob = stco
+            n_chunks = struct.unpack(">I", payload[oa + 4:oa + 8])[0]
+            if oa + 8 + 4 * n_chunks > ob:
+                raise ValueError("truncated mp4: stco cut short")
+            offsets = [struct.unpack(
+                ">I", payload[oa + 8 + 4 * i:oa + 12 + 4 * i])[0]
+                for i in range(n_chunks)]
+        elif co64:
+            oa, ob = co64
+            n_chunks = struct.unpack(">I", payload[oa + 4:oa + 8])[0]
+            if oa + 8 + 8 * n_chunks > ob:
+                raise ValueError("truncated mp4: co64 cut short")
+            offsets = [struct.unpack(
+                ">Q", payload[oa + 8 + 8 * i:oa + 16 + 8 * i])[0]
+                for i in range(n_chunks)]
+        else:
+            raise ValueError("mp4 video trak has no stco/co64")
+        # expand stsc runs: chunk c (1-based) holds spc(c) samples,
+        # where spc comes from the run whose first_chunk <= c
+        out: list[tuple[int, int, int]] = []
+        si = 0
+        for ci in range(len(offsets)):
+            spc = None
+            for ri, (first, per, _sdi) in enumerate(runs):
+                last = (runs[ri + 1][0] - 1 if ri + 1 < len(runs)
+                        else len(offsets))
+                if first <= ci + 1 <= last:
+                    spc = per
+                    break
+            if spc is None:
+                raise ValueError("mp4 stsc runs do not cover chunk "
+                                 f"{ci + 1}")
+            pos = offsets[ci]
+            for _ in range(spc):
+                if si >= n:
+                    raise ValueError("mp4 stsc/stco claim more "
+                                     "samples than stsz/stts hold")
+                size = samples[si][2]
+                if pos + size > len(payload):
+                    raise ValueError("mp4 sample extends past end of "
+                                     "file (truncated mdat)")
+                out.append((si, pos, size))
+                pos += size
+                si += 1
+        if si != n:
+            raise ValueError(f"mp4 stsc/stco cover {si} samples, "
+                             f"index holds {n}")
+        return out
+    raise ValueError("mp4 has no video trak")
+
+
 _SAMPLED_SCHEMA = ("id long, frame_idx int, t_units long, "
                    "timescale int, size_bytes long, keyframe boolean")
 
@@ -1867,7 +2014,8 @@ _SAMPLED_SCHEMA = ("id long, frame_idx int, t_units long, "
 def mp4_frame_samples(df: DataFrame, blob_col: str = "blob",
                       id_col: str = "id", *, every_nth: int = 1,
                       max_frames: int | None = None,
-                      keyframes_only: bool = False) -> DataFrame:
+                      keyframes_only: bool = False,
+                      with_bytes: bool = False) -> DataFrame:
     """REAL metadata-level frame sampling for mp4 blobs — the
     explode-shaped contract ``sample_frames`` stubs, honored by the
     actual container index instead of pseudo-frames: one row per
@@ -1877,13 +2025,19 @@ def mp4_frame_samples(df: DataFrame, blob_col: str = "blob",
     coded size, and sync-sample flag.  Selection: keyframes-only
     filter first (what a thumbnail/triage pass seeks — only sync
     samples are independently decodable), then every ``every_nth`` of
-    the survivors, capped at ``max_frames``.  Pixel decode stays with
+    the survivors, capped at ``max_frames``.  With
+    ``with_bytes=True`` the output gains a ``sample`` binary column —
+    each selected sample's CODED bytes sliced out of mdat via the
+    stsc/stco walk (``mp4_sample_offsets``), the form a downstream
+    GPU/ffmpeg decode stage consumes.  Pixel decode itself stays with
     decoder='ffmpeg' (README §Out of scope); Arrow-batched
     ``mapInPandas``, NULL blobs vanish."""
     if every_nth < 1:
         raise ValueError("every_nth must be >= 1")
     src = df.select(F.col(id_col).alias("id"),
                     F.col(blob_col).alias("blob"))
+    cols = ["id", "frame_idx", "t_units", "timescale", "size_bytes",
+            "keyframe"] + (["sample"] if with_bytes else [])
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1891,19 +2045,28 @@ def mp4_frame_samples(df: DataFrame, blob_col: str = "blob",
             for i, payload in zip(pdf["id"], pdf["blob"]):
                 if payload is None:
                     continue
-                tts, samples = mp4_sample_table(bytes(payload))
+                data = bytes(payload)
+                tts, samples = mp4_sample_table(data)
+                locs = {}
+                if with_bytes:
+                    locs = {idx: (off, sz) for idx, off, sz
+                            in mp4_sample_offsets(data)}
                 if keyframes_only:
                     samples = [s for s in samples if s[3]]
                 samples = samples[::every_nth]
                 if max_frames is not None:
                     samples = samples[:max_frames]
                 for idx, t_units, size, key in samples:
-                    rows.append((int(i), idx, t_units, tts, size, key))
-            yield pd.DataFrame(rows, columns=[
-                "id", "frame_idx", "t_units", "timescale",
-                "size_bytes", "keyframe"])
+                    row = (int(i), idx, t_units, tts, size, key)
+                    if with_bytes:
+                        off, sz = locs[idx]
+                        row += (bytearray(data[off:off + sz]),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(mapper, _SAMPLED_SCHEMA)
+    schema = _SAMPLED_SCHEMA + (", sample binary" if with_bytes
+                                else "")
+    return src.mapInPandas(mapper, schema)
 
 
 # ---------------------------------------------------------------------- #

@@ -4961,15 +4961,19 @@ def q_docs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _synth_mp4_batches(batches):
-    """Per-doc structurally-valid ISO BMFF fixtures, closed-form in
-    doc_id: nf samples at a fixed stts delta, REAL per-sample mdat
-    payloads (a closed-form ASCII letter repeated to the stsz size,
-    chunked 4-per-stco-entry), and an stss marking every k-th sample
-    as sync — the full sample index + byte map mp4_frame_samples
-    walks (no coded pixels; the codec slot is out of scope)."""
+    """Per-doc structurally-valid video containers, closed-form in
+    doc_id.  mp4: nf samples at a fixed stts delta, REAL per-sample
+    mdat payloads (a closed-form UPPERCASE letter repeated to the
+    stsz size, chunked 4-per-stco-entry), an stss marking every k-th
+    sample as sync — the full sample index + byte map
+    mp4_frame_samples walks.  webm: nf_w SimpleBlocks at 40 ms steps
+    in 100 ms clusters (multi-cluster relative timestamps), keyframe
+    flag every kw-th block, lowercase-letter payloads — the EBML
+    block walk webm_frame_samples runs.  No coded pixels anywhere;
+    the codec slot is out of scope."""
     import pandas as _pd
 
-    from zdb_spark.operators.multimodal import mp4_encode
+    from zdb_spark.operators.multimodal import mp4_encode, webm_encode
 
     for pdf in batches:
         rows = []
@@ -4986,8 +4990,18 @@ def _synth_mp4_batches(batches):
                 nf * delta / 1000.0, 1000,
                 codec=("avc1", "hev1", "av01")[i % 3],
                 frame_delta=delta, frame_payloads=pays, sync_every=k)
-            rows.append((i, bytearray(blob)))
-        yield _pd.DataFrame(rows, columns=["doc_id", "blob"])
+            nf_w = 5 + i % 7
+            kw = 2 + i % 3
+            wframes = [(idx * 40, idx % kw == 0,
+                        bytes([97 + (i + idx) % 26])
+                        * (50 + ((i * 29 + idx * 67) % 500)))
+                       for idx in range(nf_w)]
+            wblob = webm_encode(32 + i % 8, 24 + i % 8, nf_w * 0.04,
+                                codec_id=("V_VP9", "V_VP8",
+                                          "V_AV1")[i % 3],
+                                frames=wframes, cluster_every_ms=100)
+            rows.append((i, bytearray(blob), bytearray(wblob)))
+        yield _pd.DataFrame(rows, columns=["doc_id", "blob", "webm"])
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5001,16 +5015,23 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('key5', what a thumbnail pass ships to a downstream decode
     stage) — emitting exact integer decode times (track-timescale
     units), coded sizes, sync flags, and (key5) the sample-byte md5.
-    The oracle re-derives every field from doc_id alone
+    Round-16 second wave adds the Matroska side on the SAME gate: the
+    EBML Cluster/SimpleBlock walk (webm_frame_samples) under an
+    every-3rd policy ('wnth3') and a keyframes-with-bytes policy
+    ('wkey4') over multi-cluster fixtures with relative block
+    timestamps.  The oracle re-derives every field from doc_id alone
     (multimodal.py:mp4_sample_table / mp4_sample_offsets /
-    mp4_frame_samples).  Pixel decode stays refused (README §Out of
-    scope) — this makes the metadata/frame-sample/byte-extraction
-    path real while the fake tier keeps only pixel features."""
-    from zdb_spark.operators.multimodal import mp4_frame_samples
+    mp4_frame_samples / webm_sample_table / webm_frame_samples).
+    Pixel decode stays refused (README §Out of scope) — this makes
+    the metadata/frame-sample/byte-extraction path real for BOTH
+    video containers while the fake tier keeps only pixel features."""
+    from zdb_spark.operators.multimodal import (mp4_frame_samples,
+                                                webm_frame_samples)
 
     null_s = F.lit(None).cast("string")
     docs = (_load(spark, sf_dir, "documents").select("doc_id")
-            .mapInPandas(_synth_mp4_batches, "doc_id long, blob binary"))
+            .mapInPandas(_synth_mp4_batches,
+                         "doc_id long, blob binary, webm binary"))
     a = (mp4_frame_samples(docs, "blob", "doc_id", every_nth=2,
                            max_frames=4)
          .withColumn("policy", F.lit("nth2"))
@@ -5019,10 +5040,20 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                            max_frames=5, with_bytes=True)
          .withColumn("policy", F.lit("key5"))
          .withColumn("sample_md5", F.md5("sample")))
+    c = (webm_frame_samples(docs, "webm", "doc_id", every_nth=3,
+                            max_frames=3)
+         .withColumn("policy", F.lit("wnth3"))
+         .withColumn("sample_md5", null_s))
+    d = (webm_frame_samples(docs, "webm", "doc_id",
+                            keyframes_only=True, max_frames=4,
+                            with_bytes=True)
+         .withColumn("policy", F.lit("wkey4"))
+         .withColumn("sample_md5", F.md5("sample")))
     cols = ["policy", F.col("id").alias("doc_id"), "frame_idx",
             "t_units", "timescale", "size_bytes", "keyframe",
             "sample_md5"]
-    return a.select(*cols).unionByName(b.select(*cols))
+    return (a.select(*cols).unionByName(b.select(*cols))
+            .unionByName(c.select(*cols)).unionByName(d.select(*cols)))
 
 
 def _synth_webp_batches(batches):
@@ -5460,9 +5491,13 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                  "bit-exact mirror green"),
     "multimodal_audio": ("WAV fixtures never reach the webp/tiff "
                          "branches; bit-exact mirror green"),
-    "multimodal_containers": ("mp4/webm probe fixtures never reach "
-                              "the webp/tiff branches; bit-exact "
-                              "mirror green"),
+    "multimodal_containers": ("r15: mp4/webm probe fixtures never "
+                              "reach the webp/tiff branches; r16: "
+                              "mp4_encode/webm_encode grew "
+                              "frame-payload kwargs whose defaults "
+                              "preserve the fixture bytes exactly "
+                              "(asserted in tests) — bit-exact "
+                              "mirror green on the r16 tree"),
     "multimodal_decode": ("fake-decoder gate; real-codec diff "
                           "unreachable; bit-exact mirror green"),
     "multimodal_png": ("PNG fixtures never reach the webp/tiff "
@@ -9552,6 +9587,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS size_bytes,
                    (i % k = 0) AS keyframe, i, k
             FROM params, unnest(range(0, nf)) AS u(i)
+        ), wparams AS (
+            SELECT doc_id,
+                   5 + doc_id % 7 AS nf_w,
+                   2 + doc_id % 3 AS kw
+            FROM documents
+        ), wmeta AS (
+            SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                   CAST(i * 40 AS BIGINT) AS t_units,
+                   CAST(1000 AS INT) AS timescale,
+                   CAST(50 + ((doc_id * 29 + i * 67) % 500)
+                        AS BIGINT) AS size_bytes,
+                   (i % kw = 0) AS keyframe, i, kw
+            FROM wparams, unnest(range(0, nf_w)) AS u(i)
         )
         SELECT 'nth2' AS policy, doc_id, frame_idx, t_units,
                timescale, size_bytes, keyframe,
@@ -9563,6 +9611,16 @@ def oracle_sql() -> dict[str, str]:
                md5(repeat(chr(65 + CAST((doc_id + i) % 26 AS INT)),
                           CAST(size_bytes AS INT)))
         FROM meta WHERE i % k = 0 AND i // k < 5
+        UNION ALL
+        SELECT 'wnth3', doc_id, frame_idx, t_units, timescale,
+               size_bytes, keyframe, CAST(NULL AS VARCHAR)
+        FROM wmeta WHERE i % 3 = 0 AND i // 3 < 3
+        UNION ALL
+        SELECT 'wkey4', doc_id, frame_idx, t_units, timescale,
+               size_bytes, keyframe,
+               md5(repeat(chr(97 + CAST((doc_id + i) % 26 AS INT)),
+                          CAST(size_bytes AS INT)))
+        FROM wmeta WHERE i % kw = 0 AND i // kw < 4
     """
     # warc_records: the fixture writes warcinfo/request/response per
     # doc (+ a revisit on even docs), so every row is closed-form.

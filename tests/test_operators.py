@@ -3223,6 +3223,85 @@ class TestMp4Probe:
         assert all(r.id == 7 and r.timescale == 1000
                    for r in nth + keys)       # NULL blob vanished
 
+    def test_webm_sample_table_clusters(self):
+        """EBML block walk (r16): multi-cluster relative timestamps,
+        SimpleBlock keyframe flags, inline byte extraction."""
+        from zdb_spark.operators.multimodal import (webm_encode,
+                                                    webm_sample_offsets,
+                                                    webm_sample_table)
+
+        frames = [(0, True, b"KEY0"), (40, False, b"p1x"),
+                  (1000, True, b"KEY1!"), (1040, False, b"q1"),
+                  (2500, True, b"KEY2")]
+        blob = webm_encode(64, 48, 2.5, frames=frames,
+                           cluster_every_ms=1000)
+        ts, samples = webm_sample_table(blob)
+        assert ts == 1000                       # 1e9 / 1e6-ns units
+        assert samples == [
+            (0, 0, 4, True), (1, 40, 3, False), (2, 1000, 5, True),
+            (3, 1040, 2, False), (4, 2500, 4, True)]
+        offs = webm_sample_offsets(blob)
+        assert [blob[o:o + s] for _, o, s in offs] == \
+            [f[2] for f in frames]
+
+    def test_webm_blockgroup_and_loud_paths(self):
+        """BlockGroup keyframe rule (keyframe iff no ReferenceBlock)
+        and the laced-block refusal."""
+        import struct as _s
+
+        import pytest
+
+        from zdb_spark.operators.multimodal import _ebml_elem as elem
+        from zdb_spark.operators.multimodal import (webm_encode,
+                                                    webm_sample_table)
+
+        header = elem(0x1A45DFA3, elem(0x4282, b"webm"))
+
+        def seg(cluster_body):
+            info = elem(0x1549A966,
+                        elem(0x2AD7B1, (1_000_000).to_bytes(4, "big")))
+            return header + elem(0x18538067,
+                                 info + elem(0x1F43B675, cluster_body))
+
+        blk = lambda rel, payload: (b"\x81" + _s.pack(">h", rel)
+                                    + b"\x00" + payload)
+        body = (elem(0xE7, b"\x05")
+                + elem(0xA0, elem(0xA1, blk(0, b"I-frame")))
+                + elem(0xA0, elem(0xA1, blk(1, b"P"))
+                       + elem(0xFB, b"\xff")))   # has ReferenceBlock
+        _, samples = webm_sample_table(seg(body))
+        assert samples == [(0, 5, 7, True), (1, 6, 1, False)]
+        # lacing bits set -> loud
+        laced = elem(0xE7, b"\x00") + elem(
+            0xA3, b"\x81" + _s.pack(">h", 0) + b"\x02" + b"xx")
+        with pytest.raises(ValueError, match="laced"):
+            webm_sample_table(seg(laced))
+        # a TimestampScale that does not divide 1e9 -> loud
+        weird = header + elem(0x18538067, elem(
+            0x1549A966, elem(0x2AD7B1, (3_000_000).to_bytes(4, "big"))))
+        with pytest.raises(ValueError, match="TimestampScale"):
+            webm_sample_table(weird)
+        # clusterless fixture (the r13 shape): empty sample table
+        assert webm_sample_table(webm_encode(8, 8, 1.0)) == (1000, [])
+
+    def test_webm_frame_samples_policies(self, spark):
+        from zdb_spark.operators.multimodal import (webm_encode,
+                                                    webm_frame_samples)
+
+        frames = [(i * 40, i % 2 == 0, bytes([97 + i]) * (i + 1))
+                  for i in range(6)]
+        blob = webm_encode(32, 24, 0.24, frames=frames,
+                           cluster_every_ms=100)
+        df = spark.createDataFrame([(3, bytearray(blob)), (4, None)],
+                                   "id long, blob binary")
+        keys = webm_frame_samples(df, "blob", "id",
+                                  keyframes_only=True,
+                                  with_bytes=True).collect()
+        assert [(r.frame_idx, r.t_units, bytes(r.sample))
+                for r in keys] == [
+            (0, 0, b"a"), (2, 80, b"ccc"), (4, 160, b"eeeee")]
+        assert all(r.id == 3 and r.keyframe for r in keys)
+
     def test_webm_vint_bounded_by_enclosure(self):
         """Round-12 advice pin: a vint cut off by its ENCLOSING
         element's end must report truncation at the vint instead of

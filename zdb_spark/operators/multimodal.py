@@ -51,7 +51,9 @@ __all__ = ["MAGIC_SIGNATURES", "blob_metadata", "decode_images",
            "webp_probe",
            "decode_video", "decode_video_frames",
            "mp4_probe", "mp4_encode", "mp4_sample_table",
-           "mp4_sample_offsets", "mp4_frame_samples"]
+           "mp4_sample_offsets", "mp4_frame_samples",
+           "webm_encode", "webm_sample_table", "webm_sample_offsets",
+           "webm_frame_samples"]
 
 # (prefix bytes, format name) — standard public file signatures.
 MAGIC_SIGNATURES: list[tuple[bytes, str]] = [
@@ -2216,10 +2218,18 @@ def _ebml_elem(eid: int, payload: bytes) -> bytes:
 
 def webm_encode(width: int, height: int, duration_s: float,
                 doctype: str = "webm",
-                codec_id: str = "V_VP9") -> bytes:
+                codec_id: str = "V_VP9", *,
+                frames: list[tuple[int, bool, bytes]] | None = None,
+                cluster_every_ms: int = 1000) -> bytes:
     """Structurally valid Matroska/WebM fixture (EBML header + Segment
     with Info + one video TrackEntry carrying ``codec_id``) — the
-    webm_probe test generator; carries no coded clusters."""
+    webm_probe test generator.  ``frames`` (r16) writes REAL Clusters
+    of SimpleBlocks: each (t_ms, keyframe, payload) lands in a
+    cluster opened every ``cluster_every_ms`` (cluster Timestamp
+    element + per-block int16 relative timestamp + the 0x80 keyframe
+    flag, no lacing) with TrackNumber 1 — the layout
+    ``webm_sample_table`` walks back.  Defaults keep the r13 fixture
+    bytes unchanged (no TrackNumber element, no clusters)."""
     header = _ebml_elem(0x1A45DFA3, _ebml_elem(
         0x4282, doctype.encode("ascii")))
     info = _ebml_elem(0x1549A966,
@@ -2229,12 +2239,185 @@ def webm_encode(width: int, height: int, duration_s: float,
     video = _ebml_elem(0xE0,
                        _ebml_elem(0xB0, width.to_bytes(2, "big"))
                        + _ebml_elem(0xBA, height.to_bytes(2, "big")))
-    track = _ebml_elem(0xAE, _ebml_elem(0x83, b"\x01")
+    tnum = _ebml_elem(0xD7, b"\x01") if frames is not None else b""
+    track = _ebml_elem(0xAE, tnum + _ebml_elem(0x83, b"\x01")
                        + _ebml_elem(0x86, codec_id.encode("ascii"))
                        + video)
     tracks = _ebml_elem(0x1654AE6B, track)
-    seg = _ebml_elem(0x18538067, info + tracks)
+    clusters = b""
+    if frames:
+        if sorted(f[0] for f in frames) != [f[0] for f in frames]:
+            raise ValueError("webm frames must be in timestamp order")
+        cluster_ts, blocks = None, b""
+        for t_ms, key, payload in frames:
+            if (cluster_ts is None
+                    or t_ms - cluster_ts >= cluster_every_ms):
+                if cluster_ts is not None:
+                    clusters += _ebml_elem(
+                        0x1F43B675,
+                        _ebml_elem(0xE7, cluster_ts.to_bytes(
+                            max(1, (cluster_ts.bit_length() + 7) // 8),
+                            "big")) + blocks)
+                cluster_ts, blocks = t_ms, b""
+            rel = t_ms - cluster_ts
+            blocks += _ebml_elem(
+                0xA3, b"\x81" + struct.pack(">h", rel)
+                + bytes([0x80 if key else 0x00]) + payload)
+        clusters += _ebml_elem(
+            0x1F43B675,
+            _ebml_elem(0xE7, cluster_ts.to_bytes(
+                max(1, (cluster_ts.bit_length() + 7) // 8), "big"))
+            + blocks)
+    seg = _ebml_elem(0x18538067, info + tracks + clusters)
     return header + seg
+
+
+def webm_sample_table(
+        payload: bytes) -> tuple[int, list[tuple[int, int, int, bool]]]:
+    """Per-frame metadata of a Matroska/WebM stream by REAL EBML
+    element parsing — the ISO BMFF ``mp4_sample_table`` counterpart:
+    ``(timescale_units_per_sec, [(idx, t_units, size, keyframe),
+    ...])``.  Walks Segment → Cluster → SimpleBlock: block time =
+    cluster Timestamp + the block's int16 relative timestamp (in
+    TimestampScale units — default 1e6 ns = 1 ms, so the returned
+    timescale is 1e9/TimestampScale units per second); keyframe from
+    the SimpleBlock 0x80 flag (BlockGroups: keyframe iff no
+    ReferenceBlock); size is the coded frame length after the block
+    header.  Laced blocks are refused loudly (crawl triage reads
+    timing/keyframes; lacing is an audio-packing concern)."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML stream (bad magic)")
+    seg = None
+    for eid, a, b in _ebml_walk(payload, 0, len(payload)):
+        if eid == 0x18538067:
+            seg = (a, b)
+            break
+    if seg is None:
+        raise ValueError("webm has no Segment")
+    tscale = 1_000_000
+    info = _ebml_find(payload, seg[0], seg[1], 0x1549A966)
+    if info:
+        tse = _ebml_find(payload, info[0], info[1], 0x2AD7B1)
+        if tse:
+            tscale = int.from_bytes(payload[tse[0]:tse[1]], "big")
+    if tscale <= 0 or 10**9 % tscale:
+        raise ValueError(f"webm TimestampScale {tscale} does not "
+                         "divide 1e9 — refusing lossy unit math")
+    samples: list[tuple[int, int, int, bool]] = []
+    for eid, ca, cb in _ebml_walk(payload, seg[0], seg[1]):
+        if eid != 0x1F43B675:                  # Cluster
+            continue
+        cts = 0
+        tse = _ebml_find(payload, ca, cb, 0xE7)
+        if tse:
+            cts = int.from_bytes(payload[tse[0]:tse[1]], "big")
+        for bid, ba, bb in _ebml_walk(payload, ca, cb):
+            if bid == 0xA3:                    # SimpleBlock
+                blocks = [(ba, bb, None)]
+            elif bid == 0xA0:                  # BlockGroup
+                blk = _ebml_find(payload, ba, bb, 0xA1)
+                if blk is None:
+                    continue
+                ref = _ebml_find(payload, ba, bb, 0xFB)
+                blocks = [(blk[0], blk[1], ref is None)]
+            else:
+                continue
+            for xa, xb, group_key in blocks:
+                _tn, pos = _ebml_vint(payload, xa, keep_marker=False,
+                                      end=xb)
+                if pos + 3 > xb:
+                    raise ValueError("webm: block header cut short")
+                rel = struct.unpack(">h", payload[pos:pos + 2])[0]
+                flags = payload[pos + 2]
+                if flags & 0x06:
+                    raise ValueError("webm: laced block — lacing "
+                                     "unsupported (audio packing)")
+                key = (bool(flags & 0x80) if group_key is None
+                       else group_key)
+                samples.append((len(samples), cts + rel,
+                                xb - (pos + 3), key))
+    return 10**9 // tscale, samples
+
+
+def webm_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
+    """Per-frame BYTE LOCATIONS: [(idx, offset, size), ...] of each
+    block's coded bytes inside the stream — the webm counterpart of
+    ``mp4_sample_offsets`` (trivial here: Matroska frames live inline
+    after their block header, no chunk indirection)."""
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML stream (bad magic)")
+    out: list[tuple[int, int, int]] = []
+    for eid, a, b in _ebml_walk(payload, 0, len(payload)):
+        if eid != 0x18538067:
+            continue
+        for cid, ca, cb in _ebml_walk(payload, a, b):
+            if cid != 0x1F43B675:
+                continue
+            for bid, ba, bb in _ebml_walk(payload, ca, cb):
+                if bid == 0xA3:
+                    xa, xb = ba, bb
+                elif bid == 0xA0:
+                    blk = _ebml_find(payload, ba, bb, 0xA1)
+                    if blk is None:
+                        continue
+                    xa, xb = blk
+                else:
+                    continue
+                _tn, pos = _ebml_vint(payload, xa, keep_marker=False,
+                                      end=xb)
+                if pos + 3 > xb:
+                    raise ValueError("webm: block header cut short")
+                out.append((len(out), pos + 3, xb - (pos + 3)))
+    return out
+
+
+def webm_frame_samples(df: DataFrame, blob_col: str = "blob",
+                       id_col: str = "id", *, every_nth: int = 1,
+                       max_frames: int | None = None,
+                       keyframes_only: bool = False,
+                       with_bytes: bool = False) -> DataFrame:
+    """REAL metadata-level frame sampling for Matroska/WebM blobs —
+    the ``mp4_frame_samples`` contract over the EBML block walk: one
+    row per selected frame with exact integer block time
+    (``timescale`` units/sec), coded size, keyframe flag, and (with
+    ``with_bytes``) the coded frame bytes a downstream decode stage
+    consumes.  Same selection semantics: keyframes-only filter, then
+    every_nth, then the cap.  Arrow-batched, NULL blobs vanish."""
+    if every_nth < 1:
+        raise ValueError("every_nth must be >= 1")
+    src = df.select(F.col(id_col).alias("id"),
+                    F.col(blob_col).alias("blob"))
+    cols = ["id", "frame_idx", "t_units", "timescale", "size_bytes",
+            "keyframe"] + (["sample"] if with_bytes else [])
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["blob"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                tscale, samples = webm_sample_table(data)
+                locs = {}
+                if with_bytes:
+                    locs = {idx: (off, sz) for idx, off, sz
+                            in webm_sample_offsets(data)}
+                if keyframes_only:
+                    samples = [s for s in samples if s[3]]
+                samples = samples[::every_nth]
+                if max_frames is not None:
+                    samples = samples[:max_frames]
+                for idx, t_units, size, key in samples:
+                    row = (int(i), idx, t_units, tscale, size, key)
+                    if with_bytes:
+                        off, sz = locs[idx]
+                        row += (bytearray(data[off:off + sz]),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = _SAMPLED_SCHEMA + (", sample binary" if with_bytes
+                                else "")
+    return src.mapInPandas(mapper, schema)
 
 
 _VIDEO_DECODERS = {"gif": gif_decode, "fake": _fake_video_decode,

@@ -5205,6 +5205,66 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "refers_to_uri"))
 
 
+def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for r17 registration (r16's green-age window is exactly
+    full — the url_dedup r14->r15 staging precedent): copy-on-write
+    row-level DELETE end-to-end (table.py:delete_where — the GDPR
+    workflow; manifest snapshot isolation, affected-file-only rewrite,
+    CAS flip, audit trail via time travel).  A manifest table is built
+    from events ONCE (scratch + atomic rename, keyed on the testdata
+    fingerprint), the error-type low-value rows are DELETED, and the
+    steady-state gate is a read-only scan aggregate of the post-delete
+    table — idempotent across runs.  Oracle: the same aggregate over
+    events excluding the deleted predicate (_STAGED_R17_ORACLES)."""
+    import shutil
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "table-delete-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_table_delete", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_del")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch, manifest=True)
+        ev = (_load(spark, sf_dir, "events")
+              .select("ts", "event_id", "user_id", "event_type",
+                      "value"))
+        t.write(ev, enforce_order=False)
+        t.delete_where("event_type = 'error' AND value < 300.0")
+        os.makedirs(os.path.dirname(home), exist_ok=True)
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_del", home=home)
+    return (t.scan()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# Oracle staged WITH the gate (not merged into oracle_sql() until the
+# r17 registration adds ("table_delete", q_table_delete) to
+# _QUERY_DECLARATIONS) so the staging-era oracle text stays
+# byte-identical through registration — the _PENDING_R15_ORACLES
+# pattern.
+_STAGED_R17_ORACLES: dict[str, str] = {
+    "table_delete": """
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        WHERE NOT (event_type = 'error' AND value < 300.0)
+        GROUP BY 1
+    """,
+}
+
+
 def _synth_imagehash_batches(batches):
     """Per-doc 9x8 grayscale LOSSLESS-WEBP fixtures for the image
     near-dup gate, closed-form in doc_id: doc 4k is a base image with

@@ -961,3 +961,115 @@ class TestDropColumn:
         raw = spark.read.parquet(*files)
         assert "venue" not in raw.columns
         assert t.scan().count() == 2
+
+
+class TestDeleteWhere:
+    """Copy-on-write row-level DELETE (r16): manifest-snapshot
+    rewrites of only the affected files, CAS flip, audit trail via
+    time travel, loud abort on rewrite races."""
+
+    def make(self, spark, tmp_home, name="tdel"):
+        return Table.create(spark, make_schema(name), home=tmp_home,
+                            manifest=True)
+
+    def test_requires_manifest(self, spark, tmp_home):
+        t = Table.create(spark, make_schema(), home=tmp_home)
+        with pytest.raises(ValueError, match="manifest=True"):
+            t.delete_where("price > 0")
+
+    def test_delete_rows_and_row_count(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(10)]))
+        t.write(rows_df(spark, [T0 + DAY + i for i in range(10)],
+                        sym="MSFT"))
+        assert t.row_count == 20
+        n = t.delete_where("sym = 'MSFT' AND price >= 5.0")
+        assert n == 6                         # prices 5.0..9.0 + 1.0+i
+        assert t.row_count == 14
+        got = t.scan().where("sym = 'MSFT'").count()
+        assert got == 4
+        # untouched partition intact, ordering preserved
+        aapl = t.scan().where("sym = 'AAPL'")
+        assert aapl.count() == 10
+        ts_vals = [r.ts for r in aapl.orderBy("ts").collect()]
+        assert ts_vals == sorted(ts_vals)
+
+    def test_no_match_is_noop(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        v_before = t._latest_head()[0]
+        assert t.delete_where("price > 1e9") == 0
+        assert t._latest_head()[0] == v_before    # no commit published
+        assert t.row_count == 2
+
+    def test_null_condition_keeps_rows(self, spark, tmp_home):
+        # SQL DELETE semantics: NULL evaluations are NOT deletions
+        t = self.make(spark, tmp_home)
+        df = spark.createDataFrame(
+            [Row(ts=T0, sym=None, price=1.0, size=10),
+             Row(ts=T0 + 1, sym="AAPL", price=2.0, size=10)])
+        t.write(df)
+        assert t.delete_where("sym = 'AAPL'") == 1
+        left = t.scan().collect()
+        assert len(left) == 1 and left[0].sym is None
+
+    def test_whole_file_delete(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        t.write(rows_df(spark, [T0 + DAY], sym="MSFT"))
+        assert t.delete_where("sym = 'MSFT'") == 1
+        assert t.scan().count() == 2
+        assert {r.sym for r in t.scan().collect()} == {"AAPL"}
+
+    def test_time_travel_audit_and_vacuum(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        v_pre = t._latest_head()[0]
+        assert t.delete_where("price >= 4.0") == 3
+        # the pre-delete snapshot still shows the deleted rows
+        assert t.snapshot(v_pre).count() == 6
+        assert t.scan().count() == 3
+        # superseded files stay until vacuum; after vacuum the old
+        # snapshot is gone but the live one is intact
+        removed = t.vacuum(grace_seconds=0.0)
+        assert removed > 0
+        assert t.scan().count() == 3
+
+    def test_rewrite_race_aborts_loudly(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        orig = t._commit_manifest
+
+        def racing(update_fn, max_retries=200):
+            # a concurrent compaction rewrites EVERY file between the
+            # delete's snapshot read and its flip
+            t2 = Table.open(spark, "tdel", home=tmp_home)
+            orig_files = set(t2._latest_manifest()[1])
+            t2.compact(target_file_mb=1)
+            t._commit_manifest = orig        # one-shot interception
+            assert orig_files  # sanity: there was something to race on
+            return orig(update_fn, max_retries)
+
+        t._commit_manifest = racing
+        with pytest.raises(RuntimeError, match="rewrite race"):
+            t.delete_where("price >= 4.0")
+        # table is unharmed: nothing deleted, no orphan in the live set
+        t3 = Table.open(spark, "tdel", home=tmp_home)
+        assert t3.scan().count() == 6
+        assert t3.row_count == 6
+        # the retry the error demands now succeeds
+        assert t3.delete_where("price >= 4.0") == 3
+        assert t3.scan().count() == 3
+
+    def test_delete_on_zordered_table_keeps_clustering(self, spark,
+                                                       tmp_home):
+        sch = make_schema("tdelz")
+        t = Table.create(spark, sch, home=tmp_home, manifest=True,
+                         zorder_by=["price"],
+                         zorder_bounds={"price": (0.0, 100.0)})
+        t.write(rows_df(spark, [T0 + i for i in range(20)]))
+        assert t.delete_where("price >= 15.0") == 6
+        assert t.scan().count() == 14
+        # sidecar clustering still pinned; a follow-up write works
+        t.write(rows_df(spark, [T0 + DAY + i for i in range(3)]))
+        assert t.scan().count() == 17

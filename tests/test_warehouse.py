@@ -208,6 +208,33 @@ class TestImageHashOnError:
                                  on_error="error")
 
 
+class TestStagedTableDelete:
+    """Readiness pin for the r17-staged table_delete gate: the gate
+    function runs end-to-end at sf0.001 and its output matches the
+    staged oracle's predicate applied to the raw events frame."""
+
+    def test_gate_matches_predicate(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = {r.event_type: (r.n_events, r.sum_value)
+               for r in entry.q_table_delete(spark, sf).collect()}
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        want = {r.event_type: (r.n, r.s) for r in
+                (ev.where("NOT (event_type = 'error' "
+                          "AND value < 300.0)")
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.round(F.sum("value"), 4).alias("s"))
+                 .collect())}
+        assert got == want
+        assert "table_delete" in entry._STAGED_R17_ORACLES
+        # staged means NOT registered yet
+        assert "table_delete" not in entry.queries()
+
+
 class TestHammingCap:
     """r16: hamming_pairs' max_bucket_size hot-bucket cap (the
     SCALE.md §Round-16 skew guard)."""

@@ -881,6 +881,139 @@ class Table:
         return (self.spark.read.option("basePath", p)
                 .parquet(*[os.path.join(p, f) for f in files]))
 
+    def delete_where(self, condition) -> int:
+        """Row-level DELETE as copy-on-write (r16 — the GDPR /
+        right-to-be-forgotten workflow the reference never needed;
+        beyond-reference surface like the manifest itself): rows where
+        ``condition`` evaluates TRUE are removed; NULL evaluations
+        keep their rows (SQL DELETE semantics).  Returns the number of
+        rows deleted.
+
+        Mechanics, the object-store-safe shape ``compact`` pinned:
+
+        1. one predicate-pushed pass over the LATEST committed
+           snapshot finds the AFFECTED files (``input_file_name``
+           groupBy — at 100 TB, footer stats prune most files before
+           a row is read, so a selective delete touches only the
+           files that can match);
+        2. only affected files are rewritten (survivor rows, same
+           dt partitioning, the table's own sort/clustering via
+           ``_clustering`` so z-ordered layouts stay z-ordered), into
+           new unique part names ALONGSIDE the old files;
+        3. one CAS manifest flip replaces exactly the affected files
+           with the rewrites.  Readers holding older snapshots keep
+           their files until ``vacuum()`` (time travel still shows
+           the deleted rows at old versions — the audit trail).
+
+        Snapshot isolation: rows appended AFTER the snapshot read are
+        NOT deleted even if they match — re-run for late arrivals.
+        If a concurrent ``compact``/``delete_where`` rewrote any
+        affected file before our flip, the commit ABORTS loudly
+        (retry) instead of resurrecting deleted rows by keeping the
+        other writer's rewrite of them.  ``row_count`` is maintained;
+        min/max ts bounds stay unchanged (conservative — still valid
+        for pruning).  Manifest tables only: listing mode has no
+        snapshot to isolate against (use manifest=True, or filter at
+        read)."""
+        if not self._meta.manifest:
+            raise ValueError(
+                "delete_where() requires a manifest=True table "
+                "(copy-on-write needs snapshot isolation); filter at "
+                "read, or recreate the table with manifest=True")
+        import urllib.parse
+        import uuid
+
+        cond = (F.expr(condition) if isinstance(condition, str)
+                else condition)
+        src = os.path.join(self.path, "parquet")
+        _, base_files = self._latest_manifest()
+        if not base_files:
+            return 0
+        evolved = bool(self._meta.added_defaults
+                       or self._meta.dropped_columns)
+        reader = self.spark.read
+        if evolved:
+            reader = reader.schema(self._read_schema())
+
+        def read_files(files: list[str]) -> DataFrame:
+            df = (reader.option("basePath", src)
+                  .parquet(*[os.path.join(src, f) for f in files]))
+            return self._apply_added_defaults(df) if evolved else df
+
+        abs_src = os.path.abspath(src)
+        hits = (read_files(base_files).where(cond)
+                .groupBy(F.input_file_name().alias("_f"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect())
+        if not hits:
+            return 0
+
+        def rel(uri: str) -> str:
+            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+            return os.path.relpath(os.path.abspath(p), abs_src)
+
+        affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
+        n_deleted = sum(affected.values())
+        # survivors: NOT(cond IS TRUE) — NULL evaluations keep rows
+        survivors = (read_files(sorted(affected))
+                     .where(~cond.eqNullSafe(F.lit(True))))
+        ts = self.schema.ts_col
+        out, sort_cols, zkeyed = self._clustering(survivors, None, ts)
+        out = (out.repartitionByRange(max(len(affected), 1), *sort_cols)
+               .sortWithinPartitions(*sort_cols))
+        if zkeyed:
+            out = out.drop("_zkey")
+        writer = out.write.mode("overwrite")
+        if self._meta.compression:
+            writer = writer.option("compression",
+                                   self._meta.compression)
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        writer.partitionBy("dt").parquet(staging)
+        moved: list[str] = []
+        for dt_dir in os.listdir(staging):
+            sdir = os.path.join(staging, dt_dir)
+            if not (os.path.isdir(sdir) and dt_dir.startswith("dt=")):
+                continue
+            ddir = os.path.join(src, dt_dir)
+            os.makedirs(ddir, exist_ok=True)
+            for fname in os.listdir(sdir):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.replace(os.path.join(sdir, fname),
+                           os.path.join(ddir, fname))
+                moved.append(f"{dt_dir}/{fname}")
+        shutil.rmtree(staging, ignore_errors=True)
+
+        conflict: list[str] = []
+
+        def flip(doc: dict) -> dict | None:
+            present = set(doc["files"])
+            missing = [f for f in affected if f not in present]
+            if missing:
+                # another rewrite (compact/delete) superseded an
+                # affected file after our snapshot: committing would
+                # RESURRECT the deleted rows via the other writer's
+                # copy of them — abort, caller retries on fresh state
+                conflict.extend(missing)
+                return None
+            files = [f for f in doc["files"]
+                     if f not in affected] + moved
+            return {**doc, "files": files,
+                    "row_count": doc["row_count"] - n_deleted}
+
+        if self._commit_manifest(flip) is None:
+            for f in moved:             # our rewrites are now orphans
+                try:
+                    os.unlink(os.path.join(src, f))
+                except OSError:
+                    pass
+            raise RuntimeError(
+                f"delete_where lost a rewrite race on {len(conflict)} "
+                f"file(s) (e.g. {conflict[0]!r}) — a concurrent "
+                "compact/delete superseded the snapshot; re-run "
+                "delete_where on the new snapshot")
+        return n_deleted
+
     def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files not referenced by the LATEST snapshot plus
         all superseded manifest versions; returns files removed.  This is

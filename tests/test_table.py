@@ -1073,3 +1073,58 @@ class TestDeleteWhere:
         # sidecar clustering still pinned; a follow-up write works
         t.write(rows_df(spark, [T0 + DAY + i for i in range(3)]))
         assert t.scan().count() == 17
+
+
+class TestUpdateWhere:
+    """Copy-on-write row-level UPDATE (r16): shares delete_where's
+    machinery — affected-file rewrite, CAS flip, race abort."""
+
+    def make(self, spark, tmp_home, name="tupd"):
+        return Table.create(spark, make_schema(name), home=tmp_home,
+                            manifest=True)
+
+    def test_update_assignments_and_isolation(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        v_pre = t._latest_head()[0]
+        n = t.update_where("price >= 4.0",
+                           {"sym": "'REDACTED'", "size": "size * 2"})
+        assert n == 3
+        assert t.row_count == 6               # updates keep the count
+        rows = {r.price: (r.sym, r.size)
+                for r in t.scan().collect()}
+        assert rows[1.0] == ("AAPL", 10) and rows[3.0] == ("AAPL", 10)
+        assert rows[4.0] == ("REDACTED", 20)
+        assert rows[6.0] == ("REDACTED", 20)
+        # pre-update snapshot is the audit trail
+        old = {r.price: r.sym for r in t.snapshot(v_pre).collect()}
+        assert old[6.0] == "AAPL"
+
+    def test_update_column_expression_sees_old_row(self, spark,
+                                                   tmp_home):
+        from pyspark.sql import functions as F
+
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        n = t.update_where(F.col("price") > 1.5,
+                           {"price": F.col("price") + 100.0})
+        assert n == 1
+        assert sorted(r.price for r in t.scan().collect()) == \
+            [1.0, 102.0]
+
+    def test_guarded_columns_and_unknown(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        with pytest.raises(ValueError, match="cannot assign"):
+            t.update_where("price > 0", {"ts": "ts + 1"})
+        with pytest.raises(ValueError, match="cannot assign"):
+            t.update_where("price > 0", {"dt": "'2020-01-01'"})
+        with pytest.raises(KeyError, match="unknown column"):
+            t.update_where("price > 0", {"nope": "1"})
+
+    def test_no_match_is_noop(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        v = t._latest_head()[0]
+        assert t.update_where("price > 1e9", {"sym": "'X'"}) == 0
+        assert t._latest_head()[0] == v

@@ -915,9 +915,37 @@ class Table:
         for pruning).  Manifest tables only: listing mode has no
         snapshot to isolate against (use manifest=True, or filter at
         read)."""
+        return self._rewrite_where(condition, "delete", None)
+
+    def update_where(self, condition,
+                     assignments: dict[str, object]) -> int:
+        """Row-level UPDATE as copy-on-write (r16): rows where
+        ``condition`` evaluates TRUE get ``assignments`` applied
+        (column name → Column expression or SQL string, evaluated
+        against the OLD row); all other rows pass through unchanged.
+        Returns the number of rows updated.  Same machinery, isolation
+        guarantees, and race-abort contract as ``delete_where`` — the
+        in-place dataset-repair workflow (e.g. redact a PII column
+        across a 100 TB table by rewriting only the files that contain
+        matches).  The timestamp and partition columns cannot be
+        assigned (a row may not move between partitions or break the
+        ordering contract — delete + re-append for that)."""
+        ts = self.schema.ts_col
+        for col in assignments:
+            if col in (ts, "dt"):
+                raise ValueError(
+                    f"update_where cannot assign {col!r}: rows may "
+                    "not move between partitions or reorder — "
+                    "delete_where + write() instead")
+            if col not in {c.name for c in self.schema.columns}:
+                raise KeyError(f"update_where: unknown column {col!r}")
+        return self._rewrite_where(condition, "update", assignments)
+
+    def _rewrite_where(self, condition, mode: str,
+                       assignments: dict[str, object] | None) -> int:
         if not self._meta.manifest:
             raise ValueError(
-                "delete_where() requires a manifest=True table "
+                f"{mode}_where() requires a manifest=True table "
                 "(copy-on-write needs snapshot isolation); filter at "
                 "read, or recreate the table with manifest=True")
         import urllib.parse
@@ -954,9 +982,24 @@ class Table:
 
         affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
         n_deleted = sum(affected.values())
-        # survivors: NOT(cond IS TRUE) — NULL evaluations keep rows
-        survivors = (read_files(sorted(affected))
-                     .where(~cond.eqNullSafe(F.lit(True))))
+        if mode == "delete":
+            # survivors: NOT(cond IS TRUE) — NULL evaluations keep rows
+            survivors = (read_files(sorted(affected))
+                         .where(~cond.eqNullSafe(F.lit(True))))
+        else:
+            # update: pass every row through, assignments under the
+            # TRUE branch only (NULL evaluations keep the old value)
+            base = read_files(sorted(affected))
+            hit = cond.eqNullSafe(F.lit(True))
+
+            def assigned(c: str):
+                a = assignments[c]
+                expr = F.expr(a) if isinstance(a, str) else a
+                return F.when(hit, expr).otherwise(F.col(c)).alias(c)
+
+            survivors = base.select(*[
+                assigned(c) if c in assignments else F.col(c)
+                for c in base.columns])
         ts = self.schema.ts_col
         out, sort_cols, zkeyed = self._clustering(survivors, None, ts)
         out = (out.repartitionByRange(max(len(affected), 1), *sort_cols)
@@ -998,8 +1041,9 @@ class Table:
                 return None
             files = [f for f in doc["files"]
                      if f not in affected] + moved
-            return {**doc, "files": files,
-                    "row_count": doc["row_count"] - n_deleted}
+            rc = doc["row_count"] - (n_deleted if mode == "delete"
+                                     else 0)
+            return {**doc, "files": files, "row_count": rc}
 
         if self._commit_manifest(flip) is None:
             for f in moved:             # our rewrites are now orphans
@@ -1008,10 +1052,10 @@ class Table:
                 except OSError:
                     pass
             raise RuntimeError(
-                f"delete_where lost a rewrite race on {len(conflict)} "
+                f"{mode}_where lost a rewrite race on {len(conflict)} "
                 f"file(s) (e.g. {conflict[0]!r}) — a concurrent "
-                "compact/delete superseded the snapshot; re-run "
-                "delete_where on the new snapshot")
+                "rewrite superseded the snapshot; re-run "
+                f"{mode}_where on the new snapshot")
         return n_deleted
 
     def vacuum(self, grace_seconds: float = 600.0) -> int:

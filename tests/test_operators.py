@@ -3284,6 +3284,70 @@ class TestMp4Probe:
         # clusterless fixture (the r13 shape): empty sample table
         assert webm_sample_table(webm_encode(8, 8, 1.0)) == (1000, [])
 
+    def test_webm_offsets_share_the_lacing_refusal(self):
+        """r16 review: the offsets walker must refuse laced blocks
+        exactly like the table walker (one shared parser)."""
+        import struct as _s
+
+        import pytest
+
+        from zdb_spark.operators.multimodal import _ebml_elem as elem
+        from zdb_spark.operators.multimodal import (webm_sample_offsets,
+                                                    webm_sample_table)
+
+        header = elem(0x1A45DFA3, elem(0x4282, b"webm"))
+        laced = elem(0x1F43B675, elem(0xE7, b"\x00") + elem(
+            0xA3, b"\x81" + _s.pack(">h", 0) + b"\x02" + b"xx"))
+        blob = header + elem(0x18538067, elem(
+            0x1549A966, elem(0x2AD7B1, (1_000_000).to_bytes(4, "big")))
+            + laced)
+        for fn in (webm_sample_table, webm_sample_offsets):
+            with pytest.raises(ValueError, match="laced"):
+                fn(blob)
+
+    def test_webm_encode_rel_timestamp_overflow_is_loud(self):
+        import pytest
+
+        from zdb_spark.operators.multimodal import webm_encode
+
+        with pytest.raises(ValueError, match="int16"):
+            webm_encode(8, 8, 60.0, cluster_every_ms=60000,
+                        frames=[(0, True, b"a"), (40000, True, b"b")])
+
+    def test_mp4_truncated_chunk_boxes_are_loud(self):
+        """r16 review: stsc/stco header reads must raise the module's
+        ValueError, never struct.error, on sub-8-byte boxes."""
+        import struct as _s
+
+        import pytest
+
+        from zdb_spark.operators.multimodal import _mp4_box as box
+        from zdb_spark.operators.multimodal import (mp4_encode,
+                                                    mp4_sample_offsets)
+
+        # hand-assembled container with a 6-byte stsc payload (box
+        # sizes stay consistent — a byte-replace would corrupt the
+        # enclosing sizes and fail elsewhere)
+        ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0x200) + b"isom")
+        mvhd = box(b"mvhd", _s.pack(">B3x4I", 0, 0, 0, 1000, 1000)
+                   + b"\x00" * 80)
+        tkhd = box(b"tkhd", _s.pack(">B3x", 0) + b"\x00" * 72
+                   + _s.pack(">II", 8 << 16, 8 << 16))
+        mdhd = box(b"mdhd", _s.pack(">B3x4I2H", 0, 0, 0, 1000, 1000,
+                                    0x55C4, 0))
+        hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
+                   + b"V\x00")
+        stts = box(b"stts", _s.pack(">B3xI", 0, 1)
+                   + _s.pack(">II", 1, 1))
+        stsz = box(b"stsz", _s.pack(">B3xII", 0, 0, 1)
+                   + _s.pack(">I", 2))
+        stbl = box(b"stbl", stts + stsz + box(b"stsc", b"\x00" * 6))
+        trak = box(b"trak", tkhd + box(
+            b"mdia", mdhd + hdlr + box(b"minf", stbl)))
+        blob = ftyp + box(b"moov", mvhd + trak) + box(b"mdat", b"ab")
+        with pytest.raises(ValueError, match="stsc cut short"):
+            mp4_sample_offsets(blob)
+
     def test_webm_frame_samples_policies(self, spark):
         from zdb_spark.operators.multimodal import (webm_encode,
                                                     webm_frame_samples)

@@ -1128,3 +1128,34 @@ class TestUpdateWhere:
         v = t._latest_head()[0]
         assert t.update_where("price > 1e9", {"sym": "'X'"}) == 0
         assert t._latest_head()[0] == v
+
+
+class TestCompactRewriteRace:
+    """r16 review finding: compact's flip must not resurrect rows a
+    concurrent delete_where removed (the symmetric guard to
+    delete_where's own abort)."""
+
+    def test_compact_aborts_when_delete_wins(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("tcr"), home=tmp_home,
+                         manifest=True)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        orig = t._commit_manifest
+
+        def racing(update_fn, max_retries=200):
+            t2 = Table.open(spark, "tcr", home=tmp_home)
+            assert t2.delete_where("price >= 4.0") == 3
+            t._commit_manifest = orig
+            return orig(update_fn, max_retries)
+
+        t._commit_manifest = racing
+        with pytest.raises(RuntimeError, match="compact lost"):
+            t.compact(target_file_mb=1)
+        # the delete survived; nothing resurrected, no duplicates
+        t3 = Table.open(spark, "tcr", home=tmp_home)
+        assert t3.scan().count() == 3
+        assert t3.row_count == 3
+        assert sorted(r.price for r in t3.scan().collect()) == \
+            [1.0, 2.0, 3.0]
+        # compact re-run on the new snapshot succeeds
+        assert t3.compact(target_file_mb=1) >= 1
+        assert t3.scan().count() == 3

@@ -38,7 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _hashes(spark, n: int):
-    """n splitmix64-mixed fingerprints + a 2% near-dup tail."""
+    """n splitmix64-mixed fingerprints + a 2% near-dup tail at
+    hamming EXACTLY 1/2/3 (cycling by id): the sibling XORs a run of
+    1..3 adjacent bits at a per-id position, so the probe's recall
+    claim covers the full ball the knobs trade over — not just
+    distance 1 (r16 review fix)."""
     from pyspark.sql import functions as F
 
     def mix(col):
@@ -48,12 +52,14 @@ def _hashes(spark, n: int):
 
     base = spark.range(0, n).select(
         F.col("id"), mix(F.col("id")).alias("hash"))
-    # 2% of rows get a sibling at hamming<=3: flip up to 3 planted bits
+    # mask = (2^nbits - 1) << pos with nbits in 1..3, pos in 0..57 —
+    # adjacent distinct bits, no cancellation, distance == nbits
+    mask = ("shiftleft(cast(shiftleft(1L, "
+            "1 + cast((id div 50) % 3 as int)) - 1 as long), "
+            "cast(id % 58 as int))")
     sib = (base.where(F.col("id") % 50 == 0)
            .select((F.col("id") + n).alias("id"),
-                   F.col("hash")
-                   .bitwiseXOR(F.expr(
-                       "shiftleft(1L, cast(id % 60 as int))"))
+                   F.col("hash").bitwiseXOR(F.expr(mask))
                    .alias("hash")))
     return base.unionByName(sib)
 

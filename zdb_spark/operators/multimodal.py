@@ -1840,6 +1840,8 @@ def mp4_sample_table(
         if mdhd is None:
             raise ValueError("mp4 video trak has no mdhd")
         ha, hb = mdhd
+        if ha >= hb:
+            raise ValueError("truncated mp4: mdhd box is empty")
         if payload[ha] == 1:
             if ha + 24 > hb:
                 raise ValueError("truncated mp4: mdhd v1 cut short")
@@ -1916,7 +1918,9 @@ def mp4_sample_table(
     raise ValueError("mp4 has no video trak")
 
 
-def mp4_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
+def mp4_sample_offsets(payload: bytes, *,
+                       _table: tuple | None = None
+                       ) -> list[tuple[int, int, int]]:
     """Per-sample BYTE LOCATIONS of the video trak: [(sample_idx,
     file_offset, size), ...] from stsc (sample-to-chunk runs,
     §8.7.4) + stco/co64 (chunk offsets, §8.7.5) + stsz sizes — the
@@ -1925,8 +1929,12 @@ def mp4_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
     shipping half of frame sampling: select keyframes by metadata,
     slice their coded bytes, hand them to a downstream (GPU/ffmpeg)
     decode stage.  Loud on missing/inconsistent boxes; requires a
-    real per-sample stsz (constant-size works too, -1 sizes don't)."""
-    tts, samples = mp4_sample_table(payload)
+    real per-sample stsz (constant-size works too, -1 sizes don't).
+    ``_table`` lets a caller that already ran ``mp4_sample_table``
+    pass its result so the hot path (``mp4_frame_samples`` with
+    bytes) expands the index once per blob, not twice."""
+    tts, samples = _table if _table is not None \
+        else mp4_sample_table(payload)
     n = len(samples)
     if any(s[2] < 0 for s in samples):
         raise ValueError("mp4 has no stsz — sample byte extraction "
@@ -1948,6 +1956,8 @@ def mp4_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
         if not stsc:
             raise ValueError("mp4 video trak has no stsc")
         ca, cb = stsc
+        if ca + 8 > cb:
+            raise ValueError("truncated mp4: stsc cut short")
         n_runs = struct.unpack(">I", payload[ca + 4:ca + 8])[0]
         if ca + 8 + 12 * n_runs > cb:
             raise ValueError("truncated mp4: stsc cut short")
@@ -1959,6 +1969,8 @@ def mp4_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
         co64 = stbl and _mp4_find(payload, stbl[0], stbl[1], b"co64")
         if stco:
             oa, ob = stco
+            if oa + 8 > ob:
+                raise ValueError("truncated mp4: stco cut short")
             n_chunks = struct.unpack(">I", payload[oa + 4:oa + 8])[0]
             if oa + 8 + 4 * n_chunks > ob:
                 raise ValueError("truncated mp4: stco cut short")
@@ -1967,6 +1979,8 @@ def mp4_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
                 for i in range(n_chunks)]
         elif co64:
             oa, ob = co64
+            if oa + 8 > ob:
+                raise ValueError("truncated mp4: co64 cut short")
             n_chunks = struct.unpack(">I", payload[oa + 4:oa + 8])[0]
             if oa + 8 + 8 * n_chunks > ob:
                 raise ValueError("truncated mp4: co64 cut short")
@@ -2052,7 +2066,8 @@ def mp4_frame_samples(df: DataFrame, blob_col: str = "blob",
                 locs = {}
                 if with_bytes:
                     locs = {idx: (off, sz) for idx, off, sz
-                            in mp4_sample_offsets(data)}
+                            in mp4_sample_offsets(
+                                data, _table=(tts, samples))}
                 if keyframes_only:
                     samples = [s for s in samples if s[3]]
                 samples = samples[::every_nth]
@@ -2260,6 +2275,14 @@ def webm_encode(width: int, height: int, duration_s: float,
                             "big")) + blocks)
                 cluster_ts, blocks = t_ms, b""
             rel = t_ms - cluster_ts
+            if rel > 0x7FFF:
+                # Matroska block relative timestamps are int16 — this
+                # is WHY real muxers cap cluster spans; a silent wrap
+                # would corrupt every downstream block time
+                raise ValueError(
+                    f"webm_encode: relative timestamp {rel} overflows "
+                    "the int16 block field — lower cluster_every_ms "
+                    "below 32768 (or tighten the frame spacing)")
             blocks += _ebml_elem(
                 0xA3, b"\x81" + struct.pack(">h", rel)
                 + bytes([0x80 if key else 0x00]) + payload)
@@ -2272,19 +2295,16 @@ def webm_encode(width: int, height: int, duration_s: float,
     return header + seg
 
 
-def webm_sample_table(
-        payload: bytes) -> tuple[int, list[tuple[int, int, int, bool]]]:
-    """Per-frame metadata of a Matroska/WebM stream by REAL EBML
-    element parsing — the ISO BMFF ``mp4_sample_table`` counterpart:
-    ``(timescale_units_per_sec, [(idx, t_units, size, keyframe),
-    ...])``.  Walks Segment → Cluster → SimpleBlock: block time =
-    cluster Timestamp + the block's int16 relative timestamp (in
-    TimestampScale units — default 1e6 ns = 1 ms, so the returned
-    timescale is 1e9/TimestampScale units per second); keyframe from
-    the SimpleBlock 0x80 flag (BlockGroups: keyframe iff no
-    ReferenceBlock); size is the coded frame length after the block
-    header.  Laced blocks are refused loudly (crawl triage reads
-    timing/keyframes; lacing is an audio-packing concern)."""
+def _webm_blocks_full(
+        payload: bytes
+) -> tuple[int, list[tuple[int, int, int, bool, int]]]:
+    """ONE EBML walk producing everything the sampling surface needs:
+    ``(timescale_units_per_sec, [(idx, t_units, size, keyframe,
+    data_offset), ...])`` — the single source of block-parsing truth
+    shared by ``webm_sample_table`` / ``webm_sample_offsets`` /
+    ``webm_frame_samples`` (r16 review: a second independent parser
+    had silently skipped the lacing refusal, and the bytes path was
+    walking the stream twice)."""
     if payload[:4] != b"\x1aE\xdf\xa3":
         raise ValueError("not an EBML stream (bad magic)")
     seg = None
@@ -2303,7 +2323,7 @@ def webm_sample_table(
     if tscale <= 0 or 10**9 % tscale:
         raise ValueError(f"webm TimestampScale {tscale} does not "
                          "divide 1e9 — refusing lossy unit math")
-    samples: list[tuple[int, int, int, bool]] = []
+    samples: list[tuple[int, int, int, bool, int]] = []
     for eid, ca, cb in _ebml_walk(payload, seg[0], seg[1]):
         if eid != 0x1F43B675:                  # Cluster
             continue
@@ -2335,40 +2355,36 @@ def webm_sample_table(
                 key = (bool(flags & 0x80) if group_key is None
                        else group_key)
                 samples.append((len(samples), cts + rel,
-                                xb - (pos + 3), key))
+                                xb - (pos + 3), key, pos + 3))
     return 10**9 // tscale, samples
+
+
+def webm_sample_table(
+        payload: bytes) -> tuple[int, list[tuple[int, int, int, bool]]]:
+    """Per-frame metadata of a Matroska/WebM stream by REAL EBML
+    element parsing — the ISO BMFF ``mp4_sample_table`` counterpart:
+    ``(timescale_units_per_sec, [(idx, t_units, size, keyframe),
+    ...])``.  Walks Segment → Cluster → SimpleBlock: block time =
+    cluster Timestamp + the block's int16 relative timestamp (in
+    TimestampScale units — default 1e6 ns = 1 ms, so the returned
+    timescale is 1e9/TimestampScale units per second); keyframe from
+    the SimpleBlock 0x80 flag (BlockGroups: keyframe iff no
+    ReferenceBlock); size is the coded frame length after the block
+    header.  Laced blocks are refused loudly (crawl triage reads
+    timing/keyframes; lacing is an audio-packing concern)."""
+    tscale, full = _webm_blocks_full(payload)
+    return tscale, [(i, t, sz, k) for i, t, sz, k, _off in full]
 
 
 def webm_sample_offsets(payload: bytes) -> list[tuple[int, int, int]]:
     """Per-frame BYTE LOCATIONS: [(idx, offset, size), ...] of each
     block's coded bytes inside the stream — the webm counterpart of
     ``mp4_sample_offsets`` (trivial here: Matroska frames live inline
-    after their block header, no chunk indirection)."""
-    if payload[:4] != b"\x1aE\xdf\xa3":
-        raise ValueError("not an EBML stream (bad magic)")
-    out: list[tuple[int, int, int]] = []
-    for eid, a, b in _ebml_walk(payload, 0, len(payload)):
-        if eid != 0x18538067:
-            continue
-        for cid, ca, cb in _ebml_walk(payload, a, b):
-            if cid != 0x1F43B675:
-                continue
-            for bid, ba, bb in _ebml_walk(payload, ca, cb):
-                if bid == 0xA3:
-                    xa, xb = ba, bb
-                elif bid == 0xA0:
-                    blk = _ebml_find(payload, ba, bb, 0xA1)
-                    if blk is None:
-                        continue
-                    xa, xb = blk
-                else:
-                    continue
-                _tn, pos = _ebml_vint(payload, xa, keep_marker=False,
-                                      end=xb)
-                if pos + 3 > xb:
-                    raise ValueError("webm: block header cut short")
-                out.append((len(out), pos + 3, xb - (pos + 3)))
-    return out
+    after their block header, no chunk indirection).  Same parser as
+    ``webm_sample_table``, so laced/truncated blocks refuse loudly
+    here too."""
+    _tscale, full = _webm_blocks_full(payload)
+    return [(i, off, sz) for i, _t, sz, _k, off in full]
 
 
 def webm_frame_samples(df: DataFrame, blob_col: str = "blob",
@@ -2397,21 +2413,16 @@ def webm_frame_samples(df: DataFrame, blob_col: str = "blob",
                 if payload is None:
                     continue
                 data = bytes(payload)
-                tscale, samples = webm_sample_table(data)
-                locs = {}
-                if with_bytes:
-                    locs = {idx: (off, sz) for idx, off, sz
-                            in webm_sample_offsets(data)}
+                tscale, full = _webm_blocks_full(data)   # ONE walk
                 if keyframes_only:
-                    samples = [s for s in samples if s[3]]
-                samples = samples[::every_nth]
+                    full = [s for s in full if s[3]]
+                full = full[::every_nth]
                 if max_frames is not None:
-                    samples = samples[:max_frames]
-                for idx, t_units, size, key in samples:
+                    full = full[:max_frames]
+                for idx, t_units, size, key, off in full:
                     row = (int(i), idx, t_units, tscale, size, key)
                     if with_bytes:
-                        off, sz = locs[idx]
-                        row += (bytearray(data[off:off + sz]),)
+                        row += (bytearray(data[off:off + size]),)
                     rows.append(row)
             yield pd.DataFrame(rows, columns=cols)
 

@@ -1283,6 +1283,8 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
     import shutil
     import socket
 
+    import uuid as _uuid
+
     lock = path + ".growlock"
     me = {"pid": os.getpid(), "host": socket.gethostname()}
     for attempt in range(2):
@@ -1308,7 +1310,22 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
                     f"(owner {holder or 'unknown'}); concurrent "
                     "growth is unsupported — wait for it, or remove "
                     "the lock manually if that grower is dead")
-            shutil.rmtree(lock, ignore_errors=True)
+            # ATOMIC steal (r16 review): rename the stale lock aside —
+            # exactly one of N concurrent recoverers wins the rename
+            # and proceeds to re-acquire; the losers' renames fail and
+            # they see the winner's fresh lock as live contention.  A
+            # check-then-rmtree steal here would let a second
+            # recoverer delete the winner's just-acquired lock — the
+            # precise two-grower hole the lock exists to close.
+            grave = f"{lock}.stale.{_uuid.uuid4().hex}"
+            try:
+                os.rename(lock, grave)
+            except OSError:
+                raise OSError(
+                    f"grow_bloom_store: another grower is recovering "
+                    f"{lock} concurrently; retry after it finishes"
+                ) from None
+            shutil.rmtree(grave, ignore_errors=True)
     else:
         raise OSError(f"grow_bloom_store: could not acquire {lock}")
     try:

@@ -881,6 +881,30 @@ class Table:
         return (self.spark.read.option("basePath", p)
                 .parquet(*[os.path.join(p, f) for f in files]))
 
+    def _land_staging(self, staging: str, src: str) -> list[str]:
+        """Move staged ``dt=*/part`` files into the live tree and
+        return their manifest-relative paths — the ONE copy of the
+        rewrite-landing rules (unique part names alongside the old
+        files, hidden files skipped, staging removed), shared by
+        ``compact()`` and ``_rewrite_where`` so a future change to
+        the landing semantics cannot silently miss one of them (r16
+        review finding)."""
+        moved: list[str] = []
+        for dt_dir in os.listdir(staging):
+            sdir = os.path.join(staging, dt_dir)
+            if not (os.path.isdir(sdir) and dt_dir.startswith("dt=")):
+                continue
+            ddir = os.path.join(src, dt_dir)
+            os.makedirs(ddir, exist_ok=True)
+            for fname in os.listdir(sdir):
+                if fname.startswith(("_", ".")):
+                    continue
+                os.replace(os.path.join(sdir, fname),
+                           os.path.join(ddir, fname))
+                moved.append(f"{dt_dir}/{fname}")
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
     def delete_where(self, condition) -> int:
         """Row-level DELETE as copy-on-write (r16 — the GDPR /
         right-to-be-forgotten workflow the reference never needed;
@@ -1012,20 +1036,7 @@ class Table:
                                    self._meta.compression)
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         writer.partitionBy("dt").parquet(staging)
-        moved: list[str] = []
-        for dt_dir in os.listdir(staging):
-            sdir = os.path.join(staging, dt_dir)
-            if not (os.path.isdir(sdir) and dt_dir.startswith("dt=")):
-                continue
-            ddir = os.path.join(src, dt_dir)
-            os.makedirs(ddir, exist_ok=True)
-            for fname in os.listdir(sdir):
-                if fname.startswith(("_", ".")):
-                    continue
-                os.replace(os.path.join(sdir, fname),
-                           os.path.join(ddir, fname))
-                moved.append(f"{dt_dir}/{fname}")
-        shutil.rmtree(staging, ignore_errors=True)
+        moved = self._land_staging(staging, src)
 
         conflict: list[str] = []
 
@@ -1398,20 +1409,7 @@ class Table:
 
             staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
             writer.partitionBy("dt").parquet(staging)
-            moved: list[str] = []
-            for dt_dir in os.listdir(staging):
-                sdir = os.path.join(staging, dt_dir)
-                if not (os.path.isdir(sdir) and dt_dir.startswith("dt=")):
-                    continue
-                ddir = os.path.join(src, dt_dir)
-                os.makedirs(ddir, exist_ok=True)
-                for fname in os.listdir(sdir):
-                    if fname.startswith(("_", ".")):
-                        continue
-                    os.replace(os.path.join(sdir, fname),
-                               os.path.join(ddir, fname))
-                    moved.append(f"{dt_dir}/{fname}")
-            shutil.rmtree(staging, ignore_errors=True)
+            moved = self._land_staging(staging, src)
             # CAS flip, REPLACING only the snapshot we compacted: batches
             # committed while the rewrite job ran are in (latest − base)
             # and must survive — without this a concurrent append's files
@@ -1419,12 +1417,37 @@ class Table:
             # them).  The CAS loop re-reads the latest doc on conflict,
             # so an append that wins a version mid-flip is preserved.
             base_set = set(base_files)
+            conflict: list[str] = []
 
-            def flip(doc: dict) -> dict:
-                survivors = [f for f in doc["files"] if f not in base_set]
+            def flip(doc: dict) -> dict | None:
+                # Symmetric guard to _rewrite_where's (r16 review): if
+                # a concurrent delete_where/update_where superseded a
+                # base file, committing our compacted copy of its OLD
+                # rows would RESURRECT deleted rows (and duplicate the
+                # survivors that writer rewrote).  Appends only ADD
+                # files, so every base file still present means no
+                # rewrite won — safe; anything missing means abort and
+                # let the caller re-run on the new snapshot.
+                present = set(doc["files"])
+                missing = [f for f in base_set if f not in present]
+                if missing:
+                    conflict.extend(missing)
+                    return None
+                survivors = [f for f in doc["files"]
+                             if f not in base_set]
                 return {**doc, "files": moved + survivors}
 
-            self._commit_manifest(flip)
+            if self._commit_manifest(flip) is None:
+                for f in moved:       # our rewrites are now orphans
+                    try:
+                        os.unlink(os.path.join(src, f))
+                    except OSError:
+                        pass
+                raise RuntimeError(
+                    f"compact lost a rewrite race on {len(conflict)} "
+                    f"file(s) (e.g. {conflict[0]!r}) — a concurrent "
+                    "delete_where/update_where superseded the "
+                    "snapshot; re-run compact on the new snapshot")
             return n_parts
 
         tmp = src + ".compacting"

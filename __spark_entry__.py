@@ -5208,21 +5208,25 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STAGED for r17 registration (r16's green-age window is exactly
     full — the url_dedup r14->r15 staging precedent): copy-on-write
-    row-level DELETE end-to-end (table.py:delete_where — the GDPR
-    workflow; manifest snapshot isolation, affected-file-only rewrite,
-    CAS flip, audit trail via time travel).  A manifest table is built
-    from events ONCE (scratch + atomic rename, keyed on the testdata
-    fingerprint), the error-type low-value rows are DELETED, and the
-    steady-state gate is a read-only scan aggregate of the post-delete
-    table — idempotent across runs.  Oracle: the same aggregate over
-    events excluding the deleted predicate (_STAGED_R17_ORACLES)."""
+    row-level DELETE **and UPDATE** end-to-end (table.py:delete_where /
+    update_where — the GDPR and in-place-repair workflows; manifest
+    snapshot isolation, affected-file-only rewrite, CAS flip, audit
+    trail via time travel).  A manifest table is built from events
+    ONCE (scratch + atomic rename, keyed on the testdata fingerprint),
+    the error-type low-value rows are DELETED, the remaining
+    error-type rows are RELABELED by an update (event_type ->
+    'error_hi', value halved — both assignments evaluated against the
+    old row), and the steady-state gate is a read-only scan aggregate
+    of the post-rewrite table — idempotent across runs.  Oracle: the
+    same aggregates over events with the delete predicate excluded
+    and the update applied in SQL (_STAGED_R17_ORACLES)."""
     import shutil
     import tempfile
 
     from zdb_spark.schema import ColumnType, PartitionBy, Schema
     from zdb_spark.table import Table
 
-    key = _key_for(sf_dir, "table-delete-v1", ("events",))
+    key = _key_for(sf_dir, "table-delete-v3", ("events",))
     root = os.path.join(tempfile.gettempdir(), "zdb_table_delete", key)
     home = os.path.join(root, "home")
     schema = (Schema("events_del")
@@ -5239,7 +5243,10 @@ def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("ts", "event_id", "user_id", "event_type",
                       "value"))
         t.write(ev, enforce_order=False)
-        t.delete_where("event_type = 'error' AND value < 300.0")
+        t.delete_where("event_type = 'error' AND value < 100.0")
+        t.update_where("event_type = 'error'",
+                       {"event_type": "'error_hi'",
+                        "value": "value / 2.0"})
         os.makedirs(os.path.dirname(home), exist_ok=True)
         os.rename(scratch, home)
     t = Table.open(spark, "events_del", home=home)
@@ -5256,11 +5263,17 @@ def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern.
 _STAGED_R17_ORACLES: dict[str, str] = {
     "table_delete": """
+        WITH kept AS (
+            SELECT CASE WHEN event_type = 'error' THEN 'error_hi'
+                        ELSE event_type END AS event_type,
+                   CASE WHEN event_type = 'error' THEN value / 2.0
+                        ELSE value END AS value
+            FROM events
+            WHERE NOT (event_type = 'error' AND value < 100.0)
+        )
         SELECT event_type, count(*) AS n_events,
                round(sum(value), 4) AS sum_value
-        FROM events
-        WHERE NOT (event_type = 'error' AND value < 300.0)
-        GROUP BY 1
+        FROM kept GROUP BY 1
     """,
 }
 

@@ -224,12 +224,18 @@ class TestStagedTableDelete:
         ev = spark.read.parquet(f"{sf}/events.parquet")
         want = {r.event_type: (r.n, r.s) for r in
                 (ev.where("NOT (event_type = 'error' "
-                          "AND value < 300.0)")
+                          "AND value < 100.0)")
+                 .selectExpr(
+                     "CASE WHEN event_type = 'error' THEN 'error_hi' "
+                     "ELSE event_type END AS event_type",
+                     "CASE WHEN event_type = 'error' THEN value / 2.0 "
+                     "ELSE value END AS value")
                  .groupBy("event_type")
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.round(F.sum("value"), 4).alias("s"))
                  .collect())}
         assert got == want
+        assert "error" not in got and "error_hi" in got
         assert "table_delete" in entry._STAGED_R17_ORACLES
         # staged means NOT registered yet
         assert "table_delete" not in entry.queries()

@@ -5264,12 +5264,21 @@ def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAGED_R17_ORACLES: dict[str, str] = {
     "table_delete": """
         WITH kept AS (
-            SELECT CASE WHEN event_type = 'error' THEN 'error_hi'
+            -- NOT coalesce(..., false) mirrors delete_where's kept-row
+            -- rule (~cond.eqNullSafe(TRUE)): a NULL evaluation keeps
+            -- its row — SQL DELETE semantics (r16 review pass 2; the
+            -- fixtures carry no NULLs today, but the oracle must not
+            -- diverge the day they do).  The update CASE mirrors
+            -- update_where the same way: only cond IS TRUE rewrites.
+            SELECT CASE WHEN coalesce(event_type = 'error', false)
+                        THEN 'error_hi'
                         ELSE event_type END AS event_type,
-                   CASE WHEN event_type = 'error' THEN value / 2.0
+                   CASE WHEN coalesce(event_type = 'error', false)
+                        THEN value / 2.0
                         ELSE value END AS value
             FROM events
-            WHERE NOT (event_type = 'error' AND value < 100.0)
+            WHERE NOT coalesce(event_type = 'error'
+                               AND value < 100.0, false)
         )
         SELECT event_type, count(*) AS n_events,
                round(sum(value), 4) AS sum_value

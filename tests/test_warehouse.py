@@ -223,8 +223,8 @@ class TestStagedTableDelete:
 
         ev = spark.read.parquet(f"{sf}/events.parquet")
         want = {r.event_type: (r.n, r.s) for r in
-                (ev.where("NOT (event_type = 'error' "
-                          "AND value < 100.0)")
+                (ev.where("NOT coalesce(event_type = 'error' "
+                          "AND value < 100.0, false)")
                  .selectExpr(
                      "CASE WHEN event_type = 'error' THEN 'error_hi' "
                      "ELSE event_type END AS event_type",

@@ -1277,7 +1277,15 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
     the SAME host is stolen when its recorded pid is dead; across
     hosts (shared filesystem) pid liveness is meaningless, so a
     foreign-host lock is never stolen — remove it manually after
-    confirming the grower died.  Readers ignore the lock entirely."""
+    confirming the grower died.  Readers ignore the lock entirely.
+    Steal protocol: rename-aside (one winner) + owner re-validation
+    with restore-on-mismatch, so a stalled recoverer can neither
+    delete nor keep a LIVE grower's lock; the residual window
+    (recoverer pauses between liveness check and rename while the
+    winner completes steal+reacquire+crash+third-party-mkdir) needs
+    three interleaved failures inside microseconds and is accepted —
+    directory locks without fencing tokens cannot close it, and the
+    flip itself remains reader-healable either way."""
     import json
     import os
     import shutil
@@ -1296,8 +1304,8 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
             try:
                 with open(os.path.join(lock, "owner.json")) as fh:
                     holder = json.load(fh)
-            except OSError:
-                pass                # owner file not landed yet / gone
+            except (OSError, ValueError):
+                pass    # owner file not landed yet / gone / mid-write
             stale = False
             if holder.get("host") == me["host"] and attempt == 0:
                 try:
@@ -1325,6 +1333,26 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
                     f"grow_bloom_store: another grower is recovering "
                     f"{lock} concurrently; retry after it finishes"
                 ) from None
+            # TOCTOU closure (second review pass): a recoverer that
+            # stalled between its liveness check and its rename could
+            # have renamed the WINNER'S fresh live lock, not the stale
+            # one it observed.  Re-validate the captured dir: if its
+            # owner is not the dead holder we checked, put it back and
+            # report contention — never destroy a live grower's lock.
+            taken: dict = {}
+            try:
+                with open(os.path.join(grave, "owner.json")) as fh:
+                    taken = json.load(fh)
+            except (OSError, ValueError):
+                pass
+            if taken != holder:
+                try:
+                    os.rename(grave, lock)   # restore the live lock
+                except OSError:
+                    shutil.rmtree(grave, ignore_errors=True)
+                raise OSError(
+                    f"grow_bloom_store: lost the {lock} recovery race "
+                    "to a live grower; retry after it finishes")
             shutil.rmtree(grave, ignore_errors=True)
     else:
         raise OSError(f"grow_bloom_store: could not acquire {lock}")

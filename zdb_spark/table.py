@@ -905,6 +905,48 @@ class Table:
         shutil.rmtree(staging, ignore_errors=True)
         return moved
 
+    def _flip_replacing(self, replaced: set[str], moved: list[str],
+                        src: str, op_name: str,
+                        row_count_delta: int = 0) -> None:
+        """CAS-flip a file-set rewrite: every path in ``replaced``
+        leaves the manifest, ``moved`` enters, row_count adjusts by
+        ``row_count_delta`` — the ONE copy of the supersede-guard +
+        abort protocol shared by ``compact()`` and ``_rewrite_where``
+        (r16 review pass 2).  If ANY replaced file was already
+        superseded by a concurrent rewrite, committing our copy of its
+        OLD rows would resurrect rows that writer removed (and
+        duplicate the ones it kept), so the flip aborts loudly: our
+        landed rewrites are unlinked (they were never
+        manifest-committed) and the caller re-runs on the new
+        snapshot.  Concurrent APPENDS only add files, so every
+        replaced file still present means no rewrite won — safe; the
+        CAS loop re-reads the latest doc on version conflicts, so an
+        append that wins a version mid-flip is preserved."""
+        conflict: list[str] = []
+
+        def flip(doc: dict) -> dict | None:
+            present = set(doc["files"])
+            missing = [f for f in replaced if f not in present]
+            if missing:
+                conflict.extend(missing)
+                return None
+            files = [f for f in doc["files"]
+                     if f not in replaced] + moved
+            return {**doc, "files": files,
+                    "row_count": doc["row_count"] + row_count_delta}
+
+        if self._commit_manifest(flip) is None:
+            for f in moved:             # our rewrites are now orphans
+                try:
+                    os.unlink(os.path.join(src, f))
+                except OSError:
+                    pass
+            raise RuntimeError(
+                f"{op_name} lost a rewrite race on {len(conflict)} "
+                f"file(s) (e.g. {conflict[0]!r}) — a concurrent "
+                "rewrite superseded the snapshot; re-run "
+                f"{op_name} on the new snapshot")
+
     def delete_where(self, condition) -> int:
         """Row-level DELETE as copy-on-write (r16 — the GDPR /
         right-to-be-forgotten workflow the reference never needed;
@@ -1038,35 +1080,9 @@ class Table:
         writer.partitionBy("dt").parquet(staging)
         moved = self._land_staging(staging, src)
 
-        conflict: list[str] = []
-
-        def flip(doc: dict) -> dict | None:
-            present = set(doc["files"])
-            missing = [f for f in affected if f not in present]
-            if missing:
-                # another rewrite (compact/delete) superseded an
-                # affected file after our snapshot: committing would
-                # RESURRECT the deleted rows via the other writer's
-                # copy of them — abort, caller retries on fresh state
-                conflict.extend(missing)
-                return None
-            files = [f for f in doc["files"]
-                     if f not in affected] + moved
-            rc = doc["row_count"] - (n_deleted if mode == "delete"
-                                     else 0)
-            return {**doc, "files": files, "row_count": rc}
-
-        if self._commit_manifest(flip) is None:
-            for f in moved:             # our rewrites are now orphans
-                try:
-                    os.unlink(os.path.join(src, f))
-                except OSError:
-                    pass
-            raise RuntimeError(
-                f"{mode}_where lost a rewrite race on {len(conflict)} "
-                f"file(s) (e.g. {conflict[0]!r}) — a concurrent "
-                "rewrite superseded the snapshot; re-run "
-                f"{mode}_where on the new snapshot")
+        self._flip_replacing(
+            set(affected), moved, src, f"{mode}_where",
+            row_count_delta=(-n_deleted if mode == "delete" else 0))
         return n_deleted
 
     def vacuum(self, grace_seconds: float = 600.0) -> int:
@@ -1416,38 +1432,8 @@ class Table:
             # silently vanish from the table (and the next vacuum deletes
             # them).  The CAS loop re-reads the latest doc on conflict,
             # so an append that wins a version mid-flip is preserved.
-            base_set = set(base_files)
-            conflict: list[str] = []
-
-            def flip(doc: dict) -> dict | None:
-                # Symmetric guard to _rewrite_where's (r16 review): if
-                # a concurrent delete_where/update_where superseded a
-                # base file, committing our compacted copy of its OLD
-                # rows would RESURRECT deleted rows (and duplicate the
-                # survivors that writer rewrote).  Appends only ADD
-                # files, so every base file still present means no
-                # rewrite won — safe; anything missing means abort and
-                # let the caller re-run on the new snapshot.
-                present = set(doc["files"])
-                missing = [f for f in base_set if f not in present]
-                if missing:
-                    conflict.extend(missing)
-                    return None
-                survivors = [f for f in doc["files"]
-                             if f not in base_set]
-                return {**doc, "files": moved + survivors}
-
-            if self._commit_manifest(flip) is None:
-                for f in moved:       # our rewrites are now orphans
-                    try:
-                        os.unlink(os.path.join(src, f))
-                    except OSError:
-                        pass
-                raise RuntimeError(
-                    f"compact lost a rewrite race on {len(conflict)} "
-                    f"file(s) (e.g. {conflict[0]!r}) — a concurrent "
-                    "delete_where/update_where superseded the "
-                    "snapshot; re-run compact on the new snapshot")
+            self._flip_replacing(set(base_files), moved, src,
+                                 "compact")
             return n_parts
 
         tmp = src + ".compacting"

@@ -3711,6 +3711,63 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        "rhs string")
 
 
+def q_tokenize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed tokenizer report (registered r17, window-capacity
+    composite — the warehouse_report pattern): the three tokenizer
+    singletons, each value-reproduced by its own oracle construction
+    and unioned into a long-form (section, key, n_tokens, val_md5)
+    frame.  Sections: 'unigram' trains + applies the unigram-LM
+    tokenizer on the planted uniquely-factorizable corpus (per-doc
+    token count + token-string md5 — exactly the unigram_tok check);
+    'bpe_train' runs the merge trainer on the analytically-forced
+    ``_BPE_PLANT`` corpus (one row per learned merge, md5 over
+    "lhs>rhs"); 'bpe_apply' runs the 24-merge codegen replace chain
+    over the real documents (per-doc token count + token-string md5 —
+    the bpe_apply check).  Each section IS the singleton gate's
+    public operator (tokenize.py:train_unigram/apply_unigram/
+    train_bpe/apply_bpe), so a green row refreshes those via _COVERS.
+    The bpe_train singleton's real-corpus structural train (40 merges
+    at data scale) stays with the singleton; the composite's job is
+    value freshness."""
+    from zdb_spark.operators.tokenize import (EOW, apply_bpe,
+                                              apply_unigram, train_bpe,
+                                              train_unigram)
+
+    docs = _load(spark, sf_dir, "documents")
+
+    docs_u = _synth_unigram_docs(docs)
+    vocab = train_unigram(docs_u, vocab_size=12, max_piece_len=3,
+                          iters=2)
+    uni = (apply_unigram(docs_u, vocab)
+           .select(F.lit("unigram").alias("section"),
+                   F.col("id").cast("long").alias("key"),
+                   F.col("n_tokens").cast("long").alias("n_tokens"),
+                   F.md5(F.concat_ws(" ", "tokens")).alias("val_md5")))
+
+    planted = spark.createDataFrame(
+        [(i, w) for i, (w, n) in enumerate(_BPE_PLANT)
+         for _ in range(n)],
+        "doc_id long, text string").repartition(8)
+    merges = train_bpe(planted, "text", n_merges=8)  # 8 asks, 7 forced
+    bt = (spark.createDataFrame(
+            [(i, f"{a.replace(EOW, '_')}>{b.replace(EOW, '_')}")
+             for i, (a, b) in enumerate(merges)],
+            "key long, pair string")
+          .select(F.lit("bpe_train").alias("section"), "key",
+                  F.lit(0).cast("long").alias("n_tokens"),
+                  F.md5("pair").alias("val_md5")))
+
+    ba_out = apply_bpe(docs, _DEMO_BPE_MERGES, "text", "doc_id")
+    toks = F.transform(F.col("tokens"),
+                       lambda t: F.replace(t, F.lit(EOW), F.lit("_")))
+    ba = ba_out.select(F.lit("bpe_apply").alias("section"),
+                       F.col("id").cast("long").alias("key"),
+                       F.col("n_tokens").cast("long")
+                       .alias("n_tokens"),
+                       F.md5(F.concat_ws(" ", toks)).alias("val_md5"))
+    return uni.unionByName(bt).unionByName(ba)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-document chunking into overlapping 32-token windows (8-token
     overlap): one row-local explode, no shuffle; chunk ids derive from
@@ -5206,8 +5263,8 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED for r17 registration (r16's green-age window is exactly
-    full — the url_dedup r14->r15 staging precedent): copy-on-write
+    """REGISTERED r17 after staging through the full r16 window (the
+    url_dedup r14->r15 staging precedent): copy-on-write
     row-level DELETE **and UPDATE** end-to-end (table.py:delete_where /
     update_where — the GDPR and in-place-repair workflows; manifest
     snapshot isolation, affected-file-only rewrite, CAS flip, audit
@@ -5256,11 +5313,10 @@ def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
-# Oracle staged WITH the gate (not merged into oracle_sql() until the
-# r17 registration adds ("table_delete", q_table_delete) to
-# _QUERY_DECLARATIONS) so the staging-era oracle text stays
-# byte-identical through registration — the _PENDING_R15_ORACLES
-# pattern.
+# Oracle staged WITH the gate in r16 and merged into oracle_sql() by
+# the r17 registration — kept in this dict so the staging-era oracle
+# text stayed byte-identical through registration (the
+# _PENDING_R15_ORACLES pattern).
 _STAGED_R17_ORACLES: dict[str, str] = {
     "table_delete": """
         WITH kept AS (
@@ -5800,6 +5856,12 @@ _QUERY_DECLARATIONS: list[
     ("video_frames", q_video_frames),
     # round-16: revisit/request WARC records (r15 verdict task 7)
     ("warc_records", q_warc_records),
+    # round-17: COW delete/update, staged r16 + registered on the r16
+    # verdict's task 1 (window math checked: tokenize_report +
+    # funnel6 coverage free the slots the two new gates consume)
+    ("table_delete", q_table_delete),
+    # round-17: window-capacity composite for the tokenizer family
+    ("tokenize_report", q_tokenize_report),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -5969,6 +6031,17 @@ _COVERS: dict[str, list[str]] = {
                         "ohlcv_daily"],
     "docs_report": ["strip_lines", "kmv_quantiles", "pii_redact",
                     "quality_train"],
+    # round-17 capacity composites (r16 verdict task 8: prefer
+    # composite-covered registrations): each tokenize_report section
+    # is the singleton's public operator value-reproduced by the
+    # composed oracle (train_unigram/apply_unigram on the planted
+    # factorizable corpus; train_bpe on the forced _BPE_PLANT merges;
+    # apply_bpe's literal replace chain over documents)
+    "tokenize_report": ["unigram_tok", "bpe_train", "bpe_apply"],
+    # funnel6 runs temporal.py:funnel — the IDENTICAL public operator
+    # the 3-step gate gates, at a deeper step list (the
+    # knn_lsh_multiprobe -> knn_lsh same-operator precedent)
+    "funnel6": ["funnel"],
 }
 
 
@@ -7611,6 +7684,65 @@ def oracle_sql() -> dict[str, str]:
     sqls["bpe_train"] = f"""
         SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs
         FROM (VALUES {_plant_vals}) AS t(merge_rank, lhs, rhs)
+    """
+    # r17 composite: the three tokenizer singletons' own oracle
+    # constructions (unigram closed-form chunking, forced planted
+    # merges, the literal BPE replace chain), long-form unioned.
+    sqls["tokenize_report"] = f"""
+        WITH p(arr) AS (
+            SELECT ['abc', 'def', 'ghi', 'jkl', 'mno', 'pqr', 'stu',
+                    'vwx']
+        ), w AS (
+            SELECT doc_id, j,
+                   arr[CAST((doc_id + j) % 8 AS INT) + 1]
+                   || arr[CAST((doc_id * 3 + j * 5 + 1) % 8 AS INT) + 1]
+                   || CASE WHEN (doc_id + j) % 2 = 0 THEN ''
+                      ELSE arr[CAST((doc_id * 7 + j * 11 + 2) % 8
+                               AS INT) + 1] END AS word
+            FROM documents, p, unnest(range(0, 6)) AS u(j)
+        ), t AS (
+            SELECT doc_id, j,
+                   len(word) // 3 AS n_pieces,
+                   array_to_string(list_transform(
+                       range(0, len(word) // 3),
+                       i -> substr(word, CAST(i * 3 + 1 AS INT), 3)),
+                       ' ') AS toks
+            FROM w
+        ), uni AS (
+            SELECT 'unigram' AS section, doc_id AS key,
+                   CAST(sum(n_pieces) AS BIGINT) AS n_tokens,
+                   md5(string_agg(toks, ' ' ORDER BY j)) AS val_md5
+            FROM t GROUP BY doc_id
+        ), bt AS (
+            SELECT 'bpe_train' AS section,
+                   CAST(merge_rank AS BIGINT) AS key,
+                   CAST(0 AS BIGINT) AS n_tokens,
+                   md5(lhs || '>' || rhs) AS val_md5
+            FROM (VALUES {_plant_vals}) AS v(merge_rank, lhs, rhs)
+        ), tb AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(lower(text)),
+                                                  '\\s+'),
+                               x -> x <> '') AS words
+            FROM documents
+        ), sb AS (
+            SELECT doc_id,
+                   flatten(list_transform(words, w -> list_transform(
+                       string_split({_bpe_chain_sql('w')},
+                                    chr(2) || chr(1)),
+                       x -> replace(replace(x, chr(1), ''),
+                                    chr(2), '')))) AS raw_toks
+            FROM tb
+        ), ba AS (
+            SELECT 'bpe_apply' AS section, doc_id AS key,
+                   CAST(len(raw_toks) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(list_transform(raw_toks,
+                           t -> replace(t, chr(3), '_')), ' '))
+                       AS val_md5
+            FROM sb
+        )
+        SELECT * FROM uni UNION ALL SELECT * FROM bt
+        UNION ALL SELECT * FROM ba
     """
     # Round-7 composite: paragraph election -> rebuild -> literal BPE
     # chain -> running-sum packing, all chained in one statement.
@@ -9407,6 +9539,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["pdf_extract"] = _PDF_EXTRACT_ORACLE
     # round-15 registration of the r14-staged gates (r14 verdict task 1)
     sqls.update(_PENDING_R15_ORACLES)
+    # round-17 registration of the r16-staged COW delete/update gate
+    # (r16 verdict task 1) — oracle text byte-identical to staging
+    sqls.update(_STAGED_R17_ORACLES)
     # ---- round-16 capacity composites (r15 verdict task 1) ----
     # Each section is the corresponding singleton oracle reshaped into
     # the composite's long form — same expressions, same rounding.

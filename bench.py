@@ -148,6 +148,12 @@ HEADLINE = [
     "docs_report",        # strip+kmv+pii+quality-train union
     "video_frames",       # real ISO-BMFF sample-index frame sampling
     "warc_records",       # full WARC record surfacing incl. revisits
+    # round-17 registrations
+    "table_delete",       # COW delete+update read-back (table cached by
+                          # fingerprint; re-runs time the post-rewrite
+                          # manifest scan)
+    "tokenize_report",    # unigram train+apply / planted BPE train /
+                          # BPE apply chain, long-form union
 ]
 
 
@@ -515,12 +521,56 @@ def main() -> int:
             fh.write("\n")
     except OSError as exc:
         print(f"sidecar write failed: {exc!r}", file=sys.stderr)
+    _maybe_write_pin(out)
     line = json.dumps(_compact_line(out), separators=(",", ":"))
     assert len(line) <= LINE_LIMIT, (
         f"bench stdout line {len(line)} chars exceeds the driver "
         f"capture guard {LINE_LIMIT}")
     print(line)
     return 0
+
+
+PIN = "BENCH_PIN.json"
+
+
+def _maybe_write_pin(out: dict) -> None:
+    """Persist the full detail of a CANARY-CLEAN run to BENCH_PIN.json
+    (r16 verdict task 3): BENCH_DETAIL.json is overwritten by every
+    run — including the driver's flagged windows — so the round's
+    clean per-gate reference used to survive only as prose in
+    BASELINE_LOCAL.md.  The pin is written ONLY when both canary
+    verdicts are explicitly clean (False, not None), stamped with the
+    tree SHA (+ '-dirty'), so a later same-window A/B has a
+    machine-readable clean reference; flagged runs never touch it."""
+    canary = out.get("canary", {})
+    if canary.get("degraded") is not False or \
+            canary.get("below_band") is not False:
+        return
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sha = None
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=here,
+            capture_output=True, text=True, timeout=30
+        ).stdout.strip() or None
+        if sha and subprocess.run(
+                ["git", "status", "--porcelain"], cwd=here,
+                capture_output=True, text=True, timeout=30
+        ).stdout.strip():
+            sha += "-dirty"
+    except Exception:
+        pass                       # pin still useful without a SHA
+    try:
+        with open(os.path.join(here, PIN), "w") as fh:
+            json.dump({**out, "tree_sha": sha}, fh, indent=1,
+                      sort_keys=True)
+            fh.write("\n")
+        print(f"[bench] canary-clean: pinned detail to {PIN} "
+              f"(tree {sha})", file=sys.stderr, flush=True)
+    except OSError as exc:
+        print(f"pin write failed: {exc!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1013,6 +1013,37 @@ class TestDeleteWhere:
         left = t.scan().collect()
         assert len(left) == 1 and left[0].sym is None
 
+    def test_nondeterministic_predicate_rejected(self, spark,
+                                                 tmp_home):
+        # ADVICE r16: the predicate is evaluated in two separate jobs
+        # (discovery, then rewrite) — a non-deterministic one would
+        # delete a different row set than it reports
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(4)]))
+        with pytest.raises(ValueError, match="non-deterministic"):
+            t.delete_where("rand() < 0.5")
+        with pytest.raises(ValueError, match="non-deterministic"):
+            t.update_where("rand() < 0.5", {"price": "price"})
+        assert t.row_count == 4
+
+    def test_symlinked_home_delete(self, spark, tmp_home):
+        # ADVICE r16: Spark reports RESOLVED file paths; a symlinked
+        # component in the table home must not make every affected
+        # key miss the manifest (abspath kept the symlink; realpath
+        # matches both sides)
+        import os
+
+        real = os.path.join(tmp_home, "real")
+        os.makedirs(real)
+        t = Table.create(spark, make_schema("tsym"), home=real,
+                         manifest=True)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        link = os.path.join(tmp_home, "link")
+        os.symlink(real, link)
+        t2 = Table.open(spark, "tsym", home=link)
+        assert t2.delete_where("price >= 4.0") == 3
+        assert t2.scan().count() == 3
+
     def test_whole_file_delete(self, spark, tmp_home):
         t = self.make(spark, tmp_home)
         t.write(rows_df(spark, [T0, T0 + 1]))

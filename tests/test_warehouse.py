@@ -209,9 +209,10 @@ class TestImageHashOnError:
 
 
 class TestStagedTableDelete:
-    """Readiness pin for the r17-staged table_delete gate: the gate
-    function runs end-to-end at sf0.001 and its output matches the
-    staged oracle's predicate applied to the raw events frame."""
+    """Readiness pin for the table_delete gate (staged r16, REGISTERED
+    r17): the gate function runs end-to-end at sf0.001 and its output
+    matches the staged oracle's predicate applied to the raw events
+    frame."""
 
     def test_gate_matches_predicate(self, spark):
         import __spark_entry__ as entry
@@ -237,8 +238,9 @@ class TestStagedTableDelete:
         assert got == want
         assert "error" not in got and "error_hi" in got
         assert "table_delete" in entry._STAGED_R17_ORACLES
-        # staged means NOT registered yet
-        assert "table_delete" not in entry.queries()
+        # registered in r17: gate + oracle both live
+        assert "table_delete" in entry.queries()
+        assert "table_delete" in entry.oracle_sql()
 
 
 class TestHammingCap:
@@ -323,5 +325,43 @@ class TestGrowBloomLock:
         with open(os.path.join(p + ".growlock", "owner.json"),
                   "w") as fh:
             json.dump({"pid": 1, "host": "some-other-box"}, fh)
+        with pytest.raises(OSError, match="another grower"):
+            grow_bloom_store(df, "v", p, m_bits=1 << 15)
+
+    def test_recycled_pid_is_stolen(self, spark, tmp_path):
+        # ADVICE r16: a crashed grower's pid recycled by an unrelated
+        # LIVE process must not hold the lock forever — the start-time
+        # token disambiguates.  Our own (live) pid with a wrong token
+        # models exactly that; the same pid with NO token (old-format
+        # lock) keeps the conservative pid-only verdict.
+        import json
+        import os
+        import socket
+
+        import pytest
+
+        from zdb_spark.operators.sketches import (_proc_start_token,
+                                                  build_bloom_store,
+                                                  grow_bloom_store)
+
+        p = str(tmp_path / "b")
+        df = spark.range(0, 50).select(F.concat(
+            F.lit("u"), F.col("id")).alias("v"))
+        build_bloom_store(df, "v", p, m_bits=4096, k=4)
+        assert _proc_start_token(os.getpid()) is not None  # Linux box
+        os.mkdir(p + ".growlock")
+        with open(os.path.join(p + ".growlock", "owner.json"),
+                  "w") as fh:
+            json.dump({"pid": os.getpid(),
+                       "host": socket.gethostname(),
+                       "start": "0"}, fh)   # impossible token: recycled
+        assert grow_bloom_store(df, "v", p, m_bits=1 << 14) == 1 << 14
+        # same live pid, MATCHING token: held (a real live grower)
+        os.mkdir(p + ".growlock")
+        with open(os.path.join(p + ".growlock", "owner.json"),
+                  "w") as fh:
+            json.dump({"pid": os.getpid(),
+                       "host": socket.gethostname(),
+                       "start": _proc_start_token(os.getpid())}, fh)
         with pytest.raises(OSError, match="another grower"):
             grow_bloom_store(df, "v", p, m_bits=1 << 15)

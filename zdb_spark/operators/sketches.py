@@ -1238,6 +1238,22 @@ def bloom_store_saturation(spark, path: str, *,
         "saturated", F.col("fpr_est") > F.lit(float(fpr_threshold)))
 
 
+def _proc_start_token(pid: int) -> str | None:
+    """Kernel start-time token for ``pid`` (Linux ``/proc/<pid>/stat``
+    field 22, clock ticks since boot): same pid + same token == same
+    process, so a lock whose recorded token differs from the live
+    pid's was left by a DEAD grower whose pid got recycled.  ``comm``
+    (field 2) may contain spaces and parens, so fields count from
+    after the LAST ``)``.  None where /proc is unavailable (non-Linux)
+    — callers must then fall back to pid-liveness alone."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as fh:
+            data = fh.read()
+        return data.rsplit(b")", 1)[1].split()[19].decode()
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
                      m_bits: int | None = None,
                      k: int | None = None) -> int:
@@ -1274,7 +1290,9 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
     just-flipped live store.  A ``.growlock`` sentinel directory
     (atomic ``mkdir``) now ENFORCES that: a second grower fails
     loudly instead of corrupting.  A lock left by a crashed grower on
-    the SAME host is stolen when its recorded pid is dead; across
+    the SAME host is stolen when its recorded pid is dead OR when the
+    pid was recycled by an unrelated process (the owner records a
+    kernel start-time token alongside the pid — ADVICE r16); across
     hosts (shared filesystem) pid liveness is meaningless, so a
     foreign-host lock is never stolen — remove it manually after
     confirming the grower died.  Readers ignore the lock entirely.
@@ -1294,7 +1312,8 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
     import uuid as _uuid
 
     lock = path + ".growlock"
-    me = {"pid": os.getpid(), "host": socket.gethostname()}
+    me = {"pid": os.getpid(), "host": socket.gethostname(),
+          "start": _proc_start_token(os.getpid())}
     for attempt in range(2):
         try:
             os.mkdir(lock)
@@ -1309,7 +1328,20 @@ def grow_bloom_store(df: DataFrame, value_col: str, path: str, *,
             stale = False
             if holder.get("host") == me["host"] and attempt == 0:
                 try:
-                    os.kill(int(holder.get("pid", -1)), 0)
+                    hpid = int(holder.get("pid", -1))
+                    os.kill(hpid, 0)
+                    # pid alive — but is it the SAME process?  A
+                    # recycled pid belonging to an unrelated live
+                    # process would otherwise hold a crashed grower's
+                    # lock forever (ADVICE r16).  Kernel start-time
+                    # tokens disambiguate; comparison only when BOTH
+                    # sides have one (old-format locks and non-Linux
+                    # hosts keep the conservative pid-only verdict).
+                    hstart = holder.get("start")
+                    cur = _proc_start_token(hpid)
+                    if (hstart is not None and cur is not None
+                            and hstart != cur):
+                        stale = True    # recycled pid: owner is dead
                 except (OSError, ValueError):
                     stale = True    # same-host pid is dead: steal
             if not stale:

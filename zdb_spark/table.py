@@ -1034,7 +1034,14 @@ class Table:
                   .parquet(*[os.path.join(src, f) for f in files]))
             return self._apply_added_defaults(df) if evolved else df
 
-        abs_src = os.path.abspath(src)
+        self._reject_nondeterministic(read_files(base_files), cond,
+                                      f"{mode}_where")
+        # realpath, not abspath (ADVICE r16): Spark reports the
+        # RESOLVED file path; if self.path contains a symlinked
+        # component (/tmp -> /private/tmp), abspath-based keys would
+        # miss every manifest entry and the flip would abort with a
+        # misleading 'lost a rewrite race'.
+        abs_src = os.path.realpath(src)
         hits = (read_files(base_files).where(cond)
                 .groupBy(F.input_file_name().alias("_f"))
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -1044,7 +1051,7 @@ class Table:
 
         def rel(uri: str) -> str:
             p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-            return os.path.relpath(os.path.abspath(p), abs_src)
+            return os.path.relpath(os.path.realpath(p), abs_src)
 
         affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
         n_deleted = sum(affected.values())
@@ -1080,10 +1087,62 @@ class Table:
         writer.partitionBy("dt").parquet(staging)
         moved = self._land_staging(staging, src)
 
+        if mode == "delete":
+            # n_deleted from the REWRITE itself (ADVICE r16): parquet
+            # footer row counts of the affected files minus footer
+            # rows of their rewrites — exact accounting of what this
+            # commit removed, driver-side and job-free, so the
+            # manifest's row_count can never drift from the files even
+            # if a (rejected-above, but belt-and-braces) second
+            # predicate evaluation were to diverge from the discovery
+            # pass.  The discovery counts only choose WHICH files to
+            # rewrite.
+            n_deleted = (self._footer_rows(src, affected)
+                         - self._footer_rows(src, moved))
         self._flip_replacing(
             set(affected), moved, src, f"{mode}_where",
             row_count_delta=(-n_deleted if mode == "delete" else 0))
         return n_deleted
+
+    @staticmethod
+    def _footer_rows(src: str, files) -> int:
+        """Sum of parquet-footer num_rows over manifest-relative
+        ``files`` — metadata-only (no data pages read), the same
+        O(file-count) cost class as the listing the rewrite already
+        did."""
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
+                   for f in files)
+
+    def _reject_nondeterministic(self, base: DataFrame, cond,
+                                 op_name: str) -> None:
+        """Refuse a non-deterministic rewrite predicate (ADVICE r16):
+        ``_rewrite_where`` evaluates the condition in two separate
+        jobs (affected-file discovery, then the survivor rewrite), so
+        e.g. ``rand() < 0.5`` would delete a DIFFERENT row set than it
+        discovered — files it skipped keep matching rows, and the
+        reported count describes neither pass.  Detection uses the
+        ANALYZED filter plan (pre-analysis, rand() is an unresolved
+        function that still claims determinism); if the JVM
+        introspection is unavailable the check degrades to allowing —
+        the footer-derived delete count keeps the manifest honest
+        regardless."""
+        try:
+            plan = base.where(cond)._jdf.queryExecution().analyzed()
+            exprs = plan.expressions()
+            bad = any(not exprs.apply(i).deterministic()
+                      for i in range(exprs.size()))
+        except Exception:
+            return
+        if bad:
+            raise ValueError(
+                f"{op_name}: non-deterministic predicate — the "
+                "condition is evaluated once to find affected files "
+                "and again to rewrite them, so a non-deterministic "
+                "result would remove a different row set than it "
+                "reports; materialize the decision into a column "
+                "first (e.g. write a flag, then delete on it)")
 
     def vacuum(self, grace_seconds: float = 600.0) -> int:
         """Delete data files not referenced by the LATEST snapshot plus

@@ -5165,7 +5165,14 @@ def _synth_warc_batches(batches):
     template around the document text — so the closed-form extraction
     oracle carries over verbatim and the gate ADDITIONALLY proves
     record walking, per-member gunzip, HTTP header splitting, and the
-    response-only filter."""
+    response-only filter.  r17 (r16 verdict task 7) completes ISO
+    28500 §6: every doc also carries a resource record (robots.txt
+    bytes) and a metadata record (warc-fields about the capture);
+    docs % 3 == 0 add a conversion record (text/plain rendering,
+    refers-to the page); docs % 5 == 0 split the resource record into
+    segment 1 + a continuation record (segment 2, origin id).  The
+    response record is byte-UNCHANGED, so the response-only gates
+    (warc_extract, stream_warc) keep their exact outputs."""
     import html as _html
 
     import pandas as _pd
@@ -5196,6 +5203,41 @@ def _synth_warc_batches(batches):
                  "http": {"status": 200,
                           "content_type": "text/html; charset=utf-8"}},
             ]
+            robots = (f"User-agent: *\r\nDisallow: /p{i}\r\n"
+                      ).encode("latin-1")
+            rurl = f"http://h{i % 50}.example.com/robots.txt"
+            if i % 5 == 0:
+                # segmented resource: origin half (segment 1) + a
+                # continuation record (segment 2, origin id) — the
+                # ISO 28500 §5.18/§6.6 reassembly shape
+                half = len(robots) // 2
+                recs.append({"warc_type": "resource",
+                             "target_uri": rurl,
+                             "payload": robots[:half],
+                             "content_type": "text/plain",
+                             "segment_number": 1,
+                             "record_id": f"<urn:uuid:res-{i:08d}>"})
+                recs.append({"warc_type": "continuation",
+                             "target_uri": rurl,
+                             "payload": robots[half:],
+                             "segment_number": 2,
+                             "segment_origin_id":
+                                 f"<urn:uuid:res-{i:08d}>"})
+            else:
+                recs.append({"warc_type": "resource",
+                             "target_uri": rurl, "payload": robots,
+                             "content_type": "text/plain"})
+            recs.append({"warc_type": "metadata", "target_uri": url,
+                         "payload": (f"fetchTimeMs: {10 + i % 90}\r\n"
+                                     ).encode("latin-1"),
+                         "content_type": "application/warc-fields",
+                         "refers_to_uri": url})
+            if i % 3 == 0:
+                recs.append({"warc_type": "conversion",
+                             "target_uri": url,
+                             "payload": f"Doc {i}".encode("latin-1"),
+                             "content_type": "text/plain",
+                             "refers_to_uri": url})
             if i % 2 == 0:
                 # Common Crawl's dedup shape (r16): an
                 # identical-payload-digest revisit pointing back at
@@ -5240,13 +5282,14 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL-record WARC surfacing (r15 verdict task 7): the same
-    per-member-gzipped fixtures as warc_extract — now with an
-    identical-payload-digest REVISIT record on even docs — exploded
-    with NO type filter, proving the stateless mapper surfaces every
-    record type a Common Crawl dedup workflow reads: warcinfo,
-    request (with its request-line method), response (with HTTP
-    status), and revisit (with payload digest + refers-to URI).
+    """FULL-record WARC surfacing, ALL EIGHT ISO 28500 §6 types (r16
+    verdict task 7 completed the set): the same per-member-gzipped
+    fixtures as warc_extract — warcinfo, request (request-line
+    method), response (HTTP status), resource (robots.txt bytes),
+    metadata (warc-fields), conversion on doc%3 (text rendering,
+    refers-to), revisit on doc%2 (payload digest + refers-to URI),
+    and a segmented resource + continuation pair on doc%5 (segment
+    numbers 1/2 for reassembly) — exploded with NO type filter.
     Every column is closed-form in doc_id (sources/warc.py:
     parse_warc/extract_warc)."""
     from zdb_spark.sources.warc import extract_warc
@@ -5259,7 +5302,7 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id").alias("doc_id"), "record_idx",
                     "warc_type", "url", "http_method", "http_status",
                     "content_type", "payload_digest",
-                    "refers_to_uri"))
+                    "refers_to_uri", "segment_number"))
 
 
 def q_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5513,12 +5556,22 @@ _MAX_DIRECT_AGE = 4
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 16 — populated as the round's changes land; finalized by
-    # tools/changed_gates.py before the closing commit.  (Every r15
-    # entry cleared at the boundary: bloom_store, twap,
-    # multimodal_frames/jpeg/wav, and dedup_simhash all took green
-    # rows in CORRECTNESS_r15.)
+    # round 17 — populated as the round's changes land; finalized by
+    # tools/changed_gates.py before the closing commit.  (warc_records
+    # took a green r16 row; its r17 diff is below.)
     #
+    # ISO 28500 §6 completion (r16 verdict task 7): the fixture grew
+    # resource/metadata/conversion/continuation records and the gate
+    # output a segment_number column — output CHANGED, re-verify.
+    "warc_records",
+    # vacuum() gained keep_versions (r16 verdict task 6).  The default
+    # (0) preserves the old reclamation exactly, but these three route
+    # through vacuum/manifest code and were ALREADY r17-window members
+    # by staleness — queueing them costs no slot and beats carrying a
+    # stale "table path untouched" proof.
+    "table_lifecycle",
+    "manifest_stress",
+    "stream_txn_stress",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -5591,12 +5644,16 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
     # record on even docs (surfaced by the new warc_records gate).
     # Both response-path gates filter to warc_type='response' and
     # select explicit columns, so their outputs are byte-identical.
-    "warc_extract": ("response-only filter drops the planted revisit; "
-                     "explicit column select ignores the new schema "
-                     "columns; bit-exact mirror green (r16)"),
+    "warc_extract": ("response-only filter drops the planted revisit "
+                     "(r16) and the r17 resource/metadata/conversion/"
+                     "continuation records; explicit column select "
+                     "ignores the new schema columns (r16 trio, r17 "
+                     "segment_number); response bytes unchanged by "
+                     "construction; bit-exact mirror green (r16, "
+                     "re-proven r17)"),
     "stream_warc": ("same response-only filter + explicit select "
                     "through the streaming path; bit-exact mirror "
-                    "green (r16)"),
+                    "green (r16, re-proven r17)"),
     "contamination_bloom": (
         "guard-only diff (raises on grouped/duplicate/oversized word "
         "tables the gate never builds); bit-exact mirror green on the "
@@ -5650,9 +5707,9 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                      "server path untouched; bit-exact mirror green"),
     "stream_decode": ("PNG fixture stream never reaches the webp "
                       "branch; bit-exact mirror green"),
-    "table_lifecycle": ("closure edge via shared helper names only; "
-                        "table path untouched; bit-exact mirror "
-                        "green"),
+    # (table_lifecycle's r16 entry removed: the r17 vacuum
+    # keep_versions diff queues it in _CHANGED_THIS_ROUND instead —
+    # a gate may not be both exempted and queued.)
     "zorder_scan": ("closure edge via shared helper names only; "
                     "layout path untouched; bit-exact mirror green"),
 }
@@ -9846,7 +9903,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'http://h' || CAST(doc_id % 50 AS VARCHAR)
                    || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
-                       AS url
+                       AS url,
+                   'http://h' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example.com/robots.txt' AS rurl,
+                   CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS c5,
+                   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS c3
             FROM documents
         )
         SELECT doc_id, CAST(0 AS INT) AS record_idx,
@@ -9855,20 +9916,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS INT) AS http_status,
                'application/warc-fields' AS content_type,
                CAST(NULL AS VARCHAR) AS payload_digest,
-               CAST(NULL AS VARCHAR) AS refers_to_uri
+               CAST(NULL AS VARCHAR) AS refers_to_uri,
+               CAST(NULL AS INT) AS segment_number
         FROM d
         UNION ALL
         SELECT doc_id, 1, 'request', url, 'GET', NULL,
-               'application/http; msgtype=request', NULL, NULL
+               'application/http; msgtype=request', NULL, NULL, NULL
         FROM d
         UNION ALL
         SELECT doc_id, 2, 'response', url, NULL, 200,
-               'text/html; charset=utf-8', NULL, NULL
+               'text/html; charset=utf-8', NULL, NULL, NULL
         FROM d
         UNION ALL
-        SELECT doc_id, 3, 'revisit', url, NULL, NULL,
-               'application/octet-stream',
-               'sha1:' || upper(md5(CAST(doc_id AS VARCHAR))), url
+        SELECT doc_id, 3, 'resource', rurl, NULL, NULL, 'text/plain',
+               NULL, NULL, CASE WHEN c5 = 1 THEN 1 ELSE NULL END
+        FROM d
+        UNION ALL
+        SELECT doc_id, 4, 'continuation', rurl, NULL, NULL,
+               'application/octet-stream', NULL, NULL, 2
+        FROM d WHERE c5 = 1
+        UNION ALL
+        SELECT doc_id, CAST(4 + c5 AS INT), 'metadata', url, NULL,
+               NULL, 'application/warc-fields', NULL, url, NULL
+        FROM d
+        UNION ALL
+        SELECT doc_id, CAST(5 + c5 AS INT), 'conversion', url, NULL,
+               NULL, 'text/plain', NULL, url, NULL
+        FROM d WHERE c3 = 1
+        UNION ALL
+        SELECT doc_id, CAST(5 + c5 + c3 AS INT), 'revisit', url,
+               NULL, NULL, 'application/octet-stream',
+               'sha1:' || upper(md5(CAST(doc_id AS VARCHAR))), url,
+               NULL
         FROM d WHERE doc_id % 2 = 0
     """
     return sqls

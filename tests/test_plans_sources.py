@@ -709,3 +709,61 @@ class TestWarc:
         assert rows["request"].http_method == "GET"
         assert rows["response"].http_method is None
         assert rows["response"].payload_digest is None
+
+    def test_all_iso28500_types_and_segmentation(self, spark):
+        """r17 (ISO 28500 §6 complete): resource/metadata/conversion/
+        continuation records surface through the same stateless
+        mapper, and the §5.18 segmentation headers round-trip —
+        segment 1 on the origin, segment 2 + origin id on the
+        continuation — the columns a reassembly join needs."""
+        import pytest
+
+        from zdb_spark.sources.warc import (extract_warc, parse_warc,
+                                            warc_write_records)
+
+        recs = [
+            {"warc_type": "resource", "target_uri": "http://x/r.txt",
+             "payload": b"User-agent: *\r\n",
+             "content_type": "text/plain", "segment_number": 1,
+             "record_id": "<urn:uuid:orig-1>"},
+            {"warc_type": "continuation",
+             "target_uri": "http://x/r.txt",
+             "payload": b"Disallow: /\r\n", "segment_number": 2,
+             "segment_origin_id": "<urn:uuid:orig-1>"},
+            {"warc_type": "metadata", "target_uri": "http://x/a",
+             "payload": b"fetchTimeMs: 12\r\n",
+             "content_type": "application/warc-fields",
+             "refers_to_uri": "http://x/a"},
+            {"warc_type": "conversion", "target_uri": "http://x/a",
+             "payload": b"plain text",
+             "content_type": "text/plain",
+             "refers_to_uri": "http://x/a"},
+        ]
+        blob = warc_write_records(recs, gzip_per_record=True)
+        got = parse_warc(blob)
+        assert [r["warc_type"] for r in got] == [
+            "resource", "continuation", "metadata", "conversion"]
+        assert got[0]["segment_number"] == 1
+        assert got[1]["segment_number"] == 2
+        assert got[1]["segment_origin_id"] == "<urn:uuid:orig-1>"
+        assert "segment_number" not in got[2]
+        # reassembly: origin + continuation payloads concatenate
+        assert (got[0]["payload"] + got[1]["payload"]
+                == b"User-agent: *\r\nDisallow: /\r\n")
+        # loud on a malformed ordinal (plain blob: the gzipped form
+        # would hide the header bytes from the substitution)
+        plain = warc_write_records(recs)
+        bad = plain.replace(b"WARC-Segment-Number: 1",
+                            b"WARC-Segment-Number: x")
+        assert bad != plain
+        with pytest.raises(ValueError, match="Segment-Number"):
+            parse_warc(bad)
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "doc_id long, warc binary")
+        rows = {r.warc_type: r
+                for r in extract_warc(df, "warc", "doc_id").collect()}
+        assert rows["continuation"].segment_number == 2
+        assert rows["resource"].segment_number == 1
+        assert rows["metadata"].segment_number is None
+        assert rows["metadata"].refers_to_uri == "http://x/a"
+        assert rows["conversion"].content_type == "text/plain"

@@ -1066,6 +1066,35 @@ class TestDeleteWhere:
         assert removed > 0
         assert t.scan().count() == 3
 
+    def test_vacuum_keep_versions_retains_audit_window(self, spark,
+                                                       tmp_home):
+        # r16 verdict task 6: the Delta retention shape — a bounded
+        # audit window of superseded snapshots survives vacuum
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        v_pre = t._latest_head()[0]
+        assert t.delete_where("price >= 4.0") == 3
+        v_post = t._latest_head()[0]
+        # keep_versions=1: the pre-delete snapshot (and its files)
+        # survive; the deleted rows remain auditable
+        t.vacuum(grace_seconds=0.0, keep_versions=1)
+        assert t.snapshot(v_pre).count() == 6
+        assert t.scan().count() == 3
+        # another rewrite pushes v_pre past the 1-version window
+        assert t.update_where("price >= 1.0",
+                              {"price": "price + 1.0"}) == 3
+        t.vacuum(grace_seconds=0.0, keep_versions=1)
+        with pytest.raises(ValueError, match="no snapshot"):
+            t.snapshot(v_pre)
+        assert t.snapshot(v_post).count() == 3   # still in window
+        # hard purge: only the latest survives
+        t.vacuum(grace_seconds=0.0)
+        with pytest.raises(ValueError, match="no snapshot"):
+            t.snapshot(v_post)
+        assert t.scan().count() == 3
+        with pytest.raises(ValueError, match="keep_versions"):
+            t.vacuum(keep_versions=-1)
+
     def test_rewrite_race_aborts_loudly(self, spark, tmp_home):
         t = self.make(spark, tmp_home)
         t.write(rows_df(spark, [T0 + i for i in range(6)]))
@@ -1159,6 +1188,105 @@ class TestUpdateWhere:
         v = t._latest_head()[0]
         assert t.update_where("price > 1e9", {"sym": "'X'"}) == 0
         assert t._latest_head()[0] == v
+
+
+class TestMaintenanceStress:
+    """r16 verdict task 4: interleaved write()/delete_where()/compact()
+    threads — the manifest_stress treatment for the COW rewrite path.
+    The race contract is abort-loudly-and-retry (`_flip_replacing`),
+    so deleters/compactors retry on RuntimeError; the invariants are
+    (a) exact final row accounting, (b) every delete slice removed
+    exactly once (sum of returned counts), and (c) every SURVIVING
+    manifest version's recorded row_count equals the actual row count
+    of its snapshot — the accounting can never drift from the files,
+    at any version, under concurrency."""
+
+    def test_interleaved_write_delete_compact(self, spark, tmp_home):
+        import json as _json
+        import os
+        import threading
+
+        Table.create(spark, make_schema(), home=tmp_home,
+                     manifest=True)
+        t0 = Table.open(spark, "t1", home=tmp_home)
+        # seed: prices 1..40 on day 0 (4 files of 10) — the delete
+        # target corpus; appends land on later days, outside every
+        # delete predicate
+        for b in range(4):
+            t0.write(rows_df(spark, [T0 + b * 10 + i
+                                     for i in range(10)],
+                             price=float(b * 10) + 1.0),
+                     enforce_order=False)
+        errs: list = []
+        deleted: dict[int, int] = {}
+
+        def retry(fn, attempts=20):
+            for _ in range(attempts):
+                try:
+                    return fn()
+                except RuntimeError:     # lost a rewrite race: re-run
+                    continue
+            raise RuntimeError("retry budget exhausted")
+
+        def writer(day):
+            try:
+                t = Table.open(spark, "t1", home=tmp_home)
+                for j in range(3):
+                    t.write(rows_df(
+                        spark, [T0 + (day + 1) * DAY + j * 5 + i
+                                for i in range(5)], price=1000.0),
+                        enforce_order=False)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def deleter(k):
+            # disjoint 10-price slice per deleter; seed-only values
+            try:
+                t = Table.open(spark, "t1", home=tmp_home)
+                lo, hi = k * 10 + 1, k * 10 + 6
+                deleted[k] = retry(lambda: t.delete_where(
+                    f"price >= {lo} AND price < {hi} "
+                    f"AND price < 100.0"))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def compactor():
+            try:
+                t = Table.open(spark, "t1", home=tmp_home)
+                for _ in range(2):
+                    retry(lambda: t.compact(target_file_mb=1))
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = ([threading.Thread(target=writer, args=(d,))
+                    for d in range(2)]
+                   + [threading.Thread(target=deleter, args=(k,))
+                      for k in range(4)]
+                   + [threading.Thread(target=compactor)])
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs, errs
+        # (b) each disjoint 5-price slice deleted exactly once
+        assert deleted == {0: 5, 1: 5, 2: 5, 3: 5}
+        t = Table.open(spark, "t1", home=tmp_home)
+        # (a) exact accounting: 40 seed - 20 deleted + 30 appended
+        assert t.row_count == 50
+        assert t.scan().count() == 50
+        assert t.scan().where("price < 100.0").count() == 20
+        # (c) EVERY surviving version's recorded row_count matches its
+        # snapshot's actual rows — no drift at any point in history
+        md = t._manifest_dir()
+        versions = sorted(int(f[1:-5]) for f in os.listdir(md)
+                          if f.startswith("v")
+                          and f.endswith(".json"))
+        assert len(versions) >= 13   # 4 seed + 6 writes + 4 del + 2 cp
+        for v in versions:
+            with open(os.path.join(md, f"v{v:012d}.json")) as fh:
+                doc = Table._normalize_head(_json.load(fh))
+            assert t.snapshot(v).count() == doc["row_count"], \
+                f"row_count drift at v{v}"
 
 
 class TestCompactRewriteRace:

@@ -158,6 +158,18 @@ def parse_warc(data: bytes) -> list[dict]:
             "profile": headers.get("warc-profile"),
             "payload": payload,
         }
+        # segmentation headers (ISO 28500 §5.18-5.19, r17): the origin
+        # record carries WARC-Segment-Number: 1, each continuation
+        # record its ordinal + the origin record id — the columns a
+        # reassembly join needs.  Loud on a non-numeric ordinal.
+        seg = headers.get("warc-segment-number")
+        if seg is not None:
+            try:
+                rec["segment_number"] = int(seg)
+            except ValueError:
+                raise ValueError(
+                    f"warc: bad WARC-Segment-Number {seg!r}") from None
+        rec["segment_origin_id"] = headers.get("warc-segment-origin-id")
         if rec["warc_type"] == "response":
             status, ctype, body = _parse_http_response(payload)
             rec["http_status"] = status
@@ -203,10 +215,15 @@ def warc_write_records(records: list[dict], *,
                          ("refers_to", b"WARC-Refers-To"),
                          ("refers_to_uri",
                           b"WARC-Refers-To-Target-URI"),
-                         ("profile", b"WARC-Profile")):
+                         ("profile", b"WARC-Profile"),
+                         ("segment_origin_id",
+                          b"WARC-Segment-Origin-ID")):
             if rec.get(key):
                 lines.append(hdr + b": "
                              + rec[key].encode("latin-1"))
+        if rec.get("segment_number") is not None:
+            lines.append(b"WARC-Segment-Number: "
+                         + str(rec["segment_number"]).encode())
         ctype = rec.get("content_type",
                         "application/http; msgtype=response"
                         if "http" in rec else "application/octet-stream")
@@ -224,7 +241,8 @@ def warc_write_records(records: list[dict], *,
 _WARC_SCHEMA = ("id long, record_idx int, warc_type string, "
                 "url string, http_method string, http_status int, "
                 "content_type string, payload_digest string, "
-                "refers_to_uri string, payload binary")
+                "refers_to_uri string, segment_number int, "
+                "payload binary")
 
 
 def extract_warc(df: DataFrame, warc_col: str = "warc",
@@ -232,13 +250,17 @@ def extract_warc(df: DataFrame, warc_col: str = "warc",
     """Explode WARC blobs into one row per record via Arrow-batched
     ``mapInPandas``: (id, record_idx, warc_type, url, http_method,
     http_status, content_type, payload_digest, refers_to_uri,
-    payload).  For ``response`` records the payload is the HTTP BODY
-    (headers consumed into status/content_type); ``request`` records
-    carry their request-line method; ``revisit`` records carry the
-    digest + refers-to URI a Common Crawl dedup join needs (r15
-    verdict task 7); other record types carry their raw payload.
-    NULL blobs vanish (no records), matching the extractor family's
-    NULL discipline.  Rows independent — no shuffle, no state."""
+    segment_number, payload).  ALL eight ISO 28500 §6 record types
+    surface (r16 verdict task 7): ``response`` payloads are the HTTP
+    BODY (headers consumed into status/content_type); ``request``
+    records carry their request-line method; ``revisit`` records the
+    digest + refers-to URI a Common Crawl dedup join needs;
+    ``continuation`` records (and their origin) carry
+    ``segment_number`` for reassembly; ``warcinfo``/``metadata``/
+    ``resource``/``conversion`` records carry their raw payload +
+    WARC content type.  NULL blobs vanish (no records), matching the
+    extractor family's NULL discipline.  Rows independent — no
+    shuffle, no state."""
     import pandas as pd
 
     src = df.select(F.col(id_col).alias("id"),
@@ -264,10 +286,11 @@ def extract_warc(df: DataFrame, warc_col: str = "warc",
                                  rec.get("http_method"), status,
                                  ctype, rec["payload_digest"],
                                  rec["refers_to_uri"],
+                                 rec.get("segment_number"),
                                  bytearray(body)))
             yield pd.DataFrame(rows, columns=[
                 "id", "record_idx", "warc_type", "url", "http_method",
                 "http_status", "content_type", "payload_digest",
-                "refers_to_uri", "payload"])
+                "refers_to_uri", "segment_number", "payload"])
 
     return src.mapInPandas(mapper, _WARC_SCHEMA)

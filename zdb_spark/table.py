@@ -1144,12 +1144,24 @@ class Table:
                 "reports; materialize the decision into a column "
                 "first (e.g. write a flag, then delete on it)")
 
-    def vacuum(self, grace_seconds: float = 600.0) -> int:
-        """Delete data files not referenced by the LATEST snapshot plus
-        all superseded manifest versions; returns files removed.  This is
-        what reclaims crashed half-moved batches (invisible but present)
-        and pre-compaction file trees — after it, older ``snapshot()``
-        versions are gone by design.
+    def vacuum(self, grace_seconds: float = 600.0,
+               keep_versions: int = 0) -> int:
+        """Delete data files not referenced by any RETAINED snapshot
+        plus all manifest versions older than the retention window;
+        returns files removed.  This is what reclaims crashed
+        half-moved batches (invisible but present) and pre-compaction
+        file trees — after it, ``snapshot()`` versions outside the
+        window are gone by design.
+
+        ``keep_versions`` (r16 verdict task 6 — the Delta retention
+        shape): retain the N most recent SUPERSEDED snapshots in
+        addition to the latest, so ``delete_where``'s audit trail
+        (time travel to the pre-delete versions) survives routine
+        vacuums for a bounded window.  The default 0 keeps only the
+        latest — note the flip side: after a GDPR ``delete_where``,
+        any retained older snapshot STILL SERVES the deleted rows, so
+        a hard purge requires ``vacuum(keep_versions=0)`` (and the
+        audit requirement must then live outside the table).
 
         ``grace_seconds`` protects in-flight appends: a concurrent
         ``write()`` moves part files into place BEFORE committing them to
@@ -1160,6 +1172,9 @@ class Table:
         """
         if not self._meta.manifest:
             raise ValueError("vacuum() requires a manifest=True table")
+        if keep_versions < 0:
+            raise ValueError(f"keep_versions must be >= 0, "
+                             f"got {keep_versions}")
         import time as _time
 
         now = _time.time()
@@ -1168,6 +1183,24 @@ class Table:
         v, head = self._latest_head()
         keep = set(self._files_of_head(head))
         live_segs = {s["name"] for s in head["segments"]}
+        # retention window: the keep_versions most recent superseded
+        # heads stay readable, so their files and segments are live too
+        md0 = self._manifest_dir()
+        retained = [v]
+        if keep_versions and os.path.isdir(md0):
+            vs = sorted((int(f[1:-5]) for f in os.listdir(md0)
+                         if f.startswith("v") and f.endswith(".json")),
+                        reverse=True)
+            retained = vs[:keep_versions + 1] or [v]
+            for rv in retained:
+                if rv == v:
+                    continue
+                with open(os.path.join(md0,
+                                       f"v{rv:012d}.json")) as fh:
+                    rh = self._normalize_head(json.load(fh))
+                keep.update(self._files_of_head(rh))
+                live_segs.update(s["name"] for s in rh["segments"])
+        cutoff = min(retained)
         root = os.path.join(self.path, "parquet")
         removed = 0
         if os.path.isdir(root):
@@ -1188,7 +1221,7 @@ class Table:
             for f in os.listdir(md):
                 full = os.path.join(md, f)
                 if (f.startswith("v") and f.endswith(".json")
-                        and int(f[1:-5]) < v):
+                        and int(f[1:-5]) < cutoff):
                     os.unlink(full)
                 elif (f.startswith("seg-") and f.endswith(".json")
                       and f not in live_segs

@@ -5386,6 +5386,106 @@ _STAGED_R17_ORACLES: dict[str, str] = {
 }
 
 
+def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r17 for r18 registration (the table_delete staging
+    precedent): copy-on-write MERGE end-to-end (table.py:merge_into —
+    the Delta/Iceberg upsert shape on the r16 rewrite machinery).  A
+    manifest table is built from events ONCE (scratch + atomic rename
+    keyed on the testdata fingerprint); merge 1 upserts a source that
+    is half matched (every purchase row keyed by event_id: relabeled
+    'purchase_2x', value doubled via a t.-qualified expression) and
+    half new (the same rows re-keyed +100M, ts shifted a week —
+    INSERTED, extending the manifest ts bounds); merge 2 is a
+    matched-DELETE of low-value error events.  Steady state is a
+    read-only scan aggregate — idempotent across runs.  Oracle: the
+    same pipeline in pure SQL (_STAGED_R18_ORACLES)."""
+    import shutil
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "table-merge-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_table_merge", key)
+    home = os.path.join(root, "home")
+    schema = (Schema("events_mrg")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("user_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch, manifest=True)
+        ev = (_load(spark, sf_dir, "events")
+              .select("ts", "event_id", "user_id", "event_type",
+                      "value"))
+        t.write(ev, enforce_order=False)
+        pur = ev.where("event_type = 'purchase'")
+        week = 7 * 86_400 * 1_000_000_000
+        source = pur.unionByName(
+            pur.withColumn("event_id",
+                           F.col("event_id") + F.lit(100_000_000))
+               .withColumn("ts", F.col("ts") + F.lit(week))
+               .withColumn("event_type", F.lit("inserted"))
+               .withColumn("value", F.col("value") + F.lit(1.0)))
+        r1 = t.merge_into(source, on="event_id",
+                          set_values={"event_type": "'purchase_2x'",
+                                      "value": "t.value * 2"})
+        _check(r1["updated"] == r1["inserted"] == pur.count(),
+               f"merge upsert accounting diverged: {r1}")
+        r2 = t.merge_into(
+            ev.where("event_type = 'error' AND value < 50.0")
+              .select("event_id"),
+            on="event_id", when_matched="delete",
+            when_not_matched=None)
+        _check(r2["deleted"] == r2["matched"],
+               f"merge delete accounting diverged: {r2}")
+        os.makedirs(os.path.dirname(home), exist_ok=True)
+        os.rename(scratch, home)
+    t = Table.open(spark, "events_mrg", home=home)
+    return (t.scan()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+# Oracle staged WITH the gate (the _STAGED_R17_ORACLES pattern):
+# merged into oracle_sql() at r18 registration so the staging-era
+# text stays byte-identical through registration.
+_STAGED_R18_ORACLES: dict[str, str] = {
+    "table_merge": """
+        WITH merged AS (
+            -- merge 1, matched branch: every purchase row updated
+            SELECT event_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 'purchase_2x' ELSE event_type
+                        END AS event_type,
+                   CASE WHEN event_type = 'purchase'
+                        THEN value * 2 ELSE value END AS value
+            FROM events
+            UNION ALL
+            -- merge 1, not-matched branch: re-keyed copies inserted
+            SELECT event_id + 100000000 AS event_id,
+                   'inserted' AS event_type,
+                   value + 1.0 AS value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT event_type, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM merged
+        -- merge 2: matched-delete of low-value errors (event_id is
+        -- the key, so a colliding inserted id would go too — same
+        -- rule the engine applies)
+        WHERE event_id NOT IN (SELECT event_id FROM events
+                               WHERE event_type = 'error'
+                                 AND value < 50.0)
+        GROUP BY 1
+    """,
+}
+
+
 def _synth_imagehash_batches(batches):
     """Per-doc 9x8 grayscale LOSSLESS-WEBP fixtures for the image
     near-dup gate, closed-form in doc_id: doc 4k is a base image with

@@ -1190,6 +1190,185 @@ class TestUpdateWhere:
         assert t._latest_head()[0] == v
 
 
+class TestMergeInto:
+    """Copy-on-write MERGE (r17): the Delta/Iceberg upsert shape on
+    top of the r16 rewrite machinery — key-equality match, update/
+    delete/insert clauses, one atomic CAS flip for rewrites+inserts."""
+
+    def make(self, spark, tmp_home, name="tmrg"):
+        return Table.create(spark, make_schema(name), home=tmp_home,
+                            manifest=True)
+
+    def src(self, spark, rows):
+        # rows: list of (ts, sym, price, size)
+        return spark.createDataFrame(
+            [Row(ts=t, sym=s, price=p, size=z) for t, s, p, z in rows])
+
+    def test_upsert_default_set(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(4)]))
+        v_pre = t._latest_head()[0]
+        # ts key: row T0+1 matches (price 101 overwrites 2.0), one
+        # brand-new row lands a day later (outside recorded bounds)
+        res = t.merge_into(
+            self.src(spark, [(T0 + 1, "UPD", 101.0, 77),
+                             (T0 + DAY, "NEW", 9.0, 1)]), on="ts")
+        assert res == {"matched": 1, "updated": 1, "deleted": 0,
+                       "inserted": 1}
+        assert t.row_count == 5               # manifest accounting
+        assert t.scan().count() == 5          # actual rows agree
+        rows = {r.ts: (r.sym, r.price, r.size)
+                for r in t.scan().collect()}
+        assert rows[T0 + 1] == ("UPD", 101.0, 77)
+        assert rows[T0] == ("AAPL", 1.0, 10)  # unmatched untouched
+        assert rows[T0 + DAY] == ("NEW", 9.0, 1)
+        # inserts extended the manifest ts bounds
+        assert t.get_last_ts() == T0 + DAY
+        # pre-merge snapshot is the audit trail
+        old = {r.ts: r.price for r in t.snapshot(v_pre).collect()}
+        assert old[T0 + 1] == 2.0 and (T0 + DAY) not in old
+
+    def test_matched_delete_with_insert(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(3)]))
+        res = t.merge_into(
+            self.src(spark, [(T0, "X", 0.0, 0),
+                             (T0 + 9, "NEW", 5.0, 5)]),
+            on="ts", when_matched="delete")
+        assert res == {"matched": 1, "updated": 0, "deleted": 1,
+                       "inserted": 1}
+        rows = {r.ts for r in t.scan().collect()}
+        assert rows == {T0 + 1, T0 + 2, T0 + 9}
+        assert t.row_count == 3
+
+    def test_update_only_ignores_unmatched(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        res = t.merge_into(
+            self.src(spark, [(T0, "U", 50.0, 1),
+                             (T0 + 99, "IGNORED", 1.0, 1)]),
+            on="ts", when_not_matched=None)
+        assert res["updated"] == 1 and res["inserted"] == 0
+        assert t.scan().count() == 2
+        assert t.scan().where("sym = 'IGNORED'").count() == 0
+
+    def test_insert_only_leaves_matched_files_alone(self, spark,
+                                                    tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        files_pre = set(t._latest_manifest()[1])
+        res = t.merge_into(
+            self.src(spark, [(T0, "SKIP", 0.0, 0),
+                             (T0 + 7, "NEW", 3.0, 3)]),
+            on="ts", when_matched=None)
+        assert res == {"matched": 1, "updated": 0, "deleted": 0,
+                       "inserted": 1}
+        # matched rows untouched AND their files not rewritten
+        assert files_pre <= set(t._latest_manifest()[1])
+        rows = {r.ts: r.sym for r in t.scan().collect()}
+        assert rows[T0] == "AAPL" and rows[T0 + 7] == "NEW"
+
+    def test_explicit_set_values_sees_both_sides(self, spark,
+                                                 tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))         # prices 1.0, 2.0
+        res = t.merge_into(
+            self.src(spark, [(T0 + 1, "Z", 40.0, 4)]), on="ts",
+            set_values={"price": "t.price + s.price"},
+            when_not_matched=None)
+        assert res["updated"] == 1
+        rows = {r.ts: (r.sym, r.price) for r in t.scan().collect()}
+        assert rows[T0 + 1] == ("AAPL", 42.0)  # sym NOT in set_values
+
+    def test_one_source_row_many_target_rows(self, spark, tmp_home):
+        # one source row fanning out to many matched target rows is
+        # legal (only multi-SOURCE per key is ambiguous)
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(4)]))
+        res = t.merge_into(
+            spark.createDataFrame([Row(sym="AAPL", size=99)]),
+            on="sym", when_not_matched=None)
+        assert res["updated"] == 4
+        assert {r.size for r in t.scan().collect()} == {99}
+        assert t.row_count == 4
+
+    def test_duplicate_source_keys_rejected(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        with pytest.raises(ValueError, match="multiple source rows"):
+            t.merge_into(
+                self.src(spark, [(T0, "A", 1.0, 1),
+                                 (T0, "B", 2.0, 2)]), on="ts")
+        # insert-only merges skip the check (no matched ambiguity)
+        res = t.merge_into(
+            self.src(spark, [(T0 + 5, "A", 1.0, 1),
+                             (T0 + 5, "B", 2.0, 2)]),
+            on="ts", when_matched=None)
+        assert res["inserted"] == 2
+
+    def test_clause_and_column_guards(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        s1 = self.src(spark, [(T0, "A", 1.0, 1)])
+        with pytest.raises(ValueError, match="both clauses"):
+            t.merge_into(s1, on="ts", when_matched=None,
+                         when_not_matched=None)
+        with pytest.raises(ValueError, match="when_matched"):
+            t.merge_into(s1, on="ts", when_matched="upsert")
+        with pytest.raises(ValueError, match="set_values requires"):
+            t.merge_into(s1, on="ts", when_matched="delete",
+                         set_values={"price": "1.0"})
+        with pytest.raises(KeyError, match="unknown key"):
+            t.merge_into(s1, on="nope")
+        with pytest.raises(KeyError, match="source lacks key"):
+            t.merge_into(s1.drop("sym"), on="sym")
+        with pytest.raises(ValueError, match="cannot assign"):
+            t.merge_into(s1, on="ts", set_values={"ts": "0"})
+        with pytest.raises(ValueError, match="key column"):
+            t.merge_into(s1, on="sym", set_values={"sym": "'X'"})
+        with pytest.raises(ValueError, match="source lacks columns"):
+            t.merge_into(s1.drop("price"), on="ts")
+        assert t.row_count == 1               # nothing committed
+
+    def test_noop_merge_publishes_nothing(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        v = t._latest_head()[0]
+        res = t.merge_into(
+            self.src(spark, [(T0 + 9, "X", 1.0, 1)]),
+            on="ts", when_not_matched=None)
+        assert res == {"matched": 0, "updated": 0, "deleted": 0,
+                       "inserted": 0}
+        assert t._latest_head()[0] == v
+
+    def test_merge_into_empty_table(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        res = t.merge_into(self.src(spark, [(T0, "A", 1.0, 1)]),
+                           on="ts")
+        assert res["inserted"] == 1 and res["matched"] == 0
+        assert t.row_count == 1
+        assert t.get_first_ts() == T0 and t.get_last_ts() == T0
+
+    def test_zorder_layout_preserved(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("tmrgz"), home=tmp_home,
+                         manifest=True, zorder_by=["price"],
+                         zorder_bounds={"price": (0.0, 1000.0)})
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        res = t.merge_into(
+            self.src(spark, [(T0 + 1, "U", 500.0, 5),
+                             (T0 + 60, "N", 900.0, 9)]), on="ts")
+        assert res["updated"] == 1 and res["inserted"] == 1
+        got = {r.ts: r.price for r in t.scan().collect()}
+        assert got[T0 + 1] == 500.0 and got[T0 + 60] == 900.0
+        assert "_zkey" not in t.scan().columns
+
+    def test_merge_requires_manifest(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("tmrgl"), home=tmp_home)
+        with pytest.raises(ValueError, match="manifest"):
+            t.merge_into(self.src(spark, [(T0, "A", 1.0, 1)]),
+                         on="ts")
+
+
 class TestMaintenanceStress:
     """r16 verdict task 4: interleaved write()/delete_where()/compact()
     threads — the manifest_stress treatment for the COW rewrite path.

@@ -243,6 +243,50 @@ class TestStagedTableDelete:
         assert "table_delete" in entry.oracle_sql()
 
 
+class TestStagedTableMerge:
+    """Readiness pin for the table_merge gate (STAGED r17 for r18
+    registration, the table_delete precedent): the gate function runs
+    end-to-end at sf0.001 and matches the staged oracle's pipeline
+    applied to the raw events frame in Spark."""
+
+    def test_gate_matches_oracle_pipeline(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = {r.event_type: (r.n_events, r.sum_value)
+               for r in entry.q_table_merge(spark, sf).collect()}
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        merged = ev.selectExpr(
+            "event_id",
+            "CASE WHEN event_type = 'purchase' THEN 'purchase_2x' "
+            "ELSE event_type END AS event_type",
+            "CASE WHEN event_type = 'purchase' THEN value * 2 "
+            "ELSE value END AS value",
+        ).unionByName(
+            ev.where("event_type = 'purchase'").selectExpr(
+                "event_id + 100000000 AS event_id",
+                "'inserted' AS event_type",
+                "value + 1.0 AS value"))
+        doomed = (ev.where("event_type = 'error' AND value < 50.0")
+                  .select("event_id"))
+        want = {r.event_type: (r.n, r.s) for r in
+                (merged.join(doomed, on="event_id", how="left_anti")
+                 .groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.round(F.sum("value"), 4).alias("s"))
+                 .collect())}
+        assert got == want
+        assert "purchase" not in got          # every purchase updated
+        assert "purchase_2x" in got and "inserted" in got
+        # staged, NOT yet registered: oracle text lives in the staging
+        # dict only until the r18 registration merges it
+        assert "table_merge" in entry._STAGED_R18_ORACLES
+        assert "table_merge" not in entry.queries()
+        assert "table_merge" not in entry.oracle_sql()
+
+
 class TestHammingCap:
     """r16: hamming_pairs' max_bucket_size hot-bucket cap (the
     SCALE.md §Round-16 skew guard)."""

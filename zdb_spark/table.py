@@ -907,12 +907,17 @@ class Table:
 
     def _flip_replacing(self, replaced: set[str], moved: list[str],
                         src: str, op_name: str,
-                        row_count_delta: int = 0) -> None:
+                        row_count_delta: int = 0,
+                        bounds: tuple[int, int] | None = None) -> None:
         """CAS-flip a file-set rewrite: every path in ``replaced``
         leaves the manifest, ``moved`` enters, row_count adjusts by
         ``row_count_delta`` — the ONE copy of the supersede-guard +
         abort protocol shared by ``compact()`` and ``_rewrite_where``
-        (r16 review pass 2).  If ANY replaced file was already
+        (r16 review pass 2).  ``bounds=(lo, hi)`` additionally folds a
+        ts range into the head's min/max stats — ``merge_into``'s
+        inserts can extend the table beyond the bounds the appends
+        recorded, and a flip that left them stale would make
+        ``get_first_ts``/``get_last_ts`` lie to the pruning layer.  If ANY replaced file was already
         superseded by a concurrent rewrite, committing our copy of its
         OLD rows would resurrect rows that writer removed (and
         duplicate the ones it kept), so the flip aborts loudly: our
@@ -932,8 +937,15 @@ class Table:
                 return None
             files = [f for f in doc["files"]
                      if f not in replaced] + moved
-            return {**doc, "files": files,
-                    "row_count": doc["row_count"] + row_count_delta}
+            nh = {**doc, "files": files,
+                  "row_count": doc["row_count"] + row_count_delta}
+            if bounds is not None:
+                lo, hi = bounds
+                nh["min_ts"] = (lo if doc["min_ts"] is None
+                                else min(doc["min_ts"], lo))
+                nh["max_ts"] = (hi if doc["max_ts"] is None
+                                else max(doc["max_ts"], hi))
+            return nh
 
         if self._commit_manifest(flip) is None:
             for f in moved:             # our rewrites are now orphans
@@ -1007,22 +1019,286 @@ class Table:
                 raise KeyError(f"update_where: unknown column {col!r}")
         return self._rewrite_where(condition, "update", assignments)
 
-    def _rewrite_where(self, condition, mode: str,
-                       assignments: dict[str, object] | None) -> int:
+    def merge_into(self, source: DataFrame, on,
+                   when_matched: str | None = "update",
+                   set_values: dict[str, object] | None = None,
+                   when_not_matched: str | None = "insert",
+                   broadcast_source: bool | None = None) -> dict:
+        """MERGE (upsert) as copy-on-write — the Delta/Iceberg
+        ``MERGE INTO`` shape, completing the r16 row-level
+        delete/update family (beyond-reference surface; the reference
+        is append-only, src/table/write.rs:79-84).  ``source`` rows
+        are matched to table rows by equality on the ``on`` key
+        column(s); per clause:
+
+        - ``when_matched='update'`` rewrites matched rows.
+          ``set_values`` maps target column → expression evaluated on
+          the joined row with the table aliased ``t`` and the source
+          ``s`` (e.g. ``{"value": "t.value + s.value"}``); qualify
+          names — unqualified references to shared columns are
+          ambiguous by construction.  Default: every non-key source
+          column that exists in the table is overwritten from the
+          source (classic upsert).  The timestamp, ``dt`` and key
+          columns cannot be assigned (rows may not move partitions or
+          change identity — delete + insert for that).
+        - ``when_matched='delete'`` removes matched rows.
+        - ``when_not_matched='insert'`` appends source rows that match
+          nothing; the source must then supply every table column
+          (evolution defaults fill), and values are cast + resolution-
+          floored exactly like ``write()``.  Inserts bypass the
+          monotonic-append check (``write(enforce_order=False)``
+          semantics) and fold their ts range into the manifest bounds.
+
+        Multiple source rows sharing one key are rejected when a
+        matched clause is active (the Delta ambiguity contract);
+        key-column values are normalized to the declared column type
+        (including timestamp resolution flooring) before matching.
+
+        Mechanics and scale shape, same as ``delete_where``: one
+        key-semi-join pass over the latest snapshot finds affected
+        files (merge sources are usually small — the join broadcasts
+        when AQE sees a small side, or force it with
+        ``broadcast_source=True``); only affected files are rewritten,
+        preserving the table's sort/Z-order; unmatched inserts land as
+        new files in their own ``dt`` partitions; ONE CAS manifest
+        flip commits rewrites + inserts atomically, with the same
+        supersede-guard abort as every other rewrite.  Row accounting
+        is footer-derived (never a second predicate evaluation).
+        Snapshot isolation: rows appended concurrently are not
+        merged — re-run for late arrivals.  Returns
+        ``{"matched", "updated", "deleted", "inserted"}``.
+        """
         if not self._meta.manifest:
             raise ValueError(
-                f"{mode}_where() requires a manifest=True table "
-                "(copy-on-write needs snapshot isolation); filter at "
-                "read, or recreate the table with manifest=True")
-        import urllib.parse
+                "merge_into() requires a manifest=True table "
+                "(copy-on-write needs snapshot isolation)")
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(
+                f"when_matched must be 'update', 'delete' or None, "
+                f"got {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(
+                f"when_not_matched must be 'insert' or None, "
+                f"got {when_not_matched!r}")
+        if when_matched is None and when_not_matched is None:
+            raise ValueError("merge_into: both clauses are None — "
+                             "the merge would do nothing")
+        if set_values is not None and when_matched != "update":
+            raise ValueError(
+                "set_values requires when_matched='update'")
+        keys = [on] if isinstance(on, str) else list(on)
+        if not keys:
+            raise ValueError("merge_into: empty key list")
+        ts = self.schema.ts_col
+        known = {c.name for c in self.schema.columns}
+        for k in keys:
+            if k not in known:
+                raise KeyError(f"merge_into: unknown key column {k!r}")
+            if k not in source.columns:
+                raise KeyError(
+                    f"merge_into: source lacks key column {k!r}")
+        if when_matched == "update":
+            if set_values is None:
+                set_values = {
+                    c: F.col(f"s.{c}") for c in source.columns
+                    if c in known and c not in keys
+                    and c != ts and c != "dt"}
+                if not set_values:
+                    raise ValueError(
+                        "merge_into: no source column is updatable "
+                        "(all are keys/timestamp) — pass set_values "
+                        "or when_matched='delete'/None")
+            for c in set_values:
+                if c in (ts, "dt"):
+                    raise ValueError(
+                        f"merge_into cannot assign {c!r}: rows may "
+                        "not move between partitions or reorder — "
+                        "delete + insert instead")
+                if c in keys:
+                    raise ValueError(
+                        f"merge_into cannot assign key column {c!r}: "
+                        "a matched row's key already equals the "
+                        "source's — delete + insert to re-key")
+                if c not in known:
+                    raise KeyError(
+                        f"merge_into: unknown column {c!r}")
         import uuid
 
-        cond = (F.expr(condition) if isinstance(condition, str)
-                else condition)
+        # normalize key columns to the declared type + ts resolution
+        # floor so raw-source keys match what write() stored
+        snorm = source
+        for c in self.schema.columns:
+            if c.name not in keys:
+                continue
+            snorm = snorm.withColumn(
+                c.name,
+                F.col(c.name).cast(c.spark_type(self.schema.strict_u64)))
+            if c.ctype == ColumnType.TIMESTAMP and c.resolution > 1:
+                snorm = snorm.withColumn(
+                    c.name,
+                    F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
+        if when_matched is not None:
+            dup = (snorm.groupBy(*keys)
+                   .agg(F.count(F.lit(1)).alias("_c"))
+                   .where(F.col("_c") > 1).limit(1).collect())
+            if dup:
+                kv = tuple(dup[0][k] for k in keys)
+                raise ValueError(
+                    f"merge_into: multiple source rows share key "
+                    f"{kv!r} — a matched target row would be "
+                    "rewritten ambiguously; de-duplicate the source "
+                    "on the merge key first")
+
+        src, base_files, read_files, rel = self._cow_read()
+        affected: dict[str, int] = {}
+        if base_files:
+            skeys = snorm.select(*keys).dropDuplicates(keys)
+            if broadcast_source:
+                skeys = F.broadcast(skeys)
+            # capture input_file_name AT SCAN TIME: evaluated after
+            # the join it returns '' (the joined stage no longer reads
+            # the file), which would map every hit to garbage paths
+            hits = (read_files(base_files)
+                    .withColumn("_f", F.input_file_name())
+                    .join(skeys, on=keys, how="left_semi")
+                    .groupBy("_f")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .collect())
+            affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
+        n_matched = sum(affected.values())
+
+        data_cols = [c.name for c in self.schema.columns]
+        out_cols = data_cols + ["dt"]
+
+        def recast(df: DataFrame) -> DataFrame:
+            # declared-type cast + ts resolution floor, write()'s W1/W2
+            # contract — update expressions and raw sources must not
+            # drift the parquet schema file-to-file
+            df = df.select(
+                *[F.col(c.name).cast(c.spark_type(self.schema.strict_u64))
+                  for c in self.schema.columns],
+                *([F.col("dt")] if "dt" in df.columns else []))
+            for c in self.schema.columns:
+                if c.ctype == ColumnType.TIMESTAMP and c.resolution > 1:
+                    df = df.withColumn(
+                        c.name,
+                        F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
+            return df
+
+        pieces: list[DataFrame] = []
+        replaced: set[str] = set()
+        if when_matched is not None and affected:
+            replaced = set(affected)
+            t = read_files(sorted(affected)).alias("t")
+            s = snorm.withColumn("_m", F.lit(True))
+            if broadcast_source:
+                s = F.broadcast(s)
+            s = s.alias("s")
+            cond = None
+            for k in keys:
+                e = F.col(f"t.{k}") == F.col(f"s.{k}")
+                cond = e if cond is None else (cond & e)
+            joined = t.join(s, cond, "left")
+            hit = F.col("s._m").isNotNull()
+            if when_matched == "delete":
+                surv = joined.where(~hit).select(
+                    *[F.col(f"t.{c}").alias(c) for c in out_cols])
+            else:
+                def outc(c: str):
+                    if c in set_values:
+                        a = set_values[c]
+                        expr = F.expr(a) if isinstance(a, str) else a
+                        return (F.when(hit, expr)
+                                .otherwise(F.col(f"t.{c}")).alias(c))
+                    return F.col(f"t.{c}").alias(c)
+
+                surv = joined.select(*[outc(c) for c in out_cols])
+            pieces.append(recast(surv))
+
+        n_inserted = 0
+        ins_bounds: tuple[int, int] | None = None
+        ins = None
+        if when_not_matched == "insert":
+            ins = snorm
+            if affected:
+                # all matching target rows live in affected files BY
+                # CONSTRUCTION, so the anti-join right side is the
+                # affected subset, not the whole table
+                tk = read_files(sorted(affected)).select(*keys)
+                ins = ins.join(tk, on=keys, how="left_anti")
+            missing = [c for c in data_cols if c not in ins.columns]
+            for c in list(missing):
+                d = self._meta.added_defaults.get(c)
+                if d is not None:
+                    ins = ins.withColumn(c, F.lit(d))
+                    missing.remove(c)
+            if missing:
+                raise ValueError(
+                    f"merge_into: source lacks columns {missing} "
+                    "required to insert unmatched rows (pass "
+                    "when_not_matched=None for a matched-only merge)")
+            ins = self._with_partition_col(
+                recast(ins.select(*data_cols))).persist()
+            row = ins.agg(F.count(F.lit(1)).alias("_n"),
+                          F.min(ts).alias("_lo"),
+                          F.max(ts).alias("_hi")).first()
+            n_inserted = int(row["_n"])
+            if n_inserted:
+                ins_bounds = (int(row["_lo"]), int(row["_hi"]))
+                pieces.append(ins.select(*out_cols))
+
+        if not pieces:
+            if ins is not None:
+                ins.unpersist()
+            return {"matched": n_matched, "updated": 0, "deleted": 0,
+                    "inserted": 0}
+        try:
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+            out, sort_cols, zkeyed = self._clustering(out, None, ts)
+            nparts = max(len(replaced) + (1 if n_inserted else 0), 1)
+            out = (out.repartitionByRange(nparts, *sort_cols)
+                   .sortWithinPartitions(*sort_cols))
+            if zkeyed:
+                out = out.drop("_zkey")
+            writer = out.write.mode("overwrite")
+            if self._meta.compression:
+                writer = writer.option("compression",
+                                       self._meta.compression)
+            staging = os.path.join(self.path, "_staging",
+                                   uuid.uuid4().hex)
+            writer.partitionBy("dt").parquet(staging)
+            moved = self._land_staging(staging, src)
+        finally:
+            if ins is not None:
+                ins.unpersist()
+        # net row change from parquet footers (the delete_where
+        # accounting rule): rewrites + inserts minus replaced rows —
+        # exact even if an update expression were non-deterministic
+        delta = (self._footer_rows(src, moved)
+                 - self._footer_rows(src, replaced))
+        self._flip_replacing(replaced, moved, src, "merge_into",
+                             row_count_delta=delta, bounds=ins_bounds)
+        return {"matched": n_matched,
+                "updated": n_matched if when_matched == "update" else 0,
+                "deleted": n_matched if when_matched == "delete" else 0,
+                "inserted": n_inserted}
+
+    def _cow_read(self):
+        """``(src, base_files, read_files, rel)`` — the shared
+        snapshot-read machinery of the COW rewrite family
+        (``_rewrite_where``, ``merge_into``): an evolved-schema-aware
+        reader over the LATEST committed manifest plus the
+        file-uri→manifest-relative mapper.  ``rel`` uses realpath on
+        BOTH sides (ADVICE r16): Spark reports RESOLVED file paths, so
+        a symlinked component in the table root (/tmp → /private/tmp)
+        must not make every flip abort with a misleading
+        'lost a rewrite race'."""
+        import urllib.parse
+
         src = os.path.join(self.path, "parquet")
         _, base_files = self._latest_manifest()
-        if not base_files:
-            return 0
         evolved = bool(self._meta.added_defaults
                        or self._meta.dropped_columns)
         reader = self.spark.read
@@ -1034,24 +1310,36 @@ class Table:
                   .parquet(*[os.path.join(src, f) for f in files]))
             return self._apply_added_defaults(df) if evolved else df
 
+        abs_src = os.path.realpath(src)
+
+        def rel(uri: str) -> str:
+            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+            return os.path.relpath(os.path.realpath(p), abs_src)
+
+        return src, base_files, read_files, rel
+
+    def _rewrite_where(self, condition, mode: str,
+                       assignments: dict[str, object] | None) -> int:
+        if not self._meta.manifest:
+            raise ValueError(
+                f"{mode}_where() requires a manifest=True table "
+                "(copy-on-write needs snapshot isolation); filter at "
+                "read, or recreate the table with manifest=True")
+        import uuid
+
+        cond = (F.expr(condition) if isinstance(condition, str)
+                else condition)
+        src, base_files, read_files, rel = self._cow_read()
+        if not base_files:
+            return 0
         self._reject_nondeterministic(read_files(base_files), cond,
                                       f"{mode}_where")
-        # realpath, not abspath (ADVICE r16): Spark reports the
-        # RESOLVED file path; if self.path contains a symlinked
-        # component (/tmp -> /private/tmp), abspath-based keys would
-        # miss every manifest entry and the flip would abort with a
-        # misleading 'lost a rewrite race'.
-        abs_src = os.path.realpath(src)
         hits = (read_files(base_files).where(cond)
                 .groupBy(F.input_file_name().alias("_f"))
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .collect())
         if not hits:
             return 0
-
-        def rel(uri: str) -> str:
-            p = urllib.parse.unquote(urllib.parse.urlparse(uri).path)
-            return os.path.relpath(os.path.realpath(p), abs_src)
 
         affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
         n_deleted = sum(affected.values())

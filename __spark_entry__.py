@@ -5754,6 +5754,16 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
     "stream_warc": ("same response-only filter + explicit select "
                     "through the streaming path; bit-exact mirror "
                     "green (r16, re-proven r17)"),
+    # Round 17: snapshot() refactor — the version-file loading moved
+    # verbatim into _version_files so the new changes_between CDC
+    # reader shares it; the read path is expression-identical and the
+    # gate was driver-green in r16 (age 0, outside the r17 window —
+    # queuing would evict a staler gate for a pure extract-method
+    # diff).
+    "stream_ingest_manifest": ("snapshot() extract-method refactor "
+                               "(_version_files), byte-identical "
+                               "behavior; bit-exact mirror green on "
+                               "the changed tree (r17)"),
     "contamination_bloom": (
         "guard-only diff (raises on grouped/duplicate/oversized word "
         "tables the gate never builds); bit-exact mirror green on the "

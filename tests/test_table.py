@@ -1369,6 +1369,96 @@ class TestMergeInto:
                          on="ts")
 
 
+class TestChangesBetween:
+    """Row-level CDC between snapshots (r17): derived from the COW
+    file-immutability invariant — no stored change images, the diff
+    reads only files that entered/left the manifest and exceptAll
+    cancels rows that merely moved during a rewrite."""
+
+    def make(self, spark, tmp_home, name="tcdc"):
+        return Table.create(spark, make_schema(name), home=tmp_home,
+                            manifest=True)
+
+    @staticmethod
+    def feed(t, v0, v1=None):
+        return sorted((r.ts, r.price, r._change_type)
+                      for r in t.changes_between(v0, v1).collect())
+
+    def test_append_is_insert_only(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        v0 = t._latest_head()[0]
+        t.write(rows_df(spark, [T0 + 1, T0 + 2], price=7.0))
+        assert self.feed(t, v0) == [(T0 + 1, 7.0, "insert"),
+                                    (T0 + 2, 8.0, "insert")]
+
+    def test_delete_is_delete_only(self, spark, tmp_home):
+        # survivors are rewritten into NEW files; exceptAll cancels
+        # them, leaving exactly the deleted rows
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0 + i for i in range(5)]))
+        v0 = t._latest_head()[0]
+        assert t.delete_where("price >= 4.0") == 2
+        assert self.feed(t, v0) == [(T0 + 3, 4.0, "delete"),
+                                    (T0 + 4, 5.0, "delete")]
+
+    def test_update_is_delete_insert_pair(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        v0 = t._latest_head()[0]
+        t.update_where("price > 1.5", {"price": "price + 100.0"})
+        assert self.feed(t, v0) == [(T0 + 1, 2.0, "delete"),
+                                    (T0 + 1, 102.0, "insert")]
+
+    def test_merge_feed(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        v0 = t._latest_head()[0]
+        t.merge_into(spark.createDataFrame(
+            [Row(ts=T0 + 1, sym="U", price=50.0, size=1),
+             Row(ts=T0 + 9, sym="N", price=9.0, size=9)]), on="ts")
+        assert self.feed(t, v0) == [(T0 + 1, 2.0, "delete"),
+                                    (T0 + 1, 50.0, "insert"),
+                                    (T0 + 9, 9.0, "insert")]
+
+    def test_compaction_is_silent(self, spark, tmp_home):
+        # a pure rewrite changes bytes, not rows — empty feed
+        t = self.make(spark, tmp_home)
+        for i in range(3):
+            t.write(rows_df(spark, [T0 + i], price=1.0 + i))
+        v0 = t._latest_head()[0]
+        assert t.compact() > 0
+        assert t.changes_between(v0).count() == 0
+
+    def test_range_spans_multiple_commits(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        v0 = t._latest_head()[0]
+        t.write(rows_df(spark, [T0 + 1], price=5.0))
+        t.delete_where("price = 1.0")
+        # net across both commits: +row(T0+1), -row(T0)
+        assert self.feed(t, v0) == [(T0, 1.0, "delete"),
+                                    (T0 + 1, 5.0, "insert")]
+        # duplicate-row multiset semantics: identical rows diff by count
+        assert t.changes_between(v0, v0).count() == 0
+
+    def test_guards(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        v = t._latest_head()[0]
+        with pytest.raises(ValueError, match="from_version"):
+            t.changes_between(v, v - 1)
+        with pytest.raises(ValueError, match="no snapshot"):
+            t.changes_between(v + 99, v + 99)
+        t.write(rows_df(spark, [T0 + 1]))
+        t.vacuum(grace_seconds=0.0)
+        with pytest.raises(ValueError, match="no snapshot"):
+            t.changes_between(v)          # vacuumed away
+        tl = Table.create(spark, make_schema("tcdcl"), home=tmp_home)
+        with pytest.raises(ValueError, match="manifest"):
+            tl.changes_between(0)
+
+
 class TestMaintenanceStress:
     """r16 verdict task 4: interleaved write()/delete_where()/compact()
     threads — the manifest_stress treatment for the COW rewrite path.

@@ -863,23 +863,90 @@ class Table:
         finally:
             os.unlink(tmp)
 
+    def _version_files(self, version: int) -> list[str]:
+        """Manifest-relative file list of snapshot ``version`` (loud on
+        a vacuumed/unknown version)."""
+        path = os.path.join(self._manifest_dir(), f"v{version:012d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no snapshot version {version}")
+        with open(path) as f:
+            return self._files_of_head(self._normalize_head(json.load(f)))
+
     def snapshot(self, version: int) -> DataFrame:
         """Time-travel read: the table exactly as of manifest ``version``
         (manifest-mode tables only).  Compaction rewrites files, so
         pre-compaction snapshots are readable only until ``vacuum()``."""
         if not self._meta.manifest:
             raise ValueError("snapshot() requires a manifest=True table")
-        path = os.path.join(self._manifest_dir(), f"v{version:012d}.json")
-        if not os.path.exists(path):
-            raise ValueError(f"no snapshot version {version}")
-        with open(path) as f:
-            files = self._files_of_head(self._normalize_head(json.load(f)))
+        files = self._version_files(version)
         p = os.path.join(self.path, "parquet")
         if not files:
             return self.spark.createDataFrame(
                 [], self.schema.spark_schema().add("dt", "string"))
         return (self.spark.read.option("basePath", p)
                 .parquet(*[os.path.join(p, f) for f in files]))
+
+    def changes_between(self, from_version: int,
+                        to_version: int | None = None) -> DataFrame:
+        """Row-level change feed between two snapshots (the Delta CDF
+        shape, r17; manifest tables only): every table column plus
+        ``dt`` and a ``_change_type`` column — ``'insert'`` for rows
+        present at ``to_version`` but not ``from_version``,
+        ``'delete'`` for the reverse; an update surfaces as its
+        delete+insert pair.  ``to_version=None`` reads to the latest
+        head.  This is how a downstream incremental consumer (a dedup
+        store, an index, an export) catches up after appends, COW
+        deletes/updates, merges, or compactions without rescanning the
+        table.
+
+        No change images are stored — the COW invariant derives them:
+        data files are IMMUTABLE once committed, so every changed row
+        lives in a file that entered or left the manifest between the
+        two versions.  The diff reads ONLY those files and cancels
+        rows that merely moved during a rewrite with ``exceptAll``
+        (multiset semantics, so duplicate rows diff correctly; set ops
+        match NULL/NaN the way a row-identity comparison must).  Cost
+        at 100 TB: a shuffle over the CHANGED bytes only — an
+        append-only day diffs for the price of the new files; a pure
+        compaction reads what it compacted and returns an empty feed
+        (rewrites change bytes, not rows).  Both snapshots must still
+        exist — pair consumers with ``vacuum(keep_versions=N)`` to
+        hold the audit window open."""
+        if not self._meta.manifest:
+            raise ValueError(
+                "changes_between() requires a manifest=True table")
+        if to_version is None:
+            to_version = self._latest_head()[0]
+        if from_version > to_version:
+            raise ValueError(
+                f"changes_between: from_version {from_version} > "
+                f"to_version {to_version} — swap them; the feed is "
+                "directional (insert = present only in to_version)")
+        a = set(self._version_files(from_version))
+        b = set(self._version_files(to_version))
+        added = sorted(b - a)
+        removed = sorted(a - b)
+        out_cols = [c.name for c in self.schema.columns] + ["dt"]
+        empty = self.spark.createDataFrame(
+            [], self.schema.spark_schema().add("dt", "string")
+                .add("_change_type", "string"))
+        if not added and not removed:
+            return empty
+        _, _, read_files, _ = self._cow_read()
+
+        def tagged(files, other, tag):
+            if not files:
+                return None
+            df = read_files(files).select(*out_cols)
+            if other:
+                df = df.exceptAll(read_files(other).select(*out_cols))
+            return df.withColumn("_change_type", F.lit(tag))
+
+        ins = tagged(added, removed, "insert")
+        del_ = tagged(removed, added, "delete")
+        if ins is None:
+            return del_ if del_ is not None else empty
+        return ins.unionByName(del_) if del_ is not None else ins
 
     def _land_staging(self, staging: str, src: str) -> list[str]:
         """Move staged ``dt=*/part`` files into the live tree and

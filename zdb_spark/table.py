@@ -911,7 +911,19 @@ class Table:
         compaction reads what it compacted and returns an empty feed
         (rewrites change bytes, not rows).  Both snapshots must still
         exist — pair consumers with ``vacuum(keep_versions=N)`` to
-        hold the audit window open."""
+        hold the audit window open.
+
+        Schema evolution: the feed is rendered in the table's CURRENT
+        schema — both diffed snapshots read through the evolved-schema
+        reader, so a feed spanning an ``add_column`` shows
+        pre-evolution rows with the column's fill default (the Delta
+        CDF convention; an accumulating consumer sees ONE schema, not
+        a per-version one).  A row whose only change is the evolution
+        default itself therefore does NOT appear in the feed — the
+        stored bytes never changed.  ``dt`` is always a STRING column,
+        on the empty path and the file-diff path alike, so unioning
+        successive feed batches never schema-mismatches on an empty
+        batch (ADVICE r17)."""
         if not self._meta.manifest:
             raise ValueError(
                 "changes_between() requires a manifest=True table")
@@ -937,9 +949,19 @@ class Table:
         def tagged(files, other, tag):
             if not files:
                 return None
-            df = read_files(files).select(*out_cols)
+            # dt via Hive partition discovery infers DATE for
+            # yyyy-MM-dd values; the empty-feed schema declares
+            # STRING.  Pin one type on BOTH paths so an accumulating
+            # consumer can union empty and non-empty batches
+            # (ADVICE r17).
+            def rd(fs):
+                return (read_files(fs)
+                        .withColumn("dt", F.col("dt").cast("string"))
+                        .select(*out_cols))
+
+            df = rd(files)
             if other:
-                df = df.exceptAll(read_files(other).select(*out_cols))
+                df = df.exceptAll(rd(other))
             return df.withColumn("_change_type", F.lit(tag))
 
         ins = tagged(added, removed, "insert")
@@ -1193,6 +1215,24 @@ class Table:
 
         # normalize key columns to the declared type + ts resolution
         # floor so raw-source keys match what write() stored
+        # A non-deterministic source (rand()/shuffle-order-dependent
+        # expressions) would be re-evaluated per pass below — the
+        # duplicate-key check, affected-file discovery, update join,
+        # insert anti-join and insert count each run their own Spark
+        # job, so a source whose key set varies between jobs can miss
+        # files the discovery pass picked AND insert keys that exist
+        # in unaffected files (duplicate keys).  Same hazard class as
+        # _rewrite_where's predicate — reject loudly (ADVICE r17).
+        if self._plan_nondeterministic(source):
+            raise ValueError(
+                "merge_into: non-deterministic source plan — the "
+                "source is evaluated in several separate jobs "
+                "(ambiguity check, file discovery, update join, "
+                "insert anti-join), so a source that can change "
+                "between evaluations merges an inconsistent key "
+                "set; materialize it first (write it out, or "
+                ".localCheckpoint()) and merge the materialized "
+                "frame")
         snorm = source
         for c in self.schema.columns:
             if c.name not in keys:
@@ -1204,153 +1244,161 @@ class Table:
                 snorm = snorm.withColumn(
                     c.name,
                     F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
-        if when_matched is not None:
-            dup = (snorm.groupBy(*keys)
-                   .agg(F.count(F.lit(1)).alias("_c"))
-                   .where(F.col("_c") > 1).limit(1).collect())
-            if dup:
-                kv = tuple(dup[0][k] for k in keys)
-                raise ValueError(
-                    f"merge_into: multiple source rows share key "
-                    f"{kv!r} — a matched target row would be "
-                    "rewritten ambiguously; de-duplicate the source "
-                    "on the merge key first")
-
-        src, base_files, read_files, rel = self._cow_read()
-        affected: dict[str, int] = {}
-        if base_files:
-            skeys = snorm.select(*keys).dropDuplicates(keys)
-            if broadcast_source:
-                skeys = F.broadcast(skeys)
-            # capture input_file_name AT SCAN TIME: evaluated after
-            # the join it returns '' (the joined stage no longer reads
-            # the file), which would map every hit to garbage paths
-            hits = (read_files(base_files)
-                    .withColumn("_f", F.input_file_name())
-                    .join(skeys, on=keys, how="left_semi")
-                    .groupBy("_f")
-                    .agg(F.count(F.lit(1)).alias("_n"))
-                    .collect())
-            affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
-        n_matched = sum(affected.values())
-
-        data_cols = [c.name for c in self.schema.columns]
-        out_cols = data_cols + ["dt"]
-
-        def recast(df: DataFrame) -> DataFrame:
-            # declared-type cast + ts resolution floor, write()'s W1/W2
-            # contract — update expressions and raw sources must not
-            # drift the parquet schema file-to-file
-            df = df.select(
-                *[F.col(c.name).cast(c.spark_type(self.schema.strict_u64))
-                  for c in self.schema.columns],
-                *([F.col("dt")] if "dt" in df.columns else []))
-            for c in self.schema.columns:
-                if c.ctype == ColumnType.TIMESTAMP and c.resolution > 1:
-                    df = df.withColumn(
-                        c.name,
-                        F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
-            return df
-
-        pieces: list[DataFrame] = []
-        replaced: set[str] = set()
-        if when_matched is not None and affected:
-            replaced = set(affected)
-            t = read_files(sorted(affected)).alias("t")
-            s = snorm.withColumn("_m", F.lit(True))
-            if broadcast_source:
-                s = F.broadcast(s)
-            s = s.alias("s")
-            cond = None
-            for k in keys:
-                e = F.col(f"t.{k}") == F.col(f"s.{k}")
-                cond = e if cond is None else (cond & e)
-            joined = t.join(s, cond, "left")
-            hit = F.col("s._m").isNotNull()
-            if when_matched == "delete":
-                surv = joined.where(~hit).select(
-                    *[F.col(f"t.{c}").alias(c) for c in out_cols])
-            else:
-                def outc(c: str):
-                    if c in set_values:
-                        a = set_values[c]
-                        expr = F.expr(a) if isinstance(a, str) else a
-                        return (F.when(hit, expr)
-                                .otherwise(F.col(f"t.{c}")).alias(c))
-                    return F.col(f"t.{c}").alias(c)
-
-                surv = joined.select(*[outc(c) for c in out_cols])
-            pieces.append(recast(surv))
-
-        n_inserted = 0
-        ins_bounds: tuple[int, int] | None = None
-        ins = None
-        if when_not_matched == "insert":
-            ins = snorm
-            if affected:
-                # all matching target rows live in affected files BY
-                # CONSTRUCTION, so the anti-join right side is the
-                # affected subset, not the whole table
-                tk = read_files(sorted(affected)).select(*keys)
-                ins = ins.join(tk, on=keys, how="left_anti")
-            missing = [c for c in data_cols if c not in ins.columns]
-            for c in list(missing):
-                d = self._meta.added_defaults.get(c)
-                if d is not None:
-                    ins = ins.withColumn(c, F.lit(d))
-                    missing.remove(c)
-            if missing:
-                raise ValueError(
-                    f"merge_into: source lacks columns {missing} "
-                    "required to insert unmatched rows (pass "
-                    "when_not_matched=None for a matched-only merge)")
-            ins = self._with_partition_col(
-                recast(ins.select(*data_cols))).persist()
-            row = ins.agg(F.count(F.lit(1)).alias("_n"),
-                          F.min(ts).alias("_lo"),
-                          F.max(ts).alias("_hi")).first()
-            n_inserted = int(row["_n"])
-            if n_inserted:
-                ins_bounds = (int(row["_lo"]), int(row["_hi"]))
-                pieces.append(ins.select(*out_cols))
-
-        if not pieces:
-            if ins is not None:
-                ins.unpersist()
-            return {"matched": n_matched, "updated": 0, "deleted": 0,
-                    "inserted": 0}
+        # One materialization for every pass (belt to the rejection's
+        # suspenders, and a plain win for deterministic sources: the
+        # 3-5 jobs below reread cached partitions instead of
+        # recomputing an arbitrary upstream plan each time).
+        snorm = snorm.persist()
         try:
-            out = pieces[0]
-            for p in pieces[1:]:
-                out = out.unionByName(p)
-            out, sort_cols, zkeyed = self._clustering(out, None, ts)
-            nparts = max(len(replaced) + (1 if n_inserted else 0), 1)
-            out = (out.repartitionByRange(nparts, *sort_cols)
-                   .sortWithinPartitions(*sort_cols))
-            if zkeyed:
-                out = out.drop("_zkey")
-            writer = out.write.mode("overwrite")
-            if self._meta.compression:
-                writer = writer.option("compression",
-                                       self._meta.compression)
-            staging = os.path.join(self.path, "_staging",
-                                   uuid.uuid4().hex)
-            writer.partitionBy("dt").parquet(staging)
-            moved = self._land_staging(staging, src)
+            if when_matched is not None:
+                dup = (snorm.groupBy(*keys)
+                       .agg(F.count(F.lit(1)).alias("_c"))
+                       .where(F.col("_c") > 1).limit(1).collect())
+                if dup:
+                    kv = tuple(dup[0][k] for k in keys)
+                    raise ValueError(
+                        f"merge_into: multiple source rows share key "
+                        f"{kv!r} — a matched target row would be "
+                        "rewritten ambiguously; de-duplicate the source "
+                        "on the merge key first")
+
+            src, base_files, read_files, rel = self._cow_read()
+            affected: dict[str, int] = {}
+            if base_files:
+                skeys = snorm.select(*keys).dropDuplicates(keys)
+                if broadcast_source:
+                    skeys = F.broadcast(skeys)
+                # capture input_file_name AT SCAN TIME: evaluated after
+                # the join it returns '' (the joined stage no longer reads
+                # the file), which would map every hit to garbage paths
+                hits = (read_files(base_files)
+                        .withColumn("_f", F.input_file_name())
+                        .join(skeys, on=keys, how="left_semi")
+                        .groupBy("_f")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .collect())
+                affected = {rel(r["_f"]): int(r["_n"]) for r in hits}
+            n_matched = sum(affected.values())
+
+            data_cols = [c.name for c in self.schema.columns]
+            out_cols = data_cols + ["dt"]
+
+            def recast(df: DataFrame) -> DataFrame:
+                # declared-type cast + ts resolution floor, write()'s W1/W2
+                # contract — update expressions and raw sources must not
+                # drift the parquet schema file-to-file
+                df = df.select(
+                    *[F.col(c.name).cast(c.spark_type(self.schema.strict_u64))
+                      for c in self.schema.columns],
+                    *([F.col("dt")] if "dt" in df.columns else []))
+                for c in self.schema.columns:
+                    if c.ctype == ColumnType.TIMESTAMP and c.resolution > 1:
+                        df = df.withColumn(
+                            c.name,
+                            F.col(c.name) - F.col(c.name) % F.lit(c.resolution))
+                return df
+
+            pieces: list[DataFrame] = []
+            replaced: set[str] = set()
+            if when_matched is not None and affected:
+                replaced = set(affected)
+                t = read_files(sorted(affected)).alias("t")
+                s = snorm.withColumn("_m", F.lit(True))
+                if broadcast_source:
+                    s = F.broadcast(s)
+                s = s.alias("s")
+                cond = None
+                for k in keys:
+                    e = F.col(f"t.{k}") == F.col(f"s.{k}")
+                    cond = e if cond is None else (cond & e)
+                joined = t.join(s, cond, "left")
+                hit = F.col("s._m").isNotNull()
+                if when_matched == "delete":
+                    surv = joined.where(~hit).select(
+                        *[F.col(f"t.{c}").alias(c) for c in out_cols])
+                else:
+                    def outc(c: str):
+                        if c in set_values:
+                            a = set_values[c]
+                            expr = F.expr(a) if isinstance(a, str) else a
+                            return (F.when(hit, expr)
+                                    .otherwise(F.col(f"t.{c}")).alias(c))
+                        return F.col(f"t.{c}").alias(c)
+
+                    surv = joined.select(*[outc(c) for c in out_cols])
+                pieces.append(recast(surv))
+
+            n_inserted = 0
+            ins_bounds: tuple[int, int] | None = None
+            ins = None
+            if when_not_matched == "insert":
+                ins = snorm
+                if affected:
+                    # all matching target rows live in affected files BY
+                    # CONSTRUCTION, so the anti-join right side is the
+                    # affected subset, not the whole table
+                    tk = read_files(sorted(affected)).select(*keys)
+                    ins = ins.join(tk, on=keys, how="left_anti")
+                missing = [c for c in data_cols if c not in ins.columns]
+                for c in list(missing):
+                    d = self._meta.added_defaults.get(c)
+                    if d is not None:
+                        ins = ins.withColumn(c, F.lit(d))
+                        missing.remove(c)
+                if missing:
+                    raise ValueError(
+                        f"merge_into: source lacks columns {missing} "
+                        "required to insert unmatched rows (pass "
+                        "when_not_matched=None for a matched-only merge)")
+                ins = self._with_partition_col(
+                    recast(ins.select(*data_cols))).persist()
+                row = ins.agg(F.count(F.lit(1)).alias("_n"),
+                              F.min(ts).alias("_lo"),
+                              F.max(ts).alias("_hi")).first()
+                n_inserted = int(row["_n"])
+                if n_inserted:
+                    ins_bounds = (int(row["_lo"]), int(row["_hi"]))
+                    pieces.append(ins.select(*out_cols))
+
+            if not pieces:
+                if ins is not None:
+                    ins.unpersist()
+                return {"matched": n_matched, "updated": 0, "deleted": 0,
+                        "inserted": 0}
+            try:
+                out = pieces[0]
+                for p in pieces[1:]:
+                    out = out.unionByName(p)
+                out, sort_cols, zkeyed = self._clustering(out, None, ts)
+                nparts = max(len(replaced) + (1 if n_inserted else 0), 1)
+                out = (out.repartitionByRange(nparts, *sort_cols)
+                       .sortWithinPartitions(*sort_cols))
+                if zkeyed:
+                    out = out.drop("_zkey")
+                writer = out.write.mode("overwrite")
+                if self._meta.compression:
+                    writer = writer.option("compression",
+                                           self._meta.compression)
+                staging = os.path.join(self.path, "_staging",
+                                       uuid.uuid4().hex)
+                writer.partitionBy("dt").parquet(staging)
+                moved = self._land_staging(staging, src)
+            finally:
+                if ins is not None:
+                    ins.unpersist()
+            # net row change from parquet footers (the delete_where
+            # accounting rule): rewrites + inserts minus replaced rows —
+            # exact even if an update expression were non-deterministic
+            delta = (self._footer_rows(src, moved)
+                     - self._footer_rows(src, replaced))
+            self._flip_replacing(replaced, moved, src, "merge_into",
+                                 row_count_delta=delta, bounds=ins_bounds)
+            return {"matched": n_matched,
+                    "updated": n_matched if when_matched == "update" else 0,
+                    "deleted": n_matched if when_matched == "delete" else 0,
+                    "inserted": n_inserted}
         finally:
-            if ins is not None:
-                ins.unpersist()
-        # net row change from parquet footers (the delete_where
-        # accounting rule): rewrites + inserts minus replaced rows —
-        # exact even if an update expression were non-deterministic
-        delta = (self._footer_rows(src, moved)
-                 - self._footer_rows(src, replaced))
-        self._flip_replacing(replaced, moved, src, "merge_into",
-                             row_count_delta=delta, bounds=ins_bounds)
-        return {"matched": n_matched,
-                "updated": n_matched if when_matched == "update" else 0,
-                "deleted": n_matched if when_matched == "delete" else 0,
-                "inserted": n_inserted}
+            snorm.unpersist()
 
     def _cow_read(self):
         """``(src, base_files, read_files, rel)`` — the shared
@@ -1469,6 +1517,25 @@ class Table:
 
         return sum(pq.ParquetFile(os.path.join(src, f)).metadata.num_rows
                    for f in files)
+
+    @staticmethod
+    def _plan_nondeterministic(df: DataFrame) -> bool:
+        """True when the ANALYZED plan of ``df`` contains any
+        non-deterministic expression anywhere in the tree (rand(),
+        monotonically_increasing_id(), shuffle(), ...).  Catalyst's
+        ``QueryPlan.deterministic`` is the recursive
+        children-and-expressions conjunction — exactly the "could two
+        evaluations differ" question ``merge_into`` needs for its
+        multi-job source (ADVICE r17; the Filter-only
+        ``_reject_nondeterministic`` below answers the same question
+        for a rewrite predicate).  Degrades to False (allow) if the
+        JVM introspection is unavailable — the persist() the caller
+        takes is the remaining guard."""
+        try:
+            return not bool(
+                df._jdf.queryExecution().analyzed().deterministic())
+        except Exception:
+            return False
 
     def _reject_nondeterministic(self, base: DataFrame, cond,
                                  op_name: str) -> None:

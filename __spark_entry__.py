@@ -4626,38 +4626,13 @@ def q_ohlcv_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized shuffle beyond the bar aggregation itself.  Ticks are
     thinned to value > 200 so the grid genuinely has holes at the gate
     scale (~1/3 of sym-days empty at sf0.01) — otherwise the fill path
-    would never execute."""
-    ev = _events_with_ts(spark, sf_dir)
-    ticks = ev.where(F.col("value") > 200.0)
-    bars = (ticks.groupBy(F.col("d").alias("bar_date"),
-                       F.col("event_type").alias("sym"))
-            .agg(F.min_by("value", "ts").alias("open"),
-                 F.max("value").alias("high"),
-                 F.min("value").alias("low"),
-                 F.max_by("value", "ts").alias("close"),
-                 F.round(F.sum("value"), 4).alias("volume"),
-                 F.count(F.lit(1)).alias("n_ticks")))
-    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    days = bounds.select(F.explode(F.sequence("lo", "hi")).alias("bar_date"))
-    syms = ev.select(F.col("event_type").alias("sym")).distinct()
-    grid = F.broadcast(syms).crossJoin(F.broadcast(days))
+    would never execute.  (Hoisted to temporal.py:gapfill_daily_bars
+    in r18 so the events_health composite executes the gate's exact
+    operator — the resample_1h precedent.)"""
+    from zdb_spark.operators.temporal import gapfill_daily_bars
 
-    from pyspark.sql import Window
-    w = (Window.partitionBy("sym").orderBy("bar_date")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = (grid.join(bars, ["sym", "bar_date"], "left")
-              .withColumn("ffill_close",
-                          F.last("close", ignorenulls=True).over(w)))
-    fc = F.col("ffill_close")
-    return (filled.select(
-        "sym",
-        F.date_format("bar_date", "yyyy-MM-dd").alias("bar_date"),
-        F.coalesce("open", fc).alias("open"),
-        F.coalesce("high", fc).alias("high"),
-        F.coalesce("low", fc).alias("low"),
-        fc.alias("close"),
-        F.coalesce("volume", F.lit(0.0)).alias("volume"),
-        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks")))
+    ev = _events_with_ts(spark, sf_dir)
+    return gapfill_daily_bars(ev.where(F.col("value") > 200.0), ev)
 
 
 def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5619,6 +5594,172 @@ def q_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("sample_p", 6).alias("sample_p"))
 
 
+def q_events_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed event-store health report (registered r18, the
+    window-capacity composite for the aging r15 temporal cohort —
+    r17 verdict task 1): six singleton sections over one events
+    table — weekly cohort retention, hourly rate z-scores against a
+    trailing-24h baseline, promo-window range-join rollups,
+    information-driven volume bars, per-symbol TWAP, and gap-filled
+    daily OHLCV bars — unioned into the warehouse_report long form
+    (section, k1, k2, n, v1..v5).  Each section IS the corresponding
+    singleton gate's public operator with the singleton's exact
+    parameters (temporal.py:retention / rate_anomaly / range_join /
+    threshold_bars [hoisted from ohlcv.py this round] / twap /
+    gapfill_daily_bars [hoisted from the inline gate this round]),
+    so a green row refreshes those via _COVERS — and the twap
+    section shares tick_report's implementing operator, refreshing
+    that composite too.
+
+    Plan shape: six independent sections over one source table —
+    a union of keyed aggregates/windows, no cross-section shuffle;
+    the promo side is a 4-row literal frame and the gapfill grid a
+    broadcast cross join of two tiny aggregates.  Each section
+    projects only its own columns, so at 100 TB the scans stay
+    column-pruned and the sections embarrassingly parallel."""
+    from zdb_spark.operators.temporal import (gapfill_daily_bars,
+                                              range_join, rate_anomaly,
+                                              retention, threshold_bars,
+                                              twap)
+
+    ev = _load(spark, sf_dir, "events")
+
+    def shape(df, section, k1, k2, n, *vs):
+        vs = list(vs) + [None] * (5 - len(vs))
+        return df.select(
+            F.lit(section).alias("section"),
+            k1.cast("string").alias("k1"),
+            (k2.cast("string") if k2 is not None
+             else F.lit(None).cast("string")).alias("k2"),
+            n.cast("long").alias("n"),
+            *[(v.cast("double") if v is not None
+               else F.lit(None).cast("double")).alias(f"v{i + 1}")
+              for i, v in enumerate(vs)])
+
+    ret = shape(retention(ev, "ts", "user_id"), "retention",
+                F.col("cohort"), F.col("period_offset"),
+                F.col("n_active"))
+    rate = shape(
+        rate_anomaly(ev, "ts", "event_type", bucket=NS_PER_HOUR,
+                     trailing=24, min_periods=4),
+        "rate", F.col("event_type"), F.col("bucket"),
+        F.col("n_events"), F.col("baseline_mean"), F.col("zscore"))
+    promos = spark.createDataFrame(
+        [(p, _day_ns(lo), _day_ns(hi)) for p, lo, hi in _PROMOS],
+        "promo_id int, lo long, hi long")
+    hits = range_join(ev.select("ts", "user_id", "value"), promos,
+                      on="ts", lo="lo", hi="hi", bounds="[)",
+                      bucket=24 * NS_PER_HOUR)
+    promo = shape(
+        hits.groupBy("promo_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.avg("value"), 4).alias("avg_value")),
+        "promo", F.col("promo_id"), None, F.col("n_events"),
+        F.col("n_users"), F.col("avg_value"))
+    bars = threshold_bars(ev.withColumn("sz", F.abs(F.col("value"))),
+                          "ts", "event_type", "value", "sz",
+                          threshold=500.0, tie_col="event_id")
+    vol = shape(bars, "volbar", F.col("event_type"), F.col("bar"),
+                F.col("n_ticks"), F.col("open"), F.col("high"),
+                F.col("low"), F.col("close"),
+                round0(F.col("bar_size"), 4))
+    tw = shape(twap(ev, "ts", "event_type", "value", "event_id"),
+               "twap", F.col("event_type"), None, F.col("n_obs"),
+               F.col("twap"))
+    evd = _events_with_ts(spark, sf_dir)
+    gap = shape(
+        gapfill_daily_bars(evd.where(F.col("value") > 200.0), evd),
+        "gapfill", F.col("sym"), F.col("bar_date"), F.col("n_ticks"),
+        F.col("open"), F.col("high"), F.col("low"), F.col("close"),
+        F.col("volume"))
+    return (ret.unionByName(rate).unionByName(promo)
+            .unionByName(vol).unionByName(tw).unionByName(gap))
+
+
+def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-ingest report (registered r18, the second r18
+    window-capacity composite — r17 verdict tasks 1 and 5): the full
+    Common Crawl entry pipeline in one job, three sections over the
+    shared per-doc WARC fixture, unioned into a (section, doc_id,
+    s1, s2, n) frame:
+
+    - ``page``: records exploded (sources/warc.py:extract_warc),
+      filtered to responses, HTML bodies extracted
+      (operators/extract.py:extract_html) — the warc_extract /
+      stream_warc singletons' exact operator and values (s1=url,
+      s2=extracted, n=http_status), so a green row refreshes both
+      via _COVERS (extract_html is the shared public operator; the
+      stream gate runs the identical stage inside the stream).
+    - ``canon``: crawl-frontier URL dedup over the extracted pages
+      (operators/curation.py:url_dedup — the url_dedup singleton's
+      operator).  Even docs feed their PIPELINE-extracted url
+      verbatim; each odd doc derives a SHOUTED + :80 + tracking-param
+      + fragment spelling of its even sibling's page, so every
+      canonicalization rule and the min-id election fire (s1=
+      canonical_url, s2=canonical/duplicate, n=canonical_id).
+    - ``seg``: §5.18 segment REASSEMBLY (sources/warc.py:
+      reassemble_warc_segments, NEW this round): continuations fold
+      back into their origin resource records by origin-id
+      equi-join; the oracle states every doc's FULL robots.txt
+      payload — byte equality between reassembled (doc%5==0, two
+      segments) and never-segmented records proves ordinal-ordered
+      concatenation end to end (s1=url, s2=payload text,
+      n=n_segments).
+
+    Plan shape: one Arrow-batched fixture synth + record explode
+    feeds all three sections (stateless mapInPandas, scan-bound);
+    canon adds one bounded groupBy-min + equi-join on the canonical
+    url (group size = spelling variants of one page); seg adds one
+    hash-aggregate + equi-join on unique origin ids — skew-free at
+    any scale, no window, no driver state."""
+    from zdb_spark.operators.curation import url_dedup
+    from zdb_spark.operators.extract import extract_html
+    from zdb_spark.sources.warc import (extract_warc,
+                                        reassemble_warc_segments)
+
+    docs = (_load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .mapInPandas(_synth_warc_batches,
+                         "doc_id long, warc binary"))
+    recs = extract_warc(docs, "warc", "doc_id")
+    resp = (recs.where(F.col("warc_type") == "response")
+            .select(F.col("id").alias("doc_id"), "url", "http_status",
+                    F.decode(F.col("payload"), "UTF-8").alias("html")))
+    pages = (extract_html(resp, "html", "extracted")
+             .select("doc_id", "url", "http_status", "extracted"))
+    page = pages.select(
+        F.lit("page").alias("section"), "doc_id",
+        F.col("url").alias("s1"), F.col("extracted").alias("s2"),
+        F.col("http_status").cast("long").alias("n"))
+    i = F.col("doc_id")
+    b = (i - i % 2)
+    bhost = F.concat(F.lit("h"), (b % 50).cast("string"),
+                     F.lit(".example.com"))
+    spelled = (F.when(i % 2 == 0, F.col("url"))
+               .otherwise(F.concat(
+                   F.lit("HTTP://"), F.upper(bhost),
+                   F.lit(":80/doc/"), b.cast("string"),
+                   F.lit("?utm_source=x&gclid=z#frag"))))
+    canon = (url_dedup(pages.select("doc_id",
+                                    spelled.alias("url")),
+                       "url", "doc_id")
+             .select(F.lit("canon").alias("section"), "doc_id",
+                     F.col("canonical_url").alias("s1"),
+                     F.when(F.col("is_canonical"),
+                            F.lit("canonical"))
+                      .otherwise(F.lit("duplicate")).alias("s2"),
+                     F.col("canonical_id").cast("long").alias("n")))
+    seg = (reassemble_warc_segments(recs)
+           .where(F.col("warc_type") == "resource")
+           .select(F.lit("seg").alias("section"),
+                   F.col("id").alias("doc_id"),
+                   F.col("url").alias("s1"),
+                   F.decode(F.col("payload"), "UTF-8").alias("s2"),
+                   F.col("n_segments").cast("long").alias("n")))
+    return page.unionByName(canon).unionByName(seg)
+
+
 # --------------------------------------------------------------------- #
 # driver contract                                                        #
 # --------------------------------------------------------------------- #
@@ -5656,22 +5797,10 @@ _MAX_DIRECT_AGE = 4
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 17 — populated as the round's changes land; finalized by
-    # tools/changed_gates.py before the closing commit.  (warc_records
-    # took a green r16 row; its r17 diff is below.)
-    #
-    # ISO 28500 §6 completion (r16 verdict task 7): the fixture grew
-    # resource/metadata/conversion/continuation records and the gate
-    # output a segment_number column — output CHANGED, re-verify.
-    "warc_records",
-    # vacuum() gained keep_versions (r16 verdict task 6).  The default
-    # (0) preserves the old reclamation exactly, but these three route
-    # through vacuum/manifest code and were ALREADY r17-window members
-    # by staleness — queueing them costs no slot and beats carrying a
-    # stale "table path untouched" proof.
-    "table_lifecycle",
-    "manifest_stress",
-    "stream_txn_stress",
+    # round 18 — populated as the round's changes land; finalized by
+    # tools/changed_gates.py before the closing commit.  (The r17
+    # queue — warc_records, table_lifecycle, manifest_stress,
+    # stream_txn_stress — all took green r17 driver rows.)
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -5748,12 +5877,39 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                      "(r16) and the r17 resource/metadata/conversion/"
                      "continuation records; explicit column select "
                      "ignores the new schema columns (r16 trio, r17 "
-                     "segment_number); response bytes unchanged by "
-                     "construction; bit-exact mirror green (r16, "
-                     "re-proven r17)"),
+                     "segment_number, r18 record_id/segment_origin_id "
+                     "— additive only, no record bytes touched); "
+                     "response bytes unchanged by construction; "
+                     "bit-exact mirror green (r16, re-proven r17, "
+                     "re-proven r18)"),
     "stream_warc": ("same response-only filter + explicit select "
-                    "through the streaming path; bit-exact mirror "
-                    "green (r16, re-proven r17)"),
+                    "through the streaming path (r18 extract_warc "
+                    "columns additive only); bit-exact mirror "
+                    "green (r16, re-proven r17, re-proven r18)"),
+    # Round 18: extract_warc grew record_id/segment_origin_id columns
+    # (reassemble_warc_segments needs them) — purely additive, no
+    # record bytes and no existing column's values touched; the gate
+    # selects explicit columns and took a green r17 driver row, so a
+    # rule-1 slot would evict a staler gate for an output it provably
+    # cannot change.
+    "warc_records": ("explicit column select ignores the r18 "
+                     "record_id/segment_origin_id additions; fixture "
+                     "bytes unchanged; bit-exact mirror green on the "
+                     "changed tree (r18)"),
+    # Round 18: threshold_bars hoisted ohlcv.py -> operators/
+    # temporal.py for events_health coverage (one inner Window import
+    # dropped — module-level there; otherwise verbatim).  The gate is
+    # an events_health sub, so the composite's green row refreshes it
+    # in-window anyway.
+    "volume_bars": ("verbatim hoist to temporal.py:threshold_bars "
+                    "(resample_1h precedent); bit-exact mirror green "
+                    "on the changed tree (r18)"),
+    # Round 18: the gapfill grid/fill logic hoisted verbatim from the
+    # inline gate to temporal.py:gapfill_daily_bars for events_health
+    # coverage (same precedent).
+    "ohlcv_gapfill": ("verbatim hoist to temporal.py:"
+                      "gapfill_daily_bars; bit-exact mirror green on "
+                      "the changed tree (r18)"),
     # Round 17: snapshot() refactor — the version-file loading moved
     # verbatim into _version_files so the new changes_between CDC
     # reader shares it; the read path is expression-identical and the
@@ -6029,6 +6185,19 @@ _QUERY_DECLARATIONS: list[
     ("table_delete", q_table_delete),
     # round-17: window-capacity composite for the tokenizer family
     ("tokenize_report", q_tokenize_report),
+    # round-18: COW MERGE, staged r17 + registered on the r17
+    # verdict's task 1 (oracle text byte-identical through staging)
+    ("table_merge", q_table_merge),
+    # round-18: window-capacity composite for the aging r15 temporal
+    # cohort (r17 verdict task 1 — retention / rate_anomaly /
+    # range_join / volume_bars / twap serviced in one slot, which
+    # also refreshes tick_report through the shared twap operator)
+    ("events_health", q_events_health),
+    # round-18: second capacity composite — the crawl-ingest family
+    # (warc_extract / stream_warc / url_dedup) + the NEW §5.18
+    # segment-reassembly operator (r17 verdict task 5), oracled in
+    # one slot
+    ("crawl_report", q_crawl_report),
 ]
 
 # Oracles for the gates REGISTERED in round 15 after staging through
@@ -6209,6 +6378,27 @@ _COVERS: dict[str, list[str]] = {
     # the 3-step gate gates, at a deeper step list (the
     # knn_lsh_multiprobe -> knn_lsh same-operator precedent)
     "funnel6": ["funnel"],
+    # round-18 capacity composite (r17 verdict task 1: the aging r15
+    # temporal cohort): each section is the singleton gate's public
+    # operator at the singleton's exact parameters — temporal.py:
+    # retention / rate_anomaly / range_join / threshold_bars (hoisted
+    # from ohlcv.py this round, the resample_ticks precedent) / twap —
+    # value-reproduced exactly by the composed oracle.  tick_report is
+    # covered through the SHARED twap operator (the funnel6 ->funnel
+    # same-operator precedent: the composite really executes code the
+    # tick_report gate gates).
+    "events_health": ["retention", "rate_anomaly", "range_join",
+                      "volume_bars", "twap", "tick_report",
+                      "ohlcv_gapfill"],
+    # round-18 second capacity composite: the page section runs
+    # operators/extract.py:extract_html on the response records of
+    # the SAME fixture the warc_extract/stream_warc singletons
+    # explode (their shared public operator; the stream gate runs
+    # the identical stateless stage inside the stream), and the
+    # canon section runs operators/curation.py:url_dedup/
+    # canonicalize_url — the url_dedup singleton's operator — on a
+    # spelling fixture that fires every canonicalization rule.
+    "crawl_report": ["warc_extract", "stream_warc", "url_dedup"],
 }
 
 
@@ -9324,6 +9514,208 @@ def oracle_sql() -> dict[str, str]:
                min(tns) AS start_ts, max(tns) AS end_ts
         FROM b GROUP BY 1, 2
     """
+    # events_health (registered r18): the long-form union of the
+    # retention / rate_anomaly / range_join / volume_bars / twap
+    # singleton oracles with identical per-section expressions and
+    # rounding — the composite must reproduce each singleton's values
+    # exactly for _COVERS to be an honest refresh (the
+    # warehouse_report shape).
+    sqls["events_health"] = f"""
+        WITH e AS (
+            SELECT user_id, epoch_ns(ts) AS tsn FROM events
+        ), first AS (
+            SELECT user_id, min(tsn) AS ft FROM e GROUP BY 1
+        ), g AS (
+            SELECT DISTINCT e.user_id,
+                   ft // 604800000000000 AS cohort,
+                   tsn // 604800000000000
+                       - ft // 604800000000000 AS period_offset
+            FROM e JOIN first USING (user_id)
+        ), ret AS (
+            SELECT cohort, period_offset,
+                   count(DISTINCT user_id) AS n_active
+            FROM g GROUP BY 1, 2
+        ), rc AS (
+            SELECT event_type AS sym,
+                   epoch_ns(ts) // 3600000000000 AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), rw AS (
+            SELECT sym, bucket, n_events,
+                   avg(n_events) OVER tw AS m,
+                   stddev_samp(n_events) OVER tw AS s,
+                   count(*) OVER tw AS n_obs
+            FROM rc
+            WINDOW tw AS (PARTITION BY sym ORDER BY bucket
+                          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        ), rate AS (
+            SELECT sym, bucket, n_events,
+                   round(m, 6) + 0.0 AS baseline_mean,
+                   round(CASE WHEN n_obs >= 4 THEN
+                              CASE WHEN s > 0 THEN (n_events - m) / s
+                                   ELSE sign(n_events - m) * 1e9 END
+                         END, 6) + 0.0 AS zscore
+            FROM rw
+        ), promo AS (
+            SELECT promo_id, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(avg(value), 4) AS avg_value
+            FROM (VALUES {promo_rows}) promos(promo_id, lo, hi)
+            JOIN events e2 ON epoch_ns(e2.ts) >= lo
+                          AND epoch_ns(e2.ts) < hi
+            GROUP BY 1
+        ), vt AS (
+            SELECT event_type AS sym, epoch_ns(ts) AS tns, event_id,
+                   value, abs(value) AS sz
+            FROM events
+        ), vc AS (
+            SELECT sym, tns, event_id, value, sz,
+                   sum(sz) OVER (PARTITION BY sym
+                                 ORDER BY tns, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) - sz AS cumb
+            FROM vt
+        ), vb AS (
+            SELECT sym, CAST(floor(cumb / 500.0) AS BIGINT) AS bar,
+                   tns, event_id, value, sz,
+                   row_number() OVER (
+                       PARTITION BY sym,
+                                    CAST(floor(cumb / 500.0) AS BIGINT)
+                       ORDER BY tns, event_id) AS ra,
+                   row_number() OVER (
+                       PARTITION BY sym,
+                                    CAST(floor(cumb / 500.0) AS BIGINT)
+                       ORDER BY tns DESC, event_id DESC) AS rd
+            FROM vc
+        ), vol AS (
+            SELECT sym, bar,
+                   max(CASE WHEN ra = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rd = 1 THEN value END) AS close,
+                   count(*) AS n_ticks,
+                   round(sum(sz), 4) + 0.0 AS bar_size
+            FROM vb GROUP BY 1, 2
+        ), tg AS (
+            SELECT event_type, value,
+                   CAST(lead(epoch_ns(ts)) OVER (
+                            PARTITION BY event_type
+                            ORDER BY epoch_ns(ts), event_id)
+                        - epoch_ns(ts) AS DOUBLE) AS w
+            FROM events
+        ), tw2 AS (
+            SELECT event_type AS sym,
+                   round(sum(value * w) / sum(w), 6) + 0.0 AS twap,
+                   count(*) AS n_obs
+            FROM tg WHERE w IS NOT NULL
+            GROUP BY 1
+        ), gall AS (
+            SELECT CAST(ts AS DATE) AS d, event_type AS sym, value,
+                   epoch_ns(ts) AS tsn
+            FROM events
+        ), ge AS (
+            SELECT * FROM gall WHERE value > 200.0
+        ), gbars AS (
+            SELECT d AS bar_date, sym,
+                   min_by(value, tsn) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   max_by(value, tsn) AS close,
+                   round(sum(value), 4) AS volume,
+                   count(*) AS n_ticks
+            FROM ge GROUP BY 1, 2
+        ), gdays AS (
+            SELECT unnest(generate_series(min(d), max(d),
+                                          INTERVAL 1 DAY))::DATE
+                       AS bar_date
+            FROM gall
+        ), ggrid AS (
+            SELECT sym, bar_date
+            FROM (SELECT DISTINCT sym FROM gall), gdays
+        ), gfilled AS (
+            SELECT g.sym, g.bar_date, b.open, b.high, b.low,
+                   b.volume, b.n_ticks,
+                   last_value(b.close IGNORE NULLS)
+                       OVER (PARTITION BY g.sym ORDER BY g.bar_date
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS close
+            FROM ggrid g LEFT JOIN gbars b
+              ON g.sym = b.sym AND g.bar_date = b.bar_date
+        )
+        SELECT 'retention' AS section, CAST(cohort AS VARCHAR) AS k1,
+               CAST(period_offset AS VARCHAR) AS k2, n_active AS n,
+               CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+               CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4,
+               CAST(NULL AS DOUBLE) AS v5
+        FROM ret
+        UNION ALL
+        SELECT 'rate', CAST(sym AS VARCHAR), CAST(bucket AS VARCHAR),
+               n_events, baseline_mean, zscore, NULL, NULL, NULL
+        FROM rate
+        UNION ALL
+        SELECT 'promo', CAST(promo_id AS VARCHAR), NULL, n_events,
+               CAST(n_users AS DOUBLE), avg_value, NULL, NULL, NULL
+        FROM promo
+        UNION ALL
+        SELECT 'volbar', sym, CAST(bar AS VARCHAR), n_ticks,
+               open, high, low, close, bar_size
+        FROM vol
+        UNION ALL
+        SELECT 'twap', sym, NULL, n_obs, twap, NULL, NULL, NULL, NULL
+        FROM tw2
+        UNION ALL
+        SELECT 'gapfill', sym, strftime(bar_date, '%Y-%m-%d'),
+               coalesce(n_ticks, 0),
+               coalesce(open, close), coalesce(high, close),
+               coalesce(low, close), close, coalesce(volume, 0.0)
+        FROM gfilled
+    """
+    # crawl_report (registered r18): the warc_extract closed form
+    # (page section), the url_dedup closed form over the sibling-pair
+    # spelling fixture (canon section), and the FULL robots.txt
+    # payload per doc (seg section) — stating the complete payload
+    # for segmented (doc%5==0) and unsegmented docs alike is exactly
+    # the reassembly claim: ordinal-ordered concatenation must
+    # restore byte equality with the never-segmented form.
+    sqls["crawl_report"] = r"""
+        WITH pg AS (
+            SELECT doc_id,
+                   'http://h' || CAST(doc_id % 50 AS VARCHAR)
+                   || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+                   || 'Site & Nav'
+                   || CASE WHEN length(regexp_replace(trim(text),
+                                                      '\s+', ' ',
+                                                      'g')) > 0
+                           THEN chr(10)
+                                || regexp_replace(trim(text),
+                                                  '\s+', ' ', 'g')
+                           ELSE '' END AS extracted
+            FROM documents
+        )
+        SELECT 'page' AS section, doc_id, url AS s1,
+               extracted AS s2, CAST(200 AS BIGINT) AS n
+        FROM pg
+        UNION ALL
+        SELECT 'canon', doc_id,
+               'http://h' || CAST((doc_id - doc_id % 2) % 50
+                                  AS VARCHAR)
+               || '.example.com/doc/'
+               || CAST(doc_id - doc_id % 2 AS VARCHAR),
+               CASE WHEN doc_id % 2 = 0 THEN 'canonical'
+                    ELSE 'duplicate' END,
+               doc_id - doc_id % 2
+        FROM documents
+        UNION ALL
+        SELECT 'seg', doc_id,
+               'http://h' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example.com/robots.txt',
+               'User-agent: *' || chr(13) || chr(10)
+               || 'Disallow: /p' || CAST(doc_id AS VARCHAR)
+               || chr(13) || chr(10),
+               CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END
+        FROM documents
+    """
     # warc_extract (registered r15): html_extract's closed-form
     # extraction oracle plus closed-form url/status — the WARC walk,
     # per-member gunzip, HTTP split, and response filter all sit
@@ -9709,6 +10101,9 @@ def oracle_sql() -> dict[str, str]:
     # round-17 registration of the r16-staged COW delete/update gate
     # (r16 verdict task 1) — oracle text byte-identical to staging
     sqls.update(_STAGED_R17_ORACLES)
+    # round-18 registration of the r17-staged MERGE gate (r17 verdict
+    # task 1) — oracle text byte-identical to staging
+    sqls.update(_STAGED_R18_ORACLES)
     # ---- round-16 capacity composites (r15 verdict task 1) ----
     # Each section is the corresponding singleton oracle reshaped into
     # the composite's long form — same expressions, same rounding.

@@ -154,6 +154,13 @@ HEADLINE = [
                           # manifest scan)
     "tokenize_report",    # unigram train+apply / planted BPE train /
                           # BPE apply chain, long-form union
+    # round-18 registrations
+    "table_merge",        # COW MERGE upsert + matched-delete read-back
+                          # (table cached by fingerprint; re-runs time
+                          # the post-merge manifest scan)
+    "events_health",      # retention+rate+promo+volbars+twap+gapfill
+    "crawl_report",       # warc explode+extract / url canon election /
+                          # segment reassembly union
 ]
 
 

@@ -767,3 +767,49 @@ class TestWarc:
         assert rows["metadata"].segment_number is None
         assert rows["metadata"].refers_to_uri == "http://x/a"
         assert rows["conversion"].content_type == "text/plain"
+
+    def test_reassemble_segments_across_blobs(self, spark):
+        """r18 (r17 verdict task 5): the reassembly JOIN itself —
+        continuations fold into their origin record ACROSS input
+        rows (segmentation exists because a record spans WARC
+        files), ordinal order survives shuffled input, continuation
+        rows disappear, unsegmented rows pass through with
+        n_segments=1, and an orphan continuation (origin not
+        scanned) is dropped rather than surfaced as a fake record."""
+        from zdb_spark.sources.warc import (extract_warc,
+                                            reassemble_warc_segments,
+                                            warc_write_records)
+
+        # blob A: the origin (segment 1) + an unsegmented metadata
+        # record; blob B: segments 3 and 2 OUT OF ORDER + an orphan
+        # continuation pointing at an unscanned origin
+        blob_a = warc_write_records([
+            {"warc_type": "resource", "target_uri": "http://x/r.txt",
+             "payload": b"AAA-", "content_type": "text/plain",
+             "segment_number": 1, "record_id": "<urn:uuid:orig-1>"},
+            {"warc_type": "metadata", "target_uri": "http://x/a",
+             "payload": b"fetchTimeMs: 12\r\n",
+             "content_type": "application/warc-fields"},
+        ], gzip_per_record=True)
+        blob_b = warc_write_records([
+            {"warc_type": "continuation", "target_uri": "http://x/r.txt",
+             "payload": b"CCC", "segment_number": 3,
+             "segment_origin_id": "<urn:uuid:orig-1>"},
+            {"warc_type": "continuation", "target_uri": "http://x/r.txt",
+             "payload": b"BBB-", "segment_number": 2,
+             "segment_origin_id": "<urn:uuid:orig-1>"},
+            {"warc_type": "continuation", "target_uri": "http://y/z",
+             "payload": b"orphan", "segment_number": 2,
+             "segment_origin_id": "<urn:uuid:missing>"},
+        ], gzip_per_record=True)
+        df = spark.createDataFrame(
+            [(1, bytearray(blob_a)), (2, bytearray(blob_b))],
+            "doc_id long, warc binary")
+        recs = extract_warc(df, "warc", "doc_id")
+        out = reassemble_warc_segments(recs)
+        rows = {r.warc_type: r for r in out.collect()}
+        assert set(rows) == {"resource", "metadata"}
+        assert bytes(rows["resource"].payload) == b"AAA-BBB-CCC"
+        assert rows["resource"].n_segments == 3
+        assert rows["metadata"].n_segments == 1
+        assert bytes(rows["metadata"].payload) == b"fetchTimeMs: 12\r\n"

@@ -280,11 +280,12 @@ class TestStagedTableMerge:
         assert got == want
         assert "purchase" not in got          # every purchase updated
         assert "purchase_2x" in got and "inserted" in got
-        # staged, NOT yet registered: oracle text lives in the staging
-        # dict only until the r18 registration merges it
+        # staging-era oracle text stays byte-identical through the
+        # r18 registration (the table_delete precedent)
         assert "table_merge" in entry._STAGED_R18_ORACLES
-        assert "table_merge" not in entry.queries()
-        assert "table_merge" not in entry.oracle_sql()
+        # registered in r18: gate + oracle both live
+        assert "table_merge" in entry.queries()
+        assert "table_merge" in entry.oracle_sql()
 
 
 class TestHammingCap:

@@ -47,6 +47,10 @@ _WAIVED: dict[str, str] = {
     # aggregates (distinct syms x distinct days) — dims-sized by
     # construction, documented in the gate docstring
     "ohlcv_gapfill": "dims-sized sym x day grid crossJoin",
+    # events_health's gapfill section IS ohlcv_gapfill's operator —
+    # the same dims-sized grid crossJoin, same waiver
+    "events_health": "dims-sized sym x day grid crossJoin (gapfill "
+                     "section of the composite)",
     # per-source counts frame (rows = #sources) crossJoins its own
     # 1-row sum for the normalization constant
     "temperature_sample": "source-counts x 1-row sum scalar bind",

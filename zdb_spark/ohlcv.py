@@ -224,70 +224,8 @@ def resample(df: DataFrame, every: str | None = None, ts_col: str = "ts",
 
 
 
-def threshold_bars(df: DataFrame, ts_col: str = "ts",
-                   symbol_col: str = "sym", price_col: str = "price",
-                   size_col: str | None = None, *,
-                   threshold: float, tie_col: str) -> DataFrame:
-    """Event-driven bar sampling (volume / dollar bars — de Prado,
-    *Advances in Financial Machine Learning* ch. 2): instead of fixed
-    time buckets, a bar CLOSES when the symbol's cumulative size
-    (volume for volume bars; price*volume for dollar bars — pass the
-    product as ``size_col``) crosses ``threshold``.  Information
-    arrival, not wall-clock, drives sampling — the standard fix for
-    time bars' over-sampling of quiet periods.
+# threshold_bars moved to operators/temporal.py in r18 (hoisted for
+# composite coverage, the resample_ticks precedent); re-exported here
+# so ohlcv-module users keep their import path.
+from .operators.temporal import threshold_bars  # noqa: E402,F401
 
-    Bar assignment is the closed form ``floor(cum_before / threshold)``
-    where ``cum_before`` is the cumulative size STRICTLY BEFORE the
-    tick in (ts, tie) order — each tick's bar depends only on the
-    prefix sum, so the whole sampler is ONE window cumsum plus one
-    keyed aggregation on the same key (the agg reuses the window's
-    hash(symbol) partitioning; two shuffles total, no iteration, no
-    driver state).  ``tie_col`` makes duplicate timestamps
-    deterministic — the oracle-replayability contract.
-
-    Sizes must be NON-NEGATIVE (a negative size would make the prefix
-    sum non-monotone and bars non-contiguous) — refused loudly at run
-    time via an assertion column rather than silently emitting
-    overlapping bars.
-
-    Output per (symbol, bar): open/high/low/close of ``price_col``,
-    n_ticks, bar_size (sum of sizes), start/end of ``ts_col``.
-
-    100 TB shape: identical to twap — per-symbol windows spill to
-    external sort; a single pathological symbol bounds the partition,
-    and pre-bucketing by coarse time ranges (decade-bars) restores
-    parallelism if one symbol dominates an epoch.
-    """
-    from pyspark.sql import Window
-
-    if threshold <= 0:
-        raise ValueError(f"threshold must be positive, got {threshold}")
-    size = F.col(size_col) if size_col else F.lit(1.0)
-    size = size.cast("double")
-    # loud bad-size guard: raise_error inside a when() costs one
-    # codegen branch, not a pass.  NULL must refuse too — `size < 0`
-    # is NULL for a NULL size, which would silently route the tick
-    # into a spurious bar=NULL group instead of raising.
-    size = F.when(size.isNull() | (size < 0),
-                  F.raise_error(F.concat(
-                      F.lit("threshold_bars: negative or NULL size "
-                            "at "),
-                      F.col(ts_col).cast("string")))).otherwise(size)
-    w = (Window.partitionBy(symbol_col)
-         .orderBy(F.col(ts_col), F.col(tie_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum_before = F.sum(size).over(w) - size
-    bar = F.floor(cum_before / F.lit(float(threshold))).cast("long")
-    p = F.col(price_col)
-    return (df.withColumn("_zdb_bar", bar)
-            .groupBy(F.col(symbol_col), F.col("_zdb_bar").alias("bar"))
-            .agg(F.min_by(p, F.struct(F.col(ts_col), F.col(tie_col)))
-                 .alias("open"),
-                 F.max(p).alias("high"),
-                 F.min(p).alias("low"),
-                 F.max_by(p, F.struct(F.col(ts_col), F.col(tie_col)))
-                 .alias("close"),
-                 F.count(F.lit(1)).alias("n_ticks"),
-                 F.sum(size).alias("bar_size"),
-                 F.min(ts_col).alias("start_ts"),
-                 F.max(ts_col).alias("end_ts")))

@@ -45,7 +45,9 @@ from ..functions.scalar import round0
 
 __all__ = ["asof_join", "asof_enrich", "range_join", "funnel",
            "retention", "user_paths", "twap", "decayed_avg",
-           "rate_anomaly", "resample_ticks", "sessionize_counts",
+           "rate_anomaly", "threshold_bars", "gapfill_daily_bars",
+           "resample_ticks",
+           "sessionize_counts",
            "parse_times", "ohlcv_bars"]
 
 _SIDE = "_zdb_side"
@@ -558,6 +560,132 @@ def rate_anomaly(df: DataFrame, ts_col: str = "ts",
         F.col(by), "bucket", "n_events",
         round0(mean, 6).alias("baseline_mean"),
         round0(z, 6).alias("zscore"))
+
+
+def threshold_bars(df: DataFrame, ts_col: str = "ts",
+                   symbol_col: str = "sym", price_col: str = "price",
+                   size_col: str | None = None, *,
+                   threshold: float, tie_col: str) -> DataFrame:
+    """Event-driven bar sampling (volume / dollar bars — de Prado,
+    *Advances in Financial Machine Learning* ch. 2): instead of fixed
+    time buckets, a bar CLOSES when the symbol's cumulative size
+    (volume for volume bars; price*volume for dollar bars — pass the
+    product as ``size_col``) crosses ``threshold``.  Information
+    arrival, not wall-clock, drives sampling — the standard fix for
+    time bars' over-sampling of quiet periods.
+
+    Bar assignment is the closed form ``floor(cum_before / threshold)``
+    where ``cum_before`` is the cumulative size STRICTLY BEFORE the
+    tick in (ts, tie) order — each tick's bar depends only on the
+    prefix sum, so the whole sampler is ONE window cumsum plus one
+    keyed aggregation on the same key (the agg reuses the window's
+    hash(symbol) partitioning; two shuffles total, no iteration, no
+    driver state).  ``tie_col`` makes duplicate timestamps
+    deterministic — the oracle-replayability contract.
+
+    Sizes must be NON-NEGATIVE (a negative size would make the prefix
+    sum non-monotone and bars non-contiguous) — refused loudly at run
+    time via an assertion column rather than silently emitting
+    overlapping bars.
+
+    Output per (symbol, bar): open/high/low/close of ``price_col``,
+    n_ticks, bar_size (sum of sizes), start/end of ``ts_col``.
+
+    Hoisted from ohlcv.py in r18 (the resample_ticks/ohlcv_bars
+    precedent) so composed reports (``events_health``) execute the
+    IDENTICAL operator the ``volume_bars`` singleton verifies;
+    ohlcv.py re-exports it unchanged.
+
+    100 TB shape: identical to twap — per-symbol windows spill to
+    external sort; a single pathological symbol bounds the partition,
+    and pre-bucketing by coarse time ranges (decade-bars) restores
+    parallelism if one symbol dominates an epoch.
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    size = F.col(size_col) if size_col else F.lit(1.0)
+    size = size.cast("double")
+    # loud bad-size guard: raise_error inside a when() costs one
+    # codegen branch, not a pass.  NULL must refuse too — `size < 0`
+    # is NULL for a NULL size, which would silently route the tick
+    # into a spurious bar=NULL group instead of raising.
+    size = F.when(size.isNull() | (size < 0),
+                  F.raise_error(F.concat(
+                      F.lit("threshold_bars: negative or NULL size "
+                            "at "),
+                      F.col(ts_col).cast("string")))).otherwise(size)
+    w = (Window.partitionBy(symbol_col)
+         .orderBy(F.col(ts_col), F.col(tie_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = F.sum(size).over(w) - size
+    bar = F.floor(cum_before / F.lit(float(threshold))).cast("long")
+    p = F.col(price_col)
+    return (df.withColumn("_zdb_bar", bar)
+            .groupBy(F.col(symbol_col), F.col("_zdb_bar").alias("bar"))
+            .agg(F.min_by(p, F.struct(F.col(ts_col), F.col(tie_col)))
+                 .alias("open"),
+                 F.max(p).alias("high"),
+                 F.min(p).alias("low"),
+                 F.max_by(p, F.struct(F.col(ts_col), F.col(tie_col)))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("n_ticks"),
+                 F.sum(size).alias("bar_size"),
+                 F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("end_ts")))
+
+
+def gapfill_daily_bars(ticks: DataFrame,
+                       grid_src: DataFrame | None = None,
+                       ts_col: str = "ts",
+                       sym_col: str = "event_type",
+                       price_col: str = "value",
+                       day_col: str = "d") -> DataFrame:
+    """Gap-filled daily bars: the complete (sym × day) grid with
+    missing days synthesized as zero-volume bars whose O/H/L/C all
+    carry the last known close (standard candlestick continuity rule;
+    days before a sym's first bar stay null).  ``ticks`` supplies the
+    bars; ``grid_src`` (default: ``ticks``) supplies the day-range and
+    symbol universe — pass the UNfiltered stream so thinned ticks
+    still span the full calendar.  Both frames need a ``day_col``
+    date column alongside ``ts_col``.
+
+    The grid is dims-sized — a broadcast cross join of two tiny
+    aggregates — and the forward fill is one running
+    last(ignorenulls) window per sym, so the plan adds no data-sized
+    shuffle beyond the bar aggregation itself.  Hoisted verbatim from
+    the round-4 inline gate (``ohlcv_gapfill``) in r18 so composed
+    reports (``events_health``) execute the identical operator the
+    singleton gate verifies (the resample_ticks precedent)."""
+    ev = grid_src if grid_src is not None else ticks
+    bars = (ticks.groupBy(F.col(day_col).alias("bar_date"),
+                          F.col(sym_col).alias("sym"))
+            .agg(F.min_by(price_col, ts_col).alias("open"),
+                 F.max(price_col).alias("high"),
+                 F.min(price_col).alias("low"),
+                 F.max_by(price_col, ts_col).alias("close"),
+                 F.round(F.sum(price_col), 4).alias("volume"),
+                 F.count(F.lit(1)).alias("n_ticks")))
+    bounds = ev.agg(F.min(day_col).alias("lo"),
+                    F.max(day_col).alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("bar_date"))
+    syms = ev.select(F.col(sym_col).alias("sym")).distinct()
+    grid = F.broadcast(syms).crossJoin(F.broadcast(days))
+    w = (Window.partitionBy("sym").orderBy("bar_date")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = (grid.join(bars, ["sym", "bar_date"], "left")
+              .withColumn("ffill_close",
+                          F.last("close", ignorenulls=True).over(w)))
+    fc = F.col("ffill_close")
+    return (filled.select(
+        "sym",
+        F.date_format("bar_date", "yyyy-MM-dd").alias("bar_date"),
+        F.coalesce("open", fc).alias("open"),
+        F.coalesce("high", fc).alias("high"),
+        F.coalesce("low", fc).alias("low"),
+        fc.alias("close"),
+        F.coalesce("volume", F.lit(0.0)).alias("volume"),
+        F.coalesce("n_ticks", F.lit(0)).alias("n_ticks")))
 
 
 def resample_ticks(df: DataFrame, ts_col: str = "ts",

@@ -31,7 +31,8 @@ import zlib
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["parse_warc", "warc_write_records", "extract_warc"]
+__all__ = ["parse_warc", "warc_write_records", "extract_warc",
+           "reassemble_warc_segments"]
 
 # A WARC record's payload may legitimately be much larger than its
 # compressed form, but a crawl pipeline bounds it: 1 GiB per MEMBER
@@ -242,6 +243,7 @@ _WARC_SCHEMA = ("id long, record_idx int, warc_type string, "
                 "url string, http_method string, http_status int, "
                 "content_type string, payload_digest string, "
                 "refers_to_uri string, segment_number int, "
+                "record_id string, segment_origin_id string, "
                 "payload binary")
 
 
@@ -287,10 +289,69 @@ def extract_warc(df: DataFrame, warc_col: str = "warc",
                                  ctype, rec["payload_digest"],
                                  rec["refers_to_uri"],
                                  rec.get("segment_number"),
+                                 rec["record_id"] or None,
+                                 rec["segment_origin_id"],
                                  bytearray(body)))
             yield pd.DataFrame(rows, columns=[
                 "id", "record_idx", "warc_type", "url", "http_method",
                 "http_status", "content_type", "payload_digest",
-                "refers_to_uri", "segment_number", "payload"])
+                "refers_to_uri", "segment_number", "record_id",
+                "segment_origin_id", "payload"])
 
     return src.mapInPandas(mapper, _WARC_SCHEMA)
+
+
+def reassemble_warc_segments(records: DataFrame) -> DataFrame:
+    """Fold WARC continuation records back into their origin records
+    (ISO 28500 §5.18/§6.6 reassembly — the r17 segmentation columns'
+    natural completion, r17 verdict task 5): origin rows
+    (``segment_number = 1``) get their continuations' payloads
+    concatenated in ordinal order; ``continuation`` rows disappear;
+    every surviving row carries ``n_segments`` (1 for unsegmented
+    records).  Input is ``extract_warc`` output — any frame with
+    (warc_type, segment_number, record_id, segment_origin_id,
+    payload) columns works.
+
+    Scale shape — segmentation exists precisely BECAUSE a logical
+    record spans WARC files (a crawler rolls files mid-record), so
+    the fold must work across input rows, not inside one blob's
+    record list: continuations hash-aggregate on their origin id
+    (``sort_array(collect_list(struct(ordinal, payload)))`` then a
+    binary-concat fold — ordinal-ordered without a window), then one
+    equi-join back to origin rows on ``record_id``.  Origin ids are
+    unique, so the join is skew-free; the aggregate state per key is
+    one record's own segments, nothing corpus-sized.  A continuation
+    whose origin is absent from the input (its file wasn't scanned)
+    is dropped — emitting a payload fragment as if it were a whole
+    record would corrupt downstream extraction; scan the neighboring
+    files to recover it."""
+    segs = (records.where(F.col("warc_type") == "continuation")
+            .where(F.col("segment_origin_id").isNotNull())
+            .groupBy(F.col("segment_origin_id").alias("_origin"))
+            .agg(F.sort_array(
+                     F.collect_list(F.struct(
+                         F.col("segment_number").alias("seg"),
+                         F.col("payload").alias("p"))))
+                 .alias("_parts")))
+    tail = segs.select(
+        "_origin",
+        F.aggregate(
+            F.col("_parts"),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x["p"])).alias("_tail"),
+        F.size("_parts").alias("_n_tail"))
+    base = records.where(F.col("warc_type") != "continuation")
+    out = (base.join(tail,
+                     base["record_id"].eqNullSafe(tail["_origin"]),
+                     "left")
+           .withColumn(
+               "payload",
+               F.when(F.col("_tail").isNotNull(),
+                      F.concat(F.col("payload"), F.col("_tail")))
+                .otherwise(F.col("payload")))
+           .withColumn(
+               "n_segments",
+               (F.coalesce(F.col("_n_tail"), F.lit(0)) + 1)
+               .cast("int"))
+           .drop("_origin", "_tail", "_n_tail"))
+    return out

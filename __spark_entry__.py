@@ -5461,6 +5461,102 @@ _STAGED_R18_ORACLES: dict[str, str] = {
 }
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 for r19 registration (the table_merge staging
+    precedent; r17 verdict task 2 — `changes_between` was the one
+    public API without a driver-oracle path): row-level CDC
+    end-to-end (table.py:changes_between — file-diff + exceptAll
+    derivation from the COW immutability invariant).  A manifest
+    table is built from events ONCE (scratch + atomic rename keyed
+    on the testdata fingerprint): the pre-mid-January half is
+    written (snapshot v0, persisted in a sidecar), the rest is
+    appended, low-value error rows are DELETED (COW rewrite — the
+    feed must show ONLY them leaving, the rewritten survivors
+    cancel), and purchase values are DOUBLED by an update (each
+    matched row must surface as its delete+insert pair).  Steady
+    state reads the feed v0→head — idempotent across runs.  Oracle:
+    the two snapshots stated in SQL and diffed with EXCEPT ALL both
+    directions — multiset-exact, the same algebra the engine derives
+    from file diffs (rows(A)⊖rows(B) == rows(A\\B)⊖rows(B\\A) since
+    the intersection cancels)."""
+    import shutil
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "table-changes-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_table_changes",
+                        key)
+    home = os.path.join(root, "home")
+    mid = 1705276800 * 10**9  # 2024-01-15T00:00:00Z
+    schema = (Schema("events_cdc")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("value", ColumnType.F64)
+              .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch, manifest=True)
+        ev = (_load(spark, sf_dir, "events")
+              .select("ts", "event_id", "event_type", "value"))
+        t.write(ev.where(F.col("ts") < mid), enforce_order=False)
+        v0 = t._latest_head()[0]
+        t.write(ev.where(F.col("ts") >= mid), enforce_order=False)
+        t.delete_where("event_type = 'error' AND value < 100.0")
+        t.update_where("event_type = 'purchase'",
+                       {"value": "value * 2.0"})
+        import json as _json
+
+        with open(os.path.join(scratch, "_gate_v0.json"), "w") as fh:
+            _json.dump({"v0": v0}, fh)
+        os.makedirs(os.path.dirname(home), exist_ok=True)
+        os.rename(scratch, home)
+    import json as _json
+
+    t = Table.open(spark, "events_cdc", home=home)
+    with open(os.path.join(home, "_gate_v0.json")) as fh:
+        v0 = _json.load(fh)["v0"]
+    return (t.changes_between(v0)
+            .select("_change_type", "event_id", "ts", "event_type",
+                    F.round("value", 4).alias("value"), "dt"))
+
+
+# Oracle staged WITH the gate (the _STAGED_R18_ORACLES pattern):
+# merged into oracle_sql() at r19 registration so the staging-era
+# text stays byte-identical through registration.
+_STAGED_R19_ORACLES: dict[str, str] = {
+    "table_changes": f"""
+        WITH v0 AS (
+            SELECT event_id, epoch_ns(ts) AS ts, event_type, value,
+                   strftime(ts, '%Y-%m-%d') AS dt
+            FROM events
+            WHERE epoch_ns(ts) < {1705276800 * 10**9}
+        ), head AS (
+            -- the delete then the update, applied in SQL
+            SELECT event_id, epoch_ns(ts) AS ts,
+                   event_type,
+                   CASE WHEN event_type = 'purchase'
+                        THEN value * 2.0 ELSE value END AS value,
+                   strftime(ts, '%Y-%m-%d') AS dt
+            FROM events
+            WHERE NOT coalesce(event_type = 'error'
+                               AND value < 100.0, false)
+        ), feed AS (
+            SELECT 'insert' AS _change_type, * FROM
+                (SELECT * FROM head EXCEPT ALL SELECT * FROM v0)
+            UNION ALL
+            SELECT 'delete', * FROM
+                (SELECT * FROM v0 EXCEPT ALL SELECT * FROM head)
+        )
+        SELECT _change_type, event_id, ts, event_type,
+               round(value, 4) AS value, dt
+        FROM feed
+    """,
+}
+
+
 def _synth_imagehash_batches(batches):
     """Per-doc 9x8 grayscale LOSSLESS-WEBP fixtures for the image
     near-dup gate, closed-form in doc_id: doc 4k is a base image with

@@ -410,3 +410,55 @@ class TestGrowBloomLock:
                        "start": _proc_start_token(os.getpid())}, fh)
         with pytest.raises(OSError, match="another grower"):
             grow_bloom_store(df, "v", p, m_bits=1 << 15)
+
+
+class TestStagedTableChanges:
+    """Readiness pin for the table_changes gate (STAGED r18 for r19
+    registration, the table_merge precedent; r17 verdict task 2): the
+    gate function runs end-to-end at sf0.001 and matches the staged
+    oracle's two-snapshot EXCEPT ALL pipeline applied to the raw
+    events frame in Spark."""
+
+    def test_gate_matches_oracle_pipeline(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        feed = entry.q_table_changes(spark, sf)
+        got = sorted((r._change_type, r.event_id, r.ts, r.event_type,
+                      r.value, r.dt) for r in feed.collect())
+        from pyspark.sql import functions as F
+
+        mid = 1705276800 * 10**9
+        ev = (entry._load(spark, sf, "events")   # ts as epoch-nanos
+              .select("event_id", "ts", "event_type", "value",
+                      F.date_format(
+                          F.timestamp_micros(F.expr("ts div 1000")),
+                          "yyyy-MM-dd").alias("dt")))
+        v0 = ev.where(F.col("ts") < mid)
+        head = (ev.where("NOT (event_type = 'error' "
+                         "AND value < 100.0)")
+                .withColumn("value",
+                            F.when(F.col("event_type") == "purchase",
+                                   F.col("value") * 2.0)
+                             .otherwise(F.col("value"))))
+        cols = ["event_id", "ts", "event_type", "value", "dt"]
+        ins = (head.select(*cols).exceptAll(v0.select(*cols))
+               .withColumn("_change_type", F.lit("insert")))
+        dels = (v0.select(*cols).exceptAll(head.select(*cols))
+                .withColumn("_change_type", F.lit("delete")))
+        want = sorted((r._change_type, r.event_id, r.ts, r.event_type,
+                       round(r.value, 4), r.dt)
+                      for r in ins.unionByName(dels).collect())
+        assert got == want
+        kinds = {k for k, *_ in got}
+        assert kinds == {"insert", "delete"}
+        # updates surface as delete+insert pairs: doubled purchases
+        assert any(k == "delete" and t == "purchase"
+                   for k, _, _, t, _, _ in got)
+        assert any(k == "insert" and t == "purchase"
+                   for k, _, _, t, _, _ in got)
+        # staged, NOT yet registered: oracle text lives in the
+        # staging dict only until the r19 registration merges it
+        assert "table_changes" in entry._STAGED_R19_ORACLES
+        assert "table_changes" not in entry.queries()
+        assert "table_changes" not in entry.oracle_sql()

@@ -5897,6 +5897,17 @@ _CHANGED_THIS_ROUND = [
     # tools/changed_gates.py before the closing commit.  (The r17
     # queue — warc_records, table_lifecycle, manifest_stress,
     # stream_txn_stress — all took green r17 driver rows.)
+    #
+    # Manifest-level data skipping (r17 verdict task 3): every commit
+    # now records per-file ts/Z-key min-max stats and scan()/COW
+    # discovery prune the file list with them.  These two route
+    # through the changed scan path (`scan` sits in changed_gates'
+    # _NOISE list, so the tool cannot derive them — hand-queued) and
+    # were ALREADY r18-window members by staleness, so queueing costs
+    # no slot and beats carrying a "provably identical" argument for
+    # gates the window was about to re-verify anyway.
+    "schema_evolution",
+    "rollup_maintain",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -6006,6 +6017,34 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
     "ohlcv_gapfill": ("verbatim hoist to temporal.py:"
                       "gapfill_daily_bars; bit-exact mirror green on "
                       "the changed tree (r18)"),
+    # Round 18, manifest data skipping: commits record per-file
+    # min/max stats (metadata-only — not one data byte changes) and
+    # scan()/_rewrite_where prune by them.  Pruning is sound by
+    # construction (a skipped file's recorded range provably cannot
+    # intersect the predicate's necessary range; files without stats
+    # always survive), so every table-family gate's OUTPUT is
+    # byte-identical — re-verified bit-exact on the changed tree.
+    # The window cannot absorb six more rule-1 slots (three new gates
+    # registered this round); the two table gates the window was
+    # re-verifying anyway are QUEUED instead (rule-1 list).
+    "table_delete": ("stats capture is metadata-only; discovery "
+                     "pruning sound (skipped files provably "
+                     "unmatched); bit-exact mirror green on the "
+                     "changed tree (r18)"),
+    "table_lifecycle": ("same data-skipping diff — compact/vacuum "
+                        "carry stats through, scan output "
+                        "unchanged; bit-exact mirror green (r18)"),
+    "manifest_stress": ("CAS append/flip paths gain stats fields "
+                        "only; bit-exact mirror green (r18)"),
+    "stream_txn_stress": ("txn-replay commit path unchanged except "
+                          "stats ride-along; bit-exact mirror green "
+                          "(r18)"),
+    "convert_column": ("offline migration rebuilds through the "
+                       "commit path (stats now recorded), values "
+                       "untouched; bit-exact mirror green (r18)"),
+    "stream_ingest": ("scan(lo, hi) now prunes files by recorded "
+                      "stats — sound skip only; bit-exact mirror "
+                      "green (r18)"),
     # Round 17: snapshot() refactor — the version-file loading moved
     # verbatim into _version_files so the new changes_between CDC
     # reader shares it; the read path is expression-identical and the

@@ -2,9 +2,11 @@
 enforcement, partition-pruned scan with projection, symbols endpoint —
 the §1/§2.1/§2.2 invariants re-expressed on Parquet."""
 
+import os
+
 import pytest
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from zdb_spark.schema import ColumnType, PartitionBy, Schema
 from zdb_spark.table import (OutOfOrderError, Table, TableExistsError,
@@ -1652,3 +1654,206 @@ class TestCompactRewriteRace:
         # compact re-run on the new snapshot succeeds
         assert t3.compact(target_file_mb=1) >= 1
         assert t3.scan().count() == 3
+
+
+class TestFileStats:
+    """r18 manifest-level data skipping (r17 verdict task 3): every
+    commit records per-file [rows, min, max] for ts + Z-order keys
+    in the manifest; scans and COW discovery prune the FILE LIST
+    from metadata already in memory — zero footer reads."""
+
+    def make(self, spark, tmp_home, name="tfs", **kw):
+        return Table.create(spark, make_schema(name), home=tmp_home,
+                            manifest=True, **kw)
+
+    def test_append_records_ts_stats(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + 5]))
+        t.write(rows_df(spark, [T0 + DAY, T0 + DAY + 9]))
+        _, head = t._latest_head()
+        stats = t._stats_of_head(head)
+        files = t._latest_manifest()[1]
+        assert set(stats) == set(files)
+        los = sorted(s[1]["ts"] for s in stats.values())
+        his = sorted(s[2]["ts"] for s in stats.values())
+        assert los == [T0, T0 + DAY]
+        assert his == [T0 + 5, T0 + DAY + 9]
+        assert sum(s[0] for s in stats.values()) == 4
+
+    def test_stats_survive_sealing_and_merge(self, spark, tmp_home,
+                                             monkeypatch):
+        monkeypatch.setattr(Table, "_SEAL_TAIL", 2)
+        monkeypatch.setattr(Table, "_MERGE_SEGMENTS", 2)
+        t = self.make(spark, tmp_home)
+        for i in range(6):
+            t.write(rows_df(spark, [T0 + i]))
+        _, head = t._latest_head()
+        assert head["segments"]            # sealing really happened
+        stats = t._stats_of_head(head)
+        files = t._latest_manifest()[1]
+        assert set(stats) == set(files)
+        assert len(files) == 6
+
+    def test_scan_prunes_file_list(self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        for d in range(4):
+            t.write(rows_df(spark, [T0 + d * DAY], price=float(d)))
+        full = t.df()
+        pruned = t._df_pruned((T0 + DAY, T0 + 2 * DAY))
+        assert len(full.inputFiles()) == 4
+        assert len(pruned.inputFiles()) == 2
+        # values identical to the unpruned filtered scan
+        got = sorted(r.price for r in
+                     t.scan(T0 + DAY, T0 + 2 * DAY).collect())
+        assert got == [1.0, 2.0]
+
+    def test_rewrite_discovery_prunes_but_deletes_exactly(
+            self, spark, tmp_home):
+        t = self.make(spark, tmp_home)
+        for d in range(4):
+            t.write(rows_df(spark, [T0 + d * DAY, T0 + d * DAY + 1],
+                            price=float(d)))
+        cond = (f"ts >= {T0 + DAY} AND ts < {T0 + 2 * DAY} "
+                f"AND price >= 1.0")
+        b = t._predicate_bounds(t.df(), F.expr(cond))
+        assert b == {"ts": (T0 + DAY, T0 + 2 * DAY)}
+        n = t.delete_where(cond)
+        assert n == 2
+        assert t.row_count == 6
+        assert sorted(r.ts for r in t.scan().collect()) == [
+            T0, T0 + 1, T0 + 2 * DAY, T0 + 2 * DAY + 1,
+            T0 + 3 * DAY, T0 + 3 * DAY + 1]
+
+    def test_zorder_key_stats_prune_key_predicates(self, spark,
+                                                   tmp_home):
+        sch = (Schema("tfz")
+               .add_col("user_id", ColumnType.I64)
+               .add_col("price", ColumnType.F64)
+               .with_partition_by(PartitionBy.DAY))
+        t = Table.create(spark, sch, home=tmp_home, manifest=True,
+                         zorder_by=["user_id"],
+                         zorder_bounds={"user_id": (0.0, 1000.0)})
+        df = spark.createDataFrame(
+            [Row(ts=T0 + i, user_id=(i * 37) % 1000,
+                 price=float(i)) for i in range(400)])
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "50")
+        try:
+            t.write(df, enforce_order=False)
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        _, head = t._latest_head()
+        stats = t._stats_of_head(head)
+        files = t._latest_manifest()[1]
+        assert set(stats) == set(files) and len(files) >= 4
+        # z-order key column tracked alongside ts
+        assert all("user_id" in s[1] for s in stats.values())
+        b = t._predicate_bounds(t.df(), F.expr("user_id = 777"))
+        assert b == {"user_id": (777, 777)}
+        pruned = t._prune_files_by_stats(files, stats, b)
+        assert 0 < len(pruned) < len(files)
+        # and the delete itself is exact despite pruning
+        want = sorted(r.price for r in
+                      t.df().where("user_id = 777").collect())
+        n = t.delete_where("user_id = 777")
+        assert n == len(want) > 0
+        assert t.df().where("user_id = 777").count() == 0
+
+    def test_or_and_unknown_predicates_do_not_prune(self, spark,
+                                                    tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0]))
+        d = t.df()
+        assert t._predicate_bounds(
+            d, F.expr(f"ts < {T0} OR price > 0")) == {}
+        assert t._predicate_bounds(d, F.expr("price = 1.0")) == {}
+        # conjunct mixing: the ts conjunct contributes, the rest is
+        # soundly ignored
+        b = t._predicate_bounds(
+            d, F.expr(f"ts >= {T0} AND (price > 0 OR size < 5)"))
+        assert b == {"ts": (T0, None)}
+
+    def test_pre_stats_manifests_degrade_to_full_scan(self, spark,
+                                                      tmp_home):
+        import json as _json
+
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0, T0 + DAY]))
+        # simulate a pre-r18 head: strip fstats in place
+        d = t._manifest_dir()
+        vs = sorted(f for f in os.listdir(d) if f.startswith("v"))
+        p = os.path.join(d, vs[-1])
+        with open(p) as fh:
+            doc = _json.load(fh)
+        doc.pop("fstats", None)
+        os.unlink(p)
+        with open(p, "w") as fh:
+            _json.dump(doc, fh)
+        t2 = Table.open(spark, "tfs", home=tmp_home)
+        assert len(t2._df_pruned((T0, T0)).inputFiles()) == 2
+        assert t2.scan(T0, T0).count() == 1
+
+
+class TestChangeFeedConsumer:
+    """r18 (r17 verdict task 4): the changes_between docstring
+    promises an incremental consumer "catches up without rescanning
+    the table" — prove it with the rollup maintainer: a persisted
+    per-key aggregate built from snapshot v0 catches up to head by
+    folding in ONE signed partial derived from the v0→head change
+    feed (insert = +1/+value, delete = -1/-value), and the merged
+    result bit-equals a full rescan aggregate — the same
+    partial-merge-equivalence proof shape as stream_boilerplate."""
+
+    def test_feed_driven_catchup_equals_rescan(self, spark, tmp_home):
+        from zdb_spark.streaming.ingest import read_rollup
+
+        t = Table.create(spark, make_schema("tcfc"), home=tmp_home,
+                         manifest=True)
+        t.write(rows_df(spark, [T0 + i for i in range(6)]))
+        v0 = t._latest_head()[0]
+
+        # the consumer: a rollup TABLE holding one partial per
+        # catch-up epoch (the rollup_sink shape — signed partials
+        # merge by sum, so a delete is just a negative partial)
+        rsch = (Schema("tcfc_rollup")
+                .add_col("sym", ColumnType.SYMBOL16)
+                .add_col("n_rows", ColumnType.I64)
+                .add_col("sum_price", ColumnType.F64)
+                .with_partition_by(PartitionBy.DAY))
+        r = Table.create(spark, rsch, home=tmp_home, manifest=True)
+        base = (t.snapshot(v0).groupBy("sym")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                     F.sum("price").alias("sum_price"))
+                .withColumn("ts", F.lit(T0)))
+        r.write(base.select("ts", "sym", "n_rows", "sum_price"),
+                enforce_order=False)
+
+        # table moves on: append, COW delete, MERGE upsert
+        t.write(rows_df(spark, [T0 + DAY], sym="MSFT", price=50.0))
+        t.delete_where("price >= 5.0 AND price < 6.0")
+        t.merge_into(spark.createDataFrame(
+            [Row(ts=T0 + 1, sym="UPD", price=100.0, size=9),
+             Row(ts=T0 + 2 * DAY, sym="NEW", price=7.0, size=1)]),
+            on="ts")
+
+        # catch-up: ONE signed partial from the feed — no rescan
+        feed = t.changes_between(v0)
+        sign = F.when(F.col("_change_type") == "insert",
+                      F.lit(1)).otherwise(F.lit(-1))
+        delta = (feed.groupBy("sym")
+                 .agg(F.sum(sign).cast("long").alias("n_rows"),
+                      F.sum(F.col("price") * sign).alias("sum_price"))
+                 .withColumn("ts", F.lit(T0 + 2 * DAY)))
+        r.write(delta.select("ts", "sym", "n_rows", "sum_price"),
+                enforce_order=False)
+
+        caught_up = {row.sym: (row.n_rows, row.sum_price)
+                     for row in read_rollup(r, ["sym"], ["price"])
+                     .where(F.col("n_rows") != 0).collect()}
+        rescan = {row.sym: (row.n, row.s) for row in
+                  (t.scan().groupBy("sym")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("price").alias("s")).collect())}
+        assert caught_up == rescan
+        # and the feed really carried every mutation kind
+        kinds = {row._change_type for row in feed.collect()}
+        assert kinds == {"insert", "delete"}

@@ -495,7 +495,9 @@ class Table:
         """
         moved: list[str] = []
         self._move_staged(staging, dest_root, moved)
-        if self._commit_append_manifest(moved, n, lo, hi, txn) is None:
+        fstats = self._collect_file_stats(dest_root, moved)
+        if self._commit_append_manifest(moved, n, lo, hi, txn,
+                                        fstats) is None:
             for rel in moved:  # replay abort: files were never visible
                 try:
                     os.unlink(os.path.join(dest_root, rel))
@@ -506,7 +508,9 @@ class Table:
 
     def _commit_append_manifest(self, moved: list[str], n: int, lo: int,
                                 hi: int,
-                                txn: tuple[str, int] | None) -> int | None:
+                                txn: tuple[str, int] | None,
+                                fstats: dict | None = None
+                                ) -> int | None:
         """CAS-publish one appended batch into the chunked manifest.
 
         The commit is O(head), NOT O(file-count): new files extend the
@@ -529,17 +533,28 @@ class Table:
                 return None
             segs = list(head["segments"])
             tail = head["tail"] + moved
+            tail_stats = {**head.get("fstats", {}), **(fstats or {})}
             if len(tail) >= self._SEAL_TAIL:
-                segs.append({"name": self._write_segment(tail),
+                segs.append({"name": self._write_segment(
+                                 tail, {f: tail_stats[f] for f in tail
+                                        if f in tail_stats}),
                              "count": len(tail)})
                 tail = []
+                tail_stats = {}
                 if len(segs) >= self._MERGE_SEGMENTS:
-                    merged = [f for s in segs
-                              for f in self._load_segment(s["name"])]
-                    segs = [{"name": self._write_segment(merged),
+                    merged = []
+                    mstats: dict = {}
+                    for s in segs:
+                        merged.extend(self._load_segment(s["name"]))
+                        mstats.update(self._segment_stats(s["name"]))
+                    segs = [{"name": self._write_segment(
+                                 merged,
+                                 {f: mstats[f] for f in merged
+                                  if f in mstats}),
                              "count": len(merged)}]
             nh = dict(head)
             nh["segments"], nh["tail"] = segs, tail
+            nh["fstats"] = tail_stats
             if txn is not None:
                 nh["txns"] = {**head["txns"], txn[0]: txn[1]}
             nh["row_count"] = head["row_count"] + n
@@ -663,7 +678,7 @@ class Table:
     _MERGE_SEGMENTS = 64
 
     _EMPTY_HEAD = {"segments": [], "tail": [], "txns": {}, "row_count": 0,
-                   "min_ts": None, "max_ts": None}
+                   "min_ts": None, "max_ts": None, "fstats": {}}
 
     @classmethod
     def _normalize_head(cls, raw: dict) -> dict:
@@ -721,22 +736,55 @@ class Table:
                 cache[name] = json.load(f)["files"]
         return cache[name]
 
-    def _write_segment(self, files: list[str]) -> str:
+    def _write_segment(self, files: list[str],
+                       stats: dict | None = None) -> str:
         """Write an immutable uuid-named segment; returns its name.
         Unique names need no CAS — losers of the head race just orphan
-        their segment for vacuum."""
+        their segment for vacuum.  ``stats`` (r18 data skipping) rides
+        along: per-file [rows, {col: min}, {col: max}] for the files
+        sealed into this segment, so the head stays O(KB) while stats
+        coverage stays O(file-count) — the Delta-checkpoint shape."""
         import uuid as _uuid
 
         d = self._manifest_dir()
         os.makedirs(d, exist_ok=True)
         name = f"seg-{_uuid.uuid4().hex}.json"
         tmp = os.path.join(d, f".{name}.tmp")
+        doc = {"files": files}
+        if stats:
+            doc["stats"] = stats
         with open(tmp, "w") as f:
-            json.dump({"files": files}, f)
+            json.dump(doc, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(d, name))
         return name
+
+    def _segment_stats(self, name: str) -> dict:
+        """Per-file stats dict of one immutable segment (empty for
+        pre-r18 segments); memoized like ``_load_segment``."""
+        cache = getattr(self, "_seg_stats_cache", None)
+        if cache is None:
+            cache = self._seg_stats_cache = {}
+        if name not in cache:
+            try:
+                with open(os.path.join(self._manifest_dir(),
+                                       name)) as f:
+                    cache[name] = json.load(f).get("stats", {})
+            except OSError:
+                cache[name] = {}
+        return cache[name]
+
+    def _stats_of_head(self, head: dict) -> dict:
+        """Merged per-file stats map for every file the head references
+        (segment stats + tail ``fstats``).  A file with no entry is
+        simply unprunable — pre-r18 manifests degrade to full scans,
+        never to wrong answers."""
+        out: dict = {}
+        for seg in head["segments"]:
+            out.update(self._segment_stats(seg["name"]))
+        out.update(head.get("fstats", {}))
+        return out
 
     def _files_of_head(self, head: dict) -> list[str]:
         """Materialize the full file list (segment order, then tail)."""
@@ -746,16 +794,25 @@ class Table:
         out.extend(head["tail"])
         return out
 
-    def _head_from_files(self, files: list[str], head: dict) -> dict:
+    def _head_from_files(self, files: list[str], head: dict,
+                         fstats: dict | None = None) -> dict:
         """Head doc for a WHOLESALE file-list replacement (compaction,
         migration): small lists ride inline in the tail; large ones seal
-        into one fresh segment so the head stays O(KB)."""
+        into one fresh segment so the head stays O(KB).  ``fstats``
+        maps live files to their stats; tail files keep theirs in the
+        head, sealed files carry theirs into the segment."""
+        fstats = fstats or {}
         nh = {k: head[k] for k in ("txns", "row_count", "min_ts", "max_ts")}
         if len(files) <= self._SEAL_TAIL:
-            nh.update(segments=[], tail=list(files))
+            nh.update(segments=[], tail=list(files),
+                      fstats={f: fstats[f] for f in files
+                              if f in fstats})
         else:
-            nh.update(segments=[{"name": self._write_segment(list(files)),
-                                 "count": len(files)}], tail=[])
+            seg_stats = {f: fstats[f] for f in files if f in fstats}
+            nh.update(segments=[{"name": self._write_segment(
+                                     list(files), seg_stats),
+                                 "count": len(files)}],
+                      tail=[], fstats={})
         return nh
 
     def _latest_manifest_doc(self) -> tuple[int, dict]:
@@ -825,11 +882,13 @@ class Table:
         def head_fn(head: dict):
             doc = {"files": self._files_of_head(head), "txns": head["txns"],
                    "row_count": head["row_count"], "min_ts": head["min_ts"],
-                   "max_ts": head["max_ts"]}
+                   "max_ts": head["max_ts"],
+                   "fstats": self._stats_of_head(head)}
             ndoc = update_fn(doc)
             if ndoc is None:
                 return None
-            nh = self._head_from_files(ndoc["files"], head)
+            nh = self._head_from_files(ndoc["files"], head,
+                                       ndoc.get("fstats"))
             for k in ("txns", "row_count", "min_ts", "max_ts"):
                 nh[k] = ndoc[k]
             return nh
@@ -1017,6 +1076,7 @@ class Table:
         CAS loop re-reads the latest doc on version conflicts, so an
         append that wins a version mid-flip is preserved."""
         conflict: list[str] = []
+        moved_stats = self._collect_file_stats(src, moved)
 
         def flip(doc: dict) -> dict | None:
             present = set(doc["files"])
@@ -1026,7 +1086,10 @@ class Table:
                 return None
             files = [f for f in doc["files"]
                      if f not in replaced] + moved
-            nh = {**doc, "files": files,
+            fstats = {f: s for f, s in doc.get("fstats", {}).items()
+                      if f not in replaced}
+            fstats.update(moved_stats)
+            nh = {**doc, "files": files, "fstats": fstats,
                   "row_count": doc["row_count"] + row_count_delta}
             if bounds is not None:
                 lo, hi = bounds
@@ -1449,6 +1512,20 @@ class Table:
             return 0
         self._reject_nondeterministic(read_files(base_files), cond,
                                       f"{mode}_where")
+        # Manifest-level data skipping (r18, r17 verdict task 3): the
+        # necessary ranges the predicate implies on the stats columns
+        # (ts + Z-order keys) prune the DISCOVERY scan itself — zero
+        # footer reads, O(live-file metadata) already in memory.  A
+        # file skipped here provably contains no matching row, so the
+        # affected set, the rewrite, and the accounting are unchanged.
+        bounds = self._predicate_bounds(read_files(base_files[:1]),
+                                        cond)
+        if bounds:
+            _, head = self._latest_head()
+            base_files = self._prune_files_by_stats(
+                base_files, self._stats_of_head(head), bounds)
+            if not base_files:
+                return 0
         hits = (read_files(base_files).where(cond)
                 .groupBy(F.input_file_name().alias("_f"))
                 .agg(F.count(F.lit(1)).alias("_n"))
@@ -1506,6 +1583,177 @@ class Table:
             set(affected), moved, src, f"{mode}_where",
             row_count_delta=(-n_deleted if mode == "delete" else 0))
         return n_deleted
+
+    def _stats_columns(self) -> list[str]:
+        """Columns tracked by manifest-level data skipping (r18, r17
+        verdict task 3): the timestamp column (every scan constrains
+        it) plus the Z-order key columns (the rewrite predicates a
+        clustered table exists to serve).  Numeric by construction —
+        ts is int64 nanos, Z-order keys are validated numeric at
+        CREATE."""
+        cols = [self.schema.ts_col]
+        z = self._meta.zorder
+        if z:
+            cols.extend(c for c in z["cols"] if c not in cols)
+        return cols
+
+    def _collect_file_stats(self, src: str, files) -> dict:
+        """Per-file ``[rows, {col: min}, {col: max}]`` for the stats
+        columns, from parquet FOOTERS only (no data pages — the same
+        O(file-count) metadata cost class as the landing's own
+        listing).  A column whose chunk statistics are absent or
+        non-finite is simply omitted for that file (unprunable on
+        that column, never wrong).  Recorded into the manifest at
+        every commit so discovery-time pruning needs zero footer
+        reads — the Delta/Iceberg add-file-stats shape."""
+        import math
+
+        import pyarrow.parquet as pq
+
+        cols = self._stats_columns()
+        out: dict = {}
+        for rel in files:
+            try:
+                md = pq.ParquetFile(os.path.join(src, rel)).metadata
+            except Exception:
+                continue
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            lo: dict = {}
+            hi: dict = {}
+            for c in cols:
+                i = idx.get(c)
+                if i is None:
+                    continue
+                cmin = cmax = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if (st is None or not st.has_min_max):
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if not (isinstance(mn, (int, float))
+                            and isinstance(mx, (int, float))):
+                        ok = False
+                        break
+                    if isinstance(mn, float) and not math.isfinite(mn):
+                        ok = False
+                        break
+                    if isinstance(mx, float) and not math.isfinite(mx):
+                        ok = False
+                        break
+                    cmin = mn if cmin is None else min(cmin, mn)
+                    cmax = mx if cmax is None else max(cmax, mx)
+                if ok and cmin is not None:
+                    lo[c], hi[c] = cmin, cmax
+            out[rel] = [int(md.num_rows), lo, hi]
+        return out
+
+    def _predicate_bounds(self, base: DataFrame, cond) -> dict:
+        """Necessary per-column [lo, hi] ranges implied by ``cond``,
+        for the stats columns only — derived from the ANALYZED filter
+        plan so string and Column conditions resolve identically.
+        Sound by construction: only top-level AND conjuncts of the
+        shapes ``col (=|<|<=|>|>=) literal`` (either operand order)
+        contribute; anything else — OR, casts, functions, columns we
+        track no stats for — contributes nothing, so pruning can only
+        ever skip files that provably contain no matching row.
+        Returns {} (prune nothing) when JVM introspection fails."""
+        want = set(self._stats_columns())
+        bounds: dict = {}
+
+        def note(col: str, lo, hi) -> None:
+            plo, phi = bounds.get(col, (None, None))
+            if lo is not None:
+                plo = lo if plo is None else max(plo, lo)
+            if hi is not None:
+                phi = hi if phi is None else min(phi, hi)
+            bounds[col] = (plo, phi)
+
+        _NUM_TYPES = ("LongType", "IntegerType", "DoubleType",
+                      "FloatType", "ShortType", "ByteType")
+
+        def lit_value(e):
+            """Literal value, unwrapping NUMERIC-widening Casts that
+            type promotion inserts around literals (int literal vs
+            bigint column).  A cast on the ATTRIBUTE side is never
+            unwrapped — cast(ts as date) changes units."""
+            while (e.getClass().getSimpleName() == "Cast"
+                   and e.dataType().getClass().getSimpleName()
+                        .rstrip("$") in _NUM_TYPES):
+                e = e.child()
+            if e.getClass().getSimpleName() != "Literal":
+                return None
+            v = e.value()
+            return v if isinstance(v, (int, float)) else None
+
+        def visit(e) -> None:
+            k = e.getClass().getSimpleName()
+            if k == "And":
+                visit(e.left())
+                visit(e.right())
+                return
+            if k not in ("EqualTo", "GreaterThan",
+                         "GreaterThanOrEqual", "LessThan",
+                         "LessThanOrEqual"):
+                return
+            l, r = e.left(), e.right()
+            lk = l.getClass().getSimpleName()
+            rk = r.getClass().getSimpleName()
+            if lk == "AttributeReference":
+                col, v, flipped = l.name(), lit_value(r), False
+            elif rk == "AttributeReference":
+                col, v, flipped = r.name(), lit_value(l), True
+            else:
+                return
+            if col not in want or v is None:
+                return
+            if k == "EqualTo":
+                note(col, v, v)
+            elif k in ("GreaterThan", "GreaterThanOrEqual"):
+                # strict bounds relax to inclusive — a hair less
+                # pruning, never a wrong skip
+                note(col, None, v) if flipped else note(col, v, None)
+            else:
+                note(col, v, None) if flipped else note(col, None, v)
+
+        try:
+            plan = base.where(cond)._jdf.queryExecution().analyzed()
+            visit(plan.condition())
+        except Exception:
+            return {}
+        return {c: b for c, b in bounds.items()
+                if b[0] is not None or b[1] is not None}
+
+    @staticmethod
+    def _prune_files_by_stats(files: list[str], stats: dict,
+                              bounds: dict) -> list[str]:
+        """Drop files whose recorded [min, max] cannot intersect every
+        required column range.  Files without stats (pre-r18 commits,
+        stats-less footers) always survive."""
+        if not bounds:
+            return files
+        kept: list[str] = []
+        for f in files:
+            st = stats.get(f)
+            if not st:
+                kept.append(f)
+                continue
+            _, lo, hi = st
+            alive = True
+            for c, (blo, bhi) in bounds.items():
+                if c not in lo:
+                    continue
+                if blo is not None and hi[c] < blo:
+                    alive = False
+                    break
+                if bhi is not None and lo[c] > bhi:
+                    alive = False
+                    break
+            if alive:
+                kept.append(f)
+        return kept
 
     @staticmethod
     def _footer_rows(src: str, files) -> int:
@@ -1724,6 +1972,35 @@ class Table:
         out = reader.parquet(p)
         return self._apply_added_defaults(out) if evolved else out
 
+    def _df_pruned(self, ts_bounds: tuple | None) -> DataFrame:
+        """Snapshot DataFrame with manifest-level data skipping (r18):
+        ``ts_bounds=(lo, hi)`` (either end None-able, nanos,
+        inclusive) prunes the FILE LIST itself by the per-file stats
+        every commit records — Spark then never even opens a footer
+        for a file outside the range.  Falls back to the plain
+        snapshot read when there is nothing to prune with; the caller
+        must still apply the row-level predicate (stats pruning is
+        file-granular)."""
+        lo, hi = ts_bounds if ts_bounds is not None else (None, None)
+        if not self._meta.manifest or (lo is None and hi is None):
+            return self.df()
+        p = os.path.join(self.path, "parquet")
+        evolved = bool(self._meta.added_defaults
+                       or self._meta.dropped_columns)
+        reader = self.spark.read
+        if evolved:
+            reader = reader.schema(self._read_schema())
+        _, head = self._latest_head()
+        files = self._prune_files_by_stats(
+            self._files_of_head(head), self._stats_of_head(head),
+            {self.schema.ts_col: (lo, hi)})
+        if not files:
+            return self.spark.createDataFrame(
+                [], self.schema.spark_schema().add("dt", "string"))
+        out = (reader.option("basePath", p)
+               .parquet(*[os.path.join(p, f) for f in files]))
+        return self._apply_added_defaults(out) if evolved else out
+
     def add_column(self, name: str, col_type: ColumnType,
                    default=None) -> None:
         """METADATA-ONLY schema evolution: add a column without touching
@@ -1802,13 +2079,17 @@ class Table:
         """
         from .functions.scalar import to_nanos
 
-        df = self.df()
         ts = self.schema.ts_col
         fmt = self.schema.partition_by.date_format
         if from_ts is not None:
             from_ts = to_nanos(from_ts)
         if to_ts is not None:
             to_ts = to_nanos(to_ts)
+        # TRIPLE predicate landing (r18): the manifest's per-file stats
+        # prune the file LIST, dt prunes directories, ts prunes row
+        # groups — the same logical range expressed at every metadata
+        # granularity the storage offers.
+        df = self._df_pruned((from_ts, to_ts))
         if from_ts is not None:
             df = df.where(F.col(ts) >= F.lit(from_ts))
             if fmt is not None:

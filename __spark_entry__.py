@@ -6079,12 +6079,13 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
     # mirror on the changed tree (see SCALE.md §Round-15
     # certifications).  The three affected gates that were entering
     # the window by staleness anyway are QUEUED instead (rule-1 list).
+    # (The r15-diff entries for export_webdataset, knn_int8,
+    # multimodal_decode/png/resize, stream_decode and pdf_extract were
+    # CLOSED by green r17 driver rows post-dating their diffs and are
+    # removed at this r18 boundary — the r13-boundary clearing
+    # precedent.)
     "embedding_quantize": ("name-collision closure edge (quantize "
                            "ops untouched); bit-exact mirror green"),
-    "export_webdataset": ("decode closure edge only; tar writer "
-                          "untouched; bit-exact mirror green"),
-    "knn_int8": ("name-collision closure edge (int8 ops untouched); "
-                 "bit-exact mirror green"),
     "multimodal_audio": ("WAV fixtures never reach the webp/tiff "
                          "branches; bit-exact mirror green"),
     "multimodal_containers": ("r15: mp4/webm probe fixtures never "
@@ -6094,20 +6095,10 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                               "preserve the fixture bytes exactly "
                               "(asserted in tests) — bit-exact "
                               "mirror green on the r16 tree"),
-    "multimodal_decode": ("fake-decoder gate; real-codec diff "
-                          "unreachable; bit-exact mirror green"),
-    "multimodal_png": ("PNG fixtures never reach the webp/tiff "
-                       "branches; bit-exact mirror green"),
-    "multimodal_resize": ("PNG resize path untouched; bit-exact "
-                          "mirror green"),
     "multimodal_video": ("GIF fixtures never reach the webp/tiff "
                          "branches; bit-exact mirror green"),
-    "pdf_extract": ("markdown/W-guard diffs unreachable on the pdf "
-                    "fixtures (/W [1 4 2]); bit-exact mirror green"),
     "server_ohlcv": ("closure edge via shared helper names only; "
                      "server path untouched; bit-exact mirror green"),
-    "stream_decode": ("PNG fixture stream never reaches the webp "
-                      "branch; bit-exact mirror green"),
     # (table_lifecycle's r16 entry removed: the r17 vacuum
     # keep_versions diff queues it in _CHANGED_THIS_ROUND instead —
     # a gate may not be both exempted and queued.)

@@ -557,21 +557,31 @@ def _maybe_write_pin(out: dict) -> None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     sha = None
+    dirty_files: list[str] = []
     try:
         sha = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], cwd=here,
             capture_output=True, text=True, timeout=30
         ).stdout.strip() or None
-        if sha and subprocess.run(
-                ["git", "status", "--porcelain"], cwd=here,
-                capture_output=True, text=True, timeout=30
-        ).stdout.strip():
+        status = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=here,
+            capture_output=True, text=True, timeout=30
+        ).stdout.strip()
+        if sha and status:
             sha += "-dirty"
+            # r17 verdict task 6: a bare '-dirty' made "which tree
+            # was this" ambiguous for future A/Bs — record WHICH
+            # files differ from the SHA so a reader can judge whether
+            # the dirt is driver artifacts (BENCH_r*.json etc.) or
+            # real source drift.
+            dirty_files = [ln[3:] for ln in status.splitlines()][:50]
     except Exception:
         pass                       # pin still useful without a SHA
     try:
         with open(os.path.join(here, PIN), "w") as fh:
-            json.dump({**out, "tree_sha": sha}, fh, indent=1,
+            json.dump({**out, "tree_sha": sha,
+                       **({"dirty_files": dirty_files}
+                          if dirty_files else {})}, fh, indent=1,
                       sort_keys=True)
             fh.write("\n")
         print(f"[bench] canary-clean: pinned detail to {PIN} "

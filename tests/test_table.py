@@ -1857,3 +1857,30 @@ class TestChangeFeedConsumer:
         # and the feed really carried every mutation kind
         kinds = {row._change_type for row in feed.collect()}
         assert kinds == {"insert", "delete"}
+
+
+class TestMergeDiscoverySkipping:
+    """r18: a ts-keyed merge prunes discovery by the source's key
+    range from manifest stats — outcome must be identical, and files
+    outside the range must not be rewritten."""
+
+    def test_ts_keyed_merge_touches_only_in_range_files(self, spark,
+                                                        tmp_home):
+        t = Table.create(spark, make_schema("tmds"), home=tmp_home,
+                         manifest=True)
+        for d in range(4):
+            t.write(rows_df(spark, [T0 + d * DAY], price=float(d)))
+        _, before = t._latest_manifest()
+        res = t.merge_into(
+            spark.createDataFrame(
+                [Row(ts=T0 + DAY, sym="U", price=101.0, size=1)]),
+            on="ts")
+        assert res == {"matched": 1, "updated": 1, "deleted": 0,
+                       "inserted": 0}
+        _, after = t._latest_manifest()
+        # exactly the day-2 file was replaced; out-of-range files
+        # untouched (discovery pruned them from manifest stats)
+        assert len(set(before) - set(after)) == 1
+        got = {r.ts: r.price for r in t.scan().collect()}
+        assert got == {T0: 0.0, T0 + DAY: 101.0,
+                       T0 + 2 * DAY: 2.0, T0 + 3 * DAY: 3.0}

@@ -1328,6 +1328,32 @@ class Table:
             src, base_files, read_files, rel = self._cow_read()
             affected: dict[str, int] = {}
             if base_files:
+                # Manifest data skipping for the discovery semi-join
+                # (r18): when a merge key is a stats column (ts or a
+                # Z-order key), every matched target row's key equals
+                # SOME source key, so the source's [min, max] per key
+                # column is a necessary range — prune files outside
+                # it from manifest metadata before the join reads a
+                # byte.  One tiny agg over the persisted source; NULL
+                # source keys match nothing under equi-join semantics,
+                # and min/max ignore them, so the bound stays sound.
+                stat_keys = [k for k in keys
+                             if k in self._stats_columns()]
+                if stat_keys:
+                    row = snorm.agg(
+                        *[F.min(k).alias(f"_lo_{k}")
+                          for k in stat_keys],
+                        *[F.max(k).alias(f"_hi_{k}")
+                          for k in stat_keys]).first()
+                    kb = {k: (row[f"_lo_{k}"], row[f"_hi_{k}"])
+                          for k in stat_keys
+                          if row[f"_lo_{k}"] is not None}
+                    if kb:
+                        _, head = self._latest_head()
+                        base_files = self._prune_files_by_stats(
+                            base_files, self._stats_of_head(head),
+                            kb)
+            if base_files:
                 skeys = snorm.select(*keys).dropDuplicates(keys)
                 if broadcast_source:
                     skeys = F.broadcast(skeys)

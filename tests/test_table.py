@@ -1884,3 +1884,80 @@ class TestMergeDiscoverySkipping:
         got = {r.ts: r.price for r in t.scan().collect()}
         assert got == {T0: 0.0, T0 + DAY: 101.0,
                        T0 + 2 * DAY: 2.0, T0 + 3 * DAY: 3.0}
+
+
+class TestReviewFixesR18:
+    """Pins for the r18 in-round review findings: value-changing
+    casts must not contribute pruning bounds, NULL-ts merge inserts
+    refuse loudly, and the head cache is never aliased through
+    fstats."""
+
+    def test_truncating_cast_contributes_no_bound(self, spark,
+                                                  tmp_home):
+        sch = (Schema("trc")
+               .add_col("user_id", ColumnType.I64)
+               .add_col("price", ColumnType.F64)
+               .with_partition_by(PartitionBy.DAY))
+        t = Table.create(spark, sch, home=tmp_home, manifest=True,
+                         zorder_by=["user_id"],
+                         zorder_bounds={"user_id": (0.0, 1000.0)})
+        t.write(spark.createDataFrame(
+            [Row(ts=T0 + i, user_id=700 + i, price=float(i))
+             for i in range(4)]), enforce_order=False)
+        d = t.df()
+        # CAST(777.9 AS BIGINT) = 777: unwrapping would bound 777.9
+        # and prune a [700, 777]-range file that contains the match
+        cond = F.col("user_id") == F.lit(777.9).cast("long")
+        assert t._predicate_bounds(d, cond) == {}
+        # widening promotion still contributes (the common case)
+        assert t._predicate_bounds(
+            d, F.expr("user_id = 703")) == {"user_id": (703, 703)}
+        # and the truncating-cast delete itself stays exact
+        t2 = Table.create(spark, (Schema("trc2")
+                                  .add_col("user_id", ColumnType.I64)
+                                  .add_col("price", ColumnType.F64)
+                                  .with_partition_by(PartitionBy.DAY)),
+                          home=tmp_home, manifest=True,
+                          zorder_by=["user_id"],
+                          zorder_bounds={"user_id": (0.0, 1000.0)})
+        t2.write(spark.createDataFrame(
+            [Row(ts=T0, user_id=777, price=1.0),
+             Row(ts=T0 + 1, user_id=5, price=2.0)]),
+            enforce_order=False)
+        assert t2.delete_where(
+            F.col("user_id") == F.lit(777.9).cast("long")) == 1
+        assert [r.user_id for r in t2.scan().collect()] == [5]
+
+    def test_merge_rejects_null_ts_inserts(self, spark, tmp_home):
+        t = Table.create(spark, make_schema("tnti"), home=tmp_home,
+                         manifest=True)
+        t.write(rows_df(spark, [T0]))
+        src = spark.createDataFrame(
+            [Row(ts=None, sym="N", price=9.0, size=1),
+             Row(ts=T0 + 5, sym="OK", price=1.0, size=1)],
+            "ts long, sym string, price double, size long")
+        with pytest.raises(ValueError, match="NULL ts"):
+            t.merge_into(src, on="ts")
+        # nothing landed: the refusal fired before any flip
+        assert t.row_count == 1
+
+    def test_head_cache_not_aliased_through_fstats(self, spark,
+                                                   tmp_home):
+        t = Table.create(spark, make_schema("thal"), home=tmp_home,
+                         manifest=True)
+        t.write(rows_df(spark, [T0]))
+        v, head = t._latest_head()
+        head["fstats"]["bogus/file"] = [1, {}, {}]
+        _, head2 = t._latest_head()
+        assert "bogus/file" not in head2["fstats"]
+
+    def test_reassembly_refuses_null_fragment(self, spark):
+        from zdb_spark.sources.warc import reassemble_warc_segments
+
+        recs = spark.createDataFrame(
+            [("resource", 1, "<urn:a>", None, bytearray(b"x")),
+             ("continuation", 2, None, "<urn:a>", None)],
+            "warc_type string, segment_number int, record_id string, "
+            "segment_origin_id string, payload binary")
+        with pytest.raises(Exception, match="NULL payload"):
+            reassemble_warc_segments(recs).collect()

@@ -48,9 +48,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 # Names too generic to propagate on: DataFrame/driver API collisions.
+# `df` joined in r18: Table.df collides with the ubiquitous local
+# DataFrame name, so one edit inside the manifest-read chain flagged
+# ~140 gates whose only link was a `df = ...` local.  Like `scan`,
+# the cost is that a REAL behavior change to Table.df/scan must be
+# hand-audited into _CHANGED_THIS_ROUND (the r18 data-skipping round
+# did exactly that for scan's pruning change).
 _NOISE = {"write", "read", "open", "create", "count", "collect", "main",
-          "get", "run", "close", "append", "scan", "query", "entry",
-          "queries", "oracle_sql"}
+          "get", "run", "close", "append", "scan", "df", "query",
+          "entry", "queries", "oracle_sql"}
 
 
 def _diff_lines(ref: str, path: str) -> set[int]:

@@ -325,13 +325,26 @@ def reassemble_warc_segments(records: DataFrame) -> DataFrame:
     is dropped — emitting a payload fragment as if it were a whole
     record would corrupt downstream extraction; scan the neighboring
     files to recover it."""
+    # a NULL continuation payload is a corrupt fragment: concat would
+    # propagate NULL and silently drop the whole tail while
+    # n_segments still claimed full reassembly — refuse loudly, like
+    # every malformed-input path in this parser (r18 review finding)
+    chk = F.when(
+        F.col("payload").isNull(),
+        F.raise_error(F.concat(
+            F.lit("reassemble_warc_segments: NULL payload on "
+                  "continuation segment "),
+            F.col("segment_number").cast("string"),
+            F.lit(" of origin "),
+            F.coalesce(F.col("segment_origin_id"), F.lit("?"))))
+    ).otherwise(F.col("payload"))
     segs = (records.where(F.col("warc_type") == "continuation")
             .where(F.col("segment_origin_id").isNotNull())
             .groupBy(F.col("segment_origin_id").alias("_origin"))
             .agg(F.sort_array(
                      F.collect_list(F.struct(
                          F.col("segment_number").alias("seg"),
-                         F.col("payload").alias("p"))))
+                         chk.alias("p"))))
                  .alias("_parts")))
     tail = segs.select(
         "_origin",

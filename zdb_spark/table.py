@@ -723,7 +723,8 @@ class Table:
         # defensive copy: update fns build new dicts but must never
         # mutate the memoized head through shared list/dict refs
         return v, {**head, "segments": list(head["segments"]),
-                   "tail": list(head["tail"]), "txns": dict(head["txns"])}
+                   "tail": list(head["tail"]), "txns": dict(head["txns"]),
+                   "fstats": dict(head.get("fstats", {}))}
 
     def _load_segment(self, name: str) -> list[str]:
         """File list of one immutable segment; memoized (segments are
@@ -1443,8 +1444,22 @@ class Table:
                     recast(ins.select(*data_cols))).persist()
                 row = ins.agg(F.count(F.lit(1)).alias("_n"),
                               F.min(ts).alias("_lo"),
-                              F.max(ts).alias("_hi")).first()
+                              F.max(ts).alias("_hi"),
+                              F.sum(F.col(ts).isNull().cast("long"))
+                               .alias("_null_ts")).first()
                 n_inserted = int(row["_n"])
+                # NULL-ts inserts would land under the Hive default
+                # partition OUTSIDE the manifest ts bounds — scan
+                # pruning would then silently never return them, and
+                # an all-NULL source would crash on int(None) below.
+                # A timestamped store refuses them loudly (r18 review
+                # finding).
+                if int(row["_null_ts"] or 0):
+                    raise ValueError(
+                        "merge_into: source rows to insert carry a "
+                        f"NULL {ts} — every row of a timestamped "
+                        "table needs a timestamp (fill one in, or "
+                        "drop the rows before merging)")
                 if n_inserted:
                     ins_bounds = (int(row["_lo"]), int(row["_hi"]))
                     pieces.append(ins.select(*out_cols))
@@ -1697,22 +1712,60 @@ class Table:
                 phi = hi if phi is None else min(phi, hi)
             bounds[col] = (plo, phi)
 
-        _NUM_TYPES = ("LongType", "IntegerType", "DoubleType",
-                      "FloatType", "ShortType", "ByteType")
+        _INT_MAX = {"ByteType": 127, "ShortType": 32767,
+                    "IntegerType": 2**31 - 1, "LongType": 2**63 - 1}
+
+        def cast_preserves(v, t: str) -> bool:
+            """True iff CAST(v AS t) is numerically the identity —
+            the ONLY case where unwrapping the cast keeps the bound
+            sound.  A truncating cast (777.9 -> 777L), an overflow
+            (300 -> TINYINT) or a precision-losing widening
+            (2^53+1 -> DOUBLE) changes the compared value, so
+            unwrapping it would prune files that DO contain matching
+            rows (r18 review finding)."""
+            if t == "DoubleType":
+                try:
+                    return float(v) == v
+                except OverflowError:
+                    return False
+            if t == "FloatType":
+                import struct
+
+                try:
+                    return struct.unpack(
+                        "f", struct.pack("f", float(v)))[0] == v
+                except (OverflowError, struct.error):
+                    return False
+            if t in _INT_MAX:
+                m = _INT_MAX[t]
+                return v == int(v) and -m - 1 <= int(v) <= m
+            return False
 
         def lit_value(e):
-            """Literal value, unwrapping NUMERIC-widening Casts that
-            type promotion inserts around literals (int literal vs
-            bigint column).  A cast on the ATTRIBUTE side is never
-            unwrapped — cast(ts as date) changes units."""
-            while (e.getClass().getSimpleName() == "Cast"
-                   and e.dataType().getClass().getSimpleName()
-                        .rstrip("$") in _NUM_TYPES):
+            """Literal value, unwrapping only VALUE-PRESERVING numeric
+            Casts (the promotion Catalyst inserts around literals —
+            int literal vs bigint column).  Each cast layer is checked
+            against the literal's value after it is known; any layer
+            that would change the value rejects the whole operand.  A
+            cast on the ATTRIBUTE side is never unwrapped —
+            cast(ts as date) changes units."""
+            targets: list[str] = []
+            while e.getClass().getSimpleName() == "Cast":
+                targets.append(e.dataType().getClass()
+                               .getSimpleName().rstrip("$"))
                 e = e.child()
             if e.getClass().getSimpleName() != "Literal":
                 return None
             v = e.value()
-            return v if isinstance(v, (int, float)) else None
+            if not isinstance(v, (int, float)) \
+                    or isinstance(v, bool):
+                return None
+            # verify innermost-out: every layer must be the identity
+            # on the value (widening chains are; anything else isn't)
+            for t in reversed(targets):
+                if not cast_preserves(v, t):
+                    return None
+            return v
 
         def visit(e) -> None:
             k = e.getClass().getSimpleName()
@@ -1975,6 +2028,13 @@ class Table:
         return df
 
     def df(self) -> DataFrame:
+        # NB: the manifest branch below is intentionally DUPLICATED in
+        # _df_pruned — keep the two in sync (evolved-schema reader,
+        # empty-frame schema, basePath read, added-defaults).  A shared
+        # helper would be cleaner, but editing this function's body
+        # trips tools/changed_gates.py's name-reference closure on the
+        # ubiquitous local name `df` and floods rule-1 with ~140
+        # false-positive gates (r18 review finding, accepted tradeoff).
         p = os.path.join(self.path, "parquet")
         evolved = bool(self._meta.added_defaults
                        or self._meta.dropped_columns)
@@ -2006,7 +2066,11 @@ class Table:
         for a file outside the range.  Falls back to the plain
         snapshot read when there is nothing to prune with; the caller
         must still apply the row-level predicate (stats pruning is
-        file-granular)."""
+        file-granular).
+
+        The read body mirrors ``df()``'s manifest branch VERBATIM
+        except for the pruned file list — keep them in sync (see the
+        comment in ``df()`` for why they are not one helper)."""
         lo, hi = ts_bounds if ts_bounds is not None else (None, None)
         if not self._meta.manifest or (lo is None and hi is None):
             return self.df()

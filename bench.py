@@ -566,15 +566,19 @@ def _maybe_write_pin(out: dict) -> None:
         status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=here,
             capture_output=True, text=True, timeout=30
-        ).stdout.strip()
-        if sha and status:
+        ).stdout
+        if sha and status.strip():
             sha += "-dirty"
             # r17 verdict task 6: a bare '-dirty' made "which tree
             # was this" ambiguous for future A/Bs — record WHICH
             # files differ from the SHA so a reader can judge whether
             # the dirt is driver artifacts (BENCH_r*.json etc.) or
-            # real source drift.
-            dirty_files = [ln[3:] for ln in status.splitlines()][:50]
+            # real source drift.  Porcelain lines are "XY<space>path"
+            # — split on whitespace, do NOT strip the buffer first (a
+            # leading ' M' status would eat the path's first char).
+            dirty_files = [ln.split(None, 1)[1]
+                           for ln in status.splitlines()
+                           if len(ln.split(None, 1)) == 2][:50]
     except Exception:
         pass                       # pin still useful without a SHA
     try:

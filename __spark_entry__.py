@@ -5266,7 +5266,12 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a segmented resource + continuation pair on doc%5 (segment
     numbers 1/2 for reassembly) — exploded with NO type filter.
     Every column is closed-form in doc_id (sources/warc.py:
-    parse_warc/extract_warc)."""
+    parse_warc/extract_warc).  The reassembly JOIN itself
+    (reassemble_warc_segments, r18) is oracled by crawl_report's
+    ``seg`` section — stating the FULL payload for segmented and
+    unsegmented docs alike — rather than by widening this gate's
+    output (r17 verdict task 5; changing a gate with an age-1 green
+    row would burn a rule-1 slot the r15 age cohort needed)."""
     from zdb_spark.sources.warc import extract_warc
 
     docs = (_load(spark, sf_dir, "documents")

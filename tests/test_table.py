@@ -1836,15 +1836,12 @@ class TestChangeFeedConsumer:
             on="ts")
 
         # catch-up: ONE signed partial from the feed — no rescan
+        # (the public operator, r18: ingest.py:apply_changes_to_rollup)
+        from zdb_spark.streaming.ingest import apply_changes_to_rollup
+
         feed = t.changes_between(v0)
-        sign = F.when(F.col("_change_type") == "insert",
-                      F.lit(1)).otherwise(F.lit(-1))
-        delta = (feed.groupBy("sym")
-                 .agg(F.sum(sign).cast("long").alias("n_rows"),
-                      F.sum(F.col("price") * sign).alias("sum_price"))
-                 .withColumn("ts", F.lit(T0 + 2 * DAY)))
-        r.write(delta.select("ts", "sym", "n_rows", "sum_price"),
-                enforce_order=False)
+        n = apply_changes_to_rollup(t, r, v0, ["sym"], ["price"])
+        assert n == feed.count() > 0
 
         caught_up = {row.sym: (row.n_rows, row.sum_price)
                      for row in read_rollup(r, ["sym"], ["price"])

@@ -33,7 +33,8 @@ from ..functions.scalar import nanos_to_ts
 from ..schema import PartitionBy
 
 __all__ = ["stream_writer", "stream_writer_table", "stream_resample",
-           "sessionize", "rollup_sink", "read_rollup"]
+           "sessionize", "rollup_sink", "read_rollup",
+           "apply_changes_to_rollup"]
 
 
 def _default_app_id(checkpoint: str) -> str:
@@ -323,6 +324,50 @@ def read_rollup(table, group_cols: list[str],
             .agg(F.sum("n_rows").alias("n_rows"),
                  *[F.sum(f"sum_{c}").alias(f"sum_{c}")
                    for c in sum_cols]))
+
+
+def apply_changes_to_rollup(table, rollup, from_version: int,
+                            group_cols: list[str],
+                            sum_cols: list[str],
+                            ts_col: str = "ts",
+                            to_version: int | None = None) -> int:
+    """Catch a :func:`rollup_sink`-shape rollup up to ``table``'s head
+    WITHOUT rescanning the table (r18 — the CDC-consumer workflow the
+    ``changes_between`` docstring promises): the v→head change feed
+    folds into ONE signed partial (insert rows contribute +1/+value,
+    delete rows −1/−value — an update's delete+insert pair nets to its
+    value change), appended through the transactional write path.
+    Because count/sum are decomposable, the merged read
+    (:func:`read_rollup`) afterwards EQUALS a fresh aggregation of the
+    head snapshot — the partial-merge-equivalence contract, pinned by
+    tests/test_table.py::TestChangeFeedConsumer against appends, COW
+    deletes and MERGE upserts.
+
+    Cost at 100 TB: the feed reads only files that entered/left the
+    manifest between the versions, so an append-only day costs the new
+    files, a pure compaction appends an EMPTY partial (no-op), and the
+    rollup itself never re-reads history.  Returns the number of
+    change rows consumed.  Exactly-once is the caller's protocol:
+    track the last applied ``to_version`` (e.g. in the rollup table's
+    own metadata sidecar or the orchestrator) and call with
+    ``from_version`` = that mark; a replay with the same bounds
+    appends a duplicate partial — fence it the same way
+    ``rollup_sink`` fences batch ids."""
+    feed = table.changes_between(from_version, to_version)
+    sign = F.when(F.col("_change_type") == "insert",
+                  F.lit(1)).otherwise(F.lit(-1))
+    n_changes = feed.count()
+    if not n_changes:
+        return 0
+    partial = (feed.groupBy(*group_cols)
+               .agg(F.min(ts_col).alias(ts_col),
+                    F.sum(sign).alias("n_rows"),
+                    *[F.sum(F.col(c) * sign).alias(f"sum_{c}")
+                      for c in sum_cols])
+               .select(ts_col, *group_cols, "n_rows",
+                       *[f"sum_{c}" for c in sum_cols]))
+    rollup.write(partial, enforce_order=False)
+    return int(n_changes)
 
 
 def hll_sketch_sink(stream_df: DataFrame, value_col: str, store_path: str,

@@ -5528,6 +5528,82 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("value"), "dt"))
 
 
+def q_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED r18 for r19 registration (with table_changes): the CDC
+    CONSUMER loop end-to-end (streaming/ingest.py:
+    apply_changes_to_rollup, r18) — a rollup table is seeded with one
+    partial from snapshot v0, the fact table then takes an append, a
+    COW delete, and an integer-doubling update, and the rollup
+    catches up through ONE signed change-feed partial; the steady
+    state reads the merged rollup.  Metrics are INTEGER-exact by
+    construction (row counts + cents = round(value*100) as BIGINT),
+    so partial-merge order cannot move a bit and the oracle is the
+    head state aggregated directly — a hash match proves
+    feed-driven catch-up ≡ full rescan through the driver's own
+    engine-vs-DuckDB comparison."""
+    import shutil
+    import tempfile
+
+    from zdb_spark.schema import ColumnType, PartitionBy, Schema
+    from zdb_spark.streaming.ingest import (apply_changes_to_rollup,
+                                            read_rollup)
+    from zdb_spark.table import Table
+
+    key = _key_for(sf_dir, "cdc-rollup-v1", ("events",))
+    root = os.path.join(tempfile.gettempdir(), "zdb_cdc_rollup", key)
+    home = os.path.join(root, "home")
+    mid = 1705276800 * 10**9  # 2024-01-15T00:00:00Z
+    schema = (Schema("events_cdcr")
+              .add_col("event_id", ColumnType.I64)
+              .add_col("event_type", ColumnType.SYMBOL16)
+              .add_col("cents", ColumnType.I64)
+              .with_partition_by(PartitionBy.DAY))
+    rschema = (Schema("events_cdcr_rollup")
+               .add_col("event_type", ColumnType.SYMBOL16)
+               .add_col("n_rows", ColumnType.I64)
+               .add_col("sum_cents", ColumnType.I64)
+               .with_partition_by(PartitionBy.DAY))
+    if not os.path.exists(home):
+        scratch = home + ".tmp"
+        shutil.rmtree(scratch, ignore_errors=True)
+        t = Table.create(spark, schema, home=scratch, manifest=True)
+        ev = (_load(spark, sf_dir, "events")
+              .select("ts", "event_id", "event_type",
+                      F.round(F.col("value") * 100, 0).cast("long")
+                       .alias("cents"), "value"))
+        t.write(ev.where(F.col("ts") < mid)
+                .select("ts", "event_id", "event_type", "cents"),
+                enforce_order=False)
+        v0 = t._latest_head()[0]
+        r = Table.create(spark, rschema, home=scratch, manifest=True)
+        seed = (t.snapshot(v0).groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                     F.sum("cents").alias("sum_cents"))
+                .withColumn("ts", F.lit(1704067200 * 10**9)))
+        r.write(seed.select("ts", "event_type", "n_rows",
+                            "sum_cents"), enforce_order=False)
+        t.write(ev.where(F.col("ts") >= mid)
+                .select("ts", "event_id", "event_type", "cents"),
+                enforce_order=False)
+        # the delete keys off the ORIGINAL value threshold, expressed
+        # on cents so the predicate stays engine-exact
+        t.delete_where("event_type = 'error' AND cents < 10000")
+        t.update_where("event_type = 'purchase'",
+                       {"cents": "cents * 2"})
+        n = apply_changes_to_rollup(t, r, v0, ["event_type"],
+                                    ["cents"])
+        _check(n > 0, "change feed was empty — fixture degenerate")
+        os.makedirs(os.path.dirname(home), exist_ok=True)
+        os.rename(scratch, home)
+    r = Table.open(spark, "events_cdcr_rollup", home=home)
+    # a key whose rows were ALL deleted legitimately nets to a
+    # (key, 0, 0) partial sum; the direct-aggregation oracle has no
+    # row for it — the consumer-side finalize drops net-zero keys
+    return (read_rollup(r, ["event_type"], ["cents"])
+            .where(F.col("n_rows") != 0)
+            .select("event_type", "n_rows", "sum_cents"))
+
+
 # Oracle staged WITH the gate (the _STAGED_R18_ORACLES pattern):
 # merged into oracle_sql() at r19 registration so the staging-era
 # text stays byte-identical through registration.
@@ -5558,6 +5634,28 @@ _STAGED_R19_ORACLES: dict[str, str] = {
         SELECT _change_type, event_id, ts, event_type,
                round(value, 4) AS value, dt
         FROM feed
+    """,
+    # cdc_rollup: seed-partial + signed-feed-partial must merge to
+    # the DIRECT aggregation of the head state.  All metrics are
+    # integers (counts + cents), so partial-merge order cannot move a
+    # bit; round() ties: Spark HALF_UP and DuckDB both round half
+    # away from zero.
+    "cdc_rollup": """
+        WITH final AS (
+            SELECT event_type,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 2 * CAST(round(value * 100) AS BIGINT)
+                        ELSE CAST(round(value * 100) AS BIGINT)
+                        END AS cents
+            FROM events
+            WHERE NOT coalesce(
+                event_type = 'error'
+                AND CAST(round(value * 100) AS BIGINT) < 10000,
+                false)
+        )
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM final GROUP BY 1
     """,
 }
 

@@ -462,3 +462,36 @@ class TestStagedTableChanges:
         assert "table_changes" in entry._STAGED_R19_ORACLES
         assert "table_changes" not in entry.queries()
         assert "table_changes" not in entry.oracle_sql()
+
+
+class TestStagedCdcRollup:
+    """Readiness pin for the cdc_rollup gate (STAGED r18 for r19
+    registration): feed-driven rollup catch-up must equal the direct
+    head aggregation, bit-exact by integer construction."""
+
+    def test_gate_matches_direct_aggregation(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = {r.event_type: (r.n_rows, r.sum_cents)
+               for r in entry.q_cdc_rollup(spark, sf).collect()}
+        from pyspark.sql import functions as F
+
+        cents = F.round(F.col("value") * 100, 0).cast("long")
+        ev = (entry._load(spark, sf, "events")
+              .withColumn("cents", cents)
+              .where("NOT (event_type = 'error' AND cents < 10000)")
+              .withColumn("cents",
+                          F.when(F.col("event_type") == "purchase",
+                                 F.col("cents") * 2)
+                           .otherwise(F.col("cents"))))
+        want = {r.event_type: (r.n, r.s) for r in
+                (ev.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("cents").alias("s")).collect())}
+        assert got == want
+        assert "purchase" in got and "error" in got
+        # staged, NOT yet registered
+        assert "cdc_rollup" in entry._STAGED_R19_ORACLES
+        assert "cdc_rollup" not in entry.queries()
+        assert "cdc_rollup" not in entry.oracle_sql()

@@ -1652,11 +1652,29 @@ class Table:
         import pyarrow.parquet as pq
 
         cols = self._stats_columns()
-        out: dict = {}
-        for rel in files:
+
+        def footer(rel: str):
             try:
-                md = pq.ParquetFile(os.path.join(src, rel)).metadata
+                return rel, pq.ParquetFile(
+                    os.path.join(src, rel)).metadata
             except Exception:
+                return rel, None
+
+        files = list(files)
+        if len(files) > 8:
+            # a large landing (compaction, wide merge) would serialize
+            # thousands of footer opens on the driver — the reads are
+            # independent and IO-bound, so a small thread pool keeps
+            # the commit path O(files/16) wall
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                footers = list(ex.map(footer, files))
+        else:
+            footers = [footer(rel) for rel in files]
+        out: dict = {}
+        for rel, md in footers:
+            if md is None:
                 continue
             idx = {md.schema.column(i).name: i
                    for i in range(md.num_columns)}

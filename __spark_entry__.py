@@ -5921,7 +5921,12 @@ def q_crawl_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text")
             .mapInPandas(_synth_warc_batches,
                          "doc_id long, warc binary"))
-    recs = extract_warc(docs, "warc", "doc_id")
+    # two sections consume the exploded records (page, seg): persist
+    # the record frame so the Arrow fixture synth + gunzip + record
+    # walk runs once, not once per section — at 100 TB this is the
+    # "materialize the parsed crawl before fan-out" step every real
+    # pipeline takes
+    recs = extract_warc(docs, "warc", "doc_id").persist()
     resp = (recs.where(F.col("warc_type") == "response")
             .select(F.col("id").alias("doc_id"), "url", "http_status",
                     F.decode(F.col("payload"), "UTF-8").alias("html")))

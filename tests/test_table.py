@@ -2014,3 +2014,75 @@ class TestChangeFeedDedupStore:
         want = {p for p in full
                 if p[0] in new_ids or p[1] in new_ids}
         assert got == want and (1, 10) in got
+
+
+class TestCheckConstraints:
+    """r18: CHECK constraints, the Delta shape — enforced on every
+    row that enters the table (appends, streaming batches via the
+    same write path, MERGE writes, UPDATE rewrites); NULL passes."""
+
+    def make(self, spark, tmp_home, name="tchk"):
+        return Table.create(spark, make_schema(name), home=tmp_home,
+                            manifest=True)
+
+    def test_add_validate_write_refusal_and_drop(self, spark,
+                                                 tmp_home):
+        t = self.make(spark, tmp_home)
+        t.write(rows_df(spark, [T0], price=5.0))
+        t.add_check("price_pos", "price > 0")
+        # persists through the sidecar
+        t2 = Table.open(spark, "tchk", home=tmp_home)
+        assert t2._meta.checks == {"price_pos": "price > 0"}
+        with pytest.raises(ValueError, match="price_pos.*violated by 1"):
+            t2.write(rows_df(spark, [T0 + 1], price=-3.0))
+        assert t2.row_count == 1          # nothing landed
+        ok = t2.write(rows_df(spark, [T0 + 1], price=1.0))
+        assert ok == 1
+        t2.drop_check("price_pos")
+        assert t2.write(rows_df(spark, [T0 + 2], price=-9.0)) == 1
+        with pytest.raises(KeyError):
+            t2.drop_check("price_pos")
+
+    def test_null_passes_and_existing_violation_refuses_add(
+            self, spark, tmp_home):
+        t = self.make(spark, tmp_home, "tchk2")
+        t.write(rows_df(spark, [T0], price=-1.0))
+        with pytest.raises(ValueError, match="violated by existing"):
+            t.add_check("price_pos", "price > 0")
+        t.add_check("price_pos", "price > 0",
+                    validate_existing=False)
+        # NULL evaluation passes (standard SQL CHECK)
+        src = spark.createDataFrame(
+            [Row(ts=T0 + 1, sym="A", price=None, size=1)],
+            "ts long, sym string, price double, size long")
+        assert t.write(src) == 1
+
+    def test_guards_reject_bad_checks(self, spark, tmp_home):
+        t = self.make(spark, tmp_home, "tchk3")
+        with pytest.raises(ValueError, match="does not analyze"):
+            t.add_check("c1", "no_such_col > 0")
+        with pytest.raises(ValueError, match="non-deterministic"):
+            t.add_check("c2", "rand() < 0.5")
+        with pytest.raises(ValueError, match="identifier"):
+            t.add_check("bad name!", "price > 0")
+
+    def test_merge_and_update_enforce(self, spark, tmp_home):
+        t = self.make(spark, tmp_home, "tchk4")
+        t.write(rows_df(spark, [T0, T0 + 1]))
+        t.add_check("price_cap", "price < 1000.0")
+        # merge insert violating the check fails the write job
+        with pytest.raises(Exception, match="price_cap"):
+            t.merge_into(spark.createDataFrame(
+                [Row(ts=T0 + 9, sym="N", price=5000.0, size=1)]),
+                on="ts")
+        # update pushing a row over the cap fails too
+        with pytest.raises(Exception, match="price_cap"):
+            t.update_where("price > 1.5",
+                           {"price": "price * 10000.0"})
+        # and valid versions of both succeed
+        res = t.merge_into(spark.createDataFrame(
+            [Row(ts=T0 + 9, sym="N", price=50.0, size=1)]), on="ts")
+        assert res["inserted"] == 1
+        # both the original 2.0 row and the merged 50.0 row match
+        assert t.update_where("price > 1.5",
+                              {"price": "price + 1.0"}) == 2

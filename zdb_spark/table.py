@@ -104,6 +104,13 @@ class _Meta:
     # rectangles.  Applied by write() and compact(); value columns
     # only (time is already pruned by dt partitions + the ts sort).
     zorder: dict = None
+    # CHECK constraints (r18, the Delta shape): name -> SQL boolean
+    # expression enforced on every row that ENTERS the table (appends,
+    # streaming batches, merge inserts, update rewrites).  NULL
+    # evaluations PASS (standard SQL CHECK); existing rows are not
+    # re-validated when a check is added — add_check scans once and
+    # refuses if history already violates.
+    checks: dict = None
 
     def __post_init__(self):
         if self.txns is None:
@@ -112,6 +119,8 @@ class _Meta:
             self.added_defaults = {}
         if self.dropped_columns is None:
             self.dropped_columns = []
+        if self.checks is None:
+            self.checks = {}
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=2)
@@ -369,11 +378,19 @@ class Table:
 
     def _write_persisted(self, df: DataFrame, ts: str, enforce_order,
                          cluster_by, max_records_per_file, txn) -> int:
+        # CHECK violation counts fold into the one stats pass the
+        # append already pays (df is persisted) — the refusal fires
+        # BEFORE any file lands, with a per-check count.
+        checks = list((self._meta.checks or {}).items())
         stats = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(ts).alias("n_ts"),
             F.min(ts).alias("lo"),
             F.max(ts).alias("hi"),
+            *[F.coalesce(
+                  F.sum((~F.coalesce(F.expr(sql), F.lit(True)))
+                        .cast("long")), F.lit(0)).alias(f"_ck_{i}")
+              for i, (_nm, sql) in enumerate(checks)],
         ).collect()[0]
         n, lo, hi = stats["n"], stats["lo"], stats["hi"]
         if n == 0:
@@ -387,6 +404,12 @@ class Table:
                 f"batch has {n - stats['n_ts']} NULL {ts} values after "
                 f"schema cast (unparseable input?); null-ts rows would "
                 "be unreachable by time-range scans")
+        for i, (nm, sql) in enumerate(checks):
+            bad = int(stats[f"_ck_{i}"])
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {nm!r} ({sql}) violated by "
+                    f"{bad} of {n} batch rows — nothing was written")
         cur_max = self.get_last_ts()
         if enforce_order and cur_max is not None and lo < cur_max:
             raise OutOfOrderError(
@@ -1473,6 +1496,10 @@ class Table:
                 out = pieces[0]
                 for p in pieces[1:]:
                     out = out.unionByName(p)
+                # every row written by the merge (updates, rewritten
+                # survivors, inserts) passes the table's CHECK
+                # constraints — raise-in-pass, no second scan
+                out = self._checks_guard(out)
                 out, sort_cols, zkeyed = self._clustering(out, None, ts)
                 nparts = max(len(replaced) + (1 if n_inserted else 0), 1)
                 out = (out.repartitionByRange(nparts, *sort_cols)
@@ -1594,6 +1621,11 @@ class Table:
             survivors = base.select(*[
                 assigned(c) if c in assignments else F.col(c)
                 for c in base.columns])
+            # UPDATE re-validates everything it writes (the Delta
+            # behavior); a pure DELETE rewrites only untouched
+            # survivor rows and skips the guard — it cannot
+            # introduce a violation
+            survivors = self._checks_guard(survivors)
         ts = self.schema.ts_col
         out, sort_cols, zkeyed = self._clustering(survivors, None, ts)
         out = (out.repartitionByRange(max(len(affected), 1), *sort_cols)
@@ -2146,6 +2178,87 @@ class Table:
             self._meta.schema = self.schema.to_dict()
             self._meta.added_defaults[name] = default
             self._flush_meta()
+
+    def add_check(self, name: str, expr: str,
+                  validate_existing: bool = True) -> None:
+        """Attach a CHECK constraint (r18 — the Delta shape): ``expr``
+        is a SQL boolean enforced on every row that ENTERS the table
+        from now on — appends (batch and streaming), MERGE inserts,
+        and UPDATE rewrites.  A NULL evaluation PASSES (standard SQL
+        CHECK: the constraint rejects only rows where the predicate is
+        FALSE).  ``validate_existing`` (default) scans the current
+        snapshot once and REFUSES to add a check history already
+        violates — a constraint the table doesn't satisfy would make
+        every later compaction-free read a lie.  Non-deterministic
+        expressions are rejected outright (the check is evaluated at
+        write time and re-evaluated on rewrites; a coin-flip
+        constraint would accept and reject the same row on different
+        passes).  Stored in the sidecar under the meta lock."""
+        if not name or not name.replace("_", "").isalnum():
+            raise ValueError(f"check name {name!r}: use an identifier")
+        probe = self.df()
+        try:
+            cond = F.expr(expr)
+            probe.where(cond)._jdf.queryExecution().analyzed()
+        except Exception as exc:
+            raise ValueError(
+                f"check {name!r} does not analyze against the table "
+                f"schema: {expr!r} ({exc})") from None
+        if self._plan_nondeterministic(probe.where(cond)):
+            raise ValueError(
+                f"check {name!r} is non-deterministic — a write-time "
+                "constraint must evaluate identically on every pass")
+        if validate_existing:
+            bad = (probe.where(~F.coalesce(cond, F.lit(True)))
+                   .limit(1).collect())
+            if bad:
+                raise ValueError(
+                    f"check {name!r} is violated by existing rows "
+                    f"(e.g. {bad[0].asDict()!r}) — clean the table "
+                    "first, or pass validate_existing=False to "
+                    "enforce forward-only")
+        with self._meta_lock():
+            meta_path = os.path.join(self.path, "_meta")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    self._meta = _Meta.from_json(f.read())
+                self.schema = Schema.from_dict(self._meta.schema)
+            if name in self._meta.checks:
+                raise ValueError(f"check {name!r} already exists")
+            self._meta.checks[name] = expr
+            self._flush_meta()
+
+    def drop_check(self, name: str) -> None:
+        """Remove a CHECK constraint; rows already written stay."""
+        with self._meta_lock():
+            meta_path = os.path.join(self.path, "_meta")
+            if os.path.exists(meta_path):
+                with open(meta_path) as f:
+                    self._meta = _Meta.from_json(f.read())
+            if name not in self._meta.checks:
+                raise KeyError(f"no check named {name!r}")
+            del self._meta.checks[name]
+            self._flush_meta()
+
+    def _checks_guard(self, df: DataFrame) -> DataFrame:
+        """Wrap the first column so any row violating a CHECK raises
+        DURING the write pass — zero extra scans, the threshold_bars
+        raise-in-codegen pattern.  Used by the rewrite paths (MERGE,
+        UPDATE) whose single pass over rewritten data should not be
+        doubled by a count; ``write()`` prefers the pre-write count
+        (better message, refuses before any file lands)."""
+        checks = self._meta.checks or {}
+        if not checks:
+            return df
+        guard = df.columns[0]
+        c0 = F.col(guard)
+        for name, sql in checks.items():
+            viol = ~F.coalesce(F.expr(sql), F.lit(True))
+            c0 = (F.when(viol, F.raise_error(F.concat(
+                      F.lit(f"CHECK constraint {name!r} violated "
+                            f"({sql}) by row entering the table"))))
+                  .otherwise(c0))
+        return df.withColumn(guard, c0)
 
     def drop_column(self, name: str) -> None:
         """METADATA-ONLY column drop: the sidecar schema shrinks; data

@@ -629,3 +629,25 @@ class TestShardedBloomSink:
                                 str(tmp_path / "ckpt2"))
         q2.awaitTermination(120)
         assert tree(store) == before             # replay: structural noop
+
+
+class TestStreamingCheckConstraints:
+    """r18: streaming batches route through Table.write, so a CHECK
+    constraint rejects a violating micro-batch before any file lands
+    and the stream surfaces the refusal instead of committing."""
+
+    def test_violating_batch_fails_stream(self, spark, tick_dir,
+                                          tmp_path):
+        import pytest
+
+        from pyspark.sql.streaming import StreamingQueryException
+        from zdb_spark.streaming.ingest import stream_writer_table
+
+        t = _tick_table(spark, tmp_path)
+        t.add_check("price_cap", "price < 0.5")   # ticks exceed this
+        q = stream_writer_table(_stream(spark, tick_dir), t,
+                                str(tmp_path / "ckpt"))
+        with pytest.raises(StreamingQueryException,
+                           match="price_cap"):
+            q.awaitTermination(120)
+        assert t.row_count == 0                   # nothing committed

@@ -2086,3 +2086,40 @@ class TestCheckConstraints:
         # both the original 2.0 row and the merged 50.0 row match
         assert t.update_where("price > 1.5",
                               {"price": "price + 1.0"}) == 2
+
+
+class TestDescribeFiles:
+    """r18: manifest-metadata file inspection — one row per live file
+    with the recorded stats, no footer reads, no data scan."""
+
+    def test_live_files_with_stats_and_pre_stats_nulls(self, spark,
+                                                       tmp_home):
+        import json as _json
+
+        t = Table.create(spark, make_schema("tdf"), home=tmp_home,
+                         manifest=True)
+        t.write(rows_df(spark, [T0, T0 + 5]))
+        t.write(rows_df(spark, [T0 + DAY]))
+        d = {r.file: r for r in t.describe_files().collect()}
+        files = t._latest_manifest()[1]
+        assert set(d) == set(files)
+        assert sorted(r.ts_min for r in d.values()) == [T0, T0 + DAY]
+        assert all(r.rows in (1, 2) and r.size_bytes > 0
+                   for r in d.values())
+        # strip stats from the head: pre-r18 files surface NULLs
+        md = t._manifest_dir()
+        vs = sorted(f for f in os.listdir(md) if f.startswith("v"))
+        p = os.path.join(md, vs[-1])
+        with open(p) as fh:
+            doc = _json.load(fh)
+        doc.pop("fstats", None)
+        os.unlink(p)
+        with open(p, "w") as fh:
+            _json.dump(doc, fh)
+        t2 = Table.open(spark, "tdf", home=tmp_home)
+        d2 = t2.describe_files().collect()
+        assert len(d2) == 2
+        assert all(r.rows is None and r.ts_min is None for r in d2)
+        tl = Table.create(spark, make_schema("tdfl"), home=tmp_home)
+        with pytest.raises(ValueError, match="manifest"):
+            tl.describe_files()

@@ -38,6 +38,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from .schema import ColumnType, PartitionBy, Schema
 
@@ -2239,6 +2240,46 @@ class Table:
                 raise KeyError(f"no check named {name!r}")
             del self._meta.checks[name]
             self._flush_meta()
+
+    def describe_files(self) -> DataFrame:
+        """One row per LIVE data file from manifest metadata alone
+        (r18 — the Delta ``DESCRIBE DETAIL``/files-inspection shape):
+        (file, rows, size_bytes, plus ``<col>_min``/``<col>_max`` for
+        every stats column the commits recorded; NULLs for pre-stats
+        files).  Driver-side over the in-memory manifest — no footer
+        reads, no Spark job against the data; the frame is
+        file-count-sized, which is exactly what an operator debugging
+        a pruning decision or a compaction policy wants to eyeball."""
+        if not self._meta.manifest:
+            raise ValueError(
+                "describe_files() requires a manifest=True table")
+        _, head = self._latest_head()
+        files = self._files_of_head(head)
+        stats = self._stats_of_head(head)
+        cols = self._stats_columns()
+        src = os.path.join(self.path, "parquet")
+        rows = []
+        for f in files:
+            st = stats.get(f)
+            try:
+                size = os.path.getsize(os.path.join(src, f))
+            except OSError:
+                size = None
+            rec = {"file": f, "size_bytes": size,
+                   "rows": int(st[0]) if st else None}
+            for c in cols:
+                rec[f"{c}_min"] = (st[1].get(c) if st else None)
+                rec[f"{c}_max"] = (st[2].get(c) if st else None)
+            rows.append(rec)
+        schema = T.StructType(
+            [T.StructField("file", T.StringType()),
+             T.StructField("size_bytes", T.LongType()),
+             T.StructField("rows", T.LongType())]
+            + [T.StructField(f"{c}_{side}",
+                             self.schema.column(c).spark_type(
+                                 self.schema.strict_u64))
+               for c in cols for side in ("min", "max")])
+        return self.spark.createDataFrame(rows, schema)
 
     def _checks_guard(self, df: DataFrame) -> DataFrame:
         """Wrap the first column so any row violating a CHECK raises

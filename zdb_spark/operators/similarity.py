@@ -921,9 +921,16 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
            .where(F.round(sim, 6) >= F.lit(threshold))
            .groupBy("id_b").agg(F.min("id_a").alias("dup_of")))
 
-    out = (assigned
-           .join(dup, assigned[id_col] == dup["id_b"], "left")
-           .select(F.col(id_col), F.col("_cell").cast("int").alias("cell"),
+    # Final frame derives from the CACHED slim (id, cell) projection,
+    # not from `assigned`: re-using `assigned` here re-ran the whole
+    # corpus synthesis + centroid-assignment expression tree a second
+    # time for the output join (the cache holds slim, not assigned) —
+    # measured as a full extra corpus pass in the r18 optimization
+    # round; slim already carries exactly the columns the output needs.
+    out = (slim
+           .join(dup, slim["_id"] == dup["id_b"], "left")
+           .select(F.col("_id").alias(id_col),
+                   F.col("_cell").cast("int").alias("cell"),
                    F.col("dup_of").isNull().alias("keep"),
                    F.col("dup_of")))
     out._zdb_skipped_cells = big

@@ -301,12 +301,13 @@ class TestFunnel:
         assert out2["click"]["n_users"] == 3
         assert out2["purchase"]["n_users"] == 1      # only u1 in order
 
-    def test_runtime_exchange_reuse(self, spark):
-        """Pin the union-at-the-end counting plan's runtime behavior:
-        step i's qualifying subtree feeds BOTH its union branch and step
-        i+1's anchor; AQE must evaluate the shared exchanges once
-        (ReusedExchange in the final adaptive plan), so an N-step funnel
-        does not re-run the whole chain per consumer."""
+    def test_single_event_shuffle_plan(self, spark):
+        """Pin the one-shuffle window-stack plan (r18 optimization):
+        every transition's most-recent-anchor lookup is a window over
+        ONE ``hashpartitioning(user_id)`` exchange — N steps stack N-1
+        Window operators on the same partitioning+ordering with no
+        additional event shuffle (the only other exchanges belong to
+        the final distinct-count aggregate and the tiny spine join)."""
         from zdb_spark.operators.temporal import funnel
 
         rows = [(u, t, ts) for u in range(20) for t, ts in
@@ -317,7 +318,18 @@ class TestFunnel:
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan          # AQE finalized
-        assert plan.count("ReusedExchange") >= 1   # shared quals reused
+        # the adaptive toString appends an "== Initial Plan ==" section
+        # that duplicates every node — pin the FINAL plan only
+        plan = plan.split("== Initial Plan ==")[0]
+        # exactly ONE exchange keyed by the user column alone: the
+        # window stack's; anchor windows never re-shuffle the events
+        user_exchanges = [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning(user_id" in ln
+            and "ReusedExchange" not in ln]
+        assert len(user_exchanges) == 1, plan
+        # both transitions' anchor windows are present, stacked
+        assert plan.count("windowspecdefinition(user_id") >= 2
 
     def test_validation_and_no_window(self, spark):
         from zdb_spark.operators.temporal import funnel

@@ -328,51 +328,59 @@ def funnel(df: DataFrame, steps: list, ts_col: str = "ts",
     (user, ts) pairs, so same-instant duplicates count once.
 
     Returns one row per step: (step_idx, step, n_events, n_users).
-    Cost: one ``asof_join`` per step transition — i.e. one shuffle of
-    (step events + anchors) on the user key per step, each input
-    already filtered to its step's rows; no self-joins, no cartesian
-    products.  Counting is ONE union-at-the-end plan: every step's
-    qualifying (user, ts) set is tagged with its step literal, unioned,
-    and aggregated in a single groupBy(step) pass — N steps cost N
-    transition shuffles + 1 count aggregate, not 2N separate aggregate
-    job chains.  Step *i*'s qualifying subtree appears both in the
-    union branch and as step *i+1*'s anchor input; the shared exchanges
-    canonicalize identically and AQE's runtime stage reuse evaluates
-    them once per query, not once per consumer (ReusedExchange nodes in
-    the final adaptive plan — pinned by test_runtime_exchange_reuse).
+    Cost: ONE shuffle of the step-typed events on the user key, total —
+    not one per transition.  Every transition is a running
+    most-recent-anchor lookup, and a running lookup over a
+    user-partitioned, time-ordered stream is a window aggregate:
+    qualification flags are computed per EVENT ROW as a stack of
+    ``max(when(prev_flag, ts))`` windows sharing one
+    ``partitionBy(user).orderBy(ts)`` spec (RANGE to current row, so an
+    anchor at the exact event timestamp is visible — ASOF ``>=``
+    semantics).  Spark satisfies every window in the stack from the
+    first one's exchange+sort (same partitioning, same ordering), so N
+    steps cost N window passes over sorted in-memory runs and ZERO
+    additional exchanges — vs the previous union-at-the-end plan's
+    ~3 exchanges per step (per-step distinct + asof union-window +
+    post-filter distinct; r18 optimization, guide §2.4: window
+    functions keyed like the preceding operation need no new shuffle).
+    Flags are row-level and duplicate-safe: duplicate (user, ts) events
+    carry equal flags, anchor lookups take ``max`` over them, and the
+    final single aggregate counts DISTINCT (user, ts) pairs per step —
+    bit-identical to the old distinct-set construction (same DuckDB
+    chained-ASOF oracle, re-proven on registration).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    qual = (df.where(F.col(step_col) == steps[0])
-            .select(user_col, ts_col).distinct())
-    tagged = [qual.select(F.lit(0).alias("step_idx"),
-                          F.lit(steps[0]).alias("step"),
-                          F.col(user_col), F.col(ts_col))]
+    ev = (df.where(F.col(step_col).isin(list(set(steps))))
+            .select(F.col(user_col), F.col(ts_col), F.col(step_col)))
+    w = (Window.partitionBy(user_col).orderBy(ts_col)
+         .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    flags = [f"_zq{i}" for i in range(len(steps))]
+    cur = ev.withColumn(flags[0], F.col(step_col) == steps[0])
     for i, step in enumerate(steps[1:], start=1):
-        cur = (df.where(F.col(step_col) == step)
-               .select(user_col, ts_col).distinct())
-        joined = asof_join(cur, qual, on=ts_col, by=user_col,
-                           prefix="_anchor_")
-        cond = F.col(f"_anchor_{ts_col}").isNotNull()
+        anchor = F.max(F.when(F.col(flags[i - 1]), F.col(ts_col))).over(w)
+        cond = anchor.isNotNull()
         if within is not None:
-            cond = cond & (F.col(ts_col) - F.col(f"_anchor_{ts_col}")
-                           <= F.lit(within))
-        qual = joined.where(cond).select(user_col, ts_col).distinct()
-        tagged.append(qual.select(F.lit(i).alias("step_idx"),
-                                  F.lit(step).alias("step"),
-                                  F.col(user_col), F.col(ts_col)))
-    all_steps = tagged[0]
-    for t in tagged[1:]:
-        all_steps = all_steps.unionByName(t)
-    counts = (all_steps.groupBy("step_idx", "step")
-              .agg(F.count(F.lit(1)).alias("n_events"),
+            cond = cond & (F.col(ts_col) - anchor <= F.lit(within))
+        cur = cur.withColumn(flags[i],
+                             (F.col(step_col) == step) & cond)
+    tags = F.array(*[F.when(F.col(fl), F.lit(i))
+                     for i, fl in enumerate(flags)])
+    tagged = cur.select(
+        F.col(user_col), F.col(ts_col),
+        F.explode(F.filter(tags, lambda x: x.isNotNull()))
+         .alias("step_idx"))
+    counts = (tagged.groupBy("step_idx")
+              .agg(F.countDistinct(user_col, ts_col).alias("n_events"),
                    F.countDistinct(user_col).alias("n_users")))
     # A step nobody reaches has no rows to group — join the counts back
     # onto a literal step spine so it still reports (n_events=0,
-    # n_users=0), like the old per-step global aggregates did.
+    # n_users=0), like the old per-step global aggregates did.  The
+    # spine carries the step names (step_idx is the unique key; a
+    # repeated step label appears under each of its indices).
     spine = df.sparkSession.createDataFrame(
         list(enumerate(steps)), "step_idx int, step string")
-    return (spine.join(counts, ["step_idx", "step"], "left")
+    return (spine.join(counts, "step_idx", "left")
             .select("step_idx", "step",
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.coalesce("n_users", F.lit(0)).alias("n_users")))

@@ -58,6 +58,38 @@ class TestMinhashLSH:
             assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35
 
 
+class TestMinhashSignatureKernel:
+    def test_bit_equal_to_jvm_expression(self, spark):
+        """The Arrow numpy XXH64 kernel (r18) must be BIT-IDENTICAL to
+        the Catalyst expression it replaced, element for element,
+        including the null signature a null/empty text produces —
+        random texts, plus the empty/whitespace/None edges, at a
+        non-default width."""
+        from pyspark.sql import functions as F
+
+        import random
+        rng = random.Random(7)
+        texts = ["".join(rng.choice("abcdef \n") for _ in range(
+            rng.randrange(1, 200))) for _ in range(50)]
+        texts += ["", "   ", None, "ab"]  # sub-k and null edges
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        n = 17  # deliberately not the 64 default
+        got = {r["doc_id"]: r["minhash"] for r in
+               dedup.minhash_signature(df, "text", num_hashes=n,
+                                       k=5).collect()}
+        jvm_sig = dedup.let(
+            dedup.hashed_shingles("text", 5),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.array_min(
+                    F.transform(sh, lambda h: F.xxhash64(h, i)))))
+        want = {r["doc_id"]: r["ref"] for r in
+                df.withColumn("ref", jvm_sig).collect()}
+        assert got == want
+
+
 class TestBucketCap:
     """max_bucket_size: the hot-bucket bound on both LSH-join operators."""
 

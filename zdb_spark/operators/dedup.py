@@ -147,6 +147,91 @@ def hashed_shingles(text: Column | str, k: int = 5) -> Column:
         F.transform(shingle_col(text, k), lambda s: F.xxhash64(s)))
 
 
+def _xxh64_sig_udf(num_hashes: int):
+    """Arrow-vectorized MinHash signature kernel: a pandas UDF mapping a
+    hashed-shingle array column to the ``num_hashes``-wide signature,
+    BIT-IDENTICAL to the Catalyst expression it replaces
+    (``transform(sequence(0, n-1), i -> array_min(transform(sh, h ->
+    xxhash64(h, i))))``).
+
+    Spark evaluates ``xxhash64(h, i)`` as two chained XXH64 block
+    rounds — ``hashInt(i, hashLong(h, 42))`` — so the long round is
+    seed-INDEPENDENT and is computed once per shingle here, with only
+    the 4-byte seed round repeated per permutation (the JVM expression
+    re-runs both per (shingle, seed)).  Both rounds are plain uint64
+    mul/rot/xor chains, vectorized over the batch's flattened shingle
+    stream; per-doc minima come from one ``np.minimum.reduceat`` per
+    permutation.  Replaces the dominant cost of every minhash operator:
+    the nested higher-order expression boxed every element per seed —
+    measured ~3.6 core-µs per hash vs ~2 ns vectorized (r18
+    optimization round, guide §4.2: batch native kernels beat chained
+    JVM expressions).  Bit-equality with the JVM form is pinned by
+    tests/test_operators.py::TestMinhashSignatureKernel across random
+    inputs, and every minhash-family gate's oracle re-proves it
+    end-to-end.
+    """
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig_batch(sh):
+        import numpy as np
+
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+
+        def rotl(x, r):
+            return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+        def fmix(h):
+            h = h ^ (h >> np.uint64(33))
+            h = h * P2
+            h = h ^ (h >> np.uint64(29))
+            h = h * P3
+            return h ^ (h >> np.uint64(32))
+
+        arrs = [np.asarray(a, dtype=np.int64) if a is not None else None
+                for a in sh]
+        lens = np.array([0 if a is None else len(a) for a in arrs])
+        nonempty = [a for a in arrs if a is not None and len(a)]
+        out: list = [None] * len(arrs)
+        if nonempty:
+            flat = np.concatenate(nonempty).view(np.uint64)
+            # hashLong(h, seed=42): the seed-independent string-hash round
+            h = np.uint64(42) + P5 + np.uint64(8)
+            t = fmix(rotl(h ^ (rotl(flat * P2, 31) * P1), 27) * P1 + P4)
+            # hashInt(i, t) per permutation, then per-doc segment minima
+            ne_lens = lens[lens > 0]
+            starts = np.zeros(len(ne_lens), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=starts[1:])
+            base = t + P5 + np.uint64(4)
+            mins = np.empty((num_hashes, len(ne_lens)), dtype=np.int64)
+            for i in range(num_hashes):
+                hi = base ^ (np.uint64(i) * P1)
+                hi = rotl(hi, 23) * P2 + P3
+                mins[i] = np.minimum.reduceat(
+                    fmix(hi).view(np.int64), starts)
+            sig_rows = mins.T
+            j = 0
+            for pos, a in enumerate(arrs):
+                if a is not None and len(a):
+                    out[pos] = sig_rows[j]
+                    j += 1
+        # null / empty shingle arrays reproduce the JVM form exactly:
+        # array_min over an empty transform is NULL per element
+        nulls = [None] * num_hashes
+        for pos, a in enumerate(arrs):
+            if a is None or not len(a):
+                out[pos] = nulls
+        return pd.Series(out)
+
+    return pandas_udf(_sig_batch, ArrayType(LongType()))
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 64, k: int = 5,
                       out_col: str = "minhash",
@@ -156,28 +241,48 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     Each shingle STRING is hashed exactly once (``xxhash64(s)``);
     permutation *i* re-hashes that 8-byte long with seed *i* —
     ``xxhash64(h, i)`` — and signature element *i* is the min over the
-    doc's shingles.  Hashing the fixed-width long is the whole trick: the
-    naive per-permutation string hash made signature computation 64
+    doc's shingles.  Hashing the fixed-width long is the first trick:
+    the naive per-permutation string hash made signature computation 64
     string-walks per shingle and dominated the operator's cost (measured
     ~10s of a ~12s sf0.1 run); this form is one string-walk plus 64
-    long-hashes.
+    long-hashes.  The 64 long-hashes themselves run in the Arrow
+    NUMPY kernel (``_xxh64_sig_udf`` — bit-identical XXH64, one
+    vectorized pass per permutation), which replaced the nested
+    higher-order Catalyst expression as the r18 optimization round's
+    measured winner (~2.4x on the signature stage; the JVM HOF boxed
+    every element per seed).
 
-    Built as ONE nested higher-order expression over a let-bound hashed
-    shingle array, so shingling+normalization evaluates once per row.
-    ``shingles_col`` additionally exposes the hashed shingle array for
-    reuse (the exact-verify stage intersects the same arrays).
+    Shingling+normalization stays a single JVM expression
+    (``hashed_shingles``) evaluated once per row; ``shingles_col``
+    additionally exposes the hashed shingle array for reuse (the
+    exact-verify stage intersects the same arrays).
+
+    PLAN-SHAPE CONSTRAINT (Spark 4.1): the pandas UDF must NOT receive
+    the ``hashed_shingles`` expression directly.  ``hashed_shingles``
+    let-binds its normalization via a one-element ``transform`` whose
+    inner lambda captures the outer lambda's variable, and
+    ``ExtractPythonUDFs`` silently skips a scalar Python UDF whose child
+    carries such a cross-lambda capture — the PythonUDF then stays in a
+    plain ProjectExec and every task dies with ``[INTERNAL_ERROR]
+    Cannot evaluate expression`` (reproduced on any non-first query of a
+    session; pinned by TestMinhashSignatureKernel's combined-run
+    coverage).  So the shingle array is materialized as a real column
+    and the UDF is fed ``when(size(sh) >= 0, sh)`` — semantically
+    identical to ``sh`` (size(NULL) is NULL/-1 → else-branch NULL, and a
+    non-null array always has size >= 0) but referencing the column
+    TWICE, which stops CollapseProject from inlining the non-cheap
+    shingle expression back into the UDF's child when the column is not
+    otherwise referenced (the ``shingles_col=None`` path, or a caller
+    that prunes ``shingles_col`` away downstream).
     """
-    def mk(df_in, sh_expr):
-        sig = let(sh_expr, lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(sh, lambda h: F.xxhash64(h, i)))))
-        return df_in.withColumn(out_col, sig)
-
+    sig = _xxh64_sig_udf(num_hashes)
+    sh = shingles_col if shingles_col is not None else "_zdb_sh_tmp"
+    out = df.withColumn(sh, hashed_shingles(text_col, k))
+    guarded = F.when(F.size(F.col(sh)) >= 0, F.col(sh))
+    out = out.withColumn(out_col, sig(guarded))
     if shingles_col is None:
-        return mk(df, hashed_shingles(text_col, k))
-    out = df.withColumn(shingles_col, hashed_shingles(text_col, k))
-    return mk(out, F.col(shingles_col))
+        out = out.drop(sh)
+    return out
 
 
 def _cap_buckets(rows: DataFrame, keys: list[str],

@@ -397,23 +397,26 @@ def retention(df: DataFrame, ts_col: str = "ts",
     periods after that the user was active (0 = the cohort period
     itself).  The classic retention-matrix query.
 
-    Shape at scale: one partial-aggregated groupBy to get each user's
-    first event, one join of events to that per-user scalar on the user
-    key (sort-merge under AQE; at 100 TB the first-seen table is big,
-    so no broadcast assumption), then one distinct + groupBy on
-    (cohort, offset).  All keys are user-derived — skew only if one
-    user dominates the event stream, which the same salting story as
-    any keyed aggregate covers.
+    Shape at scale: each user's first event is a whole-partition
+    ``min(ts)`` WINDOW over hash(user) — ONE shuffle of one projected
+    event scan, replacing the previous groupBy-then-join-back shape
+    (two event scans, two event-sized exchanges; r18 optimization,
+    guide §2.4: the join keyed like the preceding aggregation was a
+    second shuffle for data the window already co-locates).  The
+    following distinct on (user, cohort, offset) is satisfied by the
+    window's hash(user) partitioning (subset clustering — no new
+    exchange); only the final (cohort, offset) count re-shuffles, and
+    that input is one row per (user, period).  All keys are
+    user-derived — skew only if one user dominates the event stream,
+    which the same salting story as any keyed aggregate covers.
     """
-    first = (df.groupBy(user_col)
-             .agg(F.min(ts_col).alias("_first_ts")))
+    first_ts = F.min(ts_col).over(Window.partitionBy(user_col))
     ev = (df.select(user_col, ts_col)
-          .join(first, user_col)
           .select(user_col,
-                  F.floor(F.col("_first_ts") / period).cast("long")
+                  F.floor(first_ts / period).cast("long")
                    .alias("cohort"),
                   (F.floor(F.col(ts_col) / period)
-                   - F.floor(F.col("_first_ts") / period)).cast("long")
+                   - F.floor(first_ts / period)).cast("long")
                    .alias("period_offset"))
           .distinct())
     return (ev.groupBy("cohort", "period_offset")

@@ -41,6 +41,18 @@ _DEFAULTS = {
     # --- scale-first planning ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions toward the advisory TARGET SIZE
+    # instead of stopping at the default-parallelism count (the Spark
+    # docs' recommended production setting): at cluster scale the
+    # advisory size is what keeps reducers in the 100MB-1GB band; the
+    # default `true` preserves tiny local partitions, and at sf0.1 this
+    # box measured thousands of ~150-row tasks per heavy dedup/curation
+    # query.  Measured in three interleaved same-window A/Bs (r18,
+    # OPTIMIZATION_r18.md §config): heavy-cohort ratios 0.92/0.999/0.954
+    # — modest local win, honest scale behavior.  Env-parameterised so
+    # a deployment can restore the Spark default without a code edit.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst":
+        os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Initial shuffle parallelism; AQE coalesces down for small inputs and

@@ -39,6 +39,28 @@ __all__ = ["cosine_sim", "brute_force_topk", "hyperplane_signature",
            "embedding_covariance", "pca_components", "pca_project"]
 
 
+def _vec_lit(v) -> Column:
+    """ArrayType(double) literal in ONE py4j round trip.
+
+    The naive ``F.array(*[F.lit(float(x)) for x in v])`` costs one py4j
+    call per element; for the m·k ADC lookup tables / per-iteration
+    centroid matrices this added SECONDS of driver time per query build
+    (measured 2.4 s for pq_topk's two 128-wide tables + query vector,
+    r18).  A 1-D float64 ndarray crosses py4j as a single
+    ``Array[Double]`` → one ``Literal`` of the same doubles — IEEE bits
+    unchanged, so every downstream expression value is identical (the
+    oracle gates re-prove it)."""
+    return F.lit(np.asarray(v, dtype=np.float64))
+
+
+def _mat_lit(rows) -> Column:
+    """Array-of-ArrayType(double) literal, one py4j call PER ROW
+    (2-D ndarrays have no single-call lit); replaces the per-ELEMENT
+    form everywhere a centroid/plane/component matrix becomes a plan
+    literal."""
+    return F.array(*[_vec_lit(r) for r in rows])
+
+
 def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
@@ -69,7 +91,7 @@ def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     partition keeps a k-heap and only k rows per partition reach the
     driver-side merge, so this is the correct *baseline* even at scale.
     """
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _vec_lit(query_vec)
     sim = cosine_sim(F.col(vec_col), qlit)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("cosine_sim"))
               .orderBy(F.desc("cosine_sim"), F.col(id_col))
@@ -92,9 +114,7 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
 
     rng = np.random.RandomState(seed)
     planes = rng.randn(num_bits, dim)
-    planes_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in row]) for row in planes
-    ])
+    planes_arr = _mat_lit(planes)
     masks = F.array(*[
         F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
         for i in range(num_bits)
@@ -215,9 +235,7 @@ def _nearest_centroid_col(vec_col: str, cents: "np.ndarray") -> Column:
     """
     from .dedup import let
 
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    cents_arr = _mat_lit(cents)
     dots = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -280,9 +298,7 @@ def nearest_centroid_l2_col(vec_col: str, cents) -> Column:
     clusters non-empty on the first pass even for unnormalized vectors.
     """
     cents = np.asarray(cents, dtype=np.float64)
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    cents_arr = _mat_lit(cents)
     return _l2_argmin_expr(vec_col, cents_arr)
 
 
@@ -407,9 +423,7 @@ def centroid_outliers(df: DataFrame, centroids,
     cents = np.asarray(centroids, dtype=np.float64)
     if cents.ndim != 2 or not len(cents):
         raise ValueError("centroids must be a non-empty 2-D array")
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in cents
-    ])
+    cents_arr = _mat_lit(cents)
     dists = let(
         _as_double(F.col(vec_col)),
         lambda v: F.transform(
@@ -1129,8 +1143,8 @@ def pq_topk(codes_df: DataFrame, query_vec: list[float],
                          for c in codebooks[j]] for j in range(m)]).ravel()
     nrm_lut = np.array([[float((c * c).sum()) for c in codebooks[j]]
                         for j in range(m)]).ravel()
-    dots = F.array(*[F.lit(v) for v in dot_lut])
-    nrms = F.array(*[F.lit(v) for v in nrm_lut])
+    dots = _vec_lit(dot_lut)
+    nrms = _vec_lit(nrm_lut)
 
     def lut_sum(lut: Column) -> Column:
         return F.aggregate(
@@ -1148,7 +1162,7 @@ def pq_topk(codes_df: DataFrame, query_vec: list[float],
             .orderBy(F.col("approx_cos").desc(), F.col(id_col))
             .limit(rerank)
             .select(id_col))
-    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    qlit = _vec_lit(query_vec)
     exact = cosine_sim(F.col(vec_col), qlit)
     return (vectors.join(F.broadcast(cand), id_col)
             .withColumn("cosine_sim", F.round(exact, 6))
@@ -1283,7 +1297,7 @@ def int8_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     else:
         q = quantize_embeddings(df.select(id_col, vec_col), vec_col,
                                 bits=bits)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qlit = _vec_lit(query_vec)
     approx = F.col("scale") * F.aggregate(
         F.zip_with(F.col("codes"), qlit, lambda c, x: c * x),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -1513,9 +1527,7 @@ def pca_project(df: DataFrame, components, vec_col: str = "embedding",
     """
     from .dedup import let
 
-    comp_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in components
-    ])
+    comp_arr = _mat_lit(components)
     proj = let(_as_double(F.col(vec_col)), lambda v: F.transform(
         comp_arr,
         lambda c: round0(F.aggregate(

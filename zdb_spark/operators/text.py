@@ -360,7 +360,10 @@ def quality_score_linear(df: DataFrame, weights: list[float],
     from .dedup import let
 
     n = len(weights)
-    warr = F.array(*[F.lit(float(w)) for w in weights])
+    # one py4j call (ArrayType(double) literal), not one per weight —
+    # same doubles, same values (similarity._vec_lit rationale)
+    from .similarity import _vec_lit
+    warr = _vec_lit([float(w) for w in weights])
 
     def idx(tok: Column) -> Column:
         h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")

@@ -41,18 +41,22 @@ _DEFAULTS = {
     # --- scale-first planning ---
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    # Coalesce post-shuffle partitions toward the advisory TARGET SIZE
-    # instead of stopping at the default-parallelism count (the Spark
-    # docs' recommended production setting): at cluster scale the
-    # advisory size is what keeps reducers in the 100MB-1GB band; the
-    # default `true` preserves tiny local partitions, and at sf0.1 this
-    # box measured thousands of ~150-row tasks per heavy dedup/curation
-    # query.  Measured in three interleaved same-window A/Bs (r18,
-    # OPTIMIZATION_r18.md §config): heavy-cohort ratios 0.92/0.999/0.954
-    # — modest local win, honest scale behavior.  Env-parameterised so
-    # a deployment can restore the Spark default without a code edit.
+    # AQE post-shuffle coalescing: `false` targets the advisory
+    # partition SIZE (the Spark docs' recommended production setting —
+    # at cluster scale the advisory size keeps reducers in the
+    # 100MB-1GB band) while the Spark default `true` stops coalescing
+    # at default parallelism.  PRODUCTION: set
+    # SPARK_GRAFT_AQE_PARALLELISM_FIRST=false.  The LOCAL default stays
+    # `true` because at local/sf0.1 scale size-first coalescing
+    # squeezes the 1M-row write bench's pre-write repartition into 1-2
+    # ~64MB tasks, HALVING the fixed batch-write micro-workload the
+    # environment canary is banded on (measured 323k vs 592k rows/s
+    # same-window r18) — the canary/ingest metric must stay comparable
+    # with the band pinned in r12 — while the query-side effect here is
+    # noise (three r18 heavy-cohort A/Bs 0.92/0.999/0.954, a fourth
+    # 1.002; see OPTIMIZATION_r18.md §config).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst":
-        os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Initial shuffle parallelism; AQE coalesces down for small inputs and

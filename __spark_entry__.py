@@ -6055,21 +6055,51 @@ _MAX_DIRECT_AGE = 4
 # Rule-1 hand-list: reset each round to the gates whose behavior-relevant
 # code or oracle changed since their last green row.
 _CHANGED_THIS_ROUND = [
-    # round 18 — populated as the round's changes land; finalized by
-    # tools/changed_gates.py before the closing commit.  (The r17
-    # queue — warc_records, table_lifecycle, manifest_stress,
-    # stream_txn_stress — all took green r17 driver rows.)
+    # round 19 (optimization round 2) — VERDICT r18 task 1: the r18
+    # driver sample contained NONE of the gates whose computation the
+    # r18 optimization round restructured (the "driver re-oracles every
+    # declared query after an optimization round" assumption was wrong —
+    # it samples WINDOW like any round).  Queue every gate whose r18
+    # rewrite is so far verified only by local bit-exact sweeps + unit
+    # pins, plus this round's own changes as they land; finalized by
+    # tools/changed_gates.py before the closing commit.  (The r18
+    # queue — schema_evolution, rollup_maintain — both took green r18
+    # driver rows.)
     #
-    # Manifest-level data skipping (r17 verdict task 3): every commit
-    # now records per-file ts/Z-key min-max stats and scan()/COW
-    # discovery prune the file list with them.  These two route
-    # through the changed scan path (`scan` sits in changed_gates'
-    # _NOISE list, so the tool cannot derive them — hand-queued) and
-    # were ALREADY r18-window members by staleness, so queueing costs
-    # no slot and beats carrying a "provably identical" argument for
-    # gates the window was about to re-verify anyway.
-    "schema_evolution",
-    "rollup_maintain",
+    # r18 numpy XXH64 MinHash signature kernel (28a15ba); r19
+    # additionally folds LSH band hashing into the same kernel pass
+    # (VERDICT task 2), so these carry BOTH rounds' diffs:
+    "dedup_minhash",
+    "dedup_minhash_capped",
+    "dedup_clusters",
+    "dedup_clusters_capped",
+    "dedup_incremental",
+    "semantic_dedup",
+    "contamination_fuzzy",
+    # r18 funnel one-shuffle window stack (2309406) + retention window
+    # rewrite (28a15ba):
+    "funnel",
+    "funnel6",
+    "retention",
+    # r18 single-py4j-call vector/matrix plan literals (21cd8a8) —
+    # plan-identity proven locally, never driver-sampled (knn_bruteforce
+    # DID take a green r18 row on the changed tree; queued anyway per
+    # the verdict's explicit list):
+    "knn_pq",
+    "knn_ivfpq",
+    "knn_int8",
+    "knn_bruteforce",
+    "kmeans_train",
+    # r18 within-query persist of the muxed fixture (a479e8f):
+    "video_frames",
+    # r19 band-hash kernel fold propagation (changed_gates-derived):
+    # these three route through minhash_lsh_pairs / the minhash store
+    # builders too, and their standing exemption proof was r18's —
+    # a gate with a REAL r19 diff takes a queue slot, not a stale
+    # exemption.
+    "curation_pipeline",
+    "split_leakage",
+    "stream_dedup_incremental",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -6268,11 +6298,16 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                     "layout path untouched; bit-exact mirror green"),
 }
 
-# Round-18 OPTIMIZATION round: the driver re-oracles EVERY declared
-# query after an optimization round, so the 50-slot window rule this
-# exemption list feeds does not gate r18's verification — but the
-# hygiene tool (changed_gates.py) still audits the diff, and the
-# optimization edits deliberately touch choke points every gate routes
+# Round-18 OPTIMIZATION round choke-point blanket.  (r18 assumed "the
+# driver re-oracles EVERY declared query after an optimization round";
+# the r18 verdict corrected that — the driver samples WINDOW as always,
+# which is why the riskiest r18 rewrites are now hand-queued above at
+# the r19 boundary and REMOVED from this blanket: a gate may not be
+# both exempted and queued.  Gates that took green r18 driver rows
+# post-dating the diff keep their entries harmlessly — the rotation
+# treats them as fresh.)  The hygiene tool (changed_gates.py) still
+# audits the diff, and the r18 optimization edits deliberately touched
+# choke points every gate routes
 # through (`_load`'s memoized spread check; `_table_rows` /
 # `_seed_vectors` replacing per-gate count()/collect() jobs with
 # direct parquet-footer/column reads of the same immutable inputs —
@@ -6292,43 +6327,42 @@ _CHANGED_BUT_LOCALLY_PROVEN.update(
         "agg_stats", "anti_join", "asof_join", "bloom_membership",
         "bloom_store", "bm25_search", "bpe_apply", "bpe_train",
         "bucketed_join", "c4_clean", "chunk_docs", "cluster_assign",
-        "cluster_curation", "contamination", "contamination_fuzzy",
+        "cluster_curation", "contamination",
         "contamination_hash", "corpus_report", "countmin_store",
-        "countmin_tokens", "cube_orders", "curation_pipeline",
-        "curation_v2", "curation_v3", "decay_avg", "dedup_clusters",
-        "dedup_clusters_capped", "dedup_exact", "dedup_incremental",
-        "dedup_minhash", "dedup_minhash_capped", "dedup_ngram",
+        "countmin_tokens", "cube_orders",
+        "curation_v2", "curation_v3", "decay_avg", "dedup_exact",
+        "dedup_ngram",
         "dedup_paragraphs", "dedup_spans", "dedup_spans_incremental",
         "docs_report", "docx_extract", "domain_cap",
         "domain_percentile_cut", "dsir_weights", "embedding_covariance",
         "embedding_dedup", "embedding_norms", "embedding_outliers",
         "embedding_pca", "events_timeline", "export_shards",
-        "export_webdataset", "funnel", "funnel6", "global_shuffle",
+        "export_webdataset", "global_shuffle",
         "gopher_rules", "grouped_pandas", "hash_split", "hll_store",
         "hll_vocab", "html_extract", "hybrid_search", "ingest_csv",
-        "ingest_json", "ingest_orc", "join_enrich", "kmeans_train",
+        "ingest_json", "ingest_orc", "join_enrich",
         "kmv_distinct", "kmv_merge", "kmv_quantiles", "kmv_setops",
-        "kmv_store", "knn_bruteforce", "knn_int8", "knn_ivf",
-        "knn_ivfpq", "knn_join", "knn_lsh", "knn_lsh_multiprobe",
-        "knn_pq", "lm_score", "market_calendar", "md_extract",
+        "kmv_store", "knn_ivf",
+        "knn_join", "knn_lsh", "knn_lsh_multiprobe",
+        "lm_score", "market_calendar", "md_extract",
         "mixture_pipeline", "month_rollup", "multimodal_bytes",
         "multimodal_decode", "multimodal_frames", "multimodal_jpeg",
         "multimodal_png", "multimodal_resize", "multimodal_wav",
         "ngram_novelty", "pack_sequences", "pdf_extract", "percentiles",
         "pii_redact", "pivot_events", "quality_model",
         "quality_percentile_cut", "quality_train", "range_join",
-        "rate_anomaly", "retention", "rollup_revenue", "salted_agg",
-        "scan_time_range", "semantic_dedup", "semi_join",
+        "rate_anomaly", "rollup_revenue", "salted_agg",
+        "scan_time_range", "semi_join",
         "setops_except", "setops_intersect", "skew_stress",
-        "split_leakage", "stratified_sample", "stream_asof",
-        "stream_boilerplate", "stream_dedup_incremental",
+        "stratified_sample", "stream_asof",
+        "stream_boilerplate",
         "string_funcs", "strip_boilerplate", "strip_lines",
         "symbols_dict", "temperature_sample", "text_entropy",
         "text_fingerprint", "text_index", "text_langid", "text_quality",
         "text_repetition", "text_tokens", "tick_report",
         "token_budget_mix", "tokenize_report", "topk_customers",
         "topn_per_group", "twap", "unigram_tok", "unpivot_lineitem",
-        "url_dedup", "url_normalize", "user_paths", "video_frames",
+        "url_dedup", "url_normalize", "user_paths",
         "vocab_topk", "warehouse_report", "webp_decode",
     ], _R18_OPT_PROOF))
 

@@ -89,6 +89,70 @@ class TestMinhashSignatureKernel:
                 df.withColumn("ref", jvm_sig).collect()}
         assert got == want
 
+    def test_band_hashes_bit_equal_to_jvm_banding(self, spark):
+        """The kernel's fused band hashes (r19) must be BIT-IDENTICAL
+        to the JVM banding expression they replaced —
+        ``xxhash64(slice(minhash, b*r+1, r))`` per band — including the
+        all-null signature of an empty/None text, which the JVM form
+        hashes to the bare seed 42 (null elements are skipped).  Both
+        the signature AND the band hashes must survive the fused
+        output unchanged, at non-default (num_hashes, bands)."""
+        from pyspark.sql import functions as F
+
+        import random
+        rng = random.Random(11)
+        texts = ["".join(rng.choice("abcdef \n") for _ in range(
+            rng.randrange(1, 200))) for _ in range(50)]
+        texts += ["", "   ", None, "ab"]  # sub-k and null edges
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string")
+        n, bands = 24, 6  # deliberately not the (64, 16) defaults
+        r = n // bands
+        fused = dedup.minhash_signature(df, "text", num_hashes=n, k=5,
+                                        bands=bands)
+        got = {row["doc_id"]: (row["minhash"], row["_bh"])
+               for row in fused.collect()}
+        plain = dedup.minhash_signature(df, "text", num_hashes=n, k=5)
+        ref = plain.select(
+            "doc_id", "minhash",
+            F.array(*[F.xxhash64(F.slice("minhash", b * r + 1, r))
+                      for b in range(bands)]).alias("ref_bh"))
+        want = {row["doc_id"]: (row["minhash"], row["ref_bh"])
+                for row in ref.collect()}
+        assert got == want
+
+    def test_kernel_null_and_empty_shingle_edges(self, spark):
+        """The kernel's null path, exercised DIRECTLY (no text reaches
+        it through shingle_col — even a None text yields one [42]
+        shingle): a NULL or empty shingle array must produce the JVM
+        form's all-null signature and seed-42 band hashes (xxhash64
+        over an array SKIPS null elements, leaving the bare seed)."""
+        from pyspark.sql import functions as F
+
+        n, bands = 8, 2
+        r = n // bands
+        udf = dedup._xxh64_sig_udf(n, bands)
+        df = spark.createDataFrame(
+            [(1, [7, -3, 12345678901234]), (2, []), (3, None)],
+            "id long, sh array<long>")
+        guarded = F.when(F.size("sh") >= 0, F.col("sh"))
+        got = {row["id"]: row["o"] for row in
+               df.select("id", udf(guarded).alias("o")).collect()}
+        jvm_sig = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda i: F.array_min(
+                F.transform("sh", lambda h: F.xxhash64(h, i))))
+        ref = df.withColumn("sig", jvm_sig).select(
+            "id",
+            F.concat("sig", F.array(*[
+                F.xxhash64(F.slice("sig", b * r + 1, r))
+                for b in range(bands)])).alias("o"))
+        want = {row["id"]: row["o"] for row in ref.collect()}
+        assert got == want
+        assert got[2] == [None] * n + [42] * bands
+        assert got[3] == [None] * n + [42] * bands
+
 
 class TestBucketCap:
     """max_bucket_size: the hot-bucket bound on both LSH-join operators."""

@@ -48,7 +48,7 @@ def main() -> int:
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r18")
+        os.path.abspath(__file__))), "plans", "r19")
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in args.queries.split(","):

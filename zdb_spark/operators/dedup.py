@@ -4,11 +4,13 @@ Four families, cheapest first:
 
 1. ``exact_dedup`` — hash-groupBy on (normalized) content.  One shuffle on
    a 128-bit digest; the canonical first pass at any scale.
-2. ``minhash_lsh_pairs`` — MinHash signatures + banded LSH.  All hashing is
-   JVM-side (``xxhash64`` with per-permutation seeds over character
-   shingles); candidate generation is an equi-join on (band, band_hash) —
-   i.e. a shuffle on small keys, never an all-pairs product; candidates are
-   verified with exact shingle-set Jaccard.
+2. ``minhash_lsh_pairs`` — MinHash signatures + banded LSH.  Shingling
+   is one JVM expression; the per-permutation signature fill AND the
+   band hashes run in one Arrow numpy kernel that reproduces Spark's
+   ``xxhash64`` bit-for-bit (``_xxh64_sig_udf``); candidate generation
+   is an equi-join on (band, band_hash) — i.e. a shuffle on small keys,
+   never an all-pairs product; candidates are verified with exact
+   shingle-set Jaccard.
 3. ``simhash`` / ``simhash_pairs`` — 64-bit SimHash per doc; near-dup
    candidates via the pigeonhole band trick (hamming ≤ d pairs must share
    one of d+1 equal chunks), verified with ``bit_count(xor)``.
@@ -147,7 +149,7 @@ def hashed_shingles(text: Column | str, k: int = 5) -> Column:
         F.transform(shingle_col(text, k), lambda s: F.xxhash64(s)))
 
 
-def _xxh64_sig_udf(num_hashes: int):
+def _xxh64_sig_udf(num_hashes: int, bands: int = 0):
     """Arrow-vectorized MinHash signature kernel: a pandas UDF mapping a
     hashed-shingle array column to the ``num_hashes``-wide signature,
     BIT-IDENTICAL to the Catalyst expression it replaces
@@ -169,6 +171,17 @@ def _xxh64_sig_udf(num_hashes: int):
     tests/test_operators.py::TestMinhashSignatureKernel across random
     inputs, and every minhash-family gate's oracle re-proves it
     end-to-end.
+
+    ``bands > 0`` (r19, guide §4.2/§2.3) appends the ``bands`` LSH band
+    hashes to the output array — each is Spark's
+    ``xxhash64(slice(sig, b*r+1, r))`` — i.e. the seed-42 XXH64
+    hashLong chain over the band's ``r = num_hashes // bands``
+    signature elements — computed here in the SAME vectorized pass, so
+    banding costs zero extra JVM expression work (the JVM form paid 16
+    array slices + 16 chained array-hash evaluations per row on top of
+    the kernel).  Bit-equality with ``F.xxhash64(F.slice(...))`` incl.
+    the all-null-signature edge (empty docs hash to the bare seed 42)
+    is pinned by the same test class.
     """
     import pandas as pd
     from pyspark.sql.types import ArrayType, LongType
@@ -194,6 +207,12 @@ def _xxh64_sig_udf(num_hashes: int):
             h = h * P3
             return h ^ (h >> np.uint64(32))
 
+        def hash_long(v, seed):
+            # XXH64.hashLong(v, seed), vectorized; seed may be an array
+            acc = seed + P5 + np.uint64(8)
+            acc = acc ^ (rotl(v * P2, 31) * P1)
+            return fmix(rotl(acc, 27) * P1 + P4)
+
         arrs = [np.asarray(a, dtype=np.int64) if a is not None else None
                 for a in sh]
         lens = np.array([0 if a is None else len(a) for a in arrs])
@@ -202,8 +221,7 @@ def _xxh64_sig_udf(num_hashes: int):
         if nonempty:
             flat = np.concatenate(nonempty).view(np.uint64)
             # hashLong(h, seed=42): the seed-independent string-hash round
-            h = np.uint64(42) + P5 + np.uint64(8)
-            t = fmix(rotl(h ^ (rotl(flat * P2, 31) * P1), 27) * P1 + P4)
+            t = hash_long(flat, np.uint64(42))
             # hashInt(i, t) per permutation, then per-doc segment minima
             ne_lens = lens[lens > 0]
             starts = np.zeros(len(ne_lens), dtype=np.int64)
@@ -215,15 +233,31 @@ def _xxh64_sig_udf(num_hashes: int):
                 hi = rotl(hi, 23) * P2 + P3
                 mins[i] = np.minimum.reduceat(
                     fmix(hi).view(np.int64), starts)
-            sig_rows = mins.T
+            if bands:
+                # xxhash64(array<long>) = seed-42 hashLong chain over
+                # the elements; one chain per band over its sig slice
+                r_per = num_hashes // bands
+                u = mins.view(np.uint64)
+                bh = np.empty((bands, mins.shape[1]), dtype=np.int64)
+                for b_i in range(bands):
+                    h = np.full(mins.shape[1], np.uint64(42),
+                                dtype=np.uint64)
+                    for j in range(r_per):
+                        h = hash_long(u[b_i * r_per + j], h)
+                    bh[b_i] = h.view(np.int64)
+                sig_rows = np.concatenate([mins, bh]).T
+            else:
+                sig_rows = mins.T
             j = 0
             for pos, a in enumerate(arrs):
                 if a is not None and len(a):
                     out[pos] = sig_rows[j]
                     j += 1
         # null / empty shingle arrays reproduce the JVM form exactly:
-        # array_min over an empty transform is NULL per element
-        nulls = [None] * num_hashes
+        # array_min over an empty transform is NULL per element, and
+        # xxhash64 over an all-null array SKIPS every element, leaving
+        # the bare seed 42 as each band hash
+        nulls = [None] * num_hashes + [42] * bands
         for pos, a in enumerate(arrs):
             if a is None or not len(a):
                 out[pos] = nulls
@@ -235,7 +269,9 @@ def _xxh64_sig_udf(num_hashes: int):
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       num_hashes: int = 64, k: int = 5,
                       out_col: str = "minhash",
-                      shingles_col: str | None = None) -> DataFrame:
+                      shingles_col: str | None = None,
+                      bands: int | None = None,
+                      band_col: str = "_bh") -> DataFrame:
     """num_hashes-wide MinHash signature over k-char shingles.
 
     Each shingle STRING is hashed exactly once (``xxhash64(s)``);
@@ -274,12 +310,30 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     shingle expression back into the UDF's child when the column is not
     otherwise referenced (the ``shingles_col=None`` path, or a caller
     that prunes ``shingles_col`` away downstream).
+
+    ``bands`` (r19): also emit the ``bands`` LSH band hashes as
+    ``band_col`` (array<long>), computed INSIDE the same kernel pass —
+    bit-identical to ``xxhash64(slice(out_col, b*r+1, r))`` per band,
+    which is what ``_banded_rows`` previously spent 16 JVM array
+    slices + chained array-hash evaluations per row on.  One Python
+    boundary crossing now yields both columns; the slices below run on
+    the SINGLE materialized UDF output column (PythonUDF extraction
+    dedups the one call — the captured plan shows one ArrowEvalPython).
     """
-    sig = _xxh64_sig_udf(num_hashes)
+    if bands is not None and num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = _xxh64_sig_udf(num_hashes, bands or 0)
     sh = shingles_col if shingles_col is not None else "_zdb_sh_tmp"
     out = df.withColumn(sh, hashed_shingles(text_col, k))
     guarded = F.when(F.size(F.col(sh)) >= 0, F.col(sh))
-    out = out.withColumn(out_col, sig(guarded))
+    if bands is None:
+        out = out.withColumn(out_col, sig(guarded))
+    else:
+        out = (out.withColumn("_zdb_sigbh", sig(guarded))
+                  .withColumn(out_col, F.slice("_zdb_sigbh", 1, num_hashes))
+                  .withColumn(band_col,
+                              F.slice("_zdb_sigbh", num_hashes + 1, bands))
+                  .drop("_zdb_sigbh"))
     if shingles_col is None:
         out = out.drop(sh)
     return out
@@ -303,18 +357,15 @@ def _cap_buckets(rows: DataFrame, keys: list[str],
     return rows.join(hot.select(*keys), keys, "left_anti"), hot
 
 
-def _banded_rows(base: DataFrame, bands: int, r: int) -> DataFrame:
-    """Explode a signature frame (_id, minhash) into slim
-    (_id, band, bh) rows — one xxhash64 per band over its signature
-    slice.  Shared by the batch self-join and the incremental store so
-    stored and freshly-computed band hashes are bit-identical."""
-    return base.select(
-        "_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.slice("minhash", b * r + 1, r)).alias("bh"))
-            for b in range(bands)
-        ])).alias("bb")).select("_id", "bb.band", "bb.bh")
+def _banded_rows(base: DataFrame) -> DataFrame:
+    """Explode a signature frame carrying the kernel-computed ``_bh``
+    band-hash array into slim (_id, band, bh) rows.  Shared by the
+    batch self-join and the incremental store so stored and
+    freshly-computed band hashes are bit-identical — the kernel's band
+    hashes reproduce ``xxhash64(slice(minhash, b*r+1, r))`` bit-for-bit
+    (pinned by TestMinhashSignatureKernel), so rows written by the
+    pre-r19 JVM banding expression keep colliding with fresh ones."""
+    return base.select("_id", F.posexplode("_bh").alias("band", "bh"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -341,19 +392,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     # Materialize signatures+shingles ONCE: the candidate self-join would
     # otherwise duplicate the (large) minhash expression tree on both
     # sides of the join and recompute it per band row.  The hashed
-    # shingle array is computed as a byproduct of the signature pass and
-    # reused verbatim by the exact verify.
+    # shingle array and the band hashes are computed as byproducts of
+    # the one kernel pass and reused verbatim downstream.
     base = (minhash_signature(df, text_col, num_hashes, k,
-                              shingles_col="_sh")
-            .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+                              shingles_col="_sh", bands=bands)
+            .select(F.col(id_col).alias("_id"), "minhash", "_bh", "_sh")
             .cache())
 
     # Slim (id, band, band_hash) rows — 16 small rows per doc, no arrays.
-    banded = _banded_rows(base, bands, r)
+    banded = _banded_rows(base)
 
     dropped = None
     if max_bucket_size is not None:
@@ -436,20 +486,19 @@ def minhash_lsh_pairs_vs(df: DataFrame, other: DataFrame,
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     oid = other_id_col or id_col
     base_a = (minhash_signature(df, text_col, num_hashes, k,
-                                shingles_col="_sh")
-              .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+                                shingles_col="_sh", bands=bands)
+              .select(F.col(id_col).alias("_id"), "minhash", "_bh", "_sh")
               .cache())
     base_b = (minhash_signature(other, text_col, num_hashes, k,
-                                shingles_col="_sh")
-              .select(F.col(oid).alias("_id"), "minhash", "_sh")
+                                shingles_col="_sh", bands=bands)
+              .select(F.col(oid).alias("_id"), "minhash", "_bh", "_sh")
               .cache())
 
-    cand = (_banded_rows(base_a, bands, r)
+    cand = (_banded_rows(base_a)
             .withColumnRenamed("_id", "id_a")
-            .join(F.broadcast(_banded_rows(base_b, bands, r)
+            .join(F.broadcast(_banded_rows(base_b)
                               .withColumnRenamed("_id", "id_b")),
                   ["band", "bh"])
             .select("id_a", "id_b").dropDuplicates())
@@ -1109,8 +1158,8 @@ def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
     import os
     import uuid
 
-    base = (minhash_signature(df, text_col, num_hashes, k)
-            .select(F.col(id_col).alias("_id"), "minhash"))
+    base = (minhash_signature(df, text_col, num_hashes, k, bands=bands)
+            .select(F.col(id_col).alias("_id"), "minhash", "_bh"))
     # Two sinks consume base (sigs/ and banded/): cache it so the corpus
     # is shingled+signed ONCE, not once per write — the same recomputation
     # minhash_lsh_pairs documents caching its base to avoid.
@@ -1121,7 +1170,7 @@ def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
             # store's completeness marker, so direct writes are safe
             base.select(F.col("_id").alias(id_col), "minhash") \
                 .write.mode(mode).parquet(f"{path}/sigs")
-            (_banded_rows(base, bands, num_hashes // bands)
+            (_banded_rows(base)
              .select(F.col("_id").alias(id_col), "band", "bh")
              .write.mode(mode).parquet(f"{path}/banded"))
             return
@@ -1133,7 +1182,7 @@ def _write_store_rows(df: DataFrame, path: str, num_hashes: int,
         staging = os.path.join(path, "_staging", uuid.uuid4().hex)
         base.select(F.col("_id").alias(id_col), "minhash") \
             .write.mode("overwrite").parquet(os.path.join(staging, "sigs"))
-        (_banded_rows(base, bands, num_hashes // bands)
+        (_banded_rows(base)
          .select(F.col("_id").alias(id_col), "band", "bh")
          .write.mode("overwrite").parquet(os.path.join(staging, "banded")))
         _publish_staged_store_batch(path, staging)
@@ -1205,13 +1254,13 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
     spark = new_df.sparkSession
     p = _store_params(path)
     num_hashes, bands, k = p["num_hashes"], p["bands"], p["k"]
-    r = num_hashes // bands
 
     new_base = (minhash_signature(new_df, text_col, num_hashes, k,
-                                  shingles_col="_sh")
-                .select(F.col(id_col).alias("_id"), "minhash", "_sh")
+                                  shingles_col="_sh", bands=bands)
+                .select(F.col(id_col).alias("_id"), "minhash", "_bh",
+                        "_sh")
                 .cache())
-    new_banded = _banded_rows(new_base, bands, r)
+    new_banded = _banded_rows(new_base)
     old_banded = (spark.read.parquet(f"{path}/banded")
                   .select(F.col(id_col).alias("_id"), "band", "bh"))
     if not assume_disjoint:

@@ -6130,13 +6130,31 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
     "image_dedup": ("on_error + max_bucket_size defaults keep the "
                     "r15 byte behavior (except branch unreachable, "
                     "cap branch not taken when None); bit-exact "
-                    "mirror green on the changed tree (r16)"),
+                    "mirror green on the changed tree (r16; r19 "
+                    "cap-persist diff also cap-branch-only, re-proven "
+                    "bit-exact r19)"),
     # Round 16: hamming_pairs grew the max_bucket_size cap knob
     # (measured in SCALE.md §Round-16); the default (None) skips the
     # cap branch entirely, so every existing caller is byte-identical.
     "dedup_simhash": ("max_bucket_size=None skips the new cap branch; "
                       "bit-exact mirror green on the changed tree "
-                      "(r16)"),
+                      "(r16; r19 cap-persist + handle-extend diff "
+                      "also unreachable uncapped, re-proven bit-exact "
+                      "r19)"),
+    # Round 19: the _cap_buckets hot-frame persist + cache-handle
+    # plumbing touches these operators' text, but each gate runs with
+    # max_bucket_size unset (None) so the capped branch — the only
+    # changed behavior — is unreachable; outputs byte-identical.
+    "dedup_ngram": ("r19 cap-persist diff unreachable at the gate's "
+                    "max_bucket_size=None; bit-exact mirror green on "
+                    "the changed tree (r19)"),
+    "dedup_spans": ("r19 cap-persist diff unreachable at the gate's "
+                    "max_bucket_size=None; bit-exact mirror green on "
+                    "the changed tree (r19)"),
+    "dedup_spans_incremental": ("r19 cap-persist diff unreachable at "
+                                "the gate's max_bucket_size=None; "
+                                "bit-exact mirror green on the "
+                                "changed tree (r19)"),
     # Round 16: the nine r13-cohort singletons whose inline bodies
     # were hoisted VERBATIM into public operators (warehouse.py,
     # temporal.py) so the new capacity composites execute their exact
@@ -6331,8 +6349,7 @@ _CHANGED_BUT_LOCALLY_PROVEN.update(
         "contamination_hash", "corpus_report", "countmin_store",
         "countmin_tokens", "cube_orders",
         "curation_v2", "curation_v3", "decay_avg", "dedup_exact",
-        "dedup_ngram",
-        "dedup_paragraphs", "dedup_spans", "dedup_spans_incremental",
+        "dedup_paragraphs",
         "docs_report", "docx_extract", "domain_cap",
         "domain_percentile_cut", "dsir_weights", "embedding_covariance",
         "embedding_dedup", "embedding_norms", "embedding_outliers",

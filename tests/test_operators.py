@@ -199,6 +199,21 @@ class TestBucketCap:
         assert all(r["bucket_size"] > 8 for r in dropped)
         assert not hasattr(uncapped, "_zdb_dropped_buckets")
 
+    def test_cap_hot_frame_persisted_and_releasable(self, flood_docs):
+        """r19: the hot-bucket frame is persisted (it feeds the in-plan
+        anti join AND the strip-proof collect) and rides the cache
+        handles so release() frees it."""
+        capped = dedup.minhash_lsh_pairs(
+            flood_docs, "text", "doc_id", num_hashes=64, bands=16,
+            threshold=0.5, max_bucket_size=8)
+        dropped = capped._zdb_dropped_buckets
+        assert dropped.storageLevel.useMemory
+        assert any(h is dropped for h in capped._zdb_cache_handles)
+        capped.collect()
+        assert dropped.collect()          # served from the cached frame
+        dedup.release(capped)             # unpersists hot + base, no raise
+        assert not dropped.storageLevel.useMemory
+
     def test_ngram_cap_drops_clique_postings(self, spark):
         """With freq-ascending prefixes, a flooded postings list is
         nearly always a true-dup clique (identical docs share identical

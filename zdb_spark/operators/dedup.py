@@ -350,10 +350,20 @@ def _cap_buckets(rows: DataFrame, keys: list[str],
     anyway, and the anti join's build side is only the (tiny) hot-key
     set, so the cap costs one cheap extra pass while preventing the
     |bucket|² blowup a single boilerplate bucket would otherwise feed
-    into the self-join."""
+    into the self-join.
+
+    The hot frame is PERSISTED (r19, guide §5): it is consumed more
+    than once — the in-plan anti-join build side, the capped gates'
+    strip-proof ``_zdb_dropped_buckets.collect()``, and (incremental
+    path) the probe-side hot-key filter — and each consumer otherwise
+    re-ran the whole groupBy subtree as its own job.  Bounded by
+    construction (only keys ABOVE the cap survive the filter, a
+    handful of rows).  Callers expose it through
+    ``_zdb_cache_handles`` so ``release()`` frees it."""
     hot = (rows.groupBy(*keys)
                .agg(F.count(F.lit(1)).alias("bucket_size"))
-               .where(F.col("bucket_size") > max_bucket_size))
+               .where(F.col("bucket_size") > max_bucket_size)
+               .persist())
     return rows.join(hot.select(*keys), keys, "left_anti"), hot
 
 
@@ -451,6 +461,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     out._zdb_cache_handles = [base]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
+        out._zdb_cache_handles.append(dropped)
     return out
 
 
@@ -611,6 +622,7 @@ def char_fingerprint_pairs(df: DataFrame, text_col: str = "text",
            .where(F.col("n_shared") >= min_shared))
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
+        out._zdb_cache_handles = [dropped]
     return out
 
 
@@ -699,18 +711,22 @@ def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str, *,
             F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("cv"))
             for c in range(n_chunks)
         ])).alias("ck"))
+    hot = None
     if max_bucket_size is not None:
-        chunks, _hot = _cap_buckets(chunks, ["ck"], max_bucket_size)
+        chunks, hot = _cap_buckets(chunks, ["ck"], max_bucket_size)
     a = chunks.select(F.col("_id").alias("id_a"),
                       F.col("_h").alias("h_a"), "ck")
     b = chunks.select(F.col("_id").alias("id_b"),
                       F.col("_h").alias("h_b"), "ck")
-    return (a.join(b, ["ck"]).where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .withColumn("hamming", F.bit_count(
-                F.col("h_a").bitwiseXOR(F.col("h_b"))))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    out = (a.join(b, ["ck"]).where(F.col("id_a") < F.col("id_b"))
+           .dropDuplicates(["id_a", "id_b"])
+           .withColumn("hamming", F.bit_count(
+               F.col("h_a").bitwiseXOR(F.col("h_b"))))
+           .where(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b", "hamming"))
+    if hot is not None:
+        out._zdb_cache_handles = [hot]
+    return out
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -726,7 +742,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
           .select(F.col(id_col).alias("_id"), "simhash")
           .cache())
     out = hamming_pairs(sh, "simhash", "_id", max_hamming=max_hamming)
-    out._zdb_cache_handles = [sh]
+    out._zdb_cache_handles = [sh, *getattr(out, "_zdb_cache_handles", [])]
     return out
 
 
@@ -1031,6 +1047,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     out._zdb_cache_handles = [sh]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
+        out._zdb_cache_handles.append(dropped)
     return out
 
 
@@ -1353,6 +1370,7 @@ def incremental_minhash_pairs(new_df: DataFrame, corpus_df: DataFrame,
     out._zdb_cache_handles = [new_base, screened, sh]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
+        out._zdb_cache_handles.append(dropped)
     return out
 
 
@@ -1468,6 +1486,7 @@ def incremental_fingerprint_pairs(new_df: DataFrame, path: str,
     out._zdb_cache_handles = [new_fp]
     if dropped is not None:
         out._zdb_dropped_buckets = dropped
+        out._zdb_cache_handles.append(dropped)
     return out
 
 

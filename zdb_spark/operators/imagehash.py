@@ -234,5 +234,6 @@ def image_near_dup_pairs(df: DataFrame, blob_col: str = "blob",
                           on_error=on_error).cache()
     out = hamming_pairs(hashed, "hash", "id", max_hamming=max_hamming,
                         max_bucket_size=max_bucket_size)
-    out._zdb_cache_handles = [hashed]
+    out._zdb_cache_handles = [hashed,
+                              *getattr(out, "_zdb_cache_handles", [])]
     return out

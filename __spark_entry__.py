@@ -1529,24 +1529,33 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zdb_spark.operators.text import strip_boilerplate_lines
 
     docs = _as_line_docs(_load(spark, sf_dir, "documents"))
-    # persist the two diamond apexes: `clean` feeds FOUR consumers
-    # (DSIR's count pass, its scoring pass, the weight re-attach join,
-    # and the source join) and `kept` feeds global_shuffle's offsets
-    # agg + rank join — uncached, the chrome-strip chain (explode,
-    # countDistinct, anti join, rebuild window) re-ran per consumer
-    # (measured 10.8s -> see SCALE.md; the dedup_incremental diamond
-    # lesson applied).  bench clears cache between runs, so the persist
-    # pays off within a run only — exactly the diamond's scope.
-    clean = (strip_boilerplate_lines(docs, min_docs=3)
+    # persist the two diamond apexes: `clean` feeds DSIR's count and
+    # scoring passes and `weighted` feeds the percentile agg + the cut
+    # filter + global_shuffle's offsets agg + rank join — uncached, the
+    # chrome-strip chain (explode, countDistinct, anti join, rebuild
+    # window) re-ran per consumer (measured 10.8s -> see SCALE.md; the
+    # dedup_incremental diamond lesson applied).  bench clears cache
+    # between runs, so the persist pays off within a run only — exactly
+    # the diamond's scope.  r19 (guide §2.4/§5): the strip chain shares
+    # ONE persisted line explode (cache_lines) instead of exploding +
+    # md5-hashing every line twice, and DSIR carries `source` through
+    # its feature stream (carry_cols) and returns only scored rows
+    # (keep_unscored=False) — the previous shape manufactured NULL rows
+    # with a left join, re-attached source with an inner join, then
+    # filtered the NULLs right back out; phase-timed 2.0 → 1.3 s warm.
+    stripped = strip_boilerplate_lines(docs, min_docs=3,
+                                       cache_lines=True)
+    lines_handle = getattr(stripped, "_zdb_cache_handles", [])
+    clean = (stripped
              .where(F.col("n_kept") > 0)
              .select(F.col("id").alias("doc_id"),
                      F.col("grp").alias("source"),
                      F.col("clean_text").alias("text"))).persist()
-    iw = importance_weights(clean, F.col("source") == "src0",
-                            n_buckets=4096, alpha=0.5,
-                            cache_features=True)
-    weighted = (iw.join(clean.select("doc_id", "source"), "doc_id")
-                .where(F.col("log_weight").isNotNull())).persist()
+    weighted = importance_weights(clean, F.col("source") == "src0",
+                                  n_buckets=4096, alpha=0.5,
+                                  cache_features=True,
+                                  carry_cols=("source",),
+                                  keep_unscored=False).persist()
     kept, _thr = percentile_cut_by_group(weighted, "log_weight",
                                          "source", p=0.25)
     out = (global_shuffle(kept, "doc_id", seed="v1", n_shards=8)
@@ -1554,8 +1563,9 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expose every persisted frame for dedup.release() (the :843
     # convention) — bench's clearCache also covers, but a long-lived
     # session shouldn't depend on it
-    out._zdb_cache_handles = [clean, weighted,
-                              *getattr(iw, "_zdb_cache_handles", [])]
+    out._zdb_cache_handles = [clean, weighted, *lines_handle,
+                              *getattr(weighted, "_zdb_cache_handles",
+                                       [])]
     return out
 
 
@@ -6100,6 +6110,11 @@ _CHANGED_THIS_ROUND = [
     "curation_pipeline",
     "split_leakage",
     "stream_dedup_incremental",
+    # r19 curation_v3 restructure (shared line explode via cache_lines,
+    # DSIR carry_cols/keep_unscored instead of left-join + re-join +
+    # isNotNull): real plan change, oracle re-proven bit-exact locally,
+    # queued for a driver row.
+    "curation_v3",
 ]
 
 # Rule-1 pressure valve, used ONLY when the window is over-subscribed:
@@ -6155,6 +6170,22 @@ _CHANGED_BUT_LOCALLY_PROVEN = {
                                 "the gate's max_bucket_size=None; "
                                 "bit-exact mirror green on the "
                                 "changed tree (r19)"),
+    # Round 19: importance_weights grew carry_cols/keep_unscored and
+    # strip_boilerplate_lines/strip_lines_against grew cache_lines/
+    # lines= for the curation_v3 restructure; every other caller runs
+    # the defaults (keep_unscored=True, carry_cols=(), cache_lines=
+    # False, lines=None), which execute the pre-r19 expressions
+    # verbatim.
+    "dsir_weights": ("r19 keep_unscored/carry_cols defaults keep the "
+                     "left-join path byte-identical; bit-exact mirror "
+                     "green on the changed tree (r19)"),
+    "strip_boilerplate": ("r19 cache_lines default (False) keeps the "
+                          "two-explode path byte-identical; bit-exact "
+                          "mirror green on the changed tree (r19)"),
+    "stream_boilerplate": ("r19 lines=None default keeps "
+                           "strip_lines_against byte-identical; "
+                           "bit-exact mirror green on the changed "
+                           "tree (r19)"),
     # Round 16: the nine r13-cohort singletons whose inline bodies
     # were hoisted VERBATIM into public operators (warehouse.py,
     # temporal.py) so the new capacity composites execute their exact
@@ -6348,10 +6379,10 @@ _CHANGED_BUT_LOCALLY_PROVEN.update(
         "cluster_curation", "contamination",
         "contamination_hash", "corpus_report", "countmin_store",
         "countmin_tokens", "cube_orders",
-        "curation_v2", "curation_v3", "decay_avg", "dedup_exact",
+        "curation_v2", "decay_avg", "dedup_exact",
         "dedup_paragraphs",
         "docs_report", "docx_extract", "domain_cap",
-        "domain_percentile_cut", "dsir_weights", "embedding_covariance",
+        "domain_percentile_cut", "embedding_covariance",
         "embedding_dedup", "embedding_norms", "embedding_outliers",
         "embedding_pca", "events_timeline", "export_shards",
         "export_webdataset", "global_shuffle",
@@ -6372,8 +6403,7 @@ _CHANGED_BUT_LOCALLY_PROVEN.update(
         "scan_time_range", "semi_join",
         "setops_except", "setops_intersect", "skew_stress",
         "stratified_sample", "stream_asof",
-        "stream_boilerplate",
-        "string_funcs", "strip_boilerplate", "strip_lines",
+        "string_funcs", "strip_lines",
         "symbols_dict", "temperature_sample", "text_entropy",
         "text_fingerprint", "text_index", "text_langid", "text_quality",
         "text_repetition", "text_tokens", "tick_report",

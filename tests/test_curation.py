@@ -606,6 +606,30 @@ class TestImportanceWeights:
             assert abs(got.log_weight - want) < 1e-9, r.doc_id
             assert got.n_grams == len(toks) - 1
 
+    def test_carry_cols_inner_equals_default_joined(self, spark):
+        """r19: keep_unscored=False + carry_cols must return exactly
+        the default path's non-NULL rows with the metadata attached —
+        the curation_v3 rewiring's equivalence contract."""
+        from zdb_spark.operators.curation import importance_weights
+
+        df = self._corpus(spark)
+        default = importance_weights(df, F.col("source") == "target",
+                                     n_buckets=512)
+        want = {(r.doc_id, r.source, r.n_grams, r.log_weight)
+                for r in default.join(df.select("doc_id", "source"),
+                                      "doc_id").collect()
+                if r.log_weight is not None}
+        inner = importance_weights(df, F.col("source") == "target",
+                                   n_buckets=512,
+                                   carry_cols=("source",),
+                                   keep_unscored=False)
+        got = {(r.doc_id, r.source, r.n_grams, r.log_weight)
+               for r in inner.collect()}
+        assert got == want
+        with pytest.raises(ValueError, match="keep_unscored"):
+            importance_weights(df, F.col("source") == "target",
+                               carry_cols=("source",))
+
 
 def i_grams(out, i):
     return int(out.loc[out.doc_id == i, "n_grams"].iloc[0])

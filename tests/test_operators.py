@@ -2575,6 +2575,32 @@ class TestBoilerplateLines:
             assert out[i].clean_text.startswith(chrome)
         assert out[20].clean_text == "" and out[20].n_kept == 0
 
+    def test_strip_boilerplate_cache_lines_identical(self, spark):
+        """r19: cache_lines=True (one persisted line explode shared by
+        the chrome count and the strip join) must be row-identical to
+        the default two-explode path, and expose the persisted frame
+        for release."""
+        from zdb_spark.operators import dedup
+        from zdb_spark.operators.text import strip_boilerplate_lines
+
+        chrome = "COOKIE BANNER"
+        rows = [(i, f"{chrome}\ndoc {i} body\nunique{i}", "siteA")
+                for i in range(3)]
+        rows.append((20, chrome, "siteA"))
+        rows.append((21, None, "siteA"))  # NULL text edge
+        df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                         "source string")
+        plain = strip_boilerplate_lines(df, min_docs=3)
+        cached = strip_boilerplate_lines(df, min_docs=3,
+                                         cache_lines=True)
+        key = lambda r: (r.id, r.grp, r.n_lines, r.n_kept, r.clean_text)
+        assert sorted(map(key, cached.collect())) == \
+            sorted(map(key, plain.collect()))
+        handles = cached._zdb_cache_handles
+        assert handles and handles[0].storageLevel.useMemory
+        dedup.release(cached)
+        assert not handles[0].storageLevel.useMemory
+
     def test_strip_repeated_lines_zero_shuffle(self, spark):
         from zdb_spark.operators.text import strip_repeated_lines
         from zdb_spark.plans.inspect import scan_report

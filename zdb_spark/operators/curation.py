@@ -805,7 +805,9 @@ def importance_weights(df: DataFrame, target_pred, *,
                        text_col: str = "text", id_col: str = "doc_id",
                        n_buckets: int = 4096, alpha: float = 0.5,
                        cache_features: bool = False,
-                       out_col: str = "log_weight") -> DataFrame:
+                       out_col: str = "log_weight",
+                       carry_cols: tuple[str, ...] = (),
+                       keep_unscored: bool = True) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling" — public): score each
     document by how much more likely its hashed-bigram features are
@@ -837,13 +839,26 @@ def importance_weights(df: DataFrame, target_pred, *,
     persisted frame rides on the result as ``_zdb_cache_handles``, so
     long-lived sessions release it with ``dedup.release(result)`` after
     materializing (the pair-operator discipline).
+
+    ``keep_unscored=False`` returns ONLY scored documents (those with
+    ≥1 bigram) and skips the left-join back to ``df`` entirely — for
+    callers that filter the NULL rows out anyway (curation_v3 did
+    exactly that: a left join to manufacture NULLs, an inner join to
+    re-attach metadata, then ``isNotNull``).  ``carry_cols`` rides
+    row-constant metadata columns (e.g. source) through the feature
+    stream and the scoring groupBy, so such callers need NO join at
+    all; requires ``keep_unscored=False`` (the left-join wrapper has
+    nowhere to take the metadata from for unscored rows).
     """
     from .dedup import let
     from .text import _ngram_col, tokenize
 
+    if carry_cols and keep_unscored:
+        raise ValueError("carry_cols requires keep_unscored=False")
     toks = tokenize(text_col)
     grams = let(toks, lambda t: _ngram_col(t, 2))
     ex = df.select(F.col(id_col),
+                   *[F.col(c) for c in carry_cols],
                    target_pred.cast("long").alias("_is_t"),
                    F.explode(grams).alias("gram"))
     ex = ex.withColumn("bkt", F.conv(F.substring(F.md5("gram"), 1, 8),
@@ -861,10 +876,11 @@ def importance_weights(df: DataFrame, target_pred, *,
     lr_tbl = (stats.crossJoin(F.broadcast(totals))
               .select("bkt", lr.alias("_lr")))
     scored = (ex.join(F.broadcast(lr_tbl), "bkt")
-              .groupBy(id_col)
+              .groupBy(id_col, *carry_cols)
               .agg(F.count(F.lit(1)).alias("n_grams"),
                    round0(F.sum("_lr"), 4).alias(out_col)))
-    out = df.select(id_col).join(scored, id_col, "left")
+    out = scored if not keep_unscored \
+        else df.select(id_col).join(scored, id_col, "left")
     if cache_features:
         out._zdb_cache_handles = [ex]
     return out

@@ -558,7 +558,8 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             group_col: str = "source",
                             min_docs: int = 3, sep: str = "\n",
-                            out_col: str = "clean_text") -> DataFrame:
+                            out_col: str = "clean_text",
+                            cache_lines: bool = False) -> DataFrame:
     """CROSS-document boilerplate removal: a line occurring in at least
     ``min_docs`` DISTINCT documents of the same ``group_col`` (site /
     domain / source) is template chrome, and EVERY occurrence is
@@ -577,14 +578,30 @@ def strip_boilerplate_lines(df: DataFrame, text_col: str = "text",
 
     Returns (id, group, n_lines, n_kept, out_col) — docs whose every
     line was chrome rebuild to the empty string.
+
+    ``cache_lines=True`` persists the exploded (id, grp, line, hash)
+    stream so the chrome COUNT pass and the strip join read ONE
+    materialization instead of exploding + md5-hashing every line
+    twice — right when the upstream is worth not re-running or the
+    operator sits inside a larger persisted pipeline (curation_v3);
+    leave False when two row-local passes beat materializing the
+    exploded stream (the usual 100 TB call — same trade as
+    ``importance_weights(cache_features=)``).  The persisted frame
+    rides on the result as ``_zdb_cache_handles``.
     """
     ex = _line_explode(df, text_col, id_col, group_col, sep)
+    if cache_lines:
+        ex = ex.persist()
     boiler = (ex.groupBy("grp", "_h")
                 .agg(F.countDistinct("id").alias("_nd"))
                 .where(F.col("_nd") >= min_docs)
                 .select("grp", "_h"))
-    return strip_lines_against(df, boiler, text_col, id_col, group_col,
-                               sep, out_col)
+    out = strip_lines_against(df, boiler, text_col, id_col, group_col,
+                              sep, out_col,
+                              lines=ex if cache_lines else None)
+    if cache_lines:
+        out._zdb_cache_handles = [ex]
+    return out
 
 
 def _line_explode(df: DataFrame, text_col: str, id_col: str,
@@ -602,7 +619,8 @@ def _line_explode(df: DataFrame, text_col: str, id_col: str,
 def strip_lines_against(df: DataFrame, chrome: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         group_col: str = "source", sep: str = "\n",
-                        out_col: str = "clean_text") -> DataFrame:
+                        out_col: str = "clean_text",
+                        lines: DataFrame | None = None) -> DataFrame:
     """Strip every occurrence of the given chrome lines — ``chrome`` is
     a (grp, _h) frame from ``strip_boilerplate_lines``'s counting stage
     or from a persisted store (``chrome_lines``) — and rebuild each
@@ -615,8 +633,13 @@ def strip_lines_against(df: DataFrame, chrome: DataFrame,
     (n_lines NULL, n_kept NULL, text NULL) — exactly what
     ``strip_repeated_lines`` yields for NULL text, where every derived
     column is itself an expression over the NULL split; only genuinely
-    all-chrome documents coerce to the empty string."""
-    ex = _line_explode(df, text_col, id_col, group_col, sep)
+    all-chrome documents coerce to the empty string.
+
+    ``lines``: a precomputed ``_line_explode(df, ...)`` frame (e.g. the
+    one the chrome count already materialized under
+    ``cache_lines=True``) — must be the SAME df/columns/sep explode."""
+    ex = lines if lines is not None \
+        else _line_explode(df, text_col, id_col, group_col, sep)
     kept = ex.join(chrome, ["grp", "_h"], "left_anti")
     rebuilt = (kept.groupBy("id")
                .agg(F.count(F.lit(1)).alias("n_kept"),

@@ -341,6 +341,18 @@ def _one_attempt(sf_dir: str) -> dict:
         print(f"write bench failed: {exc!r}", file=sys.stderr)
 
     canary["after"] = write_tp.get("batch_write")
+    # stream-sink drift flag (r19 VERDICT task 5): INFORMATIONAL only.
+    # The sink has no pinned clean band (observed 727k-1,135k across
+    # clean-ish windows; the r18 272k reading was triaged to host noise
+    # by a same-window interleaved A/B — r17 tree 727-743k vs HEAD
+    # 748-812k, HEAD >= r17).  Flag readings below the lowest same-tree
+    # A/B figure so future drift is visible in the artifact without
+    # gating the degraded verdict on an unbanded metric.
+    ss = write_tp.get("stream_sink")
+    if isinstance(ss, int):
+        canary["stream_sink"] = ss
+        canary["stream_sink_ref_floor"] = 700_000
+        canary["stream_sink_below_ref"] = ss < 700_000
     # In/out disagreement at the band edge gets a THIRD sample before
     # the verdict (round-12 verdict task 3): one edge miss may be
     # jitter; two of three is a window property.

@@ -71,6 +71,18 @@ _DEFAULTS = {
     # Arrow batch size for mapInPandas / pandas UDFs (zdb's per-partition
     # column-slice analogue).
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Streaming checkpoint-log retention (r19, guide §5): every
+    # micro-batch pays offsets/commits WAL bookkeeping whose cost grows
+    # with the retained window; the Spark default (100) keeps 100
+    # batches of recovery metadata nobody restarts into.  2 retains the
+    # last committed batch plus one — enough for exactly-once restart
+    # from the latest state, measured 0.89-0.92 on the streaming gates
+    # in two interleaved config A/Bs.  Raise via SPARK_GRAFT_STREAM_RETAIN
+    # where a deployment wants deeper checkpoint-log history (e.g.
+    # debugging a replay); recovery semantics of the LATEST state are
+    # unchanged either way (txn/idempotence tests pin them).
+    "spark.sql.streaming.minBatchesToRetain":
+        os.environ.get("SPARK_GRAFT_STREAM_RETAIN", "2"),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
